@@ -1,0 +1,45 @@
+"""datachain_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of iterative/datachain (reference snapshot at
+/root/reference, 2025-11-14), re-expressed Spark-first: the DataFrame is the
+plan, Catalyst/AQE is the optimizer, Pandas-UDF primitives are the Python
+escape hatch, and versioned datasets live on parquet/Delta-style storage.
+
+Public API parity: /root/reference/src/datachain/__init__.py and
+/root/reference/src/datachain/lib/dc/__init__.py.
+"""
+
+import sys as _sys
+
+from . import functions as func
+
+_sys.modules[__name__ + ".func"] = func
+
+from .chain import DataChain, DatasetMergeError
+from .columns import C, Col
+from .session import Session
+from .sources import (
+    datasets,
+    listings,
+    read_csv,
+    read_database,
+    read_dataset,
+    read_hf,
+    read_json,
+    read_pandas,
+    read_parquet,
+    read_records,
+    read_storage,
+    read_values,
+)
+from .udf import Aggregator, BatchMapper, Generator, Mapper
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "C", "Col", "DataChain", "DatasetMergeError", "Session",
+    "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
+    "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
+    "datasets", "listings",
+    "Mapper", "Generator", "Aggregator", "BatchMapper",
+    "func",
+]

@@ -1,0 +1,334 @@
+"""Versioned dataset metastore on plain storage.
+
+Parity with the reference's dataset/version/lineage layer:
+- DatasetRecord/DatasetVersion (/root/reference/src/datachain/dataset.py:187,361)
+- semver auto-bump (/root/reference/src/datachain/dataset.py:625-657)
+- version specifiers ``>=1.2`` (/root/reference/src/datachain/dataset.py:677)
+- dependency lineage recorded on save
+  (/root/reference/src/datachain/query/dataset.py:1882-1916)
+- namespace/project two-level grouping
+  (/root/reference/src/datachain/data_storage/metastore.py:497-503)
+
+Layout (works on any Hadoop-visible FS; locally a directory):
+
+    {root}/{namespace}/{project}/{name}/manifest.json
+    {root}/{namespace}/{project}/{name}/v{semver}/data/*.parquet
+
+Each version is an immutable parquet directory — the Delta/Iceberg
+"time-travel" substrate reduced to what the engine needs (the reference also
+keeps one physical table per version, warehouse.py:353-371). At 100 TB the
+data writes are distributed (plain ``df.write.parquet``); only the tiny
+manifest JSON is driver-side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_NAMESPACE = "local"
+DEFAULT_PROJECT = "default"
+
+_VERSION_RE = re.compile(r"^(\d+)\.(\d+)\.(\d+)$")
+_SPEC_RE = re.compile(r"^(>=|<=|==|>|<|~=)?\s*(\d+)(?:\.(\d+))?(?:\.(\d+))?$")
+
+
+def parse_version(v: str) -> tuple[int, int, int]:
+    m = _VERSION_RE.match(v)
+    if not m:
+        raise ValueError(f"invalid semver: {v!r}")
+    return tuple(int(g) for g in m.groups())  # type: ignore[return-value]
+
+
+def bump_version(v: str, part: str = "patch") -> str:
+    major, minor, patch = parse_version(v)
+    if part == "major":
+        return f"{major + 1}.0.0"
+    if part == "minor":
+        return f"{major}.{minor + 1}.0"
+    if part == "patch":
+        return f"{major}.{minor}.{patch + 1}"
+    raise ValueError(f"unknown version part: {part!r}")
+
+
+def matches_spec(version: str, spec: str) -> bool:
+    """Version specifier match (reference: dataset.py:677
+    latest_compatible_version)."""
+    m = _SPEC_RE.match(spec.strip())
+    if not m:
+        raise ValueError(f"invalid version specifier: {spec!r}")
+    op = m.group(1) or "=="
+    want = tuple(int(g) if g is not None else None for g in m.groups()[1:])
+    have = parse_version(version)
+
+    def cmp_key(w):
+        return tuple(x if x is not None else 0 for x in w)
+
+    if op == "==":
+        return all(w is None or h == w for h, w in zip(have, want))
+    if op == ">=":
+        return have >= cmp_key(want)
+    if op == ">":
+        return have > cmp_key(want)
+    if op == "<=":
+        wk = tuple(x if x is not None else 10**9 for x in want)
+        return have <= wk
+    if op == "<":
+        return have < cmp_key(want)
+    if op == "~=":  # compatible release: same major, >= given
+        return have[0] == want[0] and have >= cmp_key(want)
+    raise ValueError(op)
+
+
+@dataclass
+class DatasetVersion:
+    version: str
+    uuid: str
+    created_at: float
+    num_rows: int = 0
+    schema_json: str = ""
+    attrs: dict[str, Any] = field(default_factory=dict)
+    dependencies: list[dict[str, str]] = field(default_factory=list)
+    preview: list[dict[str, Any]] = field(default_factory=list)
+    job_hash: str = ""
+
+    def to_dict(self) -> dict:
+        return self.__dict__.copy()
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DatasetVersion":
+        return cls(**{k: d.get(k) for k in cls.__dataclass_fields__ if k in d})
+
+
+@dataclass
+class DatasetRecord:
+    name: str
+    namespace: str = DEFAULT_NAMESPACE
+    project: str = DEFAULT_PROJECT
+    description: str = ""
+    versions: list[DatasetVersion] = field(default_factory=list)
+
+    @property
+    def full_name(self) -> str:
+        return f"{self.namespace}.{self.project}.{self.name}"
+
+    def latest_version(self) -> Optional[DatasetVersion]:
+        if not self.versions:
+            return None
+        return max(self.versions, key=lambda v: parse_version(v.version))
+
+    def get_version(self, version: Optional[str]) -> DatasetVersion:
+        if version is None:
+            latest = self.latest_version()
+            if latest is None:
+                raise ValueError(f"dataset {self.name} has no versions")
+            return latest
+        if _VERSION_RE.match(version):
+            for v in self.versions:
+                if v.version == version:
+                    return v
+            raise ValueError(f"dataset {self.name} has no version {version}")
+        # specifier: pick the newest matching
+        matching = [v for v in self.versions if matches_spec(v.version, version)]
+        if not matching:
+            raise ValueError(f"no version of {self.name} matches {version!r}")
+        return max(matching, key=lambda v: parse_version(v.version))
+
+
+def split_name(name: str) -> tuple[str, str, str]:
+    """'ns.proj.name' | 'proj.name' | 'name' -> (ns, proj, name)."""
+    parts = name.split(".")
+    if len(parts) == 1:
+        return DEFAULT_NAMESPACE, DEFAULT_PROJECT, parts[0]
+    if len(parts) == 2:
+        return DEFAULT_NAMESPACE, parts[0], parts[1]
+    if len(parts) == 3:
+        return parts[0], parts[1], parts[2]
+    raise ValueError(f"invalid dataset name: {name!r}")
+
+
+class Metastore:
+    """JSON-manifest metastore over a directory tree."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def _ds_dir(self, ns: str, proj: str, name: str) -> str:
+        return os.path.join(self.root, ns, proj, name)
+
+    def _manifest_path(self, ns: str, proj: str, name: str) -> str:
+        return os.path.join(self._ds_dir(ns, proj, name), "manifest.json")
+
+    def version_data_path(self, name: str, version: str) -> str:
+        ns, proj, base = split_name(name)
+        return os.path.join(self._ds_dir(ns, proj, base), f"v{version}", "data")
+
+    # -- manifest IO -------------------------------------------------------
+    def _read_record(self, ns: str, proj: str, name: str) -> Optional[DatasetRecord]:
+        path = self._manifest_path(ns, proj, name)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            d = json.load(f)
+        rec = DatasetRecord(
+            name=d["name"], namespace=d["namespace"], project=d["project"],
+            description=d.get("description", ""),
+        )
+        rec.versions = [DatasetVersion.from_dict(v) for v in d.get("versions", [])]
+        return rec
+
+    def _write_record(self, rec: DatasetRecord) -> None:
+        path = self._manifest_path(rec.namespace, rec.project, rec.name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "name": rec.name,
+                    "namespace": rec.namespace,
+                    "project": rec.project,
+                    "description": rec.description,
+                    "versions": [v.to_dict() for v in rec.versions],
+                },
+                f,
+                indent=1,
+                default=str,
+            )
+        os.replace(tmp, path)
+
+    # -- public API --------------------------------------------------------
+    def get_record(self, name: str) -> Optional[DatasetRecord]:
+        ns, proj, base = split_name(name)
+        return self._read_record(ns, proj, base)
+
+    def save_dataset(
+        self,
+        df: DataFrame,
+        name: str,
+        version: Optional[str] = None,
+        update_version: str = "patch",
+        attrs: Optional[dict[str, Any]] = None,
+        description: str = "",
+        dependencies: Optional[list[dict[str, str]]] = None,
+        preview_rows: int = 20,
+        job_hash: str = "",
+    ) -> DatasetVersion:
+        """Materialize df as a new dataset version.
+
+        Parity: DataChain.save -> DatasetQuery.save -> catalog.create_dataset
+        (/root/reference/src/datachain/lib/dc/datachain.py:602-673,
+        /root/reference/src/datachain/catalog/catalog.py:780-961): records
+        schema, row count, preview (first ``preview_rows`` rows), lineage.
+        """
+        ns, proj, base = split_name(name)
+        rec = self._read_record(ns, proj, base) or DatasetRecord(
+            name=base, namespace=ns, project=proj, description=description
+        )
+        if version is None:
+            latest = rec.latest_version()
+            version = bump_version(latest.version, update_version) if latest else "1.0.0"
+        else:
+            parse_version(version)
+            if any(v.version == version for v in rec.versions):
+                raise ValueError(f"dataset {name} version {version} already exists")
+
+        data_path = self.version_data_path(f"{ns}.{proj}.{base}", version)
+        df.write.mode("overwrite").parquet(data_path)
+
+        # row count from parquet footers (no second full scan of the plan)
+        spark = df.sparkSession
+        saved = spark.read.parquet(data_path)
+        num_rows = saved.count()
+        preview = [r.asDict(recursive=True) for r in saved.limit(preview_rows).collect()]
+
+        dv = DatasetVersion(
+            version=version,
+            uuid=uuid.uuid4().hex,
+            created_at=time.time(),
+            num_rows=num_rows,
+            schema_json=df.schema.json(),
+            attrs=attrs or {},
+            dependencies=dependencies or [],
+            preview=json.loads(json.dumps(preview, default=str)),
+            job_hash=job_hash,
+        )
+        rec.versions.append(dv)
+        if description:
+            rec.description = description
+        self._write_record(rec)
+        return dv
+
+    def load_dataset(
+        self, spark: SparkSession, name: str, version: Optional[str] = None
+    ) -> tuple[DataFrame, DatasetRecord, DatasetVersion]:
+        ns, proj, base = split_name(name)
+        rec = self._read_record(ns, proj, base)
+        if rec is None:
+            raise ValueError(f"dataset not found: {name}")
+        dv = rec.get_version(version)
+        df = spark.read.parquet(self.version_data_path(f"{ns}.{proj}.{base}", dv.version))
+        return df, rec, dv
+
+    def list_datasets(self) -> list[DatasetRecord]:
+        out = []
+        for ns in sorted(os.listdir(self.root)) if os.path.isdir(self.root) else []:
+            ns_dir = os.path.join(self.root, ns)
+            if not os.path.isdir(ns_dir):
+                continue
+            for proj in sorted(os.listdir(ns_dir)):
+                proj_dir = os.path.join(ns_dir, proj)
+                if not os.path.isdir(proj_dir):
+                    continue
+                for name in sorted(os.listdir(proj_dir)):
+                    rec = self._read_record(ns, proj, name)
+                    if rec is not None:
+                        out.append(rec)
+        return out
+
+    def delete_dataset(
+        self, name: str, version: Optional[str] = None, force: bool = False
+    ) -> None:
+        """Parity: delete_dataset (/root/reference/src/datachain/lib/dc/
+        datasets.py:303-430) — one version or the whole dataset."""
+        ns, proj, base = split_name(name)
+        rec = self._read_record(ns, proj, base)
+        if rec is None:
+            if force:
+                return
+            raise ValueError(f"dataset not found: {name}")
+        if version is None:
+            shutil.rmtree(self._ds_dir(ns, proj, base), ignore_errors=True)
+            return
+        rec.versions = [v for v in rec.versions if v.version != version]
+        shutil.rmtree(
+            os.path.dirname(self.version_data_path(f"{ns}.{proj}.{base}", version)),
+            ignore_errors=True,
+        )
+        if rec.versions:
+            self._write_record(rec)
+        else:
+            shutil.rmtree(self._ds_dir(ns, proj, base), ignore_errors=True)
+
+    def move_dataset(self, src: str, dst: str) -> None:
+        """Parity: move_dataset (lib/dc/datasets.py:303-430)."""
+        sns, sproj, sbase = split_name(src)
+        dns, dproj, dbase = split_name(dst)
+        rec = self._read_record(sns, sproj, sbase)
+        if rec is None:
+            raise ValueError(f"dataset not found: {src}")
+        src_dir = self._ds_dir(sns, sproj, sbase)
+        dst_dir = self._ds_dir(dns, dproj, dbase)
+        os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
+        shutil.move(src_dir, dst_dir)
+        rec.namespace, rec.project, rec.name = dns, dproj, dbase
+        self._write_record(rec)

@@ -1,0 +1,651 @@
+"""DataChain: the lazy, chainable facade over a Spark DataFrame.
+
+Parity: /root/reference/src/datachain/lib/dc/datachain.py (class DataChain,
+:108). The reference keeps a list of step objects interpreted into nested
+SQLite subqueries (/root/reference/src/datachain/query/dataset.py:1425-1460);
+here **the DataFrame IS the plan** — every method composes a new DataFrame and
+Catalyst/AQE do predicate pushdown, column pruning, join selection and runtime
+re-planning (SURVEY.md §4: the reference has no optimizer of its own).
+
+Scale posture (100 TB): no method in this class calls ``collect()`` except the
+explicit client-side sinks (``to_pandas``/``to_list``/...); joins/aggregations
+shuffle on their keys and small sides can be broadcast by AQE; sampling,
+shuffling, sharding use seeded hashes of stable columns instead of the
+reference's driver-assigned ``sys__rand`` (retry-deterministic on a cluster).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Iterable, Iterator, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .columns import Col, to_column, unwrap
+from .session import Session
+from .udf import (
+    build_agg_fn,
+    build_batch_map_fn,
+    build_gen_fn,
+    build_map_fn,
+    infer_params,
+    normalize_output,
+)
+
+ColumnLike = Union[str, Column, Col]
+
+
+def _cols(items: Union[ColumnLike, Sequence[ColumnLike], None]) -> list[Column]:
+    if items is None:
+        return []
+    if isinstance(items, (str, Column, Col)):
+        items = [items]
+    return [to_column(i) for i in items]
+
+
+def _names(items: Union[str, Sequence[str], None]) -> list[str]:
+    if items is None:
+        return []
+    if isinstance(items, str):
+        return [items]
+    return list(items)
+
+
+class DatasetMergeError(ValueError):
+    """Parity: datachain.lib.dc.datachain merge errors."""
+
+
+class DataChain:
+    """Immutable chain; every operator returns a new DataChain
+    (parity: _evolve, /root/reference/src/datachain/lib/dc/datachain.py:326)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        session: Optional[Session] = None,
+        settings: Optional[dict[str, Any]] = None,
+        dependencies: Optional[list[dict[str, str]]] = None,
+    ):
+        self._df = df
+        self.session = Session.get(session, spark=df.sparkSession)
+        self._settings = dict(settings or {})
+        # lineage: datasets/sources this chain reads (recorded on save;
+        # parity query/dataset.py:1882-1916)
+        self._dependencies = list(dependencies or [])
+
+    # ------------------------------------------------------------------ core
+    def _evolve(self, df: DataFrame, extra_deps: Optional[list] = None) -> "DataChain":
+        deps = self._dependencies + list(extra_deps or [])
+        return DataChain(df, self.session, self._settings, deps)
+
+    @property
+    def df(self) -> DataFrame:
+        """Escape hatch: the underlying Spark DataFrame."""
+        return self._df
+
+    @property
+    def schema(self):
+        return self._df.schema
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    def print_schema(self) -> None:
+        """Parity: datachain.py:318."""
+        self._df.printSchema()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+    def settings(self, **kwargs: Any) -> "DataChain":
+        """Parity: datachain settings(parallel/workers/batch_size/prefetch/
+        cache/sys). On Spark, parallel/workers map to a repartition hint
+        (executors already parallelize UDFs —
+        /root/reference/src/datachain/query/dispatch.py:54-466 is obsolete)."""
+        out = DataChain(self._df, self.session, {**self._settings, **kwargs}, self._dependencies)
+        n = kwargs.get("parallel") or kwargs.get("workers")
+        if isinstance(n, int) and n > 0:
+            out._df = out._df.repartition(n)
+        return out
+
+    def apply(self, func: Callable[..., "DataChain"], *args, **kwargs) -> "DataChain":
+        """Parity: datachain.py:786-807 (composition helper)."""
+        return func(self, *args, **kwargs)
+
+    # ------------------------------------------------------ projection/filter
+    def select(self, *names: ColumnLike) -> "DataChain":
+        """Keep listed signals; nested 'a.b' selects the subfield (aliased to
+        its leaf name). Parity: datachain.py:1155-1161."""
+        cols = []
+        for n in names:
+            if isinstance(n, str) and "." in n and n not in self._df.columns:
+                cols.append(F.col(n).alias(n.split(".")[-1]))
+            else:
+                cols.append(to_column(n))
+        return self._evolve(self._df.select(*cols))
+
+    def select_except(self, *names: str) -> "DataChain":
+        """Parity: datachain.py:1163-1169."""
+        df = self._df
+        for n in names:
+            if isinstance(n, str) and "." in n and n not in df.columns:
+                head, rest = n.split(".", 1)
+                df = df.withColumn(head, F.col(head).dropFields(rest))
+            else:
+                df = df.drop(n)
+        return self._evolve(df)
+
+    def mutate(self, **kwargs: Any) -> "DataChain":
+        """Add/replace columns from expressions; literals become constants.
+        Parity: datachain.py:1295-1381 (SQLMutate)."""
+        exprs = {}
+        for name, expr in kwargs.items():
+            if isinstance(expr, (Col, Column)):
+                exprs[name] = unwrap(expr)
+            else:
+                exprs[name] = F.lit(expr)
+        return self._evolve(self._df.withColumns(exprs))
+
+    def rename(self, **kwargs: str) -> "DataChain":
+        """new_name='old_name' renames (reference does this via mutate with a
+        bare column reference, datachain.py:1295-1381)."""
+        df = self._df
+        for new, old in kwargs.items():
+            df = df.withColumnRenamed(old, new)
+        return self._evolve(df)
+
+    def filter(self, *exprs: Any) -> "DataChain":
+        """AND of boolean expressions. Parity: datachain.py:2779-2847
+        (SQLFilter AND-combine at query/dataset.py:901)."""
+        df = self._df
+        for e in exprs:
+            df = df.filter(unwrap(e) if not isinstance(e, str) else F.expr(e))
+        return self._evolve(df)
+
+    def explode(
+        self,
+        col: str,
+        model_name: Optional[str] = None,
+        object_name: str = "object",
+        schema_sample_size: int = 1,
+    ) -> "DataChain":
+        """JSON-string column -> typed struct column. Schema inferred from a
+        sample, like the reference (datachain.py:466-520)."""
+        sample = [
+            r[0]
+            for r in self._df.select(col).filter(F.col(col).isNotNull())
+            .limit(max(schema_sample_size, 1)).collect()
+        ]
+        if not sample:
+            raise ValueError(f"explode: no non-null sample values in {col!r}")
+        spark = self._df.sparkSession
+        json_schema = spark.range(1).select(
+            F.schema_of_json(F.lit(sample[0])).alias("s")
+        ).first()["s"]
+        return self._evolve(
+            self._df.withColumn(object_name, F.from_json(F.col(col), json_schema))
+        )
+
+    # ------------------------------------------------------------ sort/limit
+    def order_by(self, *cols: ColumnLike, descending: bool = False) -> "DataChain":
+        """Total sort. Parity: datachain.py:1114-1136."""
+        cs = [to_column(c) for c in cols]
+        if descending:
+            cs = [c.desc() for c in cs]
+        return self._evolve(self._df.orderBy(*cs))
+
+    def limit(self, n: int) -> "DataChain":
+        return self._evolve(self._df.limit(n))
+
+    def offset(self, n: int) -> "DataChain":
+        """Parity: datachain.py:2849-2869. Spark >=3.4 has native offset."""
+        return self._evolve(self._df.offset(n))
+
+    def distinct(self, *cols: str) -> "DataChain":
+        """One row per distinct key combination (DISTINCT ON-style, arbitrary
+        representative row). Parity: datachain.py:1139-1153. Whole-row
+        distinct when no keys given."""
+        if not cols:
+            return self._evolve(self._df.distinct())
+        return self._evolve(self._df.dropDuplicates(list(cols)))
+
+    def sample(self, n: int, seed: Optional[int] = None) -> "DataChain":
+        """Random n rows (reference: ORDER BY random() LIMIT n,
+        query/dataset.py:1561-1574 — nondeterministic there too; we take a
+        seeded variant). TABLESAMPLE-free implementation that avoids a full
+        sort at scale is possible via rand() filter; for exact-n we sort by
+        rand — acceptable because n is small by contract."""
+        return self._evolve(self._df.orderBy(F.rand(seed) if seed is not None else F.rand()).limit(n))
+
+    def shuffle(self, seed: int = 42) -> "DataChain":
+        """Repeatable shuffle. Reference regenerates sys__rand via an LCG
+        (query/dataset.py:809-827, data_storage/sqlite.py:846-852); we order
+        by a seeded hash of the whole row — deterministic under retries."""
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in self._df.columns]
+        return self._evolve(self._df.orderBy(F.xxhash64(*cols, F.lit(seed))))
+
+    def chunk(self, index: int, total: int) -> "DataChain":
+        """Deterministic shard i-of-n. Parity: datachain.py:2879-2899
+        (C.sys__rand % total == index); here pmod(xxhash64(row), total)."""
+        if not 0 <= index < total:
+            raise ValueError("chunk index must be in [0, total)")
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in self._df.columns]
+        return self._evolve(
+            self._df.filter(F.pmod(F.xxhash64(*cols), F.lit(total)) == index)
+        )
+
+    def train_test_split(
+        self, weights: Sequence[float], seed: int = 42
+    ) -> list["DataChain"]:
+        """Parity: /root/reference/src/datachain/toolkit/split.py:9-105 —
+        boundary filters over a deterministic per-row hash (not randomSplit,
+        which is partition-dependent)."""
+        if len(weights) < 2 or any(w <= 0 for w in weights):
+            raise ValueError("weights must be >=2 positive values")
+        total = float(sum(weights))
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in self._df.columns]
+        bucket = F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(2**31)) / F.lit(float(2**31))
+        out, lo = [], 0.0
+        for w in weights:
+            hi = lo + w / total
+            cond = (bucket >= lo) & ((bucket < hi) if hi < 1.0 else (bucket <= 1.0))
+            out.append(self._evolve(self._df.filter(cond)))
+            lo = hi
+        return out
+
+    # -------------------------------------------------------------- grouping
+    def group_by(
+        self,
+        *,
+        partition_by: Union[ColumnLike, Sequence[ColumnLike], None] = None,
+        **agg_exprs: Union[Column, Col],
+    ) -> "DataChain":
+        """SQL GROUP BY; omitting partition_by gives a global single-group
+        aggregate. Parity: datachain.py:1172-1293 (SQLGroupBy at
+        query/dataset.py:1181-1217). Aggregate kwargs are Columns from
+        ``datachain_spark.func`` (count/sum/avg/min/max/any_value/collect/
+        concat — plus anything Spark offers)."""
+        if not agg_exprs:
+            raise ValueError("at least one aggregate kwarg is required")
+        aggs = [unwrap(v).alias(k) for k, v in agg_exprs.items()]
+        keys = _cols(partition_by)
+        if keys:
+            return self._evolve(self._df.groupBy(*keys).agg(*aggs))
+        return self._evolve(self._df.agg(*aggs))
+
+    # chain-scalar aggregates (executed immediately; parity datachain.py:2569-2636)
+    def count(self) -> int:
+        return self._df.count()
+
+    def sum(self, col: ColumnLike):  # noqa: A003
+        return self._df.agg(F.sum(to_column(col))).first()[0]
+
+    def avg(self, col: ColumnLike):
+        return self._df.agg(F.avg(to_column(col))).first()[0]
+
+    def min(self, col: ColumnLike):  # noqa: A003
+        return self._df.agg(F.min(to_column(col))).first()[0]
+
+    def max(self, col: ColumnLike):  # noqa: A003
+        return self._df.agg(F.max(to_column(col))).first()[0]
+
+    # ------------------------------------------------------------------ sets
+    def union(self, other: "DataChain") -> "DataChain":
+        """UNION ALL matched by column name; schemas must carry the same
+        column set (parity: datachain.py:1711-1727, mismatch error at
+        query/dataset.py:1220-1254)."""
+        left, right = set(self._df.columns), set(other._df.columns)
+        if left != right:
+            raise DatasetMergeError(
+                f"union schemas mismatch: only-left={sorted(left - right)} "
+                f"only-right={sorted(right - left)}"
+            )
+        return self._evolve(
+            self._df.unionByName(other._df), extra_deps=other._dependencies
+        )
+
+    def subtract(
+        self,
+        other: "DataChain",
+        on: Union[str, Sequence[str], None] = None,
+        right_on: Union[str, Sequence[str], None] = None,
+    ) -> "DataChain":
+        """Anti-join with null-safe key comparison. Parity:
+        datachain.py:1729-1793 (is_not_distinct_from at
+        query/dataset.py:210-292). Default keys = all common columns."""
+        lkeys = _names(on)
+        rkeys = _names(right_on) or lkeys
+        if not lkeys:
+            lkeys = rkeys = [c for c in self._df.columns if c in set(other._df.columns)]
+            if not lkeys:
+                raise DatasetMergeError("subtract: no common columns to compare on")
+        if len(lkeys) != len(rkeys):
+            raise DatasetMergeError("subtract: on/right_on length mismatch")
+        right = other._df.select(*rkeys).dropDuplicates()
+        cond = None
+        for lk, rk in zip(lkeys, rkeys):
+            c = self._df[lk].eqNullSafe(right[rk])
+            cond = c if cond is None else cond & c
+        return self._evolve(
+            self._df.join(right, cond, "left_anti"), extra_deps=other._dependencies
+        )
+
+    def merge(
+        self,
+        right: "DataChain",
+        on: Union[str, Sequence, Column, Col, None] = None,
+        right_on: Union[str, Sequence, None] = None,
+        inner: bool = False,
+        full: bool = False,
+        rname: str = "right_",
+    ) -> "DataChain":
+        """Join; default LEFT OUTER (parity: datachain.py:1601-1708,
+        SQLJoin at query/dataset.py:1010-1177).
+
+        - ``on`` may be column name(s) — equi-join, null-safe like the
+          reference — or arbitrary boolean Column expression(s) (theta joins).
+        - right-side columns colliding with left names get the ``rname``
+          prefix (signal_schema.py:85-133 rename mapping).
+        - self-joins are handled via DataFrame aliasing.
+        """
+        how = "inner" if inner else ("full" if full else "left")
+        if inner and full:
+            raise DatasetMergeError("merge: inner and full are mutually exclusive")
+        if on is None:
+            raise DatasetMergeError("merge: 'on' is required")
+
+        ldf, rdf = self._df, right._df
+        if ldf is rdf:  # self-merge auto-clone (datachain.py:1648)
+            rdf = rdf.alias("r_clone")
+
+        # collision prefixing for non-expression joins
+        lcols = set(ldf.columns)
+        renames: dict[str, str] = {}
+
+        expr_join = isinstance(on, (Column, Col)) or (
+            isinstance(on, (list, tuple)) and any(isinstance(o, (Column, Col)) for o in on)
+        )
+
+        if expr_join:
+            conds = on if isinstance(on, (list, tuple)) else [on]
+            cond = None
+            for c in conds:
+                cc = unwrap(c)
+                cond = cc if cond is None else cond & cc
+            for c in rdf.columns:
+                if c in lcols:
+                    renames[c] = rname + c
+            lsel = [ldf[c] for c in ldf.columns]
+            rsel = [rdf[c].alias(renames.get(c, c)) for c in rdf.columns]
+            joined = ldf.join(rdf, cond, how).select(*lsel, *rsel)
+            return self._evolve(joined, extra_deps=right._dependencies)
+
+        lkeys = _names(on)
+        rkeys = _names(right_on) or lkeys
+        if len(lkeys) != len(rkeys):
+            raise DatasetMergeError("merge: on/right_on length mismatch")
+        cond = None
+        for lk, rk in zip(lkeys, rkeys):
+            c = ldf[lk].eqNullSafe(rdf[rk])
+            cond = c if cond is None else cond & c
+        for c in rdf.columns:
+            if c in lcols:
+                renames[c] = rname + c
+        lsel = [ldf[c] for c in ldf.columns]
+        rsel = [rdf[c].alias(renames.get(c, c)) for c in rdf.columns]
+        joined = ldf.join(rdf, cond, how).select(*lsel, *rsel)
+        return self._evolve(joined, extra_deps=right._dependencies)
+
+    # ------------------------------------------------------------------ diff
+    def diff(
+        self,
+        other: "DataChain",
+        on: Union[str, Sequence[str]] = "id",
+        compare: Union[str, Sequence[str], None] = None,
+        added: bool = True,
+        deleted: bool = True,
+        modified: bool = True,
+        same: bool = False,
+        status_col: Optional[str] = None,
+    ) -> "DataChain":
+        """Row-level change detection vs ``other`` (the older version):
+        A=added (only here), D=deleted (only in other), M=modified (key match,
+        compare-cols differ), S=same. Parity: datachain.py:1795-1861 and
+        /root/reference/src/datachain/diff/__init__.py:27-163."""
+        from .ops.diff import diff as _diff
+
+        return _diff(
+            self, other, on=on, compare=compare, added=added, deleted=deleted,
+            modified=modified, same=same, status_col=status_col,
+        )
+
+    def compare_and_split(
+        self,
+        other: "DataChain",
+        on: Union[str, Sequence[str]] = "id",
+        compare: Union[str, Sequence[str], None] = None,
+    ) -> dict[str, "DataChain"]:
+        """Parity: diff/__init__.py:166-252."""
+        from .ops.diff import compare_and_split as _cas
+
+        return _cas(self, other, on=on, compare=compare)
+
+    def file_diff(self, other: "DataChain", on: str = "file") -> "DataChain":
+        """diff keyed on File unique keys (lib/file.py:245-254).
+        Parity: datachain.py:1863-1934."""
+        keys = [f"{on}.{k}" for k in ("source", "path", "version", "etag")]
+        return self.diff(other, on=keys)
+
+    # ------------------------------------------------------------------- UDF
+    def map(
+        self,
+        func: Optional[Callable] = None,
+        params: Union[str, Sequence[str], None] = None,
+        output: Any = None,
+        **signal_map: Callable,
+    ) -> "DataChain":
+        """1:1 Python UDF adding signal columns. Parity:
+        datachain.py:809-861. ``.map(name=fn, output=type)`` names the single
+        output column 'name'."""
+        func, default_name = self._resolve_signal_map(func, signal_map)
+        param_names = infer_params(func, _names(params) or None)
+        out_struct = normalize_output(func, output, default_name)
+        fn = build_map_fn(func, param_names, out_struct)
+        from pyspark.sql.types import StructType
+
+        # output pdf keeps input column order; an output that overrides an
+        # existing column stays in place with the new type, new ones append
+        out_by_name = {f.name: f for f in out_struct.fields}
+        fields = [out_by_name.pop(f.name, f) for f in self._df.schema.fields]
+        new_schema = StructType(fields + [f for f in out_struct.fields if f.name in out_by_name])
+        return self._evolve(self._df.mapInPandas(fn, new_schema))
+
+    def gen(
+        self,
+        func: Optional[Callable] = None,
+        params: Union[str, Sequence[str], None] = None,
+        output: Any = None,
+        **signal_map: Callable,
+    ) -> "DataChain":
+        """1:N generator UDF; output schema replaces the input schema.
+        Parity: datachain.py:862-900 (RowGenerator at
+        query/dataset.py:740-781)."""
+        func, default_name = self._resolve_signal_map(func, signal_map)
+        param_names = infer_params(func, _names(params) or None)
+        out_struct = normalize_output(func, output, default_name)
+        fn = build_gen_fn(func, param_names, out_struct)
+        return self._evolve(self._df.mapInPandas(fn, out_struct))
+
+    def agg(
+        self,
+        func: Optional[Callable] = None,
+        partition_by: Union[ColumnLike, Sequence[ColumnLike], None] = None,
+        params: Union[str, Sequence[str], None] = None,
+        output: Any = None,
+        **signal_map: Callable,
+    ) -> "DataChain":
+        """Python aggregator over groups (N:M). Parity:
+        datachain.py:901-1035; executed as native groupBy().applyInPandas
+        instead of the reference's dense_rank partition table
+        (query/dataset.py:582-615)."""
+        func, default_name = self._resolve_signal_map(func, signal_map)
+        param_names = infer_params(func, _names(params) or None)
+        out_struct = normalize_output(func, output, default_name)
+        fn = build_agg_fn(func, param_names, out_struct)
+        keys = _cols(partition_by)
+        if not keys:
+            keys = [F.lit(1)]
+        return self._evolve(self._df.groupBy(*keys).applyInPandas(fn, out_struct))
+
+    def batch_map(
+        self,
+        func: Optional[Callable] = None,
+        params: Union[str, Sequence[str], None] = None,
+        output: Any = None,
+        batch: int = 1000,
+        **signal_map: Callable,
+    ) -> "DataChain":
+        """Batched 1:1 UDF. Parity: datachain.py:1037-1084 (deprecated there,
+        kept for coverage). Arrow batch size governs actual batching."""
+        func, default_name = self._resolve_signal_map(func, signal_map)
+        param_names = infer_params(func, _names(params) or None)
+        out_struct = normalize_output(func, output, default_name)
+        fn = build_batch_map_fn(func, param_names, out_struct)
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType(list(self._df.schema.fields) + list(out_struct.fields))
+        return self._evolve(self._df.mapInPandas(fn, new_schema))
+
+    @staticmethod
+    def _resolve_signal_map(func, signal_map):
+        if func is None and len(signal_map) == 1:
+            name, fn = next(iter(signal_map.items()))
+            return fn, name
+        if func is None:
+            raise ValueError("a UDF callable is required")
+        return func, "result"
+
+    # ----------------------------------------------------------------- sinks
+    def save(
+        self,
+        name: str,
+        version: Optional[str] = None,
+        update_version: str = "patch",
+        attrs: Optional[dict[str, Any]] = None,
+        description: str = "",
+    ) -> "DataChain":
+        """Materialize as a new dataset version; returns a chain reading the
+        saved data. Parity: datachain.py:602-673."""
+        dv = self.session.metastore.save_dataset(
+            self._df, name, version=version, update_version=update_version,
+            attrs=attrs, description=description, dependencies=self._dependencies,
+        )
+        df, _, _ = self.session.metastore.load_dataset(self.session.spark, name, dv.version)
+        return DataChain(
+            df, self.session, self._settings,
+            [{"dataset": name, "version": dv.version}],
+        )
+
+    def persist(self) -> "DataChain":
+        """Session-temporary materialization. Parity: datachain.py:570-588;
+        temp naming query/session.py:222-231."""
+        import uuid as _uuid
+
+        name = f"session.tmp.tmp_{_uuid.uuid4().hex[:12]}"
+        out = self.save(name)
+        self.session.register_temp(name)
+        return out
+
+    def cache(self) -> "DataChain":
+        """Spark-native in-memory persistence (no reference counterpart;
+        cheaper than persist() when re-used within one session)."""
+        return self._evolve(self._df.cache())
+
+    def exec(self) -> "DataChain":  # noqa: A003
+        """Force execution. Parity: datachain.py:2875."""
+        self._df.count()
+        return self
+
+    def to_parquet(
+        self,
+        path: str,
+        partition_cols: Optional[Sequence[str]] = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Parity: datachain.py:2217-2314 — distributed write, partitioned
+        layout supported."""
+        w = self._df.write.mode(mode)
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)
+
+    def to_csv(self, path: str, delimiter: str = ",", mode: str = "overwrite") -> None:
+        """Parity: datachain.py:2315-2361."""
+        self._df.write.mode(mode).option("header", True).option("sep", delimiter).csv(path)
+
+    def to_json(self, path: str, mode: str = "overwrite") -> None:
+        """Parity: datachain.py:2362-2438 (JSON-lines layout; Spark's native
+        distributed JSON writer)."""
+        self._df.write.mode(mode).json(path)
+
+    to_jsonl = to_json
+
+    def to_database(
+        self, table: str, url: str, mode: str = "append", **options: str
+    ) -> None:
+        """Parity: /root/reference/src/datachain/lib/dc/database.py:70-297 —
+        JDBC batch insert (upsert via staging table is storage-specific)."""
+        self._df.write.mode(mode).options(**options).jdbc(url=url, table=table)
+
+    def to_pandas(self):
+        """Parity: datachain.py:1966."""
+        return self._df.toPandas()
+
+    def to_records(self) -> list[dict[str, Any]]:
+        """Parity: datachain.py:1477."""
+        return [r.asDict(recursive=True) for r in self._df.collect()]
+
+    def to_list(self, *cols: str) -> list[tuple]:
+        """Parity: datachain.py:2901."""
+        df = self._df.select(*cols) if cols else self._df
+        return [tuple(r) for r in df.collect()]
+
+    def to_values(self, col: str) -> list[Any]:
+        """Parity: datachain.py:2932."""
+        return [r[0] for r in self._df.select(col).collect()]
+
+    def to_iter(self, *cols: str) -> Iterator[tuple]:
+        """Streaming client iteration. Parity: datachain.py:1485-1530 —
+        toLocalIterator avoids materializing the whole result on the
+        driver."""
+        df = self._df.select(*cols) if cols else self._df
+        for r in df.toLocalIterator(prefetchPartitions=True):
+            yield tuple(r)
+
+    def __iter__(self) -> Iterator[tuple]:
+        return self.to_iter()
+
+    def show(self, limit: int = 20, truncate: bool = True) -> None:
+        """Parity: datachain.py:2002-2063."""
+        self._df.show(limit, truncate=truncate)
+
+    def to_storage(
+        self,
+        output: str,
+        signal: str = "file",
+        placement: str = "fullpath",
+    ) -> None:
+        """Download/copy files referenced by a File signal to a target dir.
+        Parity: datachain.py:2681-2749 (FileExporter) — here a distributed
+        foreachPartition copy, not a driver thread pool."""
+        from .sources.files import export_files
+
+        export_files(self._df, output, signal=signal, placement=placement)
+
+    def to_pytorch(self, **kwargs):
+        """IterableDataset over the chain. Parity: datachain.py:1554-1600."""
+        from .sources.pytorch_ds import chain_to_pytorch
+
+        return chain_to_pytorch(self, **kwargs)

@@ -1,0 +1,107 @@
+"""Session management: a thin wrapper that owns the SparkSession and the
+metastore root used for versioned datasets.
+
+Reference parity: datachain's ``Session``/``Catalog`` pair
+(/root/reference/src/datachain/query/session.py,
+/root/reference/src/datachain/catalog/catalog.py) — ours delegates all query
+execution to Spark and keeps only the dataset-version bookkeeping.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import uuid
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+DEFAULT_METASTORE = os.environ.get(
+    "DATACHAIN_SPARK_METASTORE", os.path.expanduser("~/.datachain_spark")
+)
+
+
+def default_spark_builder(app_name: str = "datachain-spark") -> SparkSession.Builder:
+    """Opinionated local builder.
+
+    At 100 TB these settings come from the cluster; here we set the knobs that
+    matter for local correctness + small-SF latency:
+    - AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+    - arrow for pandas interchange (vectorized UDF boundary)
+    - modest shuffle partitions (AQE coalesces further)
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+
+
+class Session:
+    """Holds the SparkSession + metastore root. One per process normally.
+
+    ``Session.get()`` returns (creating if needed) the process-global session,
+    mirroring datachain's implicit-session behavior
+    (/root/reference/src/datachain/query/session.py:74-95).
+    """
+
+    _global: Optional["Session"] = None
+
+    def __init__(
+        self,
+        spark: Optional[SparkSession] = None,
+        metastore_dir: str = DEFAULT_METASTORE,
+        name: str = "",
+    ):
+        self._owns_spark = spark is None
+        self.spark = spark or default_spark_builder().getOrCreate()
+        self.metastore_dir = metastore_dir
+        self.name = name or f"session_{uuid.uuid4().hex[:8]}"
+        self._temp_datasets: list[str] = []
+        from .catalog.metastore import Metastore
+
+        self.metastore = Metastore(metastore_dir)
+        atexit.register(self._cleanup_temp)
+
+    @classmethod
+    def get(
+        cls,
+        session: Optional["Session"] = None,
+        spark: Optional[SparkSession] = None,
+    ) -> "Session":
+        if session is not None:
+            return session
+        if cls._global is None:
+            # Adopt an active SparkSession if the caller already made one
+            # (e.g. the driver harness passes its own spark).
+            active = spark or SparkSession.getActiveSession()
+            cls._global = cls(spark=active)
+        elif spark is not None and cls._global.spark is not spark:
+            cls._global = cls(spark=spark)
+        return cls._global
+
+    def register_temp(self, dataset_name: str) -> None:
+        self._temp_datasets.append(dataset_name)
+
+    def _cleanup_temp(self) -> None:
+        for name in self._temp_datasets:
+            try:
+                self.metastore.delete_dataset(name, force=True)
+            except Exception:
+                pass
+        self._temp_datasets.clear()
+
+    def stop(self) -> None:
+        self._cleanup_temp()
+        if self._owns_spark:
+            self.spark.stop()
+        if Session._global is self:
+            Session._global = None

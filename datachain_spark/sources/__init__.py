@@ -1,0 +1,20 @@
+from .readers import (
+    datasets,
+    listings,
+    read_csv,
+    read_database,
+    read_dataset,
+    read_hf,
+    read_json,
+    read_pandas,
+    read_parquet,
+    read_records,
+    read_values,
+)
+from .storage import read_storage
+
+__all__ = [
+    "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
+    "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
+    "datasets", "listings",
+]

@@ -1,0 +1,159 @@
+"""The File signal: schema, executor-side accessors, export.
+
+Parity: /root/reference/src/datachain/lib/file.py:200-254 (File model with
+source, path, size, version, etag, is_latest, last_modified, location) and
+subclasses TextFile/ImageFile/... (:784-1120). ``location`` is a JSON string
+pointing into container files (tar members) — kept as a string column like the
+reference.
+
+Contents are opened lazily **on executors** via a serializable opener (no
+catalog object in the closure — SURVEY.md §7 'UDF object streams' note).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:
+    from pydantic import BaseModel, Field
+
+    class File(BaseModel):
+        """Pydantic File signal — mirrors lib/file.py:217-224."""
+
+        source: str = ""
+        path: str = ""
+        size: int = 0
+        version: str = ""
+        etag: str = ""
+        is_latest: bool = True
+        last_modified: Optional[Any] = None
+        location: Optional[str] = None
+
+        def get_uri(self) -> str:
+            src = self.source.rstrip("/")
+            return f"{src}/{self.path}" if src else self.path
+
+        def get_local_path(self) -> str:
+            uri = self.get_uri()
+            return uri[7:] if uri.startswith("file://") else uri
+
+        def read_bytes(self) -> bytes:
+            """Open and read; honors tar-member ``location`` pointers
+            (parity: TarVFile, lib/file.py:110-196)."""
+            path = self.get_local_path()
+            if self.location:
+                loc = json.loads(self.location)
+                if isinstance(loc, list):
+                    loc = loc[0]
+                offset, size = int(loc["offset"]), int(loc["size"])
+                parent = loc.get("parent")
+                ppath = parent if isinstance(parent, str) else path
+                with open(ppath, "rb") as f:
+                    f.seek(offset)
+                    return f.read(size)
+            with open(path, "rb") as f:
+                return f.read()
+
+        def read_text(self, encoding: str = "utf-8") -> str:
+            return self.read_bytes().decode(encoding)
+
+        @property
+        def name(self) -> str:
+            return posixpath.basename(self.path)
+
+        @property
+        def parent(self) -> str:
+            return posixpath.dirname(self.path)
+
+        @property
+        def file_stem(self) -> str:
+            n = self.name
+            stem, dot, _ = n.rpartition(".")
+            return stem if dot and stem else n
+
+        @property
+        def file_ext(self) -> str:
+            n = self.name
+            stem, dot, ext = n.rpartition(".")
+            return ext if dot and stem else ""
+
+except ImportError:  # pragma: no cover
+    File = None  # type: ignore[assignment]
+
+
+FILE_STRUCT = T.StructType([
+    T.StructField("source", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("size", T.LongType(), True),
+    T.StructField("version", T.StringType(), True),
+    T.StructField("etag", T.StringType(), True),
+    T.StructField("is_latest", T.BooleanType(), True),
+    T.StructField("last_modified", T.TimestampType(), True),
+    T.StructField("location", T.StringType(), True),
+])
+
+# unique key of a File row (lib/file.py:245-254)
+FILE_UNIQUE_KEYS = ("source", "path", "size", "version", "etag", "is_latest", "location")
+
+
+def export_files(
+    df: DataFrame,
+    output: str,
+    signal: str = "file",
+    placement: str = "fullpath",
+) -> None:
+    """Copy the files referenced by a File struct column to ``output``.
+
+    Parity: to_storage / FileExporter
+    (/root/reference/src/datachain/lib/dc/datachain.py:2681-2749,
+    lib/file.py:51-83). The reference uses a driver-side thread pool; here
+    each partition copies its own files — distributed, no driver bottleneck.
+
+    placement: 'fullpath' (source+path layout), 'filename' (flat),
+    'etag' (content-addressed names) — lib/file.py:466-497.
+    """
+    if placement not in ("fullpath", "filename", "etag"):
+        raise ValueError(f"unknown placement: {placement!r}")
+
+    cols = df.select(
+        F.col(f"{signal}.source").alias("source"),
+        F.col(f"{signal}.path").alias("path"),
+        F.col(f"{signal}.etag").alias("etag"),
+        F.col(f"{signal}.location").alias("location"),
+    )
+
+    def copy_partition(rows):
+        import shutil
+
+        for r in rows:
+            src = r["source"].rstrip("/")
+            uri = f"{src}/{r['path']}" if src else r["path"]
+            local = uri[7:] if uri.startswith("file://") else uri
+            if placement == "fullpath":
+                rel = (src.split("://")[-1] + "/" + r["path"]).lstrip("/")
+            elif placement == "filename":
+                rel = posixpath.basename(r["path"])
+            else:
+                ext = posixpath.splitext(r["path"])[1]
+                rel = r["etag"] + ext
+            dst = os.path.join(output, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if r["location"]:
+                loc = json.loads(r["location"])
+                if isinstance(loc, list):
+                    loc = loc[0]
+                parent = loc.get("parent") or local
+                with open(parent, "rb") as fi, open(dst, "wb") as fo:
+                    fi.seek(int(loc["offset"]))
+                    fo.write(fi.read(int(loc["size"])))
+            else:
+                shutil.copyfile(local, dst)
+
+    cols.foreachPartition(copy_partition)

@@ -1,0 +1,245 @@
+"""Source readers: in-memory, tabular formats, datasets, external databases.
+
+Parity map (reference -> here):
+- read_values/read_records/read_pandas: /root/reference/src/datachain/lib/dc/
+  values.py:18, records.py:21, pandas.py:16 -> spark.createDataFrame
+- read_parquet: lib/dc/parquet.py:15 -> spark.read.parquet
+- read_csv: lib/dc/csv.py:15-180 -> spark.read.csv
+- read_json: lib/dc/json.py:19-90 -> spark.read.json
+- read_dataset: lib/dc/datasets.py:27-220 -> metastore version load
+- read_database: lib/dc/database.py:298-381 -> spark.read.jdbc
+- read_hf: lib/dc/hf.py:17 -> arrow -> createDataFrame (import-gated)
+- datasets()/listings(): lib/dc/datasets.py:221-302, lib/dc/listings.py:55-81
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Optional, Sequence, Union
+
+from pyspark.sql import types as T
+
+from ..chain import DataChain
+from ..schema import PYDANTIC, model_to_row_dict, output_spec_to_struct, python_type_to_spark
+from ..session import Session
+
+if PYDANTIC:
+    from pydantic import BaseModel
+
+
+def _infer_value_type(values: Sequence[Any]) -> T.DataType:
+    for v in values:
+        if v is not None:
+            if PYDANTIC and isinstance(v, BaseModel):
+                from ..schema import model_to_struct
+
+                return model_to_struct(type(v))
+            if isinstance(v, list):
+                inner = _infer_value_type(v) if v else T.StringType()
+                return T.ArrayType(inner, True)
+            if isinstance(v, dict):
+                return T.MapType(T.StringType(), T.StringType(), True)
+            return python_type_to_spark(type(v))
+    return T.StringType()
+
+
+def read_values(
+    session: Optional[Session] = None,
+    schema: Optional[dict[str, Any]] = None,
+    **columns: Sequence[Any],
+) -> DataChain:
+    """Column-oriented in-memory input: name=[values...].
+    Parity: /root/reference/src/datachain/lib/dc/values.py:18 (+
+    lib/convert/values_to_tuples.py)."""
+    if not columns:
+        raise ValueError("read_values requires at least one column")
+    sess = Session.get(session)
+    names = list(columns)
+    lengths = {len(v) for v in columns.values()}
+    if len(lengths) > 1:
+        raise ValueError(f"read_values: column lengths differ: {lengths}")
+    if schema:
+        struct = output_spec_to_struct(schema)
+    else:
+        struct = T.StructType(
+            [T.StructField(n, _infer_value_type(columns[n]), True) for n in names]
+        )
+    rows = [
+        tuple(model_to_row_dict(columns[n][i]) for n in names)
+        for i in range(next(iter(lengths)))
+    ]
+    return DataChain(sess.spark.createDataFrame(rows, struct), sess)
+
+
+def read_records(
+    records: Iterable[Union[dict, Any]],
+    session: Optional[Session] = None,
+    schema: Optional[dict[str, Any]] = None,
+) -> DataChain:
+    """Row-oriented dicts (or Pydantic objects).
+    Parity: lib/dc/records.py:21."""
+    sess = Session.get(session)
+    records = list(records)
+    if PYDANTIC and records and isinstance(records[0], BaseModel):
+        model = type(records[0])
+        from ..schema import model_to_struct
+
+        struct = model_to_struct(model)
+        rows = [model_to_row_dict(r) for r in records]
+        return DataChain(sess.spark.createDataFrame(rows, struct), sess)
+    if schema:
+        struct = output_spec_to_struct(schema)
+        return DataChain(sess.spark.createDataFrame(records, struct), sess)
+    return DataChain(sess.spark.createDataFrame(records), sess)
+
+
+def read_pandas(df, session: Optional[Session] = None) -> DataChain:
+    """Parity: lib/dc/pandas.py:16 (arrow-accelerated)."""
+    sess = Session.get(session)
+    return DataChain(sess.spark.createDataFrame(df), sess)
+
+
+def read_parquet(
+    path: Union[str, Sequence[str]],
+    session: Optional[Session] = None,
+    **options: Any,
+) -> DataChain:
+    """Parity: lib/dc/parquet.py:15. Filters/pruning push into the scan."""
+    sess = Session.get(session)
+    paths = [path] if isinstance(path, str) else list(path)
+    df = sess.spark.read.options(**options).parquet(*paths)
+    return DataChain(df, sess, dependencies=[{"storage": p} for p in paths])
+
+
+def read_csv(
+    path: Union[str, Sequence[str]],
+    delimiter: str = ",",
+    header: bool = True,
+    column_types: Optional[dict[str, Any]] = None,
+    session: Optional[Session] = None,
+    **options: Any,
+) -> DataChain:
+    """Parity: lib/dc/csv.py:15-180."""
+    sess = Session.get(session)
+    reader = sess.spark.read.option("header", header).option("sep", delimiter)
+    if column_types:
+        reader = reader.schema(output_spec_to_struct(column_types))
+    else:
+        reader = reader.option("inferSchema", True)
+    paths = [path] if isinstance(path, str) else list(path)
+    df = reader.options(**options).csv(list(paths))
+    return DataChain(df, sess, dependencies=[{"storage": p} for p in paths])
+
+
+def read_json(
+    path: Union[str, Sequence[str]],
+    format: str = "json",  # noqa: A002
+    session: Optional[Session] = None,
+    **options: Any,
+) -> DataChain:
+    """Parity: lib/dc/json.py:19-90. format='json' handles whole-document
+    arrays via multiLine; 'jsonl' is line-delimited."""
+    sess = Session.get(session)
+    reader = sess.spark.read
+    if format == "json":
+        reader = reader.option("multiLine", True)
+    paths = [path] if isinstance(path, str) else list(path)
+    df = reader.options(**options).json(list(paths))
+    return DataChain(df, sess, dependencies=[{"storage": p} for p in paths])
+
+
+def read_dataset(
+    name: str,
+    version: Optional[str] = None,
+    session: Optional[Session] = None,
+) -> DataChain:
+    """Saved dataset version (semver or specifier like '>=1.2').
+    Parity: lib/dc/datasets.py:27-220."""
+    sess = Session.get(session)
+    df, rec, dv = sess.metastore.load_dataset(sess.spark, name, version)
+    return DataChain(df, sess, dependencies=[{"dataset": name, "version": dv.version}])
+
+
+def read_database(
+    query: str,
+    url: str,
+    session: Optional[Session] = None,
+    **options: Any,
+) -> DataChain:
+    """External DB via JDBC; the query runs server-side as a derived table.
+    Parity: lib/dc/database.py:298-381 (schema comes from the JDBC driver,
+    not sample-based inference)."""
+    sess = Session.get(session)
+    df = (
+        sess.spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", query)
+        .options(**options)
+        .load()
+    )
+    return DataChain(df, sess, dependencies=[{"database": url}])
+
+
+def read_hf(
+    dataset: Any,
+    split: Optional[str] = None,
+    session: Optional[Session] = None,
+    **kwargs: Any,
+) -> DataChain:
+    """HuggingFace datasets -> rows. Parity: lib/dc/hf.py:17. Import-gated:
+    the 'datasets' package is not in this container."""
+    try:
+        import datasets as hf_datasets  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "read_hf requires the 'datasets' package (not installed here); "
+            "export to parquet and use read_parquet instead"
+        ) from exc
+    sess = Session.get(session)
+    ds = dataset
+    if isinstance(dataset, str):
+        ds = hf_datasets.load_dataset(dataset, split=split, **kwargs)
+    table = ds.data.table if hasattr(ds, "data") else ds.to_arrow()
+    df = sess.spark.createDataFrame(table.to_pandas())
+    return DataChain(df, sess)
+
+
+def datasets(session: Optional[Session] = None) -> DataChain:
+    """Meta-chain of saved datasets. Parity: lib/dc/datasets.py:221-302."""
+    sess = Session.get(session)
+    rows = []
+    for rec in sess.metastore.list_datasets():
+        for v in rec.versions:
+            rows.append(
+                (rec.namespace, rec.project, rec.name, v.version, v.uuid,
+                 float(v.created_at), int(v.num_rows), v.job_hash)
+            )
+    struct = T.StructType([
+        T.StructField("namespace", T.StringType()),
+        T.StructField("project", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("version", T.StringType()),
+        T.StructField("uuid", T.StringType()),
+        T.StructField("created_at", T.DoubleType()),
+        T.StructField("num_rows", T.LongType()),
+        T.StructField("job_hash", T.StringType()),
+    ])
+    return DataChain(sess.spark.createDataFrame(rows, struct), sess)
+
+
+def listings(session: Optional[Session] = None) -> DataChain:
+    """Meta-chain of cached storage listings. Parity: lib/dc/listings.py:55-81."""
+    from .storage import LISTING_PREFIX
+
+    sess = Session.get(session)
+    rows = []
+    for rec in sess.metastore.list_datasets():
+        if rec.name.startswith(LISTING_PREFIX):
+            for v in rec.versions:
+                rows.append((rec.name, v.version, float(v.created_at), int(v.num_rows)))
+    struct = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("version", T.StringType()),
+        T.StructField("created_at", T.DoubleType()),
+        T.StructField("num_rows", T.LongType()),
+    ])
+    return DataChain(sess.spark.createDataFrame(rows, struct), sess)

