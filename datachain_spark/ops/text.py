@@ -1,0 +1,146 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+No reference counterpart (datachain has no text-quality ops) — these are the
+LLM-data-pipeline additions required by the build spec, designed Spark-first:
+every metric is a native column expression (whole-stage codegen), so they run
+at 100 TB without Python in the hot path.
+
+Operators:
+- token_count: whitespace tokens + a BPE-ish regex token estimate
+- quality_score: length / punctuation / stopword / repetition heuristics
+- language_id: stopword-hit n-gram heuristic over a small language table
+- fingerprint: deterministic 64-bit document fingerprint (normalized text)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..columns import to_column
+
+# A BPE-ish tokenizer regex: words, numbers, contractions, single punctuation.
+# Public-knowledge pattern family (GPT-2-style regex tokenization).
+_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+# Tiny built-in stopword inventories for the language-ID heuristic.
+_LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "es", "una", "por", "con", "para", "del", "las"],
+    "it": ["il", "di", "che", "la", "per", "una", "sono", "non", "con", "del"],
+}
+
+_EN_STOPWORDS = _LANG_STOPWORDS["en"] + [
+    "a", "an", "on", "as", "at", "by", "be", "are", "this", "with", "from",
+]
+
+
+def whitespace_token_count(col) -> Column:
+    """Number of whitespace-separated tokens."""
+    c = to_column(col)
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def regex_token_count(col) -> Column:
+    """BPE-ish token estimate via regexp_count of the GPT-2-style pattern."""
+    return F.regexp_count(to_column(col), F.lit(_TOKEN_RE))
+
+
+def punct_ratio(col) -> Column:
+    c = to_column(col)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return punct / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col, stopwords: Optional[Sequence[str]] = None) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    c = F.lower(to_column(col))
+    words = F.split(F.trim(c), r"\s+")
+    sw = F.array(*[F.lit(w) for w in (stopwords or _EN_STOPWORDS)])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, F.regexp_replace(w, r"[^a-z']", ""))))
+    return hits / F.greatest(F.size(words), F.lit(1))
+
+
+def mean_word_length(col) -> Column:
+    c = to_column(col)
+    words = F.split(F.trim(c), r"\s+")
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total / F.greatest(F.size(words), F.lit(1))
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality heuristic: penalize too-short docs, extreme
+    punctuation, stopword-free text (likely non-linguistic), and very long
+    mean word length (likely code/garbage). Weights are heuristic; the value
+    is the *shape* — a single codegen expression usable in filters at scale."""
+    c = to_column(col)
+    n_tokens = whitespace_token_count(c).cast("double")
+    len_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    p_ratio = punct_ratio(c)
+    punct_score = F.when(p_ratio > 0.3, F.lit(0.0)).otherwise(F.lit(1.0) - p_ratio / 0.3)
+    sw_ratio = stopword_ratio(c)
+    sw_score = F.least(sw_ratio / F.lit(0.15), F.lit(1.0))
+    mwl = mean_word_length(c)
+    mwl_score = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (
+        F.lit(0.3) * len_score
+        + F.lit(0.25) * punct_score
+        + F.lit(0.25) * sw_score
+        + F.lit(0.2) * mwl_score
+    )
+
+
+def language_id(col, languages: Optional[dict[str, list[str]]] = None) -> Column:
+    """Stopword-hit language guess: for each candidate language, count how
+    many of its top stopwords occur as tokens; argmax wins ('und' =
+    undetermined when no hits). Pure column algebra — a 100-TB corpus scans
+    once with no shuffle."""
+    c = F.lower(to_column(col))
+    words = F.split(F.trim(c), r"\s+")
+    langs = languages or _LANG_STOPWORDS
+    scores = []
+    for lang, sws in langs.items():
+        sw = F.array(*[F.lit(w) for w in sws])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col) -> Column:
+    """Deterministic 64-bit fingerprint of whitespace/case-normalized text —
+    the exact-dedup key. xxhash64 on the normalized form."""
+    c = to_column(col)
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Array of word n-gram shingles (for minhash / jaccard dedup)."""
+    c = F.lower(to_column(col))
+    words = F.split(F.trim(F.regexp_replace(c, r"[^\w\s]", "")), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.when(F.size(words) < n, F.array(F.array_join(words, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+def analyze_text(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
+    """Convenience: append the full text-analysis signal set."""
+    c = F.col(text_col)
+    return df.withColumns({
+        f"{prefix}n_tokens": whitespace_token_count(c),
+        f"{prefix}n_tokens_bpe": regex_token_count(c),
+        f"{prefix}punct_ratio": punct_ratio(c),
+        f"{prefix}stopword_ratio": stopword_ratio(c),
+        f"{prefix}quality": quality_score(c),
+        f"{prefix}lang_guess": language_id(c),
+        f"{prefix}fingerprint": fingerprint(c),
+    })

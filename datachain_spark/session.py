@@ -42,6 +42,7 @@ def default_spark_builder(app_name: str = "datachain-spark") -> SparkSession.Bui
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
 
 
