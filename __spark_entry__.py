@@ -1,38 +1,1062 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises datachain_spark's public API (the engine
+under test) and has a DuckDB oracle in ``oracle_sql()`` unless the operator is
+not SQL-expressible (those get rows-only checks, marked RO below).
+
+Numeric stability policy: every SUM/AVG over double columns casts the operand
+to DECIMAL(20,2) first — all money-ish testdata columns are exact 2-decimal —
+so aggregation is order-independent and engine-identical; averages are cast to
+DECIMAL(20,4) at the end. Column names are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datachain_spark import C, DataChain, Session, func
+from datachain_spark.functions import array as fa
+from datachain_spark.functions import path as fp
+from datachain_spark.functions import string as fs
+from datachain_spark.ops import dedup, similarity, text
+
+
+def _chain(spark: SparkSession, sf_dir: str, table: str) -> DataChain:
+    sess = Session.get(spark=spark)
+    if table == "events":
+        # the testdata events table carries TIMESTAMP(NANOS) — Spark has no
+        # nanos timestamp type; read as long and floor to micros (identical
+        # to DuckDB's ns->us conversion)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return DataChain(df, sess)
+    return DataChain(spark.read.parquet(f"{sf_dir}/{table}.parquet"), sess)
+
+
+def _dec(col, scale: int = 2):
+    return (col if not isinstance(col, str) else F.col(col)).cast(f"decimal(20,{scale})")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pricing summary (TPC-H Q1 shape) through the chain API."""
+    sf = "/root/testdata/sf0.001"
+    li = _chain(spark, sf, "lineitem")
+    return (
+        li.filter(C.l_shipdate <= "1998-09-02")
+        .mutate(
+            disc_price=_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))),
+            charge=_dec(F.col("l_extendedprice"))
+            * (1 - _dec(F.col("l_discount")))
+            * (1 + _dec(F.col("l_tax"))),
+        )
+        .group_by(
+            partition_by=["l_returnflag", "l_linestatus"],
+            sum_qty=func.sum(_dec(F.col("l_quantity"))),
+            sum_base_price=func.sum(_dec(F.col("l_extendedprice"))),
+            sum_disc_price=func.sum(C.disc_price),
+            sum_charge=func.sum(C.charge),
+            count_order=func.count(),
+        )
+        .order_by("l_returnflag", "l_linestatus")
+        .df
+    )
 
+
+# --------------------------------------------------------------------------
+# relational queries
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf):
+    li = _chain(spark, sf, "lineitem")
+    return (
+        li.filter(C.l_shipdate <= "1998-09-02")
+        .mutate(
+            disc_price=_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))),
+            charge=_dec(F.col("l_extendedprice"))
+            * (1 - _dec(F.col("l_discount")))
+            * (1 + _dec(F.col("l_tax"))),
+        )
+        .group_by(
+            partition_by=["l_returnflag", "l_linestatus"],
+            sum_qty=func.sum(_dec(F.col("l_quantity"))),
+            sum_base_price=func.sum(_dec(F.col("l_extendedprice"))),
+            sum_disc_price=func.sum(C.disc_price),
+            sum_charge=func.sum(C.charge),
+            avg_qty=func.avg(F.col("l_quantity")).cast("decimal(20,4)"),
+            count_order=func.count(),
+        )
+        .order_by("l_returnflag", "l_linestatus")
+        .df
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS sum_base_price,
+       sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS sum_disc_price,
+       sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2))) * (1 + CAST(l_tax AS DECIMAL(20,2)))) AS sum_charge,
+       CAST(avg(l_quantity) AS DECIMAL(20,4)) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf):
+    cust = _chain(spark, sf, "customer").filter(C.c_mktsegment == "BUILDING")
+    orders = _chain(spark, sf, "orders").filter(C.o_orderdate < "1995-03-15")
+    li = _chain(spark, sf, "lineitem").filter(C.l_shipdate > "1995-03-15")
+    return (
+        cust.merge(orders, on="c_custkey", right_on="o_custkey", inner=True)
+        .merge(li, on="o_orderkey", right_on="l_orderkey", inner=True)
+        .mutate(rev=_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+        .group_by(
+            partition_by=["o_orderkey", "o_orderdate", "o_orderpriority"],
+            revenue=func.sum(C.rev),
+        )
+        .order_by(C.revenue.column.desc(), C.o_orderkey.column)
+        .limit(10)
+        .df
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf):
+    region = _chain(spark, sf, "region")
+    nation = _chain(spark, sf, "nation")
+    cust = _chain(spark, sf, "customer")
+    orders = _chain(spark, sf, "orders")
+    li = _chain(spark, sf, "lineitem")
+    return (
+        region.merge(nation, on="r_regionkey", right_on="n_regionkey", inner=True)
+        .merge(cust, on="n_nationkey", right_on="c_nationkey", inner=True)
+        .merge(orders, on="c_custkey", right_on="o_custkey", inner=True)
+        .merge(li, on="o_orderkey", right_on="l_orderkey", inner=True)
+        .mutate(rev=_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+        .group_by(partition_by=["r_name", "n_name"], revenue=func.sum(C.rev), n_items=func.count())
+        .order_by("r_name", "n_name")
+        .df
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS revenue,
+       count(*) AS n_items
+FROM region JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def filter_glob_in(spark, sf):
+    part = _chain(spark, sf, "part")
+    return (
+        part.filter(
+            C("p_name").glob("*green*"),
+            C("p_size").in_(1, 5, 9, 13),
+            C.p_retailprice > 950,
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .order_by("p_partkey")
+        .df
+    )
+
+
+FILTER_SQL = """
+SELECT p_partkey, p_name, p_brand, p_size
+FROM part
+WHERE p_name LIKE '%green%' AND p_size IN (1,5,9,13) AND p_retailprice > 950
+ORDER BY p_partkey
+"""
+
+
+def mutate_case_buckets(spark, sf):
+    orders = _chain(spark, sf, "orders")
+    return (
+        orders.mutate(
+            bucket=func.case(
+                (C.o_totalprice < 50000, "low"),
+                (C.o_totalprice < 200000, "mid"),
+                else_="high",
+            ),
+            is_urgent=func.ifelse(
+                C("o_orderpriority").in_("1-URGENT", "2-HIGH"), 1, 0
+            ),
+        )
+        .group_by(
+            partition_by=["bucket", "is_urgent"],
+            n=func.count(),
+            total=func.sum(_dec(F.col("o_totalprice"))),
+        )
+        .order_by("bucket", "is_urgent")
+        .df
+    )
+
+
+MUTATE_SQL = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid' ELSE 'high' END AS bucket,
+       CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS is_urgent,
+       count(*) AS n,
+       sum(CAST(o_totalprice AS DECIMAL(20,2))) AS total
+FROM orders
+GROUP BY 1, 2
+ORDER BY bucket, is_urgent
+"""
+
+
+def distinct_pairs(spark, sf):
+    orders = _chain(spark, sf, "orders")
+    return (
+        orders.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .order_by("o_orderstatus", "o_orderpriority")
+        .df
+    )
+
+
+DISTINCT_SQL = """
+SELECT DISTINCT o_orderstatus, o_orderpriority
+FROM orders ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def order_limit_offset(spark, sf):
+    orders = _chain(spark, sf, "orders")
+    return (
+        orders.order_by(C.o_totalprice.column.desc(), C.o_orderkey.column)
+        .offset(10)
+        .limit(15)
+        .select("o_orderkey", "o_totalprice")
+        .df
+    )
+
+
+OLO_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 10
+"""
+
+
+def union_all_groups(spark, sf):
+    orders = _chain(spark, sf, "orders")
+    hi = orders.filter(C.o_totalprice > 300000)
+    lo = orders.filter(C.o_totalprice < 5000)
+    return (
+        hi.union(lo)
+        .group_by(partition_by="o_orderstatus", n=func.count(),
+                  total=func.sum(_dec(F.col("o_totalprice"))))
+        .order_by("o_orderstatus")
+        .df
+    )
+
+
+UNION_SQL = """
+SELECT o_orderstatus, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(20,2))) AS total
+FROM (SELECT * FROM orders WHERE o_totalprice > 300000
+      UNION ALL SELECT * FROM orders WHERE o_totalprice < 5000)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def subtract_anti(spark, sf):
+    cust = _chain(spark, sf, "customer")
+    orders = _chain(spark, sf, "orders").rename(c_custkey="o_custkey").select("c_custkey")
+    return (
+        cust.subtract(orders, on="c_custkey")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .order_by("c_custkey")
+        .df
+    )
+
+
+SUBTRACT_SQL = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey IS NOT DISTINCT FROM c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def merge_left_regions(spark, sf):
+    nation = _chain(spark, sf, "nation")
+    region = _chain(spark, sf, "region")
+    return (
+        nation.merge(region, on="n_regionkey", right_on="r_regionkey")
+        .select("n_nationkey", "n_name", "r_name")
+        .order_by("n_nationkey")
+        .df
+    )
+
+
+MERGE_LEFT_SQL = """
+SELECT n_nationkey, n_name, r_name
+FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey
+"""
+
+
+def merge_expr_pred(spark, sf):
+    """Expression-predicate join (theta join): suppliers to nations whose
+    name starts with the same letter as the supplier name's last char — an
+    arbitrary ON expression, parity with the reference's ColumnElement
+    predicates (datachain.py:1601-1708)."""
+    supp = _chain(spark, sf, "supplier")
+    nation = _chain(spark, sf, "nation")
+    cond = (C.s_nationkey == C.n_nationkey).__and__(C.n_name > C.s_name)
+    return (
+        supp.merge(nation, on=cond, inner=True)
+        .select("s_suppkey", "s_name", "n_name")
+        .order_by("s_suppkey")
+        .df
+    )
+
+
+MERGE_EXPR_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey AND n_name > s_name
+ORDER BY s_suppkey
+"""
+
+
+def merge_full_outer(spark, sf):
+    """Full outer join of per-customer order stats vs high-balance customers."""
+    orders = _chain(spark, sf, "orders")
+    stats = orders.group_by(
+        partition_by="o_custkey",
+        n_orders=func.count(),
+    )
+    rich = _chain(spark, sf, "customer").filter(C.c_acctbal > 9000).select(
+        "c_custkey", "c_acctbal"
+    )
+    merged = stats.merge(rich, on="o_custkey", right_on="c_custkey", full=True)
+    return (
+        merged.mutate(
+            custkey=F.coalesce(F.col("o_custkey"), F.col("c_custkey")),
+            n_orders_f=F.coalesce(F.col("n_orders"), F.lit(0)),
+            acctbal=F.coalesce(_dec(F.col("c_acctbal")), F.lit(0).cast("decimal(20,2)")),
+        )
+        .select("custkey", "n_orders_f", "acctbal")
+        .order_by("custkey")
+        .df
+    )
+
+
+MERGE_FULL_SQL = """
+SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+       COALESCE(n_orders, 0) AS n_orders_f,
+       COALESCE(CAST(c_acctbal AS DECIMAL(20,2)), CAST(0 AS DECIMAL(20,2))) AS acctbal
+FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) s
+FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) r
+ON o_custkey = c_custkey
+ORDER BY custkey
+"""
+
+
+def diff_statuses(spark, sf):
+    """diff() A/D/M/S: current = orders with bumped priority for F-status,
+    old = original orders; compare on o_orderpriority."""
+    orders = _chain(spark, sf, "orders")
+    current = orders.filter(C.o_totalprice > 100000).mutate(
+        o_orderpriority=func.ifelse(
+            C.o_orderstatus == "F", func.literal("0-BUMPED"), F.col("o_orderpriority")
+        )
+    )
+    old = orders.filter(C.o_totalprice > 50000)
+    return (
+        current.diff(old, on="o_orderkey", compare="o_orderpriority",
+                     same=True, status_col="st")
+        .select("st", "o_orderkey")
+        .order_by("o_orderkey", "st")
+        .df
+    )
+
+
+DIFF_SQL = """
+WITH cur AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN '0-BUMPED' ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_totalprice > 100000
+), old AS (
+  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 50000
+)
+SELECT CASE WHEN old.o_orderkey IS NULL THEN 'A'
+            WHEN cur.o_orderkey IS NULL THEN 'D'
+            WHEN cur.o_orderpriority IS DISTINCT FROM old.o_orderpriority THEN 'M'
+            ELSE 'S' END AS st,
+       COALESCE(cur.o_orderkey, old.o_orderkey) AS o_orderkey
+FROM cur FULL OUTER JOIN old ON cur.o_orderkey = old.o_orderkey
+ORDER BY o_orderkey, st
+"""
+
+
+def window_top3_per_cust(spark, sf):
+    orders = _chain(spark, sf, "orders")
+    w = func.window("o_custkey", ["o_totalprice", "o_orderkey"], desc=True)
+    return (
+        orders.mutate(rn=func.row_number().over(w))
+        .filter(C.rn <= 3, C.o_custkey < 100)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .order_by("o_custkey", "rn")
+        .df
+    )
+
+
+WINDOW_TOP3_SQL = """
+SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn <= 3 AND o_custkey < 100
+ORDER BY o_custkey, rn
+"""
+
+
+def window_rank_lag(spark, sf):
+    """rank/dense_rank/lag/first over event streams per user."""
+    ev = _chain(spark, sf, "events").filter(C.user_id < 50)
+    w = func.window("user_id", ["ts", "event_id"])
+    return (
+        ev.mutate(
+            rn=func.row_number().over(w),
+            rk=func.rank().over(w),
+            drk=func.dense_rank().over(w),
+            prev_value=func.lag("value", 1).over(w).cast("decimal(20,2)"),
+            first_type=func.first("event_type").over(w),
+        )
+        .select("user_id", "event_id", "rn", "rk", "drk", "prev_value", "first_type")
+        .order_by("user_id", "rn")
+        .df
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT user_id, event_id,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rk,
+       dense_rank() OVER w AS drk,
+       CAST(lag(value, 1) OVER w AS DECIMAL(20,2)) AS prev_value,
+       first_value(event_type) OVER w AS first_type
+FROM events WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, rn
+"""
+
+
+def group_concat_sorted(spark, sf):
+    nation = _chain(spark, sf, "nation")
+    region = _chain(spark, sf, "region")
+    return (
+        nation.merge(region, on="n_regionkey", right_on="r_regionkey", inner=True)
+        .group_by(
+            partition_by="r_name",
+            n_nations=func.count(),
+            nations=func.sorted_concat(F.col("n_name"), ","),
+            any_key=func.min(F.col("n_nationkey")),
+        )
+        .order_by("r_name")
+        .df
+    )
+
+
+GROUP_CONCAT_SQL = """
+SELECT r_name, count(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       min(n_nationkey) AS any_key
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# scalar function library
+# --------------------------------------------------------------------------
+
+def string_funcs(spark, sf):
+    part = _chain(spark, sf, "part").filter(C.p_partkey <= 200)
+    return (
+        part.mutate(
+            name_len=fs.length("p_name"),
+            no_vowel=fs.regexp_replace("p_name", "[aeiou]", "_"),
+            swapped=fs.replace("p_name", " ", "-"),
+            first_word=F.get(fs.split("p_name", " "), 0),
+            brand_num=F.substring(F.col("p_brand"), 7, 2),
+        )
+        .select("p_partkey", "name_len", "no_vowel", "swapped", "first_word", "brand_num")
+        .order_by("p_partkey")
+        .df
+    )
+
+
+STRING_SQL = """
+SELECT p_partkey,
+       length(p_name) AS name_len,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS no_vowel,
+       replace(p_name, ' ', '-') AS swapped,
+       string_split(p_name, ' ')[1] AS first_word,
+       substring(p_brand, 7, 2) AS brand_num
+FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+"""
+
+
+def path_funcs(spark, sf):
+    docs = _chain(spark, sf, "documents")
+    with_path = docs.mutate(
+        path=F.concat(F.col("source"), F.lit("/sub/"), F.col("doc_id").cast("string"), F.lit(".txt"))
+    )
+    return (
+        with_path.mutate(
+            dir=fp.parent("path"),
+            fname=fp.name("path"),
+            stem=fp.file_stem("path"),
+            ext=fp.file_ext("path"),
+        )
+        .select("doc_id", "path", "dir", "fname", "stem", "ext")
+        .order_by("doc_id")
+        .df
+    )
+
+
+PATH_SQL = """
+SELECT doc_id,
+       source || '/sub/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       source || '/sub' AS dir,
+       CAST(doc_id AS VARCHAR) || '.txt' AS fname,
+       CAST(doc_id AS VARCHAR) AS stem,
+       'txt' AS ext
+FROM documents ORDER BY doc_id
+"""
+
+
+def conditional_funcs(spark, sf):
+    li = _chain(spark, sf, "lineitem").filter(C.l_orderkey <= 100)
+    return (
+        li.mutate(
+            hi=func.greatest(_dec(F.col("l_discount")), _dec(F.col("l_tax"))),
+            lo=func.least(_dec(F.col("l_discount")), _dec(F.col("l_tax"))),
+            flag=func.ifelse(C.l_returnflag == "R", 1, 0),
+            null_price=func.ifelse(C.l_quantity > 25, F.col("l_extendedprice").cast("decimal(20,2)"), F.lit(None)),
+            has_null=func.isnone(
+                func.ifelse(C.l_quantity > 25, F.col("l_extendedprice"), F.lit(None))
+            ),
+        )
+        .select("l_orderkey", "l_linenumber", "hi", "lo", "flag", "null_price", "has_null")
+        .order_by("l_orderkey", "l_linenumber")
+        .df
+    )
+
+
+COND_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(greatest(CAST(l_discount AS DECIMAL(20,2)), CAST(l_tax AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS hi,
+       CAST(least(CAST(l_discount AS DECIMAL(20,2)), CAST(l_tax AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS lo,
+       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS flag,
+       CASE WHEN l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(20,2)) END AS null_price,
+       (CASE WHEN l_quantity > 25 THEN l_extendedprice END) IS NULL AS has_null
+FROM lineitem WHERE l_orderkey <= 100
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def array_funcs(spark, sf):
+    emb = _chain(spark, sf, "embeddings")
+    return (
+        emb.mutate(
+            dim=fa.length("embedding"),
+            first_el=F.round(fa.get_element("embedding", 0).cast("double"), 4) + F.lit(0.0),
+            head3=F.concat_ws(
+                ",",
+                F.transform(
+                    fa.slice("embedding", 0, 3),
+                    lambda x: (F.round(x.cast("double"), 3) + F.lit(0.0)).cast("string"),
+                ),
+            ),
+        )
+        .select("vec_id", "dim", "first_el", "head3")
+        .order_by("vec_id")
+        .df
+    )
+
+
+ARRAY_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_el,
+       array_to_string([CAST(round(CAST(x AS DOUBLE), 3) + 0.0 AS VARCHAR) for x in embedding[1:3]], ',') AS head3
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def numeric_hash_funcs(spark, sf):
+    """bit ops + hamming distances (int_hash_64/sip_hash_64 are rows-only:
+    xxhash64 is not available in duckdb)."""
+    ev = _chain(spark, sf, "events").filter(C.event_id <= 500)
+    return (
+        ev.mutate(
+            band=func.bit_and(C.event_id, 255),
+            bor=func.bit_or(C.event_id, 16),
+            bxor=func.bit_xor(C.event_id, C.user_id),
+            hamming=func.bit_hamming_distance(C.event_id, C.user_id),
+        )
+        .select("event_id", "band", "bor", "bxor", "hamming")
+        .order_by("event_id")
+        .df
+    )
+
+
+NUMERIC_SQL = """
+SELECT event_id,
+       event_id & 255 AS band,
+       event_id | 16 AS bor,
+       xor(event_id, user_id) AS bxor,
+       bit_count(xor(event_id, user_id)) AS hamming
+FROM events WHERE event_id <= 500 ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# events / time series
+# --------------------------------------------------------------------------
+
+def events_hourly(spark, sf):
+    ev = _chain(spark, sf, "events")
+    return (
+        ev.mutate(hour=F.date_trunc("hour", F.col("ts")))
+        .group_by(
+            partition_by=["hour", "event_type"],
+            n=func.count(),
+            total_value=func.sum(_dec(F.col("value"))),
+            max_value=func.max(_dec(F.col("value"))),
+        )
+        .order_by("hour", "event_type")
+        .df
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n,
+       sum(CAST(value AS DECIMAL(20,2))) AS total_value,
+       max(CAST(value AS DECIMAL(20,2))) AS max_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+def events_sessionize(spark, sf):
+    """Sessionization: 30-min inactivity gap starts a new session; count
+    sessions and events per user (batch sessionization via lag + cumulative
+    sum — the standard Spark idiom)."""
+    from pyspark.sql import Window
+
+    ev = _chain(spark, sf, "events").filter(C.user_id < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = (
+        ev.df.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.max("sess_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE user_id < 100
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+def explode_json_props(spark, sf):
+    """explode(): JSON string column -> typed struct (schema sampled)."""
+    ev = _chain(spark, sf, "events").filter(C.event_id <= 1000)
+    return (
+        ev.explode("props", object_name="p")
+        .mutate(k=F.col("p.k"))
+        .group_by(partition_by="event_type", total_k=func.sum(C.k), n=func.count())
+        .order_by("event_type")
+        .df
+    )
+
+
+EXPLODE_SQL = """
+SELECT event_type, sum(CAST(props->>'k' AS BIGINT)) AS total_k, count(*) AS n
+FROM events WHERE event_id <= 1000
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark, sf):
+    """Exact dedup survivors: min doc_id per normalized-text group (md5 in
+    the oracle, same normalization both sides)."""
+    docs = _chain(spark, sf, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.mutate(fp=F.md5(normalized))
+        .group_by(partition_by="fp", keep_id=func.min(F.col("doc_id")), n_dups=func.count())
+        .select("keep_id", "n_dups")
+        .order_by("keep_id")
+        .df
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents)
+GROUP BY fp ORDER BY keep_id
+"""
+
+
+def text_quality_stats(spark, sf):
+    docs = _chain(spark, sf, "documents")
+    return (
+        docs.mutate(
+            n_tokens=text.whitespace_token_count(F.col("text")),
+            n_chars_calc=fs.length("text"),
+        )
+        .group_by(
+            partition_by="lang",
+            n_docs=func.count(),
+            total_tokens=func.sum(C.n_tokens),
+            max_tokens=func.max(C.n_tokens),
+            total_chars=func.sum(C.n_chars_calc),
+        )
+        .order_by("lang")
+        .df
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens,
+       max(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS max_tokens,
+       sum(length(text)) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def similarity_topk(spark, sf):
+    """Brute-force cosine top-k to the vec_id=0 embedding (exact baseline)."""
+    emb = _chain(spark, sf, "embeddings").mutate(
+        embedding=F.col("embedding").cast("array<double>")
+    )
+    qrow = emb.df.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(v) for v in qrow["embedding"]]
+    out = similarity.cosine_topk(emb.df, q, "embedding", k=10, id_cols=["vec_id"])
+    return out.select(
+        "vec_id", F.round(F.col("distance"), 4).alias("dist_r")
+    ).orderBy("dist_r", "vec_id")
+
+
+SIMILARITY_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(CAST(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS DOUBLE), 4) AS dist_r
+FROM embeddings, q
+ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), vec_id
+LIMIT 10
+"""
+
+
+def embedding_near_pairs(spark, sf):
+    """Brute-force cosine-similar pairs (threshold tuned to yield rows on
+    random data)."""
+    df = (
+        _chain(spark, sf, "embeddings")
+        .df.filter(F.col("vec_id") < 200)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    pairs = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.3)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine_sim"), 3).alias("sim_r")
+    ).orderBy("id_a", "id_b")
+
+
+NEAR_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 3) AS sim_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+# ---- rows-only (non-SQL-expressible; driver records weaker check) ---------
+
+def minhash_pairs_ro(spark, sf):
+    docs = _chain(spark, sf, "documents").df
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+def simhash_pairs_ro(spark, sf):
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=12, prefix_bits=4)
+
+
+def ngram_jaccard_ro(spark, sf):
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2)
+
+
+def lang_id_ro(spark, sf):
+    docs = _chain(spark, sf, "documents")
+    return (
+        docs.mutate(guess=text.language_id(F.col("text")))
+        .group_by(partition_by="guess", n=func.count())
+        .order_by("guess")
+        .df
+    )
+
+
+def udf_map_ro(spark, sf):
+    """Python map UDF (mapInPandas path) — not SQL-expressible by contract."""
+    li = _chain(spark, sf, "lineitem").filter(C.l_orderkey <= 400)
+
+    def gross(l_quantity: float, l_extendedprice: float) -> float:
+        return l_quantity * l_extendedprice
+
+    return (
+        li.map(gross, params=["l_quantity", "l_extendedprice"], output={"gross": float})
+        .select("l_orderkey", "l_linenumber", "gross")
+        .order_by("l_orderkey", "l_linenumber")
+        .df
+    )
+
+
+def udf_gen_ro(spark, sf):
+    """Generator UDF: one output row per word of each doc (first 50 docs)."""
+    docs = _chain(spark, sf, "documents").filter(C.doc_id < 50)
+
+    def words(doc_id: int, txt: str):
+        for i, w in enumerate(txt.split()[:5]):
+            yield doc_id, i, w
+
+    return (
+        docs.gen(words, params=["doc_id", "text"],
+                 output={"doc_id": int, "pos": int, "word": str})
+        .order_by("doc_id", "pos")
+        .df
+    )
+
+
+def udf_agg_ro(spark, sf):
+    """Aggregator UDF over groups (applyInPandas path)."""
+    ev = _chain(spark, sf, "events").filter(C.user_id < 30)
+
+    def spread(user_id: list, value: list):
+        yield user_id[0], float(max(value) - min(value)), len(value)
+
+    return (
+        ev.agg(spread, partition_by="user_id", params=["user_id", "value"],
+               output={"user_id": int, "spread": float, "n": int})
+        .order_by("user_id")
+        .df
+    )
+
+
+def sample_shuffle_chunk_ro(spark, sf):
+    """Determinism invariants: chunk shards are disjoint+complete; union of
+    2 chunks has the original count. Output: per-shard counts."""
+    orders = _chain(spark, sf, "orders")
+    c0 = orders.chunk(0, 4).df.count()
+    c1 = orders.chunk(1, 4).df.count()
+    c2 = orders.chunk(2, 4).df.count()
+    c3 = orders.chunk(3, 4).df.count()
+    total = orders.df.count()
+    return spark.createDataFrame(
+        [(c0, c1, c2, c3, total, c0 + c1 + c2 + c3 == total)],
+        "c0 long, c1 long, c2 long, c3 long, total long, complete boolean",
+    )
+
+
+def read_storage_ro(spark, sf):
+    """Storage listing surface: File rows for the sf dir itself."""
+    sess = Session.get(spark=spark)
+    from datachain_spark import read_storage
+
+    ch = read_storage(f"{sf}/*.parquet", session=sess, update=True)
+    return ch.df.select(
+        F.col("file.path").alias("path"), F.col("file.size").alias("size")
+    ).orderBy("path")
+
+
+def multimodal_ro(spark, sf):
+    """Binary-column plumbing: fake image meta + embedding over doc bytes."""
+    from datachain_spark.ops import multimodal
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 50)
+    b = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    with_meta = multimodal.extract_image_meta(b, fake=True)
+    return with_meta.select(
+        "doc_id",
+        F.col("image.width").alias("w"),
+        F.col("image.height").alias("h"),
+        F.col("image.format").alias("fmt"),
+    ).orderBy("doc_id")
+
+
+def save_read_roundtrip_ro(spark, sf):
+    """Dataset versioning: save -> read_dataset round trip row fidelity."""
+    import tempfile
+
+    from datachain_spark.catalog.metastore import Metastore
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_rt_"))
+    old_ms = sess.metastore
+    sess.metastore = ms
+    try:
+        nation = _chain(spark, sf, "nation")
+        nation.save("rt_nation")
+        back = sess.metastore.load_dataset(spark, "rt_nation")[0]
+        return back.orderBy("n_nationkey")
+    finally:
+        sess.metastore = old_ms
+
+
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "filter_glob_in": filter_glob_in,
+        "mutate_case_buckets": mutate_case_buckets,
+        "distinct_pairs": distinct_pairs,
+        "order_limit_offset": order_limit_offset,
+        "union_all_groups": union_all_groups,
+        "subtract_anti": subtract_anti,
+        "merge_left_regions": merge_left_regions,
+        "merge_expr_pred": merge_expr_pred,
+        "merge_full_outer": merge_full_outer,
+        "diff_statuses": diff_statuses,
+        "window_top3_per_cust": window_top3_per_cust,
+        "window_rank_lag": window_rank_lag,
+        "group_concat_sorted": group_concat_sorted,
+        "string_funcs": string_funcs,
+        "path_funcs": path_funcs,
+        "conditional_funcs": conditional_funcs,
+        "array_funcs": array_funcs,
+        "numeric_hash_funcs": numeric_hash_funcs,
+        "events_hourly": events_hourly,
+        "events_sessionize": events_sessionize,
+        "explode_json_props": explode_json_props,
+        "dedup_exact_docs": dedup_exact_docs,
+        "text_quality_stats": text_quality_stats,
+        "similarity_topk": similarity_topk,
+        "embedding_near_pairs": embedding_near_pairs,
+        # rows-only
+        "minhash_pairs": minhash_pairs_ro,
+        "simhash_pairs": simhash_pairs_ro,
+        "ngram_jaccard_pairs": ngram_jaccard_ro,
+        "lang_id_counts": lang_id_ro,
+        "udf_map": udf_map_ro,
+        "udf_gen": udf_gen_ro,
+        "udf_agg": udf_agg_ro,
+        "sample_shuffle_chunk": sample_shuffle_chunk_ro,
+        "read_storage_listing": read_storage_ro,
+        "multimodal_image_meta": multimodal_ro,
+        "save_read_roundtrip": save_read_roundtrip_ro,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_region_revenue": Q5_SQL,
+        "filter_glob_in": FILTER_SQL,
+        "mutate_case_buckets": MUTATE_SQL,
+        "distinct_pairs": DISTINCT_SQL,
+        "order_limit_offset": OLO_SQL,
+        "union_all_groups": UNION_SQL,
+        "subtract_anti": SUBTRACT_SQL,
+        "merge_left_regions": MERGE_LEFT_SQL,
+        "merge_expr_pred": MERGE_EXPR_SQL,
+        "merge_full_outer": MERGE_FULL_SQL,
+        "diff_statuses": DIFF_SQL,
+        "window_top3_per_cust": WINDOW_TOP3_SQL,
+        "window_rank_lag": WINDOW_RANK_SQL,
+        "group_concat_sorted": GROUP_CONCAT_SQL,
+        "string_funcs": STRING_SQL,
+        "path_funcs": PATH_SQL,
+        "conditional_funcs": COND_SQL,
+        "array_funcs": ARRAY_SQL,
+        "numeric_hash_funcs": NUMERIC_SQL,
+        "events_hourly": EVENTS_HOURLY_SQL,
+        "events_sessionize": SESSIONIZE_SQL,
+        "explode_json_props": EXPLODE_SQL,
+        "dedup_exact_docs": DEDUP_EXACT_SQL,
+        "text_quality_stats": TEXT_STATS_SQL,
+        "similarity_topk": SIMILARITY_SQL,
+        "embedding_near_pairs": NEAR_PAIRS_SQL,
+    }

@@ -386,16 +386,18 @@ class DataChain:
         rkeys = _names(right_on) or lkeys
         if len(lkeys) != len(rkeys):
             raise DatasetMergeError("merge: on/right_on length mismatch")
+        # string-alias both sides: unambiguous even for self-joins
+        la, ra = ldf.alias("__l"), rdf.alias("__r")
         cond = None
         for lk, rk in zip(lkeys, rkeys):
-            c = ldf[lk].eqNullSafe(rdf[rk])
+            c = F.col(f"__l.{lk}").eqNullSafe(F.col(f"__r.{rk}"))
             cond = c if cond is None else cond & c
         for c in rdf.columns:
             if c in lcols:
                 renames[c] = rname + c
-        lsel = [ldf[c] for c in ldf.columns]
-        rsel = [rdf[c].alias(renames.get(c, c)) for c in rdf.columns]
-        joined = ldf.join(rdf, cond, how).select(*lsel, *rsel)
+        lsel = [F.col(f"__l.{c}").alias(c) for c in ldf.columns]
+        rsel = [F.col(f"__r.{c}").alias(renames.get(c, c)) for c in rdf.columns]
+        joined = la.join(ra, cond, how).select(*lsel, *rsel)
         return self._evolve(joined, extra_deps=right._dependencies)
 
     # ------------------------------------------------------------------ diff
@@ -494,9 +496,12 @@ class DataChain:
         param_names = infer_params(func, _names(params) or None)
         out_struct = normalize_output(func, output, default_name)
         fn = build_agg_fn(func, param_names, out_struct)
+        if partition_by is None:
+            # global single group: constant grouping column (groupBy on a
+            # bare literal is not a valid grouping attribute)
+            df = self._df.withColumn("__grp__", F.lit(1))
+            return self._evolve(df.groupBy("__grp__").applyInPandas(fn, out_struct))
         keys = _cols(partition_by)
-        if not keys:
-            keys = [F.lit(1)]
         return self._evolve(self._df.groupBy(*keys).applyInPandas(fn, out_struct))
 
     def batch_map(

@@ -1,0 +1,186 @@
+"""Incremental ("delta") processing and checkpoints.
+
+Parity: /root/reference/src/datachain/delta.py:100-391 and the checkpoint
+store (/root/reference/src/datachain/checkpoint.py:6-43,
+lib/dc/datachain.py:696-722). The reference's incremental story is diff-based
+batch re-runs (NOT streaming): on save, diff the current source version
+against the version used by the previous run, re-apply the chain's steps to
+just the changed rows, and merge with the previous result.
+
+Our engine keeps the same semantics over metastore versions:
+
+    result_vN = process(changed_rows) UNION (result_vN-1 MINUS rows whose
+                delta_on keys changed or disappeared)
+
+``process`` is a user callable DataChain -> DataChain (the "steps" — since
+the DataFrame is the plan, re-application is just calling it on the diff).
+
+Checkpoints: a fingerprint of (source version uuid, process function
+bytecode) is stored on each saved version; an unchanged fingerprint skips the
+whole run (parity with step-hash checkpoint reuse, hash_utils.py:32-120).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Optional, Sequence, Union
+
+from pyspark.sql import functions as F
+
+from .chain import DataChain
+from .session import Session
+
+
+class SchemaDriftError(RuntimeError):
+    """Parity: delta.py schema drift detection — the re-applied steps must
+    produce the previous result's schema."""
+
+
+def fingerprint_fn(fn: Callable, extra: str = "") -> str:
+    """Stable fingerprint of a processing function: code object bytes +
+    constants (parity: callable hashing, hash_utils.py:79)."""
+    h = hashlib.sha256()
+    code = getattr(fn, "__code__", None)
+    if code is not None:
+        h.update(code.co_code)
+        h.update(repr(code.co_consts).encode())
+        h.update(repr(code.co_names).encode())
+    else:
+        h.update(repr(fn).encode())
+    h.update(extra.encode())
+    return h.hexdigest()[:32]
+
+
+def delta_save(
+    source: DataChain,
+    process: Callable[[DataChain], DataChain],
+    name: str,
+    delta_on: Union[str, Sequence[str]],
+    delta_compare: Union[str, Sequence[str], None] = None,
+    delta_retry: Union[bool, str, None] = None,
+    session: Optional[Session] = None,
+) -> DataChain:
+    """Incrementally (re)compute ``name`` from ``source``.
+
+    - First run: full process(source).save(name).
+    - Later runs: process only rows of ``source`` that are new or modified
+      vs the snapshot used last time (keys ``delta_on``, change detection on
+      ``delta_compare`` or all common columns), then union with the previous
+      result minus rows whose keys were reprocessed or deleted.
+    - ``delta_retry='error_col'``: additionally reprocess rows whose previous
+      result has a non-null value in that column; ``delta_retry=True``:
+      reprocess source rows missing from the result (anti-join), parity
+      delta.py:126-186.
+
+    The source snapshot is persisted as an internal dataset
+    ``<name>__delta_source`` so the next run has the exact previous version
+    (the reference reads the previous *dataset version* of the source;
+    sources here may be raw storage, so we snapshot).
+    """
+    sess = session or source.session
+    keys = [delta_on] if isinstance(delta_on, str) else list(delta_on)
+    snap_name = f"{name}__delta_source"
+
+    prev_result_rec = sess.metastore.get_record(name)
+    prev_snap_rec = sess.metastore.get_record(snap_name)
+
+    job_hash = fingerprint_fn(process, extra=",".join(keys))
+
+    if prev_result_rec is None or prev_snap_rec is None:
+        # first run: full compute
+        result = process(source).save(name)
+        source.save(snap_name)
+        _stamp_job_hash(sess, name, job_hash)
+        return result
+
+    # checkpoint: same code + same source contents -> reuse
+    prev_version = prev_result_rec.latest_version()
+
+    prev_snap_df, _, _ = sess.metastore.load_dataset(sess.spark, snap_name)
+    prev_snap = DataChain(prev_snap_df, sess)
+
+    changed = source.diff(
+        prev_snap, on=keys, compare=delta_compare,
+        added=True, modified=True, deleted=False, same=False,
+    )
+    # rows that disappeared from the source (their results must drop)
+    deleted = prev_snap.subtract(source, on=keys)
+
+    prev_df, _, _ = sess.metastore.load_dataset(sess.spark, name, prev_version.version)
+    prev_result = DataChain(prev_df, sess)
+
+    retry_keys = None
+    if delta_retry:
+        if isinstance(delta_retry, str) and delta_retry is not True:
+            retry_keys = prev_result.filter(F.col(delta_retry).isNotNull()).select(*keys)
+        else:
+            retry_keys = source.subtract(prev_result, on=keys).select(*keys)
+
+    to_process = changed
+    if retry_keys is not None and retry_keys.count() > 0:
+        retry_rows = source.merge(
+            retry_keys.distinct(*keys), on=keys, inner=True
+        ).select(*source.columns)
+        to_process = DataChain(
+            to_process.df.unionByName(retry_rows.df).dropDuplicates(keys), sess
+        )
+
+    n_changed = to_process.count()
+    if n_changed == 0 and deleted.count() == 0 and prev_version.job_hash == job_hash:
+        return DataChain(prev_df, sess)
+
+    processed = process(to_process)
+    if set(processed.columns) != set(prev_result.columns):
+        raise SchemaDriftError(
+            f"delta re-run schema {sorted(processed.columns)} != previous "
+            f"result schema {sorted(prev_result.columns)}"
+        )
+
+    # previous results still valid: key not reprocessed and not deleted
+    stale_keys = DataChain(
+        to_process.df.select(*keys).unionByName(deleted.df.select(*keys)).dropDuplicates(),
+        sess,
+    )
+    kept = prev_result.subtract(stale_keys, on=keys)
+    merged = DataChain(kept.df.unionByName(processed.df, allowMissingColumns=False), sess)
+
+    result = merged.save(name)
+    source.save(snap_name)
+    _stamp_job_hash(sess, name, job_hash)
+    return result
+
+
+def _stamp_job_hash(sess: Session, name: str, job_hash: str) -> None:
+    rec = sess.metastore.get_record(name)
+    v = rec.latest_version()
+    v.job_hash = job_hash
+    sess.metastore._write_record(rec)
+
+
+def checkpoint_save(
+    chain: DataChain,
+    name: str,
+    session: Optional[Session] = None,
+    extra_key: str = "",
+) -> DataChain:
+    """Checkpoint-aware save: if a version of ``name`` exists whose job_hash
+    matches the fingerprint of this chain's logical plan, reuse it instead of
+    recomputing (parity: lib/dc/datachain.py:696-722 checkpoint skip).
+
+    The fingerprint hashes our own plan description (the DataFrame's
+    *analyzed logical plan* string), not the physical plan — stable across
+    AQE/statistics changes within a Spark version (SURVEY.md §7 recommends
+    hashing step descriptors; the analyzed plan is the closest stable IR).
+    """
+    sess = session or chain.session
+    plan = chain.df._jdf.queryExecution().analyzed().toString()
+    h = hashlib.sha256((plan + extra_key).encode()).hexdigest()[:32]
+    rec = sess.metastore.get_record(name)
+    if rec is not None:
+        for v in rec.versions:
+            if v.job_hash == h:
+                df, _, _ = sess.metastore.load_dataset(sess.spark, name, v.version)
+                return DataChain(df, sess)
+    dv = sess.metastore.save_dataset(chain.df, name, job_hash=h)
+    df, _, _ = sess.metastore.load_dataset(sess.spark, name, dv.version)
+    return DataChain(df, sess)

@@ -18,17 +18,17 @@ ColumnLike = Union[str, Column]
 
 def bit_and(a: ColumnLike, b) -> Column:
     """func/numeric.py:7."""
-    return to_column(a).bitwiseAND(to_column(b) if isinstance(b, (str, Column)) else F.lit(b))
+    return to_column(a).bitwiseAND(to_column(b))
 
 
 def bit_or(a: ColumnLike, b) -> Column:
     """func/numeric.py:52."""
-    return to_column(a).bitwiseOR(to_column(b) if isinstance(b, (str, Column)) else F.lit(b))
+    return to_column(a).bitwiseOR(to_column(b))
 
 
 def bit_xor(a: ColumnLike, b) -> Column:
     """func/numeric.py:97."""
-    return to_column(a).bitwiseXOR(to_column(b) if isinstance(b, (str, Column)) else F.lit(b))
+    return to_column(a).bitwiseXOR(to_column(b))
 
 
 def int_hash_64(col: ColumnLike) -> Column:
@@ -42,5 +42,4 @@ def int_hash_64(col: ColumnLike) -> Column:
 def bit_hamming_distance(a: ColumnLike, b) -> Column:
     """func/numeric.py:178 — popcount(a XOR b)
     (sql/sqlite/base.py:200-204). Native bit_count, JVM-side."""
-    bb = to_column(b) if isinstance(b, (str, Column)) else F.lit(b)
-    return F.bit_count(to_column(a).bitwiseXOR(bb))
+    return F.bit_count(to_column(a).bitwiseXOR(to_column(b)))

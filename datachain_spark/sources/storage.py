@@ -76,8 +76,22 @@ def _listing_name(uri: str) -> str:
 
 
 def _list_to_chain(sess: Session, uri: str) -> DataChain:
-    """Materialize one root's listing as File rows."""
+    """Materialize one root's listing as File rows. Single files
+    short-circuit to one row (parity: lib/dc/storage.py single-file path)."""
     root = _local_path(uri).rstrip("/")
+    if os.path.isfile(root):
+        st = os.stat(root)
+        parent = os.path.dirname(root)
+        source = f"file://{parent}"
+        df = sess.spark.createDataFrame(
+            [(
+                source, os.path.basename(root), int(st.st_size), "",
+                f"{int(st.st_mtime * 1e6):x}-{st.st_size:x}", True,
+                datetime.fromtimestamp(st.st_mtime, tz=timezone.utc), None,
+            )],
+            FILE_STRUCT,
+        )
+        return DataChain(df, sess)
     source = uri.rstrip("/") if "://" in uri else f"file://{root}"
 
     rows = []

@@ -1,0 +1,115 @@
+"""Structured Streaming layer.
+
+The reference has NO streaming (SURVEY.md §2.10: no watermarks, no event-time
+windows, no stateful operators anywhere in datachain — its "incremental" is
+diff-based batch, which we implement separately in delta.py). This module is
+the Spark-native upgrade path: the same chain-style operations over unbounded
+sources with event-time semantics.
+
+At 100 TB/day scale this is the canonical Spark pattern: file/Kafka source ->
+watermark -> windowed agg / stateful op -> sink with checkpointing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",  # noqa: A002
+    schema: Optional[T.StructType] = None,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """File-source stream over a directory (new files become micro-batches).
+
+    Schema is required by Structured Streaming; when omitted it is inferred
+    from the existing files (one batch read of footers — driver-cheap).
+    """
+    if schema is None:
+        schema = spark.read.format(format).load(path).schema
+    return (
+        spark.readStream.format(format)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "30 minutes",
+    group_cols: Optional[list[str]] = None,
+    aggs: Optional[dict[str, "F.Column"]] = None,
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data watermark.
+
+    Default aggregation is count(*); pass ``aggs={'name': F.sum(...)}`` for
+    custom measures. Late rows beyond the watermark are dropped by Spark's
+    state store (bounded state at scale).
+    """
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
+    keys = [win] + [F.col(c) for c in (group_cols or [])]
+    measures = [v.alias(k) for k, v in (aggs or {"n": F.count(F.lit(1))}).items()]
+    return df.withWatermark(ts_col, watermark).groupBy(*keys).agg(*measures)
+
+
+def sessionize_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows (gap-based) — native session_window, state-store
+    backed; the streaming analog of the batch sessionize query."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )
+
+
+def stream_to_dataset(
+    stream_df: DataFrame,
+    name: str,
+    metastore,
+    checkpoint_dir: str,
+    mode: str = "append",
+    trigger_once: bool = True,
+):
+    """Sink a stream into the versioned metastore: each micro-batch appends a
+    new dataset version via foreachBatch (exactly-once per batch through the
+    streaming checkpoint)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        metastore.save_dataset(
+            batch_df, name, attrs={"stream_batch_id": batch_id}
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,99 @@
+"""Dataset versioning / metastore semantics — mirrors the reference's
+dataset CRUD + semver tests (tests/unit/test_semver.py, lib/dc/datasets)."""
+
+import pytest
+
+import datachain_spark as dc
+from datachain_spark import C
+from datachain_spark.catalog.metastore import bump_version, matches_spec, parse_version
+
+
+def test_semver_parse_bump():
+    assert parse_version("1.2.3") == (1, 2, 3)
+    assert bump_version("1.2.3") == "1.2.4"
+    assert bump_version("1.2.3", "minor") == "1.3.0"
+    assert bump_version("1.2.3", "major") == "2.0.0"
+    with pytest.raises(ValueError):
+        parse_version("1.2")
+
+
+def test_version_specifiers():
+    assert matches_spec("1.2.3", ">=1.2")
+    assert matches_spec("1.2.3", "==1.2.3")
+    assert matches_spec("1.2.3", "==1.2")
+    assert not matches_spec("1.2.3", ">1.2.3")
+    assert matches_spec("1.9.0", "~=1.2")
+    assert not matches_spec("2.0.0", "~=1.2")
+    assert matches_spec("0.9.0", "<1")
+
+
+def test_save_read_roundtrip(session):
+    ch = dc.read_values(session=session, x=[1, 2, 3], s=["a", "b", "c"])
+    ch.save("rt1")
+    back = dc.read_dataset("rt1", session=session)
+    assert sorted(back.to_list("x", "s")) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_version_bump_and_specifier(session):
+    ch = dc.read_values(session=session, x=[1])
+    ch.save("vb1")
+    ch.mutate(y=2).save("vb1")
+    ch.save("vb1", version="2.0.0")
+    rec = session.metastore.get_record("vb1")
+    assert [v.version for v in rec.versions] == ["1.0.0", "1.0.1", "2.0.0"]
+    assert dc.read_dataset("vb1", "<2", session=session).columns == ["x", "y"]
+    assert dc.read_dataset("vb1", "==1.0.0", session=session).columns == ["x"]
+
+
+def test_save_records_stats_and_schema(session):
+    ch = dc.read_values(session=session, x=[1, 2], s=["a", "b"])
+    ch.save("stats1")
+    rec = session.metastore.get_record("stats1")
+    v = rec.latest_version()
+    assert v.num_rows == 2
+    assert "x" in v.schema_json
+    assert len(v.preview) == 2
+
+
+def test_lineage_dependencies(session):
+    src = dc.read_values(session=session, x=[1, 2])
+    src.save("dep_src")
+    derived = dc.read_dataset("dep_src", session=session).mutate(y=C.x + 1)
+    derived.save("dep_out")
+    rec = session.metastore.get_record("dep_out")
+    deps = rec.latest_version().dependencies
+    assert {"dataset": "dep_src", "version": "1.0.0"} in deps
+
+
+def test_namespaces_and_move(session):
+    ch = dc.read_values(session=session, x=[1])
+    ch.save("myns.myproj.ds1")
+    names = [(r.namespace, r.project, r.name) for r in session.metastore.list_datasets()]
+    assert ("myns", "myproj", "ds1") in names
+    session.metastore.move_dataset("myns.myproj.ds1", "myns.myproj.ds2")
+    assert session.metastore.get_record("myns.myproj.ds1") is None
+    assert dc.read_dataset("myns.myproj.ds2", session=session).count() == 1
+
+
+def test_delete_version_and_dataset(session):
+    ch = dc.read_values(session=session, x=[1])
+    ch.save("del1")
+    ch.save("del1")
+    session.metastore.delete_dataset("del1", version="1.0.0")
+    rec = session.metastore.get_record("del1")
+    assert [v.version for v in rec.versions] == ["1.0.1"]
+    session.metastore.delete_dataset("del1")
+    assert session.metastore.get_record("del1") is None
+
+
+def test_datasets_meta_chain(session):
+    dc.read_values(session=session, x=[1]).save("meta_vis")
+    names = dc.datasets(session=session).to_values("name")
+    assert "meta_vis" in names
+
+
+def test_persist_registers_temp(session):
+    ch = dc.read_values(session=session, x=[1, 2])
+    p = ch.persist()
+    assert p.count() == 2
+    assert session._temp_datasets

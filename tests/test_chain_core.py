@@ -1,0 +1,203 @@
+"""Core operator semantics vs golden outputs — mirrors the reference's
+tests/unit/lib/test_datachain.py corpus (SURVEY.md §5 layer 2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import datachain_spark as dc
+from datachain_spark import C, func
+
+
+@pytest.fixture()
+def people(session):
+    return dc.read_values(
+        session=session,
+        first_name=["Alice", "Bob", "Charlie", "David", "Alice", None],
+        age=[25, 30, None, 40, 25, 35],
+        city=["NYC", "LA", "NYC", None, "SF", "LA"],
+    )
+
+
+def test_select(people):
+    out = people.select("first_name", "age")
+    assert out.columns == ["first_name", "age"]
+    assert out.count() == 6
+
+
+def test_select_except(people):
+    out = people.select_except("city")
+    assert out.columns == ["first_name", "age"]
+
+
+def test_filter_and_of_exprs(people):
+    out = people.filter(C.age > 24, C.city == "NYC")
+    assert sorted(out.to_values("first_name")) == ["Alice"]
+
+
+def test_filter_in_glob(people):
+    assert sorted(
+        people.filter(C("first_name").in_("Alice", "Bob")).to_values("age")
+    ) == [25, 25, 30]
+    assert sorted(
+        people.filter(C("first_name").glob("*li*")).to_values("first_name")
+    ) == ["Alice", "Alice", "Charlie"]
+
+
+def test_mutate_literal_and_expr(people):
+    out = people.mutate(age2=C.age * 2, tag="x").filter(C.first_name == "Bob")
+    rec = out.to_records()[0]
+    assert rec["age2"] == 60 and rec["tag"] == "x"
+
+
+def test_rename(people):
+    out = people.rename(name="first_name")
+    assert "name" in out.columns and "first_name" not in out.columns
+
+
+def test_order_by_limit_offset(people):
+    vals = people.order_by("age").limit(3).to_values("age")
+    assert vals == [None, 25, 25]  # Spark sorts NULL first ascending
+    vals = people.order_by("age", descending=True).offset(1).limit(2).to_values("age")
+    assert vals == [35, 30]
+
+
+def test_distinct_on_key(people):
+    out = people.distinct("first_name")
+    assert out.count() == 5  # Alice dedup'd; None is its own key
+
+
+def test_whole_row_distinct(session):
+    ch = dc.read_values(session=session, x=[1, 1, 2], y=["a", "a", "b"])
+    assert ch.distinct().count() == 2
+
+
+def test_group_by_multi_aggs(people):
+    out = people.group_by(
+        partition_by="city",
+        n=func.count(),
+        total_age=func.sum(C.age),
+        mean_age=func.avg(C.age),
+        min_age=func.min(C.age),
+        max_age=func.max(C.age),
+    )
+    rows = {r["city"]: r for r in out.to_records()}
+    assert rows["LA"]["n"] == 2 and rows["LA"]["total_age"] == 65
+    assert rows["NYC"]["total_age"] == 25  # NULL age ignored
+    assert rows[None]["n"] == 1
+
+
+def test_group_by_global(people):
+    out = people.group_by(n=func.count(), s=func.sum(C.age))
+    assert out.to_records() == [{"n": 6, "s": 155}]
+
+
+def test_chain_scalars(people):
+    assert people.count() == 6
+    assert people.sum("age") == 155
+    assert people.min("age") == 25
+    assert people.max("age") == 40
+
+
+def test_union_and_mismatch(session, people):
+    other = dc.read_values(
+        session=session, first_name=["Zed"], age=[50], city=["Rome"]
+    )
+    assert people.union(other).count() == 7
+    bad = dc.read_values(session=session, nope=[1])
+    with pytest.raises(dc.DatasetMergeError):
+        people.union(bad)
+
+
+def test_subtract_null_safe(session):
+    left = dc.read_values(session=session, k=[1, 2, None, 4], v=list("abcd"))
+    right = dc.read_values(session=session, k=[2, None], w=["x", "y"])
+    out = left.subtract(right, on="k")
+    assert sorted(out.to_values("v")) == ["a", "d"]  # NULL key matched null-safely
+
+
+def test_merge_left_default_and_rname(session):
+    left = dc.read_values(session=session, id=[1, 2, 3], val=["a", "b", "c"])
+    right = dc.read_values(session=session, id=[1, 2, 9], val=["x", "y", "z"])
+    out = left.merge(right, on="id").order_by("id")
+    assert out.columns == ["id", "val", "right_id", "right_val"]
+    recs = out.to_records()
+    assert recs[0]["val"] == "a" and recs[0]["right_val"] == "x"
+    assert recs[2]["right_val"] is None  # left outer
+
+
+def test_merge_inner_full(session):
+    left = dc.read_values(session=session, id=[1, 2], v=["a", "b"])
+    right = dc.read_values(session=session, rid=[2, 3], w=["y", "z"])
+    assert left.merge(right, on="id", right_on="rid", inner=True).count() == 1
+    assert left.merge(right, on="id", right_on="rid", full=True).count() == 3
+
+
+def test_merge_expression_predicate(session):
+    left = dc.read_values(session=session, a=[1, 2, 3])
+    right = dc.read_values(session=session, b=[1, 2, 3])
+    out = left.merge(right, on=C.a > C.b, inner=True)
+    assert out.count() == 3  # (2,1),(3,1),(3,2)
+
+
+def test_self_merge(session):
+    ch = dc.read_values(session=session, id=[1, 2], v=["a", "b"])
+    out = ch.merge(ch, on="id", inner=True)
+    assert out.count() == 2
+    assert "right_v" in out.columns
+
+
+def test_diff_statuses(session):
+    cur = dc.read_values(session=session, id=[1, 2, 3], v=["a", "B", "c"])
+    old = dc.read_values(session=session, id=[2, 3, 4], v=["b", "c", "d"])
+    out = cur.diff(old, on="id", same=True, status_col="st").order_by("id")
+    assert [(r["id"], r["st"]) for r in out.to_records()] == [
+        (1, "A"), (2, "M"), (3, "S"), (4, "D"),
+    ]
+    # deleted rows take right-side values
+    d = cur.diff(old, on="id", added=False, modified=False, same=False)
+    assert d.to_records()[0]["v"] == "d"
+
+
+def test_compare_and_split(session):
+    cur = dc.read_values(session=session, id=[1, 2], v=["a", "B"])
+    old = dc.read_values(session=session, id=[2, 3], v=["b", "c"])
+    parts = cur.compare_and_split(old, on="id")
+    assert {k: ch.count() for k, ch in parts.items()} == {
+        "added": 1, "deleted": 1, "modified": 1, "same": 0,
+    }
+
+
+def test_sample_shuffle_chunk_invariants(session):
+    ch = dc.read_values(session=session, x=list(range(100)))
+    assert ch.sample(10, seed=1).count() == 10
+    sh1 = ch.shuffle(seed=7).to_values("x")
+    sh2 = ch.shuffle(seed=7).to_values("x")
+    assert sh1 == sh2 and sorted(sh1) == list(range(100))
+    chunks = [ch.chunk(i, 3).to_values("x") for i in range(3)]
+    allv = sorted(v for c in chunks for v in c)
+    assert allv == list(range(100))
+    assert ch.chunk(0, 3).to_values("x") == chunks[0]  # deterministic
+
+
+def test_train_test_split(session):
+    ch = dc.read_values(session=session, x=list(range(1000)))
+    tr, te = ch.train_test_split([3, 1], seed=5)
+    a, b = set(tr.to_values("x")), set(te.to_values("x"))
+    assert a | b == set(range(1000)) and not (a & b)
+    assert 600 < len(a) < 900
+
+
+def test_explode_json(session):
+    ch = dc.read_values(
+        session=session,
+        id=[1, 2],
+        meta=['{"a": 5, "b": {"c": "x"}}', '{"a": 7, "b": {"c": "y"}}'],
+    )
+    out = ch.explode("meta", object_name="m").mutate(a=C("m.a"), c=C("m.b.c"))
+    recs = out.order_by("id").to_records()
+    assert recs[0]["a"] == 5 and recs[1]["c"] == "y"
+
+
+def test_to_iter_and_values(people):
+    rows = list(people.order_by("age").to_iter("first_name", "age"))
+    assert len(rows) == 6 and rows[-1] == ("David", 40)

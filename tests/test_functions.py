@@ -1,0 +1,195 @@
+"""Scalar func library semantics — mirrors the reference's
+tests/unit/test_func.py + tests/unit/sql/* corpus."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import datachain_spark as dc
+from datachain_spark import C, func
+from datachain_spark.functions import array as fa
+from datachain_spark.functions import path as fp
+from datachain_spark.functions import string as fs
+
+
+@pytest.fixture()
+def paths(session):
+    return dc.read_values(
+        session=session,
+        p=[
+            "dir/subdir/file.txt",
+            "file.tar.gz",
+            "noext",
+            ".hidden",
+            "a/b/",
+            "x/y/z.jpeg",
+        ],
+    )
+
+
+def test_path_funcs(paths):
+    out = paths.mutate(
+        parent=fp.parent("p"), name=fp.name("p"),
+        stem=fp.file_stem("p"), ext=fp.file_ext("p"),
+    ).to_records()
+    by = {r["p"]: r for r in out}
+    assert by["dir/subdir/file.txt"]["parent"] == "dir/subdir"
+    assert by["dir/subdir/file.txt"]["name"] == "file.txt"
+    assert by["dir/subdir/file.txt"]["stem"] == "file"
+    assert by["dir/subdir/file.txt"]["ext"] == "txt"
+    assert by["file.tar.gz"]["stem"] == "file.tar"
+    assert by["file.tar.gz"]["ext"] == "gz"
+    assert by["noext"]["stem"] == "noext" and by["noext"]["ext"] == ""
+    # leading-dot files: the dot is not an extension separator
+    assert by[".hidden"]["stem"] == ".hidden" and by[".hidden"]["ext"] == ""
+    assert by["x/y/z.jpeg"]["parent"] == "x/y"
+
+
+def test_string_funcs(session):
+    ch = dc.read_values(session=session, s=["a,b,c", "hello world", ""])
+    out = ch.mutate(
+        n=fs.length("s"),
+        parts=fs.split("s", ","),
+        rep=fs.replace("s", "l", "L"),
+        rex=fs.regexp_replace("s", "[aeiou]", "#"),
+    ).to_records()
+    by = {r["s"]: r for r in out}
+    assert by["a,b,c"]["parts"] == ["a", "b", "c"]
+    assert by["hello world"]["rep"] == "heLLo worLd"
+    assert by["hello world"]["rex"] == "h#ll# w#rld"
+    assert by[""]["n"] == 0
+
+
+def test_split_limit(session):
+    ch = dc.read_values(session=session, s=["a.b.c.d"])
+    out = ch.mutate(parts=fs.split("s", ".", limit=2)).to_records()
+    assert out[0]["parts"] == ["a", "b", "c.d"]
+
+
+def test_byte_hamming_distance(session):
+    ch = dc.read_values(session=session, a=["abc", "abc"], b=["abd", "abc"])
+    vals = sorted(ch.mutate(h=func.byte_hamming_distance(C.a, C.b)).to_values("h"))
+    assert vals == [0, 1]
+
+
+def test_array_funcs(session):
+    ch = dc.read_values(session=session, arr=[[1.0, 2.0, 3.0, 4.0]])
+    rec = ch.mutate(
+        n=fa.length("arr"),
+        has2=fa.contains("arr", 2.0),
+        sl=fa.slice("arr", 1, 2),
+        joined=fa.join(fa.slice("arr", 0, 2), "-"),
+        el=fa.get_element("arr", 2),
+        oob=fa.get_element("arr", 99),
+    ).to_records()[0]
+    assert rec["n"] == 4 and rec["has2"] is True
+    assert rec["sl"] == [2.0, 3.0]
+    assert rec["joined"] == "1.0-2.0"
+    assert rec["el"] == 3.0 and rec["oob"] is None
+
+
+def test_vector_distances(session):
+    ch = dc.read_values(
+        session=session,
+        a=[[1.0, 0.0], [1.0, 2.0]],
+        b=[[0.0, 1.0], [1.0, 2.0]],
+    )
+    recs = ch.mutate(
+        cos=func.cosine_distance(C.a, C.b),
+        euc=func.euclidean_distance(C.a, C.b),
+    ).to_records()
+    orth = [r for r in recs if r["a"] == [1.0, 0.0]][0]
+    same = [r for r in recs if r["a"] == [1.0, 2.0]][0]
+    assert abs(orth["cos"] - 1.0) < 1e-9
+    assert abs(orth["euc"] - math.sqrt(2)) < 1e-9
+    assert abs(same["cos"]) < 1e-9 and same["euc"] == 0.0
+
+
+def test_distance_to_literal_vector(session):
+    ch = dc.read_values(session=session, a=[[3.0, 4.0]])
+    rec = ch.mutate(d=func.euclidean_distance(C.a, [0.0, 0.0])).to_records()[0]
+    assert rec["d"] == 5.0
+
+
+def test_conditional_funcs(session):
+    ch = dc.read_values(session=session, x=[1, 5, None])
+    out = ch.mutate(
+        g=func.greatest(C.x, func.literal(3)),
+        case_v=func.case((C.x > 3, "big"), (C.x > 0, "small"), else_="none"),
+        iif=func.ifelse(func.isnone(C.x), -1, C.x),
+    ).to_records()
+    by = {r["x"]: r for r in out}
+    assert by[1]["g"] == 3 and by[5]["g"] == 5
+    assert by[1]["case_v"] == "small" and by[5]["case_v"] == "big"
+    assert by[None]["case_v"] == "none" and by[None]["iif"] == -1
+
+
+def test_bitwise_and_hashes(session):
+    ch = dc.read_values(session=session, a=[12], b=[10])
+    rec = ch.mutate(
+        band=func.bit_and(C.a, C.b),
+        bor=func.bit_or(C.a, C.b),
+        bxor=func.bit_xor(C.a, C.b),
+        hd=func.bit_hamming_distance(C.a, C.b),
+        h64=func.int_hash_64(C.a),
+    ).to_records()[0]
+    assert rec["band"] == 8 and rec["bor"] == 14 and rec["bxor"] == 6
+    assert rec["hd"] == 2
+    assert isinstance(rec["h64"], int)
+
+
+def test_rand_and_hash_rand(session):
+    ch = dc.read_values(session=session, x=list(range(50)))
+    vals = ch.mutate(r=func.rand()).to_values("r")
+    assert all(v >= 0 for v in vals)
+    h1 = ch.mutate(r=func.hash_rand(C.x, seed=9)).to_values("r")
+    h2 = ch.mutate(r=func.hash_rand(C.x, seed=9)).to_values("r")
+    assert h1 == h2
+
+
+def test_group_aggregates(session):
+    ch = dc.read_values(session=session, g=["a", "a", "b"], v=[3, 1, 2])
+    out = ch.group_by(
+        partition_by="g",
+        any_v=func.any_value(C.v),
+        coll=func.collect(C.v),
+        conc=func.sorted_concat(C.v, ","),
+    )
+    recs = {r["g"]: r for r in out.to_records()}
+    assert sorted(recs["a"]["coll"]) == [1, 3]
+    assert recs["a"]["conc"] == "1,3"
+    assert recs["b"]["any_v"] == 2
+
+
+def test_window_functions(session):
+    ch = dc.read_values(
+        session=session, g=["a", "a", "a", "b"], v=[10, 20, 20, 5]
+    )
+    w = func.window("g", "v")
+    out = ch.mutate(
+        rn=func.row_number().over(w),
+        rk=func.rank().over(w),
+        dr=func.dense_rank().over(w),
+        fv=func.first("v").over(w),
+        lg=func.lag("v", 1).over(w),
+    )
+    rows = sorted(out.to_records(), key=lambda r: (r["g"], r["rn"]))
+    assert [r["rk"] for r in rows[:3]] == [1, 2, 2]
+    assert [r["dr"] for r in rows[:3]] == [1, 2, 2]
+    assert rows[0]["fv"] == 10 and rows[1]["lg"] == 10
+
+
+def test_glob_to_regex_semantics(session):
+    from datachain_spark.columns import brace_expand, glob_to_regex, path_glob_to_regex
+
+    assert glob_to_regex("*.jpg") == "^.*\\.jpg$"
+    assert brace_expand("a{1..3}b") == ["a1b", "a2b", "a3b"]
+    assert brace_expand("{x,y}{1,2}") == ["x1", "x2", "y1", "y2"]
+    import re
+
+    assert re.match(path_glob_to_regex("*.txt"), "a.txt")
+    assert not re.match(path_glob_to_regex("*.txt"), "d/a.txt")
+    assert re.match(path_glob_to_regex("**/*.txt"), "d/e/a.txt")
+    assert re.match(path_glob_to_regex("**/*.txt"), "a.txt")
+    assert re.match(path_glob_to_regex("d?r/[ab]*.txt"), "dir/a1.txt")

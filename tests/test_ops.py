@@ -1,0 +1,155 @@
+"""Dedup / similarity / text / multimodal operator invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import datachain_spark as dc
+from datachain_spark.ops import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(session):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "The  quick brown fox jumps over the lazy dog",  # exact dup of 0 (norm)
+        "completely different content about spark engines",
+        "der schnelle braune fuchs springt",
+        "le renard brun rapide saute par dessus",
+        "",
+    ]
+    return dc.read_values(session=session, doc_id=list(range(len(texts))), text=texts)
+
+
+def test_exact_dedup_normalized(docs):
+    out = dedup.exact_dedup(docs.df, "text", "doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 0 in kept and 2 not in kept  # doc 2 is a whitespace/case variant of 0
+    assert len(kept) == 6
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs.df.filter(F.length("text") > 0), "doc_id", "text",
+        num_hashes=64, bands=16, jaccard_threshold=0.3,
+    ).collect()
+    assert any({p["id_a"], p["id_b"]} == {0, 1} or {p["id_a"], p["id_b"]} == {0, 2}
+               or {p["id_a"], p["id_b"]} == {1, 2} for p in pairs)
+    # different-content docs don't pair with the fox docs
+    assert not any(3 in (p["id_a"], p["id_b"]) and p["id_b"] != 3 for p in pairs)
+
+
+def test_minhash_dedup_drops_dupes(docs):
+    out = dedup.minhash_dedup(
+        docs.df.filter(F.length("text") > 0), "doc_id", "text",
+        num_hashes=64, bands=16, jaccard_threshold=0.3,
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 0 in ids and len(ids) < 6
+
+
+def test_simhash_near_dup(docs):
+    pairs = dedup.simhash_pairs(
+        docs.df.filter(F.length("text") > 0), "doc_id", "text",
+        max_hamming=8, prefix_bits=2,
+    ).collect()
+    assert any({p["id_a"], p["id_b"]} <= {0, 1, 2} for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.df.filter(F.length("text") > 0), "doc_id", "text",
+        shingle_size=3, threshold=0.2,
+    ).collect()
+    by_pair = {(p["id_a"], p["id_b"]): p["jaccard"] for p in pairs}
+    assert by_pair[(0, 2)] == 1.0  # normalized-identical
+    assert 0.4 < by_pair[(0, 1)] < 1.0
+
+
+def test_embedding_near_dup_and_lsh_consistency(session):
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.99, 0.01, 0.0, 0.0],   # near-dup of 0
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    ch = dc.read_values(session=session, vid=[0, 1, 2, 3], emb=vecs)
+    brute = dedup.embedding_near_dup_pairs(ch.df, "vid", "emb", threshold=0.95)
+    assert [(r["id_a"], r["id_b"]) for r in brute.collect()] == [(0, 1)]
+    lsh = dedup.embedding_near_dup_pairs(
+        ch.df, "vid", "emb", threshold=0.95, num_planes=2
+    )
+    assert (0, 1) in [(r["id_a"], r["id_b"]) for r in lsh.collect()]
+
+
+def test_cosine_topk_self_first(session):
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]]
+    ch = dc.read_values(session=session, vid=[0, 1, 2], emb=vecs)
+    out = similarity.cosine_topk(ch.df, [1.0, 0.0], "emb", k=2, id_cols=["vid"]).collect()
+    assert out[0]["vid"] == 0 and abs(out[0]["distance"]) < 1e-12
+    assert out[1]["vid"] == 1
+
+
+def test_ivf_recall_on_probed_cells(session):
+    import random
+
+    rnd = random.Random(7)
+    vecs = [[rnd.gauss(0, 1) for _ in range(8)] for _ in range(200)]
+    ch = dc.read_values(session=session, vid=list(range(200)), emb=vecs)
+    cents = similarity.train_centroids_sample(ch.df, "emb", num_cells=4)
+    assert len(cents) == 4
+    cells = similarity.assign_ivf_cells(ch.df, cents, "emb")
+    q = vecs[17]
+    exact = [r["vid"] for r in similarity.cosine_topk(ch.df, q, "emb", k=1, id_cols=["vid"]).collect()]
+    approx = [r["vid"] for r in similarity.ann_ivf_topk(cells, cents, q, vec_col="emb", k=1, n_probe=4, id_cols=["vid"]).collect()]
+    assert exact == approx == [17]  # n_probe=all cells -> exact
+
+
+def test_cosine_join_topk(session):
+    left = dc.read_values(session=session, id=[1], v=[[1.0, 0.0]])
+    right = dc.read_values(
+        session=session, id=[10, 11, 12], v=[[1.0, 0.0], [0.5, 0.5], [0.0, 1.0]]
+    )
+    out = similarity.cosine_join_topk(left.df, right.df, "v", "v", k=2).collect()
+    assert [r["nid"] for r in out] == [10, 11]
+
+
+def test_text_metrics(docs):
+    out = text.analyze_text(docs.df).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by[0]["n_tokens"] == 9
+    assert by[6]["n_tokens"] == 0
+    assert by[0]["lang_guess"] == "en"
+    assert by[4]["lang_guess"] == "de"
+    assert by[5]["lang_guess"] == "fr"
+    assert by[0]["fingerprint"] == by[2]["fingerprint"]  # normalization
+    assert 0 <= by[0]["quality"] <= 1
+    assert by[3]["quality"] > by[6]["quality"]
+
+
+def test_shingles(session):
+    ch = dc.read_values(session=session, t=["a b c d"])
+    out = ch.mutate(sh=text.shingles("t", n=2)).to_records()[0]["sh"]
+    assert out == ["a b", "b c", "c d"]
+
+
+def test_multimodal_fake_pipeline(session):
+    ch = dc.read_values(session=session, id=[1, 2], content=[b"img-one", b"img-two"])
+    meta = multimodal.extract_image_meta(ch.df, fake=True).collect()
+    assert all(r["image"]["width"] >= 64 for r in meta)
+    # determinism
+    meta2 = multimodal.extract_image_meta(ch.df, fake=True).collect()
+    assert [r["image"] for r in meta] == [r["image"] for r in meta2]
+    emb = multimodal.image_embedding_fake(ch.df, dim=8).collect()
+    assert all(len(r["img_emb"]) == 8 for r in emb)
+    frames = multimodal.sample_video_frames(ch.df, fake=True).collect()
+    assert frames and set(f["src_hash"] for f in frames).issubset(
+        {__import__("hashlib").sha256(b"img-one").hexdigest(),
+         __import__("hashlib").sha256(b"img-two").hexdigest()}
+    )
+
+
+def test_multimodal_real_decode_raises(session):
+    ch = dc.read_values(session=session, id=[1], content=[b"x"])
+    with pytest.raises(Exception):  # NotImplementedError surfaced through Spark
+        multimodal.extract_image_meta(ch.df, fake=False).collect()

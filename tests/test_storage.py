@@ -1,0 +1,110 @@
+"""read_storage listing + File accessors + export — mirrors the reference's
+listing/glob functional tests (tests/func/test_datachain.py, test_listing)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import datachain_spark as dc
+from datachain_spark.sources.files import File
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tree")
+    files = {
+        "cats/cat1.jpg": b"cat one",
+        "cats/cat2.jpg": b"cat two",
+        "dogs/dog1.jpg": b"dog one",
+        "dogs/deep/dog2.png": b"dog two",
+        "notes.txt": b"hello notes",
+        "2024/jan.csv": b"a,b\n1,2",
+    }
+    for rel, data in files.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+    return str(root)
+
+
+def test_listing_all(session, tree):
+    ch = dc.read_storage(tree, session=session, update=True)
+    paths = sorted(r["path"] for r in ch.df.select("file.path").collect())
+    assert paths == [
+        "2024/jan.csv", "cats/cat1.jpg", "cats/cat2.jpg",
+        "dogs/deep/dog2.png", "dogs/dog1.jpg", "notes.txt",
+    ]
+    sizes = {r["path"]: r["size"] for r in ch.df.select("file.path", "file.size").collect()}
+    assert sizes["notes.txt"] == 11
+
+
+def test_glob_patterns(session, tree):
+    ch = dc.read_storage(f"{tree}/cats/*.jpg", session=session)
+    assert ch.count() == 2
+    ch = dc.read_storage(f"{tree}/**/*.jpg", session=session)
+    assert ch.count() == 3
+    ch = dc.read_storage(f"{tree}/dogs/*.jpg", session=session)
+    assert ch.count() == 1
+    ch = dc.read_storage(f"{tree}/{{cats,dogs}}/*1.jpg", session=session)
+    assert ch.count() == 2
+    ch = dc.read_storage(f"{tree}/202?/*.csv", session=session)
+    assert ch.count() == 1
+
+
+def test_listing_cache_ttl(session, tree):
+    ch1 = dc.read_storage(tree, session=session, update=True)
+    n1 = ch1.count()
+    # add a file; cached listing should NOT see it until update=True
+    extra = os.path.join(tree, "extra.bin")
+    with open(extra, "wb") as f:
+        f.write(b"x")
+    try:
+        assert dc.read_storage(tree, session=session).count() == n1
+        assert dc.read_storage(tree, session=session, update=True).count() == n1 + 1
+    finally:
+        os.remove(extra)
+        dc.read_storage(tree, session=session, update=True)
+
+
+def test_file_accessors_executor_side(session, tree):
+    ch = dc.read_storage(f"{tree}/notes.txt", session=session, update=True)
+
+    def read_content(file) -> str:
+        return File.model_validate(file).read_text()
+
+    out = ch.map(read_content, params="file", output={"content": str})
+    assert out.to_values("content") == ["hello notes"]
+
+
+def test_file_model_helpers():
+    f = File(source="file:///data", path="a/b/c.tar.gz", size=10, etag="e")
+    assert f.name == "c.tar.gz"
+    assert f.parent == "a/b"
+    assert f.file_stem == "c.tar"
+    assert f.file_ext == "gz"
+    assert f.get_uri() == "file:///data/a/b/c.tar.gz"
+
+
+def test_export_files(session, tree, tmp_path):
+    out_dir = str(tmp_path / "export")
+    ch = dc.read_storage(f"{tree}/cats/*.jpg", session=session)
+    ch.to_storage(out_dir, placement="filename")
+    assert sorted(os.listdir(out_dir)) == ["cat1.jpg", "cat2.jpg"]
+    with open(os.path.join(out_dir, "cat1.jpg"), "rb") as fh:
+        assert fh.read() == b"cat one"
+
+
+def test_listings_meta(session, tree):
+    dc.read_storage(tree, session=session, update=True)
+    lst = dc.listings(session=session)
+    assert lst.count() >= 1
+
+
+def test_file_diff(session, tree):
+    v1 = dc.read_storage(tree, session=session, update=True)
+    # v2: one file removed from the listing
+    v2 = v1.filter(~F.col("file.path").startswith("cats/cat1"))
+    d = v2.file_diff(v1)  # added=[], deleted=[cat1]
+    recs = d.df.select("file.path").collect()
+    assert [r["path"] for r in recs] == ["cats/cat1.jpg"]
