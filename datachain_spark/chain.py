@@ -70,6 +70,7 @@ class DataChain:
         self._df = df
         self.session = Session.get(session, spark=df.sparkSession)
         self._settings = dict(settings or {})
+        self._setup_values: dict[str, Callable[[], Any]] = {}
         # lineage: datasets/sources this chain reads (recorded on save;
         # parity query/dataset.py:1882-1916)
         self._dependencies = list(dependencies or [])
@@ -77,7 +78,17 @@ class DataChain:
     # ------------------------------------------------------------------ core
     def _evolve(self, df: DataFrame, extra_deps: Optional[list] = None) -> "DataChain":
         deps = self._dependencies + list(extra_deps or [])
-        return DataChain(df, self.session, self._settings, deps)
+        out = DataChain(df, self.session, self._settings, deps)
+        out._setup_values = self._setup_values
+        return out
+
+    def setup(self, **thunks: Callable[[], Any]) -> "DataChain":
+        """Register lazily-evaluated shared resources injected as UDF kwargs
+        (e.g. API clients). Built once per executor worker on first use —
+        never serialized. Parity: datachain.py:2637-2679."""
+        out = self._evolve(self._df)
+        out._setup_values = {**self._setup_values, **thunks}
+        return out
 
     @property
     def df(self) -> DataFrame:
@@ -452,9 +463,9 @@ class DataChain:
         datachain.py:809-861. ``.map(name=fn, output=type)`` names the single
         output column 'name'."""
         func, default_name = self._resolve_signal_map(func, signal_map)
-        param_names = infer_params(func, _names(params) or None)
+        param_names = infer_params(func, _names(params) or None, exclude=set(self._setup_values))
         out_struct = normalize_output(func, output, default_name)
-        fn = build_map_fn(func, param_names, out_struct)
+        fn = build_map_fn(func, param_names, out_struct, setup=self._setup_values)
         from pyspark.sql.types import StructType
 
         # output pdf keeps input column order; an output that overrides an
@@ -475,9 +486,9 @@ class DataChain:
         Parity: datachain.py:862-900 (RowGenerator at
         query/dataset.py:740-781)."""
         func, default_name = self._resolve_signal_map(func, signal_map)
-        param_names = infer_params(func, _names(params) or None)
+        param_names = infer_params(func, _names(params) or None, exclude=set(self._setup_values))
         out_struct = normalize_output(func, output, default_name)
-        fn = build_gen_fn(func, param_names, out_struct)
+        fn = build_gen_fn(func, param_names, out_struct, setup=self._setup_values)
         return self._evolve(self._df.mapInPandas(fn, out_struct))
 
     def agg(
@@ -493,9 +504,9 @@ class DataChain:
         instead of the reference's dense_rank partition table
         (query/dataset.py:582-615)."""
         func, default_name = self._resolve_signal_map(func, signal_map)
-        param_names = infer_params(func, _names(params) or None)
+        param_names = infer_params(func, _names(params) or None, exclude=set(self._setup_values))
         out_struct = normalize_output(func, output, default_name)
-        fn = build_agg_fn(func, param_names, out_struct)
+        fn = build_agg_fn(func, param_names, out_struct, setup=self._setup_values)
         if partition_by is None:
             # global single group: constant grouping column (groupBy on a
             # bare literal is not a valid grouping attribute)
@@ -648,6 +659,13 @@ class DataChain:
         from .sources.files import export_files
 
         export_files(self._df, output, signal=signal, placement=placement)
+
+    def parse_tabular(self, format: str = "parquet", source: bool = True, **options) -> "DataChain":  # noqa: A002
+        """Parse File rows into data rows via the native Spark reader.
+        Parity: datachain.py:2079-2183."""
+        from .sources.tabular import parse_tabular as _pt
+
+        return _pt(self, format=format, source=source, **options)
 
     def to_pytorch(self, **kwargs):
         """IterableDataset over the chain. Parity: datachain.py:1554-1600."""

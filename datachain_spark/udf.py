@@ -70,7 +70,24 @@ def _callable(func: Union[Callable, UDFBase]) -> tuple[Callable, Optional[UDFBas
     return func, None
 
 
-def infer_params(func: Callable, params: Optional[list[str]]) -> list[str]:
+_SETUP_CACHE: dict[int, dict[str, Any]] = {}
+
+
+def resolve_setup(setup: Optional[dict[str, Callable[[], Any]]]) -> dict[str, Any]:
+    """Lazily evaluate setup() thunks once per worker process (parity:
+    datachain.py:2637-2679 — shared resources like API clients are built on
+    first use inside the executor, never serialized)."""
+    if not setup:
+        return {}
+    key = id(setup)
+    if key not in _SETUP_CACHE:
+        _SETUP_CACHE[key] = {k: fn() for k, fn in setup.items()}
+    return _SETUP_CACHE[key]
+
+
+def infer_params(
+    func: Callable, params: Optional[list[str]], exclude: Optional[set] = None
+) -> list[str]:
     """Input column names from explicit list or the function signature
     (udf_signature.py:19-230)."""
     if params is not None:
@@ -79,10 +96,11 @@ def infer_params(func: Callable, params: Optional[list[str]]) -> list[str]:
         func().process if isinstance(func, type) and issubclass(func, UDFBase) else func
     )
     sig = inspect.signature(target)
+    skip = {"self"} | (exclude or set())
     names = [
         p.name
         for p in sig.parameters.values()
-        if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY) and p.name != "self"
+        if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY) and p.name not in skip
     ]
     return names
 
@@ -154,12 +172,17 @@ def build_map_fn(
     func: Union[Callable, UDFBase],
     params: list[str],
     out_struct: T.StructType,
+    setup: Optional[dict[str, Callable[[], Any]]] = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """mapInPandas function for .map(): passes input through, appends outputs."""
     out_names = [f.name for f in out_struct.fields]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         call, inst = _callable(func)
+        res = resolve_setup(setup)
+        if res:
+            base = call
+            call = lambda *a: base(*a, **res)
         if inst is not None:
             inst.setup()
         try:
@@ -184,6 +207,7 @@ def build_gen_fn(
     func: Union[Callable, UDFBase],
     params: list[str],
     out_struct: T.StructType,
+    setup: Optional[dict[str, Callable[[], Any]]] = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """mapInPandas function for .gen(): each input row yields 0..N output rows;
     the output schema REPLACES the input schema (datachain.py:862-900)."""
@@ -191,6 +215,10 @@ def build_gen_fn(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         call, inst = _callable(func)
+        res = resolve_setup(setup)
+        if res:
+            base = call
+            call = lambda *a: base(*a, **res)
         if inst is not None:
             inst.setup()
         try:
@@ -215,6 +243,7 @@ def build_agg_fn(
     func: Union[Callable, UDFBase],
     params: list[str],
     out_struct: T.StructType,
+    setup: Optional[dict[str, Callable[[], Any]]] = None,
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:
     """applyInPandas function for .agg(): the whole group's param columns are
     passed as sequences; the UDF yields output rows (lib/udf.py:545-625 —
@@ -223,6 +252,10 @@ def build_agg_fn(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         call, inst = _callable(func)
+        res = resolve_setup(setup)
+        if res:
+            base = call
+            call = lambda *a: base(*a, **res)
         if inst is not None:
             inst.setup()
         try:
