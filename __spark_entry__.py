@@ -35,6 +35,9 @@ def _chain(spark: SparkSession, sf_dir: str, table: str) -> DataChain:
         # nanos timestamp type; read as long and floor to micros (identical
         # to DuckDB's ns->us conversion)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # pin UTC so the long->timestamp conversion collects the same wall
+        # times DuckDB reads natively, regardless of the host session TZ
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         from pyspark.sql.types import LongType
 
@@ -847,6 +850,169 @@ ORDER BY id_a, id_b
 """
 
 
+def q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: single-scan filtered aggregate (zero joins)."""
+    li = _chain(spark, sf, "lineitem")
+    return (
+        li.filter(
+            C.l_shipdate >= "1994-01-01",
+            C.l_shipdate < "1995-01-01",
+            C.l_discount >= 0.03,
+            C.l_discount <= 0.07,
+            C.l_quantity < 24,
+        )
+        .group_by(
+            revenue=func.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"))),
+            n=func.count(),
+        )
+        .df
+    )
+
+
+Q6_SQL = """
+SELECT sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(l_discount AS DECIMAL(20,2))) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def group_by_expr_keys(spark, sf):
+    """Func-expression partition keys (year + month of order date)."""
+    orders = _chain(spark, sf, "orders")
+    return (
+        orders.group_by(
+            partition_by=[
+                F.year("o_orderdate").alias("yr"),
+                F.month("o_orderdate").alias("mo"),
+            ],
+            n=func.count(),
+            total=func.sum(_dec(F.col("o_totalprice"))),
+        )
+        .order_by("yr", "mo")
+        .df
+    )
+
+
+GROUP_EXPR_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+       count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(20,2))) AS total
+FROM orders GROUP BY 1, 2 ORDER BY yr, mo
+"""
+
+
+def merge_multi_key(spark, sf):
+    """Composite-key equi-join: (orderkey, partkey) self-merge of lineitem
+    aggregates against the raw rows."""
+    li = _chain(spark, sf, "lineitem").filter(C.l_orderkey <= 200)
+    per_part = li.group_by(
+        partition_by=["l_orderkey", "l_partkey"],
+        n_lines=func.count(),
+    )
+    joined = li.merge(
+        per_part, on=["l_orderkey", "l_partkey"], inner=True, rname="agg_"
+    )
+    return (
+        joined.select("l_orderkey", "l_partkey", "l_linenumber", "n_lines")
+        .order_by("l_orderkey", "l_partkey", "l_linenumber")
+        .df
+    )
+
+
+MERGE_MULTI_SQL = """
+SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, a.n_lines
+FROM lineitem l
+JOIN (SELECT l_orderkey, l_partkey, count(*) AS n_lines
+      FROM lineitem WHERE l_orderkey <= 200 GROUP BY 1, 2) a
+ON l.l_orderkey = a.l_orderkey AND l.l_partkey = a.l_partkey
+WHERE l.l_orderkey <= 200
+ORDER BY l.l_orderkey, l.l_partkey, l.l_linenumber
+"""
+
+
+def ngram_jaccard_oracle(spark, sf):
+    """Exact 2-gram Jaccard pairs (inverted-index formulation), oracle-checked:
+    the same shingle pipeline expressed in DuckDB via generate_series."""
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 150)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=2, threshold=0.12)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jac_r")
+    ).orderBy("id_a", "id_b")
+
+
+NGRAM_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id < 150
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)]
+           END) AS shingles
+  FROM words
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jac_r
+FROM inter
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.12
+ORDER BY id_a, id_b
+"""
+
+
+def stopword_lang_hits(spark, sf):
+    """Per-language stopword coverage counts — the SQL-expressible core of
+    the language-ID heuristic (argmax stays rows-only in lang_id_counts)."""
+    docs = _chain(spark, sf, "documents")
+    c = F.lower(F.col("text"))
+    words = F.split(F.trim(c), r"\s+")
+
+    def hits(sws):
+        sw = F.array(*[F.lit(w) for w in sws])
+        return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+    en = ["the", "and", "of", "to", "in"]
+    de = ["der", "die", "und", "das", "ist"]
+    return (
+        docs.mutate(en_hits=hits(en), de_hits=hits(de))
+        .group_by(
+            partition_by="lang",
+            docs_with_en=func.sum(func.ifelse(C.en_hits > 0, 1, 0)),
+            docs_with_de=func.sum(func.ifelse(C.de_hits > 0, 1, 0)),
+            total_en_hits=func.sum(C.en_hits),
+        )
+        .order_by("lang")
+        .df
+    )
+
+
+STOPWORD_SQL = """
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             w -> list_contains(['the','and','of','to','in'], w))) AS en_hits,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             w -> list_contains(['der','die','und','das','ist'], w))) AS de_hits
+  FROM documents
+)
+SELECT lang,
+       sum(CASE WHEN en_hits > 0 THEN 1 ELSE 0 END) AS docs_with_en,
+       sum(CASE WHEN de_hits > 0 THEN 1 ELSE 0 END) AS docs_with_de,
+       sum(en_hits) AS total_en_hits
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
 # ---- rows-only (non-SQL-expressible; driver records weaker check) ---------
 
 def minhash_pairs_ro(spark, sf):
@@ -1012,6 +1178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_json_props": explode_json_props,
         "dedup_exact_docs": dedup_exact_docs,
         "text_quality_stats": text_quality_stats,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "group_by_expr_keys": group_by_expr_keys,
+        "merge_multi_key": merge_multi_key,
+        "ngram_jaccard_oracle": ngram_jaccard_oracle,
+        "stopword_lang_hits": stopword_lang_hits,
         "similarity_topk": similarity_topk,
         "embedding_near_pairs": embedding_near_pairs,
         # rows-only
@@ -1057,6 +1228,11 @@ def oracle_sql() -> dict[str, str]:
         "explode_json_props": EXPLODE_SQL,
         "dedup_exact_docs": DEDUP_EXACT_SQL,
         "text_quality_stats": TEXT_STATS_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "group_by_expr_keys": GROUP_EXPR_SQL,
+        "merge_multi_key": MERGE_MULTI_SQL,
+        "ngram_jaccard_oracle": NGRAM_SQL,
+        "stopword_lang_hits": STOPWORD_SQL,
         "similarity_topk": SIMILARITY_SQL,
         "embedding_near_pairs": NEAR_PAIRS_SQL,
     }
