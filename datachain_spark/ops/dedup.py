@@ -111,6 +111,10 @@ def minhash_lsh_pairs(
         )
         .select("__id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig"))
     )
+    # the signature table feeds three consumers (banding + two candidate
+    # lookups); persist it so the shingle/groupBy pipeline runs once — it is
+    # tiny (rows × num_hashes longs) and LRU-evicts when memory is needed
+    sig = sig.persist()
 
     # band buckets: (band_index, hash(band slice)) per row
     banded = sig.select(
@@ -135,22 +139,26 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("__id", "__sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
+    # Bucket-join carries ONLY (band, bucket, id) — narrow rows; signatures
+    # rejoin onto the (much smaller) distinct candidate set afterwards.
+    # Shuffle volume: bands×rows narrow tuples for the bucket join, then two
+    # sig lookups that AQE broadcasts when the sig table is small.
+    narrow = banded.select("__id", "band", "bucket")
+    a, b = narrow.alias("a"), narrow.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sig").alias("sig_a"),
-            F.col("b.__sig").alias("sig_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sigs = sig.select(F.col("__id"), F.col("__sig"))
+    pairs = (
+        cand.join(sigs.withColumnRenamed("__id", "id_a").withColumnRenamed("__sig", "sig_a"), "id_a")
+        .join(sigs.withColumnRenamed("__id", "id_b").withColumnRenamed("__sig", "sig_b"), "id_b")
     )
 
     est = F.size(
