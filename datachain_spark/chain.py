@@ -271,20 +271,27 @@ class DataChain:
         self,
         *,
         partition_by: Union[ColumnLike, Sequence[ColumnLike], None] = None,
+        kind: str = "group",
         **agg_exprs: Union[Column, Col],
     ) -> "DataChain":
         """SQL GROUP BY; omitting partition_by gives a global single-group
         aggregate. Parity: datachain.py:1172-1293 (SQLGroupBy at
         query/dataset.py:1181-1217). Aggregate kwargs are Columns from
         ``datachain_spark.func`` (count/sum/avg/min/max/any_value/collect/
-        concat — plus anything Spark offers)."""
+        concat — plus anything Spark offers). ``kind='cube'|'rollup'`` gives
+        grouping-set aggregates (absent in the reference — SURVEY.md §2.5
+        'not present'; free on Spark, exposed here)."""
         if not agg_exprs:
             raise ValueError("at least one aggregate kwarg is required")
         aggs = [unwrap(v).alias(k) for k, v in agg_exprs.items()]
         keys = _cols(partition_by)
-        if keys:
-            return self._evolve(self._df.groupBy(*keys).agg(*aggs))
-        return self._evolve(self._df.agg(*aggs))
+        if not keys:
+            return self._evolve(self._df.agg(*aggs))
+        if kind == "cube":
+            return self._evolve(self._df.cube(*keys).agg(*aggs))
+        if kind == "rollup":
+            return self._evolve(self._df.rollup(*keys).agg(*aggs))
+        return self._evolve(self._df.groupBy(*keys).agg(*aggs))
 
     # chain-scalar aggregates (executed immediately; parity datachain.py:2569-2636)
     def count(self) -> int:

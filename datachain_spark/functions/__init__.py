@@ -10,6 +10,11 @@ from pyspark.sql import functions as F
 from . import aggregate, array, conditional, numeric, path, random, string
 from .aggregate import (
     any_value,
+    approx_count_distinct,
+    approx_percentile,
+    count_distinct,
+    stddev,
+    variance,
     avg,
     collect,
     concat,
@@ -51,4 +56,5 @@ __all__ = [
     "greatest", "least", "case", "ifelse", "isnone", "or_", "and_", "not_",
     "bit_and", "bit_or", "bit_xor", "int_hash_64", "bit_hamming_distance",
     "byte_hamming_distance", "rand", "hash_rand", "literal",
+    "approx_count_distinct", "approx_percentile", "count_distinct", "stddev", "variance",
 ]

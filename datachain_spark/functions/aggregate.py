@@ -112,3 +112,27 @@ lead = F.lead
 ntile = F.ntile
 percent_rank = F.percent_rank
 cume_dist = F.cume_dist
+
+
+# Approximate aggregates (SURVEY.md §2.5 "not present" in the reference;
+# essential at 100 TB — sketch-based, fixed memory)
+def approx_count_distinct(col: ColumnLike, rsd: float = 0.05) -> Column:
+    """HyperLogLog++ distinct count."""
+    return F.approx_count_distinct(to_column(col), rsd)
+
+
+def approx_percentile(col: ColumnLike, percentage, accuracy: int = 10000) -> Column:
+    """Approximate quantile(s) with bounded error."""
+    return F.percentile_approx(to_column(col), percentage, accuracy)
+
+
+def stddev(col: ColumnLike) -> Column:
+    return F.stddev(to_column(col))
+
+
+def variance(col: ColumnLike) -> Column:
+    return F.variance(to_column(col))
+
+
+def count_distinct(*cols: ColumnLike) -> Column:
+    return F.count_distinct(*[to_column(c) for c in cols])

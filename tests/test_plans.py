@@ -1,0 +1,76 @@
+"""Plan-regression tests: the 100-TB "is this the plan I'd want" check,
+automated via datachain_spark.plans introspection. Guards against silent
+plan regressions (a lost pushdown, a broadcast turning into a shuffle)."""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from datachain_spark.plans import explain_summary, join_strategies, pushed_filters, scan_read_schemas, shuffle_count
+
+Q = entrymod.queries()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = Q["q1_pricing_summary"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), f"shipdate filter not pushed: {pf}"
+    schemas = scan_read_schemas(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas), (
+        "scan reads unneeded columns"
+    )
+    # partial + final aggregate = 2 shuffle max (agg + output ordering)
+    assert shuffle_count(df) <= 2
+
+
+def test_q3_broadcasts_small_sides(spark, sf_dir):
+    df = Q["q3_shipping_priority"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+    pf = pushed_filters(df)
+    assert any("c_mktsegment" in f for f in pf)
+    assert any("l_shipdate" in f for f in pf)
+
+
+def test_similarity_topk_is_take_ordered(spark, sf_dir):
+    df = Q["similarity_topk"](spark, sf_dir)
+    assert shuffle_count(df) == 0  # per-partition heap + driver merge
+
+
+def test_filter_query_zero_shuffle(spark, sf_dir):
+    df = Q["filter_glob_in"](spark, sf_dir)
+    summary = explain_summary(df)
+    assert summary["shuffles"] <= 1  # only the output sort
+    assert any("p_retailprice" in f for f in summary["pushed_filters"])
+
+
+def test_cube_rollup_extras(session):
+    import datachain_spark as dc
+    from datachain_spark import func
+
+    ch = dc.read_values(session=session, a=["x", "x", "y"], b=["p", "q", "p"], v=[1, 2, 3])
+    cube = ch.group_by(partition_by=["a", "b"], kind="cube", n=func.count())
+    assert cube.count() == 8  # 3 observed (a,b) pairs + 2 a-subtotals + 2 b-subtotals + 1 grand
+    roll = ch.group_by(partition_by=["a", "b"], kind="rollup", total=func.sum(dc.C.v))
+    recs = {(r["a"], r["b"]): r["total"] for r in roll.to_records()}
+    assert recs[(None, None)] == 6  # grand total
+    assert recs[("x", None)] == 3
+
+
+def test_approx_aggregates(session):
+    import datachain_spark as dc
+    from datachain_spark import func
+
+    ch = dc.read_values(session=session, x=list(range(1000)), g=["a"] * 1000)
+    out = ch.group_by(
+        partition_by="g",
+        nd=func.approx_count_distinct(dc.C.x),
+        p50=func.approx_percentile(dc.C.x, 0.5),
+        sd=func.stddev(dc.C.x),
+        cd=func.count_distinct(dc.C.x),
+    ).to_records()[0]
+    assert 900 <= out["nd"] <= 1100
+    assert 450 <= out["p50"] <= 550
+    assert out["cd"] == 1000
+    assert out["sd"] > 0

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the pure-Python edges — mirrors the
+reference's use of hypothesis at the edges (SURVEY.md §5: async utils, path
+handling), applied to our glob translation, brace expansion, and semver."""
+
+import fnmatch
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datachain_spark.catalog.metastore import (
+    bump_version,
+    matches_spec,
+    parse_version,
+)
+from datachain_spark.columns import brace_expand, glob_to_regex, path_glob_to_regex
+
+# -- glob translation --------------------------------------------------------
+
+plain_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127),
+    min_size=0, max_size=12,
+)
+
+
+@given(plain_text)
+def test_glob_literal_matches_itself(s):
+    assert re.fullmatch(glob_to_regex(s), s)
+
+
+@given(plain_text, plain_text)
+def test_glob_star_prefix_suffix(prefix, suffix):
+    pat = glob_to_regex(prefix + "*" + suffix)
+    assert re.fullmatch(pat, prefix + "anything here" + suffix)
+    assert re.fullmatch(pat, prefix + suffix)
+
+
+@given(plain_text)
+def test_glob_agrees_with_fnmatch_on_star_q(s):
+    # for patterns without classes/braces, our translation must agree with
+    # fnmatch (case-sensitive)
+    for pat in [s + "*", "*" + s, s + "?x", "*"]:
+        ours = bool(re.fullmatch(glob_to_regex(pat), s + "zx"))
+        theirs = fnmatch.fnmatchcase(s + "zx", pat)
+        assert ours == theirs, (pat, s)
+
+
+@given(plain_text)
+def test_path_glob_star_stops_at_separator(s):
+    pat = path_glob_to_regex("*")
+    assert not re.fullmatch(pat, s + "/x")
+    assert re.fullmatch(path_glob_to_regex("**"), s + "/x/y")
+
+
+@given(st.integers(0, 20), st.integers(0, 20))
+def test_brace_numeric_range(lo, hi):
+    if lo > hi:
+        return
+    out = brace_expand(f"f{{{lo}..{hi}}}.txt")
+    assert len(out) == hi - lo + 1
+    assert out[0] == f"f{lo}.txt" and out[-1] == f"f{hi}.txt"
+
+
+@given(st.lists(plain_text.filter(bool), min_size=1, max_size=4))
+def test_brace_alternation_count(alts):
+    out = brace_expand("x{" + ",".join(alts) + "}y")
+    assert out == [f"x{a}y" for a in alts]
+
+
+# -- semver ------------------------------------------------------------------
+
+versions = st.tuples(st.integers(0, 99), st.integers(0, 99), st.integers(0, 99))
+
+
+@given(versions)
+def test_parse_roundtrip(v):
+    s = f"{v[0]}.{v[1]}.{v[2]}"
+    assert parse_version(s) == v
+
+
+@given(versions)
+def test_bump_monotonic(v):
+    s = f"{v[0]}.{v[1]}.{v[2]}"
+    for part in ("patch", "minor", "major"):
+        assert parse_version(bump_version(s, part)) > v
+
+
+@given(versions)
+def test_spec_self_match(v):
+    s = f"{v[0]}.{v[1]}.{v[2]}"
+    assert matches_spec(s, f"=={s}")
+    assert matches_spec(s, f">={s}")
+    assert matches_spec(s, f"<={s}")
+    assert not matches_spec(s, f">{s}")
+    assert not matches_spec(s, f"<{s}")
+
+
+@given(versions, versions)
+def test_spec_ordering_consistent(a, b):
+    sa = f"{a[0]}.{a[1]}.{a[2]}"
+    sb = f"{b[0]}.{b[1]}.{b[2]}"
+    assert matches_spec(sa, f">={sb}") == (a >= b)
+    assert matches_spec(sa, f"<{sb}") == (a < b)
