@@ -1129,6 +1129,32 @@ def multimodal_ro(spark, sf):
     ).orderBy("doc_id")
 
 
+def delta_incremental_ro(spark, sf):
+    """Incremental delta_save over two source snapshots (diff-based re-run,
+    parity with the reference's delta=True; not SQL-expressible)."""
+    import tempfile
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.delta import delta_save
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_delta_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    try:
+        nation = _chain(spark, sf, "nation")
+        v1 = nation.filter(C.n_nationkey < 20)
+
+        def proc(ch):
+            return ch.mutate(name_len=F.length(F.col("n_name")))
+
+        delta_save(v1, proc, "delta_demo", delta_on="n_nationkey")
+        # v2: 5 new rows appear; only they get processed
+        out = delta_save(nation, proc, "delta_demo", delta_on="n_nationkey")
+        return out.order_by("n_nationkey").df
+    finally:
+        sess.metastore = old_ms
+
+
 def save_read_roundtrip_ro(spark, sf):
     """Dataset versioning: save -> read_dataset round trip row fidelity."""
     import tempfile
@@ -1197,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_storage_listing": read_storage_ro,
         "multimodal_image_meta": multimodal_ro,
         "save_read_roundtrip": save_read_roundtrip_ro,
+        "delta_incremental": delta_incremental_ro,
     }
 
 

@@ -16,6 +16,14 @@ _sys.modules[__name__ + ".func"] = func
 
 from .chain import DataChain, DatasetMergeError
 from .columns import C, Col
+
+
+def column(name: str) -> Col:
+    """Column reference helper. Parity: datachain.py:266-287 column()/c()."""
+    return C(name)
+
+
+c = column
 from .session import Session
 from .sources import (
     datasets,
@@ -40,6 +48,6 @@ __all__ = [
     "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
     "datasets", "listings",
-    "Mapper", "Generator", "Aggregator", "BatchMapper",
+    "Mapper", "Generator", "Aggregator", "BatchMapper", "column", "c",
     "func",
 ]

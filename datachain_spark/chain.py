@@ -581,6 +581,12 @@ class DataChain:
         self.session.register_temp(name)
         return out
 
+    def broadcast(self) -> "DataChain":
+        """Hint Catalyst to broadcast this side of subsequent joins (small
+        dimension tables at 100 TB). The reference has no join-strategy
+        surface (SQLite picks); on Spark this is the explicit knob."""
+        return self._evolve(F.broadcast(self._df))
+
     def cache(self) -> "DataChain":
         """Spark-native in-memory persistence (no reference counterpart;
         cheaper than persist() when re-used within one session)."""

@@ -11,7 +11,7 @@ expression stays inside Catalyst (JVM-side, codegen-able).
 from __future__ import annotations
 
 import re
-from typing import Any
+from typing import Any, Union
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -125,12 +125,22 @@ class Col:
     """Thin proxy over a pyspark Column adding glob/regexp/in_ and keeping
     chainability; unwraps via ``.column``. All operators delegate to the
     underlying Column, so arbitrary Spark expressions compose.
+
+    Name-based refs resolve lazily: ``C.age`` works before any SparkSession
+    exists (Spark 4 classic requires an active context for ``F.col``).
     """
 
-    __slots__ = ("column",)
+    __slots__ = ("_col", "_name")
 
-    def __init__(self, column: Column):
-        object.__setattr__(self, "column", column)
+    def __init__(self, column: Union[Column, None] = None, name: str | None = None):
+        object.__setattr__(self, "_col", column)
+        object.__setattr__(self, "_name", name)
+
+    @property
+    def column(self) -> Column:
+        if self._col is not None:
+            return self._col
+        return F.col(self._name)
 
     # -- datachain extras ------------------------------------------------
     def glob(self, pattern: str) -> Column:
@@ -150,7 +160,15 @@ class Col:
 
     # -- proxy -----------------------------------------------------------
     def __getattr__(self, item: str) -> Any:
-        # nested struct access: C.file.path
+        if item in ("_col", "_name"):
+            raise AttributeError(item)
+        # nested struct access: C.file.path -> col("file.path") stays lazy
+        if self._col is None and not item.startswith("_") and item not in (
+            "column", "glob", "regexp", "in_", "alias",
+        ):
+            # only treat as nested field when it's not a Column attribute
+            if not hasattr(Column, item):
+                return Col(name=f"{self._name}.{item}")
         attr = getattr(self.column, item)
         if isinstance(attr, Column):
             return Col(attr)
@@ -160,7 +178,9 @@ class Col:
         return Col(self.column[item])
 
     def __repr__(self) -> str:
-        return f"Col({self.column!r})"
+        if self._col is None:
+            return f"Col<{self._name}>"
+        return f"Col({self._col!r})"
 
     def alias(self, name: str) -> Column:
         return self.column.alias(name)
@@ -209,10 +229,10 @@ class _CMeta(type):
     def __getattr__(cls, item: str) -> Col:
         if item.startswith("_"):
             raise AttributeError(item)
-        return Col(F.col(item))
+        return Col(name=item)
 
     def __call__(cls, name: str) -> Col:  # type: ignore[override]
-        return Col(F.col(name))
+        return Col(name=name)
 
 
 class C(metaclass=_CMeta):

@@ -84,8 +84,85 @@ try:
             stem, dot, ext = n.rpartition(".")
             return ext if dot and stem else ""
 
+    class TextFile(File):
+        """Text accessor specialization. Parity: lib/file.py:784."""
+
+        def read(self, encoding: str = "utf-8") -> str:
+            return self.read_text(encoding)
+
+    class Image(BaseModel):
+        """Image metadata signal. Parity: lib/file.py:812 (Image model)."""
+
+        width: int = -1
+        height: int = -1
+        format: str = ""
+
+    class ImageFile(File):
+        """Parity: lib/file.py:812. Decode needs PIL (not installed here) —
+        get_info falls back to a clearly-marked stub error; the metadata
+        model + plumbing are real (ops/multimodal has the executor path)."""
+
+        def read(self):
+            raise NotImplementedError(
+                "ImageFile.read requires PIL/pillow (not installed in this "
+                "container); use ops.multimodal with fake=True for plumbing"
+            )
+
+        def get_info(self) -> "Image":
+            raise NotImplementedError("image metadata requires PIL/pillow")
+
+    class Video(BaseModel):
+        """Parity: lib/file.py:864 (Video model)."""
+
+        width: int = -1
+        height: int = -1
+        fps: float = -1.0
+        duration: float = -1.0
+        frames: int = -1
+        format: str = ""
+        codec: str = ""
+
+    class Audio(BaseModel):
+        """Parity: lib/file.py (Audio model)."""
+
+        sample_rate: int = -1
+        channels: int = -1
+        duration: float = -1.0
+        samples: int = -1
+        format: str = ""
+        codec: str = ""
+
+    class VideoFile(File):
+        """Parity: lib/file.py:880. Frame/fragment extraction requires av/
+        opencv — stubbed; see ops.multimodal.sample_video_frames for the
+        executor-side 1:N plumbing."""
+
+        def get_info(self) -> "Video":
+            raise NotImplementedError("video metadata requires av/opencv")
+
+        def get_frame(self, frame: int):
+            raise NotImplementedError("frame extraction requires av/opencv")
+
+    class AudioFile(File):
+        """Parity: lib/file.py:1005."""
+
+        def get_info(self) -> "Audio":
+            raise NotImplementedError("audio metadata requires soundfile/av")
+
+        def get_fragment(self, start: float, end: float):
+            raise NotImplementedError("audio fragments require soundfile/av")
+
+    class ArrowRow(BaseModel):
+        """Provenance marker for parse_tabular rows.
+        Parity: lib/arrow.py ArrowRow."""
+
+        file: File
+        index: int = 0
+
 except ImportError:  # pragma: no cover
     File = None  # type: ignore[assignment]
+    TextFile = ImageFile = VideoFile = AudioFile = None  # type: ignore[assignment]
+    Image = Video = Audio = ArrowRow = None  # type: ignore[assignment]
 
 
 FILE_STRUCT = T.StructType([

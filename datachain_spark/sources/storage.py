@@ -75,6 +75,79 @@ def _listing_name(uri: str) -> str:
     return f"{LISTING_PREFIX}{safe}"
 
 
+def _distributed_listing(sess: Session, root: str, source: str) -> DataChain:
+    """Two-phase parallel walk: the driver lists only the FIRST level, then
+    executors walk the subtrees concurrently via mapInPandas. A bucket with
+    10^8 keys never funnels through one thread; each top-level prefix is a
+    task (and deep trees re-split by the subdirectory fan-out of level one).
+    """
+    import pandas as pd
+
+    top_files: list[tuple] = []
+    subdirs: list[str] = []
+    try:
+        for e in os.scandir(root):
+            if e.is_dir(follow_symlinks=False):
+                subdirs.append(e.path)
+            else:
+                st = e.stat()
+                top_files.append((e.path, st.st_size, st.st_mtime))
+    except FileNotFoundError:
+        raise FileNotFoundError(f"read_storage: no such directory {root!r}")
+
+    def walk_partition(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["dir"]:
+                for path, size, mtime in _walk_local(d):
+                    rows.append((path, int(size), float(mtime)))
+            yield pd.DataFrame(rows, columns=["path", "size", "mtime"])
+
+    spark = sess.spark
+    parts = []
+    if subdirs:
+        n_tasks = min(len(subdirs), 64)
+        sub_df = spark.createDataFrame(
+            [(d,) for d in subdirs], "dir string"
+        ).repartition(n_tasks)
+        parts.append(
+            sub_df.mapInPandas(walk_partition, "path string, size long, mtime double")
+        )
+    if top_files:
+        parts.append(
+            spark.createDataFrame(
+                [(p, int(s), float(m)) for p, s, m in top_files],
+                "path string, size long, mtime double",
+            )
+        )
+    if not parts:
+        flat = spark.createDataFrame([], "path string, size long, mtime double")
+    else:
+        flat = parts[0]
+        for p in parts[1:]:
+            flat = flat.unionByName(p)
+
+    rel = F.when(
+        F.col("path").startswith(root + "/"),
+        F.expr(f"substring(path, {len(root) + 2})"),
+    ).otherwise(F.col("path"))
+    df = flat.select(
+        F.lit(source).alias("source"),
+        rel.alias("path"),
+        F.col("size"),
+        F.lit("").alias("version"),
+        F.concat_ws(
+            "-",
+            F.conv((F.col("mtime") * 1e6).cast("long").cast("string"), 10, 16),
+            F.conv(F.col("size").cast("string"), 10, 16),
+        ).alias("etag"),
+        F.lit(True).alias("is_latest"),
+        F.timestamp_seconds(F.col("mtime")).alias("last_modified"),
+        F.lit(None).cast("string").alias("location"),
+    )
+    return DataChain(df, sess)
+
+
 def _list_to_chain(sess: Session, uri: str) -> DataChain:
     """Materialize one root's listing as File rows. Single files
     short-circuit to one row (parity: lib/dc/storage.py single-file path)."""
@@ -93,24 +166,7 @@ def _list_to_chain(sess: Session, uri: str) -> DataChain:
         )
         return DataChain(df, sess)
     source = uri.rstrip("/") if "://" in uri else f"file://{root}"
-
-    rows = []
-    for path, size, mtime in _walk_local(root):
-        rel = os.path.relpath(path, root).replace(os.sep, "/")
-        rows.append(
-            (
-                source,
-                rel,
-                int(size),
-                "",
-                f"{int(mtime * 1e6):x}-{size:x}",  # etag from mtime+size
-                True,
-                datetime.fromtimestamp(mtime, tz=timezone.utc),
-                None,
-            )
-        )
-    df = sess.spark.createDataFrame(rows, FILE_STRUCT)
-    return DataChain(df, sess)
+    return _distributed_listing(sess, root, source)
 
 
 def read_storage(
