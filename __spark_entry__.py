@@ -1013,6 +1013,67 @@ FROM t GROUP BY lang ORDER BY lang
 """
 
 
+def asof_join_events(spark, sf):
+    """As-of join (absent in the reference — custom operator per the build
+    spec): each purchase event gets the user's most recent click at-or-before
+    it. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from datachain_spark.ops.asof import asof_join
+
+    ev = _chain(spark, sf, "events").df
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts"
+    )
+    return joined.select("user_id", "purchase_id", "click_id").orderBy(
+        "user_id", "purchase_id"
+    )
+
+
+ASOF_SQL = """
+SELECT p.user_id, p.purchase_id, c.click_id
+FROM (SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts AS click_ts, event_id AS click_id FROM events WHERE event_type = 'click') c
+ON p.user_id = c.user_id AND p.ts >= c.click_ts
+ORDER BY p.user_id, p.purchase_id
+"""
+
+
+def salted_agg_events(spark, sf):
+    """Skew-resistant two-stage aggregation — results identical to plain
+    groupBy (the oracle), plan trades one shuffle for skew immunity."""
+    from datachain_spark.ops.asof import salted_group_by
+
+    ev = _chain(spark, sf, "events").df.withColumn(
+        "value_d", F.col("value").cast("decimal(20,2)")
+    )
+    out = salted_group_by(
+        ev,
+        "event_type",
+        {
+            "n": ("count", None),
+            "total": ("sum", "value_d"),
+            "vmin": ("min", "value_d"),
+            "vmax": ("max", "value_d"),
+        },
+        salt=8,
+    )
+    return out.orderBy("event_type")
+
+
+SALTED_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(value AS DECIMAL(20,2))) AS total,
+       min(CAST(value AS DECIMAL(20,2))) AS vmin,
+       max(CAST(value AS DECIMAL(20,2))) AS vmax
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---- rows-only (non-SQL-expressible; driver records weaker check) ---------
 
 def minhash_pairs_ro(spark, sf):
@@ -1209,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_multi_key": merge_multi_key,
         "ngram_jaccard_oracle": ngram_jaccard_oracle,
         "stopword_lang_hits": stopword_lang_hits,
+        "asof_join_events": asof_join_events,
+        "salted_agg_events": salted_agg_events,
         "similarity_topk": similarity_topk,
         "embedding_near_pairs": embedding_near_pairs,
         # rows-only
@@ -1260,6 +1323,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_multi_key": MERGE_MULTI_SQL,
         "ngram_jaccard_oracle": NGRAM_SQL,
         "stopword_lang_hits": STOPWORD_SQL,
+        "asof_join_events": ASOF_SQL,
+        "salted_agg_events": SALTED_SQL,
         "similarity_topk": SIMILARITY_SQL,
         "embedding_near_pairs": NEAR_PAIRS_SQL,
     }

@@ -1,0 +1,158 @@
+"""As-of (time-travel) join and salted aggregation — custom operators the
+reference lacks entirely (SURVEY.md §2.4 "Not present: as-of joins,
+interval/range joins"), built as compositions of native DataFrame ops (the
+build spec's preferred strategy for missing operators).
+
+asof_join: for every left row, the single right row with the greatest
+``right_ts <= left_ts`` within the same key — the standard point-in-time
+lookup (trades joins in feature stores / market data).
+
+Implementation: union both sides with a side marker, one window sort per key
+carries the last-seen right row forward (``last(..., ignorenulls=True)``),
+then keep left rows. Cost: ONE shuffle on the key (the window), versus the
+naive range-join which explodes to |L|×|R| per key. This is the canonical
+Spark formulation at 100 TB — the state per key is one row, and skewed keys
+split fine under AQE because the window is per-key ordered, not grouped into
+single rows.
+
+salted_group_by: two-stage aggregation for skewed keys — stage 1 aggregates
+on (key, salt), stage 2 merges partials on key. Decomposable aggregates only
+(sum/count/min/max — avg derived as sum/count).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    left_ts: str,
+    right_ts: Optional[str] = None,
+    direction: str = "backward",
+    tolerance_seconds: Optional[float] = None,
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the most recent right row at-or-before its
+    timestamp (direction='backward'; 'forward' = earliest at-or-after).
+
+    Right columns (except keys) appear with ``rsuffix`` when they collide.
+    Unmatched left rows keep NULL right columns; ``tolerance_seconds`` voids
+    matches older than the window.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    rcols = [c for c in right.columns if c not in keys and c != rts]
+    out_names = {c: (c + rsuffix if c in set(left.columns) else c) for c in rcols}
+
+    # union with side marker; right rows sort before left at equal ts so
+    # "at-or-before" includes exact matches
+    lmark = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`: {right.schema[c].dataType.simpleString()}" for c in rcols) + ">"
+        ).alias("__rrow") if rcols else F.lit(None).alias("__rrow"),
+        F.lit(None).cast("timestamp").alias("__rts"),
+    )
+    rmark = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lmark.schema["__lrow"].dataType.simpleString()).alias("__lrow"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__rrow") if rcols else F.lit(None).alias("__rrow"),
+        F.col(rts).cast("timestamp").alias("__rts"),
+    )
+    unioned = lmark.unionByName(rmark)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = F.last("__rrow", ignorenulls=True).over(w)
+        carried_ts = F.last("__rts", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = F.last("__rrow", ignorenulls=True).over(w)
+        carried_ts = F.last("__rts", ignorenulls=True).over(w)
+
+    matched = unioned.withColumn("__m", carried).withColumn("__mts", carried_ts)
+    out = matched.filter(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        delta = F.abs(
+            F.unix_timestamp(F.col("__ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("__mts"))
+        )
+        out = out.withColumn(
+            "__m", F.when(delta <= tolerance_seconds, F.col("__m"))
+        )
+
+    sel = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    sel += [F.col(f"__m.{c}").alias(out_names[c]) for c in rcols]
+    return out.select(*sel)
+
+
+_MERGERS = {
+    "sum": F.sum,
+    "count": F.sum,  # partial counts merge by summation
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_group_by(
+    df: DataFrame,
+    keys: Union[str, Sequence[str]],
+    aggs: dict[str, tuple[str, Optional[str]]],
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant groupBy: aggregate on (keys, salt-bucket) first, then
+    merge partials on keys. ``aggs`` maps output name -> (fn, column) with fn
+    in {sum,count,min,max,avg}; avg decomposes into sum+count.
+
+    Use when one key holds a disproportionate share of rows (the classic
+    null-key / celebrity-item skew): the hot key spreads over ``salt``
+    reducers in stage 1 instead of melting one.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.rand()), F.lit(salt)))
+
+    partials = []
+    finals = []
+    for name, (fn, col) in aggs.items():
+        if fn == "avg":
+            partials.append(F.sum(col).alias(f"__{name}_s"))
+            partials.append(F.count(col).alias(f"__{name}_c"))
+            finals.append(
+                (F.sum(f"__{name}_s") / F.sum(f"__{name}_c")).alias(name)
+            )
+        elif fn == "count":
+            partials.append(
+                (F.count(col) if col else F.count(F.lit(1))).alias(f"__{name}")
+            )
+            finals.append(F.sum(f"__{name}").alias(name))
+        elif fn in _MERGERS:
+            partials.append(getattr(F, fn)(col).alias(f"__{name}"))
+            finals.append(_MERGERS[fn](f"__{name}").alias(name))
+        else:
+            raise ValueError(f"salted_group_by: unsupported aggregate {fn!r}")
+
+    stage1 = salted.groupBy(*keys, "__salt").agg(*partials)
+    return stage1.groupBy(*keys).agg(*finals)

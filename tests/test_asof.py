@@ -1,0 +1,97 @@
+"""As-of join + salted aggregation semantics."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datachain_spark.ops.asof import asof_join, salted_group_by
+
+
+def ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", ts(10, 0), 100.0), ("A", ts(10, 30), 101.0), ("B", ts(9, 0), 50.0)],
+        "sym string, t timestamp, px double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", ts(9, 50), 99.5),
+            ("A", ts(10, 20), 100.5),
+            ("A", ts(11, 0), 102.0),
+            ("B", ts(9, 30), 51.0),  # after B's only trade
+        ],
+        "sym string, qt timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", left_ts="t", right_ts="qt")
+    rows = {(r["sym"], r["t"].hour, r["t"].minute): r["bid"] for r in out.collect()}
+    assert rows[("A", 10, 0)] == 99.5    # most recent quote at-or-before 10:00
+    assert rows[("A", 10, 30)] == 100.5
+    assert rows[("B", 9, 0)] is None     # no quote before 09:00
+
+
+def test_asof_exact_timestamp_inclusive(spark):
+    left = spark.createDataFrame([("k", ts(10), 1)], "k string, t timestamp, v int")
+    right = spark.createDataFrame([("k", ts(10), 7)], "k string, rt timestamp, w int")
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="rt").collect()
+    assert out[0]["w"] == 7  # at-or-before includes equal timestamps
+
+
+def test_asof_forward(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="t", right_ts="qt", direction="forward"
+    )
+    rows = {(r["sym"], r["t"].hour, r["t"].minute): r["bid"] for r in out.collect()}
+    assert rows[("A", 10, 0)] == 100.5   # earliest at-or-after
+    assert rows[("B", 9, 0)] == 51.0
+
+
+def test_asof_tolerance(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="t", right_ts="qt",
+        tolerance_seconds=5 * 60,
+    )
+    rows = {(r["sym"], r["t"].hour, r["t"].minute): r["bid"] for r in out.collect()}
+    assert rows[("A", 10, 30)] is None   # 10:20 quote older than 5min window
+    # unmatched-by-tolerance keeps the left row (left-join semantics)
+    assert len(rows) == 3
+
+
+def test_asof_collision_suffix(spark):
+    left = spark.createDataFrame([("k", ts(10), 1)], "k string, t timestamp, v int")
+    right = spark.createDataFrame([("k", ts(9), 2)], "k string, rt timestamp, v int")
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="rt")
+    assert "v" in out.columns and "v_r" in out.columns
+    r = out.collect()[0]
+    assert r["v"] == 1 and r["v_r"] == 2
+
+
+def test_salted_matches_plain_group_by(spark):
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)] + [("b", 5.0)] * 30,
+        "k string, v double",
+    )
+    salted = salted_group_by(
+        df, "k",
+        {"n": ("count", None), "s": ("sum", "v"), "mn": ("min", "v"),
+         "mx": ("max", "v"), "mean": ("avg", "v")},
+        salt=4,
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"), F.avg("v").alias("mean"),
+    )
+    a = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"], round(r["mean"], 9)) for r in salted.collect()}
+    b = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"], round(r["mean"], 9)) for r in plain.collect()}
+    assert a == b
