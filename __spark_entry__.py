@@ -1074,6 +1074,45 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def interval_join_buckets(spark, sf):
+    """Pure range join (no equality key), bin-bucketed — custom operator the
+    reference lacks; oracle is DuckDB's native inequality join."""
+    from datachain_spark.ops.interval import interval_join
+
+    ev = _chain(spark, sf, "events").df.filter(F.col("event_id") <= 2000).select(
+        "event_id", F.col("value").cast("double").alias("v")
+    )
+    ranges = spark.createDataFrame(
+        [(0.0, 50.0, "small"), (50.0, 150.0, "medium"), (150.0, 1000.0, "large")],
+        "lo double, hi double, bucket string",
+    )
+    out = interval_join(ev, ranges, "v", "lo", "hi", bin_size=50.0)
+    return out.select("event_id", "bucket").orderBy("event_id", "bucket")
+
+
+INTERVAL_SQL = """
+SELECT event_id, bucket
+FROM (SELECT event_id, value AS v FROM events WHERE event_id <= 2000) e
+JOIN (VALUES (0.0, 50.0, 'small'), (50.0, 150.0, 'medium'), (150.0, 1000.0, 'large')) r(lo, hi, bucket)
+ON e.v >= r.lo AND e.v < r.hi
+ORDER BY event_id, bucket
+"""
+
+
+def winnow_fingerprints_ro(spark, sf):
+    """Winnowing (rolling-hash window-min) fingerprints per doc — xxhash64
+    has no DuckDB analog, rows-only."""
+    from datachain_spark.ops.text import winnow_fingerprints
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 100)
+    fp = winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    return (
+        fp.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+        .orderBy("doc_id")
+    )
+
+
 # ---- rows-only (non-SQL-expressible; driver records weaker check) ---------
 
 def minhash_pairs_ro(spark, sf):
@@ -1272,9 +1311,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_lang_hits": stopword_lang_hits,
         "asof_join_events": asof_join_events,
         "salted_agg_events": salted_agg_events,
+        "interval_join_buckets": interval_join_buckets,
         "similarity_topk": similarity_topk,
         "embedding_near_pairs": embedding_near_pairs,
         # rows-only
+        "winnow_fingerprints": winnow_fingerprints_ro,
         "minhash_pairs": minhash_pairs_ro,
         "simhash_pairs": simhash_pairs_ro,
         "ngram_jaccard_pairs": ngram_jaccard_ro,
@@ -1325,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         "stopword_lang_hits": STOPWORD_SQL,
         "asof_join_events": ASOF_SQL,
         "salted_agg_events": SALTED_SQL,
+        "interval_join_buckets": INTERVAL_SQL,
         "similarity_topk": SIMILARITY_SQL,
         "embedding_near_pairs": NEAR_PAIRS_SQL,
     }

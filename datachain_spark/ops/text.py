@@ -132,6 +132,53 @@ def shingles(col, n: int = 3) -> Column:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every char
+    k-gram (the rolling-hash family — xxhash64 over sliding substrings),
+    slide a window of ``window`` consecutive hashes, keep each window's
+    minimum, distinct per doc. Robust to insertions/reordering — the
+    chunk-level dedup fingerprint the spec's "rolling hash" calls for.
+
+    Physical shape: the k-gram hashes are computed ONCE via posexplode (the
+    pure column-expression form would re-evaluate the hash array per window —
+    the CollapseProject trap documented in ops/dedup.py), then the sliding
+    min is a per-doc window function. One shuffle on the doc id.
+
+    Returns (id_col, fingerprint) rows.
+    """
+    from pyspark.sql import Window as W
+
+    c = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n_grams = F.greatest(F.length(c) - k + 1, F.lit(0))
+    grams = (
+        df.select(F.col(id_col), c.alias("__norm"), n_grams.alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__norm"),
+            F.posexplode(F.sequence(F.lit(1), F.col("__n"))).alias("pos", "__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.xxhash64(F.substring(F.col("__norm"), F.col("__i"), F.lit(k))).alias("__h"),
+        )
+    )
+
+    w = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("__wmin", F.min("__h").over(w))
+        .select(F.col(id_col), F.col("__wmin").alias("fingerprint"))
+        .dropDuplicates([id_col, "fingerprint"])
+    )
+
+
 def analyze_text(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
     """Convenience: append the full text-analysis signal set."""
     c = F.col(text_col)

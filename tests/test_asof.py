@@ -95,3 +95,57 @@ def test_salted_matches_plain_group_by(spark):
     a = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"], round(r["mean"], 9)) for r in salted.collect()}
     b = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"], round(r["mean"], 9)) for r in plain.collect()}
     assert a == b
+
+
+def test_interval_join_binned_vs_keyed(spark):
+    from pyspark.sql import functions as F
+
+    from datachain_spark.ops.interval import interval_join
+
+    pts = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 100, 7)], "pid long, v double"
+    )
+    ranges = spark.createDataFrame(
+        [(0.0, 25.0, "low"), (25.0, 75.0, "mid"), (75.0, 120.0, "high")],
+        "lo double, hi double, label string",
+    )
+    binned = sorted(
+        (r["pid"], r["label"])
+        for r in interval_join(pts, ranges, "v", "lo", "hi", bin_size=25.0).collect()
+    )
+    keyed = sorted(
+        (r["pid"], r["label"])
+        for r in interval_join(
+            pts.withColumn("k", F.lit(1)),
+            ranges.withColumn("k", F.lit(1)),
+            "v", "lo", "hi", on="k",
+        ).collect()
+    )
+    assert binned == keyed and len(binned) == pts.count()
+    # boundary semantics: start inclusive, end exclusive
+    assert (21, "low") in binned and (28, "mid") in binned
+
+
+def test_winnow_fingerprints_invariants(spark):
+    from datachain_spark.ops.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "The  quick brown fox jumps over the lazy dog"),  # normalizes same
+            (3, "entirely different words in this document text"),
+        ],
+        "id long, text string",
+    )
+    fp = winnow_fingerprints(docs, "id", "text", k=5, window=4)
+    sets = {}
+    for r in fp.collect():
+        sets.setdefault(r["id"], set()).add(r["fingerprint"])
+    assert sets[1] == sets[2]          # normalization-invariant
+    assert not (sets[1] & sets[3])     # disjoint for unrelated text
+    # deterministic
+    fp2 = winnow_fingerprints(docs, "id", "text", k=5, window=4)
+    sets2 = {}
+    for r in fp2.collect():
+        sets2.setdefault(r["id"], set()).add(r["fingerprint"])
+    assert sets == sets2
