@@ -133,17 +133,42 @@ def read_csv(
 def read_json(
     path: Union[str, Sequence[str]],
     format: str = "json",  # noqa: A002
+    jmespath: Optional[str] = None,
     session: Optional[Session] = None,
     **options: Any,
 ) -> DataChain:
     """Parity: lib/dc/json.py:19-90. format='json' handles whole-document
-    arrays via multiLine; 'jsonl' is line-delimited."""
+    arrays via multiLine; 'jsonl' is line-delimited.
+
+    ``jmespath`` supports the subset the reference's examples actually use
+    (dotted descent + ``[]`` array projection, e.g. ``"payload.items[]"``):
+    each ``[]`` segment explodes the array, dotted segments descend into
+    structs, and a final struct is expanded to its fields.
+    """
     sess = Session.get(session)
     reader = sess.spark.read
     if format == "json":
         reader = reader.option("multiLine", True)
     paths = [path] if isinstance(path, str) else list(path)
     df = reader.options(**options).json(list(paths))
+
+    if jmespath:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        cur = None
+        for seg in jmespath.split("."):
+            explode_it = seg.endswith("[]")
+            name = seg[:-2] if explode_it else seg
+            cur = F.col(name) if cur is None else cur[name]
+            if explode_it:
+                df = df.select(F.explode(cur).alias("__j"))
+                cur = F.col("__j")
+        df = df.select(cur.alias("__j"))
+        if isinstance(df.schema["__j"].dataType, T.StructType):
+            df = df.select("__j.*")
+        else:
+            df = df.withColumnRenamed("__j", jmespath.replace("[]", "").split(".")[-1])
     return DataChain(df, sess, dependencies=[{"storage": p} for p in paths])
 
 

@@ -1,8 +1,9 @@
 from .stream import (
     read_stream,
+    running_counts_stateful,
     sessionize_stream,
     stream_to_dataset,
     windowed_agg,
 )
 
-__all__ = ["read_stream", "windowed_agg", "sessionize_stream", "stream_to_dataset"]
+__all__ = ["read_stream", "windowed_agg", "sessionize_stream", "stream_to_dataset", "running_counts_stateful"]

@@ -86,6 +86,55 @@ def sessionize_stream(
     )
 
 
+def running_counts_stateful(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    event count + value sum maintained in the state store across
+    micro-batches, with processing-time timeout eviction.
+
+    This is the pattern the reference cannot express at all (no stateful
+    operators anywhere in datachain — SURVEY.md §2.10) and the canonical
+    Spark escape hatch when windowed aggs don't fit: arbitrary per-key state,
+    bounded by timeouts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField(key_col, T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_to_dataset(
     stream_df: DataFrame,
     name: str,

@@ -85,3 +85,24 @@ def test_stream_to_dataset_sink(session, stream_dir, tmp_path):
     assert back.count() == 4
     rec = session.metastore.get_record("stream_ds")
     assert rec.latest_version().attrs.get("stream_batch_id") is not None
+
+
+def test_stateful_running_counts(session, stream_dir, tmp_path):
+    from datachain_spark.streaming import running_counts_stateful
+
+    spark = session.spark
+    stream = read_stream(spark, stream_dir)
+    counts = running_counts_stateful(stream, "user_id", "value")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("state_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM state_counts").collect()}
+    assert rows[1] == (3, 37.0)
+    assert rows[2] == (1, 5.0)

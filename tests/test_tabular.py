@@ -131,3 +131,16 @@ def test_cli_datasets_and_rm(session, capsys):
     assert "cli_ds" in out and "1.0.0" in out
     assert main(["--metastore", session.metastore_dir, "rm", "cli_ds"]) == 0
     assert session.metastore.get_record("cli_ds") is None
+
+
+def test_read_json_jmespath(session, tmp_path):
+    p = tmp_path / "nested.json"
+    p.write_text(
+        '{"meta": {"v": 1}, "payload": {"items": ['
+        '{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]}}'
+    )
+    ch = dc.read_json(str(p), jmespath="payload.items[]", session=session)
+    recs = sorted(ch.to_records(), key=lambda r: r["id"])
+    assert recs == [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    plain = dc.read_json(str(p), session=session)
+    assert "payload" in plain.columns
