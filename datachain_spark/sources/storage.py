@@ -169,6 +169,59 @@ def _list_to_chain(sess: Session, uri: str) -> DataChain:
     return _distributed_listing(sess, root, source)
 
 
+def dir_expansion(listing: DataChain, column: str = "file") -> DataChain:
+    """Per-directory rollup at every depth: each file contributes to all its
+    ancestor directories (the reference does this with a recursive CTE,
+    /root/reference/src/datachain/data_storage/schema.py:88-148
+    DirExpansion); here one explode of path prefixes + one groupBy —
+    shuffle on the directory key only.
+
+    Output: (dir, n_files, total_size) including '' for the root.
+    """
+    df = listing.df.select(
+        F.col(f"{column}.path").alias("p"), F.col(f"{column}.size").alias("size")
+    )
+    # prefixes of a/b/c.txt -> ['', 'a', 'a/b']
+    parts = F.split(F.col("p"), "/")
+    prefixes = F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.when(i == 0, F.lit("")).otherwise(
+            F.array_join(F.slice(parts, 1, i), "/")
+        ),
+    )
+    exploded = df.select(F.explode(prefixes).alias("dir"), F.col("size"))
+    agg = (
+        exploded.groupBy("dir")
+        .agg(F.count(F.lit(1)).alias("n_files"), F.sum("size").alias("total_size"))
+        .orderBy("dir")
+    )
+    return DataChain(agg, listing.session)
+
+
+def find(
+    listing: DataChain,
+    glob: Optional[str] = None,
+    min_size: Optional[int] = None,
+    max_size: Optional[int] = None,
+    suffix: Optional[str] = None,
+    column: str = "file",
+) -> DataChain:
+    """Filesystem-style find over a listing chain (parity:
+    /root/reference/src/datachain/data_storage/warehouse.py:939+ and
+    catalog.find, glob/type/size predicates). All predicates compile to
+    pushable column filters."""
+    df = listing.df
+    if glob:
+        df = df.filter(F.col(f"{column}.path").rlike(path_glob_to_regex(glob)))
+    if suffix:
+        df = df.filter(F.col(f"{column}.path").endswith(suffix))
+    if min_size is not None:
+        df = df.filter(F.col(f"{column}.size") >= min_size)
+    if max_size is not None:
+        df = df.filter(F.col(f"{column}.size") <= max_size)
+    return DataChain(df, listing.session, dependencies=listing._dependencies)
+
+
 def read_storage(
     uri: Union[str, Sequence[str]],
     session: Optional[Session] = None,

@@ -108,3 +108,25 @@ def test_file_diff(session, tree):
     d = v2.file_diff(v1)  # added=[], deleted=[cat1]
     recs = d.df.select("file.path").collect()
     assert [r["path"] for r in recs] == ["cats/cat1.jpg"]
+
+
+def test_dir_expansion(session, tree):
+    from datachain_spark.sources.storage import dir_expansion
+
+    listing = dc.read_storage(tree, session=session, update=True)
+    agg = {r["dir"]: (r["n_files"], r["total_size"]) for r in dir_expansion(listing).df.collect()}
+    assert agg[""][0] == 6          # all files roll up to root
+    assert agg["cats"][0] == 2
+    assert agg["dogs"][0] == 2      # incl. deep/dog2.png
+    assert agg["dogs/deep"][0] == 1
+    assert agg["cats"][1] == len(b"cat one") + len(b"cat two")
+
+
+def test_find_predicates(session, tree):
+    from datachain_spark.sources.storage import find
+
+    listing = dc.read_storage(tree, session=session, update=True)
+    assert find(listing, glob="**/*.jpg").count() == 3
+    assert find(listing, suffix=".csv").count() == 1
+    assert find(listing, min_size=8).count() > 0
+    assert find(listing, glob="cats/*", max_size=7).count() == 2
