@@ -158,6 +158,11 @@ class Col:
             values = tuple(values[0])
         return self.column.isin(*values)
 
+    # ``name`` is Column's alias-returning attr but also a common struct
+    # field (File.name) — prefer the field reading in lazy attribute chains;
+    # spell C("x").alias(...) for aliasing
+    _FIELD_OVERRIDES = frozenset({"name"})
+
     # -- proxy -----------------------------------------------------------
     def __getattr__(self, item: str) -> Any:
         if item in ("_col", "_name"):
@@ -166,8 +171,8 @@ class Col:
         if self._col is None and not item.startswith("_") and item not in (
             "column", "glob", "regexp", "in_", "alias",
         ):
-            # only treat as nested field when it's not a Column attribute
-            if not hasattr(Column, item):
+            # treat as nested field when it's not a Column attribute
+            if not hasattr(Column, item) or item in self._FIELD_OVERRIDES:
                 return Col(name=f"{self._name}.{item}")
         attr = getattr(self.column, item)
         if isinstance(attr, Column):

@@ -70,19 +70,15 @@ def _callable(func: Union[Callable, UDFBase]) -> tuple[Callable, Optional[UDFBas
     return func, None
 
 
-_SETUP_CACHE: dict[int, dict[str, Any]] = {}
-
-
 def resolve_setup(setup: Optional[dict[str, Callable[[], Any]]]) -> dict[str, Any]:
-    """Lazily evaluate setup() thunks once per worker process (parity:
+    """Evaluate setup() thunks once per task, inside the executor (parity:
     datachain.py:2637-2679 — shared resources like API clients are built on
-    first use inside the executor, never serialized)."""
+    first use executor-side, never serialized). Per-task (not per-process)
+    construction: an id-keyed process cache can serve stale resources after
+    GC id reuse, and tasks deserialize distinct closure copies anyway."""
     if not setup:
         return {}
-    key = id(setup)
-    if key not in _SETUP_CACHE:
-        _SETUP_CACHE[key] = {k: fn() for k, fn in setup.items()}
-    return _SETUP_CACHE[key]
+    return {k: fn() for k, fn in setup.items()}
 
 
 def infer_params(
