@@ -464,15 +464,19 @@ class DataChain:
         func: Optional[Callable] = None,
         params: Union[str, Sequence[str], None] = None,
         output: Any = None,
+        on_error: str = "raise",
         **signal_map: Callable,
     ) -> "DataChain":
         """1:1 Python UDF adding signal columns. Parity:
         datachain.py:809-861. ``.map(name=fn, output=type)`` names the single
-        output column 'name'."""
+        output column 'name'. ``on_error='null'|'collect'`` gives
+        process_safe-style error capture (lib/udf.py:315-392) — 'collect'
+        writes the error string into the LAST declared output column, the
+        shape delta_retry consumes."""
         func, default_name = self._resolve_signal_map(func, signal_map)
         param_names = infer_params(func, _names(params) or None, exclude=set(self._setup_values))
         out_struct = normalize_output(func, output, default_name)
-        fn = build_map_fn(func, param_names, out_struct, setup=self._setup_values)
+        fn = build_map_fn(func, param_names, out_struct, setup=self._setup_values, on_error=on_error)
         from pyspark.sql.types import StructType
 
         # output pdf keeps input column order; an output that overrides an

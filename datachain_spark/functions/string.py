@@ -43,6 +43,12 @@ def regexp_replace(col: ColumnLike, regex: str, replacement: str) -> Column:
     return F.regexp_replace(to_column(col), regex, replacement)
 
 
+def levenshtein(a: ColumnLike, b: ColumnLike) -> Column:
+    """Edit distance (no reference counterpart; native in Spark and DuckDB —
+    useful for fuzzy dedup at the candidate-verification stage)."""
+    return F.levenshtein(to_column(a), to_column(b))
+
+
 def byte_hamming_distance(a: ColumnLike, b: ColumnLike) -> Column:
     """func/string.py:179 — count of differing positions of two equal-length
     strings (reference zips and compares bytes,

@@ -169,9 +169,35 @@ def build_map_fn(
     params: list[str],
     out_struct: T.StructType,
     setup: Optional[dict[str, Callable[[], Any]]] = None,
+    on_error: str = "raise",
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
-    """mapInPandas function for .map(): passes input through, appends outputs."""
+    """mapInPandas function for .map(): passes input through, appends outputs.
+
+    on_error (parity: process_safe error wrapping, lib/udf.py:315-392):
+    - 'raise' (default): user exceptions fail the task;
+    - 'null': failing rows get NULL outputs;
+    - 'collect': like 'null', plus the error string lands in the final
+      output column (declare it, e.g. output={..., 'error': str}) — the
+      shape delta_retry='error' re-processing consumes.
+    """
     out_names = [f.name for f in out_struct.fields]
+    if on_error not in ("raise", "null", "collect"):
+        raise ValueError(f"map: unknown on_error {on_error!r}")
+
+    def run_one(call, vals):
+        if on_error == "raise":
+            return _result_to_cells(call(*vals), out_names)
+        try:
+            cells = _result_to_cells(call(*vals), out_names)
+            # pad to declared width (scalar returns fill only the first cell;
+            # with 'collect' the trailing error column stays NULL on success)
+            cells = cells + [None] * (len(out_names) - len(cells))
+            return cells
+        except Exception as exc:  # noqa: BLE001 - user code boundary
+            cells = [None] * len(out_names)
+            if on_error == "collect":
+                cells[-1] = f"{type(exc).__name__}: {exc}"
+            return cells
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         call, inst = _callable(func)
@@ -185,7 +211,7 @@ def build_map_fn(
             for pdf in batches:
                 cols = [_extract_param(pdf, p) for p in params]
                 results = [
-                    _result_to_cells(call(*vals), out_names)
+                    run_one(call, vals)
                     for vals in zip(*[c.tolist() for c in cols])
                 ] if len(pdf) else []
                 out = pdf.copy()

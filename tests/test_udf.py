@@ -166,3 +166,19 @@ def test_pydantic_output(session):
 def test_settings_parallel_noop(nums):
     out = nums.settings(parallel=2).map(lambda x: x, params="x", output={"y": int})
     assert out.count() == 4
+
+
+def test_map_on_error_null_and_collect(session):
+    ch = dc.read_values(session=session, x=[1, 0, 2])
+
+    def inv(x: int) -> float:
+        return 10.0 / x
+
+    out = ch.map(inv, output={"r": float}, on_error="null")
+    recs = {r["x"]: r["r"] for r in out.to_records()}
+    assert recs[0] is None and recs[1] == 10.0
+
+    out2 = ch.map(inv, output={"r": float, "err": str}, on_error="collect")
+    recs2 = {r["x"]: r for r in out2.to_records()}
+    assert recs2[0]["err"].startswith("ZeroDivisionError")
+    assert recs2[1]["err"] is None and recs2[1]["r"] == 10.0
