@@ -972,7 +972,7 @@ ORDER BY id_a, id_b
 
 def stopword_lang_hits(spark, sf):
     """Per-language stopword coverage counts — the SQL-expressible core of
-    the language-ID heuristic (argmax stays rows-only in lang_id_counts)."""
+    the language-ID heuristic (lang_id_counts oracles the argmax itself)."""
     docs = _chain(spark, sf, "documents")
     c = F.lower(F.col("text"))
     words = F.split(F.trim(c), r"\s+")
@@ -1113,6 +1113,52 @@ def winnow_fingerprints_ro(spark, sf):
     )
 
 
+# ---- UDF-path queries: executed via mapInPandas/applyInPandas on the Spark
+# side, but their *results* are SQL-expressible, so each gets a full DuckDB
+# oracle — the strongest possible check of the Python-UDF execution path.
+
+UDF_MAP_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_quantity * l_extendedprice AS gross
+FROM lineitem WHERE l_orderkey <= 400
+ORDER BY l_orderkey, l_linenumber
+"""
+
+UDF_GEN_SQL = """
+WITH t AS (
+  SELECT doc_id, list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 5) AS ws
+  FROM documents WHERE doc_id < 50 AND trim(text) <> ''
+)
+SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS word
+FROM t ORDER BY doc_id, pos
+"""
+
+UDF_AGG_SQL = """
+SELECT user_id, max(value) - min(value) AS spread, count(*) AS n
+FROM events WHERE user_id < 30 GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _lang_id_sql() -> str:
+    """DuckDB replica of ops.text.language_id's argmax (list_max over
+    (hits, lang) structs ≡ Spark array_max struct comparison: hits first,
+    then lang lexicographically)."""
+    structs = ", ".join(
+        "{'hits': len(list_filter(toks, w -> list_contains([%s], w))), 'lang': '%s'}"
+        % (", ".join(f"'{w}'" for w in ws), lang)
+        for lang, ws in text._LANG_STOPWORDS.items()
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
+), best AS (
+  SELECT doc_id, list_max([{structs}]) AS b FROM tok
+)
+SELECT CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS guess, count(*) AS n
+FROM best GROUP BY guess ORDER BY guess
+"""
+
+
 # ---- rows-only (non-SQL-expressible; driver records weaker check) ---------
 
 def minhash_pairs_ro(spark, sf):
@@ -1143,7 +1189,8 @@ def lang_id_ro(spark, sf):
 
 
 def udf_map_ro(spark, sf):
-    """Python map UDF (mapInPandas path) — not SQL-expressible by contract."""
+    """Python map UDF — exercises the mapInPandas path; result oracled by
+    UDF_MAP_SQL (float64 multiply is bit-identical across engines)."""
     li = _chain(spark, sf, "lineitem").filter(C.l_orderkey <= 400)
 
     def gross(l_quantity: float, l_extendedprice: float) -> float:
@@ -1314,15 +1361,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_buckets": interval_join_buckets,
         "similarity_topk": similarity_topk,
         "embedding_near_pairs": embedding_near_pairs,
+        # UDF-path (oracled)
+        "lang_id_counts": lang_id_ro,
+        "udf_map": udf_map_ro,
+        "udf_gen": udf_gen_ro,
+        "udf_agg": udf_agg_ro,
         # rows-only
         "winnow_fingerprints": winnow_fingerprints_ro,
         "minhash_pairs": minhash_pairs_ro,
         "simhash_pairs": simhash_pairs_ro,
         "ngram_jaccard_pairs": ngram_jaccard_ro,
-        "lang_id_counts": lang_id_ro,
-        "udf_map": udf_map_ro,
-        "udf_gen": udf_gen_ro,
-        "udf_agg": udf_agg_ro,
         "sample_shuffle_chunk": sample_shuffle_chunk_ro,
         "read_storage_listing": read_storage_ro,
         "multimodal_image_meta": multimodal_ro,
@@ -1369,4 +1417,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_buckets": INTERVAL_SQL,
         "similarity_topk": SIMILARITY_SQL,
         "embedding_near_pairs": NEAR_PAIRS_SQL,
+        "udf_map": UDF_MAP_SQL,
+        "udf_gen": UDF_GEN_SQL,
+        "udf_agg": UDF_AGG_SQL,
+        "lang_id_counts": _lang_id_sql(),
     }
