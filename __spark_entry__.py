@@ -535,6 +535,41 @@ FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
 """
 
 
+def string_similarity(spark, sf):
+    """Fuzzy-dedup candidate verification: per manufacturer, each part name
+    vs the previous one — levenshtein edit distance plus byte-hamming on the
+    fixed-width type field (parity func/string.py:179). Window-lag pairing,
+    no self-join; partitioned by p_brand so it scales."""
+    part = _chain(spark, sf, "part").filter(C.p_partkey <= 300)
+    w = func.window("p_brand", "p_partkey")
+    return (
+        part.mutate(prev_name=func.lag("p_name").over(w))
+        .filter(~func.isnone(C.prev_name))
+        .mutate(lev=fs.levenshtein("p_name", C.prev_name).cast("long"),
+                prefix_ham=fs.byte_hamming_distance(
+                    F.substring(F.col("p_name"), 1, 5),
+                    F.substring(F.col("prev_name"), 1, 5)).cast("long"))
+        .select("p_partkey", "lev", "prefix_ham")
+        .order_by("p_partkey")
+        .df
+    )
+
+
+STRING_SIM_SQL = """
+WITH t AS (
+  SELECT p_partkey, p_name,
+         lag(p_name) OVER w AS prev_name
+  FROM part WHERE p_partkey <= 300
+  WINDOW w AS (PARTITION BY p_brand ORDER BY p_partkey)
+)
+SELECT p_partkey,
+       levenshtein(p_name, prev_name) AS lev,
+       hamming(substring(p_name, 1, 5), substring(prev_name, 1, 5)) AS prefix_ham
+FROM t WHERE prev_name IS NOT NULL
+ORDER BY p_partkey
+"""
+
+
 def path_funcs(spark, sf):
     docs = _chain(spark, sf, "documents")
     with_path = docs.mutate(
@@ -1342,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_lag": window_rank_lag,
         "group_concat_sorted": group_concat_sorted,
         "string_funcs": string_funcs,
+        "string_similarity": string_similarity,
         "path_funcs": path_funcs,
         "conditional_funcs": conditional_funcs,
         "array_funcs": array_funcs,
@@ -1398,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
         "window_rank_lag": WINDOW_RANK_SQL,
         "group_concat_sorted": GROUP_CONCAT_SQL,
         "string_funcs": STRING_SQL,
+        "string_similarity": STRING_SIM_SQL,
         "path_funcs": PATH_SQL,
         "conditional_funcs": COND_SQL,
         "array_funcs": ARRAY_SQL,

@@ -1,8 +1,8 @@
-"""CLI subset: dataset management + quick queries.
+"""CLI: dataset management + filesystem views + quick queries.
 
-Parity: /root/reference/src/datachain/cli/parser/__init__.py:59-530 (the
-dataset subcommands: ls, rm, show, plus du-style storage listing). Invoked as
-``python -m datachain_spark.cli <cmd> ...``.
+Parity: /root/reference/src/datachain/cli/parser/__init__.py:59-530 —
+datasets/show/rm/ls/du plus find, cp, index, edit, gc, clear-cache and
+query (script runner). Invoked as ``python -m datachain_spark.cli <cmd> ...``.
 """
 
 from __future__ import annotations
@@ -33,6 +33,34 @@ def main(argv: list[str] | None = None) -> int:
     p_du = sub.add_parser("du", help="total size per top-level dir of a URI")
     p_du.add_argument("uri")
 
+    p_find = sub.add_parser("find", help="find files by glob/suffix/size")
+    p_find.add_argument("uri")
+    p_find.add_argument("--glob", default=None, dest="name_glob")
+    p_find.add_argument("--suffix", default=None)
+    p_find.add_argument("--min-size", type=int, default=None)
+    p_find.add_argument("--max-size", type=int, default=None)
+
+    p_cp = sub.add_parser("cp", help="copy files under a URI to a target dir")
+    p_cp.add_argument("uri")
+    p_cp.add_argument("output")
+    p_cp.add_argument("--placement", default="fullpath",
+                      choices=["fullpath", "filename", "etag"])
+
+    p_index = sub.add_parser("index", help="(re)list a URI into the listing cache")
+    p_index.add_argument("uri")
+
+    p_edit = sub.add_parser("edit", help="edit dataset description/attrs")
+    p_edit.add_argument("name")
+    p_edit.add_argument("--description", default=None)
+    p_edit.add_argument("--attr", action="append", default=[],
+                        help="key=value (repeatable)")
+
+    sub.add_parser("gc", help="delete leftover session-temp datasets")
+    sub.add_parser("clear-cache", help="drop all cached storage listings")
+
+    p_query = sub.add_parser("query", help="run a python script that builds a chain")
+    p_query.add_argument("script")
+
     args = p.parse_args(argv)
 
     from .session import DEFAULT_METASTORE, Session
@@ -55,6 +83,55 @@ def main(argv: list[str] | None = None) -> int:
         print(f"deleted {args.name}" + (f" v{args.version}" if args.version else ""))
         return 0
 
+    if args.cmd == "edit":
+        # metastore-only (parity: `datachain dataset edit`)
+        from .catalog.metastore import Metastore
+
+        ms = Metastore(args.metastore or DEFAULT_METASTORE)
+        rec = ms.get_record(args.name)
+        if rec is None:
+            print(f"dataset not found: {args.name}", file=sys.stderr)
+            return 1
+        if args.description is not None:
+            rec.description = args.description
+        if args.attr:
+            ver = rec.get_version(None)  # attrs live on the latest version
+            for kv in args.attr:
+                k, _, v = kv.partition("=")
+                ver.attrs[k] = v
+        ms._write_record(rec)
+        print(f"updated {rec.full_name}")
+        return 0
+
+    if args.cmd == "gc":
+        # drop datasets in the session-temp project (parity: `datachain gc`
+        # cleaning abandoned temp tables, query/session.py:222-231)
+        from .catalog.metastore import Metastore
+
+        ms = Metastore(args.metastore or DEFAULT_METASTORE)
+        n = 0
+        for rec in ms.list_datasets():
+            if rec.namespace == "session" and rec.project == "tmp":
+                ms.delete_dataset(rec.full_name)
+                n += 1
+        print(f"removed {n} temp dataset(s)")
+        return 0
+
+    if args.cmd == "clear-cache":
+        # parity: `datachain clear-cache` — here the cache is the listing
+        # datasets (lst__*), not downloaded file blobs
+        from .catalog.metastore import Metastore
+        from .sources.storage import LISTING_PREFIX
+
+        ms = Metastore(args.metastore or DEFAULT_METASTORE)
+        n = 0
+        for rec in ms.list_datasets():
+            if rec.name.startswith(LISTING_PREFIX):
+                ms.delete_dataset(rec.full_name)
+                n += 1
+        print(f"removed {n} cached listing(s)")
+        return 0
+
     sess = Session(metastore_dir=args.metastore or DEFAULT_METASTORE)
     Session._global = sess
 
@@ -70,6 +147,45 @@ def main(argv: list[str] | None = None) -> int:
         ch = read_storage(args.uri, session=sess, update=True)
         for path, size in sorted(ch.to_list("file.path", "file.size")):
             print(f"{size:>12}  {path}")
+        return 0
+
+    if args.cmd == "find":
+        from .sources import read_storage
+        from .sources.storage import find
+
+        ch = read_storage(args.uri, session=sess, update=True)
+        hits = find(ch, glob=args.name_glob, suffix=args.suffix,
+                    min_size=args.min_size, max_size=args.max_size)
+        for path, size in sorted(hits.to_list("file.path", "file.size")):
+            print(f"{size:>12}  {path}")
+        return 0
+
+    if args.cmd == "cp":
+        from .sources import read_storage
+        from .sources.files import export_files
+
+        ch = read_storage(args.uri, session=sess, update=True)
+        export_files(ch.df, args.output, placement=args.placement)
+        print(f"copied {ch.count()} file(s) to {args.output}")
+        return 0
+
+    if args.cmd == "index":
+        from .sources import read_storage
+
+        ch = read_storage(args.uri, session=sess, update=True)
+        print(f"indexed {ch.count()} file(s) under {args.uri}")
+        return 0
+
+    if args.cmd == "query":
+        # parity: `datachain query <script>` — exec a python file; if it
+        # leaves a DataChain bound to `chain` (or prints its own output),
+        # show the first rows
+        import runpy
+
+        ns = runpy.run_path(args.script, run_name="__main__")
+        ch = ns.get("chain")
+        if ch is not None and hasattr(ch, "show"):
+            ch.show(20)
         return 0
 
     if args.cmd == "du":

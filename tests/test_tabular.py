@@ -133,6 +133,63 @@ def test_cli_datasets_and_rm(session, capsys):
     assert session.metastore.get_record("cli_ds") is None
 
 
+def test_cli_edit_gc_clear_cache(session, capsys):
+    from datachain_spark.cli import main
+
+    ch = dc.read_values(session=session, x=[1, 2])
+    ch.save("cli_edit_ds")
+    assert main(["--metastore", session.metastore_dir, "edit", "cli_edit_ds",
+                 "--description", "hello", "--attr", "team=ml"]) == 0
+    rec = session.metastore.get_record("cli_edit_ds")
+    assert rec.description == "hello"
+    assert rec.get_version(None).attrs["team"] == "ml"
+
+    ch.persist()
+    assert any(r.namespace == "session" for r in session.metastore.list_datasets())
+    assert main(["--metastore", session.metastore_dir, "gc"]) == 0
+    assert not any(r.namespace == "session" for r in session.metastore.list_datasets())
+    capsys.readouterr()
+
+
+def test_cli_find_cp_index_query(session, tmp_path, capsys):
+    from datachain_spark.cli import main
+    from datachain_spark.session import Session
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("aaa")
+    (src / "b.bin").write_text("bbbbb")
+    try:
+        ms = session.metastore_dir
+        assert main(["--metastore", ms, "index", str(src)]) == 0
+        assert "indexed 2" in capsys.readouterr().out
+
+        assert main(["--metastore", ms, "find", str(src), "--suffix", ".txt"]) == 0
+        out = capsys.readouterr().out
+        assert "a.txt" in out and "b.bin" not in out
+
+        dest = tmp_path / "dest"
+        assert main(["--metastore", ms, "cp", str(src), str(dest),
+                     "--placement", "filename"]) == 0
+        assert sorted(p.name for p in dest.iterdir()) == ["a.txt", "b.bin"]
+        capsys.readouterr()
+
+        script = tmp_path / "q.py"
+        script.write_text(
+            "import datachain_spark as dc\n"
+            "chain = dc.read_values(x=[10, 20])\n"
+        )
+        assert main(["--metastore", ms, "query", str(script)]) == 0
+        assert "10" in capsys.readouterr().out
+
+        assert main(["--metastore", ms, "clear-cache"]) == 0
+        from datachain_spark.sources.storage import LISTING_PREFIX
+        assert not any(r.name.startswith(LISTING_PREFIX)
+                       for r in session.metastore.list_datasets())
+    finally:
+        Session._global = session
+
+
 def test_read_json_jmespath(session, tmp_path):
     p = tmp_path / "nested.json"
     p.write_text(
