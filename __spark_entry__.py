@@ -937,6 +937,59 @@ FROM orders GROUP BY 1, 2 ORDER BY yr, mo
 """
 
 
+def rollup_orders(spark, sf):
+    """Grouping-set aggregation (kind='rollup' — absent in the reference,
+    SURVEY.md §2.5 'not present'; exposed because Spark gives it free).
+    Subtotal rows' NULL keys are coalesced to 'ALL' for a stable compare."""
+    orders = _chain(spark, sf, "orders")
+    return (
+        orders.group_by(
+            partition_by=["o_orderstatus", "o_orderpriority"],
+            kind="rollup",
+            total=func.sum(_dec(F.col("o_totalprice"))),
+            n=func.count(),
+        )
+        .mutate(status=F.coalesce(F.col("o_orderstatus"), F.lit("ALL")),
+                priority=F.coalesce(F.col("o_orderpriority"), F.lit("ALL")))
+        .select("status", "priority", "total", "n")
+        .order_by("status", "priority")
+        .df
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       sum(CAST(o_totalprice AS DECIMAL(20,2))) AS total,
+       count(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def pivot_status_qty(spark, sf):
+    """Pivot (wide-format) aggregation — new operator, no reference
+    counterpart. Explicit pivot values so no discovery job runs at scale;
+    oracle is the FILTER-aggregate equivalent."""
+    li = _chain(spark, sf, "lineitem")
+    return (
+        li.pivot("l_linestatus", ["F", "O"], partition_by="l_returnflag",
+                 qty=func.sum(_dec(F.col("l_quantity"))))
+        .mutate(f_qty=F.col("F"), o_qty=F.col("O"))
+        .select("l_returnflag", "f_qty", "o_qty")
+        .order_by("l_returnflag")
+        .df
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       sum(CAST(l_quantity AS DECIMAL(20,2))) FILTER (WHERE l_linestatus = 'F') AS f_qty,
+       sum(CAST(l_quantity AS DECIMAL(20,2))) FILTER (WHERE l_linestatus = 'O') AS o_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def merge_multi_key(spark, sf):
     """Composite-key equi-join: (orderkey, partkey) self-merge of lineitem
     aggregates against the raw rows."""
@@ -1389,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_stats": text_quality_stats,
         "q6_forecast_revenue": q6_forecast_revenue,
         "group_by_expr_keys": group_by_expr_keys,
+        "rollup_orders": rollup_orders,
+        "pivot_status_qty": pivot_status_qty,
         "merge_multi_key": merge_multi_key,
         "ngram_jaccard_oracle": ngram_jaccard_oracle,
         "stopword_lang_hits": stopword_lang_hits,
@@ -1446,6 +1501,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_stats": TEXT_STATS_SQL,
         "q6_forecast_revenue": Q6_SQL,
         "group_by_expr_keys": GROUP_EXPR_SQL,
+        "rollup_orders": ROLLUP_SQL,
+        "pivot_status_qty": PIVOT_SQL,
         "merge_multi_key": MERGE_MULTI_SQL,
         "ngram_jaccard_oracle": NGRAM_SQL,
         "stopword_lang_hits": STOPWORD_SQL,

@@ -293,6 +293,26 @@ class DataChain:
             return self._evolve(self._df.rollup(*keys).agg(*aggs))
         return self._evolve(self._df.groupBy(*keys).agg(*aggs))
 
+    def pivot(
+        self,
+        on: str,
+        values: Optional[Sequence[Any]] = None,
+        partition_by: Union[ColumnLike, Sequence[ColumnLike], None] = None,
+        **agg_exprs: Union[Column, Col],
+    ) -> "DataChain":
+        """Wide-format aggregation (absent in the reference — SURVEY.md §2.5
+        'not present: pivot'; native on Spark). Always pass explicit
+        ``values`` at scale: without them Spark runs an extra distinct job
+        over the pivot column to discover them. With one aggregate kwarg the
+        output columns are the pivot values themselves; with several they
+        are ``{value}_{alias}``."""
+        if not agg_exprs:
+            raise ValueError("at least one aggregate kwarg is required")
+        aggs = [unwrap(v).alias(k) for k, v in agg_exprs.items()]
+        keys = _cols(partition_by)
+        grouped = self._df.groupBy(*keys).pivot(on, list(values) if values else None)
+        return self._evolve(grouped.agg(*aggs))
+
     # chain-scalar aggregates (executed immediately; parity datachain.py:2569-2636)
     def count(self) -> int:
         return self._df.count()

@@ -58,6 +58,22 @@ def test_cube_rollup_extras(session):
     assert recs[("x", None)] == 3
 
 
+def test_pivot(session):
+    import datachain_spark as dc
+    from datachain_spark import func
+
+    ch = dc.read_values(session=session, k=["x", "x", "y"], s=["p", "q", "p"], v=[1, 2, 3])
+    wide = ch.pivot("s", ["p", "q"], partition_by="k", t=func.sum(dc.C.v))
+    recs = {r["k"]: (r["p"], r["q"]) for r in wide.to_records()}
+    assert recs == {"x": (1, 2), "y": (3, None)}
+    # multiple aggregates -> {value}_{alias} columns
+    wide2 = ch.pivot("s", ["p"], partition_by="k",
+                     t=func.sum(dc.C.v), n=func.count())
+    assert {"p_t", "p_n"} <= set(wide2.columns)
+    with pytest.raises(ValueError):
+        ch.pivot("s", ["p"], partition_by="k")
+
+
 def test_approx_aggregates(session):
     import datachain_spark as dc
     from datachain_spark import func
