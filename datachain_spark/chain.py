@@ -496,7 +496,8 @@ class DataChain:
         func, default_name = self._resolve_signal_map(func, signal_map)
         param_names = infer_params(func, _names(params) or None, exclude=set(self._setup_values))
         out_struct = normalize_output(func, output, default_name)
-        fn = build_map_fn(func, param_names, out_struct, setup=self._setup_values, on_error=on_error)
+        fn = build_map_fn(func, param_names, out_struct, setup=self._setup_values,
+                          on_error=on_error, cache=bool(self._settings.get("cache")))
         from pyspark.sql.types import StructType
 
         # output pdf keeps input column order; an output that overrides an
@@ -519,7 +520,8 @@ class DataChain:
         func, default_name = self._resolve_signal_map(func, signal_map)
         param_names = infer_params(func, _names(params) or None, exclude=set(self._setup_values))
         out_struct = normalize_output(func, output, default_name)
-        fn = build_gen_fn(func, param_names, out_struct, setup=self._setup_values)
+        fn = build_gen_fn(func, param_names, out_struct, setup=self._setup_values,
+                          cache=bool(self._settings.get("cache")))
         return self._evolve(self._df.mapInPandas(fn, out_struct))
 
     def agg(
@@ -537,7 +539,8 @@ class DataChain:
         func, default_name = self._resolve_signal_map(func, signal_map)
         param_names = infer_params(func, _names(params) or None, exclude=set(self._setup_values))
         out_struct = normalize_output(func, output, default_name)
-        fn = build_agg_fn(func, param_names, out_struct, setup=self._setup_values)
+        fn = build_agg_fn(func, param_names, out_struct, setup=self._setup_values,
+                          cache=bool(self._settings.get("cache")))
         if partition_by is None:
             # global single group: constant grouping column (groupBy on a
             # bare literal is not a valid grouping attribute)

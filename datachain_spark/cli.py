@@ -118,9 +118,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "clear-cache":
-        # parity: `datachain clear-cache` — here the cache is the listing
-        # datasets (lst__*), not downloaded file blobs
+        # parity: `datachain clear-cache` — both cached listings (lst__*)
+        # and the etag-keyed file blob cache
         from .catalog.metastore import Metastore
+        from .sources.files import clear_file_cache
         from .sources.storage import LISTING_PREFIX
 
         ms = Metastore(args.metastore or DEFAULT_METASTORE)
@@ -129,7 +130,8 @@ def main(argv: list[str] | None = None) -> int:
             if rec.name.startswith(LISTING_PREFIX):
                 ms.delete_dataset(rec.full_name)
                 n += 1
-        print(f"removed {n} cached listing(s)")
+        blobs = clear_file_cache()
+        print(f"removed {n} cached listing(s), {blobs} cached blob(s)")
         return 0
 
     sess = Session(metastore_dir=args.metastore or DEFAULT_METASTORE)

@@ -12,14 +12,71 @@ catalog object in the closure — SURVEY.md §7 'UDF object streams' note).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import posixpath
+import tempfile
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# ---- executor-local content cache, keyed by (uri, etag) -------------------
+# Parity: /root/reference/src/datachain/cache.py (downloaded-file cache keyed
+# by etag; consumed by UDFs when settings(cache=True) —
+# lib/udf.py:384-392, catalog/catalog.py:563). Each executor keeps its own
+# cache dir; identical (uri, etag) pairs are fetched once per machine.
+
+_cache_default = False
+
+
+def set_file_cache_default(on: bool) -> None:
+    """Worker-level switch flipped by the UDF wrappers when the chain ran
+    ``settings(cache=True)`` — makes plain ``read_bytes()`` calls inside the
+    UDF hit the cache without threading a flag through user code."""
+    global _cache_default
+    _cache_default = bool(on)
+
+
+def file_cache_dir() -> str:
+    return os.environ.get(
+        "DATACHAIN_SPARK_CACHE",
+        os.path.join(tempfile.gettempdir(), "datachain_spark_cache"),
+    )
+
+
+def clear_file_cache() -> int:
+    """Delete all cached blobs; returns the count removed (CLI clear-cache)."""
+    root = file_cache_dir()
+    n = 0
+    for dirpath, _dirs, names in os.walk(root):
+        for name in names:
+            os.unlink(os.path.join(dirpath, name))
+            n += 1
+    return n
+
+
+def _cached_bytes(uri: str, etag: str, reader) -> bytes:
+    key = hashlib.sha256(f"{uri}\x00{etag}".encode()).hexdigest()
+    path = os.path.join(file_cache_dir(), key[:2], key)
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return f.read()
+    data = reader()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic: concurrent tasks race benignly
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return data
+
 
 try:
     from pydantic import BaseModel, Field
@@ -44,9 +101,13 @@ try:
             uri = self.get_uri()
             return uri[7:] if uri.startswith("file://") else uri
 
-        def read_bytes(self) -> bytes:
+        def read_bytes(self, cache: Optional[bool] = None) -> bytes:
             """Open and read; honors tar-member ``location`` pointers
-            (parity: TarVFile, lib/file.py:110-196)."""
+            (parity: TarVFile, lib/file.py:110-196). ``cache=True`` (or the
+            worker default set via settings(cache=True)) serves repeat reads
+            of the same (uri, etag) from the executor-local cache — parity:
+            cache.py / lib/udf.py:384-392. Tar members bypass the cache
+            (range reads are already cheap)."""
             path = self.get_local_path()
             if self.location:
                 loc = json.loads(self.location)
@@ -58,8 +119,15 @@ try:
                 with open(ppath, "rb") as f:
                     f.seek(offset)
                     return f.read(size)
-            with open(path, "rb") as f:
-                return f.read()
+
+            def _plain() -> bytes:
+                with open(path, "rb") as f:
+                    return f.read()
+
+            use_cache = _cache_default if cache is None else cache
+            if use_cache and self.etag:
+                return _cached_bytes(self.get_uri(), self.etag, _plain)
+            return _plain()
 
         def read_text(self, encoding: str = "utf-8") -> str:
             return self.read_bytes().decode(encoding)

@@ -170,6 +170,7 @@ def build_map_fn(
     out_struct: T.StructType,
     setup: Optional[dict[str, Callable[[], Any]]] = None,
     on_error: str = "raise",
+    cache: bool = False,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """mapInPandas function for .map(): passes input through, appends outputs.
 
@@ -200,6 +201,9 @@ def build_map_fn(
             return cells
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .sources.files import set_file_cache_default
+
+        set_file_cache_default(cache)  # settings(cache=True) parity
         call, inst = _callable(func)
         res = resolve_setup(setup)
         if res:
@@ -230,12 +234,16 @@ def build_gen_fn(
     params: list[str],
     out_struct: T.StructType,
     setup: Optional[dict[str, Callable[[], Any]]] = None,
+    cache: bool = False,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """mapInPandas function for .gen(): each input row yields 0..N output rows;
     the output schema REPLACES the input schema (datachain.py:862-900)."""
     out_names = [f.name for f in out_struct.fields]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .sources.files import set_file_cache_default
+
+        set_file_cache_default(cache)  # settings(cache=True) parity
         call, inst = _callable(func)
         res = resolve_setup(setup)
         if res:
@@ -266,6 +274,7 @@ def build_agg_fn(
     params: list[str],
     out_struct: T.StructType,
     setup: Optional[dict[str, Callable[[], Any]]] = None,
+    cache: bool = False,
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:
     """applyInPandas function for .agg(): the whole group's param columns are
     passed as sequences; the UDF yields output rows (lib/udf.py:545-625 —
@@ -273,6 +282,9 @@ def build_agg_fn(
     out_names = [f.name for f in out_struct.fields]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .sources.files import set_file_cache_default
+
+        set_file_cache_default(cache)  # settings(cache=True) parity
         call, inst = _callable(func)
         res = resolve_setup(setup)
         if res:

@@ -130,3 +130,47 @@ def test_find_predicates(session, tree):
     assert find(listing, suffix=".csv").count() == 1
     assert find(listing, min_size=8).count() > 0
     assert find(listing, glob="cats/*", max_size=7).count() == 2
+
+
+def test_file_cache_etag_keyed(tmp_path, monkeypatch):
+    from datachain_spark.sources.files import File, clear_file_cache
+
+    monkeypatch.setenv("DATACHAIN_SPARK_CACHE", str(tmp_path / "cache"))
+    p = tmp_path / "data.txt"
+    p.write_text("v1")
+    f = File(path=str(p), etag="abc", size=2)
+    assert f.read_bytes(cache=True) == b"v1"
+    p.write_text("v2")
+    # same etag -> cache hit (stale by design; etag IS the version key)
+    assert f.read_bytes(cache=True) == b"v1"
+    assert f.read_bytes(cache=False) == b"v2"
+    # new etag -> refetch
+    assert File(path=str(p), etag="def").read_bytes(cache=True) == b"v2"
+    assert clear_file_cache() == 2
+
+
+def test_settings_cache_flag_reaches_udf(session, tree):
+    # NB: spark python workers were spawned with the original env, so the
+    # cache lands in the DEFAULT dir — measure its delta, don't monkeypatch.
+    import os
+
+    from datachain_spark.sources.files import File, file_cache_dir
+
+    def blob_count():
+        return sum(len(fs) for _, _, fs in os.walk(file_cache_dir()))
+
+    listing = dc.read_storage(tree, session=session, update=True)
+
+    def peek(file) -> int:
+        # plain read_bytes() — the worker default set by settings(cache=True)
+        # routes it through the cache
+        return len(File.model_validate(file).read_bytes())
+
+    before = blob_count()
+    out = (
+        listing.settings(cache=True)
+        .map(peek, params=["file"], output={"nbytes": int})
+    )
+    sizes = {r["file"]["path"]: r["nbytes"] for r in out.to_records()}
+    assert all(v > 0 for v in sizes.values())
+    assert blob_count() - before >= len(sizes)  # one new blob per file
