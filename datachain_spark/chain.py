@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from .columns import Col, to_column, unwrap
 from .session import Session
 from .udf import (
+    _file_struct_params,
     build_agg_fn,
     build_batch_map_fn,
     build_gen_fn,
@@ -114,7 +115,10 @@ class DataChain:
         """Parity: datachain settings(parallel/workers/batch_size/prefetch/
         cache/sys). On Spark, parallel/workers map to a repartition hint
         (executors already parallelize UDFs —
-        /root/reference/src/datachain/query/dispatch.py:54-466 is obsolete)."""
+        /root/reference/src/datachain/query/dispatch.py:54-466 is obsolete).
+        ``cache=True`` routes UDF File reads through the executor-local
+        (uri, etag) cache; ``prefetch=N`` keeps N file downloads in flight
+        ahead of row processing (lib/udf.py:356-392 parity)."""
         out = DataChain(self._df, self.session, {**self._settings, **kwargs}, self._dependencies)
         n = kwargs.get("parallel") or kwargs.get("workers")
         if isinstance(n, int) and n > 0:
@@ -497,7 +501,9 @@ class DataChain:
         param_names = infer_params(func, _names(params) or None, exclude=set(self._setup_values))
         out_struct = normalize_output(func, output, default_name)
         fn = build_map_fn(func, param_names, out_struct, setup=self._setup_values,
-                          on_error=on_error, cache=bool(self._settings.get("cache")))
+                          on_error=on_error, cache=bool(self._settings.get("cache")),
+                          prefetch=int(self._settings.get("prefetch") or 0),
+                          file_params=_file_struct_params(self._df.schema, param_names))
         from pyspark.sql.types import StructType
 
         # output pdf keeps input column order; an output that overrides an
@@ -521,7 +527,9 @@ class DataChain:
         param_names = infer_params(func, _names(params) or None, exclude=set(self._setup_values))
         out_struct = normalize_output(func, output, default_name)
         fn = build_gen_fn(func, param_names, out_struct, setup=self._setup_values,
-                          cache=bool(self._settings.get("cache")))
+                          cache=bool(self._settings.get("cache")),
+                          prefetch=int(self._settings.get("prefetch") or 0),
+                          file_params=_file_struct_params(self._df.schema, param_names))
         return self._evolve(self._df.mapInPandas(fn, out_struct))
 
     def agg(

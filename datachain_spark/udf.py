@@ -164,6 +164,57 @@ def _extract_param(pdf: pd.DataFrame, name: str) -> pd.Series:
     raise KeyError(f"UDF param {name!r} not found in columns {list(pdf.columns)}")
 
 
+class _Prefetcher:
+    """Bounded thread pool warming the executor file cache ahead of row
+    processing. Parity: _prefetch_inputs / AsyncMapper keeping ``prefetch``
+    files in flight per worker (lib/udf.py:356-383, asyn.py:27). Downloads of
+    rows i+1.. overlap the UDF's work on row i; the warmed blobs land in the
+    (uri, etag) cache so the UDF's read_bytes() is a local disk hit."""
+
+    def __init__(self, workers: int):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+
+    def warm_batch(self, pdf: pd.DataFrame, file_params: list[str]) -> None:
+        from .sources.files import File
+
+        if File is None:  # pydantic absent
+            return
+        for p in file_params:
+            for fd in _extract_param(pdf, p).tolist():
+                if isinstance(fd, dict) and fd.get("path"):
+                    self._pool.submit(self._warm, fd)
+
+    @staticmethod
+    def _warm(fd: dict) -> None:
+        from .sources.files import File
+
+        try:
+            File.model_validate(fd).read_bytes(cache=True)
+        except Exception:  # noqa: BLE001 - warming is best-effort
+            pass
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
+
+
+def _file_struct_params(df_schema: T.StructType, params: list[str]) -> list[str]:
+    """Param names whose column is a File-shaped struct (has path + etag)."""
+    out = []
+    for p in params:
+        name = p.split(".", 1)[0]
+        try:
+            f = df_schema[name]
+        except KeyError:
+            continue
+        if isinstance(f.dataType, T.StructType):
+            names = set(f.dataType.fieldNames())
+            if {"path", "etag"} <= names:
+                out.append(p)
+    return out
+
+
 def build_map_fn(
     func: Union[Callable, UDFBase],
     params: list[str],
@@ -171,6 +222,8 @@ def build_map_fn(
     setup: Optional[dict[str, Callable[[], Any]]] = None,
     on_error: str = "raise",
     cache: bool = False,
+    prefetch: int = 0,
+    file_params: Optional[list[str]] = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """mapInPandas function for .map(): passes input through, appends outputs.
 
@@ -203,7 +256,10 @@ def build_map_fn(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .sources.files import set_file_cache_default
 
-        set_file_cache_default(cache)  # settings(cache=True) parity
+        # prefetch implies cache-backed reads (the warmed blob must be where
+        # read_bytes looks); plain cache=True keeps reference semantics
+        set_file_cache_default(cache or prefetch > 0)
+        pre = _Prefetcher(prefetch) if prefetch > 0 and file_params else None
         call, inst = _callable(func)
         res = resolve_setup(setup)
         if res:
@@ -213,6 +269,8 @@ def build_map_fn(
             inst.setup()
         try:
             for pdf in batches:
+                if pre is not None and len(pdf):
+                    pre.warm_batch(pdf, file_params)
                 cols = [_extract_param(pdf, p) for p in params]
                 results = [
                     run_one(call, vals)
@@ -223,6 +281,8 @@ def build_map_fn(
                     out[n] = [r[i] for r in results] if results else pd.Series([], dtype=object)
                 yield out
         finally:
+            if pre is not None:
+                pre.close()
             if inst is not None:
                 inst.teardown()
 
@@ -235,6 +295,8 @@ def build_gen_fn(
     out_struct: T.StructType,
     setup: Optional[dict[str, Callable[[], Any]]] = None,
     cache: bool = False,
+    prefetch: int = 0,
+    file_params: Optional[list[str]] = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """mapInPandas function for .gen(): each input row yields 0..N output rows;
     the output schema REPLACES the input schema (datachain.py:862-900)."""
@@ -243,7 +305,8 @@ def build_gen_fn(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .sources.files import set_file_cache_default
 
-        set_file_cache_default(cache)  # settings(cache=True) parity
+        set_file_cache_default(cache or prefetch > 0)
+        pre = _Prefetcher(prefetch) if prefetch > 0 and file_params else None
         call, inst = _callable(func)
         res = resolve_setup(setup)
         if res:
@@ -253,6 +316,8 @@ def build_gen_fn(
             inst.setup()
         try:
             for pdf in batches:
+                if pre is not None and len(pdf):
+                    pre.warm_batch(pdf, file_params)
                 rows: list[list[Any]] = []
                 cols = [_extract_param(pdf, p) for p in params]
                 for vals in zip(*[c.tolist() for c in cols]):
@@ -263,6 +328,8 @@ def build_gen_fn(
                         rows.append(_result_to_cells(item, out_names))
                 yield pd.DataFrame(rows, columns=out_names)
         finally:
+            if pre is not None:
+                pre.close()
             if inst is not None:
                 inst.teardown()
 

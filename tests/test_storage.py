@@ -154,7 +154,7 @@ def test_settings_cache_flag_reaches_udf(session, tree):
     # cache lands in the DEFAULT dir — measure its delta, don't monkeypatch.
     import os
 
-    from datachain_spark.sources.files import File, file_cache_dir
+    from datachain_spark.sources.files import File, clear_file_cache, file_cache_dir
 
     def blob_count():
         return sum(len(fs) for _, _, fs in os.walk(file_cache_dir()))
@@ -166,6 +166,7 @@ def test_settings_cache_flag_reaches_udf(session, tree):
         # routes it through the cache
         return len(File.model_validate(file).read_bytes())
 
+    clear_file_cache()  # same etags may be cached by a sibling test
     before = blob_count()
     out = (
         listing.settings(cache=True)
@@ -174,3 +175,27 @@ def test_settings_cache_flag_reaches_udf(session, tree):
     sizes = {r["file"]["path"]: r["nbytes"] for r in out.to_records()}
     assert all(v > 0 for v in sizes.values())
     assert blob_count() - before >= len(sizes)  # one new blob per file
+
+
+def test_settings_prefetch_warms_cache(session, tree):
+    import os
+
+    from datachain_spark.sources.files import File, clear_file_cache, file_cache_dir
+
+    def blob_count():
+        return sum(len(fs) for _, _, fs in os.walk(file_cache_dir()))
+
+    listing = dc.read_storage(tree, session=session, update=True)
+
+    def peek(file) -> int:
+        return len(File.model_validate(file).read_bytes())
+
+    clear_file_cache()  # same etags may be cached by a sibling test
+    before = blob_count()
+    out = (
+        listing.settings(prefetch=2)  # no cache flag: prefetch alone warms
+        .map(peek, params=["file"], output={"nbytes": int})
+    )
+    recs = out.to_records()
+    assert all(r["nbytes"] > 0 for r in recs)
+    assert blob_count() - before >= len(recs)
