@@ -937,6 +937,34 @@ FROM orders GROUP BY 1, 2 ORDER BY yr, mo
 """
 
 
+def semi_join_orders(spark, sf):
+    """TPC-H Q4 shape: orders with ≥1 lineitem shipped in 1996H1, counted by
+    priority. Spark left_semi (no row duplication, right side only hashed) —
+    the reference can only express this as subtract-of-subtract
+    (SURVEY.md §2.4 'not present: semi join')."""
+    li = _chain(spark, sf, "lineitem").filter(
+        C.l_shipdate >= "1996-01-01", C.l_shipdate < "1996-07-01"
+    )
+    orders = _chain(spark, sf, "orders")
+    return (
+        orders.semi_join(li, on="o_orderkey", right_on="l_orderkey")
+        .group_by(partition_by="o_orderpriority", n=func.count())
+        .order_by("o_orderpriority")
+        .df
+    )
+
+
+SEMI_SQL = """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-07-01')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def rollup_orders(spark, sf):
     """Grouping-set aggregation (kind='rollup' — absent in the reference,
     SURVEY.md §2.5 'not present'; exposed because Spark gives it free).
@@ -1444,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_expr_keys": group_by_expr_keys,
         "rollup_orders": rollup_orders,
         "pivot_status_qty": pivot_status_qty,
+        "semi_join_orders": semi_join_orders,
         "merge_multi_key": merge_multi_key,
         "ngram_jaccard_oracle": ngram_jaccard_oracle,
         "stopword_lang_hits": stopword_lang_hits,
@@ -1503,6 +1532,7 @@ def oracle_sql() -> dict[str, str]:
         "group_by_expr_keys": GROUP_EXPR_SQL,
         "rollup_orders": ROLLUP_SQL,
         "pivot_status_qty": PIVOT_SQL,
+        "semi_join_orders": SEMI_SQL,
         "merge_multi_key": MERGE_MULTI_SQL,
         "ngram_jaccard_oracle": NGRAM_SQL,
         "stopword_lang_hits": STOPWORD_SQL,

@@ -251,6 +251,30 @@ class DataChain:
             self._df.filter(F.pmod(F.xxhash64(*cols), F.lit(total)) == index)
         )
 
+    def sample_by(
+        self,
+        col: ColumnLike,
+        fractions: dict[Any, float],
+        seed: int = 42,
+    ) -> "DataChain":
+        """Stratified sampling: keep ``fractions[k]`` of the rows for each
+        value k of ``col`` (class-balancing a training corpus). No reference
+        counterpart; deterministic — a seeded per-row hash is compared
+        against the stratum's fraction, so results are stable across retries
+        and partitionings (unlike DataFrame.sampleBy). Unlisted strata are
+        dropped, matching DataFrame.sampleBy."""
+        for k, f in fractions.items():
+            if not 0.0 <= f <= 1.0:
+                raise ValueError(f"sample_by: fraction for {k!r} not in [0,1]")
+        key = to_column(col)
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in self._df.columns]
+        u = F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(2**31)) / F.lit(float(2**31))
+        frac = None
+        for k, f in fractions.items():
+            frac = F.when(key == F.lit(k), F.lit(float(f))) if frac is None \
+                else frac.when(key == F.lit(k), F.lit(float(f)))
+        return self._evolve(self._df.filter(u < frac))
+
     def train_test_split(
         self, weights: Sequence[float], seed: int = 42
     ) -> list["DataChain"]:
@@ -372,6 +396,34 @@ class DataChain:
             cond = c if cond is None else cond & c
         return self._evolve(
             self._df.join(right, cond, "left_anti"), extra_deps=other._dependencies
+        )
+
+    def semi_join(
+        self,
+        other: "DataChain",
+        on: Union[str, Sequence[str], None] = None,
+        right_on: Union[str, Sequence[str], None] = None,
+    ) -> "DataChain":
+        """Keep rows whose key(s) DO appear in ``other`` — the complement of
+        subtract(). No reference counterpart (SURVEY.md §2.4 'not present:
+        semi join'); exposed because Spark's left_semi is the efficient plan
+        for EXISTS-style predicates (no row duplication, right side only
+        hashed). Null-safe keys, same convention as subtract."""
+        lkeys = _names(on)
+        rkeys = _names(right_on) or lkeys
+        if not lkeys:
+            lkeys = rkeys = [c for c in self._df.columns if c in set(other._df.columns)]
+            if not lkeys:
+                raise DatasetMergeError("semi_join: no common columns to compare on")
+        if len(lkeys) != len(rkeys):
+            raise DatasetMergeError("semi_join: on/right_on length mismatch")
+        right = other._df.select(*rkeys).dropDuplicates()
+        cond = None
+        for lk, rk in zip(lkeys, rkeys):
+            c = self._df[lk].eqNullSafe(right[rk])
+            cond = c if cond is None else cond & c
+        return self._evolve(
+            self._df.join(right, cond, "left_semi"), extra_deps=other._dependencies
         )
 
     def merge(

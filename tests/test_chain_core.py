@@ -115,6 +115,37 @@ def test_subtract_null_safe(session):
     assert sorted(out.to_values("v")) == ["a", "d"]  # NULL key matched null-safely
 
 
+def test_semi_join(session):
+    left = dc.read_values(session=session, k=[1, 2, None, 4], v=list("abcd"))
+    right = dc.read_values(session=session, k=[2, None, 2], w=["x", "y", "z"])
+    out = left.semi_join(right, on="k")
+    # complement of subtract: NULL key matches null-safely; no duplication
+    # from the doubled k=2 on the right
+    assert sorted(out.to_values("v")) == ["b", "c"]
+    assert set(out.columns) == {"k", "v"}  # right columns never leak
+    with pytest.raises(dc.DatasetMergeError):
+        left.semi_join(dc.read_values(session=session, z=[1]))
+
+
+def test_sample_by_stratified(session):
+    ch = dc.read_values(
+        session=session,
+        cls=["a"] * 400 + ["b"] * 400 + ["c"] * 200,
+        x=list(range(1000)),
+    )
+    out = ch.sample_by("cls", {"a": 0.25, "b": 1.0}, seed=3)
+    counts = {r["cls"]: r["n"] for r in
+              out.group_by(partition_by="cls", n=dc.func.count()).to_records()}
+    assert counts["b"] == 400          # fraction 1.0 keeps everything
+    assert 40 < counts.get("a", 0) < 200  # ~100 of 400
+    assert "c" not in counts           # unlisted stratum dropped
+    # deterministic across invocations
+    assert sorted(out.to_values("x")) == sorted(
+        ch.sample_by("cls", {"a": 0.25, "b": 1.0}, seed=3).to_values("x"))
+    with pytest.raises(ValueError):
+        ch.sample_by("cls", {"a": 1.5})
+
+
 def test_merge_left_default_and_rname(session):
     left = dc.read_values(session=session, id=[1, 2, 3], val=["a", "b", "c"])
     right = dc.read_values(session=session, id=[1, 2, 9], val=["x", "y", "z"])
