@@ -1086,6 +1086,53 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_components(spark, sf):
+    """Connected components over the exact n-gram-Jaccard pair graph —
+    cluster ids for group-wise dedup. Oracle: transitive closure via DuckDB
+    recursive CTE over the identical pair definition."""
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 150)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=2, threshold=0.12)
+    return dedup.connected_components(pairs).orderBy("id")
+
+
+COMPONENTS_SQL = """
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id < 150
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)]
+           END) AS shingles
+  FROM words
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.12
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT v.id, least(v.id, min(r.dst)) AS component
+FROM (SELECT DISTINCT src AS id FROM sym) v
+JOIN reach r ON r.src = v.id
+GROUP BY v.id ORDER BY id
+"""
+
+
 def stopword_lang_hits(spark, sf):
     """Per-language stopword coverage counts — the SQL-expressible core of
     the language-ID heuristic (lang_id_counts oracles the argmax itself)."""
@@ -1475,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_orders": semi_join_orders,
         "merge_multi_key": merge_multi_key,
         "ngram_jaccard_oracle": ngram_jaccard_oracle,
+        "dedup_components": dedup_components,
         "stopword_lang_hits": stopword_lang_hits,
         "asof_join_events": asof_join_events,
         "salted_agg_events": salted_agg_events,
@@ -1535,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_orders": SEMI_SQL,
         "merge_multi_key": MERGE_MULTI_SQL,
         "ngram_jaccard_oracle": NGRAM_SQL,
+        "dedup_components": COMPONENTS_SQL,
         "stopword_lang_hits": STOPWORD_SQL,
         "asof_join_events": ASOF_SQL,
         "salted_agg_events": SALTED_SQL,

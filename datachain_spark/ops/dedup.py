@@ -174,16 +174,79 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster a near-duplicate pair graph into components: returns
+    (id, component) where component = the minimum id reachable.
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum label among itself and its neighbors; converges in
+    O(log diameter) rounds for the short chains dedup graphs produce (the
+    large-star/small-star refinement would cut rounds on pathological long
+    paths). Each round is one shuffle (groupBy vertex); lineage is truncated
+    per round with localCheckpoint so the plan doesn't grow with iterations.
+    Driver involvement is one convergence count per round — no data is
+    collected."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("id", "component").union(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
+    exhaustive: bool = False,
     **lsh_kwargs,
 ) -> DataFrame:
-    """Drop the higher-id member of every near-duplicate pair (greedy
-    single-pass; connected-component clustering is the exhaustive variant)."""
+    """Drop near-duplicates, keeping one representative per group.
+
+    Greedy single-pass by default (drop the higher-id member of every pair —
+    can over-drop when pairs chain: a-b and b-c drops b and c even if a,c
+    aren't near-dups). ``exhaustive=True`` resolves the pair graph into
+    connected components first and keeps exactly the min-id representative
+    of each component."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    if exhaustive:
+        comp = connected_components(pairs)
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
     return df.join(losers, on=id_col, how="left_anti")
 
 

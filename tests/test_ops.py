@@ -48,6 +48,32 @@ def test_minhash_dedup_drops_dupes(docs):
     assert 0 in ids and len(ids) < 6
 
 
+def test_connected_components_chains(session):
+    # chain 1-2-3-4 (one component), pair 10-11, isolated vertex never appears
+    pairs = dc.read_values(
+        session=session, id_a=[1, 2, 3, 10], id_b=[2, 3, 4, 11]
+    )
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs.df).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # edge direction must not matter
+    rev = dc.read_values(session=session, id_a=[2, 3, 4, 11], id_b=[1, 2, 3, 10])
+    comp2 = {r["id"]: r["component"]
+             for r in dedup.connected_components(rev.df).collect()}
+    assert comp2 == comp
+
+
+def test_minhash_dedup_exhaustive_keeps_one_per_component(docs):
+    out = dedup.minhash_dedup(
+        docs.df.filter(F.length("text") > 0), "doc_id", "text",
+        exhaustive=True, num_hashes=64, bands=16, jaccard_threshold=0.3,
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # the fox trio {0,1,2} collapses to exactly its min id
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert {3, 4, 5} <= set(ids)  # non-dup docs all survive
+
+
 def test_simhash_near_dup(docs):
     pairs = dedup.simhash_pairs(
         docs.df.filter(F.length("text") > 0), "doc_id", "text",
