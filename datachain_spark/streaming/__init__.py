@@ -1,4 +1,5 @@
 from .stream import (
+    dedup_stream,
     read_stream,
     running_counts_stateful,
     sessionize_stream,
@@ -6,4 +7,11 @@ from .stream import (
     windowed_agg,
 )
 
-__all__ = ["read_stream", "windowed_agg", "sessionize_stream", "stream_to_dataset", "running_counts_stateful"]
+__all__ = [
+    "read_stream",
+    "windowed_agg",
+    "sessionize_stream",
+    "stream_to_dataset",
+    "running_counts_stateful",
+    "dedup_stream",
+]

@@ -86,6 +86,24 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: drop rows whose key(s) were already seen within
+    the watermark horizon (dropDuplicatesWithinWatermark — state-store
+    bounded, so it runs forever at 100 TB/day; unbounded dropDuplicates
+    would accumulate state without limit). The streaming analog of
+    ops.dedup.exact_dedup for ingest pipelines."""
+    out = df.withWatermark(ts_col, watermark)
+    try:
+        return out.dropDuplicatesWithinWatermark(keys)
+    except AttributeError:  # Spark < 3.5 fallback: state unbounded
+        return out.dropDuplicates(keys)
+
+
 def running_counts_stateful(
     df: DataFrame,
     key_col: str = "user_id",

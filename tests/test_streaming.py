@@ -106,3 +106,36 @@ def test_stateful_running_counts(session, stream_dir, tmp_path):
             for r in spark.sql("SELECT * FROM state_counts").collect()}
     assert rows[1] == (3, 37.0)
     assert rows[2] == (1, 5.0)
+
+
+def test_dedup_stream(session, tmp_path):
+    from datachain_spark.streaming import dedup_stream
+
+    spark = session.spark
+    d = str(tmp_path / "dup_src")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", "a"),
+            (1, "2024-01-01 00:06:00", "a-dup"),     # same key within horizon
+            (2, "2024-01-01 00:10:00", "b"),
+            (1, "2024-01-01 03:00:00", "a-later"),   # same key past watermark
+        ],
+        "k long, ts_str string, v string",
+    ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+    df.write.parquet(d)
+
+    stream = read_stream(spark, d, max_files_per_trigger=1)
+    deduped = dedup_stream(stream, ["k"], ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp5"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ks = [r["k"] for r in spark.sql("SELECT k FROM dedup_out").collect()]
+    # both keys survive exactly once per watermark horizon; the within-horizon
+    # duplicate of k=1 is dropped
+    assert sorted(ks)[:2] == [1, 2] and ks.count(1) <= 2
