@@ -965,6 +965,34 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def intersect_cross(spark, sf):
+    """intersect + cross_merge in one query (both absent in the reference —
+    SURVEY.md §2.4 'not present'): market segments occurring in BOTH the
+    high-balance and low-balance customer cohorts, crossed with every
+    region name."""
+    cust = _chain(spark, sf, "customer")
+    region = _chain(spark, sf, "region")
+    a = cust.filter(C.c_acctbal > 5000).select("c_mktsegment")
+    b = cust.filter(C.c_acctbal < 2000).select("c_mktsegment")
+    return (
+        a.intersect(b)
+        .cross_merge(region.select("r_name"))
+        .order_by("c_mktsegment", "r_name")
+        .df
+    )
+
+
+INTERSECT_CROSS_SQL = """
+WITH i AS (
+  SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT c_mktsegment FROM customer WHERE c_acctbal < 2000
+)
+SELECT c_mktsegment, r_name FROM i CROSS JOIN region
+ORDER BY c_mktsegment, r_name
+"""
+
+
 def rollup_orders(spark, sf):
     """Grouping-set aggregation (kind='rollup' — absent in the reference,
     SURVEY.md §2.5 'not present'; exposed because Spark gives it free).
@@ -1520,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": rollup_orders,
         "pivot_status_qty": pivot_status_qty,
         "semi_join_orders": semi_join_orders,
+        "intersect_cross": intersect_cross,
         "merge_multi_key": merge_multi_key,
         "ngram_jaccard_oracle": ngram_jaccard_oracle,
         "dedup_components": dedup_components,
@@ -1581,6 +1610,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_orders": ROLLUP_SQL,
         "pivot_status_qty": PIVOT_SQL,
         "semi_join_orders": SEMI_SQL,
+        "intersect_cross": INTERSECT_CROSS_SQL,
         "merge_multi_key": MERGE_MULTI_SQL,
         "ngram_jaccard_oracle": NGRAM_SQL,
         "dedup_components": COMPONENTS_SQL,

@@ -426,6 +426,36 @@ class DataChain:
             self._df.join(right, cond, "left_semi"), extra_deps=other._dependencies
         )
 
+    def intersect(self, other: "DataChain") -> "DataChain":
+        """SQL INTERSECT (distinct rows present in both chains). No reference
+        counterpart (SURVEY.md §2.4 'not present: intersect'); free on Spark.
+        Same schema contract as union."""
+        left, right = set(self._df.columns), set(other._df.columns)
+        if left != right:
+            raise DatasetMergeError(
+                f"intersect schemas mismatch: only-left={sorted(left - right)} "
+                f"only-right={sorted(right - left)}"
+            )
+        return self._evolve(
+            self._df.intersect(other._df.select(*self._df.columns)),
+            extra_deps=other._dependencies,
+        )
+
+    def cross_merge(self, right: "DataChain", rname: str = "right_") -> "DataChain":
+        """Cartesian product with merge-style collision prefixing. No
+        reference counterpart (SURVEY.md §2.4 'not present: cross join').
+        Meant for small×small or broadcast-small×big shapes — at 100 TB the
+        planner will broadcast the smaller side; a big×big cross is
+        intentionally left to fail on resources rather than hidden."""
+        ldf, rdf = self._df, right._df
+        if ldf is rdf:
+            rdf = rdf.alias("r_clone")
+        lcols = set(ldf.columns)
+        rsel = [rdf[c].alias(rname + c if c in lcols else c) for c in rdf.columns]
+        return self._evolve(
+            ldf.crossJoin(rdf.select(*rsel)), extra_deps=right._dependencies
+        )
+
     def merge(
         self,
         right: "DataChain",

@@ -146,6 +146,25 @@ def test_sample_by_stratified(session):
         ch.sample_by("cls", {"a": 1.5})
 
 
+def test_intersect(session):
+    a = dc.read_values(session=session, k=[1, 2, 2, 3], v=["x", "y", "y", "z"])
+    b = dc.read_values(session=session, k=[2, 3, 4], v=["y", "z", "w"])
+    out = a.intersect(b)
+    assert sorted((r["k"], r["v"]) for r in out.to_records()) == [(2, "y"), (3, "z")]
+    with pytest.raises(dc.DatasetMergeError):
+        a.intersect(dc.read_values(session=session, z=[1]))
+
+
+def test_cross_merge(session):
+    a = dc.read_values(session=session, k=[1, 2], v=["x", "y"])
+    b = dc.read_values(session=session, k=[10, 20], w=["p", "q"])
+    out = a.cross_merge(b)
+    assert out.count() == 4
+    assert set(out.columns) == {"k", "v", "right_k", "w"}  # collision prefixed
+    # self cross keeps both sides distinct
+    assert a.cross_merge(a).count() == 4
+
+
 def test_merge_left_default_and_rname(session):
     left = dc.read_values(session=session, id=[1, 2, 3], val=["a", "b", "c"])
     right = dc.read_values(session=session, id=[1, 2, 9], val=["x", "y", "z"])
