@@ -1452,8 +1452,28 @@ def read_storage_ro(spark, sf):
     ).orderBy("path")
 
 
+MULTIMODAL_SQL = """
+WITH hh AS (
+  SELECT doc_id, sha256(text) AS hx FROM documents WHERE doc_id < 50
+), b AS (
+  SELECT doc_id,
+    (strpos('0123456789abcdef', substring(hx,1,1))-1)*16 + strpos('0123456789abcdef', substring(hx,2,1))-1 AS b0,
+    (strpos('0123456789abcdef', substring(hx,3,1))-1)*16 + strpos('0123456789abcdef', substring(hx,4,1))-1 AS b1,
+    (strpos('0123456789abcdef', substring(hx,5,1))-1)*16 + strpos('0123456789abcdef', substring(hx,6,1))-1 AS b2
+  FROM hh
+)
+SELECT doc_id, CAST(64 + b0 % 192 AS INTEGER) AS w,
+       CAST(64 + b1 % 192 AS INTEGER) AS h,
+       (['jpeg','png','webp'])[b2 % 3 + 1] AS fmt
+FROM b ORDER BY doc_id
+"""
+
+
 def multimodal_ro(spark, sf):
-    """Binary-column plumbing: fake image meta + embedding over doc bytes."""
+    """Binary-column plumbing: fake image meta over doc bytes. The fake
+    decoder is sha256-derived and deterministic, so even the mapInPandas
+    binary path gets a full DuckDB oracle (MULTIMODAL_SQL replicates the
+    byte math hex-digit-wise)."""
     from datachain_spark.ops import multimodal
 
     docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 50)
@@ -1568,9 +1588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": minhash_pairs_ro,
         "simhash_pairs": simhash_pairs_ro,
         "ngram_jaccard_pairs": ngram_jaccard_ro,
+        "multimodal_image_meta": multimodal_ro,  # oracled (sha256 fake decode)
         "sample_shuffle_chunk": sample_shuffle_chunk_ro,
         "read_storage_listing": read_storage_ro,
-        "multimodal_image_meta": multimodal_ro,
         "save_read_roundtrip": save_read_roundtrip_ro,
         "delta_incremental": delta_incremental_ro,
     }
@@ -1624,4 +1644,5 @@ def oracle_sql() -> dict[str, str]:
         "udf_gen": UDF_GEN_SQL,
         "udf_agg": UDF_AGG_SQL,
         "lang_id_counts": _lang_id_sql(),
+        "multimodal_image_meta": MULTIMODAL_SQL,
     }
