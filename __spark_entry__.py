@@ -1365,8 +1365,42 @@ def simhash_pairs_ro(spark, sf):
 
 
 def ngram_jaccard_ro(spark, sf):
+    """Default-shingle (3-gram) Jaccard pairs at threshold 0.2 — oracled by
+    the same inverted-index SQL as ngram_jaccard_oracle with 3-gram params."""
     docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jac_r")
+    ).orderBy("id_a", "id_b")
+
+
+NGRAM3_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]
+           END) AS shingles
+  FROM words
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jac_r
+FROM inter
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+ORDER BY id_a, id_b
+"""
 
 
 def lang_id_ro(spark, sf):
@@ -1587,7 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": winnow_fingerprints_ro,
         "minhash_pairs": minhash_pairs_ro,
         "simhash_pairs": simhash_pairs_ro,
-        "ngram_jaccard_pairs": ngram_jaccard_ro,
+        "ngram_jaccard_pairs": ngram_jaccard_ro,  # oracled (3-gram template)
         "multimodal_image_meta": multimodal_ro,  # oracled (sha256 fake decode)
         "sample_shuffle_chunk": sample_shuffle_chunk_ro,
         "read_storage_listing": read_storage_ro,
@@ -1645,4 +1679,5 @@ def oracle_sql() -> dict[str, str]:
         "udf_agg": UDF_AGG_SQL,
         "lang_id_counts": _lang_id_sql(),
         "multimodal_image_meta": MULTIMODAL_SQL,
+        "ngram_jaccard_pairs": NGRAM3_SQL,
     }
