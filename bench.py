@@ -35,6 +35,8 @@ HEADLINE = [
     "minhash_pairs",
     "udf_map",
     "udf_agg",
+    "semi_join_orders",
+    "dedup_components",
 ]
 
 

@@ -263,6 +263,8 @@ class DataChain:
         against the stratum's fraction, so results are stable across retries
         and partitionings (unlike DataFrame.sampleBy). Unlisted strata are
         dropped, matching DataFrame.sampleBy."""
+        if not fractions:
+            raise ValueError("sample_by: fractions must be non-empty")
         for k, f in fractions.items():
             if not 0.0 <= f <= 1.0:
                 raise ValueError(f"sample_by: fraction for {k!r} not in [0,1]")
