@@ -1403,6 +1403,126 @@ ORDER BY id_a, id_b
 """
 
 
+# ---- portable-hash (md5) sketch oracles ------------------------------------
+# hash_fn="md5" makes the 64-bit hash reproducible in DuckDB
+# (CAST('0x'||substring(md5(x),1,15) AS BIGINT)), so the FULL minhash/simhash
+# machinery — shingling, per-seed min aggregation, banding, bucket join,
+# signature/hamming verification — is hash-verified end-to-end. The xxhash64
+# default stays the production path (same plan, different leaf hash).
+
+_MD5H = "CAST('0x' || substring(md5({x}),1,15) AS BIGINT)"
+
+_WORDS_2G_150 = """words AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id < 150
+), sh AS (
+  SELECT doc_id,
+         {distinct}(
+           CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)]
+           END) AS shingles
+  FROM words
+), tok AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+)"""
+
+
+def _minhash_md5_sql(num_hashes: int = 8, bands: int = 4, threshold: float = 0.25) -> str:
+    rpb = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        "min(" + _MD5H.format(x=f"shingle || ':{i}'") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _MD5H.format(
+            x="concat_ws(',', " + ", ".join(f"h{b * rpb + j}" for j in range(rpb)) + ")"
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    words = _WORDS_2G_150.format(distinct="list_distinct")
+    return f"""
+WITH {words}, sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM tok GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ({eq_sum}) / {num_hashes}.0 AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE ({eq_sum}) / {num_hashes}.0 >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+MINHASH_MD5_SQL = _minhash_md5_sql()
+
+
+def minhash_pairs_md5(spark, sf):
+    """Full MinHash-LSH pipeline under the portable md5 hash family —
+    bit-for-bit oracled by MINHASH_MD5_SQL."""
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 150)
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=8, bands=4, shingle_size=2,
+        jaccard_threshold=0.25, hash_fn="md5",
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_md5_sql(num_bits: int = 16, prefix_bits: int = 6, max_hamming: int = 3) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(num_bits)
+    )
+    sketch = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(num_bits)
+    )
+    words = _WORDS_2G_150.format(distinct="")  # simhash votes count duplicates
+    hv = _MD5H.format(x="shingle")
+    return f"""
+WITH {words}, h AS (
+  SELECT doc_id, {hv} AS hv FROM tok
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+), sk AS (
+  SELECT doc_id, CAST({sketch} AS BIGINT) AS sh FROM votes
+), blk AS (
+  SELECT doc_id, sh, sh >> {num_bits - prefix_bits} AS blk FROM sk
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sh, b.sh)) AS hamming
+FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+SIMHASH_MD5_SQL = _simhash_md5_sql()
+
+
+def simhash_pairs_md5(spark, sf):
+    """SimHash sketch + prefix blocking + hamming verify under the portable
+    md5 hash family — oracled by SIMHASH_MD5_SQL (per-bit vote replication)."""
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 150)
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text",
+        max_hamming=3, prefix_bits=6, num_bits=16, hash_fn="md5",
+    ).orderBy("id_a", "id_b")
+
+
 def lang_id_ro(spark, sf):
     docs = _chain(spark, sf, "documents")
     return (
@@ -1617,6 +1737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udf_map": udf_map_ro,
         "udf_gen": udf_gen_ro,
         "udf_agg": udf_agg_ro,
+        # portable-hash sketch oracles (md5 family, full machinery verified)
+        "minhash_pairs_md5": minhash_pairs_md5,
+        "simhash_pairs_md5": simhash_pairs_md5,
         # rows-only
         "winnow_fingerprints": winnow_fingerprints_ro,
         "minhash_pairs": minhash_pairs_ro,
@@ -1680,4 +1803,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_counts": _lang_id_sql(),
         "multimodal_image_meta": MULTIMODAL_SQL,
         "ngram_jaccard_pairs": NGRAM3_SQL,
+        "minhash_pairs_md5": MINHASH_MD5_SQL,
+        "simhash_pairs_md5": SIMHASH_MD5_SQL,
     }

@@ -18,8 +18,13 @@ these are the LLM-data-pipeline additions, designed for 100 TB:
 - embedding_near_dup: cosine-similarity pairs over an embedding column via
   random-hyperplane LSH bucketing (or brute-force under a row threshold).
 
-All hashing uses Spark-native xxhash64/hash — deterministic across runs and
-executors.
+All hashing uses Spark-native xxhash64/hash by default — deterministic across
+runs and executors. Every sketch operator also accepts ``hash_fn="md5"``: a
+portable 60-bit hash (top 15 hex digits of md5) that DuckDB/Trino/BigQuery can
+reproduce bit-for-bit, so the *entire* minhash/simhash machinery (shingling,
+min-aggregation, banding, bucket join, verification) is hash-verifiable
+against an independent SQL engine. xxhash64 stays the production default —
+one JVM codegen'd instruction stream vs md5's digest allocation.
 """
 
 from __future__ import annotations
@@ -49,11 +54,32 @@ def exact_dedup(
     )
 
 
+def _hash64(col, hash_fn: str) -> "F.Column":
+    """64-bit (60-bit for md5) integer hash of a string column."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        # top 15 hex digits of md5 -> non-negative 60-bit long; DuckDB
+        # equivalent: CAST('0x' || substring(md5(x),1,15) AS BIGINT)
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def _seeded_hash64(col, seed: int, hash_fn: str) -> "F.Column":
+    """Seeded variant: xxhash64 takes the seed natively; md5 appends it."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    return _hash64(F.concat(col, F.lit(f":{seed}")), hash_fn)
+
+
 def minhash_signature(
-    text_col, num_hashes: int = 64, shingle_size: int = 3
+    text_col,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> "F.Column":
     """Array of `num_hashes` minhash values: min over shingles of
-    xxhash64(shingle, seed_i). Expressed with higher-order functions — the
+    hash(shingle, seed_i). Expressed with higher-order functions — the
     whole signature is one codegen'd projection, no UDF."""
     sh = shingles(text_col, n=shingle_size)
 
@@ -61,7 +87,7 @@ def minhash_signature(
         # NB: the lambda must take exactly one arg — pyspark dispatches on
         # lambda arity, and a default-arg closure would be read as the
         # (value, index) form of transform()
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+        return F.array_min(F.transform(sh, lambda s: _seeded_hash64(s, seed, hash_fn)))
 
     return F.array(*[one(i) for i in range(num_hashes)])
 
@@ -74,6 +100,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_size: int = 3,
     jaccard_threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH, verified by
     estimated Jaccard (signature agreement rate).
@@ -105,7 +132,7 @@ def minhash_lsh_pairs(
         exploded.groupBy("__id")
         .agg(
             *[
-                F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"__h{i}")
+                F.min(_seeded_hash64(F.col("__shingle"), i, hash_fn)).alias(f"__h{i}")
                 for i in range(num_hashes)
             ]
         )
@@ -124,14 +151,15 @@ def minhash_lsh_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
+                    _hash64(
                         F.array_join(
                             F.transform(
                                 F.slice("__sig", b * rows_per_band + 1, rows_per_band),
                                 lambda v: v.cast("string"),
                             ),
                             ",",
-                        )
+                        ),
+                        hash_fn,
                     ).alias("bucket"),
                 )
                 for b in range(bands)
@@ -250,13 +278,15 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
-def simhash(text_col, shingle_size: int = 2, num_bits: int = 32) -> "F.Column":
+def simhash(
+    text_col, shingle_size: int = 2, num_bits: int = 32, hash_fn: str = "xxhash64"
+) -> "F.Column":
     """SimHash over word shingles: sum per-bit +/-1 votes of each shingle's
-    xxhash64, take sign bits. Built from bit-algebra columns — one pass, no
+    hash, take sign bits. Built from bit-algebra columns — one pass, no
     UDF. num_bits defaults to 32 (the expression tree holds num_bits
     aggregates; 32 keeps codegen fast and hamming discrimination ample)."""
     sh = shingles(text_col, n=shingle_size)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = F.transform(sh, lambda s: _hash64(s, hash_fn))
 
     def bit_vote(i: int):
         mask = F.lit(2**i).cast("long")
@@ -281,13 +311,14 @@ def simhash_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 12,
     num_bits: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs: block on the top `prefix_bits` of the
     simhash (near-dups almost always share the prefix when max_hamming is
     small), verify with exact bit hamming distance."""
     s = df.select(
         F.col(id_col).alias("__id"),
-        simhash(F.col(text_col), num_bits=num_bits).alias("__sh"),
+        simhash(F.col(text_col), num_bits=num_bits, hash_fn=hash_fn).alias("__sh"),
     ).withColumn("__blk", F.shiftright("__sh", num_bits - prefix_bits))
     a, b = s.alias("a"), s.alias("b")
     return (
