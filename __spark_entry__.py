@@ -1523,6 +1523,36 @@ def simhash_pairs_md5(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+WINNOW_MD5_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id < 100
+), g AS (
+  SELECT doc_id,
+         [CAST('0x' || substring(md5(substring(t, i, 8)),1,15) AS BIGINT)
+          for i in generate_series(1, len(t) - 7)] AS h
+  FROM d WHERE len(t) >= 8
+)
+SELECT doc_id,
+       unnest(list_distinct(
+         [list_min(h[j:least(j + 3, len(h))]) for j in generate_series(1, len(h))]
+       )) AS fingerprint
+FROM g ORDER BY doc_id, fingerprint
+"""
+
+
+def winnow_md5(spark, sf):
+    """Winnowing (k-gram rolling hash, window-min, distinct) under the
+    portable md5 family — every fingerprint value oracled by WINNOW_MD5_SQL
+    (trailing partial windows included, matching rowsBetween(0, w-1))."""
+    from datachain_spark.ops.text import winnow_fingerprints
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 100)
+    return winnow_fingerprints(
+        docs, "doc_id", "text", k=8, window=4, hash_fn="md5"
+    ).orderBy("doc_id", "fingerprint")
+
+
 def lang_id_ro(spark, sf):
     docs = _chain(spark, sf, "documents")
     return (
@@ -1740,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # portable-hash sketch oracles (md5 family, full machinery verified)
         "minhash_pairs_md5": minhash_pairs_md5,
         "simhash_pairs_md5": simhash_pairs_md5,
+        "winnow_fingerprints_md5": winnow_md5,
         # rows-only
         "winnow_fingerprints": winnow_fingerprints_ro,
         "minhash_pairs": minhash_pairs_ro,
@@ -1805,4 +1836,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": NGRAM3_SQL,
         "minhash_pairs_md5": MINHASH_MD5_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
+        "winnow_fingerprints_md5": WINNOW_MD5_SQL,
     }

@@ -34,7 +34,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprint, shingles
+from .text import _hash64, _seeded_hash64, fingerprint, shingles
 
 
 def exact_dedup(
@@ -52,24 +52,6 @@ def exact_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
     )
-
-
-def _hash64(col, hash_fn: str) -> "F.Column":
-    """64-bit (60-bit for md5) integer hash of a string column."""
-    if hash_fn == "xxhash64":
-        return F.xxhash64(col)
-    if hash_fn == "md5":
-        # top 15 hex digits of md5 -> non-negative 60-bit long; DuckDB
-        # equivalent: CAST('0x' || substring(md5(x),1,15) AS BIGINT)
-        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-
-
-def _seeded_hash64(col, seed: int, hash_fn: str) -> "F.Column":
-    """Seeded variant: xxhash64 takes the seed natively; md5 appends it."""
-    if hash_fn == "xxhash64":
-        return F.xxhash64(col, F.lit(seed))
-    return _hash64(F.concat(col, F.lit(f":{seed}")), hash_fn)
 
 
 def minhash_signature(

@@ -114,6 +114,27 @@ def language_id(col, languages: Optional[dict[str, list[str]]] = None) -> Column
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def _hash64(col, hash_fn: str) -> Column:
+    """64-bit (60-bit for md5) integer hash of a string column.
+
+    "xxhash64" is the production default (JVM-codegen'd, no allocation);
+    "md5" is the portable family every SQL engine reproduces —
+    DuckDB: CAST('0x' || substring(md5(x),1,15) AS BIGINT) — used to
+    hash-verify the sketch machinery against an independent engine."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def _seeded_hash64(col, seed: int, hash_fn: str) -> Column:
+    """Seeded variant: xxhash64 takes the seed natively; md5 appends it."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    return _hash64(F.concat(col, F.lit(f":{seed}")), hash_fn)
+
+
 def fingerprint(col) -> Column:
     """Deterministic 64-bit fingerprint of whitespace/case-normalized text —
     the exact-dedup key. xxhash64 on the normalized form."""
@@ -138,6 +159,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (the MOSS scheme): hash every char
     k-gram (the rolling-hash family — xxhash64 over sliding substrings),
@@ -167,7 +189,9 @@ def winnow_fingerprints(
         .select(
             F.col(id_col),
             F.col("pos"),
-            F.xxhash64(F.substring(F.col("__norm"), F.col("__i"), F.lit(k))).alias("__h"),
+            _hash64(
+                F.substring(F.col("__norm"), F.col("__i"), F.lit(k)), hash_fn
+            ).alias("__h"),
         )
     )
 
