@@ -1553,6 +1553,54 @@ def winnow_md5(spark, sf):
     ).orderBy("doc_id", "fingerprint")
 
 
+# portable md5 row-hash the sharding family uses: h(key), optionally seeded
+_ROWH = "CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR){seed}),1,15) AS BIGINT)"
+
+SHARDING_MD5_SQL = f"""
+WITH h AS (
+  SELECT o_orderkey, o_orderstatus,
+         {_ROWH.format(seed="")} AS h0,
+         {_ROWH.format(seed=" || ':42'")} AS hs,
+         ({_ROWH.format(seed=" || ':42'")} % 2147483648) / 2147483648.0 AS u
+  FROM orders
+)
+SELECT 'chunk1of4' AS op, o_orderkey FROM h WHERE h0 % 4 = 1
+UNION ALL
+SELECT 'shuffle_head', o_orderkey FROM (SELECT o_orderkey FROM h ORDER BY hs LIMIT 30)
+UNION ALL
+SELECT 'sample_by', o_orderkey FROM h
+WHERE u < (CASE o_orderstatus WHEN 'F' THEN 0.3 WHEN 'O' THEN 0.1 END)
+UNION ALL
+SELECT 'split_test', o_orderkey FROM h WHERE u >= 0.75
+ORDER BY op, o_orderkey
+"""
+
+
+def sharding_md5(spark, sf):
+    """chunk / shuffle / sample_by / train_test_split keyed on o_orderkey
+    under the portable md5 family — the sharding hash itself (pmod bucketing,
+    order-by-hash head, stratified u<frac, split boundaries) is oracled by
+    SHARDING_MD5_SQL. key= hashes the narrow id, not the whole row — the
+    scale path."""
+    orders = _chain(spark, sf, "orders")
+    key = ["o_orderkey"]
+    chunk = orders.chunk(1, 4, key=key, hash_fn="md5")
+    head = orders.shuffle(seed=42, key=key, hash_fn="md5").limit(30)
+    samp = orders.sample_by(
+        "o_orderstatus", {"F": 0.3, "O": 0.1}, seed=42, key=key, hash_fn="md5"
+    )
+    test = orders.train_test_split([0.75, 0.25], seed=42, key=key, hash_fn="md5")[1]
+    parts = [
+        ("chunk1of4", chunk), ("shuffle_head", head),
+        ("sample_by", samp), ("split_test", test),
+    ]
+    out = None
+    for tag, ch in parts:
+        piece = ch.df.select(F.lit(tag).alias("op"), "o_orderkey")
+        out = piece if out is None else out.unionAll(piece)
+    return out.orderBy("op", "o_orderkey")
+
+
 def lang_id_ro(spark, sf):
     docs = _chain(spark, sf, "documents")
     return (
@@ -1771,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": minhash_pairs_md5,
         "simhash_pairs_md5": simhash_pairs_md5,
         "winnow_fingerprints_md5": winnow_md5,
+        "sharding_md5": sharding_md5,
         # rows-only
         "winnow_fingerprints": winnow_fingerprints_ro,
         "minhash_pairs": minhash_pairs_ro,
@@ -1837,4 +1886,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_md5": MINHASH_MD5_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
+        "sharding_md5": SHARDING_MD5_SQL,
     }

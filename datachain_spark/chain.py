@@ -234,21 +234,56 @@ class DataChain:
         rand — acceptable because n is small by contract."""
         return self._evolve(self._df.orderBy(F.rand(seed) if seed is not None else F.rand()).limit(n))
 
-    def shuffle(self, seed: int = 42) -> "DataChain":
+    def _row_hash64(
+        self,
+        seed: Optional[int],
+        key: Optional[Sequence[str]] = None,
+        hash_fn: str = "xxhash64",
+    ) -> Column:
+        """Deterministic per-row 64-bit hash driving shuffle/chunk/sample_by/
+        train_test_split. Defaults to hashing every column (retry-stable
+        whole-row identity); pass ``key`` to hash a narrow id set instead —
+        the 100 TB path, where casting wide rows to strings per row is real
+        CPU. ``hash_fn="md5"`` selects the portable family DuckDB reproduces
+        (see ops/text._hash64) so sharding itself is oracle-verifiable."""
+        names = list(key) if key else self._df.columns
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in names]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*cols, F.lit(seed)) if seed is not None else F.xxhash64(*cols)
+        if hash_fn == "md5":
+            joined = F.concat_ws("\x1f", *cols)
+            if seed is not None:
+                joined = F.concat(joined, F.lit(f":{seed}"))
+            return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+    def shuffle(
+        self,
+        seed: int = 42,
+        key: Optional[Sequence[str]] = None,
+        hash_fn: str = "xxhash64",
+    ) -> "DataChain":
         """Repeatable shuffle. Reference regenerates sys__rand via an LCG
         (query/dataset.py:809-827, data_storage/sqlite.py:846-852); we order
-        by a seeded hash of the whole row — deterministic under retries."""
-        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in self._df.columns]
-        return self._evolve(self._df.orderBy(F.xxhash64(*cols, F.lit(seed))))
+        by a seeded hash of the whole row (or of ``key``) — deterministic
+        under retries."""
+        return self._evolve(self._df.orderBy(self._row_hash64(seed, key, hash_fn)))
 
-    def chunk(self, index: int, total: int) -> "DataChain":
+    def chunk(
+        self,
+        index: int,
+        total: int,
+        key: Optional[Sequence[str]] = None,
+        hash_fn: str = "xxhash64",
+    ) -> "DataChain":
         """Deterministic shard i-of-n. Parity: datachain.py:2879-2899
-        (C.sys__rand % total == index); here pmod(xxhash64(row), total)."""
+        (C.sys__rand % total == index); here pmod(hash(row|key), total)."""
         if not 0 <= index < total:
             raise ValueError("chunk index must be in [0, total)")
-        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in self._df.columns]
         return self._evolve(
-            self._df.filter(F.pmod(F.xxhash64(*cols), F.lit(total)) == index)
+            self._df.filter(
+                F.pmod(self._row_hash64(None, key, hash_fn), F.lit(total)) == index
+            )
         )
 
     def sample_by(
@@ -256,6 +291,8 @@ class DataChain:
         col: ColumnLike,
         fractions: dict[Any, float],
         seed: int = 42,
+        key: Optional[Sequence[str]] = None,
+        hash_fn: str = "xxhash64",
     ) -> "DataChain":
         """Stratified sampling: keep ``fractions[k]`` of the rows for each
         value k of ``col`` (class-balancing a training corpus). No reference
@@ -268,17 +305,20 @@ class DataChain:
         for k, f in fractions.items():
             if not 0.0 <= f <= 1.0:
                 raise ValueError(f"sample_by: fraction for {k!r} not in [0,1]")
-        key = to_column(col)
-        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in self._df.columns]
-        u = F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(2**31)) / F.lit(float(2**31))
+        strat = to_column(col)
+        u = F.pmod(self._row_hash64(seed, key, hash_fn), F.lit(2**31)) / F.lit(float(2**31))
         frac = None
         for k, f in fractions.items():
-            frac = F.when(key == F.lit(k), F.lit(float(f))) if frac is None \
-                else frac.when(key == F.lit(k), F.lit(float(f)))
+            frac = F.when(strat == F.lit(k), F.lit(float(f))) if frac is None \
+                else frac.when(strat == F.lit(k), F.lit(float(f)))
         return self._evolve(self._df.filter(u < frac))
 
     def train_test_split(
-        self, weights: Sequence[float], seed: int = 42
+        self,
+        weights: Sequence[float],
+        seed: int = 42,
+        key: Optional[Sequence[str]] = None,
+        hash_fn: str = "xxhash64",
     ) -> list["DataChain"]:
         """Parity: /root/reference/src/datachain/toolkit/split.py:9-105 —
         boundary filters over a deterministic per-row hash (not randomSplit,
@@ -286,8 +326,7 @@ class DataChain:
         if len(weights) < 2 or any(w <= 0 for w in weights):
             raise ValueError("weights must be >=2 positive values")
         total = float(sum(weights))
-        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in self._df.columns]
-        bucket = F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(2**31)) / F.lit(float(2**31))
+        bucket = F.pmod(self._row_hash64(seed, key, hash_fn), F.lit(2**31)) / F.lit(float(2**31))
         out, lo = [], 0.0
         for w in weights:
             hi = lo + w / total
