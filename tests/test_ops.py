@@ -179,3 +179,41 @@ def test_multimodal_real_decode_raises(session):
     ch = dc.read_values(session=session, id=[1], content=[b"x"])
     with pytest.raises(Exception):  # NotImplementedError surfaced through Spark
         multimodal.extract_image_meta(ch.df, fake=False).collect()
+
+
+def test_portable_md5_hash_matches_hashlib(session):
+    """The md5 hash family (_hash64/_seeded_hash64) is the contract three
+    oracle query families depend on: value == int(md5(x).hexdigest()[:15], 16)."""
+    import hashlib
+
+    df = session.spark.createDataFrame([("hello world",)], "s string")
+    got = df.select(
+        text._hash64(F.col("s"), "md5").alias("h"),
+        text._seeded_hash64(F.col("s"), 7, "md5").alias("hs"),
+    ).collect()[0]
+    assert got["h"] == int(hashlib.md5(b"hello world").hexdigest()[:15], 16)
+    assert got["hs"] == int(hashlib.md5(b"hello world:7").hexdigest()[:15], 16)
+    with pytest.raises(ValueError):
+        text._hash64(F.col("s"), "sha1")
+
+
+def test_md5_and_xxhash_minhash_agree_on_duplicates(docs):
+    """Both hash families must flag the same obvious near-dup pair (0,1);
+    the md5 family is the oracle twin of the production xxhash64 path."""
+    for fam in ("xxhash64", "md5"):
+        pairs = dedup.minhash_lsh_pairs(
+            docs.df, "doc_id", "text",
+            num_hashes=16, bands=8, shingle_size=2,
+            jaccard_threshold=0.3, hash_fn=fam,
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in got, fam
+
+
+def test_keyed_chunk_partitions_completely(session):
+    """key= sharding: shards are disjoint and complete for both families."""
+    ch = dc.read_values(session=session, k=list(range(100)), v=[str(i) for i in range(100)])
+    for fam in ("xxhash64", "md5"):
+        parts = [ch.chunk(i, 3, key=["k"], hash_fn=fam).df.count() for i in range(3)]
+        assert sum(parts) == 100, fam
+        assert all(p > 0 for p in parts), fam
