@@ -193,43 +193,47 @@ def connected_components(
     """Cluster a near-duplicate pair graph into components: returns
     (id, component) where component = the minimum id reachable.
 
-    Iterative min-label propagation: each round every vertex takes the
-    minimum label among itself and its neighbors; converges in
-    O(log diameter) rounds for the short chains dedup graphs produce (the
-    large-star/small-star refinement would cut rounds on pathological long
-    paths). Each round is one shuffle (groupBy vertex); lineage is truncated
-    per round with localCheckpoint so the plan doesn't grow with iterations.
-    Driver involvement is one convergence count per round — no data is
-    collected."""
+    Iterative min-label propagation, two hops fused per round: each hop
+    every vertex takes the minimum label among itself and its neighbors
+    (labels only decrease), so a round advances labels two edges and the
+    round count is diameter/2 — 1-3 rounds for the short chains dedup
+    graphs produce (the large-star/small-star refinement would cut rounds
+    further on pathological long paths). Convergence is detected by carrying
+    the pre-round label through the aggregation ("old" column) — a narrow
+    filter+count over the checkpointed result, NOT a join. Per round:
+    two shuffle aggregations, one localCheckpoint (lineage truncation so the
+    plan doesn't grow), one convergence scan. Driver involvement is one
+    count per round — no data is collected."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+
+    def hop(lbl: DataFrame) -> DataFrame:
+        # self rows keep the "old" marker; neighbor contributions are
+        # label-only. max(old) recovers the unique self marker per id.
+        neighbor = edges.join(lbl, edges["dst"] == lbl["id"]).select(
+            F.col("src").alias("id"), F.col("component"), F.lit(None).cast("long").alias("old")
+        )
+        return (
+            lbl.select("id", "component", "old")
+            .union(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"), F.max("old").alias("old"))
+        )
+
     labels = (
         edges.select(F.col("src").alias("id"))
         .dropDuplicates()
         .withColumn("component", F.col("id"))
     )
     for _ in range(max_iters):
-        neighbor = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .select(F.col("src").alias("id"), F.col("component"))
-        )
-        new_labels = (
-            labels.select("id", "component").union(neighbor)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        seeded = labels.withColumn("old", F.col("component").cast("long"))
+        new_labels = hop(hop(seeded)).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("component") != F.col("old")).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels
