@@ -1673,8 +1673,17 @@ def sample_shuffle_chunk_ro(spark, sf):
     )
 
 
+READ_STORAGE_SQL = """
+SELECT parse_filename(filename) AS path, size
+FROM read_blob('/root/testdata/sf0.01/*.parquet')
+ORDER BY path
+"""
+
+
 def read_storage_ro(spark, sf):
-    """Storage listing surface: File rows for the sf dir itself."""
+    """Storage listing surface: File rows for the sf dir itself. Oracled by
+    READ_STORAGE_SQL via DuckDB read_blob — note the oracle pins the t2
+    scale-factor dir (sf0.01), the one the driver contract compares at."""
     sess = Session.get(spark=spark)
     from datachain_spark import read_storage
 
@@ -1887,4 +1896,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "sharding_md5": SHARDING_MD5_SQL,
+        "read_storage_listing": READ_STORAGE_SQL,
     }
