@@ -90,3 +90,20 @@ def test_approx_aggregates(session):
     assert 450 <= out["p50"] <= 550
     assert out["cd"] == 1000
     assert out["sd"] > 0
+
+
+def test_sharding_family_zero_shuffle(session):
+    """SCALE.md claim: chunk/sample_by/train_test_split are pure filters over
+    a per-row hash — no Exchange in the plan, for both hash families."""
+    import datachain_spark as dc
+
+    ch = dc.read_values(
+        session=session, k=list(range(50)), s=["ab"] * 50, v=[1.0] * 50
+    )
+    for fam in ("xxhash64", "md5"):
+        assert shuffle_count(ch.chunk(0, 4, key=["k"], hash_fn=fam).df) == 0, fam
+        assert shuffle_count(
+            ch.sample_by("s", {"ab": 0.5}, key=["k"], hash_fn=fam).df
+        ) == 0, fam
+        train, test = ch.train_test_split([0.8, 0.2], key=["k"], hash_fn=fam)
+        assert shuffle_count(train.df) == 0 and shuffle_count(test.df) == 0, fam
