@@ -760,10 +760,25 @@ class DataChain:
         path: str,
         partition_cols: Optional[Sequence[str]] = None,
         mode: str = "overwrite",
+        sort_by: Optional[Sequence[str]] = None,
+        max_records_per_file: Optional[int] = None,
     ) -> None:
         """Parity: datachain.py:2217-2314 — distributed write, partitioned
-        layout supported."""
-        w = self._df.write.mode(mode)
+        layout supported. Scale extras beyond the reference:
+
+        - ``sort_by``: cluster rows within each output file
+          (sortWithinPartitions — no extra shuffle) so parquet row-group
+          min/max statistics prune reads on those columns downstream.
+        - ``max_records_per_file``: bound file size so a downstream
+          1000-executor scan gets even splits (no multi-GB straggler files).
+        """
+        df = self._df
+        if sort_by:
+            keys = ([*partition_cols] if partition_cols else []) + list(sort_by)
+            df = df.sortWithinPartitions(*keys)
+        w = df.write.mode(mode)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", int(max_records_per_file))
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(path)

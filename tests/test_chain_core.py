@@ -251,3 +251,40 @@ def test_explode_json(session):
 def test_to_iter_and_values(people):
     rows = list(people.order_by("age").to_iter("first_name", "age"))
     assert len(rows) == 6 and rows[-1] == ("David", 40)
+
+
+def test_sink_roundtrips(session, tmp_path):
+    """to_parquet (clustered + bounded files) / to_csv / to_jsonl roundtrip."""
+    import pyarrow.parquet as pq
+
+    ch = dc.read_values(
+        session=session,
+        k=[3, 1, 2, 5, 4, 0] * 10,
+        grp=["a", "b"] * 30,
+        v=[float(i) for i in range(60)],
+    )
+
+    pdir = str(tmp_path / "p")
+    ch.to_parquet(pdir, sort_by=["k"], max_records_per_file=25)
+    back = dc.read_parquet(f"{pdir}/*.parquet", session=session)
+    assert back.count() == 60
+    # every file is clustered on k (row-group min/max prunable) and bounded
+    import glob as globmod
+    files = globmod.glob(f"{pdir}/*.parquet")
+    assert len(files) >= 2  # 60 rows / 25 cap
+    for f in files:
+        t = pq.read_table(f)
+        ks = t.column("k").to_pylist()
+        assert ks == sorted(ks), f
+        assert len(ks) <= 25, f
+
+    cdir = str(tmp_path / "c")
+    ch.to_csv(cdir, delimiter=";")
+    csv_back = dc.read_csv(f"{cdir}/*.csv", delimiter=";", session=session)
+    assert csv_back.count() == 60
+
+    jdir = str(tmp_path / "j")
+    ch.to_jsonl(jdir)
+    jl = dc.read_json(f"{jdir}/*.json", format="jsonl", session=session)
+    assert jl.count() == 60
+    assert sorted(jl.columns) == ["grp", "k", "v"]
