@@ -99,6 +99,9 @@ class DatasetVersion:
     dependencies: list[dict[str, str]] = field(default_factory=list)
     preview: list[dict[str, Any]] = field(default_factory=list)
     job_hash: str = ""
+    # bucketed layout: {"table": catalog name, "by": [cols], "num": N,
+    # "sort": [cols]} — empty dict for plain parquet versions
+    bucket: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:
         return self.__dict__.copy()
@@ -222,6 +225,9 @@ class Metastore:
         dependencies: Optional[list[dict[str, str]]] = None,
         preview_rows: int = 20,
         job_hash: str = "",
+        bucket_by: Optional[list[str]] = None,
+        num_buckets: int = 16,
+        bucket_sort: Optional[list[str]] = None,
     ) -> DatasetVersion:
         """Materialize df as a new dataset version.
 
@@ -243,7 +249,31 @@ class Metastore:
                 raise ValueError(f"dataset {name} version {version} already exists")
 
         data_path = self.version_data_path(f"{ns}.{proj}.{base}", version)
-        df.write.mode("overwrite").parquet(data_path)
+        bucket_meta: dict = {}
+        if bucket_by:
+            # Bucketed layout: hash-partitioned files + session-catalog table
+            # so equi-joins/aggs on the bucket key skip their Exchange — the
+            # co-located-join strategy SCALE.md calls for. The files are plain
+            # parquet; the bucket spec also lives in OUR metastore, and
+            # load_dataset re-registers the catalog table when a fresh session
+            # doesn't have it (external location, CLUSTERED BY declaration).
+            tbl = self._bucket_table_name(ns, proj, base, version)
+            w = (
+                df.write.mode("overwrite")
+                .option("path", data_path)
+                .bucketBy(num_buckets, *bucket_by)
+            )
+            if bucket_sort:
+                w = w.sortBy(*bucket_sort)
+            w.saveAsTable(tbl)
+            bucket_meta = {
+                "table": tbl,
+                "by": list(bucket_by),
+                "num": int(num_buckets),
+                "sort": list(bucket_sort or []),
+            }
+        else:
+            df.write.mode("overwrite").parquet(data_path)
 
         # row count from parquet footers (no second full scan of the plan)
         spark = df.sparkSession
@@ -261,6 +291,7 @@ class Metastore:
             dependencies=dependencies or [],
             preview=json.loads(json.dumps(preview, default=str)),
             job_hash=job_hash,
+            bucket=bucket_meta,
         )
         rec.versions.append(dv)
         if description:
@@ -276,8 +307,41 @@ class Metastore:
         if rec is None:
             raise ValueError(f"dataset not found: {name}")
         dv = rec.get_version(version)
-        df = spark.read.parquet(self.version_data_path(f"{ns}.{proj}.{base}", dv.version))
+        data_path = self.version_data_path(f"{ns}.{proj}.{base}", dv.version)
+        if dv.bucket:
+            df = self._load_bucketed(spark, dv, data_path)
+        else:
+            df = spark.read.parquet(data_path)
         return df, rec, dv
+
+    def _bucket_table_name(self, ns: str, proj: str, base: str, version: str) -> str:
+        raw = f"dcs__{ns}_{proj}_{base}_{version}"
+        return re.sub(r"[^A-Za-z0-9_]", "_", raw).lower()
+
+    def _load_bucketed(self, spark: SparkSession, dv: DatasetVersion, data_path: str) -> DataFrame:
+        """Read a bucketed version through the session catalog (the bucket
+        spec only reaches the planner via a table). If this session doesn't
+        know the table yet (fresh JVM — the in-memory catalog died with the
+        writer's session), re-register it as an external CLUSTERED BY table
+        over the existing files; with a persistent metastore (Hive/Glue) the
+        original registration survives instead."""
+        from pyspark.sql import types as T
+
+        tbl = dv.bucket["table"]
+        if not spark.catalog.tableExists(tbl):
+            st = T.StructType.fromJson(json.loads(dv.schema_json))
+            ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in st.fields)
+            by = ", ".join(f"`{c}`" for c in dv.bucket["by"])
+            sort = ""
+            if dv.bucket.get("sort"):
+                sort_cols = ", ".join(f"`{c}`" for c in dv.bucket["sort"])
+                sort = f" SORTED BY ({sort_cols})"
+            spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({by}){sort} INTO {dv.bucket['num']} BUCKETS "
+                f"LOCATION '{data_path}'"
+            )
+        return spark.table(tbl)
 
     def list_datasets(self) -> list[DatasetRecord]:
         out = []
@@ -307,8 +371,10 @@ class Metastore:
                 return
             raise ValueError(f"dataset not found: {name}")
         if version is None:
+            self._drop_bucket_tables(rec.versions)
             shutil.rmtree(self._ds_dir(ns, proj, base), ignore_errors=True)
             return
+        self._drop_bucket_tables([v for v in rec.versions if v.version == version])
         rec.versions = [v for v in rec.versions if v.version != version]
         shutil.rmtree(
             os.path.dirname(self.version_data_path(f"{ns}.{proj}.{base}", version)),
@@ -318,6 +384,19 @@ class Metastore:
             self._write_record(rec)
         else:
             shutil.rmtree(self._ds_dir(ns, proj, base), ignore_errors=True)
+
+    def _drop_bucket_tables(self, versions: list[DatasetVersion]) -> None:
+        """Best-effort catalog cleanup for bucketed versions (the files go
+        with the data dir; the table entry must not dangle)."""
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        for v in versions:
+            if v.bucket:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {v.bucket['table']}")
+                except Exception:
+                    pass
 
     def move_dataset(self, src: str, dst: str) -> None:
         """Parity: move_dataset (lib/dc/datasets.py:303-430)."""

@@ -505,6 +505,7 @@ class DataChain:
         inner: bool = False,
         full: bool = False,
         rname: str = "right_",
+        null_safe: bool = True,
     ) -> "DataChain":
         """Join; default LEFT OUTER (parity: datachain.py:1601-1708,
         SQLJoin at query/dataset.py:1010-1177).
@@ -514,6 +515,12 @@ class DataChain:
         - right-side columns colliding with left names get the ``rname``
           prefix (signal_schema.py:85-133 rename mapping).
         - self-joins are handled via DataFrame aliasing.
+        - ``null_safe=False`` switches key equality from ``<=>`` to ``=``
+          (null keys never match — SQL semantics). Do this on non-null id
+          keys: plain equality is what lets the planner exploit bucketed
+          layouts (``save(bucket_by=...)``) and skip the join shuffle —
+          ``<=>``'s required distribution (coalesce+isnull) can never line
+          up with bucket hashing.
         """
         how = "inner" if inner else ("full" if full else "left")
         if inner and full:
@@ -555,7 +562,8 @@ class DataChain:
         la, ra = ldf.alias("__l"), rdf.alias("__r")
         cond = None
         for lk, rk in zip(lkeys, rkeys):
-            c = F.col(f"__l.{lk}").eqNullSafe(F.col(f"__r.{rk}"))
+            lc, rc = F.col(f"__l.{lk}"), F.col(f"__r.{rk}")
+            c = lc.eqNullSafe(rc) if null_safe else (lc == rc)
             cond = c if cond is None else cond & c
         for c in rdf.columns:
             if c in lcols:
@@ -716,12 +724,24 @@ class DataChain:
         update_version: str = "patch",
         attrs: Optional[dict[str, Any]] = None,
         description: str = "",
+        bucket_by: Optional[Sequence[str]] = None,
+        num_buckets: int = 16,
+        bucket_sort: Optional[Sequence[str]] = None,
     ) -> "DataChain":
         """Materialize as a new dataset version; returns a chain reading the
-        saved data. Parity: datachain.py:602-673."""
+        saved data. Parity: datachain.py:602-673.
+
+        Scale extra beyond the reference: ``bucket_by`` stores the version
+        bucketed (hash-clustered files + catalog CLUSTERED BY registration)
+        so downstream equi-joins/aggs on the bucket key run with NO shuffle
+        when both sides share the layout — pre-pay one shuffle at write time,
+        amortized over every co-located join after."""
         dv = self.session.metastore.save_dataset(
             self._df, name, version=version, update_version=update_version,
             attrs=attrs, description=description, dependencies=self._dependencies,
+            bucket_by=list(bucket_by) if bucket_by else None,
+            num_buckets=num_buckets,
+            bucket_sort=list(bucket_sort) if bucket_sort else None,
         )
         df, _, _ = self.session.metastore.load_dataset(self.session.spark, name, dv.version)
         return DataChain(

@@ -97,3 +97,43 @@ def test_persist_registers_temp(session):
     p = ch.persist()
     assert p.count() == 2
     assert session._temp_datasets
+
+
+def test_bucketed_save_colocated_join(session):
+    """save(bucket_by=...) pre-pays the shuffle at write time: a join of two
+    datasets bucketed on the same key/count plans with NO Exchange. Also
+    covers fresh-session recovery: dropping the catalog table and re-reading
+    re-registers it from the metastore's bucket spec."""
+    import datachain_spark as dc
+    from datachain_spark.plans import shuffle_count
+
+    spark = session.spark
+    n = 200
+    left = dc.read_values(session=session, k=list(range(n)), a=[f"L{i}" for i in range(n)])
+    right = dc.read_values(session=session, k=list(range(0, 2 * n, 2)), b=[f"R{i}" for i in range(n)])
+    left.save("bk_left", bucket_by=["k"], num_buckets=4, bucket_sort=["k"])
+    right.save("bk_right", bucket_by=["k"], num_buckets=4, bucket_sort=["k"])
+
+    lt = dc.read_dataset("bk_left", session=session)
+    rt = dc.read_dataset("bk_right", session=session)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = lt.merge(rt, on="k", inner=True, null_safe=False)
+        assert shuffle_count(joined.df) == 0, joined.df._sc is None or joined.df.explain()
+        assert joined.count() == 100  # evens < 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # fresh-session path: the in-memory catalog forgot the table
+    ms = session.metastore
+    rec = ms._read_record(*__import__("datachain_spark.catalog.metastore", fromlist=["split_name"]).split_name("bk_left"))
+    tbl = rec.versions[-1].bucket["table"]
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    again = dc.read_dataset("bk_left", session=session)
+    assert again.count() == n
+    assert spark.catalog.tableExists(tbl)
+
+    session.metastore.delete_dataset("bk_left")
+    assert not spark.catalog.tableExists(tbl)
+    session.metastore.delete_dataset("bk_right")
