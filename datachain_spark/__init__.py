@@ -41,12 +41,27 @@ from .sources import (
 )
 from .udf import Aggregator, BatchMapper, Generator, Mapper
 
+# Deprecated constructor aliases kept for drop-in compatibility with the
+# reference's from_* names (datachain deprecated them in favor of read_*;
+# see /root/reference/src/datachain/lib/dc/__init__.py).
+from_csv = read_csv
+from_dataset = read_dataset
+from_hf = read_hf
+from_json = read_json
+from_pandas = read_pandas
+from_parquet = read_parquet
+from_records = read_records
+from_storage = read_storage
+from_values = read_values
+
 __version__ = "0.1.0"
 
 __all__ = [
     "C", "Col", "DataChain", "DatasetMergeError", "Session",
     "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
+    "from_values", "from_records", "from_pandas", "from_parquet", "from_csv",
+    "from_json", "from_dataset", "from_hf", "from_storage",
     "datasets", "listings",
     "Mapper", "Generator", "Aggregator", "BatchMapper", "column", "c",
     "func",

@@ -75,6 +75,11 @@ class DataChain:
         # lineage: datasets/sources this chain reads (recorded on save;
         # parity query/dataset.py:1882-1916)
         self._dependencies = list(dependencies or [])
+        # identity of the saved dataset this chain directly reads, if any
+        # ({"name","version","namespace","project"}); intentionally NOT
+        # propagated through _evolve — a transformed chain is no longer
+        # "the dataset" (parity: name/version/dataset props, datachain.py:294-318)
+        self._dataset_info: dict[str, str] = {}
 
     # ------------------------------------------------------------------ core
     def _evolve(self, df: DataFrame, extra_deps: Optional[list] = None) -> "DataChain":
@@ -125,9 +130,85 @@ class DataChain:
             out._df = out._df.repartition(n)
         return out
 
+    def reset_settings(self) -> "DataChain":
+        """Drop all chain settings. Parity: datachain.py:417-421."""
+        out = DataChain(self._df, self.session, {}, self._dependencies)
+        out._setup_values = self._setup_values
+        return out
+
     def apply(self, func: Callable[..., "DataChain"], *args, **kwargs) -> "DataChain":
         """Parity: datachain.py:786-807 (composition helper)."""
         return func(self, *args, **kwargs)
+
+    def clone(self) -> "DataChain":
+        """Copy of the chain (lazy — Spark plans are immutable values, so no
+        new table is materialized, unlike the reference's table copy).
+        Parity: datachain.py:322-325."""
+        return self._evolve(self._df)
+
+    def hash(self) -> str:  # noqa: A003
+        """Stable hash of the chain's steps: sha256 of the analyzed logical
+        plan (same IR checkpoint_save keys on). Parity: datachain.py:219-226."""
+        import hashlib
+
+        plan = self._df._jdf.queryExecution().analyzed().toString()
+        return hashlib.sha256(plan.encode()).hexdigest()[:32]
+
+    @property
+    def empty(self) -> bool:
+        """True if the chain has zero rows. Parity: datachain.py:248-251."""
+        return self._df.isEmpty()
+
+    @property
+    def name(self) -> Optional[str]:
+        """Name of the underlying saved dataset, if this chain directly
+        reads one. Parity: datachain.py:294-297."""
+        return self._dataset_info.get("name")
+
+    @property
+    def version(self) -> Optional[str]:
+        """Version of the underlying saved dataset, if any.
+        Parity: datachain.py:299-302."""
+        return self._dataset_info.get("version")
+
+    @property
+    def namespace_name(self) -> Optional[str]:
+        return self._dataset_info.get("namespace")
+
+    @property
+    def project_name(self) -> Optional[str]:
+        return self._dataset_info.get("project")
+
+    @property
+    def dataset(self):
+        """The underlying DatasetRecord, if any. Parity: datachain.py:304-318."""
+        if not self.name:
+            return None
+        return self.session.metastore.get_record(self.name)
+
+    @property
+    def delta(self) -> bool:
+        """Design difference: delta is not a chain-state flag here — use
+        ``datachain_spark.delta.delta_save`` (COVERAGE.md §2.10). Always
+        False. Parity surface: datachain.py:253-256."""
+        return False
+
+    delta_unsafe = delta
+
+    def column(self, name: str) -> Column:
+        """Column ref validated against the current schema ('a.b' descends
+        into structs); raises ValueError when absent.
+        Parity: datachain.py:266-280."""
+        try:
+            return self._df[name]
+        except Exception:
+            raise ValueError(f"Column with name {name} not found in the schema") from None
+
+    def c(self, column: Union[str, Column, Col]) -> Column:
+        """Parity: datachain.py:282-287."""
+        if isinstance(column, str):
+            return self.column(column)
+        return unwrap(column)
 
     # ------------------------------------------------------ projection/filter
     def select(self, *names: ColumnLike) -> "DataChain":
@@ -744,10 +825,17 @@ class DataChain:
             bucket_sort=list(bucket_sort) if bucket_sort else None,
         )
         df, _, _ = self.session.metastore.load_dataset(self.session.spark, name, dv.version)
-        return DataChain(
+        out = DataChain(
             df, self.session, self._settings,
             [{"dataset": name, "version": dv.version}],
         )
+        from .catalog.metastore import split_name
+
+        ns, proj, base = split_name(name)
+        out._dataset_info = {
+            "name": name, "version": dv.version, "namespace": ns, "project": proj,
+        }
+        return out
 
     def persist(self) -> "DataChain":
         """Session-temporary materialization. Parity: datachain.py:570-588;
@@ -845,6 +933,55 @@ class DataChain:
         df = self._df.select(*cols) if cols else self._df
         for r in df.toLocalIterator(prefetchPartitions=True):
             yield tuple(r)
+
+    def results(self, row_factory: Optional[Callable] = None) -> list:
+        """All rows as tuples (or via ``row_factory(colnames, row)``).
+        Parity: datachain.py:1452-1475."""
+        rows = [tuple(r) for r in self._df.collect()]
+        if row_factory is None:
+            return rows
+        cols = list(self._df.columns)
+        return [row_factory(cols, r) for r in rows]
+
+    def collect(self, *cols: str) -> Iterator:
+        """Deprecated alias of to_iter (single column yields bare values).
+        Parity: datachain.py:1531-1553."""
+        import warnings
+
+        warnings.warn(
+            "Method `collect` is deprecated. Use `to_iter` method instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        if len(cols) == 1:
+            for item in self.to_iter(*cols):
+                yield item[0]
+        else:
+            yield from self.to_iter(*cols)
+
+    def to_columnar_data_with_names(
+        self, chunk_size: int = 100_000
+    ) -> tuple[list[str], Iterator[list[list[Any]]]]:
+        """(column names, iterator of column-major chunks) — the shape
+        columnar writers want. Streams via to_iter, never materializing more
+        than ``chunk_size`` rows. Parity: datachain.py:1428-1450."""
+        names = list(self._df.columns)
+
+        def column_chunks() -> Iterator[list[list[Any]]]:
+            batch: list[tuple] = []
+            for row in self.to_iter():
+                batch.append(row)
+                if len(batch) >= chunk_size:
+                    yield [list(col) for col in zip(*batch)]
+                    batch = []
+            if batch:
+                yield [list(col) for col in zip(*batch)]
+
+        return names, column_chunks()
+
+    def __or__(self, other: "DataChain") -> "DataChain":
+        """``a | b`` is ``a.union(b)``. Parity: datachain.py:314-317."""
+        return self.union(other)
 
     def __iter__(self) -> Iterator[tuple]:
         return self.to_iter()

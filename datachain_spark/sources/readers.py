@@ -181,7 +181,12 @@ def read_dataset(
     Parity: lib/dc/datasets.py:27-220."""
     sess = Session.get(session)
     df, rec, dv = sess.metastore.load_dataset(sess.spark, name, version)
-    return DataChain(df, sess, dependencies=[{"dataset": name, "version": dv.version}])
+    out = DataChain(df, sess, dependencies=[{"dataset": name, "version": dv.version}])
+    out._dataset_info = {
+        "name": name, "version": dv.version,
+        "namespace": rec.namespace, "project": rec.project,
+    }
+    return out
 
 
 def read_database(

@@ -288,3 +288,47 @@ def test_sink_roundtrips(session, tmp_path):
     jl = dc.read_json(f"{jdir}/*.json", format="jsonl", session=session)
     assert jl.count() == 60
     assert sorted(jl.columns) == ["grp", "k", "v"]
+
+
+def test_parity_accessors(session):
+    """Reference-surface parity: empty/hash/clone/column/c/results/collect/
+    to_columnar_data_with_names/__or__/name/version/dataset/from_* aliases."""
+    ch = dc.read_values(session=session, k=[1, 2, 3], s=["a", "b", "c"])
+
+    assert not ch.empty
+    assert ch.filter(C.k > 99).empty
+    h1, h2 = ch.hash(), ch.clone().hash()
+    assert h1 == h2 and len(h1) == 32
+    assert ch.hash() != ch.filter(C.k > 1).hash()
+
+    assert ch.column("k") is not None
+    with pytest.raises(ValueError):
+        ch.column("nope")
+    assert ch.c("s") is not None
+
+    assert ch.results() == [(1, "a"), (2, "b"), (3, "c")]
+    assert ch.results(row_factory=lambda cols, row: dict(zip(cols, row)))[0] == {
+        "k": 1, "s": "a",
+    }
+    with pytest.warns(DeprecationWarning):
+        assert list(ch.collect("k")) == [1, 2, 3]
+
+    names, chunks = ch.to_columnar_data_with_names(chunk_size=2)
+    assert names == ["k", "s"]
+    got = list(chunks)
+    assert got[0] == [[1, 2], ["a", "b"]] and got[1] == [[3], ["c"]]
+
+    both = ch | ch
+    assert both.count() == 6
+
+    assert ch.name is None and ch.dataset is None
+    saved = ch.save("parity_ds")
+    assert saved.name == "parity_ds" and saved.version == "1.0.0"
+    assert saved.namespace_name == "local" and saved.dataset is not None
+    again = dc.read_dataset("parity_ds", session=session)
+    assert again.version == "1.0.0" and again.filter(C.k > 0).name is None
+    assert not again.delta and not again.delta_unsafe
+
+    assert dc.from_values is dc.read_values  # deprecated alias surface
+    assert ch.settings(batch_size=9).reset_settings()._settings == {}
+    session.metastore.delete_dataset("parity_ds")
