@@ -122,6 +122,10 @@ def test_bucketed_save_colocated_join(session):
         joined = lt.merge(rt, on="k", inner=True, null_safe=False)
         assert shuffle_count(joined.df) == 0, joined.df._sc is None or joined.df.explain()
         assert joined.count() == 100  # evens < 200
+        # aggregation on the bucket key rides the same layout: no Exchange
+        from datachain_spark import func as _f
+        agg = lt.group_by(partition_by="k", n=_f.count())
+        assert shuffle_count(agg.df) == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
