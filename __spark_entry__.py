@@ -1601,6 +1601,35 @@ def sharding_md5(spark, sf):
     return out.orderBy("op", "o_orderkey")
 
 
+SEGMENT_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents WHERE doc_id < 200
+), seg AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS seg
+  FROM d, LATERAL unnest(generate_series(0, CAST(ceil(len(ws)/10.0) AS INT) - 1)) AS t(i)
+), k AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM seg
+), out AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+  FROM k WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(out.text, '') AS text
+FROM d LEFT JOIN out ON d.doc_id = out.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def segment_dedup_chunks(spark, sf):
+    """Corpus-wide segment dedup (CCNet/C4-style), 10-word chunk mode —
+    first occurrence wins, docs reassembled. Oracled end-to-end by
+    SEGMENT_DEDUP_SQL."""
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
+    return text.segment_dedup(docs, "doc_id", "text", chunk_words=10).orderBy("doc_id")
+
+
 def lang_id_ro(spark, sf):
     docs = _chain(spark, sf, "documents")
     return (
@@ -1829,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_md5": simhash_pairs_md5,
         "winnow_fingerprints_md5": winnow_md5,
         "sharding_md5": sharding_md5,
+        "segment_dedup_chunks": segment_dedup_chunks,
         # rows-only
         "winnow_fingerprints": winnow_fingerprints_ro,
         "minhash_pairs": minhash_pairs_ro,
@@ -1897,4 +1927,5 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "sharding_md5": SHARDING_MD5_SQL,
         "read_storage_listing": READ_STORAGE_SQL,
+        "segment_dedup_chunks": SEGMENT_DEDUP_SQL,
     }

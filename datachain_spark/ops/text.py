@@ -203,6 +203,81 @@ def winnow_fingerprints(
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+    chunk_words: int = 0,
+    joiner: str = "",
+) -> DataFrame:
+    """Corpus-wide segment-level deduplication — the CCNet/C4-style pass that
+    drops boilerplate paragraphs repeated across documents, keeping only the
+    FIRST occurrence (ordered by (id, position)) and reassembling each doc
+    from its surviving segments.
+
+    Segmentation: split on the ``sep`` regex (paragraph mode), or — when
+    ``chunk_words`` > 0 — into non-overlapping fixed word windows (line/chunk
+    mode for corpora without paragraph structure). ``joiner`` defaults to
+    "\\n\\n" for paragraph mode, " " for chunk mode.
+
+    Output: one row per input doc, (id_col, text_col) with the deduplicated
+    text ("" when every segment was seen earlier).
+
+    Scale shape: (id, pos, segment) rows shuffle once keyed on the segment
+    for the first-occurrence window, once on the doc id for reassembly. Each
+    window group is one distinct segment's duplicate set — no skew beyond
+    true boilerplate, which is exactly what you want surfaced (and droppable
+    upstream with a max-duplicates filter).
+
+    No reference counterpart (spec addition). Oracle: __spark_entry__
+    ``segment_dedup_chunks`` replicates chunking + first-occurrence-wins +
+    reassembly in DuckDB on the raw strings (the hash only routes the
+    shuffle; the dedup decision is over exact segments either way).
+    """
+    from pyspark.sql import Window as W
+
+    if not joiner:
+        joiner = " " if chunk_words else "\n\n"
+    if chunk_words:
+        ws = F.split(F.trim(F.col(text_col)), r"\s+")
+        nseg = F.ceil(F.size(ws) / float(chunk_words)).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(F.slice(ws, i * chunk_words + 1, chunk_words), " "),
+        )
+    else:
+        segs = F.split(F.col(text_col), sep)
+
+    seg = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(segs).alias("__pos", "__seg"),
+    )
+    w = W.partitionBy("__seg").orderBy("__id", "__pos")
+    kept = (
+        seg.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                    lambda s: s["__seg"],
+                ),
+                joiner,
+            ).alias("__text")
+        )
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    return (
+        ids.join(kept, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+        )
+    )
+
+
 def analyze_text(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
     """Convenience: append the full text-analysis signal set."""
     c = F.col(text_col)

@@ -217,3 +217,22 @@ def test_keyed_chunk_partitions_completely(session):
         parts = [ch.chunk(i, 3, key=["k"], hash_fn=fam).df.count() for i in range(3)]
         assert sum(parts) == 100, fam
         assert all(p > 0 for p in parts), fam
+
+
+def test_segment_dedup_paragraph_mode(session):
+    """First occurrence (by id, pos) wins corpus-wide; docs reassemble from
+    surviving paragraphs; fully-boilerplate docs come back empty."""
+    texts = [
+        "intro\n\nshared boilerplate\n\nunique a",
+        "shared boilerplate\n\nunique b",
+        "unique c",
+        "shared boilerplate",
+        "intro\n\nintro",  # intra-doc dup: second copy dropped too
+    ]
+    ch = dc.read_values(session=session, doc_id=list(range(len(texts))), text=texts)
+    out = {r["doc_id"]: r["text"] for r in text.segment_dedup(ch.df, "doc_id").collect()}
+    assert out[0] == "intro\n\nshared boilerplate\n\nunique a"
+    assert out[1] == "unique b"
+    assert out[2] == "unique c"
+    assert out[3] == ""
+    assert out[4] == ""  # both paragraphs already owned by doc 0
