@@ -1630,6 +1630,57 @@ def segment_dedup_chunks(spark, sf):
     return text.segment_dedup(docs, "doc_id", "text", chunk_words=10).orderBy("doc_id")
 
 
+# Deterministic URL fixture both engines synthesize identically from doc_id:
+# mixed-case scheme/host, optional port, tracking params, fragment.
+_URL_EXPR_SQL = """
+'HTTPS://WWW.Ex' || (doc_id % 7) || '.COM'
+  || (CASE WHEN doc_id % 2 = 0 THEN ':8443' ELSE '' END)
+  || '/P/' || (doc_id % 5)
+  || (CASE doc_id % 3 WHEN 0 THEN '/?utm_source=t&b=2&a=1'
+                      WHEN 1 THEN '?b=2&a=1&fbclid=x' ELSE '/' END)
+  || (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END)
+"""
+
+URL_NORMALIZE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents WHERE doc_id < 300
+), parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS proto,
+    lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', '')) AS host,
+    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM d
+), norm AS (
+  SELECT doc_id,
+    proto || '://' || host || path ||
+    (CASE WHEN sq <> '' THEN '?' || sq ELSE '' END) AS url_norm
+  FROM (
+    SELECT doc_id, proto, host, path,
+      array_to_string(list_sort(list_filter(string_split(q, '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS sq
+    FROM parts
+  )
+)
+SELECT doc_id, url_norm FROM norm ORDER BY doc_id
+"""
+
+
+def url_normalize(spark, sf):
+    """URL canonicalization (scheme/host lowercase, port/fragment/tracking
+    dropped, params sorted) over a deterministic mixed-case URL fixture —
+    oracled by URL_NORMALIZE_SQL replicating the normalizer with regexes."""
+    from datachain_spark.ops.text import normalize_url
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 300)
+    url = F.expr(_URL_EXPR_SQL)
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select("doc_id", normalize_url(F.col("url")).alias("url_norm"))
+        .orderBy("doc_id")
+    )
+
+
 def lang_id_ro(spark, sf):
     docs = _chain(spark, sf, "documents")
     return (
@@ -1859,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_md5": winnow_md5,
         "sharding_md5": sharding_md5,
         "segment_dedup_chunks": segment_dedup_chunks,
+        "url_normalize": url_normalize,
         # rows-only
         "winnow_fingerprints": winnow_fingerprints_ro,
         "minhash_pairs": minhash_pairs_ro,
@@ -1928,4 +1980,5 @@ def oracle_sql() -> dict[str, str]:
         "sharding_md5": SHARDING_MD5_SQL,
         "read_storage_listing": READ_STORAGE_SQL,
         "segment_dedup_chunks": SEGMENT_DEDUP_SQL,
+        "url_normalize": URL_NORMALIZE_SQL,
     }

@@ -236,3 +236,15 @@ def test_segment_dedup_paragraph_mode(session):
     assert out[2] == "unique c"
     assert out[3] == ""
     assert out[4] == ""  # both paragraphs already owned by doc 0
+
+
+def test_normalize_url(session):
+    cases = {
+        "HTTPS://WWW.Ex.COM:8443/A/B/?utm_source=t&b=2&a=1#f": "https://www.ex.com/A/B?a=1&b=2",
+        "http://ex.com/p?fbclid=x": "http://ex.com/p",
+        "https://ex.com///": "https://ex.com",
+        "not a url": None,
+    }
+    df = session.spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {r["u"]: r["n"] for r in df.select("u", text.normalize_url("u").alias("n")).collect()}
+    assert got == cases
