@@ -1630,6 +1630,49 @@ def segment_dedup_chunks(spark, sf):
     return text.segment_dedup(docs, "doc_id", "text", chunk_words=10).orderBy("doc_id")
 
 
+DECONTAMINATE_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id >= 5 AND doc_id < 120
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+                      for i in generate_series(1, len(w)-4)]
+           END) AS shingles
+  FROM words
+), pwords AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id < 5
+), psh AS (
+  SELECT DISTINCT unnest(list_distinct(
+           CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+                      for i in generate_series(1, len(w)-4)]
+           END)) AS shingle
+  FROM pwords
+)
+SELECT s.doc_id FROM sh s
+WHERE NOT EXISTS (
+  SELECT 1 FROM psh p, unnest(s.shingles) AS u(us) WHERE u.us = p.shingle
+)
+ORDER BY s.doc_id
+"""
+
+
+def decontaminate_query(spark, sf):
+    """5-gram decontamination: corpus docs 5-119 filtered against probe docs
+    0-4; survivors oracled by DECONTAMINATE_SQL (NOT EXISTS overlap)."""
+    docs = _chain(spark, sf, "documents").df
+    corpus = docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 120))
+    probes = docs.filter(F.col("doc_id") < 5)
+    kept = dedup.decontaminate(corpus, probes, "doc_id", ngram=5)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 # Deterministic URL fixture both engines synthesize identically from doc_id:
 # mixed-case scheme/host, optional port, tracking params, fragment.
 _URL_EXPR_SQL = """
@@ -1911,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharding_md5": sharding_md5,
         "segment_dedup_chunks": segment_dedup_chunks,
         "url_normalize": url_normalize,
+        "decontaminate": decontaminate_query,
         # rows-only
         "winnow_fingerprints": winnow_fingerprints_ro,
         "minhash_pairs": minhash_pairs_ro,
@@ -1981,4 +2025,5 @@ def oracle_sql() -> dict[str, str]:
         "read_storage_listing": READ_STORAGE_SQL,
         "segment_dedup_chunks": SEGMENT_DEDUP_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
+        "decontaminate": DECONTAMINATE_SQL,
     }

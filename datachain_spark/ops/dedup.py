@@ -184,6 +184,46 @@ def minhash_lsh_pairs(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    ngram: int = 3,
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus doc sharing at least one
+    word ``ngram`` with the ``probes`` set (eval/test material). The standard
+    n-gram-overlap filter (GPT-3 appendix C / PaLM style use 8-13; default 3
+    suits short fixtures).
+
+    Scale shape: the probe n-gram set is tiny next to the corpus — it
+    broadcasts, so the corpus-side explode never shuffles: shingle, hash-join
+    against the broadcast set, semi/anti on the id. ``keep_contaminated=True``
+    inverts the filter (audit mode: what WOULD be dropped).
+
+    No reference counterpart (spec addition)."""
+    corpus_sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n=ngram))).alias("__sh"),
+    )
+    probe_sh = (
+        probes.select(
+            F.explode(F.array_distinct(shingles(F.col(probe_text_col), n=ngram))).alias("__sh")
+        )
+        .dropDuplicates()
+    )
+    hit_ids = (
+        corpus_sh.join(F.broadcast(probe_sh), "__sh")
+        .select("__id")
+        .dropDuplicates()
+        .withColumnRenamed("__id", id_col)
+    )
+    how = "left_semi" if keep_contaminated else "left_anti"
+    return df.join(hit_ids, on=id_col, how=how)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -248,3 +248,23 @@ def test_normalize_url(session):
     df = session.spark.createDataFrame([(u,) for u in cases], "u string")
     got = {r["u"]: r["n"] for r in df.select("u", text.normalize_url("u").alias("n")).collect()}
     assert got == cases
+
+
+def test_decontaminate(session):
+    """Docs sharing an n-gram with a probe are dropped; audit mode inverts."""
+    corpus = dc.read_values(
+        session=session,
+        doc_id=[1, 2, 3],
+        text=[
+            "the quick brown fox jumps",   # contains probe 3-gram
+            "completely clean document here",
+            "another spotless entry",
+        ],
+    )
+    probes = dc.read_values(session=session, doc_id=[99], text=["quick brown fox"])
+    kept = dedup.decontaminate(corpus.df, probes.df, "doc_id", ngram=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    flagged = dedup.decontaminate(
+        corpus.df, probes.df, "doc_id", ngram=3, keep_contaminated=True
+    )
+    assert [r["doc_id"] for r in flagged.collect()] == [1]
