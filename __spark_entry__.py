@@ -1630,6 +1630,45 @@ def segment_dedup_chunks(spark, sf):
     return text.segment_dedup(docs, "doc_id", "text", chunk_words=10).orderBy("doc_id")
 
 
+REPETITION_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+')) AS w
+  FROM documents WHERE doc_id < 200
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+), ws AS (
+  SELECT doc_id, sum(c) AS n_words, CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac
+  FROM wc GROUP BY doc_id
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w2) < 2 THEN [array_to_string(w2, ' ')]
+         ELSE [concat_ws(' ', w2[i], w2[i+1]) for i in generate_series(1, len(w2)-1)]
+    END) AS gram
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w2
+    FROM documents WHERE doc_id < 200
+  )
+), gc AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+), gs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup_2gram_frac
+  FROM gc GROUP BY doc_id
+)
+SELECT ws.doc_id, n_words, top_word_frac, dup_2gram_frac
+FROM ws JOIN gs ON ws.doc_id = gs.doc_id
+ORDER BY ws.doc_id
+"""
+
+
+def repetition_stats_query(spark, sf):
+    """Gopher-style repetition quality signals, oracled by REPETITION_SQL."""
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
+    return text.repetition_stats(docs, "doc_id").orderBy("doc_id")
+
+
 DECONTAMINATE_SQL = """
 WITH words AS (
   SELECT doc_id,
@@ -1955,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup_chunks": segment_dedup_chunks,
         "url_normalize": url_normalize,
         "decontaminate": decontaminate_query,
+        "repetition_stats": repetition_stats_query,
         # rows-only
         "winnow_fingerprints": winnow_fingerprints_ro,
         "minhash_pairs": minhash_pairs_ro,
@@ -2026,4 +2066,5 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup_chunks": SEGMENT_DEDUP_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
+        "repetition_stats": REPETITION_SQL,
     }

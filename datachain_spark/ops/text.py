@@ -309,6 +309,67 @@ def segment_dedup(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per doc:
+
+    - ``n_words``: whitespace token count (lowercased, punctuation-stripped,
+      same normalization as :func:`shingles`).
+    - ``top_word_frac``: occurrences of the most frequent word / n_words —
+      high values flag keyword-stuffed or degenerate docs.
+    - ``dup_2gram_frac``: fraction of 2-gram occurrences whose 2-gram appears
+      more than once in the doc (occurrence-fraction variant of Gopher's
+      duplicate-n-gram character fraction).
+
+    One explode + two groupBy aggregations, all JVM-side; the per-doc join is
+    on the id. Filter chains compose downstream, e.g.
+    ``.filter(C.top_word_frac < 0.2)``.
+
+    No reference counterpart (spec addition). Oracled by __spark_entry__
+    ``repetition_stats``."""
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", "")),
+                r"\s+",
+            )
+        ).alias("__w"),
+    )
+    word_stats = (
+        words.groupBy("__id", "__w")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").alias("n_words"),
+            (F.max("__c") / F.sum("__c")).alias("top_word_frac"),
+        )
+    )
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), n=2)).alias("__g"),
+    )
+    gram_stats = (
+        grams.groupBy("__id", "__g")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("__id")
+        .agg(
+            (
+                F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(F.lit(0)))
+                / F.sum("__c")
+            ).alias("dup_2gram_frac")
+        )
+    )
+    return (
+        word_stats.join(gram_stats, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_words", "top_word_frac", "dup_2gram_frac",
+        )
+    )
+
+
 def analyze_text(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
     """Convenience: append the full text-analysis signal set."""
     c = F.col(text_col)

@@ -268,3 +268,11 @@ def test_decontaminate(session):
         corpus.df, probes.df, "doc_id", ngram=3, keep_contaminated=True
     )
     assert [r["doc_id"] for r in flagged.collect()] == [1]
+
+
+def test_repetition_stats_known_values(session):
+    ch = dc.read_values(session=session, doc_id=[1], text=["a a a b"])
+    r = text.repetition_stats(ch.df, "doc_id").collect()[0]
+    assert r["n_words"] == 4
+    assert r["top_word_frac"] == 0.75       # "a" 3/4
+    assert abs(r["dup_2gram_frac"] - 2 / 3) < 1e-12  # "a a" twice of 3 grams
