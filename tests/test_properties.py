@@ -101,3 +101,34 @@ def test_spec_ordering_consistent(a, b):
     sb = f"{b[0]}.{b[1]}.{b[2]}"
     assert matches_spec(sa, f">={sb}") == (a >= b)
     assert matches_spec(sa, f"<{sb}") == (a < b)
+
+
+def test_segment_dedup_idempotent(session):
+    """Applying segment_dedup to its own output changes nothing — every
+    surviving segment is already globally unique."""
+    import datachain_spark as dc
+    from datachain_spark.ops.text import segment_dedup
+
+    texts = ["x y\n\nshared", "shared\n\nz", "x y\n\nw", "only here"]
+    ch = dc.read_values(session=session, doc_id=list(range(len(texts))), text=texts)
+    once = segment_dedup(ch.df, "doc_id")
+    twice = segment_dedup(once, "doc_id")
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    assert a == b
+
+
+def test_decontaminate_is_partition_of_corpus(session):
+    """keep + flagged partitions the corpus exactly."""
+    import datachain_spark as dc
+    from datachain_spark.ops.dedup import decontaminate
+
+    docs = dc.read_parquet("/root/testdata/sf0.001/documents.parquet", session=session)
+    corpus = docs.df.filter("doc_id >= 3 and doc_id < 60")
+    probes = docs.df.filter("doc_id < 3")
+    kept = decontaminate(corpus, probes, "doc_id", ngram=5)
+    flagged = decontaminate(corpus, probes, "doc_id", ngram=5, keep_contaminated=True)
+    nk, nf, n = kept.count(), flagged.count(), corpus.count()
+    assert nk + nf == n
+    overlap = kept.select("doc_id").intersect(flagged.select("doc_id")).count()
+    assert overlap == 0
