@@ -1541,6 +1541,40 @@ FROM g ORDER BY doc_id, fingerprint
 """
 
 
+WINNOW_PAIRS_MD5_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id < 100
+), g AS (
+  SELECT doc_id,
+         [CAST('0x' || substring(md5(substring(t, i, 8)),1,15) AS BIGINT)
+          for i in generate_series(1, len(t) - 7)] AS h
+  FROM d WHERE len(t) >= 8
+), fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [list_min(h[j:least(j + 3, len(h))]) for j in generate_series(1, len(h))]
+         )) AS f
+  FROM g
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
+def winnow_pairs_md5(spark, sf):
+    """Exact-substring near-dup pairs via shared winnowing fingerprints,
+    portable md5 family — oracled by WINNOW_PAIRS_MD5_SQL."""
+    from datachain_spark.ops.text import winnow_pairs
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 100)
+    return winnow_pairs(
+        docs, "doc_id", "text", k=8, window=4, min_shared=2, hash_fn="md5"
+    ).orderBy("id_a", "id_b")
+
+
 def winnow_md5(spark, sf):
     """Winnowing (k-gram rolling hash, window-min, distinct) under the
     portable md5 family — every fingerprint value oracled by WINNOW_MD5_SQL
@@ -1990,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": minhash_pairs_md5,
         "simhash_pairs_md5": simhash_pairs_md5,
         "winnow_fingerprints_md5": winnow_md5,
+        "winnow_pairs_md5": winnow_pairs_md5,
         "sharding_md5": sharding_md5,
         "segment_dedup_chunks": segment_dedup_chunks,
         "url_normalize": url_normalize,
@@ -2061,6 +2096,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_md5": MINHASH_MD5_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
+        "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,
         "sharding_md5": SHARDING_MD5_SQL,
         "read_storage_listing": READ_STORAGE_SQL,
         "segment_dedup_chunks": SEGMENT_DEDUP_SQL,

@@ -370,6 +370,38 @@ def repetition_stats(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring near-duplicate candidates (the MOSS report step):
+    docs sharing >= ``min_shared`` winnowing fingerprints contain matching
+    character k-gram regions — the scalable stand-in for suffix-array
+    substring dedup (Lee et al., "Deduplicating Training Data...").
+
+    Returns (id_a, id_b, shared) with id_a < id_b.
+
+    Scale shape: inverted-index self-join on the fingerprint (same posting-
+    list analysis as n-gram Jaccard — boilerplate fingerprints fan out;
+    pre-filter fingerprints whose posting list exceeds a cap upstream if the
+    corpus has them), then one pair-key aggregation."""
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, window=window, hash_fn=hash_fn)
+    a = fp.select(F.col(id_col).alias("__ia"), F.col("fingerprint").alias("__f"))
+    b = fp.select(F.col(id_col).alias("__ib"), F.col("fingerprint").alias("__f"))
+    return (
+        a.join(b, "__f")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .groupBy(F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def analyze_text(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
     """Convenience: append the full text-analysis signal set."""
     c = F.col(text_col)

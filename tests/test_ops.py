@@ -276,3 +276,11 @@ def test_repetition_stats_known_values(session):
     assert r["n_words"] == 4
     assert r["top_word_frac"] == 0.75       # "a" 3/4
     assert abs(r["dup_2gram_frac"] - 2 / 3) < 1e-12  # "a a" twice of 3 grams
+
+
+def test_winnow_pairs_detects_substring_overlap(docs):
+    """Docs 0/1/2 share long char runs; doc 3 shares none."""
+    pairs = text.winnow_pairs(docs.df, "doc_id", k=8, window=4, min_shared=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got
+    assert not any(3 in p for p in got)
