@@ -885,6 +885,57 @@ ORDER BY id_a, id_b
 """
 
 
+def _embedding_lsh_sql(num_planes: int = 6, seed: int = 42, threshold: float = 0.3) -> str:
+    def proj(p: int) -> str:
+        w = (
+            "CASE WHEN CAST('0x' || substring(md5('"
+            f"{seed}:{p}:' || i),1,15) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        )
+        return (
+            f"list_reduce([e[i+1] * ({w}) for i in generate_series(0, len(e)-1)], "
+            "(a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(p)} >= 0 THEN {2 ** (num_planes - 1 - p)} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 200
+), bk AS (
+  SELECT vec_id, e, {bucket} AS bucket FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE), 3) AS sim_r
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+EMBEDDING_LSH_MD5_SQL = _embedding_lsh_sql()
+
+
+def embedding_lsh_md5(spark, sf):
+    """Random-hyperplane LSH bucketing + same-bucket cosine pairs under the
+    portable md5 plane family — bucketing AND similarities oracled by
+    EMBEDDING_LSH_MD5_SQL (list_reduce replicates the projection fold
+    order-exactly)."""
+    df = (
+        _chain(spark, sf, "embeddings").df
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    pairs = dedup.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.3, num_planes=6, hash_fn="md5"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine_sim"), 3).alias("sim_r")
+    ).orderBy("id_a", "id_b")
+
+
 def q6_forecast_revenue(spark, sf):
     """TPC-H Q6 shape: single-scan filtered aggregate (zero joins)."""
     li = _chain(spark, sf, "lineitem")
@@ -2025,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_md5": simhash_pairs_md5,
         "winnow_fingerprints_md5": winnow_md5,
         "winnow_pairs_md5": winnow_pairs_md5,
+        "embedding_lsh_md5": embedding_lsh_md5,
         "sharding_md5": sharding_md5,
         "segment_dedup_chunks": segment_dedup_chunks,
         "url_normalize": url_normalize,
@@ -2097,6 +2149,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,
+        "embedding_lsh_md5": EMBEDDING_LSH_MD5_SQL,
         "sharding_md5": SHARDING_MD5_SQL,
         "read_storage_listing": READ_STORAGE_SQL,
         "segment_dedup_chunks": SEGMENT_DEDUP_SQL,

@@ -408,14 +408,18 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     num_planes: int = 0,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Cosine-similarity >= threshold pairs over an embedding column.
 
     num_planes=0: brute-force all-pairs (exact; fine to ~10^4-10^5 rows).
     num_planes>0: random-hyperplane LSH — rows bucket by the sign pattern of
     `num_planes` fixed random projections; only same-bucket pairs compare.
-    The planes derive from xxhash64(seed, plane, dim) — deterministic with no
-    driver-side randomness to ship.
+    The planes derive from hash(seed, plane, dim) — deterministic with no
+    driver-side randomness to ship. ``hash_fn="md5"`` selects the portable
+    family (plane weights from md5("{seed}:{plane}:{dim}") parity) so even
+    the bucketing is DuckDB-verifiable; the float64 projection fold is
+    order-exact on both engines (F.aggregate == list_reduce).
     """
     from ..functions.array import dot_product, norm
 
@@ -424,14 +428,15 @@ def embedding_near_dup_pairs(
         dim_idx = F.sequence(F.lit(0), F.size("__v") - 1)
 
         def plane_sign(p):
-            # pseudo-random +-1 weights per (plane, dim): parity of xxhash64
-            weights = F.transform(
-                dim_idx,
-                lambda i: F.when(
-                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            )
+            # pseudo-random +-1 weights per (plane, dim): hash parity
+            def w(i):
+                if hash_fn == "xxhash64":
+                    h = F.xxhash64(F.lit(seed), F.lit(p), i)
+                else:
+                    h = _hash64(F.concat(F.lit(f"{seed}:{p}:"), i.cast("string")), hash_fn)
+                return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+            weights = F.transform(dim_idx, w)
             proj = F.aggregate(
                 F.zip_with("__v", weights, lambda x, w: x * w),
                 F.lit(0.0),
