@@ -1957,6 +1957,43 @@ FROM b ORDER BY doc_id
 """
 
 
+AUDIO_META_SQL = """
+WITH hh AS (
+  SELECT doc_id, sha256(text) AS hx FROM documents WHERE doc_id < 50
+), b AS (
+  SELECT doc_id,
+    (strpos('0123456789abcdef', substring(hx,7,1))-1)*16 + strpos('0123456789abcdef', substring(hx,8,1))-1 AS b3,
+    (strpos('0123456789abcdef', substring(hx,9,1))-1)*16 + strpos('0123456789abcdef', substring(hx,10,1))-1 AS b4,
+    (strpos('0123456789abcdef', substring(hx,11,1))-1)*16 + strpos('0123456789abcdef', substring(hx,12,1))-1 AS b5,
+    (strpos('0123456789abcdef', substring(hx,13,1))-1)*16 + strpos('0123456789abcdef', substring(hx,14,1))-1 AS b6
+  FROM hh
+)
+SELECT doc_id,
+       CAST(([8000,16000,22050,44100])[b3 % 4 + 1] AS INTEGER) AS sr,
+       CAST(1 + b4 % 2 AS INTEGER) AS ch,
+       CAST(1 + b5 % 200 AS DOUBLE) / 10.0 AS dur,
+       (['wav','mp3','flac'])[b6 % 3 + 1] AS fmt
+FROM b ORDER BY doc_id
+"""
+
+
+def multimodal_audio(spark, sf):
+    """Audio binary plumbing twin of multimodal_image_meta: sha256-derived
+    fake probe, hash-verified hex-digit-wise by AUDIO_META_SQL."""
+    from datachain_spark.ops import multimodal
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 50)
+    b = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    with_meta = multimodal.extract_audio_meta(b, fake=True)
+    return with_meta.select(
+        "doc_id",
+        F.col("audio.sample_rate").alias("sr"),
+        F.col("audio.channels").alias("ch"),
+        F.col("audio.duration").alias("dur"),
+        F.col("audio.format").alias("fmt"),
+    ).orderBy("doc_id")
+
+
 def multimodal_ro(spark, sf):
     """Binary-column plumbing: fake image meta over doc bytes. The fake
     decoder is sha256-derived and deterministic, so even the mapInPandas
@@ -2088,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs_ro,
         "ngram_jaccard_pairs": ngram_jaccard_ro,  # oracled (3-gram template)
         "multimodal_image_meta": multimodal_ro,  # oracled (sha256 fake decode)
+        "multimodal_audio_meta": multimodal_audio,
         "sample_shuffle_chunk": sample_shuffle_chunk_ro,
         "read_storage_listing": read_storage_ro,
         "save_read_roundtrip": save_read_roundtrip_ro,
@@ -2144,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
         "udf_agg": UDF_AGG_SQL,
         "lang_id_counts": _lang_id_sql(),
         "multimodal_image_meta": MULTIMODAL_SQL,
+        "multimodal_audio_meta": AUDIO_META_SQL,
         "ngram_jaccard_pairs": NGRAM3_SQL,
         "minhash_pairs_md5": MINHASH_MD5_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,

@@ -118,6 +118,66 @@ def resize_images(
     return df.mapInPandas(fn, out_schema)
 
 
+def _decode_audio_fake(data: bytes) -> dict:
+    """Deterministic fake audio probe (parity surface: audio_info,
+    /root/reference/src/datachain/lib/audio.py:22-101): metadata from the
+    content hash so the Arrow bytes->struct plumbing is hash-verifiable."""
+    h = hashlib.sha256(data or b"").digest()
+    return {
+        "sample_rate": [8000, 16000, 22050, 44100][h[3] % 4],
+        "channels": 1 + h[4] % 2,
+        "duration": (1 + h[5] % 200) / 10.0,
+        "format": ["wav", "mp3", "flac"][h[6] % 3],
+    }
+
+
+def extract_audio_meta(
+    df: DataFrame,
+    binary_col: str = "content",
+    out_col: str = "audio",
+    fake: bool = False,
+) -> DataFrame:
+    """Append an Audio metadata struct decoded from a binary column —
+    mapInPandas over Arrow batches, same shape as extract_image_meta.
+    Real path needs soundfile/librosa (absent here)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, AUDIO_META_STRUCT, True)]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio probing requires soundfile/librosa (not installed here)"
+                )
+            pdf[out_col] = [
+                None if b is None else _decode_audio_fake(bytes(b))
+                for b in pdf[binary_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def clip_similarity(
+    df: DataFrame,
+    emb_a: str,
+    emb_b: str,
+    out_col: str = "clip_score",
+    scale: float = 100.0,
+) -> DataFrame:
+    """CLIP-style pairwise similarity: scale * cosine(emb_a, emb_b) — the
+    logit the reference's clip_similarity_scores computes per (image, text)
+    pair (lib/clip.py:35-105; softmax over candidate sets composes on top
+    with a window). Pure column expression — JVM-side, no UDF."""
+    from ..functions.array import dot_product, norm
+
+    a, b = F.col(emb_a), F.col(emb_b)
+    return df.withColumn(
+        out_col, F.lit(scale) * dot_product(a, b) / (norm(a) * norm(b))
+    )
+
+
 def image_embedding_fake(
     df: DataFrame,
     binary_col: str = "content",

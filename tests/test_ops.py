@@ -284,3 +284,28 @@ def test_winnow_pairs_detects_substring_overlap(docs):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 1) in got and (0, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_audio_meta_and_clip_similarity(session):
+    """Audio fake probe plumbing + CLIP-style pairwise scoring."""
+    import hashlib as hl
+
+    ch = dc.read_values(session=session, doc_id=[1, 2], text=["aa", "bb"])
+    b = ch.df.selectExpr("doc_id", "encode(text, 'utf-8') AS content")
+    meta = {r["doc_id"]: r["audio"] for r in
+            multimodal.extract_audio_meta(b, fake=True).collect()}
+    h = hl.sha256(b"aa").digest()
+    assert meta[1]["sample_rate"] == [8000, 16000, 22050, 44100][h[3] % 4]
+    assert meta[1]["channels"] == 1 + h[4] % 2
+    with pytest.raises(Exception):
+        multimodal.extract_audio_meta(b, fake=False).collect()
+
+    emb = dc.read_values(
+        session=session,
+        i=[1, 2],
+        a=[[1.0, 0.0], [1.0, 0.0]],
+        b=[[1.0, 0.0], [0.0, 1.0]],
+    )
+    scores = {r["i"]: r["clip_score"] for r in
+              multimodal.clip_similarity(emb.df, "a", "b").collect()}
+    assert scores[1] == 100.0 and abs(scores[2]) < 1e-9
