@@ -1994,6 +1994,48 @@ def multimodal_audio(spark, sf):
     ).orderBy("doc_id")
 
 
+VIDEO_META_SQL = """
+WITH hh AS (
+  SELECT doc_id, sha256(text) AS hx FROM documents WHERE doc_id < 50
+), b AS (
+  SELECT doc_id,
+    (strpos('0123456789abcdef', substring(hx,15,1))-1)*16 + strpos('0123456789abcdef', substring(hx,16,1))-1 AS b7,
+    (strpos('0123456789abcdef', substring(hx,17,1))-1)*16 + strpos('0123456789abcdef', substring(hx,18,1))-1 AS b8,
+    (strpos('0123456789abcdef', substring(hx,19,1))-1)*16 + strpos('0123456789abcdef', substring(hx,20,1))-1 AS b9,
+    (strpos('0123456789abcdef', substring(hx,21,1))-1)*16 + strpos('0123456789abcdef', substring(hx,22,1))-1 AS b10,
+    (strpos('0123456789abcdef', substring(hx,23,1))-1)*16 + strpos('0123456789abcdef', substring(hx,24,1))-1 AS b11
+  FROM hh
+)
+SELECT doc_id,
+       CAST(160 + b7 % 4 * 160 AS INTEGER) AS w,
+       CAST(120 + b8 % 4 * 120 AS INTEGER) AS h,
+       ([24.0,25.0,30.0,60.0])[b9 % 4 + 1] AS fps,
+       CAST(1 + b10 % 240 AS DOUBLE) / (([24.0,25.0,30.0,60.0])[b9 % 4 + 1]) AS dur,
+       CAST(1 + b10 % 240 AS INTEGER) AS frames,
+       (['mp4','webm','mkv'])[b11 % 3 + 1] AS fmt
+FROM b ORDER BY doc_id
+"""
+
+
+def multimodal_video(spark, sf):
+    """Video binary plumbing twin: sha256-derived fake probe, hash-verified
+    hex-digit-wise by VIDEO_META_SQL."""
+    from datachain_spark.ops import multimodal
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 50)
+    b = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    with_meta = multimodal.extract_video_meta(b, fake=True)
+    return with_meta.select(
+        "doc_id",
+        F.col("video.width").alias("w"),
+        F.col("video.height").alias("h"),
+        F.col("video.fps").alias("fps"),
+        F.col("video.duration").alias("dur"),
+        F.col("video.frames").alias("frames"),
+        F.col("video.format").alias("fmt"),
+    ).orderBy("doc_id")
+
+
 def multimodal_ro(spark, sf):
     """Binary-column plumbing: fake image meta over doc bytes. The fake
     decoder is sha256-derived and deterministic, so even the mapInPandas
@@ -2126,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": ngram_jaccard_ro,  # oracled (3-gram template)
         "multimodal_image_meta": multimodal_ro,  # oracled (sha256 fake decode)
         "multimodal_audio_meta": multimodal_audio,
+        "multimodal_video_meta": multimodal_video,
         "sample_shuffle_chunk": sample_shuffle_chunk_ro,
         "read_storage_listing": read_storage_ro,
         "save_read_roundtrip": save_read_roundtrip_ro,
@@ -2183,6 +2226,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_counts": _lang_id_sql(),
         "multimodal_image_meta": MULTIMODAL_SQL,
         "multimodal_audio_meta": AUDIO_META_SQL,
+        "multimodal_video_meta": VIDEO_META_SQL,
         "ngram_jaccard_pairs": NGRAM3_SQL,
         "minhash_pairs_md5": MINHASH_MD5_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,

@@ -159,6 +159,49 @@ def extract_audio_meta(
     return df.mapInPandas(fn, out_schema)
 
 
+def _decode_video_fake(data: bytes) -> dict:
+    """Deterministic fake video probe (parity surface: video_info,
+    /root/reference/src/datachain/lib/video.py:20-86)."""
+    h = hashlib.sha256(data or b"").digest()
+    fps = [24.0, 25.0, 30.0, 60.0][h[9] % 4]
+    frames = 1 + h[10] % 240
+    return {
+        "width": 160 + h[7] % 4 * 160,
+        "height": 120 + h[8] % 4 * 120,
+        "fps": fps,
+        "duration": frames / fps,
+        "frames": frames,
+        "format": ["mp4", "webm", "mkv"][h[11] % 3],
+    }
+
+
+def extract_video_meta(
+    df: DataFrame,
+    binary_col: str = "content",
+    out_col: str = "video",
+    fake: bool = False,
+) -> DataFrame:
+    """Append a Video metadata struct decoded from a binary column —
+    mapInPandas over Arrow batches. Real path needs av/opencv (absent here)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, VIDEO_META_STRUCT, True)]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video probing requires av/opencv (not installed here)"
+                )
+            pdf[out_col] = [
+                None if b is None else _decode_video_fake(bytes(b))
+                for b in pdf[binary_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
 def clip_similarity(
     df: DataFrame,
     emb_a: str,
