@@ -27,7 +27,9 @@ c = column
 from .session import Session
 from .sources import (
     datasets,
+    delete_dataset,
     listings,
+    move_dataset,
     read_csv,
     read_database,
     read_dataset,
@@ -62,7 +64,7 @@ __all__ = [
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
     "from_values", "from_records", "from_pandas", "from_parquet", "from_csv",
     "from_json", "from_dataset", "from_hf", "from_storage",
-    "datasets", "listings",
+    "datasets", "listings", "delete_dataset", "move_dataset",
     "Mapper", "Generator", "Aggregator", "BatchMapper", "column", "c",
     "func",
 ]

@@ -1,6 +1,8 @@
 from .readers import (
     datasets,
+    delete_dataset,
     listings,
+    move_dataset,
     read_csv,
     read_database,
     read_dataset,
@@ -16,5 +18,5 @@ from .storage import read_storage
 __all__ = [
     "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
-    "datasets", "listings",
+    "datasets", "listings", "delete_dataset", "move_dataset",
 ]

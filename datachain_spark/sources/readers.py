@@ -189,6 +189,22 @@ def read_dataset(
     return out
 
 
+def delete_dataset(
+    name: str,
+    version: Optional[str] = None,
+    force: bool = False,
+    session: Optional[Session] = None,
+) -> None:
+    """Module-level parity: lib/dc/datasets.py delete_dataset — one version
+    or (force) the whole dataset."""
+    Session.get(session).metastore.delete_dataset(name, version=version, force=force)
+
+
+def move_dataset(src: str, dst: str, session: Optional[Session] = None) -> None:
+    """Module-level parity: lib/dc/datasets.py move_dataset."""
+    Session.get(session).metastore.move_dataset(src, dst)
+
+
 def read_database(
     query: str,
     url: str,
