@@ -17,6 +17,10 @@ _sys.modules[__name__ + ".func"] = func
 from .chain import DataChain, DatasetMergeError
 from .columns import C, Col
 
+# Drop-in parity: the reference exports `Column` (its SQLAlchemy column ref)
+# next to `C`; ours is the same object as Col.
+Column = Col
+
 
 def column(name: str) -> Col:
     """Column reference helper. Parity: datachain.py:266-287 column()/c()."""
@@ -59,7 +63,7 @@ from_values = read_values
 __version__ = "0.1.0"
 
 __all__ = [
-    "C", "Col", "DataChain", "DatasetMergeError", "Session",
+    "C", "Col", "Column", "DataChain", "DatasetMergeError", "Session",
     "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
     "from_values", "from_records", "from_pandas", "from_parquet", "from_csv",
