@@ -1754,6 +1754,29 @@ def repetition_stats_query(spark, sf):
     return text.repetition_stats(docs, "doc_id").orderBy("doc_id")
 
 
+VOCABULARY_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+')) AS word
+  FROM documents
+), f AS (
+  SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
+  FROM words WHERE word <> '' GROUP BY word HAVING count(*) >= 2
+)
+SELECT word, cnt, doc_freq FROM f ORDER BY cnt DESC, word LIMIT 100
+"""
+
+
+def vocabulary_query(spark, sf):
+    """Corpus vocabulary top-100 (count + doc frequency), oracled by
+    VOCABULARY_SQL."""
+    docs = _chain(spark, sf, "documents").df
+    return (
+        text.vocabulary(docs, "text", min_count=2, top_k=100, id_col="doc_id")
+        .withColumnRenamed("count", "cnt")
+    )
+
+
 DECONTAMINATE_SQL = """
 WITH words AS (
   SELECT doc_id,
@@ -2161,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": url_normalize,
         "decontaminate": decontaminate_query,
         "repetition_stats": repetition_stats_query,
+        "vocabulary_top100": vocabulary_query,
         # rows-only
         "winnow_fingerprints": winnow_fingerprints_ro,
         "minhash_pairs": minhash_pairs_ro,
@@ -2239,4 +2263,5 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,
+        "vocabulary_top100": VOCABULARY_SQL,
     }

@@ -402,6 +402,50 @@ def winnow_pairs(
     )
 
 
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_k: int = 0,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """Corpus vocabulary: (word, count, doc_freq) over the same normalization
+    as :func:`shingles` — the frequency table tokenizer training (BPE vocab
+    seeding) and stopword discovery start from.
+
+    One explode + one groupBy(word) with map-side partial aggregation;
+    ``top_k`` adds a TakeOrdered (per-partition heap, no extra shuffle).
+    ``id_col`` identifies a doc for doc_freq; without one a synthetic id is
+    materialized BEFORE the explode (inline monotonically_increasing_id
+    would re-evaluate per exploded row and inflate doc_freq to count).
+    No reference counterpart (spec addition)."""
+    if id_col is None:
+        base = df.withColumn("__doc", F.monotonically_increasing_id())
+        base = base.localCheckpoint(eager=False)
+    else:
+        base = df.withColumn("__doc", F.col(id_col))
+    words = base.select(
+        "__doc",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", "")),
+                r"\s+",
+            )
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = (
+        words.groupBy("word")
+        .agg(
+            F.count("*").alias("count"),
+            F.count_distinct("__doc").alias("doc_freq"),
+        )
+        .filter(F.col("count") >= min_count)
+    )
+    if top_k:
+        vocab = vocab.orderBy(F.col("count").desc(), F.col("word")).limit(top_k)
+    return vocab
+
+
 def analyze_text(df: DataFrame, text_col: str = "text", prefix: str = "") -> DataFrame:
     """Convenience: append the full text-analysis signal set."""
     c = F.col(text_col)

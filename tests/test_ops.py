@@ -309,3 +309,10 @@ def test_audio_meta_and_clip_similarity(session):
     scores = {r["i"]: r["clip_score"] for r in
               multimodal.clip_similarity(emb.df, "a", "b").collect()}
     assert scores[1] == 100.0 and abs(scores[2]) < 1e-9
+
+
+def test_vocabulary_counts_and_doc_freq(session):
+    ch = dc.read_values(session=session, text=["a b a", "a c"])
+    v = {r["word"]: (r["count"], r["doc_freq"]) for r in
+         text.vocabulary(ch.df, "text").collect()}
+    assert v == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
