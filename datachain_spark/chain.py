@@ -148,11 +148,13 @@ class DataChain:
 
     def hash(self) -> str:  # noqa: A003
         """Stable hash of the chain's steps: sha256 of the analyzed logical
-        plan (same IR checkpoint_save keys on). Parity: datachain.py:219-226."""
-        import hashlib
+        plan with expression ids normalized away — the raw plan string embeds
+        session-assigned `#123` ids, so two independently-built identical
+        chains would otherwise differ (same IR checkpoint_save keys on).
+        Parity: datachain.py:219-226 ("fast and consistent")."""
+        from .delta import plan_fingerprint
 
-        plan = self._df._jdf.queryExecution().analyzed().toString()
-        return hashlib.sha256(plan.encode()).hexdigest()[:32]
+        return plan_fingerprint(self._df)
 
     @property
     def empty(self) -> bool:

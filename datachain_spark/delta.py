@@ -157,6 +157,18 @@ def _stamp_job_hash(sess: Session, name: str, job_hash: str) -> None:
     sess.metastore._write_record(rec)
 
 
+def plan_fingerprint(df, extra_key: str = "") -> str:
+    """sha256 of the analyzed logical plan with session-assigned expression
+    ids (`#123`) normalized away — identical chains built in different
+    sessions fingerprint identically; any step/literal/column change still
+    changes the hash."""
+    import re as _re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    plan = _re.sub(r"#\d+", "#", plan)
+    return hashlib.sha256((plan + extra_key).encode()).hexdigest()[:32]
+
+
 def checkpoint_save(
     chain: DataChain,
     name: str,
@@ -173,8 +185,7 @@ def checkpoint_save(
     hashing step descriptors; the analyzed plan is the closest stable IR).
     """
     sess = session or chain.session
-    plan = chain.df._jdf.queryExecution().analyzed().toString()
-    h = hashlib.sha256((plan + extra_key).encode()).hexdigest()[:32]
+    h = plan_fingerprint(chain.df, extra_key)
     rec = sess.metastore.get_record(name)
     if rec is not None:
         for v in rec.versions:

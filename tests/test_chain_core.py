@@ -332,3 +332,17 @@ def test_parity_accessors(session):
     assert dc.from_values is dc.read_values  # deprecated alias surface
     assert ch.settings(batch_size=9).reset_settings()._settings == {}
     session.metastore.delete_dataset("parity_ds")
+
+
+def test_hash_stable_across_rebuilds(session):
+    """Independently-built identical chains hash identically (expression-id
+    normalization); any step change still changes the hash."""
+    def build():
+        return (
+            dc.read_parquet("/root/testdata/sf0.001/orders.parquet", session=session)
+            .filter(C.o_totalprice > 100.0)
+            .select("o_orderkey", "o_totalprice")
+        )
+
+    assert build().hash() == build().hash()
+    assert build().hash() != build().limit(5).hash()
