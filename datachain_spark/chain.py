@@ -527,12 +527,15 @@ class DataChain:
         other: "DataChain",
         on: Union[str, Sequence[str], None] = None,
         right_on: Union[str, Sequence[str], None] = None,
+        null_safe: bool = True,
     ) -> "DataChain":
         """Keep rows whose key(s) DO appear in ``other`` — the complement of
         subtract(). No reference counterpart (SURVEY.md §2.4 'not present:
         semi join'); exposed because Spark's left_semi is the efficient plan
         for EXISTS-style predicates (no row duplication, right side only
-        hashed). Null-safe keys, same convention as subtract."""
+        hashed). Null-safe keys by default, same convention as subtract;
+        ``null_safe=False`` uses plain ``=`` so bucketed layouts apply (see
+        merge)."""
         lkeys = _names(on)
         rkeys = _names(right_on) or lkeys
         if not lkeys:
@@ -544,7 +547,11 @@ class DataChain:
         right = other._df.select(*rkeys).dropDuplicates()
         cond = None
         for lk, rk in zip(lkeys, rkeys):
-            c = self._df[lk].eqNullSafe(right[rk])
+            c = (
+                self._df[lk].eqNullSafe(right[rk])
+                if null_safe
+                else (self._df[lk] == right[rk])
+            )
             cond = c if cond is None else cond & c
         return self._evolve(
             self._df.join(right, cond, "left_semi"), extra_deps=other._dependencies
