@@ -501,10 +501,13 @@ class DataChain:
         other: "DataChain",
         on: Union[str, Sequence[str], None] = None,
         right_on: Union[str, Sequence[str], None] = None,
+        null_safe: bool = True,
     ) -> "DataChain":
         """Anti-join with null-safe key comparison. Parity:
         datachain.py:1729-1793 (is_not_distinct_from at
-        query/dataset.py:210-292). Default keys = all common columns."""
+        query/dataset.py:210-292). Default keys = all common columns.
+        ``null_safe=False`` uses plain ``=`` so bucketed layouts apply
+        (null left keys then survive, standard SQL NOT EXISTS semantics)."""
         lkeys = _names(on)
         rkeys = _names(right_on) or lkeys
         if not lkeys:
@@ -516,7 +519,11 @@ class DataChain:
         right = other._df.select(*rkeys).dropDuplicates()
         cond = None
         for lk, rk in zip(lkeys, rkeys):
-            c = self._df[lk].eqNullSafe(right[rk])
+            c = (
+                self._df[lk].eqNullSafe(right[rk])
+                if null_safe
+                else (self._df[lk] == right[rk])
+            )
             cond = c if cond is None else cond & c
         return self._evolve(
             self._df.join(right, cond, "left_anti"), extra_deps=other._dependencies
