@@ -37,6 +37,10 @@ HEADLINE = [
     "udf_agg",
     "semi_join_orders",
     "dedup_components",
+    # corpus-scale variants defined below (full documents table — these scale
+    # with the SF, unlike the oracle queries' doc_id caps)
+    "segment_dedup_full",
+    "decontaminate_full",
 ]
 
 
@@ -68,6 +72,25 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
+
+    from pyspark.sql import functions as F
+
+    from datachain_spark.ops import dedup as _dedup
+    from datachain_spark.ops import text as _text
+
+    def _segment_dedup_full(spark, sf):
+        docs = entrymod._chain(spark, sf, "documents").df
+        return _text.segment_dedup(docs, "doc_id", chunk_words=10)
+
+    def _decontaminate_full(spark, sf):
+        docs = entrymod._chain(spark, sf, "documents").df
+        probes = docs.filter(F.col("doc_id") < 10)
+        return _dedup.decontaminate(
+            docs.filter(F.col("doc_id") >= 10), probes, "doc_id", ngram=5
+        )
+
+    queries["segment_dedup_full"] = _segment_dedup_full
+    queries["decontaminate_full"] = _decontaminate_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);
