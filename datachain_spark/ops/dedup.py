@@ -98,18 +98,18 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    # Signature via explode -> groupBy min-aggregates: the shingle pipeline
-    # runs ONCE per row (the pure column-expression form gets inlined by
-    # Catalyst's CollapseProject into every one of the num_hashes×bands
-    # references — measured 50× slower), and the signature is materialized at
-    # the shuffle so downstream banding never recomputes it. Map-side partial
-    # min aggregation keeps shuffle volume at num_hashes longs per doc.
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n=shingle_size))).alias(
-            "__shingle"
-        ),
-    )
+    # Signature via shingle rows -> groupBy min-aggregates: the shingle
+    # pipeline runs ONCE per row (the pure column-expression form gets
+    # inlined by Catalyst's CollapseProject into every one of the
+    # num_hashes×bands references — measured 50× slower), built with the
+    # codegen-friendly window formulation (ops/text.shingle_rows — the HOF
+    # array form is ~6× slower, evaluated interpreted), and the signature is
+    # materialized at the shuffle so downstream banding never recomputes it.
+    # Map-side partial min aggregation keeps shuffle volume at num_hashes
+    # longs per doc.
+    from .text import shingle_rows
+
+    exploded = shingle_rows(df, id_col, text_col, n=shingle_size, distinct=True)
     sig = (
         exploded.groupBy("__id")
         .agg(
@@ -204,9 +204,10 @@ def decontaminate(
     inverts the filter (audit mode: what WOULD be dropped).
 
     No reference counterpart (spec addition)."""
-    corpus_sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n=ngram))).alias("__sh"),
+    from .text import shingle_rows
+
+    corpus_sh = shingle_rows(df, id_col, text_col, n=ngram).select(
+        "__id", F.col("__shingle").alias("__sh")
     )
     probe_sh = (
         probes.select(
@@ -372,12 +373,10 @@ def ngram_jaccard_pairs(
     explode shingles -> self-join on shingle -> |A∩B| counts -> Jaccard with
     |A|+|B|-|A∩B|. Shuffles on shingle hash then on the pair key; exact but
     O(sum of posting-list^2) — at 100 TB run *after* an LSH candidate pass."""
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(F.col(text_col), n=shingle_size)).alias("__sh"),
-    )
-    sizes = sh.select("__id", F.size("__sh").alias("__n"))
-    inv = sh.select("__id", F.explode("__sh").alias("__shingle"))
+    from .text import shingle_rows
+
+    inv = shingle_rows(df, id_col, text_col, n=shingle_size, distinct=True)
+    sizes = inv.groupBy("__id").agg(F.count("*").alias("__n"))
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(

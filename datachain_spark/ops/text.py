@@ -153,6 +153,53 @@ def shingles(col, n: int = 3) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) rows — the exploded form of :func:`shingles`, built via
+    posexplode + window ``lead`` instead of the array higher-order functions.
+
+    Why: Catalyst evaluates HOF lambdas (transform/slice/array_join)
+    interpreted, outside whole-stage codegen — measured ~6x slower than this
+    window formulation on the documents corpus at sf0.1. The window costs one
+    shuffle on the id, which every downstream consumer (minhash signature
+    groupBy, jaccard inverted index, decontaminate hit-set) would pay anyway
+    and which Spark then reuses (hashpartitioning(id) satisfies the
+    follow-up aggregation's clustering requirement).
+
+    Semantics identical to ``explode(array_distinct(shingles(text, n)))``:
+    word n-grams over the lower/punct-stripped text, whole-doc fallback for
+    docs shorter than ``n`` words."""
+    from pyspark.sql import Window as W
+
+    c = F.lower(F.col(text_col))
+    words = F.split(F.trim(F.regexp_replace(c, r"[^\w\s]", "")), r"\s+")
+    base = df.select(F.col(id_col).alias("__id"), words.alias("__w"))
+    if n <= 1:
+        out = base.select("__id", F.explode("__w").alias("__shingle"))
+    else:
+        long = base.filter(F.size("__w") >= n).select(
+            "__id", F.posexplode("__w").alias("__pos", "__word")
+        )
+        w = W.partitionBy("__id").orderBy("__pos")
+        leads = [F.lead("__word", j).over(w) for j in range(1, n)]
+        sh = long.select(
+            "__id",
+            F.concat_ws(" ", F.col("__word"), *leads).alias("__shingle"),
+            F.lead("__word", n - 1).over(w).alias("__last"),
+        )
+        complete = sh.filter(F.col("__last").isNotNull()).select("__id", "__shingle")
+        short = base.filter(F.size("__w") < n).select(
+            "__id", F.array_join("__w", " ").alias("__shingle")
+        )
+        out = complete.union(short)
+    return out.dropDuplicates(["__id", "__shingle"]) if distinct else out
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
