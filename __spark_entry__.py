@@ -4,10 +4,19 @@ Each ``queries()`` entry exercises datachain_spark's public API (the engine
 under test) and has a DuckDB oracle in ``oracle_sql()`` unless the operator is
 not SQL-expressible (those get rows-only checks, marked RO below).
 
-Numeric stability policy: every SUM/AVG over double columns casts the operand
-to DECIMAL(20,2) first — all money-ish testdata columns are exact 2-decimal —
-so aggregation is order-independent and engine-identical; averages are cast to
-DECIMAL(20,4) at the end. Column names are aliased identically on both sides.
+Numeric stability policy (round 3): every SUM over double columns aggregates
+in DECIMAL(20,2) — all money-ish testdata columns are exact 2-decimal, so the
+sum is order-independent and engine-exact — but the PUBLISHED column is the
+terminal cast to DOUBLE: decimal->double is correctly rounded in both engines,
+so the float64 bits agree, and pandas dtypes agree (the driver's value hash is
+dtype/representation sensitive — duckdb DECIMAL -> float64 under .df(), Spark
+DecimalType -> object under toPandas(); see tests/oracle_harness.py).
+Averages are published as CAST(exact_sum AS DOUBLE) / COUNT (IEEE division,
+bit-identical). Integer outputs are published as int64 on the Spark side
+(length/rank/size return int32) and CAST(... AS BIGINT) on the duckdb side
+(SUM(BIGINT) returns HUGEINT -> float64 under pandas). min/max/lag need no
+decimal detour (order-independent already). Column names are aliased
+identically on both sides.
 """
 
 from __future__ import annotations
@@ -51,6 +60,12 @@ def _dec(col, scale: int = 2):
     return (col if not isinstance(col, str) else F.col(col)).cast(f"decimal(20,{scale})")
 
 
+def _dsum(col, scale: int = 2):
+    """Order-independent SUM over an exact-decimal double column, published as
+    float64 (see the numeric stability policy in the module docstring)."""
+    return func.sum(_dec(col, scale)).cast("double")
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -69,10 +84,10 @@ def entry(spark: SparkSession) -> DataFrame:
         )
         .group_by(
             partition_by=["l_returnflag", "l_linestatus"],
-            sum_qty=func.sum(_dec(F.col("l_quantity"))),
-            sum_base_price=func.sum(_dec(F.col("l_extendedprice"))),
-            sum_disc_price=func.sum(C.disc_price),
-            sum_charge=func.sum(C.charge),
+            sum_qty=_dsum("l_quantity"),
+            sum_base_price=_dsum("l_extendedprice"),
+            sum_disc_price=func.sum(C.disc_price).cast("double"),
+            sum_charge=func.sum(C.charge).cast("double"),
             count_order=func.count(),
         )
         .order_by("l_returnflag", "l_linestatus")
@@ -96,11 +111,12 @@ def q1_pricing_summary(spark, sf):
         )
         .group_by(
             partition_by=["l_returnflag", "l_linestatus"],
-            sum_qty=func.sum(_dec(F.col("l_quantity"))),
-            sum_base_price=func.sum(_dec(F.col("l_extendedprice"))),
-            sum_disc_price=func.sum(C.disc_price),
-            sum_charge=func.sum(C.charge),
-            avg_qty=func.avg(F.col("l_quantity")).cast("decimal(20,4)"),
+            sum_qty=_dsum("l_quantity"),
+            sum_base_price=_dsum("l_extendedprice"),
+            sum_disc_price=func.sum(C.disc_price).cast("double"),
+            sum_charge=func.sum(C.charge).cast("double"),
+            avg_qty=func.sum(_dec(F.col("l_quantity"))).cast("double")
+            / func.count(F.col("l_quantity")),
             count_order=func.count(),
         )
         .order_by("l_returnflag", "l_linestatus")
@@ -110,11 +126,11 @@ def q1_pricing_summary(spark, sf):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS sum_disc_price,
-       sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2))) * (1 + CAST(l_tax AS DECIMAL(20,2)))) AS sum_charge,
-       CAST(avg(l_quantity) AS DECIMAL(20,4)) AS avg_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2))) * (1 + CAST(l_tax AS DECIMAL(20,2)))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -133,7 +149,7 @@ def q3_shipping_priority(spark, sf):
         .mutate(rev=_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
         .group_by(
             partition_by=["o_orderkey", "o_orderdate", "o_orderpriority"],
-            revenue=func.sum(C.rev),
+            revenue=func.sum(C.rev).cast("double"),
         )
         .order_by(C.revenue.column.desc(), C.o_orderkey.column)
         .limit(10)
@@ -143,7 +159,7 @@ def q3_shipping_priority(spark, sf):
 
 Q3_SQL = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON o_orderkey = l_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -167,7 +183,8 @@ def q5_region_revenue(spark, sf):
         .merge(orders, on="c_custkey", right_on="o_custkey", inner=True)
         .merge(li, on="o_orderkey", right_on="l_orderkey", inner=True)
         .mutate(rev=_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
-        .group_by(partition_by=["r_name", "n_name"], revenue=func.sum(C.rev), n_items=func.count())
+        .group_by(partition_by=["r_name", "n_name"],
+                  revenue=func.sum(C.rev).cast("double"), n_items=func.count())
         .order_by("r_name", "n_name")
         .df
     )
@@ -175,7 +192,7 @@ def q5_region_revenue(spark, sf):
 
 Q5_SQL = """
 SELECT r_name, n_name,
-       sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM region JOIN nation ON r_regionkey = n_regionkey
             JOIN customer ON n_nationkey = c_nationkey
@@ -224,7 +241,7 @@ def mutate_case_buckets(spark, sf):
         .group_by(
             partition_by=["bucket", "is_urgent"],
             n=func.count(),
-            total=func.sum(_dec(F.col("o_totalprice"))),
+            total=_dsum("o_totalprice"),
         )
         .order_by("bucket", "is_urgent")
         .df
@@ -236,7 +253,7 @@ SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
             WHEN o_totalprice < 200000 THEN 'mid' ELSE 'high' END AS bucket,
        CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS is_urgent,
        count(*) AS n,
-       sum(CAST(o_totalprice AS DECIMAL(20,2))) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY 1, 2
 ORDER BY bucket, is_urgent
@@ -283,14 +300,15 @@ def union_all_groups(spark, sf):
     return (
         hi.union(lo)
         .group_by(partition_by="o_orderstatus", n=func.count(),
-                  total=func.sum(_dec(F.col("o_totalprice"))))
+                  total=_dsum("o_totalprice"))
         .order_by("o_orderstatus")
         .df
     )
 
 
 UNION_SQL = """
-SELECT o_orderstatus, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(20,2))) AS total
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total
 FROM (SELECT * FROM orders WHERE o_totalprice > 300000
       UNION ALL SELECT * FROM orders WHERE o_totalprice < 5000)
 GROUP BY o_orderstatus ORDER BY o_orderstatus
@@ -371,7 +389,7 @@ def merge_full_outer(spark, sf):
         merged.mutate(
             custkey=F.coalesce(F.col("o_custkey"), F.col("c_custkey")),
             n_orders_f=F.coalesce(F.col("n_orders"), F.lit(0)),
-            acctbal=F.coalesce(_dec(F.col("c_acctbal")), F.lit(0).cast("decimal(20,2)")),
+            acctbal=F.col("c_acctbal"),
         )
         .select("custkey", "n_orders_f", "acctbal")
         .order_by("custkey")
@@ -382,7 +400,7 @@ def merge_full_outer(spark, sf):
 MERGE_FULL_SQL = """
 SELECT COALESCE(o_custkey, c_custkey) AS custkey,
        COALESCE(n_orders, 0) AS n_orders_f,
-       COALESCE(CAST(c_acctbal AS DECIMAL(20,2)), CAST(0 AS DECIMAL(20,2))) AS acctbal
+       c_acctbal AS acctbal
 FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) s
 FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) r
 ON o_custkey = c_custkey
@@ -431,7 +449,7 @@ def window_top3_per_cust(spark, sf):
     orders = _chain(spark, sf, "orders")
     w = func.window("o_custkey", ["o_totalprice", "o_orderkey"], desc=True)
     return (
-        orders.mutate(rn=func.row_number().over(w))
+        orders.mutate(rn=func.row_number().over(w).cast("long"))
         .filter(C.rn <= 3, C.o_custkey < 100)
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
         .order_by("o_custkey", "rn")
@@ -454,10 +472,10 @@ def window_rank_lag(spark, sf):
     w = func.window("user_id", ["ts", "event_id"])
     return (
         ev.mutate(
-            rn=func.row_number().over(w),
-            rk=func.rank().over(w),
-            drk=func.dense_rank().over(w),
-            prev_value=func.lag("value", 1).over(w).cast("decimal(20,2)"),
+            rn=func.row_number().over(w).cast("long"),
+            rk=func.rank().over(w).cast("long"),
+            drk=func.dense_rank().over(w).cast("long"),
+            prev_value=func.lag("value", 1).over(w),
             first_type=func.first("event_type").over(w),
         )
         .select("user_id", "event_id", "rn", "rk", "drk", "prev_value", "first_type")
@@ -471,7 +489,7 @@ SELECT user_id, event_id,
        row_number() OVER w AS rn,
        rank() OVER w AS rk,
        dense_rank() OVER w AS drk,
-       CAST(lag(value, 1) OVER w AS DECIMAL(20,2)) AS prev_value,
+       lag(value, 1) OVER w AS prev_value,
        first_value(event_type) OVER w AS first_type
 FROM events WHERE user_id < 50
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -512,7 +530,7 @@ def string_funcs(spark, sf):
     part = _chain(spark, sf, "part").filter(C.p_partkey <= 200)
     return (
         part.mutate(
-            name_len=fs.length("p_name"),
+            name_len=fs.length("p_name").cast("long"),
             no_vowel=fs.regexp_replace("p_name", "[aeiou]", "_"),
             swapped=fs.replace("p_name", " ", "-"),
             first_word=F.get(fs.split("p_name", " "), 0),
@@ -603,10 +621,10 @@ def conditional_funcs(spark, sf):
     li = _chain(spark, sf, "lineitem").filter(C.l_orderkey <= 100)
     return (
         li.mutate(
-            hi=func.greatest(_dec(F.col("l_discount")), _dec(F.col("l_tax"))),
-            lo=func.least(_dec(F.col("l_discount")), _dec(F.col("l_tax"))),
+            hi=func.greatest(F.col("l_discount"), F.col("l_tax")),
+            lo=func.least(F.col("l_discount"), F.col("l_tax")),
             flag=func.ifelse(C.l_returnflag == "R", 1, 0),
-            null_price=func.ifelse(C.l_quantity > 25, F.col("l_extendedprice").cast("decimal(20,2)"), F.lit(None)),
+            null_price=func.ifelse(C.l_quantity > 25, F.col("l_extendedprice"), F.lit(None).cast("double")),
             has_null=func.isnone(
                 func.ifelse(C.l_quantity > 25, F.col("l_extendedprice"), F.lit(None))
             ),
@@ -619,10 +637,10 @@ def conditional_funcs(spark, sf):
 
 COND_SQL = """
 SELECT l_orderkey, l_linenumber,
-       CAST(greatest(CAST(l_discount AS DECIMAL(20,2)), CAST(l_tax AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS hi,
-       CAST(least(CAST(l_discount AS DECIMAL(20,2)), CAST(l_tax AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS lo,
+       greatest(l_discount, l_tax) AS hi,
+       least(l_discount, l_tax) AS lo,
        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS flag,
-       CASE WHEN l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(20,2)) END AS null_price,
+       CASE WHEN l_quantity > 25 THEN l_extendedprice END AS null_price,
        (CASE WHEN l_quantity > 25 THEN l_extendedprice END) IS NULL AS has_null
 FROM lineitem WHERE l_orderkey <= 100
 ORDER BY l_orderkey, l_linenumber
@@ -633,7 +651,7 @@ def array_funcs(spark, sf):
     emb = _chain(spark, sf, "embeddings")
     return (
         emb.mutate(
-            dim=fa.length("embedding"),
+            dim=fa.length("embedding").cast("long"),
             first_el=F.round(fa.get_element("embedding", 0).cast("double"), 4) + F.lit(0.0),
             head3=F.concat_ws(
                 ",",
@@ -667,7 +685,7 @@ def numeric_hash_funcs(spark, sf):
             band=func.bit_and(C.event_id, 255),
             bor=func.bit_or(C.event_id, 16),
             bxor=func.bit_xor(C.event_id, C.user_id),
-            hamming=func.bit_hamming_distance(C.event_id, C.user_id),
+            hamming=func.bit_hamming_distance(C.event_id, C.user_id).cast("long"),
         )
         .select("event_id", "band", "bor", "bxor", "hamming")
         .order_by("event_id")
@@ -680,7 +698,7 @@ SELECT event_id,
        event_id & 255 AS band,
        event_id | 16 AS bor,
        xor(event_id, user_id) AS bxor,
-       bit_count(xor(event_id, user_id)) AS hamming
+       CAST(bit_count(xor(event_id, user_id)) AS BIGINT) AS hamming
 FROM events WHERE event_id <= 500 ORDER BY event_id
 """
 
@@ -696,8 +714,8 @@ def events_hourly(spark, sf):
         .group_by(
             partition_by=["hour", "event_type"],
             n=func.count(),
-            total_value=func.sum(_dec(F.col("value"))),
-            max_value=func.max(_dec(F.col("value"))),
+            total_value=_dsum("value"),
+            max_value=func.max(F.col("value")),
         )
         .order_by("hour", "event_type")
         .df
@@ -707,8 +725,8 @@ def events_hourly(spark, sf):
 EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n,
-       sum(CAST(value AS DECIMAL(20,2))) AS total_value,
-       max(CAST(value AS DECIMAL(20,2))) AS max_value
+       CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value,
+       max(value) AS max_value
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
@@ -758,7 +776,7 @@ WITH marked AS (
                              ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM marked
 )
-SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM sess GROUP BY user_id ORDER BY user_id
 """
 
@@ -776,7 +794,7 @@ def explode_json_props(spark, sf):
 
 
 EXPLODE_SQL = """
-SELECT event_type, sum(CAST(props->>'k' AS BIGINT)) AS total_k, count(*) AS n
+SELECT event_type, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS total_k, count(*) AS n
 FROM events WHERE event_id <= 1000
 GROUP BY event_type ORDER BY event_type
 """
@@ -819,7 +837,7 @@ def text_quality_stats(spark, sf):
             partition_by="lang",
             n_docs=func.count(),
             total_tokens=func.sum(C.n_tokens),
-            max_tokens=func.max(C.n_tokens),
+            max_tokens=func.max(C.n_tokens).cast("long"),
             total_chars=func.sum(C.n_chars_calc),
         )
         .order_by("lang")
@@ -829,11 +847,11 @@ def text_quality_stats(spark, sf):
 
 TEXT_STATS_SQL = """
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
        max(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS max_tokens,
-       sum(length(text)) AS total_chars
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -948,7 +966,9 @@ def q6_forecast_revenue(spark, sf):
             C.l_quantity < 24,
         )
         .group_by(
-            revenue=func.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"))),
+            revenue=func.sum(
+                _dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"))
+            ).cast("double"),
             n=func.count(),
         )
         .df
@@ -956,7 +976,7 @@ def q6_forecast_revenue(spark, sf):
 
 
 Q6_SQL = """
-SELECT sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(l_discount AS DECIMAL(20,2))) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE) AS revenue,
        count(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
@@ -974,7 +994,7 @@ def group_by_expr_keys(spark, sf):
                 F.month("o_orderdate").alias("mo"),
             ],
             n=func.count(),
-            total=func.sum(_dec(F.col("o_totalprice"))),
+            total=_dsum("o_totalprice"),
         )
         .order_by("yr", "mo")
         .df
@@ -983,7 +1003,7 @@ def group_by_expr_keys(spark, sf):
 
 GROUP_EXPR_SQL = """
 SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
-       count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(20,2))) AS total
+       count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total
 FROM orders GROUP BY 1, 2 ORDER BY yr, mo
 """
 
@@ -1053,7 +1073,7 @@ def rollup_orders(spark, sf):
         orders.group_by(
             partition_by=["o_orderstatus", "o_orderpriority"],
             kind="rollup",
-            total=func.sum(_dec(F.col("o_totalprice"))),
+            total=_dsum("o_totalprice"),
             n=func.count(),
         )
         .mutate(status=F.coalesce(F.col("o_orderstatus"), F.lit("ALL")),
@@ -1067,7 +1087,7 @@ def rollup_orders(spark, sf):
 ROLLUP_SQL = """
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
-       sum(CAST(o_totalprice AS DECIMAL(20,2))) AS total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total,
        count(*) AS n
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY status, priority
@@ -1082,7 +1102,7 @@ def pivot_status_qty(spark, sf):
     return (
         li.pivot("l_linestatus", ["F", "O"], partition_by="l_returnflag",
                  qty=func.sum(_dec(F.col("l_quantity"))))
-        .mutate(f_qty=F.col("F"), o_qty=F.col("O"))
+        .mutate(f_qty=F.col("F").cast("double"), o_qty=F.col("O").cast("double"))
         .select("l_returnflag", "f_qty", "o_qty")
         .order_by("l_returnflag")
         .df
@@ -1091,8 +1111,8 @@ def pivot_status_qty(spark, sf):
 
 PIVOT_SQL = """
 SELECT l_returnflag,
-       sum(CAST(l_quantity AS DECIMAL(20,2))) FILTER (WHERE l_linestatus = 'F') AS f_qty,
-       sum(CAST(l_quantity AS DECIMAL(20,2))) FILTER (WHERE l_linestatus = 'O') AS o_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS f_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS o_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -1248,9 +1268,9 @@ WITH t AS (
   FROM documents
 )
 SELECT lang,
-       sum(CASE WHEN en_hits > 0 THEN 1 ELSE 0 END) AS docs_with_en,
-       sum(CASE WHEN de_hits > 0 THEN 1 ELSE 0 END) AS docs_with_de,
-       sum(en_hits) AS total_en_hits
+       CAST(sum(CASE WHEN en_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_en,
+       CAST(sum(CASE WHEN de_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_de,
+       CAST(sum(en_hits) AS BIGINT) AS total_en_hits
 FROM t GROUP BY lang ORDER BY lang
 """
 
@@ -1299,19 +1319,19 @@ def salted_agg_events(spark, sf):
         {
             "n": ("count", None),
             "total": ("sum", "value_d"),
-            "vmin": ("min", "value_d"),
-            "vmax": ("max", "value_d"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
         },
         salt=8,
     )
-    return out.orderBy("event_type")
+    return out.withColumn("total", F.col("total").cast("double")).orderBy("event_type")
 
 
 SALTED_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(value AS DECIMAL(20,2))) AS total,
-       min(CAST(value AS DECIMAL(20,2))) AS vmin,
-       max(CAST(value AS DECIMAL(20,2))) AS vmax
+       CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total,
+       min(value) AS vmin,
+       max(value) AS vmax
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -1554,7 +1574,8 @@ WITH {words}, h AS (
 ), blk AS (
   SELECT doc_id, sh, sh >> {num_bits - prefix_bits} AS blk FROM sk
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sh, b.sh)) AS hamming
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
 FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 ORDER BY id_a, id_b
@@ -1568,10 +1589,14 @@ def simhash_pairs_md5(spark, sf):
     """SimHash sketch + prefix blocking + hamming verify under the portable
     md5 hash family — oracled by SIMHASH_MD5_SQL (per-bit vote replication)."""
     docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 150)
-    return dedup.simhash_pairs(
-        docs, "doc_id", "text",
-        max_hamming=3, prefix_bits=6, num_bits=16, hash_fn="md5",
-    ).orderBy("id_a", "id_b")
+    return (
+        dedup.simhash_pairs(
+            docs, "doc_id", "text",
+            max_hamming=3, prefix_bits=6, num_bits=16, hash_fn="md5",
+        )
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 WINNOW_MD5_SQL = """
@@ -1723,7 +1748,7 @@ WITH words AS (
 ), wc AS (
   SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
 ), ws AS (
-  SELECT doc_id, sum(c) AS n_words, CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac
   FROM wc GROUP BY doc_id
 ), g AS (
   SELECT doc_id, unnest(

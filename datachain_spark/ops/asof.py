@@ -132,7 +132,14 @@ def salted_group_by(
     reducers in stage 1 instead of melting one.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.rand()), F.lit(salt)))
+    # Salt must be DETERMINISTIC per row: a rand()-derived salt feeding a
+    # shuffle re-salts rows differently on task retry (the classic
+    # repartition-by-rand row-loss/duplication hazard). Hash the row content
+    # instead — same row always lands in the same salt bucket.
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)),
+    )
 
     partials = []
     finals = []
