@@ -96,7 +96,15 @@ def dedup_stream(
     the watermark horizon (dropDuplicatesWithinWatermark — state-store
     bounded, so it runs forever at 100 TB/day; unbounded dropDuplicates
     would accumulate state without limit). The streaming analog of
-    ops.dedup.exact_dedup for ingest pipelines."""
+    ops.dedup.exact_dedup for ingest pipelines.
+
+    Event-time semantics callers must know (standard Spark watermark rules):
+    rows arriving later than ``watermark`` behind the max observed event time
+    are dropped as late, so out-of-event-time-order ingestion loses rows by
+    design; and state eviction lags one micro-batch behind the watermark
+    update (the watermark computed from batch N applies at the start of batch
+    N+1), so a key's re-occurrence is only re-admitted after an intervening
+    batch. See tests/test_streaming.py::test_dedup_stream."""
     out = df.withWatermark(ts_col, watermark)
     try:
         return out.dropDuplicatesWithinWatermark(keys)

@@ -109,22 +109,54 @@ def test_stateful_running_counts(session, stream_dir, tmp_path):
 
 
 def test_dedup_stream(session, tmp_path):
+    """dropDuplicatesWithinWatermark contract, driven batch-by-batch in event
+    -time order. Spark's FileStreamSource with maxFilesPerTrigger=1 picks
+    files oldest-mtime-first, so each file below is one micro-batch with
+    explicit mtimes; the middle batch advances the watermark past k=1's state
+    expiry (00:05 + 1h) so the 03:00 re-occurrence is re-admitted. Ingesting
+    out of event-time order would legitimately drop late rows instead — that
+    is watermark semantics, not a bug."""
+    import os
+    import time
+
+    import pandas as pd
+
     from datachain_spark.streaming import dedup_stream
 
     spark = session.spark
-    d = str(tmp_path / "dup_src")
-    df = spark.createDataFrame(
-        [
-            (1, "2024-01-01 00:05:00", "a"),
-            (1, "2024-01-01 00:06:00", "a-dup"),     # same key within horizon
-            (2, "2024-01-01 00:10:00", "b"),
-            (1, "2024-01-01 03:00:00", "a-later"),   # same key past watermark
-        ],
-        "k long, ts_str string, v string",
-    ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
-    df.write.parquet(d)
+    d = tmp_path / "dup_src"
+    d.mkdir()
 
-    stream = read_stream(spark, d, max_files_per_trigger=1)
+    def write_batch(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["k", "v", "ts"])
+        # tz-aware us timestamps -> Spark TimestampType (ntz is rejected by
+        # withWatermark; ns precision is rejected by the parquet reader)
+        pdf["ts"] = (
+            pd.to_datetime(pdf["ts"]).dt.tz_localize("UTC").astype("datetime64[us, UTC]")
+        )
+        path = str(d / name)
+        pdf.to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    t0 = time.time() - 1000
+    write_batch(
+        "b1.parquet",
+        [
+            (1, "a", "2024-01-01 00:05:00"),
+            (1, "a-dup", "2024-01-01 00:06:00"),  # same key within horizon
+            (2, "b", "2024-01-01 00:10:00"),
+        ],
+        t0,
+    )
+    # advances the watermark to 01:30 > 01:05 (k=1's expiry). Watermark
+    # updates are applied at the START of the NEXT batch, so a spacer batch
+    # is needed before the expired key is physically evicted.
+    write_batch("b2.parquet", [(3, "c", "2024-01-01 02:30:00")], t0 + 60)
+    write_batch("b3.parquet", [(4, "d", "2024-01-01 02:45:00")], t0 + 120)
+    # same key, state expired and evicted -> re-admitted
+    write_batch("b4.parquet", [(1, "a-later", "2024-01-01 03:00:00")], t0 + 180)
+
+    stream = read_stream(spark, str(d), max_files_per_trigger=1)
     deduped = dedup_stream(stream, ["k"], ts_col="ts", watermark="1 hour")
     q = (
         deduped.writeStream.format("memory")
@@ -136,6 +168,5 @@ def test_dedup_stream(session, tmp_path):
     )
     q.awaitTermination(120)
     ks = [r["k"] for r in spark.sql("SELECT k FROM dedup_out").collect()]
-    # both keys survive exactly once per watermark horizon; the within-horizon
-    # duplicate of k=1 is dropped
-    assert sorted(ks)[:2] == [1, 2] and ks.count(1) <= 2
+    # within-horizon duplicate dropped; past-horizon re-occurrence re-admitted
+    assert sorted(ks) == [1, 1, 2, 3, 4]
