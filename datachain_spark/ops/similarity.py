@@ -105,6 +105,30 @@ def ann_ivf_topk(
     return cosine_topk(subset, query_vec, vec_col=vec_col, k=k, id_cols=id_cols)
 
 
+def _hyperplane_bucket(vec: "F.Column", num_planes: int, seed: int) -> "F.Column":
+    """Random-hyperplane sign bucket (deterministic: plane weights are +-1
+    from xxhash64(seed, plane, dim) parity — nothing random shipped from the
+    driver, so task retries bucket identically)."""
+    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def plane_sign(p):
+        def w(i):
+            h = F.xxhash64(F.lit(seed), F.lit(p), i)
+            return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+        proj = F.aggregate(
+            F.zip_with(vec, F.transform(dim_idx, w), lambda x, wt: x * wt),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        bucket = bucket * 2 + plane_sign(p)
+    return bucket
+
+
 def cosine_join_topk(
     left: DataFrame,
     right: DataFrame,
@@ -113,17 +137,45 @@ def cosine_join_topk(
     k: int = 10,
     left_id: str = "id",
     right_id: str = "id",
+    broadcast_threshold: int = 1_000_000,
+    num_planes: int = 0,
+    seed: int = 42,
 ) -> DataFrame:
-    """Batch k-NN: for every left row, the k nearest right rows (brute-force
-    cross product + per-left-row window top-k). Right side should be
-    broadcast-sized or LSH-bucketed first at scale."""
+    """Batch k-NN: for every left row, the k nearest right rows.
+
+    num_planes=0 (exact): cross product against a BROADCAST right side +
+    per-left-row window top-k. Guarded — if the right side exceeds
+    ``broadcast_threshold`` rows, raises instead of OOMing the executors,
+    because a non-broadcast cross join is equally catastrophic at scale.
+
+    num_planes>0 (approximate, the 100-TB path): both sides bucket by
+    deterministic random-hyperplane signs and join bucket-to-bucket (a plain
+    shuffle hash join on the bucket key — no cross product, no broadcast,
+    arbitrary right-side size). Recall is limited to same-bucket neighbors;
+    raise num_planes for tighter buckets, lower it for better recall.
+    """
     from pyspark.sql import Window
 
     a = left.select(F.col(left_id).alias("qid"), F.col(left_vec).alias("qv"))
     b = right.select(F.col(right_id).alias("nid"), F.col(right_vec).alias("nv"))
     dist = cosine_distance(F.col("qv"), F.col("nv")).alias("distance")
-    pairs = a.crossJoin(F.broadcast(b)).select("qid", "nid", dist)
-    w = Window.partitionBy("qid").orderBy("distance")
+
+    if num_planes > 0:
+        a = a.withColumn("__bucket", _hyperplane_bucket(F.col("qv"), num_planes, seed))
+        b = b.withColumn("__bucket", _hyperplane_bucket(F.col("nv"), num_planes, seed))
+        pairs = a.join(b, "__bucket").select("qid", "nid", dist)
+    else:
+        n_right = right.count()
+        if n_right > broadcast_threshold:
+            raise ValueError(
+                f"cosine_join_topk: right side has {n_right} rows > "
+                f"broadcast_threshold={broadcast_threshold}; a broadcast cross "
+                "join would OOM. Pass num_planes>0 for the LSH-bucketed scale "
+                "path, or pre-filter the right side."
+            )
+        pairs = a.crossJoin(F.broadcast(b)).select("qid", "nid", dist)
+
+    w = Window.partitionBy("qid").orderBy("distance", "nid")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -97,6 +97,28 @@ def test_salted_matches_plain_group_by(spark):
     assert a == b
 
 
+def test_salted_group_by_salt_is_deterministic(spark):
+    """The salt column must be stable under re-evaluation (task retry): a
+    rand()-derived salt feeding a shuffle loses/duplicates rows when a task
+    recomputes. Re-evaluating the same plan twice must bucket identically."""
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(50)], "k string, v double"
+    )
+    from pyspark.sql import functions as SF
+
+    salted = df.withColumn(
+        "__salt", SF.pmod(SF.xxhash64(*[SF.col(c) for c in df.columns]), SF.lit(8))
+    )
+    one = sorted((r["k"], r["v"], r["__salt"]) for r in salted.collect())
+    two = sorted((r["k"], r["v"], r["__salt"]) for r in salted.collect())
+    assert one == two
+    # and results still match plain groupBy when evaluated repeatedly
+    for _ in range(2):
+        out = salted_group_by(df, "k", {"n": ("count", None), "s": ("sum", "v")})
+        r = out.collect()[0]
+        assert (r["n"], r["s"]) == (50, sum(float(i) for i in range(50)))
+
+
 def test_interval_join_binned_vs_keyed(spark):
     from pyspark.sql import functions as F
 

@@ -140,6 +140,38 @@ def test_cosine_join_topk(session):
     assert [r["nid"] for r in out] == [10, 11]
 
 
+def test_cosine_join_topk_broadcast_guard(session):
+    import pytest
+
+    left = dc.read_values(session=session, id=[1], v=[[1.0, 0.0]])
+    right = dc.read_values(
+        session=session, id=[10, 11, 12], v=[[1.0, 0.0], [0.5, 0.5], [0.0, 1.0]]
+    )
+    with pytest.raises(ValueError, match="broadcast_threshold"):
+        similarity.cosine_join_topk(
+            left.df, right.df, "v", "v", k=2, broadcast_threshold=2
+        )
+
+
+def test_cosine_join_topk_lsh_path(session):
+    """num_planes>0: no broadcast in the plan (shuffle join on bucket), and
+    same-bucket neighbors still surface (identical vectors share a bucket by
+    construction)."""
+    import random
+
+    rnd = random.Random(3)
+    vecs = [[rnd.gauss(0, 1) for _ in range(8)] for _ in range(40)]
+    left = dc.read_values(session=session, id=[100], v=[vecs[7]])
+    right = dc.read_values(session=session, id=list(range(40)), v=vecs)
+    out = similarity.cosine_join_topk(
+        left.df, right.df, "v", "v", k=1, num_planes=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "BroadcastExchange" not in plan
+    rows = out.collect()
+    assert [r["nid"] for r in rows] == [7]  # exact match is always same-bucket
+
+
 def test_text_metrics(docs):
     out = text.analyze_text(docs.df).collect()
     by = {r["doc_id"]: r for r in out}
