@@ -358,6 +358,16 @@ def simhash(
     return out
 
 
+def _rotl_bits(col: "F.Column", r: int, num_bits: int) -> "F.Column":
+    """Rotate the low `num_bits` of a long left by r (r < num_bits)."""
+    if r == 0:
+        return col
+    mask = F.lit((1 << num_bits) - 1).cast("long")
+    return (
+        F.shiftleft(col, r).bitwiseAND(mask).bitwiseOR(F.shiftright(col, num_bits - r))
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -366,26 +376,51 @@ def simhash_pairs(
     prefix_bits: int = 12,
     num_bits: int = 32,
     hash_fn: str = "xxhash64",
+    num_tables: int = 1,
 ) -> DataFrame:
     """Near-dup candidate pairs: block on the top `prefix_bits` of the
-    simhash (near-dups almost always share the prefix when max_hamming is
-    small), verify with exact bit hamming distance."""
-    s = simhash_sketch(
-        df, id_col, text_col, num_bits=num_bits, hash_fn=hash_fn
-    ).withColumn("__blk", F.shiftright("__sh", num_bits - prefix_bits))
-    a, b = s.alias("a"), s.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+    simhash, verify with exact bit hamming distance.
+
+    num_tables=1: single prefix block — a near-dup pair is MISSED when one of
+    its <= max_hamming differing bits falls in the prefix, and one hot prefix
+    can skew a reducer at corpus scale.
+
+    num_tables>1 (the 100-TB setting, Manku et al. WWW'07 rotation tables):
+    table t blocks on the prefix of the sketch rotated left by
+    t*num_bits/num_tables; a pair is a candidate if ANY rotation agrees on
+    its prefix, so recall rises toward 1 for small max_hamming and hot
+    prefixes spread over num_tables distinct block keys. Candidates dedupe on
+    (id_a, id_b) before the verify filter; cost is one self-join over a
+    num_tables-times-larger (but re-keyed) block table, still no all-pairs.
+    """
+    s = simhash_sketch(df, id_col, text_col, num_bits=num_bits, hash_fn=hash_fn)
+    if num_tables <= 1:
+        blk = s.withColumn("__blk", F.shiftright("__sh", num_bits - prefix_bits))
+    else:
+        step = max(1, num_bits // num_tables)
+        blk = None
+        for t in range(num_tables):
+            rot = _rotl_bits(F.col("__sh"), (t * step) % num_bits, num_bits)
+            part = s.select(
+                "__id",
+                "__sh",
+                F.lit(t).alias("__t"),
+                F.shiftright(rot, num_bits - prefix_bits).alias("__blk"),
+            )
+            blk = part if blk is None else blk.unionByName(part)
+
+    a, b = blk.alias("a"), blk.alias("b")
+    cond = (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id"))
+    if num_tables > 1:
+        cond = cond & (F.col("a.__t") == F.col("b.__t"))
+    pairs = a.join(b, cond).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
     )
+    if num_tables > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(

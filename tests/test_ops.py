@@ -82,6 +82,47 @@ def test_simhash_near_dup(docs):
     assert any({p["id_a"], p["id_b"]} <= {0, 1, 2} for p in pairs)
 
 
+def test_simhash_rotation_tables_recall(session):
+    """Multi-rotation blocking (num_tables>1) must be a superset of the
+    single-prefix candidates, a subset of brute force (the hamming verify
+    filter is unchanged), and recover prefix-bit-flip pairs that a single
+    block misses."""
+    import random
+
+    rnd = random.Random(11)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    texts, ids = [], []
+    n = 0
+    for d in range(40):
+        base = [rnd.choice(vocab) for _ in range(30)]
+        texts.append(" ".join(base))
+        ids.append(n)
+        n += 1
+        mut = list(base)
+        mut[rnd.randrange(30)] = rnd.choice(vocab)  # one-word near-dup
+        texts.append(" ".join(mut))
+        ids.append(n)
+        n += 1
+    ch = dc.read_values(session=session, doc_id=ids, text=texts)
+    kw = dict(max_hamming=6, num_bits=32, prefix_bits=10)
+
+    def pair_set(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    brute = pair_set(
+        dedup.simhash_pairs(ch.df, "doc_id", "text", max_hamming=6,
+                            num_bits=32, prefix_bits=0)
+    )
+    single = pair_set(dedup.simhash_pairs(ch.df, "doc_id", "text", **kw))
+    multi = pair_set(
+        dedup.simhash_pairs(ch.df, "doc_id", "text", num_tables=4, **kw)
+    )
+    assert single <= multi <= brute
+    # fixed seed: the corpus contains pairs whose differing bits hit the
+    # top-10 prefix — rotation tables must recover some of them
+    assert len(multi) > len(single)
+
+
 def test_ngram_jaccard_exact_values(docs):
     pairs = dedup.ngram_jaccard_pairs(
         docs.df.filter(F.length("text") > 0), "doc_id", "text",
