@@ -102,6 +102,11 @@ class DatasetVersion:
     # bucketed layout: {"table": catalog name, "by": [cols], "num": N,
     # "sort": [cols]} — empty dict for plain parquet versions
     bucket: dict = field(default_factory=dict)
+    # serialized Pydantic model definitions for model-backed columns
+    # ({signal: type-string, "_custom_types": {...}} — schema.py
+    # serialize_signals; parity signal_schema.py:255-320). Lets a fresh
+    # session reconstruct custom model classes on read_dataset.
+    signal_schema: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:
         return self.__dict__.copy()
@@ -228,6 +233,7 @@ class Metastore:
         bucket_by: Optional[list[str]] = None,
         num_buckets: int = 16,
         bucket_sort: Optional[list[str]] = None,
+        signal_schema: Optional[dict] = None,
     ) -> DatasetVersion:
         """Materialize df as a new dataset version.
 
@@ -292,6 +298,7 @@ class Metastore:
             preview=json.loads(json.dumps(preview, default=str)),
             job_hash=job_hash,
             bucket=bucket_meta,
+            signal_schema=signal_schema or {},
         )
         rec.versions.append(dv)
         if description:

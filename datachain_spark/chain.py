@@ -80,12 +80,16 @@ class DataChain:
         # propagated through _evolve — a transformed chain is no longer
         # "the dataset" (parity: name/version/dataset props, datachain.py:294-318)
         self._dataset_info: dict[str, str] = {}
+        # column -> Pydantic model backing that (struct) column; persisted by
+        # save() and reconstructed by read_dataset() (signal_schema.py parity)
+        self._signal_models: dict[str, type] = {}
 
     # ------------------------------------------------------------------ core
     def _evolve(self, df: DataFrame, extra_deps: Optional[list] = None) -> "DataChain":
         deps = self._dependencies + list(extra_deps or [])
         out = DataChain(df, self.session, self._settings, deps)
         out._setup_values = self._setup_values
+        out._signal_models = self._signal_models
         return out
 
     def setup(self, **thunks: Callable[[], Any]) -> "DataChain":
@@ -833,18 +837,25 @@ class DataChain:
         so downstream equi-joins/aggs on the bucket key run with NO shuffle
         when both sides share the layout — pre-pay one shuffle at write time,
         amortized over every co-located join after."""
+        from .schema import serialize_signals
+
+        live_models = {
+            c: m for c, m in self._signal_models.items() if c in self._df.columns
+        }
         dv = self.session.metastore.save_dataset(
             self._df, name, version=version, update_version=update_version,
             attrs=attrs, description=description, dependencies=self._dependencies,
             bucket_by=list(bucket_by) if bucket_by else None,
             num_buckets=num_buckets,
             bucket_sort=list(bucket_sort) if bucket_sort else None,
+            signal_schema=serialize_signals(live_models) if live_models else None,
         )
         df, _, _ = self.session.metastore.load_dataset(self.session.spark, name, dv.version)
         out = DataChain(
             df, self.session, self._settings,
             [{"dataset": name, "version": dv.version}],
         )
+        out._signal_models = dict(live_models)
         from .catalog.metastore import split_name
 
         ns, proj, base = split_name(name)
@@ -945,10 +956,41 @@ class DataChain:
     def to_iter(self, *cols: str) -> Iterator[tuple]:
         """Streaming client iteration. Parity: datachain.py:1485-1530 —
         toLocalIterator avoids materializing the whole result on the
-        driver."""
-        df = self._df.select(*cols) if cols else self._df
+        driver. Columns backed by a signal model (attached via
+        with_signal_model / read_values with Pydantic values / read_dataset
+        of a saved signal schema) come back as Pydantic instances, matching
+        the reference's collect semantics (signal_schema.py:506-530)."""
+        from .schema import row_to_model
+
+        names = list(cols) if cols else list(self._df.columns)
+        df = self._df.select(*names) if cols else self._df
+        models = {i: self._signal_models[n] for i, n in enumerate(names)
+                  if n in self._signal_models}
         for r in df.toLocalIterator(prefetchPartitions=True):
-            yield tuple(r)
+            t = tuple(r)
+            if models:
+                t = tuple(
+                    row_to_model(v, models[i]) if i in models and v is not None else v
+                    for i, v in enumerate(t)
+                )
+            yield t
+
+    def with_signal_model(self, col: str, model: type) -> "DataChain":
+        """Declare that struct column ``col`` is backed by Pydantic ``model``.
+        The model definition is persisted by save() (signal_schema.py:255-320
+        parity) and the column materializes as model instances in
+        to_iter/collect."""
+        from .schema import ModelStore
+
+        ModelStore.register(model)
+        out = self._evolve(self._df)
+        out._signal_models = {**self._signal_models, col: model}
+        return out
+
+    @property
+    def signal_models(self) -> dict[str, type]:
+        """Columns backed by Pydantic models (read-only view)."""
+        return dict(self._signal_models)
 
     def results(self, row_factory: Optional[Callable] = None) -> list:
         """All rows as tuples (or via ``row_factory(colnames, row)``).

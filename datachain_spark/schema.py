@@ -166,3 +166,193 @@ def row_to_model(value: Any, model: "type[BaseModel]") -> Any:
         return None
     data = value.asDict(recursive=True) if hasattr(value, "asDict") else dict(value)
     return model.model_validate(data)
+
+
+# --------------------------------------------------------------------------
+# Signal-schema serialization: custom Pydantic model definitions persisted
+# with each dataset version and reconstructed on read in a fresh session.
+# Parity: /root/reference/src/datachain/lib/signal_schema.py:255-465
+# (serialize/_serialize_type/_serialize_custom_model and
+# deserialize/_resolve_type) and lib/model_store.py (ModelStore registry):
+# the version record carries {signal: type-string} plus a _custom_types map
+# of {Name@vN: {fields, bases}}; on read, a registered class wins, otherwise
+# the model is re-created dynamically from the stored field definitions.
+# --------------------------------------------------------------------------
+
+_TYPE_NAMES: dict[type, str] = {
+    int: "int",
+    float: "float",
+    str: "str",
+    bool: "bool",
+    bytes: "bytes",
+    datetime.datetime: "datetime",
+    datetime.date: "date",
+}
+_NAME_TYPES: dict[str, Any] = {v: k for k, v in _TYPE_NAMES.items()}
+
+
+class ModelStore:
+    """Registry of known Pydantic models, keyed 'Name@vN' (version from a
+    ``_version`` class attr, default 1). Parity: lib/model_store.py."""
+
+    _store: dict[str, "type[BaseModel]"] = {}
+
+    @classmethod
+    def get_name(cls, model: "type[BaseModel]") -> str:
+        return f"{model.__name__}@v{getattr(model, '_version', 1)}"
+
+    @classmethod
+    def register(cls, model: "type[BaseModel]") -> str:
+        name = cls.get_name(model)
+        cls._store[name] = model
+        return name
+
+    @classmethod
+    def get(cls, name: str) -> "Optional[type[BaseModel]]":
+        return cls._store.get(name)
+
+    @classmethod
+    def reset(cls) -> None:
+        """Testing aid: simulate a fresh interpreter with no imports."""
+        cls._store = {}
+
+
+def _serialize_type(tp: Any, custom_types: dict[str, Any]) -> str:
+    import types as _types
+
+    if tp is None or tp is type(None):
+        return "NoneType"
+    origin = get_origin(tp)
+    if origin is Union or (origin is not None and origin is getattr(_types, "UnionType", object())):
+        args = get_args(tp)
+        inner = ", ".join(_serialize_type(a, custom_types) for a in args)
+        if type(None) in args and len(args) == 2:
+            other = next(a for a in args if a is not type(None))
+            return f"Optional[{_serialize_type(other, custom_types)}]"
+        return f"Union[{inner}]"
+    if origin in (list, tuple, set):
+        args = get_args(tp)
+        inner = _serialize_type(args[0], custom_types) if args else "str"
+        return f"list[{inner}]"
+    if origin is dict:
+        args = get_args(tp)
+        k = _serialize_type(args[0], custom_types) if args else "str"
+        v = _serialize_type(args[1], custom_types) if len(args) > 1 else "str"
+        return f"dict[{k}, {v}]"
+    if origin is typing.Literal:
+        return "str"
+    if isinstance(tp, type):
+        if tp in _TYPE_NAMES:
+            return _TYPE_NAMES[tp]
+        if issubclass(tp, enum.Enum):
+            return "str"
+        if PYDANTIC and issubclass(tp, BaseModel):
+            return _serialize_custom_model(tp, custom_types)
+    raise TypeError(f"cannot serialize type {tp!r}")
+
+
+def _serialize_custom_model(model: "type[BaseModel]", custom_types: dict[str, Any]) -> str:
+    name = ModelStore.register(model)
+    if name in custom_types:
+        return name
+    custom_types[name] = {}  # placeholder breaks self-reference cycles
+    fields = {
+        fname: _serialize_type(finfo.annotation, custom_types)
+        for fname, finfo in model.model_fields.items()
+    }
+    bases = [
+        ModelStore.get_name(b)
+        for b in model.__mro__[1:]
+        if PYDANTIC and isinstance(b, type) and issubclass(b, BaseModel) and b is not BaseModel
+    ]
+    custom_types[name] = {
+        "schema_version": 2,
+        "name": name,
+        "fields": fields,
+        "bases": bases,
+        "hidden_fields": list(getattr(model, "_hidden_fields", [])),
+    }
+    return name
+
+
+def serialize_signals(models: dict[str, "type[BaseModel]"]) -> dict[str, Any]:
+    """{column: model} -> JSON-able signal schema dict."""
+    custom_types: dict[str, Any] = {}
+    out: dict[str, Any] = {
+        col: _serialize_type(m, custom_types) for col, m in models.items()
+    }
+    if custom_types:
+        out["_custom_types"] = custom_types
+    return out
+
+
+def _split_args(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    parts.append(s[start:].strip())
+    return parts
+
+
+def _deserialize_type(s: str, custom_types: dict[str, Any]) -> Any:
+    s = s.strip()
+    if s == "NoneType":
+        return type(None)
+    if s in _NAME_TYPES:
+        return _NAME_TYPES[s]
+    if s.startswith("Optional[") and s.endswith("]"):
+        return Optional[_deserialize_type(s[9:-1], custom_types)]
+    if s.startswith("Union[") and s.endswith("]"):
+        args = tuple(_deserialize_type(a, custom_types) for a in _split_args(s[6:-1]))
+        return Union[args]
+    if s.startswith("list[") and s.endswith("]"):
+        return list[_deserialize_type(s[5:-1], custom_types)]  # type: ignore[misc]
+    if s.startswith("dict[") and s.endswith("]"):
+        k, v = _split_args(s[5:-1])
+        return dict[_deserialize_type(k, custom_types), _deserialize_type(v, custom_types)]  # type: ignore[misc]
+    if "@v" in s:
+        return _resolve_model(s, custom_types)
+    raise TypeError(f"cannot deserialize type string {s!r}")
+
+
+def _resolve_model(name: str, custom_types: dict[str, Any]) -> "type[BaseModel]":
+    known = ModelStore.get(name)
+    if known is not None:
+        return known
+    spec = custom_types.get(name)
+    if spec is None:
+        raise TypeError(f"unknown custom type {name!r} (not registered, no spec)")
+    from pydantic import create_model
+
+    base: Any = BaseModel
+    for bname in spec.get("bases", []):
+        b = ModelStore.get(bname)
+        if b is not None:
+            base = b
+            break
+    fields = {
+        fname: (_deserialize_type(ftype, custom_types), None)
+        for fname, ftype in spec.get("fields", {}).items()
+    }
+    model = create_model(name.split("@", 1)[0], __base__=base, **fields)
+    ModelStore._store[name] = model
+    return model
+
+
+def deserialize_signals(spec: dict[str, Any]) -> dict[str, "type[BaseModel]"]:
+    """Inverse of serialize_signals: {column: model class}, using registered
+    classes when available, dynamically re-created models otherwise."""
+    if not spec or not PYDANTIC:
+        return {}
+    custom_types = spec.get("_custom_types", {})
+    return {
+        col: _deserialize_type(s, custom_types)
+        for col, s in spec.items()
+        if col != "_custom_types"
+    }

@@ -67,7 +67,13 @@ def read_values(
         tuple(model_to_row_dict(columns[n][i]) for n in names)
         for i in range(next(iter(lengths)))
     ]
-    return DataChain(sess.spark.createDataFrame(rows, struct), sess)
+    out = DataChain(sess.spark.createDataFrame(rows, struct), sess)
+    if PYDANTIC:
+        for n in names:
+            v = next((x for x in columns[n] if x is not None), None)
+            if isinstance(v, BaseModel):
+                out = out.with_signal_model(n, type(v))
+    return out
 
 
 def read_records(
@@ -186,6 +192,10 @@ def read_dataset(
         "name": name, "version": dv.version,
         "namespace": rec.namespace, "project": rec.project,
     }
+    if dv.signal_schema:
+        from ..schema import deserialize_signals
+
+        out._signal_models = deserialize_signals(dv.signal_schema)
     return out
 
 
