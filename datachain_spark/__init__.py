@@ -32,6 +32,7 @@ from .session import Session
 from .sources import (
     datasets,
     delete_dataset,
+    export_dataset_table,
     listings,
     move_dataset,
     read_csv,
@@ -68,7 +69,7 @@ __all__ = [
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
     "from_values", "from_records", "from_pandas", "from_parquet", "from_csv",
     "from_json", "from_dataset", "from_hf", "from_storage",
-    "datasets", "listings", "delete_dataset", "move_dataset",
+    "datasets", "listings", "delete_dataset", "move_dataset", "export_dataset_table",
     "Mapper", "Generator", "Aggregator", "BatchMapper", "column", "c",
     "func",
 ]

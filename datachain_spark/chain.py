@@ -922,12 +922,38 @@ class DataChain:
         """Parity: datachain.py:2315-2361."""
         self._df.write.mode(mode).option("header", True).option("sep", delimiter).csv(path)
 
-    def to_json(self, path: str, mode: str = "overwrite") -> None:
-        """Parity: datachain.py:2362-2438 (JSON-lines layout; Spark's native
-        distributed JSON writer)."""
-        self._df.write.mode(mode).json(path)
+    def to_json(self, path: str, include_outer_list: bool = True) -> None:
+        """Single-FILE JSON export, matching the reference exactly: one valid
+        JSON array (``[\\n row,\\n ... \\n]\\n``), or JSON-lines when
+        ``include_outer_list=False`` (datachain.py:2362-2438). Rows are
+        serialized executor-side (df.toJSON) and STREAMED to the file via
+        toLocalIterator — driver memory stays O(1 row), but the write itself
+        is single-stream by nature (so is the reference's). For a
+        distributed multi-file JSONL export at scale use
+        :meth:`to_json_dir`."""
+        first = True
+        with open(path, "wb") as f:
+            if include_outer_list:
+                f.write(b"[\n")
+            for row_json in self._df.toJSON().toLocalIterator(prefetchPartitions=True):
+                if not first:
+                    f.write(b",\n" if include_outer_list else b"\n")
+                first = False
+                f.write(row_json.encode("utf-8"))
+            if include_outer_list:
+                f.write(b"\n]\n")
+            else:
+                f.write(b"\n")
 
-    to_jsonl = to_json
+    def to_jsonl(self, path: str) -> None:
+        """Single-file JSON-lines export. Parity: datachain.py:2423-2438."""
+        self.to_json(path, include_outer_list=False)
+
+    def to_json_dir(self, path: str, mode: str = "overwrite") -> None:
+        """Distributed JSONL directory via Spark's native writer — the
+        100-TB path (every executor writes its partitions; no single
+        stream). No reference counterpart (its to_json is single-file)."""
+        self._df.write.mode(mode).json(path)
 
     def to_database(
         self, table: str, url: str, mode: str = "append", **options: str

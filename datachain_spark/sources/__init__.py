@@ -1,6 +1,7 @@
 from .readers import (
     datasets,
     delete_dataset,
+    export_dataset_table,
     listings,
     move_dataset,
     read_csv,
@@ -19,4 +20,5 @@ __all__ = [
     "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
     "datasets", "listings", "delete_dataset", "move_dataset",
+    "export_dataset_table",
 ]

@@ -199,6 +199,27 @@ def read_dataset(
     return out
 
 
+def export_dataset_table(
+    name: str,
+    output_uri: str,
+    version: Optional[str] = None,
+    session: Optional[Session] = None,
+) -> list[str]:
+    """Export a saved dataset version's table to ``output_uri`` as parquet
+    and return the written data-file paths. Parity:
+    /root/reference/src/datachain/catalog/catalog.py:1407-1434
+    (catalog.export_dataset_table -> warehouse parquet export); here the
+    export is a distributed Spark write, not a warehouse dump."""
+    import glob as _glob
+
+    sess = Session.get(session)
+    df, _, _ = sess.metastore.load_dataset(sess.spark, name, version)
+    df.write.mode("overwrite").parquet(output_uri)
+    if "://" not in output_uri:
+        return sorted(_glob.glob(f"{output_uri.rstrip('/')}/*.parquet"))
+    return [output_uri]
+
+
 def delete_dataset(
     name: str,
     version: Optional[str] = None,

@@ -141,3 +141,15 @@ def test_bucketed_save_colocated_join(session):
     session.metastore.delete_dataset("bk_left")
     assert not spark.catalog.tableExists(tbl)
     session.metastore.delete_dataset("bk_right")
+
+
+def test_export_dataset_table(session, tmp_path):
+    import pyarrow.parquet as pq
+
+    ch = dc.read_values(session=session, k=[1, 2, 3], s=["x", "y", "z"])
+    ch.save("exp_ds")
+    out = str(tmp_path / "export")
+    files = dc.export_dataset_table("exp_ds", out, session=session)
+    assert files and all(f.endswith(".parquet") for f in files)
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == 3

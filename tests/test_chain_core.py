@@ -284,10 +284,27 @@ def test_sink_roundtrips(session, tmp_path):
     assert csv_back.count() == 60
 
     jdir = str(tmp_path / "j")
-    ch.to_jsonl(jdir)
+    ch.to_json_dir(jdir)
     jl = dc.read_json(f"{jdir}/*.json", format="jsonl", session=session)
     assert jl.count() == 60
     assert sorted(jl.columns) == ["grp", "k", "v"]
+
+    # single-file exports, reference layout: to_json = one valid JSON array,
+    # to_jsonl = one JSON-lines file
+    import json as jsonmod
+
+    jfile = str(tmp_path / "out.json")
+    ch.to_json(jfile)
+    with open(jfile) as f:
+        arr = jsonmod.load(f)
+    assert isinstance(arr, list) and len(arr) == 60
+    assert sorted(arr[0]) == ["grp", "k", "v"]
+
+    lfile = str(tmp_path / "out.jsonl")
+    ch.to_jsonl(lfile)
+    with open(lfile) as f:
+        lines = [jsonmod.loads(line) for line in f if line.strip()]
+    assert len(lines) == 60 and sorted(lines[0]) == ["grp", "k", "v"]
 
 
 def test_parity_accessors(session):
