@@ -207,7 +207,7 @@ def filter_glob_in(spark, sf):
     part = _chain(spark, sf, "part")
     return (
         part.filter(
-            C("p_name").glob("*green*"),
+            C("p_name").glob("*red*"),
             C("p_size").in_(1, 5, 9, 13),
             C.p_retailprice > 950,
         )
@@ -220,7 +220,7 @@ def filter_glob_in(spark, sf):
 FILTER_SQL = """
 SELECT p_partkey, p_name, p_brand, p_size
 FROM part
-WHERE p_name LIKE '%green%' AND p_size IN (1,5,9,13) AND p_retailprice > 950
+WHERE p_name LIKE '%red%' AND p_size IN (1,5,9,13) AND p_retailprice > 950
 ORDER BY p_partkey
 """
 
@@ -316,10 +316,18 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 def subtract_anti(spark, sf):
+    """Customers with no high-value order (anti-join). The subtrahend is a
+    filtered orders projection so the result is non-empty at every SF (the
+    synthetic generator gives every customer at least one order)."""
     cust = _chain(spark, sf, "customer")
-    orders = _chain(spark, sf, "orders").rename(c_custkey="o_custkey").select("c_custkey")
+    big = (
+        _chain(spark, sf, "orders")
+        .filter(C.o_totalprice > 450000)
+        .rename(c_custkey="o_custkey")
+        .select("c_custkey")
+    )
     return (
-        cust.subtract(orders, on="c_custkey")
+        cust.subtract(big, on="c_custkey")
         .select("c_custkey", "c_name", "c_nationkey")
         .order_by("c_custkey")
         .df
@@ -328,7 +336,9 @@ def subtract_anti(spark, sf):
 
 SUBTRACT_SQL = """
 SELECT c_custkey, c_name, c_nationkey FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey IS NOT DISTINCT FROM c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey IS NOT DISTINCT FROM c_custkey
+                    AND o_totalprice > 450000)
 ORDER BY c_custkey
 """
 
@@ -352,25 +362,28 @@ ORDER BY n_nationkey
 
 
 def merge_expr_pred(spark, sf):
-    """Expression-predicate join (theta join): suppliers to nations whose
-    name starts with the same letter as the supplier name's last char — an
-    arbitrary ON expression, parity with the reference's ColumnElement
+    """Expression-predicate join (theta join): each supplier to the nations
+    whose key falls in [s_nationkey - 1, s_nationkey] — an arbitrary
+    non-equi ON expression, parity with the reference's ColumnElement
     predicates (datachain.py:1601-1708)."""
     supp = _chain(spark, sf, "supplier")
     nation = _chain(spark, sf, "nation")
-    cond = (C.s_nationkey == C.n_nationkey).__and__(C.n_name > C.s_name)
+    cond = (C.n_nationkey <= C.s_nationkey).__and__(
+        C.n_nationkey >= C.s_nationkey - 1
+    )
     return (
         supp.merge(nation, on=cond, inner=True)
         .select("s_suppkey", "s_name", "n_name")
-        .order_by("s_suppkey")
+        .order_by("s_suppkey", "n_name")
         .df
     )
 
 
 MERGE_EXPR_SQL = """
 SELECT s_suppkey, s_name, n_name
-FROM supplier JOIN nation ON s_nationkey = n_nationkey AND n_name > s_name
-ORDER BY s_suppkey
+FROM supplier JOIN nation
+  ON n_nationkey BETWEEN s_nationkey - 1 AND s_nationkey
+ORDER BY s_suppkey, n_name
 """
 
 
@@ -1988,6 +2001,54 @@ def read_storage_ro(spark, sf):
     ).orderBy("path")
 
 
+def read_database_sql(spark, sf):
+    """Any-SQL-source ingestion (reference lib/dc/database.py:298-381): build
+    a sqlite fixture from nation.parquet, run an aggregation *inside* sqlite
+    via read_database (no JDBC jar needed — stdlib DB-API -> Arrow path),
+    and oracle the same aggregation over DuckDB's nation view."""
+    import sqlite3
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from datachain_spark import read_database
+
+    sess = Session.get(spark=spark)
+    path = os.path.join(
+        tempfile.gettempdir(), f"dc_rdb_{os.path.basename(sf.rstrip('/'))}.db"
+    )
+    tbl = pq.read_table(os.path.join(sf, "nation.parquet"))
+    conn = sqlite3.connect(path)
+    try:
+        conn.execute("DROP TABLE IF EXISTS nation")
+        conn.execute(
+            "CREATE TABLE nation (n_nationkey INTEGER, n_name TEXT, "
+            "n_regionkey INTEGER)"
+        )
+        conn.executemany(
+            "INSERT INTO nation VALUES (?, ?, ?)",
+            zip(*(tbl.column(c).to_pylist()
+                  for c in ("n_nationkey", "n_name", "n_regionkey"))),
+        )
+        conn.commit()
+    finally:
+        conn.close()
+    ch = read_database(
+        "SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name "
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+        f"sqlite:///{path}",
+        session=sess,
+    )
+    return ch.df
+
+
+READ_DATABASE_SQL = """
+SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
+       min(n_name) AS first_name
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 MULTIMODAL_SQL = """
 WITH hh AS (
   SELECT doc_id, sha256(text) AS hx FROM documents WHERE doc_id < 50
@@ -2150,28 +2211,33 @@ def save_read_roundtrip_ro(spark, sf):
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order matters: the driver checks the FIRST 50 entries
-    (CORRECTNESS_r01/r02 are exactly the first 50 of this dict). Order is
-    therefore: (1) oracled queries never yet driver-checked, (2) queries whose
-    r02 hash failed and are fixed this round, (3) high-value previously-green
-    queries, (4) overflow — stable previously-green simple queries + rows-only
-    flows (all still covered by tests/test_oracle.py locally)."""
+    """Registry order matters: the driver checks the FIRST 50 entries.
+    r04 rotation (VERDICT r03 task 1): the six rows-only flows that never
+    had a driver verdict (save/read, delta, sharding invariants, default
+    minhash/simhash/winnow) plus the new read_database oracle move into the
+    window; the three formerly-vacuous oracles (filter_glob_in,
+    subtract_anti, merge_expr_pred) were given non-empty predicates and stay
+    in-window so the driver re-verdicts them on real rows. Ten stable
+    twice-green oracles rotate to overflow. EVERY entry — window and
+    overflow — is still verified locally each run by tests/test_oracle.py,
+    and scripts/local_oracle.py emits the full 69-query result table to
+    LOCAL_ORACLE.json so the externally-unchecked subset remains visible."""
     return {
-        # -- (1) oracled, never driver-checked (were past the 50-entry window)
-        "segment_dedup_chunks": segment_dedup_chunks,
-        "decontaminate": decontaminate_query,
-        "vocabulary_top100": vocabulary_query,
-        "embedding_lsh_md5": embedding_lsh_md5,
-        "sharding_md5": sharding_md5,
-        "url_normalize": url_normalize,
-        "repetition_stats": repetition_stats_query,
-        "multimodal_image_meta": multimodal_ro,  # oracled (sha256 fake decode)
-        "multimodal_audio_meta": multimodal_audio,
-        "multimodal_video_meta": multimodal_video,
-        "ngram_jaccard_pairs": ngram_jaccard_ro,  # oracled (3-gram template)
-        "read_storage_listing": read_storage_ro,
-        # -- (2) r02 hash-failed, dtype-aligned this round
+        # -- (1) never driver-checked: rows-only flows + new read_database
+        "save_read_roundtrip": save_read_roundtrip_ro,
+        "delta_incremental": delta_incremental_ro,
+        "sample_shuffle_chunk": sample_shuffle_chunk_ro,
+        "minhash_pairs": minhash_pairs_ro,
+        "simhash_pairs": simhash_pairs_ro,
+        "winnow_fingerprints": winnow_fingerprints_ro,
+        "read_database_sql": read_database_sql,
+        # -- (2) de-vacuated this round (r01/r02 hash-matched on 0 rows)
+        "filter_glob_in": filter_glob_in,
+        "subtract_anti": subtract_anti,
+        "merge_expr_pred": merge_expr_pred,
+        # -- (3) previously green, kept inside the checked window
         "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "merge_full_outer": merge_full_outer,
         "window_rank_lag": window_rank_lag,
@@ -2185,16 +2251,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status_qty": pivot_status_qty,
         "stopword_lang_hits": stopword_lang_hits,
         "salted_agg_events": salted_agg_events,
-        # -- (3) previously green, kept inside the checked window
-        "q3_shipping_priority": q3_shipping_priority,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "mutate_case_buckets": mutate_case_buckets,
-        "union_all_groups": union_all_groups,
-        "diff_statuses": diff_statuses,
+        "segment_dedup_chunks": segment_dedup_chunks,
+        "decontaminate": decontaminate_query,
+        "vocabulary_top100": vocabulary_query,
+        "embedding_lsh_md5": embedding_lsh_md5,
+        "sharding_md5": sharding_md5,
+        "url_normalize": url_normalize,
+        "repetition_stats": repetition_stats_query,
+        "multimodal_image_meta": multimodal_ro,  # oracled (sha256 fake decode)
+        "read_storage_listing": read_storage_ro,
         "window_top3_per_cust": window_top3_per_cust,
-        "string_funcs": string_funcs,
-        "array_funcs": array_funcs,
-        "numeric_hash_funcs": numeric_hash_funcs,
         "dedup_exact_docs": dedup_exact_docs,
         "merge_multi_key": merge_multi_key,
         "ngram_jaccard_oracle": ngram_jaccard_oracle,
@@ -2210,26 +2276,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": minhash_pairs_md5,
         "simhash_pairs_md5": simhash_pairs_md5,
         "winnow_fingerprints_md5": winnow_md5,
-        # -- (4) overflow: green in r01+r02, still locally oracle-tested
+        # -- (4) overflow: twice-green stable oracles rotated out this round
+        #    (still locally verified every run; see docstring)
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "mutate_case_buckets": mutate_case_buckets,
+        "union_all_groups": union_all_groups,
+        "diff_statuses": diff_statuses,
+        "string_funcs": string_funcs,
+        "array_funcs": array_funcs,
+        "numeric_hash_funcs": numeric_hash_funcs,
+        "ngram_jaccard_pairs": ngram_jaccard_ro,  # oracled (3-gram template)
+        "multimodal_audio_meta": multimodal_audio,
+        "multimodal_video_meta": multimodal_video,
         "winnow_pairs_md5": winnow_pairs_md5,
-        "filter_glob_in": filter_glob_in,
         "distinct_pairs": distinct_pairs,
         "order_limit_offset": order_limit_offset,
-        "subtract_anti": subtract_anti,
         "merge_left_regions": merge_left_regions,
-        "merge_expr_pred": merge_expr_pred,
         "group_concat_sorted": group_concat_sorted,
         "path_funcs": path_funcs,
         "string_similarity": string_similarity,
         "semi_join_orders": semi_join_orders,
         "intersect_cross": intersect_cross,
-        # rows-only flows
-        "winnow_fingerprints": winnow_fingerprints_ro,
-        "minhash_pairs": minhash_pairs_ro,
-        "simhash_pairs": simhash_pairs_ro,
-        "sample_shuffle_chunk": sample_shuffle_chunk_ro,
-        "save_read_roundtrip": save_read_roundtrip_ro,
-        "delta_incremental": delta_incremental_ro,
     }
 
 
@@ -2292,6 +2359,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_md5": EMBEDDING_LSH_MD5_SQL,
         "sharding_md5": SHARDING_MD5_SQL,
         "read_storage_listing": READ_STORAGE_SQL,
+        "read_database_sql": READ_DATABASE_SQL,
         "segment_dedup_chunks": SEGMENT_DEDUP_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,

@@ -959,8 +959,52 @@ class DataChain:
         self, table: str, url: str, mode: str = "append", **options: str
     ) -> None:
         """Parity: /root/reference/src/datachain/lib/dc/database.py:70-297 —
-        JDBC batch insert (upsert via staging table is storage-specific)."""
-        self._df.write.mode(mode).options(**options).jdbc(url=url, table=table)
+        batch insert. ``jdbc:`` URLs use Spark's parallel JDBC writer (the
+        at-scale path: each executor inserts its partitions). ``sqlite:`` /
+        ``duckdb:`` URLs take a driver-side DB-API path (control-plane sized
+        data; no JDBC jar needed in this container)."""
+        if url.startswith("jdbc:"):
+            self._df.write.mode(mode).options(**options).jdbc(url=url, table=table)
+            return
+        pdf = self._df.toPandas()
+        if url.startswith("sqlite"):
+            import sqlite3
+
+            path = url.split("///", 1)[1] if "///" in url else ":memory:"
+            with sqlite3.connect(path or ":memory:") as conn:
+                if mode == "overwrite":
+                    conn.execute(f'DROP TABLE IF EXISTS "{table}"')
+                cols = ", ".join(f'"{c}"' for c in pdf.columns)
+                qs = ", ".join("?" for _ in pdf.columns)
+                conn.execute(
+                    f'CREATE TABLE IF NOT EXISTS "{table}" '
+                    f'({", ".join(chr(34) + c + chr(34) for c in pdf.columns)})'
+                )
+                conn.executemany(
+                    f'INSERT INTO "{table}" ({cols}) VALUES ({qs})',
+                    [tuple(r) for r in pdf.itertuples(index=False)],
+                )
+                conn.commit()
+        elif url.startswith("duckdb"):
+            import duckdb
+
+            path = url.split("///", 1)[1] if "///" in url else ":memory:"
+            conn = duckdb.connect(path or ":memory:")
+            try:
+                conn.register("_dc_out", pdf)
+                if mode == "overwrite":
+                    conn.execute(f'DROP TABLE IF EXISTS "{table}"')
+                    conn.execute(f'CREATE TABLE "{table}" AS SELECT * FROM _dc_out')
+                else:
+                    conn.execute(
+                        f'CREATE TABLE IF NOT EXISTS "{table}" AS '
+                        "SELECT * FROM _dc_out WHERE 1=0"
+                    )
+                    conn.execute(f'INSERT INTO "{table}" SELECT * FROM _dc_out')
+            finally:
+                conn.close()
+        else:
+            raise ValueError(f"unsupported database url {url!r}")
 
     def to_pandas(self):
         """Parity: datachain.py:1966."""

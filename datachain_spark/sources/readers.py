@@ -236,24 +236,86 @@ def move_dataset(src: str, dst: str, session: Optional[Session] = None) -> None:
     Session.get(session).metastore.move_dataset(src, dst)
 
 
+def _dbapi_to_arrow(cursor) -> "Any":
+    """Materialize a DB-API cursor as a pyarrow Table (column-wise, typed by
+    pyarrow inference). Used for the non-JDBC read_database paths."""
+    import pyarrow as pa
+
+    names = [d[0] for d in cursor.description]
+    rows = cursor.fetchall()
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    return pa.table({n: list(c) for n, c in zip(names, cols)})
+
+
 def read_database(
     query: str,
-    url: str,
+    connection: Any,
     session: Optional[Session] = None,
     **options: Any,
 ) -> DataChain:
-    """External DB via JDBC; the query runs server-side as a derived table.
-    Parity: lib/dc/database.py:298-381 (schema comes from the JDBC driver,
-    not sample-based inference)."""
+    """Run ``query`` against an external database and ingest the result.
+
+    Parity: lib/dc/database.py:298-381 (the reference accepts a SQLAlchemy
+    URL string or live connection and streams batches into the chain).
+
+    Connection forms, in order of scale-friendliness:
+
+    - ``jdbc:...`` URL — Spark's JDBC source: the query runs server-side as
+      a derived table and, with ``partitionColumn``/``numPartitions``
+      options, is read in parallel by the executors. This is the 100-TB
+      path; everything below is a driver-side ingest for control-plane
+      sized data (same model as the reference, which is single-node).
+    - ``sqlite:///path`` or ``sqlite://`` URL — stdlib sqlite3 → Arrow →
+      ``createDataFrame`` (no JDBC driver jar needed in this container).
+    - ``duckdb:///path`` / ``duckdb://`` URL — duckdb → Arrow.
+    - a live DB-API connection object (anything with ``.cursor()`` or
+      duckdb's ``.execute().arrow()``) — used as-is, not closed.
+    """
     sess = Session.get(session)
-    df = (
-        sess.spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-        .options(**options)
-        .load()
-    )
-    return DataChain(df, sess, dependencies=[{"database": url}])
+    if isinstance(connection, str) and connection.startswith("jdbc:"):
+        df = (
+            sess.spark.read.format("jdbc")
+            .option("url", connection)
+            .option("query", query)
+            .options(**options)
+            .load()
+        )
+        return DataChain(df, sess, dependencies=[{"database": connection}])
+
+    params = options.pop("params", None)
+    owned = None  # connection we opened and must close
+    dep = {"database": connection if isinstance(connection, str) else "dbapi"}
+    try:
+        if isinstance(connection, str) and connection.startswith("sqlite"):
+            import sqlite3
+
+            path = connection.split("///", 1)[1] if "///" in connection else ":memory:"
+            owned = conn = sqlite3.connect(path or ":memory:")
+        elif isinstance(connection, str) and connection.startswith("duckdb"):
+            import duckdb
+
+            path = connection.split("///", 1)[1] if "///" in connection else ":memory:"
+            owned = conn = duckdb.connect(path or ":memory:")
+        elif not isinstance(connection, str):
+            conn = connection
+        else:
+            raise ValueError(
+                f"unsupported database url {connection!r}: use jdbc:, "
+                "sqlite:, duckdb:, or pass a DB-API connection"
+            )
+        if hasattr(conn, "execute") and hasattr(conn, "fetch_arrow_table"):
+            table = conn.execute(query, params or []).fetch_arrow_table()
+        elif "duckdb" in type(conn).__module__:
+            table = conn.execute(query, params or []).arrow()
+        else:
+            cur = conn.cursor()
+            cur.execute(query, params or [])
+            table = _dbapi_to_arrow(cur)
+    finally:
+        if owned is not None:
+            owned.close()
+    df = sess.spark.createDataFrame(table.to_pandas())
+    return DataChain(df, sess, dependencies=[dep])
 
 
 def read_hf(
