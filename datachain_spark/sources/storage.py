@@ -276,4 +276,17 @@ def read_storage(
         F.struct(*[F.col(f.name) for f in FILE_STRUCT.fields]).alias(column)
     )
     deps = [{"storage": u} for u in uris]
-    return DataChain(packed, sess, dependencies=deps)
+    result = DataChain(packed, sess, dependencies=deps)
+    # Record the listing shape on the *unmodified* chain so parse_tabular
+    # can hand Spark the directory itself instead of an explicit path list
+    # (the 100-TB path: scan-level listing on executors, no driver
+    # collect). Any subsequent transformation builds a fresh DataChain and
+    # drops this marker — explicit subset selections keep the path list.
+    if isinstance(uri, str) and len(brace_expand(uri)) == 1:
+        root, pattern = _split_pattern(brace_expand(uri)[0])
+        result._storage_spec = {
+            "root": root,
+            "pattern": pattern,
+            "recursive": recursive,
+        }
+    return result

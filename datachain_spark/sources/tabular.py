@@ -34,6 +34,32 @@ if TYPE_CHECKING:
     from ..chain import DataChain
 
 
+_SIMPLE_GLOB = r"[^/\[\]{}]*"
+
+
+def _native_listing_paths(chain: "DataChain"):
+    """If the chain is an unmodified single-URI read_storage listing whose
+    glob maps onto Spark reader options, return ({reader options}, [root]);
+    else None (caller falls back to the explicit path list)."""
+    import re
+
+    spec = getattr(chain, "_storage_spec", None)
+    if spec is None:
+        return None
+    root, pattern = spec["root"], spec["pattern"]
+    if pattern is None:
+        if not spec["recursive"]:
+            return None  # 'direct children only' has no exact reader option
+        return {"recursiveFileLookup": "true"}, [root]
+    m = re.fullmatch(rf"\*\*/({_SIMPLE_GLOB})", pattern)
+    if m:
+        return {"recursiveFileLookup": "true", "pathGlobFilter": m.group(1)}, [root]
+    if re.fullmatch(_SIMPLE_GLOB, pattern) and "*" in pattern:
+        # single path component: direct children of root
+        return {"pathGlobFilter": pattern}, [root]
+    return None
+
+
 def parse_tabular(
     chain: "DataChain",
     format: str = "parquet",  # noqa: A002
@@ -42,24 +68,36 @@ def parse_tabular(
 ) -> "DataChain":
     """Parse the files listed in a File-row chain into data rows.
 
-    The file paths are collected (driver-side: paths only — the listing is
-    orders of magnitude smaller than the data) and handed to the native
-    Spark reader; provenance is re-attached by joining
-    ``input_file_name()`` back to the listing when ``source=True``.
+    Scale path (r04): when the chain is an UNMODIFIED read_storage listing
+    of a single URI whose glob is expressible as a Spark reader option
+    (no glob, ``*.ext``, or ``**/*.ext``), the directory itself is handed
+    to the native reader with ``pathGlobFilter``/``recursiveFileLookup`` —
+    file enumeration happens scan-side on executors and NOTHING touches the
+    driver. Any filtered/transformed chain (a true subset selection) falls
+    back to collecting the explicit path list (driver-side: paths only —
+    the listing is orders of magnitude smaller than the data). The fast
+    path reads the live directory rather than the cached listing snapshot;
+    pass ``update=True`` to read_storage when staleness matters.
+    Provenance is attached via ``input_file_name()`` when ``source=True``.
     """
     from ..chain import DataChain as DC
 
     spark = chain.session.spark
-    files = chain.df.select(
-        F.col("file.source").alias("src"), F.col("file.path").alias("p")
-    ).collect()
-    paths = []
-    for r in files:
-        src = r["src"]
-        base = src[7:] if src.startswith("file://") else src
-        paths.append(os.path.join(base, r["p"]))
-    if not paths:
-        raise ValueError("parse_tabular: no files in chain")
+    paths = _native_listing_paths(chain)
+    if paths is None:
+        files = chain.df.select(
+            F.col("file.source").alias("src"), F.col("file.path").alias("p")
+        ).collect()
+        paths = []
+        for r in files:
+            src = r["src"]
+            base = src[7:] if src.startswith("file://") else src
+            paths.append(os.path.join(base, r["p"]))
+        if not paths:
+            raise ValueError("parse_tabular: no files in chain")
+    else:
+        root_opts, paths = paths
+        options = {**root_opts, **options}
 
     reader = spark.read.options(**options)
     if format == "parquet":

@@ -63,6 +63,23 @@ def test_connected_components_chains(session):
     assert comp2 == comp
 
 
+def test_connected_components_check_every_amortized(session):
+    # a 9-vertex path needs several propagation rounds; answers must be
+    # identical whether convergence is scanned every round or every 2-3
+    pairs = dc.read_values(
+        session=session,
+        id_a=[1, 2, 3, 4, 5, 6, 7, 8, 20],
+        id_b=[2, 3, 4, 5, 6, 7, 8, 9, 21],
+    )
+    expected = {r["id"]: r["component"]
+                for r in dedup.connected_components(pairs.df).collect()}
+    assert expected == {**{i: 1 for i in range(1, 10)}, 20: 20, 21: 20}
+    for k in (2, 3):
+        got = {r["id"]: r["component"]
+               for r in dedup.connected_components(pairs.df, check_every=k).collect()}
+        assert got == expected, k
+
+
 def test_minhash_dedup_exhaustive_keeps_one_per_component(docs):
     out = dedup.minhash_dedup(
         docs.df.filter(F.length("text") > 0), "doc_id", "text",

@@ -33,6 +33,51 @@ def test_parse_tabular_csv_with_provenance(session, csv_tree):
     assert recs[2]["source_path"].endswith("b.csv")
 
 
+def test_parse_tabular_directory_no_driver_collect(session, csv_tree, monkeypatch):
+    """Unmodified single-URI listing: parse_tabular must hand Spark the
+    directory (pathGlobFilter) and never collect paths to the driver."""
+    from pyspark.sql import DataFrame
+
+    listing = dc.read_storage(f"{csv_tree}/*.csv", session=session, update=True)
+    assert getattr(listing, "_storage_spec", None) is not None
+
+    def boom(self):  # noqa: ANN001
+        raise AssertionError("driver-side collect in directory fast path")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    parsed = listing.parse_tabular(format="csv")
+    monkeypatch.undo()
+    recs = sorted(parsed.to_records(), key=lambda r: r["id"])
+    assert [(r["id"], r["val"]) for r in recs] == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_parse_tabular_subset_falls_back_to_path_list(session, csv_tree):
+    """A filtered listing is a true subset selection: the explicit path
+    list must be honored (b.csv excluded even though it's in the dir)."""
+    listing = dc.read_storage(f"{csv_tree}/*.csv", session=session, update=True)
+    subset = listing.filter(C("file.path").glob("a*"))
+    assert getattr(subset, "_storage_spec", None) is None
+    recs = sorted(subset.parse_tabular(format="csv").to_records(),
+                  key=lambda r: r["id"])
+    assert [(r["id"], r["val"]) for r in recs] == [(1, "x"), (2, "y")]
+
+
+def test_native_listing_paths_shapes(session, csv_tree):
+    from datachain_spark.sources.tabular import _native_listing_paths
+
+    plain = dc.read_storage(csv_tree, session=session, update=True)
+    opts, roots = _native_listing_paths(plain)
+    assert opts == {"recursiveFileLookup": "true"} and roots == [csv_tree]
+
+    deep = dc.read_storage(f"{csv_tree}/**/*.csv", session=session, update=True)
+    opts, roots = _native_listing_paths(deep)
+    assert opts == {"recursiveFileLookup": "true", "pathGlobFilter": "*.csv"}
+
+    braces = dc.read_storage(f"{csv_tree}/{{a,b}}.csv", session=session,
+                             update=True)
+    assert _native_listing_paths(braces) is None  # multi-expansion: path list
+
+
 @pytest.fixture(scope="module")
 def wds_tar(tmp_path_factory):
     root = tmp_path_factory.mktemp("wds")
