@@ -37,23 +37,33 @@ from datachain_spark.functions import string as fs
 from datachain_spark.ops import dedup, similarity, text
 
 
+_CONFIGURED_SESSIONS: set[int] = set()
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Session-level conf, applied ONCE per SparkSession (the driver builds
+    its own session, so entry/queries can't rely on our builder — see
+    datachain_spark.session.default_spark_builder, which sets the same):
+    UTC wall times (match DuckDB) and nanos-parquet-as-long (Spark has no
+    nanos timestamp type; events 'ts' is floored to micros on read)."""
+    key = id(spark)
+    if key in _CONFIGURED_SESSIONS:
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _CONFIGURED_SESSIONS.add(key)
+
+
 def _chain(spark: SparkSession, sf_dir: str, table: str) -> DataChain:
     sess = Session.get(spark=spark)
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        # the testdata events table carries TIMESTAMP(NANOS) — Spark has no
-        # nanos timestamp type; read as long and floor to micros (identical
-        # to DuckDB's ns->us conversion)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # pin UTC so the long->timestamp conversion collects the same wall
-        # times DuckDB reads natively, regardless of the host session TZ
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return DataChain(df, sess)
-    return DataChain(spark.read.parquet(f"{sf_dir}/{table}.parquet"), sess)
+    return DataChain(df, sess)
 
 
 def _dec(col, scale: int = 2):

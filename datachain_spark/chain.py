@@ -922,17 +922,37 @@ class DataChain:
         """Parity: datachain.py:2315-2361."""
         self._df.write.mode(mode).option("header", True).option("sep", delimiter).csv(path)
 
-    def to_json(self, path: str, include_outer_list: bool = True) -> None:
+    def to_json(
+        self,
+        path: str,
+        mode: str = "wb",
+        include_outer_list: bool = True,
+        **fs_kwargs: Any,
+    ) -> None:
         """Single-FILE JSON export, matching the reference exactly: one valid
         JSON array (``[\\n row,\\n ... \\n]\\n``), or JSON-lines when
-        ``include_outer_list=False`` (datachain.py:2362-2438). Rows are
-        serialized executor-side (df.toJSON) and STREAMED to the file via
-        toLocalIterator — driver memory stays O(1 row), but the write itself
-        is single-stream by nature (so is the reference's). For a
-        distributed multi-file JSONL export at scale use
-        :meth:`to_json_dir`."""
+        ``include_outer_list=False`` (datachain.py:2362-2438, including its
+        ``mode``/``fs_kwargs`` signature). Remote URIs (s3://, gs://, ...)
+        are routed through fsspec when installed; plain paths use the local
+        filesystem either way. Rows are serialized executor-side
+        (df.toJSON) and STREAMED to the file via toLocalIterator — driver
+        memory stays O(1 row), but the write itself is single-stream by
+        nature (so is the reference's). For a distributed multi-file JSONL
+        export at scale use :meth:`to_json_dir`."""
+        if "b" not in mode:
+            mode += "b"  # rows are serialized to bytes
+        try:
+            import fsspec  # type: ignore[import-not-found]
+
+            opener = fsspec.open(path, mode, **fs_kwargs).open()
+        except ImportError:
+            if "://" in path and not path.startswith("file://"):
+                raise ImportError(
+                    f"writing to {path!r} requires the 'fsspec' package"
+                ) from None
+            opener = open(path.removeprefix("file://"), mode)
         first = True
-        with open(path, "wb") as f:
+        with opener as f:
             if include_outer_list:
                 f.write(b"[\n")
             for row_json in self._df.toJSON().toLocalIterator(prefetchPartitions=True):
@@ -945,9 +965,9 @@ class DataChain:
             else:
                 f.write(b"\n")
 
-    def to_jsonl(self, path: str) -> None:
+    def to_jsonl(self, path: str, mode: str = "wb", **fs_kwargs: Any) -> None:
         """Single-file JSON-lines export. Parity: datachain.py:2423-2438."""
-        self.to_json(path, include_outer_list=False)
+        self.to_json(path, mode=mode, include_outer_list=False, **fs_kwargs)
 
     def to_json_dir(self, path: str, mode: str = "overwrite") -> None:
         """Distributed JSONL directory via Spark's native writer — the

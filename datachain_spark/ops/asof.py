@@ -26,6 +26,7 @@ from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -122,6 +123,7 @@ def salted_group_by(
     keys: Union[str, Sequence[str]],
     aggs: dict[str, tuple[str, Optional[str]]],
     salt: int = 16,
+    unique_col: Optional[str] = None,
 ) -> DataFrame:
     """Skew-resistant groupBy: aggregate on (keys, salt-bucket) first, then
     merge partials on keys. ``aggs`` maps output name -> (fn, column) with fn
@@ -134,11 +136,24 @@ def salted_group_by(
     keys = [keys] if isinstance(keys, str) else list(keys)
     # Salt must be DETERMINISTIC per row: a rand()-derived salt feeding a
     # shuffle re-salts rows differently on task retry (the classic
-    # repartition-by-rand row-loss/duplication hazard). Hash the row content
-    # instead — same row always lands in the same salt bucket.
+    # repartition-by-rand row-loss/duplication hazard). Hash row content
+    # instead — same row always lands in the same salt bucket. Two refinements
+    # (r04): (a) only xxhash64-hashable columns participate (MapType isn't);
+    # (b) EXACT-duplicate rows would all collide into one bucket — defeating
+    # the salt exactly when a hot key is made of repeated identical rows — so
+    # mix in a discriminator: the caller's unique id column when available,
+    # else spark_partition_id() (stable on deterministic inputs; duplicates
+    # then spread across at least min(salt, input partitions) buckets).
+    if unique_col is not None:
+        salt_cols = [F.col(c) for c in (*keys, unique_col)]
+    else:
+        hashable = [
+            f.name for f in df.schema.fields
+            if not isinstance(f.dataType, T.MapType)
+        ]
+        salt_cols = [F.col(c) for c in hashable] + [F.spark_partition_id()]
     salted = df.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)),
+        "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt))
     )
 
     partials = []

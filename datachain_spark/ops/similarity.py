@@ -165,13 +165,15 @@ def cosine_join_topk(
         b = b.withColumn("__bucket", _hyperplane_bucket(F.col("nv"), num_planes, seed))
         pairs = a.join(b, "__bucket").select("qid", "nid", dist)
     else:
-        n_right = right.count()
-        if n_right > broadcast_threshold:
+        # short-circuit guard: scan at most threshold+1 rows instead of
+        # materializing the whole right side just to compare a count
+        over = b.limit(broadcast_threshold + 1).count() > broadcast_threshold
+        if over:
             raise ValueError(
-                f"cosine_join_topk: right side has {n_right} rows > "
-                f"broadcast_threshold={broadcast_threshold}; a broadcast cross "
-                "join would OOM. Pass num_planes>0 for the LSH-bucketed scale "
-                "path, or pre-filter the right side."
+                f"cosine_join_topk: right side exceeds broadcast_threshold="
+                f"{broadcast_threshold} rows; a broadcast cross join would "
+                "OOM. Pass num_planes>0 for the LSH-bucketed scale path, or "
+                "pre-filter the right side."
             )
         pairs = a.crossJoin(F.broadcast(b)).select("qid", "nid", dist)
 

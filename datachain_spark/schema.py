@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import datetime
 import enum
+import json
 import typing
 from typing import Any, Optional, Union, get_args, get_origin
 
@@ -230,25 +231,53 @@ def _serialize_type(tp: Any, custom_types: dict[str, Any]) -> str:
             other = next(a for a in args if a is not type(None))
             return f"Optional[{_serialize_type(other, custom_types)}]"
         return f"Union[{inner}]"
-    if origin in (list, tuple, set):
+    if origin is list:
         args = get_args(tp)
         inner = _serialize_type(args[0], custom_types) if args else "str"
         return f"list[{inner}]"
+    if origin is tuple:
+        args = get_args(tp)
+        if not args:
+            return "tuple[str, ...]"
+        if len(args) == 2 and args[1] is Ellipsis:
+            return f"tuple[{_serialize_type(args[0], custom_types)}, ...]"
+        return "tuple[" + ", ".join(_serialize_type(a, custom_types) for a in args) + "]"
+    if origin in (set, frozenset):
+        args = get_args(tp)
+        inner = _serialize_type(args[0], custom_types) if args else "str"
+        return f"set[{inner}]"
     if origin is dict:
         args = get_args(tp)
         k = _serialize_type(args[0], custom_types) if args else "str"
         v = _serialize_type(args[1], custom_types) if len(args) > 1 else "str"
         return f"dict[{k}, {v}]"
     if origin is typing.Literal:
-        return "str"
+        return "Literal[" + json.dumps(list(get_args(tp))) + "]"
     if isinstance(tp, type):
         if tp in _TYPE_NAMES:
             return _TYPE_NAMES[tp]
         if issubclass(tp, enum.Enum):
-            return "str"
+            return _serialize_enum(tp, custom_types)
         if PYDANTIC and issubclass(tp, BaseModel):
             return _serialize_custom_model(tp, custom_types)
     raise TypeError(f"cannot serialize type {tp!r}")
+
+
+_JSONABLE = (str, int, float, bool, type(None))
+
+
+def _serialize_enum(tp: "type[enum.Enum]", custom_types: dict[str, Any]) -> str:
+    """Persist an Enum as a named member table so a fresh interpreter
+    rebuilds a real Enum subclass (v2 collapsed enums to plain str)."""
+    name = f"{tp.__name__}@enum"
+    if name not in custom_types:
+        custom_types[name] = {
+            "enum": True,
+            "int": issubclass(tp, enum.IntEnum)
+            or all(isinstance(m.value, int) for m in tp),
+            "members": {m.name: m.value for m in tp},
+        }
+    return name
 
 
 def _serialize_custom_model(model: "type[BaseModel]", custom_types: dict[str, Any]) -> str:
@@ -256,17 +285,26 @@ def _serialize_custom_model(model: "type[BaseModel]", custom_types: dict[str, An
     if name in custom_types:
         return name
     custom_types[name] = {}  # placeholder breaks self-reference cycles
-    fields = {
-        fname: _serialize_type(finfo.annotation, custom_types)
-        for fname, finfo in model.model_fields.items()
-    }
-    bases = [
-        ModelStore.get_name(b)
-        for b in model.__mro__[1:]
-        if PYDANTIC and isinstance(b, type) and issubclass(b, BaseModel) and b is not BaseModel
-    ]
+    fields = {}
+    for fname, finfo in model.model_fields.items():
+        fspec: dict[str, Any] = {
+            "type": _serialize_type(finfo.annotation, custom_types),
+            "required": finfo.is_required(),
+        }
+        if not finfo.is_required() and isinstance(finfo.default, _JSONABLE):
+            fspec["default"] = finfo.default
+        fields[fname] = fspec
+    bases = []
+    for b in model.__mro__[1:]:
+        if (
+            PYDANTIC
+            and isinstance(b, type)
+            and issubclass(b, BaseModel)
+            and b is not BaseModel
+        ):
+            bases.append(_serialize_custom_model(b, custom_types))
     custom_types[name] = {
-        "schema_version": 2,
+        "schema_version": 3,
         "name": name,
         "fields": fields,
         "bases": bases,
@@ -313,12 +351,39 @@ def _deserialize_type(s: str, custom_types: dict[str, Any]) -> Any:
         return Union[args]
     if s.startswith("list[") and s.endswith("]"):
         return list[_deserialize_type(s[5:-1], custom_types)]  # type: ignore[misc]
+    if s.startswith("tuple[") and s.endswith("]"):
+        args = _split_args(s[6:-1])
+        if len(args) == 2 and args[1] == "...":
+            return tuple[_deserialize_type(args[0], custom_types), ...]  # type: ignore[misc]
+        return tuple[tuple(_deserialize_type(a, custom_types) for a in args)]  # type: ignore[misc]
+    if s.startswith("set[") and s.endswith("]"):
+        return set[_deserialize_type(s[4:-1], custom_types)]  # type: ignore[misc]
+    if s.startswith("Literal[") and s.endswith("]"):
+        return typing.Literal[tuple(json.loads(s[8:-1]))]
     if s.startswith("dict[") and s.endswith("]"):
         k, v = _split_args(s[5:-1])
         return dict[_deserialize_type(k, custom_types), _deserialize_type(v, custom_types)]  # type: ignore[misc]
+    if s.endswith("@enum"):
+        return _resolve_enum(s, custom_types)
     if "@v" in s:
         return _resolve_model(s, custom_types)
     raise TypeError(f"cannot deserialize type string {s!r}")
+
+
+_ENUM_CACHE: dict[int, dict[str, type]] = {}
+
+
+def _resolve_enum(name: str, custom_types: dict[str, Any]) -> type:
+    cache = _ENUM_CACHE.setdefault(id(custom_types), {})
+    if name in cache:
+        return cache[name]
+    spec = custom_types.get(name)
+    if spec is None or not spec.get("enum"):
+        raise TypeError(f"unknown enum type {name!r}")
+    cls = enum.IntEnum if spec.get("int") else enum.Enum
+    rebuilt = cls(name.split("@", 1)[0], spec["members"])
+    cache[name] = rebuilt
+    return rebuilt
 
 
 def _resolve_model(name: str, custom_types: dict[str, Any]) -> "type[BaseModel]":
@@ -330,16 +395,27 @@ def _resolve_model(name: str, custom_types: dict[str, Any]) -> "type[BaseModel]"
         raise TypeError(f"unknown custom type {name!r} (not registered, no spec)")
     from pydantic import create_model
 
+    # bases: first entry in the persisted MRO that resolves — via the live
+    # registry OR recursively from its own persisted spec (v2 fell straight
+    # back to BaseModel when the class wasn't imported)
     base: Any = BaseModel
     for bname in spec.get("bases", []):
         b = ModelStore.get(bname)
+        if b is None and bname in custom_types:
+            b = _resolve_model(bname, custom_types)
         if b is not None:
             base = b
             break
-    fields = {
-        fname: (_deserialize_type(ftype, custom_types), None)
-        for fname, ftype in spec.get("fields", {}).items()
-    }
+    fields: dict[str, Any] = {}
+    for fname, fspec in spec.get("fields", {}).items():
+        if isinstance(fspec, str):  # schema_version 2: type string only
+            fields[fname] = (_deserialize_type(fspec, custom_types), None)
+            continue
+        ftype = _deserialize_type(fspec["type"], custom_types)
+        if fspec.get("required"):
+            fields[fname] = (ftype, ...)  # required stays required
+        else:
+            fields[fname] = (ftype, fspec.get("default", None))
     model = create_model(name.split("@", 1)[0], __base__=base, **fields)
     ModelStore._store[name] = model
     return model

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Optional, Sequence, Union
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..chain import DataChain
@@ -318,27 +319,74 @@ def read_database(
     return DataChain(df, sess, dependencies=[dep])
 
 
+def _hf_split_to_table(ds: Any, limit: int = 0) -> "Any":
+    """Materialize one HF-dataset-like split as a pyarrow Table.
+
+    Accepts, in order: objects exposing Arrow data (``.data.table`` — HF
+    ``Dataset``; ``.data`` already a Table; ``.to_arrow()``), then
+    streaming datasets (``IterableDataset``) iterated as dict rows (bounded
+    by ``limit`` when given — matching the reference HFGenerator's limit)."""
+    import pyarrow as pa
+
+    data = getattr(ds, "data", None)
+    if data is not None:
+        table = getattr(data, "table", data)
+        if isinstance(table, pa.Table):
+            return table.slice(0, limit) if limit else table
+    if hasattr(ds, "to_arrow"):
+        table = ds.to_arrow()
+        return table.slice(0, limit) if limit else table
+    if hasattr(ds, "__iter__"):
+        rows = []
+        for i, row in enumerate(ds):
+            if limit and i >= limit:
+                break
+            rows.append(row)
+        return pa.Table.from_pylist(rows)
+    raise TypeError(f"read_hf: cannot extract Arrow data from {type(ds)!r}")
+
+
 def read_hf(
     dataset: Any,
     split: Optional[str] = None,
     session: Optional[Session] = None,
+    limit: int = 0,
     **kwargs: Any,
 ) -> DataChain:
-    """HuggingFace datasets -> rows. Parity: lib/dc/hf.py:17. Import-gated:
-    the 'datasets' package is not in this container."""
-    try:
-        import datasets as hf_datasets  # type: ignore[import-not-found]
-    except ImportError as exc:  # pragma: no cover
-        raise ImportError(
-            "read_hf requires the 'datasets' package (not installed here); "
-            "export to parquet and use read_parquet instead"
-        ) from exc
+    """HuggingFace datasets -> rows. Parity: lib/hf.py (HFGenerator +
+    stream_splits): a DatasetDict with no ``split`` ingests every split and
+    adds a ``split`` column; ``limit`` bounds streaming datasets. The
+    ``datasets`` package is only required for string names (load_dataset) —
+    dataset OBJECTS (anything Arrow-backed or row-iterable) ingest through
+    the Arrow batch path with no import."""
     sess = Session.get(session)
     ds = dataset
     if isinstance(dataset, str):
+        try:
+            import datasets as hf_datasets  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise ImportError(
+                "read_hf requires the 'datasets' package for named datasets "
+                "(not installed here); export to parquet and use "
+                "read_parquet, or pass a dataset object"
+            ) from exc
         ds = hf_datasets.load_dataset(dataset, split=split, **kwargs)
-    table = ds.data.table if hasattr(ds, "data") else ds.to_arrow()
-    df = sess.spark.createDataFrame(table.to_pandas())
+
+    # dict-of-splits (DatasetDict-like): one split or all with a marker col
+    if hasattr(ds, "keys") and hasattr(ds, "__getitem__") and not hasattr(ds, "data"):
+        if split:
+            tables = {None: _hf_split_to_table(ds[split], limit)}
+        else:
+            tables = {name: _hf_split_to_table(ds[name], limit) for name in ds.keys()}
+    else:
+        tables = {None: _hf_split_to_table(ds, limit)}
+
+    df = None
+    for name, table in tables.items():
+        part = sess.spark.createDataFrame(table.to_pandas())
+        if name is not None:
+            part = part.withColumn("split", F.lit(name))
+        df = part if df is None else df.unionByName(part)
     return DataChain(df, sess)
 
 

@@ -119,6 +119,37 @@ def test_salted_group_by_salt_is_deterministic(spark):
         assert (r["n"], r["s"]) == (50, sum(float(i) for i in range(50)))
 
 
+def test_salted_group_by_map_column_and_duplicate_rows(spark):
+    """r04 advisor fixes: (a) a MapType column must not break the salt hash
+    (xxhash64 can't take maps); (b) EXACT-duplicate rows — the worst-case
+    hot key — must spread over >1 salt bucket, via partition-id mixing or
+    an explicit unique_col."""
+    from pyspark.sql import functions as SF
+
+    dup = spark.createDataFrame(
+        [("hot", 1.0, {"m": "x"})] * 400, "k string, v double, meta map<string,string>"
+    ).repartition(8)
+    # (a) no error despite the map column; result correct
+    out = salted_group_by(dup, "k", {"n": ("count", None), "s": ("sum", "v")})
+    r = out.collect()[0]
+    assert (r["n"], r["s"]) == (400, 400.0)
+    # (b) identical rows occupy multiple buckets (partition-id mixed in)
+    hashable = [f.name for f in dup.schema.fields if f.name != "meta"]
+    salted = dup.withColumn(
+        "__salt",
+        SF.pmod(SF.xxhash64(*[SF.col(c) for c in hashable], SF.spark_partition_id()),
+                SF.lit(16)),
+    )
+    n_buckets = salted.select("__salt").distinct().count()
+    assert n_buckets > 1
+    # explicit unique id: full spreading regardless of partitioning
+    with_id = dup.withColumn("rid", SF.monotonically_increasing_id())
+    out2 = salted_group_by(
+        with_id, "k", {"n": ("count", None)}, unique_col="rid"
+    )
+    assert out2.collect()[0]["n"] == 400
+
+
 def test_interval_join_binned_vs_keyed(spark):
     from pyspark.sql import functions as F
 

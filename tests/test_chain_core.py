@@ -306,6 +306,21 @@ def test_sink_roundtrips(session, tmp_path):
         lines = [jsonmod.loads(line) for line in f if line.strip()]
     assert len(lines) == 60 and sorted(lines[0]) == ["grp", "k", "v"]
 
+    # fsspec-style paths: file:// works without fsspec installed; a remote
+    # scheme gives a clear ImportError when fsspec is absent (reference
+    # supports fsspec paths + fs_kwargs, datachain.py:2362-2438)
+    f2 = str(tmp_path / "out2.json")
+    ch.to_json(f"file://{f2}", mode="w")  # text mode accepted, coerced to bytes
+    with open(f2) as f:
+        assert len(jsonmod.load(f)) == 60
+    try:
+        import fsspec  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="fsspec"):
+            ch.to_json("s3://bucket/out.json")
+
 
 def test_parity_accessors(session):
     """Reference-surface parity: empty/hash/clone/column/c/results/collect/

@@ -112,9 +112,9 @@ def test_signal_schema_serialize_roundtrip():
     assert spec["person"] == "Outer@v1"
     ct = spec["_custom_types"]
     assert set(ct) == {"Outer@v1", "Inner@v1"}
-    assert ct["Outer@v1"]["fields"]["person"] == "Inner@v1"
-    assert ct["Outer@v1"]["fields"]["tags"] == "list[str]"
-    assert ct["Outer@v1"]["fields"]["score"] == "Optional[float]"
+    assert ct["Outer@v1"]["fields"]["person"]["type"] == "Inner@v1"
+    assert ct["Outer@v1"]["fields"]["tags"]["type"] == "list[str]"
+    assert ct["Outer@v1"]["fields"]["score"]["type"] == "Optional[float]"
 
     # registered class wins
     back = deserialize_signals(spec)
@@ -134,6 +134,89 @@ def test_signal_schema_serialize_roundtrip():
             {"id": 1, "person": {"name": "x", "age": 9}, "tags": ["a"], "score": None}
         )
         assert obj.person.name == "x" and obj.person.age == 9
+    finally:
+        ModelStore._store = saved
+
+
+def test_signal_schema_fidelity_v3():
+    """r04 advisor fixes: required stays required, defaults survive, bases
+    resolve recursively from persisted specs, tuple/set/Enum/Literal
+    round-trip (v2 collapsed them to list/str)."""
+    import enum
+    import json
+    from typing import Literal
+
+    from pydantic import ValidationError
+
+    from datachain_spark.schema import (
+        ModelStore,
+        deserialize_signals,
+        serialize_signals,
+    )
+
+    class Color(enum.Enum):
+        RED = "red"
+        BLUE = "blue"
+
+    class BaseDoc(BaseModel):
+        uri: str
+
+    class RichDoc(BaseDoc):
+        pair: tuple[int, str]
+        labels: set[str]
+        kind: Literal["a", "b"]
+        color: Color
+        weight: float = 2.5
+        note: Optional[str] = None
+
+    spec = json.loads(json.dumps(serialize_signals({"doc": RichDoc})))
+    saved = ModelStore._store
+    ModelStore.reset()
+    try:
+        m = deserialize_signals(spec)["doc"]
+        assert m.__name__ == "RichDoc"
+        # base resolved from its own spec, not collapsed to BaseModel
+        assert any(b.__name__ == "BaseDoc" for b in m.__mro__[1:])
+        ok = m.model_validate(
+            {"uri": "u", "pair": (1, "x"), "labels": {"l"}, "kind": "a",
+             "color": "red"}
+        )
+        assert ok.weight == 2.5 and ok.note is None  # defaults preserved
+        assert isinstance(ok.pair, tuple) and isinstance(ok.labels, set)
+        assert ok.color.value == "red" and ok.color.name == "RED"
+        with pytest.raises(ValidationError):
+            m.model_validate({"pair": (1, "x"), "labels": [], "kind": "a",
+                              "color": "red"})  # uri required, not Optional
+        with pytest.raises(ValidationError):
+            m.model_validate({"uri": "u", "pair": (1, "x"), "labels": [],
+                              "kind": "zzz", "color": "red"})  # Literal enforced
+    finally:
+        ModelStore._store = saved
+
+
+def test_signal_schema_v2_specs_still_load():
+    """Datasets persisted before r04 carry v2 specs (plain type strings,
+    no required/default info) — they must keep deserializing."""
+    from datachain_spark.schema import ModelStore, deserialize_signals
+
+    spec = {
+        "doc": "OldDoc@v1",
+        "_custom_types": {
+            "OldDoc@v1": {
+                "schema_version": 2,
+                "name": "OldDoc@v1",
+                "fields": {"uri": "str", "n": "Optional[int]"},
+                "bases": [],
+                "hidden_fields": [],
+            }
+        },
+    }
+    saved = ModelStore._store
+    ModelStore.reset()
+    try:
+        m = deserialize_signals(spec)["doc"]
+        obj = m.model_validate({"uri": "u", "n": None})
+        assert obj.uri == "u" and obj.n is None
     finally:
         ModelStore._store = saved
 
