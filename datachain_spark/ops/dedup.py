@@ -221,24 +221,109 @@ def decontaminate(
     return df.join(hit_ids, on=id_col, how=how)
 
 
+def _star_components(
+    pairs: DataFrame, id_a: str, id_b: str, max_iters: int
+) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): edge-set rewriting that
+    converges in O(log^2 n) rounds regardless of component diameter — the
+    scale path for pathological long-chain graphs where label propagation
+    needs diameter/2 rounds.
+
+    State is a (child, parent) edge set with parent < child. Per round:
+    large-star hangs every strictly-larger neighbor of u onto
+    m(u)=min(N(u) ∪ {u}); small-star then hangs u and its ≤-neighbors onto
+    m(u). At the fixed point the set is a star forest: every child's single
+    parent IS its component minimum. Convergence = identical
+    (count, bit_xor(xxhash64)) signature on two consecutive edge sets — one
+    driver-blocking job per round, which also materializes the lazy
+    checkpoint. No data is collected to the driver."""
+    lo, hi = F.least(F.col(id_a), F.col(id_b)), F.greatest(F.col(id_a), F.col(id_b))
+    p = (
+        pairs.select(hi.alias("child"), lo.alias("parent"))
+        .where(F.col("child") != F.col("parent"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        return edges.select(
+            F.col("child").alias("src"), F.col("parent").alias("dst")
+        ).union(
+            edges.select(F.col("parent").alias("src"), F.col("child").alias("dst"))
+        )
+
+    def _signature(edges: DataFrame) -> tuple:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI mode
+            F.expr("bit_xor(xxhash64(child, parent))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iters):
+        # large-star: (v, m(u)) for v in N(u), v > u
+        sym = _sym(p)
+        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = F.least(F.col("src"), F.col("mn"))
+        large = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("child"), m.alias("parent"))
+            .dropDuplicates()
+        )
+        # small-star: (v, m(u)) for v in N(u), v <= u, v != m; plus (u, m)
+        sym1 = _sym(large)
+        mins1 = sym1.groupBy("src").agg(F.min("dst").alias("mn"))
+        m1 = F.least(F.col("src"), F.col("mn"))
+        part1 = (
+            sym1.join(mins1, "src")
+            .where((F.col("dst") <= F.col("src")) & (F.col("dst") != m1))
+            .select(F.col("dst").alias("child"), m1.alias("parent"))
+        )
+        part2 = (
+            mins1.where(F.col("src") != m1)
+            .select(F.col("src").alias("child"), m1.alias("parent"))
+        )
+        p = part1.union(part2).dropDuplicates().localCheckpoint(eager=False)
+        sig = _signature(p)  # materializes the checkpoint, one job
+        if sig == prev:
+            break
+        prev = sig
+    roots = p.select(F.col("parent").alias("id")).dropDuplicates().withColumn(
+        "component", F.col("id")
+    )
+    children = p.select(
+        F.col("child").alias("id"), F.col("parent").alias("component")
+    )
+    return children.union(roots)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
     check_every: int = 1,
+    algorithm: str = "two_hop",
 ) -> DataFrame:
     """Cluster a near-duplicate pair graph into components: returns
     (id, component) where component = the minimum id reachable.
 
-    Iterative min-label propagation, two hops fused per round: each hop
-    every vertex takes the minimum label among itself and its neighbors
-    (labels only decrease), so a round advances labels two edges and the
-    round count is diameter/2 — 1-3 rounds for the short chains dedup
-    graphs produce (the large-star/small-star refinement would cut rounds
-    further on pathological long paths). Convergence is detected by carrying
-    the pre-block label through the aggregation ("old" column) — a narrow
-    filter+count over the checkpointed result, NOT a join.
+    ``algorithm="two_hop"`` (default): iterative min-label propagation, two
+    hops fused per round: each hop every vertex takes the minimum label
+    among itself and its neighbors (labels only decrease), so a round
+    advances labels two edges and the round count is diameter/2 — 1-3
+    rounds for the short chains dedup graphs produce. Convergence is
+    detected by carrying the pre-block label through the aggregation
+    ("old" column) — a narrow filter+count over the checkpointed result,
+    NOT a join.
+
+    ``algorithm="star"``: alternating large-star/small-star edge rewriting
+    (see :func:`_star_components`) — O(log^2 n) rounds independent of
+    component diameter; prefer it when components may be deep (long chains)
+    or when per-round barrier cost dominates at cluster scale.
 
     Driver-sync amortization (r04): the localCheckpoint is LAZY and is
     materialized by the convergence count itself, so a round costs ONE
@@ -251,6 +336,13 @@ def connected_components(
     has already settled. Default k=1; use k=2-3 when rounds ≫ 1 (long
     chains), where the overshoot amortizes to nothing. No data is ever
     collected to the driver."""
+    if algorithm == "star":
+        return _star_components(pairs, id_a, id_b, max_iters)
+    if algorithm != "two_hop":
+        raise ValueError(
+            f"connected_components: unknown algorithm {algorithm!r} "
+            "(use 'two_hop' or 'star')"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

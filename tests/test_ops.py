@@ -63,6 +63,42 @@ def test_connected_components_chains(session):
     assert comp2 == comp
 
 
+def test_connected_components_star_algorithm(session):
+    """Large-star/small-star must produce identical components to label
+    propagation — on chains (worst case for propagation), stars, and a
+    deterministic pseudo-random graph."""
+    import random
+
+    # long chain + disjoint pair + a star
+    pairs = dc.read_values(
+        session=session,
+        id_a=[1, 2, 3, 4, 5, 6, 7, 50, 60, 60, 60],
+        id_b=[2, 3, 4, 5, 6, 7, 8, 51, 61, 62, 63],
+    )
+    two_hop = {(r["id"], r["component"])
+               for r in dedup.connected_components(pairs.df).collect()}
+    star = {(r["id"], r["component"])
+            for r in dedup.connected_components(pairs.df, algorithm="star").collect()}
+    assert star == two_hop
+    assert dict(star)[8] == 1  # chain end reaches the chain min
+
+    rng = random.Random(7)
+    ra, rb = [], []
+    for _ in range(300):
+        a, b = rng.randrange(150), rng.randrange(150)
+        if a != b:
+            ra.append(a), rb.append(b)
+    rnd = dc.read_values(session=session, id_a=ra, id_b=rb)
+    got1 = {(r["id"], r["component"])
+            for r in dedup.connected_components(rnd.df).collect()}
+    got2 = {(r["id"], r["component"])
+            for r in dedup.connected_components(rnd.df, algorithm="star").collect()}
+    assert got1 == got2
+
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        dedup.connected_components(pairs.df, algorithm="nope")
+
+
 def test_connected_components_check_every_amortized(session):
     # a 9-vertex path needs several propagation rounds; answers must be
     # identical whether convergence is scanned every round or every 2-3
