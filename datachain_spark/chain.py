@@ -918,8 +918,43 @@ class DataChain:
             w = w.partitionBy(*partition_cols)
         w.parquet(path)
 
-    def to_csv(self, path: str, delimiter: str = ",", mode: str = "overwrite") -> None:
-        """Parity: datachain.py:2315-2361."""
+    def to_csv(
+        self,
+        path: str,
+        delimiter: str = ",",
+        fs_kwargs: Optional[dict] = None,
+        **kwargs: Any,
+    ) -> None:
+        """Single-FILE CSV export matching the reference exactly
+        (datachain.py:2315-2361): header row + csv.writer semantics,
+        fsspec remote paths supported. Rows stream through
+        toLocalIterator — driver memory stays O(1 row); the write is
+        single-stream by nature (so is the reference's). For a distributed
+        multi-file export at scale use :meth:`to_csv_dir`."""
+        import csv
+
+        if "://" in path and not path.startswith("file://"):
+            try:
+                import fsspec  # type: ignore[import-not-found]
+            except ImportError:
+                raise ImportError(
+                    f"writing to {path!r} requires the 'fsspec' package"
+                ) from None
+            opener = fsspec.open(path, "w", newline="", **(fs_kwargs or {})).open()
+        else:
+            opener = open(path.removeprefix("file://"), "w", newline="")
+        with opener as f:
+            writer = csv.writer(f, delimiter=delimiter, **kwargs)
+            writer.writerow(self._df.columns)
+            for row in self._df.toLocalIterator(prefetchPartitions=True):
+                writer.writerow(row)
+
+    def to_csv_dir(
+        self, path: str, delimiter: str = ",", mode: str = "overwrite"
+    ) -> None:
+        """Distributed CSV directory via Spark's native writer — the 100-TB
+        path (every executor writes its partitions; no single stream). No
+        reference counterpart (its to_csv is single-file)."""
         self._df.write.mode(mode).option("header", True).option("sep", delimiter).csv(path)
 
     def to_json(

@@ -278,10 +278,20 @@ def test_sink_roundtrips(session, tmp_path):
         assert ks == sorted(ks), f
         assert len(ks) <= 25, f
 
-    cdir = str(tmp_path / "c")
-    ch.to_csv(cdir, delimiter=";")
-    csv_back = dc.read_csv(f"{cdir}/*.csv", delimiter=";", session=session)
+    # to_csv = ONE file with a header (reference layout, datachain.py:2315)
+    cfile = str(tmp_path / "c.csv")
+    ch.to_csv(cfile, delimiter=";")
+    with open(cfile) as f:
+        header = f.readline().strip()
+    assert header == "k;grp;v"
+    csv_back = dc.read_csv(cfile, delimiter=";", session=session)
     assert csv_back.count() == 60
+
+    # distributed variant writes a directory of part files
+    cdir = str(tmp_path / "cdir")
+    ch.to_csv_dir(cdir, delimiter=";")
+    csv_dir_back = dc.read_csv(f"{cdir}/*.csv", delimiter=";", session=session)
+    assert csv_dir_back.count() == 60
 
     jdir = str(tmp_path / "j")
     ch.to_json_dir(jdir)
