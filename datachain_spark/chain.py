@@ -960,9 +960,9 @@ class DataChain:
     def to_json(
         self,
         path: str,
-        mode: str = "wb",
+        fs_kwargs: Optional[dict] = None,
         include_outer_list: bool = True,
-        **fs_kwargs: Any,
+        mode: str = "wb",
     ) -> None:
         """Single-FILE JSON export, matching the reference exactly: one valid
         JSON array (``[\\n row,\\n ... \\n]\\n``), or JSON-lines when
@@ -976,15 +976,15 @@ class DataChain:
         export at scale use :meth:`to_json_dir`."""
         if "b" not in mode:
             mode += "b"  # rows are serialized to bytes
-        try:
-            import fsspec  # type: ignore[import-not-found]
-
-            opener = fsspec.open(path, mode, **fs_kwargs).open()
-        except ImportError:
-            if "://" in path and not path.startswith("file://"):
+        if "://" in path and not path.startswith("file://"):
+            try:
+                import fsspec  # type: ignore[import-not-found]
+            except ImportError:
                 raise ImportError(
                     f"writing to {path!r} requires the 'fsspec' package"
                 ) from None
+            opener = fsspec.open(path, mode, **(fs_kwargs or {})).open()
+        else:
             opener = open(path.removeprefix("file://"), mode)
         first = True
         with opener as f:
@@ -1000,9 +1000,11 @@ class DataChain:
             else:
                 f.write(b"\n")
 
-    def to_jsonl(self, path: str, mode: str = "wb", **fs_kwargs: Any) -> None:
+    def to_jsonl(
+        self, path: str, fs_kwargs: Optional[dict] = None, mode: str = "wb"
+    ) -> None:
         """Single-file JSON-lines export. Parity: datachain.py:2423-2438."""
-        self.to_json(path, mode=mode, include_outer_list=False, **fs_kwargs)
+        self.to_json(path, fs_kwargs=fs_kwargs, include_outer_list=False, mode=mode)
 
     def to_json_dir(self, path: str, mode: str = "overwrite") -> None:
         """Distributed JSONL directory via Spark's native writer — the
