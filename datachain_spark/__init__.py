@@ -14,7 +14,7 @@ from . import functions as func
 
 _sys.modules[__name__ + ".func"] = func
 
-from .chain import DataChain, DatasetMergeError
+from .chain import DataChain, DatasetMergeError, DatasetPrepareError
 from .columns import C, Col
 
 # Drop-in parity: the reference exports `Column` (its SQLAlchemy column ref)
@@ -46,6 +46,7 @@ from .sources import (
     read_storage,
     read_values,
 )
+from .schema import Sys
 from .udf import Aggregator, BatchMapper, Generator, Mapper
 
 # Deprecated constructor aliases kept for drop-in compatibility with the
@@ -64,7 +65,8 @@ from_values = read_values
 __version__ = "0.1.0"
 
 __all__ = [
-    "C", "Col", "Column", "DataChain", "DatasetMergeError", "Session",
+    "C", "Col", "Column", "DataChain", "DatasetMergeError",
+    "DatasetPrepareError", "Session", "Sys",
     "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
     "from_values", "from_records", "from_pandas", "from_parquet", "from_csv",

@@ -57,6 +57,15 @@ class DatasetMergeError(ValueError):
     """Parity: datachain.lib.dc.datachain merge errors."""
 
 
+class DatasetPrepareError(ValueError):
+    """Parity: lib/dc/utils.py:57 — dataset processing prepare errors."""
+
+    def __init__(self, name, msg, output=None):
+        name = f" '{name}'" if name else ""
+        output = f" output '{output}'" if output else ""
+        super().__init__(f"Dataset{name}{output} processing prepare error: {msg}")
+
+
 class DataChain:
     """Immutable chain; every operator returns a new DataChain
     (parity: _evolve, /root/reference/src/datachain/lib/dc/datachain.py:326)."""
@@ -132,6 +141,28 @@ class DataChain:
         n = kwargs.get("parallel") or kwargs.get("workers")
         if isinstance(n, int) and n > 0:
             out._df = out._df.repartition(n)
+        if kwargs.get("sys") and "sys" not in out._df.columns:
+            # Parity: lib/dc/utils.py:126 Sys(id, rand). Here sys.id is a
+            # plan-scoped monotonic row id (NOT stable across re-executions
+            # of a different plan — the reference's is a warehouse rowid;
+            # document, don't emulate a warehouse) and sys.rand derives
+            # deterministically from it (63-bit non-negative, like the
+            # reference's per-row random used by sample/shuffle).
+            out._df = (
+                out._df.withColumn("__sys_id", F.monotonically_increasing_id())
+                .withColumn(
+                    "sys",
+                    F.struct(
+                        F.col("__sys_id").alias("id"),
+                        F.expr(
+                            "xxhash64(__sys_id, 1337) & 9223372036854775807"
+                        ).alias("rand"),
+                    ),
+                )
+                .drop("__sys_id")
+            )
+        elif kwargs.get("sys") is False and "sys" in self._df.columns:
+            out._df = out._df.drop("sys")
         return out
 
     def reset_settings(self) -> "DataChain":

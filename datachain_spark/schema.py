@@ -30,6 +30,20 @@ except ImportError:  # pragma: no cover - pydantic is expected in this env
     BaseModel = None  # type: ignore[assignment]
     PYDANTIC = False
 
+
+if PYDANTIC:
+
+    class Sys(BaseModel):
+        """Internal per-row signals attached by ``settings(sys=True)``.
+        Parity: lib/dc/utils.py:126 — ``sys.id`` (row id) + ``sys.rand``
+        (deterministic 63-bit per-row value)."""
+
+        id: int
+        rand: int
+
+else:  # pragma: no cover
+    Sys = None  # type: ignore[assignment]
+
 _PRIMITIVES: dict[type, T.DataType] = {
     int: T.LongType(),
     float: T.DoubleType(),

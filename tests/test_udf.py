@@ -163,6 +163,23 @@ def test_pydantic_output(session):
     assert recs[0]["value"] == 0.5 and recs[1]["label"] == "s2"
 
 
+def test_settings_sys_signals(nums):
+    """settings(sys=True) attaches the Sys struct (id unique per row, rand a
+    deterministic 63-bit non-negative); sys=False drops it. Parity:
+    lib/dc/utils.py:126."""
+    out = nums.settings(sys=True)
+    assert "sys" in out.df.columns
+    rows = out.df.select("sys.id", "sys.rand").collect()
+    ids = [r["id"] for r in rows]
+    assert len(set(ids)) == len(ids)  # unique per row
+    assert all(r["rand"] >= 0 for r in rows)
+    # same plan re-executed -> same sys values (deterministic derivation)
+    again = out.df.select("sys.id", "sys.rand").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    dropped = out.settings(sys=False)
+    assert "sys" not in dropped.df.columns
+
+
 def test_settings_parallel_noop(nums):
     out = nums.settings(parallel=2).map(lambda x: x, params="x", output={"y": int})
     assert out.count() == 4
