@@ -107,3 +107,28 @@ def test_sharding_family_zero_shuffle(session):
         ) == 0, fam
         train, test = ch.train_test_split([0.8, 0.2], key=["k"], hash_fn=fam)
         assert shuffle_count(train.df) == 0 and shuffle_count(test.df) == 0, fam
+
+
+def test_parse_tabular_directory_path_keeps_pushdown(session, tmp_path):
+    """The r04 parse_tabular fast path (directory + pathGlobFilter) must
+    yield a scan that still accepts predicate pushdown and column pruning —
+    it's a real FileScan, not an opaque path list."""
+    import pyspark.sql.functions as F
+
+    import datachain_spark as dc
+
+    src = dc.read_values(
+        session=session, k=list(range(100)), v=[float(i) for i in range(100)],
+        s=["x"] * 100,
+    )
+    d = str(tmp_path / "pq")
+    src.to_parquet(d)
+    listing = dc.read_storage(f"{d}/*.parquet", session=session, update=True)
+    parsed = listing.parse_tabular(format="parquet", source=False)
+    out = parsed.filter(dc.C.k > 90).select("k", "v").df
+    pf = pushed_filters(out)
+    assert any("k" in f for f in pf), f"filter not pushed through dir scan: {pf}"
+    schemas = scan_read_schemas(out)
+    assert schemas and all("s:string" not in s for s in schemas), (
+        f"column pruning lost: {schemas}"
+    )
