@@ -2059,6 +2059,56 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+_PII_ROWS = [
+    (0, "contact jane.doe+x@corp.example.com or bob@site.io now"),
+    (1, "SSN 123-45-6789 card 4111 1111 1111 1111 end"),
+    (2, "host 10.0.0.1 and 192.168.10.255 phone +1 (555) 123-4567"),
+    (3, "call 555-123-4567 or 0171 555 1234 today"),
+    (4, "nothing sensitive in this row at all"),
+    (5, "mixed a@b.co at 8.8.8.8 ssn 987-65-4321"),
+]
+
+
+def pii_redact(spark, sf):
+    """PII scrub audit over a synthetic fixture (both engines see identical
+    VALUES rows): redacted text + per-kind counts, redaction-order-aware.
+    Ops: ops/text.py redact_pii / pii_stats."""
+    ch = DataChain(
+        spark.createDataFrame(_PII_ROWS, "doc_id long, text string"),
+        Session.get(spark=spark),
+    )
+    red = ch.df.select("doc_id", text.redact_pii("text").alias("redacted"))
+    stats = text.pii_stats(ch.df, "text", "doc_id")
+    casts = [F.col(c).cast("long").alias(c) for c in stats.columns if c != "doc_id"]
+    return red.join(stats.select("doc_id", *casts), "doc_id").orderBy("doc_id")
+
+
+def _pii_sql() -> str:
+    values = ", ".join(f"({i}, '{t}')" for i, t in _PII_ROWS)
+    # chain CTEs in redact order, counting each kind on the text AFTER
+    # earlier kinds were replaced — same semantics as pii_stats
+    ctes = [
+        f"t0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, s "
+        f"FROM (VALUES {values}) v(doc_id, s))"
+    ]
+    prev = "t0"
+    for i, kind in enumerate(text._PII_ORDER, start=1):
+        pattern, token = text.PII_PATTERNS[kind]
+        carried = "".join(f"n_{k}, " for k in text._PII_ORDER[: i - 1])
+        ctes.append(
+            f"t{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(s, '{pattern}')) AS n_{kind}, "
+            f"regexp_replace(s, '{pattern}', '{token}', 'g') AS s FROM {prev})"
+        )
+        prev = f"t{i}"
+    total = " + ".join(f"n_{k}" for k in text._PII_ORDER)
+    cols = ", ".join(f"CAST(n_{k} AS BIGINT) AS n_{k}" for k in text._PII_ORDER)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, s AS redacted, {cols}, "
+        f"CAST({total} AS BIGINT) AS n_pii_total FROM {prev} ORDER BY doc_id"
+    )
+
+
 MULTIMODAL_SQL = """
 WITH hh AS (
   SELECT doc_id, sha256(text) AS hx FROM documents WHERE doc_id < 50
@@ -2307,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_similarity": string_similarity,
         "semi_join_orders": semi_join_orders,
         "intersect_cross": intersect_cross,
+        "pii_redact": pii_redact,  # r04 addition (overflow keeps window stable)
     }
 
 
@@ -2375,4 +2426,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,
         "vocabulary_top100": VOCABULARY_SQL,
+        "pii_redact": _pii_sql(),
     }

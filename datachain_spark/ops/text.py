@@ -505,3 +505,55 @@ def analyze_text(df: DataFrame, text_col: str = "text", prefix: str = "") -> Dat
         f"{prefix}lang_guess": language_id(c),
         f"{prefix}fingerprint": fingerprint(c),
     })
+
+
+# -- PII redaction -----------------------------------------------------------
+# Patterns kept to syntax shared by Java regex (Spark, codegen'd
+# regexp_replace) and RE2 (DuckDB), so the same literal oracles both engines.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # international-ish phone numbers: optional +CC, separators, 9-14 digits
+    "phone": (r"\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{2,4}", "<PHONE>"),
+    "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    "credit_card": (r"\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b", "<CC>"),
+}
+# order matters: ssn/credit_card before phone (a bare SSN also matches the
+# phone pattern), email before phone (digits in local parts)
+_PII_ORDER = ("email", "ssn", "credit_card", "ipv4", "phone")
+
+
+def redact_pii(col, kinds: Optional[Sequence[str]] = None) -> Column:
+    """Replace common PII spans with typed placeholder tokens — the C4/Dolma
+    -style scrub pass every public-corpus pipeline runs before training.
+    Pure chained ``regexp_replace`` column expressions: whole-stage codegen,
+    zero shuffles, linear scan at any scale. ``kinds`` subsets/reorders
+    {email, ssn, credit_card, ipv4, phone} (default: all, in an order that
+    keeps overlapping patterns from shadowing each other).
+
+    No reference counterpart (spec addition: large-scale training-data ops)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    for kind in kinds if kinds is not None else _PII_ORDER:
+        pattern, token = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII hit counts per kind plus a total — the audit view
+    (what WOULD be redacted). Counts follow redact_pii's replacement order
+    exactly: each kind is counted on the text AFTER earlier kinds were
+    replaced, so an SSN never double-counts as a phone number. Still pure
+    codegen'd column expressions — zero shuffles."""
+    c = F.col(text_col)
+    counts = {}
+    for kind in _PII_ORDER:
+        pattern, token = PII_PATTERNS[kind]
+        counts[f"n_{kind}"] = F.regexp_count(c, F.lit(pattern))
+        c = F.regexp_replace(c, pattern, token)
+    out = df.select(F.col(id_col), *[v.alias(k) for k, v in counts.items()])
+    total = None
+    for kind in _PII_ORDER:
+        col = F.col(f"n_{kind}")
+        total = col if total is None else total + col
+    return out.withColumn("n_pii_total", total)

@@ -442,3 +442,48 @@ def test_vocabulary_counts_and_doc_freq(session):
     v = {r["word"]: (r["count"], r["doc_freq"]) for r in
          text.vocabulary(ch.df, "text").collect()}
     assert v == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+
+
+def test_redact_pii_and_stats(session):
+    from datachain_spark.ops import text as txt
+
+    rows = dc.read_values(
+        session=session,
+        doc_id=[0, 1, 2, 3],
+        text=[
+            "mail me at jane.doe+x@corp.example.com today",
+            "SSN 123-45-6789 and card 4111 1111 1111 1111",
+            "server at 192.168.10.1, call +1 (555) 123-4567",
+            "nothing sensitive here",
+        ],
+    )
+    red = rows.df.select("doc_id", txt.redact_pii("text").alias("t")).collect()
+    by_id = {r["doc_id"]: r["t"] for r in red}
+    assert by_id[0] == "mail me at <EMAIL> today"
+    assert by_id[1] == "SSN <SSN> and card <CC>"
+    assert "<IP>" in by_id[2] and "<PHONE>" in by_id[2]
+    assert by_id[3] == "nothing sensitive here"
+
+    stats = {r["doc_id"]: r for r in txt.pii_stats(rows.df).collect()}
+    assert stats[0]["n_email"] == 1 and stats[0]["n_pii_total"] == 1
+    # SSN counted once as SSN, NOT double-counted as phone
+    assert stats[1]["n_ssn"] == 1 and stats[1]["n_credit_card"] == 1
+    assert stats[1]["n_phone"] == 0 and stats[1]["n_pii_total"] == 2
+    assert stats[2]["n_ipv4"] == 1 and stats[2]["n_phone"] == 1
+    assert stats[3]["n_pii_total"] == 0
+
+    # kinds subsetting: only email redacted
+    only_email = rows.df.select(
+        txt.redact_pii("text", kinds=["email"]).alias("t")
+    ).collect()
+    assert any("<EMAIL>" in r["t"] for r in only_email)
+    assert not any("<SSN>" in r["t"] for r in only_email)
+
+
+def test_redact_pii_zero_shuffle(session):
+    from datachain_spark.ops import text as txt
+    from datachain_spark.plans import shuffle_count
+
+    rows = dc.read_values(session=session, doc_id=[0], text=["a@b.co"])
+    assert shuffle_count(rows.df.select(txt.redact_pii("text"))) == 0
+    assert shuffle_count(txt.pii_stats(rows.df)) == 0
