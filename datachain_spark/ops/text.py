@@ -281,6 +281,56 @@ def normalize_url(col, drop_params_re: str = _TRACKING_PARAM_RE) -> Column:
     return F.when(proto.isNull() | host.isNull(), F.lit(None).cast("string")).otherwise(out)
 
 
+def url_domain(col, registrable: bool = False) -> Column:
+    """Lowercased host of a URL (NULL when unparsable); ``registrable=True``
+    approximates the registrable domain by keeping the last two labels
+    (``news.bbc.co.uk`` -> ``co.uk`` caveat applies — a full public-suffix
+    list is a data dependency, not shipped). Pure column expression."""
+    host = F.lower(F.try_parse_url(to_column(col), F.lit("HOST")))
+    if not registrable:
+        return host
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(n <= 2, host).otherwise(
+            F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+        )
+    )
+
+
+def filter_by_domain_blocklist(
+    df: DataFrame,
+    url_col: str,
+    blocklist: "DataFrame | Sequence[str]",
+    keep_blocked: bool = False,
+    registrable: bool = False,
+) -> DataFrame:
+    """Drop rows whose URL's domain is on a blocklist — the corpus-hygiene
+    pass every crawled-data pipeline runs (spam/adult/malware domain lists).
+
+    The blocklist side is BROADCAST (domain lists are millions of rows at
+    most — far under broadcast limits), so the corpus never shuffles: scan →
+    codegen'd host extraction → broadcast hash anti-join (or semi-join with
+    ``keep_blocked=True`` for the audit view). Accepts a one-column
+    DataFrame or a plain sequence of domains."""
+    dom = url_domain(F.col(url_col), registrable=registrable).alias("__dom")
+    spark = df.sparkSession
+    if not isinstance(blocklist, DataFrame):
+        bl = spark.createDataFrame(
+            [(d.lower(),) for d in blocklist], "__bl_dom string"
+        )
+    else:
+        bl = blocklist.select(
+            F.lower(F.col(blocklist.columns[0])).alias("__bl_dom")
+        )
+    how = "left_semi" if keep_blocked else "left_anti"
+    out = (
+        df.withColumn("__dom", dom)
+        .join(F.broadcast(bl.dropDuplicates()), F.col("__dom") == F.col("__bl_dom"), how)
+    )
+    return out.drop("__dom")
+
+
 def segment_dedup(
     df: DataFrame,
     id_col: str,

@@ -487,3 +487,43 @@ def test_redact_pii_zero_shuffle(session):
     rows = dc.read_values(session=session, doc_id=[0], text=["a@b.co"])
     assert shuffle_count(rows.df.select(txt.redact_pii("text"))) == 0
     assert shuffle_count(txt.pii_stats(rows.df)) == 0
+
+
+def test_url_domain_and_blocklist_filter(session):
+    from datachain_spark.ops import text as txt
+    from datachain_spark.plans import join_strategies
+
+    rows = dc.read_values(
+        session=session,
+        doc_id=[0, 1, 2, 3, 4],
+        url=[
+            "https://Spam.example.COM/page?x=1",
+            "https://news.bbc.co.uk/story",
+            "http://ok-site.io/a",
+            "not a url at all",
+            "https://sub.spam.example.com/deep",
+        ],
+    )
+    doms = {r["doc_id"]: r["d"] for r in rows.df.select(
+        "doc_id", txt.url_domain("url").alias("d")).collect()}
+    assert doms[0] == "spam.example.com" and doms[3] is None
+    reg = {r["doc_id"]: r["d"] for r in rows.df.select(
+        "doc_id", txt.url_domain("url", registrable=True).alias("d")).collect()}
+    assert reg[0] == "example.com" and reg[4] == "example.com"
+
+    kept = txt.filter_by_domain_blocklist(
+        rows.df, "url", ["spam.example.com"]
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3, 4]
+    # registrable matching also drops the subdomain row
+    kept_reg = txt.filter_by_domain_blocklist(
+        rows.df, "url", ["example.com"], registrable=True
+    )
+    assert sorted(r["doc_id"] for r in kept_reg.collect()) == [1, 2, 3]
+    blocked = txt.filter_by_domain_blocklist(
+        rows.df, "url", ["spam.example.com"], keep_blocked=True
+    )
+    assert [r["doc_id"] for r in blocked.collect()] == [0]
+    # the join is a broadcast (corpus never shuffles for the blocklist)
+    strategies = join_strategies(kept)
+    assert strategies and all("Broadcast" in s for s in strategies), strategies
