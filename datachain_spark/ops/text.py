@@ -467,6 +467,87 @@ def repetition_stats(
     )
 
 
+GOPHER_DEFAULTS: dict[str, float] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,   # '#' or '…' per word
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_stopword_hits": 2,         # docs with <2 common-word hits are junk
+    "max_top_word_frac": 0.2,
+    "max_dup_2gram_frac": 0.2,
+}
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    thresholds: Optional[dict[str, float]] = None,
+    keep_rejected: bool = False,
+    with_signals: bool = False,
+) -> DataFrame:
+    """Gopher/MassiveText-style document quality gate (Rae et al. 2021,
+    table A1 rules re-expressed on this engine's signals): word-count
+    bounds, mean word length, symbol-per-word ratio, bullet/ellipsis line
+    fractions, minimum stopword evidence, and the repetition signals from
+    :func:`repetition_stats`. ``thresholds`` overrides any
+    :data:`GOPHER_DEFAULTS` key; ``keep_rejected=True`` inverts the gate
+    (audit view); ``with_signals=True`` keeps the computed signal columns.
+
+    All line/symbol signals are pure column expressions (codegen); the two
+    repetition signals reuse repetition_stats' explode+groupBy — so the
+    whole gate costs one explode pass plus a per-id join, same as
+    repetition_stats alone. No reference counterpart (spec addition)."""
+    th = {**GOPHER_DEFAULTS, **(thresholds or {})}
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"^([-*•])"))) / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))) / n_lines
+    )
+    n_words_ws = F.greatest(whitespace_token_count(c), F.lit(1))
+    symbol_ratio = (
+        (F.length(c) - F.length(F.regexp_replace(c, r"[#…]", ""))) / n_words_ws
+    )
+    sw = F.lit(0)
+    for w in _EN_STOPWORDS:
+        sw = sw + F.when(
+            F.lower(c).rlike(rf"\b{w}\b"), F.lit(1)
+        ).otherwise(F.lit(0))
+    sigs = df.select(
+        F.col(id_col),
+        mean_word_length(c).alias("mean_word_len"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        sw.alias("stopword_hits"),
+    )
+    rep = repetition_stats(df, id_col, text_col)
+    joined = df.join(sigs, id_col).join(rep, id_col)
+    passed = (
+        (F.col("n_words") >= th["min_words"])
+        & (F.col("n_words") <= th["max_words"])
+        & (F.col("mean_word_len") >= th["min_mean_word_len"])
+        & (F.col("mean_word_len") <= th["max_mean_word_len"])
+        & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
+        & (F.col("bullet_line_frac") <= th["max_bullet_line_frac"])
+        & (F.col("ellipsis_line_frac") <= th["max_ellipsis_line_frac"])
+        & (F.col("stopword_hits") >= th["min_stopword_hits"])
+        & (F.col("top_word_frac") <= th["max_top_word_frac"])
+        & (F.col("dup_2gram_frac") <= th["max_dup_2gram_frac"])
+    )
+    out = joined.filter(~passed if keep_rejected else passed)
+    if not with_signals:
+        out = out.select(*df.columns)
+    return out
+
+
 def winnow_pairs(
     df: DataFrame,
     id_col: str,

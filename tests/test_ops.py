@@ -527,3 +527,47 @@ def test_url_domain_and_blocklist_filter(session):
     # the join is a broadcast (corpus never shuffles for the blocklist)
     strategies = join_strategies(kept)
     assert strategies and all("Broadcast" in s for s in strategies), strategies
+
+
+def test_gopher_quality_filter(session):
+    from datachain_spark.ops import text as txt
+
+    good = ("the quick brown fox jumps over the lazy dog and then it runs "
+            "far away into the deep green forest where it finds food and "
+            "water for the long cold night that is coming soon with rain "
+            "and wind and the fox is happy to be safe in its warm den now "
+            "sleeping until the morning sun rises over the quiet hills")
+    rows = dc.read_values(
+        session=session,
+        doc_id=[0, 1, 2, 3],
+        text=[
+            good,                                  # passes
+            "short text",                          # too few words
+            ("spam " * 80).strip(),                # top_word_frac = 1
+            "- a\n- b\n- c\n" + good,              # bullet lines but under 0.9 frac? -> compute
+        ],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in txt.gopher_quality_filter(rows.df, "doc_id").collect()
+    )
+    assert 0 in kept and 1 not in kept and 2 not in kept
+
+    rejected = sorted(
+        r["doc_id"]
+        for r in txt.gopher_quality_filter(
+            rows.df, "doc_id", keep_rejected=True
+        ).collect()
+    )
+    assert set(kept) | set(rejected) == {0, 1, 2, 3}
+    assert not set(kept) & set(rejected)
+
+    # thresholds override: impossible min_words rejects everything
+    none_kept = txt.gopher_quality_filter(
+        rows.df, "doc_id", thresholds={"min_words": 10**6}
+    ).collect()
+    assert none_kept == []
+
+    # with_signals keeps the audit columns
+    sig = txt.gopher_quality_filter(rows.df, "doc_id", with_signals=True)
+    assert {"n_words", "top_word_frac", "stopword_hits"} <= set(sig.columns)
