@@ -41,6 +41,7 @@ HEADLINE = [
     # with the SF, unlike the oracle queries' doc_id caps)
     "segment_dedup_full",
     "decontaminate_full",
+    "pii_redact_full",
 ]
 
 
@@ -90,8 +91,19 @@ def main() -> None:
             docs.filter(F.col("doc_id") >= 10), probes, "doc_id", ngram=5
         )
 
+    def _pii_redact_full(spark, sf):
+        # whole-corpus PII scrub + per-kind audit counts: pure codegen'd
+        # regexp chain, zero shuffles until the tiny count aggregate
+        docs = entrymod._chain(spark, sf, "documents").df
+        stats = _text.pii_stats(docs, "text", "doc_id")
+        return stats.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_pii_total").alias("total_hits"),
+        )
+
     queries["segment_dedup_full"] = _segment_dedup_full
     queries["decontaminate_full"] = _decontaminate_full
+    queries["pii_redact_full"] = _pii_redact_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);
