@@ -571,3 +571,32 @@ def test_gopher_quality_filter(session):
     # with_signals keeps the audit columns
     sig = txt.gopher_quality_filter(rows.df, "doc_id", with_signals=True)
     assert {"n_words", "top_word_frac", "stopword_hits"} <= set(sig.columns)
+
+
+def test_redact_pii_idempotent(session):
+    """Redaction must be a fixed point: placeholders never re-match any
+    pattern, so redact(redact(x)) == redact(x) for arbitrary text."""
+    import random
+    import string
+
+    rng = random.Random(99)
+    corpus = []
+    pieces = [
+        "a@b.co", "123-45-6789", "192.168.0.1", "+1 555 123 4567",
+        "4111 1111 1111 1111", "plain words", "…", "#tag",
+    ]
+    for _ in range(50):
+        n = rng.randrange(1, 8)
+        parts = [
+            rng.choice(pieces) if rng.random() < 0.5 else
+            "".join(rng.choice(string.ascii_letters + string.digits + " .@-")
+                    for _ in range(rng.randrange(1, 20)))
+            for _ in range(n)
+        ]
+        corpus.append(" ".join(parts))
+    rows = dc.read_values(session=session, i=list(range(len(corpus))), text=corpus)
+    once = rows.df.select("i", text.redact_pii("text").alias("t"))
+    twice = once.select("i", text.redact_pii("t").alias("t"))
+    a = {r["i"]: r["t"] for r in once.collect()}
+    b = {r["i"]: r["t"] for r in twice.collect()}
+    assert a == b
