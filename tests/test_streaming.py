@@ -170,3 +170,42 @@ def test_dedup_stream(session, tmp_path):
     ks = [r["k"] for r in spark.sql("SELECT k FROM dedup_out").collect()]
     # within-horizon duplicate dropped; past-horizon re-occurrence re-admitted
     assert sorted(ks) == [1, 1, 2, 3, 4]
+
+
+def test_corpus_ops_compose_with_streams(session, tmp_path):
+    """The stateless corpus ops (PII scrub, quality signals, language-ID,
+    redaction) are pure column expressions, so they apply unchanged to a
+    structured stream — the streaming ingest-scrub pipeline is the same
+    code as the batch one."""
+    from datachain_spark.ops import text as txt
+
+    spark = session.spark
+    d = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [
+            (0, "write to a@b.co and the quick brown fox jumps for it"),
+            (1, "ssn 123-45-6789 inside and the lazy dog sleeps on it"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(d)
+
+    stream = read_stream(spark, d)
+    scrubbed = stream.select(
+        "doc_id",
+        txt.redact_pii("text").alias("text"),
+        txt.quality_score("text").alias("quality"),
+        txt.language_id("text").alias("lang"),
+    )
+    assert scrubbed.isStreaming
+    q = (
+        scrubbed.writeStream.format("memory")
+        .queryName("scrub_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_scrub"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM scrub_stream").collect()}
+    assert "<EMAIL>" in rows[0]["text"] and "<SSN>" in rows[1]["text"]
+    assert rows[0]["lang"] == "en" and rows[0]["quality"] is not None
