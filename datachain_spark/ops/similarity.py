@@ -77,6 +77,44 @@ def train_centroids_sample(
     return [list(r["v"]) for r in rows]
 
 
+def kmeans_refine(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> list[list[float]]:
+    """Distributed Lloyd iterations refining the IVF coarse quantizer:
+    per iteration, assign every vector to its nearest centroid (codegen'd
+    expression — no UDF), then recompute means via posexplode + groupBy
+    (cell, dim). Map-side partial aggregation means the shuffle carries
+    ~num_cells x dim partial sums per executor, and only the refined
+    centroids (num_cells x dim floats) ever reach the driver — the corpus
+    is scanned ``iters`` times and never collected. Empty cells keep their
+    previous centroid."""
+    cents = [list(c) for c in centroids]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = assign_ivf_cells(df, cents, vec_col, "__cell")
+        rows = (
+            assigned.select(
+                "__cell", F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("__cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in rows:
+            means.setdefault(r["__cell"], {})[r["dim"]] = float(r["m"])
+        cents = [
+            [means[c].get(d, cents[c][d]) for d in range(dim)]
+            if c in means
+            else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
 def ann_ivf_topk(
     df_with_cells: DataFrame,
     centroids: Sequence[Sequence[float]],

@@ -600,3 +600,39 @@ def test_redact_pii_idempotent(session):
     a = {r["i"]: r["t"] for r in once.collect()}
     b = {r["i"]: r["t"] for r in twice.collect()}
     assert a == b
+
+
+def test_kmeans_refine_reduces_inertia(session):
+    """Lloyd refinement must move sampled centroids toward the true cluster
+    means: total assigned cosine distance (inertia) never increases, and on
+    well-separated clusters the refined centroids recover them."""
+    import random
+
+    rng = random.Random(5)
+    base = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    vecs, ids = [], []
+    for i in range(90):
+        b = base[i % 3]
+        vecs.append([x + rng.uniform(-0.05, 0.05) for x in b])
+        ids.append(i)
+    ch = dc.read_values(session=session, vid=ids, emb=vecs)
+
+    def inertia(cents):
+        assigned = similarity.assign_ivf_cells(ch.df, cents, "emb", "c")
+        dists = [
+            F.struct(similarity.cosine_distance(F.col("emb"), list(c)).alias("d"))
+            for c in cents
+        ]
+        row = assigned.select(
+            F.array_min(F.array(*dists))["d"].alias("d")
+        ).agg(F.sum("d")).collect()[0]
+        return row[0]
+
+    cents0 = similarity.train_centroids_sample(ch.df, "emb", num_cells=3, seed=1)
+    i0 = inertia(cents0)
+    cents1 = similarity.kmeans_refine(ch.df, cents0, "emb", iters=3)
+    i1 = inertia(cents1)
+    assert i1 <= i0 + 1e-9
+    # each refined centroid should be dominated by one base direction
+    tops = sorted(max(range(4), key=lambda d: c[d]) for c in cents1)
+    assert len(set(tops)) == 3
