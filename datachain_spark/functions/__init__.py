@@ -34,9 +34,10 @@ from .aggregate import (
     sum,
     window,
 )
-from .array import cosine_distance, euclidean_distance
+from .array import contains, cosine_distance, euclidean_distance, length, sip_hash_64
 from .conditional import and_, case, greatest, ifelse, isnone, least, not_, or_
 from .numeric import bit_and, bit_hamming_distance, bit_or, bit_xor, int_hash_64
+from .path import file_ext, file_stem, name, parent
 from .random import hash_rand, rand
 from .string import byte_hamming_distance
 
@@ -57,4 +58,6 @@ __all__ = [
     "bit_and", "bit_or", "bit_xor", "int_hash_64", "bit_hamming_distance",
     "byte_hamming_distance", "rand", "hash_rand", "literal",
     "approx_count_distinct", "approx_percentile", "count_distinct", "stddev", "variance",
+    # reference top-level re-exports (/root/reference/src/datachain/func/__init__.py:18-21)
+    "contains", "length", "sip_hash_64", "file_ext", "file_stem", "name", "parent",
 ]
