@@ -46,8 +46,32 @@ from .sources import (
     read_storage,
     read_values,
 )
-from .schema import Sys
-from .udf import Aggregator, BatchMapper, Generator, Mapper
+from .schema import DataModel, DataType, ModelStore, Sys, is_chain_type
+from .sources.files import (
+    ArrowRow,
+    Audio,
+    AudioFile,
+    AudioFragment,
+    File,
+    Image,
+    ImageFile,
+    TarVFile,
+    TextFile,
+    Video,
+    VideoFile,
+    VideoFragment,
+    VideoFrame,
+)
+from .sources.readers import create_project, delete_namespace
+from .udf import AbstractUDF, Aggregator, BatchMapper, Generator, Mapper
+from .utils import DataChainError, FileError, metrics, param
+
+
+def is_studio() -> bool:
+    """Always False: the reference's flag for running inside its hosted
+    SaaS. This engine has no such service; exported so `from datachain
+    import is_studio` code paths port unchanged."""
+    return False
 
 # Deprecated constructor aliases kept for drop-in compatibility with the
 # reference's from_* names (datachain deprecated them in favor of read_*;
@@ -72,6 +96,12 @@ __all__ = [
     "from_values", "from_records", "from_pandas", "from_parquet", "from_csv",
     "from_json", "from_dataset", "from_hf", "from_storage",
     "datasets", "listings", "delete_dataset", "move_dataset", "export_dataset_table",
-    "Mapper", "Generator", "Aggregator", "BatchMapper", "column", "c",
-    "func",
+    "create_project", "delete_namespace",
+    "Mapper", "Generator", "Aggregator", "BatchMapper", "AbstractUDF",
+    "column", "c", "func",
+    "DataModel", "DataType", "ModelStore", "is_chain_type",
+    "File", "TextFile", "ImageFile", "VideoFile", "AudioFile", "TarVFile",
+    "Image", "Video", "Audio", "ArrowRow",
+    "AudioFragment", "VideoFrame", "VideoFragment",
+    "DataChainError", "FileError", "metrics", "param", "is_studio",
 ]

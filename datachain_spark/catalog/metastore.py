@@ -418,3 +418,36 @@ class Metastore:
         shutil.move(src_dir, dst_dir)
         rec.namespace, rec.project, rec.name = dns, dproj, dbase
         self._write_record(rec)
+
+    # -- namespaces / projects ------------------------------------------
+    def create_namespace(self, name: str) -> str:
+        """Parity: lib/namespaces.py create — idempotent mkdir."""
+        path = os.path.join(self.root, name)
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def create_project(self, namespace: str, name: str) -> str:
+        """Parity: lib/projects.py create — idempotent, creates the
+        namespace too."""
+        path = os.path.join(self.root, namespace, name)
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def delete_namespace(self, name: str) -> None:
+        """Parity: lib/namespaces.py delete_namespace — refuses non-empty
+        namespaces (any dataset manifest below it) and missing ones."""
+        path = os.path.join(self.root, name)
+        if not os.path.isdir(path):
+            raise ValueError(f"namespace not found: {name!r}")
+        for rec in self.list_datasets():
+            if rec.namespace == name:
+                raise ValueError(
+                    f"namespace {name!r} is not empty (dataset {rec.full_name})"
+                )
+        shutil.rmtree(path)

@@ -33,6 +33,27 @@ except ImportError:  # pragma: no cover - pydantic is expected in this env
 
 if PYDANTIC:
 
+    class DataModel(BaseModel):
+        """Base class for user signal models. Parity: lib/data_model.py
+        DataModel — subclasses are auto-registered in the ModelStore (so
+        saved datasets can name them) and may set ``_version`` to version
+        the schema."""
+
+        _version: "typing.ClassVar[int]" = 1
+
+        @classmethod
+        def __pydantic_init_subclass__(cls, **kwargs: Any) -> None:
+            super().__pydantic_init_subclass__(**kwargs)
+            ModelStore.register(cls)
+
+        @staticmethod
+        def register(models: "Any") -> None:
+            """Parity: DataModel.register(list-or-one model classes)."""
+            if not isinstance(models, (list, tuple)):
+                models = [models]
+            for m in models:
+                ModelStore.register(m)
+
     class Sys(BaseModel):
         """Internal per-row signals attached by ``settings(sys=True)``.
         Parity: lib/dc/utils.py:126 — ``sys.id`` (row id) + ``sys.rand``
@@ -43,6 +64,31 @@ if PYDANTIC:
 
 else:  # pragma: no cover
     Sys = None  # type: ignore[assignment]
+    DataModel = None  # type: ignore[assignment]
+
+
+# Parity: lib/data_model.py DataType — the union of types a signal column
+# may carry (primitives + models + containers thereof).
+DataType = Any
+
+
+def is_chain_type(tp: Any) -> bool:
+    """True when ``tp`` is usable as a chain column type. Parity:
+    lib/data_model.py is_chain_type."""
+    import datetime as _dt
+
+    if tp in (int, float, str, bool, bytes, _dt.datetime, _dt.date):
+        return True
+    if PYDANTIC and isinstance(tp, type) and issubclass(tp, BaseModel):
+        return True
+    origin = get_origin(tp)
+    if origin in (list, dict, tuple, set):
+        return all(is_chain_type(a) for a in get_args(tp) if a is not Ellipsis)
+    if origin is Union:
+        return all(
+            a is type(None) or is_chain_type(a) for a in get_args(tp)
+        )
+    return False
 
 _PRIMITIVES: dict[type, T.DataType] = {
     int: T.LongType(),

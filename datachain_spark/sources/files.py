@@ -191,7 +191,7 @@ try:
         codec: str = ""
 
     class Audio(BaseModel):
-        """Parity: lib/file.py (Audio model)."""
+        """Parity: lib/file.py:1318 (Audio model)."""
 
         sample_rate: int = -1
         channels: int = -1
@@ -199,6 +199,7 @@ try:
         samples: int = -1
         format: str = ""
         codec: str = ""
+        bit_rate: int = -1
 
     class VideoFile(File):
         """Parity: lib/file.py:880. Frame/fragment extraction requires av/
@@ -220,6 +221,37 @@ try:
         def get_fragment(self, start: float, end: float):
             raise NotImplementedError("audio fragments require soundfile/av")
 
+    class AudioFragment(BaseModel):
+        """A [start, end) slice of an audio file. Parity: lib/file.py:1120.
+        Extraction is env-stubbed (soundfile/av absent); the model carries
+        the pointer so downstream UDFs can decode executor-side."""
+
+        audio: AudioFile
+        start: float = 0.0
+        end: float = -1.0
+
+        def get_np(self):
+            raise NotImplementedError("audio decode requires soundfile/av")
+
+    class VideoFrame(BaseModel):
+        """A single frame pointer. Parity: lib/file.py:1188."""
+
+        video: VideoFile
+        frame: int = 0
+
+        def get_np(self):
+            raise NotImplementedError("frame decode requires av/opencv")
+
+    class VideoFragment(BaseModel):
+        """A [start, end) video slice. Parity: lib/file.py:1251."""
+
+        video: VideoFile
+        start: float = 0.0
+        end: float = -1.0
+
+        def save(self, output: str):
+            raise NotImplementedError("fragment extraction requires av/opencv")
+
     class ArrowRow(BaseModel):
         """Provenance marker for parse_tabular rows.
         Parity: lib/arrow.py ArrowRow."""
@@ -231,6 +263,25 @@ except ImportError:  # pragma: no cover
     File = None  # type: ignore[assignment]
     TextFile = ImageFile = VideoFile = AudioFile = None  # type: ignore[assignment]
     Image = Video = Audio = ArrowRow = None  # type: ignore[assignment]
+    AudioFragment = VideoFrame = VideoFragment = None  # type: ignore[assignment]
+
+
+class TarVFile:
+    """Virtual-file reader for tar members addressed by a ``location``
+    pointer (offset/size/parent) — the open() path File.read_bytes uses for
+    webdataset members. Parity: lib/tar.py + lib/file.py:110-196 (the
+    reference registers this as the 'tar' vtype reader)."""
+
+    vtype = "tar"
+
+    @classmethod
+    def open(cls, location: dict) -> bytes:
+        offset, size = int(location["offset"]), int(location["size"])
+        parent = location["parent"]
+        path = parent[7:] if str(parent).startswith("file://") else str(parent)
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(size)
 
 
 FILE_STRUCT = T.StructType([

@@ -237,6 +237,23 @@ def move_dataset(src: str, dst: str, session: Optional[Session] = None) -> None:
     Session.get(session).metastore.move_dataset(src, dst)
 
 
+def create_project(
+    namespace: str,
+    name: str,
+    descr: Optional[str] = None,
+    session: Optional[Session] = None,
+) -> str:
+    """Module-level parity: lib/projects.py create (descr accepted for
+    signature compatibility; the manifest layout has no project metadata)."""
+    return Session.get(session).metastore.create_project(namespace, name)
+
+
+def delete_namespace(name: str, session: Optional[Session] = None) -> None:
+    """Module-level parity: lib/namespaces.py delete_namespace — raises on
+    missing or non-empty namespaces."""
+    Session.get(session).metastore.delete_namespace(name)
+
+
 def _dbapi_to_arrow(cursor) -> "Any":
     """Materialize a DB-API cursor as a pyarrow Table (column-wise, typed by
     pyarrow inference). Used for the non-JDBC read_database paths."""

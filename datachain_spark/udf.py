@@ -411,3 +411,8 @@ def build_batch_map_fn(
                 inst.teardown()
 
     return fn
+
+
+# Parity alias: the reference exports lib/utils.py AbstractUDF at top level;
+# UDFBase is this engine's equivalent root of the class-UDF hierarchy.
+AbstractUDF = UDFBase

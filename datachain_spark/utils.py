@@ -41,3 +41,28 @@ def param(name: str, default: Any = None) -> Any:
     if name in os.environ:
         return os.environ[name]
     return default
+
+
+class DataChainError(Exception):
+    """Base error. Parity: lib/utils.py DataChainError."""
+
+
+class FileError(DataChainError):
+    """File-related error carrying source+path context.
+    Parity: lib/file.py FileError."""
+
+    def __init__(self, message: str, source: str = "", path: str = ""):
+        self.source, self.path = source, path
+        ctx = f" (source={source!r}, path={path!r})" if source or path else ""
+        super().__init__(message + ctx)
+
+
+class _Metrics:
+    """Namespace object matching the reference's `datachain.metrics`
+    (query/metrics.py): metrics.set(k, v) / metrics.get([k])."""
+
+    set = staticmethod(metrics_set)
+    get = staticmethod(metrics_get)
+
+
+metrics = _Metrics()

@@ -153,3 +153,76 @@ def test_export_dataset_table(session, tmp_path):
     assert files and all(f.endswith(".parquet") for f in files)
     total = sum(pq.read_table(f).num_rows for f in files)
     assert total == 3
+
+
+def test_namespaces_and_projects(session, tmp_path):
+    """create_project / delete_namespace parity: idempotent create, refuse
+    deleting missing or non-empty namespaces."""
+    import tempfile
+
+    from datachain_spark.catalog.metastore import Metastore
+
+    sess_ms = session.metastore
+    ms = Metastore(str(tmp_path / "ms_ns"))
+    old, session.metastore = sess_ms, ms
+    try:
+        session.metastore = ms
+        p = dc.create_project("team_a", "proj1", session=session)
+        assert "team_a" in p and "proj1" in p
+        dc.create_project("team_a", "proj1", session=session)  # idempotent
+        assert "team_a" in ms.list_namespaces()
+
+        with pytest.raises(ValueError, match="not found"):
+            dc.delete_namespace("nope", session=session)
+
+        ch = dc.read_values(session=session, k=[1, 2])
+        ch.save("team_a.proj1.numbers")
+        with pytest.raises(ValueError, match="not empty"):
+            dc.delete_namespace("team_a", session=session)
+        dc.delete_dataset("team_a.proj1.numbers", session=session, force=True)
+        dc.delete_namespace("team_a", session=session)
+        assert "team_a" not in ms.list_namespaces()
+    finally:
+        session.metastore = old
+
+
+def test_datamodel_autoregistration(session):
+    """DataModel subclasses self-register in the ModelStore on definition
+    (reference lib/data_model.py behavior)."""
+    from datachain_spark import DataModel, ModelStore, is_chain_type
+
+    class Signal(DataModel):
+        score: float
+        tag: str = "x"
+
+    assert ModelStore.get("Signal@v1") is Signal
+    assert is_chain_type(Signal)
+    assert is_chain_type(list[int]) and is_chain_type(dict[str, float])
+    assert not is_chain_type(object)
+
+    class Signal2(DataModel):
+        _version = 3
+        score: float
+
+    assert ModelStore.get("Signal2@v3") is Signal2
+
+
+def test_metrics_namespace_and_errors():
+    import datachain_spark as dc2
+
+    dc2.metrics.set("stage", "done")
+    assert dc2.metrics.get("stage") == "done"
+    assert isinstance(dc2.metrics.get(), dict)
+    assert issubclass(dc2.FileError, dc2.DataChainError)
+    err = dc2.FileError("bad bytes", source="s3://b", path="x.bin")
+    assert "s3://b" in str(err)
+    assert dc2.is_studio() is False
+
+
+def test_tarvfile_range_read(tmp_path):
+    from datachain_spark import TarVFile
+
+    blob = tmp_path / "blob.bin"
+    blob.write_bytes(b"HEADERpayloadTRAILER")
+    got = TarVFile.open({"offset": 6, "size": 7, "parent": str(blob)})
+    assert got == b"payload"
