@@ -1231,3 +1231,86 @@ class DataChain:
         from .sources.pytorch_ds import chain_to_pytorch
 
         return chain_to_pytorch(self, **kwargs)
+
+    # -- deprecated classmethod constructors (reference keeps them with a
+    # deprecation warning, datachain.py:1934-2000; same here for drop-in
+    # ports) -------------------------------------------------------------
+    @classmethod
+    def _deprecated_ctor(cls, modern: str, fn, *args, **kwargs) -> "DataChain":
+        import warnings
+
+        warnings.warn(
+            f"Class method `from_{modern}` is deprecated; use "
+            f"`read_{modern}` instead",
+            DeprecationWarning,
+            stacklevel=3,
+        )
+        return fn(*args, **kwargs)
+
+    @classmethod
+    def from_values(cls, *args, **kwargs) -> "DataChain":
+        from .sources.readers import read_values
+
+        return cls._deprecated_ctor("values", read_values, *args, **kwargs)
+
+    @classmethod
+    def from_records(cls, *args, **kwargs) -> "DataChain":
+        from .sources.readers import read_records
+
+        return cls._deprecated_ctor("records", read_records, *args, **kwargs)
+
+    @classmethod
+    def from_pandas(cls, *args, **kwargs) -> "DataChain":
+        from .sources.readers import read_pandas
+
+        return cls._deprecated_ctor("pandas", read_pandas, *args, **kwargs)
+
+    @classmethod
+    def from_parquet(cls, *args, **kwargs) -> "DataChain":
+        from .sources.readers import read_parquet
+
+        return cls._deprecated_ctor("parquet", read_parquet, *args, **kwargs)
+
+    @classmethod
+    def from_csv(cls, *args, **kwargs) -> "DataChain":
+        from .sources.readers import read_csv
+
+        return cls._deprecated_ctor("csv", read_csv, *args, **kwargs)
+
+    @classmethod
+    def from_json(cls, *args, **kwargs) -> "DataChain":
+        from .sources.readers import read_json
+
+        return cls._deprecated_ctor("json", read_json, *args, **kwargs)
+
+    @classmethod
+    def from_dataset(cls, *args, **kwargs) -> "DataChain":
+        from .sources.readers import read_dataset
+
+        return cls._deprecated_ctor("dataset", read_dataset, *args, **kwargs)
+
+    @classmethod
+    def from_hf(cls, *args, **kwargs) -> "DataChain":
+        from .sources.readers import read_hf
+
+        return cls._deprecated_ctor("hf", read_hf, *args, **kwargs)
+
+    @classmethod
+    def from_storage(cls, *args, **kwargs) -> "DataChain":
+        from .sources.storage import read_storage
+
+        return cls._deprecated_ctor("storage", read_storage, *args, **kwargs)
+
+    @classmethod
+    def datasets(cls, *args, **kwargs) -> "DataChain":
+        """Deprecated classmethod form of datachain_spark.datasets()."""
+        from .sources.readers import datasets as _datasets
+
+        return _datasets(*args, **kwargs)
+
+    @classmethod
+    def listings(cls, *args, **kwargs) -> "DataChain":
+        """Deprecated classmethod form of datachain_spark.listings()."""
+        from .sources.readers import listings as _listings
+
+        return _listings(*args, **kwargs)

@@ -388,3 +388,16 @@ def test_hash_stable_across_rebuilds(session):
 
     assert build().hash() == build().hash()
     assert build().hash() != build().limit(5).hash()
+
+
+def test_deprecated_classmethod_constructors(session):
+    """Reference keeps from_* classmethods with a DeprecationWarning
+    (datachain.py:1934-2000) — drop-in ports must keep working."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ch = dc.DataChain.from_values(session=session, k=[1, 2, 3])
+        assert ch.count() == 3
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert dc.DataChain.datasets(session=session).df is not None
