@@ -46,6 +46,14 @@ def main(argv: list[str] | None = None) -> int:
     p_cp.add_argument("--placement", default="fullpath",
                       choices=["fullpath", "filename", "etag"])
 
+    # parity: the reference's `clone` (cli/parser:99) is cp + recursive
+    # defaults — same distributed export path here
+    p_clone = sub.add_parser("clone", help="alias of cp (reference parity)")
+    p_clone.add_argument("uri")
+    p_clone.add_argument("output")
+    p_clone.add_argument("--placement", default="fullpath",
+                         choices=["fullpath", "filename", "etag"])
+
     p_index = sub.add_parser("index", help="(re)list a URI into the listing cache")
     p_index.add_argument("uri")
 
@@ -162,7 +170,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{size:>12}  {path}")
         return 0
 
-    if args.cmd == "cp":
+    if args.cmd in ("cp", "clone"):
         from .sources import read_storage
         from .sources.files import export_files
 
