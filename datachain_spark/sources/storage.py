@@ -148,9 +148,76 @@ def _distributed_listing(sess: Session, root: str, source: str) -> DataChain:
     return DataChain(df, sess)
 
 
+def _hadoop_listing(sess: Session, uri: str) -> DataChain:
+    """List a non-local URI (s3a://, gs://, abfs://, hdfs://, or file://)
+    through the JVM Hadoop FileSystem — the same connector stack Spark's
+    readers use, so any scheme the cluster can read, read_storage can list.
+
+    The RemoteIterator streams entries driver-side in provider page order
+    (object-store list APIs are sequential per prefix regardless of caller),
+    batched into the session every 100k entries so driver memory stays
+    bounded. For tens of millions of keys, pass read_storage a LIST of
+    prefix URIs (each prefix lists independently) or skip listing entirely
+    via parse_tabular's directory fast path."""
+    spark = sess.spark
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise FileNotFoundError(f"read_storage: no such path {uri!r}")
+    root_str = fs.makeQualified(jpath).toString().rstrip("/")
+    source = root_str
+
+    status = fs.getFileStatus(jpath)
+    rows: list[tuple] = []
+
+    def _row(st) -> tuple:
+        full = st.getPath().toString()
+        rel = full[len(root_str) + 1:] if full.startswith(root_str + "/") else full
+        mtime = st.getModificationTime() / 1000.0
+        size = int(st.getLen())
+        return (
+            source, rel, size, "",
+            f"{int(mtime * 1e6):x}-{size:x}", True,
+            datetime.fromtimestamp(mtime, tz=timezone.utc), None,
+        )
+
+    if status.isFile():
+        parent = root_str.rsplit("/", 1)[0]
+        st = status
+        mtime = st.getModificationTime() / 1000.0
+        size = int(st.getLen())
+        df = sess.spark.createDataFrame(
+            [(
+                parent, root_str.rsplit("/", 1)[1], size, "",
+                f"{int(mtime * 1e6):x}-{size:x}", True,
+                datetime.fromtimestamp(mtime, tz=timezone.utc), None,
+            )],
+            FILE_STRUCT,
+        )
+        return DataChain(df, sess)
+
+    parts = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        rows.append(_row(it.next()))
+        if len(rows) >= 100_000:
+            parts.append(sess.spark.createDataFrame(rows, FILE_STRUCT))
+            rows = []
+    parts.append(sess.spark.createDataFrame(rows, FILE_STRUCT))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return DataChain(df, sess)
+
+
 def _list_to_chain(sess: Session, uri: str) -> DataChain:
     """Materialize one root's listing as File rows. Single files
-    short-circuit to one row (parity: lib/dc/storage.py single-file path)."""
+    short-circuit to one row (parity: lib/dc/storage.py single-file path).
+    Local paths use the two-phase executor walk; remote schemes go through
+    the Hadoop FileSystem connector stack (:func:`_hadoop_listing`)."""
+    if "://" in uri and not uri.startswith("file://"):
+        return _hadoop_listing(sess, uri)
     root = _local_path(uri).rstrip("/")
     if os.path.isfile(root):
         st = os.stat(root)
