@@ -1226,6 +1226,63 @@ class DataChain:
 
         return _pt(self, format=format, source=source, **options)
 
+    def with_file_content(
+        self, signal: str = "file", content_col: str = "content"
+    ) -> "DataChain":
+        """Attach each File row's bytes as a ``binary`` column, read
+        JVM-side by Spark's binaryFile source — executors stream content
+        through the same Hadoop connector stack as every other scan, so
+        any scheme the cluster reads (s3a://, gs://, file://) works with
+        zero Python I/O. This is the Spark-first alternative to per-row
+        ``File.read_bytes()`` inside a UDF (which needs a Python-side
+        filesystem client and pays per-call latency).
+
+        One binaryFile scan per distinct listing source (roots are
+        collected — there are at most a handful), joined back on the
+        relative path. The scan enumerates the whole root; rows not in
+        this chain are dropped by the join, so use it on full listings
+        (the common "attach then filter by content" pattern) rather than
+        tiny subsets of huge buckets."""
+        spark = self._df.sparkSession
+        roots = [
+            r["s"]
+            for r in self._df.select(
+                F.col(f"{signal}.source").alias("s")
+            ).distinct().collect()
+        ]
+        parts = []
+        for root in roots:
+            scan_root = root[7:] if root.startswith("file://") else root
+            b = spark.read.format("binaryFile").option(
+                "recursiveFileLookup", "true"
+            ).load(scan_root)
+            prefix = "file:" + scan_root if root.startswith("file://") else root
+            rel = F.when(
+                F.col("path").startswith(prefix + "/"),
+                F.expr(f"substring(path, {len(prefix) + 2})"),
+            ).otherwise(F.col("path"))
+            parts.append(
+                b.select(
+                    F.lit(root).alias("__src"),
+                    rel.alias("__rel"),
+                    F.col("content").alias(content_col),
+                )
+            )
+        if not parts:
+            return self._evolve(
+                self._df.withColumn(content_col, F.lit(None).cast("binary"))
+            )
+        content = parts[0]
+        for p in parts[1:]:
+            content = content.unionByName(p)
+        joined = self._df.join(
+            content,
+            (F.col(f"{signal}.source") == F.col("__src"))
+            & (F.col(f"{signal}.path") == F.col("__rel")),
+            "left",
+        ).drop("__src", "__rel")
+        return self._evolve(joined)
+
     def to_pytorch(self, **kwargs):
         """IterableDataset over the chain. Parity: datachain.py:1554-1600."""
         from .sources.pytorch_ds import chain_to_pytorch

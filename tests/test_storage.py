@@ -227,3 +227,29 @@ def test_hadoop_listing_any_scheme(session, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         _hadoop_listing(session, f"file:{root}/nope")
+
+
+def test_with_file_content_jvm_side(session, tmp_path):
+    """with_file_content attaches bytes via Spark's binaryFile source —
+    content arrives without any Python-side file I/O and joins back onto
+    the listing rows."""
+    import datachain_spark as dc
+
+    root = tmp_path / "blobs"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.bin").write_bytes(b"alpha")
+    (root / "sub" / "b.bin").write_bytes(b"bravo!")
+
+    ch = dc.read_storage(str(root), session=session, update=True)
+    out = ch.with_file_content()
+    got = {
+        r["p"]: bytes(r["content"])
+        for r in out.df.select(
+            out.df["file.path"].alias("p"), "content"
+        ).collect()
+    }
+    assert got == {"a.bin": b"alpha", "sub/b.bin": b"bravo!"}
+
+    # filtered listing: unmatched rows keep NULL content via the left join
+    sub = ch.filter(dc.C("file.path").glob("*.bin"))
+    assert sub.with_file_content().df.filter("content IS NULL").count() == 0
