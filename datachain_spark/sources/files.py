@@ -107,7 +107,18 @@ try:
             worker default set via settings(cache=True)) serves repeat reads
             of the same (uri, etag) from the executor-local cache — parity:
             cache.py / lib/udf.py:384-392. Tar members bypass the cache
-            (range reads are already cheap)."""
+            (range reads are already cheap).
+
+            Local files only (no Python-side object-store client in this
+            environment). For remote sources, attach bytes JVM-side with
+            ``chain.with_file_content()`` before the UDF instead."""
+            uri = self.get_uri()
+            if "://" in uri and not uri.startswith("file://"):
+                raise NotImplementedError(
+                    f"read_bytes on remote source {self.source!r} needs a "
+                    "Python filesystem client; use "
+                    "chain.with_file_content() to attach bytes JVM-side"
+                )
             path = self.get_local_path()
             if self.location:
                 loc = json.loads(self.location)
