@@ -253,3 +253,36 @@ def test_with_file_content_jvm_side(session, tmp_path):
     # filtered listing: unmatched rows keep NULL content via the left join
     sub = ch.filter(dc.C("file.path").glob("*.bin"))
     assert sub.with_file_content().df.filter("content IS NULL").count() == 0
+
+
+def test_listing_to_multimodal_pipeline(session, tmp_path):
+    """Full multimodal ingest path: read_storage listing -> JVM-side bytes
+    (with_file_content) -> mapInPandas decode (deterministic fake) — the
+    exact shape a 100 TB image pipeline uses, with no Python file I/O."""
+    import datachain_spark as dc
+    from datachain_spark.ops import multimodal
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    (root / "x.jpg").write_bytes(b"fake-jpeg-bytes-1")
+    (root / "y.jpg").write_bytes(b"fake-jpeg-bytes-22")
+
+    ch = dc.read_storage(f"{root}/*.jpg", session=session, update=True)
+    with_bytes = ch.with_file_content()
+    decoded = multimodal.extract_image_meta(with_bytes.df, fake=True)
+    rows = {
+        r["p"]: (r["image"]["width"], r["image"]["height"], r["image"]["format"])
+        for r in decoded.select(
+            decoded["file.path"].alias("p"), "image"
+        ).collect()
+    }
+    assert set(rows) == {"x.jpg", "y.jpg"}
+    for w, h, fmt in rows.values():
+        assert w >= 64 and h >= 64 and fmt in {"jpeg", "png", "webp"}
+    # deterministic: same bytes -> same fake meta
+    again = multimodal.extract_image_meta(with_bytes.df, fake=True)
+    rows2 = {
+        r["p"]: (r["image"]["width"], r["image"]["height"], r["image"]["format"])
+        for r in again.select(again["file.path"].alias("p"), "image").collect()
+    }
+    assert rows2 == rows
