@@ -2109,6 +2109,84 @@ def _pii_sql() -> str:
     )
 
 
+def pack_sequences_md5(spark, sf):
+    """Concat-and-chunk sequence packing (training-example assembly) under
+    the portable md5 family — sharding, shard-local ordering, token offsets,
+    and pack indices are all hash-verified. Op: ops/packing.pack_sequences."""
+    from datachain_spark.ops import packing
+
+    docs = _chain(spark, sf, "documents").df.select("doc_id", "text")
+    out = packing.pack_sequences(
+        docs, max_tokens=256, num_shards=4, seed=42, hash_fn="md5"
+    )
+    return out.select(
+        "doc_id", "n_tokens", "shard",
+        "offset_start", "offset_end", "pack_first", "pack_last",
+    ).orderBy("doc_id")
+
+
+PACK_SEQUENCES_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) AS BIGINT) AS h
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens, CAST(h % 4 AS INTEGER) AS shard,
+         CAST(SUM(n_tokens) OVER (PARTITION BY h % 4 ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS offset_end
+  FROM d
+)
+SELECT doc_id, n_tokens, shard,
+       offset_end - n_tokens AS offset_start,
+       offset_end,
+       (offset_end - n_tokens) // 256 AS pack_first,
+       CASE WHEN n_tokens > 0 THEN (offset_end - 1) // 256
+            ELSE (offset_end - n_tokens) // 256 END AS pack_last
+FROM o ORDER BY doc_id
+"""
+
+
+def interleave_md5(spark, sf):
+    """Deterministic weighted corpus mixture (epoch duplication + fractional
+    hash subsample) under md5 — membership of every (source, epoch, row) is
+    hash-verified. Weights are exact binary fractions so the Spark-side
+    ``w - e`` float arithmetic reproduces bit-for-bit in SQL.
+    Op: ops/packing.interleave_datasets."""
+    from datachain_spark.ops import packing
+
+    docs = _chain(spark, sf, "documents").df.select("doc_id")
+    a = docs.filter(F.col("doc_id") < 150)
+    b = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    out = packing.interleave_datasets(
+        {"head": a, "tail": b},
+        {"head": 0.5, "tail": 2.25},
+        seed=7,
+        key=["doc_id"],
+        hash_fn="md5",
+    )
+    return out.orderBy("source", "epoch", "doc_id")
+
+
+INTERLEAVE_SQL = """
+WITH a AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+     b AS (SELECT doc_id FROM documents WHERE doc_id >= 150 AND doc_id < 300)
+SELECT 'head' AS source, CAST(0 AS INTEGER) AS epoch, doc_id FROM a
+WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':e0:7'), 1, 15) AS BIGINT)
+       % 2147483648) / 2147483648.0 < 0.5
+UNION ALL
+SELECT 'tail', CAST(0 AS INTEGER), doc_id FROM b
+UNION ALL
+SELECT 'tail', CAST(1 AS INTEGER), doc_id FROM b
+UNION ALL
+SELECT 'tail', CAST(2 AS INTEGER), doc_id FROM b
+WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':e2:7'), 1, 15) AS BIGINT)
+       % 2147483648) / 2147483648.0 < 0.25
+ORDER BY source, epoch, doc_id
+"""
+
+
 MULTIMODAL_SQL = """
 WITH hh AS (
   SELECT doc_id, sha256(text) AS hx FROM documents WHERE doc_id < 50
@@ -2358,6 +2436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_orders": semi_join_orders,
         "intersect_cross": intersect_cross,
         "pii_redact": pii_redact,  # r04 addition (overflow keeps window stable)
+        "pack_sequences_md5": pack_sequences_md5,  # r04 additions: training-
+        "interleave_md5": interleave_md5,          # batch assembly ops
     }
 
 
@@ -2427,4 +2507,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": REPETITION_SQL,
         "vocabulary_top100": VOCABULARY_SQL,
         "pii_redact": _pii_sql(),
+        "pack_sequences_md5": PACK_SEQUENCES_SQL,
+        "interleave_md5": INTERLEAVE_SQL,
     }

@@ -1,0 +1,177 @@
+"""Training-batch assembly operators: sequence packing and dataset mixing.
+
+No reference counterpart (datachain stops at per-row transforms) — these are
+the last-mile ops an LLM pretraining pipeline runs after dedup/quality
+filtering, designed Spark-first:
+
+- ``pack_sequences``: concat-and-chunk token packing (GPT-style pretraining
+  layout). Documents are deterministically sharded, ordered within each
+  shard, and assigned byte^Wtoken offsets in the shard's concatenated token
+  stream via a window cumulative sum. ``pack_first``/``pack_last`` give the
+  fixed-size training examples each document lands in (a document straddling
+  a boundary spans ``pack_first..pack_last``; a consumer that forbids
+  splitting instead uses ``pack_first`` as a greedy sequential bin id and
+  accepts the straddler's overflow).
+- ``interleave_datasets``: deterministic weighted mixture of corpora
+  (the data-mixing step — e.g. 3 epochs of Wikipedia against 0.3 of
+  CommonCrawl). Weights may exceed 1: integer part = full epochs
+  (deterministic duplication), fractional part = a seeded-hash subsample.
+
+Scale design (100 TB):
+- ``pack_sequences``'s only shuffle is the hash-shard exchange; the window
+  sort is per-shard, so ``num_shards`` bounds sort size — pick it so a
+  shard's (id, token_count) fits an executor's spill budget (the classic
+  sharded-tokenizer layout; at 100 TB with 10k shards a shard is ~10 GB of
+  narrow rows). No driver involvement, no Python.
+- ``interleave_datasets`` is filters + union ALL: zero shuffles, zero
+  Python. The per-row hash is retry-stable, so the mixture is reproducible
+  across task retries and cluster sizes — unlike ``DataFrame.sample``,
+  whose output is partition-dependent.
+
+Both accept ``hash_fn="md5"`` (the portable 60-bit family DuckDB
+reproduces) so sharding, ordering, offsets, and mixture membership are all
+hash-verified against an independent engine in CI; production default stays
+``xxhash64`` (JVM codegen, no digest allocation).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import _seeded_hash64, whitespace_token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: Optional[str] = None,
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    num_shards: int = 8,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Assign every document a position in a sharded concat-and-chunk token
+    stream cut into ``max_tokens``-sized training examples.
+
+    Adds columns:
+
+    - ``n_tokens``: the document's token count (``token_col`` if given, else
+      a whitespace count over ``text_col``);
+    - ``shard``: deterministic hash shard in ``[0, num_shards)``;
+    - ``offset_start`` / ``offset_end``: the document's half-open token
+      interval in its shard's concatenated stream (shard-local order is by
+      seeded hash then id — a deterministic shuffle, so adjacent documents
+      are unrelated, which is what pretraining wants);
+    - ``pack_first`` / ``pack_last``: the first/last example index
+      (``offset // max_tokens``) the document's tokens fall into.
+
+    ``pack_first == pack_last`` means the document sits wholly inside one
+    training example; otherwise it straddles (concat-and-chunk cuts it at
+    the boundary). Example identity is the (shard, pack) pair.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"pack_sequences: max_tokens must be > 0, got {max_tokens}")
+    if num_shards <= 0:
+        raise ValueError(f"pack_sequences: num_shards must be > 0, got {num_shards}")
+    tokens = (
+        F.col(token_col) if token_col else whitespace_token_count(F.col(text_col))
+    ).cast("long")
+    h = _seeded_hash64(F.col(id_col).cast("string"), seed, hash_fn)
+    out = df.withColumn("n_tokens", tokens).withColumn(
+        "shard", F.pmod(h, F.lit(num_shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(h.alias("__ord"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("offset_end", F.sum("n_tokens").over(w))
+    out = out.withColumn("offset_start", (F.col("offset_end") - F.col("n_tokens")))
+    out = out.withColumn(
+        "pack_first", F.floor(F.col("offset_start") / max_tokens)
+    ).withColumn(
+        # empty documents occupy no tokens: they "land" at their start offset
+        "pack_last",
+        F.when(F.col("n_tokens") > 0, F.floor((F.col("offset_end") - 1) / max_tokens))
+        .otherwise(F.floor(F.col("offset_start") / max_tokens)),
+    )
+    return out
+
+
+def interleave_datasets(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    seed: int = 42,
+    key: Optional[Sequence[str]] = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic weighted mixture of same-schema corpora.
+
+    For each source with weight ``w``: ``floor(w)`` full epochs of the rows
+    are emitted (tagged ``epoch`` = 0..), plus a final partial epoch keeping
+    each row iff its seeded per-row hash (salted with the epoch) maps below
+    the fractional part — so ``w=2.3`` yields every row twice and a
+    deterministic 30% subsample a third time. Output rows carry ``source``
+    (the dict key) and ``epoch`` columns ahead of the data columns.
+
+    The per-row decision depends only on (row identity, seed, epoch) — not
+    on partitioning or row order — so mixtures are reproducible across
+    retries and cluster shapes, and two runs over the same inputs are
+    row-identical. Pass ``key`` to hash a narrow id set instead of the whole
+    row (the wide-row scale path, same convention as the sharding family).
+    """
+    if not sources:
+        raise ValueError("interleave_datasets: sources must be non-empty")
+    missing = set(sources) - set(weights)
+    if missing:
+        raise ValueError(f"interleave_datasets: missing weights for {sorted(missing)}")
+    for name, w in weights.items():
+        if name in sources and (not math.isfinite(w) or w <= 0):
+            raise ValueError(
+                f"interleave_datasets: weight for {name!r} must be > 0, got {w}"
+            )
+    first_cols = None
+    parts = []
+    for name, src in sources.items():
+        if first_cols is None:
+            first_cols = src.columns
+            clash = {"source", "epoch"} & set(first_cols)
+            if clash:
+                raise ValueError(
+                    "interleave_datasets: data columns "
+                    f"{sorted(clash)} collide with the mixture columns — "
+                    "rename them first"
+                )
+        elif set(src.columns) != set(first_cols):
+            raise ValueError(
+                f"interleave_datasets: schema mismatch for {name!r}: "
+                f"{sorted(src.columns)} vs {sorted(first_cols)}"
+            )
+        w = float(weights[name])
+        names = list(key) if key else src.columns
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in names]
+        row = F.concat_ws("\x1f", *cols)
+        epochs = int(math.ceil(w))
+        for e in range(epochs):
+            frac = min(1.0, w - e)
+            piece = src
+            if frac < 1.0:
+                h = _seeded_hash64(F.concat(row, F.lit(f":e{e}")), seed, hash_fn)
+                u = F.pmod(h, F.lit(2**31)) / F.lit(float(2**31))
+                piece = src.filter(u < F.lit(frac))
+            parts.append(
+                piece.select(
+                    F.lit(name).alias("source"),
+                    F.lit(e).alias("epoch"),
+                    *[F.col(c) for c in first_cols],
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1,0 +1,125 @@
+"""pack_sequences (concat-and-chunk token packing) and interleave_datasets
+(deterministic weighted mixture) — training-batch assembly invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datachain_spark.ops import packing
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def test_pack_sequences_offsets_are_contiguous_per_shard(docs):
+    out = packing.pack_sequences(docs, max_tokens=128, num_shards=4).cache()
+    # every document appears exactly once
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    # width of the interval == token count; intervals tile the shard stream
+    bad = out.filter(F.col("offset_end") - F.col("offset_start") != F.col("n_tokens"))
+    assert bad.count() == 0
+    rows = out.select("shard", "offset_start", "offset_end").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append((r.offset_start, r.offset_end))
+    for shard, ivals in by_shard.items():
+        ivals.sort()
+        assert ivals[0][0] == 0
+        for (s0, e0), (s1, _) in zip(ivals, ivals[1:]):
+            assert s1 == e0, f"gap in shard {shard}"
+    out.unpersist()
+
+
+def test_pack_sequences_pack_bounds(docs):
+    out = packing.pack_sequences(docs, max_tokens=100, num_shards=2)
+    rows = out.select("n_tokens", "offset_start", "offset_end", "pack_first", "pack_last").collect()
+    for r in rows:
+        assert r.pack_first == r.offset_start // 100
+        if r.n_tokens > 0:
+            assert r.pack_last == (r.offset_end - 1) // 100
+            assert r.pack_first <= r.pack_last
+        else:
+            assert r.pack_last == r.pack_first
+
+
+def test_pack_sequences_deterministic_under_repartition(docs):
+    a = packing.pack_sequences(docs, max_tokens=64, num_shards=4)
+    b = packing.pack_sequences(docs.repartition(13), max_tokens=64, num_shards=4)
+    cols = ["doc_id", "shard", "offset_start", "offset_end", "pack_first", "pack_last"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_pack_sequences_token_col_passthrough(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(50)], "doc_id int, ntok int"
+    )
+    out = packing.pack_sequences(
+        df, token_col="ntok", max_tokens=16, num_shards=1
+    )
+    total = df.agg(F.sum("ntok")).collect()[0][0]
+    assert out.agg(F.max("offset_end")).collect()[0][0] == total
+    # shard stream cut into 16-token examples: last pack index is total//16
+    assert out.agg(F.max("pack_last")).collect()[0][0] == (total - 1) // 16
+
+
+def test_pack_sequences_validation(docs):
+    with pytest.raises(ValueError):
+        packing.pack_sequences(docs, max_tokens=0)
+    with pytest.raises(ValueError):
+        packing.pack_sequences(docs, num_shards=0)
+
+
+def test_interleave_weight_one_is_identity(docs):
+    out = packing.interleave_datasets({"d": docs}, {"d": 1.0}, key=["doc_id"])
+    assert out.count() == docs.count()
+    assert [r.epoch for r in out.select("epoch").distinct().collect()] == [0]
+
+
+def test_interleave_integer_weight_duplicates_epochs(docs):
+    out = packing.interleave_datasets({"d": docs}, {"d": 2.0}, key=["doc_id"])
+    assert out.count() == 2 * docs.count()
+    per_epoch = {r["epoch"]: r["count"] for r in out.groupBy("epoch").count().collect()}
+    assert per_epoch == {0: docs.count(), 1: docs.count()}
+
+
+def test_interleave_fractional_weight_subsamples(docs):
+    n = docs.count()
+    out = packing.interleave_datasets({"d": docs}, {"d": 1.4}, key=["doc_id"])
+    extra = out.filter(F.col("epoch") == 1).count()
+    assert out.filter(F.col("epoch") == 0).count() == n
+    assert 0.25 * n < extra < 0.55 * n  # ~0.4 with hash noise at sf0.001
+
+
+def test_interleave_mixture_and_determinism(docs):
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    m1 = packing.interleave_datasets(
+        {"even": a, "odd": b}, {"even": 0.5, "odd": 2.0}, key=["doc_id"]
+    )
+    m2 = packing.interleave_datasets(
+        {"even": a.repartition(7), "odd": b.coalesce(1)},
+        {"even": 0.5, "odd": 2.0},
+        key=["doc_id"],
+    )
+    k = ["source", "epoch", "doc_id"]
+    assert sorted(map(tuple, m1.select(k).collect())) == sorted(
+        map(tuple, m2.select(k).collect())
+    )
+    assert m1.filter(F.col("source") == "odd").count() == 2 * b.count()
+
+
+def test_interleave_validation(docs):
+    with pytest.raises(ValueError):
+        packing.interleave_datasets({}, {})
+    with pytest.raises(ValueError):
+        packing.interleave_datasets({"d": docs}, {})
+    with pytest.raises(ValueError):
+        packing.interleave_datasets({"d": docs}, {"d": 0.0})
+    with pytest.raises(ValueError):
+        packing.interleave_datasets(
+            {"d": docs, "e": docs.select("doc_id")}, {"d": 1.0, "e": 1.0}
+        )
