@@ -42,6 +42,8 @@ HEADLINE = [
     "segment_dedup_full",
     "decontaminate_full",
     "pii_redact_full",
+    "pack_sequences_full",
+    "interleave_full",
 ]
 
 
@@ -101,9 +103,29 @@ def main() -> None:
             F.sum("n_pii_total").alias("total_hits"),
         )
 
+    from datachain_spark.ops import packing as _packing
+
+    def _pack_sequences_full(spark, sf):
+        # whole-corpus training-example assembly: hash-shard + per-shard
+        # window cumsum (the only shuffle), pack index summary aggregate
+        docs = entrymod._chain(spark, sf, "documents").df.select("doc_id", "text")
+        out = _packing.pack_sequences(docs, max_tokens=2048, num_shards=32)
+        return out.groupBy("shard").agg(
+            F.max("pack_last").alias("packs"), F.sum("n_tokens").alias("tokens")
+        )
+
+    def _interleave_full(spark, sf):
+        # weighted corpus mixture: filters + union ALL, zero shuffles
+        docs = entrymod._chain(spark, sf, "documents").df.select("doc_id", "text")
+        return _packing.interleave_datasets(
+            {"a": docs, "b": docs}, {"a": 1.5, "b": 0.25}, key=["doc_id"]
+        )
+
     queries["segment_dedup_full"] = _segment_dedup_full
     queries["decontaminate_full"] = _decontaminate_full
     queries["pii_redact_full"] = _pii_redact_full
+    queries["pack_sequences_full"] = _pack_sequences_full
+    queries["interleave_full"] = _interleave_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);
@@ -117,14 +139,14 @@ def main() -> None:
 
     spark.range(64).repartition(32).mapInPandas(_warm, "id long").count()
 
-    # best-of-2 per query: the VM's timing noise (CPU steal) is larger than
+    # best-of-3 per query: the VM's timing noise (CPU steal) is larger than
     # most query runtimes; min-of-runs is the standard noise-robust report
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
         best, rows = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             rows = df.count()
