@@ -30,6 +30,7 @@ from .udf import (
     build_batch_map_fn,
     build_gen_fn,
     build_map_fn,
+    infer_param_models,
     infer_params,
     normalize_output,
 )
@@ -766,7 +767,9 @@ class DataChain:
         fn = build_map_fn(func, param_names, out_struct, setup=self._setup_values,
                           on_error=on_error, cache=bool(self._settings.get("cache")),
                           prefetch=int(self._settings.get("prefetch") or 0),
-                          file_params=_file_struct_params(self._df.schema, param_names))
+                          file_params=_file_struct_params(self._df.schema, param_names),
+                          param_models=infer_param_models(
+                              func, param_names, exclude=set(self._setup_values)))
         from pyspark.sql.types import StructType
 
         # output pdf keeps input column order; an output that overrides an
@@ -792,7 +795,9 @@ class DataChain:
         fn = build_gen_fn(func, param_names, out_struct, setup=self._setup_values,
                           cache=bool(self._settings.get("cache")),
                           prefetch=int(self._settings.get("prefetch") or 0),
-                          file_params=_file_struct_params(self._df.schema, param_names))
+                          file_params=_file_struct_params(self._df.schema, param_names),
+                          param_models=infer_param_models(
+                              func, param_names, exclude=set(self._setup_values)))
         return self._evolve(self._df.mapInPandas(fn, out_struct))
 
     def agg(
@@ -811,7 +816,9 @@ class DataChain:
         param_names = infer_params(func, _names(params) or None, exclude=set(self._setup_values))
         out_struct = normalize_output(func, output, default_name)
         fn = build_agg_fn(func, param_names, out_struct, setup=self._setup_values,
-                          cache=bool(self._settings.get("cache")))
+                          cache=bool(self._settings.get("cache")),
+                          param_models=infer_param_models(
+                              func, param_names, exclude=set(self._setup_values)))
         if partition_by is None:
             # global single group: constant grouping column (groupBy on a
             # bare literal is not a valid grouping attribute)

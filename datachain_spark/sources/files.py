@@ -13,10 +13,14 @@ catalog object in the closure — SURVEY.md §7 'UDF object streams' note).
 from __future__ import annotations
 
 import hashlib
+import io
 import json
 import os
 import posixpath
 import tempfile
+import warnings
+from contextlib import contextmanager
+from datetime import datetime, timezone
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame
@@ -78,6 +82,64 @@ def _cached_bytes(uri: str, etag: str, reader) -> bytes:
     return data
 
 
+def _write_bytes(
+    destination: str, data: bytes, client_config: Optional[dict] = None
+) -> None:
+    """Write bytes to a local path (parents created) or, for remote URIs,
+    through fsspec when installed."""
+    if "://" in destination and not destination.startswith("file://"):
+        try:
+            import fsspec  # type: ignore[import-not-found]
+        except ImportError:
+            raise NotImplementedError(
+                f"writing to remote {destination!r} requires fsspec"
+            ) from None
+        with fsspec.open(destination, "wb", **(client_config or {})) as f:
+            f.write(data)
+        return
+    local = destination[7:] if destination.startswith("file://") else destination
+    parent = os.path.dirname(local)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    with open(local, "wb") as f:
+        f.write(data)
+
+
+def rebase_path(
+    src_path: str,
+    old_base: str,
+    new_base: str,
+    suffix: str = "",
+    extension: str = "",
+) -> str:
+    """Swap ``old_base`` for ``new_base`` in a file URI, optionally adding a
+    stem ``suffix`` and/or replacing the ``extension`` (no dot). Parity:
+    /root/reference/src/datachain/lib/utils.py:84-170 (same contract:
+    schemes are stripped for matching, ValueError when old_base is absent).
+    """
+
+    def _schemeless(p: str) -> str:
+        if "://" in p:
+            scheme_rest = p.split("://", 1)[1]
+            return scheme_rest
+        return p
+
+    src_norm = posixpath.normpath(_schemeless(src_path))
+    old_norm = posixpath.normpath(_schemeless(old_base))
+    idx = src_norm.find(old_norm)
+    if idx == -1:
+        raise ValueError(f"old_base {old_base!r} not found in {src_path!r}")
+    rel = src_norm[idx + len(old_norm):].lstrip("/")
+    d, _, fname = rel.rpartition("/")
+    stem, dot, ext = fname.rpartition(".")
+    if not dot or not stem:
+        stem, ext = fname, ""
+    new_ext = f".{extension}" if extension else (f".{ext}" if ext else "")
+    new_name = f"{stem}{suffix}{new_ext}"
+    new_rel = posixpath.join(d, new_name) if d else new_name
+    return posixpath.join(new_base.rstrip("/"), new_rel)
+
+
 try:
     from pydantic import BaseModel, Field
 
@@ -101,7 +163,9 @@ try:
             uri = self.get_uri()
             return uri[7:] if uri.startswith("file://") else uri
 
-        def read_bytes(self, cache: Optional[bool] = None) -> bytes:
+        def read_bytes(
+            self, length: int = -1, cache: Optional[bool] = None
+        ) -> bytes:
             """Open and read; honors tar-member ``location`` pointers
             (parity: TarVFile, lib/file.py:110-196). ``cache=True`` (or the
             worker default set via settings(cache=True)) serves repeat reads
@@ -127,6 +191,8 @@ try:
                 offset, size = int(loc["offset"]), int(loc["size"])
                 parent = loc.get("parent")
                 ppath = parent if isinstance(parent, str) else path
+                if 0 <= length < size:
+                    size = length
                 with open(ppath, "rb") as f:
                     f.seek(offset)
                     return f.read(size)
@@ -137,11 +203,248 @@ try:
 
             use_cache = _cache_default if cache is None else cache
             if use_cache and self.etag:
-                return _cached_bytes(self.get_uri(), self.etag, _plain)
+                data = _cached_bytes(self.get_uri(), self.etag, _plain)
+                return data[:length] if length >= 0 else data
+            if length >= 0:
+                with open(path, "rb") as f:
+                    return f.read(length)
             return _plain()
 
         def read_text(self, encoding: str = "utf-8") -> str:
             return self.read_bytes().decode(encoding)
+
+        def read(self, length: int = -1) -> bytes:
+            """Parity: lib/file.py:469 — alias of read_bytes."""
+            return self.read_bytes(length)
+
+        # -- open / write / export surface (parity lib/file.py:395-540) ----
+
+        @contextmanager
+        def open(self, mode: str = "rb", **open_kwargs):
+            """Open the file as a stream. Read modes honor tar-member
+            ``location`` pointers and the executor cache; write modes
+            ("wb"/"w"/"ab"/...) write through to the target path and refresh
+            size/etag/last_modified on close — parity lib/file.py:395-436.
+            Remote write paths route through fsspec when installed."""
+            writing = any(ch in mode for ch in "wax+")
+            if not writing:
+                uri = self.get_uri()
+                if "://" in uri and not uri.startswith("file://"):
+                    raise NotImplementedError(
+                        f"open for read on remote source {self.source!r} needs "
+                        "a Python filesystem client; use "
+                        "chain.with_file_content() to attach bytes JVM-side"
+                    )
+                if self.location:
+                    buf = io.BytesIO(self.read_bytes())
+                    yield buf if "b" in mode else io.TextIOWrapper(
+                        buf, encoding=open_kwargs.get("encoding", "utf-8")
+                    )
+                    return
+                with open(self.get_local_path(), mode, **open_kwargs) as f:
+                    yield f
+                return
+            if self.location:
+                raise OSError("writing to a virtual (tar member) file is not supported")
+            uri = self.get_uri()
+            if "://" in uri and not uri.startswith("file://"):
+                try:
+                    import fsspec  # type: ignore[import-not-found]
+                except ImportError:
+                    raise NotImplementedError(
+                        f"writing to remote {self.source!r} requires fsspec"
+                    ) from None
+                with fsspec.open(uri, mode, **open_kwargs) as f:
+                    yield f
+                return
+            target = self.get_local_path()
+            parent = os.path.dirname(target)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            with open(target, mode, **open_kwargs) as f:
+                yield f
+            st = os.stat(target)
+            self.size = int(st.st_size)
+            self.etag = f"{int(st.st_mtime * 1e6):x}-{st.st_size:x}"
+            self.last_modified = datetime.fromtimestamp(st.st_mtime, tz=timezone.utc)
+
+        def save(self, destination: str, client_config: Optional[dict] = None) -> None:
+            """Write this file's content to ``destination`` (parity
+            lib/file.py:473-481). Local destinations create parent dirs;
+            remote ones route through fsspec when installed."""
+            data = self.read_bytes()
+            _write_bytes(destination, data, client_config)
+
+        def export(
+            self,
+            output: str,
+            placement: str = "fullpath",
+            use_cache: bool = True,
+            link_type: str = "copy",
+            client_config: Optional[dict] = None,
+        ) -> None:
+            """Copy (or symlink) this file under ``output`` using the
+            placement layout — parity lib/file.py:498-520."""
+            dst = self.get_destination_path(output, placement)
+            if link_type == "symlink" and not self.location:
+                src = self.get_local_path()
+                if "://" not in src:
+                    parent = os.path.dirname(dst)
+                    if parent:
+                        os.makedirs(parent, exist_ok=True)
+                    os.symlink(src, dst)
+                    return
+            self.save(dst, client_config=client_config)
+
+        @classmethod
+        def upload(cls, data: bytes, path: str, session=None):
+            """Write ``data`` to ``path`` and return the File describing it —
+            parity lib/file.py:334-355 (catalog client replaced by direct
+            local/fsspec writes)."""
+            _write_bytes(path, data, None)
+            f = cls.at(path, session=session)
+            return f.resolve()
+
+        @classmethod
+        def at(cls, uri: str, session=None):
+            """Construct a File from a full URI/path — parity
+            lib/file.py:359-381. Remote URIs split scheme://netloc as the
+            source; local paths split dirname/basename."""
+            if "://" in uri and not uri.startswith("file://"):
+                scheme, rest = uri.split("://", 1)
+                netloc, _, rel = rest.partition("/")
+                return cls(source=f"{scheme}://{netloc}", path=rel)
+            local = uri[7:] if uri.startswith("file://") else uri
+            local = os.path.abspath(local)
+            return cls(
+                source=f"file://{os.path.dirname(local)}",
+                path=os.path.basename(local),
+            )
+
+        # -- typed conversions (parity lib/file.py:301-331) -----------------
+
+        def as_text_file(self) -> "TextFile":
+            return self if isinstance(self, TextFile) else TextFile(**self.model_dump())
+
+        def as_image_file(self) -> "ImageFile":
+            return self if isinstance(self, ImageFile) else ImageFile(**self.model_dump())
+
+        def as_video_file(self) -> "VideoFile":
+            return self if isinstance(self, VideoFile) else VideoFile(**self.model_dump())
+
+        def as_audio_file(self) -> "AudioFile":
+            return self if isinstance(self, AudioFile) else AudioFile(**self.model_dump())
+
+        # -- path helpers (parity lib/file.py:567-655) ----------------------
+
+        def get_file_suffix(self) -> str:
+            """Last part of the file name WITH the dot."""
+            e = self.file_ext
+            return f".{e}" if e else ""
+
+        def get_file_ext(self) -> str:
+            """Last part of the file name without the dot."""
+            return self.file_ext
+
+        def get_file_stem(self) -> str:
+            return self.file_stem
+
+        def get_full_name(self) -> str:
+            """[DEPRECATED] use file.path (parity lib/file.py:579-591)."""
+            warnings.warn(
+                "file.get_full_name() is deprecated; use file.path",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+            return self.path
+
+        def get_path_normalized(self) -> str:
+            """Normalized relative path; rejects directories and '..'
+            traversal — parity lib/file.py:593-609."""
+            if not self.path or self.path.endswith("/"):
+                raise ValueError(f"File path must be a file, got {self.path!r}")
+            norm = posixpath.normpath(self.path)
+            if norm == "." or ".." in norm.split("/"):
+                raise ValueError(f"invalid file path {self.path!r}")
+            return norm
+
+        def get_fs_path(self) -> str:
+            """Path usable with the scheme's filesystem: local files lose the
+            file:// prefix, other schemes keep the full URI."""
+            uri = self.get_uri()
+            return uri[7:] if uri.startswith("file://") else uri
+
+        def get_destination_path(self, output: str, placement: str) -> str:
+            """Export layout — parity lib/file.py:631-651."""
+            if placement == "filename":
+                rel = self.name
+            elif placement == "etag":
+                rel = f"{self.etag}{self.get_file_suffix()}"
+            elif placement == "fullpath":
+                rel = self.get_path_normalized()
+                src = self.source
+                if "://" in src and not src.startswith("file://"):
+                    netloc = src.split("://", 1)[1].split("/", 1)[0]
+                    rel = posixpath.join(netloc, rel)
+            elif placement == "checksum":
+                raise NotImplementedError("checksum placement not implemented")
+            else:
+                raise ValueError(f"unsupported file export placement: {placement!r}")
+            return posixpath.join(output, rel)
+
+        def get_hash(self) -> str:
+            """sha256 of the identity fingerprint — parity lib/file.py:657-661
+            (same source/path/version/etag[/location] contract)."""
+            fp = f"{self.source}/{self.path}/{self.version}/{self.etag}"
+            if self.location:
+                fp += f"/{self.location}"
+            return hashlib.sha256(fp.encode()).hexdigest()
+
+        def resolve(self):
+            """Re-stat the file and return a refreshed copy — parity
+            lib/file.py:663-720. Missing/unreadable files come back with
+            zeroed metadata rather than raising."""
+            uri = self.get_uri()
+            if "://" in uri and not uri.startswith("file://"):
+                raise NotImplementedError(
+                    f"resolve on remote source {self.source!r} needs a Python "
+                    "filesystem client; re-list with read_storage instead"
+                )
+            try:
+                st = os.stat(self.get_local_path())
+                return type(self)(
+                    source=self.source,
+                    path=self.path,
+                    size=int(st.st_size),
+                    version=self.version,
+                    etag=f"{int(st.st_mtime * 1e6):x}-{st.st_size:x}",
+                    is_latest=True,
+                    last_modified=datetime.fromtimestamp(st.st_mtime, tz=timezone.utc),
+                    location=self.location,
+                )
+            except OSError:
+                return type(self)(
+                    source=self.source,
+                    path=self.path,
+                    size=0,
+                    version="",
+                    etag="",
+                    is_latest=True,
+                    last_modified=datetime.fromtimestamp(0, tz=timezone.utc),
+                    location=self.location,
+                )
+
+        def rebase(
+            self,
+            old_base: str,
+            new_base: str,
+            suffix: str = "",
+            extension: str = "",
+        ) -> str:
+            """Swap the URI's base directory, optionally adding a stem suffix
+            or changing the extension — parity lib/file.py:722-753 /
+            lib/utils.rebase_path."""
+            return rebase_path(self.get_uri(), old_base, new_base, suffix, extension)
 
         @property
         def name(self) -> str:

@@ -101,6 +101,76 @@ def infer_params(
     return names
 
 
+def infer_param_models(
+    func: Callable, params: list[str], exclude: Optional[set] = None
+) -> dict[str, type]:
+    """Pydantic-model annotations on the UDF's positional parameters →
+    {input column name: model class}. Drives automatic hydration of struct
+    columns (Arrow renders them as dicts) into typed signals, so
+    ``def f(file: File)`` receives a real ``File`` — parity with the
+    reference's signal-schema row conversion (lib/udf_signature.py +
+    signal_schema.row_to_features); there the catalog hydrates every typed
+    param, here the annotation opts in. Alignment is positional: the i-th
+    entry of ``params`` feeds the i-th positional parameter."""
+    if not PYDANTIC:
+        return {}
+    target = func.process if isinstance(func, UDFBase) else (
+        func().process if isinstance(func, type) and issubclass(func, UDFBase) else func
+    )
+    try:
+        import typing
+
+        hints = typing.get_type_hints(target)
+        sig = inspect.signature(target)
+    except (TypeError, ValueError, NameError):
+        return {}
+    skip = {"self"} | (exclude or set())
+    sig_names = [
+        p.name
+        for p in sig.parameters.values()
+        if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY) and p.name not in skip
+    ]
+    def _model_of(ann) -> Optional[type]:
+        import typing
+
+        if isinstance(ann, type) and issubclass(ann, BaseModel):
+            return ann
+        import types as _types
+
+        origin = typing.get_origin(ann)
+        # unwrap list[Model] (agg params are whole-group lists) and
+        # Optional[Model] / Model | None
+        if origin in (list, typing.Union, getattr(_types, "UnionType", ())):
+            for a in typing.get_args(ann):
+                m = _model_of(a)
+                if m is not None:
+                    return m
+        return None
+
+    out: dict[str, type] = {}
+    for i, col in enumerate(params):
+        if i < len(sig_names):
+            m = _model_of(hints.get(sig_names[i]))
+            if m is not None:
+                out[col] = m
+    return out
+
+
+def _hydrator(params: list[str], param_models: Optional[dict[str, type]]):
+    """Row-values converter for the models map, or None when nothing to do."""
+    models = [(param_models or {}).get(p) for p in params]
+    if not any(models):
+        return None
+
+    def hyd(vals):
+        return [
+            m.model_validate(v) if (m is not None and isinstance(v, dict)) else v
+            for v, m in zip(vals, models)
+        ]
+
+    return hyd
+
+
 def normalize_output(
     func: Callable, output: Any, default_name: str = "result"
 ) -> T.StructType:
@@ -224,6 +294,7 @@ def build_map_fn(
     cache: bool = False,
     prefetch: int = 0,
     file_params: Optional[list[str]] = None,
+    param_models: Optional[dict[str, type]] = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """mapInPandas function for .map(): passes input through, appends outputs.
 
@@ -237,6 +308,7 @@ def build_map_fn(
     out_names = [f.name for f in out_struct.fields]
     if on_error not in ("raise", "null", "collect"):
         raise ValueError(f"map: unknown on_error {on_error!r}")
+    hyd = _hydrator(params, param_models)
 
     def run_one(call, vals):
         if on_error == "raise":
@@ -273,7 +345,7 @@ def build_map_fn(
                     pre.warm_batch(pdf, file_params)
                 cols = [_extract_param(pdf, p) for p in params]
                 results = [
-                    run_one(call, vals)
+                    run_one(call, hyd(vals) if hyd else vals)
                     for vals in zip(*[c.tolist() for c in cols])
                 ] if len(pdf) else []
                 out = pdf.copy()
@@ -297,10 +369,12 @@ def build_gen_fn(
     cache: bool = False,
     prefetch: int = 0,
     file_params: Optional[list[str]] = None,
+    param_models: Optional[dict[str, type]] = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """mapInPandas function for .gen(): each input row yields 0..N output rows;
     the output schema REPLACES the input schema (datachain.py:862-900)."""
     out_names = [f.name for f in out_struct.fields]
+    hyd = _hydrator(params, param_models)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .sources.files import set_file_cache_default
@@ -321,7 +395,7 @@ def build_gen_fn(
                 rows: list[list[Any]] = []
                 cols = [_extract_param(pdf, p) for p in params]
                 for vals in zip(*[c.tolist() for c in cols]):
-                    produced = call(*vals)
+                    produced = call(*(hyd(vals) if hyd else vals))
                     if produced is None:
                         continue
                     for item in produced:
@@ -342,11 +416,13 @@ def build_agg_fn(
     out_struct: T.StructType,
     setup: Optional[dict[str, Callable[[], Any]]] = None,
     cache: bool = False,
+    param_models: Optional[dict[str, type]] = None,
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:
     """applyInPandas function for .agg(): the whole group's param columns are
     passed as sequences; the UDF yields output rows (lib/udf.py:545-625 —
     'whole group passed as lists')."""
     out_names = [f.name for f in out_struct.fields]
+    models = {p: m for p, m in (param_models or {}).items() if m is not None}
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         from .sources.files import set_file_cache_default
@@ -360,7 +436,15 @@ def build_agg_fn(
         if inst is not None:
             inst.setup()
         try:
-            args = [_extract_param(pdf, p).tolist() for p in params]
+            args = [
+                [
+                    models[p].model_validate(v) if isinstance(v, dict) else v
+                    for v in _extract_param(pdf, p).tolist()
+                ]
+                if p in models
+                else _extract_param(pdf, p).tolist()
+                for p in params
+            ]
             produced = call(*args)
             rows = []
             if produced is not None:
