@@ -328,14 +328,18 @@ def connected_components(
     Driver-sync amortization (r04): the localCheckpoint is LAZY and is
     materialized by the convergence count itself, so a round costs ONE
     driver-blocking job, not two (r03 ran an eager checkpoint job plus the
-    count). ``check_every=k`` further trades barriers for hops on
-    deep-diameter graphs: labels advance 2*k hops between convergence
-    scans (the scan then asks "did the whole block change anything?" —
-    monotone labels make that a sound fixed-point test), giving 1/k the
-    barriers at the cost of up to 2*(k-1) redundant hops after the graph
-    has already settled. Default k=1; use k=2-3 when rounds ≫ 1 (long
-    chains), where the overshoot amortizes to nothing. No data is ever
-    collected to the driver."""
+    count). The fixed-point test compares the final hop against the
+    penultimate hop ("mid" marker carried through the aggregation): one
+    full hop that changes nothing proves convergence (updates are a
+    deterministic monotone min), so a diameter-≤2 component graph — the
+    common dedup shape — finishes in ONE round where the old
+    whole-block test needed a second verification round. ``check_every=k``
+    further trades barriers for hops on deep-diameter graphs: labels
+    advance 2*k hops between convergence scans, giving 1/k the barriers at
+    the cost of up to 2*(k-1) redundant hops after the graph has settled.
+    Default k=1; use k=2-3 when rounds ≫ 1 (long chains), where the
+    overshoot amortizes to nothing. No data is ever collected to the
+    driver."""
     if algorithm == "star":
         return _star_components(pairs, id_a, id_b, max_iters)
     if algorithm != "two_hop":
@@ -350,17 +354,22 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    def hop(lbl: DataFrame) -> DataFrame:
-        # self rows keep the "old" marker; neighbor contributions are
-        # label-only. max(old) recovers the unique self marker per id.
+    def hop(lbl: DataFrame, markers: tuple = ()) -> DataFrame:
+        # self rows keep any marker columns; neighbor contributions are
+        # label-only. max(marker) recovers the unique self marker per id.
         neighbor = edges.join(lbl, edges["dst"] == lbl["id"]).select(
-            F.col("src").alias("id"), F.col("component"), F.lit(None).cast("long").alias("old")
+            F.col("src").alias("id"),
+            F.col("component"),
+            *[F.lit(None).cast("long").alias(m) for m in markers],
         )
         return (
-            lbl.select("id", "component", "old")
+            lbl.select("id", "component", *markers)
             .union(neighbor)
             .groupBy("id")
-            .agg(F.min("component").alias("component"), F.max("old").alias("old"))
+            .agg(
+                F.min("component").alias("component"),
+                *[F.max(m).alias(m) for m in markers],
+            )
         )
 
     labels = (
@@ -370,17 +379,22 @@ def connected_components(
     )
     rounds = 0
     while rounds < max_iters:
-        seeded = labels.withColumn("old", F.col("component").cast("long"))
-        block = seeded
-        for _ in range(min(check_every, max_iters - rounds)):
-            # re-assert the old marker on self rows each round; hop() keeps
-            # it via max(old) so it survives the block's aggregations
-            block = hop(hop(block))
+        block = labels
+        k = min(check_every, max_iters - rounds)
+        for i in range(k):
+            block = hop(block)
+            if i == k - 1:
+                # seed the penultimate label; if the LAST hop changes
+                # nothing, monotone-min updates guarantee the fixed point
+                block = block.withColumn("mid", F.col("component").cast("long"))
+                block = hop(block, markers=("mid",))
+            else:
+                block = hop(block)
             rounds += 1
         new_labels = block.localCheckpoint(eager=False)
         # this count materializes the checkpoint AND tests the fixed point:
         # one driver-blocking job per block
-        changed = new_labels.filter(F.col("component") != F.col("old")).count()
+        changed = new_labels.filter(F.col("component") != F.col("mid")).count()
         labels = new_labels.select("id", "component")
         if changed == 0:
             break
