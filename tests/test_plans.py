@@ -132,3 +132,23 @@ def test_parse_tabular_directory_path_keeps_pushdown(session, tmp_path):
     assert schemas and all("s:string" not in s for s in schemas), (
         f"column pruning lost: {schemas}"
     )
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    from datachain_spark.ops import packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = packing.pack_sequences(docs, max_tokens=256, num_shards=4)
+    # the hash-shard exchange for the window is the ONLY shuffle
+    assert shuffle_count(out) == 1
+
+
+def test_interleave_zero_shuffle(spark, sf_dir):
+    from datachain_spark.ops import packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = packing.interleave_datasets(
+        {"a": docs, "b": docs}, {"a": 1.5, "b": 0.25}, key=["doc_id"]
+    )
+    # filters + union ALL: no exchange anywhere
+    assert shuffle_count(out) == 0
