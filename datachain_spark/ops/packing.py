@@ -103,6 +103,79 @@ def pack_sequences(
     return out
 
 
+def pack_greedy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: Optional[str] = None,
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    num_shards: int = 8,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Example-level (no-split) packing: documents are assigned whole to
+    training examples, first-fit-decreasing within each hash shard — the
+    SFT/fine-tuning complement to :func:`pack_sequences` (which cuts at
+    boundaries). Adds ``n_tokens``, ``shard``, ``pack_id`` (shard-local),
+    and ``oversize`` (a document longer than ``max_tokens`` gets a pack of
+    its own, flagged). Example identity is the (shard, pack_id) pair.
+
+    Scale design: one shuffle (the shard exchange); packing itself is a
+    per-shard ``applyInPandas`` over the narrow (row + n_tokens) frame —
+    FFD is inherently sequential, so the parallel unit is the shard, the
+    same layout every production packer uses. ``num_shards`` bounds both
+    the Python working set and the bin-scan cost (O(rows x bins) per
+    shard). Deterministic: FFD order is (n_tokens desc, id), independent
+    of input partitioning."""
+    if max_tokens <= 0:
+        raise ValueError(f"pack_greedy: max_tokens must be > 0, got {max_tokens}")
+    if num_shards <= 0:
+        raise ValueError(f"pack_greedy: num_shards must be > 0, got {num_shards}")
+    tokens = (
+        F.col(token_col) if token_col else whitespace_token_count(F.col(text_col))
+    ).cast("long")
+    h = _seeded_hash64(F.col(id_col).cast("string"), seed, hash_fn)
+    base = df.withColumn("n_tokens", tokens).withColumn(
+        "shard", F.pmod(h, F.lit(num_shards)).cast("int")
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        base.schema.fields
+        + [
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("oversize", T.BooleanType()),
+        ]
+    )
+
+    def pack_shard(pdf):
+        order = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).index
+        caps: list = []  # remaining capacity per open pack
+        ids = {}
+        for i in order:
+            t = int(pdf.at[i, "n_tokens"])
+            if t >= max_tokens:
+                caps.append(0)
+                ids[i] = len(caps) - 1
+                continue
+            for j, cap in enumerate(caps):
+                if cap >= t:
+                    caps[j] = cap - t
+                    ids[i] = j
+                    break
+            else:
+                caps.append(max_tokens - t)
+                ids[i] = len(caps) - 1
+        out = pdf.copy()
+        out["pack_id"] = [ids[i] for i in pdf.index]
+        out["oversize"] = out["n_tokens"] > max_tokens
+        return out
+
+    return base.groupBy("shard").applyInPandas(pack_shard, schema)
+
+
 def interleave_datasets(
     sources: dict[str, DataFrame],
     weights: dict[str, float],

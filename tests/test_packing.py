@@ -123,3 +123,43 @@ def test_interleave_validation(docs):
         packing.interleave_datasets(
             {"d": docs, "e": docs.select("doc_id")}, {"d": 1.0, "e": 1.0}
         )
+
+
+def test_pack_greedy_capacity_and_coverage(docs):
+    out = packing.pack_greedy(docs, max_tokens=120, num_shards=4).cache()
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    sums = (
+        out.filter(~F.col("oversize"))
+        .groupBy("shard", "pack_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    assert sums and all(r.t <= 120 for r in sums)
+    # oversize docs sit alone in their pack
+    over = out.filter(F.col("oversize")).select("shard", "pack_id").collect()
+    if over:
+        counts = {
+            (r.shard, r.pack_id): r["count"]
+            for r in out.groupBy("shard", "pack_id").count().collect()
+        }
+        assert all(counts[(r.shard, r.pack_id)] == 1 for r in over)
+    out.unpersist()
+
+
+def test_pack_greedy_deterministic(docs):
+    a = packing.pack_greedy(docs, max_tokens=100, num_shards=3)
+    b = packing.pack_greedy(docs.repartition(11), max_tokens=100, num_shards=3)
+    cols = ["doc_id", "shard", "pack_id", "oversize"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_pack_greedy_beats_capacity_waste(spark):
+    # FFD on uniform halves: 2 docs of 60 tokens fit exactly in a 120 pack
+    df = spark.createDataFrame([(i, 60) for i in range(40)], "doc_id int, ntok int")
+    out = packing.pack_greedy(df, token_col="ntok", max_tokens=120, num_shards=1)
+    per_pack = out.groupBy("pack_id").count().collect()
+    assert all(r["count"] == 2 for r in per_pack)
+    assert len(per_pack) == 20
