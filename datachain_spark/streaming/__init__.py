@@ -1,4 +1,5 @@
 from .stream import (
+    dedup_against_corpus,
     dedup_stream,
     read_stream,
     running_counts_stateful,
@@ -14,4 +15,5 @@ __all__ = [
     "stream_to_dataset",
     "running_counts_stateful",
     "dedup_stream",
+    "dedup_against_corpus",
 ]

@@ -112,6 +112,36 @@ def dedup_stream(
         return out.dropDuplicates(keys)
 
 
+def dedup_against_corpus(
+    stream_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    fingerprint_col: Optional[str] = None,
+) -> DataFrame:
+    """Drop stream rows whose content already exists in a historical (static)
+    corpus: a stream-static LEFT ANTI join on the exact-dedup fingerprint
+    (ops.text.fingerprint — normalized-text xxhash64, the same key
+    ops.dedup.exact_dedup groups on). The ingest-side half of incremental
+    dedup: ``dedup_stream`` removes repeats WITHIN the stream's watermark
+    horizon, this removes rows already present in the corpus built by prior
+    batch runs.
+
+    Scale design: stream-static joins re-plan the static side each
+    micro-batch; pass a corpus of FINGERPRINTS (``fingerprint_col`` on a
+    deduplicated narrow table — or just ``exact_dedup``'s saved output),
+    not raw documents, so the static side is a compact join input (8 bytes
+    a row, broadcast-able to millions; bucketed/sorted parquet beyond
+    that). No state store involved — the corpus is the state."""
+    from ..ops.text import fingerprint
+
+    def fp_col(df: DataFrame):
+        return F.col(fingerprint_col) if fingerprint_col else fingerprint(F.col(text_col))
+
+    corpus_keys = corpus_df.select(fp_col(corpus_df).alias("__fp")).dropDuplicates()
+    tagged = stream_df.withColumn("__fp", fp_col(stream_df))
+    return tagged.join(corpus_keys, on="__fp", how="left_anti").drop("__fp")
+
+
 def running_counts_stateful(
     df: DataFrame,
     key_col: str = "user_id",

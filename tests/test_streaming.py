@@ -209,3 +209,49 @@ def test_corpus_ops_compose_with_streams(session, tmp_path):
     rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM scrub_stream").collect()}
     assert "<EMAIL>" in rows[0]["text"] and "<SSN>" in rows[1]["text"]
     assert rows[0]["lang"] == "en" and rows[0]["quality"] is not None
+
+
+def test_dedup_against_corpus(session, tmp_path):
+    """Stream-static anti-join: stream rows whose normalized text already
+    exists in the historical corpus are dropped; within-stream repeats pass
+    (that's dedup_stream's job). Composes with a streaming sink."""
+    from datachain_spark.ops.text import fingerprint
+    from datachain_spark.streaming import dedup_against_corpus
+
+    spark = session.spark
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lorem ipsum dolor")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "ingest_src")
+    spark.createDataFrame(
+        [
+            (10, "The Quick  Brown   Fox"),   # dup of corpus 1 (normalized)
+            (11, "genuinely new content"),
+            (12, "lorem ipsum dolor"),        # dup of corpus 2
+            (13, "more new material"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    stream = read_stream(spark, src, schema=spark.read.parquet(src).schema)
+    fresh = dedup_against_corpus(stream, corpus)
+    assert fresh.isStreaming
+
+    q = (
+        fresh.writeStream.format("memory")
+        .queryName("fresh_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM fresh_docs").collect())
+    assert got == [11, 13]
+
+    # fingerprint_col variant: pre-computed keys on both sides
+    batch = spark.read.parquet(src).withColumn("fp", fingerprint(F.col("text")))
+    corp_fp = corpus.withColumn("fp", fingerprint(F.col("text")))
+    out = dedup_against_corpus(batch, corp_fp, fingerprint_col="fp")
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == [11, 13]
