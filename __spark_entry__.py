@@ -2283,6 +2283,43 @@ def multimodal_video(spark, sf):
     ).orderBy("doc_id")
 
 
+def knn_join_topk(spark, sf):
+    """Batch k-NN (cosine_join_topk exact path): every query vector's 5
+    nearest corpus vectors via broadcast cross + per-query window top-k —
+    hash-verified against DuckDB's list_cosine_similarity ranking.
+    Op: ops/similarity.cosine_join_topk."""
+    emb = _chain(spark, sf, "embeddings").df.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    left = emb.filter(F.col("vec_id") < 20)
+    right = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 220))
+    out = similarity.cosine_join_topk(
+        left, right, "embedding", "embedding", k=5,
+        left_id="vec_id", right_id="vec_id",
+    )
+    return out.select(
+        "qid", "nid", F.round(F.col("distance"), 4).alias("dist_r")
+    ).orderBy("qid", "nid")
+
+
+KNN_JOIN_SQL = """
+WITH l AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 20
+), r AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+  FROM embeddings WHERE vec_id >= 20 AND vec_id < 220
+), p AS (
+  SELECT qid, nid, 1.0 - list_cosine_similarity(qv, nv) AS d FROM l, r
+), k AS (
+  SELECT qid, nid, d, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+  FROM p
+)
+SELECT qid, nid, round(CAST(d AS DOUBLE), 4) AS dist_r
+FROM k WHERE rn <= 5 ORDER BY qid, nid
+"""
+
+
 def multimodal_ro(spark, sf):
     """Binary-column plumbing: fake image meta over doc bytes. The fake
     decoder is sha256-derived and deterministic, so even the mapInPandas
@@ -2438,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": pii_redact,  # r04 addition (overflow keeps window stable)
         "pack_sequences_md5": pack_sequences_md5,  # r04 additions: training-
         "interleave_md5": interleave_md5,          # batch assembly ops
+        "knn_join_topk": knn_join_topk,  # r04: batch kNN exact path oracled
     }
 
 
@@ -2509,4 +2547,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_sql(),
         "pack_sequences_md5": PACK_SEQUENCES_SQL,
         "interleave_md5": INTERLEAVE_SQL,
+        "knn_join_topk": KNN_JOIN_SQL,
     }
