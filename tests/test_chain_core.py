@@ -401,3 +401,19 @@ def test_deprecated_classmethod_constructors(session):
         assert ch.count() == 3
         assert any(issubclass(x.category, DeprecationWarning) for x in w)
     assert dc.DataChain.datasets(session=session).df is not None
+
+
+def test_toolkit_train_test_split_free_function(session):
+    """Parity: datachain.toolkit.train_test_split(chain, weights, seed)."""
+    import datachain_spark as dc
+    from datachain_spark.toolkit import train_test_split
+
+    ch = dc.read_values(session=session, x=list(range(200)))
+    train, test = train_test_split(ch, [0.75, 0.25], seed=7)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 200
+    assert n_test > 0 and n_train > n_test
+    # disjoint + deterministic (same as the method form)
+    m_train, m_test = ch.train_test_split([0.75, 0.25], seed=7)
+    assert sorted(train.to_values("x")) == sorted(m_train.to_values("x"))
+    assert set(train.to_values("x")).isdisjoint(test.to_values("x"))
