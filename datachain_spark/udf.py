@@ -212,12 +212,23 @@ def _result_to_cells(value: Any, out_names: list[str]) -> list[Any]:
     """One UDF return value -> list of cells aligned with out_names."""
     if PYDANTIC and isinstance(value, BaseModel):
         d = model_to_row_dict(value)
+        if len(out_names) == 1 and out_names[0] not in d:
+            # output declared as ONE struct column (output={"box": Model}):
+            # the whole model is that column's value, not a field spread
+            return [d]
         return [d.get(n) for n in out_names]
     if isinstance(value, dict):
-        return [value.get(n) for n in out_names]
-    if isinstance(value, tuple):
-        return list(value)
-    return [value]
+        cells = [value.get(n) for n in out_names]
+    elif isinstance(value, tuple):
+        cells = list(value)
+    else:
+        cells = [value]
+    if PYDANTIC:
+        # models nested in dict/tuple returns serialize to struct dicts
+        cells = [
+            model_to_row_dict(c) if isinstance(c, BaseModel) else c for c in cells
+        ]
+    return cells
 
 
 def _extract_param(pdf: pd.DataFrame, name: str) -> pd.Series:
