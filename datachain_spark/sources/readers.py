@@ -141,6 +141,11 @@ def read_json(
     path: Union[str, Sequence[str]],
     format: str = "json",  # noqa: A002
     jmespath: Optional[str] = None,
+    spec: Any = None,
+    schema_from: Optional[str] = "auto",
+    column: Optional[str] = None,
+    model_name: Optional[str] = None,
+    nrows: Optional[int] = None,
     session: Optional[Session] = None,
     **options: Any,
 ) -> DataChain:
@@ -151,12 +156,36 @@ def read_json(
     (dotted descent + ``[]`` array projection, e.g. ``"payload.items[]"``):
     each ``[]`` segment explodes the array, dotted segments descend into
     structs, and a final struct is expanded to its fields.
+
+    Reference-signature extras:
+    - ``spec``: a Pydantic model — becomes the Spark read schema, so the
+      result has exactly its fields (the reference validates rows against
+      the generated model; declaring the schema achieves that Spark-side).
+    - ``schema_from``: "auto" (default) infers from the data itself; a PATH
+      infers the schema from that sample file only and applies it to the
+      full read — at 100 TB this replaces a full-data inference pass.
+    - ``column``: wrap the parsed fields under one struct column of this
+      name (the reference nests generated models under ``column``);
+      default None keeps the flat layout.
+    - ``nrows``: row limit. ``model_name`` is accepted for signature
+      compatibility (no model codegen here — spec/schema_from define the
+      shape).
     """
+    del model_name  # signature compatibility; no model codegen needed
     sess = Session.get(session)
     reader = sess.spark.read
     if format == "json":
         reader = reader.option("multiLine", True)
     paths = [path] if isinstance(path, str) else list(path)
+    if spec is not None:
+        from ..schema import model_to_struct
+
+        reader = reader.schema(model_to_struct(spec))
+    elif schema_from and schema_from != "auto":
+        sample_reader = sess.spark.read
+        if format == "json":
+            sample_reader = sample_reader.option("multiLine", True)
+        reader = reader.schema(sample_reader.json(schema_from).schema)
     df = reader.options(**options).json(list(paths))
 
     if jmespath:
@@ -176,6 +205,12 @@ def read_json(
             df = df.select("__j.*")
         else:
             df = df.withColumnRenamed("__j", jmespath.replace("[]", "").split(".")[-1])
+    if nrows is not None:
+        df = df.limit(nrows)
+    if column:
+        from pyspark.sql import functions as F
+
+        df = df.select(F.struct(*df.columns).alias(column))
     return DataChain(df, sess, dependencies=[{"storage": p} for p in paths])
 
 

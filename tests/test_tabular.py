@@ -246,3 +246,39 @@ def test_read_json_jmespath(session, tmp_path):
     assert recs == [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
     plain = dc.read_json(str(p), session=session)
     assert "payload" in plain.columns
+
+
+def test_read_json_spec_schema_from_column_nrows(session, tmp_path):
+    """Reference-signature extras: spec model schema, schema_from sample,
+    column nesting, nrows limit (lib/dc/json.py:19-90)."""
+    import json as _json
+
+    from pydantic import BaseModel
+
+    import datachain_spark as dc
+
+    p = tmp_path / "data.jsonl"
+    rows = [{"a": i, "b": f"s{i}", "extra": i * 1.5} for i in range(10)]
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    class Spec(BaseModel):
+        a: int = 0
+        b: str = ""
+
+    ch = dc.read_json(str(p), format="jsonl", spec=Spec, session=session)
+    assert set(ch.df.columns) == {"a", "b"}  # extra dropped by the spec schema
+    assert ch.count() == 10
+
+    sample = tmp_path / "sample.jsonl"
+    sample.write_text(_json.dumps(rows[0]))
+    ch2 = dc.read_json(
+        str(p), format="jsonl", schema_from=str(sample), session=session
+    )
+    assert set(ch2.df.columns) == {"a", "b", "extra"}
+
+    ch3 = dc.read_json(
+        str(p), format="jsonl", column="payload", nrows=4, session=session
+    )
+    assert ch3.df.columns == ["payload"]
+    recs = ch3.to_records()
+    assert len(recs) == 4 and recs[0]["payload"]["a"] == 0
