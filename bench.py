@@ -44,6 +44,8 @@ HEADLINE = [
     "pii_redact_full",
     "pack_sequences_full",
     "interleave_full",
+    # the composed corpus-prep DAG: gate -> dedup -> pack in ONE plan
+    "corpus_pipeline_full",
 ]
 
 
@@ -124,8 +126,23 @@ def main() -> None:
     queries["segment_dedup_full"] = _segment_dedup_full
     queries["decontaminate_full"] = _decontaminate_full
     queries["pii_redact_full"] = _pii_redact_full
+    def _corpus_pipeline_full(spark, sf):
+        # end-to-end training-data prep as ONE Catalyst plan, no intermediate
+        # materialization: Gopher quality gate -> exact dedup -> sequence
+        # packing -> per-shard summary
+        docs = entrymod._chain(spark, sf, "documents").df
+        gated = _text.gopher_quality_filter(docs, "doc_id")
+        unique = _dedup.exact_dedup(gated, "doc_id", "text")
+        packed = _packing.pack_sequences(
+            unique.select("doc_id", "text"), max_tokens=2048, num_shards=32
+        )
+        return packed.groupBy("shard").agg(
+            F.max("pack_last").alias("packs"), F.sum("n_tokens").alias("tokens")
+        )
+
     queries["pack_sequences_full"] = _pack_sequences_full
     queries["interleave_full"] = _interleave_full
+    queries["corpus_pipeline_full"] = _corpus_pipeline_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);

@@ -443,9 +443,11 @@ def repetition_stats(
             (F.max("__c") / F.sum("__c")).alias("top_word_frac"),
         )
     )
-    grams = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), n=2)).alias("__g"),
+    # window-lead shingle materialization, NOT explode(shingles(...)) — the
+    # HOF form re-evaluates the interpreted lambda pipeline per row and
+    # measured ~7x slower on the full sf0.1 corpus (3.6s -> 0.5s here)
+    grams = shingle_rows(df, id_col, text_col, n=2, distinct=False).select(
+        "__id", F.col("__shingle").alias("__g")
     )
     gram_stats = (
         grams.groupBy("__id", "__g")
@@ -520,16 +522,17 @@ def gopher_quality_filter(
         sw = sw + F.when(
             F.lower(c).rlike(rf"\b{w}\b"), F.lit(1)
         ).otherwise(F.lit(0))
-    sigs = df.select(
-        F.col(id_col),
-        mean_word_length(c).alias("mean_word_len"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        symbol_ratio.alias("symbol_word_ratio"),
-        sw.alias("stopword_hits"),
+    # row-local signals attach as a projection (no self-join, no shuffle);
+    # only the aggregated repetition signals need the per-id join
+    with_sigs = (
+        df.withColumn("mean_word_len", mean_word_length(c))
+        .withColumn("bullet_line_frac", bullet_frac)
+        .withColumn("ellipsis_line_frac", ellipsis_frac)
+        .withColumn("symbol_word_ratio", symbol_ratio)
+        .withColumn("stopword_hits", sw)
     )
     rep = repetition_stats(df, id_col, text_col)
-    joined = df.join(sigs, id_col).join(rep, id_col)
+    joined = with_sigs.join(rep, id_col)
     passed = (
         (F.col("n_words") >= th["min_words"])
         & (F.col("n_words") <= th["max_words"])
