@@ -34,6 +34,13 @@ from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..error import (
+    DatasetNotFoundError,
+    DatasetVersionNotFoundError,
+    InvalidDatasetNameError,
+    NamespaceNotFoundError,
+)
+
 DEFAULT_NAMESPACE = "local"
 DEFAULT_PROJECT = "default"
 
@@ -137,17 +144,17 @@ class DatasetRecord:
         if version is None:
             latest = self.latest_version()
             if latest is None:
-                raise ValueError(f"dataset {self.name} has no versions")
+                raise DatasetVersionNotFoundError(f"dataset {self.name} has no versions")
             return latest
         if _VERSION_RE.match(version):
             for v in self.versions:
                 if v.version == version:
                     return v
-            raise ValueError(f"dataset {self.name} has no version {version}")
+            raise DatasetVersionNotFoundError(f"dataset {self.name} has no version {version}")
         # specifier: pick the newest matching
         matching = [v for v in self.versions if matches_spec(v.version, version)]
         if not matching:
-            raise ValueError(f"no version of {self.name} matches {version!r}")
+            raise DatasetVersionNotFoundError(f"no version of {self.name} matches {version!r}")
         return max(matching, key=lambda v: parse_version(v.version))
 
 
@@ -160,7 +167,7 @@ def split_name(name: str) -> tuple[str, str, str]:
         return DEFAULT_NAMESPACE, parts[0], parts[1]
     if len(parts) == 3:
         return parts[0], parts[1], parts[2]
-    raise ValueError(f"invalid dataset name: {name!r}")
+    raise InvalidDatasetNameError(f"invalid dataset name: {name!r}")
 
 
 class Metastore:
@@ -312,7 +319,7 @@ class Metastore:
         ns, proj, base = split_name(name)
         rec = self._read_record(ns, proj, base)
         if rec is None:
-            raise ValueError(f"dataset not found: {name}")
+            raise DatasetNotFoundError(f"dataset not found: {name}")
         dv = rec.get_version(version)
         data_path = self.version_data_path(f"{ns}.{proj}.{base}", dv.version)
         if dv.bucket:
@@ -376,7 +383,7 @@ class Metastore:
         if rec is None:
             if force:
                 return
-            raise ValueError(f"dataset not found: {name}")
+            raise DatasetNotFoundError(f"dataset not found: {name}")
         if version is None:
             self._drop_bucket_tables(rec.versions)
             shutil.rmtree(self._ds_dir(ns, proj, base), ignore_errors=True)
@@ -411,7 +418,7 @@ class Metastore:
         dns, dproj, dbase = split_name(dst)
         rec = self._read_record(sns, sproj, sbase)
         if rec is None:
-            raise ValueError(f"dataset not found: {src}")
+            raise DatasetNotFoundError(f"dataset not found: {src}")
         src_dir = self._ds_dir(sns, sproj, sbase)
         dst_dir = self._ds_dir(dns, dproj, dbase)
         os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
@@ -444,7 +451,7 @@ class Metastore:
         namespaces (any dataset manifest below it) and missing ones."""
         path = os.path.join(self.root, name)
         if not os.path.isdir(path):
-            raise ValueError(f"namespace not found: {name!r}")
+            raise NamespaceNotFoundError(f"namespace not found: {name!r}")
         for rec in self.list_datasets():
             if rec.namespace == name:
                 raise ValueError(

@@ -226,3 +226,25 @@ def test_tarvfile_range_read(tmp_path):
     blob.write_bytes(b"HEADERpayloadTRAILER")
     got = TarVFile.open({"offset": 6, "size": 7, "parent": str(blob)})
     assert got == b"payload"
+
+
+def test_typed_error_classes(session):
+    """Parity with datachain.error: typed lookup failures that still
+    satisfy old except-ValueError blocks."""
+    import pytest
+
+    import datachain_spark as dc
+    from datachain_spark.error import (
+        DatasetNotFoundError,
+        DatasetVersionNotFoundError,
+    )
+
+    with pytest.raises(DatasetNotFoundError):
+        dc.read_dataset("definitely_not_there", session=session)
+    ch = dc.read_values(session=session, x=[1, 2, 3])
+    ch.save("err_probe")
+    with pytest.raises(DatasetVersionNotFoundError):
+        dc.read_dataset("err_probe", "9.9.9", session=session)
+    # subclassing keeps pre-typed callers working
+    with pytest.raises(ValueError):
+        dc.read_dataset("definitely_not_there", session=session)
