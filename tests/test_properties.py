@@ -132,3 +132,48 @@ def test_decontaminate_is_partition_of_corpus(session):
     assert nk + nf == n
     overlap = kept.select("doc_id").intersect(flagged.select("doc_id")).count()
     assert overlap == 0
+
+
+# -- bbox conversion properties (model/utils.py) ---------------------------
+
+_img = st.tuples(st.integers(16, 4096), st.integers(16, 4096))
+
+
+@given(
+    st.tuples(st.floats(0.0, 0.49), st.floats(0.0, 0.49),
+              st.floats(0.51, 1.0), st.floats(0.51, 1.0)),
+    _img,
+)
+def test_bbox_roundtrips_through_every_format(alb, img):
+    from datachain_spark.model.utils import convert_bbox
+
+    alb = [round(v, 4) for v in alb]
+    for via in ("coco", "voc", "yolo"):
+        there = convert_bbox(alb, list(img), "albumentations", via)
+        back = convert_bbox(there, list(img), via, "albumentations")
+        # 4-decimal rounding at each hop bounds drift to 1e-3 of normalized space
+        assert all(abs(a - b) <= 2e-3 for a, b in zip(alb, back)), (via, alb, back)
+
+
+@given(_img)
+def test_bbox_identity_conversion(img):
+    from datachain_spark.model.utils import convert_bbox
+
+    voc = [1, 2, img[0] - 1, img[1] - 1]
+    assert convert_bbox(voc, list(img), "voc", "voc") == [float(v) for v in voc]
+
+
+# -- rebase_path properties (sources/files.py) -----------------------------
+
+_seg = st.text(alphabet="abcdefgh123", min_size=1, max_size=8)
+
+
+@given(st.lists(_seg, min_size=2, max_size=4), _seg, _seg)
+def test_rebase_path_swaps_base_and_keeps_tail(parts, base, ext):
+    from datachain_spark.sources.files import rebase_path
+
+    src = "/".join([base, *parts]) + ".txt"
+    out = rebase_path(src, base, "/new", extension=ext)
+    assert out.startswith("/new/")
+    assert out.endswith(f".{ext}")
+    assert "/".join(parts[:-1]) in out or len(parts) == 1
