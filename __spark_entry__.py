@@ -2320,6 +2320,159 @@ FROM k WHERE rn <= 5 ORDER BY qid, nid
 """
 
 
+def q10_returned_revenue(spark, sf):
+    """TPC-H Q10 shape: revenue lost to returned items per customer over a
+    quarter — join date-window orders + returned lineitems + nation dim,
+    group on the customer, top-20 by revenue."""
+    cust = _chain(spark, sf, "customer")
+    orders = _chain(spark, sf, "orders").filter(
+        C.o_orderdate >= "1996-01-01", C.o_orderdate < "1996-04-01"
+    )
+    li = _chain(spark, sf, "lineitem").filter(C.l_returnflag == "R")
+    nation = _chain(spark, sf, "nation")
+    return (
+        cust.merge(orders, on="c_custkey", right_on="o_custkey", inner=True)
+        .merge(li, on="o_orderkey", right_on="l_orderkey", inner=True)
+        .merge(nation, on="c_nationkey", right_on="n_nationkey", inner=True)
+        .mutate(rev=_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+        .group_by(
+            partition_by=["c_custkey", "c_name", "c_acctbal", "n_name"],
+            revenue=func.sum(C.rev).cast("double"),
+        )
+        .order_by(C.revenue.column.desc(), C.c_custkey.column)
+        .limit(20)
+        .df
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_priority_mix(spark, sf):
+    """TPC-H Q12 shape (shipmode → linestatus on this schema): per line
+    status, counts of high- vs low-priority orders in a shipping-date year —
+    the conditional case-sum join pattern."""
+    orders = _chain(spark, sf, "orders")
+    li = _chain(spark, sf, "lineitem").filter(
+        C.l_shipdate >= "1997-01-01", C.l_shipdate < "1998-01-01"
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        orders.merge(li, on="o_orderkey", right_on="l_orderkey", inner=True)
+        .mutate(is_high=high)
+        .group_by(
+            partition_by=["l_linestatus"],
+            high_count=func.sum(C.is_high).cast("long"),
+            low_count=(func.count() - func.sum(C.is_high)).cast("long"),
+        )
+        .order_by("l_linestatus")
+        .df
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape: share of a month's revenue from PROMO-type parts —
+    conditional ratio over one scan + broadcast part dim."""
+    li = _chain(spark, sf, "lineitem").filter(
+        C.l_shipdate >= "1997-06-01", C.l_shipdate < "1997-07-01"
+    )
+    part = _chain(spark, sf, "part")
+    rev = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+    return (
+        li.merge(part, on="l_partkey", right_on="p_partkey", inner=True)
+        .mutate(
+            rev=rev,
+            promo_rev=F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast("decimal(20,2)")
+            ),
+        )
+        .group_by(
+            promo_revenue=(
+                F.lit(100.0) * func.sum(C.promo_rev).cast("double")
+                / func.sum(C.rev).cast("double")
+            ),
+        )
+        .df
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))
+                 ELSE CAST(0 AS DECIMAL(20,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+
+def q19_disjunctive(spark, sf):
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/quantity
+    clauses — exercises OR-of-ANDs predicate pushdown through a join."""
+    li = _chain(spark, sf, "lineitem")
+    part = _chain(spark, sf, "part")
+    joined = li.merge(part, on="l_partkey", right_on="p_partkey", inner=True)
+    clause1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+    )
+    clause3 = (
+        (F.col("p_brand") == "Brand#34")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)
+    )
+    return (
+        joined.filter(clause1 | clause2 | clause3)
+        .mutate(rev=_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+        .group_by(
+            revenue=func.sum(C.rev).cast("double"),
+            n_items=func.count(),
+        )
+        .df
+    )
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def multimodal_ro(spark, sf):
     """Binary-column plumbing: fake image meta over doc bytes. The fake
     decoder is sha256-derived and deterministic, so even the mapInPandas
@@ -2476,6 +2629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_md5": pack_sequences_md5,  # r04 additions: training-
         "interleave_md5": interleave_md5,          # batch assembly ops
         "knn_join_topk": knn_join_topk,  # r04: batch kNN exact path oracled
+        # r04: four more TPC-H shapes (date-window group-topk, conditional
+        # case-sums, promo ratio, disjunctive pushdown)
+        "q10_returned_revenue": q10_returned_revenue,
+        "q12_priority_mix": q12_priority_mix,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_disjunctive": q19_disjunctive,
     }
 
 
@@ -2548,4 +2707,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_md5": PACK_SEQUENCES_SQL,
         "interleave_md5": INTERLEAVE_SQL,
         "knn_join_topk": KNN_JOIN_SQL,
+        "q10_returned_revenue": Q10_SQL,
+        "q12_priority_mix": Q12_SQL,
+        "q14_promo_revenue": Q14_SQL,
+        "q19_disjunctive": Q19_SQL,
     }
