@@ -152,3 +152,13 @@ def test_interleave_zero_shuffle(spark, sf_dir):
     )
     # filters + union ALL: no exchange anywhere
     assert shuffle_count(out) == 0
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    # Catalyst must derive per-side predicates from the OR-of-ANDs and push
+    # them into BOTH parquet scans (lineitem quantity bands, part brand/size)
+    df = Q["q19_disjunctive"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f for f in pf), pf
+    assert any("p_brand" in f and "p_size" in f for f in pf), pf
+    assert all(j == "BroadcastHashJoin" for j in join_strategies(df))
