@@ -2473,6 +2473,86 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q16_supplier_variety(spark, sf):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type) for mid-size
+    parts — exact count(DISTINCT) aggregation (expand-based in Spark) over
+    a broadcast-dim join, ordered by variety."""
+    li = _chain(spark, sf, "lineitem")
+    part = _chain(spark, sf, "part").filter(
+        C.p_size >= 10, C.p_size <= 20, C("p_brand") != "Brand#45"
+    )
+    return (
+        li.merge(part, on="l_partkey", right_on="p_partkey", inner=True)
+        .group_by(
+            partition_by=["p_brand", "p_type"],
+            supplier_cnt=func.count_distinct(C.l_suppkey).cast("long"),
+        )
+        .order_by(C.supplier_cnt.column.desc(), C.p_brand.column, C.p_type.column)
+        .limit(25)
+        .df
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 20 AND p_brand <> 'Brand#45'
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 25
+"""
+
+
+def q22_idle_balances(spark, sf):
+    """TPC-H Q22 shape: customers with above-average positive balance and NO
+    orders — the scalar-subquery-plus-anti-join pattern kept IN-PLAN: the
+    1-row global average cross-joins (broadcast) instead of collecting to
+    the driver, so the plan survives 100x."""
+    cust = _chain(spark, sf, "customer")
+    orders = _chain(spark, sf, "orders")
+    pos = cust.filter(C.c_acctbal > 0.0)
+    # exact decimal sum / long count, divided in IEEE double — bit-identical
+    # in both engines (plain AVG aggregates differently in Spark vs DuckDB)
+    avg_bal = pos.df.agg(
+        (
+            F.sum(_dec(F.col("c_acctbal"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__avg_bal")
+    )
+    rich = DataChain(
+        cust.df.crossJoin(F.broadcast(avg_bal)).filter(
+            (F.col("c_acctbal") > F.col("__avg_bal"))
+        ),
+        Session.get(spark=spark),
+    )
+    idle = rich.subtract(orders, on=["c_custkey"], right_on=["o_custkey"])
+    return (
+        idle.group_by(
+            partition_by=["c_mktsegment"],
+            n_cust=func.count(),
+            total_bal=func.sum(_dec(F.col("c_acctbal"))).cast("double"),
+        )
+        .order_by("c_mktsegment")
+        .df
+    )
+
+
+Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def multimodal_ro(spark, sf):
     """Binary-column plumbing: fake image meta over doc bytes. The fake
     decoder is sha256-derived and deterministic, so even the mapInPandas
@@ -2635,6 +2715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_mix": q12_priority_mix,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_disjunctive": q19_disjunctive,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q22_idle_balances": q22_idle_balances,
     }
 
 
@@ -2711,4 +2793,6 @@ def oracle_sql() -> dict[str, str]:
         "q12_priority_mix": Q12_SQL,
         "q14_promo_revenue": Q14_SQL,
         "q19_disjunctive": Q19_SQL,
+        "q16_supplier_variety": Q16_SQL,
+        "q22_idle_balances": Q22_SQL,
     }
