@@ -2553,6 +2553,64 @@ ORDER BY c_mktsegment
 """
 
 
+def q7_nation_volume(spark, sf):
+    """TPC-H Q7 shape: shipping volume between two nations per year — the
+    same nation dimension joined TWICE under different roles (supplier side
+    vs customer side, rname collision prefixing), cross-filtered pair
+    predicate, year-extraction group key."""
+    li = _chain(spark, sf, "lineitem").filter(
+        C.l_shipdate >= "1996-01-01", C.l_shipdate < "1998-01-01"
+    )
+    supp = _chain(spark, sf, "supplier")
+    orders = _chain(spark, sf, "orders")
+    cust = _chain(spark, sf, "customer")
+    n1 = _chain(spark, sf, "nation").select("n_nationkey", "n_name")
+    n2 = (
+        _chain(spark, sf, "nation")
+        .select("n_nationkey", "n_name")
+        .rename(c_nkey="n_nationkey", cust_nation="n_name")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.merge(supp, on="l_suppkey", right_on="s_suppkey", inner=True)
+        .merge(orders, on="l_orderkey", right_on="o_orderkey", inner=True)
+        .merge(cust, on="o_custkey", right_on="c_custkey", inner=True)
+        .merge(n1, on="s_nationkey", right_on="n_nationkey", inner=True)
+        .rename(supp_nation="n_name")
+        .merge(n2, on="c_nationkey", right_on="c_nkey", inner=True)
+        .filter(pair)
+        .mutate(
+            l_year=F.year(F.col("l_shipdate")).cast("long"),
+            volume=_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))),
+        )
+        .group_by(
+            partition_by=["supp_nation", "cust_nation", "l_year"],
+            revenue=func.sum(C.volume).cast("double"),
+        )
+        .order_by("supp_nation", "cust_nation", "l_year")
+        .df
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 def multimodal_ro(spark, sf):
     """Binary-column plumbing: fake image meta over doc bytes. The fake
     decoder is sha256-derived and deterministic, so even the mapInPandas
@@ -2717,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": q19_disjunctive,
         "q16_supplier_variety": q16_supplier_variety,
         "q22_idle_balances": q22_idle_balances,
+        "q7_nation_volume": q7_nation_volume,
     }
 
 
@@ -2795,4 +2854,5 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive": Q19_SQL,
         "q16_supplier_variety": Q16_SQL,
         "q22_idle_balances": Q22_SQL,
+        "q7_nation_volume": Q7_SQL,
     }
