@@ -119,21 +119,63 @@ def read_parquet(
 
 def read_csv(
     path: Union[str, Sequence[str]],
-    delimiter: str = ",",
+    delimiter: Optional[str] = None,
     header: bool = True,
+    output: Any = None,
+    column: str = "",
+    model_name: str = "",
+    source: bool = True,  # noqa: ARG001 - compat; provenance via parse_tabular
+    nrows: Optional[int] = None,
     column_types: Optional[dict[str, Any]] = None,
+    parse_options: Optional[dict[str, Any]] = None,
     session: Optional[Session] = None,
     **options: Any,
 ) -> DataChain:
-    """Parity: lib/dc/csv.py:15-180."""
+    """Parity: lib/dc/csv.py:15-180. ``output`` takes a {name: type} dict,
+    a Pydantic model (its fields become the schema), or a list of column
+    names (types inferred); ``column`` nests the parsed fields under one
+    struct column; ``nrows`` limits rows; ``parse_options`` keys
+    delimiter/quote_char/escape_char/ignore_empty_lines map onto the Spark
+    CSV reader. ``model_name``/``source`` accepted for signature
+    compatibility (file provenance comes from :func:`parse_tabular`)."""
+    del model_name
     sess = Session.get(session)
-    reader = sess.spark.read.option("header", header).option("sep", delimiter)
-    if column_types:
-        reader = reader.schema(output_spec_to_struct(column_types))
+    po = dict(parse_options or {})
+    sep = delimiter or po.pop("delimiter", None) or ","
+    reader = sess.spark.read.option("header", header).option("sep", sep)
+    if "quote_char" in po:
+        reader = reader.option("quote", po.pop("quote_char"))
+    if "escape_char" in po:
+        reader = reader.option("escape", po.pop("escape_char"))
+    po.pop("ignore_empty_lines", None)  # Spark skips fully-empty lines already
+    names_only: Optional[list] = None
+    spec = output if output is not None else column_types
+    if isinstance(spec, (list, tuple)):
+        names_only, spec = list(spec), None
+    if spec is not None:
+        if isinstance(spec, dict):
+            reader = reader.schema(output_spec_to_struct(spec))
+        else:
+            from ..schema import model_to_struct
+
+            reader = reader.schema(model_to_struct(spec))
     else:
         reader = reader.option("inferSchema", True)
     paths = [path] if isinstance(path, str) else list(path)
     df = reader.options(**options).csv(list(paths))
+    if names_only:
+        if len(names_only) != len(df.columns):
+            raise ValueError(
+                f"read_csv: output names {names_only} do not match "
+                f"{len(df.columns)} parsed columns"
+            )
+        df = df.toDF(*names_only)
+    if nrows is not None:
+        df = df.limit(nrows)
+    if column:
+        from pyspark.sql import functions as F
+
+        df = df.select(F.struct(*df.columns).alias(column))
     return DataChain(df, sess, dependencies=[{"storage": p} for p in paths])
 
 

@@ -282,3 +282,36 @@ def test_read_json_spec_schema_from_column_nrows(session, tmp_path):
     assert ch3.df.columns == ["payload"]
     recs = ch3.to_records()
     assert len(recs) == 4 and recs[0]["payload"]["a"] == 0
+
+
+def test_read_csv_reference_signature_extras(session, tmp_path):
+    """output (dict / model / names list), column nesting, nrows,
+    parse_options (lib/dc/csv.py:15-180)."""
+    from pydantic import BaseModel
+
+    import datachain_spark as dc
+
+    p = tmp_path / "t.csv"
+    p.write_text("a;b\n1;x\n2;y\n3;z\n")
+
+    ch = dc.read_csv(str(p), parse_options={"delimiter": ";"}, session=session)
+    assert ch.df.columns == ["a", "b"] and ch.count() == 3
+
+    class RowSpec(BaseModel):
+        a: int = 0
+        b: str = ""
+
+    ch2 = dc.read_csv(str(p), delimiter=";", output=RowSpec, session=session)
+    assert dict(ch2.df.dtypes) == {"a": "bigint", "b": "string"}  # int -> Long
+
+    ch3 = dc.read_csv(
+        str(p), delimiter=";", output=["x1", "x2"], nrows=2, session=session
+    )
+    assert ch3.df.columns == ["x1", "x2"] and ch3.count() == 2
+
+    ch4 = dc.read_csv(str(p), delimiter=";", column="row", session=session)
+    assert ch4.df.columns == ["row"]
+    assert ch4.to_records()[0]["row"]["b"] in {"x", "y", "z"}
+
+    with pytest.raises(ValueError):
+        dc.read_csv(str(p), delimiter=";", output=["only_one"], session=session)
