@@ -2611,6 +2611,561 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+# -- TPC-H completion (r04): the remaining 11 shapes. The testdata has no
+# partsupp table and lineitem lacks shipmode/commit/receipt dates, so
+# Q2/Q9/Q11/Q20 derive supply cost / stock value from lineitem itself and
+# Q4/Q21 define "late" as shipping > N days after the order date — each
+# adaptation preserves the query's SHAPE (correlated subqueries, EXISTS /
+# NOT-EXISTS, outer-join counts, global-fraction HAVING), which is what the
+# engine is being exercised on. Oracles are written in the ORIGINAL
+# correlated form (scalar subqueries, EXISTS) so DuckDB independently checks
+# our decorrelated Spark plans.
+
+
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: for each LARGE part, the EUROPE supplier(s) offering
+    the minimum unit cost — correlated-min scalar subquery, decorrelated
+    Spark-side into agg + equality re-join (the oracle keeps the correlated
+    form). Unit cost := min(l_extendedprice/l_quantity) per (part,supplier);
+    IEEE division is bit-identical in both engines, so the min-equality
+    join keys agree exactly."""
+    li = _chain(spark, sf, "lineitem")
+    supp = _chain(spark, sf, "supplier")
+    nation = _chain(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _chain(spark, sf, "region").filter(C.r_name == "EUROPE")
+    part = (
+        _chain(spark, sf, "part")
+        .filter(C.p_type == "LARGE")
+        .select("p_partkey", "p_name")
+    )
+    eur_supp = (
+        supp.merge(nation, on="s_nationkey", right_on="n_nationkey", inner=True, null_safe=False)
+        .merge(region, on="n_regionkey", right_on="r_regionkey", inner=True, null_safe=False)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.mutate(unit_cost=F.col("l_extendedprice") / F.col("l_quantity"))
+        .group_by(
+            partition_by=["l_partkey", "l_suppkey"],
+            supply_cost=func.min(C.unit_cost),
+        )
+        .merge(eur_supp, on="l_suppkey", right_on="s_suppkey", inner=True, null_safe=False)
+        .merge(part, on="l_partkey", right_on="p_partkey", inner=True, null_safe=False)
+    )
+    best = cost.group_by(
+        partition_by=["p_partkey"], min_cost=func.min(C.supply_cost)
+    ).rename(bp="p_partkey")
+    return (
+        cost.merge(
+            best,
+            on=["p_partkey", "supply_cost"],
+            right_on=["bp", "min_cost"],
+            inner=True,
+            null_safe=False,
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .order_by(
+            C.s_acctbal.column.desc(),
+            C.n_name.column,
+            C.s_name.column,
+            C.p_partkey.column,
+        )
+        .limit(100)
+        .df
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM cost JOIN eur ON l_suppkey = s_suppkey
+          JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'LARGE'
+  AND supply_cost = (SELECT min(c2.supply_cost)
+                     FROM cost c2 JOIN eur e2 ON c2.l_suppkey = e2.s_suppkey
+                     WHERE c2.l_partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q4_order_priority(spark, sf):
+    """TPC-H Q4 shape: order-priority checking — EXISTS over lineitem with a
+    cross-table lateness predicate (shipped > 365 days after the order
+    date). Spark plan: theta merge + keyed distinct (the relational EXISTS
+    decorrelation); oracle keeps the correlated EXISTS."""
+    orders = _chain(spark, sf, "orders").filter(
+        C.o_orderdate >= "1996-01-01", C.o_orderdate < "1996-07-01"
+    )
+    li = _chain(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = (
+        orders.merge(
+            li,
+            on=[
+                F.col("o_orderkey") == F.col("l_orderkey"),
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"),
+            ],
+            inner=True,
+        )
+        .select("o_orderkey", "o_orderpriority")
+        .distinct("o_orderkey")
+    )
+    return (
+        hit.group_by(partition_by=["o_orderpriority"], order_count=func.count())
+        .order_by("o_orderpriority")
+        .df
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 365 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q8_market_share(spark, sf):
+    """TPC-H Q8 shape: NATION_6's market share of SMALL-part volume sold to
+    AMERICA-region customers per year — two nation roles (customer-side
+    region restriction, supplier-side share numerator), conditional-ratio
+    aggregate from exact decimal sums."""
+    li = _chain(spark, sf, "lineitem")
+    part = _chain(spark, sf, "part").filter(C.p_type == "SMALL").select("p_partkey")
+    orders = _chain(spark, sf, "orders").filter(
+        C.o_orderdate >= "1995-01-01", C.o_orderdate < "1997-01-01"
+    )
+    cust = _chain(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = _chain(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n_cust = _chain(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    region = _chain(spark, sf, "region").filter(C.r_name == "AMERICA")
+    n_supp = (
+        _chain(spark, sf, "nation")
+        .select("n_nationkey", "n_name")
+        .rename(sn_key="n_nationkey", supp_nation="n_name")
+    )
+    vol = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+    return (
+        li.merge(part, on="l_partkey", right_on="p_partkey", inner=True, null_safe=False)
+        .merge(orders, on="l_orderkey", right_on="o_orderkey", inner=True, null_safe=False)
+        .merge(cust, on="o_custkey", right_on="c_custkey", inner=True, null_safe=False)
+        .merge(n_cust, on="c_nationkey", right_on="n_nationkey", inner=True, null_safe=False)
+        .merge(region, on="n_regionkey", right_on="r_regionkey", inner=True, null_safe=False)
+        .merge(supp, on="l_suppkey", right_on="s_suppkey", inner=True, null_safe=False)
+        .merge(n_supp, on="s_nationkey", right_on="sn_key", inner=True, null_safe=False)
+        .mutate(
+            o_year=F.year(F.col("o_orderdate")).cast("long"),
+            volume=vol,
+            nation_volume=F.when(F.col("supp_nation") == "NATION_6", vol).otherwise(
+                F.lit(0).cast("decimal(20,2)")
+            ),
+        )
+        .group_by(
+            partition_by=["o_year"],
+            mkt_share=(
+                func.sum(C.nation_volume).cast("double")
+                / func.sum(C.volume).cast("double")
+            ),
+            total_volume=func.sum(C.volume).cast("double"),
+        )
+        .order_by("o_year")
+        .df
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_6'
+                     THEN CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))
+                     ELSE CAST(0 AS DECIMAL(20,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE)
+       AS mkt_share,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE)
+       AS total_volume
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'SMALL' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark, sf):
+    """TPC-H Q9 shape: profit on 'gear' parts by supplier nation and year.
+    No partsupp/supplycost in the testdata, so cost := 0.1 *
+    quantity*retailprice — both terms exact decimal sums published as
+    doubles, combined with IEEE arithmetic identical in both engines."""
+    li = _chain(spark, sf, "lineitem")
+    part = (
+        _chain(spark, sf, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _chain(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _chain(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    nation = _chain(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        li.merge(part, on="l_partkey", right_on="p_partkey", inner=True, null_safe=False)
+        .merge(supp, on="l_suppkey", right_on="s_suppkey", inner=True, null_safe=False)
+        .merge(orders, on="l_orderkey", right_on="o_orderkey", inner=True, null_safe=False)
+        .merge(nation, on="s_nationkey", right_on="n_nationkey", inner=True, null_safe=False)
+        .mutate(
+            o_year=F.year(F.col("o_orderdate")).cast("long"),
+            revenue=_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))),
+            cost=_dec(F.col("l_quantity")) * _dec(F.col("p_retailprice")),
+        )
+        .group_by(
+            partition_by=["n_name", "o_year"],
+            sum_profit=(
+                func.sum(C.revenue).cast("double")
+                - F.lit(0.1) * func.sum(C.cost).cast("double")
+            ),
+        )
+        .order_by(C.n_name.column, C.o_year.column.desc())
+        .df
+    )
+
+
+Q9_SQL = """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE)
+       - 0.1 * CAST(sum(CAST(l_quantity AS DECIMAL(20,2)) * CAST(p_retailprice AS DECIMAL(20,2))) AS DOUBLE)
+       AS sum_profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q11_important_stock(spark, sf):
+    """TPC-H Q11 shape: per-part value held by EUROPE-region suppliers,
+    HAVING value > 0.1% of the global total — the global-fraction scalar
+    stays IN-PLAN via a broadcast 1-row cross join (no driver collect), so
+    the plan survives 100x. Value := sum of discounted lineitem revenue
+    (no partsupp in the testdata)."""
+    li = _chain(spark, sf, "lineitem")
+    supp = _chain(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _chain(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    region = _chain(spark, sf, "region").filter(C.r_name == "EUROPE")
+    eur_lines = (
+        li.merge(supp, on="l_suppkey", right_on="s_suppkey", inner=True, null_safe=False)
+        .merge(nation, on="s_nationkey", right_on="n_nationkey", inner=True, null_safe=False)
+        .merge(region, on="n_regionkey", right_on="r_regionkey", inner=True, null_safe=False)
+        .mutate(rev=_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+    )
+    per_part = eur_lines.group_by(
+        partition_by=["l_partkey"], value=func.sum(C.rev).cast("double")
+    )
+    total = eur_lines.df.agg(F.sum(F.col("rev")).cast("double").alias("__total"))
+    sess = Session.get(spark=spark)
+    return (
+        DataChain(per_part.df.crossJoin(F.broadcast(total)), sess)
+        .filter(F.col("value") > F.lit(0.001) * F.col("__total"))
+        .select("l_partkey", "value")
+        .order_by(C.value.column.desc(), C.l_partkey.column)
+        .df
+    )
+
+
+Q11_SQL = """
+WITH eur_lines AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2))) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT l_partkey, CAST(sum(rev) AS DOUBLE) AS value
+FROM eur_lines
+GROUP BY l_partkey
+HAVING CAST(sum(rev) AS DOUBLE) > 0.001 * (SELECT CAST(sum(rev) AS DOUBLE) FROM eur_lines)
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q13_customer_distribution(spark, sf):
+    """TPC-H Q13 shape: distribution of customers by order count — LEFT
+    OUTER join with an extra join-condition predicate (not a WHERE filter:
+    customers with only urgent orders must still appear with count 0), then
+    a two-level aggregation."""
+    cust = _chain(spark, sf, "customer").select("c_custkey")
+    orders = _chain(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.merge(
+            orders,
+            on=[
+                F.col("c_custkey") == F.col("o_custkey"),
+                F.col("o_orderpriority") != "1-URGENT",
+            ],
+        )
+        .group_by(partition_by=["c_custkey"], c_count=func.count(C.o_orderkey))
+    )
+    return (
+        per_cust.group_by(partition_by=["c_count"], custdist=func.count())
+        .order_by(C.custdist.column.desc(), C.c_count.column.desc())
+        .df
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over a 3-month
+    window — the revenue view's MAX is a scalar subquery kept in-plan via
+    broadcast cross join, matched by double equality (both engines derive
+    the doubles from identical exact decimal sums)."""
+    li = _chain(spark, sf, "lineitem").filter(
+        C.l_shipdate >= "1996-01-01", C.l_shipdate < "1996-04-01"
+    )
+    supp = _chain(spark, sf, "supplier").select("s_suppkey", "s_name")
+    revenue = li.group_by(
+        partition_by=["l_suppkey"],
+        total_revenue=func.sum(
+            _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+        ).cast("double"),
+    )
+    mx = revenue.df.agg(F.max("total_revenue").alias("__mx"))
+    sess = Session.get(spark=spark)
+    return (
+        DataChain(revenue.df.crossJoin(F.broadcast(mx)), sess)
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .merge(supp, on="l_suppkey", right_on="s_suppkey", inner=True, null_safe=False)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .order_by("s_suppkey")
+        .df
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE)
+         AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity(spark, sf):
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below half the part's average quantity) went unfilled — the
+    correlated per-part AVG subquery, decorrelated Spark-side into an agg +
+    re-join; the oracle keeps the correlated form."""
+    li = _chain(spark, sf, "lineitem")
+    part = _chain(spark, sf, "part").filter(C.p_brand == "Brand#23").select("p_partkey")
+    branded = li.merge(
+        part, on="l_partkey", right_on="p_partkey", inner=True, null_safe=False
+    )
+    avg_qty = branded.group_by(
+        partition_by=["l_partkey"],
+        avg_qty=(func.sum(_dec(F.col("l_quantity"))).cast("double") / func.count()),
+    ).rename(ap="l_partkey")
+    return (
+        branded.merge(avg_qty, on="l_partkey", right_on="ap", inner=True, null_safe=False)
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .group_by(
+            avg_yearly=(func.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0)),
+        )
+        .df
+    )
+
+
+Q17_SQL = """
+SELECT CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l1.l_quantity < 0.5 * (
+    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(20,2))) AS DOUBLE) / count(*)
+    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+def q18_large_volume(spark, sf):
+    """TPC-H Q18 shape: customers with large-volume orders (total quantity
+    above 250) — group-HAVING subquery feeding a 3-table join, top-100 by
+    order value."""
+    li = _chain(spark, sf, "lineitem")
+    orders = _chain(spark, sf, "orders")
+    cust = _chain(spark, sf, "customer").select("c_custkey", "c_name")
+    big = li.group_by(
+        partition_by=["l_orderkey"], sum_qty=_dsum("l_quantity")
+    ).filter(C.sum_qty > 250.0)
+    return (
+        orders.merge(big, on="o_orderkey", right_on="l_orderkey", inner=True, null_safe=False)
+        .merge(cust, on="o_custkey", right_on="c_custkey", inner=True, null_safe=False)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .order_by(C.o_totalprice.column.desc(), C.o_orderkey.column)
+        .limit(100)
+        .df
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING sum(CAST(l_quantity AS DECIMAL(20,2))) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q20_excess_suppliers(spark, sf):
+    """TPC-H Q20 shape: EUROPE suppliers who shipped an excess (>45 units in
+    1996) of any 'bolt' part — the nested IN-subquery chain (part names ->
+    grouped lineitem HAVING -> supplier), expressed Spark-side as semi-joins
+    so nothing is duplicated and only key columns shuffle."""
+    li = _chain(spark, sf, "lineitem").filter(
+        C.l_shipdate >= "1996-01-01", C.l_shipdate < "1997-01-01"
+    )
+    part = (
+        _chain(spark, sf, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    supp = _chain(spark, sf, "supplier")
+    nation = _chain(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _chain(spark, sf, "region").filter(C.r_name == "EUROPE")
+    excess = (
+        li.semi_join(part, on="l_partkey", right_on="p_partkey", null_safe=False)
+        .group_by(
+            partition_by=["l_partkey", "l_suppkey"], qty=_dsum("l_quantity")
+        )
+        .filter(C.qty > 45.0)
+    )
+    return (
+        supp.semi_join(excess, on="s_suppkey", right_on="l_suppkey", null_safe=False)
+        .merge(nation, on="s_nationkey", right_on="n_nationkey", inner=True, null_safe=False)
+        .merge(region, on="n_regionkey", right_on="r_regionkey", inner=True, null_safe=False)
+        .select("s_name", "n_name")
+        .order_by("s_name")
+        .df
+    )
+
+
+Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_partkey, l_suppkey
+    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) > 45.0)
+ORDER BY s_name
+"""
+
+
+def q21_waiting_suppliers(spark, sf):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier finalized order ("late" := shipped > 900 days after the
+    order date; the testdata has no commit/receipt dates). The correlated
+    EXISTS + NOT-EXISTS pair is decorrelated Spark-side into one per-order
+    aggregate (distinct suppliers vs distinct LATE suppliers) — one shuffle
+    where the subquery form would re-scan lineitem twice; the oracle keeps
+    the original correlated form."""
+    orders = _chain(spark, sf, "orders").filter(C.o_orderstatus == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _chain(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    supp = _chain(spark, sf, "supplier").select("s_suppkey", "s_name")
+    lo = li.merge(
+        orders, on="l_orderkey", right_on="o_orderkey", inner=True, null_safe=False
+    ).mutate(
+        is_late=(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 900 DAYS")
+        )
+    )
+    stats = lo.group_by(
+        partition_by=["l_orderkey"],
+        nsupp=func.count_distinct(C.l_suppkey),
+        nlate=func.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))),
+    )
+    blamed = (
+        stats.filter(C.nsupp >= 2, C.nlate == 1)
+        .select("l_orderkey")
+        .rename(bo="l_orderkey")
+    )
+    return (
+        lo.filter(C.is_late == True)  # noqa: E712
+        .merge(blamed, on="l_orderkey", right_on="bo", inner=True, null_safe=False)
+        .merge(supp, on="l_suppkey", right_on="s_suppkey", inner=True, null_safe=False)
+        .group_by(partition_by=["s_name"], numwait=func.count())
+        .order_by(C.numwait.column.desc(), C.s_name.column)
+        .limit(25)
+        .df
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 900 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 900 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
 def multimodal_ro(spark, sf):
     """Binary-column plumbing: fake image meta over doc bytes. The fake
     decoder is sha256-derived and deterministic, so even the mapInPandas
@@ -2776,6 +3331,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_variety": q16_supplier_variety,
         "q22_idle_balances": q22_idle_balances,
         "q7_nation_volume": q7_nation_volume,
+        # r04: TPC-H completion — all 22 shapes now present (correlated-min,
+        # EXISTS, market-share ratio, profit, global-fraction HAVING, outer-
+        # join distribution, view-max, correlated-avg, having-in, nested-IN,
+        # exists/not-exists pair)
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
     }
 
 
@@ -2855,4 +3425,15 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_variety": Q16_SQL,
         "q22_idle_balances": Q22_SQL,
         "q7_nation_volume": Q7_SQL,
+        "q2_min_cost_supplier": Q2_SQL,
+        "q4_order_priority": Q4_SQL,
+        "q8_market_share": Q8_SQL,
+        "q9_product_profit": Q9_SQL,
+        "q11_important_stock": Q11_SQL,
+        "q13_customer_distribution": Q13_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q17_small_quantity": Q17_SQL,
+        "q18_large_volume": Q18_SQL,
+        "q20_excess_suppliers": Q20_SQL,
+        "q21_waiting_suppliers": Q21_SQL,
     }
