@@ -2643,8 +2643,18 @@ def q2_min_cost_supplier(spark, sf):
         .merge(region, on="n_regionkey", right_on="r_regionkey", inner=True, null_safe=False)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    from pyspark.sql import Window
+
+    # scale notes: (a) semi-restrict to wanted parts + EUROPE suppliers
+    # BEFORE the (part,supplier) aggregation — Catalyst can't push an inner
+    # join below a groupBy, so without this the agg would run over the full
+    # lineitem (6x the needed rows at 100 TB); (b) the per-part min is a
+    # WINDOW over the already-partitioned aggregate, not an agg + self-join
+    # — one shuffle on the part key and no recompute of the cost subtree
     cost = (
-        li.mutate(unit_cost=F.col("l_extendedprice") / F.col("l_quantity"))
+        li.semi_join(part, on="l_partkey", right_on="p_partkey", null_safe=False)
+        .semi_join(eur_supp, on="l_suppkey", right_on="s_suppkey", null_safe=False)
+        .mutate(unit_cost=F.col("l_extendedprice") / F.col("l_quantity"))
         .group_by(
             partition_by=["l_partkey", "l_suppkey"],
             supply_cost=func.min(C.unit_cost),
@@ -2652,17 +2662,11 @@ def q2_min_cost_supplier(spark, sf):
         .merge(eur_supp, on="l_suppkey", right_on="s_suppkey", inner=True, null_safe=False)
         .merge(part, on="l_partkey", right_on="p_partkey", inner=True, null_safe=False)
     )
-    best = cost.group_by(
-        partition_by=["p_partkey"], min_cost=func.min(C.supply_cost)
-    ).rename(bp="p_partkey")
     return (
-        cost.merge(
-            best,
-            on=["p_partkey", "supply_cost"],
-            right_on=["bp", "min_cost"],
-            inner=True,
-            null_safe=False,
+        cost.mutate(
+            min_cost=F.min("supply_cost").over(Window.partitionBy("p_partkey"))
         )
+        .filter(F.col("supply_cost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
         .order_by(
             C.s_acctbal.column.desc(),
@@ -2997,15 +3001,21 @@ def q17_small_quantity(spark, sf):
     re-join; the oracle keeps the correlated form."""
     li = _chain(spark, sf, "lineitem")
     part = _chain(spark, sf, "part").filter(C.p_brand == "Brand#23").select("p_partkey")
+    from pyspark.sql import Window
+
     branded = li.merge(
         part, on="l_partkey", right_on="p_partkey", inner=True, null_safe=False
     )
-    avg_qty = branded.group_by(
-        partition_by=["l_partkey"],
-        avg_qty=(func.sum(_dec(F.col("l_quantity"))).cast("double") / func.count()),
-    ).rename(ap="l_partkey")
+    # the correlated per-part AVG becomes a window over the part key — one
+    # shuffle, no recompute of the branded-join subtree (vs agg + re-join)
+    w = Window.partitionBy("l_partkey")
     return (
-        branded.merge(avg_qty, on="l_partkey", right_on="ap", inner=True, null_safe=False)
+        branded.mutate(
+            avg_qty=(
+                F.sum(_dec(F.col("l_quantity"))).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            )
+        )
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .group_by(
             avg_yearly=(func.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0)),
@@ -3126,19 +3136,22 @@ def q21_waiting_suppliers(spark, sf):
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 900 DAYS")
         )
     )
-    stats = lo.group_by(
-        partition_by=["l_orderkey"],
-        nsupp=func.count_distinct(C.l_suppkey),
-        nlate=func.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))),
-    )
-    blamed = (
-        stats.filter(C.nsupp >= 2, C.nlate == 1)
-        .select("l_orderkey")
-        .rename(bo="l_orderkey")
-    )
+    from pyspark.sql import Window
+
+    # the EXISTS/NOT-EXISTS pair needs per-order context next to each line:
+    # distinct-count windows (collect_set sizes — DISTINCT aggregates aren't
+    # allowed in Spark windows) give it in ONE shuffle on the order key, with
+    # no recompute of the lineitem-orders join subtree. Order groups are a
+    # handful of lines, so the set state is O(suppliers-per-order), not O(n).
+    w = Window.partitionBy("l_orderkey")
     return (
-        lo.filter(C.is_late == True)  # noqa: E712
-        .merge(blamed, on="l_orderkey", right_on="bo", inner=True, null_safe=False)
+        lo.mutate(
+            nsupp=F.size(F.collect_set(F.col("l_suppkey")).over(w)),
+            nlate=F.size(
+                F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+            ),
+        )
+        .filter(C.is_late == True, C.nsupp >= 2, C.nlate == 1)  # noqa: E712
         .merge(supp, on="l_suppkey", right_on="s_suppkey", inner=True, null_safe=False)
         .group_by(partition_by=["s_name"], numwait=func.count())
         .order_by(C.numwait.column.desc(), C.s_name.column)

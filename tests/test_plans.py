@@ -162,3 +162,42 @@ def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
     assert any("l_quantity" in f for f in pf), pf
     assert any("p_brand" in f and "p_size" in f for f in pf), pf
     assert all(j == "BroadcastHashJoin" for j in join_strategies(df))
+
+
+def test_q2_restricts_before_aggregation(spark, sf_dir):
+    # the (part,supplier) cost agg must run AFTER the part-type and
+    # EUROPE-supplier semi-restrictions (Catalyst can't push a join below a
+    # groupBy, so the query composes them explicitly), and the per-part min
+    # is a window — not an agg + self-join recomputing the cost subtree
+    df = Q["q2_min_cost_supplier"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("p_type" in f for f in pf), pf
+    assert any("r_name" in f for f in pf), pf
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+
+
+def test_q17_q21_window_decorrelation_no_recompute(spark, sf_dir):
+    # correlated AVG (q17) / EXISTS+NOT-EXISTS (q21) decorrelate into window
+    # functions: one shuffle on the correlation key, zero sort-merge joins
+    # (an agg + re-join decorrelation recomputes the shared subtree)
+    for name in ("q17_small_quantity", "q21_waiting_suppliers"):
+        df = Q[name](spark, sf_dir)
+        assert "SortMergeJoin" not in join_strategies(df), name
+        assert shuffle_count(df) <= 4, name
+
+
+def test_q11_scalar_stays_in_plan(spark, sf_dir):
+    # the global-total threshold is a broadcast 1-row cross join, not a
+    # driver collect: the plan must contain a BroadcastNestedLoopJoin and
+    # push the region filter to the scan
+    df = Q["q11_important_stock"](spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in join_strategies(df)
+    assert any("r_name" in f for f in pushed_filters(df))
+
+
+def test_q18_having_in_single_shuffle(spark, sf_dir):
+    # big-order HAVING feeds broadcast joins: only the groupBy shuffles
+    df = Q["q18_large_volume"](spark, sf_dir)
+    assert shuffle_count(df) <= 2
+    assert "SortMergeJoin" not in join_strategies(df)
