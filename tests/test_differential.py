@@ -1,0 +1,223 @@
+"""Differential property tests: hypothesis-generated tables run through the
+chain API vs DuckDB running equivalent SQL on the SAME data. Complements
+tests/test_oracle.py (fixed queries, fixed testdata) with randomized inputs —
+null keys, duplicate rows, empty partitions, negative values — the places
+where join/group/dedup semantics diverge between engines if anything is
+subtly wrong (reference's test strategy: SURVEY.md §5 functional tests over
+tmp datasets).
+
+DuckDB sees the data via a registered pandas frame; Spark via read_pandas.
+Comparison reuses the driver-faithful dtype-strict harness (oracle_harness).
+"""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import datachain_spark as dc
+from datachain_spark import C, func
+
+from .oracle_harness import compare_frames
+
+# small-but-nasty value domains: duplicates likely, nulls common
+keys = st.one_of(st.none(), st.integers(min_value=-3, max_value=3))
+vals = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
+tags = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+
+rows = st.lists(st.tuples(keys, vals, tags), min_size=0, max_size=12)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _pdf(data):
+    # anchor row: keeps every frame non-empty with at least one non-null per
+    # column (empty / all-null object columns are un-inferable for Spark and
+    # get arbitrary dtypes from DuckDB — not behaviors under test)
+    data = list(data) + [(0, 0, "z")]
+    return pd.DataFrame(data, columns=["k", "v", "t"]).astype(
+        {"k": "Int64", "v": "Int64", "t": "object"}
+    )
+
+
+def _duck(sql, **frames):
+    con = duckdb.connect()
+    for name, f in frames.items():
+        con.register(name, f)
+    out = con.execute(sql).df()
+    con.close()
+    return out
+
+
+def _check(ch, sql, **frames):
+    spark_pd = ch.df.toPandas()
+    duck_pd = _duck(sql, **frames)
+    ok, detail = compare_frames(spark_pd, duck_pd)
+    assert ok, detail
+
+
+@given(data=rows)
+@SETTINGS
+def test_filter_mutate_order(session, data):
+    f = _pdf(data)
+    ch = (
+        dc.read_pandas(f, session=session)
+        .filter(C.v > 0)
+        .mutate(w=C.v * 2 + 1)
+        .order_by("k", "v", "t")
+        .select("k", "v", "t", "w")
+    )
+    _check(
+        ch,
+        """SELECT k, v, t, v * 2 + 1 AS w FROM f WHERE v > 0
+           ORDER BY k NULLS FIRST, v NULLS FIRST, t NULLS FIRST""",
+        f=f,
+    )
+
+
+@given(data=rows)
+@SETTINGS
+def test_group_by_null_keys(session, data):
+    # SQL GROUP BY treats NULL as a real group in both engines — and so must
+    # the chain. sum over all-null groups is NULL, count() counts rows,
+    # count(v) skips nulls.
+    f = _pdf(data)
+    ch = (
+        dc.read_pandas(f, session=session)
+        .group_by(
+            partition_by=["k"],
+            n=func.count(),
+            nv=func.count(C.v),
+            s=func.sum(C.v),
+            lo=func.min(C.v),
+            hi=func.max(C.v),
+        )
+        .order_by("k")
+    )
+    _check(
+        ch,
+        """SELECT k, count(*) AS n, count(v) AS nv,
+                  CAST(sum(v) AS BIGINT) AS s, min(v) AS lo, max(v) AS hi
+           FROM f GROUP BY k ORDER BY k NULLS FIRST""",
+        f=f,
+    )
+
+
+@given(left=rows, right=rows)
+@SETTINGS
+def test_merge_inner_null_safe(session, left, right):
+    # default merge key equality is null-safe (<=>): NULL keys MATCH, like
+    # the reference's merge — DuckDB expresses it as IS NOT DISTINCT FROM
+    lf, rf = _pdf(left), _pdf(right).rename(columns={"k": "rk", "v": "rv", "t": "rt"})
+    lch = dc.read_pandas(lf, session=session)
+    rch = dc.read_pandas(rf, session=session)
+    ch = (
+        lch.merge(rch, on="k", right_on="rk", inner=True)
+        .select("k", "v", "t", "rv", "rt")
+        .order_by("k", "v", "t", "rv", "rt")
+    )
+    _check(
+        ch,
+        """SELECT k, v, t, rv, rt FROM lf JOIN rf ON k IS NOT DISTINCT FROM rk
+           ORDER BY k NULLS FIRST, v NULLS FIRST, t NULLS FIRST,
+                    rv NULLS FIRST, rt NULLS FIRST""",
+        lf=lf,
+        rf=rf,
+    )
+
+
+@given(left=rows, right=rows)
+@SETTINGS
+def test_subtract_is_null_safe_anti_join(session, left, right):
+    # subtract keeps left rows whose key appears nowhere on the right,
+    # NULL-safely (a NULL left key is removed when the right has a NULL key)
+    lf, rf = _pdf(left), _pdf(right).rename(columns={"k": "rk", "v": "rv", "t": "rt"})
+    lch = dc.read_pandas(lf, session=session)
+    rch = dc.read_pandas(rf, session=session)
+    ch = lch.subtract(rch, on=["k"], right_on=["rk"]).order_by("k", "v", "t")
+    _check(
+        ch,
+        """SELECT k, v, t FROM lf WHERE NOT EXISTS
+             (SELECT 1 FROM rf WHERE rk IS NOT DISTINCT FROM k)
+           ORDER BY k NULLS FIRST, v NULLS FIRST, t NULLS FIRST""",
+        lf=lf,
+        rf=rf,
+    )
+
+
+@given(left=rows, right=rows)
+@SETTINGS
+def test_union_distinct(session, left, right):
+    # union is ALL (reference semantics); stacking distinct() on top must
+    # equal SQL UNION (set semantics, nulls compare equal for dedup)
+    lf, rf = _pdf(left), _pdf(right)
+    lch = dc.read_pandas(lf, session=session)
+    rch = dc.read_pandas(rf, session=session)
+    ch = lch.union(rch).distinct().order_by("k", "v", "t")
+    _check(
+        ch,
+        """SELECT k, v, t FROM lf UNION SELECT k, v, t FROM rf
+           ORDER BY k NULLS FIRST, v NULLS FIRST, t NULLS FIRST""",
+        lf=lf,
+        rf=rf,
+    )
+
+
+@given(data=rows)
+@SETTINGS
+def test_window_rank_over_groups(session, data):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    f = _pdf(data)
+    w = Window.partitionBy("k").orderBy(
+        F.col("v").asc_nulls_first(), F.col("t").asc_nulls_first()
+    )
+    ch = (
+        dc.read_pandas(f, session=session)
+        .mutate(rn=F.row_number().over(w).cast("long"))
+        .order_by("k", "rn")
+    )
+    _check(
+        ch,
+        """SELECT k, v, t,
+                  row_number() OVER (PARTITION BY k
+                                     ORDER BY v NULLS FIRST, t NULLS FIRST) AS rn
+           FROM f ORDER BY k NULLS FIRST, rn""",
+        f=f,
+    )
+
+
+@pytest.mark.parametrize("how", ["left", "full"])
+def test_outer_merge_fixed_nulls(session, how):
+    # deterministic spot-check of outer-join null fill on both sides
+    lf = _pdf([(1, 10, "a"), (None, 20, "b"), (2, 30, None)])
+    rf = _pdf([(1, 100, "x"), (None, 200, "y"), (3, 300, "z")]).rename(
+        columns={"k": "rk", "v": "rv", "t": "rt"}
+    )
+    lch = dc.read_pandas(lf, session=session)
+    rch = dc.read_pandas(rf, session=session)
+    ch = (
+        lch.merge(rch, on="k", right_on="rk", full=(how == "full"))
+        .select("k", "v", "t", "rv", "rt")
+        .order_by("k", "v", "rv")
+    )
+    join_kw = "LEFT OUTER JOIN" if how == "left" else "FULL OUTER JOIN"
+    _check(
+        ch,
+        f"""SELECT k, v, t, rv, rt FROM lf {join_kw} rf
+            ON k IS NOT DISTINCT FROM rk
+            ORDER BY k NULLS FIRST, v NULLS FIRST, rv NULLS FIRST""",
+        lf=lf,
+        rf=rf,
+    )
