@@ -141,7 +141,7 @@ def rebase_path(
 
 
 try:
-    from pydantic import BaseModel, Field
+    from pydantic import BaseModel, Field, field_validator
 
     class File(BaseModel):
         """Pydantic File signal — mirrors lib/file.py:217-224."""
@@ -216,6 +216,51 @@ try:
         def read(self, length: int = -1) -> bytes:
             """Parity: lib/file.py:469 — alias of read_bytes."""
             return self.read_bytes(length)
+
+        @field_validator("path", mode="before")
+        @classmethod
+        def validate_path(cls, path):
+            """Normalize to POSIX form — parity lib/file.py:286-289."""
+            from pathlib import PurePath
+
+            return PurePath(path).as_posix() if path else ""
+
+        @field_validator("location", mode="before")
+        @classmethod
+        def validate_location(cls, v):
+            """The reference stores location as dict/list (lib/file.py:
+            256-284); the Spark column is a JSON string — accept either."""
+            if v is None or isinstance(v, str):
+                return v or None
+            return json.dumps(v)
+
+        def model_dump_custom(self) -> dict:
+            """Parity lib/file.py:291-294: plain dict with a stringified
+            timestamp (JSON-safe)."""
+            res = self.model_dump()
+            res["last_modified"] = str(res["last_modified"])
+            return res
+
+        def ensure_cached(self) -> None:
+            """Pre-warm the executor-local (uri, etag) cache — parity
+            lib/file.py:532-538 (catalog client download replaced by the
+            cache-routed read)."""
+            self.read_bytes(cache=True)
+
+        def get_fs(self):
+            """fsspec filesystem for this file's source — parity
+            lib/file.py:653-655. Requires fsspec for non-local schemes."""
+            uri = self.get_uri()
+            scheme = uri.split("://", 1)[0] if "://" in uri else "file"
+            try:
+                import fsspec  # type: ignore[import-not-found]
+            except ImportError:
+                if scheme == "file":
+                    raise NotImplementedError(
+                        "get_fs requires the 'fsspec' package"
+                    ) from None
+                raise
+            return fsspec.filesystem(scheme)
 
         # -- open / write / export surface (parity lib/file.py:395-540) ----
 
@@ -472,6 +517,16 @@ try:
         def read(self, encoding: str = "utf-8") -> str:
             return self.read_text(encoding)
 
+        @contextmanager
+        def open(self, mode: str = "r", **open_kwargs):
+            """Text-mode default — parity lib/file.py:786-792."""
+            with super().open(mode, **open_kwargs) as f:
+                yield f
+
+        def save(self, destination: str, client_config: Optional[dict] = None) -> None:
+            """Write text content — parity lib/file.py:803-809."""
+            _write_bytes(destination, self.read_text().encode("utf-8"), client_config)
+
     class Image(BaseModel):
         """Image metadata signal. Parity: lib/file.py:812 (Image model)."""
 
@@ -492,6 +547,12 @@ try:
 
         def get_info(self) -> "Image":
             raise NotImplementedError("image metadata requires PIL/pillow")
+
+        def save(self, destination: str, client_config: Optional[dict] = None) -> None:
+            """Reference re-encodes via PIL by target extension
+            (lib/file.py:823-840) — decode lib absent here; raw-byte copy
+            is available via File.save on the base class."""
+            raise NotImplementedError("image re-encode save requires PIL/pillow")
 
     class Video(BaseModel):
         """Parity: lib/file.py:864 (Video model)."""
@@ -516,24 +577,95 @@ try:
         bit_rate: int = -1
 
     class VideoFile(File):
-        """Parity: lib/file.py:880. Frame/fragment extraction requires av/
-        opencv — stubbed; see ops.multimodal.sample_video_frames for the
-        executor-side 1:N plumbing."""
+        """Parity: lib/file.py:880. DECODE requires av/opencv (env-stub);
+        the frame/fragment POINTER constructors below are pure models — the
+        reference also builds them without touching bytes (lib/file.py:
+        916-996), and that's what a Spark pipeline fans out on before the
+        executor-side decode (ops.multimodal.sample_video_frames)."""
 
         def get_info(self) -> "Video":
             raise NotImplementedError("video metadata requires av/opencv")
 
-        def get_frame(self, frame: int):
-            raise NotImplementedError("frame extraction requires av/opencv")
+        def get_frame(self, frame: int) -> "VideoFrame":
+            """Pointer to one frame — parity lib/file.py:935-944."""
+            if frame < 0:
+                raise ValueError("frame must be a non-negative integer")
+            return VideoFrame(video=self, frame=frame)
+
+        def get_frames(self, start: int = 0, end: Optional[int] = None, step: int = 1):
+            """Iterator of frame pointers — parity lib/file.py:916-933.
+            ``end=None`` needs the stream's frame count (decode lib)."""
+            if start < 0:
+                raise ValueError("start_frame must be a non-negative integer.")
+            if step < 1:
+                raise ValueError("step must be a positive integer.")
+            if end is None:
+                end = self.get_info().frames  # env-stub raises here
+            if end < start:
+                raise ValueError("end_frame must be greater than start_frame.")
+            for f in range(start, end, step):
+                yield self.get_frame(f)
+
+        def get_fragment(self, start: float, end: float) -> "VideoFragment":
+            """Pointer to a [start, end) time slice — parity
+            lib/file.py:946-963."""
+            if start < 0 or end < 0 or start >= end:
+                raise ValueError(
+                    f"Can't get video fragment for '{self.path}', "
+                    f"invalid time range: ({start:.3f}, {end:.3f})"
+                )
+            return VideoFragment(video=self, start=start, end=end)
+
+        def get_fragments(
+            self, duration: float, start: float = 0, end: Optional[float] = None
+        ):
+            """Split into fixed-duration fragment pointers — parity
+            lib/file.py:965-996. ``end=None`` needs stream duration."""
+            if duration <= 0:
+                raise ValueError("duration must be a positive float.")
+            if start < 0:
+                raise ValueError("start must be a non-negative float.")
+            if end is None:
+                end = self.get_info().duration  # env-stub raises here
+            if end < start:
+                raise ValueError("end must be greater than start.")
+            while start < end:
+                yield self.get_fragment(start, min(start + duration, end))
+                start += duration
 
     class AudioFile(File):
-        """Parity: lib/file.py:1005."""
+        """Parity: lib/file.py:1005. Same split as VideoFile: decode is
+        env-stubbed, fragment POINTERS are pure models."""
 
         def get_info(self) -> "Audio":
             raise NotImplementedError("audio metadata requires soundfile/av")
 
-        def get_fragment(self, start: float, end: float):
-            raise NotImplementedError("audio fragments require soundfile/av")
+        def get_fragment(self, start: float, end: float) -> "AudioFragment":
+            """Pointer to a [start, end) slice — parity lib/file.py:
+            1029-1049 (no download, no extraction)."""
+            if start < 0 or end < 0 or start >= end:
+                raise ValueError(
+                    f"Can't get audio fragment for '{self.path}', "
+                    f"invalid time range: ({start:.3f}, {end:.3f})"
+                )
+            return AudioFragment(audio=self, start=start, end=end)
+
+        def get_fragments(
+            self, duration: float, start: float = 0, end: Optional[float] = None
+        ):
+            """Fixed-duration fragment pointers — parity lib/file.py:
+            1051-1080."""
+            if duration <= 0:
+                raise ValueError("duration must be a positive float.")
+            if start < 0:
+                raise ValueError("start must be a non-negative float.")
+            if end is None:
+                end = self.get_info().duration  # env-stub raises here
+            if end < start:
+                raise ValueError("end must be greater than start.")
+            while start < end:
+                yield self.get_fragment(start, min(start + duration, end))
+                start += duration
 
     class AudioFragment(BaseModel):
         """A [start, end) slice of an audio file. Parity: lib/file.py:1120.
@@ -568,10 +700,30 @@ try:
 
     class ArrowRow(BaseModel):
         """Provenance marker for parse_tabular rows.
-        Parity: lib/arrow.py ArrowRow."""
+        Parity: lib/file.py:1364-1390 (ArrowRow)."""
 
         file: File
         index: int = 0
+        kwargs: dict = Field(default_factory=dict)
+
+        def open(self):
+            """Arrow reader positioned at this row — parity
+            lib/file.py:1371-1385 (local sources; remote goes through
+            get_fs/fsspec like the reference's non-cached branch)."""
+            from pyarrow.dataset import dataset
+
+            uri = self.file.get_uri()
+            if "://" in uri and not uri.startswith("file://"):
+                ds = dataset(
+                    self.file.get_fs_path(), filesystem=self.file.get_fs(), **self.kwargs
+                )
+            else:
+                ds = dataset(self.file.get_local_path(), **self.kwargs)
+            return ds.take([self.index]).to_reader()
+
+        def read(self) -> dict:
+            """Row contents as a dict — parity lib/file.py:1387-1390."""
+            return self.open().read_all().to_pylist()[0]
 
 except ImportError:  # pragma: no cover
     File = None  # type: ignore[assignment]
