@@ -905,9 +905,7 @@ class DataChain:
     def persist(self) -> "DataChain":
         """Session-temporary materialization. Parity: datachain.py:570-588;
         temp naming query/session.py:222-231."""
-        import uuid as _uuid
-
-        name = f"session.tmp.tmp_{_uuid.uuid4().hex[:12]}"
+        name = self.session.generate_temp_dataset_name()
         out = self.save(name)
         self.session.register_temp(name)
         return out

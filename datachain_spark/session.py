@@ -95,6 +95,20 @@ class Session:
     def register_temp(self, dataset_name: str) -> None:
         self._temp_datasets.append(dataset_name)
 
+    # -- temp-dataset naming helpers (parity query/session.py:218-236) -----
+
+    def get_temp_prefix(self) -> str:
+        """Session-scoped temp dataset prefix."""
+        return "session.tmp.tmp_"
+
+    def generate_temp_dataset_name(self) -> str:
+        import uuid as _uuid
+
+        return f"{self.get_temp_prefix()}{_uuid.uuid4().hex[:12]}"
+
+    def is_temp_dataset(self, name: str) -> bool:
+        return name.startswith("session.tmp.")
+
     def _cleanup_temp(self) -> None:
         for name in self._temp_datasets:
             try:
