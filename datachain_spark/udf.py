@@ -44,6 +44,18 @@ class UDFBase:
     def process(self, *args: Any) -> Any:
         raise NotImplementedError
 
+    # introspection parity (lib/udf.py:167-190). The reference's run/
+    # to_udf_wrapper dispatch machinery is intentionally absent: execution
+    # is Spark's mapInPandas/applyInPandas, not a Python dispatcher.
+
+    @property
+    def name(self) -> str:
+        return self.__class__.__name__
+
+    @property
+    def verbose_name(self) -> str:
+        return self.name
+
 
 class Mapper(UDFBase):
     """1:1 UDF. Parity: lib/udf.py:394-437."""
