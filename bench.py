@@ -46,6 +46,8 @@ HEADLINE = [
     "interleave_full",
     # the composed corpus-prep DAG: gate -> dedup -> pack in ONE plan
     "corpus_pipeline_full",
+    # whole-corpus generator UDF (BASELINE.md gen() throughput comparable)
+    "udf_gen_full",
 ]
 
 
@@ -140,9 +142,25 @@ def main() -> None:
             F.max("pack_last").alias("packs"), F.sum("n_tokens").alias("tokens")
         )
 
+    def _udf_gen_full(spark, sf):
+        # whole-corpus generator UDF: one output row per word — the shape of
+        # BASELINE.md's gen() throughput figure (reference ~11.3k rows/s on
+        # a ~48k-row generation); here ~0.8M rows out of 5k docs at sf0.1
+        docs = entrymod._chain(spark, sf, "documents")
+
+        def words(doc_id: int, txt: str):
+            for i, w in enumerate(txt.split()):
+                yield doc_id, i, w
+
+        return docs.gen(
+            words, params=["doc_id", "text"],
+            output={"doc_id": int, "pos": int, "word": str},
+        ).df
+
     queries["pack_sequences_full"] = _pack_sequences_full
     queries["interleave_full"] = _interleave_full
     queries["corpus_pipeline_full"] = _corpus_pipeline_full
+    queries["udf_gen_full"] = _udf_gen_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);
