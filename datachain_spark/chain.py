@@ -552,13 +552,18 @@ class DataChain:
                 raise DatasetMergeError("subtract: no common columns to compare on")
         if len(lkeys) != len(rkeys):
             raise DatasetMergeError("subtract: on/right_on length mismatch")
-        right = other._df.select(*rkeys).dropDuplicates()
+        # dotted keys ("file.path"): a bare select keeps only the LEAF name,
+        # so alias the right projection to reference-able flat names
+        rflat = [rk.replace(".", "__") if "." in rk else rk for rk in rkeys]
+        right = other._df.select(
+            *[other._df[rk].alias(f) for rk, f in zip(rkeys, rflat)]
+        ).dropDuplicates()
         cond = None
-        for lk, rk in zip(lkeys, rkeys):
+        for lk, rf in zip(lkeys, rflat):
             c = (
-                self._df[lk].eqNullSafe(right[rk])
+                self._df[lk].eqNullSafe(right[rf])
                 if null_safe
-                else (self._df[lk] == right[rk])
+                else (self._df[lk] == right[rf])
             )
             cond = c if cond is None else cond & c
         return self._evolve(
@@ -587,13 +592,17 @@ class DataChain:
                 raise DatasetMergeError("semi_join: no common columns to compare on")
         if len(lkeys) != len(rkeys):
             raise DatasetMergeError("semi_join: on/right_on length mismatch")
-        right = other._df.select(*rkeys).dropDuplicates()
+        # dotted-key right projection: same aliasing as subtract
+        rflat = [rk.replace(".", "__") if "." in rk else rk for rk in rkeys]
+        right = other._df.select(
+            *[other._df[rk].alias(f) for rk, f in zip(rkeys, rflat)]
+        ).dropDuplicates()
         cond = None
-        for lk, rk in zip(lkeys, rkeys):
+        for lk, rf in zip(lkeys, rflat):
             c = (
-                self._df[lk].eqNullSafe(right[rk])
+                self._df[lk].eqNullSafe(right[rf])
                 if null_safe
-                else (self._df[lk] == right[rk])
+                else (self._df[lk] == right[rf])
             )
             cond = c if cond is None else cond & c
         return self._evolve(

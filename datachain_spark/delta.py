@@ -59,6 +59,7 @@ def delta_save(
     delta_compare: Union[str, Sequence[str], None] = None,
     delta_retry: Union[bool, str, None] = None,
     session: Optional[Session] = None,
+    _job_extra: str = "",
 ) -> DataChain:
     """Incrementally (re)compute ``name`` from ``source``.
 
@@ -84,7 +85,7 @@ def delta_save(
     prev_result_rec = sess.metastore.get_record(name)
     prev_snap_rec = sess.metastore.get_record(snap_name)
 
-    job_hash = fingerprint_fn(process, extra=",".join(keys))
+    job_hash = fingerprint_fn(process, extra=",".join(keys) + _job_extra)
 
     if prev_result_rec is None or prev_snap_rec is None:
         # first run: full compute
@@ -109,21 +110,48 @@ def delta_save(
     prev_df, _, _ = sess.metastore.load_dataset(sess.spark, name, prev_version.version)
     prev_result = DataChain(prev_df, sess)
 
+    # dotted keys (e.g. "file.path"): selecting them yields the LEAF name,
+    # so key-only projections alias to a flat stand-in and joins use
+    # on=keys / right_on=flat
+    flat_keys = [k.replace(".", "__") for k in keys]
+
+    def _key_sel(df):
+        return df.select(*[F.col(k).alias(f) for k, f in zip(keys, flat_keys)])
+
     retry_keys = None
     if delta_retry:
         if isinstance(delta_retry, str) and delta_retry is not True:
-            retry_keys = prev_result.filter(F.col(delta_retry).isNotNull()).select(*keys)
+            # string columns: non-empty value marks an error (the reference
+            # filters C(col) != "" — delta.py:160-161 — matching the
+            # examples' ""-on-success convention); other types: non-null
+            from pyspark.sql import types as T
+
+            err = F.col(delta_retry)
+            field_type = prev_result.df.select(err.alias("__e")).schema["__e"].dataType
+            cond = (
+                (err.isNotNull() & (err != ""))
+                if isinstance(field_type, T.StringType)
+                else err.isNotNull()
+            )
+            retry_keys = DataChain(_key_sel(prev_result.filter(cond).df), sess)
         else:
-            retry_keys = source.subtract(prev_result, on=keys).select(*keys)
+            retry_keys = DataChain(
+                _key_sel(source.subtract(prev_result, on=keys).df), sess
+            )
 
     to_process = changed
     if retry_keys is not None and retry_keys.count() > 0:
         retry_rows = source.merge(
-            retry_keys.distinct(*keys), on=keys, inner=True
+            retry_keys.distinct(*flat_keys), on=keys, right_on=flat_keys, inner=True
         ).select(*source.columns)
-        to_process = DataChain(
-            to_process.df.unionByName(retry_rows.df).dropDuplicates(keys), sess
+        unioned = to_process.df.unionByName(retry_rows.df)
+        for k, f in zip(keys, flat_keys):
+            if "." in k:
+                unioned = unioned.withColumn(f, F.col(k))
+        unioned = unioned.dropDuplicates(flat_keys).drop(
+            *[f for k, f in zip(keys, flat_keys) if "." in k]
         )
+        to_process = DataChain(unioned, sess)
 
     n_changed = to_process.count()
     if n_changed == 0 and deleted.count() == 0 and prev_version.job_hash == job_hash:
@@ -138,10 +166,10 @@ def delta_save(
 
     # previous results still valid: key not reprocessed and not deleted
     stale_keys = DataChain(
-        to_process.df.select(*keys).unionByName(deleted.df.select(*keys)).dropDuplicates(),
+        _key_sel(to_process.df).unionByName(_key_sel(deleted.df)).dropDuplicates(),
         sess,
     )
-    kept = prev_result.subtract(stale_keys, on=keys)
+    kept = prev_result.subtract(stale_keys, on=keys, right_on=flat_keys)
     merged = DataChain(kept.df.unionByName(processed.df, allowMissingColumns=False), sess)
 
     result = merged.save(name)
@@ -195,3 +223,114 @@ def checkpoint_save(
     dv = sess.metastore.save_dataset(chain.df, name, job_hash=h)
     df, _, _ = sess.metastore.load_dataset(sess.spark, name, dv.version)
     return DataChain(df, sess)
+
+
+# --------------------------------------------------------------------------
+# flag-style delta chains (reference lib/dc/storage.py:33-41 /
+# lib/dc/datasets.py:36-43: read_*(delta=True, delta_on=..., delta_retry=...)
+# ... .save(name=...)) — used verbatim by the public
+# examples/incremental_processing scripts.
+# --------------------------------------------------------------------------
+
+#: methods the reference disables under delta (delta.py:28-46 delta_disabled
+#: on agg/distinct/group_by/merge/union) unless delta_unsafe is set
+DELTA_RESTRICTED = {"agg", "distinct", "group_by", "merge", "union"}
+
+
+def _stable_repr(obj) -> str:
+    """Deterministic repr for checkpoint fingerprints: callables hash by
+    bytecode (their default repr embeds a memory address)."""
+    if callable(obj):
+        return fingerprint_fn(obj)
+    try:
+        return repr(obj)
+    except Exception:  # noqa: BLE001
+        return type(obj).__name__
+
+
+class DeltaChain:
+    """A pending incremental chain: transformation calls are RECORDED, not
+    executed; ``save(name)`` replays them through :func:`delta_save` over a
+    freshly-read source, so only new/changed/retried rows are processed.
+    This is how the DataFrame-is-the-plan design supports the reference's
+    step re-application (delta.py:189-391): the recorded calls ARE the
+    steps, and every chain method that takes unbound Column expressions /
+    callables replays cleanly onto the diff rows.
+
+    Terminal reads (count/show/to_*) are not available before ``save`` —
+    call them on its return value, exactly as the reference examples do.
+    """
+
+    def __init__(
+        self,
+        source_fn: Callable[[], DataChain],
+        delta_on: Union[str, Sequence[str]],
+        delta_compare: Union[str, Sequence[str], None] = None,
+        delta_retry: Union[bool, str, None] = None,
+        delta_unsafe: bool = False,
+        session: Optional[Session] = None,
+        _calls: Optional[list] = None,
+    ) -> None:
+        self._source_fn = source_fn
+        self._delta_on = delta_on
+        self._delta_compare = delta_compare
+        self._delta_retry = delta_retry
+        self._delta_unsafe = delta_unsafe
+        self._session = session
+        self._calls: list = list(_calls or [])
+
+    @property
+    def delta(self) -> bool:
+        return True
+
+    @property
+    def delta_unsafe(self) -> bool:
+        return self._delta_unsafe
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in DELTA_RESTRICTED and not self._delta_unsafe:
+            raise NotImplementedError(
+                f"Cannot use {name} with delta datasets - may cause"
+                " inconsistency. Use delta_unsafe flag to allow this operation."
+            )
+
+        def record(*args, **kwargs):
+            return DeltaChain(
+                self._source_fn,
+                self._delta_on,
+                self._delta_compare,
+                self._delta_retry,
+                self._delta_unsafe,
+                self._session,
+                [*self._calls, (name, args, kwargs)],
+            )
+
+        return record
+
+    def save(self, name: Optional[str] = None, **kwargs) -> DataChain:
+        if not name:
+            raise ValueError("delta processing requires save(name=...)")
+        calls = self._calls
+
+        def process(ch: DataChain) -> DataChain:
+            for method, args, kw in calls:
+                ch = getattr(ch, method)(*args, **kw)
+            return ch
+
+        extra = ";".join(
+            f"{m}({','.join(map(_stable_repr, a))},"
+            f"{','.join(f'{k}={_stable_repr(v)}' for k, v in sorted(kw.items()))})"
+            for m, a, kw in calls
+        )
+        return delta_save(
+            self._source_fn(),
+            process,
+            name,
+            delta_on=self._delta_on,
+            delta_compare=self._delta_compare,
+            delta_retry=self._delta_retry,
+            session=self._session,
+            _job_extra=extra,
+        )

@@ -46,6 +46,8 @@ def _infer_value_type(values: Sequence[Any]) -> T.DataType:
 def read_values(
     session: Optional[Session] = None,
     schema: Optional[dict[str, Any]] = None,
+    in_memory: bool = False,  # accepted for reference-signature drop-ins;
+    # a local Spark session is already in-memory (values.py:22)
     **columns: Sequence[Any],
 ) -> DataChain:
     """Column-oriented in-memory input: name=[values...].
@@ -260,9 +262,38 @@ def read_dataset(
     name: str,
     version: Optional[str] = None,
     session: Optional[Session] = None,
-) -> DataChain:
+    delta: bool = False,
+    delta_on: Union[str, Sequence[str], None] = None,
+    delta_result_on: Union[str, Sequence[str], None] = None,
+    delta_compare: Union[str, Sequence[str], None] = None,
+    delta_retry: Union[bool, str, None] = None,
+    delta_unsafe: bool = False,
+):
     """Saved dataset version (semver or specifier like '>=1.2').
-    Parity: lib/dc/datasets.py:27-220."""
+    Parity: lib/dc/datasets.py:27-220.
+
+    ``delta=True`` returns a pending incremental chain (parity
+    lib/dc/datasets.py:36-43): transformations are recorded and replayed
+    over only the new/changed/retried rows when ``save(name=...)`` runs —
+    see datachain_spark.delta.DeltaChain."""
+    if delta:
+        if not delta_on:
+            raise ValueError("delta=True requires delta_on")
+        if delta_result_on is not None:
+            raise NotImplementedError(
+                "delta_result_on (renamed result keys) is not supported; "
+                "keep the delta_on columns unrenamed through the chain"
+            )
+        from ..delta import DeltaChain
+
+        return DeltaChain(
+            lambda: read_dataset(name, version, session),
+            delta_on=delta_on,
+            delta_compare=delta_compare,
+            delta_retry=delta_retry,
+            delta_unsafe=delta_unsafe,
+            session=Session.get(session),
+        )
     sess = Session.get(session)
     df, rec, dv = sess.metastore.load_dataset(sess.spark, name, version)
     out = DataChain(df, sess, dependencies=[{"dataset": name, "version": dv.version}])

@@ -295,15 +295,47 @@ def read_storage(
     recursive: bool = True,
     update: bool = False,
     column: str = "file",
+    delta: bool = False,
+    delta_on: Union[str, Sequence[str], None] = None,
+    delta_result_on: Union[str, Sequence[str], None] = None,
+    delta_compare: Union[str, Sequence[str], None] = None,
+    delta_retry: Union[bool, str, None] = None,
+    delta_unsafe: bool = False,
     **kwargs,
-) -> DataChain:
+):
     """List bucket(s)/dir(s) into rows with a ``file`` File-struct column.
 
     Glob support: ``*``, ``**``, ``?``, ``[seq]``, ``{a,b}``, ``{1..9}``
     (parity: lib/dc/storage_pattern.py). Listings are cached as internal
     datasets ``lst__<uri>`` with a 4h TTL; ``update=True`` forces a re-list
     (parity: lib/listing.py:26-44).
+
+    ``delta=True`` (parity lib/dc/storage.py:33-41, the public
+    examples/incremental_processing flow): returns a pending incremental
+    chain whose recorded transformations replay over only the new/changed
+    files at ``save(name=...)`` time — datachain_spark.delta.DeltaChain.
     """
+    if delta:
+        if not delta_on:
+            raise ValueError("delta=True requires delta_on")
+        if delta_result_on is not None:
+            raise NotImplementedError(
+                "delta_result_on (renamed result keys) is not supported; "
+                "keep the delta_on columns unrenamed through the chain"
+            )
+        from ..delta import DeltaChain
+
+        return DeltaChain(
+            lambda: read_storage(
+                uri, session=session, recursive=recursive, update=update,
+                column=column, **kwargs,
+            ),
+            delta_on=delta_on,
+            delta_compare=delta_compare,
+            delta_retry=delta_retry,
+            delta_unsafe=delta_unsafe,
+            session=Session.get(session),
+        )
     uris = [uri] if isinstance(uri, str) else list(uri)
     sess = Session.get(session)
 

@@ -207,6 +207,17 @@ def normalize_output(
             if args:
                 ann = args[0]
         output = ann
+        if PYDANTIC and isinstance(output, type) and issubclass(output, BaseModel):
+            # a model-typed return annotation nests under the signal name
+            # (`.map(result=fn)` -> struct column `result`, fields reachable
+            # as result.error) — reference signal naming, udf_signature.py;
+            # an EXPLICIT `output=Model` keeps the flat layout for
+            # compatibility (declare output={'name': Model} to nest)
+            from .schema import model_to_struct
+
+            return T.StructType(
+                [T.StructField(default_name, model_to_struct(output), True)]
+            )
     if isinstance(output, T.StructType):
         return output
     if isinstance(output, str):
@@ -308,6 +319,59 @@ def _file_struct_params(df_schema: T.StructType, params: list[str]) -> list[str]
     return out
 
 
+def _sanitize_captured_models(*objs: Any) -> None:
+    """Make locally-defined pydantic models UDF-shippable.
+
+    pydantic v2 classes created inside a function store a snapshot of the
+    defining frame's locals in ``__pydantic_parent_namespace__`` (used only
+    to resolve ForwardRefs at model_rebuild time). When such a model rides
+    to executors inside a UDF closure, cloudpickle serializes that snapshot
+    too — and it routinely contains driver-only state (a Session holding the
+    SparkContext), failing with SPARK-5063. The models are fully built by
+    the time the UDF ships, so finish any pending rebuild and drop the
+    snapshot. Walks the UDF callable's closure cells/defaults, setup
+    factories, and nested model field annotations.
+    """
+    try:
+        from pydantic import BaseModel
+    except ImportError:  # pragma: no cover
+        return
+    seen: set = set()
+    stack = list(objs)
+    while stack:
+        obj = stack.pop()
+        if id(obj) in seen or obj is None:
+            continue
+        seen.add(id(obj))
+        if isinstance(obj, type) and issubclass(obj, BaseModel):
+            if getattr(obj, "__pydantic_parent_namespace__", None):
+                try:
+                    obj.model_rebuild()
+                except Exception:  # noqa: BLE001 — leave unresolved models be
+                    continue
+                try:
+                    obj.__pydantic_parent_namespace__ = None
+                except Exception:  # noqa: BLE001
+                    pass
+            for f in getattr(obj, "model_fields", {}).values():
+                stack.append(f.annotation)
+            continue
+        if isinstance(obj, UDFBase):
+            stack.extend(vars(obj).values())
+            stack.append(type(obj).process)
+        if callable(obj):
+            for cell in getattr(obj, "__closure__", None) or ():
+                try:
+                    stack.append(cell.cell_contents)
+                except ValueError:
+                    pass
+            stack.extend(getattr(obj, "__defaults__", None) or ())
+        elif isinstance(obj, dict):
+            stack.extend(obj.values())
+        elif isinstance(obj, (list, tuple, set, frozenset)):
+            stack.extend(obj)
+
+
 def build_map_fn(
     func: Union[Callable, UDFBase],
     params: list[str],
@@ -331,6 +395,7 @@ def build_map_fn(
     out_names = [f.name for f in out_struct.fields]
     if on_error not in ("raise", "null", "collect"):
         raise ValueError(f"map: unknown on_error {on_error!r}")
+    _sanitize_captured_models(func, setup, param_models)
     hyd = _hydrator(params, param_models)
 
     def run_one(call, vals):
@@ -397,6 +462,7 @@ def build_gen_fn(
     """mapInPandas function for .gen(): each input row yields 0..N output rows;
     the output schema REPLACES the input schema (datachain.py:862-900)."""
     out_names = [f.name for f in out_struct.fields]
+    _sanitize_captured_models(func, setup, param_models)
     hyd = _hydrator(params, param_models)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -445,6 +511,7 @@ def build_agg_fn(
     passed as sequences; the UDF yields output rows (lib/udf.py:545-625 —
     'whole group passed as lists')."""
     out_names = [f.name for f in out_struct.fields]
+    _sanitize_captured_models(func, setup, param_models)
     models = {p: m for p, m in (param_models or {}).items() if m is not None}
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -494,6 +561,7 @@ def build_batch_map_fn(
     returns a sequence of outputs of the same length
     (datachain.py:1037-1084)."""
     out_names = [f.name for f in out_struct.fields]
+    _sanitize_captured_models(func)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         call, inst = _callable(func)

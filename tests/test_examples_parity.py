@@ -114,3 +114,114 @@ def test_nested_datamodel_example(session):
     ch = dc.read_values(person=people, session=session)
     rows = ch.filter(dc.C("person.address.city") == "lviv").to_records()
     assert len(rows) == 1 and rows[0]["person"]["name"] == "bob"
+
+
+def test_retry_example_flag_style(session):
+    # examples/incremental_processing/retry.py verbatim flow: flag-style
+    # delta with delta_retry on a nested error column; odd ids fail on
+    # attempt 1 and succeed on attempt 2
+    import datachain_spark as dc
+    from datachain_spark import C
+    from pydantic import BaseModel
+
+    class ProcessingResult(BaseModel):
+        processed_content: str
+        processed_at: str
+        error: str
+        attempt: int
+
+    def process_data(item_id: int, content: str, attempt: int) -> ProcessingResult:
+        error = item_id % 2 == 1 and attempt == 1
+        return ProcessingResult(
+            processed_content="" if error else content.upper(),
+            processed_at="2026-08-14T00:00:00",
+            error=f"Processing error for item {item_id}" if error else "",
+            attempt=attempt,
+        )
+
+    dc.read_values(
+        item_id=[1, 2, 3, 4, 5],
+        content=["first", "second", "third", "fourth", "fifth"],
+        in_memory=True,
+        session=session,
+    ).save("sample_data")
+
+    first = (
+        dc.read_dataset(
+            "sample_data", delta=True, delta_on="item_id",
+            delta_retry="result.error", session=session,
+        )
+        .setup(attempt=lambda: 1)
+        .map(result=process_data)
+        .save(name="processed_data")
+    )
+    assert first.count() == 5
+    assert first.filter(C("result.error") != "").count() == 3  # odd ids
+
+    retry = (
+        dc.read_dataset(
+            "sample_data", delta=True, delta_on="item_id",
+            delta_retry="result.error", session=session,
+        )
+        .setup(attempt=lambda: 2)
+        .map(result=process_data)
+        .save(name="processed_data")
+    )
+    assert retry.count() == 5
+    assert retry.filter(C("result.error") != "").count() == 0
+    by_id = {r["item_id"]: r["result"] for r in retry.to_records()}
+    assert by_id[1]["attempt"] == 2 and by_id[1]["processed_content"] == "FIRST"
+    assert by_id[2]["attempt"] == 1  # untouched on retry
+
+
+def test_delta_example_flag_style(session, tmp_path):
+    # examples/incremental_processing/delta.py flow: incremental file
+    # processing over storage — second save only processes the new file
+    import re
+
+    import datachain_spark as dc
+    from datachain_spark import C
+
+    root = tmp_path / "test"
+    root.mkdir()
+    (root / "file-1.txt").write_text("one")
+    (root / "file-2.txt").write_text("two")
+    (root / "notes.md").write_text("skip me")
+
+    def extract_file_number(path: str) -> int:
+        m = re.search(r"file-(\d+)\.txt", path)
+        return int(m.group(1)) if m else -1
+
+    def build():
+        return (
+            dc.read_storage(
+                str(root), update=True, delta=True, delta_on="file.path",
+                session=session,
+            )
+            .filter(C("file.path").glob("*.txt"))
+            .map(file_number=extract_file_number, params=["file.path"])
+            .save(name="test_files")
+        )
+
+    chain = build()
+    assert chain.count() == 2
+
+    (root / "file-3.txt").write_text("three")
+    chain2 = build()
+    assert chain2.count() == 3
+    assert sorted(
+        r["file_number"] for r in chain2.to_records()
+    ) == [1, 2, 3]
+
+    # restricted ops raise under delta unless delta_unsafe (reference
+    # delta_disabled, delta.py:28-46)
+    pending = dc.read_storage(
+        str(root), delta=True, delta_on="file.path", session=session
+    )
+    with pytest.raises(NotImplementedError):
+        pending.group_by(n=None)
+    unsafe = dc.read_storage(
+        str(root), delta=True, delta_on="file.path", delta_unsafe=True,
+        session=session,
+    )
+    assert unsafe.distinct("file.path") is not None  # recorded, no error
