@@ -226,9 +226,11 @@ class DataChain:
 
     @property
     def delta(self) -> bool:
-        """Design difference: delta is not a chain-state flag here — use
-        ``datachain_spark.delta.delta_save`` (COVERAGE.md §2.10). Always
-        False. Parity surface: datachain.py:253-256."""
+        """A materialized DataChain is never delta-pending (always False;
+        parity surface datachain.py:253-256). The flag-style incremental
+        path — ``read_storage/read_dataset(delta=True, ...)`` — returns a
+        ``datachain_spark.delta.DeltaChain`` (whose ``.delta`` is True)
+        instead of this class; ``delta_save`` is the functional form."""
         return False
 
     delta_unsafe = delta
