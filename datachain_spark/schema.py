@@ -140,7 +140,17 @@ def python_type_to_spark(tp: Any) -> T.DataType:
 
 
 def model_to_struct(model: "type[BaseModel]") -> T.StructType:
-    """Pydantic model -> StructType (nested models become nested structs)."""
+    """Pydantic model -> StructType (nested models become nested structs).
+    The File signal maps to its canonical struct (FILE_STRUCT): its
+    ``last_modified: Optional[Any]`` field is a timestamp on the Spark side,
+    which field-by-field mapping can't know."""
+    try:
+        from .sources.files import FILE_STRUCT, File
+
+        if File is not None and isinstance(model, type) and issubclass(model, File):
+            return FILE_STRUCT
+    except ImportError:  # pragma: no cover
+        pass
     fields = []
     for name, finfo in model.model_fields.items():
         ann = finfo.annotation

@@ -201,8 +201,11 @@ def normalize_output(
         # Iterator[...] / Generator unwrap for gen()
         import typing
 
+        import collections.abc as _cabc
+
         origin = typing.get_origin(ann)
-        if origin in (Iterator, typing.Iterator, typing.Generator, typing.Iterable):  # type: ignore[comparison-overlap]
+        # get_origin(typing.Iterator[X]) is collections.abc.Iterator
+        if origin in (_cabc.Iterator, _cabc.Generator, _cabc.Iterable):
             args = typing.get_args(ann)
             if args:
                 ann = args[0]

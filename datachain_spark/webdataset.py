@@ -1,0 +1,277 @@
+"""Spec-style WebDataset sample assembly — parity with the reference's
+``lib/webdataset.py`` (Builder/get_tar_groups at webdataset.py:90-215,
+WDSBasic/WDSAllFile models at :55-87), the API the public multimodal
+examples use: ``chain.gen(laion=process_webdataset(spec=WDSLaion))``.
+
+Design: the factory returns a generator UDF over tar-shard ``File`` rows.
+Each executor opens its own local tar (no driver involvement), walks members
+in archive order grouping by sample stem, reads the small metadata members
+(txt/json/...) inline, and emits one typed model per sample whose ``file``
+field is a VIRTUAL File pointing at the core member (vtype=tar location —
+range-readable later, never extracted). The complement of
+``sources/tabular.process_webdataset`` (member rows): this one produces
+one nested-model ROW PER SAMPLE.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+import posixpath
+import tarfile
+from typing import Any, Callable, ClassVar, Iterator, Optional, Sequence, Union, get_args, get_origin
+
+from .error import DataChainError
+
+
+class WDSError(DataChainError):
+    def __init__(self, tar_name: str, message: str):
+        super().__init__(f"WebDataset error '{tar_name}': {message}")
+
+
+class CoreFileDuplicationError(WDSError):
+    def __init__(self, tar_name: str, file1: str, file2: str):
+        super().__init__(tar_name, f"duplication of files with core extensions: {file1}, {file2}")
+
+
+class CoreFileNotFoundError(WDSError):
+    def __init__(self, tar_name: str, extensions: Sequence[str], stem: str):
+        super().__init__(
+            tar_name,
+            f"no files with the extensions '{','.join(extensions)}' were found for stem {stem}",
+        )
+
+
+class UnknownFileExtensionError(WDSError):
+    def __init__(self, tar_name: str, name: str, ext: str):
+        super().__init__(tar_name, f"unknown extension '{ext}' of file '{name}'")
+
+
+try:
+    from pydantic import BaseModel, Field
+
+    from .sources.files import File
+
+    class WDSBasic(BaseModel):
+        """Parity: webdataset.py:55-56."""
+
+        file: File
+
+    class WDSAllFile(WDSBasic):
+        """Every conventional wds metadata suffix — parity webdataset.py:59-81."""
+
+        txt: Optional[str] = Field(default=None)
+        text: Optional[str] = Field(default=None)
+        cap: Optional[str] = Field(default=None)
+        transcript: Optional[str] = Field(default=None)
+        cls: Optional[int] = Field(default=None)
+        cls2: Optional[int] = Field(default=None)
+        index: Optional[int] = Field(default=None)
+        inx: Optional[int] = Field(default=None)
+        id: Optional[int] = Field(default=None)
+        json: Optional[dict] = Field(default=None)  # type: ignore[assignment]
+        jsn: Optional[dict] = Field(default=None)
+        pyd: Optional[bytes] = Field(default=None)
+        pickle: Optional[bytes] = Field(default=None)
+        pth: Optional[bytes] = Field(default=None)
+        ten: Optional[bytes] = Field(default=None)
+        tb: Optional[bytes] = Field(default=None)
+        mp: Optional[bytes] = Field(default=None)
+        msg: Optional[bytes] = Field(default=None)
+        npy: Optional[bytes] = Field(default=None)
+        npz: Optional[bytes] = Field(default=None)
+        cbor: Optional[bytes] = Field(default=None)
+
+    class WDSReadableSubclass(BaseModel):
+        """A field type that knows how to read itself from a tar member —
+        parity webdataset.py:84-87."""
+
+        @staticmethod
+        def _reader(builder: "Builder", item: tarfile.TarInfo) -> "WDSReadableSubclass":
+            raise NotImplementedError
+
+except ImportError:  # pragma: no cover
+    WDSBasic = WDSAllFile = WDSReadableSubclass = None  # type: ignore[assignment]
+
+
+DEFAULT_CORE_EXTENSIONS = ("jpg", "jpeg", "png", "gif", "webp", "mp3", "wav", "mp4", "avi")
+
+
+class BuilderState:
+    def __init__(self) -> None:
+        self.stem: Optional[str] = None
+        self.core_file: Optional[tarfile.TarInfo] = None
+        self.data: dict = {}
+
+
+class Builder:
+    """Per-sample accumulator — parity webdataset.py:97-185 (same reader
+    dispatch: model_fields type drives how each suffix is parsed)."""
+
+    DEFAULT_TYPES_READERS: ClassVar[dict] = {
+        str: lambda bld, item: bld.read_text(item),
+        int: lambda bld, item: int(bld.read_text(item)),
+        float: lambda bld, item: float(bld.read_text(item)),
+        bytes: lambda bld, item: bld.read(item),
+        dict: lambda bld, item: _json.loads(bld.read_text(item)),
+    }
+
+    def __init__(
+        self,
+        tar_stream: "File",
+        core_extensions: Sequence[str],
+        wds_class: type,
+        tar: tarfile.TarFile,
+        tar_path: str,
+        encoding: str = "utf-8",
+    ) -> None:
+        self._core_extensions = core_extensions
+        self._tar_stream = tar_stream
+        self._wds_class = wds_class
+        self._tar = tar
+        self._tar_path = tar_path
+        self._encoding = encoding
+        self.state = BuilderState()
+
+    def read(self, item: tarfile.TarInfo) -> bytes:
+        return self._tar.extractfile(item).read()  # type: ignore[union-attr]
+
+    def read_text(self, item: tarfile.TarInfo) -> str:
+        return self.read(item).decode(self._encoding)
+
+    def add(self, item: tarfile.TarInfo) -> None:
+        name = posixpath.basename(item.name)
+        stem, dot, ext = name.rpartition(".")
+        if not dot or not stem:
+            stem, ext = name, ""
+
+        if self.state.stem is not None and self.state.stem != stem:
+            raise StopIteration
+
+        if self.state.stem is None:
+            self.state.stem = stem
+
+        if ext in self._core_extensions:
+            if self.state.core_file is not None:
+                raise CoreFileDuplicationError(
+                    self._tar_stream.path, item.name, self.state.core_file.name
+                )
+            self.state.core_file = item
+        elif ext in self.state.data:
+            raise WDSError(
+                self._tar_stream.path,
+                f"file with extension '.{ext}' already exists in the archive",
+            )
+        else:
+            type_ = self._get_type(ext)
+            if type_ is None:
+                raise UnknownFileExtensionError(self._tar_stream.path, name, ext)
+            if isinstance(type_, type) and issubclass(type_, WDSReadableSubclass):
+                reader = type_._reader
+            else:
+                reader = self.DEFAULT_TYPES_READERS.get(type_)
+            if reader is None:
+                raise WDSError(
+                    self._tar_stream.path,
+                    f"unable to find a reader for type {type_}, extension .{ext}",
+                )
+            self.state.data[ext] = reader(self, item)
+
+    def produce(self):
+        if self.state.core_file is None:
+            raise CoreFileNotFoundError(
+                self._tar_stream.path, self._core_extensions, self.state.stem or ""
+            )
+        member = self.state.core_file
+        file = File(
+            source=self._tar_stream.source,
+            path=f"{self._tar_stream.path}/{member.name}",
+            size=int(member.size),
+            version=self._tar_stream.version,
+            etag=f"{self._tar_stream.etag}:{member.name}",
+            is_latest=True,
+            last_modified=self._tar_stream.last_modified,
+            location=_json.dumps(
+                [
+                    {
+                        "vtype": "tar",
+                        "offset": member.offset_data,
+                        "size": member.size,
+                        "parent": self._tar_path,
+                    }
+                ]
+            ),
+        )
+        wds = self._wds_class(**self.state.data | {"file": file})
+        self.state = BuilderState()
+        return wds
+
+    def _get_type(self, ext: str):
+        field = self._wds_class.model_fields.get(ext)
+        if field is None:
+            return None
+        anno = field.annotation
+        import types as _types
+
+        origin = get_origin(anno)
+        if origin is Union or origin is getattr(_types, "UnionType", None):
+            args = [a for a in get_args(anno) if a is not type(None)]
+            return args[0] if args else None
+        return anno
+
+
+def get_tar_groups(
+    stream: "File",
+    tar: tarfile.TarFile,
+    tar_path: str,
+    core_extensions: Sequence[str],
+    spec: type,
+    encoding: str = "utf-8",
+) -> Iterator[Any]:
+    """Walk members in archive order, yield one spec instance per sample
+    stem — parity webdataset.py:188-215."""
+    builder = Builder(stream, core_extensions, spec, tar, tar_path, encoding)
+    # archive order, samples contiguous by stem (the wds convention) —
+    # parity with the reference's streaming walk
+    for item in tar.getmembers():
+        if not item.isfile():
+            continue
+        try:
+            builder.add(item)
+        except StopIteration:
+            yield builder.produce()
+            builder.add(item)
+    if builder.state.stem is not None:
+        yield builder.produce()
+
+
+def process_webdataset(
+    spec: type = None,
+    core_extensions: Sequence[str] = DEFAULT_CORE_EXTENSIONS,
+    encoding: str = "utf-8",
+) -> Callable:
+    """Generator-UDF factory over tar-shard File rows — the reference's
+    public entrypoint (webdataset.py:218-236), used as
+    ``chain.gen(laion=process_webdataset(spec=WDSLaion))``. Each sample
+    becomes one nested-model row; the core member rides as a virtual File
+    (tar range pointer), metadata members are parsed by field type."""
+    wds_class = spec or WDSAllFile
+
+    def wds_generator(file):
+        uri = file.get_uri()
+        if "://" in uri and not uri.startswith("file://"):
+            raise NotImplementedError(
+                "process_webdataset reads local tars in this environment"
+            )
+        tar_path = file.get_local_path()
+        with tarfile.open(tar_path) as tar:
+            yield from get_tar_groups(
+                file, tar, tar_path, core_extensions, wds_class, encoding
+            )
+
+    # real annotation objects (this module uses future-annotations, which
+    # would leave strings the UDF inferers can't resolve against a closure):
+    # file: File drives struct->model hydration, the return type drives the
+    # nested output schema
+    wds_generator.__annotations__ = {"file": File, "return": Iterator[wds_class]}
+    return wds_generator

@@ -1,0 +1,113 @@
+"""Spec-style WebDataset sample assembly (reference lib/webdataset.py +
+lib/webdataset_laion.py) — replicates the public multimodal wds example on a
+locally-built shard."""
+
+import io
+import json
+import tarfile
+
+import pytest
+
+from datachain_spark.webdataset import (
+    CoreFileNotFoundError,
+    UnknownFileExtensionError,
+    WDSAllFile,
+    process_webdataset,
+)
+from datachain_spark.webdataset_laion import Laion, WDSLaion, process_laion_meta
+
+
+def _add(tar, name, data: bytes):
+    info = tarfile.TarInfo(name)
+    info.size = len(data)
+    tar.addfile(info, io.BytesIO(data))
+
+
+@pytest.fixture()
+def laion_shard(tmp_path):
+    p = tmp_path / "shard-000.tar"
+    with tarfile.open(p, "w") as tar:
+        for i in range(3):
+            meta = {"uid": f"uid-{i}", "caption": f"cap {i}", "width": 10 + i}
+            _add(tar, f"sample{i}.jpg", b"\xff\xd8img" + bytes([i]))
+            _add(tar, f"sample{i}.json", json.dumps(meta).encode())
+            _add(tar, f"sample{i}.txt", f"caption {i}".encode())
+    return str(p)
+
+
+def test_wds_example_flow(session, laion_shard, tmp_path):
+    # examples/multimodal/wds.py flow on a local shard
+    import datachain_spark as dc
+
+    wds_images = (
+        dc.read_storage(str(tmp_path), session=session)
+        .filter(dc.C("file.path").glob("*.tar"))
+        .gen(laion=process_webdataset(spec=WDSLaion))
+    )
+    recs = sorted(wds_images.to_records(), key=lambda r: r["laion"]["json"]["uid"])
+    assert len(recs) == 3
+    assert recs[0]["laion"]["json"]["caption"] == "cap 0"
+    assert recs[1]["laion"]["txt"] == "caption 1"
+    # core member rides as a virtual tar-range File
+    loc = json.loads(recs[2]["laion"]["file"]["location"])[0]
+    assert loc["vtype"] == "tar" and loc["size"] == 6
+
+    # merge on a nested model key, as the example does (uid join)
+    meta = dc.read_values(
+        uid=[f"uid-{i}" for i in range(3)], score=[0.1, 0.2, 0.3], session=session
+    )
+    joined = meta.merge(wds_images, on="uid", right_on="laion.json.uid", inner=True)
+    assert joined.count() == 3
+
+
+def test_wds_member_bytes_readable(session, laion_shard):
+    # the virtual File pointer must read back the exact member bytes
+    from datachain_spark.sources.files import File
+
+    gen = process_webdataset(spec=WDSLaion)
+    shard = File.at(laion_shard)
+    samples = sorted(gen(shard), key=lambda s: s.json.uid)
+    assert samples[0].file.read_bytes() == b"\xff\xd8img\x00"
+    assert samples[0].json.width == 10
+
+
+def test_wds_allfile_and_errors(tmp_path):
+    from datachain_spark.sources.files import File
+
+    p = tmp_path / "bad.tar"
+    with tarfile.open(p, "w") as tar:
+        _add(tar, "a.txt", b"only metadata")  # no core member
+    with pytest.raises(CoreFileNotFoundError):
+        list(process_webdataset(spec=WDSAllFile)(File.at(str(p))))
+
+    q = tmp_path / "unknown.tar"
+    with tarfile.open(q, "w") as tar:
+        _add(tar, "a.jpg", b"x")
+        _add(tar, "a.weird", b"y")
+    with pytest.raises(UnknownFileExtensionError):
+        list(process_webdataset(spec=WDSLaion)(File.at(str(q))))
+
+
+def test_laion_meta_npz(tmp_path):
+    np = pytest.importorskip("numpy")
+    from datachain_spark.sources.files import File
+
+    p = tmp_path / "meta.npz"
+    n, d = 4, 8
+    arrays = {
+        k: np.arange(n * d, dtype="float32").reshape(n, d) + i
+        for i, k in enumerate(["b32_img", "b32_txt", "l14_img", "l14_txt"])
+    }
+    arrays["dedup"] = np.ones((n, 2), dtype="float32")
+    np.savez(p, **arrays)
+    rows = list(process_laion_meta(File.at(str(p))))
+    assert len(rows) == 4
+    assert rows[2].index == 2
+    assert rows[2].b32_img == pytest.approx((np.arange(n * d).reshape(n, d)[2]).tolist())
+    assert rows[0].dedup == [1.0, 1.0]
+
+
+def test_laion_reader_contract():
+    raw = json.dumps({"uid": "u", "caption": "c", "face_bboxes": [[0.1, 0.2, 0.3, 0.4]]})
+    m = Laion.model_validate_json(raw)
+    assert m.uid == "u" and m.face_bboxes == [[0.1, 0.2, 0.3, 0.4]]
