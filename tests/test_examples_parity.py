@@ -225,3 +225,60 @@ def test_delta_example_flag_style(session, tmp_path):
         session=session,
     )
     assert unsafe.distinct("file.path") is not None  # recorded, no error
+
+
+def test_parallel_udf_example(session, dogs_and_cats):
+    # examples/get_started/udfs/parallel.py flow: settings(parallel=...) is
+    # the only change vs the simple UDF — results identical, work spread
+    # across tasks (Spark executors replace the reference's multiprocessing
+    # pool; parallel=N maps to a repartition hint)
+    import datachain_spark as dc
+
+    def path_len_benchmark(path: str) -> int:
+        if path.endswith(".json"):
+            return -1
+        return len(path)
+
+    out = (
+        dc.read_storage(dogs_and_cats, session=session)
+        .settings(parallel=4)
+        .map(path_len=path_len_benchmark, params=["file.path"])
+        .to_records()
+    )
+    assert len(out) == 7
+    assert sorted(r["path_len"] for r in out)[0] == -1
+    assert all(r["path_len"] == len(r["file"]["path"]) for r in out
+               if not r["file"]["path"].endswith(".json"))
+
+
+def test_stateful_udf_example(session, dogs_and_cats):
+    # examples/get_started/udfs/stateful.py shape: setup() builds an
+    # expensive resource once per worker, the mapped fn consumes it via a
+    # keyword (the open_clip encoder is env-stubbed with a deterministic
+    # fake — the wiring, not the model, is what this engine provides)
+    import datachain_spark as dc
+    from datachain_spark import C
+    from datachain_spark.sources.files import File
+
+    class FakeEncoder:
+        def __init__(self, name: str):
+            self.name = name
+
+        def encode(self, data: bytes) -> list:
+            return [float(len(data)), float(data[-1])]
+
+    def embeddings(file: File, encoder) -> "list[float]":
+        return encoder.encode(file.read_bytes())
+
+    out = (
+        dc.read_storage(dogs_and_cats, session=session)
+        .filter(C("file.path").glob("*cat*.jpg"))
+        .limit(5)
+        .settings(parallel=2)
+        .setup(encoder=lambda: FakeEncoder("fake-vit"))
+        .map(emb=embeddings, output={"emb": list[float]})
+        .to_records()
+    )
+    assert len(out) == 3
+    assert all(r["emb"][0] == 6.0 for r in out)  # b"\xff\xd8cat" + 1 byte
+    assert sorted(r["emb"][1] for r in out) == [0.0, 1.0, 2.0]

@@ -111,3 +111,64 @@ def test_laion_reader_contract():
     raw = json.dumps({"uid": "u", "caption": "c", "face_bboxes": [[0.1, 0.2, 0.3, 0.4]]})
     m = Laion.model_validate_json(raw)
     assert m.uid == "u" and m.face_bboxes == [[0.1, 0.2, 0.3, 0.4]]
+
+
+@pytest.fixture()
+def laion_filtered_shard(tmp_path):
+    # varied captions/dims so each wds_filtered.py predicate discriminates
+    samples = [
+        ("a b", 400, 300),                    # caption too short
+        ("a beautiful cat", 400, 300),        # passes all
+        ("one two three four", 150, 400),     # min dimension <= 200
+        ("big wide panorama shot", 900, 250), # aspect ratio >= 3
+        ("nice dog photo", 300, 250),         # passes all
+    ]
+    p = tmp_path / "shard-000.tar"
+    with tarfile.open(p, "w") as tar:
+        for i, (txt, ow, oh) in enumerate(samples):
+            meta = {"uid": f"uid-{i}", "original_width": ow, "original_height": oh}
+            _add(tar, f"s{i}.jpg", b"\xff\xd8" + bytes([i]))
+            _add(tar, f"s{i}.json", json.dumps(meta).encode())
+            _add(tar, f"s{i}.txt", txt.encode())
+    return str(p)
+
+
+def test_wds_filtered_example_flow(session, laion_filtered_shard, tmp_path):
+    # examples/multimodal/wds_filtered.py verbatim flow: dataset-or-build
+    # fallback, then the four func.* filters over nested laion columns
+    import datachain_spark as dc
+    import datachain_spark.error
+    from datachain_spark import C, func
+
+    name = "wds_filtered_example"
+    try:
+        wds = dc.read_dataset(name, session=session)
+    except datachain_spark.error.DatasetNotFoundError:
+        wds = (
+            dc.read_storage(str(tmp_path), session=session)
+            .filter(C("file.path").glob("*.tar"))
+            .settings(cache=True)
+            .gen(laion=process_webdataset(spec=WDSLaion))
+            .save(name)
+        )
+
+    wds.print_schema()
+
+    filtered = (
+        wds.filter(func.string.length("laion.txt") > 5)
+        .filter(func.array.length(func.string.split("laion.txt", " ")) > 2)
+        .filter(
+            func.least("laion.json.original_width", "laion.json.original_height") > 200
+        )
+        .filter(
+            func.greatest("laion.json.original_width", "laion.json.original_height")
+            / func.least("laion.json.original_width", "laion.json.original_height")
+            < 3.0
+        )
+        .persist()
+    )
+
+    assert wds.count() == 5
+    assert filtered.count() == 2
+    kept = sorted(r["laion"]["json"]["uid"] for r in filtered.to_records())
+    assert kept == ["uid-1", "uid-4"]
