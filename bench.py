@@ -41,6 +41,7 @@ HEADLINE = [
     # with the SF, unlike the oracle queries' doc_id caps)
     "segment_dedup_full",
     "decontaminate_full",
+    "decontaminate_bloom_full",
     "pii_redact_full",
     "pack_sequences_full",
     "interleave_full",
@@ -97,6 +98,17 @@ def main() -> None:
             docs.filter(F.col("doc_id") >= 10), probes, "doc_id", ngram=5
         )
 
+    def _decontaminate_bloom_full(spark, sf):
+        # the zero-join scale path: same probe/corpus split as
+        # decontaminate_full, membership tested inline against the broadcast
+        # bloom bitmap — no corpus-side explode, join, or shuffle
+        docs = entrymod._chain(spark, sf, "documents").df
+        probes = docs.filter(F.col("doc_id") < 10)
+        return _dedup.decontaminate(
+            docs.filter(F.col("doc_id") >= 10), probes, "doc_id", ngram=5,
+            method="bloom", bloom_fpp=1e-4,
+        )
+
     def _pii_redact_full(spark, sf):
         # whole-corpus PII scrub + per-kind audit counts: pure codegen'd
         # regexp chain, zero shuffles until the tiny count aggregate
@@ -127,6 +139,7 @@ def main() -> None:
 
     queries["segment_dedup_full"] = _segment_dedup_full
     queries["decontaminate_full"] = _decontaminate_full
+    queries["decontaminate_bloom_full"] = _decontaminate_bloom_full
     queries["pii_redact_full"] = _pii_redact_full
     def _corpus_pipeline_full(spark, sf):
         # end-to-end training-data prep as ONE Catalyst plan, no intermediate

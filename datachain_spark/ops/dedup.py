@@ -190,18 +190,51 @@ def decontaminate(
     probe_text_col: str = "text",
     ngram: int = 3,
     keep_contaminated: bool = False,
+    method: str = "join",
+    bloom_fpp: float = 1e-4,
+    bloom_expected: Optional[int] = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Benchmark decontamination: drop every corpus doc sharing at least one
     word ``ngram`` with the ``probes`` set (eval/test material). The standard
     n-gram-overlap filter (GPT-3 appendix C / PaLM style use 8-13; default 3
     suits short fixtures).
 
-    Scale shape: the probe n-gram set is tiny next to the corpus — it
-    broadcasts, so the corpus-side explode never shuffles: shingle, hash-join
-    against the broadcast set, semi/anti on the id. ``keep_contaminated=True``
-    inverts the filter (audit mode: what WOULD be dropped).
+    ``method="join"`` (default, exact): the probe n-gram set is tiny next to
+    the corpus — it broadcasts, so the corpus-side explode never shuffles:
+    shingle, hash-join against the broadcast set, semi/anti on the id.
 
-    No reference counterpart (spec addition)."""
+    ``method="bloom"`` (approximate, one-sided): the probe n-grams are folded
+    into a Bloom-filter bitmap (array<long>, built with pure column
+    expressions — explode → bit positions → bit_or per word → one-row
+    assembly), broadcast as ONE row, and the corpus side tests membership
+    with k codegen'd bit probes per shingle instead of joining a broadcast
+    hash set of n-gram strings. Same plan shape as the exact join, but the
+    broadcast payload shrinks ~10-20× (9.6 bits per n-gram at p=1e-4 vs
+    string bytes + hash-table overhead) — the lever when the probe suite is
+    large enough that broadcasting its string set strains executors or the
+    driver. False positives over-drop (never
+    under-drop — contamination is one-sided safe), so the bloom result is
+    always a SUBSET of the exact result's survivors. ``bloom_fpp`` is the
+    PER-N-GRAM rate; a doc testing s n-grams is falsely dropped with
+    probability ≈ 1-(1-p)^s ≈ s·p, so size p to s_max·p_doc (e.g. docs of
+    ≤10k n-grams and a 1e-5 doc-level budget → p=1e-9, still only ~2× the
+    bitmap of 1e-4 — bits scale with -log p).
+    Sizing: m = -n·ln(p)/ln²2 bits, k = -log2(p) probes (standard optimum);
+    ``bloom_expected`` skips the tiny probe-count job when the caller knows
+    n. At p=1e-4 the bitmap is ~2.4 MB per million probe n-grams — far under
+    broadcast limits for realistic eval suites; beyond ~50M probe n-grams
+    prefer the exact join (the bitmap row itself gets heavy).
+
+    ``keep_contaminated=True`` inverts the filter (audit mode: what WOULD be
+    dropped). No reference counterpart (spec addition)."""
+    if method == "bloom":
+        return _decontaminate_bloom(
+            df, probes, id_col, text_col, probe_text_col, ngram,
+            keep_contaminated, bloom_fpp, bloom_expected, hash_fn,
+        )
+    if method != "join":
+        raise ValueError(f"decontaminate: unknown method {method!r} (use 'join' or 'bloom')")
     corpus_sh = shingle_rows(df, id_col, text_col, n=ngram).select(
         "__id", F.col("__shingle").alias("__sh")
     )
@@ -213,6 +246,117 @@ def decontaminate(
     )
     hit_ids = (
         corpus_sh.join(F.broadcast(probe_sh), "__sh")
+        .select("__id")
+        .dropDuplicates()
+        .withColumnRenamed("__id", id_col)
+    )
+    how = "left_semi" if keep_contaminated else "left_anti"
+    return df.join(hit_ids, on=id_col, how=how)
+
+
+# second double-hashing stream for the bloom filter (Kirsch-Mitzenmacher:
+# pos_i = h1 + i*h2 mod m needs two independent streams); any fixed seed works
+_BLOOM_SEED2 = 0x9E3779B9
+
+
+def _decontaminate_bloom(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe_text_col: str,
+    ngram: int,
+    keep_contaminated: bool,
+    fpp: float,
+    expected: Optional[int],
+    hash_fn: str,
+) -> DataFrame:
+    import math
+
+    probe_sh = (
+        probes.select(
+            F.explode(F.array_distinct(shingles(F.col(probe_text_col), n=ngram))).alias("__sh")
+        )
+        .dropDuplicates()
+    )
+    n = expected if expected is not None else probe_sh.count()
+    n = max(int(n), 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64  # whole 64-bit words
+    k = max(1, round(-math.log2(fpp)))
+    w = m // 64
+
+    def _pos_stream(col):
+        # both streams reduced mod m first so h1 + i*h2 stays far from
+        # 64-bit overflow (ANSI mode would raise on it)
+        h1 = F.pmod(_hash64(col, hash_fn), F.lit(m))
+        h2 = F.pmod(_seeded_hash64(col, _BLOOM_SEED2, hash_fn), F.lit(m))
+        return h1, h2
+
+    h1, h2 = _pos_stream(F.col("__sh"))
+    pos = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m)),
+        )
+    ).alias("__pos")
+    word_bits = (
+        probe_sh.select(pos)
+        .select(
+            F.floor(F.col("__pos") / F.lit(64)).cast("int").alias("__word"),
+            F.call_function("shiftleft", F.lit(1).cast("long"), F.pmod(F.col("__pos"), F.lit(64)).cast("int")).alias("__bit"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__bit").alias("__bits"))
+    )
+    # one-row bitmap: map word->bits, densified to array<long>[w] (absent
+    # words = 0). The aggregation is tiny (≤ w rows in, 1 row out).
+    bitmap = word_bits.agg(
+        F.map_from_entries(F.collect_list(F.struct("__word", "__bits"))).alias("__wb")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(w - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("__wb"), i.cast("int")), F.lit(0).cast("long")),
+        ).alias("__bf")
+    )
+
+    # Corpus side: exploded shingle rows + k UNROLLED bit tests (k and m are
+    # Python constants, so the predicate is a static AND chain that
+    # short-circuits). The tempting alternative — exists(shingles_array,
+    # lambda ...) inline per doc, no explode — measured 5× SLOWER at sf0.1:
+    # Catalyst evaluates higher-order-function lambdas interpreted, outside
+    # whole-stage codegen. Measured caveats of this form (sf0.1, k=13-30):
+    # the unrolled chain exceeds Janino's 64KB method limit around k≈13, so
+    # the filter itself runs interpreted (graceful fallback) at ~2× the
+    # exact join's wall — the bloom path buys broadcast SIZE (9.6 bits per
+    # probe n-gram), not toy-scale wall time. A literal-array variant
+    # (collect the w-long bitmap, embed as one Literal) measured the same —
+    # the join is not the cost, the fallback is.
+    hashed = shingle_rows(df, id_col, text_col, n=ngram).select(
+        "__id",
+        F.pmod(_hash64(F.col("__shingle"), hash_fn), F.lit(m)).alias("__h1"),
+        F.pmod(_seeded_hash64(F.col("__shingle"), _BLOOM_SEED2, hash_fn), F.lit(m)).alias("__h2"),
+    )
+
+    def _bit_test(i: int):
+        pos = F.pmod(F.col("__h1") + F.lit(i).cast("long") * F.col("__h2"), F.lit(m))
+        return (
+            F.element_at(
+                F.col("__bf"), (F.floor(pos / F.lit(64)) + 1).cast("int")
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+                )
+            )
+            != 0
+        )
+
+    hit = _bit_test(0)
+    for i in range(1, k):
+        hit = hit & _bit_test(i)
+    hit_ids = (
+        hashed.crossJoin(F.broadcast(bitmap))
+        .filter(hit)
         .select("__id")
         .dropDuplicates()
         .withColumnRenamed("__id", id_col)

@@ -396,6 +396,64 @@ def test_decontaminate(session):
     assert [r["doc_id"] for r in flagged.collect()] == [1]
 
 
+def test_decontaminate_bloom(session):
+    """Bloom path: corpus-side membership is tested inline against a
+    broadcast bitmap — survivors are a subset of the exact path's, equal at
+    tight fpp, and the corpus branch never shuffles."""
+    corpus = dc.read_values(
+        session=session,
+        doc_id=list(range(1, 9)),
+        text=[
+            "the quick brown fox jumps",
+            "completely clean document here",
+            "another spotless entry",
+            "one more fine article",
+            "quick brown fox redux",
+            "nothing shared at all",
+            "plain boring words only",
+            "fox quick brown scrambled",  # scrambled: no shared 3-gram
+        ],
+    )
+    probes = dc.read_values(session=session, doc_id=[99], text=["quick brown fox"])
+
+    exact = dedup.decontaminate(corpus.df, probes.df, "doc_id", ngram=3)
+    e = sorted(r["doc_id"] for r in exact.collect())
+    assert e == [2, 3, 4, 6, 7, 8]
+
+    # tight fpp -> identical to exact on this fixture; determinism across runs
+    bloom = dedup.decontaminate(
+        corpus.df, probes.df, "doc_id", ngram=3, method="bloom", bloom_fpp=1e-9
+    )
+    b = sorted(r["doc_id"] for r in bloom.collect())
+    assert b == e
+    assert sorted(r["doc_id"] for r in bloom.collect()) == b
+
+    # one-sided at any fpp: survivors always a subset of exact's
+    loose = dedup.decontaminate(
+        corpus.df, probes.df, "doc_id", ngram=3, method="bloom", bloom_fpp=0.05
+    )
+    assert set(r["doc_id"] for r in loose.collect()) <= set(e)
+
+    # audit mode partitions the corpus
+    audit = dedup.decontaminate(
+        corpus.df, probes.df, "doc_id", ngram=3, method="bloom",
+        bloom_fpp=1e-9, keep_contaminated=True,
+    )
+    assert sorted(r["doc_id"] for r in audit.collect()) == [1, 5]
+
+    # bloom_expected skips the sizing job and must behave the same
+    pre = dedup.decontaminate(
+        corpus.df, probes.df, "doc_id", ngram=3, method="bloom",
+        bloom_fpp=1e-9, bloom_expected=64,
+    )
+    assert sorted(r["doc_id"] for r in pre.collect()) == e
+
+    # scale shape: the one-row bitmap reaches the corpus side via a
+    # broadcast, not a shuffle
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_repetition_stats_known_values(session):
     ch = dc.read_values(session=session, doc_id=[1], text=["a a a b"])
     r = text.repetition_stats(ch.df, "doc_id").collect()[0]
