@@ -3242,6 +3242,137 @@ def save_read_roundtrip_ro(spark, sf):
         sess.metastore = old_ms
 
 
+def gopher_gate(spark, sf):
+    """Gopher/MassiveText quality gate (ops/text.gopher_quality_filter) with
+    every signal column exposed — the oracle re-derives word stats, line
+    fractions, symbol ratio, stopword hits AND the threshold filter, so both
+    the signal math and the gate decision are hash-verified."""
+    from datachain_spark.ops import text as _t
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
+    out = _t.gopher_quality_filter(docs, "doc_id", with_signals=True)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        F.col("stopword_hits").cast("int").alias("stopword_hits"),
+        "top_word_frac",
+        "dup_2gram_frac",
+    ).orderBy("doc_id")
+
+
+def _gopher_sql() -> str:
+    from datachain_spark.ops.text import _EN_STOPWORDS, GOPHER_DEFAULTS
+
+    sw_sum = " + ".join(
+        f"(CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END)"
+        for w in _EN_STOPWORDS
+    )
+    th = GOPHER_DEFAULTS
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+), rw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+')) AS w
+  FROM base
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM rw GROUP BY doc_id, w
+), ws AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac
+  FROM wc GROUP BY doc_id
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w2) < 2 THEN [array_to_string(w2, ' ')]
+         ELSE [concat_ws(' ', w2[i], w2[i+1]) for i in generate_series(1, len(w2)-1)]
+    END) AS gram
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w2
+    FROM base
+  )
+), gc AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+), gs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup_2gram_frac
+  FROM gc GROUP BY doc_id
+), loc AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), x -> length(x))) AS DOUBLE)
+      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS mean_word_len,
+    CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE)
+      / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END, 1) AS symbol_word_ratio,
+    CAST(len(list_filter(list_filter(string_split(text, chr(10)), x -> trim(x) != ''),
+                         x -> regexp_matches(trim(x), '^([-*•])'))) AS DOUBLE)
+      / greatest(len(list_filter(string_split(text, chr(10)), x -> trim(x) != '')), 1) AS bullet_line_frac,
+    CAST(len(list_filter(list_filter(string_split(text, chr(10)), x -> trim(x) != ''),
+                         x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+      / greatest(len(list_filter(string_split(text, chr(10)), x -> trim(x) != '')), 1) AS ellipsis_line_frac,
+    CAST({sw_sum} AS INTEGER) AS stopword_hits
+  FROM base
+)
+SELECT loc.doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, stopword_hits,
+       top_word_frac, dup_2gram_frac
+FROM loc JOIN ws ON loc.doc_id = ws.doc_id JOIN gs ON loc.doc_id = gs.doc_id
+WHERE n_words >= {th["min_words"]} AND n_words <= {th["max_words"]}
+  AND mean_word_len >= {th["min_mean_word_len"]} AND mean_word_len <= {th["max_mean_word_len"]}
+  AND symbol_word_ratio <= {th["max_symbol_word_ratio"]}
+  AND bullet_line_frac <= {th["max_bullet_line_frac"]}
+  AND ellipsis_line_frac <= {th["max_ellipsis_line_frac"]}
+  AND stopword_hits >= {th["min_stopword_hits"]}
+  AND top_word_frac <= {th["max_top_word_frac"]}
+  AND dup_2gram_frac <= {th["max_dup_2gram_frac"]}
+ORDER BY loc.doc_id
+"""
+
+
+def quality_score_docs(spark, sf):
+    """Composite quality heuristic (ops/text.quality_score) — length,
+    punctuation, stopword and word-length sub-scores replicated weight-for-
+    weight in DuckDB."""
+    from datachain_spark.ops import text as _t
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id", _t.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+def _quality_sql() -> str:
+    from datachain_spark.ops.text import _EN_STOPWORDS
+
+    sw_list = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+sig AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS p_ratio,
+    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         x -> list_contains([{sw_list}], regexp_replace(x, '[^a-z'']', '', 'g')))) AS DOUBLE)
+      / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1) AS sw_ratio,
+    CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), x -> length(x))) AS DOUBLE)
+      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS mwl
+  FROM base
+)
+SELECT doc_id,
+  0.3 * least(n_tokens / 20.0, 1.0)
+  + 0.25 * (CASE WHEN p_ratio > 0.3 THEN 0.0 ELSE 1.0 - p_ratio / 0.3 END)
+  + 0.25 * least(sw_ratio / 0.15, 1.0)
+  + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) AS quality
+FROM sig ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3359,6 +3490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": q18_large_volume,
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        # r04 additions: full Gopher gate + composite quality heuristic,
+        # previously unit-only, now signal-by-signal DuckDB oracles
+        "gopher_gate": gopher_gate,
+        "quality_score_docs": quality_score_docs,
     }
 
 
@@ -3449,4 +3584,6 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume": Q18_SQL,
         "q20_excess_suppliers": Q20_SQL,
         "q21_waiting_suppliers": Q21_SQL,
+        "gopher_gate": _gopher_sql(),
+        "quality_score_docs": _quality_sql(),
     }
