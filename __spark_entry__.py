@@ -3333,6 +3333,95 @@ ORDER BY loc.doc_id
 """
 
 
+# deliberately undersized (expected=220 vs ~2k real probe 5-grams at t2's
+# sf): false positives OCCUR, so the oracle distinguishes the bloom path
+# from the exact join and pins the collision behavior — DuckDB must
+# reproduce every double-hashed bit position and saturated word to agree
+_BLOOM_MD5_FPP, _BLOOM_MD5_EXPECTED = 2.0 ** -5, 220
+
+
+def _bloom_size(fpp: float, expected: int) -> tuple:
+    import math
+
+    m = max(64, int(math.ceil(-expected * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64
+    return m, max(1, round(-math.log2(fpp)))
+
+
+def decontaminate_bloom_md5(spark, sf):
+    """Bloom-filter decontamination under the portable md5 hash family —
+    the bitmap construction (double-hashed positions, per-word bit_or) and
+    the k-probe membership test are replicated in DuckDB, so the whole
+    bloom machinery is bit-verified, false positives included."""
+    docs = _chain(spark, sf, "documents").df
+    corpus = docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 120))
+    probes = docs.filter(F.col("doc_id") < 5)
+    kept = dedup.decontaminate(
+        corpus, probes, "doc_id", ngram=5, method="bloom",
+        bloom_fpp=_BLOOM_MD5_FPP, bloom_expected=_BLOOM_MD5_EXPECTED,
+        hash_fn="md5",
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+def _bloom_md5_sql() -> str:
+    m, k = _bloom_size(_BLOOM_MD5_FPP, _BLOOM_MD5_EXPECTED)
+    shingle5 = """
+  list_distinct(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE [concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+               for i in generate_series(1, len(w)-4)]
+    END)"""
+    # mask construction: DuckDB's 1::BIGINT << 63 overflows, so bit 63 is
+    # the min-long literal; bit_or/& are two's-complement bitwise like Spark
+    mask = (
+        "(CASE WHEN {p} % 64 = 63 THEN (-9223372036854775807 - 1) "
+        "ELSE (1::BIGINT << CAST({p} % 64 AS INTEGER)) END)"
+    )
+    return f"""
+WITH pwords AS (
+  SELECT string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id < 5
+), psh AS (
+  SELECT DISTINCT unnest({shingle5}) AS sh FROM pwords
+), phash AS (
+  SELECT CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) % {m} AS h1,
+         CAST('0x' || substring(md5(sh || ':2654435769'), 1, 15) AS BIGINT) % {m} AS h2
+  FROM psh
+), ppos AS (
+  SELECT (h1 + i * h2) % {m} AS pos
+  FROM phash, generate_series(0, {k - 1}) AS t(i)
+), bitmap AS (
+  SELECT pos // 64 AS word, bit_or({mask.format(p="pos")}) AS bits
+  FROM ppos GROUP BY pos // 64
+), cwords AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id >= 5 AND doc_id < 120
+), csh AS (
+  SELECT doc_id, unnest({shingle5}) AS sh FROM cwords
+), chash AS (
+  SELECT doc_id, sh,
+         CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) % {m} AS h1,
+         CAST('0x' || substring(md5(sh || ':2654435769'), 1, 15) AS BIGINT) % {m} AS h2
+  FROM csh
+), cpos AS (
+  SELECT doc_id, sh, (h1 + i * h2) % {m} AS pos
+  FROM chash, generate_series(0, {k - 1}) AS t(i)
+), matched AS (
+  SELECT doc_id, sh, count(*) AS nbits
+  FROM cpos JOIN bitmap ON bitmap.word = cpos.pos // 64
+  WHERE (bitmap.bits & {mask.format(p="cpos.pos")}) != 0
+  GROUP BY doc_id, sh
+), hits AS (
+  SELECT DISTINCT doc_id FROM matched WHERE nbits = {k}
+)
+SELECT doc_id FROM documents
+WHERE doc_id >= 5 AND doc_id < 120 AND doc_id NOT IN (SELECT doc_id FROM hits)
+ORDER BY doc_id
+"""
+
+
 def quality_score_docs(spark, sf):
     """Composite quality heuristic (ops/text.quality_score) — length,
     punctuation, stopword and word-length sub-scores replicated weight-for-
@@ -3494,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # previously unit-only, now signal-by-signal DuckDB oracles
         "gopher_gate": gopher_gate,
         "quality_score_docs": quality_score_docs,
+        "decontaminate_bloom_md5": decontaminate_bloom_md5,
     }
 
 
@@ -3586,4 +3676,5 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": Q21_SQL,
         "gopher_gate": _gopher_sql(),
         "quality_score_docs": _quality_sql(),
+        "decontaminate_bloom_md5": _bloom_md5_sql(),
     }
