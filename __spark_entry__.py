@@ -3333,6 +3333,32 @@ ORDER BY loc.doc_id
 """
 
 
+_BLOCKLIST = ["www.ex1.com", "www.ex3.com", "www.ex5.com"]
+
+
+def url_blocklist(spark, sf):
+    """Domain-blocklist corpus hygiene (ops/text.filter_by_domain_blocklist
+    broadcast anti-join + url_domain host extraction) over the deterministic
+    URL fixture; survivors AND their extracted domains hash-verified."""
+    from datachain_spark.ops import text as _t
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 300)
+    fixture = docs.select("doc_id", F.expr(_URL_EXPR_SQL).alias("url"))
+    out = _t.filter_by_domain_blocklist(fixture, "url", _BLOCKLIST)
+    return out.select(
+        "doc_id", _t.url_domain(F.col("url")).alias("domain")
+    ).orderBy("doc_id")
+
+
+def _url_blocklist_sql() -> str:
+    bl = ", ".join(f"'{d}'" for d in _BLOCKLIST)
+    return f"""
+WITH f AS (SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents WHERE doc_id < 300),
+d AS (SELECT doc_id, lower(regexp_extract(url, '^[^:/?#]+://([^/:?#]+)', 1)) AS domain FROM f)
+SELECT doc_id, domain FROM d WHERE domain NOT IN ({bl}) ORDER BY doc_id
+"""
+
+
 # deliberately undersized (expected=220 vs ~2k real probe 5-grams at t2's
 # sf): false positives OCCUR, so the oracle distinguishes the bloom path
 # from the exact join and pins the collision behavior — DuckDB must
@@ -3584,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gate": gopher_gate,
         "quality_score_docs": quality_score_docs,
         "decontaminate_bloom_md5": decontaminate_bloom_md5,
+        "url_blocklist": url_blocklist,
     }
 
 
@@ -3677,4 +3704,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_gate": _gopher_sql(),
         "quality_score_docs": _quality_sql(),
         "decontaminate_bloom_md5": _bloom_md5_sql(),
+        "url_blocklist": _url_blocklist_sql(),
     }
