@@ -419,23 +419,30 @@ def repetition_stats(
       more than once in the doc (occurrence-fraction variant of Gopher's
       duplicate-n-gram character fraction).
 
-    One explode + two groupBy aggregations, all JVM-side; the per-doc join is
-    on the id. Filter chains compose downstream, e.g.
-    ``.filter(C.top_word_frac < 0.2)``.
+    Single-pass shape (r04, measured 1.6× the old two-pass form at sf0.1):
+    ONE posexplode produces positioned word rows, 2-grams come from a window
+    ``lead`` (not a second explode; the HOF explode(shingles(...)) form
+    measured ~7× slower still — interpreted lambdas), and the one shuffle —
+    the window's hashpartitioning on the id — satisfies the clustering
+    requirement of BOTH downstream (id, token) aggregations and the final
+    per-id join, so Catalyst inserts no further exchanges and ReuseExchange
+    dedupes the branches' shared shuffle. Filter chains compose downstream,
+    e.g. ``.filter(C.top_word_frac < 0.2)``.
 
     No reference counterpart (spec addition). Oracled by __spark_entry__
     ``repetition_stats``."""
-    words = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.split(
-                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", "")),
-                r"\s+",
-            )
-        ).alias("__w"),
+    from pyspark.sql import Window as W
+
+    words_arr = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", "")), r"\s+"
     )
+    tok = df.select(F.col(id_col).alias("__id"), words_arr.alias("__warr")).select(
+        "__id", F.posexplode("__warr").alias("__pos", "__w")
+    )
+    w = W.partitionBy("__id").orderBy("__pos")
+    win = tok.select("__id", "__w", F.lead("__w", 1).over(w).alias("__next"))
     word_stats = (
-        words.groupBy("__id", "__w")
+        win.groupBy("__id", "__w")
         .agg(F.count("*").alias("__c"))
         .groupBy("__id")
         .agg(
@@ -443,14 +450,20 @@ def repetition_stats(
             (F.max("__c") / F.sum("__c")).alias("top_word_frac"),
         )
     )
-    # window-lead shingle materialization, NOT explode(shingles(...)) — the
-    # HOF form re-evaluates the interpreted lambda pipeline per row and
-    # measured ~7x slower on the full sf0.1 corpus (3.6s -> 0.5s here)
-    grams = shingle_rows(df, id_col, text_col, n=2, distinct=False).select(
-        "__id", F.col("__shingle").alias("__g")
+    grams = win.filter(F.col("__next").isNotNull()).select(
+        "__id", F.concat_ws(" ", "__w", "__next").alias("__g")
+    )
+    # one-word docs produce no lead pairs; their single 2-gram is the whole
+    # doc (shingles()'s short-doc fallback)
+    short = (
+        win.groupBy("__id")
+        .agg(F.count("*").alias("__n"), F.max("__w").alias("__g"))
+        .filter(F.col("__n") == 1)
+        .select("__id", "__g")
     )
     gram_stats = (
-        grams.groupBy("__id", "__g")
+        grams.union(short)
+        .groupBy("__id", "__g")
         .agg(F.count("*").alias("__c"))
         .groupBy("__id")
         .agg(
