@@ -3333,6 +3333,46 @@ ORDER BY loc.doc_id
 """
 
 
+def ann_ivf_cells(spark, sf):
+    """IVF coarse-quantizer assignment (ops/similarity.assign_ivf_cells):
+    every corpus vector lands in its argmin-cosine centroid cell. Centroids
+    here are the first 16 embedding rows (id-ordered — deterministic and
+    visible to DuckDB; production uses the seeded hash sample +
+    kmeans_refine). The oracle replicates Spark's fold-ordered dot/norm
+    exactly (list_reduce, same summation order), so cell assignments match
+    bit-for-bit including near-ties."""
+    emb = _chain(spark, sf, "embeddings").df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    df = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 300))
+    out = similarity.assign_ivf_cells(df, cents, "embedding", "ivf_cell")
+    return out.select("vec_id", "ivf_cell").orderBy("vec_id")
+
+
+def _ivf_cells_sql() -> str:
+    dot = lambda x, y: (
+        f"list_reduce([{x}[i+1]*{y}[i+1] for i in generate_series(0, len({x})-1)], (a,b) -> a+b)"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id < 16
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id >= 16 AND vec_id < 300
+), d AS (
+  SELECT v.vec_id, c.cell,
+         1.0 - {dot('e', 'ce')} / (sqrt({dot('e', 'e')}) * sqrt({dot('ce', 'ce')})) AS dist
+  FROM v CROSS JOIN c
+), r AS (
+  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d
+)
+SELECT vec_id, CAST(cell AS INTEGER) AS ivf_cell FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 _BLOCKLIST = ["www.ex1.com", "www.ex3.com", "www.ex5.com"]
 
 
@@ -3611,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_docs": quality_score_docs,
         "decontaminate_bloom_md5": decontaminate_bloom_md5,
         "url_blocklist": url_blocklist,
+        "ann_ivf_cells": ann_ivf_cells,
     }
 
 
@@ -3705,4 +3746,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_score_docs": _quality_sql(),
         "decontaminate_bloom_md5": _bloom_md5_sql(),
         "url_blocklist": _url_blocklist_sql(),
+        "ann_ivf_cells": _ivf_cells_sql(),
     }
