@@ -3333,6 +3333,65 @@ ORDER BY loc.doc_id
 """
 
 
+_ROUNDTRIP_SQL = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "WHERE doc_id < 100 ORDER BY doc_id"
+)
+
+
+def csv_roundtrip(spark, sf):
+    """Sink->source fidelity: to_csv then read_csv(output=...) must
+    reproduce the original rows bit-for-bit (quoting/escaping of embedded
+    newlines and quotes included) — oracled against the ORIGINAL table, so
+    any loss in either direction fails the hash."""
+    import tempfile
+
+    sess = Session.get(spark=spark)
+    ch = (
+        _chain(spark, sf, "documents")
+        .filter(C.doc_id < 100)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    d = tempfile.mkdtemp(prefix="dc_csv_rt_")
+    ch.to_csv(d + "/docs.csv")
+    from datachain_spark.sources.readers import read_csv
+
+    back = read_csv(
+        d + "/docs.csv",
+        output={"doc_id": int, "text": str, "lang": str, "source": str, "n_chars": int},
+        session=sess,
+    )
+    return back.order_by("doc_id").df
+
+
+def jsonl_roundtrip(spark, sf):
+    """to_jsonl -> read_json(format='jsonl', spec=model) fidelity, oracled
+    against the original table (JSON string escaping round-trip)."""
+    import tempfile
+
+    from pydantic import BaseModel
+
+    class Doc(BaseModel):
+        doc_id: int
+        text: str
+        lang: str
+        source: str
+        n_chars: int
+
+    sess = Session.get(spark=spark)
+    ch = (
+        _chain(spark, sf, "documents")
+        .filter(C.doc_id < 100)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    d = tempfile.mkdtemp(prefix="dc_jsonl_rt_")
+    ch.to_jsonl(d + "/docs.jsonl")
+    from datachain_spark.sources.readers import read_json
+
+    back = read_json(d + "/docs.jsonl", format="jsonl", spec=Doc, session=sess)
+    return back.order_by("doc_id").df
+
+
 def ann_ivf_cells(spark, sf):
     """IVF coarse-quantizer assignment (ops/similarity.assign_ivf_cells):
     every corpus vector lands in its argmin-cosine centroid cell. Centroids
@@ -3652,6 +3711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom_md5": decontaminate_bloom_md5,
         "url_blocklist": url_blocklist,
         "ann_ivf_cells": ann_ivf_cells,
+        "csv_roundtrip": csv_roundtrip,
+        "jsonl_roundtrip": jsonl_roundtrip,
     }
 
 
@@ -3747,4 +3808,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom_md5": _bloom_md5_sql(),
         "url_blocklist": _url_blocklist_sql(),
         "ann_ivf_cells": _ivf_cells_sql(),
+        "csv_roundtrip": _ROUNDTRIP_SQL,
+        "jsonl_roundtrip": _ROUNDTRIP_SQL,
     }
