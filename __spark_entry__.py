@@ -3392,6 +3392,49 @@ def jsonl_roundtrip(spark, sf):
     return back.order_by("doc_id").df
 
 
+def parquet_partition_roundtrip(spark, sf):
+    """to_parquet(partition_cols=['lang']) -> read_parquet: the partition
+    column leaves the data files and becomes directory keys; the read must
+    reconstruct it with its original TYPE and values (hash vs the original
+    table catches string-degraded partition columns)."""
+    import tempfile
+
+    sess = Session.get(spark=spark)
+    ch = (
+        _chain(spark, sf, "documents")
+        .filter(C.doc_id < 100)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    d = tempfile.mkdtemp(prefix="dc_pq_rt_")
+    ch.to_parquet(d + "/docs", partition_cols=["lang"])
+    from datachain_spark.sources.readers import read_parquet
+
+    back = read_parquet(d + "/docs", session=sess).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    return back.order_by("doc_id").df
+
+
+def database_roundtrip(spark, sf):
+    """to_database (DB-API writer) -> read_database (Arrow ingest) through
+    an on-disk DuckDB file — both halves of the reference's any-SQL-source
+    path exercised in one flow, hash-matched against the original table."""
+    import tempfile
+
+    sess = Session.get(spark=spark)
+    ch = (
+        _chain(spark, sf, "documents")
+        .filter(C.doc_id < 100)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    db = tempfile.mkdtemp(prefix="dc_db_rt_") + "/rt.duckdb"
+    ch.to_database("docs_rt", f"duckdb:///{db}")
+    from datachain_spark.sources.readers import read_database
+
+    back = read_database("SELECT * FROM docs_rt", f"duckdb:///{db}", session=sess)
+    return back.order_by("doc_id").df
+
+
 def ann_ivf_cells(spark, sf):
     """IVF coarse-quantizer assignment (ops/similarity.assign_ivf_cells):
     every corpus vector lands in its argmin-cosine centroid cell. Centroids
@@ -3713,6 +3756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cells": ann_ivf_cells,
         "csv_roundtrip": csv_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
+        "parquet_partition_roundtrip": parquet_partition_roundtrip,
+        "database_roundtrip": database_roundtrip,
     }
 
 
@@ -3810,4 +3855,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_cells": _ivf_cells_sql(),
         "csv_roundtrip": _ROUNDTRIP_SQL,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
+        "parquet_partition_roundtrip": _ROUNDTRIP_SQL,
+        "database_roundtrip": _ROUNDTRIP_SQL,
     }
