@@ -3392,6 +3392,33 @@ def jsonl_roundtrip(spark, sf):
     return back.order_by("doc_id").df
 
 
+def save_version_pinned(spark, sf):
+    """Versioning core, hash-level: save v1.0.0 (filtered), save again
+    (auto-bump to 1.0.1 with MORE rows), then read the PINNED '==1.0.0' —
+    the old version must still return exactly its original rows. Catches
+    version-overwrite and specifier-resolution bugs that a rows-only check
+    can't."""
+    import tempfile
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.sources.readers import read_dataset
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_verpin_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    try:
+        nation = _chain(spark, sf, "nation")
+        nation.filter(C.n_nationkey < 10).save("ver_demo")  # v1.0.0
+        nation.save("ver_demo")  # v1.0.1 (auto bump)
+        v1 = read_dataset("ver_demo", "==1.0.0", session=sess)
+        return v1.order_by("n_nationkey").df
+    finally:
+        sess.metastore = old_ms
+
+
+SAVE_VERSION_SQL = "SELECT * FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey"
+
+
 def parquet_partition_roundtrip(spark, sf):
     """to_parquet(partition_cols=['lang']) -> read_parquet: the partition
     column leaves the data files and becomes directory keys; the read must
@@ -3758,6 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": jsonl_roundtrip,
         "parquet_partition_roundtrip": parquet_partition_roundtrip,
         "database_roundtrip": database_roundtrip,
+        "save_version_pinned": save_version_pinned,
     }
 
 
@@ -3857,4 +3885,5 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "parquet_partition_roundtrip": _ROUNDTRIP_SQL,
         "database_roundtrip": _ROUNDTRIP_SQL,
+        "save_version_pinned": SAVE_VERSION_SQL,
     }
