@@ -420,14 +420,17 @@ def repetition_stats(
       duplicate-n-gram character fraction).
 
     Single-pass shape (r04, measured 1.6× the old two-pass form at sf0.1):
-    ONE posexplode produces positioned word rows, 2-grams come from a window
-    ``lead`` (not a second explode; the HOF explode(shingles(...)) form
-    measured ~7× slower still — interpreted lambdas), and the one shuffle —
-    the window's hashpartitioning on the id — satisfies the clustering
-    requirement of BOTH downstream (id, token) aggregations and the final
-    per-id join, so Catalyst inserts no further exchanges and ReuseExchange
-    dedupes the branches' shared shuffle. Filter chains compose downstream,
-    e.g. ``.filter(C.top_word_frac < 0.2)``.
+    both signals derive from ONE posexplode projection; 2-grams come from a
+    window ``lead`` (not a second explode; the HOF explode(shingles(...))
+    form measured ~7× slower still — interpreted lambdas). Catalyst then
+    does something better than the hand plan: it PRUNES the window out of
+    the word-count branch (words don't need ``lead``), so that branch is
+    explode → map-side partial count → a narrow (id, word, count) shuffle,
+    while only the gram branch pays the window's id-shuffle — every
+    exchange in the final plan carries aggregated or windowed rows keyed by
+    the id, never raw tokens, and the final per-id merge is a broadcast
+    join (plan-guarded). Filter chains compose downstream, e.g.
+    ``.filter(C.top_word_frac < 0.2)``.
 
     No reference counterpart (spec addition). Oracled by __spark_entry__
     ``repetition_stats``."""

@@ -201,3 +201,25 @@ def test_q18_having_in_single_shuffle(spark, sf_dir):
     df = Q["q18_large_volume"](spark, sf_dir)
     assert shuffle_count(df) <= 2
     assert "SortMergeJoin" not in join_strategies(df)
+
+
+def test_repetition_stats_shuffle_shape(spark, sf_dir):
+    # r04 single-pass rewrite: every exchange hashes the doc id (the gram
+    # window and final aggs) or (id, word) partial counts — never raw
+    # tokens — and the per-id merge is a broadcast join, not a sort-merge
+    import re
+
+    from datachain_spark.ops import text
+    from datachain_spark.plans.inspect import _formatted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = text.repetition_stats(docs, "doc_id")
+    plan = _formatted(df)
+    keys = re.findall(r"Arguments: hashpartitioning\(__(\w+)#", plan)
+    assert keys and all(k == "id" for k in keys), keys
+    # the (id, word) count shuffle is partial-aggregated upstream: the
+    # exchange inputs carry a count/sum column, not bare exploded tokens
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        cols = m.group(1)
+        assert ("count" in cols) or ("sum" in cols) or ("__pos" in cols), cols
+    assert "SortMergeJoin" not in plan
