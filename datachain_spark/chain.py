@@ -1235,6 +1235,27 @@ class DataChain:
 
         export_files(self._df, output, signal=signal, placement=placement)
 
+    def to_webdataset(
+        self,
+        output: str,
+        key_col: str,
+        columns: "dict[str, str]",
+        num_shards: int = 16,
+        shard_prefix: str = "shard-",
+    ) -> "list[dict]":
+        """Shard the chain out as WebDataset tars (spec addition — the
+        reference only READS wds; prepared training corpora also need to be
+        sharded back out). One range shuffle, one tar per partition,
+        written executor-side; returns the materialized shard manifest.
+        See datachain_spark.webdataset.to_webdataset."""
+        from .webdataset import to_webdataset as _tw
+
+        manifest = _tw(
+            self._df, output, key_col, columns,
+            num_shards=num_shards, shard_prefix=shard_prefix,
+        )
+        return [r.asDict() for r in manifest.collect()]
+
     def parse_tabular(self, format: str = "parquet", source: bool = True, **options) -> "DataChain":  # noqa: A002
         """Parse File rows into data rows via the native Spark reader.
         Parity: datachain.py:2079-2183."""

@@ -172,3 +172,53 @@ def test_wds_filtered_example_flow(session, laion_filtered_shard, tmp_path):
     assert filtered.count() == 2
     kept = sorted(r["laion"]["json"]["uid"] for r in filtered.to_records())
     assert kept == ["uid-1", "uid-4"]
+
+
+def test_to_webdataset_roundtrip(session, tmp_path):
+    # write shards from a chain (binary jpg + json meta + txt caption),
+    # read them back through process_webdataset — lossless round trip
+    import datachain_spark as dc
+    from datachain_spark import C
+
+    n = 20
+    src = dc.read_values(
+        session=session,
+        key=[f"s{i:04d}" for i in range(n)],
+        jpg=[b"\xff\xd8img" + bytes([i]) for i in range(n)],
+        json=[_mk_json(i) for i in range(n)],
+        txt=[f"caption {i}" for i in range(n)],
+    )
+    out = tmp_path / "shards"
+    manifest = src.to_webdataset(
+        str(out), "key", {"jpg": "jpg", "json": "json", "txt": "txt"},
+        num_shards=3,
+    )
+    assert 1 <= len(manifest) <= 3
+    assert sum(m["samples"] for m in manifest) == n
+    assert all(m["bytes"] > 0 for m in manifest)
+
+    back = (
+        dc.read_storage(str(out), session=session)
+        .filter(C("file.path").glob("*.tar"))
+        .gen(laion=process_webdataset(spec=WDSLaion))
+    )
+    recs = sorted(back.to_records(), key=lambda r: r["laion"]["json"]["uid"])
+    assert len(recs) == n
+    assert recs[3]["laion"]["txt"] == "caption 3"
+    assert recs[3]["laion"]["json"]["uid"] == "uid-0003"
+    assert recs[3]["laion"]["file"]["size"] == 6  # jpg member bytes
+
+    # shards are key-range partitioned AND key-sorted within each tar
+    import tarfile as _t
+
+    names = []
+    for m in sorted(manifest, key=lambda m: m["shard"]):
+        with _t.open(m["path"]) as tar:
+            keys = [n.split(".")[0] for n in tar.getnames() if n.endswith(".txt")]
+            assert keys == sorted(keys)
+            names.extend(keys)
+    assert names == sorted(names)  # global order across shard ids
+
+
+def _mk_json(i):
+    return json.dumps({"uid": f"uid-{i:04d}", "width": 100 + i})
