@@ -3581,7 +3581,7 @@ WITH pwords AS (
   SELECT DISTINCT unnest({shingle5}) AS sh FROM pwords
 ), phash AS (
   SELECT CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) % {m} AS h1,
-         CAST('0x' || substring(md5(sh || ':2654435769'), 1, 15) AS BIGINT) % {m} AS h2
+         (CAST('0x' || substring(md5(sh || ':2654435769'), 1, 15) AS BIGINT) % {m}) * 2 + 1 AS h2
   FROM psh
 ), ppos AS (
   SELECT (h1 + i * h2) % {m} AS pos
@@ -3598,7 +3598,7 @@ WITH pwords AS (
 ), chash AS (
   SELECT doc_id, sh,
          CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) % {m} AS h1,
-         CAST('0x' || substring(md5(sh || ':2654435769'), 1, 15) AS BIGINT) % {m} AS h2
+         (CAST('0x' || substring(md5(sh || ':2654435769'), 1, 15) AS BIGINT) % {m}) * 2 + 1 AS h2
   FROM csh
 ), cpos AS (
   SELECT doc_id, sh, (h1 + i * h2) % {m} AS pos

@@ -288,9 +288,14 @@ def _decontaminate_bloom(
 
     def _pos_stream(col):
         # both streams reduced mod m first so h1 + i*h2 stays far from
-        # 64-bit overflow (ANSI mode would raise on it)
+        # 64-bit overflow (ANSI mode would raise on it). The step h2 is
+        # forced ODD (2x+1): with h2 ≡ 0 (mod m) every probe would hit the
+        # SAME bit and one set bit forges membership — a hypothesis run
+        # found exactly that degenerate false positive at m=64. An odd step
+        # is coprime with m's power-of-two factor, so the k probe positions
+        # stay distinct.
         h1 = F.pmod(_hash64(col, hash_fn), F.lit(m))
-        h2 = F.pmod(_seeded_hash64(col, _BLOOM_SEED2, hash_fn), F.lit(m))
+        h2 = F.pmod(_seeded_hash64(col, _BLOOM_SEED2, hash_fn), F.lit(m)) * 2 + 1
         return h1, h2
 
     h1, h2 = _pos_stream(F.col("__sh"))
@@ -335,7 +340,7 @@ def _decontaminate_bloom(
     hashed = shingle_rows(df, id_col, text_col, n=ngram).select(
         "__id",
         F.pmod(_hash64(F.col("__shingle"), hash_fn), F.lit(m)).alias("__h1"),
-        F.pmod(_seeded_hash64(F.col("__shingle"), _BLOOM_SEED2, hash_fn), F.lit(m)).alias("__h2"),
+        (F.pmod(_seeded_hash64(F.col("__shingle"), _BLOOM_SEED2, hash_fn), F.lit(m)) * 2 + 1).alias("__h2"),
     )
 
     def _bit_test(i: int):

@@ -221,3 +221,53 @@ def test_outer_merge_fixed_nulls(session, how):
         lf=lf,
         rf=rf,
     )
+
+
+# -- bloom decontamination one-sidedness (ops/dedup) -----------------------
+
+_words = st.sampled_from(
+    ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel"]
+)
+_doc = st.lists(_words, min_size=1, max_size=8).map(" ".join)
+
+
+@given(
+    corpus=st.lists(_doc, min_size=1, max_size=8),
+    probes=st.lists(_doc, min_size=1, max_size=3),
+)
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bloom_decontaminate_one_sided(session, corpus, probes):
+    """For ANY corpus/probe mix: bloom survivors ⊆ exact survivors (false
+    positives only ever over-drop), audit mode partitions the corpus, and
+    at tight fpp the two paths agree."""
+    from datachain_spark.ops import dedup as _dedup
+
+    cdf = dc.read_values(
+        session=session, doc_id=list(range(len(corpus))), text=corpus
+    ).df
+    pdf_ = dc.read_values(
+        session=session, doc_id=list(range(len(probes))), text=probes
+    ).df
+    exact = {
+        r["doc_id"]
+        for r in _dedup.decontaminate(cdf, pdf_, "doc_id", ngram=2).collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in _dedup.decontaminate(
+            cdf, pdf_, "doc_id", ngram=2, method="bloom", bloom_fpp=1e-9
+        ).collect()
+    }
+    assert bloom <= exact
+    assert bloom == exact  # fpp=1e-9 on <=24 n-grams: FP probability ~0
+    audit = {
+        r["doc_id"]
+        for r in _dedup.decontaminate(
+            cdf, pdf_, "doc_id", ngram=2, method="bloom",
+            bloom_fpp=1e-9, keep_contaminated=True,
+        ).collect()
+    }
+    assert audit | bloom == set(range(len(corpus))) and not (audit & bloom)
