@@ -193,3 +193,44 @@ def test_glob_to_regex_semantics(session):
     assert re.match(path_glob_to_regex("**/*.txt"), "d/e/a.txt")
     assert re.match(path_glob_to_regex("**/*.txt"), "a.txt")
     assert re.match(path_glob_to_regex("d?r/[ab]*.txt"), "dir/a1.txt")
+
+
+def test_func_namespace_parity_with_reference():
+    """Every name the reference's ``datachain.func`` exports (its __all__,
+    func/__init__.py:26-69) resolves on this engine's func namespace — a
+    user's ``from datachain import func; func.X`` calls port unchanged."""
+    from datachain_spark import func
+
+    reference_all = [
+        "and_", "any_value", "array", "avg", "bit_and",
+        "bit_hamming_distance", "bit_or", "bit_xor",
+        "byte_hamming_distance", "case", "collect", "concat", "contains",
+        "cosine_distance", "count", "dense_rank", "euclidean_distance",
+        "file_ext", "file_stem", "first", "greatest", "ifelse",
+        "int_hash_64", "isnone", "least", "length", "literal", "max",
+        "min", "name", "not_", "or_", "parent", "path", "rand", "random",
+        "rank", "row_number", "sip_hash_64", "string", "sum", "window",
+    ]
+    missing = [n for n in reference_all if not hasattr(func, n)]
+    assert not missing, f"func namespace missing reference exports: {missing}"
+
+
+def test_top_level_namespace_parity_with_reference():
+    """Every name the reference package exports at top level (its __all__,
+    src/datachain/__init__.py) resolves on ``import datachain_spark``."""
+    import datachain_spark as dc
+
+    reference_all = [
+        "AbstractUDF", "Aggregator", "ArrowRow", "Audio", "AudioFile",
+        "AudioFragment", "C", "Column", "DataChain", "DataChainError",
+        "DataModel", "DataType", "File", "FileError", "Generator", "Image",
+        "ImageFile", "Mapper", "ModelStore", "Session", "Sys", "TarVFile",
+        "TextFile", "Video", "VideoFile", "VideoFragment", "VideoFrame",
+        "create_project", "datasets", "delete_dataset", "delete_namespace",
+        "is_chain_type", "is_studio", "listings", "metrics", "move_dataset",
+        "param", "read_csv", "read_database", "read_dataset", "read_hf",
+        "read_json", "read_pandas", "read_parquet", "read_records",
+        "read_storage", "read_values",
+    ]
+    missing = [n for n in reference_all if not hasattr(dc, n)]
+    assert not missing, f"top-level namespace missing: {missing}"
