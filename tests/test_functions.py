@@ -234,3 +234,30 @@ def test_top_level_namespace_parity_with_reference():
     ]
     missing = [n for n in reference_all if not hasattr(dc, n)]
     assert not missing, f"top-level namespace missing: {missing}"
+
+
+def test_datachain_method_parity_with_reference(session):
+    """Every public method/property on the reference's DataChain class
+    (lib/dc/datachain.py, 80 distinct public names) resolves on an instance
+    of this engine's DataChain."""
+    import datachain_spark as dc
+
+    ch = dc.read_values(session=session, x=[1, 2])
+    reference_methods = [
+        "hash", "empty", "delta", "delta_unsafe", "schema", "column", "c",
+        "session", "name", "version", "dataset", "print_schema", "clone",
+        "settings", "reset_settings", "from_storage", "from_dataset",
+        "from_json", "explode", "datasets", "listings", "namespace_name",
+        "project_name", "persist", "save", "apply", "map", "gen", "agg",
+        "batch_map", "order_by", "distinct", "select", "select_except",
+        "group_by", "mutate", "to_columnar_data_with_names", "results",
+        "to_records", "to_iter", "collect", "to_pytorch", "merge", "union",
+        "subtract", "diff", "file_diff", "from_values", "from_pandas",
+        "to_pandas", "show", "from_hf", "parse_tabular", "from_csv",
+        "from_parquet", "to_parquet", "to_csv", "to_json", "to_jsonl",
+        "to_database", "from_records", "sum", "avg", "min", "max", "setup",
+        "to_storage", "shuffle", "sample", "filter", "limit", "offset",
+        "count", "exec", "chunk", "to_list", "to_values",
+    ]
+    missing = [m for m in reference_methods if not hasattr(ch, m)]
+    assert not missing, f"DataChain missing reference methods: {missing}"
