@@ -3502,6 +3502,66 @@ SELECT vec_id, CAST(cell AS INTEGER) AS ivf_cell FROM r WHERE rn = 1 ORDER BY ve
 """
 
 
+def ann_ivf_probe(spark, sf):
+    """End-to-end IVF ANN: centroid assignment + n_probe nearest-cell
+    selection + exact top-k inside the probed cells (ops/similarity
+    .ann_ivf_topk), all replicated fold-exactly in DuckDB — the full
+    approximate-search path, not just the quantizer."""
+    emb = _chain(spark, sf, "embeddings").df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    qv = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 16).select("embedding").first()["embedding"]
+    ]
+    corpus = emb.filter(F.col("vec_id") >= 17)
+    withc = similarity.assign_ivf_cells(corpus, cents, "embedding", "ivf_cell")
+    out = similarity.ann_ivf_topk(
+        withc, cents, qv, "embedding", "ivf_cell", k=10, n_probe=4,
+        id_cols=["vec_id"],
+    )
+    return out.select(
+        "vec_id", F.round(F.col("distance"), 4).alias("dist_r")
+    ).orderBy("dist_r", "vec_id")
+
+
+def _ivf_probe_sql() -> str:
+    dot = lambda x, y: (
+        f"list_reduce([{x}[i+1]*{y}[i+1] for i in generate_series(0, len({x})-1)], (a,b) -> a+b)"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id < 16
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 16
+), probed AS (
+  SELECT cell FROM c, q
+  ORDER BY 1.0 - {dot('qv', 'ce')} / (sqrt({dot('qv', 'qv')}) * sqrt({dot('ce', 'ce')})), cell
+  LIMIT 4
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id >= 17
+), assigned AS (
+  SELECT vec_id, e, cell, row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY 1.0 - {dot('e', 'ce')} / (sqrt({dot('e', 'e')}) * sqrt({dot('ce', 'ce')})), cell
+  ) AS rn
+  FROM v CROSS JOIN c
+), cells AS (
+  SELECT vec_id, e, cell FROM assigned WHERE rn = 1
+)
+SELECT vec_id,
+       round(CAST(1.0 - {dot('e', 'qv')} / (sqrt({dot('e', 'e')}) * sqrt({dot('qv', 'qv')})) AS DOUBLE), 4) AS dist_r
+FROM cells, q
+WHERE cell IN (SELECT cell FROM probed)
+ORDER BY 1.0 - {dot('e', 'qv')} / (sqrt({dot('e', 'e')}) * sqrt({dot('qv', 'qv')})), vec_id
+LIMIT 10
+"""
+
+
 _BLOCKLIST = ["www.ex1.com", "www.ex3.com", "www.ex5.com"]
 
 
@@ -3781,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom_md5": decontaminate_bloom_md5,
         "url_blocklist": url_blocklist,
         "ann_ivf_cells": ann_ivf_cells,
+        "ann_ivf_probe": ann_ivf_probe,
         "csv_roundtrip": csv_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
         "parquet_partition_roundtrip": parquet_partition_roundtrip,
@@ -3881,6 +3942,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom_md5": _bloom_md5_sql(),
         "url_blocklist": _url_blocklist_sql(),
         "ann_ivf_cells": _ivf_cells_sql(),
+        "ann_ivf_probe": _ivf_probe_sql(),
         "csv_roundtrip": _ROUNDTRIP_SQL,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "parquet_partition_roundtrip": _ROUNDTRIP_SQL,
