@@ -3502,6 +3502,43 @@ SELECT vec_id, CAST(cell AS INTEGER) AS ivf_cell FROM r WHERE rn = 1 ORDER BY ve
 """
 
 
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 64, 16
+
+
+def chunk_documents_query(spark, sf):
+    """Token-window chunking with overlap (ops/text.chunk_documents — RAG /
+    long-context prep); chunk boundaries, texts and token counts replicated
+    in DuckDB list arithmetic."""
+    from datachain_spark.ops import text as _t
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 150)
+    return _t.chunk_documents(
+        docs, "doc_id", chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _chunk_sql() -> str:
+    ct, ov = _CHUNK_TOKENS, _CHUNK_OVERLAP
+    step = ct - ov
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wa
+  FROM documents WHERE doc_id < 150
+), n AS (
+  SELECT doc_id, wa, len(wa) AS n FROM w
+), idx AS (
+  SELECT doc_id, wa, n,
+         unnest(generate_series(0,
+           greatest(CAST(ceil((n - {ov})::DOUBLE / {step}) AS INT), 1) - 1)) AS chunk_id
+  FROM n
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(wa[chunk_id*{step}+1 : chunk_id*{step}+{ct}], ' ') AS chunk_text,
+       CAST(least({ct}, n - chunk_id*{step}) AS INT) AS n_tokens
+FROM idx ORDER BY doc_id, chunk_id
+"""
+
+
 def ann_ivf_probe(spark, sf):
     """End-to-end IVF ANN: centroid assignment + n_probe nearest-cell
     selection + exact top-k inside the probed cells (ops/similarity
@@ -3842,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": url_blocklist,
         "ann_ivf_cells": ann_ivf_cells,
         "ann_ivf_probe": ann_ivf_probe,
+        "chunk_documents": chunk_documents_query,
         "csv_roundtrip": csv_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
         "parquet_partition_roundtrip": parquet_partition_roundtrip,
@@ -3943,6 +3981,7 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist": _url_blocklist_sql(),
         "ann_ivf_cells": _ivf_cells_sql(),
         "ann_ivf_probe": _ivf_probe_sql(),
+        "chunk_documents": _chunk_sql(),
         "csv_roundtrip": _ROUNDTRIP_SQL,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "parquet_partition_roundtrip": _ROUNDTRIP_SQL,

@@ -331,6 +331,65 @@ def filter_by_domain_blocklist(
     return out.drop("__dom")
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the RAG / long-
+    context prep pass (split long docs into model-window-sized pieces
+    before embedding or packing; ``overlap`` tokens repeat at each boundary
+    so no span is ever cut mid-context).
+
+    Output: (id_col, chunk_id, chunk_text, n_tokens) — chunk_id 0-based in
+    document order; the last chunk may be short but always contributes at
+    least one new token.
+
+    Scale shape: ZERO shuffles — chunk starts are a per-row ``sequence``
+    and each chunk is a slice+join of the row's own token array, then
+    posexplode. The higher-order functions run interpreted (Catalyst), but
+    per CHUNK, not per token — ~chunk_tokens× fewer lambda evaluations
+    than the per-token explode forms, which is why this op tolerates the
+    HOF form the shingle pipeline had to abandon (ops/text.shingle_rows).
+
+    No reference counterpart (spec addition). Oracle: __spark_entry__
+    ``chunk_documents`` replicates slicing in DuckDB list arithmetic."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    step = chunk_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # starts: 0, step, 2*step ... while start < n - overlap (last chunk must
+    # add >= 1 new token); degenerate short doc -> single chunk 0
+    num = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), num - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(
+                F.slice(words, i * F.lit(step) + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - i * F.lit(step)).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_id").alias("chunk_id"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+            F.col("__c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     id_col: str,

@@ -694,3 +694,37 @@ def test_kmeans_refine_reduces_inertia(session):
     # each refined centroid should be dominated by one base direction
     tops = sorted(max(range(4), key=lambda d: c[d]) for c in cents1)
     assert len(set(tops)) == 3
+
+
+def test_chunk_documents(session):
+    """Overlap semantics, short docs, chunk coverage invariants, zero
+    shuffles in the plan."""
+    df = session.spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        text.chunk_documents(df, "doc_id", chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    d1 = [r for r in out if r["doc_id"] == 1]
+    assert [r["chunk_text"] for r in d1] == ["a b c d", "d e f g", "g h i j"]
+    assert [r["n_tokens"] for r in d1] == [4, 4, 4]
+    # every consecutive pair shares exactly `overlap` boundary tokens
+    for a, b in zip(d1, d1[1:]):
+        assert a["chunk_text"].split()[-1:] == b["chunk_text"].split()[:1]
+    # concatenation minus overlaps reconstructs the doc
+    tokens = d1[0]["chunk_text"].split()
+    for r in d1[1:]:
+        tokens += r["chunk_text"].split()[1:]
+    assert " ".join(tokens) == "a b c d e f g h i j"
+    assert [(r["chunk_id"], r["chunk_text"]) for r in out if r["doc_id"] == 2] == [(0, "x y")]
+    assert [(r["chunk_id"], r["chunk_text"]) for r in out if r["doc_id"] == 3] == [(0, "solo")]
+
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, "doc_id", chunk_tokens=4, overlap=4)
+
+    # zero-shuffle plan: chunking is a per-row projection + explode
+    from datachain_spark.plans import shuffle_count
+
+    assert shuffle_count(text.chunk_documents(df, "doc_id")) == 0
