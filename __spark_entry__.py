@@ -3502,6 +3502,66 @@ SELECT vec_id, CAST(cell AS INTEGER) AS ivf_cell FROM r WHERE rn = 1 ORDER BY ve
 """
 
 
+def lm_perplexity(spark, sf):
+    """CCNet-style LM quality signal (ops/text.ngram_lm_train/score):
+    bigram model from docs 0-49, Laplace-smoothed mean log-prob +
+    perplexity for docs 50-199 — the model statistics, the two-join
+    smoothing semantics, and the per-doc aggregation all replicated in
+    DuckDB."""
+    from datachain_spark.ops import text as _t
+
+    docs = _chain(spark, sf, "documents").df
+    ref = docs.filter(F.col("doc_id") < 50)
+    corpus = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 200))
+    lm = _t.ngram_lm_train(ref, "text", n=2)
+    out = _t.ngram_lm_score(corpus, lm, "doc_id", "text", n=2, alpha=1.0)
+    return out.select(
+        "doc_id", "n_grams",
+        F.round("avg_logprob", 4).alias("alp_r"),
+        F.round("perplexity", 4).alias("ppl_r"),
+    ).orderBy("doc_id")
+
+
+_LM_NORM = (
+    "string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+')"
+)
+
+LM_PERPLEXITY_SQL = f"""
+WITH refw AS (
+  SELECT {_LM_NORM} AS w FROM documents WHERE doc_id < 50
+), refgrams AS (
+  SELECT unnest([concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)]) AS g
+  FROM refw WHERE len(w) >= 2
+), refpairs AS (
+  SELECT split_part(g, ' ', 1) AS context, split_part(g, ' ', 2) AS word FROM refgrams
+), grams AS (
+  SELECT context, word, count(*) AS c FROM refpairs GROUP BY context, word
+), ctx AS (
+  SELECT context, CAST(sum(c) AS BIGINT) AS cc FROM grams GROUP BY context
+), vocab AS (
+  SELECT count(DISTINCT word) AS v FROM grams
+), corpusw AS (
+  SELECT doc_id, {_LM_NORM} AS w
+  FROM documents WHERE doc_id >= 50 AND doc_id < 200
+), cgrams AS (
+  SELECT doc_id, unnest([concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)]) AS g
+  FROM corpusw WHERE len(w) >= 2
+), cpairs AS (
+  SELECT doc_id, split_part(g, ' ', 1) AS context, split_part(g, ' ', 2) AS word FROM cgrams
+), scored AS (
+  SELECT doc_id,
+         ln((coalesce(g.c, 0) + 1.0) / (coalesce(x.cc, 0) + 1.0 * (SELECT v FROM vocab))) AS lp
+  FROM cpairs p
+  LEFT JOIN grams g ON g.context = p.context AND g.word = p.word
+  LEFT JOIN ctx x ON x.context = p.context
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(avg(lp), 4) AS alp_r,
+       round(exp(-avg(lp)), 4) AS ppl_r
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _CHUNK_TOKENS, _CHUNK_OVERLAP = 64, 16
 
 
@@ -3880,6 +3940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cells": ann_ivf_cells,
         "ann_ivf_probe": ann_ivf_probe,
         "chunk_documents": chunk_documents_query,
+        "lm_perplexity": lm_perplexity,
         "csv_roundtrip": csv_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
         "parquet_partition_roundtrip": parquet_partition_roundtrip,
@@ -3982,6 +4043,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_cells": _ivf_cells_sql(),
         "ann_ivf_probe": _ivf_probe_sql(),
         "chunk_documents": _chunk_sql(),
+        "lm_perplexity": LM_PERPLEXITY_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "parquet_partition_roundtrip": _ROUNDTRIP_SQL,

@@ -331,6 +331,113 @@ def filter_by_domain_blocklist(
     return out.drop("__dom")
 
 
+def ngram_lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Train an n-gram language model from a reference corpus: returns
+    (context, word, count, context_count) rows — the sufficient statistics
+    for :func:`ngram_lm_score`. Context = the n-1 preceding words (empty
+    string for n=1). One explode + two count aggregations, all JVM-side;
+    the model is (distinct n-grams) rows — typically millions, broadcast-
+    or shuffle-joinable downstream."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    # positioned tokens -> (context, word) pairs via window lead — the
+    # shingle_rows machinery, but keeping the context/word split point
+    from pyspark.sql import Window as W
+
+    words_arr = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", "")), r"\s+"
+    )
+    tok = df.select(F.monotonically_increasing_id().alias("__rid"), words_arr.alias("__w")) \
+        .select("__rid", F.posexplode("__w").alias("__pos", "__word"))
+    if n == 1:
+        pairs = tok.select(F.lit("").alias("context"), F.col("__word").alias("word"))
+    else:
+        w = W.partitionBy("__rid").orderBy("__pos")
+        leads = [F.lead("__word", j).over(w) for j in range(1, n)]
+        pairs = tok.select(
+            F.concat_ws(" ", F.col("__word"), *leads[:-1]).alias("context"),
+            leads[-1].alias("word"),
+        ).filter(F.col("word").isNotNull())
+    grams = pairs.groupBy("context", "word").agg(F.count("*").alias("count"))
+    ctx = grams.groupBy("context").agg(F.sum("count").alias("context_count"))
+    return grams.join(ctx, "context").select("context", "word", "count", "context_count")
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    alpha: float = 1.0,
+    vocab_size: Optional[int] = None,
+) -> DataFrame:
+    """CCNet-style LM quality signal: per-doc mean log-probability and
+    perplexity under the :func:`ngram_lm_train` model, with Laplace
+    smoothing P(w|ctx) = (c + alpha)/(C + alpha*V). Docs whose text looks
+    nothing like the reference corpus (boilerplate, other languages,
+    garbage) score low — the standard perplexity-bucket filter
+    (Wenzek et al., "CCNet", 2020 uses KenLM; the sufficient statistics
+    and the filtering semantics are the same).
+
+    Output: (id_col, n_grams, avg_logprob, perplexity).
+
+    Scale shape: docs explode to (id, context, word) rows ONCE; a single
+    equi-join against the model (AQE broadcasts small LMs, shuffle-joins
+    big ones — both sides narrow), then one per-id aggregation. Unseen
+    n-grams keep the smoothed floor via the left join's null branch."""
+    if vocab_size is None:
+        vocab_size = lm.select("word").distinct().count()
+    from pyspark.sql import Window as W
+
+    words_arr = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", "")), r"\s+"
+    )
+    tok = df.select(F.col(id_col).alias("__id"), words_arr.alias("__w")).select(
+        "__id", F.posexplode("__w").alias("__pos", "__word")
+    )
+    if n == 1:
+        pairs = tok.select("__id", F.lit("").alias("context"), F.col("__word").alias("word"))
+    else:
+        w = W.partitionBy("__id").orderBy("__pos")
+        leads = [F.lead("__word", j).over(w) for j in range(1, n)]
+        pairs = tok.select(
+            "__id",
+            F.concat_ws(" ", F.col("__word"), *leads[:-1]).alias("context"),
+            leads[-1].alias("word"),
+        ).filter(F.col("word").isNotNull())
+    # two joins, not one: a SEEN context with an UNSEEN word must still use
+    # the context's total count in the denominator (one (context, word)
+    # left join would zero it and collapse smoothing to 1/V — caught by the
+    # DuckDB oracle during development)
+    gram_counts = lm.select("context", "word", "count")
+    ctx_counts = lm.select("context", "context_count").dropDuplicates(["context"])
+    joined = pairs.join(gram_counts, ["context", "word"], "left").join(
+        ctx_counts, "context", "left"
+    )
+    logp = F.log(
+        (F.coalesce(F.col("count"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.coalesce(F.col("context_count"), F.lit(0)) + F.lit(float(alpha) * vocab_size))
+    )
+    return (
+        joined.groupBy("__id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.avg(logp).alias("avg_logprob"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            "avg_logprob",
+            F.exp(-F.col("avg_logprob")).alias("perplexity"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

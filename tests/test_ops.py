@@ -728,3 +728,37 @@ def test_chunk_documents(session):
     from datachain_spark.plans import shuffle_count
 
     assert shuffle_count(text.chunk_documents(df, "doc_id")) == 0
+
+
+def test_ngram_lm_perplexity(session):
+    """In-domain text scores lower perplexity than out-of-domain; unseen
+    words of a seen context keep the context count in the denominator."""
+    ref = dc.read_values(
+        session=session, doc_id=[0, 1],
+        text=["the cat sat on the mat", "the dog sat on the rug"],
+    )
+    lm = text.ngram_lm_train(ref.df, "text", n=2)
+    row = {(r["context"], r["word"]): (r["count"], r["context_count"])
+           for r in lm.collect()}
+    assert row[("the", "cat")] == (1, 4)  # 'the' appears 4x as context
+    assert row[("sat", "on")] == (2, 2)
+
+    docs = dc.read_values(
+        session=session, doc_id=[1, 2, 3],
+        text=["the cat sat on the mat",
+              "quantum flux capacitors engage promptly",
+              "the zzz sat on the mat"],  # seen contexts, one unseen word
+    )
+    out = {r["doc_id"]: r for r in
+           text.ngram_lm_score(docs.df, lm, "doc_id", "text", n=2).collect()}
+    assert out[1]["perplexity"] < out[3]["perplexity"] < out[2]["perplexity"]
+    assert out[1]["n_grams"] == 5
+    import math
+    # V = distinct PREDICTED words in the model: cat,sat,on,the,mat,dog,rug
+    V = 7
+    # spot-check one exact probability:
+    # (sat, on): count 2, context_count 2 -> (2+1)/(2+V)
+    one = text.ngram_lm_score(
+        dc.read_values(session=session, doc_id=[9], text=["sat on"]).df,
+        lm, "doc_id", "text", n=2).collect()[0]
+    assert abs(one["avg_logprob"] - math.log(3 / (2 + V))) < 1e-12
