@@ -48,6 +48,9 @@ HEADLINE = [
     "corpus_pipeline_full",
     # whole-corpus generator UDF (BASELINE.md gen() throughput comparable)
     "udf_gen_full",
+    # r04 late additions: RAG chunking + CCNet LM perplexity at corpus scale
+    "chunk_documents_full",
+    "lm_perplexity_full",
     # LAST on purpose: its Janino-fallback mega-filter (see
     # ops/dedup._decontaminate_bloom) leaves the JVM code cache/JIT in a
     # state that measurably slows LATER queries in the same session
@@ -175,6 +178,22 @@ def main() -> None:
             output={"doc_id": int, "pos": int, "word": str},
         ).df
 
+    def _chunk_documents_full(spark, sf):
+        # whole-corpus RAG chunking: zero-shuffle per-row slicing
+        docs = entrymod._chain(spark, sf, "documents").df
+        return _text.chunk_documents(docs, "doc_id", chunk_tokens=256, overlap=32)
+
+    def _lm_perplexity_full(spark, sf):
+        # CCNet perplexity pass: bigram LM from the first 500 docs, scored
+        # over the whole corpus (explode once, two narrow joins, one agg)
+        docs = entrymod._chain(spark, sf, "documents").df
+        lm = _text.ngram_lm_train(docs.filter(F.col("doc_id") < 500), "text", n=2)
+        return _text.ngram_lm_score(
+            docs, lm, "doc_id", "text", n=2, vocab_size=5000
+        )
+
+    queries["chunk_documents_full"] = _chunk_documents_full
+    queries["lm_perplexity_full"] = _lm_perplexity_full
     queries["pack_sequences_full"] = _pack_sequences_full
     queries["interleave_full"] = _interleave_full
     queries["corpus_pipeline_full"] = _corpus_pipeline_full
