@@ -3826,8 +3826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window so the driver re-verdicts them on real rows. Ten stable
     twice-green oracles rotate to overflow. EVERY entry — window and
     overflow — is still verified locally each run by tests/test_oracle.py,
-    and scripts/local_oracle.py emits the full 91-query result table to
-    LOCAL_ORACLE.json so the externally-unchecked subset remains visible."""
+    and scripts/local_oracle.py emits the full result table (every window +
+    overflow entry) to LOCAL_ORACLE.json so the externally-unchecked subset
+    remains visible."""
     return {
         # -- (1) never driver-checked: rows-only flows + new read_database
         "save_read_roundtrip": save_read_roundtrip_ro,
