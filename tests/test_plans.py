@@ -223,3 +223,27 @@ def test_repetition_stats_shuffle_shape(spark, sf_dir):
         cols = m.group(1)
         assert ("count" in cols) or ("sum" in cols) or ("__pos" in cols), cols
     assert "SortMergeJoin" not in plan
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    # 5-table star: every dimension chain (region->nation->customer->orders)
+    # rides broadcasts onto the lineitem scan — no sort-merge join anywhere,
+    # and lineitem's scan is pruned to the 3 needed columns
+    df = Q["q5_region_revenue"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+    schemas = scan_read_schemas(df)
+    li = [s for s in schemas if "l_extendedprice" in s]
+    assert li and all("l_shipdate" not in s and "l_quantity" not in s for s in li), li
+
+
+def test_q10_pushdown_and_topk(spark, sf_dir):
+    # date-window 4-table join + group-top20: filters reach the scans and
+    # the final top-20 is a TakeOrderedAndProject, not a global sort
+    from datachain_spark.plans.inspect import _formatted
+
+    df = Q["q10_returned_revenue"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("o_orderdate" in f for f in pf), pf
+    assert any("l_returnflag" in f for f in pf), pf
+    assert "TakeOrderedAndProject" in _formatted(df)
