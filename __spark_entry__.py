@@ -3502,6 +3502,55 @@ SELECT vec_id, CAST(cell AS INTEGER) AS ivf_cell FROM r WHERE rn = 1 ORDER BY ve
 """
 
 
+def q5_asia_revenue(spark, sf):
+    """AUTHENTIC TPC-H Q5 (the in-window q5_region_revenue is the
+    unfiltered rollup variant kept for cross-round continuity): region
+    filter + one-year order-date window + the supplier join with the
+    same-nation-as-customer cross constraint — the classic
+    local-supplier-volume query. Filters push to the scans (plan-guarded)."""
+    region = _chain(spark, sf, "region").filter(C.r_name == "ASIA")
+    nation = _chain(spark, sf, "nation")
+    cust = _chain(spark, sf, "customer")
+    orders = _chain(spark, sf, "orders").filter(
+        C.o_orderdate >= "1996-01-01", C.o_orderdate < "1997-01-01"
+    )
+    li = _chain(spark, sf, "lineitem")
+    supp = _chain(spark, sf, "supplier")
+    joined = (
+        region.merge(nation, on="r_regionkey", right_on="n_regionkey", inner=True)
+        .merge(cust, on="n_nationkey", right_on="c_nationkey", inner=True)
+        .merge(orders, on="c_custkey", right_on="o_custkey", inner=True)
+        .merge(li, on="o_orderkey", right_on="l_orderkey", inner=True)
+        .merge(
+            supp,
+            on=["l_suppkey", "n_nationkey"],
+            right_on=["s_suppkey", "s_nationkey"],
+            inner=True,
+        )
+    )
+    return (
+        joined.mutate(rev=_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+        .group_by(partition_by=["n_name"], revenue=func.sum(C.rev).cast("double"))
+        .order_by("n_name")
+        .df
+    )
+
+
+Q5_ASIA_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue
+FROM region JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 def lm_perplexity(spark, sf):
     """CCNet-style LM quality signal (ops/text.ngram_lm_train/score):
     bigram model from docs 0-49, Laplace-smoothed mean log-prob +
@@ -3942,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_probe": ann_ivf_probe,
         "chunk_documents": chunk_documents_query,
         "lm_perplexity": lm_perplexity,
+        "q5_asia_revenue": q5_asia_revenue,
         "csv_roundtrip": csv_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
         "parquet_partition_roundtrip": parquet_partition_roundtrip,
@@ -4045,6 +4095,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_probe": _ivf_probe_sql(),
         "chunk_documents": _chunk_sql(),
         "lm_perplexity": LM_PERPLEXITY_SQL,
+        "q5_asia_revenue": Q5_ASIA_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "parquet_partition_roundtrip": _ROUNDTRIP_SQL,

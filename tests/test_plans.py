@@ -247,3 +247,13 @@ def test_q10_pushdown_and_topk(spark, sf_dir):
     assert any("o_orderdate" in f for f in pf), pf
     assert any("l_returnflag" in f for f in pf), pf
     assert "TakeOrderedAndProject" in _formatted(df)
+
+
+def test_q5_authentic_pushdown_and_broadcasts(spark, sf_dir):
+    # authentic TPC-H Q5: region + date-window predicates reach the scans,
+    # every join (incl. the same-nation supplier constraint) is a broadcast
+    df = Q["q5_asia_revenue"](spark, sf_dir)
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+    pf = pushed_filters(df)
+    assert any("r_name" in f for f in pf), pf
+    assert any("o_orderdate" in f for f in pf), pf
