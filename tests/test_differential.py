@@ -271,3 +271,46 @@ def test_bloom_decontaminate_one_sided(session, corpus, probes):
         ).collect()
     }
     assert audit | bloom == set(range(len(corpus))) and not (audit & bloom)
+
+
+# -- chunk_documents coverage/reconstruction (ops/text) --------------------
+
+_chunk_doc = st.lists(
+    st.sampled_from(["tok", "a", "bb", "ccc", "dddd"]), min_size=1, max_size=30
+).map(" ".join)
+
+
+@given(
+    docs=st.lists(_chunk_doc, min_size=1, max_size=5),
+    chunk_tokens=st.integers(min_value=2, max_value=8),
+    overlap=st.integers(min_value=0, max_value=3),
+)
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_documents_reconstructs(session, docs, chunk_tokens, overlap):
+    """For ANY doc and (chunk_tokens, overlap): dropping each chunk's first
+    `overlap` tokens (after chunk 0) and concatenating reconstructs the
+    doc exactly; token counts match; chunk ids are dense from 0."""
+    from datachain_spark.ops import text as _t
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    cdf = dc.read_values(
+        session=session, doc_id=list(range(len(docs))), text=docs
+    ).df
+    rows = _t.chunk_documents(
+        cdf, "doc_id", chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, text_ in enumerate(docs):
+        chunks = sorted(by_doc[d], key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        toks = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            toks += c["chunk_text"].split()[overlap:]
+        assert toks == text_.split(), (d, chunk_tokens, overlap)
+        assert all(c["n_tokens"] == len(c["chunk_text"].split()) for c in chunks)
