@@ -762,3 +762,44 @@ def test_ngram_lm_perplexity(session):
         dc.read_values(session=session, doc_id=[9], text=["sat on"]).df,
         lm, "doc_id", "text", n=2).collect()[0]
     assert abs(one["avg_logprob"] - math.log(3 / (2 + V))) < 1e-12
+
+
+def test_ops_tolerate_empty_corpus(session):
+    """Every corpus operator must return an EMPTY result (not crash) on an
+    empty input — empty partitions/datasets are routine at the tail of a
+    filter chain."""
+    empty = dc.read_values(session=session, doc_id=[1], text=["x"]).df.filter(
+        F.col("doc_id") < 0
+    )
+    probes = dc.read_values(session=session, doc_id=[9], text=["quick brown fox"]).df
+
+    assert dedup.exact_dedup(empty, "text", "doc_id").count() == 0
+    assert dedup.minhash_lsh_pairs(empty, "doc_id", "text", num_hashes=8, bands=4).count() == 0
+    assert dedup.simhash_pairs(empty, "doc_id", "text").count() == 0
+    assert dedup.ngram_jaccard_pairs(empty, "doc_id", "text").count() == 0
+    assert dedup.decontaminate(empty, probes, "doc_id").count() == 0
+    assert dedup.decontaminate(empty, probes, "doc_id", method="bloom").count() == 0
+    # empty PROBE side: nothing is contaminated, corpus passes through
+    corpus = dc.read_values(session=session, doc_id=[1, 2], text=["a b c", "d e f"]).df
+    assert dedup.decontaminate(corpus, empty, "doc_id").count() == 2
+    assert dedup.decontaminate(corpus, empty, "doc_id", method="bloom").count() == 2
+    assert dedup.connected_components(
+        empty.select(F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    ).count() == 0
+
+    assert text.repetition_stats(empty, "doc_id").count() == 0
+    assert text.gopher_quality_filter(empty, "doc_id").count() == 0
+    assert text.chunk_documents(empty, "doc_id").count() == 0
+    assert text.segment_dedup(empty, "doc_id").count() == 0
+    lm = text.ngram_lm_train(probes, "text", n=2)
+    assert text.ngram_lm_score(empty, lm, "doc_id", n=2).count() == 0
+    empty_lm = text.ngram_lm_train(empty, "text", n=2)
+    scored = text.ngram_lm_score(corpus, empty_lm, "doc_id", n=2, vocab_size=10)
+    assert scored.count() == 2  # all-unseen floor, still scores
+
+    from datachain_spark.ops import packing
+
+    assert packing.pack_sequences(empty.select("doc_id", "text"), max_tokens=64).count() == 0
+    assert packing.interleave_datasets(
+        {"a": empty.select("doc_id", "text")}, {"a": 2.0}, key=["doc_id"]
+    ).count() == 0
