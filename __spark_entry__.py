@@ -3551,6 +3551,27 @@ ORDER BY n_name
 """
 
 
+def sample_per_group_md5(spark, sf):
+    """Balanced-subset sampling: exactly 20 docs per language, selected by
+    seeded-hash rank within the group (chain.sample_per_group) — the
+    selection itself hash-verified under the portable md5 family."""
+    ch = _chain(spark, sf, "documents")
+    out = ch.sample_per_group("lang", 20, seed=42, key=["doc_id"], hash_fn="md5")
+    return out.select("doc_id", "lang").order_by("lang", "doc_id").df
+
+
+SAMPLE_PER_GROUP_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) AS BIGINT) AS hv
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY lang, doc_id
+"""
+
+
 def lm_perplexity(spark, sf):
     """CCNet-style LM quality signal (ops/text.ngram_lm_train/score):
     bigram model from docs 0-49, Laplace-smoothed mean log-prob +
@@ -3992,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": chunk_documents_query,
         "lm_perplexity": lm_perplexity,
         "q5_asia_revenue": q5_asia_revenue,
+        "sample_per_group_md5": sample_per_group_md5,
         "csv_roundtrip": csv_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
         "parquet_partition_roundtrip": parquet_partition_roundtrip,
@@ -4096,6 +4118,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_sql(),
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "q5_asia_revenue": Q5_ASIA_SQL,
+        "sample_per_group_md5": SAMPLE_PER_GROUP_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "parquet_partition_roundtrip": _ROUNDTRIP_SQL,

@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 from typing import Any, Callable, Iterable, Iterator, Optional, Sequence, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .columns import Col, to_column, unwrap
@@ -433,6 +433,34 @@ class DataChain:
             frac = F.when(strat == F.lit(k), F.lit(float(f))) if frac is None \
                 else frac.when(strat == F.lit(k), F.lit(float(f)))
         return self._evolve(self._df.filter(u < frac))
+
+    def sample_per_group(
+        self,
+        group_cols: Union[str, Sequence[str]],
+        n: int,
+        seed: int = 42,
+        key: Optional[Sequence[str]] = None,
+        hash_fn: str = "xxhash64",
+    ) -> "DataChain":
+        """Exactly ``n`` rows per group (fewer when a group is smaller) — the
+        balanced-subset pass (equal docs per language/domain) that a
+        FRACTION-based sample can't give when strata sizes differ by orders
+        of magnitude. Deterministic: rows rank by the seeded per-row hash
+        within each group (same family as shuffle/chunk — retry- and
+        partitioning-stable; ``hash_fn="md5"`` makes the selection itself
+        DuckDB-verifiable), ties broken by the hash value so the cut is
+        unambiguous. One shuffle on the group keys; no reference
+        counterpart (spec addition)."""
+        if n <= 0:
+            raise ValueError("sample_per_group: n must be positive")
+        groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+        h = self._row_hash64(seed, key, hash_fn)
+        w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(h.asc())
+        return self._evolve(
+            self._df.withColumn("__spg_rn", F.row_number().over(w))
+            .filter(F.col("__spg_rn") <= n)
+            .drop("__spg_rn")
+        )
 
     def train_test_split(
         self,

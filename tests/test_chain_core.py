@@ -417,3 +417,29 @@ def test_toolkit_train_test_split_free_function(session):
     m_train, m_test = ch.train_test_split([0.75, 0.25], seed=7)
     assert sorted(train.to_values("x")) == sorted(m_train.to_values("x"))
     assert set(train.to_values("x")).isdisjoint(test.to_values("x"))
+
+
+def test_sample_per_group(session):
+    """Exactly n per group (short groups keep everything), deterministic
+    across calls, both hash families; invalid n raises."""
+    import datachain_spark as dc
+    import pytest
+
+    ch = dc.read_values(
+        session=session,
+        k=list(range(30)),
+        g=["a"] * 20 + ["b"] * 8 + ["c"] * 2,
+    )
+    out = ch.sample_per_group("g", 5, key=["k"])
+    rows = out.to_records()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], set()).add(r["k"])
+    assert len(by_g["a"]) == 5 and len(by_g["b"]) == 5 and len(by_g["c"]) == 2
+    # deterministic: identical selection on re-run and stable under repartition
+    again = ch.sample_per_group("g", 5, key=["k"]).to_records()
+    assert {(r["g"], r["k"]) for r in again} == {(r["g"], r["k"]) for r in rows}
+    md5 = ch.sample_per_group("g", 5, key=["k"], hash_fn="md5").to_records()
+    assert len(md5) == 12
+    with pytest.raises(ValueError):
+        ch.sample_per_group("g", 0)
