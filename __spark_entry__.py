@@ -3763,11 +3763,11 @@ _BLOOM_MD5_FPP, _BLOOM_MD5_EXPECTED = 2.0 ** -5, 220
 
 
 def _bloom_size(fpp: float, expected: int) -> tuple:
-    import math
+    # single source of truth with the Spark implementation (k-cap + m
+    # re-solve live there) so the DuckDB oracle can never drift
+    from datachain_spark.ops.dedup import bloom_size
 
-    m = max(64, int(math.ceil(-expected * math.log(fpp) / (math.log(2) ** 2))))
-    m = ((m + 63) // 64) * 64
-    return m, max(1, round(-math.log2(fpp)))
+    return bloom_size(fpp, expected)
 
 
 def decontaminate_bloom_md5(spark, sf):
@@ -3787,6 +3787,8 @@ def decontaminate_bloom_md5(spark, sf):
 
 
 def _bloom_md5_sql() -> str:
+    from datachain_spark.ops.dedup import _BLOOM_SEED_BASE as seed_base
+
     m, k = _bloom_size(_BLOOM_MD5_FPP, _BLOOM_MD5_EXPECTED)
     shingle5 = """
   list_distinct(
@@ -3806,13 +3808,11 @@ WITH pwords AS (
   FROM documents WHERE doc_id < 5
 ), psh AS (
   SELECT DISTINCT unnest({shingle5}) AS sh FROM pwords
-), phash AS (
-  SELECT CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) % {m} AS h1,
-         (CAST('0x' || substring(md5(sh || ':2654435769'), 1, 15) AS BIGINT) % {m}) * 2 + 1 AS h2
-  FROM psh
 ), ppos AS (
-  SELECT (h1 + i * h2) % {m} AS pos
-  FROM phash, generate_series(0, {k - 1}) AS t(i)
+  -- k INDEPENDENT seeded md5 hashes (seed appended as ':BASE+i'), matching
+  -- datachain_spark.ops.dedup._seeded_hash64 + _BLOOM_SEED_BASE
+  SELECT CAST('0x' || substring(md5(sh || ':' || CAST({seed_base} + i AS VARCHAR)), 1, 15) AS BIGINT) % {m} AS pos
+  FROM psh, generate_series(0, {k - 1}) AS t(i)
 ), bitmap AS (
   SELECT pos // 64 AS word, bit_or({mask.format(p="pos")}) AS bits
   FROM ppos GROUP BY pos // 64
@@ -3822,14 +3822,10 @@ WITH pwords AS (
   FROM documents WHERE doc_id >= 5 AND doc_id < 120
 ), csh AS (
   SELECT doc_id, unnest({shingle5}) AS sh FROM cwords
-), chash AS (
-  SELECT doc_id, sh,
-         CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) % {m} AS h1,
-         (CAST('0x' || substring(md5(sh || ':2654435769'), 1, 15) AS BIGINT) % {m}) * 2 + 1 AS h2
-  FROM csh
 ), cpos AS (
-  SELECT doc_id, sh, (h1 + i * h2) % {m} AS pos
-  FROM chash, generate_series(0, {k - 1}) AS t(i)
+  SELECT doc_id, sh,
+         CAST('0x' || substring(md5(sh || ':' || CAST({seed_base} + i AS VARCHAR)), 1, 15) AS BIGINT) % {m} AS pos
+  FROM csh, generate_series(0, {k - 1}) AS t(i)
 ), matched AS (
   SELECT doc_id, sh, count(*) AS nbits
   FROM cpos JOIN bitmap ON bitmap.word = cpos.pos // 64

@@ -454,6 +454,30 @@ def test_decontaminate_bloom(session):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_bloom_size_codegen_cap():
+    """k is capped at 12 so the unrolled membership AND-chain stays inside
+    Janino's 64KB method limit (whole-stage codegen); m is re-solved from
+    p = (1-e^{-kn/m})^k so the CAPPED filter still meets the requested fpp."""
+    import math
+
+    from datachain_spark.ops.dedup import _BLOOM_K_MAX, bloom_size
+
+    # uncapped regime: standard optimum
+    m, k = bloom_size(1e-4, 1000)
+    assert k == 13 or k <= _BLOOM_K_MAX  # -log2(1e-4)=13.3 -> capped to 12
+    assert k <= _BLOOM_K_MAX
+    # deeply capped regime: k fixed, m compensates
+    m9, k9 = bloom_size(1e-9, 1000)
+    assert k9 == _BLOOM_K_MAX
+    assert m9 % 64 == 0
+    # achieved fpp at (m9, k9) must still meet the requested 1e-9
+    achieved = (1.0 - math.exp(-k9 * 1000 / m9)) ** k9
+    assert achieved <= 1e-9 * 1.01
+    # and m must not be absurdly oversized (within 2x of the exact solve)
+    m_exact = -k9 * 1000 / math.log(1.0 - 1e-9 ** (1.0 / k9))
+    assert m9 <= m_exact + 64
+
+
 def test_repetition_stats_known_values(session):
     ch = dc.read_values(session=session, doc_id=[1], text=["a a a b"])
     r = text.repetition_stats(ch.df, "doc_id").collect()[0]
