@@ -1978,17 +1978,35 @@ def udf_agg_ro(spark, sf):
 
 def sample_shuffle_chunk_ro(spark, sf):
     """Determinism invariants: chunk shards are disjoint+complete; union of
-    2 chunks has the original count. Output: per-shard counts."""
+    the 4 chunks has the original count. Output: per-shard counts. r05:
+    chunks keyed on o_orderkey under the portable md5 family (the
+    sharding_md5 precedent), so every shard count is DuckDB-derivable —
+    formerly a rows-only slot the driver could not verdict."""
     orders = _chain(spark, sf, "orders")
-    c0 = orders.chunk(0, 4).df.count()
-    c1 = orders.chunk(1, 4).df.count()
-    c2 = orders.chunk(2, 4).df.count()
-    c3 = orders.chunk(3, 4).df.count()
+    key = ["o_orderkey"]
+    c0 = orders.chunk(0, 4, key=key, hash_fn="md5").df.count()
+    c1 = orders.chunk(1, 4, key=key, hash_fn="md5").df.count()
+    c2 = orders.chunk(2, 4, key=key, hash_fn="md5").df.count()
+    c3 = orders.chunk(3, 4, key=key, hash_fn="md5").df.count()
     total = orders.df.count()
     return spark.createDataFrame(
         [(c0, c1, c2, c3, total, c0 + c1 + c2 + c3 == total)],
         "c0 long, c1 long, c2 long, c3 long, total long, complete boolean",
     )
+
+
+SAMPLE_SHUFFLE_CHUNK_SQL = f"""
+WITH h AS (
+  SELECT {_ROWH.format(seed="")} % 4 AS b FROM orders
+)
+SELECT CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+       CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+       CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+       CAST(count(*) AS BIGINT) AS total,
+       sum(1) = count(*) AS complete
+FROM h
+"""
 
 
 READ_STORAGE_SQL = """
@@ -3197,9 +3215,24 @@ def multimodal_ro(spark, sf):
     ).orderBy("doc_id")
 
 
+# r05: the two versioning flows ARE SQL-expressible after all (final state
+# ≡ full recompute) — promote them from rows-only to full driver verdicts.
+SAVE_READ_SQL = (
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+)
+DELTA_INCREMENTAL_SQL = (
+    "SELECT n_nationkey, n_name, n_regionkey, "
+    "CAST(length(n_name) AS INTEGER) AS name_len "
+    "FROM nation ORDER BY n_nationkey"
+)
+
+
 def delta_incremental_ro(spark, sf):
     """Incremental delta_save over two source snapshots (diff-based re-run,
-    parity with the reference's delta=True; not SQL-expressible)."""
+    parity with the reference's delta=True). The incremental machinery is
+    internal, but the FINAL dataset state must equal a full recompute —
+    DELTA_INCREMENTAL_SQL pins exactly that, so a delta run that skipped or
+    double-processed rows fails the hash."""
     import tempfile
 
     from datachain_spark.catalog.metastore import Metastore
@@ -3224,7 +3257,9 @@ def delta_incremental_ro(spark, sf):
 
 
 def save_read_roundtrip_ro(spark, sf):
-    """Dataset versioning: save -> read_dataset round trip row fidelity."""
+    """Dataset versioning: save -> read_dataset round trip row fidelity —
+    oracled against the ORIGINAL nation table (SAVE_READ_SQL), so any loss
+    or mutation through the metastore write/read path fails the hash."""
     import tempfile
 
     from datachain_spark.catalog.metastore import Metastore
@@ -3884,38 +3919,90 @@ FROM sig ORDER BY doc_id
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver checks the FIRST 50 entries.
-    r04 rotation (VERDICT r03 task 1): the six rows-only flows that never
-    had a driver verdict (save/read, delta, sharding invariants, default
-    minhash/simhash/winnow) plus the new read_database oracle move into the
-    window; the three formerly-vacuous oracles (filter_glob_in,
-    subtract_anti, merge_expr_pred) were given non-empty predicates and stay
-    in-window so the driver re-verdicts them on real rows. Ten stable
-    twice-green oracles rotate to overflow. EVERY entry — window and
-    overflow — is still verified locally each run by tests/test_oracle.py,
-    and scripts/local_oracle.py emits the full result table (every window +
-    overflow entry) to LOCAL_ORACLE.json so the externally-unchecked subset
+
+    r05 rotation (VERDICT r04 tasks 2+3): the 37 r04-added oracles that have
+    never had a driver verdict (all 16 TPC-H completions, gopher, quality,
+    bloom-md5, url_blocklist, ANN IVF, chunking, LM perplexity, PII,
+    packing, interleave, kNN join, the four sink roundtrips, version
+    pinning, q5_asia, sample_per_group) move INTO the window, together with
+    the three formerly rows-only flows now promoted to real oracles
+    (save_read_roundtrip/delta_incremental via final-state SQL,
+    sample_shuffle_chunk via md5-keyed shards). Ten stable multi-green
+    anchors stay in-window as a regression canary; everything green in
+    r01-r04 rotates to overflow. The three xxhash64-default sketch flows
+    (minhash/simhash/winnow _ro) are genuinely un-oracle-able in DuckDB and
+    live in overflow — their md5 twins carry the driver verdicts.
+
+    r06 window plan: keep the 10 anchors, rotate back whatever r05 leaves
+    unverdicted plus any newly-added oracles; if everything is green, swap
+    the 40 r05-window rows for the 40 longest-out-of-window overflow rows
+    (udf_*, sharding_md5, multimodal, function-family suites) so every
+    registry entry has a driver verdict at most 2 rounds old.
+
+    EVERY entry — window and overflow — is still verified locally each run
+    by tests/test_oracle.py, and scripts/local_oracle.py emits the full
+    result table to LOCAL_ORACLE.json so the externally-unchecked subset
     remains visible."""
     return {
-        # -- (1) never driver-checked: rows-only flows + new read_database
+        # -- (1) never driver-checked r04 additions: TPC-H completion
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q11_important_stock": q11_important_stock,
+        "q12_priority_mix": q12_priority_mix,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive": q19_disjunctive,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_idle_balances": q22_idle_balances,
+        "q5_asia_revenue": q5_asia_revenue,
+        # -- (2) never driver-checked r04 additions: LLM-pipeline operators
+        "gopher_gate": gopher_gate,
+        "quality_score_docs": quality_score_docs,
+        "decontaminate_bloom_md5": decontaminate_bloom_md5,
+        "url_blocklist": url_blocklist,
+        "ann_ivf_cells": ann_ivf_cells,
+        "ann_ivf_probe": ann_ivf_probe,
+        "chunk_documents": chunk_documents_query,
+        "lm_perplexity": lm_perplexity,
+        "pii_redact": pii_redact,
+        "pack_sequences_md5": pack_sequences_md5,
+        "interleave_md5": interleave_md5,
+        "knn_join_topk": knn_join_topk,
+        "sample_per_group_md5": sample_per_group_md5,
+        # -- (3) never driver-checked r04 additions: sink/versioning flows
+        "csv_roundtrip": csv_roundtrip,
+        "jsonl_roundtrip": jsonl_roundtrip,
+        "parquet_partition_roundtrip": parquet_partition_roundtrip,
+        "database_roundtrip": database_roundtrip,
+        "save_version_pinned": save_version_pinned,
+        # -- (4) promoted from rows-only to real oracles this round
         "save_read_roundtrip": save_read_roundtrip_ro,
         "delta_incremental": delta_incremental_ro,
         "sample_shuffle_chunk": sample_shuffle_chunk_ro,
-        "minhash_pairs": minhash_pairs_ro,
-        "simhash_pairs": simhash_pairs_ro,
-        "winnow_fingerprints": winnow_fingerprints_ro,
-        "read_database_sql": read_database_sql,
-        # -- (2) de-vacuated this round (r01/r02 hash-matched on 0 rows)
-        "filter_glob_in": filter_glob_in,
-        "subtract_anti": subtract_anti,
-        "merge_expr_pred": merge_expr_pred,
-        # -- (3) previously green, kept inside the checked window
+        # -- (5) stable multi-green anchors (regression canary)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "merge_full_outer": merge_full_outer,
         "window_rank_lag": window_rank_lag,
-        "conditional_funcs": conditional_funcs,
         "events_hourly": events_hourly,
+        "dedup_exact_docs": dedup_exact_docs,
+        "filter_glob_in": filter_glob_in,
+        "subtract_anti": subtract_anti,
+        "merge_expr_pred": merge_expr_pred,
+        # ================= overflow (slot 51+): green in r01-r04, still
+        # locally DuckDB-verified every run (see docstring) =================
+        "read_database_sql": read_database_sql,
+        "conditional_funcs": conditional_funcs,
         "events_sessionize": events_sessionize,
         "explode_json_props": explode_json_props,
         "text_quality_stats": text_quality_stats,
@@ -3934,7 +4021,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": multimodal_ro,  # oracled (sha256 fake decode)
         "read_storage_listing": read_storage_ro,
         "window_top3_per_cust": window_top3_per_cust,
-        "dedup_exact_docs": dedup_exact_docs,
         "merge_multi_key": merge_multi_key,
         "ngram_jaccard_oracle": ngram_jaccard_oracle,
         "dedup_components": dedup_components,
@@ -3949,8 +4035,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": minhash_pairs_md5,
         "simhash_pairs_md5": simhash_pairs_md5,
         "winnow_fingerprints_md5": winnow_md5,
-        # -- (4) overflow: twice-green stable oracles rotated out this round
-        #    (still locally verified every run; see docstring)
         "q6_forecast_revenue": q6_forecast_revenue,
         "mutate_case_buckets": mutate_case_buckets,
         "union_all_groups": union_all_groups,
@@ -3970,51 +4054,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_similarity": string_similarity,
         "semi_join_orders": semi_join_orders,
         "intersect_cross": intersect_cross,
-        "pii_redact": pii_redact,  # r04 addition (overflow keeps window stable)
-        "pack_sequences_md5": pack_sequences_md5,  # r04 additions: training-
-        "interleave_md5": interleave_md5,          # batch assembly ops
-        "knn_join_topk": knn_join_topk,  # r04: batch kNN exact path oracled
-        # r04: four more TPC-H shapes (date-window group-topk, conditional
-        # case-sums, promo ratio, disjunctive pushdown)
-        "q10_returned_revenue": q10_returned_revenue,
-        "q12_priority_mix": q12_priority_mix,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q19_disjunctive": q19_disjunctive,
-        "q16_supplier_variety": q16_supplier_variety,
-        "q22_idle_balances": q22_idle_balances,
-        "q7_nation_volume": q7_nation_volume,
-        # r04: TPC-H completion — all 22 shapes now present (correlated-min,
-        # EXISTS, market-share ratio, profit, global-fraction HAVING, outer-
-        # join distribution, view-max, correlated-avg, having-in, nested-IN,
-        # exists/not-exists pair)
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_volume": q18_large_volume,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        # r04 additions: full Gopher gate + composite quality heuristic,
-        # previously unit-only, now signal-by-signal DuckDB oracles
-        "gopher_gate": gopher_gate,
-        "quality_score_docs": quality_score_docs,
-        "decontaminate_bloom_md5": decontaminate_bloom_md5,
-        "url_blocklist": url_blocklist,
-        "ann_ivf_cells": ann_ivf_cells,
-        "ann_ivf_probe": ann_ivf_probe,
-        "chunk_documents": chunk_documents_query,
-        "lm_perplexity": lm_perplexity,
-        "q5_asia_revenue": q5_asia_revenue,
-        "sample_per_group_md5": sample_per_group_md5,
-        "csv_roundtrip": csv_roundtrip,
-        "jsonl_roundtrip": jsonl_roundtrip,
-        "parquet_partition_roundtrip": parquet_partition_roundtrip,
-        "database_roundtrip": database_roundtrip,
-        "save_version_pinned": save_version_pinned,
+        # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
+        # (rows-only there); their md5 twins above carry the verdicts
+        "minhash_pairs": minhash_pairs_ro,
+        "simhash_pairs": simhash_pairs_ro,
+        "winnow_fingerprints": winnow_fingerprints_ro,
     }
 
 
@@ -4115,6 +4159,9 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "q5_asia_revenue": Q5_ASIA_SQL,
         "sample_per_group_md5": SAMPLE_PER_GROUP_SQL,
+        "save_read_roundtrip": SAVE_READ_SQL,
+        "delta_incremental": DELTA_INCREMENTAL_SQL,
+        "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "parquet_partition_roundtrip": _ROUNDTRIP_SQL,

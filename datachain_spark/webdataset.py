@@ -57,30 +57,44 @@ try:
 
         file: File
 
-    class WDSAllFile(WDSBasic):
-        """Every conventional wds metadata suffix — parity webdataset.py:59-81."""
+    import warnings as _warnings
 
-        txt: Optional[str] = Field(default=None)
-        text: Optional[str] = Field(default=None)
-        cap: Optional[str] = Field(default=None)
-        transcript: Optional[str] = Field(default=None)
-        cls: Optional[int] = Field(default=None)
-        cls2: Optional[int] = Field(default=None)
-        index: Optional[int] = Field(default=None)
-        inx: Optional[int] = Field(default=None)
-        id: Optional[int] = Field(default=None)
-        json: Optional[dict] = Field(default=None)  # type: ignore[assignment]
-        jsn: Optional[dict] = Field(default=None)
-        pyd: Optional[bytes] = Field(default=None)
-        pickle: Optional[bytes] = Field(default=None)
-        pth: Optional[bytes] = Field(default=None)
-        ten: Optional[bytes] = Field(default=None)
-        tb: Optional[bytes] = Field(default=None)
-        mp: Optional[bytes] = Field(default=None)
-        msg: Optional[bytes] = Field(default=None)
-        npy: Optional[bytes] = Field(default=None)
-        npz: Optional[bytes] = Field(default=None)
-        cbor: Optional[bytes] = Field(default=None)
+    # The `json` member suffix is part of the wds convention and the
+    # reference's public surface (samples are addressed as `laion.json.uid`),
+    # so the field MUST be named `json` even though it shadows pydantic v2's
+    # deprecated BaseModel.json() method — shadowing a deprecated method is
+    # harmless, but pydantic warns at class creation (once per import, i.e.
+    # once per executor) and the noise drowns bench/test tails. Suppress
+    # exactly that warning for exactly this definition.
+    with _warnings.catch_warnings():
+        _warnings.filterwarnings(
+            "ignore", message=r'Field name "json(\.|")', category=UserWarning
+        )
+
+        class WDSAllFile(WDSBasic):
+            """Every conventional wds metadata suffix — parity webdataset.py:59-81."""
+
+            txt: Optional[str] = Field(default=None)
+            text: Optional[str] = Field(default=None)
+            cap: Optional[str] = Field(default=None)
+            transcript: Optional[str] = Field(default=None)
+            cls: Optional[int] = Field(default=None)
+            cls2: Optional[int] = Field(default=None)
+            index: Optional[int] = Field(default=None)
+            inx: Optional[int] = Field(default=None)
+            id: Optional[int] = Field(default=None)
+            json: Optional[dict] = Field(default=None)  # type: ignore[assignment]
+            jsn: Optional[dict] = Field(default=None)
+            pyd: Optional[bytes] = Field(default=None)
+            pickle: Optional[bytes] = Field(default=None)
+            pth: Optional[bytes] = Field(default=None)
+            ten: Optional[bytes] = Field(default=None)
+            tb: Optional[bytes] = Field(default=None)
+            mp: Optional[bytes] = Field(default=None)
+            msg: Optional[bytes] = Field(default=None)
+            npy: Optional[bytes] = Field(default=None)
+            npz: Optional[bytes] = Field(default=None)
+            cbor: Optional[bytes] = Field(default=None)
 
     class WDSReadableSubclass(BaseModel):
         """A field type that knows how to read itself from a tar member —
@@ -303,8 +317,11 @@ def to_webdataset(
     manifest DataFrame (shard, path, samples, bytes) — count() it to force
     the write.
 
-    Paths are local/shared-filesystem; remote URIs would route through
-    fsspec upload in a cluster deployment (same gate as to_json)."""
+    Remote URIs (``s3://``, ``gs://``, ...) are routed through fsspec (same
+    gate as to_json): each executor streams its tar straight to object
+    storage via a sequential ``tarfile`` stream over ``fsspec.open`` — no
+    local staging, no driver involvement. Plain and ``file://`` paths use
+    the local filesystem either way."""
     import json as _json
     import os as _os
 
@@ -317,7 +334,15 @@ def to_webdataset(
     missing = [c for c in [key_col, *columns] if c not in sdf.columns]
     if missing:
         raise ValueError(f"to_webdataset: missing columns {missing}")
-    _os.makedirs(output, exist_ok=True)
+    remote = _is_remote_uri(output)
+    if remote:
+        # fail fast on the driver if fsspec is absent (executors would each
+        # raise the same ImportError later, less legibly)
+        fs, root = _fsspec_fs(output)
+        fs.makedirs(root, exist_ok=True)
+    else:
+        output = output.removeprefix("file://")
+        _os.makedirs(output, exist_ok=True)
 
     exts = dict(columns)
     schema = StructType([
@@ -328,21 +353,36 @@ def to_webdataset(
     ])
 
     def write_partition(batches):
+        import io as _io
         import tarfile as _tarfile
 
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        path = _os.path.join(output, f"{shard_prefix}{pid:06d}.tar")
-        tar = None
+        if remote:
+            path = output.rstrip("/") + f"/{shard_prefix}{pid:06d}.tar"
+        else:
+            path = _os.path.join(output, f"{shard_prefix}{pid:06d}.tar")
+        tar = fobj = None
         n = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if tar is None:
-                tar = _tarfile.open(path, "w")
-            for row in pdf.itertuples(index=False):
-                rec = row._asdict()
+                if remote:
+                    from datachain_spark.webdataset import _fsspec_fs
+
+                    fs, rpath = _fsspec_fs(path)
+                    fobj = fs.open(rpath, "wb")
+                    # "w|" = sequential stream mode: never seeks, so it
+                    # works over non-seekable object-store upload streams
+                    tar = _tarfile.open(fileobj=fobj, mode="w|")
+                else:
+                    tar = _tarfile.open(path, "w")
+            # to_dict('records') keeps REAL column names — itertuples
+            # renames invalid/underscore-leading identifiers to positional
+            # _0/_1 names, breaking rec[col] for e.g. a '__id' column
+            for rec in pdf.to_dict("records"):
                 key = str(rec[key_col])
                 for col, ext in exts.items():
                     v = rec[col]
@@ -356,17 +396,22 @@ def to_webdataset(
                         data = str(v).encode()
                     info = _tarfile.TarInfo(f"{key}.{ext}")
                     info.size = len(data)
-                    import io as _io
-
                     tar.addfile(info, _io.BytesIO(data))
                 n += 1
         if tar is not None:
             tar.close()
+            if fobj is not None:
+                fobj.close()
+                from datachain_spark.webdataset import _fsspec_fs
+
+                fs, rpath = _fsspec_fs(path)
+                size = fs.size(rpath)
+            else:
+                size = _os.path.getsize(path)
             import pandas as _pd
 
             yield _pd.DataFrame(
-                [{"shard": pid, "path": path, "samples": n,
-                  "bytes": _os.path.getsize(path)}]
+                [{"shard": pid, "path": path, "samples": n, "bytes": size}]
             )
 
     prepared = (
@@ -375,3 +420,22 @@ def to_webdataset(
         .sortWithinPartitions(key_col)
     )
     return prepared.mapInPandas(write_partition, schema)
+
+
+def _is_remote_uri(path: str) -> bool:
+    """True for URIs that must route through fsspec (s3://, gs://, ...);
+    plain paths and file:// stay on the local filesystem."""
+    return "://" in path and not path.startswith("file://")
+
+
+def _fsspec_fs(path: str):
+    """(filesystem, fs-native path) for a remote URI via fsspec — the same
+    import gate as DataChain.to_json; raises a clear ImportError when the
+    package is absent."""
+    try:
+        import fsspec  # type: ignore[import-not-found]
+    except ImportError:
+        raise ImportError(
+            f"writing to {path!r} requires the 'fsspec' package"
+        ) from None
+    return fsspec.core.url_to_fs(path)

@@ -220,5 +220,77 @@ def test_to_webdataset_roundtrip(session, tmp_path):
     assert names == sorted(names)  # global order across shard ids
 
 
+def test_to_webdataset_file_uri_and_awkward_columns(session, tmp_path):
+    """file:// URIs take the local branch of the remote gate, and column
+    names that pandas itertuples would positionalize (leading underscore,
+    embedded space) still resolve — the writer iterates to_dict('records')."""
+    import datachain_spark as dc
+
+    n = 6
+    src = dc.read_values(
+        session=session,
+        **{
+            "_key id": [f"k{i}" for i in range(n)],
+            "_data": [b"blob" + bytes([i]) for i in range(n)],
+        },
+    )
+    out = tmp_path / "uri_shards"
+    manifest = src.to_webdataset(
+        f"file://{out}", "_key id", {"_data": "bin"}, num_shards=2
+    )
+    assert sum(m["samples"] for m in manifest) == n
+    import tarfile as _t
+
+    members = []
+    for m in manifest:
+        assert not m["path"].startswith("file://")  # local branch strips it
+        with _t.open(m["path"]) as tar:
+            members.extend(tar.getnames())
+    assert sorted(members) == [f"k{i}.bin" for i in range(n)]
+
+
+def test_webdataset_fsspec_gate(monkeypatch, tmp_path):
+    """Remote-URI routing: _is_remote_uri classification, a clear
+    ImportError without fsspec, and fs.makedirs/url_to_fs dispatch through a
+    fake fsspec module (the package is absent in this container)."""
+    import io
+    import sys
+    import types
+
+    from datachain_spark.webdataset import _fsspec_fs, _is_remote_uri
+
+    assert _is_remote_uri("s3://bucket/prefix")
+    assert _is_remote_uri("memory://x")
+    assert not _is_remote_uri("/tmp/local")
+    assert not _is_remote_uri("file:///tmp/local")
+
+    monkeypatch.setitem(sys.modules, "fsspec", None)
+    with pytest.raises(ImportError, match="fsspec"):
+        _fsspec_fs("s3://bucket/prefix")
+
+    calls = {}
+
+    class _FakeFS:
+        def makedirs(self, path, exist_ok=False):
+            calls["makedirs"] = path
+
+        def open(self, path, mode):
+            calls["open"] = (path, mode)
+            return io.BytesIO()
+
+        def size(self, path):
+            return 123
+
+    fake = types.ModuleType("fsspec")
+    fake.core = types.SimpleNamespace(
+        url_to_fs=lambda p: (_FakeFS(), p.split("://", 1)[1])
+    )
+    monkeypatch.setitem(sys.modules, "fsspec", fake)
+    fs, root = _fsspec_fs("s3://bucket/prefix")
+    assert root == "bucket/prefix"
+    fs.makedirs(root, exist_ok=True)
+    assert calls["makedirs"] == "bucket/prefix"
+
+
 def _mk_json(i):
     return json.dumps({"uid": f"uid-{i:04d}", "width": 100 + i})
