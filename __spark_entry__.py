@@ -3659,11 +3659,19 @@ WITH refw AS (
   FROM cpairs p
   LEFT JOIN grams g ON g.context = p.context AND g.word = p.word
   LEFT JOIN ctx x ON x.context = p.context
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         round(avg(lp), 4) AS alp_r,
+         round(exp(-avg(lp)), 4) AS ppl_r
+  FROM scored GROUP BY doc_id
 )
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-       round(avg(lp), 4) AS alp_r,
-       round(exp(-avg(lp)), 4) AS ppl_r
-FROM scored GROUP BY doc_id ORDER BY doc_id
+-- left join back to the full corpus id set: docs with < 2 tokens have no
+-- bigrams but are still emitted (n_grams=0, null scores) — mirrors
+-- ops/text.ngram_lm_score's no-silent-drop contract
+SELECT d.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+       a.alp_r, a.ppl_r
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 200) d
+LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
 """
 
 
@@ -3687,10 +3695,13 @@ def _chunk_sql() -> str:
     step = ct - ov
     return f"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wa
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wa,
+         coalesce(trim(text), '') = '' AS blank
   FROM documents WHERE doc_id < 150
 ), n AS (
-  SELECT doc_id, wa, len(wa) AS n FROM w
+  -- blank docs: split(trim('')) yields [''] (len 1) — count 0 tokens,
+  -- mirroring ops/text.chunk_documents
+  SELECT doc_id, wa, CASE WHEN blank THEN 0 ELSE len(wa) END AS n FROM w
 ), idx AS (
   SELECT doc_id, wa, n,
          unnest(generate_series(0,

@@ -448,14 +448,27 @@ class DataChain:
         of magnitude. Deterministic: rows rank by the seeded per-row hash
         within each group (same family as shuffle/chunk — retry- and
         partitioning-stable; ``hash_fn="md5"`` makes the selection itself
-        DuckDB-verifiable), ties broken by the hash value so the cut is
-        unambiguous. One shuffle on the group keys; no reference
-        counterpart (spec addition)."""
+        DuckDB-verifiable). Hash ties (rows sharing a ``key=`` value, or
+        full-duplicate rows) are broken by the remaining orderable columns,
+        so which row survives the n-cut never depends on partition order.
+        One shuffle on the group keys; no reference counterpart (spec
+        addition)."""
+        from pyspark.sql.types import MapType
+
         if n <= 0:
             raise ValueError("sample_per_group: n must be positive")
         groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
         h = self._row_hash64(seed, key, hash_fn)
-        w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(h.asc())
+        # deterministic tie-break: all orderable columns after the hash
+        # (maps aren't orderable in Spark; arrays/structs are)
+        tiebreak = [
+            F.col(f.name)
+            for f in self._df.schema.fields
+            if not isinstance(f.dataType, MapType)
+        ]
+        w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+            h.asc(), *tiebreak
+        )
         return self._evolve(
             self._df.withColumn("__spg_rn", F.row_number().over(w))
             .filter(F.col("__spg_rn") <= n)

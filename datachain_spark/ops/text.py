@@ -386,12 +386,19 @@ def ngram_lm_score(
 
     Output: (id_col, n_grams, avg_logprob, perplexity).
 
+    Docs with fewer than ``n`` tokens have no n-grams: they are still
+    emitted (n_grams=0, null avg_logprob/perplexity) so downstream joins
+    never silently lose rows — treat null as "no signal", not "bad doc".
+
     Scale shape: docs explode to (id, context, word) rows ONCE; a single
     equi-join against the model (AQE broadcasts small LMs, shuffle-joins
     big ones — both sides narrow), then one per-id aggregation. Unseen
     n-grams keep the smoothed floor via the left join's null branch."""
     if vocab_size is None:
-        vocab_size = lm.select("word").distinct().count()
+        # clamp: an EMPTY model has 0 distinct words, which would zero the
+        # smoothing denominator (0 + alpha*0) and divide-by-zero into null
+        # scores instead of the smoothed floor
+        vocab_size = max(1, lm.select("word").distinct().count())
     from pyspark.sql import Window as W
 
     words_arr = F.split(
@@ -423,18 +430,18 @@ def ngram_lm_score(
         (F.coalesce(F.col("count"), F.lit(0)) + F.lit(float(alpha)))
         / (F.coalesce(F.col("context_count"), F.lit(0)) + F.lit(float(alpha) * vocab_size))
     )
-    return (
-        joined.groupBy("__id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.avg(logp).alias("avg_logprob"),
-        )
-        .select(
-            F.col("__id").alias(id_col),
-            "n_grams",
-            "avg_logprob",
-            F.exp(-F.col("avg_logprob")).alias("perplexity"),
-        )
+    scored = joined.groupBy("__id").agg(
+        F.count("*").alias("n_grams"),
+        F.avg(logp).alias("avg_logprob"),
+    )
+    # left-join back to the full id set: docs shorter than n tokens produce
+    # zero pairs and would otherwise vanish from the output entirely
+    ids = df.select(F.col(id_col).alias("__id")).dropDuplicates()
+    return ids.join(scored, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+        "avg_logprob",
+        F.exp(-F.col("avg_logprob")).alias("perplexity"),
     )
 
 
@@ -469,7 +476,12 @@ def chunk_documents(
         raise ValueError("overlap must be in [0, chunk_tokens)")
     step = chunk_tokens - overlap
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(words)
+    # blank/whitespace-only text: split(trim('')) yields [''] (size 1), which
+    # would overstate n_tokens as 1 — count 0 tokens for blank docs (they
+    # still emit one empty chunk so no doc vanishes)
+    n = F.when(
+        F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "", F.lit(0)
+    ).otherwise(F.size(words))
     # starts: 0, step, 2*step ... while start < n - overlap (last chunk must
     # add >= 1 new token); degenerate short doc -> single chunk 0
     num = F.greatest(

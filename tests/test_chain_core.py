@@ -443,3 +443,21 @@ def test_sample_per_group(session):
     assert len(md5) == 12
     with pytest.raises(ValueError):
         ch.sample_per_group("g", 0)
+
+
+def test_sample_per_group_tiebreak_deterministic(session):
+    """Rows sharing a key= value hash identically; the cut among them must
+    not depend on partition order — the remaining columns break the tie."""
+    import datachain_spark as dc
+
+    ch = dc.read_values(
+        session=session,
+        k=[1, 1, 1, 1, 2, 2, 2, 2],          # heavy hash ties via key=
+        v=["a", "b", "c", "d", "e", "f", "g", "h"],
+        g=["x"] * 8,
+    )
+    base = {(r["k"], r["v"]) for r in ch.sample_per_group("g", 3, key=["k"]).to_records()}
+    # same data, different physical layout -> same survivors
+    shuffled = ch._evolve(ch.df.repartition(7, "v"))
+    again = {(r["k"], r["v"]) for r in shuffled.sample_per_group("g", 3, key=["k"]).to_records()}
+    assert base == again and len(base) == 3

@@ -754,6 +754,19 @@ def test_chunk_documents(session):
     assert shuffle_count(text.chunk_documents(df, "doc_id")) == 0
 
 
+def test_chunk_documents_blank_text(session):
+    """Blank/whitespace-only docs emit one empty chunk with n_tokens=0 —
+    split(trim('')) yields [''] which must not count as 1 token."""
+    df = session.spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.chunk_documents(df, "doc_id", chunk_tokens=4).collect()}
+    assert len(out) == 3  # no doc vanishes
+    assert (out[1]["chunk_text"], out[1]["n_tokens"]) == ("", 0)
+    assert (out[2]["chunk_text"], out[2]["n_tokens"]) == ("", 0)
+    assert (out[3]["chunk_text"], out[3]["n_tokens"]) == ("one two", 2)
+
+
 def test_ngram_lm_perplexity(session):
     """In-domain text scores lower perplexity than out-of-domain; unseen
     words of a seen context keep the context count in the denominator."""
@@ -786,6 +799,27 @@ def test_ngram_lm_perplexity(session):
         dc.read_values(session=session, doc_id=[9], text=["sat on"]).df,
         lm, "doc_id", "text", n=2).collect()[0]
     assert abs(one["avg_logprob"] - math.log(3 / (2 + V))) < 1e-12
+
+    # docs shorter than n tokens are NOT dropped: n_grams=0, null scores
+    short = text.ngram_lm_score(
+        dc.read_values(session=session, doc_id=[1, 2], text=["word", "two words"]).df,
+        lm, "doc_id", "text", n=2)
+    rows = {r["doc_id"]: r for r in short.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_grams"] == 0 and rows[1]["avg_logprob"] is None
+    assert rows[1]["perplexity"] is None
+    assert rows[2]["n_grams"] == 1
+
+    # empty LM + vocab_size=None: smoothing denominator clamps to alpha*1
+    # instead of dividing by zero
+    empty_lm = text.ngram_lm_train(
+        dc.read_values(session=session, doc_id=[0], text=[""]).df.filter(F.col("doc_id") < 0),
+        "text", n=2)
+    floor = text.ngram_lm_score(
+        dc.read_values(session=session, doc_id=[5], text=["a b c"]).df,
+        empty_lm, "doc_id", "text", n=2).collect()[0]
+    assert floor["avg_logprob"] is not None
+    assert abs(floor["avg_logprob"] - math.log(1.0)) < 1e-12  # (0+1)/(0+1*1)
 
 
 def test_ops_tolerate_empty_corpus(session):
