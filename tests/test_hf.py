@@ -82,3 +82,40 @@ def test_read_hf_string_requires_datasets_package(session):
 def test_read_hf_rejects_opaque_object(session):
     with pytest.raises(TypeError, match="cannot extract Arrow data"):
         dc.read_hf(object(), session=session)
+
+
+def test_read_hf_named_dataset_via_fake_package(session, monkeypatch):
+    """The string-name branch (load_dataset) end-to-end, exercised through a
+    conftest-installable fake 'datasets' module — the real package is absent
+    here, but the branch's argument plumbing (name, split=, kwargs
+    passthrough) and its DatasetDict handling must still be covered."""
+    import sys
+    import types
+
+    calls = {}
+
+    def fake_load_dataset(name, split=None, **kwargs):
+        calls["args"] = (name, split, kwargs)
+        dd = FakeDatasetDict(
+            train=FakeDataset(id=[1, 2], txt=["a", "b"]),
+            validation=FakeDataset(id=[9], txt=["z"]),
+        )
+        if split is not None:
+            return dd[split]
+        return dd
+
+    fake = types.ModuleType("datasets")
+    fake.load_dataset = fake_load_dataset
+    monkeypatch.setitem(sys.modules, "datasets", fake)
+
+    # no split: every split ingested with a marker column
+    ch = dc.read_hf("org/corpus", session=session, revision="main")
+    assert calls["args"] == ("org/corpus", None, {"revision": "main"})
+    rows = sorted(ch.to_list())
+    assert rows == [(1, "a", "train"), (2, "b", "train"), (9, "z", "validation")]
+
+    # explicit split: narrow result, split= forwarded to load_dataset
+    one = dc.read_hf("org/corpus", split="validation", session=session)
+    assert calls["args"] == ("org/corpus", "validation", {})
+    assert one.to_list() == [(9, "z")]
+    assert "split" not in one.df.columns

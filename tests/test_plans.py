@@ -203,6 +203,74 @@ def test_q18_having_in_single_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in join_strategies(df)
 
 
+def test_q8_two_role_star_broadcasts(spark, sf_dir):
+    # two nation roles (customer region restriction / supplier share) ride
+    # the same star: every dim join is a broadcast onto the lineitem spine,
+    # and the selective predicates reach the scans
+    df = Q["q8_market_share"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+    pf = pushed_filters(df)
+    assert any("p_type" in f for f in pf), pf
+    assert any("o_orderdate" in f for f in pf), pf
+    assert any("r_name" in f for f in pf), pf
+
+
+def test_q9_profit_pushdown_and_pruning(spark, sf_dir):
+    # the %gear% restriction must reach the part scan (StringContains), the
+    # lineitem scan must be pruned to the 5 join/measure columns, and the
+    # only non-broadcast exchange is the (nation, year) aggregation
+    df = Q["q9_product_profit"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("p_name" in f for f in pf), pf
+    schemas = scan_read_schemas(df)
+    li = [s for s in schemas if "l_extendedprice" in s]
+    assert li and all("l_shipdate" not in s and "l_returnflag" not in s for s in li), li
+    assert shuffle_count(df) <= 2  # agg + output ordering
+
+
+def test_q13_outer_join_keeps_zero_count_customers(spark, sf_dir):
+    # the priority predicate is a JOIN condition, not a WHERE: the plan must
+    # keep the outer join (customers with only urgent orders survive as 0s);
+    # both aggregation levels stay partial-aggregated hash aggs
+    from datachain_spark.plans.inspect import _formatted
+
+    df = Q["q13_customer_distribution"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan[:2000]
+    assert shuffle_count(df) <= 4
+    assert "SortMergeJoin" not in join_strategies(df)
+
+
+def test_q15_scalar_max_stays_in_plan(spark, sf_dir):
+    # the revenue view's MAX stays in-plan as a broadcast (Catalyst rewrites
+    # the 1-row cross join + equality filter into a broadcast equi-join on
+    # the normalized double — no driver collect, no shuffle for the match),
+    # and the 3-month ship window reaches the lineitem scan
+    df = Q["q15_top_supplier"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins and all(j.startswith("Broadcast") for j in joins), joins
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cross" in plan or "BroadcastNestedLoopJoin" in plan, joins
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_q20_semi_join_chain_no_duplication(spark, sf_dir):
+    # the nested-IN chain must stay semi-joins (LeftSemi) so lineitem rows
+    # are never duplicated, with part-name/ship-window/region predicates
+    # pushed to their scans
+    from datachain_spark.plans.inspect import _formatted
+
+    df = Q["q20_excess_suppliers"](spark, sf_dir)
+    assert "LeftSemi" in _formatted(df)
+    pf = pushed_filters(df)
+    assert any("p_name" in f for f in pf), pf
+    assert any("l_shipdate" in f for f in pf), pf
+    assert any("r_name" in f for f in pf), pf
+    assert "SortMergeJoin" not in join_strategies(df)
+
+
 def test_repetition_stats_shuffle_shape(spark, sf_dir):
     # r04 single-pass rewrite: every exchange hashes the doc id (the gram
     # window and final aggs) or (id, word) partial counts — never raw
