@@ -3715,6 +3715,202 @@ FROM idx ORDER BY doc_id, chunk_id
 """
 
 
+# --------------------------------------------------------------- r05 ops
+_BM25_QUERY = "spark window merge"  # 3 mid-frequency corpus terms
+_DSIR_BUCKETS = 512
+
+
+def bm25_score_docs(spark, sf):
+    """Okapi BM25 relevance of every doc to a fixed query
+    (ops/retrieval.bm25_score) — tf/df/idf/length-normalization replicated
+    term-for-term in DuckDB. The corpus never explodes: tf is a per-row
+    array filter, the (N, avgdl, df) statistics are ONE broadcast row."""
+    from datachain_spark.ops import retrieval
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 300)
+    out = retrieval.bm25_score(docs, _BM25_QUERY, "doc_id")
+    return out.select(
+        "doc_id", "dl", F.round("score", 6).alias("score_r")
+    ).orderBy("doc_id")
+
+
+def _bm25_sql() -> str:
+    from datachain_spark.ops.retrieval import tokenize_query
+
+    terms = tokenize_query(_BM25_QUERY)
+    k1, b = 1.2, 0.75
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    score_terms = " + ".join(
+        f"(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) * {k1 + 1.0}"
+        f" / (CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        f"    + {k1} * ({1.0 - b} + {b} * CAST(dl AS DOUBLE) / avgdl)))"
+        for i, t in enumerate(terms)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+')
+         END AS toks
+  FROM documents WHERE doc_id < 300
+), b2 AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         {df_cols}
+  FROM b2
+)
+SELECT doc_id, CAST(dl AS INTEGER) AS dl,
+       round(0.0 + {score_terms}, 6) AS score_r
+FROM b2 CROSS JOIN stats
+ORDER BY doc_id
+"""
+
+
+def dsir_importance_md5(spark, sf):
+    """DSIR hashed-ngram importance weights (ops/selection.dsir_importance,
+    Xie et al. 2023): English docs 0-99 as the target distribution, docs
+    100-399 as the raw pool, md5 bucket family — the feature hashing, both
+    Laplace histograms and the per-doc log-ratio sum all replicated in
+    DuckDB."""
+    from datachain_spark.ops import selection
+
+    docs = _chain(spark, sf, "documents").df
+    raw = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 400))
+    target = docs.filter((F.col("doc_id") < 100) & (F.col("lang") == "en"))
+    out = selection.dsir_importance(
+        raw, target, "doc_id", num_buckets=_DSIR_BUCKETS, hash_fn="md5"
+    )
+    return out.select(
+        "doc_id", "n_feats", F.round("log_weight", 4).alias("lw_r")
+    ).orderBy("doc_id")
+
+
+def _dsir_sql() -> str:
+    from datachain_spark.ops.selection import _DSIR_SEED
+
+    B = _DSIR_BUCKETS
+    words = (
+        "CASE WHEN coalesce(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '') = '' "
+        "THEN []::VARCHAR[] "
+        "ELSE string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') END"
+    )
+    grams = (
+        "list_concat(w, CASE WHEN len(w) < 2 THEN []::VARCHAR[] "
+        "ELSE [concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)] END)"
+    )
+    bucket = (
+        f"CAST('0x' || substring(md5(g || ':{_DSIR_SEED}'), 1, 15) AS BIGINT) % {B}"
+    )
+    return f"""
+WITH raww AS (
+  SELECT doc_id, {words} AS w FROM documents WHERE doc_id >= 100 AND doc_id < 400
+), tgtw AS (
+  SELECT doc_id, {words} AS w FROM documents WHERE doc_id < 100 AND lang = 'en'
+), rawg AS (
+  SELECT doc_id, {bucket} AS b FROM (SELECT doc_id, unnest({grams}) AS g FROM raww)
+), tgtg AS (
+  SELECT {bucket} AS b FROM (SELECT unnest({grams}) AS g FROM tgtw)
+), raw_hist AS (
+  SELECT b, count(*) AS c FROM rawg GROUP BY b
+), tgt_hist AS (
+  SELECT b, count(*) AS c FROM tgtg GROUP BY b
+), raw_total AS (
+  SELECT count(*) AS n FROM rawg
+), tgt_total AS (
+  SELECT count(*) AS n FROM tgtg
+), scored AS (
+  SELECT r.doc_id, count(*) AS n_feats,
+         sum( ln((coalesce(tc.c, 0) + 1.0) / (CAST(tt.n AS DOUBLE) + {B}.0))
+            - ln((coalesce(rc.c, 0) + 1.0) / (CAST(rt.n AS DOUBLE) + {B}.0)) ) AS lw
+  FROM rawg r
+  LEFT JOIN tgt_hist tc ON tc.b = r.b
+  LEFT JOIN raw_hist rc ON rc.b = r.b
+  CROSS JOIN tgt_total tt CROSS JOIN raw_total rt
+  GROUP BY r.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       round(coalesce(s.lw, 0.0), 4) AS lw_r
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 100 AND doc_id < 400) d
+LEFT JOIN scored s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def c4_gate(spark, sf):
+    """C4 line-level cleaning + document gate (ops/c4.c4_clean, Raffel et
+    al. 2020 §2.2). The corpus text has no line/punctuation structure, so a
+    deterministic SQL-expressible transform synthesizes it first (word ->
+    sentence-break substitutions + doc_id-keyed lorem/brace/javascript
+    injections) IDENTICALLY in both engines; the gate's verdict therefore
+    discriminates — every signal and the cleaned-text md5 are
+    hash-verified."""
+    from datachain_spark.ops import c4 as _c4
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(
+                F.substring(F.col("text"), 1, 400), " (the|value) ", ".\n"
+            ),
+            F.lit("."),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\nlorem ipsum filler."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("\ncode block { here."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\nplease enable javascript on this page."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = _c4.c4_clean(synth, "doc_id", with_signals=True)
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines", "c4_keep",
+        "has_lorem_ipsum", "has_brace",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+def _c4_sql() -> str:
+    from datachain_spark.ops.c4 import _TERMINAL_RE
+
+    synth = (
+        "concat(regexp_replace(substring(text, 1, 400), ' (the|value) ', '.' || chr(10), 'g'), '.',"
+        " CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum filler.' ELSE '' END,"
+        " CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'code block { here.' ELSE '' END,"
+        " CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'please enable javascript on this page.' ELSE '' END)"
+    )
+    line_ok = (
+        "trim(l) != '' AND regexp_matches(trim(l), '{TERM}') "
+        "AND len(string_split_regex(trim(l), '\\s+')) >= 3 "
+        "AND NOT contains(lower(l), 'javascript')"
+    ).replace("{TERM}", _TERMINAL_RE.replace("'", "''"))
+    return f"""
+WITH synth AS (
+  SELECT doc_id, {synth} AS text FROM documents WHERE doc_id < 200
+), split AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)), l -> {line_ok}) AS kept,
+         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(text, '{{') AS has_brace
+  FROM synth
+)
+SELECT doc_id,
+       CAST(len(list_filter(lines, l -> trim(l) != '')) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       (len(kept) >= 3 AND NOT has_lorem_ipsum AND NOT has_brace) AS c4_keep,
+       has_lorem_ipsum, has_brace,
+       md5(array_to_string(kept, chr(10))) AS text_md5
+FROM split
+ORDER BY doc_id
+"""
+
+
 def ann_ivf_probe(spark, sf):
     """End-to-end IVF ANN: centroid assignment + n_probe nearest-cell
     selection + exact top-k inside the probed cells (ops/similarity
@@ -3854,11 +4050,14 @@ WITH pwords AS (
   FROM documents WHERE doc_id < 5
 ), psh AS (
   SELECT DISTINCT unnest({shingle5}) AS sh FROM pwords
+), phash AS (
+  -- one-pass 60-bit md5 fingerprint per shingle; the k probe positions are
+  -- seeded md5 hashes OF THE FINGERPRINT's decimal string (matching
+  -- ops/dedup._decontaminate_bloom's _fingerprint/_position pair)
+  SELECT CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h FROM psh
 ), ppos AS (
-  -- k INDEPENDENT seeded md5 hashes (seed appended as ':BASE+i'), matching
-  -- datachain_spark.ops.dedup._seeded_hash64 + _BLOOM_SEED_BASE
-  SELECT CAST('0x' || substring(md5(sh || ':' || CAST({seed_base} + i AS VARCHAR)), 1, 15) AS BIGINT) % {m} AS pos
-  FROM psh, generate_series(0, {k - 1}) AS t(i)
+  SELECT CAST('0x' || substring(md5(CAST(h AS VARCHAR) || ':' || CAST({seed_base} + i AS VARCHAR)), 1, 15) AS BIGINT) % {m} AS pos
+  FROM phash, generate_series(0, {k - 1}) AS t(i)
 ), bitmap AS (
   SELECT pos // 64 AS word, bit_or({mask.format(p="pos")}) AS bits
   FROM ppos GROUP BY pos // 64
@@ -3868,10 +4067,12 @@ WITH pwords AS (
   FROM documents WHERE doc_id >= 5 AND doc_id < 120
 ), csh AS (
   SELECT doc_id, unnest({shingle5}) AS sh FROM cwords
+), chash AS (
+  SELECT doc_id, sh, CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h FROM csh
 ), cpos AS (
   SELECT doc_id, sh,
-         CAST('0x' || substring(md5(sh || ':' || CAST({seed_base} + i AS VARCHAR)), 1, 15) AS BIGINT) % {m} AS pos
-  FROM csh, generate_series(0, {k - 1}) AS t(i)
+         CAST('0x' || substring(md5(CAST(h AS VARCHAR) || ':' || CAST({seed_base} + i AS VARCHAR)), 1, 15) AS BIGINT) % {m} AS pos
+  FROM chash, generate_series(0, {k - 1}) AS t(i)
 ), matched AS (
   SELECT doc_id, sh, count(*) AS nbits
   FROM cpos JOIN bitmap ON bitmap.word = cpos.pos // 64
@@ -4065,6 +4266,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_similarity": string_similarity,
         "semi_join_orders": semi_join_orders,
         "intersect_cross": intersect_cross,
+        # r05 additions (overflow this round, r06 window candidates):
+        # BM25 retrieval, DSIR importance weights, C4 cleaning gate
+        "bm25_score_docs": bm25_score_docs,
+        "dsir_importance_md5": dsir_importance_md5,
+        "c4_gate": c4_gate,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -4170,6 +4376,9 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": LM_PERPLEXITY_SQL,
         "q5_asia_revenue": Q5_ASIA_SQL,
         "sample_per_group_md5": SAMPLE_PER_GROUP_SQL,
+        "bm25_score_docs": _bm25_sql(),
+        "dsir_importance_md5": _dsir_sql(),
+        "c4_gate": _c4_sql(),
         "save_read_roundtrip": SAVE_READ_SQL,
         "delta_incremental": DELTA_INCREMENTAL_SQL,
         "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,

@@ -55,11 +55,17 @@ HEADLINE = [
     # test_datachain.py:5-22): read_storage(npz) -> gen(process_laion_meta)
     # -> map(stem) -> save — directly comparable shape on this engine
     "laion_reference_workload",
-    # LAST on purpose: its Janino-fallback mega-filter (see
-    # ops/dedup._decontaminate_bloom) leaves the JVM code cache/JIT in a
-    # state that measurably slows LATER queries in the same session
-    # (corpus_pipeline_full 1.4s -> 2.3s when run after it) — placing it
-    # last keeps the join-vs-bloom comparison without perturbing the rest
+    # r05 additions: lexical retrieval, DSIR data selection, C4 gate — all
+    # whole-corpus
+    "bm25_topk_full",
+    "dsir_select_full",
+    "c4_gate_full",
+    # the bloom variant of decontaminate_full (same split, same fpp): r05
+    # capped k at 12 so the membership filter stays inside whole-stage
+    # codegen (was interpreted at k=13+), derives probe positions from a
+    # one-pass 64-bit fingerprint, and fixed an O(w²) bitmap densify —
+    # kept last so the join-vs-bloom delta stays directly comparable with
+    # earlier rounds' recordings
     "decontaminate_bloom_full",
 ]
 
@@ -111,14 +117,16 @@ def main() -> None:
         )
 
     def _decontaminate_bloom_full(spark, sf):
-        # the zero-join scale path: same probe/corpus split as
+        # the broadcast-payload scale path: same probe/corpus split as
         # decontaminate_full, membership tested inline against the broadcast
-        # bloom bitmap — no corpus-side explode, join, or shuffle
+        # bloom bitmap. bloom_expected is passed the way a production
+        # caller would (the probe-suite size is known); without it the op
+        # runs one extra sizing job over the probe shingles.
         docs = entrymod._chain(spark, sf, "documents").df
         probes = docs.filter(F.col("doc_id") < 10)
         return _dedup.decontaminate(
             docs.filter(F.col("doc_id") >= 10), probes, "doc_id", ngram=5,
-            method="bloom", bloom_fpp=1e-4,
+            method="bloom", bloom_fpp=1e-4, bloom_expected=2000,
         )
 
     def _pii_redact_full(spark, sf):
@@ -181,6 +189,38 @@ def main() -> None:
             words, params=["doc_id", "text"],
             output={"doc_id": int, "pos": int, "word": str},
         ).df
+
+    def _bm25_topk_full(spark, sf):
+        # whole-corpus lexical retrieval: per-row array-filter tf, 1-row
+        # broadcast stats, TakeOrderedAndProject — one shuffle total
+        from datachain_spark.ops import retrieval as _retrieval
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        return _retrieval.bm25_topk(
+            docs, "spark window merge batch stream", "doc_id", k=100
+        )
+
+    def _dsir_select_full(spark, sf):
+        # DSIR importance resampling: target = English docs 0-499, select
+        # the best 10% of the rest by hashed-ngram log ratio + gumbel noise
+        from datachain_spark.ops import selection as _selection
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        target = docs.filter((F.col("doc_id") < 500) & (F.col("lang") == "en"))
+        raw = docs.filter(F.col("doc_id") >= 500)
+        return _selection.dsir_select(raw, target, "doc_id", 500)
+
+    def _c4_gate_full(spark, sf):
+        # C4 line filters + doc gate over the whole corpus: pure projection
+        from datachain_spark.ops import c4 as _c4
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        out = _c4.c4_clean(docs, "doc_id", with_signals=True)
+        return out.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("c4_keep").cast("long")).alias("kept"),
+            F.sum("n_kept_lines").alias("kept_lines"),
+        )
 
     def _chunk_documents_full(spark, sf):
         # whole-corpus RAG chunking: zero-shuffle per-row slicing
@@ -254,6 +294,9 @@ def main() -> None:
     queries["interleave_full"] = _interleave_full
     queries["corpus_pipeline_full"] = _corpus_pipeline_full
     queries["udf_gen_full"] = _udf_gen_full
+    queries["bm25_topk_full"] = _bm25_topk_full
+    queries["dsir_select_full"] = _dsir_select_full
+    queries["c4_gate_full"] = _c4_gate_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);

@@ -1,15 +1,30 @@
 """Operator library beyond the core chain: diff, dedup, similarity search,
-text analysis, multimodal plumbing."""
+text analysis, retrieval, data selection, multimodal plumbing."""
 
-from . import asof, dedup, diff, interval, multimodal, packing, similarity, text
+from . import (
+    asof,
+    c4,
+    dedup,
+    diff,
+    interval,
+    multimodal,
+    packing,
+    retrieval,
+    selection,
+    similarity,
+    text,
+)
 
 __all__ = [
     "asof",
+    "c4",
     "dedup",
     "diff",
     "interval",
     "multimodal",
     "packing",
+    "retrieval",
+    "selection",
     "similarity",
     "text",
 ]

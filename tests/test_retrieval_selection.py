@@ -1,0 +1,149 @@
+"""BM25 retrieval (ops/retrieval), DSIR importance selection (ops/selection)
+and the C4 cleaning gate (ops/c4) — known-value checks, edge cases, and the
+scale-shape plan assertions."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import datachain_spark as dc
+from datachain_spark.ops import c4, retrieval, selection
+from datachain_spark.plans import shuffle_count
+
+
+def _docs(session, rows):
+    return session.spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------------ BM25
+def test_bm25_known_values(session):
+    docs = _docs(session, [
+        (1, "the quick brown fox"),
+        (2, "brown bears eat fish"),
+        (3, "fox and hound"),
+    ])
+    out = {r["doc_id"]: r for r in retrieval.bm25_score(docs, "quick fox", "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    # hand-computed: N=3, avgdl=11/3; quick: df=1, fox: df=2
+    k1, b = 1.2, 0.75
+    avgdl = 11 / 3
+
+    def term(tf, df_, dl):
+        idf = math.log(1 + (3 - df_ + 0.5) / (df_ + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(out[1]["score"] - (term(1, 1, 4) + term(1, 2, 4))) < 1e-12
+    assert abs(out[3]["score"] - term(1, 2, 3)) < 1e-12
+    assert out[2]["score"] == 0.0
+    # ranking: doc 1 matches both terms
+    top = retrieval.bm25_topk(docs, "quick fox", "doc_id", k=2).collect()
+    assert [r["doc_id"] for r in top] == [1, 3]
+
+
+def test_bm25_scale_shape_and_edges(session):
+    docs = _docs(session, [(1, "a b c"), (2, ""), (3, None)])
+    scored = retrieval.bm25_score(docs, "a", "doc_id")
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    assert rows[2]["dl"] == 0 and rows[2]["score"] == 0.0
+    assert rows[3]["score"] == 0.0
+    # ONE shuffle total (the 1-row stats aggregate); corpus never explodes.
+    # Fresh plan: an executed AQE DataFrame's explain prints initial+final
+    # plans and double-counts every Exchange.
+    assert shuffle_count(retrieval.bm25_score(docs, "a", "doc_id")) == 1
+    plan = retrieval.bm25_topk(docs, "a", "doc_id", k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError):
+        retrieval.bm25_score(docs, "...", "doc_id")
+
+
+def test_bm25_keep_cols(session):
+    docs = _docs(session, [(1, "alpha beta"), (2, "alpha gamma")])
+    top = retrieval.bm25_topk(docs, "alpha", "doc_id", k=2, keep_cols=["text"]).collect()
+    assert {r["text"] for r in top} == {"alpha beta", "alpha gamma"}
+
+
+# ------------------------------------------------------------------ DSIR
+def test_dsir_importance_direction_and_edges(session):
+    raw = _docs(session, [
+        (1, "stock markets rallied today after earnings"),
+        (2, "the cat sat on the mat quietly"),
+        (3, ""),
+    ])
+    target = _docs(session, [
+        (10, "markets rallied as stock prices rose on earnings"),
+    ])
+    w = {r["doc_id"]: r for r in
+         selection.dsir_importance(raw, target, "doc_id").collect()}
+    # the finance doc shares target features -> strictly higher weight
+    assert w[1]["log_weight"] > w[2]["log_weight"]
+    # blank doc: no features, weight 0, NOT dropped
+    assert w[3]["n_feats"] == 0 and w[3]["log_weight"] == 0.0
+    # n_feats = unigrams + bigrams = (2n - 1) for an n-word doc
+    assert w[1]["n_feats"] == 11 and w[2]["n_feats"] == 13
+
+    # deterministic across runs and hash families
+    again = {r["doc_id"]: r["log_weight"] for r in
+             selection.dsir_importance(raw, target, "doc_id").collect()}
+    assert again == {k: v["log_weight"] for k, v in w.items()}
+    md5 = selection.dsir_importance(raw, target, "doc_id", hash_fn="md5").collect()
+    assert {r["doc_id"] for r in md5} == {1, 2, 3}
+
+
+def test_dsir_select_top_and_gumbel(session):
+    raw = _docs(session, [(i, f"stock markets day {i}") for i in range(1, 5)]
+                + [(9, "completely unrelated words entirely")])
+    target = _docs(session, [(0, "stock markets")])
+    # gumbel=False is exactly "top-n by log_weight, id tie-break" — verify
+    # against the weights the importance pass itself reports
+    weights = selection.dsir_importance(raw, target, "doc_id").collect()
+    expected = [r["doc_id"] for r in
+                sorted(weights, key=lambda r: (-r["log_weight"], r["doc_id"]))][:4]
+    top = [r["doc_id"] for r in
+           selection.dsir_select(raw, target, "doc_id", 4, gumbel=False).collect()]
+    assert top == expected
+    # gumbel path: deterministic given the seed, and a valid permutation
+    g1 = [r["doc_id"] for r in selection.dsir_select(raw, target, "doc_id", 3, seed=7).collect()]
+    g2 = [r["doc_id"] for r in selection.dsir_select(raw, target, "doc_id", 3, seed=7).collect()]
+    assert g1 == g2 and len(set(g1)) == 3
+
+
+# ------------------------------------------------------------------ C4
+def test_c4_line_and_doc_rules(session):
+    docs = _docs(session, [
+        # 3 good lines + 1 short + 1 unterminated -> kept
+        (1, "This is a fine sentence.\nShort.\nAnother good long line here!\n"
+            "And a third proper line.\nno terminal punctuation"),
+        # curly brace -> dropped even with 3 good lines
+        (2, "code { x }\nGood line one here.\nGood line two here.\nGood line three here."),
+        # lorem ipsum -> dropped
+        (3, "More lorem ipsum filler text.\nSecond proper line here.\nThird proper line here."),
+        # only 2 surviving lines -> dropped
+        (4, "One good line right here.\nTwo good lines right here.\nbad"),
+        # javascript line removed, doc still passes with 3 others
+        (5, "Please enable javascript to continue.\nReal content line one here.\n"
+            "Real content line two here?\nReal content line three here."),
+    ])
+    out = {r["doc_id"]: r for r in c4.c4_clean(docs, "doc_id", with_signals=True).collect()}
+    assert out[1]["c4_keep"] and out[1]["n_kept_lines"] == 3
+    assert "Short." not in out[1]["text"]
+    assert not out[2]["c4_keep"] and out[2]["has_brace"]
+    assert not out[3]["c4_keep"] and out[3]["has_lorem_ipsum"]
+    assert not out[4]["c4_keep"]
+    assert out[5]["c4_keep"]
+    assert "javascript" not in out[5]["text"]
+
+    # default mode: only keepers, signals dropped
+    kept = c4.c4_clean(docs, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5]
+    assert set(kept.columns) == {"doc_id", "text", "n_lines", "n_kept_lines"}
+
+    # pure projection: zero shuffles
+    assert shuffle_count(c4.c4_clean(docs, "doc_id", with_signals=True)) == 0
+
+
+def test_c4_min_words_parameter(session):
+    docs = _docs(session, [(1, "One two three four five six.\nTiny line.")])
+    strict = c4.c4_clean(docs, "doc_id", min_words_per_line=5,
+                         min_kept_lines=1, with_signals=True).collect()[0]
+    assert strict["n_kept_lines"] == 1
