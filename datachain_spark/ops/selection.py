@@ -14,12 +14,14 @@ Features: word unigrams + bigrams hashed into ``num_buckets`` counts
 Laplace-smoothed bucket histograms — ``num_buckets`` rows each, tiny next
 to the corpus, broadcast back for the per-document weight sum.
 
-Scale shape: the raw corpus explodes to (id, bucket) once; the two
-histogram aggregates reduce to ``num_buckets``-row tables (map-side partial
-combine does the heavy lifting); the log-ratio per bucket joins back by
-BROADCAST, then one per-id aggregation. Two small shuffles keyed on bucket,
-one keyed on the doc id — nothing quadratic, no driver-side state beyond
-the plan itself.
+Scale shape: the raw corpus explodes to (id, bucket) once; BOTH corpus
+histograms come out of ONE source-tagged union aggregation (map-side
+partial combine does the heavy lifting, ≤ num_buckets rows out — no
+bucket-keyed join between histograms); the per-bucket log ratio joins back
+by BROADCAST, then one per-id aggregation (explode_outer keeps featureless
+docs without an id join-back). One small shuffle keyed on bucket, one
+keyed on the doc id, zero sort-merge joins — nothing quadratic, no
+driver-side state beyond the plan itself.
 
 ``hash_fn="md5"`` uses the portable hash family every SQL engine
 reproduces, so the whole path (bucketing included) is DuckDB-verifiable;
@@ -41,45 +43,51 @@ _DSIR_SEED = 0x5D51
 
 
 def _bucket_rows(
-    df: DataFrame, id_col, text_col: str, num_buckets: int, hash_fn: str
+    df: DataFrame,
+    id_col,
+    text_col: str,
+    num_buckets: int,
+    hash_fn: str,
+    keep_empty: bool = False,
 ) -> DataFrame:
-    """(id, bucket) rows: one per word unigram and bigram occurrence."""
+    """(id, bucket) rows: one per word unigram and bigram occurrence.
+
+    ``keep_empty=True`` uses ``explode_outer`` so a doc with zero features
+    (blank text) still yields one row with a NULL bucket — the downstream
+    per-doc aggregation then emits it with n_feats=0 instead of a join-back
+    against the id set (which cost a sort-merge join in the first cut)."""
     cleaned = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", ""))
     # blank text: split(trim('')) yields [''] — one phantom feature; guard
     # to an empty array so blank docs report n_feats=0
     words = F.when(
         F.coalesce(cleaned, F.lit("")) == "", F.array().cast("array<string>")
     ).otherwise(F.split(cleaned, r"\s+"))
-    df = df.select(F.col(id_col).alias("__id"), words.alias("__w"))
-    unigrams = df.select("__id", F.explode("__w").alias("__g"))
-    bigrams = df.select(
-        "__id",
-        F.explode(
-            F.when(
-                F.size("__w") < 2, F.array().cast("array<string>")
-            ).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__w") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("__w"), i + 1),
-                        F.element_at(F.col("__w"), i + 2),
-                    ),
-                )
-            )
-        ).alias("__g"),
+    bigrams = F.when(
+        F.size("__w") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__w") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("__w"), i + 1),
+                F.element_at(F.col("__w"), i + 2),
+            ),
+        )
     )
-    grams = unigrams.unionAll(bigrams)
+    exploder = F.explode_outer if keep_empty else F.explode
+    grams = df.select(F.col(id_col).alias("__id"), words.alias("__w")).select(
+        "__id", exploder(F.concat(F.col("__w"), bigrams)).alias("__g")
+    )
     return grams.select(
         "__id",
-        F.pmod(
-            _seeded_hash64(F.col("__g"), _DSIR_SEED, hash_fn), F.lit(num_buckets)
+        F.when(
+            F.col("__g").isNotNull(),
+            F.pmod(
+                _seeded_hash64(F.col("__g"), _DSIR_SEED, hash_fn),
+                F.lit(num_buckets),
+            ),
         ).alias("__b"),
     )
-
-
-def _bucket_hist(rows: DataFrame) -> DataFrame:
-    return rows.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
 
 
 def dsir_importance(
@@ -103,50 +111,49 @@ def dsir_importance(
     never lose rows (the ngram_lm_score contract).
     """
     t_col = target_text_col or text_col
-    raw_rows = _bucket_rows(raw, id_col, text_col, num_buckets, hash_fn)
+    raw_rows = _bucket_rows(raw, id_col, text_col, num_buckets, hash_fn,
+                            keep_empty=True)
     tgt_rows = _bucket_rows(target, id_col, t_col, num_buckets, hash_fn)
 
-    # the two histograms + totals: num_buckets rows each, broadcast class
-    raw_hist = _bucket_hist(raw_rows.select("__b"))
-    tgt_hist = _bucket_hist(tgt_rows.select("__b"))
-    log_ratio = (
-        raw_hist.withColumnRenamed("__c", "__cr")
-        .join(tgt_hist.withColumnRenamed("__c", "__ct"), "__b", "full_outer")
-        .crossJoin(
-            F.broadcast(
-                raw_hist.agg(F.sum("__c").alias("__nr")).crossJoin(
-                    tgt_hist.agg(F.sum("__c").alias("__nt"))
-                )
+    # BOTH histograms in ONE aggregation: tag the union by source and
+    # conditional-count — no bucket-keyed full-outer join (which planned as
+    # a sort-merge join in the first cut). ≤ num_buckets rows out.
+    tagged = raw_rows.filter(F.col("__b").isNotNull()).select(
+        "__b", F.lit(1).alias("__r"), F.lit(0).alias("__t")
+    ).unionAll(tgt_rows.select("__b", F.lit(0).alias("__r"), F.lit(1).alias("__t")))
+    hist = tagged.groupBy("__b").agg(
+        F.sum("__r").alias("__cr"), F.sum("__t").alias("__ct")
+    )
+    totals = hist.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+    )
+    log_ratio = hist.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log(
+                (F.col("__ct") + F.lit(alpha))
+                / (F.coalesce(F.col("__nt"), F.lit(0)) + F.lit(alpha * num_buckets))
             )
-        )
-        .select(
-            "__b",
-            (
-                F.log(
-                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(alpha))
-                    / (F.coalesce(F.col("__nt"), F.lit(0)) + F.lit(alpha * num_buckets))
-                )
-                - F.log(
-                    (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(alpha))
-                    / (F.coalesce(F.col("__nr"), F.lit(0)) + F.lit(alpha * num_buckets))
-                )
-            ).alias("__lr"),
-        )
+            - F.log(
+                (F.col("__cr") + F.lit(alpha))
+                / (F.coalesce(F.col("__nr"), F.lit(0)) + F.lit(alpha * num_buckets))
+            )
+        ).alias("__lr"),
     )
 
-    scored = (
+    # per-doc sum: raw grams broadcast-join the ≤num_buckets-row ratio
+    # table; explode_outer rows (null bucket = featureless doc) fall through
+    # the left join and aggregate to (0, 0.0) — no id join-back needed
+    return (
         raw_rows.join(F.broadcast(log_ratio), "__b", "left")
         .groupBy("__id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("__lr").alias("log_weight"),
+            F.count(F.col("__b")).alias("n_feats"),
+            F.coalesce(F.sum("__lr"), F.lit(0.0)).alias("log_weight"),
         )
-    )
-    ids = raw.select(F.col(id_col).alias("__id")).dropDuplicates()
-    return ids.join(scored, "__id", "left").select(
-        F.col("__id").alias(id_col),
-        F.coalesce(F.col("n_feats"), F.lit(0).cast("long")).alias("n_feats"),
-        F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        .select(
+            F.col("__id").alias(id_col), "n_feats", "log_weight"
+        )
     )
 
 

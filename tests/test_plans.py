@@ -271,6 +271,41 @@ def test_q20_semi_join_chain_no_duplication(spark, sf_dir):
     assert "SortMergeJoin" not in join_strategies(df)
 
 
+def test_bm25_one_shuffle_broadcast_stats(spark, sf_dir):
+    # the corpus-wide (N, avgdl, df) statistics enter the plan as a 1-row
+    # broadcast; the corpus side itself never shuffles or explodes
+    from datachain_spark.ops import retrieval
+    from datachain_spark.plans.inspect import _formatted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = retrieval.bm25_score(docs, "spark window merge", "doc_id")
+    assert shuffle_count(df) == 1  # only the stats aggregate
+    plan = _formatted(df)
+    assert "BroadcastExchange" in plan
+    assert "Generate" not in plan  # no explode anywhere
+
+
+def test_dsir_histograms_broadcast_back(spark, sf_dir):
+    # the bucket histograms and the per-bucket log-ratio table are
+    # broadcast-joined back onto the exploded raw grams — the only
+    # sort-merge-free shuffles are the two tiny bucket aggs + the per-id agg
+    from datachain_spark.ops import selection
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.filter("doc_id >= 100")
+    target = docs.filter("doc_id < 100")
+    df = selection.dsir_importance(raw, target, "doc_id", num_buckets=1024)
+    assert "SortMergeJoin" not in join_strategies(df)
+    assert shuffle_count(df) <= 4  # union-hist agg, totals, per-id agg (+AQE)
+
+
+def test_c4_zero_shuffle_projection(spark, sf_dir):
+    from datachain_spark.ops import c4
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert shuffle_count(c4.c4_clean(docs, "doc_id", with_signals=True)) == 0
+
+
 def test_repetition_stats_shuffle_shape(spark, sf_dir):
     # r04 single-pass rewrite: every exchange hashes the doc id (the gram
     # window and final aggs) or (id, word) partial counts — never raw
