@@ -314,3 +314,144 @@ def test_chunk_documents_reconstructs(session, docs, chunk_tokens, overlap):
             toks += c["chunk_text"].split()[overlap:]
         assert toks == text_.split(), (d, chunk_tokens, overlap)
         assert all(c["n_tokens"] == len(c["chunk_text"].split()) for c in chunks)
+
+
+# -- BM25 vs a pure-Python reference implementation (ops/retrieval) --------
+
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=8),
+    query=st.lists(_words, min_size=1, max_size=3).map(" ".join),
+)
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_matches_python_reference(session, docs, query):
+    """For ANY corpus/query: the Spark BM25 scores equal a from-scratch
+    Python Okapi implementation (same formula, same tokenizer) to 1e-9."""
+    import math
+
+    from datachain_spark.ops import retrieval as _r
+
+    k1, b = 1.2, 0.75
+    toks = [d.split() for d in docs]
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks) / N
+    terms = _r.tokenize_query(query)
+
+    def py_score(i):
+        s = 0.0
+        for t in terms:
+            tf = toks[i].count(t)
+            df_ = sum(1 for tt in toks if t in tt)
+            idf = math.log(1 + (N - df_ + 0.5) / (df_ + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        return s
+
+    cdf = dc.read_values(
+        session=session, doc_id=list(range(N)), text=docs
+    ).df
+    got = {r["doc_id"]: r["score"] for r in
+           _r.bm25_score(cdf, query, "doc_id", k1=k1, b=b).collect()}
+    assert set(got) == set(range(N))
+    for i in range(N):
+        assert abs(got[i] - py_score(i)) < 1e-9, (i, docs[i], query)
+
+
+# -- DSIR weights vs a pure-Python reference (ops/selection, md5 family) ---
+
+@given(
+    raw=st.lists(_doc, min_size=1, max_size=6),
+    target=st.lists(_doc, min_size=1, max_size=4),
+)
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dsir_matches_python_reference(session, raw, target):
+    """For ANY raw/target mix: per-doc log weights equal a from-scratch
+    Python replica of the hashed-ngram importance recipe (md5 family)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from datachain_spark.ops import selection as _s
+    from datachain_spark.ops.selection import _DSIR_SEED
+
+    B, alpha = 64, 1.0
+
+    def bucket(g):
+        h = int(hashlib.md5(f"{g}:{_DSIR_SEED}".encode()).hexdigest()[:15], 16)
+        return h % B
+
+    def feats(doc):
+        ws = doc.split()
+        return ws + [" ".join(p) for p in zip(ws, ws[1:])]
+
+    raw_b = [ [bucket(g) for g in feats(d)] for d in raw ]
+    tgt_b = [ bucket(g) for d in target for g in feats(d) ]
+    cr = Counter(b for bs in raw_b for b in bs)
+    ct = Counter(tgt_b)
+    nr, nt = sum(cr.values()), len(tgt_b)
+
+    def py_weight(i):
+        return sum(
+            math.log((ct[b] + alpha) / (nt + alpha * B))
+            - math.log((cr[b] + alpha) / (nr + alpha * B))
+            for b in raw_b[i]
+        )
+
+    rdf = dc.read_values(session=session, doc_id=list(range(len(raw))), text=raw).df
+    tdf = dc.read_values(session=session, doc_id=list(range(len(target))), text=target).df
+    got = {r["doc_id"]: r for r in _s.dsir_importance(
+        rdf, tdf, "doc_id", num_buckets=B, alpha=alpha, hash_fn="md5"
+    ).collect()}
+    for i in range(len(raw)):
+        assert got[i]["n_feats"] == len(raw_b[i])
+        assert abs(got[i]["log_weight"] - py_weight(i)) < 1e-9, (i, raw[i])
+
+
+# -- C4 gate invariants (ops/c4) -------------------------------------------
+
+_line = st.lists(_words, min_size=1, max_size=6).map(" ".join)
+_c4doc = st.lists(
+    st.tuples(_line, st.sampled_from([".", "!", "?", "", " {"])),
+    min_size=1, max_size=6,
+).map(lambda ls: "\n".join(t + p for t, p in ls))
+
+
+@given(docs=st.lists(_c4doc, min_size=1, max_size=6))
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_c4_clean_invariants(session, docs):
+    """For ANY doc set: kept lines are a subset of the original lines in
+    original order, counts are consistent, the gate verdict matches its
+    recomputation from the signals, and no doc vanishes in signal mode."""
+    from datachain_spark.ops import c4 as _c4
+
+    cdf = dc.read_values(
+        session=session, doc_id=list(range(len(docs))), text=docs
+    ).df
+    out = {r["doc_id"]: r for r in
+           _c4.c4_clean(cdf, "doc_id", min_words_per_line=2,
+                        min_kept_lines=2, with_signals=True).collect()}
+    assert set(out) == set(range(len(docs)))
+    for i, doc in enumerate(docs):
+        r = out[i]
+        orig_lines = [l for l in doc.split("\n") if l.strip()]
+        kept_lines = [l for l in r["text"].split("\n") if l != ""]
+        # subset + order preserved
+        it = iter(orig_lines)
+        assert all(any(k == o for o in it) for k in kept_lines), (kept_lines, orig_lines)
+        assert r["n_lines"] == len(orig_lines)
+        assert r["n_kept_lines"] == len(kept_lines)
+        expected_keep = (
+            r["n_kept_lines"] >= 2
+            and not r["has_lorem_ipsum"]
+            and not r["has_brace"]
+        )
+        assert r["c4_keep"] == expected_keep
+        for k in kept_lines:
+            assert k.rstrip()[-1:] in ".!?\"'”" and len(k.split()) >= 2
