@@ -3841,6 +3841,82 @@ ORDER BY d.doc_id
 """
 
 
+# span resolution 4 for the oracle: the synthetic corpus draws from a small
+# vocabulary, so 4-token repeats exist (26 docs touched, 142 words removed
+# at sf0.01) while >=5-token exact repeats are nearly absent — the lower
+# resolution makes the oracle DISCRIMINATE (island merging, multi-doc rank
+# ordering and reassembly all exercised on real duplicates)
+_SPAN_TOKENS = 4
+
+
+def spans_dedup_md5(spark, sf):
+    """Exact-substring span dedup (ops/dedup.remove_duplicate_spans, Lee et
+    al. 2022): repeated >=4-token spans removed from all but their first
+    occurrence, docs reassembled — gram keying, first-occurrence ranking,
+    island merging and reassembly all replicated in DuckDB under the md5
+    family."""
+    from datachain_spark.ops import dedup as _d
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 150)
+    out = _d.remove_duplicate_spans(
+        docs, "doc_id", span_tokens=_SPAN_TOKENS, hash_fn="md5", with_stats=True
+    )
+    return out.orderBy("doc_id")
+
+
+def _spans_sql() -> str:
+    L = _SPAN_TOKENS
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents WHERE doc_id < 150
+), tok AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS word
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM base)
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST('0x' || substring(md5(array_to_string(w[i : i + {L - 1}], ' ')), 1, 15) AS BIGINT) AS k
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {L} + 1)) AS i FROM base)
+), ranked AS (
+  SELECT doc_id, pos, row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+  FROM grams
+), dup AS (
+  SELECT doc_id, pos AS s, pos + {L} - 1 AS e FROM ranked WHERE rn > 1
+), flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS newf
+  FROM dup
+), islands AS (
+  SELECT doc_id, isl, min(s) AS s, max(e) AS e
+  FROM (SELECT doc_id, s, e,
+               sum(newf) OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl
+        FROM flagged)
+  GROUP BY doc_id, isl
+), deleted AS (
+  SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM islands
+), kept AS (
+  SELECT t.doc_id, t.pos, t.word
+  FROM tok t LEFT JOIN deleted d ON t.doc_id = d.doc_id AND t.pos = d.pos
+  WHERE d.pos IS NULL
+), outp AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(o.text, '') AS text,
+       CAST(len(b.w) AS BIGINT) AS n_words,
+       CAST(len(b.w) - coalesce(o.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN outp o ON b.doc_id = o.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def c4_gate(spark, sf):
     """C4 line-level cleaning + document gate (ops/c4.c4_clean, Raffel et
     al. 2020 §2.2). The corpus text has no line/punctuation structure, so a
@@ -4271,6 +4347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_score_docs": bm25_score_docs,
         "dsir_importance_md5": dsir_importance_md5,
         "c4_gate": c4_gate,
+        "spans_dedup_md5": spans_dedup_md5,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -4379,6 +4456,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_score_docs": _bm25_sql(),
         "dsir_importance_md5": _dsir_sql(),
         "c4_gate": _c4_sql(),
+        "spans_dedup_md5": _spans_sql(),
         "save_read_roundtrip": SAVE_READ_SQL,
         "delta_incremental": DELTA_INCREMENTAL_SQL,
         "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,

@@ -60,6 +60,7 @@ HEADLINE = [
     "bm25_topk_full",
     "dsir_select_full",
     "c4_gate_full",
+    "spans_dedup_full",
     # the bloom variant of decontaminate_full (same split, same fpp): r05
     # capped k at 12 so the membership filter stays inside whole-stage
     # codegen (was interpreted at k=13+), derives probe positions from a
@@ -222,6 +223,20 @@ def main() -> None:
             F.sum("n_kept_lines").alias("kept_lines"),
         )
 
+    def _spans_dedup_full(spark, sf):
+        # exact-substring span dedup over the whole corpus (Lee et al.
+        # 2022 semantics): gram-key rank + island merge + reassembly,
+        # summarized to per-corpus removal stats
+        docs = entrymod._chain(spark, sf, "documents").df
+        out = _dedup.remove_duplicate_spans(
+            docs, "doc_id", span_tokens=8, with_stats=True
+        )
+        return out.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_removed").alias("removed_words"),
+            F.sum("n_words").alias("total_words"),
+        )
+
     def _chunk_documents_full(spark, sf):
         # whole-corpus RAG chunking: zero-shuffle per-row slicing
         docs = entrymod._chain(spark, sf, "documents").df
@@ -297,6 +312,7 @@ def main() -> None:
     queries["bm25_topk_full"] = _bm25_topk_full
     queries["dsir_select_full"] = _dsir_select_full
     queries["c4_gate_full"] = _c4_gate_full
+    queries["spans_dedup_full"] = _spans_dedup_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);

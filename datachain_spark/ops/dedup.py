@@ -865,3 +865,118 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    span_tokens: int = 50,
+    hash_fn: str = "xxhash64",
+    with_stats: bool = False,
+) -> DataFrame:
+    """Exact-substring span deduplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): remove every
+    repeated token span of at least ``span_tokens`` words from all but its
+    FIRST occurrence — globally across the corpus AND within documents —
+    and reassemble each document from its surviving words. Unlike document-
+    or segment-level dedup, this catches boilerplate embedded mid-document
+    (licenses, navigation, quoted reposts) without dropping the whole doc.
+
+    Semantics (suffix-array equivalent for spans of exactly the window
+    resolution): every ``span_tokens``-gram is keyed; a gram whose key
+    occurs more than once marks all non-first occurrences (ordered by
+    (id, position)) for deletion; overlapping marked windows merge into
+    maximal spans, and longer duplicates are covered by their constituent
+    grams. The first occurrence always survives intact. Docs shorter than
+    ``span_tokens`` words are untouched.
+
+    Output: (id_col, text_col) — plus (n_words, n_removed) when
+    ``with_stats``. Word order and the survivors' exact text are preserved
+    (whitespace normalized to single spaces, as in segment_dedup).
+
+    Scale shape: words posexplode per doc; one window over the doc id
+    builds the gram keys (codegen'd lead chain — the shingle_rows
+    formulation); one shuffle on the 64-bit gram key ranks occurrences
+    (first-occurrence window); deletion windows merge per doc via the
+    classic gaps-and-islands running-max (window over id); covered
+    positions explode only for DUPLICATED spans (bounded by the duplicated
+    volume, not the corpus); the reassembly groupBy rides the id
+    partitioning. No all-pairs joins, no driver state. ``hash_fn="md5"``
+    makes the whole pass DuckDB-verifiable; key collisions under the
+    default 64-bit family merge unrelated grams at ~n²/2⁶⁴ — negligible
+    over-deletion, never under-deletion.
+    """
+    if span_tokens < 1:
+        raise ValueError("span_tokens must be >= 1")
+    L = span_tokens
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    blank = F.coalesce(F.trim(F.col(text_col)), F.lit("")) == ""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.when(blank, F.array().cast("array<string>")).otherwise(words).alias("__w"),
+    )
+    tok = base.select("__id", F.posexplode("__w").alias("__pos", "__word"))
+
+    w_id = Window.partitionBy("__id").orderBy("__pos")
+    leads = [F.lead("__word", j).over(w_id) for j in range(1, L)]
+    grams = tok.select(
+        "__id",
+        "__pos",
+        _hash64(F.concat_ws(" ", F.col("__word"), *leads), hash_fn).alias("__k"),
+        (F.lead("__word", L - 1).over(w_id).isNotNull() if L > 1 else F.lit(True)).alias(
+            "__complete"
+        ),
+    ).filter(F.col("__complete"))
+
+    # global first-occurrence rank per gram key; non-first occurrences of a
+    # duplicated key become deletion windows [pos, pos+L-1]
+    w_key = Window.partitionBy("__k").orderBy("__id", "__pos")
+    dup = (
+        grams.withColumn("__rn", F.row_number().over(w_key))
+        .filter(F.col("__rn") > 1)
+        .select("__id", F.col("__pos").alias("__s"), (F.col("__pos") + L - 1).alias("__e"))
+    )
+
+    # merge overlapping/adjacent windows per doc (gaps and islands):
+    # an island starts where this start exceeds the running max end so far
+    w_doc = Window.partitionBy("__id").orderBy("__s", "__e")
+    prev_max_e = F.max("__e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        dup.withColumn(
+            "__new", (prev_max_e.isNull() | (F.col("__s") > prev_max_e + 1)).cast("long")
+        )
+        .withColumn("__isl", F.sum("__new").over(w_doc))
+        .groupBy("__id", "__isl")
+        .agg(F.min("__s").alias("__s"), F.max("__e").alias("__e"))
+    )
+    deleted = islands.select(
+        "__id", F.explode(F.sequence(F.col("__s"), F.col("__e"))).alias("__pos")
+    )
+
+    kept = tok.join(deleted, ["__id", "__pos"], "left_anti")
+    out = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__word"))),
+                lambda s: s["__word"],
+            ),
+            " ",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    stats = base.select("__id", F.size("__w").alias("__n_words"))
+    res = (
+        stats.join(out, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.col("__n_words").cast("long").alias("n_words"),
+            (F.col("__n_words") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+    if with_stats:
+        return res
+    return res.select(id_col, text_col)

@@ -478,6 +478,56 @@ def test_bloom_size_codegen_cap():
     assert m9 <= m_exact + 64
 
 
+def test_remove_duplicate_spans(session):
+    """Exact-substring span dedup: global first occurrence survives, later
+    occurrences (cross-doc AND within-doc) are excised, overlapping
+    duplicate windows merge, short/blank/clean docs untouched."""
+    df = session.spark.createDataFrame([
+        (1, "a b c d e f g h"),            # owns the first occurrences
+        (2, "x y a b c d e f z"),          # embedded copy of a..f
+        (3, "p q r s t u v w"),            # clean
+        (4, "a b c d e f a b c d e f g"),  # self-repeat + cross-doc copy
+        (5, ""),                           # blank
+        (6, "a b c"),                      # shorter than the span window
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(
+        df, "doc_id", span_tokens=4, with_stats=True).collect()}
+    assert out[1]["text"] == "a b c d e f g h" and out[1]["n_removed"] == 0
+    assert out[2]["text"] == "x y z" and out[2]["n_removed"] == 6
+    assert out[3]["n_removed"] == 0
+    # every word of doc 4 sits inside SOME repeated 4-gram (incl. 'd e f g'
+    # from doc 1) -> fully excised
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 13
+    assert out[5]["text"] == "" and out[5]["n_words"] == 0
+    assert out[6]["text"] == "a b c" and out[6]["n_removed"] == 0
+
+    # without stats: just (id, text); deterministic across runs
+    lean = dedup.remove_duplicate_spans(df, "doc_id", span_tokens=4)
+    assert set(lean.columns) == {"doc_id", "text"}
+    again = {r["doc_id"]: r["text"] for r in lean.collect()}
+    assert again == {k: v["text"] for k, v in out.items()}
+
+    # first-occurrence priority follows (id, pos) order: swapping ids flips
+    # which doc keeps the span
+    df2 = session.spark.createDataFrame(
+        [(1, "x y a b c d e f z"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["text"] for r in dedup.remove_duplicate_spans(
+        df2, "doc_id", span_tokens=4).collect()}
+    assert out2[1] == "x y a b c d e f z"  # now the first occurrence
+    assert out2[2] == "g h"
+
+    with pytest.raises(ValueError):
+        dedup.remove_duplicate_spans(df, "doc_id", span_tokens=0)
+
+    # md5 family agrees with the default on exact inputs (no collisions at
+    # this size) — the DuckDB-verifiable path is the same algorithm
+    md5 = {r["doc_id"]: r["text"] for r in dedup.remove_duplicate_spans(
+        df, "doc_id", span_tokens=4, hash_fn="md5").collect()}
+    assert md5 == {k: v["text"] for k, v in out.items()}
+
+
 def test_repetition_stats_known_values(session):
     ch = dc.read_values(session=session, doc_id=[1], text=["a a a b"])
     r = text.repetition_stats(ch.df, "doc_id").collect()[0]

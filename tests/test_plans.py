@@ -299,6 +299,23 @@ def test_dsir_histograms_broadcast_back(spark, sf_dir):
     assert shuffle_count(df) <= 4  # union-hist agg, totals, per-id agg (+AQE)
 
 
+def test_spans_dedup_shuffle_shape(spark, sf_dir):
+    # every exchange hashes either the doc id (gram window, island window,
+    # reassembly) or the 64-bit gram key (first-occurrence rank) — never
+    # raw text; no all-pairs joins
+    import re
+
+    from datachain_spark.ops import dedup
+    from datachain_spark.plans.inspect import _formatted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dedup.remove_duplicate_spans(docs, "doc_id", span_tokens=8)
+    plan = _formatted(df)
+    keys = re.findall(r"hashpartitioning\(__(\w+)#", plan)
+    assert keys and set(keys) <= {"id", "k"}, keys
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_c4_zero_shuffle_projection(spark, sf_dir):
     from datachain_spark.ops import c4
 
