@@ -455,3 +455,46 @@ def test_c4_clean_invariants(session, docs):
         assert r["c4_keep"] == expected_keep
         for k in kept_lines:
             assert k.rstrip()[-1:] in ".!?\"'”" and len(k.split()) >= 2
+
+
+# -- span dedup vs a pure-Python reference (ops/dedup) ---------------------
+
+@given(
+    docs=st.lists(st.lists(_words, min_size=0, max_size=10).map(" ".join),
+                  min_size=1, max_size=6),
+    L=st.integers(min_value=2, max_value=4),
+)
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_spans_dedup_matches_python_reference(session, docs, L):
+    """For ANY corpus: surviving words equal a from-scratch Python replica
+    of the span-dedup recipe (first-occurrence L-gram cover, positions
+    ordered by (id, pos))."""
+    from datachain_spark.ops import dedup as _dedup
+
+    toks = [d.split() for d in docs]
+    first = {}
+    covered = [set() for _ in docs]
+    for i, ws in enumerate(toks):
+        for p in range(len(ws) - L + 1):
+            g = tuple(ws[p:p + L])
+            if g in first:
+                covered[i].update(range(p, p + L))
+            else:
+                first[g] = (i, p)
+    expected = {
+        i: " ".join(w for p, w in enumerate(ws) if p not in covered[i])
+        for i, ws in enumerate(toks)
+    }
+
+    cdf = dc.read_values(
+        session=session, doc_id=list(range(len(docs))), text=docs
+    ).df
+    got = {r["doc_id"]: r for r in _dedup.remove_duplicate_spans(
+        cdf, "doc_id", span_tokens=L, with_stats=True).collect()}
+    assert set(got) == set(range(len(docs)))
+    for i in range(len(docs)):
+        assert got[i]["text"] == expected[i], (i, docs, L)
+        assert got[i]["n_removed"] == len(covered[i])

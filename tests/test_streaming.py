@@ -211,6 +211,41 @@ def test_corpus_ops_compose_with_streams(session, tmp_path):
     assert rows[0]["lang"] == "en" and rows[0]["quality"] is not None
 
 
+def test_c4_gate_composes_with_streams(session, tmp_path):
+    """The C4 cleaning gate (r05) is likewise a pure projection — it runs
+    unchanged on a structured stream, so a streaming ingest pipeline gates
+    with the same code path (and thresholds) as the batch corpus prep."""
+    from datachain_spark.ops import c4
+
+    spark = session.spark
+    d = str(tmp_path / "c4_src")
+    spark.createDataFrame(
+        [
+            (0, "A good first sentence here.\nA good second sentence here.\n"
+                "A good third sentence here."),
+            (1, "code page { x = 1 }\nGood line one here.\nGood line two here.\n"
+                "Good line three here."),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(d)
+
+    stream = read_stream(spark, d)
+    gated = c4.c4_clean(stream, "doc_id", with_signals=True)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("c4_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_c4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM c4_stream").collect()}
+    assert rows[0]["c4_keep"] and rows[0]["n_kept_lines"] == 3
+    assert not rows[1]["c4_keep"] and rows[1]["has_brace"]
+
+
 def test_dedup_against_corpus(session, tmp_path):
     """Stream-static anti-join: stream rows whose normalized text already
     exists in the historical corpus are dropped; within-stream repeats pass
