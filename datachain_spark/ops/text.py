@@ -71,7 +71,9 @@ def stopword_ratio(col, stopwords: Optional[Sequence[str]] = None) -> Column:
 def mean_word_length(col) -> Column:
     c = to_column(col)
     words = F.split(F.trim(c), r"\s+")
-    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    # sum of word lengths == count of non-whitespace characters — one
+    # codegen'd regexp pass instead of an interpreted per-word HOF fold
+    total = F.length(F.regexp_replace(c, r"\s", ""))
     return total / F.greatest(F.size(words), F.lit(1))
 
 
@@ -711,11 +713,14 @@ def gopher_quality_filter(
     symbol_ratio = (
         (F.length(c) - F.length(F.regexp_replace(c, r"[#…]", ""))) / n_words_ws
     )
-    sw = F.lit(0)
-    for w in _EN_STOPWORDS:
-        sw = sw + F.when(
-            F.lower(c).rlike(rf"\b{w}\b"), F.lit(1)
-        ).otherwise(F.lit(0))
+    # one alternation pass, not 21 per-word rlike scans: stopword_hits is
+    # the count of DISTINCT stopwords present, and every alternative is
+    # \b-anchored so exactly the whole-word alternative can match — the
+    # two forms are equivalent, this one scans the text once
+    sw_pat = r"\b(" + "|".join(_EN_STOPWORDS) + r")\b"
+    sw = F.size(
+        F.array_distinct(F.regexp_extract_all(F.lower(c), F.lit(sw_pat), 1))
+    )
     # row-local signals attach as a projection (no self-join, no shuffle);
     # only the aggregated repetition signals need the per-id join
     with_sigs = (
