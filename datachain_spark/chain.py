@@ -798,6 +798,84 @@ class DataChain:
         keys = [f"{on}.{k}" for k in ("source", "path", "version", "etag")]
         return self.diff(other, on=keys)
 
+    # --------------------------------------------- corpus ops (LLM pipeline)
+    # Thin chain-level surface over datachain_spark.ops so the training-data
+    # passes compose in the same fluent style as the relational operators:
+    # ch.gopher_filter(...).exact_dedup(...).pack_sequences(...). Each
+    # delegates to the ops module (the DataFrame-level API stays the
+    # canonical, fully-documented form) and re-wraps the result.
+
+    def exact_dedup(self, text_col: str = "text", id_col: Optional[str] = None) -> "DataChain":
+        """Exact content dedup on the normalized text fingerprint
+        (ops/dedup.exact_dedup)."""
+        from .ops.dedup import exact_dedup as _op
+
+        return self._evolve(_op(self._df, text_col=text_col, id_col=id_col))
+
+    def minhash_dedup(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
+        """MinHash+LSH near-dup removal (ops/dedup.minhash_dedup)."""
+        from .ops.dedup import minhash_dedup as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
+    def dedup_spans(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
+        """Exact-substring span dedup (ops/dedup.remove_duplicate_spans)."""
+        from .ops.dedup import remove_duplicate_spans as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
+    def segment_dedup(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
+        """Corpus-wide segment/paragraph dedup (ops/text.segment_dedup)."""
+        from .ops.text import segment_dedup as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
+    def decontaminate(self, probes: Any, id_col: str, **kw: Any) -> "DataChain":
+        """Benchmark decontamination vs a probe set (ops/dedup.decontaminate);
+        ``probes`` may be a DataChain or DataFrame."""
+        from .ops.dedup import decontaminate as _op
+
+        return self._evolve(_op(self._df, getattr(probes, "df", probes), id_col, **kw))
+
+    def gopher_filter(self, id_col: str, **kw: Any) -> "DataChain":
+        """Gopher/MassiveText quality gate (ops/text.gopher_quality_filter)."""
+        from .ops.text import gopher_quality_filter as _op
+
+        return self._evolve(_op(self._df, id_col, **kw))
+
+    def c4_clean(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
+        """C4 line-level cleaning + document gate (ops/c4.c4_clean)."""
+        from .ops.c4 import c4_clean as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
+    def chunk_documents(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
+        """Token-window chunking with overlap (ops/text.chunk_documents)."""
+        from .ops.text import chunk_documents as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
+    def bm25_topk(self, query: str, id_col: str, **kw: Any) -> "DataChain":
+        """Top-k documents by BM25 relevance (ops/retrieval.bm25_topk)."""
+        from .ops.retrieval import bm25_topk as _op
+
+        return self._evolve(_op(self._df, query, id_col, **kw))
+
+    def dsir_select(self, target: Any, id_col: str, n: int, **kw: Any) -> "DataChain":
+        """DSIR importance-resampled subset vs a target corpus
+        (ops/selection.dsir_select); ``target`` may be a DataChain or
+        DataFrame."""
+        from .ops.selection import dsir_select as _op
+
+        return self._evolve(_op(self._df, getattr(target, "df", target), id_col, n, **kw))
+
+    def pack_sequences(self, **kw: Any) -> "DataChain":
+        """Concat-and-chunk training-example packing
+        (ops/packing.pack_sequences)."""
+        from .ops.packing import pack_sequences as _op
+
+        return self._evolve(_op(self._df, **kw))
+
     # ------------------------------------------------------------------- UDF
     def map(
         self,

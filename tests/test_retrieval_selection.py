@@ -142,6 +142,38 @@ def test_c4_line_and_doc_rules(session):
     assert shuffle_count(c4.c4_clean(docs, "doc_id", with_signals=True)) == 0
 
 
+def test_chain_corpus_ops_fluent_surface(session):
+    """The chain-level corpus-op methods delegate to the ops modules and
+    compose fluently: gate -> dedup -> span-dedup -> pack in one chain, and
+    secondary inputs accept DataChain or DataFrame interchangeably."""
+    ch = dc.read_values(
+        session=session,
+        doc_id=list(range(6)),
+        text=[
+            "the quick brown fox jumps over the lazy dog and it is fine",
+            "the quick brown fox jumps over the lazy dog and it is fine",
+            "an entirely different document with plenty of words in it for the gate",
+            "short",
+            "the quick brown fox jumps over the lazy dog and it is fine today",
+            "words words words words words words words words words words",
+        ],
+    )
+    out = ch.exact_dedup(id_col="doc_id")
+    assert out.count() == 5  # one exact duplicate dropped
+    spanned = out.dedup_spans("doc_id", span_tokens=6)
+    assert spanned.count() == 5  # docs survive; covered words excised
+    probes = ch.filter(dc.C("doc_id") == 2)
+    kept = ch.decontaminate(probes, "doc_id", ngram=3)
+    assert 2 not in {r["doc_id"] for r in kept.df.select("doc_id").collect()}
+    # DataFrame secondary input works identically
+    kept2 = ch.decontaminate(probes.df, "doc_id", ngram=3)
+    assert kept.count() == kept2.count()
+    top = ch.bm25_topk("quick fox", "doc_id", k=2)
+    assert len(top.to_records()) == 2
+    packed = ch.pack_sequences(max_tokens=32, num_shards=2)
+    assert {"shard", "n_tokens"} <= set(packed.df.columns)
+
+
 def test_c4_min_words_parameter(session):
     docs = _docs(session, [(1, "One two three four five six.\nTiny line.")])
     strict = c4.c4_clean(docs, "doc_id", min_words_per_line=5,
