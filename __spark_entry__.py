@@ -3917,6 +3917,37 @@ ORDER BY b.doc_id
 """
 
 
+def corpus_stats_by_lang(spark, sf):
+    """Per-language corpus profile (ops/text.corpus_stats, exact=True):
+    doc/word/char volumes and exact word-count percentiles — Spark's
+    percentile aggregate and DuckDB's quantile_cont interpolate identically,
+    so every value hash-matches."""
+    from datachain_spark.ops import text as _t
+
+    docs = _chain(spark, sf, "documents").df
+    out = _t.corpus_stats(docs, group_by=["lang"], exact=True)
+    return out.orderBy("lang")
+
+
+CORPUS_STATS_SQL = """
+WITH d AS (
+  SELECT lang,
+         CASE WHEN coalesce(trim(text), '') = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw,
+         length(coalesce(text, '')) AS nc
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS total_words,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
+       avg(nw) AS avg_words,
+       CAST(quantile_cont(nw, 0.5) AS DOUBLE) AS p50_words,
+       CAST(quantile_cont(nw, 0.9) AS DOUBLE) AS p90_words,
+       CAST(quantile_cont(nw, 0.99) AS DOUBLE) AS p99_words
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
 def c4_gate(spark, sf):
     """C4 line-level cleaning + document gate (ops/c4.c4_clean, Raffel et
     al. 2020 §2.2). The corpus text has no line/punctuation structure, so a
@@ -4348,6 +4379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_md5": dsir_importance_md5,
         "c4_gate": c4_gate,
         "spans_dedup_md5": spans_dedup_md5,
+        "corpus_stats_by_lang": corpus_stats_by_lang,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -4457,6 +4489,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance_md5": _dsir_sql(),
         "c4_gate": _c4_sql(),
         "spans_dedup_md5": _spans_sql(),
+        "corpus_stats_by_lang": CORPUS_STATS_SQL,
         "save_read_roundtrip": SAVE_READ_SQL,
         "delta_incremental": DELTA_INCREMENTAL_SQL,
         "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,

@@ -890,3 +890,53 @@ def pii_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         col = F.col(f"n_{kind}")
         total = col if total is None else total + col
     return out.withColumn("n_pii_total", total)
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_by: "Optional[Sequence[str]]" = None,
+    percentiles: "Sequence[float]" = (0.5, 0.9, 0.99),
+    exact: bool = False,
+) -> DataFrame:
+    """Per-group corpus profile for training-mix design: document counts,
+    word/char volumes, and word-count percentiles — the numbers a data-mix
+    spreadsheet starts from (how much of each language/source, how long are
+    the docs, where is the tail).
+
+    Output: group columns + (n_docs, total_words, total_chars, avg_words,
+    p{NN}_words ...). ``group_by=None`` profiles the whole corpus as one row.
+
+    ``exact=False`` (default, the scale path) uses approx_percentile
+    (one-pass sketch, mergeable map-side); ``exact=True`` uses the exact
+    percentile aggregate — linear-interpolated identically to DuckDB's
+    quantile_cont, so the exact form is oracle-verifiable bit-for-bit.
+    One shuffle on the group keys either way. No reference counterpart
+    (spec addition)."""
+    c = F.col(text_col)
+    n_words = F.when(
+        F.coalesce(F.trim(c), F.lit("")) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(c), r"\s+")))
+    base = df.select(
+        *[F.col(g) for g in (group_by or [])],
+        n_words.alias("__nw"),
+        F.length(F.coalesce(c, F.lit(""))).alias("__nc"),
+    )
+    pct_aggs = []
+    for p in percentiles:
+        name = f"p{int(round(p * 100))}_words"
+        fn = F.percentile if exact else F.approx_percentile
+        args = (F.col("__nw"), F.lit(float(p))) if exact else (
+            F.col("__nw"), F.lit(float(p)), F.lit(10000)
+        )
+        pct_aggs.append(fn(*args).cast("double").alias(name))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nw").cast("long").alias("total_words"),
+        F.sum("__nc").cast("long").alias("total_chars"),
+        F.avg("__nw").alias("avg_words"),
+        *pct_aggs,
+    ]
+    if group_by:
+        return base.groupBy(*group_by).agg(*aggs)
+    return base.agg(*aggs)

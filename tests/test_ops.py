@@ -528,6 +528,24 @@ def test_remove_duplicate_spans(session):
     assert md5 == {k: v["text"] for k, v in out.items()}
 
 
+def test_corpus_stats(session):
+    """Known-value per-group profile; blank docs count 0 words; global
+    (ungrouped) form gives one row; approx path returns the same exact
+    percentiles at this size (sketch is exact for small n)."""
+    df = session.spark.createDataFrame(
+        [(1, "a", "one two three"), (2, "a", ""), (3, "b", "x y")],
+        "doc_id long, g string, text string",
+    )
+    rows = {r["g"]: r for r in text.corpus_stats(df, group_by=["g"], exact=True).collect()}
+    assert rows["a"]["n_docs"] == 2 and rows["a"]["total_words"] == 3
+    assert rows["a"]["avg_words"] == 1.5 and rows["a"]["p50_words"] == 1.5
+    assert rows["b"]["total_words"] == 2 and rows["b"]["total_chars"] == 3
+    glob = text.corpus_stats(df, exact=True).collect()
+    assert len(glob) == 1 and glob[0]["n_docs"] == 3
+    approx = {r["g"]: r for r in text.corpus_stats(df, group_by=["g"]).collect()}
+    assert approx["b"]["p90_words"] == 2.0
+
+
 def test_repetition_stats_known_values(session):
     ch = dc.read_values(session=session, doc_id=[1], text=["a a a b"])
     r = text.repetition_stats(ch.df, "doc_id").collect()[0]
