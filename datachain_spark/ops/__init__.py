@@ -9,6 +9,7 @@ from . import (
     interval,
     multimodal,
     packing,
+    pq,
     retrieval,
     selection,
     similarity,
@@ -23,6 +24,7 @@ __all__ = [
     "interval",
     "multimodal",
     "packing",
+    "pq",
     "retrieval",
     "selection",
     "similarity",

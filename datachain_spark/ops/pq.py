@@ -1,0 +1,220 @@
+"""Product quantization (PQ) for embedding columns: memory-compressed ANN.
+
+Jegou et al., "Product Quantization for Nearest Neighbor Search" (TPAMI
+2011, public): split each d-dim vector into ``m`` subvectors, learn a
+``k``-entry codebook per subspace, store each vector as ``m`` uint8-ish
+codes (d·4 bytes → m bytes, e.g. 64-dim float32 → 8 bytes at m=8/k=256),
+and answer queries with asymmetric distance computation (ADC): per query,
+precompute the m×k table of query-subvector→code distances, then each
+stored vector's approximate distance is a sum of m table lookups — no
+float vector ever touched at query time.
+
+Spark-first shape:
+- ``train_pq``: per-subspace k-means. ALL subspaces train in one DataFrame
+  pass per iteration (explode to (sub, subvec) rows → broadcast-join the
+  current m·k-row codebook → per-row argmin via min(struct(dist, code)) →
+  groupBy (sub, code) mean). Driver state is the m×k×(d/m) codebook —
+  kilobytes. Init is deterministic (hash-ranked sample rows), so training
+  is retry-stable and reproducible.
+- ``pq_encode``: same assignment join, one pass, producing the codes
+  array<int> column. MATERIALIZE this (save) — it is the compressed index.
+- ``pq_adc_topk``: the m×k lookup table rides the plan as a nested literal
+  array; each row's score is an m-term fold over its codes (per-CODE cost,
+  not per-dimension), then TakeOrderedAndProject for the top-k.
+
+The codebooks are plain Python lists (list[list[list[float]]],
+[m][k][d/m]) — serializable, versionable next to the dataset.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import _seeded_hash64
+
+
+def _subvec(vec, m: int, d_sub: int, sub: int):
+    return F.slice(vec, sub * d_sub + 1, d_sub)
+
+
+def _sq_dist(a, b):
+    # sum of squared differences via zip_with + aggregate (small arrays:
+    # d/m elements, typically 4-16 — HOF cost is per SUBVECTOR, bounded)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _explode_subvecs(df: DataFrame, vec_col: str, m: int, d_sub: int) -> DataFrame:
+    subs = F.array(*[
+        F.struct(F.lit(s).alias("__sub"), _subvec(F.col(vec_col), m, d_sub, s).alias("__sv"))
+        for s in range(m)
+    ])
+    return df.select("__rid", F.explode(subs).alias("__x")).select(
+        "__rid", F.col("__x.__sub").alias("__sub"), F.col("__x.__sv").alias("__sv")
+    )
+
+
+def _codebook_df(spark, codebooks) -> DataFrame:
+    rows = [
+        (s, c, [float(v) for v in codebooks[s][c]])
+        for s in range(len(codebooks))
+        for c in range(len(codebooks[s]))
+    ]
+    return spark.createDataFrame(rows, "__sub int, __code int, __cent array<double>")
+
+
+def _assign(subvecs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(rid, sub) -> nearest code, deterministic ties (lowest code wins)."""
+    d = _sq_dist(F.col("__sv"), F.col("__cent"))
+    return (
+        subvecs.join(F.broadcast(cb), "__sub")
+        .groupBy("__rid", "__sub")
+        .agg(F.min(F.struct(d.alias("__d"), F.col("__code").alias("__c"))).alias("__best"))
+        .select("__rid", "__sub", F.col("__best.__c").alias("__code"),
+                F.col("__best.__d").alias("__dist"))
+    )
+
+
+def train_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 256,
+    iters: int = 5,
+    id_cols: Optional[Sequence[str]] = None,
+    seed: int = 42,
+) -> "list[list[list[float]]]":
+    """Learn the [m][k][d/m] PQ codebooks by per-subspace k-means.
+
+    Deterministic: initial centroids are the k hash-ranked sample rows per
+    subspace (seeded row hash — retry/partitioning stable), then ``iters``
+    Lloyd rounds, every subspace updated in one DataFrame pass per round.
+    Driver contact: one k·m-row collect per round (the codebook itself).
+    Empty clusters keep their previous centroid."""
+    first = df.select(F.col(vec_col)).first()
+    if first is None:
+        raise ValueError("train_pq: empty input")
+    d = len(first[0])
+    if d % m != 0:
+        raise ValueError(f"train_pq: dim {d} not divisible by m={m}")
+    d_sub = d // m
+
+    key = F.concat_ws(",", *[F.col(c).cast("string") for c in (id_cols or [])]) \
+        if id_cols else F.concat_ws(",", F.col(vec_col).cast("array<string>"))
+    base = df.select(
+        _seeded_hash64(key, seed, "xxhash64").alias("__rid"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    sv = _explode_subvecs(base.withColumnRenamed("__v", vec_col), vec_col, m, d_sub)
+
+    # init: per subspace, the k sample subvectors with the smallest row hash
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__sub").orderBy("__rid", "__sv")
+    init = (
+        sv.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("__sub", (F.col("__rn") - 1).alias("__code"), F.col("__sv"))
+        .collect()
+    )
+    codebooks = [[None] * min(k, len([r for r in init if r["__sub"] == s]))
+                 for s in range(m)]
+    for r in init:
+        codebooks[r["__sub"]][r["__code"]] = [float(x) for x in r["__sv"]]
+
+    spark = df.sparkSession
+    for _ in range(iters):
+        cb = _codebook_df(spark, codebooks)
+        assigned = _assign(sv, cb)
+        means = (
+            sv.join(assigned, ["__rid", "__sub"])
+            .groupBy("__sub", "__code")
+            .agg(
+                F.array(*[
+                    F.avg(F.element_at(F.col("__sv"), i + 1)) for i in range(d_sub)
+                ]).alias("__mean")
+            )
+            .collect()
+        )
+        for r in means:
+            codebooks[r["__sub"]][r["__code"]] = [float(x) for x in r["__mean"]]
+    return [list(cb) for cb in codebooks]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Compress vectors to their m nearest-codebook codes (array<int>).
+    One broadcast join + one per-(row,sub) argmin; the output (ids + m
+    small ints per row) is the index to materialize."""
+    m = len(codebooks)
+    first = df.select(F.col(vec_col)).first()
+    d = len(first[0]) if first is not None else m
+    d_sub = d // m
+    out_cols = [c for c in df.columns if c != vec_col or keep_vec]
+    base = df.select(
+        F.monotonically_increasing_id().alias("__rid"), *df.columns
+    ).withColumn("__vd", F.col(vec_col).cast("array<double>"))
+    sv = _explode_subvecs(base.withColumnRenamed("__vd", "__v_"), "__v_", m, d_sub)
+    assigned = _assign(sv, _codebook_df(df.sparkSession, codebooks))
+    codes = assigned.groupBy("__rid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__sub", "__code"))),
+            lambda s: s["__code"],
+        ).alias(code_col)
+    )
+    return base.join(codes, "__rid").select(*out_cols, code_col)
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    query_vec: Sequence[float],
+    code_col: str = "pq_codes",
+    k: int = 10,
+    id_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query's m×k distance table is
+    computed driver-side (m·k·(d/m) flops — microseconds) and embedded as
+    a nested literal; each row's approximate squared distance is an m-term
+    lookup fold over its codes. TakeOrderedAndProject does the top-k."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    q = [float(v) for v in query_vec]
+    lut = [
+        [
+            sum((q[s * d_sub + i] - cent[i]) ** 2 for i in range(d_sub))
+            for cent in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    lut_lit = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in lut
+    ])
+    dist = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.col(code_col),
+            lambda s, c: F.element_at(
+                F.element_at(lut_lit, s.cast("int") + 1), c.cast("int") + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cols = [F.col(c) for c in (id_cols or encoded.columns)]
+    return (
+        encoded.select(*cols, dist.alias("adc_distance"))
+        .orderBy("adc_distance", *[F.col(c) for c in (id_cols or [])])
+        .limit(k)
+    )

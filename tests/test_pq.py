@@ -1,0 +1,93 @@
+"""Product quantization (ops/pq): training convergence, encode/search
+semantics, determinism, and compression correctness on synthetic clusters."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datachain_spark.ops import pq
+
+
+def _vecs(session, rows):
+    return session.spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _clustered(session, n_per=10):
+    # 4 well-separated centers with cluster structure in BOTH m=2 subspaces
+    # (dims 0-3 and 4-7) so every sub-quantizer sees 4 separated clusters;
+    # points jittered deterministically so k-means has an obvious optimum
+    centers = [
+        [10.0 if k % 4 == c else 0.0 for k in range(8)]
+        for c in range(4)
+    ]
+    rows = []
+    i = 0
+    for ci, c in enumerate(centers):
+        for j in range(n_per):
+            jitter = [((i * 7 + k * 3) % 5 - 2) * 0.01 for k in range(8)]
+            rows.append((i, [c[k] + jitter[k] for k in range(8)]))
+            i += 1
+    return _vecs(session, rows), centers
+
+
+def test_pq_train_encode_roundtrip(session):
+    df, centers = _clustered(session)
+    cb = pq.train_pq(df, m=2, k=4, iters=4, id_cols=["vec_id"])
+    assert len(cb) == 2 and all(len(s) == 4 for s in cb)
+    assert all(len(c) == 4 for s in cb for c in s)  # d/m = 4
+
+    enc = pq.pq_encode(df, cb, keep_vec=True)
+    rows = enc.collect()
+    assert len(rows) == 40
+    assert all(len(r["pq_codes"]) == 2 for r in rows)
+    # same cluster -> same codes (clusters are tight vs codebook spacing)
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["vec_id"] // 10, set()).add(tuple(r["pq_codes"]))
+    assert all(len(s) == 1 for s in by_cluster.values()), by_cluster
+
+    # encode drops the vector column by default (it IS the compression)
+    lean = pq.pq_encode(df, cb)
+    assert set(lean.columns) == {"vec_id", "pq_codes"}
+
+    # deterministic: training twice gives identical codebooks
+    cb2 = pq.train_pq(df, m=2, k=4, iters=4, id_cols=["vec_id"])
+    assert cb == cb2
+
+
+def test_pq_adc_ranks_true_neighbors(session):
+    df, centers = _clustered(session)
+    cb = pq.train_pq(df, m=2, k=4, iters=4, id_cols=["vec_id"])
+    enc = pq.pq_encode(df, cb)
+    # query at cluster 2's center: all 10 cluster-2 members come first
+    top = pq.pq_adc_topk(enc, cb, centers[2], k=10, id_cols=["vec_id"]).collect()
+    assert {r["vec_id"] // 10 for r in top} == {2}
+    # distances are non-decreasing in rank order
+    ds = [r["adc_distance"] for r in top]
+    assert ds == sorted(ds)
+
+
+def test_pq_quantization_error_shrinks_with_k(session):
+    df, _ = _clustered(session)
+
+    def err(cb):
+        enc = pq.pq_encode(df, cb, keep_vec=True)
+        m, d_sub = len(cb), len(cb[0][0])
+        # reconstruction error via the codebooks
+        total = 0.0
+        for r in enc.collect():
+            rec = [v for s in range(m) for v in cb[s][r["pq_codes"][s]]]
+            total += sum((a - b) ** 2 for a, b in zip(r["embedding"], rec))
+        return total
+
+    e2 = err(pq.train_pq(df, m=2, k=2, iters=4, id_cols=["vec_id"]))
+    e4 = err(pq.train_pq(df, m=2, k=4, iters=4, id_cols=["vec_id"]))
+    assert e4 < e2  # more codes -> strictly better fit on 4 clusters
+
+
+def test_pq_validation(session):
+    df = _vecs(session, [(1, [1.0, 2.0, 3.0])])
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.train_pq(df, m=2, k=2, iters=1, id_cols=["vec_id"])
+    empty = df.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        pq.train_pq(empty, m=1, k=2, iters=1, id_cols=["vec_id"])
