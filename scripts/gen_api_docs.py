@@ -19,6 +19,7 @@ SECTIONS = [
     ("ops.dedup", "datachain_spark.ops.dedup", None),
     ("ops.text", "datachain_spark.ops.text", None),
     ("ops.similarity", "datachain_spark.ops.similarity", None),
+    ("ops.pq", "datachain_spark.ops.pq", None),
     ("ops.retrieval", "datachain_spark.ops.retrieval", None),
     ("ops.selection", "datachain_spark.ops.selection", None),
     ("ops.c4", "datachain_spark.ops.c4", None),
