@@ -498,3 +498,58 @@ def test_spans_dedup_matches_python_reference(session, docs, L):
     for i in range(len(docs)):
         assert got[i]["text"] == expected[i], (i, docs, L)
         assert got[i]["n_removed"] == len(covered[i])
+
+
+# -- asof join vs DuckDB's native ASOF JOIN (ops/asof) ---------------------
+
+_ts = st.integers(min_value=0, max_value=20)
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), _ts, vals), min_size=1, max_size=10),
+    right=st.lists(st.tuples(st.integers(0, 2), _ts, vals), min_size=1, max_size=10),
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_duckdb_native(session, left, right):
+    """For ANY keyed event sets: backward as-of attach equals DuckDB's
+    native ASOF JOIN (most recent right at-or-before, per key)."""
+    from datachain_spark.ops.asof import asof_join
+
+    # dedupe (key, ts) on the right: at equal timestamps the winner among
+    # duplicate right rows is engine-implementation-defined in both systems
+    seen, r_uniq = set(), []
+    for k, t, v in right:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            r_uniq.append((k, t, v))
+
+    ldf = session.spark.createDataFrame(left, "k int, ts int, lv int")
+    rdf = session.spark.createDataFrame(r_uniq, "k int, ts int, rv int")
+    def _key(t):
+        return tuple((x is None, 0 if x is None else x) for x in t)
+
+    got = sorted(
+        ((r["k"], r["ts"], r["lv"], r["rv"])
+         for r in asof_join(ldf, rdf, on="k", left_ts="ts").collect()),
+        key=_key,
+    )
+
+    lpd = pd.DataFrame(left, columns=["k", "ts", "lv"])
+    rpd = pd.DataFrame(r_uniq, columns=["k", "ts", "rv"])
+    duck = _duck(
+        """
+        SELECT l.k, l.ts, l.lv, r.rv
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+        """,
+        l=lpd, r=rpd,
+    )
+    exp = sorted(
+        ((int(r.k), int(r.ts), int(r.lv) if pd.notna(r.lv) else None,
+          int(r.rv) if pd.notna(r.rv) else None)
+         for r in duck.itertuples()),
+        key=_key,
+    )
+    assert got == exp
