@@ -47,6 +47,10 @@ def c4_clean(
     [, has_lorem_ipsum, has_brace]) with only ``c4_keep`` rows retained
     unless ``with_signals=True`` (then every row is returned with its
     verdict — the gopher_quality_filter convention)."""
+    if min_words_per_line < 1:
+        raise ValueError("c4_clean: min_words_per_line must be >= 1")
+    if min_kept_lines < 1:
+        raise ValueError("c4_clean: min_kept_lines must be >= 1")
 
     def _line_ok(line):
         words = F.split(F.trim(line), r"\s+")

@@ -110,6 +110,10 @@ def dsir_importance(
     features (blank text) get n_feats=0, log_weight=0.0; downstream joins
     never lose rows (the ngram_lm_score contract).
     """
+    if num_buckets < 1:
+        raise ValueError("dsir_importance: num_buckets must be >= 1")
+    if alpha <= 0:
+        raise ValueError("dsir_importance: alpha must be > 0 (Laplace smoothing)")
     t_col = target_text_col or text_col
     raw_rows = _bucket_rows(raw, id_col, text_col, num_buckets, hash_fn,
                             keep_empty=True)

@@ -179,3 +179,15 @@ def test_c4_min_words_parameter(session):
     strict = c4.c4_clean(docs, "doc_id", min_words_per_line=5,
                          min_kept_lines=1, with_signals=True).collect()[0]
     assert strict["n_kept_lines"] == 1
+
+
+def test_new_ops_validate_inputs(session):
+    docs = _docs(session, [(1, "a b")])
+    with pytest.raises(ValueError, match="min_words_per_line"):
+        c4.c4_clean(docs, "doc_id", min_words_per_line=0)
+    with pytest.raises(ValueError, match="min_kept_lines"):
+        c4.c4_clean(docs, "doc_id", min_kept_lines=0)
+    with pytest.raises(ValueError, match="num_buckets"):
+        selection.dsir_importance(docs, docs, "doc_id", num_buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        selection.dsir_importance(docs, docs, "doc_id", alpha=0)
