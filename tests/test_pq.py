@@ -84,6 +84,21 @@ def test_pq_quantization_error_shrinks_with_k(session):
     assert e4 < e2  # more codes -> strictly better fit on 4 clusters
 
 
+def test_pq_encode_methods_bit_identical(session):
+    """The vectorized mapInPandas encode (scale path: no k-fold row
+    blowup) produces byte-identical codes to the pure-JVM broadcast-join
+    path — numpy's sequential last-axis sum matches the unrolled fold."""
+    df, _ = _clustered(session)
+    cb = pq.train_pq(df, m=2, k=4, iters=3, id_cols=["vec_id"])
+    a = {r["vec_id"]: tuple(r["pq_codes"])
+         for r in pq.pq_encode(df, cb, method="numpy").collect()}
+    b = {r["vec_id"]: tuple(r["pq_codes"])
+         for r in pq.pq_encode(df, cb, method="join").collect()}
+    assert a == b and len(a) == 40
+    with pytest.raises(ValueError, match="unknown method"):
+        pq.pq_encode(df, cb, method="bogus")
+
+
 def test_pq_validation(session):
     df = _vecs(session, [(1, [1.0, 2.0, 3.0])])
     with pytest.raises(ValueError, match="not divisible"):
