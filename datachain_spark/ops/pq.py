@@ -294,3 +294,135 @@ def pq_adc_topk(
         .orderBy("adc_distance", *[F.col(c) for c in (id_cols or [])])
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------- IVF + PQ
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: "list[list[float]]",
+    codebooks: "list[list[list[float]]]",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_codes",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """IVF+PQ index build (the FAISS IVFPQ layout, public): assign each
+    vector to its nearest coarse centroid (L2), then PQ-encode the RESIDUAL
+    (v − centroid) — residual energy is much smaller than raw vectors, so
+    the same code budget quantizes far more precisely.
+
+    One vectorized mapInPandas pass (cell argmin + residual + per-subspace
+    code argmin, all elementwise-then-sequential-sum so the DuckDB oracle
+    reproduces every distance bit-for-bit). Output: input columns (minus
+    the vector unless ``keep_vec``) + (cell_col int, code_col array<int>).
+    MATERIALIZE it, partitioned by cell for probe locality."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    out_cols = [c for c in df.columns if c != vec_col or keep_vec]
+    in_df = df.withColumn("__vd", F.col(vec_col).cast("array<double>"))
+    schema = StructType(
+        [in_df.schema[c] for c in out_cols]
+        + [StructField(cell_col, IntegerType()),
+           StructField(code_col, ArrayType(IntegerType()))]
+    )
+    cents = [list(map(float, c)) for c in centroids]
+    cb = [[list(map(float, cent)) for cent in sub] for sub in codebooks]
+
+    def encode(batches):
+        import numpy as np
+
+        C = np.asarray(cents, dtype=np.float64)                 # (ncells, d)
+        B = [np.asarray(sub, dtype=np.float64) for sub in cb]   # m x (k, d_sub)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__vd"]])
+            diff = V[:, None, :] - C[None, :, :]
+            # sequential last-axis sum (d <= 128) — oracle-fold-exact
+            cell_d = (diff * diff).sum(axis=2)
+            cells = cell_d.argmin(axis=1).astype(np.int32)      # ties -> lowest
+            R = V - C[cells]                                    # residuals
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                sub = R[:, s * d_sub:(s + 1) * d_sub]
+                sdiff = sub[:, None, :] - B[s][None, :, :]
+                codes[:, s] = (sdiff * sdiff).sum(axis=2).argmin(axis=1)
+            out = pdf[out_cols].copy()
+            out[cell_col] = [int(c) for c in cells]
+            out[code_col] = [list(map(int, row)) for row in codes]
+            yield out
+
+    return in_df.mapInPandas(encode, schema)
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: "list[list[float]]",
+    codebooks: "list[list[list[float]]]",
+    query_vec: Sequence[float],
+    n_probe: int = 4,
+    k: int = 10,
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_codes",
+    id_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """IVF+PQ search: probe the ``n_probe`` cells whose centroids are
+    nearest the query (driver-side — ncells·d flops), then score ONLY those
+    cells' rows by ADC over the residual query (q − centroid_of_cell),
+    with one m×k lookup table per probed cell riding the plan as literals
+    and a per-cell CASE dispatch. The cell filter prunes the scan when the
+    index is partitioned by cell; the top-k is a TakeOrderedAndProject."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    q = [float(v) for v in query_vec]
+
+    def _sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda c: (_sq(q, centroids[c]), c)
+    )
+    probed = ranked[:n_probe]
+
+    luts = {}
+    for c in probed:
+        qr = [q[i] - float(centroids[c][i]) for i in range(len(q))]
+        luts[c] = [
+            [
+                _sq(qr[s * d_sub:(s + 1) * d_sub], codebooks[s][code])
+                for code in range(len(codebooks[s]))
+            ]
+            for s in range(m)
+        ]
+
+    def _cell_dist(c):
+        lut_lit = F.array(*[
+            F.array(*[F.lit(v) for v in row]) for row in luts[c]
+        ])
+        d = F.lit(0.0)
+        for s in range(m):
+            d = d + F.element_at(
+                F.element_at(lut_lit, s + 1),
+                F.element_at(F.col(code_col), s + 1).cast("int") + 1,
+            )
+        return d
+
+    dist = F.lit(None).cast("double")
+    for c in probed:
+        dist = F.when(F.col(cell_col) == c, _cell_dist(c)).otherwise(dist)
+
+    cols = [F.col(c) for c in (id_cols or encoded.columns)]
+    return (
+        encoded.filter(F.col(cell_col).isin([int(c) for c in probed]))
+        .select(*cols, F.col(cell_col), dist.alias("adc_distance"))
+        .orderBy("adc_distance", *[F.col(c) for c in (id_cols or [])])
+        .limit(k)
+    )

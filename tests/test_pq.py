@@ -99,6 +99,37 @@ def test_pq_encode_methods_bit_identical(session):
         pq.pq_encode(df, cb, method="bogus")
 
 
+def test_ivfpq_encode_and_probe(session):
+    """Composed IVF+PQ: residual codes per cell, search restricted to the
+    probed cells (pushed filter), query's own cluster recovered."""
+    df, centers = _clustered(session)
+    # coarse cells = the 4 true centers; PQ codebooks trained on residuals
+    enc_plain = pq.ivfpq_encode(df, centers, pq.train_pq(df, m=2, k=4, iters=3,
+                                                         id_cols=["vec_id"]))
+    rows = enc_plain.collect()
+    assert len(rows) == 40 and all(len(r["pq_codes"]) == 2 for r in rows)
+    # cell assignment recovers the generating cluster
+    assert all(r["ivf_cell"] == r["vec_id"] // 10 for r in rows)
+
+    cb = pq.train_pq(df, m=2, k=4, iters=3, id_cols=["vec_id"])
+    top = pq.ivfpq_topk(enc_plain, centers, cb, centers[1], n_probe=1, k=10,
+                        id_cols=["vec_id"]).collect()
+    assert {r["vec_id"] // 10 for r in top} == {1}  # only cluster 1 probed
+    assert all(r["ivf_cell"] == 1 for r in top)
+    # n_probe=1 plan filters to the single probed cell before scoring
+    plan = pq.ivfpq_topk(enc_plain, centers, cb, centers[1], n_probe=1, k=10,
+                         id_cols=["vec_id"])._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_cell" in plan and "TakeOrderedAndProject" in plan
+
+    # deterministic across runs
+    again = {(r["vec_id"], tuple(r["pq_codes"]), r["ivf_cell"])
+             for r in pq.ivfpq_encode(df, centers, cb).collect()}
+    base = {(r["vec_id"], tuple(r["pq_codes"]), r["ivf_cell"]) for r in rows}
+    # codes may differ between the two cb trainings above only if training
+    # were nondeterministic — assert full equality
+    assert again == base
+
+
 def test_pq_validation(session):
     df = _vecs(session, [(1, [1.0, 2.0, 3.0])])
     with pytest.raises(ValueError, match="not divisible"):
