@@ -448,26 +448,22 @@ class DataChain:
         of magnitude. Deterministic: rows rank by the seeded per-row hash
         within each group (same family as shuffle/chunk — retry- and
         partitioning-stable; ``hash_fn="md5"`` makes the selection itself
-        DuckDB-verifiable). Hash ties (rows sharing a ``key=`` value, or
-        full-duplicate rows) are broken by the remaining orderable columns,
-        so which row survives the n-cut never depends on partition order.
+        DuckDB-verifiable). Hash ties (rows sharing a ``key=`` value) are
+        broken by a SECOND whole-row seeded hash, so which row survives the
+        n-cut never depends on partition order — and unlike ordering by the
+        raw columns, the hash is O(1) per comparison (no megabyte
+        text/binary payloads in the sort key) and indifferent to
+        non-orderable nested types (maps stringify fine). Remaining ties
+        are full-duplicate rows, where any cut returns identical values.
         One shuffle on the group keys; no reference counterpart (spec
         addition)."""
-        from pyspark.sql.types import MapType
-
         if n <= 0:
             raise ValueError("sample_per_group: n must be positive")
         groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
         h = self._row_hash64(seed, key, hash_fn)
-        # deterministic tie-break: all orderable columns after the hash
-        # (maps aren't orderable in Spark; arrays/structs are)
-        tiebreak = [
-            F.col(f.name)
-            for f in self._df.schema.fields
-            if not isinstance(f.dataType, MapType)
-        ]
+        tiebreak = self._row_hash64((seed or 0) + 0x5B7E, None, hash_fn)
         w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
-            h.asc(), *tiebreak
+            h.asc(), tiebreak.asc()
         )
         return self._evolve(
             self._df.withColumn("__spg_rn", F.row_number().over(w))

@@ -99,7 +99,12 @@ def train_pq(
     subspace (seeded row hash — retry/partitioning stable), then ``iters``
     Lloyd rounds, every subspace updated in one DataFrame pass per round.
     Driver contact: one k·m-row collect per round (the codebook itself).
-    Empty clusters keep their previous centroid."""
+    Empty clusters keep their previous centroid.
+
+    ``id_cols=None`` keys rows by VECTOR CONTENT, so duplicate vectors
+    collapse to one sample — that is distinct-vector k-means (duplicates
+    deweighted). Pass ``id_cols`` for frequency-weighted training where
+    every occurrence pulls its cluster mean."""
     first = df.select(F.col(vec_col)).first()
     if first is None:
         raise ValueError("train_pq: empty input")
@@ -189,14 +194,23 @@ def pq_encode(
         return _pq_encode_np(df, codebooks, vec_col, code_col, keep_vec)
     if method != "join":
         raise ValueError(f"pq_encode: unknown method {method!r}")
-    first = df.select(F.col(vec_col)).first()
-    d = len(first[0]) if first is not None else m
-    d_sub = d // m
+    d_sub = _validated_d_sub(df, codebooks, vec_col)
     out_cols = [c for c in df.columns if c != vec_col or keep_vec]
-    base = df.select(
-        F.monotonically_increasing_id().alias("__rid"), *df.columns
-    ).withColumn("__vd", F.col(vec_col).cast("array<double>"))
-    sv = _explode_subvecs(base.withColumnRenamed("__vd", "__v_"), "__v_", m, d_sub)
+    # rid = CONTENT hash of the vector, not monotonically_increasing_id():
+    # mid() is recomputed independently on each side of the base<->codes
+    # self-join and is partition-order dependent, so under AQE re-plans or
+    # task retries the two subtrees could disagree and rows would silently
+    # pair with wrong codes. Codes are a pure function of the vector, so
+    # hash-colliding duplicate vectors joining one shared codes row is
+    # exactly right.
+    base = df.withColumn("__vd", F.col(vec_col).cast("array<double>")).withColumn(
+        "__rid",
+        F.xxhash64(F.concat_ws(",", F.col("__vd").cast("array<string>"))),
+    )
+    sv = _explode_subvecs(
+        base.select("__rid", F.col("__vd").alias("__v_")).dropDuplicates(["__rid"]),
+        "__v_", m, d_sub,
+    )
     assigned = _assign(sv, _codebook_df(df.sparkSession, codebooks), d_sub)
     codes = assigned.groupBy("__rid").agg(
         F.transform(
@@ -205,6 +219,24 @@ def pq_encode(
         ).alias(code_col)
     )
     return base.join(codes, "__rid").select(*out_cols, code_col)
+
+
+def _validated_d_sub(df: DataFrame, codebooks, vec_col: str) -> int:
+    """d/m with fail-fast checks: vectors must split evenly into the
+    codebooks' m subspaces and the codebook width must equal d/m —
+    otherwise trailing dimensions would be silently ignored."""
+    m = len(codebooks)
+    first = df.select(F.col(vec_col)).first()
+    if first is None or first[0] is None:
+        return len(codebooks[0][0])
+    d = len(first[0])
+    if d % m != 0:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    if len(codebooks[0][0]) != d // m:
+        raise ValueError(
+            f"pq: codebook width {len(codebooks[0][0])} != d/m = {d // m}"
+        )
+    return d // m
 
 
 def _pq_encode_np(
@@ -217,7 +249,7 @@ def _pq_encode_np(
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     m = len(codebooks)
-    d_sub = len(codebooks[0][0])
+    d_sub = _validated_d_sub(df, codebooks, vec_col)
     out_cols = [c for c in df.columns if c != vec_col or keep_vec]
     in_df = df.withColumn("__vd", F.col(vec_col).cast("array<double>"))
     schema = StructType(
@@ -289,9 +321,13 @@ def pq_adc_topk(
             F.element_at(F.col(code_col), s + 1).cast("int") + 1,
         )
     cols = [F.col(c) for c in (id_cols or encoded.columns)]
+    # tie-break: id_cols when given (fully deterministic cut), else the
+    # code array — rows sharing distance AND codes are interchangeable for
+    # ADC purposes; pass id_cols when distinct rows can share codes
+    tb = [F.col(c) for c in id_cols] if id_cols else [F.col(code_col)]
     return (
         encoded.select(*cols, dist.alias("adc_distance"))
-        .orderBy("adc_distance", *[F.col(c) for c in (id_cols or [])])
+        .orderBy("adc_distance", *tb)
         .limit(k)
     )
 
@@ -321,7 +357,7 @@ def ivfpq_encode(
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     m = len(codebooks)
-    d_sub = len(codebooks[0][0])
+    d_sub = _validated_d_sub(df, codebooks, vec_col)
     out_cols = [c for c in df.columns if c != vec_col or keep_vec]
     in_df = df.withColumn("__vd", F.col(vec_col).cast("array<double>"))
     schema = StructType(
@@ -420,9 +456,10 @@ def ivfpq_topk(
         dist = F.when(F.col(cell_col) == c, _cell_dist(c)).otherwise(dist)
 
     cols = [F.col(c) for c in (id_cols or encoded.columns)]
+    tb = [F.col(c) for c in id_cols] if id_cols else [F.col(cell_col), F.col(code_col)]
     return (
         encoded.filter(F.col(cell_col).isin([int(c) for c in probed]))
         .select(*cols, F.col(cell_col), dist.alias("adc_distance"))
-        .orderBy("adc_distance", *[F.col(c) for c in (id_cols or [])])
+        .orderBy("adc_distance", *tb)
         .limit(k)
     )

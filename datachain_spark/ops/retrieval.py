@@ -39,8 +39,14 @@ def _tokens(col) -> "F.Column":
 
 
 def tokenize_query(query: str) -> "list[str]":
-    """Driver-side twin of the corpus tokenizer (dedup'd, order kept)."""
-    words = re.sub(_NORM_RE, "", query.lower()).split()
+    """Driver-side twin of the corpus tokenizer (dedup'd, order kept).
+
+    re.ASCII matters: Java's \\w and \\s (what the Spark regexp compiles
+    to) are ASCII-only, so 'café' tokenizes to 'caf' on the corpus side —
+    without the flag Python would keep the accent and the query term could
+    never match any corpus token."""
+    normalized = re.sub(_NORM_RE, "", query.lower(), flags=re.ASCII)
+    words = re.split(r"\s+", normalized, flags=re.ASCII)
     out: list[str] = []
     for w in words:
         if w and w not in out:
@@ -55,6 +61,7 @@ def bm25_score(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    keep_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Okapi BM25 relevance of every document to ``query``.
 
@@ -78,7 +85,10 @@ def bm25_score(
         _tokens(F.col(text_col))
     )
     base = df.select(
-        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("dl")
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        toks.alias("__toks"),
+        F.size(toks).alias("dl"),
     )
 
     # corpus statistics: ONE row — N, avgdl, and df per query term
@@ -113,7 +123,12 @@ def bm25_score(
             + F.lit(b) * F.col("dl").cast("double") / F.col("__avgdl")
         )
         score = score + idf * tf.cast("double") * F.lit(k1 + 1.0) / denom
-    return joined.select(F.col(id_col), F.col("dl"), score.alias("score"))
+    return joined.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.col("dl"),
+        score.alias("score"),
+    )
 
 
 def bm25_topk(
@@ -128,9 +143,9 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents by BM25 relevance — orderBy(score desc).limit(k)
     compiles to TakeOrderedAndProject (the cosine_topk pattern; ties broken
-    by id so the cut is deterministic)."""
-    scored = bm25_score(df, query, id_col, text_col, k1=k1, b=b)
-    out = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
-    if keep_cols:
-        out = out.join(df.select(id_col, *keep_cols), id_col, "left")
-    return out
+    by id so the cut is deterministic). ``keep_cols`` are carried through
+    the scoring pass itself — NOT re-joined afterwards, which would
+    multiply rows past k on duplicate ids and discard the ordering."""
+    scored = bm25_score(df, query, id_col, text_col, k1=k1, b=b,
+                        keep_cols=keep_cols)
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
