@@ -461,3 +461,23 @@ def test_sample_per_group_tiebreak_deterministic(session):
     shuffled = ch._evolve(ch.df.repartition(7, "v"))
     again = {(r["k"], r["v"]) for r in shuffled.sample_per_group("g", 3, key=["k"]).to_records()}
     assert base == again and len(base) == 3
+
+
+def test_sample_per_group_nested_map_schema(session):
+    """The hash tie-break must not choke on non-orderable nested types
+    (ordering by raw columns raised AnalysisException on array<map<...>> —
+    wds/HF-style json metadata schemas hit that)."""
+    import datachain_spark as dc
+    from pyspark.sql import functions as F
+
+    df = session.spark.createDataFrame(
+        [(i, "g", [{"k": f"v{i}"}]) for i in range(6)],
+        "id long, g string, meta array<map<string,string>>",
+    )
+    ch = dc.DataChain(df, session)
+    out = ch.sample_per_group("g", 2, key=["id"])
+    rows = out.to_records()
+    assert len(rows) == 2
+    again = {r["id"] for r in ch._evolve(ch.df.repartition(5, "id"))
+             .sample_per_group("g", 2, key=["id"]).to_records()}
+    assert again == {r["id"] for r in rows}

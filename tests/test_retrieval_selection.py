@@ -61,6 +61,23 @@ def test_bm25_keep_cols(session):
     docs = _docs(session, [(1, "alpha beta"), (2, "alpha gamma")])
     top = retrieval.bm25_topk(docs, "alpha", "doc_id", k=2, keep_cols=["text"]).collect()
     assert {r["text"] for r in top} == {"alpha beta", "alpha gamma"}
+    # duplicate ids must NOT multiply rows past k (keep_cols rides the
+    # scoring pass, not a post-limit join), and ordering survives
+    dup = _docs(session, [(1, "alpha one"), (1, "alpha two"), (2, "alpha alpha three")])
+    top2 = retrieval.bm25_topk(dup, "alpha", "doc_id", k=2, keep_cols=["text"]).collect()
+    assert len(top2) == 2
+    assert top2[0]["score"] >= top2[1]["score"]
+
+
+def test_bm25_non_ascii_query_matches_corpus_tokens(session):
+    """Java's \\w is ASCII-only, so the corpus side strips accents; the
+    driver-side query tokenizer must strip them identically or accented
+    terms can never match (scored 0 for every doc before the fix)."""
+    docs = _docs(session, [(1, "café résumé standard"), (2, "plain words here")])
+    out = {r["doc_id"]: r["score"] for r in
+           retrieval.bm25_score(docs, "café", "doc_id").collect()}
+    assert out[1] > 0.0 and out[2] == 0.0
+    assert retrieval.tokenize_query("café résumé") == ["caf", "rsum"]
 
 
 # ------------------------------------------------------------------ DSIR
