@@ -4113,6 +4113,99 @@ ORDER BY a.vec_id
 """
 
 
+def url_dedup_docs(spark, sf):
+    """Canonical-URL dedup (ops/text.url_dedup) over the deterministic URL
+    fixture: one winner per normalized URL, best-quality-first with an
+    explicit quality column (n_chars) so the ranking is DuckDB-exact."""
+    from datachain_spark.ops import text as _t
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 300)
+    url = F.expr(_URL_EXPR_SQL)
+    withurl = docs.select("doc_id", "n_chars", url.alias("url"))
+    out = _t.url_dedup(withurl, "url", "doc_id", quality_col="n_chars")
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+def _url_dedup_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, n_chars, {_URL_EXPR_SQL} AS url FROM documents WHERE doc_id < 300
+), parts AS (
+  SELECT doc_id, n_chars,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS proto,
+    lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', '')) AS host,
+    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM d
+), norm AS (
+  SELECT doc_id, n_chars,
+    proto || '://' || host || path ||
+    (CASE WHEN sq <> '' THEN '?' || sq ELSE '' END) AS url_norm
+  FROM (
+    SELECT doc_id, n_chars, proto, host, path,
+      array_to_string(list_sort(list_filter(string_split(q, '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS sq
+    FROM parts
+  )
+), r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (PARTITION BY url_norm ORDER BY n_chars DESC, doc_id) AS rn
+  FROM norm
+)
+SELECT doc_id, n_chars FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def contamination_report_docs(spark, sf):
+    """Per-(doc, probe) n-gram overlap audit (ops/text.contamination_report)
+    — shared distinct 5-grams, doc totals and contamination fraction, all
+    replicated in DuckDB (the decontaminate fixture's split)."""
+    from datachain_spark.ops import text as _t
+
+    docs = _chain(spark, sf, "documents").df
+    corpus = docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 300))
+    probes = docs.filter(F.col("doc_id") < 5)
+    # 3-grams: 108 contaminated pairs at sf0.01 (5-grams found none — the
+    # fixture corpus has no long exact overlaps), so the report
+    # DISCRIMINATES and the fraction math is exercised on real hits
+    out = _t.contamination_report(corpus, probes, "doc_id", ngram=3)
+    return out.select(
+        "doc_id", "probe_id", "n_shared", "n_doc_ngrams",
+        F.round("frac_shared", 6).alias("frac_r"),
+    ).orderBy("doc_id", "probe_id")
+
+
+def _contamination_sql() -> str:
+    shingle3 = """
+  list_distinct(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE [concat_ws(' ', w[i], w[i+1], w[i+2])
+               for i in generate_series(1, len(w)-2)]
+    END)"""
+    words = "string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+')"
+    return f"""
+WITH cw AS (
+  SELECT doc_id, {words} AS w FROM documents WHERE doc_id >= 5 AND doc_id < 300
+), csh AS (
+  SELECT doc_id, unnest({shingle3}) AS sh FROM cw
+), pw AS (
+  SELECT doc_id AS probe_id, {words} AS w FROM documents WHERE doc_id < 5
+), psh AS (
+  SELECT probe_id, unnest({shingle3}) AS sh FROM pw
+), totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_doc_ngrams FROM csh GROUP BY doc_id
+), pairs AS (
+  SELECT c.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM csh c JOIN psh p ON c.sh = p.sh
+  GROUP BY c.doc_id, p.probe_id
+)
+SELECT pairs.doc_id, pairs.probe_id, pairs.n_shared, totals.n_doc_ngrams,
+       round(CAST(pairs.n_shared AS DOUBLE) / totals.n_doc_ngrams, 6) AS frac_r
+FROM pairs JOIN totals ON totals.doc_id = pairs.doc_id
+ORDER BY pairs.doc_id, pairs.probe_id
+"""
+
+
 def corpus_stats_by_lang(spark, sf):
     """Per-language corpus profile (ops/text.corpus_stats, exact=True):
     doc/word/char volumes and exact word-count percentiles — Spark's
@@ -4578,6 +4671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_by_lang": corpus_stats_by_lang,
         "pq_codes_adc": pq_codes_adc,
         "ivfpq_codes_adc": ivfpq_codes_adc,
+        "url_dedup_docs": url_dedup_docs,
+        "contamination_report_docs": contamination_report_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -4690,6 +4785,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats_by_lang": CORPUS_STATS_SQL,
         "pq_codes_adc": _pq_sql(),
         "ivfpq_codes_adc": _ivfpq_sql(),
+        "url_dedup_docs": _url_dedup_sql(),
+        "contamination_report_docs": _contamination_sql(),
         "save_read_roundtrip": SAVE_READ_SQL,
         "delta_incremental": DELTA_INCREMENTAL_SQL,
         "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,

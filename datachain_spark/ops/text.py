@@ -940,3 +940,94 @@ def corpus_stats(
     if group_by:
         return base.groupBy(*group_by).agg(*aggs)
     return base.agg(*aggs)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    quality_col: Optional[str] = None,
+    text_col: str = "text",
+    keep_null_urls: bool = True,
+) -> DataFrame:
+    """Canonical-URL deduplication: keep ONE document per
+    :func:`normalize_url` key — the standard web-corpus pre-pass (the same
+    page crawled under utm-tagged / fragment / trailing-slash variants).
+
+    Winner per URL: highest ``quality_col`` if given, else
+    :func:`quality_score` over ``text_col``; ties (and the no-signal case)
+    break on the lowest ``id_col``, so the cut is deterministic. Documents
+    whose URL fails to parse (NULL canonical form) pass through untouched
+    by default — set ``keep_null_urls=False`` to drop them.
+
+    One shuffle on the canonical-URL key (window top-1); no reference
+    counterpart (spec addition)."""
+    from pyspark.sql import Window as W
+
+    q = F.col(quality_col) if quality_col else quality_score(F.col(text_col))
+    canon = normalize_url(F.col(url_col))
+    w = W.partitionBy("__canon").orderBy(
+        F.col("__q").desc(), F.col(id_col).asc()
+    )
+    withk = df.withColumn("__canon", canon).withColumn("__q", q)
+    nulls = withk.filter(F.col("__canon").isNull()).drop("__canon", "__q")
+    kept = (
+        withk.filter(F.col("__canon").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__canon", "__q", "__rn")
+    )
+    return kept.unionByName(nulls) if keep_null_urls else kept
+
+
+def contamination_report(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    probe_id_col: Optional[str] = None,
+    probe_text_col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """Audit companion to :func:`datachain_spark.ops.dedup.decontaminate`:
+    instead of dropping contaminated docs, report HOW each one overlaps the
+    probe set — per (corpus doc, probe doc): shared distinct n-grams, the
+    corpus doc's total distinct n-grams, and the contamination fraction.
+    The numbers triage borderline hits (1 shared 3-gram of boilerplate vs
+    an embedded eval question) before committing to a drop policy.
+
+    Output: (id_col, probe_id, n_shared, n_doc_ngrams, frac_shared),
+    one row per contaminated (doc, probe) pair.
+
+    Scale shape: both sides shingle via the codegen'd window form; the
+    probe side broadcasts (eval suites are small next to the corpus); one
+    count aggregation on the pair key. No reference counterpart."""
+    from .text import shingle_rows as _sr  # self-import for clarity
+
+    pid = probe_id_col or id_col
+    corpus_sh = _sr(df, id_col, text_col, n=ngram).select(
+        "__id", F.col("__shingle").alias("__sh")
+    )
+    probe_sh = (
+        _sr(probes, pid, probe_text_col, n=ngram)
+        .select(F.col("__id").alias("__pid"), F.col("__shingle").alias("__sh"))
+    )
+    totals = corpus_sh.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_doc_ngrams")
+    )
+    pairs = (
+        corpus_sh.join(F.broadcast(probe_sh), "__sh")
+        .groupBy("__id", "__pid")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(totals, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__pid").alias("probe_id"),
+            F.col("n_shared"),
+            F.col("n_doc_ngrams"),
+            (F.col("n_shared").cast("double") / F.col("n_doc_ngrams"))
+            .alias("frac_shared"),
+        )
+    )

@@ -528,6 +528,51 @@ def test_remove_duplicate_spans(session):
     assert md5 == {k: v["text"] for k, v in out.items()}
 
 
+def test_url_dedup(session):
+    """One winner per canonical URL: utm/fragment/case variants collapse;
+    best quality wins, ties to the lowest id; unparsable URLs pass through
+    by default and can be dropped."""
+    df = session.spark.createDataFrame([
+        (1, "https://ex.com/a?utm_source=x", 10),
+        (2, "https://EX.com/a/", 99),      # same canonical URL, higher q
+        (3, "https://ex.com/b", 5),
+        (4, "not a url", 1),
+    ], "doc_id long, url string, q int")
+    kept = sorted(r["doc_id"] for r in text.url_dedup(df, "url", "doc_id", quality_col="q").collect())
+    assert kept == [2, 3, 4]
+    strict = sorted(r["doc_id"] for r in text.url_dedup(
+        df, "url", "doc_id", quality_col="q", keep_null_urls=False).collect())
+    assert strict == [2, 3]
+    # quality_col omitted: quality_score over text drives the ranking
+    df2 = session.spark.createDataFrame([
+        (1, "https://ex.com/a", "the quick brown fox jumps over it for the win today"),
+        (2, "https://ex.com/a", "zz"),
+    ], "doc_id long, url string, text string")
+    assert [r["doc_id"] for r in text.url_dedup(df2, "url", "doc_id").collect()] == [1]
+
+
+def test_contamination_report(session):
+    """Per-(doc, probe) overlap audit: shared distinct n-grams, totals and
+    fraction; clean docs absent; fraction hand-verified."""
+    docs = session.spark.createDataFrame([
+        (1, "the quick brown fox jumps high"),   # shares 'the quick brown'... etc
+        (2, "totally clean words entirely"),
+    ], "doc_id long, text string")
+    probes = session.spark.createDataFrame(
+        [(9, "quick brown fox")], "doc_id long, text string")
+    rep = text.contamination_report(docs, probes, "doc_id", ngram=3).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    # doc 1 has 4 distinct 3-grams; exactly 'quick brown fox' is shared
+    assert (r["doc_id"], r["probe_id"], r["n_shared"], r["n_doc_ngrams"]) == (1, 9, 1, 4)
+    assert abs(r["frac_shared"] - 0.25) < 1e-12
+    # consistency with decontaminate: reported docs == dropped docs
+    from datachain_spark.ops import dedup as _dedup
+    dropped = {row["doc_id"] for row in _dedup.decontaminate(
+        docs, probes, "doc_id", ngram=3, keep_contaminated=True).collect()}
+    assert {row["doc_id"] for row in rep} == dropped
+
+
 def test_corpus_stats(session):
     """Known-value per-group profile; blank docs count 0 words; global
     (ungrouped) form gives one row; approx path returns the same exact
