@@ -101,10 +101,14 @@ def train_pq(
     Driver contact: one k·m-row collect per round (the codebook itself).
     Empty clusters keep their previous centroid.
 
-    ``id_cols=None`` keys rows by VECTOR CONTENT, so duplicate vectors
-    collapse to one sample — that is distinct-vector k-means (duplicates
-    deweighted). Pass ``id_cols`` for frequency-weighted training where
-    every occurrence pulls its cluster mean."""
+    Rows are keyed by hash(id_cols + vector content) — the vector rides
+    the key even when ``id_cols`` is given, so two rows that share an id
+    but carry DIFFERENT vectors stay separate samples (a key of ids alone
+    would merge them and pick a partition-order-dependent survivor,
+    breaking the determinism guarantee). ``id_cols=None`` keys purely by
+    content: duplicate vectors collapse to one sample (distinct-vector
+    k-means, duplicates deweighted); with ``id_cols``, distinct (id,
+    vector) pairs each weigh 1."""
     first = df.select(F.col(vec_col)).first()
     if first is None:
         raise ValueError("train_pq: empty input")
@@ -113,8 +117,11 @@ def train_pq(
         raise ValueError(f"train_pq: dim {d} not divisible by m={m}")
     d_sub = d // m
 
-    key = F.concat_ws(",", *[F.col(c).cast("string") for c in (id_cols or [])]) \
-        if id_cols else F.concat_ws(",", F.col(vec_col).cast("array<string>"))
+    key = F.concat_ws(
+        ",",
+        *[F.col(c).cast("string") for c in (id_cols or [])],
+        F.col(vec_col).cast("array<string>").cast("string"),
+    )
     base = df.select(
         _seeded_hash64(key, seed, "xxhash64").alias("__rid"),
         F.col(vec_col).cast("array<double>").alias("__v"),
@@ -195,6 +202,7 @@ def pq_encode(
     if method != "join":
         raise ValueError(f"pq_encode: unknown method {method!r}")
     d_sub = _validated_d_sub(df, codebooks, vec_col)
+    d = m * d_sub
     out_cols = [c for c in df.columns if c != vec_col or keep_vec]
     # rid = CONTENT hash of the vector, not monotonically_increasing_id():
     # mid() is recomputed independently on each side of the base<->codes
@@ -202,13 +210,25 @@ def pq_encode(
     # task retries the two subtrees could disagree and rows would silently
     # pair with wrong codes. Codes are a pure function of the vector, so
     # hash-colliding duplicate vectors joining one shared codes row is
-    # exactly right.
+    # exactly right. Dirty vectors (null / wrong length / null elements)
+    # are excluded from the encode side and LEFT-join to NULL codes —
+    # which also keeps the hash safe from concat_ws's null-element
+    # dropping (only clean, equal-length vectors are ever hashed).
+    valid = (
+        F.col("__vd").isNotNull()
+        & (F.size("__vd") == d)
+        & ~F.exists("__vd", lambda x: x.isNull() | F.isnan(x))
+    )
     base = df.withColumn("__vd", F.col(vec_col).cast("array<double>")).withColumn(
         "__rid",
-        F.xxhash64(F.concat_ws(",", F.col("__vd").cast("array<string>"))),
+        F.when(
+            valid, F.xxhash64(F.concat_ws(",", F.col("__vd").cast("array<string>")))
+        ),
     )
     sv = _explode_subvecs(
-        base.select("__rid", F.col("__vd").alias("__v_")).dropDuplicates(["__rid"]),
+        base.filter(F.col("__rid").isNotNull())
+        .select("__rid", F.col("__vd").alias("__v_"))
+        .dropDuplicates(["__rid"]),
         "__v_", m, d_sub,
     )
     assigned = _assign(sv, _codebook_df(df.sparkSession, codebooks), d_sub)
@@ -218,7 +238,7 @@ def pq_encode(
             lambda s: s["__code"],
         ).alias(code_col)
     )
-    return base.join(codes, "__rid").select(*out_cols, code_col)
+    return base.join(codes, "__rid", "left").select(*out_cols, code_col)
 
 
 def _validated_d_sub(df: DataFrame, codebooks, vec_col: str) -> int:
@@ -239,6 +259,45 @@ def _validated_d_sub(df: DataFrame, codebooks, vec_col: str) -> int:
     return d // m
 
 
+def _np_valid_vectors(series, d: int):
+    """(valid_mask, stacked (n_valid, d) float64 array) for a pandas series
+    of array values. A row is valid iff the vector is non-null, has exactly
+    d elements and contains no null elements — anything else would either
+    crash the whole batch (ragged np.asarray) or silently truncate."""
+    import numpy as np
+
+    vals = list(series)
+    # null elements arrive as None OR NaN depending on the Arrow conversion
+    # (x != x catches NaN); either marks the row invalid, matching the JVM
+    # join path's exists(isNull) check
+    mask = [
+        v is not None
+        and len(v) == d
+        and not any(x is None or x != x for x in v)
+        for v in vals
+    ]
+    V = np.asarray(
+        [np.asarray(vals[i], dtype=np.float64) for i, ok in enumerate(mask) if ok]
+    ).reshape(sum(mask), d)
+    return mask, V
+
+
+def _np_subspace_codes(V, C, m: int, d_sub: int):
+    """Per-subspace argmin codes for stacked vectors V against codebooks C
+    (list of (k, d_sub) arrays). Elementwise square then last-axis sum:
+    numpy sums axes <= 128 sequentially, matching the JVM/DuckDB left fold
+    bit-for-bit (a gemm-based expansion would not); argmin ties break to
+    the lowest code, same as min(struct(dist, code))."""
+    import numpy as np
+
+    codes = np.empty((V.shape[0], m), dtype=np.int32)
+    for s in range(m):
+        sub = V[:, s * d_sub:(s + 1) * d_sub]
+        diff = sub[:, None, :] - C[s][None, :, :]
+        codes[:, s] = (diff * diff).sum(axis=2).argmin(axis=1)
+    return codes
+
+
 def _pq_encode_np(
     df: DataFrame,
     codebooks,
@@ -250,6 +309,7 @@ def _pq_encode_np(
 
     m = len(codebooks)
     d_sub = _validated_d_sub(df, codebooks, vec_col)
+    d = m * d_sub
     out_cols = [c for c in df.columns if c != vec_col or keep_vec]
     in_df = df.withColumn("__vd", F.col(vec_col).cast("array<double>"))
     schema = StructType(
@@ -260,27 +320,22 @@ def _pq_encode_np(
 
     def encode(batches):
         import numpy as np
-        import pandas as pd
 
         C = [np.asarray(sub, dtype=np.float64) for sub in cb]  # m x (k, d_sub)
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__vd"]])
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for s in range(m):
-                sub = V[:, s * d_sub:(s + 1) * d_sub]
-                diff = sub[:, None, :] - C[s][None, :, :]
-                # elementwise square then sum over the last axis: numpy sums
-                # axes of length <= 128 sequentially, matching the JVM/
-                # DuckDB left fold bit-for-bit (a gemm-based ||x-c||^2
-                # expansion would not); argmin ties break to the lowest
-                # code, same as min(struct(dist, code))
-                dist = (diff * diff).sum(axis=2)
-                codes[:, s] = dist.argmin(axis=1)
+            # null / wrong-length / null-element vectors degrade to NULL
+            # codes instead of crashing the batch — one dirty row in a
+            # 100 TB corpus must not abort the whole encode
+            mask, V = _np_valid_vectors(pdf["__vd"], d)
+            codes = _np_subspace_codes(V, C, m, d_sub)
             out = pdf[out_cols].copy()
-            out[code_col] = [list(map(int, row)) for row in codes]
+            it = iter(codes)
+            out[code_col] = [
+                list(map(int, next(it))) if ok else None for ok in mask
+            ]
             yield out
 
     return in_df.mapInPandas(encode, schema)
@@ -308,18 +363,7 @@ def pq_adc_topk(
         ]
         for s in range(m)
     ]
-    lut_lit = F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in lut
-    ])
-    # unrolled over the m known-at-plan-time subspaces (codegen arithmetic,
-    # no interpreted HOF); left-to-right fold from 0.0 matches the oracle's
-    # list_reduce(list ORDER BY sub) bit-for-bit
-    dist = F.lit(0.0)
-    for s in range(m):
-        dist = dist + F.element_at(
-            F.element_at(lut_lit, s + 1),
-            F.element_at(F.col(code_col), s + 1).cast("int") + 1,
-        )
+    dist = _lut_fold(lut, code_col)
     cols = [F.col(c) for c in (id_cols or encoded.columns)]
     # tie-break: id_cols when given (fully deterministic cut), else the
     # code array — rows sharing distance AND codes are interchangeable for
@@ -330,6 +374,22 @@ def pq_adc_topk(
         .orderBy("adc_distance", *tb)
         .limit(k)
     )
+
+
+def _lut_fold(lut: "list[list[float]]", code_col: str):
+    """Σ_s lut[s][codes[s]] as codegen'd arithmetic — unrolled over the m
+    known-at-plan-time subspaces (no interpreted HOF); left-to-right fold
+    from 0.0 matches the oracle's list_reduce(list ORDER BY sub)
+    bit-for-bit. Shared by pq_adc_topk and ivfpq_topk so the fold order
+    can never diverge between them."""
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    dist = F.lit(0.0)
+    for s in range(len(lut)):
+        dist = dist + F.element_at(
+            F.element_at(lut_lit, s + 1),
+            F.element_at(F.col(code_col), s + 1).cast("int") + 1,
+        )
+    return dist
 
 
 # ---------------------------------------------------------------- IVF + PQ
@@ -368,6 +428,8 @@ def ivfpq_encode(
     cents = [list(map(float, c)) for c in centroids]
     cb = [[list(map(float, cent)) for cent in sub] for sub in codebooks]
 
+    d = m * d_sub
+
     def encode(batches):
         import numpy as np
 
@@ -377,20 +439,22 @@ def ivfpq_encode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__vd"]])
+            # dirty vectors (null / wrong length / null elements) get NULL
+            # cell+codes rather than crashing the batch
+            mask, V = _np_valid_vectors(pdf["__vd"], d)
             diff = V[:, None, :] - C[None, :, :]
             # sequential last-axis sum (d <= 128) — oracle-fold-exact
             cell_d = (diff * diff).sum(axis=2)
             cells = cell_d.argmin(axis=1).astype(np.int32)      # ties -> lowest
             R = V - C[cells]                                    # residuals
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for s in range(m):
-                sub = R[:, s * d_sub:(s + 1) * d_sub]
-                sdiff = sub[:, None, :] - B[s][None, :, :]
-                codes[:, s] = (sdiff * sdiff).sum(axis=2).argmin(axis=1)
+            codes = _np_subspace_codes(R, B, m, d_sub)
             out = pdf[out_cols].copy()
-            out[cell_col] = [int(c) for c in cells]
-            out[code_col] = [list(map(int, row)) for row in codes]
+            cit = iter(cells)
+            out[cell_col] = [int(next(cit)) if ok else None for ok in mask]
+            kit = iter(codes)
+            out[code_col] = [
+                list(map(int, next(kit))) if ok else None for ok in mask
+            ]
             yield out
 
     return in_df.mapInPandas(encode, schema)
@@ -439,27 +503,58 @@ def ivfpq_topk(
             for s in range(m)
         ]
 
-    def _cell_dist(c):
-        lut_lit = F.array(*[
-            F.array(*[F.lit(v) for v in row]) for row in luts[c]
-        ])
-        d = F.lit(0.0)
-        for s in range(m):
-            d = d + F.element_at(
-                F.element_at(lut_lit, s + 1),
-                F.element_at(F.col(code_col), s + 1).cast("int") + 1,
-            )
-        return d
-
     dist = F.lit(None).cast("double")
     for c in probed:
-        dist = F.when(F.col(cell_col) == c, _cell_dist(c)).otherwise(dist)
+        dist = F.when(F.col(cell_col) == c, _lut_fold(luts[c], code_col)).otherwise(dist)
 
+    # literal LUTs are codegen-fast but plan size is n_probe·m·k doubles —
+    # past ~8k literals (e.g. k=256, m=8, n_probe=4+) Catalyst analysis
+    # slows and codegen falls back, so large configurations switch to a
+    # broadcast LUT join with a per-row sub-ordered fold (identical fold
+    # order, plan size O(1))
+    total_lits = sum(len(row) for lut in luts.values() for row in lut)
     cols = [F.col(c) for c in (id_cols or encoded.columns)]
+    if id_cols and cell_col not in id_cols:
+        cols = cols + [F.col(cell_col)]
     tb = [F.col(c) for c in id_cols] if id_cols else [F.col(cell_col), F.col(code_col)]
-    return (
-        encoded.filter(F.col(cell_col).isin([int(c) for c in probed]))
-        .select(*cols, F.col(cell_col), dist.alias("adc_distance"))
-        .orderBy("adc_distance", *tb)
-        .limit(k)
+    probed_rows = encoded.filter(
+        F.col(cell_col).isin([int(c) for c in probed])
     )
+    if total_lits <= 8192:
+        scored = probed_rows.select(*cols, dist.alias("adc_distance"))
+    else:
+        spark = encoded.sparkSession
+        lut_rows = [
+            (int(c), s, code, float(luts[c][s][code]))
+            for c in probed
+            for s in range(m)
+            for code in range(len(codebooks[s]))
+        ]
+        lut_df = spark.createDataFrame(
+            lut_rows, "__cell int, __sub int, __code int, __d double"
+        )
+        exploded = probed_rows.select(
+            *cols, F.posexplode(F.col(code_col)).alias("__sub", "__code")
+        )
+        scored = (
+            exploded.join(
+                F.broadcast(lut_df),
+                (F.col(cell_col) == F.col("__cell"))
+                & (exploded["__sub"] == lut_df["__sub"])
+                & (exploded["__code"] == lut_df["__code"]),
+            )
+            .groupBy(*cols)
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(exploded["__sub"], F.col("__d")))
+                        ),
+                        lambda s: s["__d"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("adc_distance")
+            )
+        )
+    return scored.orderBy("adc_distance", *tb).limit(k)

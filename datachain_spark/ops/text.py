@@ -1002,14 +1002,12 @@ def contamination_report(
     Scale shape: both sides shingle via the codegen'd window form; the
     probe side broadcasts (eval suites are small next to the corpus); one
     count aggregation on the pair key. No reference counterpart."""
-    from .text import shingle_rows as _sr  # self-import for clarity
-
     pid = probe_id_col or id_col
-    corpus_sh = _sr(df, id_col, text_col, n=ngram).select(
+    corpus_sh = shingle_rows(df, id_col, text_col, n=ngram).select(
         "__id", F.col("__shingle").alias("__sh")
     )
     probe_sh = (
-        _sr(probes, pid, probe_text_col, n=ngram)
+        shingle_rows(probes, pid, probe_text_col, n=ngram)
         .select(F.col("__id").alias("__pid"), F.col("__shingle").alias("__sh"))
     )
     totals = corpus_sh.groupBy("__id").agg(

@@ -130,6 +130,37 @@ def test_ivfpq_encode_and_probe(session):
     assert again == base
 
 
+def test_pq_dirty_vectors_degrade_per_row(session):
+    """Null / wrong-length / null-element / NaN vectors get NULL codes on
+    BOTH encode paths instead of crashing the batch (one dirty row in a
+    100TB corpus must not abort the job), and ivfpq's default id_cols path
+    yields no duplicate columns."""
+    df = session.spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None), (3, [1.0, 2.0]),
+         (4, [1.0, None, 3.0, 4.0]), (5, [float("nan"), 1.0, 2.0, 3.0]),
+         (6, [4.0, 3.0, 2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cb = [[[1.0, 2.0], [4.0, 3.0]], [[3.0, 4.0], [2.0, 1.0]]]
+    expect_null = {2, 3, 4, 5}
+    for meth in ("numpy", "join"):
+        rows = {r["vec_id"]: r["pq_codes"]
+                for r in pq.pq_encode(df, cb, method=meth).collect()}
+        assert set(rows) == {1, 2, 3, 4, 5, 6}, meth
+        assert {k for k, v in rows.items() if v is None} == expect_null, meth
+        assert rows[1] is not None and rows[6] is not None
+
+    cents = [[0.0] * 4, [5.0] * 4]
+    iv = {r["vec_id"]: (r["ivf_cell"], r["pq_codes"])
+          for r in pq.ivfpq_encode(df, cents, cb).collect()}
+    assert all(iv[k] == (None, None) for k in expect_null)
+    # default id_cols: output schema has no duplicate names
+    enc = pq.ivfpq_encode(df.filter(F.col("vec_id").isin([1, 6])), cents, cb)
+    out = pq.ivfpq_topk(enc, cents, cb, [1.0, 2.0, 3.0, 4.0], n_probe=2, k=5)
+    assert len(out.columns) == len(set(out.columns))
+    assert out.count() == 2
+
+
 def test_pq_validation(session):
     df = _vecs(session, [(1, [1.0, 2.0, 3.0])])
     with pytest.raises(ValueError, match="not divisible"):
