@@ -4541,11 +4541,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (minhash/simhash/winnow _ro) are genuinely un-oracle-able in DuckDB and
     live in overflow — their md5 twins carry the driver verdicts.
 
-    r06 window plan: keep the 10 anchors, rotate back whatever r05 leaves
-    unverdicted plus any newly-added oracles; if everything is green, swap
-    the 40 r05-window rows for the 40 longest-out-of-window overflow rows
-    (udf_*, sharding_md5, multimodal, function-family suites) so every
-    registry entry has a driver verdict at most 2 rounds old.
+    r06 window plan: keep the 10 anchors, rotate IN (a) whatever r05
+    leaves unverdicted and (b) the 11 r05-added oracles now in overflow
+    (bm25_score_docs, dsir_importance_md5, c4_gate, spans_dedup_md5,
+    corpus_stats_by_lang, pq_codes_adc, ivfpq_codes_adc, url_dedup_docs,
+    contamination_report_docs + any later additions); fill remaining slots
+    with the longest-out-of-window overflow rows (udf_*, sharding_md5,
+    multimodal, function-family suites) so every registry entry has a
+    driver verdict at most 2 rounds old.
 
     EVERY entry — window and overflow — is still verified locally each run
     by tests/test_oracle.py, and scripts/local_oracle.py emits the full

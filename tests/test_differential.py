@@ -553,3 +553,57 @@ def test_asof_join_matches_duckdb_native(session, left, right):
         key=_key,
     )
     assert got == exp
+
+
+# -- PQ ADC vs a pure-Python reference (ops/pq) ----------------------------
+
+@given(
+    data=st.lists(
+        st.lists(st.integers(-5, 5).map(float), min_size=4, max_size=4),
+        min_size=3, max_size=8,
+    ),
+)
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pq_encode_adc_matches_python_reference(session, data):
+    """For ANY small vector set: codes equal a from-scratch Python argmin
+    (ties to the lowest code) and ADC distances equal the Python lookup
+    sum, for codebooks fixed to the first two vectors' subvectors."""
+    from datachain_spark.ops import pq as _pq
+
+    if len({tuple(v) for v in data[:2]}) < 2:
+        data = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 1.0, 0.0]] + data
+    m, d_sub = 2, 2
+    cb = [[data[c][s * d_sub:(s + 1) * d_sub] for c in range(2)] for s in range(m)]
+    q = data[0]
+
+    def py_codes(v):
+        out = []
+        for s in range(m):
+            sub = v[s * d_sub:(s + 1) * d_sub]
+            dists = [sum((a - b) ** 2 for a, b in zip(sub, cent)) for cent in cb[s]]
+            out.append(min(range(len(dists)), key=lambda i: (dists[i], i)))
+        return out
+
+    def py_adc(codes):
+        total = 0.0
+        for s in range(m):
+            cent = cb[s][codes[s]]
+            qs = q[s * d_sub:(s + 1) * d_sub]
+            total += sum((a - b) ** 2 for a, b in zip(qs, cent))
+        return total
+
+    df = session.spark.createDataFrame(
+        [(i, v) for i, v in enumerate(data)], "vec_id long, embedding array<double>"
+    )
+    for meth in ("numpy", "join"):
+        enc = _pq.pq_encode(df, cb, method=meth)
+        got = {r["vec_id"]: list(r["pq_codes"]) for r in enc.collect()}
+        assert got == {i: py_codes(v) for i, v in enumerate(data)}, meth
+    enc = _pq.pq_encode(df, cb)
+    scored = {r["vec_id"]: r["adc_distance"] for r in
+              _pq.pq_adc_topk(enc, cb, q, k=len(data), id_cols=["vec_id"]).collect()}
+    for i, v in enumerate(data):
+        assert abs(scored[i] - py_adc(py_codes(v))) < 1e-12
