@@ -35,3 +35,20 @@ def test_rows_only(name, spark, sf_dir):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_registry_window_invariants():
+    """Rotation guard: the driver checks the FIRST 50 registry entries —
+    every one of them must carry an oracle (a rows-only slot in the window
+    wastes a verdict), keys must be unique, and every oracle must have a
+    query. Protects future window rotations from silent regressions."""
+    names = list(QUERIES)
+    assert len(names) == len(set(names)), "duplicate registry keys"
+    window = names[:50]
+    missing = [n for n in window if n not in ORACLES]
+    assert not missing, f"window entries without an oracle: {missing}"
+    orphans = [n for n in ORACLES if n not in QUERIES]
+    assert not orphans, f"oracles without a query: {orphans}"
+    # rows-only entries are exactly the three documented xxhash64 twins
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == {"minhash_pairs", "simhash_pairs", "winnow_fingerprints"}, rows_only
