@@ -99,8 +99,16 @@ def dsir_importance(
     num_buckets: int = 8192,
     alpha: float = 1.0,
     hash_fn: str = "xxhash64",
+    cache_features: bool = False,
 ) -> DataFrame:
     """Per-raw-document DSIR log importance weight.
+
+    ``cache_features=True`` localCheckpoints the raw (id, bucket) rows so
+    the histogram pass and the per-doc pass share one featurization
+    (measured −33% wall at sf0.1). Default OFF: the feature rows are ~2×
+    the corpus token count, and at 100 TB materializing them to executor
+    storage costs more than recomputing a scan + regex projection — enable
+    it when the featurized corpus comfortably fits cluster storage.
 
     logw(d) = Σ_{features g of d} [ log p̂_target(bucket(g))
                                     − log p̂_raw(bucket(g)) ]
@@ -117,6 +125,8 @@ def dsir_importance(
     t_col = target_text_col or text_col
     raw_rows = _bucket_rows(raw, id_col, text_col, num_buckets, hash_fn,
                             keep_empty=True)
+    if cache_features:
+        raw_rows = raw_rows.localCheckpoint(eager=False)
     tgt_rows = _bucket_rows(target, id_col, t_col, num_buckets, hash_fn)
 
     # BOTH histograms in ONE aggregation: tag the union by source and
@@ -172,6 +182,7 @@ def dsir_select(
     seed: int = 42,
     gumbel: bool = True,
     hash_fn: str = "xxhash64",
+    cache_features: bool = False,
 ) -> DataFrame:
     """Select ``n`` raw documents by importance weight.
 
@@ -184,6 +195,7 @@ def dsir_select(
     w = dsir_importance(
         raw, target, id_col, text_col=text_col,
         num_buckets=num_buckets, alpha=alpha, hash_fn=hash_fn,
+        cache_features=cache_features,
     )
     key = F.col("log_weight")
     if gumbel:
