@@ -62,6 +62,7 @@ HEADLINE = [
     "c4_gate_full",
     "spans_dedup_full",
     "pq_search_full",
+    "ivfpq_search_full",
     # the bloom variant of decontaminate_full (same split, same fpp): r05
     # capped k at 12 so the membership filter stays inside whole-stage
     # codegen (was interpreted at k=13+), derives probe positions from a
@@ -263,6 +264,28 @@ def main() -> None:
         enc = _pq.pq_encode(emb.filter(F.col("vec_id") >= 16), cb)
         return _pq.pq_adc_topk(enc, cb, qv, k=100, id_cols=["vec_id"])
 
+    def _ivfpq_search_full(spark, sf):
+        # composed IVF+PQ: residual-coded index build + probe-pruned ADC
+        # top-100 (2 of 16 cells probed - the scan-pruning scale path)
+        from datachain_spark.ops import pq as _pq
+
+        emb = entrymod._chain(spark, sf, "embeddings").df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        cents = [
+            [float(v) for v in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+        ]
+        m = 8
+        d_sub = len(cents[0]) // m
+        cb = [
+            [cents[c][s * d_sub:(s + 1) * d_sub] for c in range(16)]
+            for s in range(m)
+        ]
+        enc = _pq.ivfpq_encode(emb.filter(F.col("vec_id") >= 16), cents, cb)
+        return _pq.ivfpq_topk(enc, cents, cb, cents[0], n_probe=2, k=100,
+                              id_cols=["vec_id"])
+
     def _chunk_documents_full(spark, sf):
         # whole-corpus RAG chunking: zero-shuffle per-row slicing
         docs = entrymod._chain(spark, sf, "documents").df
@@ -340,6 +363,7 @@ def main() -> None:
     queries["c4_gate_full"] = _c4_gate_full
     queries["spans_dedup_full"] = _spans_dedup_full
     queries["pq_search_full"] = _pq_search_full
+    queries["ivfpq_search_full"] = _ivfpq_search_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);
