@@ -607,3 +607,40 @@ def test_pq_encode_adc_matches_python_reference(session, data):
               _pq.pq_adc_topk(enc, cb, q, k=len(data), id_cols=["vec_id"]).collect()}
     for i, v in enumerate(data):
         assert abs(scored[i] - py_adc(py_codes(v))) < 1e-12
+
+
+# -- corpus_stats exact percentiles vs a pure-Python reference (ops/text) --
+
+@given(docs=st.lists(st.lists(_words, min_size=0, max_size=12).map(" ".join),
+                     min_size=1, max_size=10))
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_corpus_stats_matches_python_reference(session, docs):
+    """For ANY doc set: counts, totals and EXACT linear-interpolated
+    percentiles equal a from-scratch Python computation (blank docs count
+    zero words)."""
+    from datachain_spark.ops import text as _t
+
+    cdf = dc.read_values(
+        session=session, doc_id=list(range(len(docs))), text=docs
+    ).df
+    row = _t.corpus_stats(cdf, exact=True).collect()[0]
+
+    nw = sorted(len(d.split()) for d in docs)
+    assert row["n_docs"] == len(docs)
+    assert row["total_words"] == sum(nw)
+    assert abs(row["avg_words"] - sum(nw) / len(nw)) < 1e-12
+
+    def pctl(p):
+        if len(nw) == 1:
+            return float(nw[0])
+        pos = p * (len(nw) - 1)
+        lo = int(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(nw) - 1)
+        return nw[lo] + (nw[hi] - nw[lo]) * frac
+
+    for p, col in [(0.5, "p50_words"), (0.9, "p90_words"), (0.99, "p99_words")]:
+        assert abs(row[col] - pctl(p)) < 1e-9, (p, nw, row[col])
