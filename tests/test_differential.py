@@ -644,3 +644,43 @@ def test_corpus_stats_matches_python_reference(session, docs):
 
     for p, col in [(0.5, "p50_words"), (0.9, "p90_words"), (0.99, "p99_words")]:
         assert abs(row[col] - pctl(p)) < 1e-9, (p, nw, row[col])
+
+
+# -- interval join vs DuckDB range join (ops/interval) ---------------------
+
+@given(
+    points=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)),
+                    min_size=1, max_size=10),
+    ivals=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20),
+                             st.integers(0, 8)),
+                   min_size=1, max_size=8),
+    binned=st.booleans(),
+)
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_join_matches_duckdb_range_join(session, points, ivals, binned):
+    """For ANY keyed points/intervals (and for both the direct and the
+    bin-bucketed execution strategies): the [start, end) containment join
+    matches DuckDB's range join."""
+    from datachain_spark.ops.interval import interval_join
+
+    pts = [(i, k, p) for i, (k, p) in enumerate(points)]
+    ivs = [(j, k, s, s + w) for j, (k, s, w) in enumerate(ivals)]
+    ldf = session.spark.createDataFrame(pts, "pid int, k int, p int")
+    rdf = session.spark.createDataFrame(ivs, "iid int, k int, s int, e int")
+    out = interval_join(
+        ldf, rdf, point="p", start="s", end="e", on="k",
+        bin_size=4.0 if binned else None,
+    )
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+
+    lpd = pd.DataFrame(pts, columns=["pid", "k", "p"])
+    rpd = pd.DataFrame(ivs, columns=["iid", "k", "s", "e"])
+    duck = _duck(
+        "SELECT l.pid, r.iid FROM l JOIN r ON l.k = r.k AND l.p >= r.s AND l.p < r.e",
+        l=lpd, r=rpd,
+    )
+    exp = sorted((int(r.pid), int(r.iid)) for r in duck.itertuples())
+    assert got == exp, (binned,)
