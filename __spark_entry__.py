@@ -4367,6 +4367,69 @@ LIMIT 10
 """
 
 
+def semdedup_docs(spark, sf):
+    """SemDeDup semantic dedup (ops/semdedup.semdedup, Abbas et al. 2023):
+    k-means-cell embedding clusters, then inside each cell drop every vector
+    with cosine sim >= 1-eps to an earlier-ranked member (keep="far" — the
+    paper's lowest-centroid-similarity survival policy). Centroids are the
+    first 8 id-ordered embeddings (deterministic and visible to DuckDB;
+    production trains via the seeded bootstrap + kmeans_refine). eps=0.75 so
+    the threshold 1-eps=0.25 is exact in binary — both engines compare
+    against the identical double. The oracle replicates the fold-ordered
+    dot/norm (list_reduce), the argmin cell (ties -> lowest cell), the
+    desc-centroid-distance rank (ties -> vec_id), Spark's 1-(1-sim) double
+    subtraction, and the drop-if-similar-to-ANY-earlier-member rule."""
+    from datachain_spark.ops import semdedup as _sd
+
+    emb = _chain(spark, sf, "embeddings").df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    df = emb.filter(F.col("vec_id") >= 8)
+    out = _sd.semdedup(
+        df, "vec_id", "embedding", centroids=cents, eps=0.75, keep="far",
+        cell_col="cell",
+    )
+    return out.select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    ).orderBy("vec_id")
+
+
+def _semdedup_sql() -> str:
+    dot = lambda x, y: (
+        f"list_reduce([{x}[i+1]*{y}[i+1] for i in generate_series(0, len({x})-1)], (a,b) -> a+b)"
+    )
+    dist = lambda x, y: (
+        f"1.0 - {dot(x, y)} / (sqrt({dot(x, x)}) * sqrt({dot(y, y)}))"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id < 8
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id >= 8
+), d AS (
+  SELECT v.vec_id, v.e, c.cell, {dist('e', 'ce')} AS cd,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist('e', 'ce')}, c.cell) AS rn
+  FROM v CROSS JOIN c
+), m AS (
+  SELECT vec_id, e, cell, cd FROM d WHERE rn = 1
+), r AS (
+  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY cell ORDER BY cd DESC, vec_id) AS rk
+  FROM m
+), drops AS (
+  SELECT DISTINCT b.vec_id AS id_drop
+  FROM r a JOIN r b ON a.cell = b.cell AND a.rk < b.rk
+  WHERE 1.0 - ({dist('a.e', 'b.e')}) >= 0.25
+)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell
+FROM m WHERE vec_id NOT IN (SELECT id_drop FROM drops)
+ORDER BY vec_id
+"""
+
+
 _BLOCKLIST = ["www.ex1.com", "www.ex3.com", "www.ex5.com"]
 
 
@@ -4545,7 +4608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     leaves unverdicted and (b) the 11 r05-added oracles now in overflow
     (bm25_score_docs, dsir_importance_md5, c4_gate, spans_dedup_md5,
     corpus_stats_by_lang, pq_codes_adc, ivfpq_codes_adc, url_dedup_docs,
-    contamination_report_docs + any later additions); fill remaining slots
+    contamination_report_docs, semdedup_docs + any later additions); fill
+    remaining slots
     with the longest-out-of-window overflow rows (udf_*, sharding_md5,
     multimodal, function-family suites) so every registry entry has a
     driver verdict at most 2 rounds old.
@@ -4676,6 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_codes_adc": ivfpq_codes_adc,
         "url_dedup_docs": url_dedup_docs,
         "contamination_report_docs": contamination_report_docs,
+        "semdedup_docs": semdedup_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -4790,6 +4855,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_codes_adc": _ivfpq_sql(),
         "url_dedup_docs": _url_dedup_sql(),
         "contamination_report_docs": _contamination_sql(),
+        "semdedup_docs": _semdedup_sql(),
         "save_read_roundtrip": SAVE_READ_SQL,
         "delta_incremental": DELTA_INCREMENTAL_SQL,
         "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,

@@ -820,6 +820,12 @@ class DataChain:
 
         return self._evolve(_op(self._df, id_col, text_col, **kw))
 
+    def semdedup(self, id_col: str, vec_col: str = "embedding", **kw: Any) -> "DataChain":
+        """Semantic (embedding-cluster) dedup (ops/semdedup.semdedup)."""
+        from .ops.semdedup import semdedup as _op
+
+        return self._evolve(_op(self._df, id_col, vec_col, **kw))
+
     def segment_dedup(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
         """Corpus-wide segment/paragraph dedup (ops/text.segment_dedup)."""
         from .ops.text import segment_dedup as _op

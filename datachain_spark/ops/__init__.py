@@ -12,6 +12,7 @@ from . import (
     pq,
     retrieval,
     selection,
+    semdedup,
     similarity,
     text,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "pq",
     "retrieval",
     "selection",
+    "semdedup",
     "similarity",
     "text",
 ]
