@@ -4399,30 +4399,36 @@ def semdedup_docs(spark, sf):
 
 
 def _semdedup_sql() -> str:
+    # mirrors ops/semdedup's arithmetic shape exactly: centroids
+    # L2-normalized up front (left-fold sum from 0.0 == list_reduce over the
+    # squares), row norms computed once, every distance/sim a single
+    # fold-ordered dot product
     dot = lambda x, y: (
         f"list_reduce([{x}[i+1]*{y}[i+1] for i in generate_series(0, len({x})-1)], (a,b) -> a+b)"
     )
-    dist = lambda x, y: (
-        f"1.0 - {dot(x, y)} / (sqrt({dot(x, x)}) * sqrt({dot(y, y)}))"
-    )
     return f"""
-WITH c AS (
+WITH c0 AS (
   SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT cell, list_transform(ce, x -> x / sqrt({dot('ce', 'ce')})) AS nce FROM c0
 ), v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id >= 8
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, sqrt({dot('e', 'e')}) AS nrm
+  FROM embeddings WHERE vec_id >= 8
 ), d AS (
-  SELECT v.vec_id, v.e, c.cell, {dist('e', 'ce')} AS cd,
-         row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist('e', 'ce')}, c.cell) AS rn
+  SELECT v.vec_id, v.e, v.nrm, c.cell, 1.0 - {dot('e', 'nce')} / v.nrm AS cd,
+         row_number() OVER (
+           PARTITION BY v.vec_id ORDER BY 1.0 - {dot('e', 'nce')} / v.nrm, c.cell
+         ) AS rn
   FROM v CROSS JOIN c
 ), m AS (
-  SELECT vec_id, e, cell, cd FROM d WHERE rn = 1
+  SELECT vec_id, e, nrm, cell, cd FROM d WHERE rn = 1
 ), r AS (
-  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY cell ORDER BY cd DESC, vec_id) AS rk
+  SELECT vec_id, e, nrm, cell, row_number() OVER (PARTITION BY cell ORDER BY cd DESC, vec_id) AS rk
   FROM m
 ), drops AS (
   SELECT DISTINCT b.vec_id AS id_drop
   FROM r a JOIN r b ON a.cell = b.cell AND a.rk < b.rk
-  WHERE 1.0 - ({dist('a.e', 'b.e')}) >= 0.25
+  WHERE {dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= 0.25
 )
 SELECT vec_id, CAST(cell AS INTEGER) AS cell
 FROM m WHERE vec_id NOT IN (SELECT id_drop FROM drops)

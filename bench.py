@@ -63,6 +63,7 @@ HEADLINE = [
     "spans_dedup_full",
     "pq_search_full",
     "ivfpq_search_full",
+    "semdedup_full",
     # the bloom variant of decontaminate_full (same split, same fpp): r05
     # capped k at 12 so the membership filter stays inside whole-stage
     # codegen (was interpreted at k=13+), derives probe positions from a
@@ -286,6 +287,25 @@ def main() -> None:
         return _pq.ivfpq_topk(enc, cents, cb, cents[0], n_probe=2, k=100,
                               id_cols=["vec_id"])
 
+    def _semdedup_full(spark, sf):
+        # SemDeDup over the whole embeddings table: 64 fixed cells bound the
+        # within-cell quadratic (~n/64 per cell); the timed pass is the dedup
+        # itself (assignment + rank window + cell self-join + anti-join) —
+        # centroid training is a separate amortized step at scale
+        from datachain_spark.ops import semdedup as _sd
+
+        emb = entrymod._chain(spark, sf, "embeddings").df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        cents = [
+            [float(v) for v in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 64).orderBy("vec_id").collect()
+        ]
+        return _sd.semdedup(
+            emb.filter(F.col("vec_id") >= 64), "vec_id", "embedding",
+            centroids=cents, eps=0.75, cell_col="cell",
+        )
+
     def _chunk_documents_full(spark, sf):
         # whole-corpus RAG chunking: zero-shuffle per-row slicing
         docs = entrymod._chain(spark, sf, "documents").df
@@ -364,6 +384,7 @@ def main() -> None:
     queries["spans_dedup_full"] = _spans_dedup_full
     queries["pq_search_full"] = _pq_search_full
     queries["ivfpq_search_full"] = _ivfpq_search_full
+    queries["semdedup_full"] = _semdedup_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);

@@ -12,58 +12,177 @@ embedding-level dedup pass a 100-TB pretraining pipeline runs after
 exact/MinHash dedup, catching paraphrases those miss.
 
 Scale shape: clustering bounds the quadratic — pairwise comparison happens
-only WITHIN a cell, never across the corpus, so cost is
-sum(cell_size^2), controlled by ``num_cells`` (the paper uses ~100k
-clusters for LAION; num_cells should grow with N so cells stay ~constant).
-The plan is: one cell assignment pass (codegen'd argmin over centroid
-literals for small k; a broadcast-join argmin past ``literal_cap`` so the
-plan never exceeds Janino limits), one window shuffle keyed on cell to
-rank members, one self-join shuffle keyed on cell for the candidate
-pairs, one anti-join to drop losers. Centroids are the only driver-side
-state (num_cells x dim floats) — the corpus is never collected.
+only WITHIN a cell, never across the corpus, so cost is sum(cell_size^2),
+controlled by ``num_cells`` (the paper uses ~100k clusters for LAION;
+num_cells should grow with N so cells stay ~constant). The plan is: one
+Arrow-batched assignment pass (no shuffle), one window shuffle keyed on
+cell to rank members, one self-join shuffle keyed on cell for the
+candidate pairs, one anti-join to drop losers. Centroids are the only
+driver-side state (num_cells x dim floats) — the corpus is never
+collected.
+
+Assignment methods: ``method="arrow"`` (default) computes the n x k
+distance matrix per Arrow batch with a dim-ordered accumulation loop —
+bit-identical to the SQL fold (see below) and ~20x faster than the
+expression form, whose k-struct argmin exceeds Janino's codegen budget at
+useful k and falls back to interpreted per-row HOF folds (the same
+failure mode the PQ encode hit, ops/pq.py:285). ``method="expr"`` keeps
+the pure-Column path: centroid literals inlined up to ``literal_cap``
+total floats, a broadcast-join struct-min argmin past it.
+
+Bit-exactness of the arrow path (the DuckDB oracle hashes every cell
+assignment): dots and norms accumulate dimension-by-dimension from 0.0
+(``S += V[:,j] * C[:,j]`` per j) — the same left fold as
+``F.aggregate(zip_with(...))`` and DuckDB's ``list_reduce``; numpy ufunc
+add/mul are plain IEEE doubles with no fused reordering. Argmin ties
+break to the lowest cell on both paths (np.argmin first-occurrence ==
+min-of-struct lexicographic). Rows whose vector is null, ragged, or
+contains nulls get a NULL cell: they join no pairs, are never dropped,
+and surface with cell NULL — the job never aborts (pq precedent).
 
 Determinism: given fixed centroids the whole path is deterministic (rank
 ties break on the id), so with id-ordered bootstrap centroids the output
-is DuckDB-oracle-able — the oracle replicates Spark's fold-ordered
-dot/norm exactly (list_reduce, same summation order).
+is DuckDB-oracle-able — the oracle replicates the driver-side centroid
+normalization and the fold-ordered dot/norm bit-for-bit.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..functions.array import cosine_distance
-from .similarity import assign_ivf_cells, kmeans_refine, train_centroids_sample
+from ..functions.array import dot_product, norm
+from .similarity import kmeans_refine, train_centroids_sample
 
 
-def _assign_cells(
+def _normalize_centroids(centroids: Sequence[Sequence[float]]) -> list[list[float]]:
+    """Driver-side L2 normalization, left-fold sum from 0.0 so the oracle's
+    ``list_reduce`` reproduces every double exactly. Zero-norm centroids are
+    rejected up front — they would poison every row's argmin with NaN."""
+    out = []
+    for i, c in enumerate(centroids):
+        s = 0.0
+        for x in c:
+            s += float(x) * float(x)
+        if s == 0.0:
+            raise ValueError(f"centroid {i} has zero norm")
+        n = math.sqrt(s)
+        out.append([float(x) / n for x in c])
+    return out
+
+
+def _assign_arrow(
+    rows: DataFrame,
+    ncents: Sequence[Sequence[float]],
+    vec_col: str,
+    id_field,
+) -> DataFrame:
+    """mapInPandas assignment: per batch, accumulate the n x k dot matrix
+    and the row norms dimension-by-dimension (bit-exact left fold), then
+    argmin. Emits (__id, __v, __nrm, cell, __cd); invalid vectors emit
+    NULL cell/cd and NaN norm. No shuffle — a pure map stage."""
+    import numpy as np
+
+    from .pq import _np_valid_vectors
+
+    C = np.asarray([[float(x) for x in c] for c in ncents], dtype=np.float64)
+    k, d = C.shape
+    schema = T.StructType(
+        [
+            id_field,
+            rows.schema[vec_col],
+            T.StructField("__nrm", T.DoubleType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("__cd", T.DoubleType()),
+        ]
+    )
+
+    def fn(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            nrm = [None] * n
+            cell = [None] * n
+            cd = [None] * n
+            if n:
+                mask, V = _np_valid_vectors(pdf[vec_col], d)
+                if V.shape[0]:
+                    nv = V.shape[0]
+                    S = np.zeros((nv, k), dtype=np.float64)
+                    acc = np.zeros(nv, dtype=np.float64)
+                    for j in range(d):
+                        col = V[:, j]
+                        S += col[:, None] * C[None, :, j]
+                        acc += col * col
+                    nr = np.sqrt(acc)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        dist = 1.0 - S / nr[:, None]
+                    best = dist.argmin(axis=1)
+                    bd = dist[np.arange(nv), best]
+                    vi = 0
+                    for i, ok in enumerate(mask):
+                        if ok:
+                            nrm[i] = float(nr[vi])
+                            cell[i] = int(best[vi])
+                            cd[i] = float(bd[vi])
+                            vi += 1
+            out = pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__v": pdf[vec_col],
+                    "__nrm": pd.Series(nrm, dtype="float64"),
+                    "cell": pd.Series(cell, dtype="object"),
+                    "__cd": pd.Series(cd, dtype="float64"),
+                }
+            )
+            yield out
+
+    return rows.mapInPandas(fn, schema)
+
+
+def _assign_cells_expr(
     df: DataFrame,
     id_col: str,
-    centroids: Sequence[Sequence[float]],
+    ncents: Sequence[Sequence[float]],
     vec_col: str,
     cell_col: str,
     literal_cap: int,
+    nrm_col: str = "__nrm",
 ) -> DataFrame:
-    """Nearest-centroid assignment. Small codebooks inline the centroids as
-    literal arrays (whole-stage codegen, zero extra shuffles); past
-    ``literal_cap`` total floats the centroids become a broadcast DataFrame
-    and the argmin is a struct-min aggregation (ties -> lowest cell id,
-    matching the literal path), joined back on the id — two shuffles but a
-    bounded plan at any num_cells."""
-    n_floats = len(centroids) * (len(centroids[0]) if centroids else 0)
+    """Pure-Column assignment against PRE-NORMALIZED centroids; the input
+    must already carry the row norm in ``nrm_col`` so each centroid
+    distance is one dot fold. Small codebooks inline the centroids as
+    literal arrays; past ``literal_cap`` total floats the centroids become
+    a broadcast DataFrame and the argmin is a struct-min aggregation
+    (ties -> lowest cell id, matching the literal path), joined back on
+    the id — two shuffles but a bounded plan at any num_cells."""
+    n_floats = len(ncents) * (len(ncents[0]) if ncents else 0)
     if n_floats <= literal_cap:
-        return assign_ivf_cells(df, centroids, vec_col, cell_col)
+        dists = [
+            F.struct(
+                (
+                    F.lit(1.0)
+                    - dot_product(F.col(vec_col), [float(x) for x in c])
+                    / F.col(nrm_col)
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(ncents)
+        ]
+        return df.withColumn(cell_col, F.array_min(F.array(*dists))["cell"])
     spark = df.sparkSession
     cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        schema="__cell int, __ce array<double>",
+        [(i, [float(x) for x in c]) for i, c in enumerate(ncents)],
+        schema="__cell int, __nce array<double>",
     )
-    d = cosine_distance(F.col(vec_col), F.col("__ce"))
+    d = F.lit(1.0) - dot_product(F.col(vec_col), F.col("__nce")) / F.col(nrm_col)
     best = (
-        df.select(id_col, vec_col)
+        df.select(id_col, vec_col, nrm_col)
         .join(F.broadcast(cents))
         .groupBy(id_col)
         .agg(
@@ -73,6 +192,77 @@ def _assign_cells(
         )
     )
     return df.join(best, on=id_col)
+
+
+def _ranked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    ncents: Sequence[Sequence[float]],
+    keep: str,
+    method: str,
+    literal_cap: int,
+) -> DataFrame:
+    """(__id, __v, __nrm, cell, __rk) for every validly-assigned row: cell
+    assignment + within-cell rank under the survival policy. NULL-cell
+    (invalid-vector) rows are excluded — they take part in no comparisons."""
+    rows = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if method == "arrow":
+        assigned = _assign_arrow(rows, ncents, "__v", rows.schema["__id"])
+    else:
+        rows = rows.withColumn("__nrm", norm(F.col("__v")))
+        assigned = _assign_cells_expr(
+            rows, "__id", ncents, "__v", "cell", literal_cap
+        )
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in ncents]
+        )
+        assigned = assigned.withColumn(
+            "__cd",
+            F.lit(1.0)
+            - dot_product(F.col("__v"), F.element_at(cent_arr, F.col("cell") + 1))
+            / F.col("__nrm"),
+        )
+    assigned = assigned.filter(F.col("cell").isNotNull())
+    order = (
+        [F.col("__cd").desc(), F.col("__id")]
+        if keep == "far"
+        else [F.col("__cd").asc(), F.col("__id")]
+    )
+    w = Window.partitionBy("cell").orderBy(*order)
+    return assigned.withColumn("__rk", F.row_number().over(w)).select(
+        "__id", "__v", "__nrm", "cell", "__rk"
+    )
+
+
+def _validate(keep: str, eps: float, method: str) -> None:
+    if keep not in ("far", "near"):
+        raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
+    if not (0.0 <= eps <= 1.0):
+        raise ValueError(f"eps must be in [0, 1], got {eps}")
+    if method not in ("arrow", "expr"):
+        raise ValueError(f"method must be 'arrow' or 'expr', got {method!r}")
+
+
+def _pairs_from_ranked(ranked: DataFrame, cell_col: str, tau: float) -> DataFrame:
+    a, b = ranked.alias("a"), ranked.alias("b")
+    sim = dot_product(F.col("a.__v"), F.col("b.__v")) / (
+        F.col("a.__nrm") * F.col("b.__nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.__rk") < F.col("b.__rk")),
+        )
+        .select(
+            F.col("a.cell").alias(cell_col),
+            F.col("a.__id").alias("id_keep"),
+            F.col("b.__id").alias("id_drop"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= tau)
+    )
 
 
 def semdedup_pairs(
@@ -86,6 +276,7 @@ def semdedup_pairs(
     cell_col: str = "cell",
     kmeans_iters: int = 2,
     seed: int = 42,
+    method: str = "arrow",
     literal_cap: int = 32768,
 ) -> DataFrame:
     """(cell, id_keep, id_drop, sim) candidate pairs: within each cluster,
@@ -99,54 +290,13 @@ def semdedup_pairs(
     set is ``select(id_drop).distinct()``. Matching the paper's released
     implementation, a document is dropped if it is similar to ANY
     earlier-ranked member, whether or not that member itself survives."""
-    if keep not in ("far", "near"):
-        raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
-    if not (0.0 <= eps <= 1.0):
-        raise ValueError(f"eps must be in [0, 1], got {eps}")
+    _validate(keep, eps, method)
     if centroids is None:
         boot = train_centroids_sample(df, vec_col, num_cells=num_cells, seed=seed)
         centroids = kmeans_refine(df, boot, vec_col, iters=kmeans_iters)
-
-    assigned = _assign_cells(df, id_col, centroids, vec_col, cell_col, literal_cap)
-
-    # distance to own centroid: one codegen'd lookup over the literal array
-    # of centroid arrays (num_cells entries — small by construction)
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
-    cdist = cosine_distance(
-        F.col(vec_col), F.element_at(cent_arr, F.col(cell_col) + 1)
-    )
-    ranked = assigned.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        F.col(cell_col),
-        cdist.alias("__cd"),
-    )
-    order = (
-        [F.col("__cd").desc(), F.col("__id")]
-        if keep == "far"
-        else [F.col("__cd").asc(), F.col("__id")]
-    )
-    w = Window.partitionBy(cell_col).orderBy(*order)
-    ranked = ranked.withColumn("__rk", F.row_number().over(w))
-
-    a, b = ranked.alias("a"), ranked.alias("b")
-    sim = F.lit(1.0) - cosine_distance(F.col("a.__v"), F.col("b.__v"))
-    return (
-        a.join(
-            b,
-            (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
-            & (F.col("a.__rk") < F.col("b.__rk")),
-        )
-        .select(
-            F.col(f"a.{cell_col}").alias(cell_col),
-            F.col("a.__id").alias("id_keep"),
-            F.col("b.__id").alias("id_drop"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= 1.0 - eps)
-    )
+    ncents = _normalize_centroids(centroids)
+    ranked = _ranked(df, id_col, vec_col, ncents, keep, method, literal_cap)
+    return _pairs_from_ranked(ranked, cell_col, 1.0 - eps)
 
 
 def semdedup(
@@ -160,27 +310,27 @@ def semdedup(
     cell_col: Optional[str] = None,
     kmeans_iters: int = 2,
     seed: int = 42,
+    method: str = "arrow",
     literal_cap: int = 32768,
 ) -> DataFrame:
     """Survivors of semantic dedup: the input rows minus every document
     that semdedup_pairs marks as a drop. ``cell_col`` (optional) appends
-    the cluster assignment to the output for downstream per-cluster
-    sampling. One anti-join on the id — the corpus shuffles once."""
+    the cluster assignment (NULL for invalid vectors) — reused from the
+    single assignment pass, not recomputed. One anti-join on the id plus,
+    with cell_col, one id-keyed join back — the corpus shuffles once for
+    the dedup itself."""
+    _validate(keep, eps, method)
     if centroids is None:
         boot = train_centroids_sample(df, vec_col, num_cells=num_cells, seed=seed)
         centroids = kmeans_refine(df, boot, vec_col, iters=kmeans_iters)
-    pairs = semdedup_pairs(
-        df,
-        id_col,
-        vec_col,
-        centroids=centroids,
-        eps=eps,
-        keep=keep,
-        cell_col="__semcell",
-        literal_cap=literal_cap,
-    )
+    ncents = _normalize_centroids(centroids)
+    ranked = _ranked(df, id_col, vec_col, ncents, keep, method, literal_cap)
+    pairs = _pairs_from_ranked(ranked, "cell", 1.0 - eps)
     losers = pairs.select(F.col("id_drop").alias(id_col)).distinct()
     out = df.join(losers, on=id_col, how="left_anti")
     if cell_col is not None:
-        out = _assign_cells(out, id_col, centroids, vec_col, cell_col, literal_cap)
+        cells = ranked.select(
+            F.col("__id").alias(id_col), F.col("cell").alias(cell_col)
+        )
+        out = out.join(cells, on=id_col, how="left")
     return out

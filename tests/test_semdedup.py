@@ -111,20 +111,25 @@ def test_semdedup_differential_random(session):
         assert got == exp_pairs
 
 
-def test_semdedup_join_path_matches_literal(session):
-    """Forcing the broadcast-join argmin (literal_cap=0) must reproduce the
-    literal-expression assignment exactly, ties included."""
+def test_semdedup_paths_agree(session):
+    """All three assignment paths — arrow (default), expr with inlined
+    centroid literals, and expr forced onto the broadcast-join argmin
+    (literal_cap=0) — must produce identical survivors and cells, ties
+    included (the bit-exactness claim in the module docstring)."""
     rng = random.Random(11)
     vecs = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(40)]
     cents = [vecs[i][1] for i in range(5)]
     df = _vecs(session, vecs)
-    lit = sd.semdedup(df, "vid", centroids=cents, eps=0.3, cell_col="cell")
-    joined = sd.semdedup(
-        df, "vid", centroids=cents, eps=0.3, cell_col="cell", literal_cap=0
-    )
-    assert sorted(map(tuple, lit.select("vid", "cell").collect())) == sorted(
-        map(tuple, joined.select("vid", "cell").collect())
-    )
+    outs = [
+        sd.semdedup(df, "vid", centroids=cents, eps=0.3, cell_col="cell", **kw)
+        for kw in (
+            {"method": "arrow"},
+            {"method": "expr"},
+            {"method": "expr", "literal_cap": 0},
+        )
+    ]
+    rows = [sorted(map(tuple, o.select("vid", "cell").collect())) for o in outs]
+    assert rows[0] == rows[1] == rows[2]
 
 
 def test_semdedup_trained_centroids_and_cell_col(session):
@@ -143,6 +148,28 @@ def test_semdedup_trained_centroids_and_cell_col(session):
     assert {c for _, c in r1} <= {0, 1, 2, 3}
 
 
+def test_semdedup_invalid_vectors_survive(session):
+    """Null / ragged / null-element vectors must not abort the job: they
+    get NULL cells, join no pairs, and always survive (pq precedent)."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.99, 0.01]),      # near-dup of 1 — dropped
+        (3, None),              # null vector
+        (4, [1.0]),             # ragged
+        (5, [1.0, None]),       # null element
+    ]
+    cents = [[1.0, 0.05]]
+    df = _vecs(session, rows)
+    out = sd.semdedup(df, "vid", centroids=cents, eps=0.5, cell_col="cell")
+    got = {r["vid"]: r["cell"] for r in out.collect()}
+    # 2 sits closer to the centroid, so keep="far" ranks 1 first and drops 2
+    assert set(got) == {1, 3, 4, 5}
+    assert got[1] == 0
+    assert got[3] is None and got[4] is None and got[5] is None
+    pairs = sd.semdedup_pairs(df, "vid", centroids=cents, eps=0.5).collect()
+    assert {(r["id_keep"], r["id_drop"]) for r in pairs} == {(1, 2)}
+
+
 def test_semdedup_pairs_stay_within_cell(session):
     """No cross-cluster pair may ever appear — the quadratic is bounded by
     the cell, which is the whole scale argument."""
@@ -151,7 +178,9 @@ def test_semdedup_pairs_stay_within_cell(session):
     cents = [vecs[i][1] for i in range(4)]
     df = _vecs(session, vecs)
     pairs = sd.semdedup_pairs(df, "vid", centroids=cents, eps=1.0)
-    assigned = sd._assign_cells(df, "vid", cents, "embedding", "cell", 32768)
+    assigned = sd._ranked(
+        df, "vid", "embedding", sd._normalize_centroids(cents), "far", "arrow", 32768
+    ).withColumnRenamed("__id", "vid")
     cell_of = {r["vid"]: r["cell"] for r in assigned.collect()}
     for r in pairs.collect():
         assert cell_of[r["id_keep"]] == r["cell"]
