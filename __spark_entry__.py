@@ -4436,6 +4436,47 @@ ORDER BY vec_id
 """
 
 
+def zorder_key_orders(spark, sf):
+    """Morton/Z-order clustering key (ops/zorder.zorder_key — the write-side
+    layout optimizer behind to_parquet(zorder_by=...)): every order's
+    interleaved-bit key over (o_custkey, o_totalprice), quantized to 8 bits
+    between the global min/max of each column. Pure IEEE double arithmetic
+    plus integer bit ops — the oracle replays the identical quantization
+    (least/greatest/floor over the same doubles) and the identical unrolled
+    interleave, so every key matches bit-for-bit."""
+    from datachain_spark.ops import zorder as _z
+
+    orders = _chain(spark, sf, "orders").df
+    cols = ["o_custkey", "o_totalprice"]
+    bounds = _z.zorder_bounds(orders, cols)
+    key = _z.zorder_key(cols, bounds, bits=8)
+    return orders.select("o_orderkey", key.alias("zkey")).orderBy("o_orderkey")
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"(((qx >> {i}) & 1) << {i * 2})")
+        terms.append(f"(((qy >> {i}) & 1) << {i * 2 + 1})")
+    interleave = " | ".join(terms)
+    q = lambda col, mn, mx: (
+        f"least(255, greatest(0, CAST(floor(((CAST({col} AS DOUBLE) - {mn}) / ({mx} - {mn})) * 256.0) AS BIGINT)))"
+    )
+    return f"""
+WITH b AS (
+  SELECT CAST(min(o_custkey) AS DOUBLE) AS mnx, CAST(max(o_custkey) AS DOUBLE) AS mxx,
+         CAST(min(o_totalprice) AS DOUBLE) AS mny, CAST(max(o_totalprice) AS DOUBLE) AS mxy
+  FROM orders
+), qv AS (
+  SELECT o_orderkey,
+         {q('o_custkey', 'mnx', 'mxx')} AS qx,
+         {q('o_totalprice', 'mny', 'mxy')} AS qy
+  FROM orders CROSS JOIN b
+)
+SELECT o_orderkey, {interleave} AS zkey FROM qv ORDER BY o_orderkey
+"""
+
+
 _BLOCKLIST = ["www.ex1.com", "www.ex3.com", "www.ex5.com"]
 
 
@@ -4614,7 +4655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     leaves unverdicted and (b) the 11 r05-added oracles now in overflow
     (bm25_score_docs, dsir_importance_md5, c4_gate, spans_dedup_md5,
     corpus_stats_by_lang, pq_codes_adc, ivfpq_codes_adc, url_dedup_docs,
-    contamination_report_docs, semdedup_docs + any later additions); fill
+    contamination_report_docs, semdedup_docs, zorder_key_orders + any
+    later additions); fill
     remaining slots
     with the longest-out-of-window overflow rows (udf_*, sharding_md5,
     multimodal, function-family suites) so every registry entry has a
@@ -4747,6 +4789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_docs": url_dedup_docs,
         "contamination_report_docs": contamination_report_docs,
         "semdedup_docs": semdedup_docs,
+        "zorder_key_orders": zorder_key_orders,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -4862,6 +4905,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_docs": _url_dedup_sql(),
         "contamination_report_docs": _contamination_sql(),
         "semdedup_docs": _semdedup_sql(),
+        "zorder_key_orders": _zorder_sql(),
         "save_read_roundtrip": SAVE_READ_SQL,
         "delta_incremental": DELTA_INCREMENTAL_SQL,
         "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,

@@ -1065,6 +1065,9 @@ class DataChain:
         mode: str = "overwrite",
         sort_by: Optional[Sequence[str]] = None,
         max_records_per_file: Optional[int] = None,
+        zorder_by: Optional[Sequence[str]] = None,
+        zorder_bits: int = 8,
+        zorder_files: Optional[int] = None,
     ) -> None:
         """Parity: datachain.py:2217-2314 — distributed write, partitioned
         layout supported. Scale extras beyond the reference:
@@ -1072,10 +1075,25 @@ class DataChain:
         - ``sort_by``: cluster rows within each output file
           (sortWithinPartitions — no extra shuffle) so parquet row-group
           min/max statistics prune reads on those columns downstream.
+        - ``zorder_by``: Morton-curve clustering across SEVERAL columns
+          (ops/zorder) — file/row-group min/max stays tight on every listed
+          column at once, so scans filtered on any of them prune; one range
+          shuffle. ``zorder_files`` pins the output file count (an explicit
+          partition count is exempt from AQE coalescing — without it, AQE
+          merges small ranges and a toy-scale write lands in one file).
+          Mutually exclusive with ``sort_by``.
         - ``max_records_per_file``: bound file size so a downstream
           1000-executor scan gets even splits (no multi-GB straggler files).
         """
         df = self._df
+        if zorder_by:
+            if sort_by:
+                raise ValueError("zorder_by and sort_by are mutually exclusive")
+            from .ops.zorder import zorder_layout
+
+            df = zorder_layout(
+                df, zorder_by, bits=zorder_bits, num_partitions=zorder_files
+            )
         if sort_by:
             keys = ([*partition_cols] if partition_cols else []) + list(sort_by)
             df = df.sortWithinPartitions(*keys)

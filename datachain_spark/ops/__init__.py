@@ -15,6 +15,7 @@ from . import (
     semdedup,
     similarity,
     text,
+    zorder,
 )
 
 __all__ = [
@@ -31,4 +32,5 @@ __all__ = [
     "semdedup",
     "similarity",
     "text",
+    "zorder",
 ]

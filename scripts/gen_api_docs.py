@@ -20,6 +20,8 @@ SECTIONS = [
     ("ops.text", "datachain_spark.ops.text", None),
     ("ops.similarity", "datachain_spark.ops.similarity", None),
     ("ops.pq", "datachain_spark.ops.pq", None),
+    ("ops.semdedup", "datachain_spark.ops.semdedup", None),
+    ("ops.zorder", "datachain_spark.ops.zorder", None),
     ("ops.retrieval", "datachain_spark.ops.retrieval", None),
     ("ops.selection", "datachain_spark.ops.selection", None),
     ("ops.c4", "datachain_spark.ops.c4", None),

@@ -1,0 +1,115 @@
+"""Z-order layout (ops/zorder) — key interleave known values, clustering
+quality vs a single-column sort, write integration, and edge cases."""
+
+import glob
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+import datachain_spark as dc
+from datachain_spark.ops import zorder as z
+
+
+def _py_zkey(qvals, bits):
+    n = len(qvals)
+    key = 0
+    for i in range(bits):
+        for j, q in enumerate(qvals):
+            key |= ((q >> i) & 1) << (i * n + j)
+    return key
+
+
+def test_zorder_key_known_values(session):
+    # bounds 0..15 with bits=4: identity quantization (v*16/15 floored...
+    # actually frac*2^bits clamped) — verify against the Python interleave
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = session.spark.createDataFrame(rows, "x long, y long")
+    bounds = z.zorder_bounds(df, ["x", "y"])
+    assert bounds == {"x": (0.0, 15.0), "y": (0.0, 15.0)}
+    out = df.withColumn("k", z.zorder_key(["x", "y"], bounds, bits=4)).collect()
+
+    def q(v):
+        frac = (v - 0.0) / 15.0
+        return min(15, max(0, int(frac * 16)))
+
+    for r in out:
+        assert r["k"] == _py_zkey([q(r["x"]), q(r["y"])], 4)
+    # distinct corners map to opposite curve ends
+    ks = {(r["x"], r["y"]): r["k"] for r in out}
+    assert ks[(0, 0)] == 0
+    assert ks[(15, 15)] == 255
+
+
+def test_zorder_key_validation_and_edges(session):
+    df = session.spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError):
+        z.zorder_key([], {}, bits=8)
+    with pytest.raises(ValueError):
+        z.zorder_key(["x", "y"], {"x": (0, 1), "y": (0, 1)}, bits=32)
+    # constant and all-null columns contribute zero bits, nulls -> level 0
+    rows = [(1, None, 5), (2, None, 5), (None, None, 5)]
+    df = session.spark.createDataFrame(rows, "x long, y long, c long")
+    bounds = z.zorder_bounds(df, ["x", "y", "c"])
+    out = df.withColumn("k", z.zorder_key(["x", "y", "c"], bounds, bits=4)).collect()
+    got = {r["x"]: r["k"] for r in out}
+    assert got[None] == 0 and got[1] == 0  # x=1 is min -> level 0
+    assert got[2] > 0
+
+
+def test_zorder_layout_tightens_both_dims(session, tmp_path):
+    """The whole point: after z-order, per-file min/max spans shrink on
+    BOTH columns; after a plain x-sort, y spans stay ~global."""
+    rng = random.Random(42)
+    rows = [(rng.randrange(10_000), rng.randrange(10_000)) for _ in range(20_000)]
+    df = session.spark.createDataFrame(rows, "x long, y long")
+
+    zp = str(tmp_path / "zord")
+    # 16 files = 4 leading key bits (y7 x7 y6 x6): each file covers ~a
+    # quarter-by-quarter block of the 2D domain, so BOTH spans sit near
+    # 2500/10000 (plus boundary straddle; range boundaries come from a
+    # randomized sample, so margins stay generous)
+    dc.DataChain(df).to_parquet(zp, zorder_by=["x", "y"], zorder_files=16)
+    sp = str(tmp_path / "sort")
+    dc.DataChain(df.repartitionByRange(8, "x").sortWithinPartitions("x")).to_parquet(sp)
+
+    def spans(path):
+        files = [f for f in glob.glob(path + "/*.parquet")]
+        assert len(files) >= 4
+        sx, sy = [], []
+        for f in files:
+            r = session.spark.read.parquet(f).agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            ).collect()[0]
+            sx.append(r["sx"])
+            sy.append(r["sy"])
+        return sum(sx) / len(sx), sum(sy) / len(sy)
+
+    zx, zy = spans(zp)
+    px, py = spans(sp)
+    # z-order: both dims bounded well away from the 10k global span
+    assert zx < 6_500 and zy < 6_500, (zx, zy)
+    # plain x-sort: x tight but y spans ~everything — z-order must beat it
+    assert py > 9_000, py
+    assert zy < py * 0.7, (zy, py)
+
+
+def test_zorder_write_roundtrip_and_exclusivity(session, tmp_path):
+    df = session.spark.createDataFrame([(i, i * 2) for i in range(100)], "a long, b long")
+    p = str(tmp_path / "rt")
+    dc.DataChain(df).to_parquet(p, zorder_by=["a", "b"], zorder_bits=4)
+    back = session.spark.read.parquet(p)
+    assert back.count() == 100
+    assert sorted(back.columns) == ["a", "b"]  # __zkey never leaks
+    with pytest.raises(ValueError):
+        dc.DataChain(df).to_parquet(p, zorder_by=["a"], sort_by=["b"])
+
+
+def test_zorder_reused_bounds(session):
+    """Precomputed bounds shared across batches give identical keys."""
+    df1 = session.spark.createDataFrame([(i, i) for i in range(50)], "x long, y long")
+    bounds = z.zorder_bounds(df1, ["x", "y"])
+    k1 = df1.withColumn("k", z.zorder_key(["x", "y"], bounds, 6)).collect()
+    k2 = df1.withColumn("k", z.zorder_key(["x", "y"], dict(bounds), 6)).collect()
+    assert sorted(map(tuple, k1)) == sorted(map(tuple, k2))
