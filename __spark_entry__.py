@@ -4436,6 +4436,88 @@ ORDER BY vec_id
 """
 
 
+def dedup_eval_md5(spark, sf):
+    """LSH-vs-exact dedup audit (ops/dedup.dedup_eval_pairs): every pair
+    either the exact 2-gram Jaccard or the banded md5-MinHash pass surfaces
+    at threshold 0.25, labeled hit / false_positive / miss — the
+    banding-calibration table a 100-TB run derives from a sample. The
+    oracle composes the two already-verified templates (MINHASH_MD5_SQL's
+    signature/banding CTEs and NGRAM_SQL's inverted index) over the same
+    150-doc slice and replays the full-outer status join."""
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 150)
+    pairs = dedup.dedup_eval_pairs(
+        docs, "doc_id", "text", shingle_size=2, jaccard_threshold=0.25,
+        num_hashes=8, bands=4, hash_fn="md5",
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("jaccard"), 4).alias("jac_r"),
+        F.round(F.col("est_jaccard"), 4).alias("est_r"),
+        "status",
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_eval_sql(num_hashes: int = 8, bands: int = 4, threshold: float = 0.25) -> str:
+    rpb = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        "min(" + _MD5H.format(x=f"shingle || ':{i}'") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _MD5H.format(
+            x="concat_ws(',', " + ", ".join(f"h{b * rpb + j}" for j in range(rpb)) + ")"
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    words = _WORDS_2G_150.format(distinct="list_distinct")
+    return f"""
+WITH {words}, sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM tok GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cand0 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), cand AS (
+  SELECT id_a, id_b, ({eq_sum}) / {num_hashes}.0 AS est_jaccard
+  FROM cand0
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+  WHERE ({eq_sum}) / {num_hashes}.0 >= {threshold}
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+)
+SELECT coalesce(t.id_a, c.id_a) AS id_a,
+       coalesce(t.id_b, c.id_b) AS id_b,
+       round(t.jaccard, 4) AS jac_r,
+       round(c.est_jaccard, 4) AS est_r,
+       CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 'hit'
+            WHEN c.id_a IS NOT NULL THEN 'false_positive'
+            ELSE 'miss' END AS status
+FROM truth t
+FULL OUTER JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+ORDER BY id_a, id_b
+"""
+
+
 def zorder_key_orders(spark, sf):
     """Morton/Z-order clustering key (ops/zorder.zorder_key — the write-side
     layout optimizer behind to_parquet(zorder_by=...)): every order's
@@ -4655,8 +4737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     leaves unverdicted and (b) the 11 r05-added oracles now in overflow
     (bm25_score_docs, dsir_importance_md5, c4_gate, spans_dedup_md5,
     corpus_stats_by_lang, pq_codes_adc, ivfpq_codes_adc, url_dedup_docs,
-    contamination_report_docs, semdedup_docs, zorder_key_orders + any
-    later additions); fill
+    contamination_report_docs, semdedup_docs, zorder_key_orders,
+    dedup_eval_md5 + any later additions); fill
     remaining slots
     with the longest-out-of-window overflow rows (udf_*, sharding_md5,
     multimodal, function-family suites) so every registry entry has a
@@ -4790,6 +4872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report_docs": contamination_report_docs,
         "semdedup_docs": semdedup_docs,
         "zorder_key_orders": zorder_key_orders,
+        "dedup_eval_md5": dedup_eval_md5,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -4906,6 +4989,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_report_docs": _contamination_sql(),
         "semdedup_docs": _semdedup_sql(),
         "zorder_key_orders": _zorder_sql(),
+        "dedup_eval_md5": _dedup_eval_sql(),
         "save_read_roundtrip": SAVE_READ_SQL,
         "delta_incremental": DELTA_INCREMENTAL_SQL,
         "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,

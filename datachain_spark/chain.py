@@ -820,6 +820,13 @@ class DataChain:
 
         return self._evolve(_op(self._df, id_col, text_col, **kw))
 
+    def dedup_eval(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
+        """Precision/recall of the MinHash-LSH pass vs exact Jaccard
+        (ops/dedup.dedup_eval) — run on a sample to calibrate banding."""
+        from .ops.dedup import dedup_eval as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
     def semdedup(self, id_col: str, vec_col: str = "embedding", **kw: Any) -> "DataChain":
         """Semantic (embedding-cluster) dedup (ops/semdedup.semdedup)."""
         from .ops.semdedup import semdedup as _op

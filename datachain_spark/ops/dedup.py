@@ -980,3 +980,90 @@ def remove_duplicate_spans(
     if with_stats:
         return res
     return res.select(id_col, text_col)
+
+
+def dedup_eval_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Audit table for the approximate-dedup pipeline: every pair that the
+    exact n-gram Jaccard (ground truth) OR the banded MinHash-LSH pass
+    surfaces at ``jaccard_threshold``, labeled
+
+    - ``hit``            — LSH found a true near-duplicate pair,
+    - ``false_positive`` — LSH kept a pair whose exact Jaccard is below
+      the threshold (est_jaccard over-estimated),
+    - ``miss``           — a true pair LSH never surfaced (no shared band
+      bucket, or est_jaccard under-estimated).
+
+    Returns (id_a, id_b, jaccard, est_jaccard, status); jaccard is NULL on
+    LSH-only pairs the exact pass never surfaced, est_jaccard NULL on
+    misses. At 100 TB run this on a SAMPLE (`chain.sample`) — the exact
+    side is the quadratic inverted-index join the LSH pass exists to
+    avoid; the audit's purpose is calibrating (num_hashes, bands,
+    threshold) on a slice before the full run, the standard recipe for
+    banding-parameter sweeps."""
+    truth = ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_size=shingle_size,
+        threshold=jaccard_threshold,
+    ).select("id_a", "id_b", "jaccard")
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_size=shingle_size, jaccard_threshold=jaccard_threshold,
+        hash_fn=hash_fn,
+    ).select("id_a", "id_b", "est_jaccard")
+    full = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    status = (
+        F.when(
+            F.col("jaccard").isNotNull() & F.col("est_jaccard").isNotNull(),
+            F.lit("hit"),
+        )
+        .when(F.col("est_jaccard").isNotNull(), F.lit("false_positive"))
+        .otherwise(F.lit("miss"))
+    )
+    return full.select("id_a", "id_b", "jaccard", "est_jaccard", status.alias("status"))
+
+
+def dedup_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One-row precision/recall summary of the MinHash-LSH pass against
+    exact n-gram Jaccard (see dedup_eval_pairs): (n_true, n_candidates,
+    n_hits, precision, recall); precision/recall NULL when their
+    denominator is empty. Sample first at scale — the truth side is
+    quadratic by design."""
+    pairs = dedup_eval_pairs(
+        df, id_col, text_col, shingle_size=shingle_size,
+        jaccard_threshold=jaccard_threshold, num_hashes=num_hashes,
+        bands=bands, hash_fn=hash_fn,
+    )
+    # coalesce: SUM over an empty pairs table is NULL, the counts are 0
+    hits = F.coalesce(F.sum((F.col("status") == "hit").cast("long")), F.lit(0))
+    fps = F.coalesce(
+        F.sum((F.col("status") == "false_positive").cast("long")), F.lit(0)
+    )
+    misses = F.coalesce(F.sum((F.col("status") == "miss").cast("long")), F.lit(0))
+    agg = pairs.agg(
+        hits.alias("__hits"), fps.alias("__fps"), misses.alias("__misses")
+    )
+    h, fp, ms = F.col("__hits"), F.col("__fps"), F.col("__misses")
+    return agg.select(
+        (h + ms).alias("n_true"),
+        (h + fp).alias("n_candidates"),
+        h.alias("n_hits"),
+        F.when(h + fp > 0, h / (h + fp)).alias("precision"),
+        F.when(h + ms > 0, h / (h + ms)).alias("recall"),
+    )

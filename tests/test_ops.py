@@ -974,3 +974,55 @@ def test_ops_tolerate_empty_corpus(session):
     assert packing.interleave_datasets(
         {"a": empty.select("doc_id", "text")}, {"a": 2.0}, key=["doc_id"]
     ).count() == 0
+
+
+# -- dedup_eval (LSH precision/recall audit) --------------------------------
+def test_dedup_eval_pairs_statuses(docs):
+    """Identical/near-identical docs must surface as hits; the status
+    partition must be consistent between the pairs table and the summary."""
+    pairs = dedup.dedup_eval_pairs(
+        docs.df, "doc_id", "text", shingle_size=2,
+        jaccard_threshold=0.5, num_hashes=8, bands=4,
+    )
+    rows = pairs.collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], set()).add((r["id_a"], r["id_b"]))
+    # docs 0 and 2 are identical after normalization -> jaccard 1.0, and an
+    # identical signature always shares every band bucket -> guaranteed hit
+    assert (0, 2) in by_status.get("hit", set())
+    for r in rows:
+        if r["status"] == "hit":
+            assert r["jaccard"] is not None and r["est_jaccard"] is not None
+        elif r["status"] == "false_positive":
+            assert r["jaccard"] is None and r["est_jaccard"] is not None
+        else:
+            assert r["status"] == "miss"
+            assert r["jaccard"] is not None and r["est_jaccard"] is None
+
+    summary = dedup.dedup_eval(
+        docs.df, "doc_id", "text", shingle_size=2,
+        jaccard_threshold=0.5, num_hashes=8, bands=4,
+    ).collect()[0]
+    hits = len(by_status.get("hit", set()))
+    fps = len(by_status.get("false_positive", set()))
+    misses = len(by_status.get("miss", set()))
+    assert summary["n_hits"] == hits
+    assert summary["n_candidates"] == hits + fps
+    assert summary["n_true"] == hits + misses
+    if hits + fps:
+        assert abs(summary["precision"] - hits / (hits + fps)) < 1e-12
+    if hits + misses:
+        assert abs(summary["recall"] - hits / (hits + misses)) < 1e-12
+    assert summary["precision"] is None or 0.0 <= summary["precision"] <= 1.0
+    assert summary["recall"] is None or 0.0 <= summary["recall"] <= 1.0
+
+
+def test_dedup_eval_empty_corpus(session):
+    """No pairs on either side: counts 0, precision/recall NULL (no 0/0)."""
+    df = session.spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    s = dedup.dedup_eval(df, "doc_id", "text", jaccard_threshold=0.99).collect()[0]
+    assert s["n_true"] == 0 and s["n_candidates"] == 0 and s["n_hits"] == 0
+    assert s["precision"] is None and s["recall"] is None
