@@ -377,3 +377,44 @@ def test_q5_authentic_pushdown_and_broadcasts(spark, sf_dir):
     pf = pushed_filters(df)
     assert any("r_name" in f for f in pf), pf
     assert any("o_orderdate" in f for f in pf), pf
+
+
+def test_semdedup_shuffle_budget(spark, sf_dir):
+    # SemDeDup's SCALE claim: arrow assignment is a pure map stage; the
+    # whole survivors plan pays only the cell window + cell self-join +
+    # id anti-join (+ the optional cell_col join-back)
+    from pyspark.sql import functions as F
+
+    from datachain_spark.ops import semdedup as sd
+
+    emb = entrymod._chain(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    ncents = sd._normalize_centroids(cents)
+    ranked = sd._ranked(corpus, "vec_id", "embedding", ncents, "far", "arrow", 32768)
+    assert shuffle_count(ranked) == 1  # the cell window only
+    out = sd.semdedup(corpus, "vec_id", "embedding", centroids=cents, eps=0.75)
+    assert shuffle_count(out) <= 4
+
+
+def test_zorder_layout_single_range_exchange(spark, sf_dir):
+    # Z-order's SCALE claim: the key is pure projection (no extra shuffle);
+    # the layout pays exactly the one range exchange any clustered write
+    # costs, and it IS a range partitioning (file min/max contiguity)
+    from datachain_spark.ops import zorder as z
+    from datachain_spark.plans.inspect import _formatted
+
+    orders = entrymod._chain(spark, sf_dir, "orders").df
+    bounds = z.zorder_bounds(orders, ["o_custkey", "o_totalprice"])
+    keyed = orders.withColumn(
+        "k", z.zorder_key(["o_custkey", "o_totalprice"], bounds, 8)
+    )
+    assert shuffle_count(keyed) == 0
+    laid = z.zorder_layout(orders, ["o_custkey", "o_totalprice"], num_partitions=8)
+    assert shuffle_count(laid) == 1
+    assert "rangepartitioning" in _formatted(laid).lower()
