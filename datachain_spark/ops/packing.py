@@ -248,3 +248,62 @@ def interleave_datasets(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def temperature_weights(
+    sizes: dict[str, int],
+    temperature: float = 1.0,
+    total_rows: Optional[int] = None,
+) -> dict[str, float]:
+    """Per-source epoch weights for temperature-based mixture sampling —
+    the multilingual/multi-domain rebalancing recipe (mBERT / XLM-R / mC4,
+    public): sample source i with probability q_i ∝ p_i^(1/T) where p_i is
+    its natural share of the pooled corpus. T=1 keeps natural proportions;
+    T>1 flattens the mix toward uniform (upweights low-resource domains —
+    XLM-R's T≈3.3); T→∞ is uniform.
+
+    Returns weights for :func:`interleave_datasets`: source i emits
+    ``total_rows * q_i`` expected rows, i.e. weight w_i = total_rows * q_i
+    / n_i (epochs of the source, fractional part a deterministic
+    subsample). ``total_rows`` defaults to the pooled size, so T=1 returns
+    weight 1.0 for every source. Driver-side arithmetic only — callers
+    supply sizes (one count per source, or metastore stats)."""
+    if not sizes:
+        raise ValueError("temperature_weights: sizes must be non-empty")
+    if not math.isfinite(temperature) or temperature <= 0:
+        raise ValueError(
+            f"temperature_weights: temperature must be > 0, got {temperature}"
+        )
+    for name, n in sizes.items():
+        if n <= 0:
+            raise ValueError(
+                f"temperature_weights: size for {name!r} must be > 0, got {n}"
+            )
+    total = sum(sizes.values())
+    if total_rows is None:
+        total_rows = total
+    alpha = 1.0 / temperature
+    q = {name: (n / total) ** alpha for name, n in sizes.items()}
+    z = sum(q.values())
+    return {name: total_rows * (qi / z) / sizes[name] for name, qi in q.items()}
+
+
+def interleave_by_temperature(
+    sources: dict[str, DataFrame],
+    temperature: float = 1.0,
+    total_rows: Optional[int] = None,
+    sizes: Optional[dict[str, int]] = None,
+    seed: int = 42,
+    key: Optional[Sequence[str]] = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """:func:`interleave_datasets` with weights derived from
+    :func:`temperature_weights`. ``sizes`` skips the per-source count jobs
+    (pass metastore row counts at scale — otherwise this runs one count
+    per source up front; the mixture itself stays zero-shuffle)."""
+    if sizes is None:
+        sizes = {name: src.count() for name, src in sources.items()}
+    w = temperature_weights(sizes, temperature, total_rows)
+    return interleave_datasets(
+        sources, w, seed=seed, key=key, hash_fn=hash_fn
+    )

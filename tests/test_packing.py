@@ -163,3 +163,56 @@ def test_pack_greedy_beats_capacity_waste(spark):
     per_pack = out.groupBy("pack_id").count().collect()
     assert all(r["count"] == 2 for r in per_pack)
     assert len(per_pack) == 20
+
+
+# -- temperature mixing ------------------------------------------------------
+def test_temperature_weights_math():
+    import math
+
+    # T=1: natural proportions -> every source weight exactly 1.0
+    w = packing.temperature_weights({"a": 900, "b": 100})
+    assert w == {"a": 1.0, "b": 1.0}
+    # T>1 flattens: low-resource upweighted, high-resource subsampled, and
+    # the expected output size stays the pooled total
+    w = packing.temperature_weights({"a": 900, "b": 100}, temperature=3.0)
+    assert w["b"] > 1.0 > w["a"]
+    assert abs(900 * w["a"] + 100 * w["b"] - 1000) < 1e-9
+    # hand-check against the closed form q_i ∝ p_i^(1/T)
+    qa, qb = 0.9 ** (1 / 3), 0.1 ** (1 / 3)
+    z = qa + qb
+    assert abs(w["a"] - 1000 * (qa / z) / 900) < 1e-12
+    # huge T -> uniform shares: each source emits ~total/2 rows
+    w = packing.temperature_weights({"a": 900, "b": 100}, temperature=1e9)
+    assert abs(900 * w["a"] - 500) < 1.0 and abs(100 * w["b"] - 500) < 1.0
+    # total_rows rescales linearly
+    w2 = packing.temperature_weights({"a": 900, "b": 100}, 3.0, total_rows=500)
+    w3 = packing.temperature_weights({"a": 900, "b": 100}, 3.0)
+    assert abs(w2["a"] - w3["a"] / 2) < 1e-12
+    for bad in ({}, ):
+        with pytest.raises(ValueError):
+            packing.temperature_weights(bad)
+    with pytest.raises(ValueError):
+        packing.temperature_weights({"a": 10}, temperature=0.0)
+    with pytest.raises(ValueError):
+        packing.temperature_weights({"a": 0})
+
+
+def test_interleave_by_temperature_end_to_end(docs):
+    a = docs.filter(F.col("doc_id") % 10 > 0)   # ~90%
+    b = docs.filter(F.col("doc_id") % 10 == 0)  # ~10%
+    na, nb = a.count(), b.count()
+    out = packing.interleave_by_temperature(
+        {"big": a, "small": b}, temperature=3.0, key=["doc_id"]
+    )
+    per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    w = packing.temperature_weights({"big": na, "small": nb}, 3.0)
+    # integer epochs are exact; the fractional tail is a hash subsample
+    assert per["small"] >= int(w["small"]) * nb
+    assert abs(per["big"] - w["big"] * na) < 0.25 * na
+    assert abs(per["small"] - w["small"] * nb) < 0.35 * nb
+    # precomputed sizes skip the count jobs and give identical weights
+    out2 = packing.interleave_by_temperature(
+        {"big": a, "small": b}, temperature=3.0,
+        sizes={"big": na, "small": nb}, key=["doc_id"],
+    )
+    assert out2.count() == out.count()
