@@ -1075,6 +1075,7 @@ class DataChain:
         zorder_by: Optional[Sequence[str]] = None,
         zorder_bits: int = 8,
         zorder_files: Optional[int] = None,
+        zorder_strategy: str = "minmax",
     ) -> None:
         """Parity: datachain.py:2217-2314 — distributed write, partitioned
         layout supported. Scale extras beyond the reference:
@@ -1099,7 +1100,8 @@ class DataChain:
             from .ops.zorder import zorder_layout
 
             df = zorder_layout(
-                df, zorder_by, bits=zorder_bits, num_partitions=zorder_files
+                df, zorder_by, bits=zorder_bits, num_partitions=zorder_files,
+                strategy=zorder_strategy,
             )
         if sort_by:
             keys = ([*partition_cols] if partition_cols else []) + list(sort_by)

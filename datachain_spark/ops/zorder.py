@@ -21,13 +21,17 @@ scaled and floored), identical in any engine — the ``zorder_key_orders``
 oracle replays it bit-for-bit in DuckDB including the unrolled interleave.
 
 Limits: ncols * bits must fit a signed 64-bit key (<= 63). min==max
-columns contribute constant 0 bits (harmless). Skewed value distributions
-get skewed quantization buckets — range partitioning still balances ROWS
-per output file (boundaries come from sampling the key), only the
-min/max tightness degrades toward the skewed column's heavy levels;
-pre-transforming (e.g. log) or rank-based bucketing is the usual remedy
-and composes naturally (`mutate` first, z-order on the transformed
-column).
+columns contribute constant 0 bits (harmless).
+
+Skew: min/max quantization collapses a skewed column onto a few levels
+(a power-law column puts ~everything in level 0) — range partitioning
+still balances ROWS per file, but min/max tightness degrades.
+``strategy="quantile"`` quantizes by approximate quantile boundaries
+instead (equal-POPULATION levels; approxQuantile + the JVM Bucketizer,
+one extra pass over the clustering columns) — use it when the columns
+are heavy-tailed. The quantile sketch's boundaries depend on partition
+merge order, so this path trades the minmax path's bit-exact determinism
+for skew resistance; the oracle covers the minmax path.
 """
 
 from __future__ import annotations
@@ -52,6 +56,30 @@ def zorder_bounds(
     return {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
 
 
+def _check_dims(n: int, bits: int) -> None:
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} cols x {bits} bits = {n * bits} key bits — must be <= 63"
+        )
+
+
+def _interleave(qs: Sequence[Column], bits: int) -> Column:
+    """Round-robin bit interleave of already-quantized long columns:
+    column j's bit i lands at key position ``i * ncols + j``."""
+    n = len(qs)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(qs):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return key
+
+
 def zorder_key(
     cols: Sequence[str],
     bounds: dict[str, tuple[float, float]],
@@ -61,12 +89,7 @@ def zorder_key(
     lands at key position ``i * ncols + j`` (round-robin interleave, the
     standard Z-curve). All-null or min==max columns contribute zeros."""
     n = len(cols)
-    if n == 0:
-        raise ValueError("zorder_key needs at least one column")
-    if n * bits > 63:
-        raise ValueError(
-            f"{n} cols x {bits} bits = {n * bits} key bits — must be <= 63"
-        )
+    _check_dims(n, bits)
     levels = float(2**bits)
     qs = []
     for c in cols:
@@ -84,15 +107,48 @@ def zorder_key(
             ),
         )
         qs.append(F.coalesce(q, F.lit(0).cast("long")))
-    key = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, q in enumerate(qs):
-            key = key.bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j
-                )
-            )
-    return key
+    return _interleave(qs, bits)
+
+
+def _quantile_keyed(df: DataFrame, cols: Sequence[str], bits: int) -> DataFrame:
+    """Equal-population quantization: per-column approxQuantile boundaries
+    (one pass, driver holds 2^bits-1 floats per column) + the JVM
+    Bucketizer's binary search, then the same bit interleave."""
+    from pyspark.ml.feature import Bucketizer
+
+    _check_dims(len(cols), bits)
+    levels = 2**bits
+    probs = [i / levels for i in range(1, levels)]
+    all_bounds = df.approxQuantile(list(cols), probs, 0.001)
+    out = df
+    qcols = []
+    for c, bnds in zip(cols, all_bounds):
+        # strictly-increasing splits (duplicate quantiles collapse levels
+        # on heavy ties — correct: those values ARE one population bucket)
+        splits = [float("-inf")]
+        for b in bnds:
+            if b > splits[-1]:
+                splits.append(float(b))
+        splits.append(float("inf"))
+        qc = f"__zq_{c}"
+        if len(splits) < 3:  # constant column
+            out = out.withColumn(qc, F.lit(0).cast("long"))
+        else:
+            # bucketize a TEMP double copy — the user's column keeps its type
+            out = Bucketizer(
+                splits=splits, inputCol=qc + "_in", outputCol=qc + "_d",
+                handleInvalid="keep",
+            ).transform(out.withColumn(qc + "_in", F.col(c).cast("double")))
+            nb = len(splits) - 1  # "keep" sends nulls/NaN to bucket nb
+            out = out.withColumn(
+                qc,
+                F.when(F.col(qc + "_d") >= nb, F.lit(0))
+                .otherwise(F.col(qc + "_d"))
+                .cast("long"),
+            ).drop(qc + "_d", qc + "_in")
+        qcols.append(qc)
+    keyed = out.withColumn("__zkey", _interleave([F.col(c) for c in qcols], bits))
+    return keyed.drop(*qcols)
 
 
 def zorder_layout(
@@ -101,15 +157,22 @@ def zorder_layout(
     bits: int = 8,
     num_partitions: Optional[int] = None,
     bounds: Optional[dict[str, tuple[float, float]]] = None,
+    strategy: str = "minmax",
 ) -> DataFrame:
     """Range-repartition + sort the frame along the Z-curve over ``cols``.
     Write the result (``to_parquet``) and downstream scans filtered on any
     participating column prune files AND row groups via parquet min/max
-    stats. ``num_partitions`` ~ the desired output file count."""
-    if bounds is None:
-        bounds = zorder_bounds(df, cols)
-    key = zorder_key(cols, bounds, bits).alias("__zkey")
-    out = df.withColumn("__zkey", key)
+    stats. ``num_partitions`` ~ the desired output file count;
+    ``strategy="quantile"`` switches to equal-population quantization for
+    heavy-tailed columns (see module docstring)."""
+    if strategy not in ("minmax", "quantile"):
+        raise ValueError(f"strategy must be 'minmax' or 'quantile', got {strategy!r}")
+    if strategy == "quantile":
+        out = _quantile_keyed(df, cols, bits)
+    else:
+        if bounds is None:
+            bounds = zorder_bounds(df, cols)
+        out = df.withColumn("__zkey", zorder_key(cols, bounds, bits))
     if num_partitions:
         out = out.repartitionByRange(num_partitions, F.col("__zkey"))
     else:

@@ -113,3 +113,39 @@ def test_zorder_reused_bounds(session):
     k1 = df1.withColumn("k", z.zorder_key(["x", "y"], bounds, 6)).collect()
     k2 = df1.withColumn("k", z.zorder_key(["x", "y"], dict(bounds), 6)).collect()
     assert sorted(map(tuple, k1)) == sorted(map(tuple, k2))
+
+
+def test_zorder_quantile_strategy_resists_skew(session):
+    """A power-law column collapses minmax quantization onto a few levels;
+    quantile quantization spreads it across ~2^bits equal-population
+    levels — measured as distinct-key diversity on the same data."""
+    rng = random.Random(7)
+    # heavy tail: 99% of values tiny, a few huge
+    rows = [(int(rng.paretovariate(0.5)), rng.randrange(1000)) for _ in range(5000)]
+    df = session.spark.createDataFrame(rows, "x long, y long")
+    bounds = z.zorder_bounds(df, ["x", "y"])
+    mm = df.withColumn("k", z.zorder_key(["x", "y"], bounds, bits=6))
+    qq = z._quantile_keyed(df, ["x", "y"], bits=6).withColumnRenamed("__zkey", "k")
+    # x's contribution under minmax: almost all rows land on x-level 0
+    mm_x_levels = mm.select(
+        F.floor((F.col("x") - bounds["x"][0]) / (bounds["x"][1] - bounds["x"][0]) * 64)
+    ).distinct().count()
+    assert mm_x_levels < 15
+    nmm = mm.select("k").distinct().count()
+    nqq = qq.select("k").distinct().count()
+    assert nqq > nmm * 2, (nmm, nqq)
+
+
+def test_zorder_quantile_write_keeps_types(session, tmp_path):
+    rng = random.Random(9)
+    rows = [(int(rng.paretovariate(1.0)), rng.randrange(100)) for _ in range(2000)]
+    df = session.spark.createDataFrame(rows, "x long, y long")
+    p = str(tmp_path / "q")
+    dc.DataChain(df).to_parquet(
+        p, zorder_by=["x", "y"], zorder_files=4, zorder_strategy="quantile"
+    )
+    back = session.spark.read.parquet(p)
+    assert back.count() == 2000
+    assert dict(back.dtypes) == {"x": "bigint", "y": "bigint"}
+    with pytest.raises(ValueError):
+        z.zorder_layout(df, ["x"], strategy="rank")
