@@ -202,10 +202,22 @@ def _ranked(
     keep: str,
     method: str,
     literal_cap: int,
+    max_cell_size: Optional[int] = None,
+    seed: int = 42,
 ) -> DataFrame:
-    """(__id, __v, __nrm, cell, __rk) for every validly-assigned row: cell
-    assignment + within-cell rank under the survival policy. NULL-cell
-    (invalid-vector) rows are excluded — they take part in no comparisons."""
+    """(__id, __v, __nrm, cell, __sub, __rk) for every validly-assigned row:
+    cell assignment + within-(cell, sub-cell) rank under the survival
+    policy. NULL-cell (invalid-vector) rows are excluded — they take part
+    in no comparisons.
+
+    ``max_cell_size`` is the skew guard: a degenerate cluster (near-dup-
+    heavy corpora) makes one cell's O(n^2) pair join explode. With a cap,
+    any cell larger than it is hash-salted into ceil(n/cap) sub-cells and
+    comparison stays within the sub-cell — bounded cost, at the price of
+    missing cross-sub-cell duplicates (expected recall loss ~(1 - 1/s) per
+    oversized cell; the standard batched-semantic-dedup tradeoff). Costs
+    one per-cell count aggregation + a broadcast factor join; __sub is a
+    constant 0 when the cap is off."""
     rows = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if method == "arrow":
         assigned = _assign_arrow(rows, ncents, "__v", rows.schema["__id"])
@@ -224,14 +236,36 @@ def _ranked(
             / F.col("__nrm"),
         )
     assigned = assigned.filter(F.col("cell").isNotNull())
+    if max_cell_size:
+        counts = assigned.groupBy("cell").agg(F.count("*").alias("__n"))
+        factors = counts.select(
+            "cell",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("__n") / F.lit(float(max_cell_size))).cast("long"),
+            ).alias("__splits"),
+        )
+        assigned = (
+            assigned.join(F.broadcast(factors), "cell")
+            .withColumn(
+                "__sub",
+                F.pmod(
+                    F.xxhash64(F.col("__id").cast("string"), F.lit(seed)),
+                    F.col("__splits"),
+                ),
+            )
+            .drop("__splits")
+        )
+    else:
+        assigned = assigned.withColumn("__sub", F.lit(0).cast("long"))
     order = (
         [F.col("__cd").desc(), F.col("__id")]
         if keep == "far"
         else [F.col("__cd").asc(), F.col("__id")]
     )
-    w = Window.partitionBy("cell").orderBy(*order)
+    w = Window.partitionBy("cell", "__sub").orderBy(*order)
     return assigned.withColumn("__rk", F.row_number().over(w)).select(
-        "__id", "__v", "__nrm", "cell", "__rk"
+        "__id", "__v", "__nrm", "cell", "__sub", "__rk"
     )
 
 
@@ -253,6 +287,7 @@ def _pairs_from_ranked(ranked: DataFrame, cell_col: str, tau: float) -> DataFram
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.__sub") == F.col("b.__sub"))
             & (F.col("a.__rk") < F.col("b.__rk")),
         )
         .select(
@@ -278,6 +313,7 @@ def semdedup_pairs(
     seed: int = 42,
     method: str = "arrow",
     literal_cap: int = 32768,
+    max_cell_size: Optional[int] = None,
 ) -> DataFrame:
     """(cell, id_keep, id_drop, sim) candidate pairs: within each cluster,
     ``id_drop`` is too similar (cosine >= 1 - eps) to the earlier-ranked
@@ -295,7 +331,10 @@ def semdedup_pairs(
         boot = train_centroids_sample(df, vec_col, num_cells=num_cells, seed=seed)
         centroids = kmeans_refine(df, boot, vec_col, iters=kmeans_iters)
     ncents = _normalize_centroids(centroids)
-    ranked = _ranked(df, id_col, vec_col, ncents, keep, method, literal_cap)
+    ranked = _ranked(
+        df, id_col, vec_col, ncents, keep, method, literal_cap,
+        max_cell_size=max_cell_size, seed=seed,
+    )
     return _pairs_from_ranked(ranked, cell_col, 1.0 - eps)
 
 
@@ -312,19 +351,25 @@ def semdedup(
     seed: int = 42,
     method: str = "arrow",
     literal_cap: int = 32768,
+    max_cell_size: Optional[int] = None,
 ) -> DataFrame:
     """Survivors of semantic dedup: the input rows minus every document
     that semdedup_pairs marks as a drop. ``cell_col`` (optional) appends
     the cluster assignment (NULL for invalid vectors) — reused from the
     single assignment pass, not recomputed. One anti-join on the id plus,
     with cell_col, one id-keyed join back — the corpus shuffles once for
-    the dedup itself."""
+    the dedup itself. ``max_cell_size`` bounds the worst-case pair join on
+    skewed clusters by hash sub-cell salting (see _ranked — bounded cost,
+    a small documented recall loss on oversized cells only)."""
     _validate(keep, eps, method)
     if centroids is None:
         boot = train_centroids_sample(df, vec_col, num_cells=num_cells, seed=seed)
         centroids = kmeans_refine(df, boot, vec_col, iters=kmeans_iters)
     ncents = _normalize_centroids(centroids)
-    ranked = _ranked(df, id_col, vec_col, ncents, keep, method, literal_cap)
+    ranked = _ranked(
+        df, id_col, vec_col, ncents, keep, method, literal_cap,
+        max_cell_size=max_cell_size, seed=seed,
+    )
     pairs = _pairs_from_ranked(ranked, "cell", 1.0 - eps)
     losers = pairs.select(F.col("id_drop").alias(id_col)).distinct()
     out = df.join(losers, on=id_col, how="left_anti")

@@ -189,3 +189,35 @@ def test_semdedup_pairs_stay_within_cell(session):
     # pair; the Python reference gives the exact expected count
     exp_pairs, _ = _py_semdedup(vecs, cents, 1.0, "far")
     assert pairs.count() == len(exp_pairs)
+
+
+def test_semdedup_max_cell_size_caps_the_quadratic(session):
+    """One degenerate near-duplicate cluster: uncapped semdedup collapses it
+    to a single survivor; with max_cell_size the comparison stays within
+    hash sub-cells (bounded pair join), each sub-cell keeping >= 1 — more
+    survivors, never fewer, and a cap >= the cell size changes nothing."""
+    rng = random.Random(13)
+    base = [1.0, 0.5, -0.25, 0.125]
+    vecs = [
+        (i, [x + rng.gauss(0, 1e-4) for x in base]) for i in range(60)
+    ]
+    cents = [base]
+    df = _vecs(session, vecs)
+    uncapped = sd.semdedup(df, "vid", centroids=cents, eps=0.5)
+    assert uncapped.count() == 1
+    capped = sd.semdedup(df, "vid", centroids=cents, eps=0.5, max_cell_size=10)
+    n_capped = capped.count()
+    assert 2 <= n_capped <= 12  # ceil(60/10)=6 sub-cells, each keeps >=1
+    # pairs stay within a sub-cell: per-(keep,drop) hash groups agree
+    pairs = sd.semdedup_pairs(
+        df, "vid", centroids=cents, eps=0.5, max_cell_size=10
+    ).collect()
+    # pairs still report the TRUE cell id (sub-cell salting is internal),
+    # and the drop set accounts exactly for the missing survivors
+    assert all(r["cell"] == 0 for r in pairs)
+    assert len({r["id_drop"] for r in pairs}) == 60 - n_capped
+    # a cap larger than the cell is a no-op
+    same = sd.semdedup(df, "vid", centroids=cents, eps=0.5, max_cell_size=1000)
+    assert {r["vid"] for r in same.collect()} == {
+        r["vid"] for r in uncapped.collect()
+    }
