@@ -1005,22 +1005,41 @@ class DataChain:
         bucket_by: Optional[Sequence[str]] = None,
         num_buckets: int = 16,
         bucket_sort: Optional[Sequence[str]] = None,
+        zorder_by: Optional[Sequence[str]] = None,
+        zorder_bits: int = 8,
+        zorder_files: Optional[int] = None,
     ) -> "DataChain":
         """Materialize as a new dataset version; returns a chain reading the
         saved data. Parity: datachain.py:602-673.
 
-        Scale extra beyond the reference: ``bucket_by`` stores the version
+        Scale extras beyond the reference: ``bucket_by`` stores the version
         bucketed (hash-clustered files + catalog CLUSTERED BY registration)
         so downstream equi-joins/aggs on the bucket key run with NO shuffle
         when both sides share the layout — pre-pay one shuffle at write time,
-        amortized over every co-located join after."""
+        amortized over every co-located join after. ``zorder_by`` stores it
+        Morton-clustered instead (ops/zorder) so scans filtered on ANY of
+        the listed columns prune files/row-groups — the multi-column
+        data-skipping layout; mutually exclusive with ``bucket_by`` (one
+        physical order per version)."""
         from .schema import serialize_signals
 
+        save_df = self._df
+        if zorder_by:
+            if bucket_by:
+                raise ValueError(
+                    "zorder_by and bucket_by are mutually exclusive — one "
+                    "physical layout per version"
+                )
+            from .ops.zorder import zorder_layout
+
+            save_df = zorder_layout(
+                save_df, zorder_by, bits=zorder_bits, num_partitions=zorder_files
+            )
         live_models = {
             c: m for c, m in self._signal_models.items() if c in self._df.columns
         }
         dv = self.session.metastore.save_dataset(
-            self._df, name, version=version, update_version=update_version,
+            save_df, name, version=version, update_version=update_version,
             attrs=attrs, description=description, dependencies=self._dependencies,
             bucket_by=list(bucket_by) if bucket_by else None,
             num_buckets=num_buckets,

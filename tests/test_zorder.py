@@ -149,3 +149,32 @@ def test_zorder_quantile_write_keeps_types(session, tmp_path):
     assert dict(back.dtypes) == {"x": "bigint", "y": "bigint"}
     with pytest.raises(ValueError):
         z.zorder_layout(df, ["x"], strategy="rank")
+
+
+def test_save_zorder_by(session, tmp_path):
+    """save(zorder_by=...) stores the version Morton-clustered: data round-
+    trips through the catalog, per-file spans tighten, and bucket_by is
+    rejected alongside it."""
+    rng = random.Random(21)
+    rows = [(rng.randrange(10_000), rng.randrange(10_000)) for _ in range(10_000)]
+    df = session.spark.createDataFrame(rows, "x long, y long")
+    ch = dc.DataChain(df).save("zorder_saved", zorder_by=["x", "y"], zorder_files=8)
+    assert ch.count() == 10_000
+    back = dc.read_dataset("zorder_saved", session=session)
+    assert back.count() == 10_000
+    data_dir = session.metastore.version_data_path(
+        "local.default.zorder_saved", "1.0.0"
+    )
+    files = glob.glob(data_dir + "/*.parquet")
+    assert len(files) >= 4
+    spans = []
+    for f in files:
+        r = session.spark.read.parquet(f).agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        ).collect()[0]
+        spans.append((r["sx"], r["sy"]))
+    assert sum(s[0] for s in spans) / len(spans) < 7_000
+    assert sum(s[1] for s in spans) / len(spans) < 7_000
+    with pytest.raises(ValueError):
+        dc.DataChain(df).save("zb", zorder_by=["x"], bucket_by=["y"])
