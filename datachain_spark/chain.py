@@ -1079,6 +1079,24 @@ class DataChain:
         cheaper than persist() when re-used within one session)."""
         return self._evolve(self._df.cache())
 
+    def repartition(self, num_or_col, *cols) -> "DataChain":
+        """Explicit re-shuffle: a partition count, hash columns, or both —
+        the pre-join/pre-write layout knob (no reference counterpart; the
+        SQLite engine has no partitioning). An explicit count is exempt
+        from AQE coalescing."""
+        return self._evolve(self._df.repartition(num_or_col, *cols))
+
+    def coalesce(self, num: int) -> "DataChain":
+        """Shrink partition count WITHOUT a shuffle (narrow) — the
+        small-output write knob."""
+        return self._evolve(self._df.coalesce(num))
+
+    def hint(self, name: str, *params) -> "DataChain":
+        """Pass a Catalyst hint through ("merge", "shuffle_hash",
+        "shuffle_replicate_nl", "rebalance", ...) — the escape hatch when
+        AQE's strategy choice needs overriding for one join."""
+        return self._evolve(self._df.hint(name, *params))
+
     def exec(self) -> "DataChain":  # noqa: A003
         """Force execution. Parity: datachain.py:2875."""
         self._df.count()

@@ -14,6 +14,7 @@ from . import (
     selection,
     semdedup,
     similarity,
+    sketches,
     text,
     zorder,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "selection",
     "semdedup",
     "similarity",
+    "sketches",
     "text",
     "zorder",
 ]

@@ -22,6 +22,7 @@ SECTIONS = [
     ("ops.pq", "datachain_spark.ops.pq", None),
     ("ops.semdedup", "datachain_spark.ops.semdedup", None),
     ("ops.zorder", "datachain_spark.ops.zorder", None),
+    ("ops.sketches", "datachain_spark.ops.sketches", None),
     ("ops.retrieval", "datachain_spark.ops.retrieval", None),
     ("ops.selection", "datachain_spark.ops.selection", None),
     ("ops.c4", "datachain_spark.ops.c4", None),

@@ -1,0 +1,81 @@
+"""HLL distinct-profile sketches (ops/sketches) — accuracy, mergeability
+(the whole point: shard sketches combine without rescanning), and the
+chain repartition/coalesce/hint knobs added alongside."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import datachain_spark as dc
+from datachain_spark.ops import sketches
+from datachain_spark.plans import shuffle_count
+
+
+def test_hll_profile_accuracy(session):
+    df = session.spark.range(10_000).select(
+        F.col("id").alias("uid"),
+        (F.col("id") % 137).alias("bucket"),
+        F.concat(F.lit("u"), (F.col("id") % 1000).cast("string")).alias("name"),
+    )
+    prof = {r["column"]: r for r in sketches.hll_profile(df).collect()}
+    assert set(prof) == {"uid", "bucket", "name"}
+    assert all(r["n_rows"] == 10_000 for r in prof.values())
+    # ~1.6% HLL error at lg_config_k=12 — generous 5% gates
+    assert abs(prof["uid"]["approx_distinct"] - 10_000) < 500
+    assert abs(prof["bucket"]["approx_distinct"] - 137) < 7
+    assert abs(prof["name"]["approx_distinct"] - 1000) < 50
+    with pytest.raises(ValueError):
+        sketches.hll_profile(df, [])
+
+
+def test_hll_merge_equals_whole(session):
+    """Sketch two disjoint halves separately, merge — the estimate must
+    track the full corpus's distinct count (mergeability is the scale
+    story: per-shard profiles, no rescan)."""
+    whole = session.spark.range(8_000).select(
+        F.col("id").alias("uid"), (F.col("id") % 50).alias("grp")
+    )
+    lo = whole.filter(F.col("uid") < 4_000)
+    hi = whole.filter(F.col("uid") >= 4_000)
+    merged = {
+        r["column"]: r
+        for r in sketches.hll_merge(
+            [sketches.hll_profile(lo), sketches.hll_profile(hi)]
+        ).collect()
+    }
+    direct = {
+        r["column"]: r for r in sketches.hll_profile(whole).collect()
+    }
+    assert merged["uid"]["n_rows"] == 8_000
+    # overlapping grp values must NOT double count
+    assert abs(merged["grp"]["approx_distinct"] - 50) < 4
+    for c in ("uid", "grp"):
+        assert (
+            abs(merged[c]["approx_distinct"] - direct[c]["approx_distinct"])
+            < 0.05 * max(1.0, direct[c]["approx_distinct"])
+        )
+    with pytest.raises(ValueError):
+        sketches.hll_merge([])
+
+
+def test_hll_profile_single_pass(session):
+    """All columns sketch in ONE aggregation — exactly one shuffle no
+    matter how many columns are profiled."""
+    df = session.spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b"),
+        (F.col("id") % 13).alias("c"),
+    )
+    prof = sketches.hll_profile(df, ["a", "b", "c"])
+    assert shuffle_count(prof) <= 1
+
+
+def test_chain_partitioning_knobs(session):
+    ch = dc.read_values(session=session, k=list(range(100)))
+    assert ch.repartition(7).df.rdd.getNumPartitions() == 7
+    assert ch.repartition(7).coalesce(2).df.rdd.getNumPartitions() == 2
+    # hint survives into the plan (broadcast hint resolves on join)
+    left = ch.rename(a="k")  # rename(new='old')
+    right = dc.read_values(session=session, a=list(range(50)), v=[i * 2 for i in range(50)])
+    hinted = left.merge(right.hint("broadcast"), on="a", inner=True)
+    from datachain_spark.plans import join_strategies
+
+    assert "BroadcastHashJoin" in join_strategies(hinted.df)
