@@ -124,12 +124,18 @@ def _assign_arrow(
                         dist = 1.0 - S / nr[:, None]
                     best = dist.argmin(axis=1)
                     bd = dist[np.arange(nv), best]
+                    # zero-norm (all-zero vector) or non-finite norm: cosine
+                    # is undefined — degrade to invalid like ragged/null rows
+                    # (an unguarded 0 norm would NaN-poison the rank order
+                    # and DIVIDE_BY_ZERO the pair join under ANSI mode)
+                    usable = np.isfinite(nr) & (nr > 0.0)
                     vi = 0
                     for i, ok in enumerate(mask):
                         if ok:
-                            nrm[i] = float(nr[vi])
-                            cell[i] = int(best[vi])
-                            cd[i] = float(bd[vi])
+                            if usable[vi]:
+                                nrm[i] = float(nr[vi])
+                                cell[i] = int(best[vi])
+                                cd[i] = float(bd[vi])
                             vi += 1
             out = pd.DataFrame(
                 {
@@ -143,6 +149,21 @@ def _assign_arrow(
             yield out
 
     return rows.mapInPandas(fn, schema)
+
+
+def _valid_vec_expr(vec_col: str, nrm_col: str, dim: int):
+    """Row validity mirroring the arrow path's _np_valid_vectors + usable
+    norm: non-null, exactly ``dim`` elements, no null elements, and a
+    finite positive norm (all-zero and NaN-containing vectors are out —
+    cosine is undefined and an unguarded 0 norm DIVIDE_BY_ZEROs under
+    ANSI mode)."""
+    return (
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+        & (~F.exists(F.col(vec_col), lambda x: x.isNull()))
+        & (~F.isnan(F.col(nrm_col)))
+        & (F.col(nrm_col) > 0)
+    )
 
 
 def _assign_cells_expr(
@@ -160,8 +181,14 @@ def _assign_cells_expr(
     literal arrays; past ``literal_cap`` total floats the centroids become
     a broadcast DataFrame and the argmin is a struct-min aggregation
     (ties -> lowest cell id, matching the literal path), joined back on
-    the id — two shuffles but a bounded plan at any num_cells."""
-    n_floats = len(ncents) * (len(ncents[0]) if ncents else 0)
+    the id — two shuffles but a bounded plan at any num_cells. Invalid
+    rows (see _valid_vec_expr) get a NULL cell on both paths, matching
+    the arrow method — without the guard a null distance field would sort
+    FIRST through min(struct)/array_min and invalid rows would silently
+    land in cell 0."""
+    dim = len(ncents[0]) if ncents else 0
+    valid = _valid_vec_expr(vec_col, nrm_col, dim)
+    n_floats = len(ncents) * dim
     if n_floats <= literal_cap:
         dists = [
             F.struct(
@@ -174,7 +201,10 @@ def _assign_cells_expr(
             )
             for i, c in enumerate(ncents)
         ]
-        return df.withColumn(cell_col, F.array_min(F.array(*dists))["cell"])
+        # when() keeps the argmin (and its divisions) off invalid rows
+        return df.withColumn(
+            cell_col, F.when(valid, F.array_min(F.array(*dists))["cell"])
+        )
     spark = df.sparkSession
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(ncents)],
@@ -183,6 +213,7 @@ def _assign_cells_expr(
     d = F.lit(1.0) - dot_product(F.col(vec_col), F.col("__nce")) / F.col(nrm_col)
     best = (
         df.select(id_col, vec_col, nrm_col)
+        .filter(valid)
         .join(F.broadcast(cents))
         .groupBy(id_col)
         .agg(
@@ -191,7 +222,7 @@ def _assign_cells_expr(
             )
         )
     )
-    return df.join(best, on=id_col)
+    return df.join(best, on=id_col, how="left")
 
 
 def _ranked(
@@ -264,9 +295,14 @@ def _ranked(
         else [F.col("__cd").asc(), F.col("__id")]
     )
     w = Window.partitionBy("cell", "__sub").orderBy(*order)
-    return assigned.withColumn("__rk", F.row_number().over(w)).select(
+    ranked = assigned.withColumn("__rk", F.row_number().over(w)).select(
         "__id", "__v", "__nrm", "cell", "__sub", "__rk"
     )
+    # consumed by BOTH sides of the candidate self-join, plus the cell_col
+    # join-back in semdedup(): persist so the Arrow assignment + rank
+    # window execute once, not once per reference (minhash sig precedent;
+    # LRU-evicts under memory pressure)
+    return ranked.persist()
 
 
 def _validate(keep: str, eps: float, method: str) -> None:
@@ -355,8 +391,8 @@ def semdedup(
 ) -> DataFrame:
     """Survivors of semantic dedup: the input rows minus every document
     that semdedup_pairs marks as a drop. ``cell_col`` (optional) appends
-    the cluster assignment (NULL for invalid vectors) — reused from the
-    single assignment pass, not recomputed. One anti-join on the id plus,
+    the cluster assignment (NULL for invalid vectors) — served from the
+    persisted assignment pass, not recomputed. One anti-join on the id plus,
     with cell_col, one id-keyed join back — the corpus shuffles once for
     the dedup itself. ``max_cell_size`` bounds the worst-case pair join on
     skewed clusters by hash sub-cell salting (see _ranked — bounded cost,

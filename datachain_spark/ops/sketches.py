@@ -33,14 +33,18 @@ def hll_profile(
     """One row per column: (column, approx_distinct, n_rows, sketch).
     ``sketch`` is the binary HLL state — store it next to the dataset
     version and merge later with :func:`hll_merge`. Columns default to
-    every top-level column; non-string/numeric/binary types are sketched
-    through their string cast."""
+    every top-level column; types outside hll_sketch_agg's input set
+    (int/bigint/string/binary) are sketched through their string cast
+    (distinctness is preserved — the cast is injective for
+    float/double/date/timestamp/decimal)."""
     if cols is None:
         cols = df.columns
     if not cols:
         raise ValueError("hll_profile: no columns to sketch")
-    sketchable = {"string", "int", "bigint", "smallint", "tinyint",
-                  "float", "double", "binary"}
+    # hll_sketch_agg accepts ONLY these input types (Spark 4.1 rejects
+    # float/double/smallint/tinyint with DATATYPE_MISMATCH) — everything
+    # else goes through the string cast
+    sketchable = {"string", "int", "bigint", "binary"}
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:

@@ -168,6 +168,13 @@ def zorder_layout(
     if strategy not in ("minmax", "quantile"):
         raise ValueError(f"strategy must be 'minmax' or 'quantile', got {strategy!r}")
     if strategy == "quantile":
+        if bounds is not None:
+            raise ValueError(
+                "bounds only apply to strategy='minmax' — the quantile "
+                "strategy derives its own per-column grid (silently "
+                "ignoring them would break the reuse-one-grid-across-"
+                "batches workflow)"
+            )
         out = _quantile_keyed(df, cols, bits)
     else:
         if bounds is None:

@@ -221,3 +221,47 @@ def test_semdedup_max_cell_size_caps_the_quadratic(session):
     assert {r["vid"] for r in same.collect()} == {
         r["vid"] for r in uncapped.collect()
     }
+
+
+def test_semdedup_zero_norm_vector_degrades(session):
+    """An all-zero embedding has no cosine direction: it must degrade to a
+    NULL cell (never abort under ANSI division, never NaN-poison the rank
+    order or drop other rows) — on every assignment path."""
+    rows = [
+        (1, [0.0, 0.0]),        # zero norm — invalid
+        (2, [1.0, 0.0]),
+        (3, [0.99, 0.01]),      # near-dup of 2 — the only legit drop
+        (4, [0.0, 1.0]),
+    ]
+    cents = [[1.0, 0.05], [0.05, 1.0]]
+    df = _vecs(session, rows)
+    for kw in ({"method": "arrow"}, {"method": "expr"},
+               {"method": "expr", "literal_cap": 0}):
+        out = sd.semdedup(df, "vid", centroids=cents, eps=0.5,
+                          cell_col="cell", **kw)
+        got = {r["vid"]: r["cell"] for r in out.collect()}
+        assert set(got) == {1, 2, 4}, (kw, got)
+        assert got[1] is None
+        assert got[2] is not None and got[4] is not None
+        pairs = sd.semdedup_pairs(df, "vid", centroids=cents, eps=0.5, **kw)
+        assert {(r["id_keep"], r["id_drop"]) for r in pairs.collect()} == {(2, 3)}, kw
+
+
+def test_semdedup_invalid_vectors_null_cell_on_expr_paths(session):
+    """The expr argmin must mirror arrow's NULL-cell degradation — a null
+    distance field would otherwise sort FIRST through min(struct) and
+    silently land invalid rows in cell 0."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (3, None),
+        (4, [1.0]),
+        (5, [1.0, None]),
+    ]
+    cents = [[1.0, 0.05]]
+    df = _vecs(session, rows)
+    for kw in ({"method": "expr"}, {"method": "expr", "literal_cap": 0}):
+        out = sd.semdedup(df, "vid", centroids=cents, eps=0.5,
+                          cell_col="cell", **kw)
+        got = {r["vid"]: r["cell"] for r in out.collect()}
+        assert got[1] == 0, kw
+        assert got[3] is None and got[4] is None and got[5] is None, (kw, got)

@@ -79,3 +79,19 @@ def test_chain_partitioning_knobs(session):
     from datachain_spark.plans import join_strategies
 
     assert "BroadcastHashJoin" in join_strategies(hinted.df)
+
+
+def test_hll_profile_nonnative_types_cast(session):
+    """double/float/decimal/timestamp columns are outside hll_sketch_agg's
+    input set — they must profile through the string cast, not crash."""
+    df = session.spark.range(500).select(
+        F.col("id").alias("i"),
+        (F.col("id") / 7.0).alias("d"),
+        F.col("id").cast("float").alias("f"),
+        F.col("id").cast("decimal(10,2)").alias("dec"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    prof = {r["column"]: r for r in sketches.hll_profile(df).collect()}
+    assert set(prof) == {"i", "d", "f", "dec", "ts"}
+    for c, r in prof.items():
+        assert abs(r["approx_distinct"] - 500) < 30, (c, r)

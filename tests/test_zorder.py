@@ -178,3 +178,10 @@ def test_save_zorder_by(session, tmp_path):
     assert sum(s[1] for s in spans) / len(spans) < 7_000
     with pytest.raises(ValueError):
         dc.DataChain(df).save("zb", zorder_by=["x"], bucket_by=["y"])
+
+
+def test_zorder_quantile_rejects_bounds(session):
+    df = session.spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError):
+        z.zorder_layout(df, ["x", "y"], strategy="quantile",
+                        bounds={"x": (0, 1), "y": (0, 1)})
