@@ -1008,6 +1008,7 @@ class DataChain:
         zorder_by: Optional[Sequence[str]] = None,
         zorder_bits: int = 8,
         zorder_files: Optional[int] = None,
+        zorder_strategy: str = "minmax",
     ) -> "DataChain":
         """Materialize as a new dataset version; returns a chain reading the
         saved data. Parity: datachain.py:602-673.
@@ -1033,7 +1034,8 @@ class DataChain:
             from .ops.zorder import zorder_layout
 
             save_df = zorder_layout(
-                save_df, zorder_by, bits=zorder_bits, num_partitions=zorder_files
+                save_df, zorder_by, bits=zorder_bits,
+                num_partitions=zorder_files, strategy=zorder_strategy,
             )
         live_models = {
             c: m for c, m in self._signal_models.items() if c in self._df.columns
@@ -1134,6 +1136,18 @@ class DataChain:
         if zorder_by:
             if sort_by:
                 raise ValueError("zorder_by and sort_by are mutually exclusive")
+            if partition_cols:
+                # the global __zkey range shuffle ignores hive partitioning:
+                # every range task would write a fragment into every
+                # partition directory it touches — a small-file explosion,
+                # the opposite of clustering. Z-order within partitions =
+                # write per partition, or zorder_by WITH the partition
+                # column listed first and no partition_cols.
+                raise ValueError(
+                    "zorder_by does not compose with partition_cols — "
+                    "include the partition column in zorder_by instead, or "
+                    "write each partition separately"
+                )
             from .ops.zorder import zorder_layout
 
             df = zorder_layout(

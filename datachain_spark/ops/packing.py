@@ -303,6 +303,13 @@ def interleave_by_temperature(
     per source up front; the mixture itself stays zero-shuffle)."""
     if sizes is None:
         sizes = {name: src.count() for name, src in sources.items()}
+    elif set(sizes) != set(sources):
+        # a stale metastore entry would silently hog probability mass
+        # (missing keys already raise downstream; extra keys would not)
+        raise ValueError(
+            "interleave_by_temperature: sizes keys "
+            f"{sorted(sizes)} must match sources {sorted(sources)}"
+        )
     w = temperature_weights(sizes, temperature, total_rows)
     return interleave_datasets(
         sources, w, seed=seed, key=key, hash_fn=hash_fn

@@ -61,15 +61,23 @@ from .similarity import kmeans_refine, train_centroids_sample
 
 def _normalize_centroids(centroids: Sequence[Sequence[float]]) -> list[list[float]]:
     """Driver-side L2 normalization, left-fold sum from 0.0 so the oracle's
-    ``list_reduce`` reproduces every double exactly. Zero-norm centroids are
-    rejected up front — they would poison every row's argmin with NaN."""
+    ``list_reduce`` reproduces every double exactly. Zero-norm and
+    non-finite (NaN/Inf element) centroids are rejected up front — a NaN
+    centroid column would capture EVERY row's np.argmin (NaN propagates),
+    collapsing the clustering into one poisoned O(n^2) cell; typically it
+    means the training embeddings need cleaning (kmeans_refine averages
+    NaNs straight into the centroid)."""
     out = []
     for i, c in enumerate(centroids):
         s = 0.0
         for x in c:
             s += float(x) * float(x)
-        if s == 0.0:
-            raise ValueError(f"centroid {i} has zero norm")
+        if not (s > 0.0 and math.isfinite(s)):
+            raise ValueError(
+                f"centroid {i} has unusable norm (sum of squares = {s!r}): "
+                "zero-norm or non-finite centroids poison the argmin — "
+                "clean the embeddings feeding centroid training"
+            )
         n = math.sqrt(s)
         out.append([float(x) / n for x in c])
     return out
@@ -163,6 +171,10 @@ def _valid_vec_expr(vec_col: str, nrm_col: str, dim: int):
         & (~F.exists(F.col(vec_col), lambda x: x.isNull()))
         & (~F.isnan(F.col(nrm_col)))
         & (F.col(nrm_col) > 0)
+        # isnan alone misses Infinity (an overflowed element): Inf norm
+        # makes __cd NaN, which sorts FIRST under desc and then NaN>=tau
+        # is true — the Inf row would keeper-drop its whole cell
+        & (F.col(nrm_col) < F.lit(float("inf")))
     )
 
 
@@ -174,6 +186,7 @@ def _assign_cells_expr(
     cell_col: str,
     literal_cap: int,
     nrm_col: str = "__nrm",
+    cd_col: str = "__cd",
 ) -> DataFrame:
     """Pure-Column assignment against PRE-NORMALIZED centroids; the input
     must already carry the row norm in ``nrm_col`` so each centroid
@@ -185,7 +198,13 @@ def _assign_cells_expr(
     rows (see _valid_vec_expr) get a NULL cell on both paths, matching
     the arrow method — without the guard a null distance field would sort
     FIRST through min(struct)/array_min and invalid rows would silently
-    land in cell 0."""
+    land in cell 0.
+
+    Emits BOTH ``cell_col`` and ``cd_col`` (the distance to the assigned
+    centroid) — the argmin struct already holds it, and deriving it here
+    keeps the broadcast path free of centroid literals (a separate
+    lookup-array expression would inline num_cells x dim literal doubles,
+    exactly the unbounded plan the cap exists to avoid)."""
     dim = len(ncents[0]) if ncents else 0
     valid = _valid_vec_expr(vec_col, nrm_col, dim)
     n_floats = len(ncents) * dim
@@ -201,9 +220,14 @@ def _assign_cells_expr(
             )
             for i, c in enumerate(ncents)
         ]
-        # when() keeps the argmin (and its divisions) off invalid rows
-        return df.withColumn(
-            cell_col, F.when(valid, F.array_min(F.array(*dists))["cell"])
+        # when() keeps the argmin (and its divisions) off invalid rows;
+        # one struct column, then split — codegen CSEs the argmin
+        best = F.when(valid, F.array_min(F.array(*dists)))
+        return (
+            df.withColumn("__best", best)
+            .withColumn(cell_col, F.col("__best")["cell"])
+            .withColumn(cd_col, F.col("__best")["d"])
+            .drop("__best")
         )
     spark = df.sparkSession
     cents = spark.createDataFrame(
@@ -216,10 +240,11 @@ def _assign_cells_expr(
         .filter(valid)
         .join(F.broadcast(cents))
         .groupBy(id_col)
-        .agg(
-            F.min(F.struct(d.alias("d"), F.col("__cell").alias("c")))["c"].alias(
-                cell_col
-            )
+        .agg(F.min(F.struct(d.alias("d"), F.col("__cell").alias("c"))).alias("__best"))
+        .select(
+            id_col,
+            F.col("__best")["c"].alias(cell_col),
+            F.col("__best")["d"].alias(cd_col),
         )
     )
     return df.join(best, on=id_col, how="left")
@@ -254,20 +279,18 @@ def _ranked(
         assigned = _assign_arrow(rows, ncents, "__v", rows.schema["__id"])
     else:
         rows = rows.withColumn("__nrm", norm(F.col("__v")))
+        # assignment emits __cd too — the argmin struct already holds the
+        # winning distance, and this keeps the broadcast path free of
+        # centroid literals (no lookup-array expression)
         assigned = _assign_cells_expr(
             rows, "__id", ncents, "__v", "cell", literal_cap
         )
-        cent_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in ncents]
-        )
-        assigned = assigned.withColumn(
-            "__cd",
-            F.lit(1.0)
-            - dot_product(F.col("__v"), F.element_at(cent_arr, F.col("cell") + 1))
-            / F.col("__nrm"),
-        )
     assigned = assigned.filter(F.col("cell").isNotNull())
     if max_cell_size:
+        # the counts branch is a second consumer of the assignment —
+        # persist so the Arrow/expr distance pass executes once, not once
+        # for the factors and again for the ranked plan
+        assigned = assigned.persist()
         counts = assigned.groupBy("cell").agg(F.count("*").alias("__n"))
         factors = counts.select(
             "cell",

@@ -216,3 +216,13 @@ def test_interleave_by_temperature_end_to_end(docs):
         sizes={"big": na, "small": nb}, key=["doc_id"],
     )
     assert out2.count() == out.count()
+
+
+def test_interleave_by_temperature_rejects_stale_sizes(docs):
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    with pytest.raises(ValueError):
+        packing.interleave_by_temperature(
+            {"a": a, "b": b}, temperature=2.0,
+            sizes={"a": 10, "b": 10, "stale": 999}, key=["doc_id"],
+        )

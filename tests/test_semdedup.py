@@ -265,3 +265,34 @@ def test_semdedup_invalid_vectors_null_cell_on_expr_paths(session):
         got = {r["vid"]: r["cell"] for r in out.collect()}
         assert got[1] == 0, kw
         assert got[3] is None and got[4] is None and got[5] is None, (kw, got)
+
+
+def test_semdedup_nonfinite_centroid_rejected(session):
+    """A NaN or Inf centroid element would capture every row's argmin
+    (NaN propagates through np.argmin) — reject at normalization."""
+    with pytest.raises(ValueError):
+        sd._normalize_centroids([[1.0, float("nan")]])
+    with pytest.raises(ValueError):
+        sd._normalize_centroids([[float("inf"), 0.0]])
+    with pytest.raises(ValueError):
+        sd._normalize_centroids([[0.0, 0.0]])
+
+
+def test_semdedup_inf_element_degrades_on_all_paths(session):
+    """An Inf element gives an Inf norm: isnan alone misses it, __cd goes
+    NaN, NaN sorts first under desc AND NaN>=tau is true — without the
+    finite-norm guard the Inf row would keeper-drop its whole cell."""
+    rows = [
+        (1, [float("inf"), 0.0]),   # overflowed vector — invalid
+        (2, [1.0, 0.0]),
+        (3, [0.99, 0.01]),          # near-dup of 2 — the only legit drop
+    ]
+    cents = [[1.0, 0.05]]
+    df = _vecs(session, rows)
+    for kw in ({"method": "arrow"}, {"method": "expr"},
+               {"method": "expr", "literal_cap": 0}):
+        out = sd.semdedup(df, "vid", centroids=cents, eps=0.5,
+                          cell_col="cell", **kw)
+        got = {r["vid"]: r["cell"] for r in out.collect()}
+        assert set(got) == {1, 2}, (kw, got)
+        assert got[1] is None and got[2] == 0, (kw, got)

@@ -185,3 +185,19 @@ def test_zorder_quantile_rejects_bounds(session):
     with pytest.raises(ValueError):
         z.zorder_layout(df, ["x", "y"], strategy="quantile",
                         bounds={"x": (0, 1), "y": (0, 1)})
+
+
+def test_zorder_rejects_partition_cols_and_save_strategy(session, tmp_path):
+    rng = random.Random(31)
+    rows = [(int(rng.paretovariate(1.0)), rng.randrange(10)) for _ in range(1000)]
+    df = session.spark.createDataFrame(rows, "x long, p long")
+    with pytest.raises(ValueError):
+        dc.DataChain(df).to_parquet(
+            str(tmp_path / "bad"), zorder_by=["x"], partition_cols=["p"]
+        )
+    # save() exposes the quantile strategy for heavy-tailed columns
+    ch = dc.DataChain(df).save(
+        "zq_saved", zorder_by=["x", "p"], zorder_files=4,
+        zorder_strategy="quantile",
+    )
+    assert ch.count() == 1000
