@@ -396,6 +396,10 @@ def test_semdedup_shuffle_budget(spark, sf_dir):
     ]
     corpus = emb.filter(F.col("vec_id") >= 8)
     ncents = sd._normalize_centroids(cents)
+    # an earlier test (the oracle sweep) may have persisted an identical
+    # ranked frame: CacheManager substitution changes the plan shape, so
+    # count exchanges on a cache-free plan
+    spark.catalog.clearCache()
     ranked = sd._ranked(corpus, "vec_id", "embedding", ncents, "far", "arrow", 32768)
     assert shuffle_count(ranked) == 1  # the cell window only
     out = sd.semdedup(corpus, "vec_id", "embedding", centroids=cents, eps=0.75)
