@@ -34,6 +34,7 @@ from .sources import (
     delete_dataset,
     export_dataset_table,
     listings,
+    compact_dataset,
     move_dataset,
     read_csv,
     read_database,
@@ -95,7 +96,8 @@ __all__ = [
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
     "from_values", "from_records", "from_pandas", "from_parquet", "from_csv",
     "from_json", "from_dataset", "from_hf", "from_storage",
-    "datasets", "listings", "delete_dataset", "move_dataset", "export_dataset_table",
+    "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset",
+    "export_dataset_table",
     "create_project", "delete_namespace",
     "Mapper", "Generator", "Aggregator", "BatchMapper", "AbstractUDF",
     "column", "c", "func",

@@ -357,6 +357,57 @@ class Metastore:
             )
         return spark.table(tbl)
 
+    def compact_dataset(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: Optional[str] = None,
+        target_file_bytes: int = 128 << 20,
+    ) -> DatasetVersion:
+        """Small-file compaction (the OPTIMIZE-style table-maintenance pass):
+        rewrite a version's data as a NEW patch version with files sized to
+        ``target_file_bytes``, lineage recording the source version. A
+        100-TB table accumulates small files from incremental appends and
+        fine-grained writes; tiny files tax every downstream scan (per-file
+        open cost, starved vectorized readers, listing pressure).
+
+        Shrinking uses ``coalesce`` — a NARROW merge of existing partitions,
+        no shuffle, no re-sort of file contents; growing (files too big)
+        uses a plain repartition. Note coalesce concatenates arbitrary
+        partitions: a Z-ordered/bucketed layout should be re-laid-out via
+        save(zorder_by=...)/save(bucket_by=...) instead of compacted
+        (bucketed versions are rejected here — their file count IS the
+        bucket spec)."""
+        import math as _math
+
+        ns, proj, base = split_name(name)
+        rec = self._read_record(ns, proj, base)
+        if rec is None:
+            raise DatasetNotFoundError(f"dataset not found: {name}")
+        dv = rec.get_version(version)
+        if dv.bucket:
+            raise ValueError(
+                f"{name}@{dv.version} is bucketed — its file count is the "
+                "bucket spec; re-save with bucket_by to change layout"
+            )
+        data_path = self.version_data_path(f"{ns}.{proj}.{base}", dv.version)
+        files = [
+            os.path.join(data_path, f)
+            for f in os.listdir(data_path)
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        n_target = max(1, _math.ceil(total / target_file_bytes))
+        df = spark.read.parquet(data_path)
+        out = df.coalesce(n_target) if n_target <= len(files) else df.repartition(n_target)
+        return self.save_dataset(
+            out,
+            name,
+            update_version="patch",
+            description=f"compacted from v{dv.version} ({len(files)} -> ~{n_target} files)",
+            dependencies=[{"dataset": name, "version": dv.version}],
+        )
+
     def list_datasets(self) -> list[DatasetRecord]:
         out = []
         for ns in sorted(os.listdir(self.root)) if os.path.isdir(self.root) else []:

@@ -63,6 +63,13 @@ def main(argv: list[str] | None = None) -> int:
     p_edit.add_argument("--attr", action="append", default=[],
                         help="key=value (repeatable)")
 
+    p_compact = sub.add_parser(
+        "compact", help="rewrite a dataset version with target-sized files"
+    )
+    p_compact.add_argument("name")
+    p_compact.add_argument("--version", default=None)
+    p_compact.add_argument("--target-mb", type=int, default=128)
+
     sub.add_parser("gc", help="delete leftover session-temp datasets")
     sub.add_parser("clear-cache", help="drop all cached storage listings")
 
@@ -109,6 +116,16 @@ def main(argv: list[str] | None = None) -> int:
                 ver.attrs[k] = v
         ms._write_record(rec)
         print(f"updated {rec.full_name}")
+        return 0
+
+    if args.cmd == "compact":
+        # needs Spark (rewrites data files)
+        sess = Session(metastore_dir=args.metastore or DEFAULT_METASTORE)
+        dv = sess.metastore.compact_dataset(
+            sess.spark, args.name, version=args.version,
+            target_file_bytes=args.target_mb << 20,
+        )
+        print(f"compacted {args.name} -> v{dv.version}")
         return 0
 
     if args.cmd == "gc":

@@ -3,6 +3,7 @@ from .readers import (
     delete_dataset,
     export_dataset_table,
     listings,
+    compact_dataset,
     move_dataset,
     read_csv,
     read_database,
@@ -19,6 +20,6 @@ from .storage import read_storage
 __all__ = [
     "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
-    "datasets", "listings", "delete_dataset", "move_dataset",
+    "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset",
     "export_dataset_table",
 ]

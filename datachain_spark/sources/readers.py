@@ -345,6 +345,22 @@ def move_dataset(src: str, dst: str, session: Optional[Session] = None) -> None:
     Session.get(session).metastore.move_dataset(src, dst)
 
 
+def compact_dataset(
+    name: str,
+    version: Optional[str] = None,
+    target_file_bytes: int = 128 << 20,
+    session: Optional[Session] = None,
+):
+    """Small-file compaction: rewrite a version as a new patch version with
+    ~target-sized files (catalog/metastore.compact_dataset — OPTIMIZE-style
+    table maintenance; no reference counterpart). Returns the new
+    DatasetVersion."""
+    sess = Session.get(session)
+    return sess.metastore.compact_dataset(
+        sess.spark, name, version=version, target_file_bytes=target_file_bytes
+    )
+
+
 def create_project(
     namespace: str,
     name: str,

@@ -248,3 +248,38 @@ def test_typed_error_classes(session):
     # subclassing keeps pre-typed callers working
     with pytest.raises(ValueError):
         dc.read_dataset("definitely_not_there", session=session)
+
+
+def test_compact_dataset(session):
+    """Small-file compaction: many-file version -> new patch version with
+    fewer files, identical rows, lineage pointing at the source version;
+    bucketed versions are rejected."""
+    import glob as _glob
+
+    import datachain_spark as dc
+    from pyspark.sql import functions as F
+
+    df = session.spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(24)  # 24 tiny files
+    dc.DataChain(df).save("compact_me")
+    p1 = session.metastore.version_data_path("local.default.compact_me", "1.0.0")
+    n_before = len(_glob.glob(p1 + "/*.parquet"))
+    assert n_before >= 20
+
+    dv = dc.compact_dataset("compact_me", target_file_bytes=1 << 30, session=session)
+    assert dv.version == "1.0.1"
+    p2 = session.metastore.version_data_path("local.default.compact_me", "1.0.1")
+    n_after = len(_glob.glob(p2 + "/*.parquet"))
+    assert n_after < n_before and n_after >= 1
+    back = dc.read_dataset("compact_me", session=session)
+    assert back.count() == 10_000
+    assert sorted(r["k"] for r in back.to_records())[:3] == [0, 1, 2]
+    rec = session.metastore.get_record("compact_me")
+    v = rec.get_version("1.0.1")
+    assert v.dependencies == [{"dataset": "compact_me", "version": "1.0.0"}]
+
+    # bucketed version: rejected (file count IS the bucket spec)
+    dc.DataChain(df).save("compact_bkt", bucket_by=["k"], num_buckets=4)
+    with pytest.raises(ValueError):
+        dc.compact_dataset("compact_bkt", session=session)
