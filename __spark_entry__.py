@@ -4518,6 +4518,82 @@ ORDER BY id_a, id_b
 """
 
 
+def leakage_split_md5(spark, sf):
+    """Leakage-safe train/test split (ops/dedup.leakage_safe_split): MinHash
+    candidate pairs -> connected components -> whole component assigned to
+    one side by a seeded hash of its label; near-duplicates can never
+    straddle the split. Under the md5 family the ENTIRE path is
+    DuckDB-verifiable: the oracle reuses the verified minhash CTEs, resolves
+    components with a recursive transitive-closure CTE (min reachable id —
+    exactly connected_components' label), and replays the seeded split
+    hash."""
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 150)
+    out = dedup.leakage_safe_split(
+        docs, "doc_id", "text", test_fraction=0.3, seed=7, hash_fn="md5",
+        shingle_size=2, num_hashes=8, bands=4, jaccard_threshold=0.25,
+    )
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+def _leakage_split_sql(
+    num_hashes: int = 8, bands: int = 4, threshold: float = 0.25,
+    test_fraction: float = 0.3, seed: int = 7,
+) -> str:
+    rpb = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        "min(" + _MD5H.format(x=f"shingle || ':{i}'") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _MD5H.format(
+            x="concat_ws(',', " + ", ".join(f"h{b * rpb + j}" for j in range(rpb)) + ")"
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    words = _WORDS_2G_150.format(distinct="list_distinct")
+    split_hash = _MD5H.format(x=f"CAST(component AS VARCHAR) || ':{seed}'")
+    return f"""
+WITH RECURSIVE {words}, sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM tok GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cand0 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), cand AS (
+  SELECT id_a, id_b FROM cand0
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+  WHERE ({eq_sum}) / {num_hashes}.0 >= {threshold}
+), edges AS (
+  SELECT id_a AS i, id_b AS j FROM cand
+  UNION SELECT id_b, id_a FROM cand
+), reach (i, j) AS (
+  SELECT i, j FROM edges
+  UNION
+  SELECT r.i, e.j FROM reach r JOIN edges e ON r.j = e.i
+), comp AS (
+  SELECT i AS doc_id, least(i, min(j)) AS component FROM reach GROUP BY i
+), assigned AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id,
+       CASE WHEN ({split_hash}) % 2147483648 / CAST(2147483648 AS DOUBLE)
+                 < {test_fraction} THEN 'test' ELSE 'train' END AS split
+FROM assigned ORDER BY doc_id
+"""
+
+
 def zorder_key_orders(spark, sf):
     """Morton/Z-order clustering key (ops/zorder.zorder_key — the write-side
     layout optimizer behind to_parquet(zorder_by=...)): every order's
@@ -4738,7 +4814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (bm25_score_docs, dsir_importance_md5, c4_gate, spans_dedup_md5,
     corpus_stats_by_lang, pq_codes_adc, ivfpq_codes_adc, url_dedup_docs,
     contamination_report_docs, semdedup_docs, zorder_key_orders,
-    dedup_eval_md5 + any later additions); fill
+    dedup_eval_md5, leakage_split_md5 + any later additions); fill
     remaining slots
     with the longest-out-of-window overflow rows (udf_*, sharding_md5,
     multimodal, function-family suites) so every registry entry has a
@@ -4873,6 +4949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_docs": semdedup_docs,
         "zorder_key_orders": zorder_key_orders,
         "dedup_eval_md5": dedup_eval_md5,
+        "leakage_split_md5": leakage_split_md5,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -4990,6 +5067,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_docs": _semdedup_sql(),
         "zorder_key_orders": _zorder_sql(),
         "dedup_eval_md5": _dedup_eval_sql(),
+        "leakage_split_md5": _leakage_split_sql(),
         "save_read_roundtrip": SAVE_READ_SQL,
         "delta_incremental": DELTA_INCREMENTAL_SQL,
         "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,

@@ -820,6 +820,13 @@ class DataChain:
 
         return self._evolve(_op(self._df, id_col, text_col, **kw))
 
+    def leakage_safe_split(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
+        """Train/test split near-duplicates can never straddle
+        (ops/dedup.leakage_safe_split)."""
+        from .ops.dedup import leakage_safe_split as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
     def dedup_eval(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
         """Precision/recall of the MinHash-LSH pass vs exact Jaccard
         (ops/dedup.dedup_eval) — run on a sample to calibrate banding."""

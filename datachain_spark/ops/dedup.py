@@ -1067,3 +1067,57 @@ def dedup_eval(
         F.when(h + fp > 0, h / (h + fp)).alias("precision"),
         F.when(h + ms > 0, h / (h + ms)).alias("recall"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    test_fraction: float = 0.1,
+    seed: int = 42,
+    split_col: str = "split",
+    hash_fn: str = "xxhash64",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Train/test split that near-duplicates can never straddle — the
+    dedup-aware eval-split hygiene pass: a test document whose near-copy
+    sits in train leaks the answer and inflates eval scores, and a plain
+    row-hash split (toolkit.train_test_split) cannot see that.
+
+    MinHash-LSH candidate pairs -> connected components -> the WHOLE
+    component is assigned to one side by a seeded hash of its component
+    label, so every member of a near-duplicate cluster lands together.
+    Singletons (no near-dup) are their own component and split at the
+    same ``test_fraction``. Output: the input plus ``split_col``
+    ("train" / "test").
+
+    Scale shape: the LSH pass + label propagation dominate (both
+    banded/iterative — see minhash_lsh_pairs / connected_components);
+    the split itself is one left join of the (id, component) frame
+    (edges << rows: only documents WITH near-dups appear; everyone else
+    splits on their own id without joining anything). Deterministic under
+    retries and cluster shapes — the decision depends only on
+    (component label, seed). ``hash_fn="md5"`` selects the portable
+    family end-to-end (banding AND the split hash), making the entire
+    assignment DuckDB-verifiable."""
+    if not (0.0 < test_fraction < 1.0):
+        raise ValueError(
+            f"test_fraction must be in (0, 1), got {test_fraction}"
+        )
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, hash_fn=hash_fn, **lsh_kwargs
+    )
+    comp = connected_components(pairs).select(
+        F.col("id").alias(id_col), F.col("component").alias("__comp")
+    )
+    out = df.join(comp, on=id_col, how="left").withColumn(
+        "__comp", F.coalesce(F.col("__comp"), F.col(id_col))
+    )
+    h = _seeded_hash64(F.col("__comp").cast("string"), seed, hash_fn)
+    u = F.pmod(h, F.lit(2**31)) / F.lit(float(2**31))
+    return out.withColumn(
+        split_col,
+        F.when(u < F.lit(float(test_fraction)), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    ).drop("__comp")

@@ -1026,3 +1026,63 @@ def test_dedup_eval_empty_corpus(session):
     s = dedup.dedup_eval(df, "doc_id", "text", jaccard_threshold=0.99).collect()[0]
     assert s["n_true"] == 0 and s["n_candidates"] == 0 and s["n_hits"] == 0
     assert s["precision"] is None and s["recall"] is None
+
+
+# -- leakage_safe_split ------------------------------------------------------
+def test_leakage_safe_split_invariant(session):
+    """The defining property: no near-duplicate pair (and no CHAIN of
+    near-dups — components, not just pairs) may straddle the split."""
+    base = "the quick brown fox jumps over the lazy dog every single day"
+    rows = []
+    # 30 clusters of 3 chained near-dups + 60 distinct docs
+    did = 0
+    for g in range(30):
+        for v in range(3):
+            rows.append((did, base + f" group{g}" + " tail" * v))
+            did += 1
+    for i in range(60):
+        rows.append((did, f"completely unrelated document number {i} "
+                          f"with its own words {i * 7} {i * 13}"))
+        did += 1
+    df = session.spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.leakage_safe_split(
+        df, "doc_id", "text", test_fraction=0.3, shingle_size=2,
+        num_hashes=8, bands=4, jaccard_threshold=0.2,
+    )
+    split = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(split.values()) == {"train", "test"}
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", shingle_size=2, num_hashes=8, bands=4,
+        jaccard_threshold=0.2,
+    ).collect()
+    assert pairs  # the clusters must actually produce pairs
+    comp = {r["id"]: r["component"] for r in dedup.connected_components(
+        session.spark.createDataFrame(
+            [(p["id_a"], p["id_b"]) for p in pairs], "id_a long, id_b long"
+        )
+    ).collect()}
+    for p in pairs:
+        assert split[p["id_a"]] == split[p["id_b"]], p
+    # component-level: all members share one side
+    sides = {}
+    for did2, c in comp.items():
+        sides.setdefault(c, set()).add(split[did2])
+    assert all(len(s) == 1 for s in sides.values())
+    # rough fraction sanity: size-3 components amplify doc-level variance
+    # around the 0.3 component-level target, so the gate stays wide
+    frac = sum(1 for v in split.values() if v == "test") / len(split)
+    assert 0.05 < frac < 0.75
+    with pytest.raises(ValueError):
+        dedup.leakage_safe_split(df, "doc_id", "text", test_fraction=1.5)
+
+
+def test_leakage_safe_split_deterministic(session):
+    rows = [(i, f"words {i} alpha beta gamma {i % 5}") for i in range(40)]
+    df = session.spark.createDataFrame(rows, "doc_id long, text string")
+    a = dedup.leakage_safe_split(df, "doc_id", "text", test_fraction=0.25)
+    b = dedup.leakage_safe_split(
+        df.repartition(7), "doc_id", "text", test_fraction=0.25
+    )
+    assert sorted(map(tuple, a.select("doc_id", "split").collect())) == sorted(
+        map(tuple, b.select("doc_id", "split").collect())
+    )
