@@ -64,6 +64,7 @@ HEADLINE = [
     "pq_search_full",
     "ivfpq_search_full",
     "semdedup_full",
+    "leakage_split_full",
     # the bloom variant of decontaminate_full (same split, same fpp): r05
     # capped k at 12 so the membership filter stays inside whole-stage
     # codegen (was interpreted at k=13+), derives probe positions from a
@@ -306,6 +307,17 @@ def main() -> None:
             centroids=cents, eps=0.75, cell_col="cell",
         )
 
+    def _leakage_split_full(spark, sf):
+        # dedup-aware eval split over the whole corpus: LSH pairs ->
+        # connected components -> component-hash side assignment
+        from datachain_spark.ops import dedup as _dedup
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        return _dedup.leakage_safe_split(
+            docs, "doc_id", "text", test_fraction=0.1,
+            shingle_size=2, num_hashes=8, bands=4, jaccard_threshold=0.25,
+        )
+
     def _chunk_documents_full(spark, sf):
         # whole-corpus RAG chunking: zero-shuffle per-row slicing
         docs = entrymod._chain(spark, sf, "documents").df
@@ -385,6 +397,7 @@ def main() -> None:
     queries["pq_search_full"] = _pq_search_full
     queries["ivfpq_search_full"] = _ivfpq_search_full
     queries["semdedup_full"] = _semdedup_full
+    queries["leakage_split_full"] = _leakage_split_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);
