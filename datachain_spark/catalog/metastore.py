@@ -377,9 +377,19 @@ class Metastore:
         partitions: a Z-ordered/bucketed layout should be re-laid-out via
         save(zorder_by=...)/save(bucket_by=...) instead of compacted
         (bucketed versions are rejected here — their file count IS the
-        bucket spec)."""
+        bucket spec).
+
+        The new version patch-bumps the SOURCE version (not the record's
+        latest), so compacting an old snapshot can never silently replace
+        newer data at the dataset head; the source's signal schema and
+        attrs carry over, and the record-level description is untouched
+        (the compaction note lives in the version's attrs)."""
         import math as _math
 
+        if target_file_bytes <= 0:
+            raise ValueError(
+                f"target_file_bytes must be > 0, got {target_file_bytes}"
+            )
         ns, proj, base = split_name(name)
         rec = self._read_record(ns, proj, base)
         if rec is None:
@@ -400,12 +410,23 @@ class Metastore:
         n_target = max(1, _math.ceil(total / target_file_bytes))
         df = spark.read.parquet(data_path)
         out = df.coalesce(n_target) if n_target <= len(files) else df.repartition(n_target)
+        new_version = bump_version(dv.version, "patch")
+        taken = {v.version for v in rec.versions}
+        while new_version in taken:
+            new_version = bump_version(new_version, "patch")
         return self.save_dataset(
             out,
             name,
-            update_version="patch",
-            description=f"compacted from v{dv.version} ({len(files)} -> ~{n_target} files)",
+            version=new_version,
+            attrs={
+                **dv.attrs,
+                "compacted_from": dv.version,
+                "compacted_files": f"{len(files)}->{n_target}",
+            },
             dependencies=[{"dataset": name, "version": dv.version}],
+            signal_schema=json.loads(json.dumps(dv.signal_schema))
+            if dv.signal_schema
+            else None,
         )
 
     def list_datasets(self) -> list[DatasetRecord]:

@@ -1077,6 +1077,8 @@ def leakage_safe_split(
     seed: int = 42,
     split_col: str = "split",
     hash_fn: str = "xxhash64",
+    cc_max_iters: int = 25,
+    cc_algorithm: str = "two_hop",
     **lsh_kwargs,
 ) -> DataFrame:
     """Train/test split that near-duplicates can never straddle — the
@@ -1106,8 +1108,32 @@ def leakage_safe_split(
         )
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, hash_fn=hash_fn, **lsh_kwargs
+    ).persist()  # consumed by the labeling AND the convergence audit
+    labels = connected_components(
+        pairs, max_iters=cc_max_iters, algorithm=cc_algorithm
     )
-    comp = connected_components(pairs).select(
+    # The no-straddle guarantee is only as good as label convergence, and
+    # connected_components returns PARTIAL labels without error when a
+    # component's diameter exceeds the round budget (degenerate template
+    # corpora chain thousands of near-dups). Audit: a labeling is
+    # consistent iff every edge joins two equal labels — one cheap join
+    # over the (small) pair graph; fail loudly rather than leak silently.
+    la = labels.select(F.col("id").alias("id_a"), F.col("component").alias("__ca"))
+    lb = labels.select(F.col("id").alias("id_b"), F.col("component").alias("__cb"))
+    n_bad = (
+        pairs.join(la, "id_a").join(lb, "id_b")
+        .filter(F.col("__ca") != F.col("__cb"))
+        .limit(1)
+        .count()
+    )
+    if n_bad:
+        raise RuntimeError(
+            "leakage_safe_split: component labels did not converge within "
+            f"cc_max_iters={cc_max_iters} — near-duplicates would straddle "
+            "the split. Raise cc_max_iters or use cc_algorithm='star' "
+            "(O(log^2 n) rounds, diameter-independent)."
+        )
+    comp = labels.select(
         F.col("id").alias(id_col), F.col("component").alias("__comp")
     )
     out = df.join(comp, on=id_col, how="left").withColumn(

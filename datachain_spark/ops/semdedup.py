@@ -260,6 +260,7 @@ def _ranked(
     literal_cap: int,
     max_cell_size: Optional[int] = None,
     seed: int = 42,
+    persist: bool = True,
 ) -> DataFrame:
     """(__id, __v, __nrm, cell, __sub, __rk) for every validly-assigned row:
     cell assignment + within-(cell, sub-cell) rank under the survival
@@ -324,8 +325,12 @@ def _ranked(
     # consumed by BOTH sides of the candidate self-join, plus the cell_col
     # join-back in semdedup(): persist so the Arrow assignment + rank
     # window execute once, not once per reference (minhash sig precedent;
-    # LRU-evicts under memory pressure)
-    return ranked.persist()
+    # LRU-evicts under memory pressure). The cached blocks live until the
+    # session drops them — a long-lived session looping semdedup over many
+    # shards should pass persist=False (recompute) or clearCache between
+    # shards; the oracle/test harness clears explicitly where plan shape
+    # matters.
+    return ranked.persist() if persist else ranked
 
 
 def _validate(keep: str, eps: float, method: str) -> None:
@@ -373,6 +378,7 @@ def semdedup_pairs(
     method: str = "arrow",
     literal_cap: int = 32768,
     max_cell_size: Optional[int] = None,
+    persist: bool = True,
 ) -> DataFrame:
     """(cell, id_keep, id_drop, sim) candidate pairs: within each cluster,
     ``id_drop`` is too similar (cosine >= 1 - eps) to the earlier-ranked
@@ -392,7 +398,7 @@ def semdedup_pairs(
     ncents = _normalize_centroids(centroids)
     ranked = _ranked(
         df, id_col, vec_col, ncents, keep, method, literal_cap,
-        max_cell_size=max_cell_size, seed=seed,
+        max_cell_size=max_cell_size, seed=seed, persist=persist,
     )
     return _pairs_from_ranked(ranked, cell_col, 1.0 - eps)
 
@@ -411,6 +417,7 @@ def semdedup(
     method: str = "arrow",
     literal_cap: int = 32768,
     max_cell_size: Optional[int] = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Survivors of semantic dedup: the input rows minus every document
     that semdedup_pairs marks as a drop. ``cell_col`` (optional) appends
@@ -427,7 +434,7 @@ def semdedup(
     ncents = _normalize_centroids(centroids)
     ranked = _ranked(
         df, id_col, vec_col, ncents, keep, method, literal_cap,
-        max_cell_size=max_cell_size, seed=seed,
+        max_cell_size=max_cell_size, seed=seed, persist=persist,
     )
     pairs = _pairs_from_ranked(ranked, "cell", 1.0 - eps)
     losers = pairs.select(F.col("id_drop").alias(id_col)).distinct()

@@ -283,3 +283,37 @@ def test_compact_dataset(session):
     dc.DataChain(df).save("compact_bkt", bucket_by=["k"], num_buckets=4)
     with pytest.raises(ValueError):
         dc.compact_dataset("compact_bkt", session=session)
+
+
+def test_compact_preserves_metadata_and_source_version(session):
+    """Compacting an OLD version must patch-bump from the SOURCE (never
+    replacing newer data at the head), carry attrs/signal schema over, keep
+    the record description, and validate target size."""
+    import datachain_spark as dc
+    from pyspark.sql import functions as F
+
+    df1 = session.spark.range(500).select(F.col("id").alias("k")).repartition(8)
+    dc.DataChain(df1).save(
+        "compact_meta", description="the real description",
+        attrs={"team": "data"},
+    )
+    df2 = session.spark.range(900).select(F.col("id").alias("k")).repartition(8)
+    dc.DataChain(df2).save("compact_meta", update_version="minor")
+
+    dv = dc.compact_dataset(
+        "compact_meta", version="1.0.0", target_file_bytes=1 << 30,
+        session=session,
+    )
+    # bumped from the SOURCE: 1.0.1, not 1.1.1 — the head stays 1.1.0
+    assert dv.version == "1.0.1"
+    rec = session.metastore.get_record("compact_meta")
+    assert rec.latest_version().version == "1.1.0"
+    assert rec.description == "the real description"
+    assert dv.attrs["team"] == "data"
+    assert dv.attrs["compacted_from"] == "1.0.0"
+    latest = dc.read_dataset("compact_meta", session=session)
+    assert latest.count() == 900  # head data untouched
+    old = dc.read_dataset("compact_meta", "==1.0.1", session=session)
+    assert old.count() == 500
+    with pytest.raises(ValueError):
+        dc.compact_dataset("compact_meta", target_file_bytes=0, session=session)

@@ -1086,3 +1086,27 @@ def test_leakage_safe_split_deterministic(session):
     assert sorted(map(tuple, a.select("doc_id", "split").collect())) == sorted(
         map(tuple, b.select("doc_id", "split").collect())
     )
+
+
+def test_leakage_safe_split_detects_nonconvergence(session):
+    """A long near-dup CHAIN (sliding-window texts) whose diameter exceeds
+    the round budget must FAIL LOUDLY, not silently straddle; a
+    diameter-independent budget succeeds on the same corpus."""
+    words = [f"w{i}" for i in range(80)]
+    rows = [
+        (i, " ".join(words[i * 2:i * 2 + 20])) for i in range(30)
+    ]  # doc i overlaps doc i+1 heavily; ends share nothing
+    df = session.spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(shingle_size=2, num_hashes=8, bands=8, jaccard_threshold=0.1)
+    with pytest.raises(RuntimeError):
+        dedup.leakage_safe_split(
+            df, "doc_id", "text", test_fraction=0.3, cc_max_iters=1, **kw
+        ).collect()
+    ok = dedup.leakage_safe_split(
+        df, "doc_id", "text", test_fraction=0.3, cc_max_iters=25, **kw
+    )
+    split = {r["doc_id"]: r["split"] for r in ok.collect()}
+    # the whole chain is one component -> one side for all its members
+    pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", **kw).collect()
+    for p in pairs:
+        assert split[p["id_a"]] == split[p["id_b"]]
