@@ -172,7 +172,10 @@ def main() -> None:
         # packing -> per-shard summary
         docs = entrymod._chain(spark, sf, "documents").df
         gated = _text.gopher_quality_filter(docs, "doc_id")
-        unique = _dedup.exact_dedup(gated, "doc_id", "text")
+        # (r05 fix: args were positionally swapped — text_col comes first —
+        # so the dedup stage fingerprinted the unique id column and dropped
+        # nothing; the stage now actually deduplicates)
+        unique = _dedup.exact_dedup(gated, "text", "doc_id")
         packed = _packing.pack_sequences(
             unique.select("doc_id", "text"), max_tokens=2048, num_shards=32
         )
