@@ -684,3 +684,81 @@ def test_interval_join_matches_duckdb_range_join(session, points, ivals, binned)
     )
     exp = sorted((int(r.pid), int(r.iid)) for r in duck.itertuples())
     assert got == exp, (binned,)
+
+
+# -- SemDeDup differential under hypothesis ----------------------------------
+_vec = st.lists(
+    st.floats(-2.0, 2.0, allow_nan=False, allow_infinity=False, width=32),
+    min_size=4, max_size=4,
+)
+
+
+@given(
+    vecs=st.lists(_vec, min_size=3, max_size=14),
+    cents=st.lists(_vec, min_size=1, max_size=3),
+    eps=st.sampled_from([0.05, 0.25, 0.5]),
+    keep=st.sampled_from(["far", "near"]),
+)
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_semdedup_matches_python_reference(session, vecs, cents, eps, keep):
+    """For ANY vector set / centroid set / policy: the Spark survivors and
+    pairs equal a plain-Python replay of the algorithm (argmin cell with
+    lowest-cell ties, centroid-distance rank with id ties, drop on
+    similarity to ANY earlier member). Zero-norm rows degrade to NULL
+    cells and always survive."""
+    import math as _m
+
+    from datachain_spark.ops import semdedup as _sd
+
+    usable_cents = [c for c in cents if any(x != 0.0 for x in c)]
+    if not usable_cents:
+        return
+
+    def _dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    ncents = []
+    for c in usable_cents:
+        n = _m.sqrt(_dot(c, c))
+        ncents.append([x / n for x in c])
+
+    cells = {}
+    invalid = set()
+    for vid, v in enumerate(vecs):
+        nrm = _m.sqrt(_dot(v, v))
+        if nrm == 0.0:
+            invalid.add(vid)
+            continue
+        ds = [1.0 - _dot(v, nc) / nrm for nc in ncents]
+        cell = min(range(len(ds)), key=lambda i: (ds[i], i))
+        cells.setdefault(cell, []).append((vid, v, nrm, ds[cell]))
+    drops = set()
+    for cell, members in cells.items():
+        members.sort(
+            key=lambda t: (-t[3], t[0]) if keep == "far" else (t[3], t[0])
+        )
+        for j in range(len(members)):
+            for i in range(j):
+                sim = _dot(members[i][1], members[j][1]) / (
+                    members[i][2] * members[j][2]
+                )
+                if sim >= 1.0 - eps:
+                    drops.add(members[j][0])
+    expected = set(range(len(vecs))) - drops
+
+    df = session.spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vid long, embedding array<double>",
+    )
+    out = _sd.semdedup(
+        df, "vid", centroids=usable_cents, eps=eps, keep=keep, persist=False
+    )
+    got = {r["vid"] for r in out.collect()}
+    assert got == expected
+    assert invalid <= got  # zero-norm rows always survive

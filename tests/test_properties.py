@@ -177,3 +177,99 @@ def test_rebase_path_swaps_base_and_keeps_tail(parts, base, ext):
     assert out.startswith("/new/")
     assert out.endswith(f".{ext}")
     assert "/".join(parts[:-1]) in out or len(parts) == 1
+
+
+# -- z-order interleave (pure bit math) --------------------------------------
+def _py_interleave(qs, bits):
+    n = len(qs)
+    key = 0
+    for i in range(bits):
+        for j, q in enumerate(qs):
+            key |= ((q >> i) & 1) << (i * n + j)
+    return key
+
+
+def _py_deinterleave(key, n, bits):
+    qs = [0] * n
+    for i in range(bits):
+        for j in range(n):
+            qs[j] |= ((key >> (i * n + j)) & 1) << i
+    return qs
+
+
+@given(
+    st.lists(st.integers(0, 255), min_size=1, max_size=7),
+    st.integers(1, 8),
+)
+def test_zorder_interleave_bijective(qs, bits):
+    """Interleave must be invertible (no information loss below the bit
+    budget) and bounded by n*bits key bits."""
+    qs = [q & ((1 << bits) - 1) for q in qs]
+    key = _py_interleave(qs, bits)
+    assert 0 <= key < 1 << (len(qs) * bits)
+    assert _py_deinterleave(key, len(qs), bits) == qs
+
+
+@given(
+    st.lists(st.integers(0, 254), min_size=2, max_size=4),
+    st.integers(0, 3),
+)
+def test_zorder_key_monotone_per_dimension(qs, dim_idx):
+    """Incrementing ONE quantized coordinate (others fixed) must strictly
+    increase the Morton key — the property that makes per-file key ranges
+    translate into per-dimension min/max bounds."""
+    dim_idx %= len(qs)
+    bumped = list(qs)
+    bumped[dim_idx] += 1
+    assert _py_interleave(bumped, 8) > _py_interleave(qs, 8)
+
+
+# -- temperature mixture weights ---------------------------------------------
+from datachain_spark.ops.packing import temperature_weights  # noqa: E402
+
+sizes_strategy = st.dictionaries(
+    st.text(alphabet="abcdef", min_size=1, max_size=3),
+    st.integers(1, 10**7),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(sizes_strategy, st.floats(0.1, 50.0))
+def test_temperature_expected_total_invariant(sizes, t):
+    """sum(n_i * w_i) == pooled total for every temperature — the mixture
+    never silently grows or shrinks the corpus in expectation."""
+    w = temperature_weights(sizes, t)
+    total = sum(sizes.values())
+    assert abs(sum(sizes[k] * w[k] for k in sizes) - total) <= 1e-6 * total
+
+
+@given(sizes_strategy)
+def test_temperature_flattens_monotonically(sizes):
+    """Raising T must not increase the LARGEST source's share and must not
+    decrease the SMALLEST source's share (flattening toward uniform)."""
+    if len(sizes) < 2:
+        return
+    total = sum(sizes.values())
+    big = max(sizes, key=lambda k: sizes[k])
+    small = min(sizes, key=lambda k: sizes[k])
+    shares = []
+    for t in (1.0, 2.0, 8.0, 64.0):
+        w = temperature_weights(sizes, t)
+        shares.append(
+            (sizes[big] * w[big] / total, sizes[small] * w[small] / total)
+        )
+    for (b1, s1), (b2, s2) in zip(shares, shares[1:]):
+        assert b2 <= b1 + 1e-12
+        assert s2 >= s1 - 1e-12
+
+
+@given(sizes_strategy, st.floats(0.5, 20.0))
+def test_temperature_t1_neutral_and_scaling(sizes, t):
+    w1 = temperature_weights(sizes, 1.0)
+    assert all(abs(v - 1.0) < 1e-9 for v in w1.values())
+    half = temperature_weights(sizes, t, total_rows=sum(sizes.values()) // 2 or 1)
+    full = temperature_weights(sizes, t)
+    ratio = (sum(sizes.values()) // 2 or 1) / sum(sizes.values())
+    for k in sizes:
+        assert abs(half[k] - full[k] * ratio) < 1e-9 * max(1.0, full[k])
