@@ -3841,6 +3841,120 @@ ORDER BY d.doc_id
 """
 
 
+_NB_BUCKETS = 4096
+
+
+def nb_classifier_md5(spark, sf):
+    """Hashed-feature Naive-Bayes classifier (ops/classify, the
+    fastText/DCLM-style quality-classifier analog): train on a
+    per-language-balanced seed (50 docs/lang, doc_id %% 5 != 0), score the
+    held-out docs — feature hashing, per-(label, bucket) Laplace model,
+    priors, per-doc log-joint argmax and runner-up margin all replicated
+    in DuckDB under the md5 family. Balancing the seed makes the argmax
+    DISCRIMINATING (predictions spread over all 5 labels; an unbalanced
+    seed lets the majority prior win every doc)."""
+    from pyspark.sql import Window
+
+    from datachain_spark.ops import classify
+
+    docs = _chain(spark, sf, "documents").df
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    train = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 50)
+        .drop("__rn")
+    )
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    model = classify.nb_train(train, "lang", num_buckets=_NB_BUCKETS, hash_fn="md5")
+    out = classify.nb_classify(
+        test, model, "doc_id", num_buckets=_NB_BUCKETS, hash_fn="md5"
+    )
+    return out.select(
+        "doc_id",
+        "n_feats",
+        "pred_label",
+        F.round("log_joint", 4).alias("lj_r"),
+        F.round("margin", 4).alias("margin_r"),
+    ).orderBy("doc_id")
+
+
+def _nb_sql() -> str:
+    from datachain_spark.ops.selection import _DSIR_SEED
+
+    B = _NB_BUCKETS
+    words = (
+        "CASE WHEN coalesce(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '') = '' "
+        "THEN []::VARCHAR[] "
+        "ELSE string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') END"
+    )
+    grams = (
+        "list_concat(w, CASE WHEN len(w) < 2 THEN []::VARCHAR[] "
+        "ELSE [concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)] END)"
+    )
+    bucket = (
+        f"CAST('0x' || substring(md5(g || ':{_DSIR_SEED}'), 1, 15) AS BIGINT) % {B}"
+    )
+    return f"""
+WITH train AS (
+  SELECT label, text FROM (
+    SELECT lang AS label, text,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM documents WHERE doc_id % 5 <> 0) WHERE rn <= 50
+), trainw AS (
+  SELECT label, {words} AS w FROM train
+), traing AS (
+  SELECT label, {bucket} AS b
+  FROM (SELECT label, unnest({grams}) AS g FROM trainw)
+), model AS (
+  SELECT label, b, count(*) AS fc FROM traing GROUP BY label, b
+), lfeats AS (
+  SELECT label, sum(fc) AS lf FROM model GROUP BY label
+), ldocs AS (
+  SELECT label, count(*) AS ld FROM train GROUP BY label
+), tot AS (
+  SELECT sum(ld) AS td FROM ldocs
+), labels AS (
+  SELECT f.label, f.lf, d.ld FROM lfeats f JOIN ldocs d USING (label)
+), test AS (
+  SELECT doc_id, {words} AS w FROM documents WHERE doc_id % 5 = 0
+), testg AS (
+  SELECT doc_id, {bucket} AS b
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM test)
+), nf AS (
+  SELECT t.doc_id, count(g.b) AS n_feats
+  FROM test t LEFT JOIN testg g ON g.doc_id = t.doc_id
+  GROUP BY t.doc_id
+), perlab AS (
+  SELECT t.doc_id, l.label, l.ld,
+         coalesce(sum(CASE WHEN g.b IS NULL THEN NULL
+                           ELSE ln((coalesce(m.fc, 0) + 1.0)
+                                   / (CAST(l.lf AS DOUBLE) + {B}.0)) END),
+                  0.0) AS s
+  FROM test t
+  CROSS JOIN labels l
+  LEFT JOIN testg g ON g.doc_id = t.doc_id
+  LEFT JOIN model m ON m.label = l.label AND m.b = g.b
+  GROUP BY t.doc_id, l.label, l.ld
+), joint AS (
+  SELECT doc_id, label,
+         ln(CAST(ld AS DOUBLE) / (SELECT td FROM tot)) + s AS lj
+  FROM perlab
+), ranked AS (
+  SELECT doc_id, label, lj,
+         row_number() OVER (PARTITION BY doc_id ORDER BY lj DESC, label DESC) AS rn
+  FROM joint
+)
+SELECT n.doc_id, CAST(n.n_feats AS BIGINT) AS n_feats,
+       r1.label AS pred_label, round(r1.lj, 4) AS lj_r,
+       round(r1.lj - r2.lj, 4) AS margin_r
+FROM nf n
+JOIN ranked r1 ON r1.doc_id = n.doc_id AND r1.rn = 1
+LEFT JOIN ranked r2 ON r2.doc_id = n.doc_id AND r2.rn = 2
+ORDER BY n.doc_id
+"""
+
+
 # span resolution 4 for the oracle: the synthetic corpus draws from a small
 # vocabulary, so 4-token repeats exist (26 docs touched, 142 words removed
 # at sf0.01) while >=5-token exact repeats are nearly absent — the lower
@@ -4950,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_orders": zorder_key_orders,
         "dedup_eval_md5": dedup_eval_md5,
         "leakage_split_md5": leakage_split_md5,
+        "nb_classifier_md5": nb_classifier_md5,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5068,6 +5183,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key_orders": _zorder_sql(),
         "dedup_eval_md5": _dedup_eval_sql(),
         "leakage_split_md5": _leakage_split_sql(),
+        "nb_classifier_md5": _nb_sql(),
         "save_read_roundtrip": SAVE_READ_SQL,
         "delta_incremental": DELTA_INCREMENTAL_SQL,
         "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,

@@ -892,6 +892,23 @@ class DataChain:
 
         return self._evolve(_op(self._df, **kw))
 
+    def nb_classify(self, model: Any, id_col: str, **kw: Any) -> "DataChain":
+        """Score every doc against a broadcast Naive-Bayes model
+        (ops/classify.nb_classify); ``model`` may be a DataChain or
+        DataFrame from ``classify.nb_train``."""
+        from .ops.classify import nb_classify as _op
+
+        return self._evolve(_op(self._df, getattr(model, "df", model), id_col, **kw))
+
+    def nb_filter(self, model: Any, id_col: str, keep_label: str, **kw: Any) -> "DataChain":
+        """Classifier quality gate: keep docs the NB model assigns
+        ``keep_label`` (ops/classify.nb_filter)."""
+        from .ops.classify import nb_filter as _op
+
+        return self._evolve(
+            _op(self._df, getattr(model, "df", model), id_col, keep_label, **kw)
+        )
+
     # ------------------------------------------------------------------- UDF
     def map(
         self,
