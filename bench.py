@@ -65,6 +65,9 @@ HEADLINE = [
     "ivfpq_search_full",
     "semdedup_full",
     "leakage_split_full",
+    # r05 late addition: NB quality/language classifier — train on a
+    # balanced seed, score the whole corpus via the broadcast model
+    "nb_classifier_full",
     # the bloom variant of decontaminate_full (same split, same fpp): r05
     # capped k at 12 so the membership filter stays inside whole-stage
     # codegen (was interpreted at k=13+), derives probe positions from a
@@ -321,6 +324,31 @@ def main() -> None:
             shingle_size=2, num_hashes=8, bands=4, jaccard_threshold=0.25,
         )
 
+    def _nb_classifier_full(spark, sf):
+        # hashed-feature NB classifier: train = one (label, bucket) agg on a
+        # balanced 50-docs/lang seed; score = whole corpus explodes once,
+        # model joins by broadcast (corpus never shuffles for the join)
+        from pyspark.sql import Window as _W
+
+        from datachain_spark.ops import classify as _classify
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        w = _W.partitionBy("lang").orderBy("doc_id")
+        train = (
+            docs.filter(F.col("doc_id") < 500)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 50)
+            .drop("__rn")
+        )
+        model = _classify.nb_train(train, "lang", num_buckets=8192)
+        preds = _classify.nb_classify(
+            docs.filter(F.col("doc_id") >= 500), model, "doc_id",
+            num_buckets=8192,
+        )
+        return preds.groupBy("pred_label").agg(
+            F.count(F.lit(1)).alias("docs"), F.avg("margin").alias("avg_margin")
+        )
+
     def _chunk_documents_full(spark, sf):
         # whole-corpus RAG chunking: zero-shuffle per-row slicing
         docs = entrymod._chain(spark, sf, "documents").df
@@ -401,6 +429,7 @@ def main() -> None:
     queries["ivfpq_search_full"] = _ivfpq_search_full
     queries["semdedup_full"] = _semdedup_full
     queries["leakage_split_full"] = _leakage_split_full
+    queries["nb_classifier_full"] = _nb_classifier_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);

@@ -126,47 +126,87 @@ def nb_classify(
     """
     if alpha <= 0:
         raise ValueError("nb_classify: alpha must be > 0 (Laplace smoothing)")
-    rows = _bucket_rows(df, id_col, text_col, num_buckets, hash_fn, keep_empty=True)
-    labels = model.select("label", "label_feats", "label_docs", "total_docs").distinct()
-    pairs = rows.crossJoin(F.broadcast(labels))
-    scored = pairs.join(
-        F.broadcast(model.select("label", F.col("bucket").alias("__b"), "feat_count")),
-        ["label", "__b"],
-        "left",
+    import math
+
+    # driver contact: the k label-stat rows only (k = number of classes —
+    # the num_cells-centroid class of contact, never the model body)
+    stats = sorted(
+        model.select("label", "label_feats", "label_docs", "total_docs")
+        .distinct()
+        .collect(),
+        key=lambda r: r["label"],
     )
-    logp = F.when(F.col("__b").isNull(), F.lit(0.0)).otherwise(
+    if not stats:
+        raise ValueError("nb_classify: empty model (no labels)")
+    k = len(stats)
+    priors = [
+        math.log(r["label_docs"] / r["total_docs"]) for r in stats
+    ]
+    # per-label log-prob an UNSEEN (label, bucket) pair gets — the Laplace
+    # floor; also the fill-in for buckets the model never saw at all
+    floors = [
+        math.log(alpha / (r["label_feats"] + alpha * num_buckets)) for r in stats
+    ]
+
+    # model pre-aggregated per bucket into a FIXED-label-order log-prob
+    # array (≤ num_buckets rows — broadcast-sized by construction)
+    mw = model.groupBy(F.col("bucket").alias("__b")).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("label"), F.col("feat_count")))
+        ).alias("__m")
+    )
+    arr = F.array(*[
         F.log(
-            (F.coalesce(F.col("feat_count"), F.lit(0)) + F.lit(alpha))
-            / (F.col("label_feats") + F.lit(alpha * num_buckets))
+            (F.coalesce(F.try_element_at("__m", F.lit(r["label"])), F.lit(0))
+             + F.lit(alpha))
+            / F.lit(r["label_feats"] + alpha * num_buckets)
+        )
+        for r in stats
+    ])
+    mw = mw.select("__b", arr.alias("__larr"))
+
+    # corpus explodes ONCE; one broadcast join; ONE shuffle (groupBy id)
+    # with k codegen'd sum columns — no per-label row multiplication
+    rows = _bucket_rows(df, id_col, text_col, num_buckets, hash_fn, keep_empty=True)
+    joined = rows.join(F.broadcast(mw), "__b", "left")
+    eff = F.when(
+        F.col("__b").isNull(), F.array(*[F.lit(0.0)] * k)
+    ).otherwise(
+        F.coalesce(F.col("__larr"), F.array(*[F.lit(f) for f in floors]))
+    )
+    joined = joined.select("__id", "__b", eff.alias("__e"))
+    agg = joined.groupBy("__id").agg(
+        F.count(F.col("__b")).alias("n_feats"),
+        *[
+            (F.sum(F.col("__e")[i]) + F.lit(priors[i])).alias(f"__lj{i}")
+            for i in range(k)
+        ],
+    )
+    # argmax + runner-up over k columns: struct comparison orders by
+    # (log_joint, label), so array_sort descends to exactly the documented
+    # tie-break (larger label wins on equal posterior)
+    ranked = F.reverse(
+        F.array_sort(
+            F.array(*[
+                F.struct(
+                    F.col(f"__lj{i}").alias("lj"),
+                    F.lit(stats[i]["label"]).alias("label"),
+                )
+                for i in range(k)
+            ])
         )
     )
-    per_label = scored.groupBy("__id", "label", "label_docs", "total_docs").agg(
-        F.count(F.col("__b")).alias("__nf"),
-        F.coalesce(F.sum(logp), F.lit(0.0)).alias("__sum"),
-    )
-    per_label = per_label.select(
-        "__id",
-        "label",
-        "__nf",
-        (
-            F.log(F.col("label_docs").cast("double") / F.col("total_docs"))
-            + F.col("__sum")
-        ).alias("__lj"),
-    )
-    agg = per_label.groupBy("__id").agg(
-        F.max("__nf").alias("n_feats"),
-        F.reverse(
-            F.array_sort(F.collect_list(F.struct(F.col("__lj"), F.col("label"))))
-        ).alias("__a"),
-    )
+    agg = agg.select("__id", "n_feats", ranked.alias("__a"))
     top = F.col("__a")[0]
-    second = F.col("__a")[1]
     return agg.select(
         F.col("__id").alias(id_col),
         "n_feats",
         top["label"].alias("pred_label"),
-        top["__lj"].alias("log_joint"),
-        F.when(F.size("__a") > 1, top["__lj"] - second["__lj"]).alias("margin"),
+        top["lj"].alias("log_joint"),
+        (
+            (top["lj"] - F.col("__a")[1]["lj"]) if k > 1
+            else F.lit(None).cast("double")
+        ).alias("margin"),
     )
 
 
