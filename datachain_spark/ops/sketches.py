@@ -1,4 +1,5 @@
-"""Mergeable cardinality sketches for corpus monitoring at 100 TB.
+"""Mergeable cardinality + heavy-hitters sketches for corpus monitoring
+at 100 TB.
 
 Wraps Spark's native Apache DataSketches HLL functions (public —
 ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``, JVM-side,
@@ -63,6 +64,84 @@ def hll_profile(
         for c in cols
     ]
     return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def topk_profile(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Mergeable heavy-hitters profile: one row per column with the
+    Spark-native ``approx_top_k`` sketch state (DataSketches frequent-items
+    family) — the value-frequency companion to :func:`hll_profile` for
+    corpus monitoring (dominant languages/domains/sources per shard,
+    skewed join keys, label drift across versions).
+
+    ONE aggregation over the input (every column sketched in the same
+    pass, map-side partial merge); the shuffle carries one
+    ``max_items_tracked``-bounded state per column per partition. Every
+    column is sketched through its STRING cast so all states share one
+    struct type — profiles of heterogeneous tables union and merge
+    (items come back as strings; a profiling op reports, it doesn't
+    join). Store the tiny frame per shard/day/version and combine later
+    with :func:`topk_merge` — no rescan. Estimated counts are exact for
+    any item that stays within the tracked set on every merged shard."""
+    if cols is None:
+        cols = df.columns
+    if not cols:
+        raise ValueError("topk_profile: no columns to sketch")
+    if max_items_tracked < 1:
+        raise ValueError("topk_profile: max_items_tracked must be >= 1")
+    m = int(max_items_tracked)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.expr(
+                f"approx_top_k_accumulate(cast(`{c}` as string), {m})"
+            ).alias(f"__st_{c}")
+        )
+    row = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__st_{c}").alias("state"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def topk_merge(
+    profiles: Sequence[DataFrame], max_items_tracked: int = 10000
+) -> DataFrame:
+    """Combine :func:`topk_profile` frames (shards, days, dataset
+    versions) per column without rescanning any source data."""
+    if not profiles:
+        raise ValueError("topk_merge: profiles must be non-empty")
+    m = int(max_items_tracked)
+    allp = reduce(lambda a, b: a.unionAll(b), list(profiles))
+    return allp.groupBy("column").agg(
+        F.expr(f"approx_top_k_combine(state, {m})").alias("state"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select("column", "n_rows", "state")
+
+
+def topk_estimate(profile: DataFrame, k: int = 20) -> DataFrame:
+    """Materialize a profile's top-``k`` items per column:
+    ``(column, rank, item, est_count)`` — rank 0 is the most frequent."""
+    if k < 1:
+        raise ValueError("topk_estimate: k must be >= 1")
+    return (
+        profile.select(
+            "column",
+            F.posexplode(F.expr(f"approx_top_k_estimate(state, {int(k)})")).alias(
+                "rank", "__e"
+            ),
+        )
+        .select("column", "rank", F.col("__e.item").alias("item"),
+                F.col("__e.count").alias("est_count"))
+    )
 
 
 def hll_merge(profiles: Sequence[DataFrame]) -> DataFrame:

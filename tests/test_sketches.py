@@ -95,3 +95,57 @@ def test_hll_profile_nonnative_types_cast(session):
     assert set(prof) == {"i", "d", "f", "dec", "ts"}
     for c, r in prof.items():
         assert abs(r["approx_distinct"] - 500) < 30, (c, r)
+
+
+def test_topk_profile_exact_on_small_cardinality(session):
+    df = session.spark.range(1_000).select(
+        (F.col("id") % 4).alias("grp"),
+        F.when(F.col("id") % 10 < 7, "common").otherwise("rare").alias("tag"),
+    )
+    prof = sketches.topk_profile(df)
+    assert {r["column"] for r in prof.collect()} == {"grp", "tag"}
+    est = sketches.topk_estimate(prof, k=2)
+    rows = {(r["column"], r["rank"]): r for r in est.collect()}
+    # within the tracked budget the sketch is exact
+    assert rows[("tag", 0)]["item"] == "common"
+    assert rows[("tag", 0)]["est_count"] == 700
+    assert rows[("tag", 1)]["est_count"] == 300
+    assert rows[("grp", 0)]["est_count"] == 250
+    # items come back as strings (uniform state type across columns)
+    assert rows[("grp", 0)]["item"] in {"0", "1", "2", "3"}
+
+
+def test_topk_merge_equals_whole(session):
+    whole = session.spark.range(4_000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 3).alias("j")
+    )
+    lo = whole.filter(F.col("id") % 2 == 0)
+    hi = whole.filter(F.col("id") % 2 == 1)
+    merged = sketches.topk_merge(
+        [sketches.topk_profile(lo), sketches.topk_profile(hi)]
+    )
+    whole_prof = sketches.topk_profile(whole)
+    got = {(r["column"], r["item"]): r["est_count"]
+           for r in sketches.topk_estimate(merged, k=10).collect()}
+    want = {(r["column"], r["item"]): r["est_count"]
+            for r in sketches.topk_estimate(whole_prof, k=10).collect()}
+    assert got == want
+    n = {r["column"]: r["n_rows"] for r in merged.collect()}
+    assert n == {"k": 4_000, "j": 4_000}
+
+
+def test_topk_profile_single_pass_and_validation(session):
+    df = session.spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 5).alias("b")
+    )
+    prof = sketches.topk_profile(df)
+    # ONE aggregation: exactly one shuffle in the profile plan
+    assert shuffle_count(prof) == 1
+    with pytest.raises(ValueError):
+        sketches.topk_profile(df, [])
+    with pytest.raises(ValueError):
+        sketches.topk_profile(df, max_items_tracked=0)
+    with pytest.raises(ValueError):
+        sketches.topk_merge([])
+    with pytest.raises(ValueError):
+        sketches.topk_estimate(prof, k=0)
