@@ -422,3 +422,74 @@ def test_zorder_layout_single_range_exchange(spark, sf_dir):
     laid = z.zorder_layout(orders, ["o_custkey", "o_totalprice"], num_partitions=8)
     assert shuffle_count(laid) == 1
     assert "rangepartitioning" in _formatted(laid).lower()
+
+
+def test_q6_single_scan_zero_joins(spark, sf_dir):
+    # Q6 is ONE filtered scan + a global aggregate: every predicate must
+    # reach the parquet scan, no join anywhere, one shuffle (the agg)
+    df = Q["q6_forecast_revenue"](spark, sf_dir)
+    assert join_strategies(df) == []
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+    assert any("l_discount" in f for f in pf), pf
+    assert any("l_quantity" in f for f in pf), pf
+    assert shuffle_count(df) <= 1
+
+
+def test_q4_theta_exists_pushdown(spark, sf_dir):
+    # the EXISTS decorrelation joins on the order key with the lateness
+    # predicate as a residual condition; the half-year window must reach
+    # the orders scan and no nested-loop join may appear
+    df = Q["q4_order_priority"](spark, sf_dir)
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+    assert "BroadcastNestedLoopJoin" not in join_strategies(df)
+
+
+def test_q7_two_role_nation_broadcasts(spark, sf_dir):
+    # both nation roles (supplier / customer side) broadcast onto the
+    # lineitem spine along with the other dims; the two-year shipping
+    # window reaches the scan
+    df = Q["q7_nation_volume"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_q12_shipdate_pushdown(spark, sf_dir):
+    # the one-year shipping window must reach the lineitem scan BEFORE the
+    # orders join (not filter post-join); the case-sum runs in the single
+    # groupBy shuffle
+    df = Q["q12_priority_mix"](spark, sf_dir)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    assert "BroadcastNestedLoopJoin" not in join_strategies(df)
+
+
+def test_q14_promo_broadcast_part(spark, sf_dir):
+    # part is the small side: broadcast join, month window pushed to the
+    # lineitem scan, single global aggregate
+    df = Q["q14_promo_revenue"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_q16_part_restriction_pushdown(spark, sf_dir):
+    # the size band and brand exclusion must reach the part scan; the
+    # count(DISTINCT suppkey) expands inside the aggregation, not via a
+    # self-join
+    df = Q["q16_supplier_variety"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("p_size" in f for f in pf), pf
+    assert any("p_brand" in f for f in pf), pf
+    assert "SortMergeJoin" not in join_strategies(df)
+
+
+def test_q22_scalar_and_anti_join_in_plan(spark, sf_dir):
+    # the global average balance stays IN-PLAN as a broadcast 1-row cross
+    # join (no driver collect) and the no-orders restriction is an anti
+    # join, not an exceptAll
+    df = Q["q22_idle_balances"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" in joins, joins
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, "expected an anti join for the no-orders restriction"
