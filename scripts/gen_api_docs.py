@@ -23,6 +23,8 @@ SECTIONS = [
     ("ops.semdedup", "datachain_spark.ops.semdedup", None),
     ("ops.zorder", "datachain_spark.ops.zorder", None),
     ("ops.sketches", "datachain_spark.ops.sketches", None),
+    ("ops.classify", "datachain_spark.ops.classify", None),
+    ("ops.tokenize", "datachain_spark.ops.tokenize", None),
     ("ops.retrieval", "datachain_spark.ops.retrieval", None),
     ("ops.selection", "datachain_spark.ops.selection", None),
     ("ops.c4", "datachain_spark.ops.c4", None),
