@@ -3841,6 +3841,34 @@ ORDER BY d.doc_id
 """
 
 
+def fuzzy_join_pairs(spark, sf):
+    """Edit-distance similarity self-join (ops/fuzzy.fuzzy_dedup_pairs):
+    unordered doc-prefix pairs within Levenshtein distance 4, found via
+    q-gram count-filter + length-band blocking and verified exactly. The
+    oracle is the QUADRATIC cross-join truth in DuckDB — hash-matching it
+    proves the blocking is complete (no qualifying pair missed) against an
+    independent engine. 111 pairs across distances 0-4 at sf0.01."""
+    from datachain_spark.ops import fuzzy as _fuzzy
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 300)
+    keyed = docs.select("doc_id", F.substring("text", 1, 14).alias("text"))
+    out = _fuzzy.fuzzy_dedup_pairs(keyed, "doc_id", max_distance=4)
+    return out.orderBy("id_a", "id_b")
+
+
+_FUZZY_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lower(substring(text, 1, 14)) AS s
+  FROM documents WHERE doc_id < 300
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(coalesce(a.s, ''), coalesce(b.s, '')) AS INT) AS distance
+FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id
+WHERE levenshtein(coalesce(a.s, ''), coalesce(b.s, '')) <= 4
+ORDER BY id_a, id_b
+"""
+
+
 _NB_BUCKETS = 4096
 
 
@@ -5065,6 +5093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval_md5": dedup_eval_md5,
         "leakage_split_md5": leakage_split_md5,
         "nb_classifier_md5": nb_classifier_md5,
+        "fuzzy_join_pairs": fuzzy_join_pairs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5184,6 +5213,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_eval_md5": _dedup_eval_sql(),
         "leakage_split_md5": _leakage_split_sql(),
         "nb_classifier_md5": _nb_sql(),
+        "fuzzy_join_pairs": _FUZZY_SQL,
         "save_read_roundtrip": SAVE_READ_SQL,
         "delta_incremental": DELTA_INCREMENTAL_SQL,
         "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,

@@ -1,0 +1,178 @@
+"""Edit-distance similarity join (fuzzy entity resolution) with
+inverted-index blocking.
+
+No reference counterpart (spec addition): the record-linkage pass a
+large-scale pipeline runs to reconcile near-identical titles, author
+names, URLs-after-normalization, or OCR'd strings — pairs within
+Levenshtein distance ``k`` — without the quadratic cross join.
+
+Candidate generation is the classic q-gram count-filter blocking
+(Gravano et al. 2001, public): a single edit destroys at most ``q``
+overlapping q-grams, so two strings within distance ``k`` must share at
+least ``(min_len − q + 1) − k·q`` q-grams — which is ≥ 1 whenever
+``min_len ≥ q·(k + 1)``. Long strings therefore meet on at least one
+exact q-gram (an inverted-index equi-join, the ngram_jaccard_pairs
+shape); strings too short for the guarantee go through a length-band
+block instead (≤ 2k+1 duplicated rows per short string — the interval
+join binning trick). Every candidate is then verified with the exact
+JVM ``levenshtein``; the blocking is COMPLETE (no pair within ``k`` is
+missed), which the DuckDB oracle checks against the quadratic truth.
+
+Scale shape: explode distinct q-grams once per side (≤ len−q+1 rows per
+string), one equi-join on the gram key, pair-key dedup, codegen'd
+verify. No cross join anywhere; the short-string path joins on exact
+length-band keys. Skew caveat: a gram shared by f left and g right
+strings contributes f·g candidate rows — on corpora with pathological
+gram skew raise ``q`` (rarer grams) or pre-normalize; dropping frequent
+grams is deliberately NOT offered because it would silently break the
+completeness guarantee.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _prep(
+    df: DataFrame, id_col: str, text_col: str, lowercase: bool, side: str
+) -> DataFrame:
+    s = F.col(text_col).cast("string")
+    if lowercase:
+        s = F.lower(s)
+    return df.select(
+        F.col(id_col).alias(f"{side}_id"),
+        F.coalesce(s, F.lit("")).alias(f"{side}_s"),
+    )
+
+
+def _qgrams(col, q: int):
+    # distinct q-grams of a string (positions irrelevant for blocking);
+    # strings shorter than q yield none (they take the short path anyway)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(col) - q + 1, F.lit(0))),
+            lambda i: F.substring(col, i, q),
+        )
+    )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_col: str = "text",
+    right_col: Optional[str] = None,
+    max_distance: int = 2,
+    q: int = 2,
+    lowercase: bool = True,
+    keep_strings: bool = True,
+) -> DataFrame:
+    """All (left, right) pairs with ``levenshtein ≤ max_distance``.
+
+    Output: ``(left_id, right_id, distance)`` (+ the compared strings
+    when ``keep_strings``). Exact and COMPLETE — blocking only prunes
+    pairs that provably cannot qualify. Self-join: pass the same frame
+    twice and filter ``left_id < right_id`` downstream (ids are not
+    deduplicated here).
+    """
+    if max_distance < 0:
+        raise ValueError("edit_distance_join: max_distance must be >= 0")
+    if q < 1:
+        raise ValueError("edit_distance_join: q must be >= 1")
+    k = int(max_distance)
+    r_col = right_col or left_col
+    L = _prep(left, left_id, left_col, lowercase, "l")
+    R = _prep(right, right_id, r_col, lowercase, "r")
+    # the q-gram count filter guarantees >= 1 shared gram only from this
+    # length up; below it, block on exact length bands instead
+    min_long = q * (k + 1)
+
+    # ---- long path: inverted-index join on shared q-grams
+    Ll = L.filter(F.length("l_s") >= min_long)
+    Rl = R.filter(F.length("r_s") >= min_long)
+    lg = Ll.select("l_id", "l_s", F.explode(_qgrams(F.col("l_s"), q)).alias("__g"))
+    rg = Rl.select("r_id", "r_s", F.explode(_qgrams(F.col("r_s"), q)).alias("__g"))
+    long_cand = (
+        lg.join(rg, "__g")
+        .filter(F.abs(F.length("l_s") - F.length("r_s")) <= k)
+        .select("l_id", "l_s", "r_id", "r_s")
+        .dropDuplicates(["l_id", "r_id"])
+    )
+
+    # ---- short path: either side shorter than the guarantee meets ALL
+    # rows within the k length band (short strings have few distinct
+    # lengths; each short left row duplicates into <= 2k+1 band keys)
+    Ls = L.filter(F.length("l_s") < min_long)
+    Rs = R.filter(F.length("r_s") < min_long + k)  # partners of short lefts
+    lb = Ls.select(
+        "l_id", "l_s",
+        F.explode(
+            F.sequence(
+                F.greatest(F.length("l_s") - k, F.lit(0)),
+                F.length("l_s") + k,
+            )
+        ).alias("__len"),
+    )
+    short_cand1 = lb.join(
+        Rs.withColumn("__len", F.length("r_s")), "__len"
+    ).select("l_id", "l_s", "r_id", "r_s")
+    # long lefts vs short rights (the cross-band remainder): right side
+    # shorter than min_long, left within k of it — band from the right
+    Rss = R.filter(F.length("r_s") < min_long)
+    Lsl = L.filter(
+        (F.length("l_s") >= min_long) & (F.length("l_s") < min_long + k)
+    )
+    rb = Rss.select(
+        "r_id", "r_s",
+        F.explode(
+            F.sequence(
+                F.greatest(F.length("r_s") - k, F.lit(0)),
+                F.length("r_s") + k,
+            )
+        ).alias("__len"),
+    )
+    short_cand2 = rb.join(
+        Lsl.withColumn("__len", F.length("l_s")), "__len"
+    ).select("l_id", "l_s", "r_id", "r_s")
+
+    cand = long_cand.unionByName(short_cand1).unionByName(short_cand2)
+    cand = cand.dropDuplicates(["l_id", "r_id"])
+
+    out = cand.withColumn("distance", F.levenshtein("l_s", "r_s")).filter(
+        F.col("distance") <= k
+    )
+    cols = [
+        F.col("l_id").alias(left_id if left_id != right_id else f"l_{left_id}"),
+        F.col("r_id").alias(right_id if left_id != right_id else f"r_{right_id}"),
+        F.col("distance"),
+    ]
+    if keep_strings:
+        cols += [F.col("l_s").alias("left_str"), F.col("r_s").alias("right_str")]
+    return out.select(*cols)
+
+
+def fuzzy_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_distance: int = 2,
+    q: int = 2,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Self-join convenience: unordered near-identical pairs
+    ``(id_a, id_b, distance)`` with ``id_a < id_b`` — feed into
+    ``connected_components`` / ``minhash_dedup``-style resolution for
+    typo-level deduplication of titles/names/URLs."""
+    pairs = edit_distance_join(
+        df, df, id_col, id_col, left_col=text_col,
+        max_distance=max_distance, q=q, lowercase=lowercase,
+        keep_strings=False,
+    )
+    a, b = f"l_{id_col}", f"r_{id_col}"
+    return pairs.filter(F.col(a) < F.col(b)).select(
+        F.col(a).alias("id_a"), F.col(b).alias("id_b"), "distance"
+    )

@@ -1,0 +1,110 @@
+"""Edit-distance similarity join (ops/fuzzy) — known distances, the
+completeness differential vs the quadratic cross-join truth (the blocking
+must not lose a single qualifying pair), path-split edges (short/long
+strings), self-join dedup pairs, and the no-cross-join plan guard."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from datachain_spark.ops import fuzzy
+from datachain_spark.plans import join_strategies
+
+
+def _df(session, rows, side="a"):
+    return session.spark.createDataFrame(rows, f"{side}_id long, text string")
+
+
+def _lev(a, b):
+    # textbook DP reference
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j - 1] + 1, dp[j] + 1,
+                                     prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_known_pairs_and_distances(session):
+    left = _df(session, [(1, "kitten"), (2, "flaw"), (3, "spark")], "a")
+    right = _df(session, [(10, "sitting"), (11, "lawn"), (12, "sparks"),
+                          (13, "zzzzz")], "b")
+    out = {(r["a_id"], r["b_id"]): r["distance"] for r in
+           fuzzy.edit_distance_join(left, right, "a_id", "b_id",
+                                    max_distance=3).collect()}
+    assert out[(1, 10)] == 3          # kitten -> sitting
+    assert out[(2, 11)] == 2          # flaw -> lawn
+    assert out[(3, 12)] == 1          # spark -> sparks
+    assert (3, 13) not in out
+
+
+def test_completeness_vs_quadratic_truth(session):
+    """Every pair the cross join finds, the blocked join must find —
+    across the short/long path boundary and both k values."""
+    words = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdef", "banana", "bananas",
+        "bandana", "spark", "sparks", "shark", "sharp", "share", "sharé",
+        "the quick fox", "the quick box", "a quick fox", "thequickfox",
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = _df(session, rows, "a")
+    right = _df(session, [(i + 100, w) for i, w in enumerate(words)], "b")
+    for k in (1, 2, 3):
+        pairs = fuzzy.edit_distance_join(df, right, "a_id", "b_id",
+                                         max_distance=k)
+        got = {(r["a_id"], r["b_id"]): r["distance"] for r in pairs.collect()}
+        want = {}
+        for (i, wa), (j, wb) in itertools.product(
+            enumerate(words), enumerate(words)
+        ):
+            d = _lev(wa.lower(), wb.lower())
+            if d <= k:
+                want[(i, j + 100)] = d
+        assert got == want, f"k={k}: missing {set(want) - set(got)}, extra {set(got) - set(want)}"
+
+
+def test_fuzzy_dedup_pairs_self_join(session):
+    df = _df(session, [(1, "Banana"), (2, "banana"), (3, "bananna"),
+                       (4, "orange")], "a")
+    out = {(r["id_a"], r["id_b"]): r["distance"] for r in
+           fuzzy.fuzzy_dedup_pairs(df, "a_id", max_distance=1).collect()}
+    # lowercase fold: Banana==banana (d=0); bananna is 1 edit from both
+    assert out == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+    # case-sensitive: Banana->banana is 1 edit
+    out_cs = {(r["id_a"], r["id_b"]): r["distance"] for r in
+              fuzzy.fuzzy_dedup_pairs(df, "a_id", max_distance=1,
+                                      lowercase=False).collect()}
+    assert out_cs[(1, 2)] == 1
+
+
+def test_nulls_empty_and_validation(session):
+    left = session.spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab")], "a_id long, text string"
+    )
+    right = session.spark.createDataFrame(
+        [(10, ""), (11, "b")], "b_id long, text string"
+    )
+    out = {(r["a_id"], r["b_id"]): r["distance"] for r in
+           fuzzy.edit_distance_join(left, right, "a_id", "b_id",
+                                    max_distance=1).collect()}
+    # NULL folds to "" (matches empty, 1 edit from "b"); "ab" is 1 from "b"
+    assert out == {(1, 10): 0, (1, 11): 1, (2, 10): 0, (2, 11): 1,
+                   (3, 11): 1}
+    with pytest.raises(ValueError):
+        fuzzy.edit_distance_join(left, right, "a_id", "b_id", max_distance=-1)
+    with pytest.raises(ValueError):
+        fuzzy.edit_distance_join(left, right, "a_id", "b_id", q=0)
+
+
+def test_no_cross_join_in_plan(session):
+    df = _df(session, [(i, f"word{i}") for i in range(20)], "a")
+    out = fuzzy.edit_distance_join(
+        df, _df(session, [(i, f"word{i}") for i in range(20)], "b"),
+        "a_id", "b_id", max_distance=2,
+    )
+    strategies = join_strategies(out)
+    assert strategies, "expected joins"
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
