@@ -892,6 +892,14 @@ class DataChain:
 
         return self._evolve(_op(self._df, **kw))
 
+    def fuzzy_dedup_pairs(self, id_col: str, text_col: str = "text",
+                          **kw: Any) -> "DataChain":
+        """Near-identical pairs within Levenshtein distance k
+        (ops/fuzzy.fuzzy_dedup_pairs) — typo-level record linkage."""
+        from .ops.fuzzy import fuzzy_dedup_pairs as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
     def nb_classify(self, model: Any, id_col: str, **kw: Any) -> "DataChain":
         """Score every doc against a broadcast Naive-Bayes model
         (ops/classify.nb_classify); ``model`` may be a DataChain or

@@ -108,3 +108,14 @@ def test_no_cross_join_in_plan(session):
     assert strategies, "expected joins"
     assert "CartesianProduct" not in strategies
     assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_fuzzy_fluent_chain_surface(session):
+    import datachain_spark as dc
+
+    ch = dc.read_values(
+        doc_id=[1, 2, 3], text=["banana", "bananna", "orange"], session=session
+    )
+    pairs = ch.fuzzy_dedup_pairs("doc_id", max_distance=1)
+    assert [(r["id_a"], r["id_b"], r["distance"])
+            for r in pairs.df.collect()] == [(1, 2, 1)]
