@@ -75,7 +75,10 @@ def nb_train(
     """
     if num_buckets < 1:
         raise ValueError("nb_train: num_buckets must be >= 1")
-    lab = labeled.select(
+    # NULL labels are excluded up front (and from total_docs): letting
+    # them through would silently vanish from the model at the label join
+    # while still deflating every prior via the total
+    lab = labeled.filter(F.col(label_col).isNotNull()).select(
         F.col(label_col).cast("string").alias("label"),
         F.col(text_col).alias("__text"),
     )
@@ -105,6 +108,7 @@ def nb_classify(
     num_buckets: int = 8192,
     alpha: float = 1.0,
     hash_fn: str = "xxhash64",
+    persist_model: bool = True,
 ) -> DataFrame:
     """Score every document against a broadcast NB model.
 
@@ -123,10 +127,18 @@ def nb_classify(
     confidence threshold.
 
     ``num_buckets``, ``alpha``, ``hash_fn`` must match training.
+    ``persist_model`` (default) localCheckpoints the model frame so its
+    plan (the whole seed aggregation when passed straight from
+    ``nb_train``) runs once instead of twice — once for the label-stat
+    collect, once for the per-bucket broadcast; disable when the caller
+    already persisted it.
     """
     if alpha <= 0:
         raise ValueError("nb_classify: alpha must be > 0 (Laplace smoothing)")
     import math
+
+    if persist_model:
+        model = model.localCheckpoint(eager=False)
 
     # driver contact: the k label-stat rows only (k = number of classes —
     # the num_cells-centroid class of contact, never the model body)

@@ -37,24 +37,39 @@ from pyspark.sql import functions as F
 
 
 def _prep(
-    df: DataFrame, id_col: str, text_col: str, lowercase: bool, side: str
+    df: DataFrame, id_col: str, text_col: str, lowercase: bool, side: str,
+    skip_blank: bool,
 ) -> DataFrame:
     s = F.col(text_col).cast("string")
     if lowercase:
         s = F.lower(s)
-    return df.select(
+    out = df.select(
         F.col(id_col).alias(f"{side}_id"),
         F.coalesce(s, F.lit("")).alias(f"{side}_s"),
     )
+    if skip_blank:
+        # NULL/empty strings are all within distance k of EACH OTHER (and
+        # of every string shorter than k): on a corpus with many blank
+        # rows they alone produce a quadratic pair set that downstream
+        # connected-components would collapse into one garbage cluster —
+        # excluded by default, opt back in with skip_blank=False
+        out = out.filter(F.length(f"{side}_s") > 0)
+    return out
 
 
 def _qgrams(col, q: int):
-    # distinct q-grams of a string (positions irrelevant for blocking);
-    # strings shorter than q yield none (they take the short path anyway)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(col) - q + 1, F.lit(0))),
-            lambda i: F.substring(col, i, q),
+    # distinct q-grams of a string (positions irrelevant for blocking).
+    # The explicit when() guard matters: Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0], so without it a string shorter than q would emit
+    # two truncated phantom grams instead of none
+    return F.when(
+        F.length(col) < q, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - q + 1),
+                lambda i: F.substring(col, i, q),
+            )
         )
     )
 
@@ -70,14 +85,20 @@ def edit_distance_join(
     q: int = 2,
     lowercase: bool = True,
     keep_strings: bool = True,
+    skip_blank: bool = True,
+    ordered_only: bool = False,
 ) -> DataFrame:
     """All (left, right) pairs with ``levenshtein ≤ max_distance``.
 
     Output: ``(left_id, right_id, distance)`` (+ the compared strings
-    when ``keep_strings``). Exact and COMPLETE — blocking only prunes
-    pairs that provably cannot qualify. Self-join: pass the same frame
-    twice and filter ``left_id < right_id`` downstream (ids are not
-    deduplicated here).
+    when ``keep_strings``). Exact and COMPLETE over the compared rows —
+    blocking only prunes pairs that provably cannot qualify.
+    ``skip_blank`` (default) excludes NULL/empty-normalized strings
+    entirely: blank rows are all mutual near-duplicates, a quadratic
+    trap at corpus scale. ``ordered_only`` keeps only candidates with
+    ``left id < right id`` BEFORE the verify — the self-join halving
+    (:func:`fuzzy_dedup_pairs` sets it); it assumes both id spaces are
+    comparable.
     """
     if max_distance < 0:
         raise ValueError("edit_distance_join: max_distance must be >= 0")
@@ -85,8 +106,8 @@ def edit_distance_join(
         raise ValueError("edit_distance_join: q must be >= 1")
     k = int(max_distance)
     r_col = right_col or left_col
-    L = _prep(left, left_id, left_col, lowercase, "l")
-    R = _prep(right, right_id, r_col, lowercase, "r")
+    L = _prep(left, left_id, left_col, lowercase, "l", skip_blank)
+    R = _prep(right, right_id, r_col, lowercase, "r", skip_blank)
     # the q-gram count filter guarantees >= 1 shared gram only from this
     # length up; below it, block on exact length bands instead
     min_long = q * (k + 1)
@@ -100,8 +121,7 @@ def edit_distance_join(
         lg.join(rg, "__g")
         .filter(F.abs(F.length("l_s") - F.length("r_s")) <= k)
         .select("l_id", "l_s", "r_id", "r_s")
-        .dropDuplicates(["l_id", "r_id"])
-    )
+    )  # pair-key dedup happens ONCE, after the union (one shuffle, not two)
 
     # ---- short path: either side shorter than the guarantee meets ALL
     # rows within the k length band (short strings have few distinct
@@ -140,6 +160,10 @@ def edit_distance_join(
     ).select("l_id", "l_s", "r_id", "r_s")
 
     cand = long_cand.unionByName(short_cand1).unionByName(short_cand2)
+    if ordered_only:
+        # self-join: drop the mirrored orientation BEFORE the dedup
+        # shuffle and the levenshtein verify — halves both
+        cand = cand.filter(F.col("l_id") < F.col("r_id"))
     cand = cand.dropDuplicates(["l_id", "r_id"])
 
     out = cand.withColumn("distance", F.levenshtein("l_s", "r_s")).filter(
@@ -162,17 +186,20 @@ def fuzzy_dedup_pairs(
     max_distance: int = 2,
     q: int = 2,
     lowercase: bool = True,
+    skip_blank: bool = True,
 ) -> DataFrame:
     """Self-join convenience: unordered near-identical pairs
     ``(id_a, id_b, distance)`` with ``id_a < id_b`` — feed into
     ``connected_components`` / ``minhash_dedup``-style resolution for
-    typo-level deduplication of titles/names/URLs."""
+    typo-level deduplication of titles/names/URLs. The mirrored
+    orientation is pruned before the dedup shuffle and the verify
+    (``ordered_only``), not after."""
     pairs = edit_distance_join(
         df, df, id_col, id_col, left_col=text_col,
         max_distance=max_distance, q=q, lowercase=lowercase,
-        keep_strings=False,
+        keep_strings=False, skip_blank=skip_blank, ordered_only=True,
     )
     a, b = f"l_{id_col}", f"r_{id_col}"
-    return pairs.filter(F.col(a) < F.col(b)).select(
+    return pairs.select(
         F.col(a).alias("id_a"), F.col(b).alias("id_b"), "distance"
     )

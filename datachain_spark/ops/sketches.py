@@ -48,20 +48,23 @@ def hll_profile(
     sketchable = {"string", "int", "bigint", "binary"}
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        src = F.col(c) if dtypes.get(c) in sketchable else F.col(c).cast("string")
-        aggs.append(F.hll_sketch_agg(src, F.lit(lg_config_k)).alias(f"__sk_{c}"))
+    # refs are backtick-quoted and aliases index-based so legal column
+    # names containing dots don't parse as struct-field access
+    for i, c in enumerate(cols):
+        ref = F.col(f"`{c}`")
+        src = ref if dtypes.get(c) in sketchable else ref.cast("string")
+        aggs.append(F.hll_sketch_agg(src, F.lit(lg_config_k)).alias(f"__sk_{i}"))
     row = df.agg(*aggs)
     # melt the single agg row via explode — ONE aggregation branch in the
     # plan (a per-column union would plan the agg once per column)
     entries = [
         F.struct(
             F.lit(c).alias("column"),
-            F.hll_sketch_estimate(F.col(f"__sk_{c}")).alias("approx_distinct"),
+            F.hll_sketch_estimate(F.col(f"__sk_{i}")).alias("approx_distinct"),
             F.col("__n").alias("n_rows"),
-            F.col(f"__sk_{c}").alias("sketch"),
+            F.col(f"__sk_{i}").alias("sketch"),
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
 
@@ -94,20 +97,22 @@ def topk_profile(
         raise ValueError("topk_profile: max_items_tracked must be >= 1")
     m = int(max_items_tracked)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    # index-based aliases: dotted column names must not round-trip through
+    # F.col (which would parse them as struct-field access)
+    for i, c in enumerate(cols):
         aggs.append(
             F.expr(
                 f"approx_top_k_accumulate(cast(`{c}` as string), {m})"
-            ).alias(f"__st_{c}")
+            ).alias(f"__st_{i}")
         )
     row = df.agg(*aggs)
     entries = [
         F.struct(
             F.lit(c).alias("column"),
             F.col("__n").alias("n_rows"),
-            F.col(f"__st_{c}").alias("state"),
+            F.col(f"__st_{i}").alias("state"),
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
 

@@ -42,6 +42,13 @@ from pyspark.sql import functions as F
 #: so merges never cross word boundaries and word endings tokenize distinctly
 _EOW = "</w>"
 
+#: executor-process-global word→tokens memo, keyed per merge table; Python
+#: workers are reused across tasks, so the cache amortizes across the whole
+#: task stream. Bounded: a memo is cleared when it exceeds _MEMO_MAX_WORDS
+#: (Zipf means the head re-fills instantly; the bound caps worker memory)
+_WORD_MEMO: dict = {}
+_MEMO_MAX_WORDS = 1_000_000
+
 
 def _word_counts(
     df: DataFrame, text_col: str, lowercase: bool, max_words: int
@@ -57,6 +64,10 @@ def _word_counts(
     ).otherwise(F.split(cleaned, r"\s+"))
     counts = (
         df.select(F.explode(words).alias("__w"))
+        # Spark trim strips only ASCII spaces, so text with leading
+        # tabs/newlines splits with a leading '' — filter it (the
+        # ops/text.vocabulary guard) or it eats a max_words slot
+        .filter(F.col("__w") != "")
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__c"))
         .orderBy(F.col("__c").desc(), F.col("__w"))
@@ -202,21 +213,35 @@ def bpe_encode(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields[:-1]]
         + [f"`{out_col}` {out_type}", "n_tokens long"]
     )
+    # cache key: the merge table + id mapping identify the memo contents;
+    # the worker-process-global _WORD_MEMO survives across tasks (Python
+    # workers are reused), so the per-word merge loop amortizes across the
+    # executor's whole task stream, not just one partition
+    cache_key = (hash(tuple(map(tuple, merges))), vocab_map is not None,
+                 id(vocab) if vocab is not None else 0, bool(lowercase))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        memo: dict[str, list] = {}
+        import re
+
+        memo = _WORD_MEMO.setdefault(cache_key, {})
 
         def words_of(t):
             if t is None:
                 return []
             s = t.lower() if lowercase else t
-            return s.split()
+            # ASCII \s+ split, matching the Java regex bpe_train uses —
+            # Python str.split() also splits Unicode whitespace (NBSP,
+            # U+2028, ideographic space), which would segment a different
+            # word population than the one the merges were trained on
+            return [w for w in re.split(r"\s+", s, flags=re.ASCII) if w]
 
         def encode_doc(t):
             toks: list = []
             for w in words_of(t):
                 got = memo.get(w)
                 if got is None:
+                    if len(memo) >= _MEMO_MAX_WORDS:
+                        memo.clear()
                     got = _encode_word(w, ranks)
                     if vocab_map is not None:
                         got = [vocab_map.get(s, -1) for s in got]

@@ -170,3 +170,16 @@ def test_nb_scale_shape_model_join_broadcast(session):
     strategies = join_strategies(preds)
     assert strategies, "expected joins in the classify plan"
     assert all("Broadcast" in s for s in strategies), strategies
+
+
+def test_nb_train_excludes_null_labels(session):
+    train = session.spark.createDataFrame(
+        [(1, "cat", "meow purr"), (2, None, "junk text junk"),
+         (3, "dog", "woof bark")],
+        "doc_id long, label string, text string",
+    )
+    model = classify.nb_train(train, "label", num_buckets=128)
+    rows = model.collect()
+    assert {r["label"] for r in rows} == {"cat", "dog"}
+    # the NULL-label row is excluded from total_docs too (priors undistorted)
+    assert all(r["total_docs"] == 2 for r in rows)

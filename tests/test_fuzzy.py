@@ -53,7 +53,7 @@ def test_completeness_vs_quadratic_truth(session):
     right = _df(session, [(i + 100, w) for i, w in enumerate(words)], "b")
     for k in (1, 2, 3):
         pairs = fuzzy.edit_distance_join(df, right, "a_id", "b_id",
-                                         max_distance=k)
+                                         max_distance=k, skip_blank=False)
         got = {(r["a_id"], r["b_id"]): r["distance"] for r in pairs.collect()}
         want = {}
         for (i, wa), (j, wb) in itertools.product(
@@ -86,12 +86,19 @@ def test_nulls_empty_and_validation(session):
     right = session.spark.createDataFrame(
         [(10, ""), (11, "b")], "b_id long, text string"
     )
+    # default: blank/NULL rows excluded (they are all mutual near-dups —
+    # a quadratic trap on real corpora)
     out = {(r["a_id"], r["b_id"]): r["distance"] for r in
            fuzzy.edit_distance_join(left, right, "a_id", "b_id",
                                     max_distance=1).collect()}
-    # NULL folds to "" (matches empty, 1 edit from "b"); "ab" is 1 from "b"
-    assert out == {(1, 10): 0, (1, 11): 1, (2, 10): 0, (2, 11): 1,
-                   (3, 11): 1}
+    assert out == {(3, 11): 1}
+    # opt back in: NULL folds to "" (matches empty, 1 edit from "b")
+    out_all = {(r["a_id"], r["b_id"]): r["distance"] for r in
+               fuzzy.edit_distance_join(left, right, "a_id", "b_id",
+                                        max_distance=1,
+                                        skip_blank=False).collect()}
+    assert out_all == {(1, 10): 0, (1, 11): 1, (2, 10): 0, (2, 11): 1,
+                       (3, 11): 1}
     with pytest.raises(ValueError):
         fuzzy.edit_distance_join(left, right, "a_id", "b_id", max_distance=-1)
     with pytest.raises(ValueError):

@@ -149,3 +149,14 @@ def test_topk_profile_single_pass_and_validation(session):
         sketches.topk_merge([])
     with pytest.raises(ValueError):
         sketches.topk_estimate(prof, k=0)
+
+
+def test_profiles_accept_dotted_column_names(session):
+    df = session.spark.range(100).select(
+        F.col("id").alias("a.b"), (F.col("id") % 3).alias("plain")
+    )
+    hp = {r["column"]: r for r in sketches.hll_profile(df).collect()}
+    assert abs(hp["a.b"]["approx_distinct"] - 100) < 10
+    tp = sketches.topk_profile(df)
+    est = sketches.topk_estimate(tp, k=1).collect()
+    assert {r["column"] for r in est} == {"a.b", "plain"}

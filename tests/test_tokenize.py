@@ -170,3 +170,23 @@ def test_bpe_counts_feed_pack_sequences(session):
 def test_bpe_validates_inputs(session):
     with pytest.raises(ValueError, match="num_merges"):
         tokenize.bpe_train(_docs(session, ["x"]), num_merges=-1)
+
+
+def test_bpe_train_ignores_leading_whitespace_artifacts(session):
+    # Spark trim strips only spaces: tab/newline-led text must not
+    # contribute a '' word to the frequency table
+    docs = _docs(session, ["\tab ab\n", "ab ab"])
+    merges = tokenize.bpe_train(docs, num_merges=1)
+    assert merges == [("a", "b</w>")]
+
+
+def test_bpe_encode_ascii_split_matches_training(session):
+    # NBSP is NOT a separator for either trainer (Java \s+) or encoder
+    # (ASCII re.split): 'a\xa0b' stays ONE word on both sides
+    docs = _docs(session, ["a\xa0b a\xa0b stu"])
+    merges = tokenize.bpe_train(docs, num_merges=1)
+    out = tokenize.bpe_encode(docs, merges, "doc_id").collect()[0]
+    # 3 words total, each word's symbols end with the EOW marker
+    assert out["tokens"][-1] == "u</w>"
+    joined = "".join(out["tokens"])
+    assert joined.count("</w>") == 3
