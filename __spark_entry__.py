@@ -3841,6 +3841,62 @@ ORDER BY d.doc_id
 """
 
 
+_PR_MOD = 40
+_PR_ITERS = 5
+
+
+def pagerank_orders(spark, sf):
+    """Fixed-iteration PageRank (ops/graph.pagerank) over the dense
+    multigraph (o_custkey % 40) -> (o_orderkey % 40) derived from orders —
+    exercises edge multiplicity, dangling-mass redistribution and the
+    per-iteration join/agg recurrence; the oracle unrolls the SAME 5
+    iterations as chained DuckDB CTEs."""
+    from datachain_spark.ops import graph as _graph
+
+    orders = _chain(spark, sf, "orders").df
+    edges = orders.select(
+        (F.col("o_custkey") % _PR_MOD).alias("src"),
+        (F.col("o_orderkey") % _PR_MOD).alias("dst"),
+    )
+    pr = _graph.pagerank(edges, iterations=_PR_ITERS)
+    return pr.select("node", F.round("rank", 6).alias("rank_r")).orderBy("node")
+
+
+def _pagerank_sql() -> str:
+    # every literal cast to DOUBLE: DuckDB parses 0.85 as DECIMAL(3,2) and
+    # decimal arithmetic would drift from Spark's IEEE doubles
+    D = "CAST(0.85 AS DOUBLE)"
+    ONE = "CAST(1.0 AS DOUBLE)"
+    N = "CAST((SELECT n FROM nn) AS DOUBLE)"
+    parts = [
+        f"WITH e AS (SELECT o_custkey % {_PR_MOD} AS s, o_orderkey % {_PR_MOD} AS d FROM orders)",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "od AS (SELECT s, count(*) AS od FROM e GROUP BY s)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, {ONE} / {N} AS rank FROM nodes)",
+    ]
+    for i in range(_PR_ITERS):
+        parts.append(
+            f"dm{i} AS (SELECT coalesce(sum(rank), CAST(0.0 AS DOUBLE)) AS dm FROM r{i} "
+            f"WHERE node NOT IN (SELECT s FROM od))"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.d AS node, sum(r.rank / CAST(od.od AS DOUBLE)) AS inr "
+            f"FROM e JOIN r{i} r ON r.node = e.s JOIN od ON od.s = e.s "
+            f"GROUP BY e.d)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT nd.node, "
+            f"({ONE} - {D}) / {N} "
+            f"+ {D} * (coalesce(c.inr, CAST(0.0 AS DOUBLE)) + (SELECT dm FROM dm{i}) / {N}) AS rank "
+            f"FROM nodes nd LEFT JOIN c{i} c ON c.node = nd.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, round(rank, 6) AS rank_r FROM r{_PR_ITERS} ORDER BY node"
+    )
+
+
 def fuzzy_join_pairs(spark, sf):
     """Edit-distance similarity self-join (ops/fuzzy.fuzzy_dedup_pairs):
     unordered doc-prefix pairs within Levenshtein distance 4, found via
@@ -5094,6 +5150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split_md5": leakage_split_md5,
         "nb_classifier_md5": nb_classifier_md5,
         "fuzzy_join_pairs": fuzzy_join_pairs,
+        "pagerank_orders": pagerank_orders,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5214,6 +5271,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_split_md5": _leakage_split_sql(),
         "nb_classifier_md5": _nb_sql(),
         "fuzzy_join_pairs": _FUZZY_SQL,
+        "pagerank_orders": _pagerank_sql(),
         "save_read_roundtrip": SAVE_READ_SQL,
         "delta_incremental": DELTA_INCREMENTAL_SQL,
         "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,

@@ -24,6 +24,7 @@ SECTIONS = [
     ("ops.zorder", "datachain_spark.ops.zorder", None),
     ("ops.sketches", "datachain_spark.ops.sketches", None),
     ("ops.classify", "datachain_spark.ops.classify", None),
+    ("ops.graph", "datachain_spark.ops.graph", None),
     ("ops.tokenize", "datachain_spark.ops.tokenize", None),
     ("ops.retrieval", "datachain_spark.ops.retrieval", None),
     ("ops.selection", "datachain_spark.ops.selection", None),
