@@ -3841,6 +3841,88 @@ ORDER BY d.doc_id
 """
 
 
+def group_centroids_emb(spark, sf):
+    """Per-group mean embeddings (ops/similarity.group_centroids): vectors
+    grouped by vec_id % 5 — the posexplode → per-dimension average →
+    ordered reassembly all replicated in DuckDB (unnest + avg + ordered
+    list), every centroid element rounded to 6."""
+    from datachain_spark.ops import similarity as _sim
+
+    emb = _chain(spark, sf, "embeddings").df.select(
+        (F.col("vec_id") % 5).alias("grp"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    out = _sim.group_centroids(emb, "grp")
+    return out.select(
+        "grp",
+        "n_vectors",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid_r"),
+    ).orderBy("grp")
+
+
+_CENTROIDS_SQL = """
+WITH g AS (
+  SELECT vec_id % 5 AS grp, embedding AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+), ex AS (
+  SELECT grp, i - 1 AS pos, CAST(v[i] AS DOUBLE) AS x
+  FROM (SELECT grp, v, unnest(generate_series(1, len(v))) AS i FROM g)
+), pd AS (
+  SELECT grp, pos, avg(x) AS m, count(*) AS n FROM ex GROUP BY grp, pos
+)
+SELECT grp, CAST(max(n) AS BIGINT) AS n_vectors,
+       list(round(m, 6) ORDER BY pos) AS centroid_r
+FROM pd GROUP BY grp ORDER BY grp
+"""
+
+
+_HIST_BINS = 10
+
+
+def histogram_orders(spark, sf):
+    """Exact equi-width histogram (ops/sketches.histogram) of
+    o_totalprice, bounds computed IN-PLAN (q22 scalar pattern) — bin
+    arithmetic, edge formula and the full zero-filled axis replicated in
+    DuckDB."""
+    from datachain_spark.ops import sketches as _sk
+
+    orders = _chain(spark, sf, "orders").df
+    out = _sk.histogram(orders, "o_totalprice", bins=_HIST_BINS)
+    return out.select(
+        "bin",
+        F.round("lo_edge", 4).alias("lo_r"),
+        F.round("hi_edge", 4).alias("hi_r"),
+        "count",
+    ).orderBy("bin")
+
+
+def _hist_sql() -> str:
+    B = _HIST_BINS
+    l, h = "(SELECT l FROM gbl)", "(SELECT h FROM gbl)"
+    w = f"(({h} - {l}) / CAST({B}.0 AS DOUBLE))"
+    return f"""
+WITH src AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_totalprice IS NOT NULL
+), gbl AS (
+  SELECT min(x) AS l, max(x) AS h FROM src
+), counts AS (
+  SELECT CASE WHEN {h} > {l}
+              THEN greatest(least(CAST(floor((x - {l}) / {w}) AS INT), {B - 1}), 0)
+              ELSE 0 END AS bin,
+         count(*) AS c
+  FROM src GROUP BY 1
+)
+SELECT b.bin,
+       round({l} + ({h} - {l}) / CAST({B}.0 AS DOUBLE) * b.bin, 4) AS lo_r,
+       round({l} + ({h} - {l}) / CAST({B}.0 AS DOUBLE) * (b.bin + 1), 4) AS hi_r,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS count
+FROM (SELECT CAST(unnest(generate_series(0, {B - 1})) AS INT) AS bin) b
+LEFT JOIN counts c ON c.bin = b.bin
+ORDER BY b.bin
+"""
+
+
 _PR_MOD = 40
 _PR_ITERS = 5
 
@@ -5151,6 +5233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier_md5": nb_classifier_md5,
         "fuzzy_join_pairs": fuzzy_join_pairs,
         "pagerank_orders": pagerank_orders,
+        "group_centroids_emb": group_centroids_emb,
+        "histogram_orders": histogram_orders,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5272,6 +5356,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_classifier_md5": _nb_sql(),
         "fuzzy_join_pairs": _FUZZY_SQL,
         "pagerank_orders": _pagerank_sql(),
+        "group_centroids_emb": _CENTROIDS_SQL,
+        "histogram_orders": _hist_sql(),
         "save_read_roundtrip": SAVE_READ_SQL,
         "delta_incremental": DELTA_INCREMENTAL_SQL,
         "sample_shuffle_chunk": SAMPLE_SHUFFLE_CHUNK_SQL,

@@ -68,6 +68,10 @@ HEADLINE = [
     # r05 late addition: NB quality/language classifier — train on a
     # balanced seed, score the whole corpus via the broadcast model
     "nb_classifier_full",
+    # r05 late additions: BPE train+encode over the corpus; PageRank on an
+    # orders-derived 10k-node multigraph (5 iterations)
+    "bpe_tokenize_full",
+    "pagerank_full",
     # the bloom variant of decontaminate_full (same split, same fpp): r05
     # capped k at 12 so the membership filter stays inside whole-stage
     # codegen (was interpreted at k=13+), derives probe positions from a
@@ -349,6 +353,30 @@ def main() -> None:
             F.count(F.lit(1)).alias("docs"), F.avg("margin").alias("avg_margin")
         )
 
+    def _bpe_tokenize_full(spark, sf):
+        # whole-corpus subword tokenization: one word-count aggregation +
+        # driver merge loop (train), then the zero-shuffle memoized encode
+        from datachain_spark.ops import tokenize as _tokenize
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        merges = _tokenize.bpe_train(docs, num_merges=500)
+        enc = _tokenize.bpe_encode(docs, merges, "doc_id")
+        return enc.agg(
+            F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
+        )
+
+    def _pagerank_full(spark, sf):
+        # 5-iteration PageRank over a ~10k-node multigraph from orders:
+        # per iteration one src join + one dst agg + broadcast dangling mass
+        from datachain_spark.ops import graph as _graph
+
+        orders = entrymod._chain(spark, sf, "orders").df
+        edges = orders.select(
+            (F.col("o_custkey") % 10000).alias("src"),
+            (F.col("o_orderkey") % 10000).alias("dst"),
+        )
+        return _graph.pagerank(edges, iterations=5)
+
     def _chunk_documents_full(spark, sf):
         # whole-corpus RAG chunking: zero-shuffle per-row slicing
         docs = entrymod._chain(spark, sf, "documents").df
@@ -430,6 +458,8 @@ def main() -> None:
     queries["semdedup_full"] = _semdedup_full
     queries["leakage_split_full"] = _leakage_split_full
     queries["nb_classifier_full"] = _nb_classifier_full
+    queries["bpe_tokenize_full"] = _bpe_tokenize_full
+    queries["pagerank_full"] = _pagerank_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);

@@ -221,3 +221,62 @@ def cosine_join_topk(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """Per-group mean embedding: ``(group_col, n_vectors, centroid)``.
+
+    The distributed centroid refresh for semdedup/IVF cells, domain
+    prototypes for mixture design, or class prototypes for nearest-
+    centroid labeling. Scale shape: posexplode to (group, dim, value)
+    rows, ONE groupBy(group, dim) average (map-side combined), then the
+    per-group reassembly sort over at most ``dim`` elements — no vector
+    ever passes through the driver. Rows with NULL vectors are ignored;
+    groups whose vectors disagree on length raise (ragged input is a
+    data bug, not a degradable condition). ``normalize=True`` rescales
+    each centroid to unit L2 norm (NULL if the mean is the zero vector).
+    """
+    exploded = (
+        df.select(F.col(group_col).alias("__grp"), F.col(vec_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .select("__grp", F.size("__v").alias("__dim"),
+                F.posexplode("__v").alias("__pos", "__x"))
+    )
+    per_dim = exploded.groupBy("__grp", "__pos").agg(
+        F.avg("__x").alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("__dim").alias("__ndim"),
+    )
+    # ragged guard: every position of a group must come from vectors that
+    # all report one length (count_distinct over the carried size column)
+    asm = per_dim.groupBy("__grp").agg(
+        F.max("__n").alias("n_vectors"),
+        F.max("__ndim").alias("__raggedness"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__pos"), F.col("__m")))
+        ).alias("__a"),
+    )
+    centroid = F.transform(F.col("__a"), lambda s: s["__m"])
+    if normalize:
+        norm = F.sqrt(F.aggregate(
+            centroid, F.lit(0.0), lambda acc, x: acc + x * x
+        ))
+        centroid = F.when(
+            norm > 0, F.transform(centroid, lambda x: x / norm)
+        )
+    return asm.select(
+        F.col("__grp").alias(group_col),
+        "n_vectors",
+        F.when(
+            F.col("__raggedness") > 1,
+            F.raise_error(F.concat(
+                F.lit("group_centroids: ragged vector lengths in group "),
+                F.col("__grp").cast("string"),
+            )),
+        ).otherwise(centroid).alias("centroid"),
+    )

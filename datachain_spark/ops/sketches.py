@@ -171,3 +171,61 @@ def hll_merge(profiles: Sequence[DataFrame]) -> DataFrame:
             "sketch",
         )
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> DataFrame:
+    """Exact equi-width histogram of a numeric column:
+    ``(bin, lo_edge, hi_edge, count)`` — every bin present (empty ones
+    with count 0), values == hi land in the last bin, NULLs ignored.
+
+    The distribution-profiling companion to the sketches: token-count /
+    score / length distributions per corpus version. Bounds default to
+    the column's min/max computed IN-PLAN (a 1-row broadcast cross join,
+    the q22 scalar pattern — no driver round-trip); pass ``lo``/``hi``
+    to pin the axes across versions so histograms stay comparable.
+    ONE aggregation over the data + a broadcast join against the
+    ``bins``-row axis frame. Degenerate case lo == hi: everything in
+    bin 0.
+    """
+    if bins < 1:
+        raise ValueError("histogram: bins must be >= 1")
+    x = F.col(col).cast("double")
+    src = df.select(x.alias("__x")).filter(F.col("__x").isNotNull())
+    if lo is None or hi is None:
+        # 1-row in-plan bounds (NULL edges on empty input — counts stay 0)
+        glob = src.agg(F.min("__x").alias("__l"), F.max("__x").alias("__h"))
+        binned = src.crossJoin(F.broadcast(glob))
+    else:
+        glob = df.sparkSession.range(1).select(
+            F.lit(float(lo)).alias("__l"), F.lit(float(hi)).alias("__h")
+        )
+        binned = src.crossJoin(F.broadcast(glob))
+    w = (F.col("__h") - F.col("__l")) / F.lit(float(bins))
+    # clamp: with pinned lo/hi, out-of-range values count into the edge
+    # bins rather than silently vanishing
+    b = F.when(w > 0, F.greatest(F.least(
+        F.floor((F.col("__x") - F.col("__l")) / w).cast("int"), F.lit(bins - 1)
+    ), F.lit(0))).otherwise(F.lit(0))
+    counts = binned.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    axis = df.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        axis.crossJoin(F.broadcast(glob))
+        .join(F.broadcast(counts), "bin", "left")
+        .select(
+            "bin",
+            (F.col("__l") + (F.col("__h") - F.col("__l")) / F.lit(float(bins))
+             * F.col("bin")).alias("lo_edge"),
+            (F.col("__l") + (F.col("__h") - F.col("__l")) / F.lit(float(bins))
+             * (F.col("bin") + 1)).alias("hi_edge"),
+            F.coalesce(F.col("count"), F.lit(0)).alias("count"),
+        )
+        .orderBy("bin")
+    )

@@ -1110,3 +1110,39 @@ def test_leakage_safe_split_detects_nonconvergence(session):
     pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", **kw).collect()
     for p in pairs:
         assert split[p["id_a"]] == split[p["id_b"]]
+
+
+def test_group_centroids_known_means(session):
+    df = session.spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [10.0, 0.0]),
+         ("b", None)],
+        "grp string, embedding array<double>",
+    )
+    out = {r["grp"]: r for r in
+           similarity.group_centroids(df, "grp").collect()}
+    assert list(out["a"]["centroid"]) == [2.0, 3.0]
+    assert out["a"]["n_vectors"] == 2
+    assert list(out["b"]["centroid"]) == [10.0, 0.0]
+    assert out["b"]["n_vectors"] == 1  # NULL vector ignored
+
+
+def test_group_centroids_normalize_and_zero(session):
+    df = session.spark.createDataFrame(
+        [("u", [3.0, 4.0]), ("z", [1.0, -1.0]), ("z", [-1.0, 1.0])],
+        "grp string, embedding array<double>",
+    )
+    out = {r["grp"]: r for r in
+           similarity.group_centroids(df, "grp", normalize=True).collect()}
+    assert [round(v, 6) for v in out["u"]["centroid"]] == [0.6, 0.8]
+    assert out["z"]["centroid"] is None  # zero-mean group -> NULL, not NaN
+
+
+def test_group_centroids_ragged_raises(session):
+    import pyspark.errors
+
+    df = session.spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [1.0, 2.0, 3.0])],
+        "grp string, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        similarity.group_centroids(df, "grp").collect()

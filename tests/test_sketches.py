@@ -160,3 +160,35 @@ def test_profiles_accept_dotted_column_names(session):
     tp = sketches.topk_profile(df)
     est = sketches.topk_estimate(tp, k=1).collect()
     assert {r["column"] for r in est} == {"a.b", "plain"}
+
+
+def test_histogram_known_counts_and_full_axis(session):
+    df = session.spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 5, 9, 10]] + [(None,)],
+        "x double",
+    )
+    rows = sketches.histogram(df, "x", bins=5).collect()
+    assert [r["bin"] for r in rows] == [0, 1, 2, 3, 4]
+    # lo=0, hi=10, w=2: [0,2):0,1 [2,4):2,3 [4,6):4,5,5 [6,8): [8,10]:9,10
+    assert [r["count"] for r in rows] == [2, 2, 3, 0, 2]
+    assert rows[0]["lo_edge"] == 0.0 and rows[4]["hi_edge"] == 10.0
+
+
+def test_histogram_pinned_bounds_clamp_and_degenerate(session):
+    df = session.spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.5, 1.5, 99.0]], "x double"
+    )
+    rows = sketches.histogram(df, "x", bins=2, lo=0.0, hi=2.0).collect()
+    # out-of-range values clamp into the edge bins
+    assert [r["count"] for r in rows] == [2, 2]
+    # degenerate lo == hi: everything in bin 0
+    one = sketches.histogram(df, "x", bins=3, lo=1.0, hi=1.0).collect()
+    assert [r["count"] for r in one] == [4, 0, 0]
+
+
+def test_histogram_empty_input_and_validation(session):
+    df = session.spark.createDataFrame([], "x double")
+    rows = sketches.histogram(df, "x", bins=3).collect()
+    assert [r["count"] for r in rows] == [0, 0, 0]
+    with pytest.raises(ValueError):
+        sketches.histogram(df, "x", bins=0)
