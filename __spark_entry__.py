@@ -3903,7 +3903,7 @@ def _hist_sql() -> str:
     return f"""
 WITH src AS (
   SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
-  WHERE o_totalprice IS NOT NULL
+  WHERE o_totalprice IS NOT NULL AND isfinite(CAST(o_totalprice AS DOUBLE))
 ), gbl AS (
   SELECT min(x) AS l, max(x) AS h FROM src
 ), counts AS (

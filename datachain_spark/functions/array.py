@@ -86,9 +86,13 @@ def cosine_distance(a, b) -> Column:
     (numpy impl: sql/sqlite/vector.py:13-23). Accepts columns or Python
     sequences (query vectors become literal arrays)."""
     ca, cb = _vec(a), _vec(b)
-    return (F.lit(1.0) - dot_product(ca, cb) / (norm(ca) * norm(cb))).alias(
-        "cosine_distance"
-    )
+    # try_divide: a zero-norm operand yields NULL distance instead of a
+    # DIVIDE_BY_ZERO abort under ANSI mode (non-ANSI division already
+    # returned NULL — semantics unchanged there); consumers order with
+    # asc_nulls_last / guard the argmin so NULL never ranks first
+    return (
+        F.lit(1.0) - F.try_divide(dot_product(ca, cb), norm(ca) * norm(cb))
+    ).alias("cosine_distance")
 
 
 def euclidean_distance(a, b) -> Column:

@@ -62,6 +62,11 @@ def pagerank(
         raise ValueError("pagerank: damping must be in (0, 1)")
     if iterations < 0:
         raise ValueError("pagerank: iterations must be >= 0")
+    if checkpoint_every < 1:
+        raise ValueError(
+            "pagerank: checkpoint_every must be >= 1 (use a value larger "
+            "than iterations to never checkpoint)"
+        )
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     )

@@ -22,7 +22,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.array import cosine_distance, dot_product, norm
+from ..functions.array import cosine_distance
 
 
 def cosine_topk(
@@ -31,11 +31,28 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 10,
     id_cols: Optional[Sequence[str]] = None,
+    dist_col: str = "distance",
 ) -> DataFrame:
-    """Exact top-k by cosine distance to a literal query vector."""
-    dist = cosine_distance(F.col(vec_col), list(query_vec)).alias("distance")
-    cols = [F.col(c) for c in (id_cols or df.columns)]
-    return df.select(*cols, dist).orderBy("distance").limit(k)
+    """Exact top-k by cosine distance to a literal query vector.
+
+    NULL-embedding rows sort LAST (asc_nulls_last), never into the top-k;
+    zero-norm rows yield NaN distances, which Spark already orders last.
+    ``dist_col`` renames the output distance when the input frame already
+    carries a ``distance`` column (the name collision would otherwise
+    raise AMBIGUOUS_REFERENCE at the sort)."""
+    out_cols = list(id_cols or df.columns)
+    if dist_col in out_cols:
+        raise ValueError(
+            f"cosine_topk: dist_col {dist_col!r} collides with an input "
+            "column — pass a different dist_col"
+        )
+    dist = cosine_distance(F.col(vec_col), list(query_vec)).alias(dist_col)
+    cols = [F.col(c) for c in out_cols]
+    return (
+        df.select(*cols, dist)
+        .orderBy(F.col(dist_col).asc_nulls_last())
+        .limit(k)
+    )
 
 
 def assign_ivf_cells(
@@ -47,15 +64,32 @@ def assign_ivf_cells(
     """Assign each row to its nearest centroid (the IVF 'coarse quantizer').
     Persist/bucket the result by cell_col so repeated queries scan only
     probed cells (partition pruning does the rest)."""
+    inf = F.lit(float("inf"))
+    # non-finite distances never win the argmin: a NULL would sort FIRST
+    # through array_min (silently assigning cell 0), and a zero-norm
+    # centroid yields -Inf against every row (one bad centroid would
+    # swallow the whole corpus)
+    def _safe(d):
+        return F.when(
+            d.isNotNull() & ~F.isnan(d) & (d > F.lit(float("-inf"))), d
+        ).otherwise(inf)
+
     dists = [
         F.struct(
-            cosine_distance(F.col(vec_col), list(c)).alias("d"),
+            _safe(cosine_distance(F.col(vec_col), list(c))).alias("d"),
             F.lit(i).alias("cell"),
         )
         for i, c in enumerate(centroids)
     ]
+    dim = len(list(centroids[0])) if len(centroids) else 0
+    valid = (
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+        & (~F.exists(F.col(vec_col), lambda x: x.isNull()))
+    )
     best = F.array_min(F.array(*dists))
-    return df.withColumn(cell_col, best["cell"])
+    # invalid rows get a NULL cell (the semdedup contract), not cell 0
+    return df.withColumn(cell_col, F.when(valid, best["cell"]))
 
 
 def train_centroids_sample(
@@ -70,6 +104,9 @@ def train_centroids_sample(
     num_cells vectors to the driver."""
     rows = (
         df.select(F.col(vec_col).alias("v"))
+        # NULL/empty vectors would crash the driver-side list() (and make
+        # useless centroids) — sample only usable rows
+        .filter(F.col("v").isNotNull() & (F.size("v") > 0))
         .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
         .limit(num_cells)
         .collect()
@@ -92,6 +129,11 @@ def kmeans_refine(
     is scanned ``iters`` times and never collected. Empty cells keep their
     previous centroid."""
     cents = [list(c) for c in centroids]
+    if not cents:
+        raise ValueError(
+            "kmeans_refine: empty centroid list (did centroid training run "
+            "on an empty or all-invalid frame?)"
+        )
     dim = len(cents[0])
     for _ in range(iters):
         assigned = assign_ivf_cells(df, cents, vec_col, "__cell")
@@ -215,7 +257,11 @@ def cosine_join_topk(
             )
         pairs = a.crossJoin(F.broadcast(b)).select("qid", "nid", dist)
 
-    w = Window.partitionBy("qid").orderBy("distance", "nid")
+    # NULL distances (null right-side vectors) must not displace real
+    # neighbors from the per-query top-k
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("nid")
+    )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -238,12 +284,14 @@ def group_centroids(
     per-group reassembly sort over at most ``dim`` elements — no vector
     ever passes through the driver. Rows with NULL vectors are ignored;
     groups whose vectors disagree on length raise (ragged input is a
-    data bug, not a degradable condition). ``normalize=True`` rescales
-    each centroid to unit L2 norm (NULL if the mean is the zero vector).
+    data bug, not a degradable condition — except length-0: NULL and
+    EMPTY vectors are both ignored, and a group with no usable vectors
+    is absent from the output). ``normalize=True`` rescales each
+    centroid to unit L2 norm (NULL if the mean is the zero vector).
     """
     exploded = (
         df.select(F.col(group_col).alias("__grp"), F.col(vec_col).alias("__v"))
-        .filter(F.col("__v").isNotNull())
+        .filter(F.col("__v").isNotNull() & (F.size("__v") > 0))
         .select("__grp", F.size("__v").alias("__dim"),
                 F.posexplode("__v").alias("__pos", "__x"))
     )

@@ -196,7 +196,15 @@ def histogram(
     if bins < 1:
         raise ValueError("histogram: bins must be >= 1")
     x = F.col(col).cast("double")
-    src = df.select(x.alias("__x")).filter(F.col("__x").isNotNull())
+    # non-finite values poison the bounds (max(NaN) = NaN -> every bin
+    # width NaN -> everything collapses into bin 0 with NaN edges) and
+    # would silently count into bin 0 under pinned bounds — dropped like
+    # NULLs
+    src = df.select(x.alias("__x")).filter(
+        F.col("__x").isNotNull()
+        & ~F.isnan("__x")
+        & (F.abs("__x") != F.lit(float("inf")))
+    )
     if lo is None or hi is None:
         # 1-row in-plan bounds (NULL edges on empty input — counts stay 0)
         glob = src.agg(F.min("__x").alias("__l"), F.max("__x").alias("__h"))

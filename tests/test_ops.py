@@ -1146,3 +1146,79 @@ def test_group_centroids_ragged_raises(session):
     )
     with pytest.raises(Exception, match="ragged"):
         similarity.group_centroids(df, "grp").collect()
+
+
+def test_cosine_topk_null_rows_never_top_and_collision(session):
+    df = session.spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.cosine_topk(df, [1.0, 0.0], k=2, id_cols=["vec_id"])
+    ids = [r["vec_id"] for r in out.collect()]
+    assert ids[0] == 1 and 2 not in ids  # NULL vec sorts last
+    assert 4 not in ids                  # zero-norm -> NaN sorts last
+    with pytest.raises(ValueError, match="dist_col"):
+        similarity.cosine_topk(
+            df.withColumnRenamed("vec_id", "distance"), [1.0, 0.0], k=1
+        )
+
+
+def test_assign_ivf_cells_invalid_rows_and_bad_centroid(session):
+    df = session.spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.5, None]), (4, [1.0, 0.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cells = {r["vec_id"]: r["c"] for r in
+             similarity.assign_ivf_cells(
+                 df, [[1.0, 0.0], [0.0, 1.0]], cell_col="c").collect()}
+    assert cells[1] == 0
+    assert cells[2] is None          # NULL vector -> NULL cell, not cell 0
+    assert cells[3] is None          # null element
+    assert cells[4] is None          # wrong length
+    # a zero-norm centroid must never attract everything (-Inf distance)
+    cells2 = {r["vec_id"]: r["c"] for r in
+              similarity.assign_ivf_cells(
+                  df, [[0.0, 0.0], [1.0, 0.0]], cell_col="c").collect()}
+    assert cells2[1] == 1
+
+
+def test_centroid_training_null_safe_and_empty_raises(session):
+    df = session.spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.train_centroids_sample(df, num_cells=2)
+    assert len(cents) == 2 and all(c is not None for c in cents)
+    with pytest.raises(ValueError, match="empty centroid"):
+        similarity.kmeans_refine(df, [])
+
+
+def test_histogram_ignores_non_finite(session):
+    from datachain_spark.ops import sketches
+
+    df = session.spark.createDataFrame(
+        [(0.0,), (1.0,), (float("nan"),), (float("inf"),), (2.0,)],
+        "x double",
+    )
+    rows = sketches.histogram(df, "x", bins=2).collect()
+    assert [r["count"] for r in rows] == [1, 2]
+    assert rows[1]["hi_edge"] == 2.0  # bounds from finite values only
+
+
+def test_pagerank_checkpoint_every_validation(session):
+    from datachain_spark.ops import graph
+
+    e = session.spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        graph.pagerank(e, checkpoint_every=0)
+
+
+def test_group_centroids_empty_vectors_ignored(session):
+    df = session.spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", []), ("b", [])],
+        "grp string, embedding array<double>",
+    )
+    out = {r["grp"]: r for r in similarity.group_centroids(df, "grp").collect()}
+    assert list(out["a"]["centroid"]) == [1.0, 2.0]
+    assert out["a"]["n_vectors"] == 1
+    assert "b" not in out  # no usable vectors -> absent, documented
