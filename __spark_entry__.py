@@ -1575,6 +1575,85 @@ def minhash_pairs_md5(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def _minhash_incr_md5_sql(
+    num_hashes: int = 8, bands: int = 4, threshold: float = 0.25,
+    split_id: int = 100, max_id: int = 200,
+) -> str:
+    """Incremental-index oracle: signatures for ALL docs < max_id, banded
+    candidates restricted to (new >= split_id) x (index < split_id). Mirrors
+    minhash_match_index where the index side is the stored signature table
+    of docs < split_id and the new snapshot is [split_id, max_id)."""
+    rpb = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        "min(" + _MD5H.format(x=f"shingle || ':{i}'") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _MD5H.format(
+            x="concat_ws(',', " + ", ".join(f"h{b * rpb + j}" for j in range(rpb)) + ")"
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id < {max_id}
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)]
+           END) AS shingles
+  FROM words
+), tok AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM tok GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id >= {split_id} AND b.doc_id < {split_id}
+)
+SELECT new_id, index_id, ({eq_sum}) / {num_hashes}.0 AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = new_id
+JOIN sig sb ON sb.doc_id = index_id
+WHERE ({eq_sum}) / {num_hashes}.0 >= {threshold}
+ORDER BY new_id, index_id
+"""
+
+
+MINHASH_INCR_MD5_SQL = _minhash_incr_md5_sql()
+
+
+def minhash_incremental_md5(spark, sf):
+    """Incremental dedup index flow under the portable md5 hash family:
+    docs < 100 are reduced to their stored MinHash signature table
+    (minhash_signatures — the historical corpus exists only as that index),
+    then the 100..199 snapshot is matched against it WITHOUT rescanning the
+    indexed text (minhash_match_index). Bit-for-bit oracled by
+    MINHASH_INCR_MD5_SQL."""
+    docs = _chain(spark, sf, "documents").df
+    sig_kw = dict(num_hashes=8, shingle_size=2, hash_fn="md5")
+    index = dedup.minhash_signatures(
+        docs.filter(F.col("doc_id") < 100), "doc_id", "text", **sig_kw
+    )
+    new = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    return dedup.minhash_match_index(
+        new, index, "doc_id", "text", bands=4, jaccard_threshold=0.25, **sig_kw
+    ).orderBy("new_id", "index_id")
+
+
 def _simhash_md5_sql(num_bits: int = 16, prefix_bits: int = 6, max_hamming: int = 3) -> str:
     votes = ",\n         ".join(
         f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
@@ -4874,6 +4953,83 @@ FROM assigned ORDER BY doc_id
 """
 
 
+def _minhash_dedup_best_sql(
+    num_hashes: int = 8, bands: int = 4, threshold: float = 0.25,
+) -> str:
+    rpb = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        "min(" + _MD5H.format(x=f"shingle || ':{i}'") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _MD5H.format(
+            x="concat_ws(',', " + ", ".join(f"h{b * rpb + j}" for j in range(rpb)) + ")"
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    words = _WORDS_2G_150.format(distinct="list_distinct")
+    return f"""
+WITH RECURSIVE {words}, sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM tok GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cand0 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), cand AS (
+  SELECT id_a, id_b FROM cand0
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+  WHERE ({eq_sum}) / {num_hashes}.0 >= {threshold}
+), edges AS (
+  SELECT id_a AS i, id_b AS j FROM cand
+  UNION SELECT id_b, id_a FROM cand
+), reach (i, j) AS (
+  SELECT i, j FROM edges
+  UNION
+  SELECT r.i, e.j FROM reach r JOIN edges e ON r.j = e.i
+), comp AS (
+  SELECT i AS doc_id, least(i, min(j)) AS component FROM reach GROUP BY i
+), assigned AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 150) d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+), ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY component
+           ORDER BY n_chars DESC NULLS LAST, doc_id
+         ) AS rn
+  FROM assigned
+)
+SELECT doc_id, n_chars FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def minhash_dedup_best_md5(spark, sf):
+    """Quality-aware near-dup removal (ops/dedup.minhash_dedup with
+    keep_by=): connected components over the MinHash pair graph, then the
+    HIGHEST-n_chars member of each component survives (ties -> min id)
+    instead of the min id. Under the md5 family the whole path is
+    DuckDB-verifiable: the oracle reuses the verified minhash CTEs +
+    recursive transitive closure and replays the quality window."""
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 150)
+    out = dedup.minhash_dedup(
+        docs, "doc_id", "text", exhaustive=True, keep_by="n_chars",
+        num_hashes=8, bands=4, shingle_size=2,
+        jaccard_threshold=0.25, hash_fn="md5",
+    )
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
 def zorder_key_orders(spark, sf):
     """Morton/Z-order clustering key (ops/zorder.zorder_key — the write-side
     layout optimizer behind to_parquet(zorder_by=...)): every order's
@@ -5090,11 +5246,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     live in overflow — their md5 twins carry the driver verdicts.
 
     r06 window plan: keep the 10 anchors, rotate IN (a) whatever r05
-    leaves unverdicted and (b) the 11 r05-added oracles now in overflow
-    (bm25_score_docs, dsir_importance_md5, c4_gate, spans_dedup_md5,
+    leaves unverdicted and (b) the r05-added oracles now in overflow —
+    bm25_score_docs, dsir_importance_md5, c4_gate, spans_dedup_md5,
     corpus_stats_by_lang, pq_codes_adc, ivfpq_codes_adc, url_dedup_docs,
     contamination_report_docs, semdedup_docs, zorder_key_orders,
-    dedup_eval_md5, leakage_split_md5 + any later additions); fill
+    dedup_eval_md5, leakage_split_md5, and the late-r05 operator wave:
+    nb_classifier_md5 (NB classifier), fuzzy_join_pairs (edit-distance
+    join, quadratic-truth completeness proof), pagerank_orders (unrolled
+    5-iteration CTEs), group_centroids_emb, histogram_orders; fill
     remaining slots
     with the longest-out-of-window overflow rows (udf_*, sharding_md5,
     multimodal, function-family suites) so every registry entry has a
@@ -5235,6 +5394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_orders": pagerank_orders,
         "group_centroids_emb": group_centroids_emb,
         "histogram_orders": histogram_orders,
+        "minhash_incremental_md5": minhash_incremental_md5,
+        "minhash_dedup_best_md5": minhash_dedup_best_md5,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5296,6 +5457,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_meta": VIDEO_META_SQL,
         "ngram_jaccard_pairs": NGRAM3_SQL,
         "minhash_pairs_md5": MINHASH_MD5_SQL,
+        "minhash_incremental_md5": MINHASH_INCR_MD5_SQL,
+        "minhash_dedup_best_md5": _minhash_dedup_best_sql(),
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

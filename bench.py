@@ -72,6 +72,11 @@ HEADLINE = [
     # orders-derived 10k-node multigraph (5 iterations)
     "bpe_tokenize_full",
     "pagerank_full",
+    # r05 late addition: incremental-snapshot dedup — half the corpus exists
+    # only as its stored MinHash signature index; the other half matches
+    # against it without rescanning the indexed text (the per-load shape at
+    # 100 TB)
+    "minhash_incremental_full",
     # the bloom variant of decontaminate_full (same split, same fpp): r05
     # capped k at 12 so the membership filter stays inside whole-stage
     # codegen (was interpreted at k=13+), derives probe positions from a
@@ -460,6 +465,23 @@ def main() -> None:
     queries["nb_classifier_full"] = _nb_classifier_full
     queries["bpe_tokenize_full"] = _bpe_tokenize_full
     queries["pagerank_full"] = _pagerank_full
+
+    def _minhash_incremental_full(spark, sf):
+        # incremental load: even doc_ids are the "historical" corpus reduced
+        # to its signature index (in production this table is read back from
+        # storage — built inline here), odd doc_ids are the new snapshot;
+        # returns the new docs surviving the near-dup match (xxhash64
+        # production path, default banding)
+        docs = entrymod._chain(spark, sf, "documents").df.select("doc_id", "text")
+        idx = _dedup.minhash_signatures(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+        )
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        return _dedup.minhash_dedup_incremental(
+            new, idx, "doc_id", "text", jaccard_threshold=0.7
+        )
+
+    queries["minhash_incremental_full"] = _minhash_incremental_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);

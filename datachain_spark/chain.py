@@ -814,6 +814,25 @@ class DataChain:
 
         return self._evolve(_op(self._df, id_col, text_col, **kw))
 
+    def minhash_index(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
+        """Compact per-doc MinHash signature table ``(id, sig)`` — save it
+        next to the corpus so later snapshots dedup incrementally without
+        rescanning historical text (ops/dedup.minhash_signatures)."""
+        from .ops.dedup import minhash_signatures as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
+    def minhash_dedup_incremental(
+        self, index: Any, id_col: str, text_col: str = "text", **kw: Any
+    ) -> "DataChain":
+        """Drop rows that near-duplicate a stored signature index built by
+        :meth:`minhash_index` (ops/dedup.minhash_dedup_incremental).
+        ``index`` may be a DataChain or a DataFrame of ``(id, sig)``."""
+        from .ops.dedup import minhash_dedup_incremental as _op
+
+        idx = index._df if isinstance(index, DataChain) else index
+        return self._evolve(_op(self._df, idx, id_col, text_col, **kw))
+
     def dedup_spans(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
         """Exact-substring span dedup (ops/dedup.remove_duplicate_spans)."""
         from .ops.dedup import remove_duplicate_spans as _op

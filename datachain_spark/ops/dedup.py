@@ -74,6 +74,61 @@ def minhash_signature(
     return F.array(*[one(i) for i in range(num_hashes)])
 
 
+def _minhash_sig(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_size: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(__id, __sig) MinHash signatures. The shingle pipeline runs ONCE per
+    row (the pure column-expression form gets inlined by Catalyst's
+    CollapseProject into every one of the num_hashes×bands references —
+    measured 50× slower), built with the codegen-friendly window
+    formulation (ops/text.shingle_rows — the HOF array form is ~6× slower,
+    evaluated interpreted); map-side partial min aggregation keeps shuffle
+    volume at num_hashes longs per doc."""
+    exploded = shingle_rows(df, id_col, text_col, n=shingle_size, distinct=True)
+    return (
+        exploded.groupBy("__id")
+        .agg(
+            *[
+                F.min(_seeded_hash64(F.col("__shingle"), i, hash_fn)).alias(f"__h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select("__id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig"))
+    )
+
+
+def _band_buckets(sig: DataFrame, num_hashes: int, bands: int, hash_fn: str) -> DataFrame:
+    """(__id, band, bucket) LSH band buckets — a pure projection over the
+    signature table (num_hashes longs/doc), no re-shingling."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _hash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        ),
+                        hash_fn,
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -96,62 +151,21 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
 
-    # Signature via shingle rows -> groupBy min-aggregates: the shingle
-    # pipeline runs ONCE per row (the pure column-expression form gets
-    # inlined by Catalyst's CollapseProject into every one of the
-    # num_hashes×bands references — measured 50× slower), built with the
-    # codegen-friendly window formulation (ops/text.shingle_rows — the HOF
-    # array form is ~6× slower, evaluated interpreted), and the signature is
-    # materialized at the shuffle so downstream banding never recomputes it.
-    # Map-side partial min aggregation keeps shuffle volume at num_hashes
-    # longs per doc.
-    exploded = shingle_rows(df, id_col, text_col, n=shingle_size, distinct=True)
-    sig = (
-        exploded.groupBy("__id")
-        .agg(
-            *[
-                F.min(_seeded_hash64(F.col("__shingle"), i, hash_fn)).alias(f"__h{i}")
-                for i in range(num_hashes)
-            ]
-        )
-        .select("__id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig"))
-    )
-    # the signature table feeds three consumers (banding + two candidate
-    # lookups); persist it so the shingle/groupBy pipeline runs once — it is
-    # tiny (rows × num_hashes longs) and LRU-evicts when memory is needed
-    sig = sig.persist()
-
-    # band buckets: (band_index, hash(band slice)) per row
-    banded = sig.select(
-        "__id",
-        "__sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    _hash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("__sig", b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        ),
-                        hash_fn,
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("__id", "__sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # Signature via shingle rows -> groupBy min-aggregates (see
+    # _minhash_sig). The signature table feeds three consumers (banding +
+    # two candidate lookups); persist it so the shingle/groupBy pipeline
+    # runs once — it is tiny (rows × num_hashes longs) and LRU-evicts when
+    # memory is needed
+    sig = _minhash_sig(
+        df, id_col, text_col, num_hashes, shingle_size, hash_fn
+    ).persist()
 
     # Bucket-join carries ONLY (band, bucket, id) — narrow rows; signatures
     # rejoin onto the (much smaller) distinct candidate set afterwards.
     # Shuffle volume: bands×rows narrow tuples for the bucket join, then two
     # sig lookups that AQE broadcasts when the sig table is small.
-    narrow = banded.select("__id", "band", "bucket")
+    narrow = _band_buckets(sig, num_hashes, bands, hash_fn)
     a, b = narrow.alias("a"), narrow.alias("b")
     cand = (
         a.join(
@@ -179,6 +193,110 @@ def minhash_lsh_pairs(
         pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc MinHash signatures ``(id_col, sig)`` — the INCREMENTAL
+    dedup index. Save this table next to the corpus (num_hashes longs per
+    doc, ~0.5 KB at the default 64); later snapshots dedup against it via
+    :func:`minhash_match_index` WITHOUT rescanning the historical text —
+    banding is a pure projection over the signatures. Parameters are part
+    of the index definition: match with the SAME num_hashes /
+    shingle_size / hash_fn."""
+    return _minhash_sig(
+        df, id_col, text_col, num_hashes, shingle_size, hash_fn
+    ).select(F.col("__id").alias(id_col), F.col("__sig").alias("sig"))
+
+
+def minhash_match_index(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    index_id_col: Optional[str] = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs between NEW docs and a stored signature index:
+    ``(new_id, index_id, est_jaccard)``.
+
+    Only the new snapshot is shingled; the index side is band-projected
+    straight from its stored signatures — the incremental-load shape at
+    100 TB, where the historical corpus exists only as its compact
+    signature table. The bucket join carries narrow (band, bucket, id)
+    rows from both sides; candidate pairs rejoin the two signature tables
+    for the agreement-rate verification.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    iid = index_id_col or id_col
+    idx_sig = index.select(
+        F.col(iid).alias("__id"), F.col("sig").alias("__sig")
+    )
+    new_sig = _minhash_sig(
+        df, id_col, text_col, num_hashes, shingle_size, hash_fn
+    ).persist()
+    nb = _band_buckets(new_sig, num_hashes, bands, hash_fn)
+    ib = _band_buckets(idx_sig, num_hashes, bands, hash_fn)
+    cand = (
+        nb.alias("a")
+        .join(
+            ib.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.__id").alias("new_id"), F.col("b.__id").alias("index_id"))
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    pairs = cand.join(
+        new_sig.select(F.col("__id").alias("new_id"), F.col("__sig").alias("sig_a")),
+        "new_id",
+    ).join(
+        idx_sig.select(F.col("__id").alias("index_id"), F.col("__sig").alias("sig_b")),
+        "index_id",
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("new_id", "index_id", "est_jaccard")
+    )
+
+
+def minhash_dedup_incremental(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Drop new docs that near-duplicate the indexed corpus (anti-join on
+    :func:`minhash_match_index` hits) — the per-snapshot incremental load
+    pass. Within-batch duplicates are NOT resolved here; run
+    :func:`minhash_dedup` on the survivors for that, then append
+    ``minhash_signatures(survivors)`` to the index for the next load.
+    Keyword args are forwarded to :func:`minhash_match_index`."""
+    hits = minhash_match_index(df, index, id_col, text_col=text_col, **kwargs)
+    return df.join(
+        hits.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
     )
 
 
@@ -621,6 +739,7 @@ def minhash_dedup(
     id_col: str,
     text_col: str = "text",
     exhaustive: bool = False,
+    keep_by: Optional[str] = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Drop near-duplicates, keeping one representative per group.
@@ -628,16 +747,58 @@ def minhash_dedup(
     Greedy single-pass by default (drop the higher-id member of every pair —
     can over-drop when pairs chain: a-b and b-c drops b and c even if a,c
     aren't near-dups). ``exhaustive=True`` resolves the pair graph into
-    connected components first and keeps exactly the min-id representative
-    of each component."""
+    connected components first and keeps exactly one representative of
+    each component.
+
+    ``keep_by=<col>`` picks the representative by QUALITY instead of id:
+    the highest-``keep_by`` member survives (ties and null scores fall
+    back to min id — deterministic either way). Greedy mode drops the
+    worse member of each pair; exhaustive mode keeps the single best
+    member of the whole component. The standard curation move is exact
+    dedup -> quality scoring -> ``minhash_dedup(keep_by="quality")`` so
+    boilerplate clusters keep their best-written variant.
+
+    Scale: keep_by adds one narrow (id, score) join onto the pair/component
+    frame — no extra corpus shuffle; the anti-join stays the only contact
+    with the full-width rows."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    if keep_by is None:
+        if exhaustive:
+            comp = connected_components(pairs)
+            losers = comp.filter(F.col("id") != F.col("component")).select(
+                F.col("id").alias(id_col)
+            )
+        else:
+            losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+        return df.join(losers, on=id_col, how="left_anti")
+
+    scores = df.select(F.col(id_col).alias("__kid"), F.col(keep_by).alias("__score"))
     if exhaustive:
         comp = connected_components(pairs)
-        losers = comp.filter(F.col("id") != F.col("component")).select(
-            F.col("id").alias(id_col)
+        scored = comp.join(scores, comp["id"] == scores["__kid"], "left")
+        w = Window.partitionBy("component").orderBy(
+            F.col("__score").desc_nulls_last(), F.col("id")
+        )
+        losers = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("id").alias(id_col))
         )
     else:
-        losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+        sa = scores.select(F.col("__kid").alias("id_a"), F.col("__score").alias("__sa"))
+        sb = scores.select(F.col("__kid").alias("id_b"), F.col("__score").alias("__sb"))
+        joined = pairs.join(sa, "id_a", "left").join(sb, "id_b", "left")
+        # pairs carry id_a < id_b, so a wins ties (and double-null) -> min id
+        a_wins = (
+            (F.col("__sa") > F.col("__sb"))
+            | (F.col("__sb").isNull() & F.col("__sa").isNotNull())
+            | F.col("__sa").eqNullSafe(F.col("__sb"))
+        )
+        losers = (
+            joined.select(
+                F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias(id_col)
+            ).dropDuplicates()
+        )
     return df.join(losers, on=id_col, how="left_anti")
 
 

@@ -191,6 +191,91 @@ def running_counts_stateful(
     )
 
 
+def near_dedup_stream_to_dataset(
+    stream_df: DataFrame,
+    name: str,
+    metastore,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str = "text",
+    index_name: Optional[str] = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+    trigger_once: bool = True,
+):
+    """Near-dedup ingest: a stream of documents lands in a versioned corpus
+    dataset with near-duplicates removed ACROSS the whole ingest history,
+    not just within the watermark horizon. Each micro-batch is (1)
+    near-deduped within itself (ops.dedup.minhash_dedup), (2) matched
+    against the persistent MinHash signature index so anything that
+    near-duplicates a doc from ANY earlier batch or run is dropped
+    (ops.dedup.minhash_dedup_incremental), (3) appended to ``name``, and
+    (4) its survivors' signatures folded into ``index_name``.
+
+    The signature index (num_hashes longs/doc, ~0.5 KB at the default 64)
+    is the ONLY cross-batch state — a versioned dataset, not a state store,
+    so restarts resume from the checkpoint and the historical corpus text
+    is never rescanned. Each batch writes the index as a new full version
+    (compact: 1 TB of signatures indexes ~2 PB of text); at the far end of
+    that range, store signatures in a bucketed append table instead.
+    """
+    from ..ops.dedup import (
+        minhash_dedup,
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    idx_name = index_name or f"{name}_minhash_index"
+    sig_kw = dict(
+        num_hashes=num_hashes, shingle_size=shingle_size, hash_fn=hash_fn
+    )
+    match_kw = dict(bands=bands, jaccard_threshold=jaccard_threshold, **sig_kw)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..catalog.metastore import DatasetNotFoundError
+
+        if batch_df.isEmpty():
+            return
+        batch = minhash_dedup(batch_df, id_col, text_col, **match_kw)
+        try:
+            idx, _, _ = metastore.load_dataset(batch_df.sparkSession, idx_name)
+        except DatasetNotFoundError:
+            idx = None
+        if idx is not None:
+            batch = minhash_dedup_incremental(
+                batch, idx, id_col, text_col, **match_kw
+            )
+        # survivors feed both the corpus append and the index fold — persist
+        # so the shingle/LSH pipeline runs once
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            metastore.save_dataset(
+                batch, name, attrs={"stream_batch_id": batch_id}
+            )
+            new_sigs = minhash_signatures(batch, id_col, text_col, **sig_kw)
+            if idx is not None:
+                new_sigs = idx.unionByName(new_sigs)
+            metastore.save_dataset(
+                new_sigs, idx_name, attrs={"stream_batch_id": batch_id}
+            )
+        finally:
+            batch.unpersist()
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_to_dataset(
     stream_df: DataFrame,
     name: str,

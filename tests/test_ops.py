@@ -48,6 +48,134 @@ def test_minhash_dedup_drops_dupes(docs):
     assert 0 in ids and len(ids) < 6
 
 
+_SIG_KW = dict(num_hashes=64, shingle_size=3)
+_MH_KW = dict(bands=16, **_SIG_KW)
+
+
+def test_minhash_dedup_keep_by_quality(session):
+    # 0,1,2 are mutual near-dups; 1 has the best score and must be the
+    # survivor under BOTH modes (it wins every pair and the component)
+    df = dc.read_values(
+        session=session,
+        doc_id=[0, 1, 2, 3],
+        text=[
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "the quick brown fox jumps over the lazy dog today",
+            "completely different content about spark engines",
+        ],
+        quality=[0.1, 0.9, 0.5, 0.2],
+    ).df
+    kw = dict(num_hashes=64, bands=32, jaccard_threshold=0.3, shingle_size=2)
+    for exhaustive in (False, True):
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup.minhash_dedup(
+                df, "doc_id", "text", exhaustive=exhaustive,
+                keep_by="quality", **kw
+            ).collect()
+        )
+        assert kept == [1, 3], (exhaustive, kept)
+    # without keep_by the min id wins instead
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup(
+            df, "doc_id", "text", exhaustive=True, **kw
+        ).collect()
+    )
+    assert kept == [0, 3]
+
+
+def test_minhash_dedup_keep_by_null_and_tie(session):
+    df = dc.read_values(
+        session=session,
+        doc_id=[10, 11, 12],
+        text=[
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",
+            "alpha beta gamma delta epsilon zeta eta kappa",
+        ],
+        quality=[None, 0.5, 0.5],
+    ).df
+    kw = dict(num_hashes=64, bands=32, jaccard_threshold=0.3, shingle_size=2)
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup(
+            df, "doc_id", "text", exhaustive=True, keep_by="quality", **kw
+        ).collect()
+    )
+    # null loses to scored; 11 vs 12 tie at 0.5 -> min id 11 survives
+    assert kept == [11]
+
+
+def test_minhash_match_index_equals_batch_pairs(docs):
+    # matching a corpus against its own signature index must reproduce the
+    # batch LSH pairs exactly (symmetric closure, self-pairs excluded)
+    corpus = docs.df.filter(F.length("text") > 0)
+    idx = dedup.minhash_signatures(corpus, "doc_id", "text", **_SIG_KW)
+    assert idx.columns == ["doc_id", "sig"]
+    hits = dedup.minhash_match_index(
+        corpus, idx, "doc_id", "text", jaccard_threshold=0.3, **_MH_KW
+    ).filter(F.col("new_id") != F.col("index_id"))
+    got = {(min(r["new_id"], r["index_id"]), max(r["new_id"], r["index_id"]),
+            r["est_jaccard"]) for r in hits.collect()}
+    batch = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", jaccard_threshold=0.3, **_MH_KW
+    )
+    want = {(r["id_a"], r["id_b"], r["est_jaccard"]) for r in batch.collect()}
+    assert got == want and want  # non-vacuous: the fox near-dups pair up
+
+
+def test_minhash_match_index_self_pairs_are_exact(docs):
+    corpus = docs.df.filter(F.length("text") > 0)
+    idx = dedup.minhash_signatures(corpus, "doc_id", "text", **_SIG_KW)
+    self_hits = dedup.minhash_match_index(
+        corpus, idx, "doc_id", "text", jaccard_threshold=0.3, **_MH_KW
+    ).filter(F.col("new_id") == F.col("index_id"))
+    rows = self_hits.collect()
+    assert len(rows) == corpus.count()
+    assert all(r["est_jaccard"] == 1.0 for r in rows)
+
+
+def test_minhash_dedup_incremental(session, docs):
+    # index the fox doc; a new snapshot with a near-dup + a novel doc
+    indexed = docs.df.filter(F.col("doc_id") == 0)
+    idx = dedup.minhash_signatures(indexed, "doc_id", "text", **_SIG_KW)
+    new = dc.read_values(
+        session=session,
+        doc_id=[100, 101],
+        text=[
+            "the quick brown fox jumps over the lazy cat",  # near-dup of indexed 0
+            "entirely novel material concerning databases",
+        ],
+    ).df
+    kept = dedup.minhash_dedup_incremental(
+        new, idx, "doc_id", "text", jaccard_threshold=0.3, **_MH_KW
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [101]
+    assert kept.columns == new.columns  # corpus schema passes through
+
+    # empty index keeps everything
+    empty_idx = idx.filter(F.lit(False))
+    assert dedup.minhash_dedup_incremental(
+        new, empty_idx, "doc_id", "text", jaccard_threshold=0.3, **_MH_KW
+    ).count() == 2
+
+
+def test_minhash_incremental_fluent(session, docs):
+    ch = dc.DataChain(docs.df.filter(F.length("text") > 0))
+    idx = ch.minhash_index("doc_id", **_SIG_KW)
+    assert set(idx.df.columns) == {"doc_id", "sig"}
+    new = dc.read_values(
+        session=session, doc_id=[200],
+        text=["the quick brown fox jumps over the lazy dog"],
+    )
+    out = new.minhash_dedup_incremental(
+        idx, "doc_id", jaccard_threshold=0.3, **_MH_KW
+    )
+    assert out.df.count() == 0  # exact dup of indexed doc 0 is dropped
+
+
 def test_connected_components_chains(session):
     # chain 1-2-3-4 (one component), pair 10-11, isolated vertex never appears
     pairs = dc.read_values(

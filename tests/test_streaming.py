@@ -290,3 +290,55 @@ def test_dedup_against_corpus(session, tmp_path):
     corp_fp = corpus.withColumn("fp", fingerprint(F.col("text")))
     out = dedup_against_corpus(batch, corp_fp, fingerprint_col="fp")
     assert sorted(r.doc_id for r in out.select("doc_id").collect()) == [11, 13]
+
+
+def test_near_dedup_stream_to_dataset(session, tmp_path):
+    """Two availableNow runs over a growing file source: run 2 must drop
+    docs that near-duplicate anything run 1 ingested — the cross-run state
+    is ONLY the versioned signature-index dataset."""
+    from datachain_spark.streaming import near_dedup_stream_to_dataset
+
+    spark = session.spark
+    src = str(tmp_path / "near_src")
+    cp = str(tmp_path / "near_cp")
+    kw = dict(num_hashes=32, bands=8, shingle_size=3, jaccard_threshold=0.5)
+
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # in-batch dup of 1
+            (3, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    def run():
+        stream = read_stream(spark, src, schema=spark.read.parquet(src).schema)
+        q = near_dedup_stream_to_dataset(
+            stream, "near_corpus", session.metastore, cp, "doc_id", **kw
+        )
+        q.awaitTermination(120)
+
+    run()
+    got1 = sorted(r["doc_id"] for r in dc.read_dataset(
+        "near_corpus", session=session).df.collect())
+    assert got1 == [1, 3]  # in-batch near-dup 2 dropped
+    idx = dc.read_dataset("near_corpus_minhash_index", session=session)
+    assert sorted(r["doc_id"] for r in idx.df.collect()) == [1, 3]
+
+    # run 2: a new file with a near-dup of run 1's doc 1 + a novel doc
+    spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (11, "entirely novel material concerning databases"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run()
+
+    # corpus head = run 2's append (versioned per batch); novel doc only
+    latest = dc.read_dataset("near_corpus", session=session)
+    assert [r["doc_id"] for r in latest.df.collect()] == [11]
+    # index accumulated across runs
+    idx2 = dc.read_dataset("near_corpus_minhash_index", session=session)
+    assert sorted(r["doc_id"] for r in idx2.df.collect()) == [1, 3, 11]
