@@ -3850,6 +3850,40 @@ ORDER BY doc_id
 """
 
 
+TOKEN_BUDGET_SQL = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_chars,
+         CAST(sum(tok) OVER (ORDER BY n_chars DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_chars, cum_tokens FROM c
+WHERE cum_tokens <= 10000 ORDER BY doc_id
+"""
+
+
+def token_budget_docs(spark, sf):
+    """Greedy best-first corpus truncation under a token budget
+    (ops/selection.select_token_budget): documents ranked by n_chars desc
+    (ties on doc_id), kept while the running whitespace-token total stays
+    <= 10k — "take the best 10k tokens". The Spark side computes the global
+    cumulative sum with the distributed two-pass prefix (range repartition
+    + per-range window + broadcast offsets, NO single-partition window);
+    the oracle replays it as one ordered window, so every kept row and its
+    cum_tokens value must match exactly."""
+    from datachain_spark.ops import selection
+
+    docs = _chain(spark, sf, "documents").df
+    out = selection.select_token_budget(docs, 10000, "n_chars", "doc_id")
+    return out.select("doc_id", "n_chars", "cum_tokens").orderBy("doc_id")
+
+
 def dsir_importance_md5(spark, sf):
     """DSIR hashed-ngram importance weights (ops/selection.dsir_importance,
     Xie et al. 2023): English docs 0-99 as the target distribution, docs
@@ -5396,6 +5430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_orders": histogram_orders,
         "minhash_incremental_md5": minhash_incremental_md5,
         "minhash_dedup_best_md5": minhash_dedup_best_md5,
+        "token_budget_docs": token_budget_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5459,6 +5494,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_md5": MINHASH_MD5_SQL,
         "minhash_incremental_md5": MINHASH_INCR_MD5_SQL,
         "minhash_dedup_best_md5": _minhash_dedup_best_sql(),
+        "token_budget_docs": TOKEN_BUDGET_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

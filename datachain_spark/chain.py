@@ -904,6 +904,16 @@ class DataChain:
 
         return self._evolve(_op(self._df, getattr(target, "df", target), id_col, n, **kw))
 
+    def select_token_budget(
+        self, budget: int, score_col: str, id_col: str, **kw: Any
+    ) -> "DataChain":
+        """Best-scored documents up to a cumulative token budget
+        (ops/selection.select_token_budget) — "take the best N billion
+        tokens"."""
+        from .ops.selection import select_token_budget as _op
+
+        return self._evolve(_op(self._df, budget, score_col, id_col, **kw))
+
     def pack_sequences(self, **kw: Any) -> "DataChain":
         """Concat-and-chunk training-example packing
         (ops/packing.pack_sequences)."""

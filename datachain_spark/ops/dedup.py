@@ -241,9 +241,14 @@ def minhash_match_index(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     iid = index_id_col or id_col
+    # the index feeds two consumers (banding + the sig_b verification
+    # lookup): persist so an EXPRESSION-backed index (e.g. built inline by
+    # minhash_signatures) computes its pipeline once — for the production
+    # case (signatures read back from parquet) this is a cheap columnar
+    # cache that LRU-evicts under pressure
     idx_sig = index.select(
         F.col(iid).alias("__id"), F.col("sig").alias("__sig")
-    )
+    ).persist()
     new_sig = _minhash_sig(
         df, id_col, text_col, num_hashes, shingle_size, hash_fn
     ).persist()

@@ -212,3 +212,81 @@ def dsir_select(
         .orderBy(F.col("rank_key").desc(), F.col(id_col))
         .limit(n)
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    id_col: str,
+    token_col: Optional[str] = None,
+    text_col: str = "text",
+    num_ranges: Optional[int] = None,
+) -> DataFrame:
+    """Greedy best-first selection under a token budget: order documents by
+    ``score_col`` DESC (ties break on ``id_col``), keep the maximal prefix
+    whose cumulative token count stays <= ``budget`` ("take the best N
+    billion tokens"). Adds a ``cum_tokens`` column (running total INCLUDING
+    the row). Token counts come from ``token_col`` if given, else
+    whitespace tokens of ``text_col``.
+
+    Greedy prefix, not a knapsack: a doc is skipped only if everything
+    better-scored already exhausted the budget — the standard curation
+    semantics (quality-ranked corpus truncation, e.g. the DCLM/FineWeb
+    "top-k% by classifier score" recipe expressed in tokens).
+
+    Scale: a global cumulative sum WITHOUT a single-partition window.
+    (1) range-repartition by (score desc, id) — one shuffle, Spark samples
+    range bounds; (2) per-partition sort + per-partition running sum
+    (window partitioned BY the range id, so every partition cumsums
+    independently); (3) per-partition token totals (num_ranges rows) are
+    collected, prefix-summed on the driver, and rejoined as a broadcast
+    offset. Driver contact: num_ranges longs. The plan survives 100 TB —
+    the classic two-pass distributed prefix-sum.
+    """
+    from pyspark.sql import Window
+
+    from .text import whitespace_token_count
+
+    tokens = (
+        F.col(token_col) if token_col else whitespace_token_count(F.col(text_col))
+    ).cast("long")
+    n_parts = num_ranges or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranked = (
+        df.withColumn("__tok", tokens)
+        .repartitionByRange(int(n_parts), F.col(score_col).desc(), F.col(id_col))
+        .sortWithinPartitions(F.col(score_col).desc(), F.col(id_col))
+        .withColumn("__part", F.spark_partition_id())
+    )
+    ranked = ranked.persist()
+    w = (
+        Window.partitionBy("__part")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ranked.withColumn("__cum_in", F.sum("__tok").over(w))
+    # per-partition totals -> driver prefix offsets (num_ranges rows only),
+    # rejoined as a broadcast table (a literal CASE chain would bloat the
+    # plan past a few hundred ranges)
+    totals = {
+        r["__part"]: r["__t"] or 0
+        for r in ranked.groupBy("__part").agg(F.sum("__tok").alias("__t")).collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(totals):
+        offsets.append((p, acc))
+        acc += totals[p]
+    if offsets:
+        off_df = df.sparkSession.createDataFrame(offsets, "__part int, __off long")
+        within = within.join(F.broadcast(off_df), "__part", "left")
+    else:
+        within = within.withColumn("__off", F.lit(0).cast("long"))
+    return (
+        within.withColumn(
+            "cum_tokens", F.col("__cum_in") + F.coalesce(F.col("__off"), F.lit(0))
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("__tok", "__part", "__cum_in", "__off")
+    )

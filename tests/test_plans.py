@@ -493,3 +493,15 @@ def test_q22_scalar_and_anti_join_in_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in joins, joins
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, "expected an anti join for the no-orders restriction"
+
+
+def test_token_budget_no_single_partition_window(spark, sf_dir):
+    # the global cumulative sum must run as the two-pass distributed prefix
+    # (range exchange + per-range window + broadcast offset join), never a
+    # single-partition global window
+    df = Q["token_budget_docs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, "global window collapsed to one partition"
+    assert "rangepartitioning" in plan, "expected a range exchange for the global order"
+    joins = join_strategies(df)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins

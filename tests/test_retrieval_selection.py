@@ -208,3 +208,76 @@ def test_new_ops_validate_inputs(session):
         selection.dsir_importance(docs, docs, "doc_id", num_buckets=0)
     with pytest.raises(ValueError, match="alpha"):
         selection.dsir_importance(docs, docs, "doc_id", alpha=0)
+
+
+# ---------------------------------------------------------------- token budget
+
+
+def test_select_token_budget_greedy_prefix(session):
+    # scores rank docs d3 > d1 > d4 > d2; token counts 3/2/4/5
+    df = dc.read_values(
+        session=session,
+        doc_id=[1, 2, 3, 4],
+        text=["a b", "a b c d e", "a b c", "a b c d"],
+        score=[0.8, 0.2, 0.9, 0.5],
+    ).df
+    from datachain_spark.ops.selection import select_token_budget
+
+    out = select_token_budget(df, 9, "score", "doc_id").orderBy("doc_id")
+    rows = {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
+    # d3 (3) -> cum 3, d1 (2) -> cum 5, d4 (4) -> cum 9, d2 would hit 14 > 9
+    assert rows == {3: 3, 1: 5, 4: 9}
+    # budget below the best doc keeps nothing; huge budget keeps all
+    assert select_token_budget(df, 2, "score", "doc_id").count() == 0
+    assert select_token_budget(df, 1000, "score", "doc_id").count() == 4
+
+
+def test_select_token_budget_token_col_and_ties(session):
+    df = dc.read_values(
+        session=session,
+        doc_id=[1, 2, 3],
+        n_tok=[10, 10, 10],
+        score=[1.0, 1.0, 1.0],  # all tied: id breaks ties -> 1, 2 kept
+    ).df
+    from datachain_spark.ops.selection import select_token_budget
+
+    out = select_token_budget(df, 20, "score", "doc_id", token_col="n_tok")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_select_token_budget_matches_single_partition(session):
+    # the distributed two-pass prefix sum must equal the naive Python cumsum
+    # regardless of num_ranges
+    import random
+
+    rng = random.Random(3)
+    ids = list(range(200))
+    toks = [rng.randrange(1, 50) for _ in ids]
+    scores = [rng.random() for _ in ids]
+    df = dc.read_values(
+        session=session, doc_id=ids, n_tok=toks, score=scores
+    ).df
+    order = sorted(ids, key=lambda i: (-scores[i], i))
+    cum, expect = 0, {}
+    for i in order:
+        cum += toks[i]
+        if cum <= 800:
+            expect[i] = cum
+    from datachain_spark.ops.selection import select_token_budget
+
+    for nr in (1, 4, 16):
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in select_token_budget(
+                df, 800, "score", "doc_id", token_col="n_tok", num_ranges=nr
+            ).collect()
+        }
+        assert got == expect, nr
+
+
+def test_select_token_budget_fluent_and_empty(session):
+    ch = dc.read_values(session=session, doc_id=[1], text=["x y z"], score=[1.0])
+    out = ch.select_token_budget(2, "score", "doc_id")
+    assert out.df.count() == 0
+    empty = ch.filter(dc.C("doc_id") > 5)
+    assert empty.select_token_budget(100, "score", "doc_id").df.count() == 0
