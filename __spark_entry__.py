@@ -3884,6 +3884,75 @@ def token_budget_docs(spark, sf):
     return out.select("doc_id", "n_chars", "cum_tokens").orderBy("doc_id")
 
 
+CAP_PER_GROUP_SQL = """
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         CAST(sum(tok) OVER (PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_chars FROM r
+WHERE rn <= 10 AND cum <= 300 ORDER BY doc_id
+"""
+
+
+def cap_per_group_docs(spark, sf):
+    """Per-source contribution caps (ops/selection.cap_per_group — the
+    per-domain crawl-cap recipe): within each source, docs rank by n_chars
+    desc (ties on doc_id) and survive while BOTH rank <= 10 and the
+    source's cumulative whitespace-token total stays <= 300. One window
+    shuffle on the group key; the oracle replays rank + running sum
+    identically."""
+    from datachain_spark.ops import selection
+
+    docs = _chain(spark, sf, "documents").df
+    out = selection.cap_per_group(
+        docs, "source", "doc_id", max_rows=10, token_budget=300,
+        score_col="n_chars",
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+PPL_BUCKETS_SQL = """
+WITH q AS (
+  SELECT lang,
+         quantile_cont(n_chars, 1.0/3) AS t1,
+         quantile_cont(n_chars, 2.0/3) AS t2
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CASE WHEN d.n_chars <= q.t1 THEN 'head'
+            WHEN d.n_chars <= q.t2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM documents d JOIN q USING (lang)
+ORDER BY d.doc_id
+"""
+
+
+def ppl_buckets_docs(spark, sf):
+    """CCNet head/middle/tail bucketing (ops/text.perplexity_buckets):
+    each doc labeled by where its score falls within its LANGUAGE's
+    exact interpolated tercile thresholds (n_chars stands in for the LM
+    perplexity so the oracle is closed-form; the op is score-agnostic).
+    Spark's percentile() and DuckDB's quantile_cont share the
+    interpolated-quantile definition, so thresholds — and therefore every
+    label — must match exactly."""
+    from datachain_spark.ops.text import perplexity_buckets
+
+    docs = _chain(spark, sf, "documents").df
+    out = perplexity_buckets(docs, "n_chars", by="lang")
+    return out.select("doc_id", "lang", "n_chars", "ppl_bucket").orderBy("doc_id")
+
+
 def dsir_importance_md5(spark, sf):
     """DSIR hashed-ngram importance weights (ops/selection.dsir_importance,
     Xie et al. 2023): English docs 0-99 as the target distribution, docs
@@ -5287,7 +5356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_eval_md5, leakage_split_md5, and the late-r05 operator wave:
     nb_classifier_md5 (NB classifier), fuzzy_join_pairs (edit-distance
     join, quadratic-truth completeness proof), pagerank_orders (unrolled
-    5-iteration CTEs), group_centroids_emb, histogram_orders; fill
+    5-iteration CTEs), group_centroids_emb, histogram_orders,
+    minhash_incremental_md5 (stored-signature-index dedup),
+    minhash_dedup_best_md5 (quality-aware representatives),
+    token_budget_docs (distributed-prefix budget truncation); fill
     remaining slots
     with the longest-out-of-window overflow rows (udf_*, sharding_md5,
     multimodal, function-family suites) so every registry entry has a
@@ -5431,6 +5503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental_md5": minhash_incremental_md5,
         "minhash_dedup_best_md5": minhash_dedup_best_md5,
         "token_budget_docs": token_budget_docs,
+        "cap_per_group_docs": cap_per_group_docs,
+        "ppl_buckets_docs": ppl_buckets_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5495,6 +5569,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_incremental_md5": MINHASH_INCR_MD5_SQL,
         "minhash_dedup_best_md5": _minhash_dedup_best_sql(),
         "token_budget_docs": TOKEN_BUDGET_SQL,
+        "cap_per_group_docs": CAP_PER_GROUP_SQL,
+        "ppl_buckets_docs": PPL_BUCKETS_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

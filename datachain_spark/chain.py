@@ -914,6 +914,20 @@ class DataChain:
 
         return self._evolve(_op(self._df, budget, score_col, id_col, **kw))
 
+    def cap_per_group(self, group_cols: Any, id_col: str, **kw: Any) -> "DataChain":
+        """Cap each group's contribution best-first — e.g. at most N docs
+        or N tokens per URL domain (ops/selection.cap_per_group)."""
+        from .ops.selection import cap_per_group as _op
+
+        return self._evolve(_op(self._df, group_cols, id_col, **kw))
+
+    def perplexity_buckets(self, ppl_col: str, **kw: Any) -> "DataChain":
+        """CCNet head/middle/tail label from per-group perplexity quantiles
+        (ops/text.perplexity_buckets)."""
+        from .ops.text import perplexity_buckets as _op
+
+        return self._evolve(_op(self._df, ppl_col, **kw))
+
     def pack_sequences(self, **kw: Any) -> "DataChain":
         """Concat-and-chunk training-example packing
         (ops/packing.pack_sequences)."""

@@ -290,3 +290,57 @@ def select_token_budget(
         .filter(F.col("cum_tokens") <= budget)
         .drop("__tok", "__part", "__cum_in", "__off")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols,
+    id_col: str,
+    max_rows: Optional[int] = None,
+    token_budget: Optional[int] = None,
+    score_col: Optional[str] = None,
+    token_col: Optional[str] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cap each group's contribution, best-first: within every group (the
+    canonical case is the URL domain — SEO farms and boilerplate mills
+    otherwise dominate a crawl) rank rows by ``score_col`` DESC (ties, or
+    no score at all, break on ``id_col``) and keep at most ``max_rows``
+    rows and/or rows while the group's cumulative token count stays <=
+    ``token_budget``. At least one cap must be given. Adds nothing; drops
+    the rank/cumsum scaffolding.
+
+    Scale: ONE shuffle on the group key (the window); groups cumsum
+    independently, so no global ordering exists anywhere — this is the
+    per-group analog of :func:`select_token_budget` and composes with it
+    (cap domains first, then cut the global budget).
+    """
+    from pyspark.sql import Window
+
+    from .text import whitespace_token_count
+
+    if max_rows is None and token_budget is None:
+        raise ValueError("give max_rows and/or token_budget")
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order = (
+        [F.col(score_col).desc_nulls_last(), F.col(id_col)]
+        if score_col
+        else [F.col(id_col)]
+    )
+    w = Window.partitionBy(*gcols).orderBy(*order)
+    out = df.withColumn("__rn", F.row_number().over(w))
+    keep = F.lit(True)
+    if max_rows is not None:
+        keep = keep & (F.col("__rn") <= max_rows)
+    drop = ["__rn"]
+    if token_budget is not None:
+        tokens = (
+            F.col(token_col) if token_col else whitespace_token_count(F.col(text_col))
+        ).cast("long")
+        cum = F.sum(tokens).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn("__cum", cum)
+        keep = keep & (F.col("__cum") <= token_budget)
+        drop.append("__cum")
+    return out.filter(keep).drop(*drop)

@@ -1029,3 +1029,43 @@ def contamination_report(
             .alias("frac_shared"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    ppl_col: str,
+    by=None,
+    head_q: float = 1.0 / 3.0,
+    middle_q: float = 2.0 / 3.0,
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): label each doc by where its LM perplexity falls within its
+    group's distribution — ``head`` (ppl <= the ``head_q`` quantile,
+    lowest perplexity = most fluent), ``middle`` (<= ``middle_q``), else
+    ``tail``. ``by`` is the grouping (CCNet buckets per language, so the
+    thresholds adapt to each language's LM quality); None buckets
+    globally. Compose with :func:`ngram_lm_score` upstream for the
+    perplexity itself. NULL perplexities land in ``tail``.
+
+    Scale: thresholds are exact interpolated percentiles from ONE
+    aggregation (<= |groups| rows out, map-side partial), broadcast back —
+    the corpus itself never shuffles.
+    """
+    gcols = [by] if isinstance(by, str) else list(by or [])
+    c = F.col(ppl_col)
+    thresholds = df.groupBy(*gcols).agg(
+        F.percentile(c, head_q).alias("__t1"),
+        F.percentile(c, middle_q).alias("__t2"),
+    )
+    if gcols:
+        joined = df.join(F.broadcast(thresholds), gcols, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(thresholds))
+    label = (
+        F.when(c <= F.col("__t1"), F.lit("head"))
+        .when(c <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.withColumn(bucket_col, label).drop("__t1", "__t2")

@@ -281,3 +281,95 @@ def test_select_token_budget_fluent_and_empty(session):
     assert out.df.count() == 0
     empty = ch.filter(dc.C("doc_id") > 5)
     assert empty.select_token_budget(100, "score", "doc_id").df.count() == 0
+
+
+# ------------------------------------------------------------- per-group caps
+
+
+def test_cap_per_group_rows_and_tokens(session):
+    df = dc.read_values(
+        session=session,
+        doc_id=[1, 2, 3, 4, 5, 6],
+        domain=["a.com"] * 4 + ["b.com"] * 2,
+        n_tok=[10, 10, 10, 10, 10, 10],
+        score=[0.9, 0.8, 0.7, 0.6, 0.5, 0.4],
+    ).df
+    from datachain_spark.ops.selection import cap_per_group
+
+    # row cap: best 2 per domain
+    out = cap_per_group(df, "domain", "doc_id", max_rows=2, score_col="score")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 5, 6]
+    # token cap: 25 tokens per domain = 2 docs of 10 fit, 3rd would hit 30
+    out = cap_per_group(
+        df, "domain", "doc_id", token_budget=25, score_col="score", token_col="n_tok"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 5, 6]
+    # both caps: rows tighter than tokens
+    out = cap_per_group(
+        df, "domain", "doc_id", max_rows=1, token_budget=1000,
+        score_col="score", token_col="n_tok",
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 5]
+    # no score: id order decides
+    out = cap_per_group(df, "domain", "doc_id", max_rows=3)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 5, 6]
+    with pytest.raises(ValueError, match="max_rows"):
+        cap_per_group(df, "domain", "doc_id")
+    # schema passes through unchanged
+    assert out.columns == df.columns
+
+
+def test_cap_per_group_composes_with_token_budget(session):
+    # cap domains, then cut the global budget — the FineWeb-style recipe
+    df = dc.read_values(
+        session=session,
+        doc_id=list(range(10)),
+        domain=["spam.com"] * 7 + ["ok.org"] * 3,
+        n_tok=[5] * 10,
+        score=[1.0] * 7 + [0.9] * 3,
+    ).df
+    from datachain_spark.ops.selection import cap_per_group, select_token_budget
+
+    capped = cap_per_group(
+        df, "domain", "doc_id", max_rows=3, score_col="score", token_col="n_tok"
+    )
+    out = select_token_budget(
+        capped, 25, "score", "doc_id", token_col="n_tok"
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    # 3 spam docs (0,1,2) + first 2 ok docs (7,8) fill the 25-token budget
+    assert got == [0, 1, 2, 7, 8]
+
+
+# ------------------------------------------------------- perplexity buckets
+
+
+def test_perplexity_buckets_per_group(session):
+    from datachain_spark.ops.text import perplexity_buckets
+
+    df = dc.read_values(
+        session=session,
+        doc_id=list(range(6)),
+        lang=["en", "en", "en", "de", "de", "de"],
+        ppl=[10.0, 20.0, 30.0, 100.0, 200.0, 300.0],
+    ).df
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(df, "ppl", by="lang").collect()}
+    # per-language thirds: each language splits into head/middle/tail
+    assert out == {0: "head", 1: "middle", 2: "tail",
+                   3: "head", 4: "middle", 5: "tail"}
+    # global bucketing ignores language: de docs dominate the tail
+    g = {r["doc_id"]: r["ppl_bucket"]
+         for r in perplexity_buckets(df, "ppl").collect()}
+    assert g[0] == "head" and g[5] == "tail"
+
+
+def test_perplexity_buckets_nulls_to_tail(session):
+    from datachain_spark.ops.text import perplexity_buckets
+
+    df = dc.read_values(
+        session=session, doc_id=[1, 2, 3], ppl=[1.0, 2.0, None]
+    ).df
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(df, "ppl").collect()}
+    assert out[3] == "tail"
