@@ -3884,6 +3884,57 @@ def token_budget_docs(spark, sf):
     return out.select("doc_id", "n_chars", "cum_tokens").orderBy("doc_id")
 
 
+TFIDF_KEYWORDS_SQL = """
+WITH words AS (
+  SELECT doc_id, source,
+         CASE WHEN coalesce(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '') = ''
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') END AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, source, unnest(w) AS word FROM words
+), gw AS (
+  SELECT source, word, count(*) AS tf,
+         count(DISTINCT doc_id) AS df_g
+  FROM tok GROUP BY source, word
+), dfw AS (
+  SELECT word, CAST(sum(df_g) AS BIGINT) AS df FROM gw GROUP BY word
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT source, gw.word, tf, df,
+         tf * ln(CAST(n AS DOUBLE) / df) AS score
+  FROM gw JOIN dfw USING (word) CROSS JOIN n
+  WHERE df >= 3
+), ranked AS (
+  SELECT source, word, tf, df, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, word) AS rank
+  FROM scored
+)
+SELECT source, word, tf, df, round(score, 6) AS score_r, rank
+FROM ranked WHERE rank <= 5 ORDER BY source, rank
+"""
+
+
+def tfidf_keywords_docs(spark, sf):
+    """Per-source characteristic terms by TF-IDF
+    (ops/retrieval.tfidf_keywords): tf within the group x ln(N/df) across
+    the corpus, top-5 per source (ties on word), df >= 3 noise floor. The
+    oracle replays tokenization, both aggregations, the idf and the rank
+    window; scores compare rounded to 6 decimals (ln is the only
+    transcendental)."""
+    from datachain_spark.ops.retrieval import tfidf_keywords
+
+    docs = _chain(spark, sf, "documents").df
+    out = tfidf_keywords(docs, "doc_id", by="source", k=5, min_df=3)
+    return out.select(
+        "source", "word", "tf", "df",
+        F.round("score", 6).alias("score_r"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("source", "rank")
+
+
 CAP_PER_GROUP_SQL = """
 WITH t AS (
   SELECT doc_id, source, n_chars,
@@ -5505,6 +5556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_docs": token_budget_docs,
         "cap_per_group_docs": cap_per_group_docs,
         "ppl_buckets_docs": ppl_buckets_docs,
+        "tfidf_keywords_docs": tfidf_keywords_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5571,6 +5623,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_docs": TOKEN_BUDGET_SQL,
         "cap_per_group_docs": CAP_PER_GROUP_SQL,
         "ppl_buckets_docs": PPL_BUCKETS_SQL,
+        "tfidf_keywords_docs": TFIDF_KEYWORDS_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

@@ -896,6 +896,13 @@ class DataChain:
 
         return self._evolve(_op(self._df, query, id_col, **kw))
 
+    def tfidf_keywords(self, id_col: str, **kw: Any) -> "DataChain":
+        """Top-k characteristic terms per group by TF-IDF
+        (ops/retrieval.tfidf_keywords)."""
+        from .ops.retrieval import tfidf_keywords as _op
+
+        return self._evolve(_op(self._df, id_col, **kw))
+
     def dsir_select(self, target: Any, id_col: str, n: int, **kw: Any) -> "DataChain":
         """DSIR importance-resampled subset vs a target corpus
         (ops/selection.dsir_select); ``target`` may be a DataChain or

@@ -149,3 +149,71 @@ def bm25_topk(
     scored = bm25_score(df, query, id_col, text_col, k1=k1, b=b,
                         keep_cols=keep_cols)
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    by=None,
+    k: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per group by TF-IDF — the corpus
+    profiling pass ("what is each source/language/domain actually about")
+    and the seed-term generator for targeted mixes.
+
+    score(t, g) = tf(t, g) · ln(N / df(t)) with tf the term's total
+    occurrences inside group ``g``, N the total document count and df(t)
+    the number of documents containing t anywhere in the corpus — so a
+    term every group shares scores 0 and drops out naturally. Terms with
+    df < ``min_df`` are noise-filtered. Output: (group cols, word, tf,
+    df, score, rank), rank 1..k per group by score desc (ties on word).
+
+    Scale: the corpus explodes to (group, doc, word) ONCE and aggregates
+    immediately (map-side combine) to the per-(group, word) frame — the
+    only corpus-sized shuffle. Because every doc carries exactly one
+    group value, corpus-wide df(t) is the SUM of the per-group distinct
+    counts — a second, vocabulary-sized aggregation, joined back on the
+    word key; N re-enters as a 1-row broadcast. The top-k window runs on
+    the vocabulary-sized frame, never the corpus.
+    """
+    gcols = [by] if isinstance(by, str) else list(by or [])
+    words = _tokens(F.col(text_col))
+    words = F.when(F.size(words) == 1, F.filter(words, lambda w: w != "")).otherwise(
+        words
+    )
+    exploded = df.select(
+        *gcols, F.col(id_col).alias("__id"), F.explode(words).alias("word")
+    )
+    per_gw = exploded.groupBy(*gcols, "word").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("__id").alias("__df_g"),
+    )
+    df_word = per_gw.groupBy("word").agg(F.sum("__df_g").alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        per_gw.join(df_word, "word")
+        .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df")),
+        )
+    )
+    if gcols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*gcols).orderBy(F.col("score").desc(), F.col("word"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(*gcols, "word", "tf", "df", "score", "rank")
+        )
+    ranked = scored.orderBy(F.col("score").desc(), F.col("word")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("word"))
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "word", "tf", "df", "score", "rank"
+    )

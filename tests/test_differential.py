@@ -762,3 +762,63 @@ def test_semdedup_matches_python_reference(session, vecs, cents, eps, keep):
     got = {r["vid"] for r in out.collect()}
     assert got == expected
     assert invalid <= got  # zero-norm rows always survive
+
+
+# --------------------------------------------------------------- cap_per_group
+_cap_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),          # group
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # score
+        st.integers(min_value=0, max_value=9),          # tokens
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(
+    data=_cap_rows,
+    max_rows=st.one_of(st.none(), st.integers(min_value=1, max_value=4)),
+    budget=st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+)
+def test_cap_per_group_matches_python_reference(session, data, max_rows, budget):
+    """For ANY table: surviving ids equal a from-scratch Python replica of
+    the best-first per-group cap (score desc nulls last, id tie-break,
+    row_number cap AND inclusive running-token cap)."""
+    from datachain_spark.ops.selection import cap_per_group
+
+    if max_rows is None and budget is None:
+        max_rows = 2  # at least one cap must be given
+
+    ids = list(range(len(data)))
+    expected = set()
+    bygrp = {}
+    for i, (g, s, t) in enumerate(data):
+        bygrp.setdefault(g, []).append((i, s, t))
+    for g, members in bygrp.items():
+        # score desc with nulls last, then id — mirror desc_nulls_last
+        members.sort(key=lambda m: (m[1] is None, -(m[1] or 0), m[0]))
+        cum = 0
+        for rank, (i, s, t) in enumerate(members, start=1):
+            cum += t
+            ok = True
+            if max_rows is not None and rank > max_rows:
+                ok = False
+            if budget is not None and cum > budget:
+                ok = False
+            if ok:
+                expected.add(i)
+
+    df = session.spark.createDataFrame(
+        [(i, g, s, t) for i, (g, s, t) in enumerate(data)],
+        "rid long, grp long, score long, n_tok long",
+    )
+    got = {
+        r["rid"]
+        for r in cap_per_group(
+            df, "grp", "rid", max_rows=max_rows, token_budget=budget,
+            score_col="score", token_col="n_tok",
+        ).collect()
+    }
+    assert got == expected

@@ -373,3 +373,54 @@ def test_perplexity_buckets_nulls_to_tail(session):
     out = {r["doc_id"]: r["ppl_bucket"]
            for r in perplexity_buckets(df, "ppl").collect()}
     assert out[3] == "tail"
+
+
+# --------------------------------------------------------------- TF-IDF keywords
+
+
+def test_tfidf_keywords_known_values(session):
+    import math
+
+    # "spark" appears only in group A docs, "data" everywhere
+    df = dc.read_values(
+        session=session,
+        doc_id=[1, 2, 3, 4],
+        grp=["A", "A", "B", "B"],
+        text=[
+            "spark data engine",
+            "spark data",
+            "cooking data recipes",
+            "cooking data",
+        ],
+    ).df
+    out = retrieval.tfidf_keywords(df, "doc_id", by="grp", k=3, min_df=1)
+    rows = {(r["grp"], r["word"]): (r["tf"], r["df"], r["score"], r["rank"])
+            for r in out.collect()}
+    # df("spark")=2 of N=4 -> idf ln(2); tf in A = 2
+    tf, dfq, score, rank = rows[("A", "spark")]
+    assert (tf, dfq) == (2, 2) and abs(score - 2 * math.log(2.0)) < 1e-12
+    # "engine" ties exactly (1·ln(4) == 2·ln(2)) and wins alphabetically
+    assert rows[("A", "engine")][3] == 1 and rank == 2
+    # "data" is in all 4 docs -> idf ln(1) = 0
+    assert rows[("A", "data")][2] == 0.0
+    # B's top keyword is cooking (tf 2, df 2)
+    assert rows[("B", "cooking")][3] == 1
+
+
+def test_tfidf_keywords_global_and_filters(session):
+    df = dc.read_values(
+        session=session,
+        doc_id=[1, 2, 3],
+        text=["alpha beta", "alpha gamma", ""],  # blank doc: no terms, counts in N
+    ).df
+    out = retrieval.tfidf_keywords(df, "doc_id", k=5, min_df=2)
+    rows = [r.asDict() for r in out.collect()]
+    # only "alpha" survives min_df=2; N=3 so score = 2*ln(3/2)
+    assert [r["word"] for r in rows] == ["alpha"]
+    assert rows[0]["rank"] == 1 and rows[0]["df"] == 2
+    # k caps the output per group
+    out = retrieval.tfidf_keywords(df, "doc_id", k=1, min_df=1)
+    assert out.count() == 1
+    # fluent surface
+    ch = dc.DataChain(df).tfidf_keywords("doc_id", k=3, min_df=1)
+    assert ch.count() == 3
