@@ -160,11 +160,31 @@ def minhash_lsh_pairs(
     sig = _minhash_sig(
         df, id_col, text_col, num_hashes, shingle_size, hash_fn
     ).persist()
+    return _pairs_from_sig(sig, num_hashes, bands, jaccard_threshold, hash_fn)
 
-    # Bucket-join carries ONLY (band, bucket, id) — narrow rows; signatures
-    # rejoin onto the (much smaller) distinct candidate set afterwards.
-    # Shuffle volume: bands×rows narrow tuples for the bucket join, then two
-    # sig lookups that AQE broadcasts when the sig table is small.
+
+def _est_jaccard(num_hashes: int) -> "F.Column":
+    return F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+
+
+def _pairs_from_sig(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    hash_fn: str,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) pairs from a ``(__id, __sig)`` frame.
+
+    Bucket-join carries ONLY (band, bucket, id) — narrow rows; signatures
+    rejoin onto the (much smaller) distinct candidate set afterwards.
+    Shuffle volume: bands×rows narrow tuples for the bucket join, then two
+    sig lookups that AQE broadcasts when the sig table is small."""
     narrow = _band_buckets(sig, num_hashes, bands, hash_fn)
     a, b = narrow.alias("a"), narrow.alias("b")
     cand = (
@@ -182,18 +202,31 @@ def minhash_lsh_pairs(
         cand.join(sigs.withColumnRenamed("__id", "id_a").withColumnRenamed("__sig", "sig_a"), "id_a")
         .join(sigs.withColumnRenamed("__id", "id_b").withColumnRenamed("__sig", "sig_b"), "id_b")
     )
-
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    ) / F.lit(float(num_hashes))
     return (
-        pairs.withColumn("est_jaccard", est)
+        pairs.withColumn("est_jaccard", _est_jaccard(num_hashes))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def minhash_pairs_from_signatures(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` starting from an ALREADY-COMPUTED
+    ``(id_col, sig)`` signature table (:func:`minhash_signatures` output) —
+    banding is a pure projection, nothing is re-shingled. Use when one
+    signing pass feeds several consumers (pairs + index match + index
+    fold, as the streaming ingest does); persist the signature frame
+    yourself if it is expression-backed."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    sig = sig_df.select(F.col(id_col).alias("__id"), F.col("sig").alias("__sig"))
+    return _pairs_from_sig(sig, num_hashes, bands, jaccard_threshold, hash_fn)
 
 
 def minhash_signatures(
@@ -252,6 +285,19 @@ def minhash_match_index(
     new_sig = _minhash_sig(
         df, id_col, text_col, num_hashes, shingle_size, hash_fn
     ).persist()
+    return _match_sigs(new_sig, idx_sig, num_hashes, bands, jaccard_threshold, hash_fn)
+
+
+def _match_sigs(
+    new_sig: DataFrame,
+    idx_sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    hash_fn: str,
+) -> DataFrame:
+    """(new_id, index_id, est_jaccard) matches between two ``(__id, __sig)``
+    frames — banding is a pure projection over both."""
     nb = _band_buckets(new_sig, num_hashes, bands, hash_fn)
     ib = _band_buckets(idx_sig, num_hashes, bands, hash_fn)
     cand = (
@@ -271,17 +317,35 @@ def minhash_match_index(
         idx_sig.select(F.col("__id").alias("index_id"), F.col("__sig").alias("sig_b")),
         "index_id",
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    ) / F.lit(float(num_hashes))
     return (
-        pairs.withColumn("est_jaccard", est)
+        pairs.withColumn("est_jaccard", _est_jaccard(num_hashes))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("new_id", "index_id", "est_jaccard")
     )
+
+
+def minhash_match_signatures(
+    new_sig_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    index_id_col: Optional[str] = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """:func:`minhash_match_index` starting from an ALREADY-COMPUTED
+    ``(id_col, sig)`` table for the new side — nothing is shingled here at
+    all. Persist ``new_sig_df`` yourself if it is expression-backed (it
+    feeds banding + verification)."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    iid = index_id_col or id_col
+    new_sig = new_sig_df.select(
+        F.col(id_col).alias("__id"), F.col("sig").alias("__sig")
+    )
+    idx_sig = index.select(F.col(iid).alias("__id"), F.col("sig").alias("__sig"))
+    return _match_sigs(new_sig, idx_sig, num_hashes, bands, jaccard_threshold, hash_fn)
 
 
 def minhash_dedup_incremental(

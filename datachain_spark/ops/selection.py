@@ -230,8 +230,10 @@ def select_token_budget(
     the row). Token counts come from ``token_col`` if given, else
     whitespace tokens of ``text_col``.
 
-    Greedy prefix, not a knapsack: a doc is skipped only if everything
-    better-scored already exhausted the budget — the standard curation
+    NULL token counts (NULL ``token_col`` or NULL text) count as 0 —
+    such rows are kept for free; filter upstream if unknown-length docs
+    must not be selected. Greedy prefix, not a knapsack: a doc is skipped
+    only if everything better-scored already exhausted the budget — the standard curation
     semantics (quality-ranked corpus truncation, e.g. the DCLM/FineWeb
     "top-k% by classifier score" recipe expressed in tokens).
 
@@ -248,9 +250,14 @@ def select_token_budget(
 
     from .text import whitespace_token_count
 
-    tokens = (
-        F.col(token_col) if token_col else whitespace_token_count(F.col(text_col))
-    ).cast("long")
+    tokens = F.coalesce(
+        (
+            F.col(token_col)
+            if token_col
+            else whitespace_token_count(F.col(text_col))
+        ).cast("long"),
+        F.lit(0),
+    )
     n_parts = num_ranges or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"
     )
@@ -307,7 +314,8 @@ def cap_per_group(
     otherwise dominate a crawl) rank rows by ``score_col`` DESC (ties, or
     no score at all, break on ``id_col``) and keep at most ``max_rows``
     rows and/or rows while the group's cumulative token count stays <=
-    ``token_budget``. At least one cap must be given. Adds nothing; drops
+    ``token_budget`` (NULL token counts count as 0 — kept for free). At
+    least one cap must be given. Adds nothing; drops
     the rank/cumsum scaffolding.
 
     Scale: ONE shuffle on the group key (the window); groups cumsum
@@ -334,9 +342,14 @@ def cap_per_group(
         keep = keep & (F.col("__rn") <= max_rows)
     drop = ["__rn"]
     if token_budget is not None:
-        tokens = (
-            F.col(token_col) if token_col else whitespace_token_count(F.col(text_col))
-        ).cast("long")
+        tokens = F.coalesce(
+            (
+                F.col(token_col)
+                if token_col
+                else whitespace_token_count(F.col(text_col))
+            ).cast("long"),
+            F.lit(0),
+        )
         cum = F.sum(tokens).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )

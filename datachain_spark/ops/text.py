@@ -1060,7 +1060,19 @@ def perplexity_buckets(
         F.percentile(c, middle_q).alias("__t2"),
     )
     if gcols:
-        joined = df.join(F.broadcast(thresholds), gcols, "left")
+        # null-safe equality: a NULL group key is a real group (groupBy
+        # made thresholds for it) — a plain equi-join would orphan those
+        # rows into 'tail' regardless of score
+        thr = thresholds.select(
+            *[F.col(g).alias(f"__g_{g}") for g in gcols], "__t1", "__t2"
+        )
+        cond = None
+        for g in gcols:
+            eq = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = df.join(F.broadcast(thr), cond, "left").drop(
+            *[f"__g_{g}" for g in gcols]
+        )
     else:
         joined = df.crossJoin(F.broadcast(thresholds))
     label = (

@@ -221,10 +221,19 @@ def near_dedup_stream_to_dataset(
     is never rescanned. Each batch writes the index as a new full version
     (compact: 1 TB of signatures indexes ~2 PB of text); at the far end of
     that range, store signatures in a bucketed append table instead.
+
+    Per-batch semantics (each batch signed exactly ONCE): (a) docs matching
+    the stored index drop first — so a doc that only near-duplicates a
+    fellow batch member that itself matched history is still judged on its
+    own merits; (b) the remainder dedups within the batch greedily (the
+    higher id of each pair drops); (c) survivors append to the corpus and
+    their signatures fold into the index. Batch replays after a mid-batch
+    crash are idempotent: a dataset version already stamped with this
+    stream_batch_id is not written again.
     """
     from ..ops.dedup import (
-        minhash_dedup,
-        minhash_dedup_incremental,
+        minhash_match_signatures,
+        minhash_pairs_from_signatures,
         minhash_signatures,
     )
 
@@ -232,39 +241,65 @@ def near_dedup_stream_to_dataset(
     sig_kw = dict(
         num_hashes=num_hashes, shingle_size=shingle_size, hash_fn=hash_fn
     )
-    match_kw = dict(bands=bands, jaccard_threshold=jaccard_threshold, **sig_kw)
+    band_kw = dict(
+        num_hashes=num_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold, hash_fn=hash_fn,
+    )
+
+    def _already_saved(ds_name: str, batch_id: int) -> bool:
+        rec = metastore.get_record(ds_name)
+        dv = rec.latest_version() if rec is not None else None
+        return bool(dv and dv.attrs.get("stream_batch_id") == batch_id)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..catalog.metastore import DatasetNotFoundError
 
         if batch_df.isEmpty():
             return
-        batch = minhash_dedup(batch_df, id_col, text_col, **match_kw)
         try:
             idx, _, _ = metastore.load_dataset(batch_df.sparkSession, idx_name)
         except DatasetNotFoundError:
             idx = None
-        if idx is not None:
-            batch = minhash_dedup_incremental(
-                batch, idx, id_col, text_col, **match_kw
-            )
-        # survivors feed both the corpus append and the index fold — persist
-        # so the shingle/LSH pipeline runs once
-        batch = batch.persist()
+        # ONE signing pass feeds the index match, the within-batch pairs
+        # and the index fold
+        sigs = minhash_signatures(batch_df, id_col, text_col, **sig_kw).persist()
         try:
-            if batch.isEmpty():
-                return
-            metastore.save_dataset(
-                batch, name, attrs={"stream_batch_id": batch_id}
-            )
-            new_sigs = minhash_signatures(batch, id_col, text_col, **sig_kw)
+            batch = batch_df
+            live_sigs = sigs
             if idx is not None:
-                new_sigs = idx.unionByName(new_sigs)
-            metastore.save_dataset(
-                new_sigs, idx_name, attrs={"stream_batch_id": batch_id}
+                hits = minhash_match_signatures(sigs, idx, id_col, **band_kw)
+                hit_ids = hits.select(
+                    F.col("new_id").alias(id_col)
+                ).distinct()
+                batch = batch.join(hit_ids, id_col, "left_anti")
+                live_sigs = sigs.join(hit_ids, id_col, "left_anti")
+            losers = (
+                minhash_pairs_from_signatures(live_sigs, id_col, **band_kw)
+                .select(F.col("id_b").alias(id_col))
+                .distinct()
             )
+            batch = batch.join(losers, id_col, "left_anti").persist()
+            try:
+                if batch.isEmpty():
+                    return
+                if not _already_saved(name, batch_id):
+                    metastore.save_dataset(
+                        batch, name, attrs={"stream_batch_id": batch_id}
+                    )
+                if _already_saved(idx_name, batch_id):
+                    return
+                new_sigs = sigs.join(
+                    batch.select(id_col), id_col, "left_semi"
+                )
+                if idx is not None:
+                    new_sigs = idx.unionByName(new_sigs)
+                metastore.save_dataset(
+                    new_sigs, idx_name, attrs={"stream_batch_id": batch_id}
+                )
+            finally:
+                batch.unpersist()
         finally:
-            batch.unpersist()
+            sigs.unpersist()
 
     writer = (
         stream_df.writeStream.outputMode("append")

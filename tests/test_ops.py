@@ -124,6 +124,24 @@ def test_minhash_match_index_equals_batch_pairs(docs):
     )
     want = {(r["id_a"], r["id_b"], r["est_jaccard"]) for r in batch.collect()}
     assert got == want and want  # non-vacuous: the fox near-dups pair up
+    # the signature-level entry points reproduce both flows exactly
+    from_sig = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in dedup.minhash_pairs_from_signatures(
+            idx, "doc_id", jaccard_threshold=0.3,
+            num_hashes=_MH_KW["num_hashes"], bands=_MH_KW["bands"],
+        ).collect()
+    }
+    assert from_sig == want
+    match_sig = {
+        (min(r["new_id"], r["index_id"]), max(r["new_id"], r["index_id"]),
+         r["est_jaccard"])
+        for r in dedup.minhash_match_signatures(
+            idx, idx, "doc_id", jaccard_threshold=0.3,
+            num_hashes=_MH_KW["num_hashes"], bands=_MH_KW["bands"],
+        ).filter(F.col("new_id") != F.col("index_id")).collect()
+    }
+    assert match_sig == want
 
 
 def test_minhash_match_index_self_pairs_are_exact(docs):

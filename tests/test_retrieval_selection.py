@@ -424,3 +424,39 @@ def test_tfidf_keywords_global_and_filters(session):
     # fluent surface
     ch = dc.DataChain(df).tfidf_keywords("doc_id", k=3, min_df=1)
     assert ch.count() == 3
+
+
+def test_budget_ops_null_tokens_count_zero(session):
+    # NULL token counts are documented to cost nothing
+    from datachain_spark.ops.selection import cap_per_group, select_token_budget
+
+    df = dc.read_values(
+        session=session,
+        doc_id=[1, 2, 3],
+        grp=["g", "g", "g"],
+        n_tok=[10, None, 10],
+        score=[0.9, 0.8, 0.7],
+    ).df
+    out = select_token_budget(df, 20, "score", "doc_id", token_col="n_tok")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
+    out = cap_per_group(
+        df, "grp", "doc_id", token_budget=20, score_col="score", token_col="n_tok"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_perplexity_buckets_null_group_key(session):
+    # a NULL group key is a real group: its rows get that group's
+    # thresholds, not a blanket 'tail'
+    from datachain_spark.ops.text import perplexity_buckets
+
+    df = dc.read_values(
+        session=session,
+        doc_id=[1, 2, 3, 4, 5, 6],
+        lang=[None, None, None, "en", "en", "en"],
+        ppl=[1.0, 2.0, 3.0, 10.0, 20.0, 30.0],
+    ).df
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(df, "ppl", by="lang").collect()}
+    assert out == {1: "head", 2: "middle", 3: "tail",
+                   4: "head", 5: "middle", 6: "tail"}
