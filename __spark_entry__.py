@@ -5381,6 +5381,94 @@ FROM sig ORDER BY doc_id
 """
 
 
+EMB_COVARIANCE_SQL = """
+WITH v AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), idx AS (SELECT i FROM generate_series(0, 63) t(i)),
+cells AS (
+  SELECT a.i AS ci, b.i AS cj FROM idx a JOIN idx b ON a.i <= b.i
+), m AS (
+  SELECT ci AS i, cj AS j,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(e[ci + 1]) AS si, sum(e[cj + 1]) AS sj,
+         sum(e[ci + 1] * e[cj + 1]) AS sij
+  FROM v CROSS JOIN cells
+  GROUP BY ci, cj
+)
+SELECT i, j, n,
+       round(si / n, 6) + 0.0 AS mean_i_r,
+       round((sij - n * (si / n) * (sj / n)) / n, 6) + 0.0 AS cov_r
+FROM m ORDER BY i, j
+"""
+
+
+def emb_covariance(spark, sf):
+    """Distributed corpus covariance of the embedding table
+    (ops/embedding.embedding_covariance): per-partition Arrow-batched
+    moment partials -> one (i, j) groupBy — the corpus never shuffles and
+    never reaches the driver. The oracle recomputes all 2080
+    upper-triangle cells from scratch in DuckDB; means and covariances
+    compare at 6 decimals (double accumulation order is the only
+    difference)."""
+    from datachain_spark.ops import embedding as _emb
+
+    df = _chain(spark, sf, "embeddings").df
+    cov = _emb.embedding_covariance(df, "embedding")
+    return cov.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "n",
+        (F.round("mean_i", 6) + F.lit(0.0)).alias("mean_i_r"),
+        (F.round("cov", 6) + F.lit(0.0)).alias("cov_r"),
+    ).orderBy("i", "j")
+
+
+def _random_projection_sql(out_dim: int = 4, seed: int = 9) -> str:
+    def comp(p: int) -> str:
+        w = (
+            "CASE WHEN CAST('0x' || substring(md5('"
+            f"{seed}:{p}:' || i),1,15) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        )
+        return (
+            f"round(list_reduce([e[i+1] * ({w}) "
+            "for i in generate_series(0, len(e)-1)], (a, b) -> a + b), 6)"
+            f" AS p{p}"
+        )
+
+    cols = ",\n       ".join(comp(p) for p in range(out_dim))
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT vec_id,
+       {cols}
+FROM v ORDER BY vec_id
+"""
+
+
+RANDOM_PROJECTION_SQL = _random_projection_sql()
+
+
+def random_projection_md5(spark, sf):
+    """Achlioptas +-1 random projection 64 -> 4 dims under the portable
+    md5 sign family (ops/embedding.random_projection): sign(p, i) =
+    parity of md5('seed:p:i'), dot products fold from 0.0 — DuckDB's
+    list_reduce replays the whole projection; values compare at 6
+    decimals. Zero shuffles, zero driver state (the matrix IS the hash)."""
+    from datachain_spark.ops import embedding as _emb
+
+    df = _chain(spark, sf, "embeddings").df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = _emb.random_projection(
+        df, "embedding", 4, seed=9, hash_fn="md5", scale=False
+    )
+    return out.select(
+        "vec_id",
+        *[F.round(F.col("rp")[p], 6).alias(f"p{p}") for p in range(4)],
+    ).orderBy("vec_id")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5557,6 +5645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group_docs": cap_per_group_docs,
         "ppl_buckets_docs": ppl_buckets_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
+        "emb_covariance": emb_covariance,
+        "random_projection_md5": random_projection_md5,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5624,6 +5714,8 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_group_docs": CAP_PER_GROUP_SQL,
         "ppl_buckets_docs": PPL_BUCKETS_SQL,
         "tfidf_keywords_docs": TFIDF_KEYWORDS_SQL,
+        "emb_covariance": EMB_COVARIANCE_SQL,
+        "random_projection_md5": RANDOM_PROJECTION_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

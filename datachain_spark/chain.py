@@ -928,6 +928,27 @@ class DataChain:
 
         return self._evolve(_op(self._df, group_cols, id_col, **kw))
 
+    def normalize_embeddings(self, vec_col: str = "embedding", **kw: Any) -> "DataChain":
+        """L2-normalize an embedding column; zero-norm/invalid -> NULL
+        (ops/embedding.normalize_embeddings)."""
+        from .ops.embedding import normalize_embeddings as _op
+
+        return self._evolve(_op(self._df, vec_col, **kw))
+
+    def pca_transform(self, model: dict, vec_col: str = "embedding", **kw: Any) -> "DataChain":
+        """Project embeddings onto a ``pca_train``-fitted basis
+        (ops/embedding.pca_transform)."""
+        from .ops.embedding import pca_transform as _op
+
+        return self._evolve(_op(self._df, vec_col, model, **kw))
+
+    def random_projection(self, out_dim: int, vec_col: str = "embedding", **kw: Any) -> "DataChain":
+        """Training-free +-1 JL projection to ``out_dim`` dims
+        (ops/embedding.random_projection)."""
+        from .ops.embedding import random_projection as _op
+
+        return self._evolve(_op(self._df, vec_col, out_dim, **kw))
+
     def perplexity_buckets(self, ppl_col: str, **kw: Any) -> "DataChain":
         """CCNet head/middle/tail label from per-group perplexity quantiles
         (ops/text.perplexity_buckets)."""

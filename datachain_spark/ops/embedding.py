@@ -1,0 +1,293 @@
+"""Embedding preprocessing: L2 normalization, distributed covariance / PCA,
+and sparse-sign random projection.
+
+The standard pipeline that sits in front of ANN / semantic dedup at
+100-TB scale (FAISS OPQ-style preprocessing, Achlioptas 2003 sparse
+projections): normalize vectors, estimate the corpus covariance in ONE
+distributed pass, derive a k-dim PCA basis on the driver (a d x d eigen
+problem — dimension-bounded, not data-bounded), and project every vector
+JVM-side. No reference counterpart (spec addition): the reference's
+similarity surface stops at cosine distance over stored vectors.
+
+Scale shapes:
+
+- ``embedding_covariance``: per-partition moment accumulation in ONE
+  Arrow-batched ``mapInPandas`` pass (each partition emits d*(d+1)/2
+  upper-triangle rows carrying additive partial sums), then a single
+  groupBy((i, j)) shuffle of num_partitions x d^2/2 tiny rows with
+  map-side combine. The corpus itself never shuffles and never reaches
+  the driver; the result is a d^2-row frame regardless of N. This is the
+  treeAggregate shape MLlib's RowMatrix.computeCovariance uses,
+  re-expressed as a DataFrame so the result stays composable/oracle-able.
+- ``pca_train``: collects only the d^2 covariance rows (dimension-bounded
+  driver contact, same contract as the ANN centroid bootstrap) and runs
+  ``numpy.linalg.eigh`` on the driver. Deterministic: symmetric eigh +
+  a fixed sign convention (largest-|component| entry made positive).
+- ``pca_transform`` / ``random_projection``: pure column expressions —
+  ``aggregate(zip_with(...))`` dot products against literal rows of the
+  projection matrix, fold-ordered from 0.0 so DuckDB's ``list_reduce``
+  replays them bit-for-bit. Zero shuffles, zero Python in the row path.
+- ``random_projection`` needs no training pass at all: the matrix entries
+  are +-1/sqrt(k) signs derived from ``hash(seed, out_dim, in_dim)``
+  parity (Achlioptas-style database-friendly JL projection), so every
+  executor — and the DuckDB oracle under ``hash_fn="md5"`` — derives the
+  same matrix with no driver state to ship.
+
+Invalid vectors (NULL, ragged length, NULL/NaN/Inf elements) follow the
+pq/semdedup convention: excluded from moment estimation, projected to
+NULL — a dirty row never aborts the job.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import _hash64
+
+# seed namespace for the random-projection sign hash (distinct from the
+# bloom/minhash/DSIR/hyperplane seed spaces)
+_RP_SEED = 0xA11CE
+
+
+def _valid_vec(vec: Column, dim: Optional[int] = None) -> Column:
+    """True when the vector is non-null, (optionally) dim-long, and every
+    element is finite. `isnan` only accepts float args, so test on the
+    double-cast element."""
+    elem_ok = F.size(
+        F.filter(
+            vec,
+            lambda x: x.isNull()
+            | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == float("inf")),
+        )
+    ) == 0
+    ok = vec.isNotNull() & elem_ok
+    if dim is not None:
+        ok = ok & (F.size(vec) == dim)
+    return ok
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str, out_col: Optional[str] = None
+) -> DataFrame:
+    """L2-normalize an embedding column (unit vectors make cosine a plain
+    dot product downstream). Zero-norm or invalid vectors normalize to
+    NULL rather than NaN-poisoning every later distance. Pure column
+    algebra — one scan, no shuffle."""
+    out_col = out_col or vec_col
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: x / nrm)
+    good = _valid_vec(F.col(vec_col)) & (nrm > 0)
+    return df.withColumn(out_col, F.when(good, unit))
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str, ddof: int = 0
+) -> DataFrame:
+    """Corpus covariance of an embedding column as a (i, j, n, mean_i,
+    mean_j, cov) DataFrame — the distributed HALF of PCA, exposed
+    separately so it stays oracle-able and composable.
+
+    One mapInPandas pass emits, per input partition, the additive moment
+    partials (count, per-dim sums, upper-triangle product sums) flattened
+    to d*(d+1)/2 rows; one groupBy((i, j)) sums them. Output rows cover
+    the upper triangle (i <= j) — mirror client-side if a full matrix is
+    wanted. Rows with invalid vectors are excluded from the estimate.
+    """
+    dim = df.selectExpr(f"size({vec_col}) AS d").filter("d is not null").first()
+    if dim is None:
+        raise ValueError(f"embedding_covariance: no non-null vectors in {vec_col!r}")
+    d = dim["d"]
+
+    src = df.select(F.col(vec_col).alias("__v")).filter(
+        _valid_vec(F.col("__v"), dim=d)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("pn", T.LongType()),
+            T.StructField("psi", T.DoubleType()),
+            T.StructField("psj", T.DoubleType()),
+            T.StructField("pss", T.DoubleType()),
+        ]
+    )
+
+    def partials(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        ss = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]],
+                dtype=np.float64,
+            )
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            ss += m.T @ m
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu.astype("int32"),
+                "j": ju.astype("int32"),
+                "pn": np.full(iu.shape, n, dtype="int64"),
+                "psi": s[iu],
+                "psj": s[ju],
+                "pss": ss[iu, ju],
+            }
+        )
+
+    agg = (
+        src.mapInPandas(partials, out_schema)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psi").alias("si"),
+            F.sum("psj").alias("sj"),
+            F.sum("pss").alias("sij"),
+        )
+    )
+    n = F.col("n")
+    denom = (n - F.lit(ddof)).cast("double")
+    mean_i = F.col("si") / n
+    mean_j = F.col("sj") / n
+    cov = (F.col("sij") - n.cast("double") * mean_i * mean_j) / denom
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        mean_i.alias("mean_i"),
+        mean_j.alias("mean_j"),
+        cov.alias("cov"),
+    )
+
+
+def pca_train(df: DataFrame, vec_col: str, k: int, ddof: int = 0) -> dict:
+    """Fit a k-component PCA basis: distributed covariance (see
+    ``embedding_covariance``) + driver-side ``numpy.linalg.eigh`` on the
+    d x d matrix — driver contact is d^2 floats, independent of corpus
+    size. Returns ``{"mean", "components", "explained_variance", "n"}``
+    with a deterministic sign convention (each component's
+    largest-magnitude entry is positive; ties to the earlier dim)."""
+    import numpy as np
+
+    rows = embedding_covariance(df, vec_col, ddof=ddof).collect()
+    if not rows:
+        raise ValueError("pca_train: no valid vectors")
+    d = max(r["j"] for r in rows) + 1
+    if not 1 <= k <= d:
+        raise ValueError(f"pca_train: k must be in [1, {d}], got {k}")
+    cov = np.zeros((d, d))
+    mean = np.zeros(d)
+    n = rows[0]["n"]
+    for r in rows:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+        mean[r["i"]] = r["mean_i"]
+        mean[r["j"]] = r["mean_j"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # (k, d)
+    for c in comps:
+        pivot = int(np.argmax(np.abs(c)))
+        if c[pivot] < 0:
+            c *= -1.0
+    return {
+        "mean": mean.tolist(),
+        "components": [c.tolist() for c in comps],
+        "explained_variance": vals[order].tolist(),
+        "n": n,
+    }
+
+
+def _dot_lit(vec: Column, weights: list[float]) -> Column:
+    """Fold-ordered dot product of a vector column against a literal row —
+    aggregate(zip_with) from 0.0, the exact shape DuckDB's list_reduce
+    replays."""
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    return F.aggregate(
+        F.zip_with(vec, w, lambda x, wi: x * wi), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def pca_transform(
+    df: DataFrame, vec_col: str, model: dict, out_col: str = "pca"
+) -> DataFrame:
+    """Project vectors onto a trained PCA basis — k literal-row dot
+    products over the centered vector, pure codegen'd expressions, zero
+    shuffles. Invalid/ragged vectors project to NULL (job never aborts)."""
+    mean = model["mean"]
+    comps = model["components"]
+    d = len(mean)
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x - m,
+    )
+    proj = F.array(*[_dot_lit(centered, c) for c in comps])
+    return df.withColumn(
+        out_col, F.when(_valid_vec(F.col(vec_col), dim=d), proj)
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int,
+    seed: int = _RP_SEED,
+    hash_fn: str = "xxhash64",
+    out_col: str = "rp",
+    scale: bool = True,
+) -> DataFrame:
+    """Training-free JL dimensionality reduction: out_dim dot products
+    against +-1 rows whose signs derive from hash(seed, k, j) parity
+    (Achlioptas 2003 database-friendly projection). Deterministic across
+    executors and runs with NO driver state; ``hash_fn="md5"`` selects
+    the portable family so DuckDB replays the whole projection
+    bit-for-bit. ``scale`` divides by sqrt(out_dim) (the JL scaling).
+
+    Pure column algebra — one scan, zero shuffles; the signs fold into
+    the same aggregate(zip_with) dot product as pca_transform, so the
+    hot path stays inside whole-stage codegen."""
+    if out_dim < 1:
+        raise ValueError(f"random_projection: out_dim must be >= 1, got {out_dim}")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def sign(p: int, i: Column) -> Column:
+        if hash_fn == "xxhash64":
+            h = F.xxhash64(F.lit(seed), F.lit(p), i)
+        else:
+            h = _hash64(
+                F.concat(F.lit(f"{seed}:{p}:"), i.cast("string")), hash_fn
+            )
+        return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    div = float(out_dim) ** 0.5 if scale else 1.0
+
+    def comp(p: int) -> Column:
+        signs = F.transform(dim_idx, lambda i: sign(p, i))
+        return (
+            F.aggregate(
+                F.zip_with(v, signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.lit(div)
+        )
+
+    proj = F.array(*[comp(p) for p in range(out_dim)])
+    return df.withColumn(out_col, F.when(_valid_vec(F.col(vec_col)), proj))
