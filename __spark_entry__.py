@@ -5469,6 +5469,92 @@ def random_projection_md5(spark, sf):
     ).orderBy("vec_id")
 
 
+EXPECTATIONS_SQL = """
+WITH row_rules AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+    CAST(sum(CASE WHEN o_orderstatus IS NULL
+                   OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+    CAST(sum(CASE WHEN o_totalprice IS NULL
+                   OR o_totalprice < 1000.0 OR o_totalprice > 400000.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+    CAST(sum(CASE WHEN o_orderpriority IS NULL
+                   OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v_regex,
+    CAST(sum(CASE WHEN NOT coalesce(o_orderdate < '1999-01-01', false) THEN 1 ELSE 0 END) AS BIGINT) AS v_expr
+  FROM orders
+), uniq AS (
+  SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS v,
+         CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+  FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY o_orderkey)
+), stacked AS (
+  SELECT 'not_null:o_custkey' AS rule, 'not_null' AS kind, v_notnull AS n_violations, n_rows FROM row_rules
+  UNION ALL SELECT 'accepted_values:o_orderstatus', 'accepted_values', v_status, n_rows FROM row_rules
+  UNION ALL SELECT 'in_range:o_totalprice', 'in_range', v_range, n_rows FROM row_rules
+  UNION ALL SELECT 'matches_regex:o_orderpriority', 'matches_regex', v_regex, n_rows FROM row_rules
+  UNION ALL SELECT 'orderdate_in_era', 'expression', v_expr, n_rows FROM row_rules
+  UNION ALL SELECT 'unique:o_orderkey', 'unique', v, n FROM uniq
+)
+SELECT rule, kind, n_violations, n_rows, n_violations = 0 AS passed
+FROM stacked ORDER BY rule
+"""
+
+
+def expectations_orders(spark, sf):
+    """Declarative data-quality validation over orders
+    (ops/expectations.check): five row-level rules folded into ONE
+    aggregation pass + one unique-key groupBy. The oracle recomputes every
+    violation count from scratch in DuckDB — NULL-fails-closed semantics
+    and the duplicate-member counting rule both hash-verified."""
+    from datachain_spark.ops import expectations as ex
+
+    orders = _chain(spark, sf, "orders").df
+    rules = [
+        ex.not_null("o_custkey"),
+        ex.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        ex.in_range("o_totalprice", 1000.0, 400000.0),
+        ex.matches_regex("o_orderpriority", "^[1-5]-"),
+        ex.expression("orderdate_in_era", "o_orderdate < '1999-01-01'"),
+        ex.unique("o_orderkey"),
+    ]
+    return ex.check(orders, rules).orderBy("rule")
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def incremental_agg_docs(spark, sf):
+    """Incremental rollup maintenance (ops/incremental): the documents
+    table arrives as two 'snapshots' (even/odd doc_id); the per-lang
+    rollup is built from snapshot A, then snapshot B is folded in WITHOUT
+    rescanning A (merge of mergeable state primitives). The oracle is the
+    full recompute over the whole table — the hash match proves
+    merge(build(a), build(b)) == groupBy(a UNION ALL b) cross-engine,
+    including the avg = (sum, count) primitive decomposition."""
+    from datachain_spark.ops import incremental as inc
+
+    aggs = {
+        "n": ("count", None),
+        "total_chars": ("sum", "n_chars"),
+        "min_chars": ("min", "n_chars"),
+        "max_chars": ("max", "n_chars"),
+        "avg_chars": ("avg", "n_chars"),
+    }
+    docs = _chain(spark, sf, "documents").df
+    snap_a = docs.filter(F.col("doc_id") % 2 == 0)
+    snap_b = docs.filter(F.col("doc_id") % 2 == 1)
+    state = inc.incremental_agg(
+        inc.build_agg_state(snap_a, ["lang"], aggs), snap_b, ["lang"], aggs
+    )
+    return inc.finalize_agg(state, ["lang"], aggs).orderBy("lang")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5647,6 +5733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "emb_covariance": emb_covariance,
         "random_projection_md5": random_projection_md5,
+        "expectations_orders": expectations_orders,
+        "incremental_agg_docs": incremental_agg_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5716,6 +5804,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords_docs": TFIDF_KEYWORDS_SQL,
         "emb_covariance": EMB_COVARIANCE_SQL,
         "random_projection_md5": RANDOM_PROJECTION_SQL,
+        "expectations_orders": EXPECTATIONS_SQL,
+        "incremental_agg_docs": INCREMENTAL_AGG_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

@@ -928,6 +928,20 @@ class DataChain:
 
         return self._evolve(_op(self._df, group_cols, id_col, **kw))
 
+    def check_expectations(self, rules: Any) -> "DataChain":
+        """Per-rule data-quality summary (ops/expectations.check): one row
+        per rule with n_violations/passed."""
+        from .ops.expectations import check as _op
+
+        return self._evolve(_op(self._df, rules))
+
+    def expect_violations(self, rules: Any, **kw: Any) -> "DataChain":
+        """Rows failing any row-level expectation, tagged with the failed
+        rule names (ops/expectations.violations) — the quarantine path."""
+        from .ops.expectations import violations as _op
+
+        return self._evolve(_op(self._df, rules, **kw))
+
     def normalize_embeddings(self, vec_col: str = "embedding", **kw: Any) -> "DataChain":
         """L2-normalize an embedding column; zero-norm/invalid -> NULL
         (ops/embedding.normalize_embeddings)."""
