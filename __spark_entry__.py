@@ -5555,6 +5555,63 @@ def incremental_agg_docs(spark, sf):
     return inc.finalize_agg(state, ["lang"], aggs).orderBy("lang")
 
 
+RESOLVE_ENTITIES_SQL = """
+WITH RECURSIVE keyed AS (
+  SELECT doc_id, lower(substring(text, 1, 14)) AS s, n_chars
+  FROM documents WHERE doc_id < 300
+), nb AS (
+  SELECT * FROM keyed WHERE length(coalesce(s, '')) > 0
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nb a JOIN nb b ON a.doc_id < b.doc_id
+  WHERE levenshtein(a.s, b.s) <= 4
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+), comp AS (
+  SELECT v.id, least(v.id, min(r.dst)) AS component
+  FROM (SELECT DISTINCT src AS id FROM sym) v
+  JOIN reach r ON r.src = v.id
+  GROUP BY v.id
+), rep AS (
+  SELECT c.id,
+         first_value(c.id) OVER (
+           PARTITION BY c.component
+           ORDER BY k.n_chars DESC NULLS LAST, c.id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS canon
+  FROM comp c JOIN keyed k ON k.doc_id = c.id
+)
+SELECT k.doc_id, coalesce(r.canon, k.doc_id) AS canonical_id
+FROM keyed k LEFT JOIN rep r ON r.id = k.doc_id
+ORDER BY k.doc_id
+"""
+
+
+def resolve_entities_docs(spark, sf):
+    """Entity resolution end-to-end (ops/fuzzy.resolve_entities): doc
+    prefixes within Levenshtein 4 cluster transitively; each cluster's
+    representative is its longest member (keep_by=n_chars, ties to min
+    id); every row maps to its representative, singletons to themselves.
+    The oracle replays the QUADRATIC pair truth, the transitive closure
+    (recursive CTE) and the quality window in DuckDB — completeness of
+    the blocking AND the representative election hash-verified."""
+    from datachain_spark.ops import fuzzy as _fuzzy
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 300)
+    keyed = docs.select(
+        "doc_id", F.substring("text", 1, 14).alias("text"), "n_chars"
+    )
+    out = _fuzzy.resolve_entities(
+        keyed, "doc_id", "text", max_distance=4, keep_by="n_chars"
+    )
+    return out.select("doc_id", "canonical_id").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5735,6 +5792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection_md5": random_projection_md5,
         "expectations_orders": expectations_orders,
         "incremental_agg_docs": incremental_agg_docs,
+        "resolve_entities_docs": resolve_entities_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5806,6 +5864,7 @@ def oracle_sql() -> dict[str, str]:
         "random_projection_md5": RANDOM_PROJECTION_SQL,
         "expectations_orders": EXPECTATIONS_SQL,
         "incremental_agg_docs": INCREMENTAL_AGG_SQL,
+        "resolve_entities_docs": RESOLVE_ENTITIES_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

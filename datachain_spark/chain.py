@@ -985,6 +985,14 @@ class DataChain:
 
         return self._evolve(_op(self._df, id_col, text_col, **kw))
 
+    def resolve_entities(self, id_col: str, text_col: str = "text",
+                         **kw: Any) -> "DataChain":
+        """Cluster rows whose strings are within edit distance k and tag
+        each with its cluster representative (ops/fuzzy.resolve_entities)."""
+        from .ops.fuzzy import resolve_entities as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
     def nb_classify(self, model: Any, id_col: str, **kw: Any) -> "DataChain":
         """Score every doc against a broadcast Naive-Bayes model
         (ops/classify.nb_classify); ``model`` may be a DataChain or

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -203,3 +203,94 @@ def fuzzy_dedup_pairs(
     return pairs.select(
         F.col(a).alias("id_a"), F.col(b).alias("id_b"), "distance"
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_distance: int = 2,
+    q: int = 2,
+    lowercase: bool = True,
+    keep_by: Optional[str] = None,
+    canonical_col: str = "canonical_id",
+    cc_max_iters: int = 25,
+    cc_algorithm: str = "two_hop",
+) -> DataFrame:
+    """Entity resolution over a name/title column: rows whose strings sit
+    within ``max_distance`` edits (transitively) form one entity cluster;
+    every row gets a ``canonical_col`` pointing at its cluster
+    representative (singletons point at themselves).
+
+    Pipeline: :func:`fuzzy_dedup_pairs` (complete q-gram/length-band
+    blocked candidates, exact levenshtein verify) -> connected components
+    over the pair graph -> representative pick. ``keep_by=None`` takes the
+    minimum id (which IS the component label — zero extra work);
+    ``keep_by="score"`` elects the highest-scoring member per cluster
+    (ties/NULLs fall back to min id), one narrow (id, score) join + a
+    window over the component frame — the corpus itself never reshuffles.
+
+    The canonical map is only trusted after the same edge-consistency
+    audit leakage_safe_split runs: partial component labels past the
+    round budget fail loudly instead of silently splitting an entity.
+
+    Scale: the pair graph is edges-only (rows with no near-match never
+    enter it); the final assignment is ONE left join of the (id,
+    canonical) frame against the corpus.
+    """
+    from .dedup import connected_components
+
+    pairs = fuzzy_dedup_pairs(
+        df,
+        id_col,
+        text_col,
+        max_distance=max_distance,
+        q=q,
+        lowercase=lowercase,
+    ).persist()  # consumed by the labeling, the audit, and the final join;
+    # released by Spark's LRU like the other sketch persists
+    labels = connected_components(
+        pairs, max_iters=cc_max_iters, algorithm=cc_algorithm
+    )
+    la = labels.select(F.col("id").alias("id_a"), F.col("component").alias("__ca"))
+    lb = labels.select(F.col("id").alias("id_b"), F.col("component").alias("__cb"))
+    n_bad = (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("__ca") != F.col("__cb"))
+        .limit(1)
+        .count()
+    )
+    if n_bad:
+        raise RuntimeError(
+            "resolve_entities: component labels did not converge within "
+            f"cc_max_iters={cc_max_iters} — an entity cluster would be "
+            "split. Raise cc_max_iters or use cc_algorithm='star'."
+        )
+    if keep_by is None:
+        canon = labels.select(
+            F.col("id").alias("__rid"), F.col("component").alias("__canon")
+        )
+    else:
+        scores = df.select(
+            F.col(id_col).alias("__sid"), F.col(keep_by).alias("__score")
+        )
+        ranked = labels.join(
+            scores, labels["id"] == scores["__sid"], "left"
+        ).select("id", "component", "__score")
+        w = (
+            Window.partitionBy("component")
+            .orderBy(F.col("__score").desc_nulls_last(), F.col("id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        canon = ranked.select(
+            F.col("id").alias("__rid"),
+            F.first("id").over(w).alias("__canon"),
+        )
+    out = df.join(
+        canon, df[id_col] == canon["__rid"], "left"
+    ).select(
+        *[df[c] for c in df.columns],
+        F.coalesce(F.col("__canon"), df[id_col]).alias(canonical_col),
+    )
+    return out

@@ -126,3 +126,69 @@ def test_fuzzy_fluent_chain_surface(session):
     pairs = ch.fuzzy_dedup_pairs("doc_id", max_distance=1)
     assert [(r["id_a"], r["id_b"], r["distance"])
             for r in pairs.df.collect()] == [(1, 2, 1)]
+
+
+# ---------------------------------------------------------------- entities
+
+
+def _ent_df(spark):
+    rows = [
+        (1, "acme corporation", 10.0),
+        (2, "acme corporatino", 5.0),   # typo of 1
+        (3, "acme corp", 1.0),          # too far from 1/2 (d>2)
+        (4, "globex inc", 3.0),
+        (5, "globex inc.", 9.0),        # near 4
+        (6, "globex  inc", 2.0),        # near 4 and 5
+        (7, "initech", 7.0),            # singleton
+        (8, None, 0.0),                 # blank -> singleton
+    ]
+    return spark.createDataFrame(rows, "id long, name string, score double")
+
+
+def test_resolve_entities_min_id_default(spark):
+    df = _ent_df(spark)
+    out = {
+        r["id"]: r["canonical_id"]
+        for r in fuzzy.resolve_entities(df, "id", "name", max_distance=2).collect()
+    }
+    assert out[1] == 1 and out[2] == 1
+    assert out[3] == 3  # not within 2 edits of the acme cluster
+    assert out[4] == 4 and out[5] == 4 and out[6] == 4
+    assert out[7] == 7 and out[8] == 8  # singletons + blank map to self
+
+
+def test_resolve_entities_keep_by_best_score(spark):
+    df = _ent_df(spark)
+    out = {
+        r["id"]: r["canonical_id"]
+        for r in fuzzy.resolve_entities(
+            df, "id", "name", max_distance=2, keep_by="score"
+        ).collect()
+    }
+    assert out[1] == 1 and out[2] == 1       # 10.0 wins the acme cluster
+    assert out[4] == 5 and out[5] == 5 and out[6] == 5  # 9.0 wins globex
+    assert out[7] == 7
+
+
+def test_resolve_entities_preserves_all_rows_and_columns(spark):
+    df = _ent_df(spark)
+    out = fuzzy.resolve_entities(df, "id", "name")
+    assert out.count() == df.count()
+    assert out.columns == df.columns + ["canonical_id"]
+
+
+def test_resolve_entities_convergence_audit_raises(spark):
+    # a 6-member chain needs 2+ two_hop rounds; max_iters=0 -> partial
+    rows = [(i, "x" * 10 + chr(97 + i), 0.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, name string, score double")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        fuzzy.resolve_entities(df, "id", "name", max_distance=2, cc_max_iters=0)
+
+
+def test_resolve_entities_fluent(spark):
+    import datachain_spark as dc
+
+    ch = dc.DataChain(_ent_df(spark))
+    out = ch.resolve_entities("id", "name", keep_by="score")
+    n_entities = out.df.select("canonical_id").distinct().count()
+    assert n_entities == 5  # {acme12}, {3}, {globex456}, {7}, {8}
