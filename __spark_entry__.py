@@ -5612,6 +5612,115 @@ def resolve_entities_docs(spark, sf):
     return out.select("doc_id", "canonical_id").orderBy("doc_id")
 
 
+DRIFT_REPORT_SQL = """
+WITH r AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE doc_id % 2 = 0
+), c AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE doc_id % 2 = 1
+), b AS (SELECT min(x) AS lo, max(x) AS hi FROM r),
+axis AS (SELECT i AS bin FROM generate_series(0, 9) t(i)),
+rb AS (
+  SELECT least(greatest(CASE WHEN hi > lo
+      THEN CAST(floor((x - lo) / ((hi - lo) / 10)) AS INT) ELSE 0 END, 0), 9) AS bin
+  FROM r CROSS JOIN b
+), cb AS (
+  SELECT least(greatest(CASE WHEN hi > lo
+      THEN CAST(floor((x - lo) / ((hi - lo) / 10)) AS INT) ELSE 0 END, 0), 9) AS bin
+  FROM c CROSS JOIN b
+), cnt AS (
+  SELECT axis.bin,
+         coalesce(rc.n, 0) AS rn, coalesce(cc.n, 0) AS cn
+  FROM axis
+  LEFT JOIN (SELECT bin, count(*) AS n FROM rb GROUP BY bin) rc ON rc.bin = axis.bin
+  LEFT JOIN (SELECT bin, count(*) AS n FROM cb GROUP BY bin) cc ON cc.bin = axis.bin
+), fr AS (
+  SELECT bin,
+         CAST(rn AS DOUBLE) / greatest((SELECT sum(rn) FROM cnt), 1) + 1e-6 AS p,
+         CAST(cn AS DOUBLE) / greatest((SELECT sum(cn) FROM cnt), 1) + 1e-6 AS q
+  FROM cnt
+)
+SELECT 'n_chars' AS col,
+       (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_ref,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cur,
+       round(sum((q - p) * (ln(q) - ln(p))), 6) AS psi_r,
+       round(sum(0.5 * (p * (ln(p) - ln((p+q)/2)) + q * (ln(q) - ln((p+q)/2)))), 6) AS js_r
+FROM fr
+"""
+
+
+def drift_report_docs(spark, sf):
+    """Snapshot drift report (ops/drift.drift_report): even-doc_id docs
+    are the reference, odd the current; n_chars compared on 10 shared
+    equal-width bins pinned by the reference's min/max (in-plan, no
+    driver round-trip), epsilon-smoothed PSI + Jensen-Shannon. The
+    oracle recomputes binning (with edge clamping), fractions and both
+    divergences from scratch in DuckDB; scores compare at 6 decimals."""
+    from datachain_spark.ops import drift as _drift
+
+    docs = _chain(spark, sf, "documents").df
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    rep = _drift.drift_report(ref, cur, ["n_chars"], bins=10)
+    return rep.select(
+        "col",
+        "n_ref",
+        "n_cur",
+        F.round("psi", 6).alias("psi_r"),
+        F.round("js", 6).alias("js_r"),
+    )
+
+
+CATEGORICAL_DRIFT_SQL = """
+WITH r AS (
+  SELECT coalesce(lang, '__null__') AS cat FROM documents WHERE doc_id % 2 = 0
+), c AS (
+  SELECT coalesce(lang, '__null__') AS cat FROM documents WHERE doc_id % 2 = 1
+), top AS (
+  SELECT cat FROM (SELECT cat, count(*) AS n FROM r GROUP BY cat)
+  ORDER BY n DESC, cat ASC LIMIT 3
+), rside AS (
+  SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat ELSE '__other__' END AS category,
+         count(*) AS rc
+  FROM r GROUP BY 1
+), cside AS (
+  SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat ELSE '__other__' END AS category,
+         count(*) AS cc
+  FROM c GROUP BY 1
+), m AS (
+  SELECT coalesce(rside.category, cside.category) AS category,
+         coalesce(rc, 0) AS rc, coalesce(cc, 0) AS cc
+  FROM rside FULL OUTER JOIN cside ON rside.category = cside.category
+)
+SELECT category,
+       CAST(rc AS BIGINT) AS ref_count, CAST(cc AS BIGINT) AS cur_count,
+       round((CAST(cc AS DOUBLE) / greatest((SELECT sum(cc) FROM m), 1) + 1e-6
+            - (CAST(rc AS DOUBLE) / greatest((SELECT sum(rc) FROM m), 1) + 1e-6))
+           * (ln(CAST(cc AS DOUBLE) / greatest((SELECT sum(cc) FROM m), 1) + 1e-6)
+            - ln(CAST(rc AS DOUBLE) / greatest((SELECT sum(rc) FROM m), 1) + 1e-6)), 6)
+         AS psi_term_r
+FROM m ORDER BY category
+"""
+
+
+def categorical_drift_docs(spark, sf):
+    """Categorical drift (ops/drift.categorical_drift): lang frequencies,
+    reference top-3 categories + __other__, per-category smoothed PSI
+    terms — the bucketing rule (reference defines the vocabulary, new
+    current-side categories fold into __other__) hash-verified."""
+    from datachain_spark.ops import drift as _drift
+
+    docs = _chain(spark, sf, "documents").df
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    out = _drift.categorical_drift(ref, cur, "lang", top_k=3)
+    return out.select(
+        "category",
+        "ref_count",
+        "cur_count",
+        F.round("psi_term", 6).alias("psi_term_r"),
+    ).orderBy("category")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5793,6 +5902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_orders": expectations_orders,
         "incremental_agg_docs": incremental_agg_docs,
         "resolve_entities_docs": resolve_entities_docs,
+        "drift_report_docs": drift_report_docs,
+        "categorical_drift_docs": categorical_drift_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5865,6 +5976,8 @@ def oracle_sql() -> dict[str, str]:
         "expectations_orders": EXPECTATIONS_SQL,
         "incremental_agg_docs": INCREMENTAL_AGG_SQL,
         "resolve_entities_docs": RESOLVE_ENTITIES_SQL,
+        "drift_report_docs": DRIFT_REPORT_SQL,
+        "categorical_drift_docs": CATEGORICAL_DRIFT_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

@@ -928,6 +928,15 @@ class DataChain:
 
         return self._evolve(_op(self._df, group_cols, id_col, **kw))
 
+    def drift_against(self, reference: Any, cols: Any, **kw: Any) -> "DataChain":
+        """Distribution-drift report of THIS chain vs a reference snapshot
+        (ops/drift.drift_report); ``reference`` may be a DataChain or
+        DataFrame. One row per column with PSI / JS and null-rate shifts."""
+        from .ops.drift import drift_report as _op
+
+        ref = getattr(reference, "df", reference)
+        return self._evolve(_op(ref, self._df, cols, **kw))
+
     def check_expectations(self, rules: Any) -> "DataChain":
         """Per-rule data-quality summary (ops/expectations.check): one row
         per rule with n_violations/passed."""

@@ -1,0 +1,130 @@
+"""Snapshot drift detection (ops/drift): shared-axis binning, PSI/JS
+math vs a numpy reference, clamping, NULL-rate reporting, categorical
+top-K + __other__ semantics."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datachain_spark.ops import drift
+
+EPS = 1e-6
+
+
+def _df(spark, vals, col="v"):
+    return spark.createDataFrame([(float(x),) if x is not None else (None,) for x in vals], f"{col} double")
+
+
+def test_identical_distributions_zero_drift(spark):
+    vals = list(range(100))
+    rep = drift.drift_report(_df(spark, vals), _df(spark, vals), ["v"]).collect()[0]
+    assert rep["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert rep["js"] == pytest.approx(0.0, abs=1e-9)
+    assert rep["drifted"] is False
+    assert rep["n_ref"] == 100 and rep["n_cur"] == 100
+
+
+def test_shifted_distribution_flags(spark):
+    ref = _df(spark, np.linspace(0, 1, 200))
+    cur = _df(spark, np.linspace(0.8, 1.8, 200))  # strong shift
+    rep = drift.drift_report(ref, cur, ["v"]).collect()[0]
+    assert rep["psi"] > 0.2 and rep["drifted"] is True
+    assert rep["js"] > 0.05
+
+
+def test_psi_matches_numpy(spark):
+    rng = np.random.RandomState(0)
+    a = rng.uniform(0, 10, 500)
+    b = rng.uniform(2, 12, 400)
+    bins = 8
+    got = drift.drift_report(_df(spark, a), _df(spark, b), ["v"], bins=bins).collect()[0]
+    lo, hi = a.min(), a.max()
+    edges = np.linspace(lo, hi, bins + 1)
+    ra = np.histogram(a, bins=edges)[0] / len(a)
+    idx = np.clip(np.floor((b - lo) / ((hi - lo) / bins)).astype(int), 0, bins - 1)
+    rb = np.bincount(idx, minlength=bins) / len(b)
+    p, q = ra + EPS, rb + EPS
+    psi = float(((q - p) * (np.log(q) - np.log(p))).sum())
+    m = (p + q) / 2
+    js = float(0.5 * (p * (np.log(p) - np.log(m)) + q * (np.log(q) - np.log(m))).sum())
+    assert got["psi"] == pytest.approx(psi, rel=1e-9)
+    assert got["js"] == pytest.approx(js, rel=1e-9)
+
+
+def test_cur_outliers_clamp_to_edge_bins(spark):
+    hist = drift.drift_histograms(
+        _df(spark, [0.0, 10.0]), _df(spark, [-100.0, 500.0]), ["v"], bins=4
+    ).orderBy("bin").collect()
+    assert hist[0]["cur_count"] == 1  # -100 clamps into bin 0
+    assert hist[-1]["cur_count"] == 1  # 500 clamps into the last bin
+    assert sum(h["cur_count"] for h in hist) == 2
+
+
+def test_every_bin_present_with_zero_counts(spark):
+    hist = drift.drift_histograms(
+        _df(spark, [0.0, 1.0]), _df(spark, [0.0]), ["v"], bins=5
+    ).collect()
+    assert len(hist) == 5
+    assert sum(h["ref_count"] for h in hist) == 2
+
+
+def test_null_rate_reported_separately(spark):
+    ref = _df(spark, [1.0, 2.0, 3.0, None])
+    cur = _df(spark, [1.0, None, None, None])
+    rep = drift.drift_report(ref, cur, ["v"]).collect()[0]
+    assert rep["null_frac_ref"] == pytest.approx(0.25)
+    assert rep["null_frac_cur"] == pytest.approx(0.75)
+    assert rep["n_ref"] == 4
+
+
+def test_multi_column_stack(spark):
+    ref = spark.createDataFrame([(1.0, 10.0), (2.0, 20.0)], "a double, b double")
+    cur = spark.createDataFrame([(1.0, 500.0), (2.0, 600.0)], "a double, b double")
+    rows = {r["col"]: r for r in drift.drift_report(ref, cur, ["a", "b"]).collect()}
+    assert rows["a"]["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert rows["b"]["psi"] > 0.2
+
+
+def test_constant_column_degenerate(spark):
+    rep = drift.drift_report(
+        _df(spark, [5.0] * 10), _df(spark, [5.0] * 10), ["v"]
+    ).collect()[0]
+    assert rep["psi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_categorical_topk_and_other(spark):
+    ref = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [(None,)], "s string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 2 + [("z",)] * 8, "s string"  # z is NEW -> __other__
+    )
+    rows = {
+        r["category"]: r
+        for r in drift.categorical_drift(ref, cur, "s", top_k=2).collect()
+    }
+    assert set(rows) == {"a", "b", "__other__", "__null__"} - {"__null__"} | (
+        {"__null__"} if "__null__" in rows else set()
+    )
+    # top-2 by ref count = a, b; c and null fold into __other__ on ref side
+    assert rows["a"]["ref_count"] == 5 and rows["a"]["cur_count"] == 2
+    assert rows["__other__"]["ref_count"] == 2  # c + null
+    assert rows["__other__"]["cur_count"] == 8  # z
+    total_psi = sum(r["psi_term"] for r in rows.values())
+    assert total_psi > 0.2
+
+
+def test_two_scans_per_side_plan(spark):
+    """Scale guard: the report reads each snapshot a bounded number of
+    times (bounds + counts + null-stats = 3 scan legs max per side), and
+    the axis/bounds joins are broadcasts, not shuffled joins."""
+    ref = _df(spark, range(50))
+    cur = _df(spark, range(50))
+    plan = (
+        drift.drift_report(ref, cur, ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
