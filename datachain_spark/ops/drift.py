@@ -30,9 +30,16 @@ from pyspark.sql import functions as F
 _EPS = 1e-6
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier so arbitrary column names ('a-b',
+    'my col', reserved words) read as COLUMNS, never as expressions."""
+    escaped = name.replace("`", "``")
+    return f"`{escaped}`"
+
+
 def _stack(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     pairs = ", ".join(
-        f"'{c}', CAST({c} AS DOUBLE)" for c in cols
+        f"'{c}', CAST({_bt(c)} AS DOUBLE)" for c in cols
     )
     return df.selectExpr(f"stack({len(cols)}, {pairs}) AS (col, x)")
 
@@ -70,11 +77,16 @@ def drift_histograms(
 
     def binned(side: DataFrame, name: str) -> DataFrame:
         width = (F.col("__hi") - F.col("__lo")) / F.lit(bins)
+        # clamp the VALUE into [lo, hi] before flooring: a far outlier's
+        # raw bin index overflows int32/int64 (ANSI abort, or a wrap into
+        # the WRONG edge bin without ANSI); after the clamp the index is
+        # provably in [0, bins]
+        xc = F.least(F.greatest(F.col("x"), F.col("__lo")), F.col("__hi"))
         raw = F.when(
             width > 0,
-            F.floor((F.col("x") - F.col("__lo")) / width).cast("int"),
+            F.floor((xc - F.col("__lo")) / width).cast("int"),
         ).otherwise(F.lit(0))
-        b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+        b = F.least(raw, F.lit(bins - 1))
         return (
             side.join(F.broadcast(bounds), "col")
             .select("col", b.alias("bin"))
@@ -146,7 +158,10 @@ def drift_report(
     null_frac_cur, psi, js, drifted). ``drifted`` applies the standard
     PSI alert threshold (0.2 by default; 0.1 is the usual watch level).
     NULL/NaN/Inf rates are reported separately — a null-rate jump is
-    drift the histogram cannot see."""
+    drift the histogram cannot see. A column with ZERO finite reference
+    values has no histogram axis: its row is still emitted (the
+    null-rate columns carry the signal) with psi/js/drifted NULL —
+    "no distribution to compare", not "no drift"."""
     hist = drift_histograms(ref, cur, cols, bins=bins)
     div = _divergences(hist)
 
@@ -161,9 +176,12 @@ def drift_report(
         )
     rstats = null_stats(ref, "n_ref", "null_frac_ref")
     cstats = null_stats(cur, "n_cur", "null_frac_cur")
+    # base the report on the null-stats frames (they always carry every
+    # column — the stack emits all of them); a column whose reference side
+    # is all-NULL has no divergence row and must NOT vanish from the report
     return (
-        div.join(F.broadcast(rstats), "col")
-        .join(F.broadcast(cstats), "col")
+        rstats.join(F.broadcast(cstats), "col")
+        .join(F.broadcast(div), "col", "left")
         .select(
             "col",
             "n_ref",
@@ -172,7 +190,9 @@ def drift_report(
             "null_frac_cur",
             "psi",
             "js",
-            (F.col("psi") >= F.lit(psi_threshold)).alias("drifted"),
+            F.when(
+                F.col("psi").isNotNull(), F.col("psi") >= F.lit(psi_threshold)
+            ).alias("drifted"),
         )
     )
 
@@ -189,7 +209,9 @@ def categorical_drift(
     REFERENCE's top-K categories (by reference count, ties on value) with
     everything else — including categories new in current — folded into
     ``__other__``. NULL is its own category. The top-K set is a K-row
-    broadcast; each side aggregates once."""
+    broadcast; each snapshot is SCANNED once — the reference's folded
+    counts re-aggregate the per-category ``rcounts`` frame (cardinality-
+    sized), not the raw reference rows."""
     if top_k < 1:
         raise ValueError("categorical_drift: top_k must be >= 1")
     c = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
@@ -201,24 +223,27 @@ def categorical_drift(
         "cat", F.lit(True).alias("__top")
     )
 
-    def side(df: DataFrame, name: str) -> DataFrame:
+    def fold(cat_counts: DataFrame, count_col: str, name: str) -> DataFrame:
         return (
-            df.select(c.alias("cat"))
-            .join(F.broadcast(top), "cat", "left")
+            cat_counts.join(F.broadcast(top), "cat", "left")
             .select(
                 F.when(F.col("__top"), F.col("cat"))
                 .otherwise(F.lit("__other__"))
-                .alias("category")
+                .alias("category"),
+                F.col(count_col),
             )
             .groupBy("category")
-            .agg(F.count(F.lit(1)).alias(name))
+            .agg(F.sum(count_col).alias(name))
         )
 
+    ccounts = cur.select(c.alias("cat")).groupBy("cat").agg(
+        F.count(F.lit(1)).alias("cc")
+    )
     # both sides are <= (top_k + 2)-row aggregates; a full outer join
     # cannot broadcast, but at this size the shuffle moves ~nothing
-    counts = side(ref, "ref_count").join(side(cur, "cur_count"), "category", "full").fillna(
-        0, subset=["ref_count", "cur_count"]
-    )
+    counts = fold(rcounts, "rc", "ref_count").join(
+        fold(ccounts, "cc", "cur_count"), "category", "full"
+    ).fillna(0, subset=["ref_count", "cur_count"])
     totals = counts.agg(
         F.sum("ref_count").alias("__rt"), F.sum("cur_count").alias("__ct")
     )

@@ -79,11 +79,18 @@ def normalize_embeddings(
     NULL rather than NaN-poisoning every later distance. Pure column
     algebra — one scan, no shuffle."""
     out_col = out_col or vec_col
+    # hoist the casted vector AND the norm into temp columns: referencing
+    # the norm aggregate inside the divide lambda re-evaluates the O(d)
+    # fold per ELEMENT — O(d^2) per row (measured ~40x at d=512)
+    vtmp, ntmp = "__nrm_v", "__nrm_n"
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(v, lambda x: x / nrm)
-    good = _valid_vec(F.col(vec_col)) & (nrm > 0)
-    return df.withColumn(out_col, F.when(good, unit))
+    staged = df.withColumn(vtmp, v).withColumn(
+        ntmp,
+        F.sqrt(F.aggregate(F.col(vtmp), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    unit = F.transform(F.col(vtmp), lambda x: x / F.col(ntmp))
+    good = _valid_vec(F.col(vec_col)) & (F.col(ntmp) > 0)
+    return staged.withColumn(out_col, F.when(good, unit)).drop(vtmp, ntmp)
 
 
 def embedding_covariance(
@@ -99,7 +106,18 @@ def embedding_covariance(
     the upper triangle (i <= j) — mirror client-side if a full matrix is
     wanted. Rows with invalid vectors are excluded from the estimate.
     """
-    dim = df.selectExpr(f"size({vec_col}) AS d").filter("d is not null").first()
+    # the corpus dimension is the MODE of the observed lengths (ties to
+    # the smaller), not whatever row happens to surface first — a single
+    # ragged/corrupt leading vector must not silently redefine d and
+    # exclude the whole real corpus from the estimate
+    dim = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d").isNotNull() & (F.col("d") > 0))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("d"))
+        .first()
+    )
     if dim is None:
         raise ValueError(f"embedding_covariance: no non-null vectors in {vec_col!r}")
     d = dim["d"]
@@ -290,4 +308,7 @@ def random_projection(
         )
 
     proj = F.array(*[comp(p) for p in range(out_dim)])
-    return df.withColumn(out_col, F.when(_valid_vec(F.col(vec_col)), proj))
+    # empty vectors must gate to NULL too: sequence(0, -1) descends and
+    # zip_with would pad the fold with NULLs (array-of-NULLs out)
+    good = _valid_vec(F.col(vec_col)) & (F.size(F.col(vec_col)) > 0)
+    return df.withColumn(out_col, F.when(good, proj))

@@ -128,3 +128,65 @@ def test_two_scans_per_side_plan(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------- review-round regressions
+
+
+def test_extreme_outlier_clamps_not_overflows(spark):
+    """A corrupt 1e12 (or 1e300) current value must clamp into the edge
+    bin — not overflow the bin-index cast (ANSI abort) or wrap negative."""
+    ref = _df(spark, [0.0, 10.0])
+    cur = _df(spark, [1e12, 1e300, -1e300, 5.0])
+    hist = drift.drift_histograms(ref, cur, ["v"], bins=4).orderBy("bin").collect()
+    assert hist[-1]["cur_count"] == 2  # both huge positives -> last bin
+    assert hist[0]["cur_count"] == 1   # huge negative -> bin 0
+    assert sum(h["cur_count"] for h in hist) == 4
+
+
+def test_all_null_reference_column_still_reported(spark):
+    """A column that is all-NULL on the reference side has no histogram
+    axis but must still appear in the report with its null-rate signal."""
+    ref = _df(spark, [None, None, None])
+    cur = _df(spark, [1.0, 2.0, None])
+    rep = drift.drift_report(ref, cur, ["v"]).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["null_frac_ref"] == pytest.approx(1.0)
+    assert r["null_frac_cur"] == pytest.approx(1 / 3)
+    assert r["psi"] is None and r["drifted"] is None
+
+
+def test_awkward_column_names_read_as_columns(spark):
+    """'a-b' must read COLUMN `a-b`, never compute a minus b; spaces and
+    reserved words must not break the stack parse."""
+    ref = spark.createDataFrame(
+        [(1.0, 100.0, 7.0, 1.0)], "a double, b double, `a-b` double, `my col` double"
+    )
+    cur = spark.createDataFrame(
+        [(1.0, 100.0, 7.0, 1.0)], "a double, b double, `a-b` double, `my col` double"
+    )
+    rows = {r["col"]: r for r in drift.drift_report(ref, cur, ["a-b", "my col"]).collect()}
+    assert set(rows) == {"a-b", "my col"}
+    # identical sides -> zero drift; if 'a-b' had parsed as a minus b the
+    # binning would still be zero-drift, so assert the histogram VALUE too
+    hist = drift.drift_histograms(ref, cur, ["a-b"], bins=2).collect()
+    assert all(h["lo_edge"] == 7.0 for h in hist if h["bin"] == 0)
+
+
+def test_categorical_ref_aggregation_shared(spark, tmp_path):
+    """top-K and the folded ref counts must derive from the SAME
+    per-category aggregate of the reference — at runtime the duplicated
+    subtrees collapse into ReusedExchange nodes instead of re-scanning
+    the snapshot (the raw-rescan shape this replaced showed zero reuse
+    because its two ref subtrees genuinely differed)."""
+    p_ref, p_cur = str(tmp_path / "r"), str(tmp_path / "c")
+    spark.createDataFrame([("a",), ("b",), ("b",)], "s string").write.parquet(p_ref)
+    spark.createDataFrame([("a",), ("z",)], "s string").write.parquet(p_cur)
+    ref, cur = spark.read.parquet(p_ref), spark.read.parquet(p_cur)
+    out = drift.categorical_drift(ref, cur, "s", top_k=1)
+    rows = {r["category"]: r for r in out.collect()}
+    # top-1 = b (ref counts b=2 > a=1); cur's a AND z both fold to __other__
+    assert rows["b"]["ref_count"] == 2 and rows["__other__"]["cur_count"] == 2
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final

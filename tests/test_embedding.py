@@ -186,3 +186,33 @@ def test_projection_no_shuffle_plan(spark, rng_vecs):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+# ------------------------------------------------- review-round regressions
+
+
+def test_covariance_dim_is_majority_not_first(spark):
+    """A ragged leading vector must not redefine the corpus dimension."""
+    df = _vec_df(spark, [[1.0, 2.0], [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]).coalesce(1)
+    rows = embedding.embedding_covariance(df, "v").collect()
+    assert rows[0]["n"] == 2  # the two 3-dim vectors, not the 2-dim outlier
+    assert max(r["j"] for r in rows) == 2
+
+
+def test_normalize_large_dim_values_exact(spark):
+    """Norm is hoisted (O(d) per row); values must match numpy exactly."""
+    rng = np.random.RandomState(1)
+    vec = rng.randn(256).tolist()
+    df = _vec_df(spark, [vec])
+    out = embedding.normalize_embeddings(df, "v", "u").first()["u"]
+    ref = np.array(vec) / np.linalg.norm(vec)
+    assert out == pytest.approx(ref.tolist(), abs=1e-12)
+
+
+def test_random_projection_empty_vector_nulls(spark):
+    """A zero-length vector must project to NULL, not an array of NULLs
+    (sequence(0,-1) descends and zip_with pads with NULLs otherwise)."""
+    df = spark.createDataFrame([(0, []), (1, [1.0, 2.0])], "id long, v array<double>")
+    out = embedding.random_projection(df, "v", 3, seed=2).orderBy("id").collect()
+    assert out[0]["rp"] is None
+    assert out[1]["rp"] is not None and None not in out[1]["rp"]
