@@ -5721,6 +5721,130 @@ def categorical_drift_docs(spark, sf):
     ).orderBy("category")
 
 
+PHRASE_SEARCH_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), pos AS (
+  SELECT doc_id, unnest(t) AS word,
+         unnest([i for i in generate_series(0, len(t) - 1)]) AS p
+  FROM w
+), p0 AS (SELECT doc_id, p FROM pos WHERE word = 'table'),
+p1 AS (SELECT doc_id, p FROM pos WHERE word = 'value'),
+hits AS (
+  SELECT p0.doc_id, p0.p
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1
+)
+SELECT doc_id AS doc,
+       CAST(count(*) AS INTEGER) AS n_matches,
+       CAST(min(p) AS INTEGER) AS first_pos
+FROM hits GROUP BY doc_id ORDER BY doc
+"""
+
+
+def phrase_search_docs(spark, sf):
+    """Exact phrase query over the positional inverted index
+    (ops/retrieval.build_inverted_index + phrase_search): every document
+    containing the adjacent bigram 'table value', with match count and
+    first position. The oracle rebuilds the positional index and the
+    adjacency join from scratch in DuckDB."""
+    from datachain_spark.ops import retrieval as R
+
+    docs = _chain(spark, sf, "documents").df
+    idx = R.build_inverted_index(docs, "doc_id")
+    return R.phrase_search(idx, "table value").orderBy("doc")
+
+
+PROXIMITY_SEARCH_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), pos AS (
+  SELECT doc_id, unnest(t) AS word,
+         unnest([i for i in generate_series(0, len(t) - 1)]) AS p
+  FROM w
+), p0 AS (SELECT doc_id, p FROM pos WHERE word = 'merge'),
+p1 AS (SELECT doc_id, p FROM pos WHERE word = 'batch'),
+anchors AS (
+  SELECT u.doc_id, u.p
+  FROM (SELECT doc_id, p FROM p0 UNION SELECT doc_id, p FROM p1) u
+  WHERE EXISTS (SELECT 1 FROM p0 x
+                WHERE x.doc_id = u.doc_id AND x.p >= u.p AND x.p < u.p + 5)
+    AND EXISTS (SELECT 1 FROM p1 y
+                WHERE y.doc_id = u.doc_id AND y.p >= u.p AND y.p < u.p + 5)
+)
+SELECT doc_id AS doc,
+       CAST(min(p) AS INTEGER) AS span_start,
+       CAST(5 AS INTEGER) AS span_len
+FROM anchors GROUP BY doc_id ORDER BY doc
+"""
+
+
+def proximity_search_docs(spark, sf):
+    """Unordered proximity query (ops/retrieval.proximity_search): docs
+    where 'merge' and 'batch' co-occur within a 5-token window, with the
+    minimal qualifying anchor. The oracle replays anchor enumeration and
+    the coverage test via correlated EXISTS in DuckDB."""
+    from datachain_spark.ops import retrieval as R
+
+    docs = _chain(spark, sf, "documents").df
+    idx = R.build_inverted_index(docs, "doc_id")
+    return R.proximity_search(idx, ["merge", "batch"], 5).orderBy("doc")
+
+
+K_ANON_REPORT_SQL = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS gs
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(10 AS INTEGER) AS k,
+       CAST(sum(gs) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(gs) AS BIGINT) AS min_group_size,
+       CAST(sum(CASE WHEN gs < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(coalesce(sum(CASE WHEN gs < 10 THEN gs END), 0) AS BIGINT) AS n_risk_rows,
+       sum(CASE WHEN gs < 10 THEN 1 ELSE 0 END) = 0 AS anonymous
+FROM g
+"""
+
+
+K_ANON_VIOLATIONS_SQL = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, group_size
+FROM g WHERE group_size < 10
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+def k_anonymity_customer(spark, sf):
+    """k-anonymity release-gate summary over (nation, market segment)
+    quasi-identifiers (ops/privacy.k_anonymity_report, k=10): group
+    count, minimum group size, violating groups and exposed rows — every
+    aggregate recomputed in DuckDB."""
+    from datachain_spark.ops import privacy as P
+
+    cust = _chain(spark, sf, "customer").df
+    return P.k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+def k_anonymity_violations_customer(spark, sf):
+    """The violating-group listing behind the report
+    (ops/privacy.k_anonymity_violations): every sub-k quasi-identifier
+    combination with its member count (35 groups / 279 exposed rows at
+    sf0.01 — discriminating)."""
+    from datachain_spark.ops import privacy as P
+
+    cust = _chain(spark, sf, "customer").df
+    return P.k_anonymity_violations(
+        cust, ["c_nationkey", "c_mktsegment"], k=10
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5904,6 +6028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_entities_docs": resolve_entities_docs,
         "drift_report_docs": drift_report_docs,
         "categorical_drift_docs": categorical_drift_docs,
+        "phrase_search_docs": phrase_search_docs,
+        "proximity_search_docs": proximity_search_docs,
+        "k_anonymity_customer": k_anonymity_customer,
+        "k_anonymity_violations_customer": k_anonymity_violations_customer,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -5978,6 +6106,10 @@ def oracle_sql() -> dict[str, str]:
         "resolve_entities_docs": RESOLVE_ENTITIES_SQL,
         "drift_report_docs": DRIFT_REPORT_SQL,
         "categorical_drift_docs": CATEGORICAL_DRIFT_SQL,
+        "phrase_search_docs": PHRASE_SEARCH_SQL,
+        "proximity_search_docs": PROXIMITY_SEARCH_SQL,
+        "k_anonymity_customer": K_ANON_REPORT_SQL,
+        "k_anonymity_violations_customer": K_ANON_VIOLATIONS_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

@@ -928,6 +928,42 @@ class DataChain:
 
         return self._evolve(_op(self._df, group_cols, id_col, **kw))
 
+    def k_anonymity_report(self, quasi_cols: Any, k: int) -> "DataChain":
+        """One-row k-anonymity release gate over quasi-identifier columns
+        (ops/privacy.k_anonymity_report)."""
+        from .ops.privacy import k_anonymity_report as _op
+
+        return self._evolve(_op(self._df, quasi_cols, k))
+
+    def anonymize_small_groups(self, quasi_cols: Any, k: int, **kw: Any) -> "DataChain":
+        """Enforce k-anonymity by dropping or NULLing sub-k groups
+        (ops/privacy.anonymize_small_groups)."""
+        from .ops.privacy import anonymize_small_groups as _op
+
+        return self._evolve(_op(self._df, quasi_cols, k, **kw))
+
+    def build_inverted_index(self, id_col: str, text_col: str = "text") -> "DataChain":
+        """Positional inverted index over a text column
+        (ops/retrieval.build_inverted_index) — save it once, run
+        phrase/proximity queries against it."""
+        from .ops.retrieval import build_inverted_index as _op
+
+        return self._evolve(_op(self._df, id_col, text_col))
+
+    def phrase_search(self, phrase: str, **kw: Any) -> "DataChain":
+        """Exact/near phrase query over an inverted-index chain
+        (ops/retrieval.phrase_search)."""
+        from .ops.retrieval import phrase_search as _op
+
+        return self._evolve(_op(self._df, phrase, **kw))
+
+    def proximity_search(self, terms: Any, window: int) -> "DataChain":
+        """All-terms-within-a-window query over an inverted-index chain
+        (ops/retrieval.proximity_search)."""
+        from .ops.retrieval import proximity_search as _op
+
+        return self._evolve(_op(self._df, terms, window))
+
     def drift_against(self, reference: Any, cols: Any, **kw: Any) -> "DataChain":
         """Distribution-drift report of THIS chain vs a reference snapshot
         (ops/drift.drift_report); ``reference`` may be a DataChain or

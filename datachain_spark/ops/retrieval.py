@@ -217,3 +217,155 @@ def tfidf_keywords(
     return ranked.withColumn("rank", F.row_number().over(w)).select(
         "word", "tf", "df", "score", "rank"
     )
+
+
+# ---------------------------------------------------------------- phrase search
+
+
+def build_inverted_index(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: one row per (word, doc) with the sorted
+    0-based token positions — the persistent search structure phrase /
+    proximity queries run against (save it as a dataset and reuse across
+    queries; only new snapshots need re-indexing).
+
+    Tokenization matches every other text operator (lowercase, strip
+    punctuation, whitespace split). Blank documents index nothing. ONE
+    posexplode + ONE (word, doc) aggregation — the standard index-build
+    shuffle, map-side combined.
+    """
+    toks = _tokens(F.col(text_col))
+    posed = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.when(F.length(F.trim(F.col(text_col))) > 0, toks).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pos", "word"),
+    )
+    return (
+        posed.groupBy("word", "doc")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_search(
+    index: DataFrame, phrase: str, proximity: int = 0
+) -> DataFrame:
+    """Documents containing the phrase's words in order: (doc, n_matches,
+    first_pos). ``proximity=0`` requires EXACT adjacency (classic quoted
+    phrase); ``proximity=w`` lets each next word trail by up to ``w``
+    extra tokens (ordered near-match, '"big data"~2' style).
+
+    Scale shape: each query word selects ONE posting row per containing
+    doc (an equi-join on the word key — partition pruning on a
+    word-bucketed saved index); the k posting frames then join on doc,
+    narrowing with every word (docs missing ANY word drop at the first
+    inner join). Position verification is per-doc array algebra
+    (codegen'd filter/exists over the position lists), never an explode.
+    One-word phrases degenerate to the posting lookup itself.
+    """
+    words = tokenize_query(phrase)
+    if not words:
+        raise ValueError("phrase_search: empty phrase after normalization")
+    base = (
+        index.filter(F.col("word") == words[0])
+        .select(F.col("doc"), F.col("positions").alias("p0"))
+    )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = index.filter(F.col("word") == w).select(
+            F.col("doc"), F.col("positions").alias(f"p{i}")
+        )
+        base = base.join(nxt, "doc")
+    # starts = positions of word0 that can chain through every later word
+    # within the allowed gap; fold left-to-right keeping the FEASIBLE set
+    # of (start, current_end) pairs — for proximity=0 end is fixed, so we
+    # track starts whose chain reached word i at exactly/within the bound
+    starts = F.col("p0")
+    if len(words) > 1:
+        # chains[i] = array of (start, end) structs alive after word i
+        chains = F.transform(
+            F.col("p0"),
+            lambda s: F.struct(s.alias("s"), s.alias("e")),
+        )
+        for i in range(1, len(words)):
+            pi = F.col(f"p{i}")
+            lo = 1
+            hi = 1 + proximity
+            chains = F.filter(
+                F.transform(
+                    chains,
+                    lambda c: F.struct(
+                        c["s"].alias("s"),
+                        # smallest position of word i in (e, e+hi] extends
+                        # the chain; NULL ends it
+                        F.array_min(
+                            F.filter(
+                                pi,
+                                lambda p: (p >= c["e"] + lo) & (p <= c["e"] + hi),
+                            )
+                        ).alias("e"),
+                    ),
+                ),
+                lambda c: c["e"].isNotNull(),
+            )
+        starts = F.transform(chains, lambda c: c["s"])
+    out = base.select(
+        "doc",
+        F.size(starts).alias("n_matches"),
+        F.array_min(starts).alias("first_pos"),
+    ).filter(F.col("n_matches") > 0)
+    return out
+
+
+def proximity_search(
+    index: DataFrame, terms: Sequence[str], window: int
+) -> DataFrame:
+    """Documents where ALL terms co-occur within a ``window``-token span,
+    any order: (doc, span_start, span_len). The classic WAND-style
+    unordered proximity filter — rank-fusion input or a high-precision
+    decontamination probe.
+
+    Same join shape as phrase_search (one posting row per term per doc,
+    k-1 doc-key joins); the minimal covering span is found per doc with
+    array algebra over the k position lists (for each position of the
+    RAREST-cost-free choice — term 0 — the span is [min over terms of the
+    nearest position >= it... ]; we evaluate candidate windows anchored at
+    every position of every term, still per-row, no explode).
+    """
+    norm = [w for t in terms for w in tokenize_query(t)]
+    if not norm:
+        raise ValueError("proximity_search: no terms after normalization")
+    if window < len(norm):
+        raise ValueError("proximity_search: window smaller than term count")
+    base = None
+    for i, w in enumerate(norm):
+        nxt = index.filter(F.col("word") == w).select(
+            F.col("doc"), F.col("positions").alias(f"p{i}")
+        )
+        base = nxt if base is None else base.join(nxt, "doc")
+    # candidate anchors: every position of term 0; a window [a, a+window)
+    # qualifies if every term has a position in it. Checking only term-0
+    # anchors is complete for MINIMAL spans that start at a term-0
+    # occurrence; to cover spans starting at other terms, take anchors
+    # from the union of all lists.
+    all_pos = F.col("p0")
+    for i in range(1, len(norm)):
+        all_pos = F.array_union(all_pos, F.col(f"p{i}"))
+
+    def covered(a):
+        conds = None
+        for i in range(len(norm)):
+            c = F.exists(
+                F.col(f"p{i}"), lambda p: (p >= a) & (p < a + window)
+            )
+            conds = c if conds is None else conds & c
+        return conds
+
+    anchors = F.filter(all_pos, covered)
+    out = base.select(
+        "doc", F.array_min(anchors).alias("span_start"),
+        F.size(anchors).alias("n_anchors"),
+    ).filter(F.col("n_anchors") > 0)
+    return out.select("doc", "span_start", F.lit(int(window)).alias("span_len"))
