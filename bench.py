@@ -84,6 +84,11 @@ HEADLINE = [
     # kept last so the join-vs-bloom delta stays directly comparable with
     # earlier rounds' recordings
     "decontaminate_bloom_full",
+    # r05 continuation: positional phrase search (index build + query),
+    # snapshot drift gate, full 64x64 embedding covariance
+    "phrase_search_full",
+    "drift_report_full",
+    "emb_covariance_full",
 ]
 
 
@@ -465,6 +470,38 @@ def main() -> None:
     queries["nb_classifier_full"] = _nb_classifier_full
     queries["bpe_tokenize_full"] = _bpe_tokenize_full
     queries["pagerank_full"] = _pagerank_full
+
+    def _phrase_search_full(spark, sf):
+        # whole-corpus positional index build + an exact phrase query over
+        # it in one plan (the amortized production shape stores the index;
+        # this measures the worst case: build + query)
+        from datachain_spark.ops import retrieval as _R
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        idx = _R.build_inverted_index(docs, "doc_id")
+        return _R.phrase_search(idx, "table value")
+
+    def _drift_report_full(spark, sf):
+        # version-promotion gate: even-id docs as the reference snapshot,
+        # odd as the candidate; two numeric columns on shared axes
+        from datachain_spark.ops import drift as _drift
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        ref = docs.filter(F.col("doc_id") % 2 == 0)
+        cur = docs.filter(F.col("doc_id") % 2 == 1)
+        return _drift.drift_report(ref, cur, ["n_chars", "doc_id"])
+
+    def _emb_covariance_full(spark, sf):
+        # full 64x64 covariance of the embedding table: one Arrow-batched
+        # moment pass + one (i, j) groupBy of partition partials
+        from datachain_spark.ops import embedding as _emb
+
+        embs = entrymod._chain(spark, sf, "embeddings").df
+        return _emb.embedding_covariance(embs, "embedding")
+
+    queries["phrase_search_full"] = _phrase_search_full
+    queries["drift_report_full"] = _drift_report_full
+    queries["emb_covariance_full"] = _emb_covariance_full
 
     def _minhash_incremental_full(spark, sf):
         # incremental load: even doc_ids are the "historical" corpus reduced

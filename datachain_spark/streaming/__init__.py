@@ -2,6 +2,7 @@ from .stream import (
     dedup_against_corpus,
     dedup_stream,
     near_dedup_stream_to_dataset,
+    validated_stream_to_dataset,
     read_stream,
     running_counts_stateful,
     sessionize_stream,
@@ -12,6 +13,7 @@ from .stream import (
 __all__ = [
     "read_stream",
     "near_dedup_stream_to_dataset",
+    "validated_stream_to_dataset",
     "windowed_agg",
     "sessionize_stream",
     "stream_to_dataset",

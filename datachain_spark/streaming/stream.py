@@ -338,3 +338,74 @@ def stream_to_dataset(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def validated_stream_to_dataset(
+    stream_df: DataFrame,
+    name: str,
+    metastore,
+    checkpoint_dir: str,
+    rules,
+    quarantine_name: Optional[str] = None,
+    mode: str = "append",
+    trigger_once: bool = True,
+):
+    """Validating ingest: every micro-batch runs the declarative
+    expectation rules (ops/expectations) BEFORE landing — clean rows
+    append to ``name``, rows failing any row-level rule are tagged with
+    the failed rule names and appended to ``quarantine_name`` (default
+    ``{name}_quarantine``) instead of silently poisoning the corpus.
+
+    Only row-level rules gate rows (they evaluate per record inside the
+    batch projection — zero extra shuffles); set-level ``unique`` rules
+    cannot be judged within one micro-batch and are rejected here — use
+    the dedup ingests for cross-batch identity. Batch replays are
+    idempotent via the stream_batch_id stamp (the near-dedup ingest's
+    txn-log pattern): a dataset version already stamped with this batch
+    id is not written again.
+    """
+    from ..ops.expectations import violations as _violations
+
+    bad_rules = [r for r in rules if r.kind == "unique"]
+    if bad_rules:
+        raise ValueError(
+            "validated_stream_to_dataset: unique rules are set-level and "
+            "cannot gate a micro-batch; use near_dedup_stream_to_dataset "
+            f"for cross-batch identity (got {[r.name for r in bad_rules]})"
+        )
+    q_name = quarantine_name or f"{name}_quarantine"
+
+    def _already_saved(ds_name: str, batch_id: int) -> bool:
+        rec = metastore.get_record(ds_name)
+        dv = rec.latest_version() if rec is not None else None
+        return bool(dv and dv.attrs.get("stream_batch_id") == batch_id)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bad = _violations(batch_df, rules)
+        # good = the complement by PREDICATE (all rules pass), not an
+        # except-all against the violation frame — one projection each,
+        # no set-difference shuffle
+        preds = None
+        for r in rules:
+            p = r.predicate()
+            preds = p if preds is None else preds & p
+        good = batch_df.filter(preds)
+        if not _already_saved(name, batch_id) and not good.isEmpty():
+            metastore.save_dataset(
+                good, name, attrs={"stream_batch_id": batch_id}
+            )
+        if not _already_saved(q_name, batch_id) and not bad.isEmpty():
+            metastore.save_dataset(
+                bad, q_name, attrs={"stream_batch_id": batch_id}
+            )
+
+    writer = (
+        stream_df.writeStream.outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -419,3 +419,62 @@ def test_near_dedup_batch_order_and_replay(session, tmp_path):
     ).awaitTermination(120)
     assert len(session.metastore.get_record("ord_corpus").versions) == corpus_versions
     assert len(session.metastore.get_record("ord_corpus_minhash_index").versions) == index_versions
+
+
+def test_validated_stream_to_dataset(session, tmp_path):
+    """Validating ingest: clean rows land in the corpus, rule-violating
+    rows land (tagged) in the quarantine dataset; a second run appends
+    only the new file's rows (checkpointed source)."""
+    from datachain_spark.ops import expectations as ex
+    from datachain_spark.streaming import validated_stream_to_dataset
+
+    spark = session.spark
+    src = str(tmp_path / "val_src")
+    cp = str(tmp_path / "val_cp")
+    rules = [
+        ex.not_null("text"),
+        ex.in_range("score", 0.0, 1.0),
+    ]
+
+    spark.createDataFrame(
+        [
+            (1, "good doc", 0.9),
+            (2, None, 0.5),          # fails not_null
+            (3, "too scored", 7.0),  # fails in_range
+            (4, "also fine", 0.1),
+        ],
+        "doc_id long, text string, score double",
+    ).write.parquet(src)
+
+    def run():
+        stream = read_stream(spark, src, schema=spark.read.parquet(src).schema)
+        q = validated_stream_to_dataset(
+            stream, "val_corpus", session.metastore, cp, rules
+        )
+        q.awaitTermination(120)
+
+    run()
+    good = dc.read_dataset("val_corpus", session=session).df
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 4]
+    quar = dc.read_dataset("val_corpus_quarantine", session=session).df
+    got = {r["doc_id"]: r["failed_rules"] for r in quar.collect()}
+    assert got == {2: ["not_null:text"], 3: ["in_range:score"]}
+
+    # run 2: only the new file lands (checkpoint), all rows clean
+    spark.createDataFrame(
+        [(10, "late arrival", 0.4)], "doc_id long, text string, score double"
+    ).write.mode("append").parquet(src)
+    run()
+    latest = dc.read_dataset("val_corpus", session=session).df
+    assert [r["doc_id"] for r in latest.collect()] == [10]
+
+
+def test_validated_stream_rejects_unique_rules(session, tmp_path):
+    from datachain_spark.ops import expectations as ex
+    from datachain_spark.streaming import validated_stream_to_dataset
+
+    with pytest.raises(ValueError, match="unique"):
+        validated_stream_to_dataset(
+            None, "x", session.metastore, str(tmp_path / "cp"),
+            [ex.unique("doc_id")],
+        )
