@@ -5845,6 +5845,39 @@ def k_anonymity_violations_customer(spark, sf):
     ).orderBy("c_nationkey", "c_mktsegment")
 
 
+CURRICULUM_SQL = """
+WITH t AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS t0,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.50) AS t1,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS t2
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN n_chars IS NULL THEN 4
+       ELSE 1 + CAST(n_chars > t0 AS INTEGER)
+              + CAST(n_chars > t1 AS INTEGER)
+              + CAST(n_chars > t2 AS INTEGER) END AS INTEGER) AS stage,
+  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) AS BIGINT)
+    AS shuffle_key
+FROM documents CROSS JOIN t
+ORDER BY doc_id
+"""
+
+
+def curriculum_docs(spark, sf):
+    """Curriculum staging (ops/packing.curriculum_stages): 4 equal-
+    population difficulty stages by exact n_chars quartiles + the
+    deterministic md5 within-stage shuffle key. Spark's percentile() and
+    DuckDB's quantile_cont share the interpolation definition (the
+    ppl_buckets precedent), so stage assignment AND the shuffle ordering
+    hash-match exactly."""
+    from datachain_spark.ops.packing import curriculum_stages
+
+    docs = _chain(spark, sf, "documents").df
+    out = curriculum_stages(docs, "n_chars", "doc_id", 4, seed=42, hash_fn="md5")
+    return out.select("doc_id", "stage", "shuffle_key").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6032,6 +6065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search_docs": proximity_search_docs,
         "k_anonymity_customer": k_anonymity_customer,
         "k_anonymity_violations_customer": k_anonymity_violations_customer,
+        "curriculum_docs": curriculum_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -6110,6 +6144,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_search_docs": PROXIMITY_SEARCH_SQL,
         "k_anonymity_customer": K_ANON_REPORT_SQL,
         "k_anonymity_violations_customer": K_ANON_VIOLATIONS_SQL,
+        "curriculum_docs": CURRICULUM_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

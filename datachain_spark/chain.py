@@ -1015,6 +1015,14 @@ class DataChain:
 
         return self._evolve(_op(self._df, ppl_col, **kw))
 
+    def curriculum_stages(self, score_col: str, id_col: str, n_stages: int,
+                          **kw: Any) -> "DataChain":
+        """Quantile difficulty stages + within-stage shuffle key for
+        curriculum training order (ops/packing.curriculum_stages)."""
+        from .ops.packing import curriculum_stages as _op
+
+        return self._evolve(_op(self._df, score_col, id_col, n_stages, **kw))
+
     def pack_sequences(self, **kw: Any) -> "DataChain":
         """Concat-and-chunk training-example packing
         (ops/packing.pack_sequences)."""

@@ -314,3 +314,56 @@ def interleave_by_temperature(
     return interleave_datasets(
         sources, w, seed=seed, key=key, hash_fn=hash_fn
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_stages: int,
+    seed: int = 42,
+    ascending: bool = True,
+    hash_fn: str = "xxhash64",
+    stage_col: str = "stage",
+    shuffle_col: str = "shuffle_key",
+) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009, public): split the
+    corpus into ``n_stages`` equal-population difficulty stages by exact
+    score quantiles and give every row a deterministic within-stage
+    shuffle key — training reads ``ORDER BY (stage, shuffle_key)`` so
+    examples arrive easy-to-hard (``ascending=True``: stage 1 = lowest
+    scores) but randomly WITHIN each stage (per-stage shuffling is what
+    keeps SGD from seeing sorted batches).
+
+    NULL scores land in the LAST stage (unknown difficulty trains last).
+    Stage thresholds are exact interpolated percentiles from ONE
+    aggregation (n_stages-1 values, a 1-row broadcast — the
+    perplexity_buckets shape); the shuffle key is a seeded hash of the id
+    (``hash_fn="md5"`` selects the portable family so the full ordering
+    is DuckDB-verifiable). The corpus itself never shuffles here — the
+    writer's ORDER BY is the one range exchange, exactly as any sorted
+    export."""
+    if n_stages < 2:
+        raise ValueError(f"curriculum_stages: n_stages must be >= 2, got {n_stages}")
+    c = F.col(score_col).cast("double")
+    qs = [i / n_stages for i in range(1, n_stages)]
+    thresholds = df.agg(
+        *[F.percentile(c, q).alias(f"__t{i}") for i, q in enumerate(qs)]
+    )
+    staged = df.crossJoin(F.broadcast(thresholds))
+    rank_score = c if ascending else -c
+    stage = F.lit(1)
+    for i in range(len(qs)):
+        t = F.col(f"__t{i}") if ascending else -F.col(f"__t{i}")
+        stage = stage + F.when(rank_score > t, 1).otherwise(0)
+    if not ascending:
+        # descending: highest scores first; thresholds flip with the sign,
+        # and the comparisons above already account for it
+        pass
+    stage = F.when(c.isNull(), F.lit(n_stages)).otherwise(stage)
+    key = _seeded_hash64(F.col(id_col).cast("string"), seed, hash_fn)
+    return (
+        staged.withColumn(stage_col, stage.cast("int"))
+        .withColumn(shuffle_col, key)
+        .drop(*[f"__t{i}" for i in range(len(qs))])
+    )

@@ -226,3 +226,74 @@ def test_interleave_by_temperature_rejects_stale_sizes(docs):
             {"a": a, "b": b}, temperature=2.0,
             sizes={"a": 10, "b": 10, "stale": 999}, key=["doc_id"],
         )
+
+
+# ---------------------------------------------------------------- curriculum
+
+
+def test_curriculum_equal_stages_and_null_last(spark):
+    from datachain_spark.ops.packing import curriculum_stages
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(12)] + [(99, None)], "id long, s double"
+    )
+    out = curriculum_stages(df, "s", "id", 3)
+    stages = {r["id"]: r["stage"] for r in out.collect()}
+    assert stages[0] == 1 and stages[3] == 1
+    assert stages[5] == 2
+    assert stages[11] == 3
+    assert stages[99] == 3  # NULL difficulty -> last stage
+    # roughly equal populations (quantile split)
+    from collections import Counter
+
+    c = Counter(stages.values())
+    assert c[1] == 4 and c[2] == 4 and c[3] == 5
+
+
+def test_curriculum_descending_flips(spark):
+    from datachain_spark.ops.packing import curriculum_stages
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(9)], "id long, s double")
+    out = {r["id"]: r["stage"] for r in
+           curriculum_stages(df, "s", "id", 3, ascending=False).collect()}
+    assert out[8] == 1 and out[0] == 3  # hardest-first
+
+
+def test_curriculum_shuffle_key_deterministic_and_spread(spark):
+    from datachain_spark.ops.packing import curriculum_stages
+
+    df = spark.createDataFrame([(i, float(i % 3)) for i in range(50)], "id long, s double")
+    a = curriculum_stages(df.repartition(2), "s", "id", 2, seed=7).collect()
+    b = curriculum_stages(df.repartition(9), "s", "id", 2, seed=7).collect()
+    ka = {r["id"]: r["shuffle_key"] for r in a}
+    kb = {r["id"]: r["shuffle_key"] for r in b}
+    assert ka == kb  # partitioning-independent
+    # a different seed reshuffles
+    c = curriculum_stages(df, "s", "id", 2, seed=8).collect()
+    kc = {r["id"]: r["shuffle_key"] for r in c}
+    assert ka != kc
+    # within-stage order is not score order (keys spread)
+    assert len(set(ka.values())) == 50
+
+
+def test_curriculum_n_stages_validation(spark):
+    from datachain_spark.ops.packing import curriculum_stages
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, s double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curriculum_stages(df, "s", "id", 1)
+
+
+def test_curriculum_no_corpus_shuffle_plan(spark):
+    from datachain_spark.ops.packing import curriculum_stages
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], "id long, s double")
+    plan = (
+        curriculum_stages(df, "s", "id", 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only exchange feeds the 1-row threshold aggregate, which then
+    # broadcasts back — the corpus side must not hash-shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
