@@ -5878,6 +5878,83 @@ def curriculum_docs(spark, sf):
     return out.select("doc_id", "stage", "shuffle_key").orderBy("doc_id")
 
 
+def _contrastive_sql(
+    num_planes: int = 6, seed: int = 42, pos: float = 0.3, neg: float = 0.05,
+    num_shards: int = 8,
+) -> str:
+    def proj(p: int) -> str:
+        w = (
+            "CASE WHEN CAST('0x' || substring(md5('"
+            f"{seed}:{p}:' || i),1,15) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        )
+        return (
+            f"list_reduce([e[i+1] * ({w}) for i in generate_series(0, len(e)-1)], "
+            "(a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(p)} >= 0 THEN {2 ** (num_planes - 1 - p)} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), bk AS (
+  SELECT vec_id, e, {bucket} AS bucket FROM v
+), pos AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(CAST(list_cosine_similarity(a.e, b.e) AS DOUBLE), 3) + 0.0 AS sim_r,
+         CAST(1 AS INTEGER) AS label
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= {pos}
+), keyed AS (
+  SELECT vec_id, e,
+         CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':{seed + 1}'),1,15) AS BIGINT) AS h
+  FROM v
+), sh AS (
+  SELECT vec_id, e, h, h % {num_shards} AS shard,
+         row_number() OVER (PARTITION BY h % {num_shards} ORDER BY h, vec_id) AS rn
+  FROM keyed
+), adj AS (
+  SELECT a.vec_id AS ia, a.e AS ea, b.vec_id AS ib, b.e AS eb
+  FROM sh a JOIN sh b ON a.shard = b.shard AND b.rn = a.rn + 1
+), neg AS (
+  SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+         round(CAST(list_cosine_similarity(ea, eb) AS DOUBLE), 3) + 0.0 AS sim_r,
+         CAST(0 AS INTEGER) AS label
+  FROM adj WHERE list_cosine_similarity(ea, eb) <= {neg}
+)
+SELECT * FROM pos UNION ALL SELECT * FROM neg
+ORDER BY label DESC, id_a, id_b
+"""
+
+
+CONTRASTIVE_PAIRS_SQL = _contrastive_sql()
+
+
+def contrastive_pairs_md5(spark, sf):
+    """Contrastive training-pair mining under the portable md5 family
+    (ops/similarity.mine_contrastive_pairs): LSH-bucketed positives
+    (cosine >= 0.3) + hash-shard successor negatives (cosine <= 0.05).
+    The oracle replays the plane bucketing, the seeded shard/successor
+    windows and both cosine verifies in DuckDB — the entire mining run
+    (who pairs with whom, and why) hash-verified."""
+    from datachain_spark.ops.similarity import mine_contrastive_pairs
+
+    e = _chain(spark, sf, "embeddings").df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = mine_contrastive_pairs(
+        e, "vec_id", "embedding", pos_threshold=0.3, neg_max_sim=0.05,
+        num_planes=6, num_shards=8, seed=42, hash_fn="md5",
+    )
+    return out.select(
+        "id_a", "id_b",
+        (F.round("cosine_sim", 3) + F.lit(0.0)).alias("sim_r"),
+        F.col("label").cast("int").alias("label"),
+    ).orderBy(F.desc("label"), "id_a", "id_b")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6066,6 +6143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_customer": k_anonymity_customer,
         "k_anonymity_violations_customer": k_anonymity_violations_customer,
         "curriculum_docs": curriculum_docs,
+        "contrastive_pairs_md5": contrastive_pairs_md5,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -6145,6 +6223,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_customer": K_ANON_REPORT_SQL,
         "k_anonymity_violations_customer": K_ANON_VIOLATIONS_SQL,
         "curriculum_docs": CURRICULUM_SQL,
+        "contrastive_pairs_md5": CONTRASTIVE_PAIRS_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

@@ -928,6 +928,14 @@ class DataChain:
 
         return self._evolve(_op(self._df, group_cols, id_col, **kw))
 
+    def mine_contrastive_pairs(self, id_col: str, vec_col: str = "embedding",
+                               **kw: Any) -> "DataChain":
+        """LSH positives + hash-shard verified negatives for contrastive
+        training (ops/similarity.mine_contrastive_pairs)."""
+        from .ops.similarity import mine_contrastive_pairs as _op
+
+        return self._evolve(_op(self._df, id_col, vec_col, **kw))
+
     def k_anonymity_report(self, quasi_cols: Any, k: int) -> "DataChain":
         """One-row k-anonymity release gate over quasi-identifier columns
         (ops/privacy.k_anonymity_report)."""

@@ -328,3 +328,75 @@ def group_centroids(
             )),
         ).otherwise(centroid).alias("centroid"),
     )
+
+
+def mine_contrastive_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pos_threshold: float = 0.8,
+    neg_max_sim: float = 0.3,
+    num_planes: int = 6,
+    num_shards: int = 64,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Training-pair mining for embedding models / rerankers: positives =
+    LSH-bucketed near-neighbor pairs (cosine >= ``pos_threshold``),
+    negatives = pseudo-random partners verified DISSIMILAR (cosine <=
+    ``neg_max_sim``). Output: (id_a, id_b, cosine_sim, label) with label
+    1/0 — the (anchor, positive) / (anchor, negative) feed for
+    contrastive losses (SimCLR/InfoNCE-style, public).
+
+    Negative sampling is deterministic and distributed: rows order by a
+    seeded hash inside ``num_shards`` hash-shards and each row pairs with
+    its successor (one window shuffle — NEVER a global single-partition
+    window and never a cross join); the hash order is independent of the
+    embedding geometry, so successors are unbiased candidate negatives,
+    and the cosine verify discards the rare accidental near-dups. Pairs
+    are oriented id_a < id_b. ``hash_fn="md5"`` makes the whole mining
+    run (bucketing, sharding, successor choice) DuckDB-replayable.
+
+    Rows with NULL vectors never form pairs (positives: the LSH join
+    drops them; negatives: the verify is NULL -> filtered).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import embedding_near_dup_pairs
+    from ..ops.text import _seeded_hash64
+
+    if not 0 <= neg_max_sim < pos_threshold <= 1:
+        raise ValueError(
+            "mine_contrastive_pairs: need 0 <= neg_max_sim < pos_threshold <= 1"
+        )
+    pos = embedding_near_dup_pairs(
+        df, id_col, vec_col, threshold=pos_threshold,
+        num_planes=num_planes, hash_fn=hash_fn, seed=seed,
+    ).select("id_a", "id_b", "cosine_sim", F.lit(1).alias("label"))
+
+    h = _seeded_hash64(F.col(id_col).cast("string"), seed + 1, hash_fn)
+    keyed = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        h.alias("__h"), F.pmod(h, F.lit(num_shards)).alias("__shard"),
+    )
+    w = Window.partitionBy("__shard").orderBy("__h", "__id")
+    nxt = keyed.select(
+        "__id", "__v", "__shard",
+        F.lead("__id").over(w).alias("__nid"),
+        F.lead("__v").over(w).alias("__nv"),
+    ).filter(F.col("__nid").isNotNull())
+    from ..functions.array import dot_product, norm
+
+    sim = dot_product(F.col("__v"), F.col("__nv")) / (
+        norm(F.col("__v")) * norm(F.col("__nv"))
+    )
+    neg = (
+        nxt.select(
+            F.least("__id", "__nid").alias("id_a"),
+            F.greatest("__id", "__nid").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") <= neg_max_sim)
+        .withColumn("label", F.lit(0))
+    )
+    return pos.unionByName(neg)

@@ -1368,3 +1368,80 @@ def test_group_centroids_empty_vectors_ignored(session):
     assert list(out["a"]["centroid"]) == [1.0, 2.0]
     assert out["a"]["n_vectors"] == 1
     assert "b" not in out  # no usable vectors -> absent, documented
+
+
+# ------------------------------------------------------- contrastive mining
+
+
+def test_contrastive_pairs_labels_and_thresholds(spark, sf_dir):
+    from datachain_spark.ops.similarity import mine_contrastive_pairs
+
+    e = spark.read.parquet(sf_dir + "/embeddings.parquet").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS embedding"
+    )
+    out = mine_contrastive_pairs(
+        e, "vec_id", "embedding", pos_threshold=0.3, neg_max_sim=0.05,
+        num_shards=8,
+    ).collect()
+    pos = [r for r in out if r["label"] == 1]
+    neg = [r for r in out if r["label"] == 0]
+    assert pos and neg
+    assert all(r["cosine_sim"] >= 0.3 for r in pos)
+    assert all(r["cosine_sim"] <= 0.05 for r in neg)
+    assert all(r["id_a"] < r["id_b"] for r in out)
+
+
+def test_contrastive_pairs_deterministic(spark, sf_dir):
+    from datachain_spark.ops.similarity import mine_contrastive_pairs
+
+    e = spark.read.parquet(sf_dir + "/embeddings.parquet").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS embedding"
+    )
+    def key(df):
+        return sorted((r["id_a"], r["id_b"], r["label"]) for r in df.collect())
+    a = key(mine_contrastive_pairs(e.repartition(3), "vec_id", "embedding",
+                                   pos_threshold=0.3, neg_max_sim=0.05))
+    b = key(mine_contrastive_pairs(e.repartition(11), "vec_id", "embedding",
+                                   pos_threshold=0.3, neg_max_sim=0.05))
+    assert a == b
+
+
+def test_contrastive_pairs_null_vectors_excluded(spark):
+    from datachain_spark.ops.similarity import mine_contrastive_pairs
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.99, 0.1]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = mine_contrastive_pairs(
+        e, "vec_id", "embedding", pos_threshold=0.9, neg_max_sim=0.3,
+        num_shards=2,
+    ).collect()
+    assert not any(2 in (r["id_a"], r["id_b"]) for r in out)
+
+
+def test_contrastive_pairs_threshold_validation(spark):
+    from datachain_spark.ops.similarity import mine_contrastive_pairs
+
+    e = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        mine_contrastive_pairs(e, "vec_id", "embedding",
+                               pos_threshold=0.2, neg_max_sim=0.5)
+
+
+def test_contrastive_no_single_partition_window(spark, sf_dir):
+    """Scale guard: negative sampling windows inside hash shards — the
+    plan must not contain an empty-key window partition (the global-sort
+    serialization trap)."""
+    from datachain_spark.ops.similarity import mine_contrastive_pairs
+
+    e = spark.read.parquet(sf_dir + "/embeddings.parquet").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS embedding"
+    )
+    plan = mine_contrastive_pairs(
+        e, "vec_id", "embedding"
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "window with empty partition spec"
