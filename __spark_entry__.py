@@ -5955,6 +5955,126 @@ def contrastive_pairs_md5(spark, sf):
     ).orderBy(F.desc("label"), "id_a", "id_b")
 
 
+def html_extract_docs(spark, sf):
+    """HTML -> text extraction (ops/html.html_extract): the corpus text is
+    wrapped in deterministic SQL-expressible markup (head/title, style and
+    conditional script blocks, sentence-break <p> splits, a link) in BOTH
+    engines, then the full tag-strip / entity-decode / whitespace chain and
+    every structural signal are replayed regex-for-regex in DuckDB — the
+    extracted text md5, title, tag/link counts and text ratio all
+    hash-verified."""
+    from datachain_spark.ops import html as _html
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 300)
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" &amp; friends</title><style>p{color:red}</style></head><body><p>"),
+            F.regexp_replace(F.substring("text", 1, 300), " the ", "</p><p>"),
+            F.lit("</p>"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit('<script>var x = "1 < 2";</script>'),
+            ).otherwise(F.lit("")),
+            F.lit('<a href="u">link &quot;text&quot;</a></body></html>'),
+        ).alias("html"),
+    )
+    out = _html.html_extract(synth, "doc_id", html_col="html")
+    return out.select(
+        "doc_id", "title", "n_tags", "n_links", "html_chars", "text_chars",
+        "text_ratio", F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+def _html_sql() -> str:
+    from datachain_spark.ops.html import (
+        _ANY_TAG_RE,
+        _BLOCK_TAG_RE,
+        _DROP_BLOCK_RES,
+        _ENTITIES,
+        _TITLE_RE,
+    )
+
+    synth = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)"
+        " || ' &amp; friends</title><style>p{color:red}</style></head><body><p>'"
+        " || regexp_replace(substring(text, 1, 300), ' the ', '</p><p>', 'g')"
+        " || '</p>'"
+        " || CASE WHEN doc_id % 5 = 0 THEN '<script>var x = \"1 < 2\";</script>' ELSE '' END"
+        " || '<a href=\"u\">link &quot;text&quot;</a></body></html>'"
+    )
+
+    def _ents(e: str) -> str:
+        for ent, repl in _ENTITIES:
+            r = "chr(39)" if repl == "'" else "'" + repl.replace("'", "''") + "'"
+            e = f"replace({e}, '{ent}', {r})"
+        return e
+
+    text = "html"
+    for pat in _DROP_BLOCK_RES:
+        text = f"regexp_replace({text}, '{pat}', '', 'g')"
+    text = f"regexp_replace({text}, '{_BLOCK_TAG_RE}', chr(10), 'g')"
+    text = f"regexp_replace({text}, '{_ANY_TAG_RE}', ' ', 'g')"
+    text = _ents(text)
+    text = f"regexp_replace({text}, '[ \\t\\r]+', ' ', 'g')"
+    text = f"regexp_replace({text}, ' ?\\n ?', chr(10), 'g')"
+    text = f"regexp_replace({text}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    text = f"regexp_replace({text}, '^\\s+|\\s+$', '', 'g')"
+    title = _ents(f"regexp_extract(html, '{_TITLE_RE}', 1)")
+    title = f"trim(regexp_replace({title}, '\\s+', ' ', 'g'))"
+    return f"""
+WITH synth AS (
+  SELECT doc_id, {synth} AS html FROM documents WHERE doc_id < 300
+), ext AS (
+  SELECT doc_id, html, {text} AS text, {title} AS title FROM synth
+)
+SELECT doc_id, title,
+       CAST(len(regexp_extract_all(html, '(?s)<[a-zA-Z][^>]*>')) AS BIGINT) AS n_tags,
+       CAST(len(regexp_extract_all(html, '(?is)<a\\s[^>]*href')) AS BIGINT) AS n_links,
+       CAST(length(html) AS BIGINT) AS html_chars,
+       CAST(length(text) AS BIGINT) AS text_chars,
+       CAST(length(text) AS BIGINT) / CAST(length(html) AS BIGINT) AS text_ratio,
+       md5(text) AS text_md5
+FROM ext
+ORDER BY doc_id
+"""
+
+
+def normalize_text_docs(spark, sf):
+    """Canonical text normalization (ops/text.normalize_text — the dedup
+    preprocessing key): lower -> accent fold -> punctuation strip ->
+    whitespace collapse, every step a codegen'd expression with the SAME
+    regex/translate sources replayed in DuckDB; the normalized form is
+    md5-verified per document."""
+    from datachain_spark.ops.text import normalize_text as _norm
+
+    docs = _chain(spark, sf, "documents").df
+    n = _norm("text")
+    return docs.select(
+        "doc_id",
+        F.md5(n).alias("norm_md5"),
+        F.length(n).cast("long").alias("n_norm_chars"),
+    ).orderBy("doc_id")
+
+
+def _normalize_sql() -> str:
+    from datachain_spark.ops.text import ACCENT_DST, ACCENT_SRC
+
+    norm = (
+        f"trim(regexp_replace(regexp_replace(translate(lower(text),"
+        f" '{ACCENT_SRC}', '{ACCENT_DST}'),"
+        " '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT doc_id, md5({norm}) AS norm_md5,
+       CAST(length({norm}) AS BIGINT) AS n_norm_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6144,6 +6264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_violations_customer": k_anonymity_violations_customer,
         "curriculum_docs": curriculum_docs,
         "contrastive_pairs_md5": contrastive_pairs_md5,
+        "html_extract_docs": html_extract_docs,
+        "normalize_text_docs": normalize_text_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -6224,6 +6346,8 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_violations_customer": K_ANON_VIOLATIONS_SQL,
         "curriculum_docs": CURRICULUM_SQL,
         "contrastive_pairs_md5": CONTRASTIVE_PAIRS_SQL,
+        "html_extract_docs": _html_sql(),
+        "normalize_text_docs": _normalize_sql(),
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

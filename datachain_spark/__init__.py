@@ -46,6 +46,7 @@ from .sources import (
     read_records,
     read_storage,
     read_values,
+    read_warc,
 )
 from .schema import DataModel, DataType, ModelStore, Sys, is_chain_type
 from .sources.files import (
@@ -94,6 +95,7 @@ __all__ = [
     "DatasetPrepareError", "Session", "Sys",
     "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
+    "read_warc",
     "from_values", "from_records", "from_pandas", "from_parquet", "from_csv",
     "from_json", "from_dataset", "from_hf", "from_storage",
     "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset",

@@ -145,6 +145,42 @@ def fingerprint(col) -> Column:
     return F.xxhash64(normalized)
 
 
+# lowercase Latin-1/Latin-Extended accents -> ASCII base letters; applied
+# AFTER lower() so only the lowercase set is needed. Kept as parallel
+# strings so the same pair feeds Spark translate() and DuckDB translate()
+# in the oracle.
+ACCENT_SRC = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçšžœæð"
+ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyyncszoad"
+
+
+def normalize_text(
+    col,
+    lowercase: bool = True,
+    strip_accents: bool = True,
+    remove_punct: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Canonical text form for dedup / matching keys.
+
+    lower -> accent fold (ASCII base letters) -> punctuation to space
+    (anything that is not a letter/digit/whitespace) -> whitespace collapse
+    -> trim. Pure codegen'd expressions; identical RE2-compatible regex
+    source backs the DuckDB oracle (``normalize_text_docs``). Feed the
+    result to ``fingerprint``/``minhash_signatures`` so near-identical
+    documents differing only in case/accents/punctuation collide.
+    """
+    c = to_column(col)
+    if lowercase:
+        c = F.lower(c)
+    if strip_accents:
+        c = F.translate(c, ACCENT_SRC, ACCENT_DST)
+    if remove_punct:
+        c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
 def shingles(col, n: int = 3) -> Column:
     """Array of word n-gram shingles (for minhash / jaccard dedup)."""
     c = F.lower(to_column(col))

@@ -16,10 +16,12 @@ from .readers import (
     read_values,
 )
 from .storage import read_storage
+from .warc import read_warc
 
 __all__ = [
     "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
+    "read_warc",
     "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset",
     "export_dataset_table",
 ]
