@@ -6075,6 +6075,120 @@ ORDER BY doc_id
 """
 
 
+def rolling_events(spark, sf):
+    """Per-entity trailing-hour rolling aggregates + inter-arrival gaps
+    (ops/timeseries.rolling_stats / event_gaps): RANGE frames over floored
+    epoch seconds, whose tie semantics Spark and DuckDB share exactly. Sums
+    run in DECIMAL internally (fold-order-independent) and terminally cast
+    to DOUBLE per the harness dtype policy; gaps order by (epoch,
+    event_id) so equal-timestamp events are deterministic."""
+    from datachain_spark.ops.timeseries import event_gaps, rolling_stats
+
+    ev = _chain(spark, sf, "events").df.filter(F.col("user_id") < 50).select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    out = rolling_stats(
+        ev, "user_id", "ts", "v", 3600, metrics=("count", "sum", "min", "max")
+    )
+    out = event_gaps(out, "user_id", "ts", tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id",
+        F.col("rolling3600s_count").alias("roll_count"),
+        F.col("rolling3600s_sum").cast("double").alias("roll_sum"),
+        F.col("rolling3600s_min").cast("double").alias("roll_min"),
+        F.col("rolling3600s_max").cast("double").alias("roll_max"),
+        "gap_seconds",
+    ).orderBy("user_id", "event_id")
+
+
+ROLLING_EVENTS_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE user_id < 50
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS roll_count,
+       CAST(sum(v) OVER w AS DOUBLE) AS roll_sum,
+       CAST(min(v) OVER w AS DOUBLE) AS roll_min,
+       CAST(max(v) OVER w AS DOUBLE) AS roll_max,
+       ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id)
+         AS gap_seconds
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ep
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+def apply_changes_orders(spark, sf):
+    """CDC fold (ops/cdc.apply_changes): a change feed synthesized
+    deterministically from orders (updates on %7 keys, deletes on %11 —
+    some keys get BOTH, the higher-seq delete must win — inserts with
+    shifted keys on %13) applied to the snapshot; DuckDB replays the
+    per-key last-writer window and the anti-join + union fold, every
+    surviving row hash-verified."""
+    from datachain_spark.ops.cdc import apply_changes
+
+    base = _chain(spark, sf, "orders").df.filter(F.col("o_custkey") < 300).select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "o_orderstatus",
+    )
+    upd = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("price") + 1000.0).alias("price"), "o_orderstatus",
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    dele = base.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", "o_custkey", "price", "o_orderstatus",
+        F.lit("D").alias("op"), F.lit(2).alias("seq"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey", "price", F.lit("N").alias("o_orderstatus"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    out = apply_changes(base, changes, "o_orderkey", seq_col="seq")
+    return out.select(
+        "o_orderkey", "o_custkey", "price", "o_orderstatus"
+    ).orderBy("o_orderkey")
+
+
+APPLY_CHANGES_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus
+  FROM orders WHERE o_custkey < 300
+), chg AS (
+  SELECT o_orderkey, o_custkey, price + 1000.0 AS price, o_orderstatus,
+         'U' AS op, 1 AS seq FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, price, o_orderstatus, 'D', 2
+  FROM base WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, price, 'N', 'I', 1
+  FROM base WHERE o_orderkey % 13 = 0
+), final AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY seq DESC,
+               CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC
+    ) AS rn FROM chg
+  ) WHERE rn = 1
+)
+SELECT o_orderkey, o_custkey, price, o_orderstatus FROM base
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM final)
+UNION ALL
+SELECT o_orderkey, o_custkey, price, o_orderstatus FROM final WHERE op != 'D'
+ORDER BY o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6266,6 +6380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs_md5": contrastive_pairs_md5,
         "html_extract_docs": html_extract_docs,
         "normalize_text_docs": normalize_text_docs,
+        "rolling_events": rolling_events,
+        "apply_changes_orders": apply_changes_orders,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -6348,6 +6464,8 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_pairs_md5": CONTRASTIVE_PAIRS_SQL,
         "html_extract_docs": _html_sql(),
         "normalize_text_docs": _normalize_sql(),
+        "rolling_events": ROLLING_EVENTS_SQL,
+        "apply_changes_orders": APPLY_CHANGES_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

@@ -1,0 +1,93 @@
+"""Time-series feature operators over event streams: per-entity rolling
+time-window aggregates and event-rate/gap profiling.
+
+Spark-first shape: one shuffle on the partition key, then native window
+functions with RANGE frames over epoch seconds — whole-stage codegen, no
+Python. At 100 TB the cost is the single hash partition on the entity key
+(the same partitioning every per-entity feature shares, so Catalyst reuses
+the exchange across features computed together).
+
+DuckDB's RANGE frames over an integer ORDER BY key share Spark's
+semantics exactly (all rows whose key falls in [cur - w, cur], ties
+included regardless of physical order), which makes every rolling feature
+value-hash oracle-able (``rolling_events`` in ``__spark_entry__``).
+
+No reference counterpart (spec addition for feature pipelines).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_METRICS = ("count", "sum", "avg", "min", "max")
+
+
+def rolling_stats(
+    df: DataFrame,
+    partition_by: Union[str, Sequence[str]],
+    time_col: str,
+    value_col: str,
+    window_seconds: int,
+    metrics: Sequence[str] = _METRICS,
+    prefix: Optional[str] = None,
+) -> DataFrame:
+    """Per-row trailing-window aggregates: for every event, the
+    count/sum/avg/min/max of ``value_col`` over this entity's events in
+    the preceding ``window_seconds`` (inclusive of the current row).
+
+    Output adds one ``{prefix}_{metric}`` column per metric (prefix
+    defaults to ``rolling{window_seconds}s``). NULL values count toward
+    ``count`` (row presence) but are ignored by sum/avg/min/max — the
+    standard SQL aggregate contract in both engines.
+    """
+    if window_seconds <= 0:
+        raise ValueError("rolling_stats: window_seconds must be positive")
+    bad = [m for m in metrics if m not in _METRICS]
+    if bad:
+        raise ValueError(f"rolling_stats: unsupported metrics {bad}")
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    pfx = prefix or f"rolling{window_seconds}s"
+    epoch = F.unix_timestamp(F.col(time_col)).cast("long")
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(epoch)
+        .rangeBetween(-window_seconds, 0)
+    )
+    v = F.col(value_col)
+    exprs: dict[str, Column] = {
+        "count": F.count(F.lit(1)).over(w).cast("long"),
+        "sum": F.sum(v).over(w),
+        "avg": F.avg(v).over(w),
+        "min": F.min(v).over(w),
+        "max": F.max(v).over(w),
+    }
+    out = df
+    for m in metrics:
+        out = out.withColumn(f"{pfx}_{m}", exprs[m])
+    return out
+
+
+def event_gaps(
+    df: DataFrame,
+    partition_by: Union[str, Sequence[str]],
+    time_col: str,
+    gap_col: str = "gap_seconds",
+    tiebreak: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Seconds since this entity's previous event (NULL for the first).
+    The inter-arrival signal burst/bot detection and sessionization
+    thresholds are chosen from. ``tiebreak`` columns make the ordering
+    among equal-timestamp events deterministic (lag, unlike a RANGE
+    frame, depends on it)."""
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    ties = (
+        [] if tiebreak is None
+        else [tiebreak] if isinstance(tiebreak, str)
+        else list(tiebreak)
+    )
+    epoch = F.unix_timestamp(F.col(time_col)).cast("long")
+    w = Window.partitionBy(*parts).orderBy(epoch, *[F.col(t) for t in ties])
+    return df.withColumn(gap_col, epoch - F.lag(epoch).over(w))

@@ -1,0 +1,129 @@
+"""ops/timeseries (rolling RANGE-frame aggregates, event gaps) and
+ops/cdc (apply_changes fold semantics, changes_between inverse)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datachain_spark.ops import cdc, timeseries
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, dt.datetime(2024, 1, 1, 0, 0, s), float(v)) for i, u, s, v in rows],
+        "event_id int, user_id int, ts timestamp, value double",
+    )
+
+
+def test_rolling_window_includes_only_trailing_range(spark):
+    rows = [(1, 1, 0, 10), (2, 1, 5, 20), (3, 1, 30, 40), (4, 1, 36, 80)]
+    out = timeseries.rolling_stats(_ev(spark, rows), "user_id", "ts", "value", 10)
+    got = {r["event_id"]: r for r in out.collect()}
+    assert got[1]["rolling10s_count"] == 1 and got[1]["rolling10s_sum"] == 10
+    assert got[2]["rolling10s_count"] == 2 and got[2]["rolling10s_sum"] == 30
+    assert got[3]["rolling10s_count"] == 1  # 5s event is 25s back, outside
+    assert got[4]["rolling10s_count"] == 2 and got[4]["rolling10s_max"] == 80
+
+
+def test_rolling_ties_all_included(spark):
+    # equal timestamps: RANGE frame includes every tied row for each of them
+    rows = [(1, 1, 10, 1), (2, 1, 10, 2), (3, 1, 10, 4)]
+    out = timeseries.rolling_stats(_ev(spark, rows), "user_id", "ts", "value", 5)
+    assert all(r["rolling5s_sum"] == 7.0 for r in out.collect())
+
+
+def test_rolling_partitions_are_independent(spark):
+    rows = [(1, 1, 0, 10), (2, 2, 1, 99)]
+    out = timeseries.rolling_stats(_ev(spark, rows), "user_id", "ts", "value", 60)
+    got = {r["event_id"]: r["rolling60s_sum"] for r in out.collect()}
+    assert got[1] == 10 and got[2] == 99
+
+
+def test_rolling_rejects_bad_args(spark):
+    df = _ev(spark, [(1, 1, 0, 1)])
+    with pytest.raises(ValueError, match="positive"):
+        timeseries.rolling_stats(df, "user_id", "ts", "value", 0)
+    with pytest.raises(ValueError, match="unsupported"):
+        timeseries.rolling_stats(df, "user_id", "ts", "value", 5, metrics=("median",))
+
+
+def test_event_gaps_with_tiebreak(spark):
+    rows = [(1, 1, 0, 0), (2, 1, 10, 0), (3, 1, 10, 0), (4, 1, 25, 0)]
+    out = timeseries.event_gaps(_ev(spark, rows), "user_id", "ts", tiebreak="event_id")
+    got = {r["event_id"]: r["gap_seconds"] for r in out.collect()}
+    assert got[1] is None and got[2] == 10 and got[3] == 0 and got[4] == 15
+
+
+# ------------------------------------------------------------------ cdc ----
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"
+    )
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(rows, "k int, s string, v double, op string, seq int")
+
+
+def test_apply_changes_upsert_delete(spark):
+    changes = _chg(spark, [
+        (2, "b2", 25.0, "U", 1),   # update
+        (3, None, 0.0, "D", 1),    # delete
+        (4, "d", 40.0, "I", 1),    # insert
+    ])
+    out = {r["k"]: r for r in cdc.apply_changes(_base(spark), changes, "k", seq_col="seq").collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[2]["s"] == "b2" and out[2]["v"] == 25.0
+    assert out[4]["s"] == "d"
+
+
+def test_apply_changes_last_seq_wins_and_delete_precedence(spark):
+    changes = _chg(spark, [
+        (1, "x1", 1.0, "U", 1),
+        (1, "x2", 2.0, "U", 5),    # later seq wins
+        (2, "y", 9.0, "U", 3),
+        (2, None, 0.0, "D", 3),    # same seq: delete outranks update
+    ])
+    out = {r["k"]: r for r in cdc.apply_changes(_base(spark), changes, "k", seq_col="seq").collect()}
+    assert out[1]["s"] == "x2" and 2 not in out and 3 in out
+
+
+def test_apply_changes_insert_on_existing_key_replaces(spark):
+    changes = _chg(spark, [(1, "re", 99.0, "I", 1)])
+    out = {r["k"]: r for r in cdc.apply_changes(_base(spark), changes, "k", seq_col="seq").collect()}
+    assert len(out) == 3 and out[1]["s"] == "re"
+
+
+def test_apply_changes_validation_errors(spark):
+    base = _base(spark)
+    with pytest.raises(ValueError, match="missing columns"):
+        cdc.apply_changes(base, base.select("k", "s"), "k")
+    bad_op = _chg(spark, [(1, "a", 1.0, "Z", 1)]).drop("seq")
+    with pytest.raises(ValueError, match="outside"):
+        cdc.apply_changes(base, bad_op, "k")
+    dup = _chg(spark, [(1, "a", 1.0, "U", 1), (1, "b", 2.0, "U", 2)]).drop("seq")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        cdc.apply_changes(base, dup, "k")
+    extra = _chg(spark, [(1, "a", 1.0, "U", 1)]).withColumn("junk", F.lit(1)).drop("seq")
+    with pytest.raises(ValueError, match="unexpected change columns"):
+        cdc.apply_changes(base, extra, "k")
+
+
+def test_changes_between_is_inverse_of_apply(spark):
+    old = _base(spark)
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B!", 21.0), (4, "d", 40.0)], "k int, s string, v double"
+    )  # 2 updated, 3 deleted, 4 inserted, 1 unchanged
+    feed = cdc.changes_between(old, new, "k")
+    ops = {r["k"]: r["op"] for r in feed.collect()}
+    assert ops == {2: "U", 3: "D", 4: "I"}
+    rebuilt = cdc.apply_changes(old, feed, "k")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_changes_between_null_safe_comparison(spark):
+    old = spark.createDataFrame([(1, None)], "k int, s string")
+    new = spark.createDataFrame([(1, None)], "k int, s string")
+    assert cdc.changes_between(old, new, "k").count() == 0  # null == null: unchanged
