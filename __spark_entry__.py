@@ -6189,6 +6189,58 @@ ORDER BY o_orderkey
 """
 
 
+def row_ids_orders(spark, sf):
+    """Global consecutive row numbering over a total order WITHOUT a
+    single-partition window (ops/ids.assign_row_ids — range repartition +
+    per-range row_number + broadcast prefix offsets); DuckDB replays it as
+    one ordered row_number, every id hash-verified. Plan-guarded
+    single-partition-free in tests/test_plans.py."""
+    from datachain_spark.ops.ids import assign_row_ids
+
+    orders = _chain(spark, sf, "orders").df.select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    out = assign_row_ids(orders, ["price", "o_orderkey"], num_ranges=8)
+    return out.select("o_orderkey", "price", "row_id").orderBy("row_id")
+
+
+ROW_IDS_SQL = """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+       CAST(row_number() OVER (ORDER BY CAST(o_totalprice AS DOUBLE),
+                               o_orderkey) AS BIGINT) AS row_id
+FROM orders
+ORDER BY row_id
+"""
+
+
+def skew_report_events(spark, sf):
+    """Join-key skew diagnosis (ops/sketches.skew_report): exact per-key
+    counts, table share and ratio-vs-mean for the heaviest keys — the
+    pre-shuffle salting decision input. The oracle replays the groupBy,
+    the totals and both ratios in DuckDB."""
+    from datachain_spark.ops.sketches import skew_report
+
+    ev = _chain(spark, sf, "events").df
+    return skew_report(ev, "event_type", top_n=10)
+
+
+SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS key_rows
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(sum(key_rows) AS BIGINT) AS total,
+         CAST(avg(key_rows) AS DOUBLE) AS mean FROM counts
+)
+SELECT event_type, key_rows,
+       key_rows / total AS share,
+       key_rows / mean AS skew_ratio
+FROM counts, tot
+ORDER BY key_rows DESC, event_type
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6382,6 +6434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text_docs": normalize_text_docs,
         "rolling_events": rolling_events,
         "apply_changes_orders": apply_changes_orders,
+        "row_ids_orders": row_ids_orders,
+        "skew_report_events": skew_report_events,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -6466,6 +6520,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text_docs": _normalize_sql(),
         "rolling_events": ROLLING_EVENTS_SQL,
         "apply_changes_orders": APPLY_CHANGES_SQL,
+        "row_ids_orders": ROW_IDS_SQL,
+        "skew_report_events": SKEW_REPORT_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

@@ -1038,6 +1038,41 @@ class DataChain:
 
         return self._evolve(_op(self._df, **kw))
 
+    def html_extract(self, id_col: str, html_col: str = "html", **kw: Any) -> "DataChain":
+        """HTML -> visible text + title + structural signals
+        (ops/html.html_extract) — the web-corpus boilerplate-strip step."""
+        from .ops.html import html_extract as _op
+
+        return self._evolve(_op(self._df, id_col, html_col, **kw))
+
+    def normalize_text(self, text_col: str = "text", out_col: Optional[str] = None,
+                       **kw: Any) -> "DataChain":
+        """Canonical dedup-key form of a text column in place (or into
+        ``out_col``): lower -> accent fold -> punct strip -> whitespace
+        collapse (ops/text.normalize_text)."""
+        from .ops.text import normalize_text as _op
+
+        return self._evolve(
+            self._df.withColumn(out_col or text_col, _op(text_col, **kw))
+        )
+
+    def rolling_stats(self, partition_by: Any, time_col: str, value_col: str,
+                      window_seconds: int, **kw: Any) -> "DataChain":
+        """Per-entity trailing time-window count/sum/avg/min/max columns
+        (ops/timeseries.rolling_stats)."""
+        from .ops.timeseries import rolling_stats as _op
+
+        return self._evolve(
+            _op(self._df, partition_by, time_col, value_col, window_seconds, **kw)
+        )
+
+    def apply_changes(self, changes: Any, keys: Any, **kw: Any) -> "DataChain":
+        """Fold an I/U/D change feed into this snapshot (ops/cdc
+        .apply_changes); ``changes`` may be a DataChain or DataFrame."""
+        from .ops.cdc import apply_changes as _op
+
+        return self._evolve(_op(self._df, getattr(changes, "df", changes), keys, **kw))
+
     def fuzzy_dedup_pairs(self, id_col: str, text_col: str = "text",
                           **kw: Any) -> "DataChain":
         """Near-identical pairs within Levenshtein distance k

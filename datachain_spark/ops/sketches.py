@@ -20,7 +20,7 @@ HLL error (~1.04/sqrt(2^lg_config_k): ~1.6% at the default lg_config_k=12).
 from __future__ import annotations
 
 from functools import reduce
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -236,4 +236,61 @@ def histogram(
             F.coalesce(F.col("count"), F.lit(0)).alias("count"),
         )
         .orderBy("bin")
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnosis for a prospective join/groupBy key: the
+    ``top_n`` heaviest key values with their row counts, share of the
+    table, and ratio vs the mean key size — the pre-flight check that
+    decides whether a key needs salting (``salted_group_by``) or an AQE
+    skew-join before a 100-TB shuffle is launched.
+
+    ONE groupBy on the key (exact counts — the same shuffle the real join
+    would pay, at diagnosis time instead of failure time) + a 1-row
+    broadcast of the totals; TakeOrderedAndProject caps the output at
+    ``top_n`` rows. Output: (key cols..., key_rows, share, skew_ratio)
+    ordered heaviest-first. ``skew_ratio`` ~ 1 means uniform; a key whose
+    ratio is k needs ~k-way salting to level its partition.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if top_n < 1:
+        raise ValueError("skew_report: top_n must be >= 1")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_rows"))
+    totals = counts.agg(
+        F.sum("key_rows").alias("__total"),
+        F.avg("key_rows").alias("__mean"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            F.col("key_rows"),
+            (F.col("key_rows") / F.col("__total")).alias("share"),
+            (F.col("key_rows") / F.col("__mean")).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("key_rows"), *keys)
+        .limit(top_n)
+    )
+
+
+def skew_summary(
+    df: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+) -> DataFrame:
+    """One-row key-distribution summary: n_rows, n_keys, max/avg key size
+    and the max/avg skew ratio. The scalar companion to
+    :func:`skew_report` for dashboards and promotion gates."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_rows"))
+    return counts.agg(
+        F.sum("key_rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("key_rows").cast("long").alias("max_key_rows"),
+        F.avg("key_rows").alias("avg_key_rows"),
+        (F.max("key_rows") / F.avg("key_rows")).alias("max_skew_ratio"),
     )
