@@ -89,6 +89,13 @@ HEADLINE = [
     "phrase_search_full",
     "drift_report_full",
     "emb_covariance_full",
+    # r05 web-ingestion wave: WARC shards (built outside the timer from the
+    # corpus text) -> record parse -> HTML extract -> C4 gate, the full
+    # crawl on-ramp in one plan; plus whole-corpus global row numbering
+    # and per-user trailing-hour rolling features over events
+    "warc_html_pipeline_full",
+    "row_ids_full",
+    "rolling_events_full",
 ]
 
 
@@ -519,6 +526,98 @@ def main() -> None:
         )
 
     queries["minhash_incremental_full"] = _minhash_incremental_full
+
+    # WARC shards for the ingestion bench: the documents table wrapped in
+    # HTML + HTTP + WARC framing, 8 gzipped shards (concatenated members,
+    # per the spec). Written once, outside the timer — the measured path is
+    # parse + extract + gate.
+    import gzip as _gzip
+
+    _warc_dir = _tempfile.mkdtemp(prefix="bench_warc_")
+
+    def _build_warc_shards():
+        import duckdb as _duck
+
+        rows = _duck.connect().execute(
+            f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+        shards = 8
+        outs = [open(f"{_warc_dir}/part-{i:03d}.warc.gz", "wb") for i in range(shards)]
+        for doc_id, text in rows:
+            body = (
+                "<html><head><title>Doc %d</title></head><body><p>%s</p>"
+                "<script>var x=1;</script></body></html>"
+                % (doc_id, (text or "").replace(" the ", ".</p><p>"))
+            ).encode()
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            )
+            rec = (
+                (
+                    "WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
+                    f"WARC-Target-URI: http://corpus.example/{doc_id}\r\n"
+                    "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                    "Content-Type: application/http\r\n"
+                    f"Content-Length: {len(http)}\r\n\r\n"
+                ).encode()
+                + http
+                + b"\r\n\r\n"
+            )
+            outs[doc_id % shards].write(_gzip.compress(rec))
+        for f in outs:
+            f.close()
+
+    _build_warc_shards()
+
+    def _warc_html_pipeline_full(spark, sf):
+        # crawl on-ramp in ONE plan: WARC record parse -> HTML text extract
+        # -> C4 line/doc gate -> corpus summary
+        import datachain_spark as dcs
+        from datachain_spark.ops import c4 as _c4
+        from datachain_spark.ops import html as _h
+
+        sess = dcs.Session.get(spark=spark)
+        ch = dcs.read_warc(_warc_dir, session=sess)
+        pages = ch.df.filter(F.col("http_status") == 200).select(
+            "target_uri", F.col("payload").cast("string").alias("html")
+        )
+        ext = _h.html_extract(pages, "target_uri")
+        gated = _c4.c4_clean(ext, "target_uri", with_signals=True)
+        return gated.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("c4_keep").cast("long")).alias("kept"),
+            F.sum("n_kept_lines").alias("kept_lines"),
+        )
+
+    def _row_ids_full(spark, sf):
+        # whole-corpus global numbering: range exchange + per-range
+        # row_number + broadcast offsets (no single-partition window)
+        from datachain_spark.ops.ids import assign_row_ids
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        out = assign_row_ids(docs, ["n_chars", "doc_id"], num_ranges=32)
+        return out.agg(
+            F.count(F.lit(1)).alias("docs"), F.max("row_id").alias("max_id")
+        )
+
+    def _rolling_events_full(spark, sf):
+        # per-user trailing-hour rolling features over ALL events: one
+        # shuffle on user_id, codegen RANGE windows
+        from datachain_spark.ops.timeseries import event_gaps, rolling_stats
+
+        ev = entrymod._chain(spark, sf, "events").df
+        out = rolling_stats(ev, "user_id", "ts", "value", 3600)
+        out = event_gaps(out, "user_id", "ts", tiebreak="event_id")
+        return out.agg(
+            F.count(F.lit(1)).alias("events"),
+            F.avg("rolling3600s_count").alias("avg_window"),
+            F.avg("gap_seconds").alias("avg_gap"),
+        )
+
+    queries["warc_html_pipeline_full"] = _warc_html_pipeline_full
+    queries["row_ids_full"] = _row_ids_full
+    queries["rolling_events_full"] = _rolling_events_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);
