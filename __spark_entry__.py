@@ -6241,6 +6241,44 @@ LIMIT 10
 """
 
 
+def weighted_sample_docs(spark, sf):
+    """Weighted sampling without replacement (ops/selection.weighted_sample
+    — Efraimidis–Spirakis A-ES keys log(u)/w with the deterministic md5
+    uniform): the oracle derives the SAME per-doc uniform in DuckDB and
+    replays the ranking cut, so WHICH 100 docs are drawn (and their keys,
+    rounded) is hash-verified."""
+    from datachain_spark.ops.selection import weighted_sample
+
+    docs = _chain(spark, sf, "documents").df.select("doc_id", "n_chars")
+    out = weighted_sample(docs, "n_chars", 100, "doc_id", seed=7, hash_fn="md5")
+    return out.select(
+        "doc_id", "n_chars",
+        (F.round("sample_key", 6) + F.lit(0.0)).alias("key_r"),
+    ).orderBy("doc_id")
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15)
+              AS BIGINT) AS h
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), keyed AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(h % 2147483648 AS DOUBLE) + 1.0) / 2147483649.0)
+           / CAST(n_chars AS DOUBLE) AS sample_key
+  FROM u
+)
+SELECT doc_id, n_chars, key_r FROM (
+  SELECT doc_id, n_chars, round(sample_key, 6) + 0.0 AS key_r
+  FROM keyed
+  ORDER BY sample_key DESC, doc_id
+  LIMIT 100
+)
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6436,6 +6474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changes_orders": apply_changes_orders,
         "row_ids_orders": row_ids_orders,
         "skew_report_events": skew_report_events,
+        "weighted_sample_docs": weighted_sample_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -6522,6 +6561,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_changes_orders": APPLY_CHANGES_SQL,
         "row_ids_orders": ROW_IDS_SQL,
         "skew_report_events": SKEW_REPORT_SQL,
+        "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

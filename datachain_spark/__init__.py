@@ -35,6 +35,7 @@ from .sources import (
     export_dataset_table,
     listings,
     compact_dataset,
+    vacuum_dataset,
     move_dataset,
     read_csv,
     read_database,
@@ -98,7 +99,7 @@ __all__ = [
     "read_warc",
     "from_values", "from_records", "from_pandas", "from_parquet", "from_csv",
     "from_json", "from_dataset", "from_hf", "from_storage",
-    "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset",
+    "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset", "vacuum_dataset",
     "export_dataset_table",
     "create_project", "delete_namespace",
     "Mapper", "Generator", "Aggregator", "BatchMapper", "AbstractUDF",

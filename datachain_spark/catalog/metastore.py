@@ -471,6 +471,47 @@ class Metastore:
         else:
             shutil.rmtree(self._ds_dir(ns, proj, base), ignore_errors=True)
 
+    def vacuum_dataset(
+        self,
+        name: str,
+        keep_last: int = 3,
+        older_than: Optional[float] = None,
+        dry_run: bool = False,
+    ) -> list[str]:
+        """Retention GC: delete all but the newest ``keep_last`` versions
+        of a dataset (by semver), returning the removed version strings.
+
+        ``older_than`` (seconds) additionally protects recent versions —
+        a version is removed only when it is BOTH past the keep window and
+        older than the grace period, so an aggressive keep_last can't
+        destroy versions still being consumed by a just-launched job.
+        ``dry_run=True`` returns what would be removed without touching
+        storage. The latest version is never removed. Storage-level GC
+        for THIS dataset only: cross-dataset lineage entries are
+        descriptive (the reference's convention) and not a retention lock.
+        No reference counterpart (its SQLite warehouse has no file GC);
+        the write-side complement of ``compact_dataset``.
+        """
+        if keep_last < 1:
+            raise ValueError("vacuum_dataset: keep_last must be >= 1")
+        ns, proj, base = split_name(name)
+        rec = self._read_record(ns, proj, base)
+        if rec is None:
+            raise DatasetNotFoundError(f"dataset not found: {name}")
+        ordered = sorted(
+            rec.versions, key=lambda v: parse_version(v.version), reverse=True
+        )
+        now = time.time()
+        doomed = [
+            v.version
+            for v in ordered[keep_last:]
+            if older_than is None or (now - v.created_at) >= older_than
+        ]
+        if not dry_run:
+            for version in doomed:
+                self.delete_dataset(name, version=version)
+        return doomed
+
     def _drop_bucket_tables(self, versions: list[DatasetVersion]) -> None:
         """Best-effort catalog cleanup for bucketed versions (the files go
         with the data dir; the table entry must not dangle)."""

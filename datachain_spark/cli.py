@@ -70,6 +70,15 @@ def main(argv: list[str] | None = None) -> int:
     p_compact.add_argument("--version", default=None)
     p_compact.add_argument("--target-mb", type=int, default=128)
 
+    p_vacuum = sub.add_parser(
+        "vacuum", help="delete all but the newest N versions of a dataset"
+    )
+    p_vacuum.add_argument("name")
+    p_vacuum.add_argument("--keep-last", type=int, default=3)
+    p_vacuum.add_argument("--older-than", type=float, default=None,
+                          help="grace period in seconds")
+    p_vacuum.add_argument("--dry-run", action="store_true")
+
     sub.add_parser("gc", help="delete leftover session-temp datasets")
     sub.add_parser("clear-cache", help="drop all cached storage listings")
 
@@ -126,6 +135,18 @@ def main(argv: list[str] | None = None) -> int:
             target_file_bytes=args.target_mb << 20,
         )
         print(f"compacted {args.name} -> v{dv.version}")
+        return 0
+
+    if args.cmd == "vacuum":
+        from .catalog.metastore import Metastore
+
+        ms = Metastore(args.metastore or DEFAULT_METASTORE)
+        removed = ms.vacuum_dataset(
+            args.name, keep_last=args.keep_last,
+            older_than=args.older_than, dry_run=args.dry_run,
+        )
+        verb = "would remove" if args.dry_run else "removed"
+        print(f"{verb} {len(removed)} version(s): {', '.join(removed) or '-'}")
         return 0
 
     if args.cmd == "gc":

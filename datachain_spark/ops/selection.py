@@ -357,3 +357,42 @@ def cap_per_group(
         keep = keep & (F.col("__cum") <= token_budget)
         drop.append("__cum")
     return out.filter(keep).drop(*drop)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``n`` rows drawn with
+    probability proportional to ``weight_col`` (Efraimidis–Spirakis A-ES:
+    rank by log(u)/w with u a deterministic per-row uniform from the
+    seeded id hash — retry- and partition-stable, never ``rand()``).
+
+    Rows with NULL or non-positive weight are excluded (they have zero
+    draw probability). The cut is a TakeOrderedAndProject (no global
+    sort); ties break on the id. Adds ``key_col`` (the A-ES rank key) so
+    repeated draws with larger ``n`` are strict supersets — the standard
+    reproducible-subsample contract.
+    """
+    if n < 1:
+        raise ValueError("weighted_sample: n must be >= 1")
+    u = (
+        F.pmod(
+            _seeded_hash64(F.col(id_col).cast("string"), seed, hash_fn),
+            F.lit(2**31),
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**31 + 1))  # u in (0, 1): log stays finite
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col))
+        .limit(n)
+    )

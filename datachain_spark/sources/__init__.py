@@ -4,6 +4,7 @@ from .readers import (
     export_dataset_table,
     listings,
     compact_dataset,
+    vacuum_dataset,
     move_dataset,
     read_csv,
     read_database,
@@ -22,6 +23,6 @@ __all__ = [
     "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
     "read_warc",
-    "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset",
+    "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset", "vacuum_dataset",
     "export_dataset_table",
 ]

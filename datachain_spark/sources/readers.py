@@ -361,6 +361,21 @@ def compact_dataset(
     )
 
 
+def vacuum_dataset(
+    name: str,
+    keep_last: int = 3,
+    older_than: Optional[float] = None,
+    dry_run: bool = False,
+    session: Optional[Session] = None,
+) -> list[str]:
+    """Retention GC: drop all but the newest ``keep_last`` versions (see
+    catalog/metastore.vacuum_dataset); returns removed version strings."""
+    sess = Session.get(session)
+    return sess.metastore.vacuum_dataset(
+        name, keep_last=keep_last, older_than=older_than, dry_run=dry_run
+    )
+
+
 def create_project(
     namespace: str,
     name: str,
