@@ -1066,6 +1066,14 @@ class DataChain:
             _op(self._df, partition_by, time_col, value_col, window_seconds, **kw)
         )
 
+    def weighted_sample(self, weight_col: str, n: int, id_col: str,
+                        **kw: Any) -> "DataChain":
+        """Draw n rows with probability proportional to ``weight_col``
+        (ops/selection.weighted_sample — deterministic A-ES keys)."""
+        from .ops.selection import weighted_sample as _op
+
+        return self._evolve(_op(self._df, weight_col, n, id_col, **kw))
+
     def apply_changes(self, changes: Any, keys: Any, **kw: Any) -> "DataChain":
         """Fold an I/U/D change feed into this snapshot (ops/cdc
         .apply_changes); ``changes`` may be a DataChain or DataFrame."""

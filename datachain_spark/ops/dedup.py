@@ -1377,3 +1377,46 @@ def leakage_safe_split(
             F.lit("train")
         ),
     ).drop("__comp")
+
+
+def lsh_detection_probability(
+    jaccard: float, num_hashes: int, bands: int
+) -> float:
+    """P(two docs with the given Jaccard share >= 1 LSH band bucket):
+    1 - (1 - s^r)^b with r = num_hashes // bands — the closed form behind
+    banding calibration (Mining of Massive Datasets §3.4, public)."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    return 1.0 - (1.0 - jaccard**r) ** bands
+
+
+def lsh_tune(
+    jaccard_threshold: float, num_hashes: int = 128
+) -> dict[str, float]:
+    """Pick the banding whose S-curve midpoint (1/b)^(1/r) sits closest to
+    the target threshold — the calibration step before a full minhash run
+    (the empirical companion is :func:`dedup_eval` on a sample).
+
+    Returns {bands, rows_per_band, midpoint, p_at_threshold}. Driver-side
+    closed form over the divisors of ``num_hashes`` — no data touched.
+    """
+    if not 0 < jaccard_threshold < 1:
+        raise ValueError("lsh_tune: jaccard_threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("lsh_tune: num_hashes must be >= 2")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        mid = (1.0 / b) ** (1.0 / r)
+        if best is None or abs(mid - jaccard_threshold) < abs(best[2] - jaccard_threshold):
+            best = (b, r, mid)
+    b, r, mid = best
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "midpoint": mid,
+        "p_at_threshold": lsh_detection_probability(jaccard_threshold, num_hashes, b),
+    }

@@ -72,3 +72,21 @@ def test_skew_report_multi_key_and_validation(spark):
     assert rep[0]["k"] == "a" and rep[0]["g"] == 1 and rep[0]["key_rows"] == 2
     with pytest.raises(ValueError, match="top_n"):
         skew_report(df, "k", top_n=0)
+
+
+def test_lsh_tune_calibration():
+    from datachain_spark.ops.dedup import lsh_detection_probability, lsh_tune
+
+    t = lsh_tune(0.7, 128)
+    assert t["bands"] * t["rows_per_band"] == 128
+    assert abs(t["midpoint"] - 0.7) < 0.05
+    # S-curve: well above the midpoint detection is near-certain, well
+    # below it is unlikely
+    hi = lsh_detection_probability(0.9, 128, t["bands"])
+    lo = lsh_detection_probability(0.3, 128, t["bands"])
+    assert hi > 0.99 and lo < 0.05
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lsh_tune(1.5)
+    with _pytest.raises(ValueError):
+        lsh_detection_probability(0.5, 10, 3)

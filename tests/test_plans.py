@@ -505,3 +505,29 @@ def test_token_budget_no_single_partition_window(spark, sf_dir):
     assert "rangepartitioning" in plan, "expected a range exchange for the global order"
     joins = join_strategies(df)
     assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+
+
+def test_apply_changes_broadcasts_keys_base_not_shuffled(spark, sf_dir):
+    # the CDC fold must anti-join the base against a BROADCAST of the
+    # reduced change keys — a 100-TB snapshot never shuffles to fold in a
+    # day's changes
+    df = Q["apply_changes_orders"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, "base side shuffled for the anti join"
+
+
+def test_rolling_stats_single_entity_shuffle(spark, sf_dir):
+    # all rolling features + the gap column ride ONE hash exchange on the
+    # entity key (the window frames share the partitioning)
+    df = Q["rolling_events"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") <= 1, (
+        "rolling features re-shuffled the entity key"
+    )
+
+
+def test_weighted_sample_is_top_k_not_global_sort(spark, sf_dir):
+    df = Q["weighted_sample_docs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "A-ES cut fell back to a global sort"
