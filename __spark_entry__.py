@@ -6279,6 +6279,67 @@ ORDER BY doc_id
 """
 
 
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint", True),
+    ("o_custkey", "bigint", True),
+    ("o_orderstatus", "string", False),
+    ("o_orderpriority", "string", False),
+    ("o_totalprice", "double", True),
+]
+
+
+def profile_orders(spark, sf):
+    """One-pass table profiling (ops/profile.profile_table): completeness,
+    exact cardinality, string-cast bounds and moments for five orders
+    columns, ALL from one aggregation unpivoted in-plan (no collect, no
+    per-column scans). The oracle recomputes every statistic per column in
+    DuckDB; moments compare rounded (cross-engine double fold order)."""
+    from datachain_spark.ops.profile import profile_table
+
+    orders = _chain(spark, sf, "orders").df.withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
+    out = profile_table(
+        orders, [c for c, _, _ in _PROFILE_COLS], exact_distinct=True
+    )
+    return out.select(
+        "column", "dtype", "n_rows", "n_nulls", "null_frac", "n_distinct",
+        "min_str", "max_str",
+        (F.round("mean", 3) + F.lit(0.0)).alias("mean_r"),
+        (F.round("stddev", 3) + F.lit(0.0)).alias("stddev_r"),
+    ).orderBy("column")
+
+
+def _profile_sql() -> str:
+    aggs, rows = ["CAST(count(*) AS BIGINT) AS n"], []
+    for i, (c, dtype, numeric) in enumerate(_PROFILE_COLS):
+        expr = f"CAST({c} AS DOUBLE)" if dtype == "double" else c
+        aggs += [
+            f"CAST(count({c}) AS BIGINT) AS nn{i}",
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS d{i}",
+            f"CAST(min({expr}) AS VARCHAR) AS mn{i}",
+            f"CAST(max({expr}) AS VARCHAR) AS mx{i}",
+            (f"avg(CAST({c} AS DOUBLE)) AS avg{i}" if numeric
+             else f"CAST(NULL AS DOUBLE) AS avg{i}"),
+            (f"stddev(CAST({c} AS DOUBLE)) AS sd{i}" if numeric
+             else f"CAST(NULL AS DOUBLE) AS sd{i}"),
+        ]
+        rows.append(
+            f"SELECT '{c}' AS \"column\", '{dtype}' AS dtype, n AS n_rows,"
+            f" n - nn{i} AS n_nulls,"
+            f" CASE WHEN n > 0 THEN CAST(n - nn{i} AS DOUBLE) / n ELSE 0.0 END"
+            f"   AS null_frac,"
+            f" d{i} AS n_distinct, mn{i} AS min_str, mx{i} AS max_str,"
+            f" round(avg{i}, 3) + 0.0 AS mean_r, round(sd{i}, 3) + 0.0 AS stddev_r"
+            f" FROM a"
+        )
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders)\n"
+        + "\nUNION ALL\n".join(rows)
+        + '\nORDER BY "column"'
+    )
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6475,6 +6536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_ids_orders": row_ids_orders,
         "skew_report_events": skew_report_events,
         "weighted_sample_docs": weighted_sample_docs,
+        "profile_orders": profile_orders,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -6562,6 +6624,7 @@ def oracle_sql() -> dict[str, str]:
         "row_ids_orders": ROW_IDS_SQL,
         "skew_report_events": SKEW_REPORT_SQL,
         "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+        "profile_orders": _profile_sql(),
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

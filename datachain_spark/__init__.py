@@ -49,6 +49,7 @@ from .sources import (
     read_values,
     read_warc,
 )
+from .card import dataset_card
 from .schema import DataModel, DataType, ModelStore, Sys, is_chain_type
 from .sources.files import (
     ArrowRow,
@@ -99,7 +100,7 @@ __all__ = [
     "read_warc",
     "from_values", "from_records", "from_pandas", "from_parquet", "from_csv",
     "from_json", "from_dataset", "from_hf", "from_storage",
-    "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset", "vacuum_dataset",
+    "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset", "vacuum_dataset", "dataset_card",
     "export_dataset_table",
     "create_project", "delete_namespace",
     "Mapper", "Generator", "Aggregator", "BatchMapper", "AbstractUDF",

@@ -70,6 +70,11 @@ def main(argv: list[str] | None = None) -> int:
     p_compact.add_argument("--version", default=None)
     p_compact.add_argument("--target-mb", type=int, default=128)
 
+    p_card = sub.add_parser(
+        "card", help="print a markdown dataset card (metadata only, no scan)"
+    )
+    p_card.add_argument("name")
+
     p_vacuum = sub.add_parser(
         "vacuum", help="delete all but the newest N versions of a dataset"
     )
@@ -135,6 +140,18 @@ def main(argv: list[str] | None = None) -> int:
             target_file_bytes=args.target_mb << 20,
         )
         print(f"compacted {args.name} -> v{dv.version}")
+        return 0
+
+    if args.cmd == "card":
+        from .card import dataset_card
+        from .catalog.metastore import Metastore
+
+        ms = Metastore(args.metastore or DEFAULT_METASTORE)
+
+        class _MsOnly:  # card needs only .metastore — no Spark spin-up
+            metastore = ms
+
+        print(dataset_card(args.name, session=_MsOnly()), end="")
         return 0
 
     if args.cmd == "vacuum":

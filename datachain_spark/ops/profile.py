@@ -1,0 +1,106 @@
+"""One-pass table profiling: per-column completeness / cardinality /
+bounds / moments — the dbt-profile / "describe" surface, built scale-first.
+
+Shape: ONE aggregation over the data computes every statistic for every
+profiled column (map-side partial merge; the shuffle carries one partial
+row per partition), then the single aggregate row is unpivoted in-plan to
+one output row per column — no collect, no per-column scans, no second
+pass. ``exact_distinct=True`` swaps approx_count_distinct (HLL, default —
+the only sane choice at 100 TB) for exact distinct counts (one expand —
+used by the cross-engine oracle, where HLL binaries differ).
+
+No reference counterpart (spec addition; complements corpus_stats which
+profiles text specifically).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Profile columns into (column, dtype, n_rows, n_nulls, null_frac,
+    n_distinct, min_str, max_str, mean, stddev) rows.
+
+    ``mean``/``stddev`` are NULL for non-numeric columns; ``min_str``/
+    ``max_str`` are string-cast so heterogeneous columns share one output
+    schema. NULLs are excluded from distinct counts (the SQL convention).
+    Complex-typed columns (array/map/struct) are skipped.
+    """
+    cols = list(columns) if columns is not None else df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in fields]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    cols = [
+        c for c in cols
+        if not isinstance(fields[c], (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if not cols:
+        raise ValueError("profile_table: no scalar columns to profile")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        distinct = (
+            F.count_distinct(col) if exact_distinct
+            else F.approx_count_distinct(col)
+        )
+        aggs += [
+            F.count(col).alias(f"__nn{i}"),
+            distinct.alias(f"__d{i}"),
+            F.min(col).cast("string").alias(f"__mn{i}"),
+            F.max(col).cast("string").alias(f"__mx{i}"),
+        ]
+        if isinstance(fields[c], _NUMERIC):
+            aggs += [
+                F.avg(col.cast("double")).alias(f"__avg{i}"),
+                F.stddev(col.cast("double")).alias(f"__sd{i}"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("double").alias(f"__avg{i}"),
+                F.lit(None).cast("double").alias(f"__sd{i}"),
+            ]
+    one = df.agg(*aggs)
+
+    # unpivot the single aggregate row in-plan: stack() emits one row per
+    # column, all stats typed consistently across stack groups
+    groups = []
+    for i, c in enumerate(cols):
+        groups += [
+            F.lit(c), F.lit(fields[c].simpleString()),
+            F.col(f"__nn{i}"), F.col(f"__d{i}"),
+            F.col(f"__mn{i}"), F.col(f"__mx{i}"),
+            F.col(f"__avg{i}"), F.col(f"__sd{i}"),
+        ]
+    stacked = one.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(
+            F.lit(len(cols)), *groups
+        ).alias("column", "dtype", "__nn", "n_distinct", "min_str", "max_str",
+                "mean", "stddev"),
+    )
+    return stacked.select(
+        "column", "dtype",
+        F.col("n_rows").cast("long"),
+        (F.col("n_rows") - F.col("__nn")).cast("long").alias("n_nulls"),
+        F.when(F.col("n_rows") > 0,
+               (F.col("n_rows") - F.col("__nn")) / F.col("n_rows"))
+        .otherwise(F.lit(0.0)).alias("null_frac"),
+        F.col("n_distinct").cast("long"),
+        "min_str", "max_str", "mean", "stddev",
+    )
