@@ -6293,7 +6293,11 @@ def profile_orders(spark, sf):
     exact cardinality, string-cast bounds and moments for five orders
     columns, ALL from one aggregation unpivoted in-plan (no collect, no
     per-column scans). The oracle recomputes every statistic per column in
-    DuckDB; moments compare rounded (cross-engine double fold order)."""
+    DuckDB; moments compare as 6-significant-digit scientific strings — a
+    RELATIVE comparison, so cross-engine double fold-order error (~1e-13
+    relative) stays far below the 5e-7 comparison granularity at every
+    scale factor (an absolute round(x, 3) would flake once sums exceed
+    2^53, ~sf 45 for o_orderkey)."""
     from datachain_spark.ops.profile import profile_table
 
     orders = _chain(spark, sf, "orders").df.withColumn(
@@ -6305,8 +6309,13 @@ def profile_orders(spark, sf):
     return out.select(
         "column", "dtype", "n_rows", "n_nulls", "null_frac", "n_distinct",
         "min_str", "max_str",
-        (F.round("mean", 3) + F.lit(0.0)).alias("mean_r"),
-        (F.round("stddev", 3) + F.lit(0.0)).alias("stddev_r"),
+        # format_string renders SQL NULL as the string 'null'; DuckDB's
+        # printf propagates NULL — guard so both emit SQL NULL
+        F.when(F.col("mean").isNotNull(), F.format_string("%.6e", F.col("mean")))
+        .alias("mean_r"),
+        F.when(
+            F.col("stddev").isNotNull(), F.format_string("%.6e", F.col("stddev"))
+        ).alias("stddev_r"),
     ).orderBy("column")
 
 
@@ -6330,7 +6339,8 @@ def _profile_sql() -> str:
             f" CASE WHEN n > 0 THEN CAST(n - nn{i} AS DOUBLE) / n ELSE 0.0 END"
             f"   AS null_frac,"
             f" d{i} AS n_distinct, mn{i} AS min_str, mx{i} AS max_str,"
-            f" round(avg{i}, 3) + 0.0 AS mean_r, round(sd{i}, 3) + 0.0 AS stddev_r"
+            f" printf('%.6e', avg{i}) AS mean_r,"
+            f" printf('%.6e', sd{i}) AS stddev_r"
             f" FROM a"
         )
     return (

@@ -35,6 +35,8 @@ def dataset_card(name: str, session: Optional[Session] = None) -> str:
     if rec is None:
         raise DatasetNotFoundError(f"dataset not found: {name}")
     latest = rec.latest_version()
+    if latest is None:
+        raise DatasetNotFoundError(f"dataset has no versions: {name}")
     lines = [f"# {rec.full_name}", ""]
     if rec.description:
         lines += [rec.description, ""]

@@ -144,14 +144,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "card":
         from .card import dataset_card
-        from .catalog.metastore import Metastore
+        from .session import Session
 
-        ms = Metastore(args.metastore or DEFAULT_METASTORE)
-
-        class _MsOnly:  # card needs only .metastore — no Spark spin-up
-            metastore = ms
-
-        print(dataset_card(args.name, session=_MsOnly()), end="")
+        # Session.spark is lazy — a metadata-only card never boots the JVM.
+        sess = Session(metastore_dir=args.metastore or DEFAULT_METASTORE)
+        print(dataset_card(args.name, session=sess), end="")
         return 0
 
     if args.cmd == "vacuum":

@@ -1385,6 +1385,10 @@ def lsh_detection_probability(
     """P(two docs with the given Jaccard share >= 1 LSH band bucket):
     1 - (1 - s^r)^b with r = num_hashes // bands — the closed form behind
     banding calibration (Mining of Massive Datasets §3.4, public)."""
+    if not 0.0 <= jaccard <= 1.0:
+        raise ValueError("lsh_detection_probability: jaccard must be in [0, 1]")
+    if bands < 1 or num_hashes < 1:
+        raise ValueError("lsh_detection_probability: bands/num_hashes must be >= 1")
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands

@@ -374,16 +374,23 @@ def weighted_sample(
     seeded id hash — retry- and partition-stable, never ``rand()``).
 
     Rows with NULL or non-positive weight are excluded (they have zero
-    draw probability). The cut is a TakeOrderedAndProject (no global
-    sort); ties break on the id. Adds ``key_col`` (the A-ES rank key) so
-    repeated draws with larger ``n`` are strict supersets — the standard
+    draw probability). ``id_col`` must be non-NULL — a NULL id has no
+    deterministic uniform, so the draw would be silently biased; the job
+    fails loudly if one appears (the check is an in-expression guard, not
+    an extra scan). The cut is a TakeOrderedAndProject (no global sort);
+    ties break on the id. Adds ``key_col`` (the A-ES rank key) so repeated
+    draws with larger ``n`` are strict supersets — the standard
     reproducible-subsample contract.
     """
     if n < 1:
         raise ValueError("weighted_sample: n must be >= 1")
+    id_str = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"weighted_sample: NULL value in id_col {id_col!r}")),
+    ).otherwise(F.col(id_col).cast("string"))
     u = (
         F.pmod(
-            _seeded_hash64(F.col(id_col).cast("string"), seed, hash_fn),
+            _seeded_hash64(id_str, seed, hash_fn),
             F.lit(2**31),
         ).cast("double")
         + F.lit(1.0)

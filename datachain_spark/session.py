@@ -65,8 +65,10 @@ class Session:
         metastore_dir: str = DEFAULT_METASTORE,
         name: str = "",
     ):
-        self._owns_spark = spark is None
-        self.spark = spark or default_spark_builder().getOrCreate()
+        # Lazy: metadata-only entry points (dataset_card, vacuum_dataset,
+        # CLI card/vacuum) must not boot a JVM just to read a manifest.
+        self._spark: Optional[SparkSession] = spark
+        self._owns_spark = False
         self.metastore_dir = metastore_dir
         self.name = name or f"session_{uuid.uuid4().hex[:8]}"
         self._temp_datasets: list[str] = []
@@ -74,6 +76,15 @@ class Session:
 
         self.metastore = Metastore(metastore_dir)
         atexit.register(self._cleanup_temp)
+
+    @property
+    def spark(self) -> SparkSession:
+        """The SparkSession, created on first use (so metastore-only flows
+        never pay the JVM spin-up)."""
+        if self._spark is None:
+            self._spark = default_spark_builder().getOrCreate()
+            self._owns_spark = True
+        return self._spark
 
     @classmethod
     def get(
@@ -88,7 +99,7 @@ class Session:
             # (e.g. the driver harness passes its own spark).
             active = spark or SparkSession.getActiveSession()
             cls._global = cls(spark=active)
-        elif spark is not None and cls._global.spark is not spark:
+        elif spark is not None and cls._global._spark is not spark:
             cls._global = cls(spark=spark)
         return cls._global
 
@@ -119,7 +130,7 @@ class Session:
 
     def stop(self) -> None:
         self._cleanup_temp()
-        if self._owns_spark:
-            self.spark.stop()
+        if self._owns_spark and self._spark is not None:
+            self._spark.stop()
         if Session._global is self:
             Session._global = None

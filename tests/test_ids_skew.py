@@ -90,3 +90,10 @@ def test_lsh_tune_calibration():
         lsh_tune(1.5)
     with _pytest.raises(ValueError):
         lsh_detection_probability(0.5, 10, 3)
+    # domain guards: ValueError (never ZeroDivisionError) on bad inputs
+    with _pytest.raises(ValueError):
+        lsh_detection_probability(0.5, 128, 0)
+    with _pytest.raises(ValueError):
+        lsh_detection_probability(1.5, 128, 16)
+    with _pytest.raises(ValueError):
+        lsh_detection_probability(0.5, 128, -4)

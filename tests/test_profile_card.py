@@ -23,12 +23,17 @@ def test_profile_values(spark):
     assert prof["v"]["mean"] == pytest.approx(7.0 / 3)
 
 
-def test_profile_single_aggregation_plan(spark):
-    df = spark.range(100).withColumn("s", F.col("id").cast("string"))
-    prof = profile_table(df)
+def test_profile_single_aggregation_plan(spark, tmp_path):
+    # a real file source so the scan is visible in the physical plan —
+    # spark.range() renders as 'Range' and would make a scan-count
+    # assertion vacuously true
+    p = str(tmp_path / "prof.parquet")
+    spark.range(100).withColumn("s", F.col("id").cast("string")).write.parquet(p)
+    prof = profile_table(spark.read.parquet(p))
     plan = prof._jdf.queryExecution().executedPlan().toString()
-    # one scan, one aggregate tree - never a per-column re-scan
-    assert plan.count("Scan ") <= 1 or plan.count("Range") <= 2
+    # exactly one scan of the source, one aggregate tree — never a
+    # per-column re-scan
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_profile_skips_complex_and_validates(spark):
@@ -59,6 +64,18 @@ def test_dataset_card_contents(session):
     assert "stage=raw" in md and "```json" in md
     with pytest.raises(Exception, match="not found"):
         dcs.dataset_card("nope_ds", session=session)
+
+
+def test_session_spark_is_lazy(tmp_path):
+    # metadata-only flows (dataset_card, vacuum, CLI card) must not boot
+    # a JVM: Session.spark materializes on first use only
+    from datachain_spark.session import Session
+
+    sess = Session(metastore_dir=str(tmp_path / "ms"))
+    assert sess._spark is None
+    sess.metastore.list_datasets()  # metastore works without spark
+    assert sess._spark is None
+    sess.stop()  # no-op on the never-materialized spark
 
 
 def test_dataset_card_cli(session):

@@ -56,6 +56,28 @@ def test_weighted_sample_skips_nonpositive_weights(spark):
         weighted_sample(df, "w", 0, "id")
 
 
+def test_weighted_sample_null_id_fails_loudly(spark):
+    # a NULL id has no deterministic uniform -> silently biased draw;
+    # the in-expression guard must fail the job instead
+    df = spark.createDataFrame(
+        [(1, 5.0), (None, 3.0), (2, 2.0)], "id int, w double"
+    )
+    with pytest.raises(Exception, match="NULL value in id_col"):
+        weighted_sample(df, "w", 2, "id").collect()
+
+
+def test_dataset_card_empty_versions(session, tmp_path):
+    # a manifest with zero versions -> clean error, not AttributeError
+    from datachain_spark.catalog.metastore import DatasetNotFoundError
+
+    dcs.read_values(k=[1], session=session).save("card_empty")
+    rec = session.metastore.get_record("card_empty")
+    rec.versions.clear()
+    session.metastore._write_record(rec)
+    with pytest.raises(DatasetNotFoundError, match="no versions"):
+        dcs.dataset_card("card_empty", session=session)
+
+
 # ------------------------------------------------------------- vacuum ----
 
 def _mk_versions(session, name, n):
