@@ -3576,6 +3576,45 @@ def database_roundtrip(spark, sf):
     return back.order_by("doc_id").df
 
 
+def orc_roundtrip(spark, sf):
+    """Sink->source fidelity for ORC (chain.to_orc -> read_orc): the
+    Hive-warehouse interchange format must reproduce the original rows
+    bit-for-bit — oracled against the ORIGINAL table so loss in either
+    direction fails the hash. sort_by exercises the within-file stripe
+    clustering path."""
+    import tempfile
+
+    sess = Session.get(spark=spark)
+    ch = (
+        _chain(spark, sf, "documents")
+        .filter(C.doc_id < 100)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    d = tempfile.mkdtemp(prefix="dc_orc_rt_")
+    ch.to_orc(d + "/docs_orc", sort_by=["doc_id"])
+    from datachain_spark.sources.readers import read_orc
+
+    back = read_orc(d + "/docs_orc", session=sess)
+    return back.order_by("doc_id").df
+
+
+def text_roundtrip(spark, sf):
+    """Plain-text line fidelity (chain.to_text_dir -> read_text(lines=True)):
+    one line per row out, one row per line back, every executor writing and
+    reading its own partitions — oracled against the original nation names."""
+    import tempfile
+
+    sess = Session.get(spark=spark)
+    d = tempfile.mkdtemp(prefix="dc_txt_rt_")
+    _chain(spark, sf, "nation").select("n_name").to_text_dir(
+        d + "/names", column="n_name"
+    )
+    from datachain_spark.sources.readers import read_text
+
+    back = read_text(d + "/names", lines=True, column="n_name", session=sess)
+    return back.order_by("n_name").df
+
+
 def ann_ivf_cells(spark, sf):
     """IVF coarse-quantizer assignment (ops/similarity.assign_ivf_cells):
     every corpus vector lands in its argmin-cosine centroid cell. Centroids
@@ -6429,6 +6468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": jsonl_roundtrip,
         "parquet_partition_roundtrip": parquet_partition_roundtrip,
         "database_roundtrip": database_roundtrip,
+        "orc_roundtrip": orc_roundtrip,
+        "text_roundtrip": text_roundtrip,
         "save_version_pinned": save_version_pinned,
         # -- (4) promoted from rows-only to real oracles this round
         "save_read_roundtrip": save_read_roundtrip_ro,
@@ -6704,5 +6745,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "parquet_partition_roundtrip": _ROUNDTRIP_SQL,
         "database_roundtrip": _ROUNDTRIP_SQL,
+        "orc_roundtrip": _ROUNDTRIP_SQL,
+        "text_roundtrip": "SELECT n_name FROM nation ORDER BY n_name",
         "save_version_pinned": SAVE_VERSION_SQL,
     }

@@ -42,6 +42,9 @@ from .sources import (
     read_dataset,
     read_hf,
     read_json,
+    read_orc,
+    read_avro,
+    read_text,
     read_pandas,
     read_parquet,
     read_records,
@@ -97,7 +100,7 @@ __all__ = [
     "DatasetPrepareError", "Session", "Sys",
     "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
-    "read_warc",
+    "read_warc", "read_orc", "read_avro", "read_text",
     "from_values", "from_records", "from_pandas", "from_parquet", "from_csv",
     "from_json", "from_dataset", "from_hf", "from_storage",
     "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset", "vacuum_dataset", "dataset_card",

@@ -1393,6 +1393,50 @@ class DataChain:
             w = w.partitionBy(*partition_cols)
         w.parquet(path)
 
+    def to_orc(
+        self,
+        path: str,
+        partition_cols: Optional[Sequence[str]] = None,
+        mode: str = "overwrite",
+        sort_by: Optional[Sequence[str]] = None,
+        max_records_per_file: Optional[int] = None,
+    ) -> None:
+        """Distributed ORC export — the Hive-warehouse sibling of
+        :meth:`to_parquet` (same partitioned layout, same within-file
+        ``sort_by`` clustering so ORC stripe min/max prunes downstream
+        scans, same ``max_records_per_file`` split-evenness bound)."""
+        df = self._df
+        if sort_by:
+            keys = ([*partition_cols] if partition_cols else []) + list(sort_by)
+            df = df.sortWithinPartitions(*keys)
+        w = df.write.mode(mode)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", int(max_records_per_file))
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.orc(path)
+
+    def to_avro(self, path: str, mode: str = "overwrite") -> None:
+        """Avro export via the external ``spark-avro`` module (import-gated
+        like :func:`read_avro` — a clear error names the missing jar)."""
+        try:
+            self._df.write.mode(mode).format("avro").save(path)
+        except Exception as exc:  # noqa: BLE001
+            if "avro" in str(exc).lower() and "find" in str(exc).lower():
+                raise ImportError(
+                    "to_avro requires the spark-avro module on the Spark "
+                    "classpath (--packages org.apache.spark:spark-avro_2.13:<ver>)"
+                ) from exc
+            raise
+
+    def to_text_dir(self, path: str, column: str = "text", mode: str = "overwrite") -> None:
+        """Distributed plain-text export: one line per row from a single
+        string column (every executor writes its partitions). The inverse
+        of ``read_text(lines=True)``."""
+        self._df.select(F.col(column).cast("string").alias("value")).write.mode(
+            mode
+        ).text(path)
+
     def to_csv(
         self,
         path: str,

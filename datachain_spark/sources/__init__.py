@@ -11,6 +11,9 @@ from .readers import (
     read_dataset,
     read_hf,
     read_json,
+    read_orc,
+    read_avro,
+    read_text,
     read_pandas,
     read_parquet,
     read_records,
@@ -22,6 +25,7 @@ from .warc import read_warc
 __all__ = [
     "read_values", "read_records", "read_pandas", "read_parquet", "read_csv",
     "read_json", "read_dataset", "read_database", "read_hf", "read_storage",
+    "read_orc", "read_avro", "read_text",
     "read_warc",
     "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset", "vacuum_dataset",
     "export_dataset_table",

@@ -119,6 +119,75 @@ def read_parquet(
     return DataChain(df, sess, dependencies=[{"storage": p} for p in paths])
 
 
+def read_orc(
+    path: Union[str, Sequence[str]],
+    session: Optional[Session] = None,
+    **options: Any,
+) -> DataChain:
+    """Columnar ORC scan — same pushdown/pruning guarantees as
+    :func:`read_parquet` (ORC carries min/max + bloom indexes Spark's
+    reader uses natively). No reference counterpart (spec addition: Hive
+    warehouses hand corpora over as ORC as often as parquet)."""
+    sess = Session.get(session)
+    paths = [path] if isinstance(path, str) else list(path)
+    df = sess.spark.read.options(**options).orc(*paths)
+    return DataChain(df, sess, dependencies=[{"storage": p} for p in paths])
+
+
+def read_avro(
+    path: Union[str, Sequence[str]],
+    session: Optional[Session] = None,
+    **options: Any,
+) -> DataChain:
+    """Avro scan via Spark's external ``spark-avro`` module. Import-gated:
+    the jar ships with Spark distributions but is not on the classpath in
+    this container — a clear error names the missing package instead of
+    Spark's generic 'failed to find data source'."""
+    sess = Session.get(session)
+    paths = [path] if isinstance(path, str) else list(path)
+    try:
+        df = sess.spark.read.format("avro").options(**options).load(paths)
+    except Exception as exc:  # noqa: BLE001
+        if "avro" in str(exc).lower() and "find" in str(exc).lower():
+            raise ImportError(
+                "read_avro requires the spark-avro module on the Spark "
+                "classpath (--packages org.apache.spark:spark-avro_2.13:<ver>)"
+            ) from exc
+        raise
+    return DataChain(df, sess, dependencies=[{"storage": p} for p in paths])
+
+
+def read_text(
+    path: Union[str, Sequence[str]],
+    lines: bool = True,
+    column: str = "text",
+    include_path: bool = False,
+    session: Optional[Session] = None,
+    **options: Any,
+) -> DataChain:
+    """Plain-text scan: one row per LINE (``lines=True``, the log/corpus
+    default — splits happen executor-side, a 100-TB directory reads as
+    ordinary partitioned input) or one row per FILE (``lines=False``,
+    Spark's ``wholetext`` — for small-document trees where the file is the
+    unit). ``include_path`` adds the source path column (provenance).
+    No reference counterpart for the line mode (its File API reads whole
+    objects; see sources/files.py for that surface)."""
+    sess = Session.get(session)
+    paths = [path] if isinstance(path, str) else list(path)
+    # NOTE: .text()'s own wholetext keyword (default False) overrides any
+    # reader-level option("wholetext", ...) — it must go via the keyword
+    df = (
+        sess.spark.read.options(**options)
+        .text(list(paths), wholetext=not lines)
+        .withColumnRenamed("value", column)
+    )
+    if include_path:
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("path", F.input_file_name())
+    return DataChain(df, sess, dependencies=[{"storage": p} for p in paths])
+
+
 def read_csv(
     path: Union[str, Sequence[str]],
     delimiter: Optional[str] = None,
