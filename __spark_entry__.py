@@ -6318,6 +6318,123 @@ ORDER BY doc_id
 """
 
 
+_STRAT_WEIGHTS = [0.8, 0.1, 0.1]
+
+
+def _strat_boundaries() -> list[float]:
+    # the SAME float accumulation stratified_split performs, so the SQL
+    # literals below are bit-identical to the Spark-side F.lit() doubles
+    # (0.8 + 0.1 != 0.9 exactly; embedding repr() keeps floor() in lockstep)
+    total = float(sum(_STRAT_WEIGHTS))
+    cum, out = 0.0, []
+    for w in _STRAT_WEIGHTS[:-1]:
+        cum += w / total
+        out.append(cum)
+    return out
+
+
+def stratified_split_docs(spark, sf):
+    """Exact per-stratum 80/10/10 split (ops/splits.stratified_split, md5):
+    rows ranked within each language by the seeded md5 hash, cut at
+    floor(c*n) boundaries. The oracle replays rank + boundaries with the
+    identical float literals, so every row's split label hash-matches."""
+    from datachain_spark.ops.splits import stratified_split
+
+    docs = _chain(spark, sf, "documents").df.select("doc_id", "lang")
+    out = stratified_split(
+        docs, "lang", _STRAT_WEIGHTS, "doc_id", seed=42, hash_fn="md5"
+    )
+    return out.select("doc_id", "lang", "split").orderBy("doc_id")
+
+
+def _stratified_sql() -> str:
+    c1, c2 = _strat_boundaries()
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                           1, 15) AS BIGINT), doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rn <= floor({c1!r} * n) THEN 'train'
+            WHEN rn <= floor({c2!r} * n) THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked ORDER BY doc_id
+"""
+
+
+def kfold_docs(spark, sf):
+    """Stratum-balanced k-fold assignment (ops/splits.kfold_assign, md5):
+    round-robin folds over the hash-ranked order within each language —
+    every language contributes to every fold as evenly as integers allow.
+    The oracle replays the rank and the modulo."""
+    from datachain_spark.ops.splits import kfold_assign
+
+    docs = _chain(spark, sf, "documents").df.select("doc_id", "lang")
+    out = kfold_assign(docs, "doc_id", 5, strata_cols="lang", hash_fn="md5")
+    return out.select("doc_id", "lang", "fold").orderBy("doc_id")
+
+
+KFOLD_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                           1, 15) AS BIGINT), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, CAST((rn - 1) % 5 AS INT) AS fold
+FROM ranked ORDER BY doc_id
+"""
+
+
+def calibrate_scores_docs(spark, sf):
+    """Per-language percentile calibration (ops/selection.calibrate_scores):
+    each doc's n_chars-based score becomes its percent-rank within its
+    language (ties share a percentile, NULL scores stay NULL, singleton
+    groups -> 0.0). Every-7th doc's score is nulled to exercise the NULL
+    path. Rank and count are integers, the one division is double in both
+    engines — percentiles hash-match without rounding."""
+    from datachain_spark.ops.selection import calibrate_scores
+
+    docs = _chain(spark, sf, "documents").df.select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 7 != 0, F.col("n_chars").cast("double"))
+        .alias("score"),
+    )
+    out = calibrate_scores(docs, "score", "lang")
+    return out.select("doc_id", "lang", "score", "score_pct").orderBy("doc_id")
+
+
+CALIBRATE_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 != 0 THEN CAST(n_chars AS DOUBLE) END AS score
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, score,
+         rank() OVER (PARTITION BY lang ORDER BY score ASC NULLS FIRST) AS rnk,
+         count(score) OVER (PARTITION BY lang) AS n_nonnull,
+         count(*) OVER (PARTITION BY lang)
+           - count(score) OVER (PARTITION BY lang) AS n_nulls
+  FROM scored
+)
+SELECT doc_id, lang, score,
+       CASE WHEN score IS NULL THEN NULL
+            WHEN n_nonnull <= 1 THEN 0.0
+            ELSE CAST(rnk - n_nulls - 1 AS DOUBLE) / (n_nonnull - 1)
+       END AS score_pct
+FROM ranked ORDER BY doc_id
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint", True),
     ("o_custkey", "bigint", True),
@@ -6588,6 +6705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_events": skew_report_events,
         "weighted_sample_docs": weighted_sample_docs,
         "profile_orders": profile_orders,
+        "stratified_split_docs": stratified_split_docs,
+        "kfold_docs": kfold_docs,
+        "calibrate_scores_docs": calibrate_scores_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -6747,5 +6867,8 @@ def oracle_sql() -> dict[str, str]:
         "database_roundtrip": _ROUNDTRIP_SQL,
         "orc_roundtrip": _ROUNDTRIP_SQL,
         "text_roundtrip": "SELECT n_name FROM nation ORDER BY n_name",
+        "stratified_split_docs": _stratified_sql(),
+        "kfold_docs": KFOLD_SQL,
+        "calibrate_scores_docs": CALIBRATE_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
     }

@@ -1074,6 +1074,29 @@ class DataChain:
 
         return self._evolve(_op(self._df, weight_col, n, id_col, **kw))
 
+    def stratified_split(self, strata_cols: Any, weights: Sequence[float],
+                         id_col: str, **kw: Any) -> "DataChain":
+        """Exact per-stratum train/val/test proportions via hash-ranked
+        cuts (ops/splits.stratified_split); adds a split label column."""
+        from .ops.splits import stratified_split as _op
+
+        return self._evolve(_op(self._df, strata_cols, weights, id_col, **kw))
+
+    def kfold_assign(self, id_col: str, k: int, **kw: Any) -> "DataChain":
+        """Deterministic k-fold ids, optionally exactly balanced within
+        strata (ops/splits.kfold_assign)."""
+        from .ops.splits import kfold_assign as _op
+
+        return self._evolve(_op(self._df, id_col, k, **kw))
+
+    def calibrate_scores(self, score_col: str, group_cols: Any = None,
+                         **kw: Any) -> "DataChain":
+        """Percent-rank a raw score within each group so one global
+        threshold works across groups (ops/selection.calibrate_scores)."""
+        from .ops.selection import calibrate_scores as _op
+
+        return self._evolve(_op(self._df, score_col, group_cols, **kw))
+
     def apply_changes(self, changes: Any, keys: Any, **kw: Any) -> "DataChain":
         """Fold an I/U/D change feed into this snapshot (ops/cdc
         .apply_changes); ``changes`` may be a DataChain or DataFrame."""

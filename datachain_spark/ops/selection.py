@@ -403,3 +403,47 @@ def weighted_sample(
         .orderBy(F.col(key_col).desc(), F.col(id_col))
         .limit(n)
     )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str,
+    group_cols=None,
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Per-group percentile calibration of a raw score: ``out_col`` is the
+    score's percent-rank in [0, 1] WITHIN its group, so one global
+    threshold works across groups whose raw-score scales differ (the
+    classic per-language quality-score problem — a perplexity of 500 is
+    great for Finnish and terrible for English).
+
+    Semantics: rank-based (ties share a percentile, like SQL
+    percent_rank); NULL scores get NULL (they carry no evidence — route
+    them with an explicit filter); a single-score group calibrates to 0.0.
+    One window shuffle keyed on the group columns; NULL group values form
+    their own group. Deterministic — same inputs, same percentiles, any
+    partitioning. Replayable in DuckDB (rank + count share definitions),
+    so cross-engine hash-verifiable without an md5 variant.
+    """
+    from pyspark.sql.window import Window
+
+    groups = (
+        [] if group_cols is None
+        else [group_cols] if isinstance(group_cols, str)
+        else list(group_cols)
+    )
+    score = F.col(score_col)
+    # NULLS FIRST so null rows occupy ranks 1..n_nulls and rank() (not
+    # dense_rank) puts the first non-null at n_nulls + 1: subtracting the
+    # null count yields percent_rank over the non-null subset exactly
+    w_ord = Window.partitionBy(*groups).orderBy(score.asc_nulls_first())
+    w_all = Window.partitionBy(*groups)
+    n_nonnull = F.count(score).over(w_all)
+    n_nulls = F.count(F.lit(1)).over(w_all) - n_nonnull
+    adj = F.rank().over(w_ord) - n_nulls
+    pct = (
+        F.when(score.isNull(), F.lit(None).cast("double"))
+        .when(n_nonnull <= 1, F.lit(0.0))
+        .otherwise((adj - F.lit(1)).cast("double") / (n_nonnull - F.lit(1)))
+    )
+    return df.withColumn(out_col, pct)
