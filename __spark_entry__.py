@@ -6435,6 +6435,51 @@ FROM ranked ORDER BY doc_id
 """
 
 
+# (header hex, doc_id % 8 selector) for the sniff_mime fixture — shared
+# verbatim with the oracle CASE so both engines build identical payloads
+_MIME_HEADERS = [
+    ("FFD8FF", "image/jpeg"),
+    ("89504E470D0A1A0A", "image/png"),
+    ("1F8B", "application/gzip"),
+    ("524946460000000057415645", "audio/wav"),
+    ("0000001866747970", "video/mp4"),
+    ("25504446", "application/pdf"),
+    ("", "application/octet-stream"),
+    ("504B0304", "application/zip"),
+]
+
+
+def sniff_mime_docs(spark, sf):
+    """Magic-byte MIME detection (ops/multimodal.sniff_mime): each doc's
+    text bytes get one of 8 real container headers prepended (JPEG, PNG,
+    gzip, RIFF/WAVE, ISO-BMFF ftyp, PDF, none, ZIP) by doc_id mod 8; the
+    operator must classify every payload from bytes alone. The oracle
+    knows each row's ground-truth type BY CONSTRUCTION (the selector that
+    chose the header) — Spark has to recover it from the bytes, so a wrong
+    signature table, offset, or hex-case assumption fails the hash."""
+    from datachain_spark.ops.multimodal import sniff_mime
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
+    hdr = F.lit(_MIME_HEADERS[-1][0])
+    for i, (hx, _) in enumerate(_MIME_HEADERS[:-1]):
+        hdr = F.when(F.col("doc_id") % 8 == i, F.lit(hx)).otherwise(hdr)
+    payload = F.concat(F.unhex(hdr), F.encode("text", "utf-8"))
+    b = docs.select("doc_id", payload.alias("content"))
+    return sniff_mime(b).select("doc_id", "mime").orderBy("doc_id")
+
+
+def _sniff_sql() -> str:
+    mime_case = " ".join(
+        f"WHEN doc_id % 8 = {i} THEN '{m}'" for i, (_, m) in enumerate(_MIME_HEADERS)
+    )
+    # ground truth comes from the header SELECTOR, not a replay of the
+    # detection logic — the Spark side must recover it from raw bytes
+    return f"""
+SELECT doc_id, CASE {mime_case} END AS mime
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint", True),
     ("o_custkey", "bigint", True),
@@ -6708,6 +6753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split_docs": stratified_split_docs,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
+        "sniff_mime_docs": sniff_mime_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -6870,5 +6916,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_split_docs": _stratified_sql(),
         "kfold_docs": KFOLD_SQL,
         "calibrate_scores_docs": CALIBRATE_SQL,
+        "sniff_mime_docs": _sniff_sql(),
         "save_version_pinned": SAVE_VERSION_SQL,
     }

@@ -1074,6 +1074,13 @@ class DataChain:
 
         return self._evolve(_op(self._df, weight_col, n, id_col, **kw))
 
+    def sniff_mime(self, data_col: str = "content", **kw: Any) -> "DataChain":
+        """Magic-byte content-type detection on a binary column
+        (ops/multimodal.sniff_mime) — zero-shuffle codegen expressions."""
+        from .ops.multimodal import sniff_mime as _op
+
+        return self._evolve(_op(self._df, data_col, **kw))
+
     def stratified_split(self, strata_cols: Any, weights: Sequence[float],
                          id_col: str, **kw: Any) -> "DataChain":
         """Exact per-stratum train/val/test proportions via hash-ranked
