@@ -6480,6 +6480,121 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 """
 
 
+def extract_links_docs(spark, sf):
+    """Anchor-href edge extraction (ops/html.extract_links): each doc gets
+    a fabricated page with one absolute link and (for every third doc) one
+    single-quoted relative link; the operator's regexp + posexplode must
+    recover (doc_id, pos, url) exactly. Oracle shares LINK_PATTERN verbatim
+    (RE2-compatible) and replays with unnest WITH ORDINALITY."""
+    from datachain_spark.ops.html import extract_links
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
+    html = F.concat(
+        F.lit("<p>"), F.col("text"), F.lit('</p><a href="http://ex.com/'),
+        F.col("doc_id").cast("string"), F.lit('">x</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("<a href='rel/"), F.col("lang"), F.lit("'>y</a>")),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return extract_links(pages, "doc_id").orderBy("doc_id", "pos")
+
+
+def _links_sql() -> str:
+    from datachain_spark.ops.html import LINK_PATTERN
+
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         '<p>' || text || '</p><a href="http://ex.com/' || CAST(doc_id AS VARCHAR)
+         || '">x</a>'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<a href=''rel/' || lang || '''>y</a>' ELSE '' END AS html
+  FROM documents WHERE doc_id < 200
+)
+, extracted AS (
+  SELECT doc_id, regexp_extract_all(html, $re${LINK_PATTERN}$re$, 1) AS urls
+  FROM pages
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(urls))) - 1 AS INT) AS pos,
+       unnest(urls) AS url
+FROM extracted
+ORDER BY doc_id, pos
+"""
+
+
+def salted_join_orders(spark, sf):
+    """Skew-resistant join (ops/asof.salted_join): orders salt-spread over
+    8 replicas of the customer dim; the oracle is the PLAIN join — the
+    salting must be row-invisible (each left row matches each right row
+    exactly once despite the replication)."""
+    from datachain_spark.ops.asof import salted_join
+
+    orders = _chain(spark, sf, "orders").df.select("o_orderkey", "o_custkey")
+    cust = _chain(spark, sf, "customer").df.select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    out = salted_join(orders, cust, "o_custkey", salt=8)
+    return out.select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment"
+    ).orderBy("o_orderkey")
+
+
+SALTED_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+"""
+
+
+def script_profile_docs(spark, sf):
+    """Unicode-script census (ops/text.script_profile): doc text augmented
+    with doc_id-dependent runs of Han and Cyrillic characters; per-script
+    counts and the dominant label (ties alphabetical) must match DuckDB's
+    RE2 \\p{Script} counts (Java spells it \\p{IsScript} — the operator
+    and oracle derive both spellings from the same SCRIPTS list)."""
+    from datachain_spark.ops.text import script_profile
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 300)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.repeat(F.lit("世"), (F.col("doc_id") % 5).cast("int")),
+            F.repeat(F.lit("д"), (F.col("doc_id") % 3).cast("int")),
+        ).alias("text"),
+    )
+    out = script_profile(aug, "doc_id", scripts=["Latin", "Cyrillic", "Han"])
+    return out.select(
+        "doc_id", "n_latin", "n_cyrillic", "n_han", "n_chars", "script"
+    ).orderBy("doc_id")
+
+
+SCRIPT_PROFILE_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' ' || repeat('世', CAST(doc_id % 5 AS INT))
+              || repeat('д', CAST(doc_id % 3 AS INT)) AS text
+  FROM documents WHERE doc_id < 300
+), counted AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
+         CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+         CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
+         CAST(len(text) AS BIGINT) AS n_chars
+  FROM aug
+)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_chars,
+       CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_han = 0 THEN 'und'
+            WHEN n_cyrillic >= n_han AND n_cyrillic >= n_latin THEN 'cyrillic'
+            WHEN n_han >= n_latin THEN 'han'
+            ELSE 'latin' END AS script
+FROM counted ORDER BY doc_id
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint", True),
     ("o_custkey", "bigint", True),
@@ -6754,6 +6869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
         "sniff_mime_docs": sniff_mime_docs,
+        "extract_links_docs": extract_links_docs,
+        "salted_join_orders": salted_join_orders,
+        "script_profile_docs": script_profile_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -6917,5 +7035,8 @@ def oracle_sql() -> dict[str, str]:
         "kfold_docs": KFOLD_SQL,
         "calibrate_scores_docs": CALIBRATE_SQL,
         "sniff_mime_docs": _sniff_sql(),
+        "extract_links_docs": _links_sql(),
+        "salted_join_orders": SALTED_JOIN_SQL,
+        "script_profile_docs": SCRIPT_PROFILE_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
     }

@@ -1074,6 +1074,33 @@ class DataChain:
 
         return self._evolve(_op(self._df, weight_col, n, id_col, **kw))
 
+    def extract_links(self, id_col: str, html_col: str = "html",
+                      **kw: Any) -> "DataChain":
+        """(id, pos, url) anchor-href edges from an HTML column
+        (ops/html.extract_links) — feeds pagerank/degrees."""
+        from .ops.html import extract_links as _op
+
+        return self._evolve(_op(self._df, id_col, html_col, **kw))
+
+    def salted_join(self, right: Any, on: Any, how: str = "inner",
+                    salt: int = 16) -> "DataChain":
+        """Skew-resistant equi-join against a smaller right side
+        (ops/asof.salted_join): the hot key spreads over ``salt`` reducers;
+        result row-identical to the plain join."""
+        from .ops.asof import salted_join as _op
+
+        return self._evolve(
+            _op(self._df, getattr(right, "df", right), on, how, salt)
+        )
+
+    def script_profile(self, id_col: str, text_col: str = "text",
+                       **kw: Any) -> "DataChain":
+        """Per-document Unicode-script census + dominant script label
+        (ops/text.script_profile)."""
+        from .ops.text import script_profile as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
     def sniff_mime(self, data_col: str = "content", **kw: Any) -> "DataChain":
         """Magic-byte content-type detection on a binary column
         (ops/multimodal.sniff_mime) — zero-shuffle codegen expressions."""

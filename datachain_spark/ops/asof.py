@@ -178,3 +178,51 @@ def salted_group_by(
 
     stage1 = salted.groupBy(*keys, "__salt").agg(*partials)
     return stage1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: the fix when ONE join key holds a
+    disproportionate share of the fact side and a single reducer melts
+    (AQE's skew-join split handles sort-merge skew after the fact; this
+    prevents it by construction, and also covers the aggregation-after-
+    join case AQE can't rebalance).
+
+    Recipe: every LEFT row gets a deterministic salt in [0, salt); the
+    RIGHT side is replicated ``salt`` times (one explode — size it for the
+    smaller side); the join runs on (keys, salt) so the hot key spreads
+    over ``salt`` reducers. Each left row still matches each right row
+    exactly once (only the replica carrying its salt), so the result is
+    row-identical to the plain join for ``inner`` and ``left`` — other
+    join types would emit right-unmatched rows once per replica and are
+    rejected. The salt hashes row content (never rand(): a retry would
+    re-salt rows into different buckets mid-shuffle).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join: how={how!r} not supported (right-unmatched rows "
+            "would duplicate per salt replica); use inner or left"
+        )
+    if salt < 2:
+        raise ValueError("salted_join: salt must be >= 2")
+    keys = [on] if isinstance(on, str) else list(on)
+    hashable = [
+        f.name for f in left.schema.fields
+        if not isinstance(f.dataType, T.MapType)
+    ]
+    l_salted = left.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in hashable], F.spark_partition_id()),
+            F.lit(salt),
+        ),
+    )
+    r_replicated = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l_salted.join(r_replicated, [*keys, "__salt"], how).drop("__salt")

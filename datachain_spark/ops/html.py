@@ -134,3 +134,35 @@ def html_extract(
         .otherwise(F.lit(0.0))
         .alias("text_ratio"),
     )
+
+
+# RE2-compatible (no backreferences/lookaround) so the DuckDB oracle shares
+# it verbatim; Java regex accepts the same syntax
+LINK_PATTERN = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'<>]+)["']"""
+
+
+def extract_links(
+    df: DataFrame,
+    id_col: str,
+    html_col: str = "html",
+    absolute_only: bool = False,
+    url_col: str = "url",
+) -> DataFrame:
+    """One (id, url) row per anchor href — the web-graph edge builder that
+    feeds ``ops.graph.pagerank``/``degrees`` and per-domain link stats.
+
+    Extraction is a single codegen regexp pass per document + one
+    posexplode (``pos`` preserves in-document link order, making rows
+    unique even for repeated hrefs); no shuffle — edges stay co-located
+    with their source document until the consumer decides a partitioning.
+    ``absolute_only`` keeps http(s):// targets only (relative hrefs rarely
+    matter for cross-site graphs). NULL/linkless docs yield no rows.
+    """
+    links = F.regexp_extract_all(F.col(html_col), F.lit(LINK_PATTERN), 1)
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(links).alias("pos", url_col),
+    )
+    if absolute_only:
+        out = out.filter(F.col(url_col).rlike(r"(?i)^https?://"))
+    return out

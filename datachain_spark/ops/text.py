@@ -1117,3 +1117,57 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
     )
     return joined.withColumn(bucket_col, label).drop("__t1", "__t2")
+
+
+# Unicode scripts worth distinguishing in a web corpus. Java spells the
+# property \p{IsXxx}; RE2 (DuckDB) spells it \p{Xxx} — SCRIPTS carries the
+# bare name so operator and oracle derive their own spelling from one list.
+SCRIPTS = [
+    "Latin", "Cyrillic", "Han", "Arabic", "Devanagari",
+    "Greek", "Hangul", "Hiragana", "Katakana", "Hebrew", "Thai",
+]
+
+
+def script_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    scripts: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Per-document Unicode-script census: one count column per script
+    (``n_latin``, ``n_han``, ...) plus ``n_chars`` and the dominant
+    ``script`` label ('und' when no script chars at all) — the
+    writing-system companion to the stopword ``language_id`` (catches
+    what stopword lists can't: CJK, mixed-script spam, transliteration).
+
+    One codegen regexp count per script per row — a single scan, zero
+    shuffles, zero Python. Ties break alphabetically (deterministic).
+    """
+    names = list(scripts or SCRIPTS)
+    c = F.col(text_col)
+    counts = {
+        s: F.coalesce(
+            F.regexp_count(c, F.lit(r"\p{Is" + s + "}")), F.lit(0)
+        ).cast("long")
+        for s in names
+    }
+    # argmax via array_max over (count, reversed-name) structs: count wins,
+    # then the alphabetically FIRST script (max of reversed comparison needs
+    # care — use min-name ordering by negating via sort: struct(count, name)
+    # picks the LAST name on ties, so compare on (count, -rank) instead)
+    ranked = [
+        F.struct(
+            counts[s].alias("n"),
+            F.lit(len(names) - i).alias("r"),  # earlier name = larger r
+            F.lit(s.lower()).alias("s"),
+        )
+        for i, s in enumerate(sorted(names))
+    ]
+    best = F.array_max(F.array(*ranked))
+    dominant = F.when(best["n"] > 0, best["s"]).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        *[counts[s].alias(f"n_{s.lower()}") for s in names],
+        F.coalesce(F.length(c), F.lit(0)).cast("long").alias("n_chars"),
+        dominant.alias("script"),
+    )
