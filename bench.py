@@ -96,6 +96,11 @@ HEADLINE = [
     "warc_html_pipeline_full",
     "row_ids_full",
     "rolling_events_full",
+    # r05 final wave: exact stratified splitting, the fused zero-shuffle
+    # MIME+script crawl-signal pass, and html->edges->degrees link graphing
+    "stratified_split_full",
+    "web_signals_full",
+    "link_degrees_full",
 ]
 
 
@@ -615,9 +620,64 @@ def main() -> None:
             F.avg("gap_seconds").alias("avg_gap"),
         )
 
+    def _stratified_split_full(spark, sf):
+        # exact per-language 80/10/10 over the whole corpus: ONE shuffle
+        # keyed on lang (both windows share it), then the split census
+        from datachain_spark.ops.splits import stratified_split
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        out = stratified_split(docs, "lang", [0.8, 0.1, 0.1], "doc_id")
+        return out.groupBy("lang", "split").count()
+
+    def _web_signals_full(spark, sf):
+        # fused zero-shuffle crawl-signal pass over every doc: magic-byte
+        # MIME of the (header||bytes) payload + Unicode-script census in
+        # ONE scan, then a tiny census agg
+        from datachain_spark.ops.multimodal import sniff_mime
+        from datachain_spark.ops.text import script_profile
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        hdr = (
+            F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit("FFD8FF")))
+            .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit("1F8B")))
+            .otherwise(F.unhex(F.lit("89504E470D0A1A0A")))
+        )
+        payload = docs.withColumn(
+            "content", F.concat(hdr, F.encode("text", "utf-8"))
+        )
+        typed = sniff_mime(payload)
+        prof = script_profile(
+            typed, "doc_id", scripts=["Latin", "Cyrillic", "Han"],
+            keep_cols=["mime"],
+        )
+        return prof.groupBy("mime", "script").count()
+
+    def _link_degrees_full(spark, sf):
+        # html fabricated in-plan (3 anchors/doc) -> extract_links ->
+        # degrees -> top targets: regexp + posexplode + one union-agg
+        from datachain_spark.ops.graph import degrees
+        from datachain_spark.ops.html import extract_links
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        html = F.concat(
+            F.lit('<a href="s'), (F.col("doc_id") % 97).cast("string"),
+            F.lit('">a</a><a href="s'), (F.col("doc_id") % 31).cast("string"),
+            F.lit("\">b</a><a href='s"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("'>c</a><p>"), F.col("text"), F.lit("</p>"),
+        )
+        pages = docs.select(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+            html.alias("html"),
+        )
+        edges = extract_links(pages, "src", url_col="dst")
+        return degrees(edges).orderBy(F.desc("in_degree"), "node").limit(10)
+
     queries["warc_html_pipeline_full"] = _warc_html_pipeline_full
     queries["row_ids_full"] = _row_ids_full
     queries["rolling_events_full"] = _rolling_events_full
+    queries["stratified_split_full"] = _stratified_split_full
+    queries["web_signals_full"] = _web_signals_full
+    queries["link_degrees_full"] = _link_degrees_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);

@@ -1133,6 +1133,7 @@ def script_profile(
     id_col: str,
     text_col: str = "text",
     scripts: Optional[Sequence[str]] = None,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-document Unicode-script census: one count column per script
     (``n_latin``, ``n_han``, ...) plus ``n_chars`` and the dominant
@@ -1142,6 +1143,8 @@ def script_profile(
 
     One codegen regexp count per script per row — a single scan, zero
     shuffles, zero Python. Ties break alphabetically (deterministic).
+    ``keep_cols`` passes extra columns through (the text column itself is
+    dropped — it is the wide one).
     """
     names = list(scripts or SCRIPTS)
     c = F.col(text_col)
@@ -1167,6 +1170,7 @@ def script_profile(
     dominant = F.when(best["n"] > 0, best["s"]).otherwise(F.lit("und"))
     return df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep_cols],
         *[counts[s].alias(f"n_{s.lower()}") for s in names],
         F.coalesce(F.length(c), F.lit(0)).cast("long").alias("n_chars"),
         dominant.alias("script"),

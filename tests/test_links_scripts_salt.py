@@ -126,6 +126,13 @@ def test_script_profile_tie_breaks_alphabetically(spark):
     assert r["script"] == "cyrillic"  # alphabetically first on ties
 
 
+def test_script_profile_keep_cols(spark):
+    df = spark.createDataFrame([(1, "abc", "m1")], "id int, text string, mime string")
+    r = script_profile(df, "id", keep_cols=["mime"]).collect()[0]
+    assert r["mime"] == "m1" and r["n_latin"] == 3
+    assert "text" not in script_profile(df, "id", keep_cols=["mime"]).columns
+
+
 def test_script_profile_zero_shuffle(spark):
     df = spark.createDataFrame([(1, "x")], "id int, text string")
     plan = script_profile(df, "id")._jdf.queryExecution().executedPlan().toString()
