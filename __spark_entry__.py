@@ -6595,6 +6595,135 @@ FROM counted ORDER BY doc_id
 """
 
 
+# normalized target mix for mix_to_target_docs — the exact double literals
+# both engines use (repr-embedded in the oracle SQL)
+_MIX_PROPS = {"en": 1 / 4, "fr": 1 / 4, "de": 1 / 4, "zh": 1 / 4}
+
+
+def mix_to_target_docs(spark, sf):
+    """Water-filling corpus rebalance (ops/packing.mix_to_target, md5):
+    target an equal 4-way token mix over en/fr/de/zh (es has zero target
+    share and must vanish). The oracle recomputes the per-language token
+    masses (integer-valued doubles — exact in any fold order), the
+    water-filling cap T* = min(mass/p), the keep rates, and the per-doc
+    hash-uniform gate with the identical double literals."""
+    from datachain_spark.ops.packing import mix_to_target
+
+    docs = _chain(spark, sf, "documents").df.select("doc_id", "lang", "n_chars")
+    out = mix_to_target(
+        docs, "lang", dict(_MIX_PROPS), "doc_id", token_col="n_chars",
+        seed=11, hash_fn="md5",
+    )
+    return out.orderBy("doc_id")
+
+
+def _mix_sql() -> str:
+    vals = ", ".join(f"('{g}', {p!r})" for g, p in sorted(_MIX_PROPS.items()))
+    return f"""
+WITH v(lang, p) AS (VALUES {vals}),
+m AS (
+  SELECT d.lang, sum(CAST(n_chars AS DOUBLE)) AS mass
+  FROM documents d JOIN v ON d.lang = v.lang GROUP BY d.lang
+),
+t AS (SELECT min(mass / p) AS t_star FROM m JOIN v ON m.lang = v.lang),
+r AS (
+  SELECT m.lang, (t.t_star * v.p) / m.mass AS rate
+  FROM m JOIN v ON m.lang = v.lang CROSS JOIN t
+)
+SELECT doc_id, d.lang, n_chars
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15)
+           AS BIGINT) % 2147483648 AS DOUBLE) / 2147483648.0 < rate
+ORDER BY doc_id
+"""
+
+
+def weighted_sample_pg_docs(spark, sf):
+    """Per-group weighted sampling (ops/selection.weighted_sample_per_group,
+    md5): top-20 A-ES draw per language weighted by n_chars; the oracle
+    derives the same uniforms and replays the per-language rank cut."""
+    from datachain_spark.ops.selection import weighted_sample_per_group
+
+    docs = _chain(spark, sf, "documents").df.select("doc_id", "lang", "n_chars")
+    out = weighted_sample_per_group(
+        docs, "lang", "n_chars", 20, "doc_id", seed=7, hash_fn="md5"
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars",
+        (F.round("sample_key", 6) + F.lit(0.0)).alias("key_r"),
+    ).orderBy("doc_id")
+
+
+WEIGHTED_PG_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                                         1, 15) AS BIGINT)
+                  % 2147483648 AS DOUBLE) + 1.0) / 2147483649.0)
+           / CAST(n_chars AS DOUBLE) AS sample_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY sample_key DESC, doc_id
+  ) AS rn FROM keyed
+)
+SELECT doc_id, lang, n_chars, round(sample_key, 6) + 0.0 AS key_r
+FROM ranked WHERE rn <= 20 ORDER BY doc_id
+"""
+
+
+def group_quantiles_docs(spark, sf):
+    """Exact per-language percentiles (ops/sketches.group_quantiles): the
+    0/25/50/75/100th of n_chars per language from ONE aggregation, array
+    unpivoted in-plan. Spark's percentile() and DuckDB's quantile_cont
+    share the linear-interpolation definition (the perplexity_buckets
+    precedent), so values hash-match exactly."""
+    from datachain_spark.ops.sketches import group_quantiles
+
+    docs = _chain(spark, sf, "documents").df
+    out = group_quantiles(
+        docs, "lang", "n_chars", [0.0, 0.25, 0.5, 0.75, 1.0]
+    )
+    return out.select("lang", "n_values", "q", "value").orderBy("lang", "q")
+
+
+GROUP_QUANTILES_SQL = """
+WITH q(q) AS (VALUES (0.0), (0.25), (0.5), (0.75), (1.0)),
+a AS (
+  SELECT lang, CAST(count(n_chars) AS BIGINT) AS n_values,
+         quantile_cont(CAST(n_chars AS DOUBLE), [0.0, 0.25, 0.5, 0.75, 1.0]) AS qv
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_values, q.q, qv[CAST(q.q * 4 + 1 AS INT)] AS value
+FROM a CROSS JOIN q
+ORDER BY lang, q.q
+"""
+
+
+def dataset_digest_docs(spark, sf):
+    """Order-invariant table checksum (ops/profile.dataset_digest, md5):
+    the exact DECIMAL sum of per-row 60-bit hashes over the canonical
+    (sorted columns, NULL-sentinel, unit-separator) row string. The oracle
+    rebuilds the same canonical strings and sums into HUGEINT — digest
+    equality proves content equality independent of row order in BOTH
+    engines."""
+    from datachain_spark.ops.profile import dataset_digest
+
+    docs = _chain(spark, sf, "documents").df.select("doc_id", "lang", "n_chars")
+    return dataset_digest(docs, hash_fn="md5")
+
+
+DIGEST_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CAST(CAST('0x' || substring(md5(
+         coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'NULL') || chr(31) ||
+         coalesce(lang, chr(0) || 'NULL') || chr(31) ||
+         coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'NULL')
+       ), 1, 15) AS BIGINT) AS HUGEINT)), 0) AS VARCHAR) AS digest
+FROM documents
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint", True),
     ("o_custkey", "bigint", True),
@@ -6872,6 +7001,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links_docs": extract_links_docs,
         "salted_join_orders": salted_join_orders,
         "script_profile_docs": script_profile_docs,
+        "mix_to_target_docs": mix_to_target_docs,
+        "weighted_sample_pg_docs": weighted_sample_pg_docs,
+        "group_quantiles_docs": group_quantiles_docs,
+        "dataset_digest_docs": dataset_digest_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -7038,5 +7171,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_links_docs": _links_sql(),
         "salted_join_orders": SALTED_JOIN_SQL,
         "script_profile_docs": SCRIPT_PROFILE_SQL,
+        "mix_to_target_docs": _mix_sql(),
+        "weighted_sample_pg_docs": WEIGHTED_PG_SQL,
+        "group_quantiles_docs": GROUP_QUANTILES_SQL,
+        "dataset_digest_docs": DIGEST_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
     }

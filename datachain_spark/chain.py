@@ -1074,6 +1074,38 @@ class DataChain:
 
         return self._evolve(_op(self._df, weight_col, n, id_col, **kw))
 
+    def mix_to_target(self, group_col: str, target_props: dict,
+                      id_col: str, **kw: Any) -> "DataChain":
+        """Water-filling downsample so group composition matches a target
+        spec (ops/packing.mix_to_target)."""
+        from .ops.packing import mix_to_target as _op
+
+        return self._evolve(_op(self._df, group_col, target_props, id_col, **kw))
+
+    def weighted_sample_per_group(self, group_cols: Any, weight_col: str,
+                                  n: int, id_col: str, **kw: Any) -> "DataChain":
+        """n rows per group, probability proportional to weight
+        (ops/selection.weighted_sample_per_group)."""
+        from .ops.selection import weighted_sample_per_group as _op
+
+        return self._evolve(_op(self._df, group_cols, weight_col, n, id_col, **kw))
+
+    def group_quantiles(self, group_cols: Any, value_col: str,
+                        **kw: Any) -> "DataChain":
+        """Exact interpolated per-group percentiles, one (group, q) row
+        each (ops/sketches.group_quantiles)."""
+        from .ops.sketches import group_quantiles as _op
+
+        return self._evolve(_op(self._df, group_cols, value_col, **kw))
+
+    def digest(self, columns: Optional[Sequence[str]] = None,
+               **kw: Any) -> "DataChain":
+        """Order-invariant content checksum (n_rows, digest) of this chain
+        (ops/profile.dataset_digest) — compare copies/migrations cheaply."""
+        from .ops.profile import dataset_digest as _op
+
+        return self._evolve(_op(self._df, columns, **kw))
+
     def extract_links(self, id_col: str, html_col: str = "html",
                       **kw: Any) -> "DataChain":
         """(id, pos, url) anchor-href edges from an HTML column

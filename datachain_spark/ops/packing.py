@@ -367,3 +367,72 @@ def curriculum_stages(
         .withColumn(shuffle_col, key)
         .drop(*[f"__t{i}" for i in range(len(qs))])
     )
+
+
+def mix_to_target(
+    df: DataFrame,
+    group_col: str,
+    target_props: dict[str, float],
+    id_col: str,
+    token_col: Optional[str] = None,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Downsample ONE mixed corpus so its group composition matches a
+    target spec, keeping as much data as feasible (water-filling): with
+    m_i the group's current mass (tokens if ``token_col`` given, else
+    rows) and p_i its target share, the largest achievable output mass is
+    T* = min_i m_i / p_i; each group then keeps rate r_i = T*·p_i / m_i
+    (the binding group keeps everything). Groups absent from
+    ``target_props`` are DROPPED (they have target share zero).
+
+    Membership is a deterministic seeded per-id hash-uniform < r_i —
+    retry/partition stable, supersets under a looser spec, and exact in
+    expectation (the law-of-large-numbers regime at corpus scale; for
+    row-exact per-group counts use sample_per_group). Driver contact is
+    ONE collect of the #groups-row mass table; the corpus itself never
+    shuffles — the gate is a broadcast-joined filter.
+
+    Complements interleave_datasets (which mixes SEPARATE corpora by
+    weight): this rebalances a single corpus already carrying a group
+    label — the "make the crawl match the data card" step.
+    """
+    if not target_props:
+        raise ValueError("mix_to_target: target_props must be non-empty")
+    if any(p <= 0 for p in target_props.values()):
+        raise ValueError("mix_to_target: target proportions must be > 0")
+    tot = sum(target_props.values())
+    props = {g: p / tot for g, p in target_props.items()}
+
+    mass_expr = (
+        F.sum(F.coalesce(F.col(token_col).cast("double"), F.lit(0.0)))
+        if token_col
+        else F.count(F.lit(1)).cast("double")
+    )
+    masses = {
+        r["g"]: float(r["m"])
+        for r in df.groupBy(F.col(group_col).alias("g")).agg(mass_expr.alias("m"))
+        .collect()
+        if r["g"] in props
+    }
+    missing = sorted(set(props) - set(masses))
+    if missing:
+        raise ValueError(
+            f"mix_to_target: target groups absent from the data: {missing}"
+        )
+    # water-filling cap and per-group keep rates — plain double arithmetic,
+    # mirrored verbatim by the DuckDB oracle
+    t_star = min(masses[g] / props[g] for g in props)
+    rates = {g: (t_star * props[g]) / masses[g] for g in props}
+
+    rate_col = F.lit(None).cast("double")
+    for g, r in sorted(rates.items()):
+        rate_col = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate_col)
+    u = (
+        F.pmod(
+            _seeded_hash64(F.col(id_col).cast("string"), seed, hash_fn),
+            F.lit(2**31),
+        ).cast("double")
+        / F.lit(float(2**31))
+    )
+    return df.filter(rate_col.isNotNull() & (u < rate_col))

@@ -104,3 +104,53 @@ def profile_table(
         F.col("n_distinct").cast("long"),
         "min_str", "max_str", "mean", "stddev",
     )
+
+
+def dataset_digest(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Order-invariant content checksum of a table: one row
+    (n_rows, digest) where digest is the exact DECIMAL sum of a per-row
+    64-bit hash over the canonicalized row string — equal datasets give
+    equal digests regardless of row order, partitioning, or file layout,
+    so two copies of a version (or the two sides of a migration) can be
+    compared with one scan each and an 8-byte exchange.
+
+    Canonical form: columns sorted by name, each value string-cast with a
+    NULL sentinel, joined with unit separators (so ("a",NULL) never
+    collides with (NULL,"a") or ("a","")). The DECIMAL(38,0) sum is
+    fold-order independent (integer addition, exact) — the same reason
+    the oracle can replay it in DuckDB under ``hash_fn="md5"``.
+    Complex-typed columns (array/map/struct) are rejected — cast their
+    canonical form explicitly first.
+    """
+    from .text import _hash64
+
+    cols = sorted(columns) if columns is not None else sorted(df.columns)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in fields]
+    if missing:
+        raise ValueError(f"dataset_digest: unknown columns {missing}")
+    complexes = [
+        c for c in cols
+        if isinstance(fields[c], (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if complexes:
+        raise ValueError(
+            f"dataset_digest: complex-typed columns {complexes} — cast a "
+            "canonical string form explicitly"
+        )
+    parts = []
+    for c in cols:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")))
+        parts.append(F.lit("\x1f"))
+    row_str = F.concat(*parts[:-1])
+    h = _hash64(row_str, hash_fn).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("digest"),
+    )

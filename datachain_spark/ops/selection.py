@@ -447,3 +447,45 @@ def calibrate_scores(
         .otherwise((adj - F.lit(1)).cast("double") / (n_nonnull - F.lit(1)))
     )
     return df.withColumn(out_col, pct)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """``n`` rows PER GROUP, drawn without replacement with probability
+    proportional to ``weight_col`` (the grouped form of
+    :func:`weighted_sample`, same Efraimidis–Spirakis keys): rank the A-ES
+    key within each group, keep the top ``n``. One window shuffle on the
+    group columns; NULL/non-positive weights are excluded, NULL ids fail
+    loudly (the weighted_sample contract); larger ``n`` gives supersets.
+    """
+    from pyspark.sql.window import Window
+
+    if n < 1:
+        raise ValueError("weighted_sample_per_group: n must be >= 1")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    id_str = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(f"weighted_sample_per_group: NULL value in id_col {id_col!r}")
+        ),
+    ).otherwise(F.col(id_col).cast("string"))
+    u = (
+        F.pmod(_seeded_hash64(id_str, seed, hash_fn), F.lit(2**31)).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**31 + 1))
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        key_col, F.log(u) / w
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(*groups).orderBy(F.col(key_col).desc(), F.col(id_col))
+    )
+    return keyed.withColumn("__rn", rn).filter(F.col("__rn") <= n).drop("__rn")

@@ -294,3 +294,38 @@ def skew_summary(
         F.avg("key_rows").alias("avg_key_rows"),
         (F.max("key_rows") / F.avg("key_rows")).alias("max_skew_ratio"),
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    out_col: str = "value",
+) -> DataFrame:
+    """Exact interpolated per-group percentiles of one column: one row per
+    (group, q). ONE aggregation keyed on the groups (Spark's percentile()
+    sorts within the aggregation buffer — no global sort, no window), then
+    an in-plan unpivot of the quantile array.
+
+    Uses the linear-interpolation definition Spark's percentile() and
+    DuckDB's quantile_cont share, so results hash-match cross-engine
+    (the perplexity_buckets precedent). NULL values are ignored by the
+    aggregate; an all-NULL group emits NULL quantile values.
+    """
+    qs = list(quantiles)
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("group_quantiles: quantiles must be in [0, 1]")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    agg = df.groupBy(*groups).agg(
+        F.percentile(F.col(value_col).cast("double"),
+                     F.array(*[F.lit(float(q)) for q in qs])).alias("__qv"),
+        F.count(value_col).alias("n_values"),
+    )
+    pairs = []
+    for i, q in enumerate(qs):
+        pairs += [F.lit(float(q)), F.col("__qv").getItem(i)]
+    return agg.select(
+        *groups, "n_values",
+        F.stack(F.lit(len(qs)), *pairs).alias("q", out_col),
+    )
