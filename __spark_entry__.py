@@ -6724,6 +6724,87 @@ FROM documents
 """
 
 
+def resample_events_grid(spark, sf):
+    """Regular-grid resampling with gap fill (ops/timeseries
+    .resample_events): hourly (user, bucket) aggregates INCLUDING empty
+    buckets between each user's first and last event (count 0, metrics
+    NULL). Values go through DECIMAL so per-bucket sums are fold-order
+    independent; the oracle rebuilds the grid with generate_series and
+    left-joins the same aggregation."""
+    from datachain_spark.ops.timeseries import resample_events
+
+    ev = _chain(spark, sf, "events").df.filter(F.col("user_id") < 50).select(
+        "user_id", "ts", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    out = resample_events(ev, "user_id", "ts", "v", 3600,
+                          metrics=["count", "sum", "min", "max"])
+    return out.select(
+        "user_id", "bucket",
+        F.col("bucket_count").cast("long").alias("n"),
+        F.col("bucket_sum").cast("double").alias("sum_v"),
+        F.col("bucket_min").cast("double").alias("min_v"),
+        F.col("bucket_max").cast("double").alias("max_v"),
+    ).orderBy("user_id", "bucket")
+
+
+RESAMPLE_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) * 3600 AS BIGINT)
+           AS bucket,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE user_id < 50
+), agg AS (
+  SELECT user_id, bucket, CAST(count(v) AS BIGINT) AS n,
+         CAST(sum(v) AS DOUBLE) AS sum_v,
+         CAST(min(v) AS DOUBLE) AS min_v,
+         CAST(max(v) AS DOUBLE) AS max_v
+  FROM ev GROUP BY user_id, bucket
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(min(bucket), max(bucket), 3600)) AS bucket
+  FROM ev GROUP BY user_id
+)
+SELECT g.user_id, g.bucket, coalesce(a.n, 0) AS n, a.sum_v, a.min_v, a.max_v
+FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+ORDER BY g.user_id, g.bucket
+"""
+
+
+def flag_outliers_docs(spark, sf):
+    """Per-group Tukey outlier fences (ops/sketches.flag_outliers): each
+    doc flagged against its language's [q1 - 1.5·iqr, q3 + 1.5·iqr] band
+    over n_chars. Interpolated quantiles on integer-valued doubles are
+    exact, so fences and flags hash-match DuckDB without rounding."""
+    from datachain_spark.ops.sketches import flag_outliers
+
+    docs = _chain(spark, sf, "documents").df.select("doc_id", "lang", "n_chars")
+    out = flag_outliers(docs, "n_chars", "lang", k=1.5)
+    return out.select(
+        "doc_id", "lang", "n_chars", "fence_lo", "fence_hi", "is_outlier"
+    ).orderBy("doc_id")
+
+
+FLAG_OUTLIERS_SQL = """
+WITH f AS (
+  SELECT lang,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.25)
+           - 1.5 * (quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+                    - quantile_cont(CAST(n_chars AS DOUBLE), 0.25)) AS fence_lo,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+           + 1.5 * (quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+                    - quantile_cont(CAST(n_chars AS DOUBLE), 0.25)) AS fence_hi
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars, fence_lo, fence_hi,
+       CASE WHEN n_chars IS NULL THEN NULL
+            ELSE CAST(n_chars AS DOUBLE) < fence_lo
+                 OR CAST(n_chars AS DOUBLE) > fence_hi END AS is_outlier
+FROM documents d LEFT JOIN f ON d.lang = f.lang
+ORDER BY doc_id
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint", True),
     ("o_custkey", "bigint", True),
@@ -7005,6 +7086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_pg_docs": weighted_sample_pg_docs,
         "group_quantiles_docs": group_quantiles_docs,
         "dataset_digest_docs": dataset_digest_docs,
+        "resample_events_grid": resample_events_grid,
+        "flag_outliers_docs": flag_outliers_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -7175,5 +7258,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_pg_docs": WEIGHTED_PG_SQL,
         "group_quantiles_docs": GROUP_QUANTILES_SQL,
         "dataset_digest_docs": DIGEST_SQL,
+        "resample_events_grid": RESAMPLE_SQL,
+        "flag_outliers_docs": FLAG_OUTLIERS_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
     }

@@ -540,6 +540,44 @@ class DataChain:
         grouped = self._df.groupBy(*keys).pivot(on, list(values) if values else None)
         return self._evolve(grouped.agg(*aggs))
 
+    def unpivot(
+        self,
+        ids: Union[str, Sequence[str]],
+        values: Union[str, Sequence[str]],
+        variable_column: str = "variable",
+        value_column: str = "value",
+    ) -> "DataChain":
+        """Long-format melt: one row per (id rows × value column), the
+        inverse of :meth:`pivot` (absent in the reference; native on Spark
+        — an in-plan Expand, no shuffle). Value columns must share a
+        common type (Spark casts numerics up; mixed string/numeric
+        raises)."""
+        ids = [ids] if isinstance(ids, str) else list(ids)
+        values = [values] if isinstance(values, str) else list(values)
+        return self._evolve(
+            self._df.unpivot(ids, values, variable_column, value_column)
+        )
+
+    melt = unpivot
+
+    def fillna(
+        self, value: Any, subset: Optional[Sequence[str]] = None
+    ) -> "DataChain":
+        """Replace NULLs with a constant (dict maps column -> fill value);
+        Spark-native, zero shuffle. Absent in the reference (its mutate +
+        ifelse covers it row-wise); the pandas-shaped convenience."""
+        return self._evolve(self._df.fillna(value, subset=subset))
+
+    def dropna(
+        self,
+        how: str = "any",
+        thresh: Optional[int] = None,
+        subset: Optional[Sequence[str]] = None,
+    ) -> "DataChain":
+        """Drop rows with NULLs (how='any'|'all', optional min-non-null
+        thresh, optional column subset); Spark-native, zero shuffle."""
+        return self._evolve(self._df.dropna(how=how, thresh=thresh, subset=subset))
+
     # chain-scalar aggregates (executed immediately; parity datachain.py:2569-2636)
     def count(self) -> int:
         return self._df.count()
@@ -1073,6 +1111,25 @@ class DataChain:
         from .ops.selection import weighted_sample as _op
 
         return self._evolve(_op(self._df, weight_col, n, id_col, **kw))
+
+    def resample_events(self, partition_by: Any, time_col: str,
+                        value_col: str, every_seconds: int,
+                        **kw: Any) -> "DataChain":
+        """Regular per-entity time grid with optional gap fill
+        (ops/timeseries.resample_events)."""
+        from .ops.timeseries import resample_events as _op
+
+        return self._evolve(
+            _op(self._df, partition_by, time_col, value_col, every_seconds, **kw)
+        )
+
+    def flag_outliers(self, value_col: str, group_cols: Any = None,
+                      **kw: Any) -> "DataChain":
+        """Tag rows outside the per-group Tukey/z-score fence
+        (ops/sketches.flag_outliers); adds fence columns + the flag."""
+        from .ops.sketches import flag_outliers as _op
+
+        return self._evolve(_op(self._df, value_col, group_cols, **kw))
 
     def mix_to_target(self, group_col: str, target_props: dict,
                       id_col: str, **kw: Any) -> "DataChain":

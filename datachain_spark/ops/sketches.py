@@ -329,3 +329,61 @@ def group_quantiles(
         *groups, "n_values",
         F.stack(F.lit(len(qs)), *pairs).alias("q", out_col),
     )
+
+
+def flag_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols=None,
+    k: float = 1.5,
+    method: str = "iqr",
+    out_col: str = "is_outlier",
+) -> DataFrame:
+    """Tag rows whose ``value_col`` falls outside the per-group fence:
+    Tukey ``iqr`` (default — [q1 - k·iqr, q3 + k·iqr], robust to the very
+    outliers it hunts) or ``zscore`` (mean ± k·σ). NULL values get NULL
+    flags. Adds ``out_col`` plus the two fence columns (``fence_lo``/
+    ``fence_hi``) so the caller can report or clamp, not just drop.
+
+    Shape: one #groups-row aggregation broadcast-joined back — the corpus
+    itself never shuffles. The iqr fences use the shared interpolated
+    percentile definition, so the whole operator is cross-engine
+    hash-verifiable; zscore fences are fold-order floating sums
+    (production-fine, but the oracle covers the iqr path).
+    """
+    if method not in ("iqr", "zscore"):
+        raise ValueError("flag_outliers: method must be 'iqr' or 'zscore'")
+    if k <= 0:
+        raise ValueError("flag_outliers: k must be positive")
+    groups = (
+        [] if group_cols is None
+        else [group_cols] if isinstance(group_cols, str)
+        else list(group_cols)
+    )
+    v = F.col(value_col).cast("double")
+    if method == "iqr":
+        stats = df.groupBy(*groups).agg(
+            F.percentile(v, F.array(F.lit(0.25), F.lit(0.75))).alias("__q")
+        ).select(
+            *groups,
+            (F.col("__q")[0] - F.lit(float(k)) * (F.col("__q")[1] - F.col("__q")[0])
+             ).alias("fence_lo"),
+            (F.col("__q")[1] + F.lit(float(k)) * (F.col("__q")[1] - F.col("__q")[0])
+             ).alias("fence_hi"),
+        )
+    else:
+        stats = df.groupBy(*groups).agg(
+            F.avg(v).alias("__m"), F.stddev(v).alias("__s")
+        ).select(
+            *groups,
+            (F.col("__m") - F.lit(float(k)) * F.col("__s")).alias("fence_lo"),
+            (F.col("__m") + F.lit(float(k)) * F.col("__s")).alias("fence_hi"),
+        )
+    joined = (
+        df.join(F.broadcast(stats), groups, "left") if groups
+        else df.crossJoin(F.broadcast(stats))
+    )
+    flag = F.when(
+        v.isNull(), F.lit(None).cast("boolean")
+    ).otherwise((v < F.col("fence_lo")) | (v > F.col("fence_hi")))
+    return joined.withColumn(out_col, flag)

@@ -91,3 +91,65 @@ def event_gaps(
     epoch = F.unix_timestamp(F.col(time_col)).cast("long")
     w = Window.partitionBy(*parts).orderBy(epoch, *[F.col(t) for t in ties])
     return df.withColumn(gap_col, epoch - F.lag(epoch).over(w))
+
+
+def resample_events(
+    df: DataFrame,
+    partition_by: Union[str, Sequence[str]],
+    time_col: str,
+    value_col: str,
+    every_seconds: int,
+    metrics: Sequence[str] = _METRICS,
+    fill_gaps: bool = True,
+) -> DataFrame:
+    """Downsample events onto a regular per-entity time grid: one row per
+    (entity, bucket) with the count/sum/avg/min/max of ``value_col`` in
+    that bucket. ``fill_gaps=True`` emits EMPTY buckets too (count 0,
+    other metrics NULL) between each entity's first and last event — the
+    gap-filled grid downstream models expect (no silent missing steps).
+
+    Shape: one (entity, bucket) aggregation; gap filling adds one
+    #buckets-per-entity sequence explode from a per-entity min/max
+    aggregate and a left join back on (entity, bucket) — grid size is the
+    TIME RANGE over the step, independent of event volume, so the explode
+    side stays tiny next to the data. No driver contact.
+    """
+    if every_seconds <= 0:
+        raise ValueError("resample_events: every_seconds must be positive")
+    bad = [m for m in metrics if m not in _METRICS]
+    if bad:
+        raise ValueError(f"resample_events: unsupported metrics {bad}")
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    epoch = F.unix_timestamp(F.col(time_col)).cast("long")
+    bucket = (F.floor(epoch / every_seconds) * every_seconds).cast("long")
+    v = F.col(value_col)
+    aggs = []
+    for m in metrics:
+        if m == "count":
+            aggs.append(F.count(v).alias("bucket_count"))
+        else:
+            aggs.append(getattr(F, m)(v).alias(f"bucket_{m}"))
+    agg = df.withColumn("__bucket", bucket).groupBy(*parts, "__bucket").agg(*aggs)
+    if not fill_gaps:
+        return agg.withColumnRenamed("__bucket", "bucket")
+    grid = (
+        df.groupBy(*parts)
+        .agg(
+            (F.floor(F.min(epoch) / every_seconds) * every_seconds)
+            .cast("long").alias("__lo"),
+            (F.floor(F.max(epoch) / every_seconds) * every_seconds)
+            .cast("long").alias("__hi"),
+        )
+        .select(
+            *parts,
+            F.explode(
+                F.sequence("__lo", "__hi", F.lit(int(every_seconds)))
+            ).alias("__bucket"),
+        )
+    )
+    out = grid.join(agg, [*parts, "__bucket"], "left")
+    if "count" in metrics:
+        out = out.withColumn(
+            "bucket_count", F.coalesce(F.col("bucket_count"), F.lit(0))
+        )
+    return out.withColumnRenamed("__bucket", "bucket")
