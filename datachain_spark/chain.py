@@ -1529,6 +1529,23 @@ class DataChain:
                 df, zorder_by, bits=zorder_bits, num_partitions=zorder_files,
                 strategy=zorder_strategy,
             )
+        self._write_columnar(
+            df, path, "parquet", partition_cols, mode, sort_by,
+            max_records_per_file,
+        )
+
+    def _write_columnar(
+        self,
+        df,
+        path: str,
+        fmt: str,
+        partition_cols: Optional[Sequence[str]],
+        mode: str,
+        sort_by: Optional[Sequence[str]],
+        max_records_per_file: Optional[int],
+    ) -> None:
+        """Shared columnar-sink core (parquet/orc): within-file sort for
+        min/max pruning, file-size bound, hive partitioning."""
         if sort_by:
             keys = ([*partition_cols] if partition_cols else []) + list(sort_by)
             df = df.sortWithinPartitions(*keys)
@@ -1537,7 +1554,7 @@ class DataChain:
             w = w.option("maxRecordsPerFile", int(max_records_per_file))
         if partition_cols:
             w = w.partitionBy(*partition_cols)
-        w.parquet(path)
+        getattr(w, fmt)(path)
 
     def to_orc(
         self,
@@ -1550,17 +1567,13 @@ class DataChain:
         """Distributed ORC export — the Hive-warehouse sibling of
         :meth:`to_parquet` (same partitioned layout, same within-file
         ``sort_by`` clustering so ORC stripe min/max prunes downstream
-        scans, same ``max_records_per_file`` split-evenness bound)."""
-        df = self._df
-        if sort_by:
-            keys = ([*partition_cols] if partition_cols else []) + list(sort_by)
-            df = df.sortWithinPartitions(*keys)
-        w = df.write.mode(mode)
-        if max_records_per_file:
-            w = w.option("maxRecordsPerFile", int(max_records_per_file))
-        if partition_cols:
-            w = w.partitionBy(*partition_cols)
-        w.orc(path)
+        scans, same ``max_records_per_file`` split-evenness bound; no
+        zorder_by — Morton layout targets parquet's row-group stats
+        pipeline, add it there first if ORC ever needs it)."""
+        self._write_columnar(
+            self._df, path, "orc", partition_cols, mode, sort_by,
+            max_records_per_file,
+        )
 
     def to_avro(self, path: str, mode: str = "overwrite") -> None:
         """Avro export via the external ``spark-avro`` module (import-gated
@@ -1578,10 +1591,26 @@ class DataChain:
     def to_text_dir(self, path: str, column: str = "text", mode: str = "overwrite") -> None:
         """Distributed plain-text export: one line per row from a single
         string column (every executor writes its partitions). The inverse
-        of ``read_text(lines=True)``."""
-        self._df.select(F.col(column).cast("string").alias("value")).write.mode(
-            mode
-        ).text(path)
+        of ``read_text(lines=True)`` — and the format cannot represent
+        NULLs or embedded newlines (a NULL would silently become an empty
+        line; an embedded newline would read back as two rows), so such
+        values FAIL the job via an in-expression guard; filter or escape
+        them first (or use to_csv_dir, which quotes)."""
+        val = F.col(column).cast("string")
+        guarded = (
+            F.when(
+                val.isNull() | val.contains("\n") | val.contains("\r"),
+                F.raise_error(
+                    F.lit(
+                        f"to_text_dir: NULL or embedded newline in {column!r} "
+                        "— not representable as one line per row"
+                    )
+                ),
+            )
+            .otherwise(val)
+            .alias("value")
+        )
+        self._df.select(guarded).write.mode(mode).text(path)
 
     def to_csv(
         self,

@@ -210,10 +210,14 @@ def salted_join(
         )
     if salt < 2:
         raise ValueError("salted_join: salt must be >= 2")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError("salted_join: a '__salt' column already exists")
     keys = [on] if isinstance(on, str) else list(on)
+    # xxhash64 rejects MapType ANYWHERE in a column's type tree (e.g.
+    # array<map<...>>), not just at the top level
     hashable = [
         f.name for f in left.schema.fields
-        if not isinstance(f.dataType, T.MapType)
+        if "map<" not in f.dataType.simpleString()
     ]
     l_salted = left.withColumn(
         "__salt",

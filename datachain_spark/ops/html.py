@@ -137,8 +137,12 @@ def html_extract(
 
 
 # RE2-compatible (no backreferences/lookaround) so the DuckDB oracle shares
-# it verbatim; Java regex accepts the same syntax
-LINK_PATTERN = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'<>]+)["']"""
+# it verbatim; Java regex accepts the same syntax. The optional quote also
+# captures UNQUOTED hrefs (<a href=foo> — valid HTML5, common in crawls);
+# the cost is that a quoted URL containing a literal space truncates at it
+# (invalid per the URL spec — browsers require %20 — so the trade is right
+# for web-scale extraction).
+LINK_PATTERN = r"""(?i)<a\s[^>]*href\s*=\s*["']?([^"'\s<>]+)"""
 
 
 def extract_links(

@@ -338,8 +338,10 @@ def sniff_mime(
     """
     hx = F.upper(F.hex(F.substring(F.col(data_col), 1, 16)))
     expr = F.lit(default)
-    # build inside-out so earlier (more specific) entries win
-    riff = F.lit("video/riff-unknown")
+    # build inside-out so earlier (more specific) entries win; a RIFF
+    # container with an unrecognized subtype is UNKNOWN -> default (never
+    # an invented MIME string)
+    riff = F.lit(default)
     for sub, mime in _RIFF_SUBTYPES:
         riff = F.when(F.substring(hx, 17, 8) == sub, F.lit(mime)).otherwise(riff)
     checks: list[tuple[F.Column, F.Column]] = [

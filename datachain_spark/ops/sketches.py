@@ -317,10 +317,13 @@ def group_quantiles(
     if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
         raise ValueError("group_quantiles: quantiles must be in [0, 1]")
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.col(value_col).cast("double")
     agg = df.groupBy(*groups).agg(
-        F.percentile(F.col(value_col).cast("double"),
-                     F.array(*[F.lit(float(q)) for q in qs])).alias("__qv"),
-        F.count(value_col).alias("n_values"),
+        F.percentile(v, F.array(*[F.lit(float(q)) for q in qs])).alias("__qv"),
+        # count the CAST expression so n_values matches the population the
+        # quantiles actually describe (raw values that cast to NULL drop
+        # from both)
+        F.count(v).alias("n_values"),
     )
     pairs = []
     for i, q in enumerate(qs):
@@ -379,10 +382,22 @@ def flag_outliers(
             (F.col("__m") - F.lit(float(k)) * F.col("__s")).alias("fence_lo"),
             (F.col("__m") + F.lit(float(k)) * F.col("__s")).alias("fence_hi"),
         )
-    joined = (
-        df.join(F.broadcast(stats), groups, "left") if groups
-        else df.crossJoin(F.broadcast(stats))
-    )
+    if groups:
+        # null-safe join: NULL group values form their own group (the
+        # splits/calibrate convention) — a plain equi-join would give
+        # NULL-group rows NULL fences and never flag them
+        right = stats.select(
+            *[F.col(c).alias(f"__g_{c}") for c in groups], "fence_lo", "fence_hi"
+        )
+        cond = None
+        for c in groups:
+            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = df.join(F.broadcast(right), cond, "left").drop(
+            *[f"__g_{c}" for c in groups]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
     flag = F.when(
         v.isNull(), F.lit(None).cast("boolean")
     ).otherwise((v < F.col("fence_lo")) | (v > F.col("fence_hi")))

@@ -1146,7 +1146,9 @@ def script_profile(
     ``keep_cols`` passes extra columns through (the text column itself is
     dropped — it is the wide one).
     """
-    names = list(scripts or SCRIPTS)
+    names = list(scripts) if scripts is not None else list(SCRIPTS)
+    if not names:
+        raise ValueError("script_profile: scripts must be non-empty")
     c = F.col(text_col)
     counts = {
         s: F.coalesce(

@@ -112,7 +112,8 @@ def resample_events(
     #buckets-per-entity sequence explode from a per-entity min/max
     aggregate and a left join back on (entity, bucket) — grid size is the
     TIME RANGE over the step, independent of event volume, so the explode
-    side stays tiny next to the data. No driver contact.
+    side stays tiny next to the data. No driver contact. NULL-timestamp
+    events are excluded (they have no grid position) in both modes.
     """
     if every_seconds <= 0:
         raise ValueError("resample_events: every_seconds must be positive")
@@ -120,6 +121,10 @@ def resample_events(
     if bad:
         raise ValueError(f"resample_events: unsupported metrics {bad}")
     parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    # NULL timestamps have no bucket on the grid: exclude them explicitly
+    # in BOTH modes (otherwise fill_gaps=False would emit a bucket=NULL row
+    # while fill_gaps=True silently lost those events in the grid join)
+    df = df.filter(F.col(time_col).isNotNull())
     epoch = F.unix_timestamp(F.col(time_col)).cast("long")
     bucket = (F.floor(epoch / every_seconds) * every_seconds).cast("long")
     v = F.col(value_col)

@@ -92,3 +92,93 @@ def test_new_registry_oracles(session):
             "/root/testdata/sf0.001",
         )
         assert ok, (name, detail)
+
+
+# ---- review-fix regressions ----------------------------------------------
+
+
+def test_flag_outliers_null_group_gets_own_fence(spark):
+    df = spark.createDataFrame(
+        [(None, float(v)) for v in [1, 2, 3, 4, 100]] + [("a", 5.0)],
+        "g string, v double",
+    )
+    out = {(r["g"], r["v"]): r["is_outlier"]
+           for r in flag_outliers(df, "v", "g").collect()}
+    assert out[(None, 100.0)] is True  # NULL group flagged against itself
+    assert out[(None, 2.0)] is False
+
+
+def test_resample_null_ts_excluded_both_modes(spark):
+    df = spark.createDataFrame(
+        [("u", _ts(0), 1.0), ("u", None, 99.0)], "e string, ts timestamp, v double"
+    )
+    filled = resample_events(df, "e", "ts", "v", 10).collect()
+    bare = resample_events(df, "e", "ts", "v", 10, fill_gaps=False).collect()
+    assert len(filled) == len(bare) == 1
+    assert filled[0]["bucket_sum"] == bare[0]["bucket_sum"] == 1.0
+
+
+def test_group_quantiles_counts_cast_population(spark):
+    # n_values counts the CAST population (under ANSI an un-castable value
+    # fails loudly rather than desyncing count from quantiles; numeric
+    # strings + NULLs exercise the shared cast path)
+    df = spark.createDataFrame(
+        [("a", "1"), ("a", "3"), ("a", None)], "g string, v string"
+    )
+    from datachain_spark.ops.sketches import group_quantiles
+
+    r = group_quantiles(df, "g", "v", [0.5]).collect()[0]
+    assert r["n_values"] == 2 and r["value"] == 2.0
+
+
+def test_to_text_dir_rejects_null_and_newline(session, tmp_path):
+    import datachain_spark as dcs
+
+    ch = dcs.read_values(t=["ok", None], session=session)
+    with pytest.raises(Exception, match="NULL or embedded newline"):
+        ch.to_text_dir(str(tmp_path / "a"), column="t")
+    ch2 = dcs.read_values(t=["one\ntwo"], session=session)
+    with pytest.raises(Exception, match="NULL or embedded newline"):
+        ch2.to_text_dir(str(tmp_path / "b"), column="t")
+
+
+def test_salted_join_nested_map_and_salt_collision(spark):
+    from datachain_spark.ops.asof import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, [{"a": "b"}]), (2, [{"c": "d"}])], "k int, attrs array<map<string,string>>"
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, name string")
+    got = salted_join(fact, dim, "k", salt=4).select("k", "name").collect()
+    assert sorted((r["k"], r["name"]) for r in got) == [(1, "x"), (2, "y")]
+    bad = fact.withColumnRenamed("attrs", "__salt")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(bad, dim, "k")
+
+
+def test_sniff_unknown_riff_gets_default(spark):
+    from datachain_spark.ops.multimodal import sniff_mime
+
+    df = spark.createDataFrame(
+        [(b"RIFF\x24\x00\x00\x00CDDAfmt",)], "content binary"
+    )
+    assert sniff_mime(df).collect()[0]["mime"] == "application/octet-stream"
+
+
+def test_script_profile_empty_list_raises(spark):
+    from datachain_spark.ops.text import script_profile
+
+    df = spark.createDataFrame([(1, "x")], "id int, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        script_profile(df, "id", scripts=[])
+
+
+def test_extract_links_unquoted_href(spark):
+    from datachain_spark.ops.html import extract_links
+
+    df = spark.createDataFrame(
+        [(1, '<a href=http://x.com/1>t</a> <a href="http://y.com/2">u</a>')],
+        "id int, html string",
+    )
+    urls = [r["url"] for r in extract_links(df, "id").collect()]
+    assert urls == ["http://x.com/1", "http://y.com/2"]
