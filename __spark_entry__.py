@@ -6805,6 +6805,98 @@ ORDER BY doc_id
 """
 
 
+def _fabricate_conversations(spark, sf):
+    """Four conversation shapes keyed by doc_id % 4 (full alternation with
+    system prompt / minimal pair / broken alternation / reversed order),
+    contents derived from document text substrings — both engines can
+    reconstruct every turn exactly."""
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
+    c1 = F.substring("text", 1, 10)
+    c2 = F.substring("text", 11, 10)
+    c3 = F.upper(F.substring("text", 1, 5))
+    c4 = F.col("lang")
+
+    def turn(role, content):
+        return F.struct(F.lit(role).alias("role"), content.alias("content"))
+
+    msgs = (
+        F.when(F.col("doc_id") % 4 == 0, F.array(
+            turn("system", c4), turn("user", c1), turn("assistant", c2),
+            turn("user", c3), turn("assistant", c4)))
+        .when(F.col("doc_id") % 4 == 1, F.array(
+            turn("user", c1), turn("assistant", c2)))
+        .when(F.col("doc_id") % 4 == 2, F.array(
+            turn("user", c1), turn("user", c3), turn("assistant", c2)))
+        .otherwise(F.array(turn("assistant", c2), turn("user", c1)))
+    )
+    return docs.select("doc_id", msgs.alias("messages"))
+
+
+def conversation_pairs_docs(spark, sf):
+    """Adjacent user->assistant pair extraction
+    (ops/conversations.extract_pairs) over four fabricated conversation
+    shapes: full alternation yields 2 pairs, the minimal dialog 1, broken
+    alternation pairs only its adjacent turns, reversed order none. The
+    oracle knows each shape's pairs BY CONSTRUCTION — the HOF index
+    filtering must recover them from the arrays."""
+    from datachain_spark.ops.conversations import extract_pairs
+
+    convs = _fabricate_conversations(spark, sf)
+    return extract_pairs(convs, "doc_id").orderBy("doc_id", "pair")
+
+
+CONV_PAIRS_SQL = """
+WITH d AS (SELECT doc_id, text, lang,
+                  substring(text, 1, 10) AS c1, substring(text, 11, 10) AS c2,
+                  upper(substring(text, 1, 5)) AS c3, lang AS c4
+           FROM documents WHERE doc_id < 200)
+SELECT doc_id, CAST(0 AS INT) AS pair, c1 AS prompt, c2 AS response
+  FROM d WHERE doc_id % 4 = 0
+UNION ALL
+SELECT doc_id, CAST(1 AS INT), c3, c4 FROM d WHERE doc_id % 4 = 0
+UNION ALL
+SELECT doc_id, CAST(0 AS INT), c1, c2 FROM d WHERE doc_id % 4 = 1
+UNION ALL
+SELECT doc_id, CAST(0 AS INT), c3, c2 FROM d WHERE doc_id % 4 = 2
+ORDER BY doc_id, pair
+"""
+
+
+def conversation_stats_docs(spark, sf):
+    """Per-conversation structure audit
+    (ops/conversations.conversation_stats): turn/role counts, content
+    chars, alternation violations and starts_with_user over the four
+    fabricated shapes — each signal recomputed closed-form per shape in
+    the oracle."""
+    from datachain_spark.ops.conversations import conversation_stats
+
+    convs = _fabricate_conversations(spark, sf)
+    return conversation_stats(convs, "doc_id").orderBy("doc_id")
+
+
+CONV_STATS_SQL = """
+WITH d AS (SELECT doc_id,
+                  length(substring(text, 1, 10)) AS l1,
+                  length(substring(text, 11, 10)) AS l2,
+                  length(upper(substring(text, 1, 5))) AS l3,
+                  length(lang) AS l4
+           FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 2 END AS n_turns,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 1 END AS INT)
+    AS n_user,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 1 END AS INT)
+    AS n_assistant,
+  CAST(CASE doc_id % 4 WHEN 0 THEN l4 + l1 + l2 + l3 + l4
+                       WHEN 1 THEN l1 + l2
+                       WHEN 2 THEN l1 + l3 + l2
+                       ELSE l2 + l1 END AS BIGINT) AS n_chars,
+  CAST(CASE doc_id % 4 WHEN 2 THEN 1 ELSE 0 END AS INT) AS n_role_repeats,
+  doc_id % 4 IN (1, 2) AS starts_with_user
+FROM d ORDER BY doc_id
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint", True),
     ("o_custkey", "bigint", True),
@@ -6905,8 +6997,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     5-iteration CTEs), group_centroids_emb, histogram_orders,
     minhash_incremental_md5 (stored-signature-index dedup),
     minhash_dedup_best_md5 (quality-aware representatives),
-    token_budget_docs (distributed-prefix budget truncation); fill
-    remaining slots
+    token_budget_docs (distributed-prefix budget truncation), and the
+    r05-session-2 wave: orc_roundtrip/text_roundtrip (new IO),
+    stratified_split_docs/kfold_docs (exact splits),
+    calibrate_scores_docs, sniff_mime_docs, extract_links_docs,
+    salted_join_orders, script_profile_docs, mix_to_target_docs,
+    weighted_sample_pg_docs, group_quantiles_docs, dataset_digest_docs,
+    resample_events_grid, flag_outliers_docs; fill remaining slots
     with the longest-out-of-window overflow rows (udf_*, sharding_md5,
     multimodal, function-family suites) so every registry entry has a
     driver verdict at most 2 rounds old.
@@ -7088,6 +7185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_digest_docs": dataset_digest_docs,
         "resample_events_grid": resample_events_grid,
         "flag_outliers_docs": flag_outliers_docs,
+        "conversation_pairs_docs": conversation_pairs_docs,
+        "conversation_stats_docs": conversation_stats_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -7260,5 +7359,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_digest_docs": DIGEST_SQL,
         "resample_events_grid": RESAMPLE_SQL,
         "flag_outliers_docs": FLAG_OUTLIERS_SQL,
+        "conversation_pairs_docs": CONV_PAIRS_SQL,
+        "conversation_stats_docs": CONV_STATS_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
     }

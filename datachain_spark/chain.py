@@ -1112,6 +1112,36 @@ class DataChain:
 
         return self._evolve(_op(self._df, weight_col, n, id_col, **kw))
 
+    def flatten_turns(self, id_col: str, messages_col: str = "messages") -> "DataChain":
+        """One row per conversation turn (ops/conversations.flatten_turns)."""
+        from .ops.conversations import flatten_turns as _op
+
+        return self._evolve(_op(self._df, id_col, messages_col))
+
+    def extract_pairs(self, id_col: str, messages_col: str = "messages",
+                      **kw: Any) -> "DataChain":
+        """Adjacent user->assistant training pairs
+        (ops/conversations.extract_pairs)."""
+        from .ops.conversations import extract_pairs as _op
+
+        return self._evolve(_op(self._df, id_col, messages_col, **kw))
+
+    def conversation_stats(self, id_col: str, messages_col: str = "messages",
+                           **kw: Any) -> "DataChain":
+        """Per-conversation structure audit — turn counts, alternation
+        violations (ops/conversations.conversation_stats)."""
+        from .ops.conversations import conversation_stats as _op
+
+        return self._evolve(_op(self._df, id_col, messages_col, **kw))
+
+    def render_chat(self, id_col: str, messages_col: str = "messages",
+                    **kw: Any) -> "DataChain":
+        """Render conversations to single training strings via a turn
+        template (ops/conversations.render_chat)."""
+        from .ops.conversations import render_chat as _op
+
+        return self._evolve(_op(self._df, id_col, messages_col, **kw))
+
     def resample_events(self, partition_by: Any, time_col: str,
                         value_col: str, every_seconds: int,
                         **kw: Any) -> "DataChain":
