@@ -6897,6 +6897,74 @@ FROM d ORDER BY doc_id
 """
 
 
+def impute_docs(spark, sf):
+    """Group-mean imputation (ops/expectations.impute): every 7th doc's
+    score nulled, then filled from its language's mean — published as
+    CAST(exact DECIMAL sum AS DOUBLE)/count (the repo numeric policy), so
+    imputed values are bit-identical cross-engine with no rounding."""
+    from datachain_spark.ops.expectations import impute
+
+    docs = _chain(spark, sf, "documents").df.select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 7 != 0, F.col("n_chars").cast("double"))
+        .alias("score"),
+    )
+    out = impute(docs, ["score"], strategy="mean", group_cols="lang",
+                 flag_col="was_imputed")
+    return out.select("doc_id", "lang", "score", "was_imputed").orderBy("doc_id")
+
+
+IMPUTE_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 != 0 THEN CAST(n_chars AS DOUBLE) END AS score
+  FROM documents
+), m AS (
+  SELECT lang,
+         CAST(sum(CAST(score AS DECIMAL(30,6))) AS DOUBLE) / count(score)
+           AS fill
+  FROM scored GROUP BY lang
+)
+SELECT doc_id, s.lang, coalesce(score, fill) AS score,
+       score IS NULL AND fill IS NOT NULL AS was_imputed
+FROM scored s JOIN m ON s.lang = m.lang
+ORDER BY doc_id
+"""
+
+
+def corr_matrix_orders(spark, sf):
+    """One-pass pairwise Pearson correlations
+    (ops/expectations.corr_matrix) over three orders columns; both engines
+    share the sample-correlation definition, compared at 6 significant
+    digits (floating aggregates — the profile_orders precedent)."""
+    from datachain_spark.ops.expectations import corr_matrix
+
+    orders = _chain(spark, sf, "orders").df
+    out = corr_matrix(orders, ["o_orderkey", "o_custkey", "o_totalprice"])
+    return out.select(
+        "col_a", "col_b",
+        F.when(F.col("corr").isNotNull(),
+               F.format_string("%.6e", F.col("corr"))).alias("corr_r"),
+    ).orderBy("col_a", "col_b")
+
+
+CORR_SQL = """
+WITH c AS (
+  SELECT corr(CAST(o_custkey AS DOUBLE), CAST(o_orderkey AS DOUBLE)) AS ab,
+         corr(CAST(o_custkey AS DOUBLE), CAST(o_totalprice AS DOUBLE)) AS ac,
+         corr(CAST(o_orderkey AS DOUBLE), CAST(o_totalprice AS DOUBLE)) AS bc
+  FROM orders
+)
+SELECT 'o_custkey' AS col_a, 'o_orderkey' AS col_b, printf('%.6e', ab) AS corr_r
+  FROM c
+UNION ALL
+SELECT 'o_custkey', 'o_totalprice', printf('%.6e', ac) FROM c
+UNION ALL
+SELECT 'o_orderkey', 'o_totalprice', printf('%.6e', bc) FROM c
+ORDER BY col_a, col_b
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint", True),
     ("o_custkey", "bigint", True),
@@ -7187,6 +7255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flag_outliers_docs": flag_outliers_docs,
         "conversation_pairs_docs": conversation_pairs_docs,
         "conversation_stats_docs": conversation_stats_docs,
+        "impute_docs": impute_docs,
+        "corr_matrix_orders": corr_matrix_orders,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -7361,5 +7431,7 @@ def oracle_sql() -> dict[str, str]:
         "flag_outliers_docs": FLAG_OUTLIERS_SQL,
         "conversation_pairs_docs": CONV_PAIRS_SQL,
         "conversation_stats_docs": CONV_STATS_SQL,
+        "impute_docs": IMPUTE_SQL,
+        "corr_matrix_orders": CORR_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
     }

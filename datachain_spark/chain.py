@@ -1112,6 +1112,21 @@ class DataChain:
 
         return self._evolve(_op(self._df, weight_col, n, id_col, **kw))
 
+    def impute(self, cols: Sequence[str], strategy: str = "mean",
+               group_cols: Any = None, **kw: Any) -> "DataChain":
+        """Fill NULLs from per-group mean/median statistics
+        (ops/expectations.impute)."""
+        from .ops.expectations import impute as _op
+
+        return self._evolve(_op(self._df, cols, strategy, group_cols, **kw))
+
+    def corr_matrix(self, cols: Sequence[str]) -> "DataChain":
+        """Pairwise Pearson correlations in one aggregation pass
+        (ops/expectations.corr_matrix)."""
+        from .ops.expectations import corr_matrix as _op
+
+        return self._evolve(_op(self._df, cols))
+
     def flatten_turns(self, id_col: str, messages_col: str = "messages") -> "DataChain":
         """One row per conversation turn (ops/conversations.flatten_turns)."""
         from .ops.conversations import flatten_turns as _op

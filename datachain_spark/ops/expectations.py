@@ -190,3 +190,107 @@ def duplicates(df: DataFrame, *cols: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dup"))
         .filter(F.col("n_dup") > 1)
     )
+
+
+def impute(
+    df: DataFrame,
+    cols: Sequence[str],
+    strategy: str = "mean",
+    group_cols=None,
+    flag_col: Optional[str] = None,
+) -> DataFrame:
+    """Fill NULLs in numeric columns from per-group statistics:
+    ``mean`` (published as CAST(exact DECIMAL sum AS DOUBLE)/count — the
+    repo's fold-order-independent policy, so imputed values are
+    bit-reproducible and cross-engine verifiable) or ``median`` (the
+    shared interpolated-percentile definition). ``group_cols=None``
+    imputes from the global statistic. NULL group values form their own
+    group (null-safe join back, the flag_outliers convention); a group
+    whose statistic is itself NULL (all values NULL) leaves the NULLs in
+    place. ``flag_col`` optionally records which rows were imputed
+    (one boolean per row: true iff ANY listed column was filled).
+
+    Shape: ONE #groups-row aggregation broadcast back; the data never
+    shuffles.
+    """
+    if strategy not in ("mean", "median"):
+        raise ValueError("impute: strategy must be 'mean' or 'median'")
+    cols = list(cols)
+    if not cols:
+        raise ValueError("impute: cols must be non-empty")
+    groups = (
+        [] if group_cols is None
+        else [group_cols] if isinstance(group_cols, str)
+        else list(group_cols)
+    )
+    aggs = []
+    for c in cols:
+        v = F.col(c)
+        if strategy == "mean":
+            stat = (
+                F.sum(v.cast("decimal(30,6)")).cast("double") / F.count(v)
+            )
+        else:
+            stat = F.percentile(v.cast("double"), F.lit(0.5))
+        aggs.append(stat.alias(f"__fill_{c}"))
+    stats = df.groupBy(*groups).agg(*aggs)
+    if groups:
+        right = stats.select(
+            *[F.col(c).alias(f"__g_{c}") for c in groups],
+            *[f"__fill_{c}" for c in cols],
+        )
+        cond = None
+        for c in groups:
+            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = df.join(F.broadcast(right), cond, "left").drop(
+            *[f"__g_{c}" for c in groups]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
+    was_null = None
+    for c in cols:
+        filled = F.col(c).isNull() & F.col(f"__fill_{c}").isNotNull()
+        was_null = filled if was_null is None else (was_null | filled)
+    out = joined
+    if flag_col:
+        out = out.withColumn(flag_col, was_null)
+    for c in cols:
+        dtype = dict(df.dtypes)[c]
+        out = out.withColumn(
+            c, F.coalesce(F.col(c).cast("double"), F.col(f"__fill_{c}")).cast(dtype)
+        )
+    return out.drop(*[f"__fill_{c}" for c in cols])
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns: one row per
+    unordered pair (col_a < col_b), computed in ONE aggregation pass
+    (d(d-1)/2 corr expressions share the single scan/shuffle). Sample
+    correlation — the definition Spark's corr() and DuckDB's corr()
+    share. Values are floating aggregates (fold-order sensitive in the
+    last ulps); the registry oracle compares at 6 significant digits, the
+    profile_orders precedent.
+    """
+    cols = sorted(set(cols))
+    if len(cols) < 2:
+        raise ValueError("corr_matrix: need at least 2 columns")
+    aggs = []
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            pairs.append((a, b))
+            aggs.append(
+                F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
+                .alias(f"__c_{len(aggs)}")
+            )
+    one = df.agg(*aggs)
+    stacked = []
+    for i, (a, b) in enumerate(pairs):
+        stacked += [F.lit(a), F.lit(b), F.col(f"__c_{i}")]
+    return one.select(
+        F.stack(F.lit(len(pairs)), *stacked).alias("col_a", "col_b", "corr")
+    )
