@@ -101,6 +101,8 @@ HEADLINE = [
     "stratified_split_full",
     "web_signals_full",
     "link_degrees_full",
+    # SFT conversation prep: audit -> alternation gate -> pairs, fused
+    "conversation_prep_full",
 ]
 
 
@@ -675,9 +677,39 @@ def main() -> None:
     queries["warc_html_pipeline_full"] = _warc_html_pipeline_full
     queries["row_ids_full"] = _row_ids_full
     queries["rolling_events_full"] = _rolling_events_full
+    def _conversation_prep_full(spark, sf):
+        # SFT prep over fabricated conversations from every doc: audit ->
+        # gate on alternation -> pair extraction -> render, ONE fused plan
+        # of pure array algebra (zero shuffles until the final count)
+        from datachain_spark.ops.conversations import (
+            conversation_stats, extract_pairs,
+        )
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        def turn(role, content):
+            return F.struct(F.lit(role).alias("role"), content.alias("content"))
+        c1, c2 = F.substring("text", 1, 40), F.substring("text", 41, 40)
+        msgs = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.array(turn("user", c1), turn("assistant", c2),
+                    turn("user", c2), turn("assistant", c1)),
+        ).otherwise(F.array(turn("user", c1), turn("assistant", c2)))
+        convs = docs.select("doc_id", msgs.alias("messages"))
+        stats = conversation_stats(convs, "doc_id").filter(
+            F.col("n_role_repeats") == 0
+        )
+        pairs = extract_pairs(
+            convs.join(stats.select("doc_id"), "doc_id"), "doc_id"
+        )
+        return pairs.agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.avg(F.length("prompt")).alias("avg_prompt"),
+        )
+
     queries["stratified_split_full"] = _stratified_split_full
     queries["web_signals_full"] = _web_signals_full
     queries["link_degrees_full"] = _link_degrees_full
+    queries["conversation_prep_full"] = _conversation_prep_full
 
     # JVM/codegen warmup + Python-UDF worker pool spin-up (not counted):
     # the first mapInPandas task pays worker fork + pandas import (~2s);
