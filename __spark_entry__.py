@@ -6965,6 +6965,78 @@ ORDER BY col_a, col_b
 """
 
 
+def funnel_events(spark, sf):
+    """Ordered conversion funnel (ops/timeseries.funnel): per user, first
+    view -> first click at/after it -> first purchase at/after that; one
+    groupBy + a codegen fold over the sorted event array (no per-step
+    self-joins). The oracle computes each step as a sequential correlated
+    min — the classic k-pass SQL formulation — so the single-pass fold is
+    verified against the independent construction."""
+    from datachain_spark.ops.timeseries import funnel
+
+    ev = _chain(spark, sf, "events").df.filter(F.col("user_id") < 200)
+    out = funnel(ev, "user_id", "ts", "event_type",
+                 ["view", "click", "purchase"])
+    return out.orderBy("user_id")
+
+
+FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type
+  FROM events WHERE user_id < 200
+    AND event_type IN ('view', 'click', 'purchase')
+), s1 AS (
+  SELECT user_id, min(ep) AS t1 FROM ev WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(ep) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ep >= s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(ep) AS t3
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ep >= s2.t2 GROUP BY e.user_id
+), base AS (SELECT DISTINCT user_id FROM ev)
+SELECT b.user_id, s1.t1 AS step1_ts, s2.t2 AS step2_ts, s3.t3 AS step3_ts,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS steps_reached
+FROM base b
+LEFT JOIN s1 ON b.user_id = s1.user_id
+LEFT JOIN s2 ON b.user_id = s2.user_id
+LEFT JOIN s3 ON b.user_id = s3.user_id
+ORDER BY b.user_id
+"""
+
+
+def cohort_retention_events(spark, sf):
+    """Cohort retention triangle (ops/timeseries.cohort_retention): users
+    cohorted by first-activity day, counted per day offset — distinct
+    (user, day) activity, per-user min via the reused entity exchange,
+    one (cohort, offset) count. Integer day arithmetic replays exactly."""
+    from datachain_spark.ops.timeseries import cohort_retention
+
+    ev = _chain(spark, sf, "events").df
+    return cohort_retention(ev, "user_id", "ts", 86400).orderBy(
+        "cohort", "period_offset"
+    )
+
+
+COHORT_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS p
+  FROM events WHERE ts IS NOT NULL
+), cohorted AS (
+  SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort FROM active
+)
+SELECT cohort, CAST(p - cohort AS INT) AS period_offset,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM cohorted GROUP BY cohort, p ORDER BY cohort, period_offset
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint", True),
     ("o_custkey", "bigint", True),
@@ -7257,6 +7329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats_docs": conversation_stats_docs,
         "impute_docs": impute_docs,
         "corr_matrix_orders": corr_matrix_orders,
+        "funnel_events": funnel_events,
+        "cohort_retention_events": cohort_retention_events,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -7433,5 +7507,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_stats_docs": CONV_STATS_SQL,
         "impute_docs": IMPUTE_SQL,
         "corr_matrix_orders": CORR_SQL,
+        "funnel_events": FUNNEL_SQL,
+        "cohort_retention_events": COHORT_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
     }

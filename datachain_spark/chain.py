@@ -1168,6 +1168,22 @@ class DataChain:
             _op(self._df, partition_by, time_col, value_col, every_seconds, **kw)
         )
 
+    def funnel(self, partition_by: Any, time_col: str, event_col: str,
+               steps: Sequence[str]) -> "DataChain":
+        """Per-entity ordered conversion funnel (ops/timeseries.funnel):
+        first qualifying time per step + steps_reached."""
+        from .ops.timeseries import funnel as _op
+
+        return self._evolve(_op(self._df, partition_by, time_col, event_col, steps))
+
+    def cohort_retention(self, partition_by: Any, time_col: str,
+                         period_seconds: int, **kw: Any) -> "DataChain":
+        """Cohort retention triangle (ops/timeseries.cohort_retention):
+        (cohort, period_offset, n_entities)."""
+        from .ops.timeseries import cohort_retention as _op
+
+        return self._evolve(_op(self._df, partition_by, time_col, period_seconds, **kw))
+
     def flag_outliers(self, value_col: str, group_cols: Any = None,
                       **kw: Any) -> "DataChain":
         """Tag rows outside the per-group Tukey/z-score fence

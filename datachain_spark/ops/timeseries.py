@@ -158,3 +158,110 @@ def resample_events(
             "bucket_count", F.coalesce(F.col("bucket_count"), F.lit(0))
         )
     return out.withColumnRenamed("__bucket", "bucket")
+
+
+def funnel(
+    df: DataFrame,
+    partition_by: Union[str, Sequence[str]],
+    time_col: str,
+    event_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel per entity: for each entity, the FIRST time each
+    step fired at-or-after the previous step's first qualifying time
+    (the view->cart->purchase conversion shape). Output: one row per
+    entity with ``step{i}_ts`` epoch columns (NULL once the chain
+    breaks) and ``steps_reached``.
+
+    Shape: ONE groupBy on the entity collecting (ts, event) pairs, then a
+    codegen higher-order fold over the time-sorted array — no self-joins,
+    no k-pass scans (the classic SQL formulation needs one correlated
+    subquery per step). Ties: an event at exactly the previous step's
+    timestamp qualifies; a single event row can satisfy at most one step.
+    ``steps`` must be distinct.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel: steps must be distinct")
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    k = len(steps)
+    epoch = F.unix_timestamp(F.col(time_col)).cast("long")
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    # sort ties by STEP index (not event name): at equal timestamps the
+    # fold must see earlier funnel steps first, so an equal-time
+    # view->cart->buy chain completes — this makes the single-pass fold
+    # equivalent to the k-pass min-with->= formulation the oracle runs,
+    # independent of event arrival order
+    si = F.array_position(step_arr, F.col(event_col))
+    pairs = df.filter(F.col(event_col).isin(steps)).groupBy(*parts).agg(
+        F.sort_array(
+            F.collect_list(F.struct(epoch.alias("ep"), si.alias("si"),
+                                    F.col(event_col).alias("ev")))
+        ).alias("__evs")
+    )
+    init = F.array(*[F.lit(None).cast("long") for _ in steps])
+
+    def update(state, e):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: F.coalesce(
+                F.element_at(state, i),
+                F.when(
+                    (e["ev"] == F.element_at(step_arr, i))
+                    & ((i == 1) | F.element_at(state, i - 1).isNotNull()),
+                    e["ep"],
+                ),
+            ),
+        )
+
+    folded = pairs.select(
+        *parts, F.aggregate("__evs", init, update).alias("__st")
+    )
+    sel = [*parts]
+    for i, s in enumerate(steps):
+        sel.append(F.element_at("__st", i + 1).alias(f"step{i + 1}_ts"))
+    sel.append(
+        F.size(F.filter("__st", lambda x: x.isNotNull())).alias("steps_reached")
+    )
+    return folded.select(*sel)
+
+
+def cohort_retention(
+    df: DataFrame,
+    partition_by: Union[str, Sequence[str]],
+    time_col: str,
+    period_seconds: int,
+    max_offset: Optional[int] = None,
+) -> DataFrame:
+    """Cohort retention triangle: entities cohorted by their FIRST-event
+    period; one row per (cohort, period_offset) with the number of
+    entities active that many periods later (offset 0 = cohort size).
+
+    Shape: one (entity, period) distinct aggregation, one per-entity min
+    (window over the same partitioning — the exchange is reused), one
+    (cohort, offset) count — entity-keyed shuffles only, no joins. Epochs
+    floor to ``period_seconds`` buckets (weeks = 604800, days = 86400).
+    """
+    if period_seconds <= 0:
+        raise ValueError("cohort_retention: period_seconds must be positive")
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    epoch = F.unix_timestamp(F.col(time_col)).cast("long")
+    period = F.floor(epoch / period_seconds).cast("long")
+    active = (
+        df.filter(F.col(time_col).isNotNull())
+        .select(*parts, period.alias("__p"))
+        .distinct()
+    )
+    w = Window.partitionBy(*parts)
+    cohorted = active.withColumn("__cohort", F.min("__p").over(w))
+    out = (
+        cohorted.withColumn("__offset", (F.col("__p") - F.col("__cohort")).cast("int"))
+        .groupBy(F.col("__cohort").alias("cohort"),
+                 F.col("__offset").alias("period_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+    )
+    if max_offset is not None:
+        out = out.filter(F.col("period_offset") <= max_offset)
+    return out
