@@ -6965,6 +6965,55 @@ ORDER BY col_a, col_b
 """
 
 
+def describe_orders(spark, sf):
+    """pandas-describe numeric summary (ops/profile.describe): count, the
+    exact-DECIMAL mean, stddev, and interpolated quartiles for three
+    orders columns, ALL from one aggregation. Quantiles/min/max/mean
+    compare exactly; stddev at 6 significant digits (floating aggregate,
+    the profile precedent)."""
+    from datachain_spark.ops.profile import describe
+
+    orders = _chain(spark, sf, "orders").df
+    out = describe(orders, ["o_orderkey", "o_custkey", "o_totalprice"])
+    return out.select(
+        "column", "count", "mean",
+        F.when(F.col("stddev").isNotNull(),
+               F.format_string("%.6e", F.col("stddev"))).alias("stddev_r"),
+        "min", "q25", "q50", "q75", "max",
+    ).orderBy("column")
+
+
+DESCRIBE_SQL = """
+WITH a AS (
+  SELECT
+    CAST(count(o_orderkey) AS BIGINT) AS n1,
+    CAST(sum(CAST(o_orderkey AS DECIMAL(30,6))) AS DOUBLE)
+      / count(o_orderkey) AS m1,
+    printf('%.6e', stddev(CAST(o_orderkey AS DOUBLE))) AS s1,
+    quantile_cont(CAST(o_orderkey AS DOUBLE), [0.0,0.25,0.5,0.75,1.0]) AS q1,
+    CAST(count(o_custkey) AS BIGINT) AS n2,
+    CAST(sum(CAST(o_custkey AS DECIMAL(30,6))) AS DOUBLE)
+      / count(o_custkey) AS m2,
+    printf('%.6e', stddev(CAST(o_custkey AS DOUBLE))) AS s2,
+    quantile_cont(CAST(o_custkey AS DOUBLE), [0.0,0.25,0.5,0.75,1.0]) AS q2,
+    CAST(count(o_totalprice) AS BIGINT) AS n3,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+      / count(o_totalprice) AS m3,
+    printf('%.6e', stddev(CAST(o_totalprice AS DOUBLE))) AS s3,
+    quantile_cont(CAST(o_totalprice AS DOUBLE), [0.0,0.25,0.5,0.75,1.0]) AS q3
+  FROM orders
+)
+SELECT 'o_custkey' AS "column", n2 AS count, m2 AS mean, s2 AS stddev_r,
+       q2[1] AS min, q2[2] AS q25, q2[3] AS q50, q2[4] AS q75, q2[5] AS max
+  FROM a
+UNION ALL
+SELECT 'o_orderkey', n1, m1, s1, q1[1], q1[2], q1[3], q1[4], q1[5] FROM a
+UNION ALL
+SELECT 'o_totalprice', n3, m3, s3, q3[1], q3[2], q3[3], q3[4], q3[5] FROM a
+ORDER BY "column"
+"""
+
+
 def funnel_events(spark, sf):
     """Ordered conversion funnel (ops/timeseries.funnel): per user, first
     view -> first click at/after it -> first purchase at/after that; one
@@ -7331,6 +7380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix_orders": corr_matrix_orders,
         "funnel_events": funnel_events,
         "cohort_retention_events": cohort_retention_events,
+        "describe_orders": describe_orders,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -7509,5 +7559,6 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_orders": CORR_SQL,
         "funnel_events": FUNNEL_SQL,
         "cohort_retention_events": COHORT_SQL,
+        "describe_orders": DESCRIBE_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
     }

@@ -1216,6 +1216,13 @@ class DataChain:
 
         return self._evolve(_op(self._df, group_cols, value_col, **kw))
 
+    def describe(self, columns: Optional[Sequence[str]] = None) -> "DataChain":
+        """pandas-style numeric summary — count/mean/stddev/min/quartiles/
+        max per column from ONE aggregation (ops/profile.describe)."""
+        from .ops.profile import describe as _op
+
+        return self._evolve(_op(self._df, columns))
+
     def digest(self, columns: Optional[Sequence[str]] = None,
                **kw: Any) -> "DataChain":
         """Order-invariant content checksum (n_rows, digest) of this chain

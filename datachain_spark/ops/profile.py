@@ -154,3 +154,59 @@ def dataset_digest(
         .cast("string")
         .alias("digest"),
     )
+
+
+def describe(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """pandas-``describe()`` for numeric columns: one row per column with
+    (count, mean, stddev, min, q25, q50, q75, max) — ALL columns' stats
+    from ONE aggregation (map-side partials, a single shuffle of one
+    partial row per partition), unpivoted in-plan like
+    :func:`profile_table`. Quantiles use the interpolated percentile
+    definition shared with DuckDB; mean is the exact-DECIMAL-sum mean
+    (fold-order independent); stddev is a floating aggregate (compare at
+    significant digits cross-engine). Non-numeric columns are rejected
+    (use profile_table for the mixed-type census).
+    """
+    cols = list(columns) if columns is not None else [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)
+    ]
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in fields]
+    if missing:
+        raise ValueError(f"describe: unknown columns {missing}")
+    bad = [c for c in cols if not isinstance(fields[c], _NUMERIC)]
+    if bad:
+        raise ValueError(f"describe: non-numeric columns {bad}")
+    if not cols:
+        raise ValueError("describe: no numeric columns")
+
+    aggs = []
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("double")
+        aggs += [
+            F.count(v).alias(f"__n{i}"),
+            (F.sum(F.col(c).cast("decimal(30,6)")).cast("double") / F.count(v))
+            .alias(f"__mean{i}"),
+            F.stddev(v).alias(f"__sd{i}"),
+            F.percentile(
+                v, F.array(F.lit(0.0), F.lit(0.25), F.lit(0.5),
+                           F.lit(0.75), F.lit(1.0))
+            ).alias(f"__q{i}"),
+        ]
+    one = df.agg(*aggs)
+    groups = []
+    for i, c in enumerate(cols):
+        q = F.col(f"__q{i}")
+        groups += [
+            F.lit(c), F.col(f"__n{i}"), F.col(f"__mean{i}"), F.col(f"__sd{i}"),
+            q.getItem(0), q.getItem(1), q.getItem(2), q.getItem(3), q.getItem(4),
+        ]
+    return one.select(
+        F.stack(F.lit(len(cols)), *groups).alias(
+            "column", "count", "mean", "stddev",
+            "min", "q25", "q50", "q75", "max",
+        )
+    )

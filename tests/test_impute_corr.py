@@ -80,3 +80,33 @@ def test_corr_single_pass_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     # all pairs in one aggregate: exactly one shuffle (partial->final agg)
     assert plan.count("Exchange") <= 1
+
+
+def test_describe(spark):
+    from datachain_spark.ops.profile import describe
+
+    df = spark.createDataFrame(
+        [(1.0, "x", 10), (2.0, "y", 20), (3.0, "z", None), (4.0, "w", 40)],
+        "v double, s string, k int",
+    )
+    out = {r["column"]: r for r in describe(df).collect()}
+    assert set(out) == {"v", "k"}  # string skipped by default
+    assert out["v"]["count"] == 4 and out["v"]["mean"] == 2.5
+    assert out["v"]["q50"] == 2.5 and out["v"]["min"] == 1.0
+    assert out["k"]["count"] == 3 and out["k"]["max"] == 40.0
+    with pytest.raises(ValueError, match="non-numeric"):
+        describe(df, ["s"])
+    with pytest.raises(ValueError, match="unknown"):
+        describe(df, ["nope"])
+
+
+def test_describe_oracle(session):
+    import __spark_entry__ as e
+    from tests.oracle_harness import compare
+
+    q, o = e.queries(), e.oracle_sql()
+    ok, detail = compare(
+        q["describe_orders"](session.spark, "/root/testdata/sf0.001"),
+        o["describe_orders"], "/root/testdata/sf0.001",
+    )
+    assert ok, detail
