@@ -6927,7 +6927,7 @@ WITH scored AS (
 )
 SELECT doc_id, s.lang, coalesce(score, fill) AS score,
        score IS NULL AND fill IS NOT NULL AS was_imputed
-FROM scored s JOIN m ON s.lang = m.lang
+FROM scored s LEFT JOIN m ON s.lang IS NOT DISTINCT FROM m.lang
 ORDER BY doc_id
 """
 

@@ -689,18 +689,22 @@ def main() -> None:
         def turn(role, content):
             return F.struct(F.lit(role).alias("role"), content.alias("content"))
         c1, c2 = F.substring("text", 1, 40), F.substring("text", 41, 40)
-        msgs = F.when(
-            F.col("doc_id") % 3 == 0,
-            F.array(turn("user", c1), turn("assistant", c2),
-                    turn("user", c2), turn("assistant", c1)),
-        ).otherwise(F.array(turn("user", c1), turn("assistant", c2)))
+        # 1/5 of docs get a BROKEN (user,user) shape so the gate does work
+        msgs = (
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.array(turn("user", c1), turn("user", c2)))
+            .when(F.col("doc_id") % 3 == 0,
+                  F.array(turn("user", c1), turn("assistant", c2),
+                          turn("user", c2), turn("assistant", c1)))
+            .otherwise(F.array(turn("user", c1), turn("assistant", c2)))
+        )
         convs = docs.select("doc_id", msgs.alias("messages"))
-        stats = conversation_stats(convs, "doc_id").filter(
-            F.col("n_role_repeats") == 0
-        )
-        pairs = extract_pairs(
-            convs.join(stats.select("doc_id"), "doc_id"), "doc_id"
-        )
+        # keep_cols carries messages through the audit, so gate -> pairs
+        # is genuinely ONE join-free plan
+        gated = conversation_stats(
+            convs, "doc_id", keep_cols=["messages"]
+        ).filter(F.col("n_role_repeats") == 0)
+        pairs = extract_pairs(gated, "doc_id")
         return pairs.agg(
             F.count(F.lit(1)).alias("pairs"),
             F.avg(F.length("prompt")).alias("avg_prompt"),

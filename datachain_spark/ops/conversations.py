@@ -89,12 +89,15 @@ def conversation_stats(
     messages_col: str = "messages",
     user_role: str = "user",
     assistant_role: str = "assistant",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-conversation structure audit: turn counts by role, total
     content chars, and the two gate signals SFT pipelines filter on —
     ``n_role_repeats`` (adjacent same-role turns; >0 means broken
     alternation) and ``starts_with_user``. NULL arrays report zeros.
-    One projection, zero shuffles."""
+    One projection, zero shuffles. ``keep_cols`` passes extra columns
+    through (e.g. the messages column itself, so an audit-gate ->
+    extract_pairs pipeline stays one join-free plan)."""
     m = F.coalesce(
         _msgs(messages_col),
         F.array().cast(df.schema[messages_col].dataType.simpleString()),
@@ -109,6 +112,7 @@ def conversation_stats(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep_cols],
         F.size(m).alias("n_turns"),
         n_role(user_role).cast("int").alias("n_user"),
         n_role(assistant_role).cast("int").alias("n_assistant"),
@@ -140,13 +144,24 @@ def render_chat(
         raise ValueError(
             "render_chat: turn_template needs {role} and {content}"
         )
-    pre, rest = turn_template.split("{role}", 1)
-    mid, post = rest.split("{content}", 1)
-    rendered = F.transform(
-        _msgs(messages_col),
-        lambda x: F.concat(
-            F.lit(pre), F.coalesce(x["role"], F.lit("")),
-            F.lit(mid), F.coalesce(x["content"], F.lit("")), F.lit(post),
-        ),
-    )
+    import re
+
+    # tokenize so the placeholders may appear in EITHER order (and more
+    # than once); literal segments stay literal
+    tokens = [
+        t for t in re.split(r"(\{role\}|\{content\})", turn_template) if t
+    ]
+
+    def render(x):
+        parts = []
+        for t in tokens:
+            if t == "{role}":
+                parts.append(F.coalesce(x["role"], F.lit("")))
+            elif t == "{content}":
+                parts.append(F.coalesce(x["content"], F.lit("")))
+            else:
+                parts.append(F.lit(t))
+        return F.concat(*parts)
+
+    rendered = F.transform(_msgs(messages_col), render)
     return df.withColumn(out_col, F.array_join(rendered, separator))

@@ -223,31 +223,18 @@ def impute(
         else [group_cols] if isinstance(group_cols, str)
         else list(group_cols)
     )
+    from .common import broadcast_group_join, exact_mean
+
     aggs = []
     for c in cols:
         v = F.col(c)
         if strategy == "mean":
-            stat = (
-                F.sum(v.cast("decimal(30,6)")).cast("double") / F.count(v)
-            )
+            stat = exact_mean(v)
         else:
             stat = F.percentile(v.cast("double"), F.lit(0.5))
         aggs.append(stat.alias(f"__fill_{c}"))
     stats = df.groupBy(*groups).agg(*aggs)
-    if groups:
-        right = stats.select(
-            *[F.col(c).alias(f"__g_{c}") for c in groups],
-            *[f"__fill_{c}" for c in cols],
-        )
-        cond = None
-        for c in groups:
-            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
-            cond = eq if cond is None else (cond & eq)
-        joined = df.join(F.broadcast(right), cond, "left").drop(
-            *[f"__g_{c}" for c in groups]
-        )
-    else:
-        joined = df.crossJoin(F.broadcast(stats))
+    joined = broadcast_group_join(df, groups, stats)
     was_null = None
     for c in cols:
         filled = F.col(c).isNull() & F.col(f"__fill_{c}").isNotNull()
@@ -257,8 +244,12 @@ def impute(
         out = out.withColumn(flag_col, was_null)
     for c in cols:
         dtype = dict(df.dtypes)[c]
+        # NON-NULL values pass through UNTOUCHED (a double round-trip would
+        # corrupt bigints > 2^53 and high-precision decimals); only the
+        # fill value is cast to the column's dtype (fractional means
+        # truncate into integer columns — inherent to in-dtype filling)
         out = out.withColumn(
-            c, F.coalesce(F.col(c).cast("double"), F.col(f"__fill_{c}")).cast(dtype)
+            c, F.coalesce(F.col(c), F.col(f"__fill_{c}").cast(dtype))
         )
     return out.drop(*[f"__fill_{c}" for c in cols])
 

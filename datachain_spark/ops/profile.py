@@ -183,13 +183,14 @@ def describe(
     if not cols:
         raise ValueError("describe: no numeric columns")
 
+    from .common import exact_mean
+
     aggs = []
     for i, c in enumerate(cols):
         v = F.col(c).cast("double")
         aggs += [
             F.count(v).alias(f"__n{i}"),
-            (F.sum(F.col(c).cast("decimal(30,6)")).cast("double") / F.count(v))
-            .alias(f"__mean{i}"),
+            exact_mean(F.col(c)).alias(f"__mean{i}"),
             F.stddev(v).alias(f"__sd{i}"),
             F.percentile(
                 v, F.array(F.lit(0.0), F.lit(0.25), F.lit(0.5),

@@ -382,22 +382,11 @@ def flag_outliers(
             (F.col("__m") - F.lit(float(k)) * F.col("__s")).alias("fence_lo"),
             (F.col("__m") + F.lit(float(k)) * F.col("__s")).alias("fence_hi"),
         )
-    if groups:
-        # null-safe join: NULL group values form their own group (the
-        # splits/calibrate convention) — a plain equi-join would give
-        # NULL-group rows NULL fences and never flag them
-        right = stats.select(
-            *[F.col(c).alias(f"__g_{c}") for c in groups], "fence_lo", "fence_hi"
-        )
-        cond = None
-        for c in groups:
-            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
-            cond = eq if cond is None else (cond & eq)
-        joined = df.join(F.broadcast(right), cond, "left").drop(
-            *[f"__g_{c}" for c in groups]
-        )
-    else:
-        joined = df.crossJoin(F.broadcast(stats))
+    from .common import broadcast_group_join
+
+    # null-safe join-back: NULL group values form their own group (the
+    # shared convention — see ops/common.py)
+    joined = broadcast_group_join(df, groups, stats)
     flag = F.when(
         v.isNull(), F.lit(None).cast("boolean")
     ).otherwise((v < F.col("fence_lo")) | (v > F.col("fence_hi")))

@@ -1095,22 +1095,11 @@ def perplexity_buckets(
         F.percentile(c, head_q).alias("__t1"),
         F.percentile(c, middle_q).alias("__t2"),
     )
-    if gcols:
-        # null-safe equality: a NULL group key is a real group (groupBy
-        # made thresholds for it) — a plain equi-join would orphan those
-        # rows into 'tail' regardless of score
-        thr = thresholds.select(
-            *[F.col(g).alias(f"__g_{g}") for g in gcols], "__t1", "__t2"
-        )
-        cond = None
-        for g in gcols:
-            eq = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
-            cond = eq if cond is None else (cond & eq)
-        joined = df.join(F.broadcast(thr), cond, "left").drop(
-            *[f"__g_{g}" for g in gcols]
-        )
-    else:
-        joined = df.crossJoin(F.broadcast(thresholds))
+    # null-safe join-back: a NULL group key is a real group (groupBy made
+    # thresholds for it) — shared idiom, see ops/common.py
+    from .common import broadcast_group_join
+
+    joined = broadcast_group_join(df, gcols, thresholds)
     label = (
         F.when(c <= F.col("__t1"), F.lit("head"))
         .when(c <= F.col("__t2"), F.lit("middle"))

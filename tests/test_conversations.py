@@ -2,7 +2,6 @@
 chat rendering."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from datachain_spark.ops.conversations import (
     conversation_stats,
@@ -69,6 +68,28 @@ def test_render_chat(spark):
     assert r2["text"] == "user: q || assistant: "
     with pytest.raises(ValueError, match="turn_template"):
         render_chat(df, "id", turn_template="{role} only")
+
+
+def test_render_chat_reversed_template(spark):
+    # placeholders may appear in ANY order (and repeat)
+    df = spark.createDataFrame([(1, [("user", "q")])], SCHEMA)
+    r = render_chat(df, "id", turn_template="{content} said by {role}").collect()[0]
+    assert r["text"] == "q said by user"
+    r2 = render_chat(df, "id", turn_template="[{role}|{role}] {content}").collect()[0]
+    assert r2["text"] == "[user|user] q"
+
+
+def test_conversation_stats_keep_cols(spark):
+    # audit-gate -> pairs as ONE join-free plan via the passthrough
+    df = _convs(spark)
+    gated = conversation_stats(df, "id", keep_cols=["messages"]).filter(
+        "n_role_repeats = 0"
+    )
+    pairs = extract_pairs(gated, "id")
+    assert pairs.filter("id = 3").count() == 0  # broken conv gated out
+    assert pairs.filter("id = 1").count() == 2
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
 
 
 def test_conversation_pipeline_zero_shuffle(spark):

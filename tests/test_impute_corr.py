@@ -1,7 +1,6 @@
 """ops/expectations.impute and corr_matrix."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from datachain_spark.ops.expectations import corr_matrix, impute
 
@@ -12,10 +11,6 @@ def test_impute_group_mean(spark):
          (None, 7.0), (None, None)],
         "g string, v double",
     )
-    out = {(r["g"], i): r["v"]
-           for i, r in enumerate(impute(df, ["v"], group_cols="g",
-                                         flag_col="was_imputed")
-                                 .orderBy("g", "v").collect())}
     vals = sorted((r["g"], r["v"]) for r in
                   impute(df, ["v"], group_cols="g").collect()
                   if r["g"] == "a")
@@ -53,6 +48,16 @@ def test_impute_preserves_dtype_and_global(spark):
     out = impute(df, ["v"])
     assert dict(out.dtypes)["v"] == "int"
     assert sorted(r["v"] for r in out.collect()) == [1, 3, 5]
+
+
+def test_impute_never_touches_nonnull_values(spark):
+    # a double round-trip would corrupt bigints above 2^53: 2^53 + 1 must
+    # come back EXACTLY, even with a NULL sibling being imputed
+    big = 9007199254740993  # 2^53 + 1
+    df = spark.createDataFrame([(big,), (None,), (10,)], "v long")
+    got = sorted(r["v"] for r in impute(df, ["v"]).collect()
+                 if r["v"] != 10 and r["v"] is not None)
+    assert big in got, got
 
 
 def test_corr_matrix(spark):
