@@ -7086,6 +7086,161 @@ FROM cohorted GROUP BY cohort, p ORDER BY cohort, period_offset
 """
 
 
+# cyclic language perturbation for the classifier-eval fixture: every 5th
+# doc predicts the "next" language — shared by query and oracle
+_LANG_NEXT = [("en", "fr"), ("fr", "de"), ("de", "es"), ("es", "zh"),
+              ("zh", "en")]
+
+
+def classification_report_docs(spark, sf):
+    """Per-class precision/recall/F1 (ops/evaluation
+    .classification_report): labels are doc languages, predictions a
+    known cyclic perturbation (every 5th doc predicts the next language).
+    Counts, ratios and F1 replay exactly in DuckDB (integer ratios →
+    identical doubles)."""
+    from datachain_spark.ops.evaluation import classification_report
+
+    docs = _chain(spark, sf, "documents").df
+    pred = F.col("lang")
+    for src, dst in _LANG_NEXT:
+        pred = F.when(
+            (F.col("doc_id") % 5 == 0) & (F.col("lang") == src), F.lit(dst)
+        ).otherwise(pred)
+    scored = docs.select("doc_id", F.col("lang").alias("y"), pred.alias("p"))
+    return classification_report(scored, "y", "p").orderBy("class")
+
+
+def _class_report_sql() -> str:
+    mapping = " ".join(
+        f"WHEN doc_id % 5 = 0 AND lang = '{s}' THEN '{d}'"
+        for s, d in _LANG_NEXT
+    )
+    return f"""
+WITH scored AS (
+  SELECT lang AS y, CASE {mapping} ELSE lang END AS p FROM documents
+), cm AS (
+  SELECT y, p, count(*) AS n FROM scored GROUP BY y, p
+), as_label AS (
+  SELECT y AS class, CAST(sum(n) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN y = p THEN n ELSE 0 END) AS BIGINT) AS tp
+  FROM cm GROUP BY y
+), as_pred AS (
+  SELECT p AS class, CAST(sum(n) AS BIGINT) AS n_pred FROM cm GROUP BY p
+), rep AS (
+  SELECT coalesce(l.class, r.class) AS class,
+         coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+         coalesce(tp, 0) AS tp
+  FROM as_label l FULL JOIN as_pred r ON l.class = r.class
+)
+SELECT class, n_true, n_pred, tp,
+       CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END AS precision,
+       CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true END AS recall,
+       CASE WHEN n_pred > 0 AND n_true > 0
+                 AND (CAST(tp AS DOUBLE) / n_pred
+                      + CAST(tp AS DOUBLE) / n_true) > 0
+            THEN 2 * (CAST(tp AS DOUBLE) / n_pred)
+                   * (CAST(tp AS DOUBLE) / n_true)
+                 / (CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_true)
+       END AS f1
+FROM rep ORDER BY class
+"""
+
+
+def pr_thresholds_docs(spark, sf):
+    """Gate-calibration PR table (ops/evaluation.pr_at_thresholds): the
+    positive class is long documents, the score a deterministic doc_id
+    hash-free grid — one conditional-sum aggregation per threshold, no
+    sort. Counts and ratio metrics replay exactly."""
+    from datachain_spark.ops.evaluation import pr_at_thresholds
+
+    docs = _chain(spark, sf, "documents").df.select(
+        (F.col("n_chars") > 300).alias("y"),
+        ((F.col("doc_id") % 100).cast("double") / 100.0).alias("s"),
+    )
+    out = pr_at_thresholds(docs, "y", "s", [0.2, 0.5, 0.8])
+    return out.orderBy("threshold")
+
+
+PR_THRESHOLDS_SQL = """
+WITH scored AS (
+  SELECT n_chars > 300 AS y,
+         CAST(doc_id % 100 AS DOUBLE) / 100.0 AS s
+  FROM documents
+), t(threshold) AS (VALUES (0.2), (0.5), (0.8)),
+agg AS (
+  SELECT t.threshold,
+         CAST(sum(CASE WHEN s >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(sum(CASE WHEN s >= t.threshold AND y THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM scored CROSS JOIN t GROUP BY t.threshold
+)
+SELECT threshold, n_kept, tp,
+  CASE WHEN n_kept > 0 THEN CAST(tp AS DOUBLE) / n_kept END AS precision,
+  CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / pos END AS recall,
+  CASE WHEN n_kept > 0 AND pos > 0
+            AND (CAST(tp AS DOUBLE) / n_kept + CAST(tp AS DOUBLE) / pos) > 0
+       THEN 2 * (CAST(tp AS DOUBLE) / n_kept) * (CAST(tp AS DOUBLE) / pos)
+            / (CAST(tp AS DOUBLE) / n_kept + CAST(tp AS DOUBLE) / pos)
+  END AS f1
+FROM agg ORDER BY threshold
+"""
+
+
+def regression_metrics_orders(spark, sf):
+    """Regression error metrics (ops/evaluation.regression_metrics):
+    predictions are a known affine perturbation of o_totalprice; MAE/RMSE/
+    R² from ONE exact-DECIMAL aggregation. The DECIMAL sums make the
+    metrics fold-order independent WITHIN each engine, but the per-row
+    double->DECIMAL(38,12) quantization rounds HALF_UP in Spark and
+    half-even in DuckDB — a 1-ulp tie difference per row — so the oracle
+    compares at 6 significant digits (the corr/profile precedent)."""
+    from datachain_spark.ops.evaluation import regression_metrics
+
+    orders = _chain(spark, sf, "orders").df.select(
+        F.col("o_totalprice").cast("double").alias("y"),
+        (F.col("o_totalprice").cast("double") * 1.01 + 5.0).alias("p"),
+    )
+    out = regression_metrics(orders, "y", "p")
+    return out.select(
+        "n",
+        *[
+            F.when(F.col(c).isNotNull(),
+                   F.format_string("%.6e", F.col(c))).alias(f"{c}_r")
+            for c in ("mae", "rmse", "r2")
+        ],
+    )
+
+
+REGRESSION_SQL = """
+WITH scored AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS y,
+         CAST(o_totalprice AS DOUBLE) * 1.01 + 5.0 AS p
+  FROM orders
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(abs(y - p) AS DECIMAL(38,12))) AS sae,
+         sum(CAST((y - p) * (y - p) AS DECIMAL(38,12))) AS sse,
+         sum(CAST(y AS DECIMAL(38,12))) AS sy,
+         sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+  FROM scored
+)
+SELECT n,
+  printf('%.6e', CASE WHEN n > 0 THEN CAST(sae AS DOUBLE) / n END) AS mae_r,
+  printf('%.6e',
+         CASE WHEN n > 0 THEN sqrt(CAST(sse AS DOUBLE) / n) END) AS rmse_r,
+  printf('%.6e',
+         CASE WHEN n > 0 AND (CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) > 0
+              THEN 1 - CAST(sse AS DOUBLE)
+                     / (CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         END) AS r2_r
+FROM agg
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint", True),
     ("o_custkey", "bigint", True),
@@ -7381,6 +7536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": funnel_events,
         "cohort_retention_events": cohort_retention_events,
         "describe_orders": describe_orders,
+        "classification_report_docs": classification_report_docs,
+        "pr_thresholds_docs": pr_thresholds_docs,
+        "regression_metrics_orders": regression_metrics_orders,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -7560,5 +7718,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel_events": FUNNEL_SQL,
         "cohort_retention_events": COHORT_SQL,
         "describe_orders": DESCRIBE_SQL,
+        "classification_report_docs": _class_report_sql(),
+        "pr_thresholds_docs": PR_THRESHOLDS_SQL,
+        "regression_metrics_orders": REGRESSION_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
     }

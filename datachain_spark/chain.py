@@ -1112,6 +1112,28 @@ class DataChain:
 
         return self._evolve(_op(self._df, weight_col, n, id_col, **kw))
 
+    def classification_report(self, label_col: str, pred_col: str) -> "DataChain":
+        """Per-class precision/recall/F1 from one scan
+        (ops/evaluation.classification_report)."""
+        from .ops.evaluation import classification_report as _op
+
+        return self._evolve(_op(self._df, label_col, pred_col))
+
+    def pr_at_thresholds(self, label_col: str, score_col: str,
+                         thresholds: Sequence[float], **kw: Any) -> "DataChain":
+        """Gate-calibration table: precision/recall/F1 of score >= t per
+        threshold, one aggregation (ops/evaluation.pr_at_thresholds)."""
+        from .ops.evaluation import pr_at_thresholds as _op
+
+        return self._evolve(_op(self._df, label_col, score_col, thresholds, **kw))
+
+    def regression_metrics(self, label_col: str, pred_col: str) -> "DataChain":
+        """(n, mae, rmse, r2) in one exact-DECIMAL aggregation
+        (ops/evaluation.regression_metrics)."""
+        from .ops.evaluation import regression_metrics as _op
+
+        return self._evolve(_op(self._df, label_col, pred_col))
+
     def impute(self, cols: Sequence[str], strategy: str = "mean",
                group_cols: Any = None, **kw: Any) -> "DataChain":
         """Fill NULLs from per-group mean/median statistics
