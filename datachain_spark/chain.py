@@ -540,6 +540,33 @@ class DataChain:
         grouped = self._df.groupBy(*keys).pivot(on, list(values) if values else None)
         return self._evolve(grouped.agg(*aggs))
 
+    def top_k(
+        self,
+        partition_by: Union[str, Sequence[str]],
+        order_by: Union[str, Sequence[str]],
+        k: int,
+        descending: bool = True,
+        rank_col: Optional[str] = None,
+    ) -> "DataChain":
+        """Top ``k`` rows per group by ``order_by`` (row_number over one
+        window shuffle — the generalized window_top3 pattern; ties break
+        by position, deterministically only if ``order_by`` is a total
+        order). ``rank_col`` keeps the 1-based rank."""
+        if k < 1:
+            raise ValueError("top_k: k must be >= 1")
+        parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        ords = [order_by] if isinstance(order_by, str) else list(order_by)
+        from pyspark.sql.window import Window
+
+        cols = [F.col(c).desc() if descending else F.col(c).asc() for c in ords]
+        w = Window.partitionBy(*parts).orderBy(*cols)
+        out = self._df.withColumn("__rk", F.row_number().over(w)).filter(
+            F.col("__rk") <= k
+        )
+        if rank_col:
+            return self._evolve(out.withColumnRenamed("__rk", rank_col))
+        return self._evolve(out.drop("__rk"))
+
     def unpivot(
         self,
         ids: Union[str, Sequence[str]],

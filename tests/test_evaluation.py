@@ -88,3 +88,18 @@ def test_evaluation_registry_oracles(session):
             "/root/testdata/sf0.001",
         )
         assert ok, (name, detail)
+
+
+def test_chain_top_k(session):
+    import datachain_spark as dcs
+
+    ch = dcs.read_values(
+        g=["a", "a", "a", "b", "b"], v=[3, 1, 2, 9, 8], session=session
+    )
+    top = ch.top_k("g", "v", 2, rank_col="rk").order_by("g", "rk").to_records()
+    assert [(r["g"], r["v"], r["rk"]) for r in top] == [
+        ("a", 3, 1), ("a", 2, 2), ("b", 9, 1), ("b", 8, 2)]
+    bottom = ch.top_k("g", "v", 1, descending=False).to_records()
+    assert sorted((r["g"], r["v"]) for r in bottom) == [("a", 1), ("b", 8)]
+    with pytest.raises(ValueError, match="k must be"):
+        ch.top_k("g", "v", 0)
