@@ -531,3 +531,46 @@ def test_weighted_sample_is_top_k_not_global_sort(spark, sf_dir):
     df = Q["weighted_sample_docs"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, "A-ES cut fell back to a global sort"
+
+
+def test_mix_to_target_zero_corpus_shuffle(spark, sf_dir):
+    # after the #groups-row mass collect, membership is a pure filter —
+    # the corpus itself must not exchange
+    df = Q["mix_to_target_docs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:600]
+    assert "Join" not in plan, "mix gate should be a filter, not a join"
+
+
+def test_impute_broadcasts_group_stats(spark, sf_dir):
+    # the fill join must broadcast the #groups-row stats — the corpus
+    # never sort-merge shuffles to be repaired
+    df = Q["impute_docs"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins and all("Broadcast" in j for j in joins), joins
+
+
+def test_flag_outliers_broadcasts_fences(spark, sf_dir):
+    df = Q["flag_outliers_docs"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins and all("Broadcast" in j for j in joins), joins
+
+
+def test_pr_thresholds_no_sort_single_agg(spark, sf_dir):
+    # the PR table must come from conditional sums over ONE global
+    # aggregation: no per-row sort, no explode, no hash exchange of the
+    # data (the only Sort in the plan is the #thresholds-row output order)
+    # (the plan's one Generate is the stack() unpivot of the single
+    # aggregate ROW into #thresholds rows — not a data explode)
+    df = Q["pr_thresholds_docs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:400]
+
+
+def test_funnel_one_entity_exchange(spark, sf_dir):
+    df = Q["funnel_events"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") <= 1, (
+        "funnel re-shuffled the entity key"
+    )
+    assert "Join" not in plan, "funnel should fold, not self-join per step"
