@@ -7241,6 +7241,62 @@ FROM agg
 """
 
 
+def hash_embed_md5(spark, sf):
+    """Hashing-trick document vectors (ops/embedding.hash_embed, md5):
+    word -> bucket and ±1 sign both derive from the portable md5 family,
+    the dense 16-dim assembly, signed cancellation and L2 normalization
+    all replay in DuckDB (integer-valued squares sum exactly, so norms
+    match bit-for-bit; elements compared at 9 dp like group_centroids)."""
+    from datachain_spark.ops.embedding import hash_embed
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 100)
+    out = hash_embed(docs, "doc_id", dim=16, hash_fn="md5")
+    return out.select(
+        "doc_id",
+        F.transform("embedding", lambda x: F.round(x, 9) + F.lit(0.0))
+        .alias("emb_r"),
+    ).orderBy("doc_id")
+
+
+HASH_EMBED_SEED = 0x4E48
+
+HASH_EMBED_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')) AS t
+  FROM documents WHERE doc_id < 100
+), w AS (
+  SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS w
+  FROM cleaned WHERE t != ''
+), b AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(w || ':{HASH_EMBED_SEED}'), 1, 15)
+                   AS BIGINT) % 16 AS INT) AS bucket,
+         CASE WHEN CAST('0x' || substring(md5(w || ':{HASH_EMBED_SEED + 1}'),
+                                          1, 15) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM w
+), v AS (
+  SELECT doc_id, bucket, CAST(sum(s) AS DOUBLE) AS val
+  FROM b GROUP BY doc_id, bucket
+), axis AS (
+  SELECT doc_id, unnest(generate_series(0, 15)) AS bucket
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 100)
+), dense AS (
+  SELECT a.doc_id, a.bucket, coalesce(val, 0.0) AS val
+  FROM axis a LEFT JOIN v ON a.doc_id = v.doc_id AND a.bucket = v.bucket
+), norm AS (
+  SELECT doc_id, sqrt(sum(val * val)) AS n FROM dense GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN n > 0
+            THEN list(round(val / n, 9) + 0.0 ORDER BY bucket) END AS emb_r
+FROM dense d JOIN norm USING (doc_id)
+GROUP BY d.doc_id, n
+ORDER BY d.doc_id
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint", True),
     ("o_custkey", "bigint", True),
@@ -7539,6 +7595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_report_docs": classification_report_docs,
         "pr_thresholds_docs": pr_thresholds_docs,
         "regression_metrics_orders": regression_metrics_orders,
+        "hash_embed_md5": hash_embed_md5,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -7721,5 +7778,6 @@ def oracle_sql() -> dict[str, str]:
         "classification_report_docs": _class_report_sql(),
         "pr_thresholds_docs": PR_THRESHOLDS_SQL,
         "regression_metrics_orders": REGRESSION_SQL,
+        "hash_embed_md5": HASH_EMBED_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
     }

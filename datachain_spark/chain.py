@@ -540,6 +540,39 @@ class DataChain:
         grouped = self._df.groupBy(*keys).pivot(on, list(values) if values else None)
         return self._evolve(grouped.agg(*aggs))
 
+    def flatten_structs(
+        self, separator: str = "_", recursive: bool = True
+    ) -> "DataChain":
+        """Promote struct fields to top-level ``parent{sep}field`` columns
+        (arrays/maps stay as-is — explode them deliberately). Pure
+        projection, zero shuffles; ``recursive`` keeps flattening nested
+        structs until none remain."""
+        from pyspark.sql import types as T
+
+        df = self._df
+        while True:
+            structs = [
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, T.StructType)
+            ]
+            if not structs:
+                break
+            cols = []
+            for f in df.schema.fields:
+                if f.name in structs:
+                    for sub in f.dataType.fields:
+                        cols.append(
+                            F.col(f"{f.name}.{sub.name}").alias(
+                                f"{f.name}{separator}{sub.name}"
+                            )
+                        )
+                else:
+                    cols.append(F.col(f.name))
+            df = df.select(*cols)
+            if not recursive:
+                break
+        return self._evolve(df)
+
     def top_k(
         self,
         partition_by: Union[str, Sequence[str]],
@@ -1138,6 +1171,14 @@ class DataChain:
         from .ops.selection import weighted_sample as _op
 
         return self._evolve(_op(self._df, weight_col, n, id_col, **kw))
+
+    def hash_embed(self, id_col: str, text_col: str = "text",
+                   **kw: Any) -> "DataChain":
+        """Model-free hashed document vectors (ops/embedding.hash_embed) —
+        feeds cosine_topk/semdedup/ann with zero model dependencies."""
+        from .ops.embedding import hash_embed as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
 
     def classification_report(self, label_col: str, pred_col: str) -> "DataChain":
         """Per-class precision/recall/F1 from one scan

@@ -312,3 +312,77 @@ def random_projection(
     # zip_with would pad the fold with NULLs (array-of-NULLs out)
     good = _valid_vec(F.col(vec_col)) & (F.size(F.col(vec_col)) > 0)
     return df.withColumn(out_col, F.when(good, proj))
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = 256,
+    signed: bool = True,
+    normalize: bool = True,
+    seed: int = 0x4E48,
+    hash_fn: str = "xxhash64",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Model-free document vectors via the hashing trick (Weinberger et
+    al. 2009, public): each word hashes to a bucket in ``[0, dim)`` and
+    (``signed=True``) contributes ±1 by an independent sign hash —
+    signed hashing makes collisions cancel in expectation, so hashed
+    cosine approximates bag-of-words cosine. L2-normalized by default so
+    the output feeds ``cosine_topk`` / ``semdedup`` / ``ann`` directly:
+    text-only similarity search with zero model dependencies.
+
+    Shape: explode to (id, bucket, sign) once, ONE (id, bucket) count
+    aggregation, ONE per-id map assembly — two shuffles keyed on the doc
+    id, vectors never route through the driver. Blank/NULL text yields
+    the zero vector (NULL when ``normalize=True`` — no direction).
+    ``hash_fn="md5"`` is the DuckDB-replayable family (oracle use).
+    """
+    if dim < 2:
+        raise ValueError("hash_embed: dim must be >= 2")
+    from .text import _seeded_hash64
+
+    cleaned = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", ""))
+    words = F.when(
+        F.coalesce(cleaned, F.lit("")) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(cleaned, r"\s+"))
+    grams = df.select(F.col(id_col).alias("__id"), F.explode_outer(words).alias("__w"))
+    h = _seeded_hash64(F.col("__w"), seed, hash_fn)
+    bucket = F.pmod(h, F.lit(dim))
+    sign = (
+        F.when(F.pmod(_seeded_hash64(F.col("__w"), seed + 1, hash_fn), F.lit(2)) == 0,
+               F.lit(1)).otherwise(F.lit(-1))
+        if signed else F.lit(1)
+    )
+    counted = (
+        grams.select("__id", bucket.alias("__b"),
+                     F.when(F.col("__w").isNotNull(), sign).alias("__s"))
+        .groupBy("__id", "__b")
+        .agg(F.sum("__s").alias("__v"))
+    )
+    assembled = counted.groupBy("__id").agg(
+        F.map_from_entries(
+            # collect_list skips NULLs: the explode_outer row of a blank
+            # doc (NULL bucket) must not become a NULL map key — the doc
+            # keeps its id with an empty map -> zero vector
+            F.collect_list(
+                F.when(
+                    F.col("__b").isNotNull(),
+                    F.struct(
+                        F.col("__b").cast("int"), F.col("__v").cast("double")
+                    ),
+                )
+            )
+        ).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.try_element_at("__m", i.cast("int")), F.lit(0.0)),
+    )
+    if normalize:
+        norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
+        vec = F.when(norm > 0, F.transform(dense, lambda x: x / norm))
+    else:
+        vec = dense
+    return assembled.select(F.col("__id").alias(id_col), vec.alias(out_col))
