@@ -103,6 +103,8 @@ HEADLINE = [
     "link_degrees_full",
     # SFT conversation prep: audit -> alternation gate -> pairs, fused
     "conversation_prep_full",
+    # model-free hashed retrieval: embed corpus + cosine top-10
+    "hash_retrieval_full",
 ]
 
 
@@ -710,6 +712,19 @@ def main() -> None:
             F.avg(F.length("prompt")).alias("avg_prompt"),
         )
 
+    def _hash_retrieval_full(spark, sf):
+        # model-free text retrieval: hash-embed the whole corpus (two
+        # id-keyed shuffles) then exact cosine top-10 against a query
+        # vector (TakeOrderedAndProject)
+        from datachain_spark.ops.embedding import hash_embed
+        from datachain_spark.ops.similarity import cosine_topk
+
+        docs = entrymod._chain(spark, sf, "documents").df
+        emb = hash_embed(docs, "doc_id", dim=128)
+        q = emb.limit(1).collect()[0]["embedding"]
+        return cosine_topk(emb, q, "embedding", k=10, id_cols=["doc_id"])
+
+    queries["hash_retrieval_full"] = _hash_retrieval_full
     queries["stratified_split_full"] = _stratified_split_full
     queries["web_signals_full"] = _web_signals_full
     queries["link_degrees_full"] = _link_degrees_full

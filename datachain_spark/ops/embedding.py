@@ -380,9 +380,22 @@ def hash_embed(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(F.try_element_at("__m", i.cast("int")), F.lit(0.0)),
     )
+    # stage dense + norm in their own columns (the normalize_embeddings
+    # lesson): inlining the d-lookup dense expression into the norm fold
+    # and the per-element divide re-evaluates it O(d) times per row — and
+    # downstream consumers (cosine_topk) would inline the whole tree again
+    # (measured 17 s vs 0.4 s at d=128 on 5k docs)
+    staged = assembled.withColumn("__dense", dense)
     if normalize:
-        norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
-        vec = F.when(norm > 0, F.transform(dense, lambda x: x / norm))
+        staged = staged.withColumn(
+            "__n",
+            F.sqrt(F.aggregate(F.col("__dense"), F.lit(0.0),
+                               lambda a, x: a + x * x)),
+        )
+        vec = F.when(
+            F.col("__n") > 0,
+            F.transform(F.col("__dense"), lambda x: x / F.col("__n")),
+        )
     else:
-        vec = dense
-    return assembled.select(F.col("__id").alias(id_col), vec.alias(out_col))
+        vec = F.col("__dense")
+    return staged.select(F.col("__id").alias(id_col), vec.alias(out_col))
