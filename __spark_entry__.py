@@ -7193,7 +7193,7 @@ def regression_metrics_orders(spark, sf):
     predictions are a known affine perturbation of o_totalprice; MAE/RMSE/
     R² from ONE exact-DECIMAL aggregation. The DECIMAL sums make the
     metrics fold-order independent WITHIN each engine, but the per-row
-    double->DECIMAL(38,12) quantization rounds HALF_UP in Spark and
+    double->DECIMAL(38,6) quantization rounds HALF_UP in Spark and
     half-even in DuckDB — a 1-ulp tie difference per row — so the oracle
     compares at 6 significant digits (the corr/profile precedent)."""
     from datachain_spark.ops.evaluation import regression_metrics
@@ -7220,10 +7220,10 @@ WITH scored AS (
   FROM orders
 ), agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         sum(CAST(abs(y - p) AS DECIMAL(38,12))) AS sae,
-         sum(CAST((y - p) * (y - p) AS DECIMAL(38,12))) AS sse,
-         sum(CAST(y AS DECIMAL(38,12))) AS sy,
-         sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+         sum(CAST(abs(y - p) AS DECIMAL(38,6))) AS sae,
+         sum(CAST((y - p) * (y - p) AS DECIMAL(38,6))) AS sse,
+         sum(CAST(y AS DECIMAL(38,6))) AS sy,
+         sum(CAST(y * y AS DECIMAL(38,6))) AS syy
   FROM scored
 )
 SELECT n,

@@ -721,7 +721,12 @@ def main() -> None:
 
         docs = entrymod._chain(spark, sf, "documents").df
         emb = hash_embed(docs, "doc_id", dim=128)
-        q = emb.limit(1).collect()[0]["embedding"]
+        # deterministic, non-NULL query row (limit(1) alone picks an
+        # arbitrary row — and a blank doc's NULL embedding would crash)
+        q = (
+            emb.filter(F.col("embedding").isNotNull())
+            .orderBy("doc_id").limit(1).collect()[0]["embedding"]
+        )
         return cosine_topk(emb, q, "embedding", k=10, id_cols=["doc_id"])
 
     queries["hash_retrieval_full"] = _hash_retrieval_full

@@ -544,9 +544,11 @@ class DataChain:
         self, separator: str = "_", recursive: bool = True
     ) -> "DataChain":
         """Promote struct fields to top-level ``parent{sep}field`` columns
-        (arrays/maps stay as-is — explode them deliberately). Pure
-        projection, zero shuffles; ``recursive`` keeps flattening nested
-        structs until none remain."""
+        (arrays/maps stay as-is — explode them deliberately; an empty
+        struct contributes no columns). Pure projection, zero shuffles;
+        ``recursive`` keeps flattening nested structs until none remain.
+        Raises if a flattened name would collide with an existing column
+        (silently-duplicate names poison every later reference)."""
         from pyspark.sql import types as T
 
         df = self._df
@@ -557,17 +559,22 @@ class DataChain:
             ]
             if not structs:
                 break
-            cols = []
+            cols, names = [], []
             for f in df.schema.fields:
                 if f.name in structs:
                     for sub in f.dataType.fields:
-                        cols.append(
-                            F.col(f"{f.name}.{sub.name}").alias(
-                                f"{f.name}{separator}{sub.name}"
-                            )
-                        )
+                        new = f"{f.name}{separator}{sub.name}"
+                        names.append(new)
+                        cols.append(F.col(f"{f.name}.{sub.name}").alias(new))
                 else:
+                    names.append(f.name)
                     cols.append(F.col(f.name))
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            if dupes:
+                raise ValueError(
+                    f"flatten_structs: name collisions {dupes} — pick a "
+                    "different separator or rename first"
+                )
             df = df.select(*cols)
             if not recursive:
                 break
@@ -587,11 +594,20 @@ class DataChain:
         order). ``rank_col`` keeps the 1-based rank."""
         if k < 1:
             raise ValueError("top_k: k must be >= 1")
+        if "__rk" in self._df.columns:
+            raise ValueError("top_k: a '__rk' column already exists")
+        if rank_col and rank_col in self._df.columns:
+            raise ValueError(f"top_k: column {rank_col!r} already exists")
         parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         ords = [order_by] if isinstance(order_by, str) else list(order_by)
         from pyspark.sql.window import Window
 
-        cols = [F.col(c).desc() if descending else F.col(c).asc() for c in ords]
+        # NULLS LAST in BOTH directions: Spark's bare asc() is nulls-first,
+        # which would put NULL rows into every bottom-k
+        cols = [
+            F.col(c).desc_nulls_last() if descending else F.col(c).asc_nulls_last()
+            for c in ords
+        ]
         w = Window.partitionBy(*parts).orderBy(*cols)
         out = self._df.withColumn("__rk", F.row_number().over(w)).filter(
             F.col("__rk") <= k

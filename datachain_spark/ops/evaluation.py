@@ -16,9 +16,9 @@ counterpart (spec addition).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -58,11 +58,18 @@ def classification_report(
         F.sum(F.when(F.col("label").eqNullSafe(F.col("pred")), F.col("n"))
               .otherwise(F.lit(0))).alias("tp"),
     )
-    as_pred = cm.groupBy(F.col("pred").alias("class")).agg(
+    as_pred = cm.groupBy(F.col("pred").alias("__pclass")).agg(
         F.sum("n").alias("n_pred")
     )
-    rep = as_label.join(as_pred, ["class"], "full").select(
-        "class",
+    # NULL-SAFE full join: the NULL class must merge into ONE row (a plain
+    # equi-join splits it into a label-side and a pred-side row)
+    rep = as_label.join(
+        as_pred, F.col("class").eqNullSafe(F.col("__pclass")), "full"
+    ).select(
+        # coalesce is right in every case: pred-only classes surface via
+        # __pclass; a genuinely-NULL class is NULL on whichever sides it
+        # appears and stays NULL
+        F.coalesce("class", "__pclass").alias("class"),
         F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
         F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
         F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
@@ -99,14 +106,17 @@ def pr_at_thresholds(
         raise ValueError("pr_at_thresholds: thresholds must be non-empty")
     s = F.col(score_col).cast("double")
     is_pos = F.col(label_col).eqNullSafe(F.lit(positive))
+    # coalesce: F.sum over ZERO rows is NULL — an empty/fully-filtered
+    # input must report 0 kept / 0 tp, not NULLs
+    z = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731
     aggs = [
-        F.sum(F.when(is_pos, 1).otherwise(0)).alias("__pos_total"),
+        z(F.sum(F.when(is_pos, 1).otherwise(0))).alias("__pos_total"),
     ]
     for i, t in enumerate(ts):
         kept = s >= F.lit(t)
-        aggs.append(F.sum(F.when(kept, 1).otherwise(0)).alias(f"__k{i}"))
+        aggs.append(z(F.sum(F.when(kept, 1).otherwise(0))).alias(f"__k{i}"))
         aggs.append(
-            F.sum(F.when(kept & is_pos, 1).otherwise(0)).alias(f"__tp{i}")
+            z(F.sum(F.when(kept & is_pos, 1).otherwise(0))).alias(f"__tp{i}")
         )
     one = df.agg(*aggs)
     rows = []
@@ -148,7 +158,11 @@ def regression_metrics(
     p = F.col(pred_col).cast("double")
     both = y.isNotNull() & p.isNotNull()
     err = F.when(both, y - p)
-    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    # DECIMAL(38,6): 32 integer digits bounds |values| and |errors| at
+    # ~3e15 before x² overflows the exact accumulator — beyond that ANSI
+    # fails LOUDLY (NUMERIC_VALUE_OUT_OF_RANGE; rescale the label first),
+    # never a silent drop
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
     one = df.agg(
         F.count(F.when(both, 1)).cast("long").alias("n"),
         F.sum(dec(F.abs(err))).alias("__sae"),

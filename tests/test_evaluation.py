@@ -103,3 +103,55 @@ def test_chain_top_k(session):
     assert sorted((r["g"], r["v"]) for r in bottom) == [("a", 1), ("b", 8)]
     with pytest.raises(ValueError, match="k must be"):
         ch.top_k("g", "v", 0)
+
+
+# ---- review-fix regressions ----------------------------------------------
+
+
+def test_report_null_class_merges(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), (None, None), (None, "a")], "y string, p string"
+    )
+    rows = classification_report(df, "y", "p").collect()
+    nulls = [r for r in rows if r["class"] is None]
+    assert len(nulls) == 1  # ONE merged NULL-class row, not two
+    r = nulls[0]
+    assert (r["n_true"], r["n_pred"], r["tp"]) == (2, 1, 1)
+
+
+def test_regression_overflow_fails_loudly(spark):
+    df = spark.createDataFrame([(1e20, 0.0)], "y double, p double")
+    with pytest.raises(Exception, match="Decimal|NUMERIC"):
+        regression_metrics(df, "y", "p").collect()
+    # large-but-in-range magnitudes still work (epoch millis as labels)
+    ok = spark.createDataFrame([(1.7e12, 1.7e12)], "y double, p double")
+    assert regression_metrics(ok, "y", "p").collect()[0]["mae"] == 0.0
+
+
+def test_pr_empty_input_reports_zero(spark):
+    df = spark.createDataFrame([], "y boolean, s double")
+    r = pr_at_thresholds(df, "y", "s", [0.5]).collect()[0]
+    assert r["n_kept"] == 0 and r["tp"] == 0
+    assert r["precision"] is None and r["recall"] is None
+
+
+def test_top_k_nulls_last_and_guards(session):
+    import datachain_spark as dcs
+
+    ch = dcs.read_values(g=["a", "a", "a"], v=[3, None, 1], session=session)
+    bottom = ch.top_k("g", "v", 1, descending=False).to_records()
+    assert [(r["g"], r["v"]) for r in bottom] == [("a", 1)]  # not the NULL
+    with pytest.raises(ValueError, match="already exists"):
+        ch.top_k("g", "v", 1, rank_col="v")
+    with pytest.raises(ValueError, match="__rk"):
+        ch.mutate(__rk=dcs.C("v")).top_k("g", "v", 1)
+
+
+def test_flatten_structs_collision_raises(session):
+    import datachain_spark as dcs
+
+    df = session.spark.createDataFrame(
+        [(1, (2,))], "a_b int, a struct<b: int>"
+    )
+    with pytest.raises(ValueError, match="collisions"):
+        dcs.DataChain(df, session).flatten_structs()
