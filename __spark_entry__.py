@@ -7297,6 +7297,81 @@ ORDER BY d.doc_id
 """
 
 
+def kwic_docs(spark, sf):
+    """Keyword-in-context extraction (ops/retrieval.kwic): every
+    occurrence of 'data' across the corpus with its ±3-word snippet. The
+    oracle replays tokenization, 1-based position filtering and list
+    slicing in DuckDB — positions AND snippet strings hash-matched."""
+    from datachain_spark.ops.retrieval import kwic
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 60)
+    return kwic(docs, "data", "doc_id", window=3).orderBy("doc_id", "pos")
+
+
+KWIC_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\w\s]', '',
+                                                'g')), '\s+') AS w
+  FROM documents WHERE doc_id < 60
+), hits AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM toks
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       array_to_string(
+         w[greatest(i - 3, 1):least(i + 3, len(w))], ' ') AS snippet
+FROM hits WHERE w[i] = 'data'
+ORDER BY doc_id, pos
+"""
+
+
+_COVERAGE_VOCAB = [
+    "the", "a", "data", "spark", "big", "filter", "query", "table",
+    "join", "group", "sort", "merge", "scan", "agg", "window",
+]
+
+
+def vocab_coverage_docs(spark, sf):
+    """Per-doc OOV rate (ops/tokenize.vocab_coverage) against a literal
+    15-word vocabulary shared verbatim with the oracle: token counts, OOV
+    counts and rates replayed exactly (integer ratio)."""
+    from datachain_spark.ops.tokenize import vocab_coverage
+
+    sess = Session.get(spark=spark)
+    vocab = sess.spark.createDataFrame(
+        [(w,) for w in _COVERAGE_VOCAB], "word string"
+    )
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 300)
+    out = vocab_coverage(docs, vocab, "doc_id")
+    return out.orderBy("doc_id")
+
+
+def _vocab_coverage_sql() -> str:
+    vals = ", ".join(f"('{w}')" for w in _COVERAGE_VOCAB)
+    return rf"""
+WITH v(word) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text),
+                '[^\w\s]', '', 'g')), '\s+')) AS w
+  FROM documents WHERE doc_id < 300 AND trim(coalesce(text, '')) != ''
+), counted AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM toks t LEFT JOIN v ON t.w = v.word GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(n_oov, 0) AS n_oov,
+       CASE WHEN coalesce(n_tokens, 0) > 0
+            THEN CAST(n_oov AS DOUBLE) / n_tokens END AS oov_rate
+FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+LEFT JOIN counted c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint", True),
     ("o_custkey", "bigint", True),
@@ -7596,6 +7671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_thresholds_docs": pr_thresholds_docs,
         "regression_metrics_orders": regression_metrics_orders,
         "hash_embed_md5": hash_embed_md5,
+        "kwic_docs": kwic_docs,
+        "vocab_coverage_docs": vocab_coverage_docs,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -7779,5 +7856,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_thresholds_docs": PR_THRESHOLDS_SQL,
         "regression_metrics_orders": REGRESSION_SQL,
         "hash_embed_md5": HASH_EMBED_SQL,
+        "kwic_docs": KWIC_SQL,
+        "vocab_coverage_docs": _vocab_coverage_sql(),
         "save_version_pinned": SAVE_VERSION_SQL,
     }

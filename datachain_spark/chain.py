@@ -1188,6 +1188,24 @@ class DataChain:
 
         return self._evolve(_op(self._df, weight_col, n, id_col, **kw))
 
+    def kwic(self, term: str, id_col: str, text_col: str = "text",
+             **kw: Any) -> "DataChain":
+        """Keyword-in-context occurrences with ±window-word snippets
+        (ops/retrieval.kwic) — the blocklist/PII-rule review surface."""
+        from .ops.retrieval import kwic as _op
+
+        return self._evolve(_op(self._df, term, id_col, text_col, **kw))
+
+    def vocab_coverage(self, vocab: Any, id_col: str,
+                       text_col: str = "text", **kw: Any) -> "DataChain":
+        """Per-doc OOV rate against a word vocabulary
+        (ops/tokenize.vocab_coverage)."""
+        from .ops.tokenize import vocab_coverage as _op
+
+        return self._evolve(
+            _op(self._df, getattr(vocab, "df", vocab), id_col, text_col, **kw)
+        )
+
     def hash_embed(self, id_col: str, text_col: str = "text",
                    **kw: Any) -> "DataChain":
         """Model-free hashed document vectors (ops/embedding.hash_embed) —

@@ -369,3 +369,48 @@ def proximity_search(
         F.size(anchors).alias("n_anchors"),
     ).filter(F.col("n_anchors") > 0)
     return out.select("doc", "span_start", F.lit(int(window)).alias("span_len"))
+
+
+def kwic(
+    df: DataFrame,
+    term: str,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 3,
+    snippet_col: str = "snippet",
+) -> DataFrame:
+    """Keyword-in-context: one row per occurrence of ``term`` with
+    (id, pos, snippet) — the ±``window``-word context, the human-review
+    surface behind every "show me how this word is actually used" audit
+    (blocklist tuning, PII rule review, contamination triage).
+
+    Tokenization matches every other text operator. Pure per-row array
+    algebra: occurrence positions via one index filter, the snippet via
+    array slice — no shuffle; docs without the term emit no rows.
+    """
+    if window < 0:
+        raise ValueError("kwic: window must be >= 0")
+    toks = tokenize_query(term)
+    if len(toks) != 1:
+        raise ValueError("kwic: term must normalize to exactly one token")
+    t = toks[0]
+    words = _tokens(F.col(text_col))
+    hits = F.when(
+        F.size(words) > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size(words)),
+            lambda i: F.element_at(words, i) == t,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col), words.alias("__w"), F.explode(hits).alias("__i")
+    )
+    lo = F.greatest(F.col("__i") - window, F.lit(1))
+    length = F.least(
+        F.col("__i") + F.lit(window), F.size("__w")
+    ) - lo + F.lit(1)
+    return exploded.select(
+        id_col,
+        (F.col("__i") - 1).cast("int").alias("pos"),
+        F.array_join(F.slice("__w", lo, length), " ").alias(snippet_col),
+    )

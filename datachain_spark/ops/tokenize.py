@@ -271,3 +271,50 @@ def bpe_token_count(
     return bpe_encode(
         df, merges, id_col, text_col=text_col, lowercase=lowercase
     ).select(id_col, "n_tokens")
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    word_col: str = "word",
+) -> DataFrame:
+    """Per-document vocabulary coverage: (id, n_tokens, n_oov, oov_rate)
+    against a word vocabulary (a ``bpe_vocab`` word table, a frequency
+    cut of :func:`ops.text.vocabulary`, or any one-column word frame) —
+    the tokenizer-QA signal behind "how much of this corpus does my vocab
+    actually cover". Blank docs report n_tokens=0 with NULL oov_rate.
+
+    Shape: corpus explodes to words once, BROADCAST-left-joins the vocab
+    (vocabularies are small by definition), one per-id aggregation — the
+    corpus shuffles only on its own id. Tokenization matches every other
+    text operator.
+    """
+    from .retrieval import _tokens
+
+    words = F.when(
+        F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "",
+        F.array().cast("array<string>"),
+    ).otherwise(_tokens(F.col(text_col)))
+    grams = df.select(
+        F.col(id_col).alias("__id"), F.explode_outer(words).alias("__w")
+    )
+    v = F.broadcast(
+        vocab.select(F.col(word_col).alias("__w")).distinct()
+        .withColumn("__in", F.lit(True))
+    )
+    joined = grams.join(v, "__w", "left")
+    out = joined.groupBy("__id").agg(
+        F.count("__w").cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__w").isNotNull() & F.col("__in").isNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_oov"),
+    )
+    return out.select(
+        F.col("__id").alias(id_col), "n_tokens", "n_oov",
+        F.when(F.col("n_tokens") > 0,
+               F.col("n_oov").cast("double") / F.col("n_tokens"))
+        .alias("oov_rate"),
+    )

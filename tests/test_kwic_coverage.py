@@ -1,0 +1,71 @@
+"""ops/retrieval.kwic and ops/tokenize.vocab_coverage."""
+
+import pytest
+
+from datachain_spark.ops.retrieval import kwic
+from datachain_spark.ops.tokenize import vocab_coverage
+
+
+def test_kwic_positions_and_snippets(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta GAMMA beta delta"), (2, "no hits here"),
+         (3, "beta starts and ends beta"), (4, None)],
+        "id int, text string",
+    )
+    rows = sorted(
+        (r["id"], r["pos"], r["snippet"])
+        for r in kwic(df, "Beta", "id", window=1).collect()
+    )
+    assert rows == [
+        (1, 1, "alpha beta gamma"),
+        (1, 3, "gamma beta delta"),
+        (3, 0, "beta starts"),
+        (3, 4, "ends beta"),
+    ]
+    with pytest.raises(ValueError, match="one token"):
+        kwic(df, "two words", "id")
+    with pytest.raises(ValueError, match="window"):
+        kwic(df, "beta", "id", window=-1)
+
+
+def test_kwic_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b")], "id int, text string")
+    plan = kwic(df, "a", "id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_vocab_coverage(spark):
+    vocab = spark.createDataFrame([("the",), ("cat",), ("sat",)], "word string")
+    df = spark.createDataFrame(
+        [(1, "The cat sat"), (2, "the DOG ran far"), (3, ""), (4, None)],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in vocab_coverage(df, vocab, "id").collect()}
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 0
+    assert out[1]["oov_rate"] == 0.0
+    assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 3
+    assert out[2]["oov_rate"] == pytest.approx(0.75)
+    for blank in (3, 4):
+        assert out[blank]["n_tokens"] == 0 and out[blank]["oov_rate"] is None
+
+
+def test_vocab_coverage_broadcasts(spark):
+    vocab = spark.createDataFrame([("x",)], "word string")
+    df = spark.createDataFrame([(1, "x y")], "id int, text string")
+    plan = (vocab_coverage(df, vocab, "id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_kwic_coverage_registry_oracles(session):
+    import __spark_entry__ as e
+    from tests.oracle_harness import compare
+
+    q, o = e.queries(), e.oracle_sql()
+    for name in ["kwic_docs", "vocab_coverage_docs"]:
+        ok, detail = compare(
+            q[name](session.spark, "/root/testdata/sf0.001"),
+            o[name],
+            "/root/testdata/sf0.001",
+        )
+        assert ok, (name, detail)
