@@ -685,6 +685,17 @@ class DataChain:
             self._df.unionByName(other._df), extra_deps=other._dependencies
         )
 
+    def union_by_name(self, other: "DataChain") -> "DataChain":
+        """UNION ALL that RECONCILES schemas: columns present on only one
+        side fill with NULL on the other (Spark's allowMissingColumns) —
+        the multi-snapshot/multi-source ingestion union where schemas
+        evolved between crawls. Use :meth:`union` when a silent NULL fill
+        would hide a real schema bug."""
+        return self._evolve(
+            self._df.unionByName(other._df, allowMissingColumns=True),
+            extra_deps=other._dependencies,
+        )
+
     def subtract(
         self,
         other: "DataChain",
@@ -1187,6 +1198,14 @@ class DataChain:
         from .ops.selection import weighted_sample as _op
 
         return self._evolve(_op(self._df, weight_col, n, id_col, **kw))
+
+    def compression_ratio(self, id_col: str, text_col: str = "text",
+                          **kw: Any) -> "DataChain":
+        """Per-doc zlib redundancy signal (ops/text.compression_ratio) —
+        templated/machine text compresses far below prose."""
+        from .ops.text import compression_ratio as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
 
     def kwic(self, term: str, id_col: str, text_col: str = "text",
              **kw: Any) -> "DataChain":

@@ -1166,3 +1166,53 @@ def script_profile(
         F.coalesce(F.length(c), F.lit(0)).cast("long").alias("n_chars"),
         dominant.alias("script"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    redundancy signal Dolma/Gopher-family pipelines gate on: templated,
+    repeated or machine-generated text compresses far below prose (~0.3
+    vs ~0.6+); near-1.0 flags already-compressed or random payloads.
+
+    Arrow-batched mapInPandas (zlib is stdlib C — the batch transfer, not
+    the compression, is the cost); deterministic for a fixed zlib version
+    and level, so differential-testable against Python directly, but not
+    SQL-expressible (unit-verified, the BPE/pack_greedy precedent). NULL
+    or empty text -> NULL ratio. Keeps only (id, n_bytes, ratio) — join
+    back by id to gate.
+    """
+    import zlib
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField(out_col, T.DoubleType()),
+    ])
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            texts = pdf[text_col]
+            n_bytes, ratios = [], []
+            for t in texts:
+                if t is None or t == "":
+                    n_bytes.append(0)
+                    ratios.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                n_bytes.append(len(raw))
+                ratios.append(len(zlib.compress(raw, level)) / len(raw))
+            yield pd.DataFrame({
+                id_col: pdf[id_col], "n_bytes": n_bytes, out_col: ratios,
+            })
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)

@@ -69,3 +69,38 @@ def test_kwic_coverage_registry_oracles(session):
             "/root/testdata/sf0.001",
         )
         assert ok, (name, detail)
+
+
+# ---------------------------------------------- compression + union ----
+
+
+def test_compression_ratio(spark):
+    import zlib
+
+    from datachain_spark.ops.text import compression_ratio
+
+    texts = ["abc " * 200, "the quick brown fox jumps over the lazy dog",
+             "", None]
+    df = spark.createDataFrame(list(enumerate(texts)), "id int, text string")
+    out = {r["id"]: r for r in compression_ratio(df, "id").collect()}
+    # repeated text compresses hard; prose less so
+    assert out[0]["compression_ratio"] < 0.1
+    assert out[1]["compression_ratio"] > 0.5
+    assert out[2]["compression_ratio"] is None and out[2]["n_bytes"] == 0
+    assert out[3]["compression_ratio"] is None
+    # differential vs Python zlib directly
+    raw = texts[1].encode()
+    assert out[1]["compression_ratio"] == len(zlib.compress(raw, 6)) / len(raw)
+
+
+def test_union_by_name_reconciles(session):
+    import datachain_spark as dcs
+
+    a = dcs.read_values(k=[1], x=["a"], session=session)
+    b = dcs.read_values(k=[2], y=[9.0], session=session)
+    u = a.union_by_name(b).order_by("k").to_records()
+    assert u[0] == {"k": 1, "x": "a", "y": None}
+    assert u[1] == {"k": 2, "x": None, "y": 9.0}
+    # strict union still refuses
+    with pytest.raises(Exception, match="mismatch"):
+        a.union(b)
