@@ -1191,6 +1191,19 @@ class DataChain:
             _op(self._df, partition_by, time_col, value_col, window_seconds, **kw)
         )
 
+    def sample_n(self, n: int, id_col: str, seed: int = 42,
+                 hash_fn: str = "xxhash64") -> "DataChain":
+        """Exactly ``n`` rows drawn uniformly without replacement —
+        deterministic (seeded id-hash A-ES with unit weights; larger n is
+        a superset, a TakeOrderedAndProject cut, never rand())."""
+        from .ops.selection import weighted_sample as _op
+
+        out = _op(
+            self._df.withColumn("__w1", F.lit(1.0)), "__w1", n, id_col,
+            seed=seed, hash_fn=hash_fn,
+        )
+        return self._evolve(out.drop("__w1", "sample_key"))
+
     def weighted_sample(self, weight_col: str, n: int, id_col: str,
                         **kw: Any) -> "DataChain":
         """Draw n rows with probability proportional to ``weight_col``

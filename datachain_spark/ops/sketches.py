@@ -341,12 +341,15 @@ def flag_outliers(
     k: float = 1.5,
     method: str = "iqr",
     out_col: str = "is_outlier",
+    clamp_col: Optional[str] = None,
 ) -> DataFrame:
     """Tag rows whose ``value_col`` falls outside the per-group fence:
     Tukey ``iqr`` (default — [q1 - k·iqr, q3 + k·iqr], robust to the very
     outliers it hunts) or ``zscore`` (mean ± k·σ). NULL values get NULL
     flags. Adds ``out_col`` plus the two fence columns (``fence_lo``/
-    ``fence_hi``) so the caller can report or clamp, not just drop.
+    ``fence_hi``) so the caller can report or clamp, not just drop;
+    ``clamp_col`` additionally emits the winsorized value (outliers
+    pinned to the nearest fence, NULLs preserved) as a double column.
 
     Shape: one #groups-row aggregation broadcast-joined back — the corpus
     itself never shuffles. The iqr fences use the shared interpolated
@@ -358,6 +361,8 @@ def flag_outliers(
         raise ValueError("flag_outliers: method must be 'iqr' or 'zscore'")
     if k <= 0:
         raise ValueError("flag_outliers: k must be positive")
+    if clamp_col and clamp_col == value_col:
+        raise ValueError("flag_outliers: clamp_col must differ from value_col")
     groups = (
         [] if group_cols is None
         else [group_cols] if isinstance(group_cols, str)
@@ -390,4 +395,13 @@ def flag_outliers(
     flag = F.when(
         v.isNull(), F.lit(None).cast("boolean")
     ).otherwise((v < F.col("fence_lo")) | (v > F.col("fence_hi")))
-    return joined.withColumn(out_col, flag)
+    out = joined.withColumn(out_col, flag)
+    if clamp_col:
+        out = out.withColumn(
+            clamp_col,
+            F.when(
+                v.isNotNull(),
+                F.least(F.greatest(v, F.col("fence_lo")), F.col("fence_hi")),
+            ),
+        )
+    return out

@@ -124,3 +124,31 @@ def test_vacuum_cli(session, tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert "would remove 2 version(s)" in out.stdout
+
+
+def test_sample_n_uniform_exact(session):
+    ch = dcs.read_values(id=list(range(100)), session=session)
+    s1 = ch.sample_n(10, "id")
+    assert s1.count() == 10 and "sample_key" not in s1.df.columns
+    # determinism + superset under larger n
+    ids1 = {r["id"] for r in s1.to_records()}
+    ids1b = {r["id"] for r in ch.sample_n(10, "id").to_records()}
+    assert ids1 == ids1b
+    ids2 = {r["id"] for r in ch.sample_n(25, "id").to_records()}
+    assert ids1 <= ids2
+
+
+def test_flag_outliers_clamp(session):
+    from datachain_spark.ops.sketches import flag_outliers
+
+    df = session.spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 4, 100]] + [("a", None)],
+        "g string, v double",
+    )
+    out = {r["v"]: r for r in
+           flag_outliers(df, "v", "g", clamp_col="v_clamped").collect()}
+    assert out[100.0]["v_clamped"] == out[100.0]["fence_hi"]  # winsorized
+    assert out[2.0]["v_clamped"] == 2.0
+    assert out[None]["v_clamped"] is None
+    with pytest.raises(ValueError, match="clamp_col"):
+        flag_outliers(df, "v", "g", clamp_col="v")
