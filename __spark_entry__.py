@@ -7372,6 +7372,32 @@ ORDER BY d.doc_id
 """
 
 
+def bloom_semi_join_orders(spark, sf):
+    """Bloom-prefiltered semi join (ops/dedup.bloom_semi_join): orders
+    restricted to a 200-customer probe set; the broadcast bitmap prunes
+    the fact side before any shuffle, and the exact join after it makes
+    the result row-identical to the plain semi join — which IS the oracle
+    (the salted_join precedent: the optimization must be invisible)."""
+    from datachain_spark.ops.dedup import bloom_semi_join
+
+    orders = _chain(spark, sf, "orders").df.select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    probes = _chain(spark, sf, "customer").df.filter(
+        F.col("c_custkey") % 7 == 0
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    out = bloom_semi_join(orders, probes, "o_custkey")
+    return out.select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+
+
+BLOOM_SEMI_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+ORDER BY o_orderkey
+"""
+
+
 _PROFILE_COLS = [
     ("o_orderkey", "bigint", True),
     ("o_custkey", "bigint", True),
@@ -7673,6 +7699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed_md5": hash_embed_md5,
         "kwic_docs": kwic_docs,
         "vocab_coverage_docs": vocab_coverage_docs,
+        "bloom_semi_join_orders": bloom_semi_join_orders,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,
@@ -7858,5 +7885,6 @@ def oracle_sql() -> dict[str, str]:
         "hash_embed_md5": HASH_EMBED_SQL,
         "kwic_docs": KWIC_SQL,
         "vocab_coverage_docs": _vocab_coverage_sql(),
+        "bloom_semi_join_orders": BLOOM_SEMI_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
     }

@@ -1395,6 +1395,16 @@ class DataChain:
 
         return self._evolve(_op(self._df, id_col, html_col, **kw))
 
+    def bloom_semi_join(self, small: Any, on: Any, how: str = "left_semi",
+                        **kw: Any) -> "DataChain":
+        """Exact semi/anti join with a broadcast Bloom pre-filter pruning
+        this (big) side before any shuffle (ops/dedup.bloom_semi_join)."""
+        from .ops.dedup import bloom_semi_join as _op
+
+        return self._evolve(
+            _op(self._df, getattr(small, "df", small), on, how, **kw)
+        )
+
     def salted_join(self, right: Any, on: Any, how: str = "inner",
                     salt: int = 16) -> "DataChain":
         """Skew-resistant equi-join against a smaller right side

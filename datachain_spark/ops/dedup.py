@@ -1424,3 +1424,111 @@ def lsh_tune(
         "midpoint": mid,
         "p_at_threshold": lsh_detection_probability(jaccard_threshold, num_hashes, b),
     }
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Union[str, Sequence[str]],
+    how: str = "left_semi",
+    fpp: float = 1e-6,
+    expected: Optional[int] = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """EXACT semi/anti join with a Bloom pre-filter: a broadcast bitmap of
+    the small side's keys prunes the big side BEFORE anything shuffles —
+    the classic 100-TB volume cut when the big side mostly misses (a
+    day's deletions against the full corpus, allow-list probes, runtime
+    filtering Spark only applies automatically to equi-join scans).
+
+    Correctness is unconditional: Bloom has no false NEGATIVES, so for
+    ``left_semi`` the rows it drops are provably non-members and the
+    survivors go through the exact join; for ``left_anti`` the rows it
+    drops are provably KEPT (definitely non-members) and only the
+    (few) bloom-passers pay the exact anti join — then union. The result
+    is row-identical to the plain join either way (that IS the oracle).
+
+    ``expected`` sizes the bitmap (defaults to a count of the small side —
+    one extra tiny job; pass it when you already know). Shares
+    :func:`bloom_size`, the seed space, the codegen'd k≤12 unrolled bit
+    test and the sorted-struct bitmap assembly with the decontaminate
+    path.
+    """
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError("bloom_semi_join: how must be left_semi or left_anti")
+    keys = [on] if isinstance(on, str) else list(on)
+    key_str = F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in keys
+    ])
+    small_keys = small.select(*keys).dropDuplicates()
+    n = expected if expected is not None else small_keys.count()
+    m, k = bloom_size(fpp, n)
+    w = m // 64
+
+    def _position(hcol, i: int):
+        if hash_fn == "xxhash64":
+            return F.pmod(F.xxhash64(hcol, F.lit(_BLOOM_SEED_BASE + i)), F.lit(m))
+        return F.pmod(
+            _hash64(
+                F.concat(hcol.cast("string"), F.lit(f":{_BLOOM_SEED_BASE + i}")),
+                "md5",
+            ),
+            F.lit(m),
+        )
+
+    pos = F.explode(F.array(*[_position(F.col("__h"), i) for i in range(k)]))
+    word_bits = (
+        small_keys.select(_hash64(key_str, hash_fn).alias("__h"))
+        .select(pos.alias("__pos"))
+        .select(
+            F.floor(F.col("__pos") / F.lit(64)).cast("int").alias("__word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                F.pmod(F.col("__pos"), F.lit(64)).cast("int"),
+            ).alias("__bit"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__bit").alias("__bits"))
+    )
+    spark = big.sparkSession
+    words_range = spark.range(w).select(F.col("id").cast("int").alias("__wi"))
+    bitmap = (
+        words_range.join(word_bits, F.col("__wi") == F.col("__word"), "left")
+        .select("__wi", F.coalesce("__bits", F.lit(0).cast("long")).alias("__b"))
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct("__wi", "__b"))),
+            lambda s: s["__b"],
+        ).alias("__bf"))
+    )
+
+    # LITERAL bitmap (the PQ LUT precedent): a crossJoin(broadcast(bitmap))
+    # filter lives in a join condition Catalyst may REORDER — it planned
+    # the exact semi join BELOW the bloom stage, shuffling the unpruned big
+    # side (observed). As a literal array the bit test is a plain Filter on
+    # the big side's scan, which nothing can reorder away. Driver contact =
+    # the same w longs the broadcast would carry (bounded by the
+    # bloom_size envelope; ~1e8 keys at 1e-6 fpp ≈ 43 MB — cap expected/
+    # fpp accordingly, as decontaminate documents).
+    bf = bitmap.collect()[0]["__bf"]
+    bf_lit = F.array(*[F.lit(int(x)).cast("long") for x in bf])
+    h = _hash64(key_str, hash_fn)
+
+    def _bit_test(i: int):
+        p = _position(F.col("__h2"), i)
+        return (
+            F.element_at(bf_lit, (F.floor(p / F.lit(64)) + 1).cast("int"))
+            .bitwiseAND(F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                F.pmod(p, F.lit(64)).cast("int"),
+            )) != 0
+        )
+
+    staged = big.withColumn("__h2", h)
+    hit = _bit_test(0)
+    for i in range(1, k):
+        hit = hit & _bit_test(i)
+    passers = staged.filter(hit).drop("__h2")
+    if how == "left_semi":
+        return passers.join(small_keys, keys, "left_semi")
+    misses = staged.filter(~hit).drop("__h2")
+    return misses.unionByName(passers.join(small_keys, keys, "left_anti"))
