@@ -7474,47 +7474,117 @@ def _profile_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver checks the FIRST 50 entries.
 
-    r05 rotation (VERDICT r04 tasks 2+3): the 37 r04-added oracles that have
-    never had a driver verdict (all 16 TPC-H completions, gopher, quality,
-    bloom-md5, url_blocklist, ANN IVF, chunking, LM perplexity, PII,
-    packing, interleave, kNN join, the four sink roundtrips, version
-    pinning, q5_asia, sample_per_group) move INTO the window, together with
-    the three formerly rows-only flows now promoted to real oracles
-    (save_read_roundtrip/delta_incremental via final-state SQL,
-    sample_shuffle_chunk via md5-keyed shards). Ten stable multi-green
-    anchors stay in-window as a regression canary; everything green in
-    r01-r04 rotates to overflow. The three xxhash64-default sketch flows
-    (minhash/simhash/winnow _ro) are genuinely un-oracle-able in DuckDB and
-    live in overflow — their md5 twins carry the driver verdicts.
+    r06 rotation (VERDICT r05 task 1): the window holds 40 never
+    driver-checked r05 oracles — the documented r05 operator waves (BM25,
+    DSIR, C4 gate, exact-substring spans, PQ/IVFPQ, SemDeDup, Z-order,
+    leakage-safe split, NB classifier, edit-distance join, PageRank,
+    incremental MinHash, token budget, retrieval/drift/privacy/eval
+    families) — plus the 10 stable anchors as a regression canary
+    (subtract_anti / merge_expr_pred sat at slots 51-52 in r05 and missed
+    the cut, so they also earn their first driver verdicts here).
+    Everything green in CORRECTNESS_r05 rotates to overflow.
 
-    r06 window plan: keep the 10 anchors, rotate IN (a) whatever r05
-    leaves unverdicted and (b) the r05-added oracles now in overflow —
-    bm25_score_docs, dsir_importance_md5, c4_gate, spans_dedup_md5,
-    corpus_stats_by_lang, pq_codes_adc, ivfpq_codes_adc, url_dedup_docs,
-    contamination_report_docs, semdedup_docs, zorder_key_orders,
-    dedup_eval_md5, leakage_split_md5, and the late-r05 operator wave:
-    nb_classifier_md5 (NB classifier), fuzzy_join_pairs (edit-distance
-    join, quadratic-truth completeness proof), pagerank_orders (unrolled
-    5-iteration CTEs), group_centroids_emb, histogram_orders,
-    minhash_incremental_md5 (stored-signature-index dedup),
-    minhash_dedup_best_md5 (quality-aware representatives),
-    token_budget_docs (distributed-prefix budget truncation), and the
-    r05-session-2 wave: orc_roundtrip/text_roundtrip (new IO),
-    stratified_split_docs/kfold_docs (exact splits),
-    calibrate_scores_docs, sniff_mime_docs, extract_links_docs,
-    salted_join_orders, script_profile_docs, mix_to_target_docs,
-    weighted_sample_pg_docs, group_quantiles_docs, dataset_digest_docs,
-    resample_events_grid, flag_outliers_docs; fill remaining slots
-    with the longest-out-of-window overflow rows (udf_*, sharding_md5,
-    multimodal, function-family suites) so every registry entry has a
-    driver verdict at most 2 rounds old.
+    r07 window plan: keep the anchors, rotate IN the 32 remaining
+    never-driver-checked entries (listed first in overflow below:
+    kfold/calibration/splits, conversations, profile/describe/corr,
+    funnel/cohort/rolling/CDC, eval metrics, kwic/vocab-coverage,
+    bloom_semi_join_orders, plus any r06-added oracles), and fill the
+    remaining ~8 slots with the longest-out-of-window r01-r04 greens
+    (udf_*, sharding_md5, multimodal, function-family suites) so every
+    registry entry has a driver verdict at most 3 rounds old.
 
     EVERY entry — window and overflow — is still verified locally each run
     by tests/test_oracle.py, and scripts/local_oracle.py emits the full
     result table to LOCAL_ORACLE.json so the externally-unchecked subset
     remains visible."""
     return {
-        # -- (1) never driver-checked r04 additions: TPC-H completion
+        # ===== r06 window: 40 never-driver-checked r05 oracles =====
+        "bm25_score_docs": bm25_score_docs,
+        "dsir_importance_md5": dsir_importance_md5,
+        "c4_gate": c4_gate,
+        "spans_dedup_md5": spans_dedup_md5,
+        "corpus_stats_by_lang": corpus_stats_by_lang,
+        "pq_codes_adc": pq_codes_adc,
+        "ivfpq_codes_adc": ivfpq_codes_adc,
+        "url_dedup_docs": url_dedup_docs,
+        "contamination_report_docs": contamination_report_docs,
+        "semdedup_docs": semdedup_docs,
+        "zorder_key_orders": zorder_key_orders,
+        "dedup_eval_md5": dedup_eval_md5,
+        "leakage_split_md5": leakage_split_md5,
+        "nb_classifier_md5": nb_classifier_md5,
+        "fuzzy_join_pairs": fuzzy_join_pairs,
+        "pagerank_orders": pagerank_orders,
+        "group_centroids_emb": group_centroids_emb,
+        "histogram_orders": histogram_orders,
+        "minhash_incremental_md5": minhash_incremental_md5,
+        "minhash_dedup_best_md5": minhash_dedup_best_md5,
+        "token_budget_docs": token_budget_docs,
+        "cap_per_group_docs": cap_per_group_docs,
+        "ppl_buckets_docs": ppl_buckets_docs,
+        "tfidf_keywords_docs": tfidf_keywords_docs,
+        "emb_covariance": emb_covariance,
+        "random_projection_md5": random_projection_md5,
+        "expectations_orders": expectations_orders,
+        "incremental_agg_docs": incremental_agg_docs,
+        "resolve_entities_docs": resolve_entities_docs,
+        "drift_report_docs": drift_report_docs,
+        "categorical_drift_docs": categorical_drift_docs,
+        "phrase_search_docs": phrase_search_docs,
+        "proximity_search_docs": proximity_search_docs,
+        "k_anonymity_customer": k_anonymity_customer,
+        "curriculum_docs": curriculum_docs,
+        "contrastive_pairs_md5": contrastive_pairs_md5,
+        "html_extract_docs": html_extract_docs,
+        "normalize_text_docs": normalize_text_docs,
+        "stratified_split_docs": stratified_split_docs,
+        "salted_join_orders": salted_join_orders,
+        # ===== stable multi-green anchors (regression canary) =====
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "merge_full_outer": merge_full_outer,
+        "window_rank_lag": window_rank_lag,
+        "events_hourly": events_hourly,
+        "dedup_exact_docs": dedup_exact_docs,
+        "filter_glob_in": filter_glob_in,
+        "subtract_anti": subtract_anti,
+        "merge_expr_pred": merge_expr_pred,
+        # ================= overflow (slot 51+) =================
+        # -- r07 window candidates: never driver-checked --
+        "kfold_docs": kfold_docs,
+        "calibrate_scores_docs": calibrate_scores_docs,
+        "sniff_mime_docs": sniff_mime_docs,
+        "extract_links_docs": extract_links_docs,
+        "script_profile_docs": script_profile_docs,
+        "mix_to_target_docs": mix_to_target_docs,
+        "weighted_sample_pg_docs": weighted_sample_pg_docs,
+        "group_quantiles_docs": group_quantiles_docs,
+        "dataset_digest_docs": dataset_digest_docs,
+        "resample_events_grid": resample_events_grid,
+        "flag_outliers_docs": flag_outliers_docs,
+        "conversation_pairs_docs": conversation_pairs_docs,
+        "conversation_stats_docs": conversation_stats_docs,
+        "impute_docs": impute_docs,
+        "corr_matrix_orders": corr_matrix_orders,
+        "funnel_events": funnel_events,
+        "cohort_retention_events": cohort_retention_events,
+        "describe_orders": describe_orders,
+        "classification_report_docs": classification_report_docs,
+        "pr_thresholds_docs": pr_thresholds_docs,
+        "regression_metrics_orders": regression_metrics_orders,
+        "hash_embed_md5": hash_embed_md5,
+        "kwic_docs": kwic_docs,
+        "vocab_coverage_docs": vocab_coverage_docs,
+        "bloom_semi_join_orders": bloom_semi_join_orders,
+        "k_anonymity_violations_customer": k_anonymity_violations_customer,
+        "rolling_events": rolling_events,
+        "apply_changes_orders": apply_changes_orders,
+        "row_ids_orders": row_ids_orders,
+        "skew_report_events": skew_report_events,
+        "weighted_sample_docs": weighted_sample_docs,
+        "profile_orders": profile_orders,
+        # -- green in CORRECTNESS_r05, rotated out --
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
         "q7_nation_volume": q7_nation_volume,
@@ -7534,7 +7604,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_idle_balances": q22_idle_balances,
         "q5_asia_revenue": q5_asia_revenue,
-        # -- (2) never driver-checked r04 additions: LLM-pipeline operators
         "gopher_gate": gopher_gate,
         "quality_score_docs": quality_score_docs,
         "decontaminate_bloom_md5": decontaminate_bloom_md5,
@@ -7548,7 +7617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_md5": interleave_md5,
         "knn_join_topk": knn_join_topk,
         "sample_per_group_md5": sample_per_group_md5,
-        # -- (3) never driver-checked r04 additions: sink/versioning flows
         "csv_roundtrip": csv_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
         "parquet_partition_roundtrip": parquet_partition_roundtrip,
@@ -7556,23 +7624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": orc_roundtrip,
         "text_roundtrip": text_roundtrip,
         "save_version_pinned": save_version_pinned,
-        # -- (4) promoted from rows-only to real oracles this round
         "save_read_roundtrip": save_read_roundtrip_ro,
         "delta_incremental": delta_incremental_ro,
         "sample_shuffle_chunk": sample_shuffle_chunk_ro,
-        # -- (5) stable multi-green anchors (regression canary)
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "merge_full_outer": merge_full_outer,
-        "window_rank_lag": window_rank_lag,
-        "events_hourly": events_hourly,
-        "dedup_exact_docs": dedup_exact_docs,
-        "filter_glob_in": filter_glob_in,
-        "subtract_anti": subtract_anti,
-        "merge_expr_pred": merge_expr_pred,
-        # ================= overflow (slot 51+): green in r01-r04, still
-        # locally DuckDB-verified every run (see docstring) =================
+        # -- green in r01-r04, still locally DuckDB-verified every run --
         "read_database_sql": read_database_sql,
         "conditional_funcs": conditional_funcs,
         "events_sessionize": events_sessionize,
@@ -7626,80 +7681,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_similarity": string_similarity,
         "semi_join_orders": semi_join_orders,
         "intersect_cross": intersect_cross,
-        # r05 additions (overflow this round, r06 window candidates):
-        # BM25 retrieval, DSIR importance weights, C4 cleaning gate
-        "bm25_score_docs": bm25_score_docs,
-        "dsir_importance_md5": dsir_importance_md5,
-        "c4_gate": c4_gate,
-        "spans_dedup_md5": spans_dedup_md5,
-        "corpus_stats_by_lang": corpus_stats_by_lang,
-        "pq_codes_adc": pq_codes_adc,
-        "ivfpq_codes_adc": ivfpq_codes_adc,
-        "url_dedup_docs": url_dedup_docs,
-        "contamination_report_docs": contamination_report_docs,
-        "semdedup_docs": semdedup_docs,
-        "zorder_key_orders": zorder_key_orders,
-        "dedup_eval_md5": dedup_eval_md5,
-        "leakage_split_md5": leakage_split_md5,
-        "nb_classifier_md5": nb_classifier_md5,
-        "fuzzy_join_pairs": fuzzy_join_pairs,
-        "pagerank_orders": pagerank_orders,
-        "group_centroids_emb": group_centroids_emb,
-        "histogram_orders": histogram_orders,
-        "minhash_incremental_md5": minhash_incremental_md5,
-        "minhash_dedup_best_md5": minhash_dedup_best_md5,
-        "token_budget_docs": token_budget_docs,
-        "cap_per_group_docs": cap_per_group_docs,
-        "ppl_buckets_docs": ppl_buckets_docs,
-        "tfidf_keywords_docs": tfidf_keywords_docs,
-        "emb_covariance": emb_covariance,
-        "random_projection_md5": random_projection_md5,
-        "expectations_orders": expectations_orders,
-        "incremental_agg_docs": incremental_agg_docs,
-        "resolve_entities_docs": resolve_entities_docs,
-        "drift_report_docs": drift_report_docs,
-        "categorical_drift_docs": categorical_drift_docs,
-        "phrase_search_docs": phrase_search_docs,
-        "proximity_search_docs": proximity_search_docs,
-        "k_anonymity_customer": k_anonymity_customer,
-        "k_anonymity_violations_customer": k_anonymity_violations_customer,
-        "curriculum_docs": curriculum_docs,
-        "contrastive_pairs_md5": contrastive_pairs_md5,
-        "html_extract_docs": html_extract_docs,
-        "normalize_text_docs": normalize_text_docs,
-        "rolling_events": rolling_events,
-        "apply_changes_orders": apply_changes_orders,
-        "row_ids_orders": row_ids_orders,
-        "skew_report_events": skew_report_events,
-        "weighted_sample_docs": weighted_sample_docs,
-        "profile_orders": profile_orders,
-        "stratified_split_docs": stratified_split_docs,
-        "kfold_docs": kfold_docs,
-        "calibrate_scores_docs": calibrate_scores_docs,
-        "sniff_mime_docs": sniff_mime_docs,
-        "extract_links_docs": extract_links_docs,
-        "salted_join_orders": salted_join_orders,
-        "script_profile_docs": script_profile_docs,
-        "mix_to_target_docs": mix_to_target_docs,
-        "weighted_sample_pg_docs": weighted_sample_pg_docs,
-        "group_quantiles_docs": group_quantiles_docs,
-        "dataset_digest_docs": dataset_digest_docs,
-        "resample_events_grid": resample_events_grid,
-        "flag_outliers_docs": flag_outliers_docs,
-        "conversation_pairs_docs": conversation_pairs_docs,
-        "conversation_stats_docs": conversation_stats_docs,
-        "impute_docs": impute_docs,
-        "corr_matrix_orders": corr_matrix_orders,
-        "funnel_events": funnel_events,
-        "cohort_retention_events": cohort_retention_events,
-        "describe_orders": describe_orders,
-        "classification_report_docs": classification_report_docs,
-        "pr_thresholds_docs": pr_thresholds_docs,
-        "regression_metrics_orders": regression_metrics_orders,
-        "hash_embed_md5": hash_embed_md5,
-        "kwic_docs": kwic_docs,
-        "vocab_coverage_docs": vocab_coverage_docs,
-        "bloom_semi_join_orders": bloom_semi_join_orders,
         # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
         # (rows-only there); their md5 twins above carry the verdicts
         "minhash_pairs": minhash_pairs_ro,

@@ -475,6 +475,17 @@ _BLOOM_SEED_BASE = 0x9E3779B9
 # but keeps the filter inside codegen.
 _BLOOM_K_MAX = 12
 
+# bloom_semi_join strategy switch: bitmaps up to this many 64-bit words are
+# inlined as a literal array (codegen'd Filter, zero Python); larger ones
+# ship via sparkContext.broadcast + a vectorized pandas_udf bit test. A
+# literal array much past ~10^3 elements bloats Catalyst analysis and
+# Janino compilation (each element is a Literal expression node).
+_BLOOM_LITERAL_MAX_WORDS = 512
+
+# Hard ceiling on bitmap words (256 MiB): past this the broadcast itself is
+# the problem — raise fpp, lower expected, or split the probe set.
+_BLOOM_MAX_WORDS = 1 << 25
+
 
 def bloom_size(fpp: float, expected: int) -> "tuple[int, int]":
     """(m_bits, k) for a Bloom filter of ``expected`` elements at ``fpp``.
@@ -1450,9 +1461,24 @@ def bloom_semi_join(
 
     ``expected`` sizes the bitmap (defaults to a count of the small side —
     one extra tiny job; pass it when you already know). Shares
-    :func:`bloom_size`, the seed space, the codegen'd k≤12 unrolled bit
-    test and the sorted-struct bitmap assembly with the decontaminate
-    path.
+    :func:`bloom_size`, the seed space and the codegen'd k≤12 unrolled bit
+    test with the decontaminate path.
+
+    Two physical bit-test strategies, picked by bitmap size:
+
+    - ``w <= _BLOOM_LITERAL_MAX_WORDS``: the bitmap is inlined as a literal
+      array, so the test is a plain codegen'd Filter on the big side's scan
+      that no Catalyst rewrite can reorder below the exact join.
+    - larger: the words ship via ``sparkContext.broadcast`` and an
+      Arrow-batched pandas_udf does the k bit-probes as vectorized numpy
+      (``bf[pos >> 6] >> (pos & 63) & 1``). Zero plan bloat at any ``w``
+      (a literal array at the documented 1e8-key envelope would be ~5.4M
+      Literal nodes — Catalyst/Janino die long before the byte bound), and
+      a Python-eval Filter is likewise a reorder barrier.
+
+    ``w`` is hard-capped at ``_BLOOM_MAX_WORDS`` (256 MiB of bitmap) with a
+    loud error — beyond that raise ``fpp``, lower ``expected``, or split
+    the probe set.
     """
     if how not in ("left_semi", "left_anti"):
         raise ValueError("bloom_semi_join: how must be left_semi or left_anti")
@@ -1464,6 +1490,13 @@ def bloom_semi_join(
     n = expected if expected is not None else small_keys.count()
     m, k = bloom_size(fpp, n)
     w = m // 64
+    if w > _BLOOM_MAX_WORDS:
+        raise ValueError(
+            f"bloom_semi_join: bitmap would be {w} words "
+            f"({w * 8 // (1 << 20)} MiB) > _BLOOM_MAX_WORDS={_BLOOM_MAX_WORDS} "
+            f"(256 MiB). Raise fpp (currently {fpp}), lower expected "
+            f"(currently {n}), or split the probe set."
+        )
 
     def _position(hcol, i: int):
         if hash_fn == "xxhash64":
@@ -1491,44 +1524,67 @@ def bloom_semi_join(
         .agg(F.bit_or("__bit").alias("__bits"))
     )
     spark = big.sparkSession
-    words_range = spark.range(w).select(F.col("id").cast("int").alias("__wi"))
-    bitmap = (
-        words_range.join(word_bits, F.col("__wi") == F.col("__word"), "left")
-        .select("__wi", F.coalesce("__bits", F.lit(0).cast("long")).alias("__b"))
-        .agg(F.transform(
-            F.sort_array(F.collect_list(F.struct("__wi", "__b"))),
-            lambda s: s["__b"],
-        ).alias("__bf"))
-    )
+    # SPARSE collect: only the set words come back (≤ min(n*k, w) rows);
+    # densification is a driver-side numpy scatter, not a w-row Spark job.
+    import numpy as np
 
-    # LITERAL bitmap (the PQ LUT precedent): a crossJoin(broadcast(bitmap))
-    # filter lives in a join condition Catalyst may REORDER — it planned
-    # the exact semi join BELOW the bloom stage, shuffling the unpruned big
-    # side (observed). As a literal array the bit test is a plain Filter on
-    # the big side's scan, which nothing can reorder away. Driver contact =
-    # the same w longs the broadcast would carry (bounded by the
-    # bloom_size envelope; ~1e8 keys at 1e-6 fpp ≈ 43 MB — cap expected/
-    # fpp accordingly, as decontaminate documents).
-    bf = bitmap.collect()[0]["__bf"]
-    bf_lit = F.array(*[F.lit(int(x)).cast("long") for x in bf])
-    h = _hash64(key_str, hash_fn)
-
-    def _bit_test(i: int):
-        p = _position(F.col("__h2"), i)
-        return (
-            F.element_at(bf_lit, (F.floor(p / F.lit(64)) + 1).cast("int"))
-            .bitwiseAND(F.call_function(
-                "shiftleft", F.lit(1).cast("long"),
-                F.pmod(p, F.lit(64)).cast("int"),
-            )) != 0
+    set_words = word_bits.collect()
+    bf_np = np.zeros(w, dtype=np.int64)
+    if set_words:
+        idx = np.fromiter(
+            (r["__word"] for r in set_words), dtype=np.int64, count=len(set_words)
         )
-
+        vals = np.fromiter(
+            (r["__bits"] for r in set_words), dtype=np.int64, count=len(set_words)
+        )
+        bf_np[idx] = vals
+    h = _hash64(key_str, hash_fn)
     staged = big.withColumn("__h2", h)
-    hit = _bit_test(0)
-    for i in range(1, k):
-        hit = hit & _bit_test(i)
-    passers = staged.filter(hit).drop("__h2")
+
+    if w <= _BLOOM_LITERAL_MAX_WORDS:
+        # LITERAL bitmap (the PQ LUT precedent): a crossJoin(broadcast())
+        # filter lives in a join condition Catalyst may REORDER — it planned
+        # the exact semi join BELOW the bloom stage, shuffling the unpruned
+        # big side (observed). As a literal array the bit test is a plain
+        # codegen'd Filter on the big side's scan, which nothing can reorder
+        # away. Only safe for small w: each word is a Literal node in one
+        # CreateArray, so plan size grows linearly with w.
+        bf_lit = F.array(*[F.lit(int(x)).cast("long") for x in bf_np])
+
+        def _bit_test(i: int):
+            p = _position(F.col("__h2"), i)
+            return (
+                F.element_at(bf_lit, (F.floor(p / F.lit(64)) + 1).cast("int"))
+                .bitwiseAND(F.call_function(
+                    "shiftleft", F.lit(1).cast("long"),
+                    F.pmod(p, F.lit(64)).cast("int"),
+                )) != 0
+            )
+
+        hit = _bit_test(0)
+        for i in range(1, k):
+            hit = hit & _bit_test(i)
+        passers = staged.filter(hit).drop("__h2")
+        if how == "left_semi":
+            return passers.join(small_keys, keys, "left_semi")
+        misses = staged.filter(~hit).drop("__h2")
+        return misses.unionByName(passers.join(small_keys, keys, "left_anti"))
+
+    # BROADCAST bitmap + vectorized Arrow bit test: the k positions are
+    # still computed JVM-side (same seeded xxhash64/md5 probes as the
+    # literal path, bit-for-bit), packed into one array column; the only
+    # Python work is the numpy gather/shift/AND over the broadcast words.
+    # A Python-eval Filter is likewise a barrier no join reorders below,
+    # and plan size is O(k) regardless of w.
+    from ._arrow import make_bloom_hit_udf
+
+    bcast = spark.sparkContext.broadcast(bf_np)
+    _bloom_hit = make_bloom_hit_udf(bcast)
+    pos_arr = F.array(*[_position(F.col("__h2"), i) for i in range(k)])
+    staged = staged.withColumn("__pos", pos_arr)
+    hitcol = _bloom_hit(F.col("__pos"))
+    passers = staged.filter(hitcol).drop("__h2", "__pos")
     if how == "left_semi":
         return passers.join(small_keys, keys, "left_semi")
-    misses = staged.filter(~hit).drop("__h2")
+    misses = staged.filter(~hitcol).drop("__h2", "__pos")
     return misses.unionByName(passers.join(small_keys, keys, "left_anti"))

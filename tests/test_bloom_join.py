@@ -60,6 +60,44 @@ def test_bloom_join_prunes_before_exchange(spark):
     assert "shiftleft" in seg, "bloom filter did not reach the scan side"
 
 
+def test_bloom_broadcast_path_equals_plain(spark):
+    # expected=10_000 at fpp=1e-6 sizes the bitmap past
+    # _BLOOM_LITERAL_MAX_WORDS, selecting the sc.broadcast + vectorized
+    # pandas_udf bit test. Row-identity to the plain join must hold there
+    # too, for both semi and anti.
+    big, small = _frames(spark)
+    got = bloom_semi_join(big, small, "k", expected=10_000).collect()
+    want = big.join(small.dropDuplicates(), "k", "left_semi").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    got_a = bloom_semi_join(big, small, "k", how="left_anti", expected=10_000)
+    want_a = big.join(small.dropDuplicates(), "k", "left_anti").collect()
+    assert sorted(map(tuple, got_a.collect()), key=str) == sorted(
+        map(tuple, want_a), key=str
+    )
+
+
+def test_bloom_broadcast_path_no_literal_array(spark):
+    # VERDICT r05 regression guard: at n=1e7 expected keys the old literal
+    # form was ~5.4M Literal nodes in one CreateArray — Catalyst analysis
+    # itself was the bomb. The broadcast path must (a) analyze instantly
+    # with an O(k)-sized plan, (b) show the Arrow-eval bit test, (c) still
+    # be row-identical to the plain join.
+    big, small = _frames(spark)
+    out = bloom_semi_join(big, small, "k", expected=10_000_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 100_000, "plan blew up — literal bitmap leaked back in"
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    want = big.join(small.dropDuplicates(), "k", "left_semi").collect()
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want))
+
+
+def test_bloom_join_word_cap_raises(spark):
+    big, small = _frames(spark)
+    with pytest.raises(ValueError, match="_BLOOM_MAX_WORDS"):
+        bloom_semi_join(big, small, "k", expected=10**9)
+
+
 def test_bloom_join_registry_oracle(session):
     import __spark_entry__ as e
     from tests.oracle_harness import compare
