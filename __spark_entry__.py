@@ -6442,7 +6442,10 @@ _MIME_HEADERS = [
     ("89504E470D0A1A0A", "image/png"),
     ("1F8B", "application/gzip"),
     ("524946460000000057415645", "audio/wav"),
-    ("0000001866747970", "video/mp4"),
+    ("00000018667479706D703432", "video/mp4"),       # ftyp brand mp42
+    ("000000186674797068656963", "image/heic"),      # ftyp brand heic
+    ("00000018667479704D344120", "audio/mp4"),       # ftyp brand "M4A "
+    ("000000146674797071742020", "video/quicktime"),  # ftyp brand "qt  "
     ("25504446", "application/pdf"),
     ("", "application/octet-stream"),
     ("504B0304", "application/zip"),
@@ -6461,16 +6464,19 @@ def sniff_mime_docs(spark, sf):
 
     docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
     hdr = F.lit(_MIME_HEADERS[-1][0])
+    nh = len(_MIME_HEADERS)
     for i, (hx, _) in enumerate(_MIME_HEADERS[:-1]):
-        hdr = F.when(F.col("doc_id") % 8 == i, F.lit(hx)).otherwise(hdr)
+        hdr = F.when(F.col("doc_id") % nh == i, F.lit(hx)).otherwise(hdr)
     payload = F.concat(F.unhex(hdr), F.encode("text", "utf-8"))
     b = docs.select("doc_id", payload.alias("content"))
     return sniff_mime(b).select("doc_id", "mime").orderBy("doc_id")
 
 
 def _sniff_sql() -> str:
+    nh = len(_MIME_HEADERS)
     mime_case = " ".join(
-        f"WHEN doc_id % 8 = {i} THEN '{m}'" for i, (_, m) in enumerate(_MIME_HEADERS)
+        f"WHEN doc_id % {nh} = {i} THEN '{m}'"
+        for i, (_, m) in enumerate(_MIME_HEADERS)
     )
     # ground truth comes from the header SELECTOR, not a replay of the
     # detection logic — the Spark side must recover it from raw bytes

@@ -38,8 +38,12 @@ def _bt(name: str) -> str:
 
 
 def _stack(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    # doubled single quotes in the LABEL literal (the identifier side is
+    # backtick-escaped by _bt) — a column named a'b must not break the
+    # generated stack() expression (expectations.check does the same)
     pairs = ", ".join(
-        f"'{c}', CAST({_bt(c)} AS DOUBLE)" for c in cols
+        f"'{c.replace(chr(39), chr(39) * 2)}', CAST({_bt(c)} AS DOUBLE)"
+        for c in cols
     )
     return df.selectExpr(f"stack({len(cols)}, {pairs}) AS (col, x)")
 
@@ -176,18 +180,25 @@ def drift_report(
         )
     rstats = null_stats(ref, "n_ref", "null_frac_ref")
     cstats = null_stats(cur, "n_cur", "null_frac_cur")
-    # base the report on the null-stats frames (they always carry every
-    # column — the stack emits all of them); a column whose reference side
-    # is all-NULL has no divergence row and must NOT vanish from the report
+    # seed the report from a literal frame of the REQUESTED columns: a
+    # stacked-agg side emits zero rows when its snapshot is EMPTY, so an
+    # inner join would return an empty report — and a monitoring gate
+    # reading that as "no drift" would miss the most drastic drift of all.
+    # One row per requested column is unconditional; empty sides read as
+    # n=0 / null_frac=0 with psi/js NULL ("no distribution to compare").
+    base = ref.sparkSession.createDataFrame(
+        [(c,) for c in cols], "col: string"
+    )
     return (
-        rstats.join(F.broadcast(cstats), "col")
+        base.join(F.broadcast(rstats), "col", "left")
+        .join(F.broadcast(cstats), "col", "left")
         .join(F.broadcast(div), "col", "left")
         .select(
             "col",
-            "n_ref",
-            "n_cur",
-            "null_frac_ref",
-            "null_frac_cur",
+            F.coalesce("n_ref", F.lit(0).cast("long")).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0).cast("long")).alias("n_cur"),
+            F.coalesce("null_frac_ref", F.lit(0.0)).alias("null_frac_ref"),
+            F.coalesce("null_frac_cur", F.lit(0.0)).alias("null_frac_cur"),
             "psi",
             "js",
             F.when(

@@ -31,6 +31,7 @@ def assign_row_ids(
     id_col: str = "row_id",
     start: int = 1,
     num_ranges: Optional[int] = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Add consecutive ``id_col`` (``start``, ``start``+1, ...) following
     the total order of ``order_by``.
@@ -38,6 +39,16 @@ def assign_row_ids(
     The order columns must form a deterministic total order (include a
     unique tiebreak column — duplicate sort keys would make ids between
     ties partition-dependent, the usual SQL row_number caveat).
+
+    With ``cache=True`` (default) the ranged/sorted frame is persisted so
+    the per-partition counts job and the caller's action share one
+    shuffle/sort pass; the persisted handle is attached to the result as
+    ``result.row_ids_cache`` — call ``result.row_ids_cache.unpersist()``
+    once the numbered output is materialized, or it stays pinned until LRU
+    eviction (noticeable when numbering many large datasets in one
+    session). ``cache=False`` skips the persist entirely: the counts job
+    and the caller's action each pay the range shuffle + sort (the sort
+    output is re-derivable), but nothing is pinned in executor storage.
     """
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     if not order_cols:
@@ -52,8 +63,9 @@ def assign_row_ids(
         .withColumn("__part", F.spark_partition_id())
     )
     # persisted so the counts job and the caller's action share one
-    # shuffle/sort pass (LRU-managed, the select_token_budget convention)
-    ranked = ranked.persist()
+    # shuffle/sort pass; released via result.row_ids_cache (see docstring)
+    if cache:
+        ranked = ranked.persist()
     w = Window.partitionBy("__part").orderBy(*[F.col(c) for c in order_cols])
     within = ranked.withColumn("__rn", F.row_number().over(w))
     counts = {
@@ -69,6 +81,9 @@ def assign_row_ids(
         within = within.join(F.broadcast(off), "__part", "left")
     else:
         within = within.withColumn("__off", F.lit(int(start) - 1).cast("long"))
-    return within.withColumn(
+    out = within.withColumn(
         id_col, (F.col("__rn") + F.coalesce(F.col("__off"), F.lit(0))).cast("long")
     ).drop("__part", "__rn", "__off")
+    if cache:
+        out.row_ids_cache = ranked
+    return out

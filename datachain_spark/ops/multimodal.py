@@ -316,6 +316,21 @@ MAGIC_PREFIXES: list[tuple[str, str]] = [
 _RIFF_SUBTYPES = [("57415645", "audio/wav"), ("57454250", "image/webp"),
                   ("41564920", "video/x-msvideo")]
 
+# ISO-BMFF brand (file bytes 9-12, right after "ftyp") — 'ftyp' alone does
+# NOT mean video: HEIC stills, M4A audio and MOV all share the container.
+# Unlisted brands (isom/mp41/mp42/M4V/...) default to video/mp4.
+_FTYP_BRANDS = [
+    ("68656963", "image/heic"),   # heic
+    ("68656978", "image/heic"),   # heix
+    ("6D696631", "image/heif"),   # mif1
+    ("6D736631", "image/heif"),   # msf1
+    ("61766966", "image/avif"),   # avif
+    ("61766973", "image/avif"),   # avis
+    ("4D344120", "audio/mp4"),    # "M4A "
+    ("4D344220", "audio/mp4"),    # "M4B "
+    ("71742020", "video/quicktime"),  # "qt  "
+]
+
 
 def sniff_mime(
     df: DataFrame,
@@ -348,7 +363,10 @@ def sniff_mime(
         (hx.startswith(p), F.lit(m)) for p, m in MAGIC_PREFIXES
     ]
     checks.append((hx.startswith("52494646"), riff))           # RIFF????
-    checks.append((F.substring(hx, 9, 8) == "66747970", F.lit("video/mp4")))
+    ftyp = F.lit("video/mp4")
+    for brand, mime in _FTYP_BRANDS:
+        ftyp = F.when(F.substring(hx, 17, 8) == brand, F.lit(mime)).otherwise(ftyp)
+    checks.append((F.substring(hx, 9, 8) == "66747970", ftyp))
     for cond, val in reversed(checks):
         expr = F.when(cond, val).otherwise(expr)
     expr = F.when(

@@ -384,6 +384,13 @@ def weighted_sample(
     """
     if n < 1:
         raise ValueError("weighted_sample: n must be >= 1")
+    if key_col in df.columns:
+        # withColumn would silently OVERWRITE user data (and sample_n then
+        # drops it) — mirror the top_k '__rk' collision guard
+        raise ValueError(
+            f"weighted_sample: key_col {key_col!r} already exists in the "
+            "input — pass a different key_col"
+        )
     id_str = F.when(
         F.col(id_col).isNull(),
         F.raise_error(F.lit(f"weighted_sample: NULL value in id_col {id_col!r}")),
@@ -470,6 +477,11 @@ def weighted_sample_per_group(
 
     if n < 1:
         raise ValueError("weighted_sample_per_group: n must be >= 1")
+    if key_col in df.columns:
+        raise ValueError(
+            f"weighted_sample_per_group: key_col {key_col!r} already exists "
+            "in the input — pass a different key_col"
+        )
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     id_str = F.when(
         F.col(id_col).isNull(),

@@ -190,3 +190,35 @@ def test_categorical_ref_aggregation_shared(spark, tmp_path):
     assert rows["b"]["ref_count"] == 2 and rows["__other__"]["cur_count"] == 2
     final = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final, final
+
+
+def test_empty_snapshot_still_reports_every_column(spark):
+    # ADVICE r05: an EMPTY side used to inner-join the report away — a
+    # monitoring gate reading the empty report as "no drift" would miss
+    # the most drastic drift of all. One row per requested column is
+    # unconditional; the empty side reads n=0 / null_frac=0, psi/js NULL.
+    ref = _df(spark, [1.0, 2.0, 3.0])
+    cur = _df(spark, []).sparkSession.createDataFrame([], "v double")
+    rows = drift.drift_report(ref, cur, ["v"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["col"] == "v" and r["n_ref"] == 3 and r["n_cur"] == 0
+    # all reference mass vanished: PSI is huge and the gate FIRES
+    assert r["null_frac_cur"] == 0.0 and r["psi"] > 1.0 and r["drifted"]
+
+    # empty REFERENCE side too
+    rows = drift.drift_report(cur, ref, ["v"]).collect()
+    assert len(rows) == 1 and rows[0]["n_ref"] == 0 and rows[0]["n_cur"] == 3
+
+    # both sides empty: still one row per column
+    rows = drift.drift_report(cur, cur, ["v"]).collect()
+    assert len(rows) == 1 and rows[0]["n_ref"] == 0 and rows[0]["n_cur"] == 0
+
+
+def test_quoted_column_name_in_stack(spark):
+    # a column named a'b must not break the generated stack() expression
+    ref = spark.createDataFrame([(1.0,), (2.0,)], ["a'b"])
+    cur = spark.createDataFrame([(1.5,), (2.5,)], ["a'b"])
+    rows = drift.drift_report(ref, cur, ["a'b"]).collect()
+    assert len(rows) == 1 and rows[0]["col"] == "a'b"
+    assert rows[0]["n_ref"] == 2 and rows[0]["n_cur"] == 2

@@ -97,3 +97,20 @@ def test_lsh_tune_calibration():
         lsh_detection_probability(1.5, 128, 16)
     with _pytest.raises(ValueError):
         lsh_detection_probability(0.5, 128, -4)
+
+
+def test_row_ids_cache_handle_and_uncached_path(spark):
+    # ADVICE r05: the persisted ranked frame used to stay pinned for the
+    # session; the handle lets callers release it, cache=False skips it.
+    df = spark.createDataFrame([(i,) for i in range(100)], "k int")
+    out = assign_row_ids(df, "k")
+    assert out.count() == 100
+    assert hasattr(out, "row_ids_cache")
+    assert out.row_ids_cache.is_cached
+    out.row_ids_cache.unpersist()
+    assert not out.row_ids_cache.is_cached
+
+    out2 = assign_row_ids(df, "k", cache=False)
+    rows = {r["k"]: r["row_id"] for r in out2.collect()}
+    assert rows == {i: i + 1 for i in range(100)}
+    assert not hasattr(out2, "row_ids_cache")

@@ -24,6 +24,14 @@ CASES = [
     (b"RIFF\x24\x00\x00\x00WEBPVP8", "image/webp"),
     (b"RIFF\x24\x00\x00\x00AVI LIST", "video/x-msvideo"),
     (b"\x00\x00\x00\x18ftypmp42...", "video/mp4"),
+    (b"\x00\x00\x00\x18ftypisom...", "video/mp4"),
+    # ISO-BMFF brand disambiguation: 'ftyp' alone is NOT video
+    (b"\x00\x00\x00\x18ftypheic...", "image/heic"),
+    (b"\x00\x00\x00\x18ftypheix...", "image/heic"),
+    (b"\x00\x00\x00\x18ftypmif1...", "image/heif"),
+    (b"\x00\x00\x00\x1cftypavif...", "image/avif"),
+    (b"\x00\x00\x00\x18ftypM4A ...", "audio/mp4"),
+    (b"\x00\x00\x00\x14ftypqt  ...", "video/quicktime"),
     (b"<?xml version='1.0'?>", "application/xml"),
     (b"plain text content", "application/octet-stream"),
     (b"", "application/octet-stream"),

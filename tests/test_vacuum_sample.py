@@ -152,3 +152,18 @@ def test_flag_outliers_clamp(session):
     assert out[None]["v_clamped"] is None
     with pytest.raises(ValueError, match="clamp_col"):
         flag_outliers(df, "v", "g", clamp_col="v")
+
+
+def test_weighted_sample_key_col_collision_raises(spark):
+    # ADVICE r05: withColumn silently overwrote a pre-existing sample_key
+    from datachain_spark.ops.selection import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 0.5)], "id int, w double, sample_key double"
+    )
+    with pytest.raises(ValueError, match="key_col"):
+        weighted_sample(df, "w", 1, "id")
+    with pytest.raises(ValueError, match="key_col"):
+        weighted_sample_per_group(df, "id", "w", 1, "id")
+    # a non-colliding key_col still works
+    assert weighted_sample(df, "w", 1, "id", key_col="__aes").count() == 1
