@@ -38,25 +38,85 @@ def make_bloom_hit_udf(bcast):
     return _bloom_hit
 
 
-def make_cosine_udf(bcast_q):
-    """Double pandas_udf: cosine similarity of each row's float vector
-    against one broadcast query vector (numpy dot over the whole batch).
+def make_query_cosine_dist_udf(query_vec):
+    """Double pandas_udf: cosine DISTANCE (1 - similarity) of each row's
+    float vector to one fixed query vector, as a whole-batch numpy matmul.
 
-    The broadcast value is a C-contiguous float64 ndarray ALREADY
-    L2-normalized; the row vectors are normalized here. Zero-norm rows
-    score 0.0 (matches the SQL-expression twin in ``ops/similarity``).
+    Parity with the HOF expression twin (``functions.array.cosine_distance``
+    under try_divide): NULL / wrong-length vectors and zero-norm operands
+    come back NaN here — the caller wraps the column in
+    ``F.nanvl(col, NULL)`` so they surface as NULL, exactly like the HOF.
+    Used by ``ops.similarity.cosine_topk`` when d >= 32 (the interpreted
+    d-element fold is the dominant CPU cost of the retrieval path below
+    that switch; numpy is ~30-100x on wide vectors).
     """
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    nq = float(np.linalg.norm(q))
+    d = q.shape[0]
 
     @pandas_udf("double")
-    def _cos(vec: pd.Series) -> pd.Series:
-        if len(vec) == 0:
+    def _dist(vec: pd.Series) -> pd.Series:
+        n = len(vec)
+        if n == 0:
             return pd.Series([], dtype="float64")
-        q = bcast_q.value
-        mat = np.stack(vec.to_numpy()).astype(np.float64)  # (batch, d)
-        norms = np.linalg.norm(mat, axis=1)
-        dots = mat @ q
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(norms > 0.0, dots / norms, 0.0)
+        arrs = vec.to_numpy()
+        out = np.full(n, np.nan)
+        valid = np.fromiter(
+            (a is not None and len(a) == d for a in arrs), dtype=bool, count=n
+        )
+        if valid.any() and nq > 0.0:
+            mat = np.stack(arrs[valid]).astype(np.float64)  # (m, d)
+            norms = np.linalg.norm(mat, axis=1)
+            denom = norms * nq
+            dots = mat @ q
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[valid] = np.where(denom > 0.0, 1.0 - dots / denom, np.nan)
         return pd.Series(out)
 
-    return _cos
+    return _dist
+
+
+def make_pair_cosine_dist_udf():
+    """Double pandas_udf: cosine DISTANCE between two row-aligned float
+    vector columns (batch k-NN pairs). Same NaN-for-NULL/zero-norm
+    contract as :func:`make_query_cosine_dist_udf` — wrap in nanvl.
+    Length-mismatched pairs are NaN (the HOF zip_with would silently
+    truncate; a ragged pair is a data bug either way and never ranks)."""
+
+    @pandas_udf("double")
+    def _dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        aa, bb = a.to_numpy(), b.to_numpy()
+        out = np.full(n, np.nan)
+        valid = np.fromiter(
+            (
+                x is not None and y is not None and len(x) == len(y) and len(x) > 0
+                for x, y in zip(aa, bb)
+            ),
+            dtype=bool,
+            count=n,
+        )
+        if valid.any():
+            va, vb = aa[valid], bb[valid]
+            if len({len(x) for x in va}) > 1:
+                # mixed dims within one batch can't stack — per-pair numpy
+                # dots (still vectorized per vector; rare in practice)
+                res = np.empty(len(va))
+                for i, (x, y) in enumerate(zip(va, vb)):
+                    xa = np.asarray(x, dtype=np.float64)
+                    ya = np.asarray(y, dtype=np.float64)
+                    dn = np.linalg.norm(xa) * np.linalg.norm(ya)
+                    res[i] = 1.0 - (xa @ ya) / dn if dn > 0.0 else np.nan
+                out[valid] = res
+            else:
+                ma = np.stack(va).astype(np.float64)
+                mb = np.stack(vb).astype(np.float64)
+                denom = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+                dots = np.einsum("ij,ij->i", ma, mb)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out[valid] = np.where(denom > 0.0, 1.0 - dots / denom, np.nan)
+        return pd.Series(out)
+
+    return _dist
