@@ -87,6 +87,9 @@ def edit_distance_join(
     keep_strings: bool = True,
     skip_blank: bool = True,
     ordered_only: bool = False,
+    preflight: str = "warn",
+    warn_candidates: int = 50_000_000,
+    max_postings: Optional[int] = None,
 ) -> DataFrame:
     """All (left, right) pairs with ``levenshtein ≤ max_distance``.
 
@@ -99,11 +102,27 @@ def edit_distance_join(
     ``left id < right id`` BEFORE the verify — the self-join halving
     (:func:`fuzzy_dedup_pairs` sets it); it assumes both id spaces are
     comparable.
+
+    Skew guardrail (VERDICT r05 #3): a gram shared by f left and g right
+    strings contributes f·g candidates, so gram-skewed corpora (100M
+    near-identical titles) can go effectively quadratic with no warning.
+    ``preflight="warn"`` (default) runs one cheap (gram, f·g) aggregate
+    before the join and emits a ``UserWarning`` naming the estimated
+    candidate count, the worst gram, and the tuning options whenever the
+    estimate exceeds ``warn_candidates``; ``"error"`` raises instead
+    (for unattended pipelines); ``"off"`` skips the estimate job.
+    ``max_postings`` is the opt-in escape hatch: grams whose posting
+    list exceeds it on either side are dropped from BLOCKING — pairs
+    that share only dropped grams are missed, a documented recall
+    trade-off, which is why it defaults to off (completeness is the
+    contract the quadratic-truth oracle proves).
     """
     if max_distance < 0:
         raise ValueError("edit_distance_join: max_distance must be >= 0")
     if q < 1:
         raise ValueError("edit_distance_join: q must be >= 1")
+    if preflight not in ("off", "warn", "error"):
+        raise ValueError("edit_distance_join: preflight must be off|warn|error")
     k = int(max_distance)
     r_col = right_col or left_col
     L = _prep(left, left_id, left_col, lowercase, "l", skip_blank)
@@ -117,6 +136,42 @@ def edit_distance_join(
     Rl = R.filter(F.length("r_s") >= min_long)
     lg = Ll.select("l_id", "l_s", F.explode(_qgrams(F.col("l_s"), q)).alias("__g"))
     rg = Rl.select("r_id", "r_s", F.explode(_qgrams(F.col("r_s"), q)).alias("__g"))
+
+    if preflight != "off" or max_postings is not None:
+        lcnt = lg.groupBy("__g").agg(F.count(F.lit(1)).alias("__lf"))
+        rcnt = rg.groupBy("__g").agg(F.count(F.lit(1)).alias("__rf"))
+        gram_costs = lcnt.join(rcnt, "__g")
+    if preflight != "off":
+        stats = gram_costs.agg(
+            F.sum(F.col("__lf") * F.col("__rf")).alias("est"),
+            F.max(F.col("__lf") * F.col("__rf")).alias("worst"),
+        ).collect()[0]
+        est = int(stats["est"] or 0)
+        if est > warn_candidates:
+            msg = (
+                f"edit_distance_join: q-gram blocking would generate "
+                f"~{est:,} candidate pairs (worst single gram: "
+                f"{int(stats['worst'] or 0):,}); the gram join is "
+                f"effectively quadratic on this corpus. Options: raise q "
+                f"(currently {q} — rarer grams), pre-normalize the text, "
+                f"or opt into max_postings=N to cap posting lists "
+                f"(documented recall trade-off). Silence with "
+                f"preflight='off' or a higher warn_candidates."
+            )
+            if preflight == "error":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, UserWarning, stacklevel=2)
+    if max_postings is not None:
+        # heavy grams are FEW by definition (each is a distinct gram whose
+        # posting list is huge) — broadcast the drop list
+        heavy = gram_costs.filter(
+            (F.col("__lf") > max_postings) | (F.col("__rf") > max_postings)
+        ).select("__g")
+        lg = lg.join(F.broadcast(heavy), "__g", "left_anti")
+        rg = rg.join(F.broadcast(heavy), "__g", "left_anti")
+
     long_cand = (
         lg.join(rg, "__g")
         .filter(F.abs(F.length("l_s") - F.length("r_s")) <= k)
@@ -187,17 +242,24 @@ def fuzzy_dedup_pairs(
     q: int = 2,
     lowercase: bool = True,
     skip_blank: bool = True,
+    preflight: str = "warn",
+    warn_candidates: int = 50_000_000,
+    max_postings: Optional[int] = None,
 ) -> DataFrame:
     """Self-join convenience: unordered near-identical pairs
     ``(id_a, id_b, distance)`` with ``id_a < id_b`` — feed into
     ``connected_components`` / ``minhash_dedup``-style resolution for
     typo-level deduplication of titles/names/URLs. The mirrored
     orientation is pruned before the dedup shuffle and the verify
-    (``ordered_only``), not after."""
+    (``ordered_only``), not after. ``preflight``/``warn_candidates``/
+    ``max_postings`` pass through to :func:`edit_distance_join` (the
+    gram-skew guardrail)."""
     pairs = edit_distance_join(
         df, df, id_col, id_col, left_col=text_col,
         max_distance=max_distance, q=q, lowercase=lowercase,
         keep_strings=False, skip_blank=skip_blank, ordered_only=True,
+        preflight=preflight, warn_candidates=warn_candidates,
+        max_postings=max_postings,
     )
     a, b = f"l_{id_col}", f"r_{id_col}"
     return pairs.select(

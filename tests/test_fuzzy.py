@@ -192,3 +192,51 @@ def test_resolve_entities_fluent(spark):
     out = ch.resolve_entities("id", "name", keep_by="score")
     n_entities = out.df.select("canonical_id").distinct().count()
     assert n_entities == 5  # {acme12}, {3}, {globex456}, {7}, {8}
+
+
+def test_preflight_warns_on_gram_skew(session):
+    # VERDICT r05 #3: a gram-skewed corpus (every string shares the same
+    # grams) must trip the pre-flight candidate estimate BEFORE the join
+    # explodes — warn by default, raise under preflight="error".
+    rows = [(i, "aaaaaaaaaaaa") for i in range(60)]  # 60*60 gram pairs
+    df = _df(session, rows)
+    with pytest.warns(UserWarning, match="candidate pairs"):
+        fuzzy.fuzzy_dedup_pairs(
+            df, "a_id", "text", warn_candidates=1000
+        ).count()
+    with pytest.raises(ValueError, match="candidate pairs"):
+        fuzzy.fuzzy_dedup_pairs(
+            df, "a_id", "text", preflight="error", warn_candidates=1000
+        ).count()
+    with pytest.raises(ValueError, match="off|warn|error"):
+        fuzzy.edit_distance_join(df, df, "a_id", "a_id", preflight="bogus")
+
+
+def test_preflight_quiet_on_normal_corpus(session):
+    import warnings
+
+    rows = [(i, f"title number {i}") for i in range(50)]
+    df = _df(session, rows)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any UserWarning fails the test
+        n = fuzzy.fuzzy_dedup_pairs(df, "a_id", "text").count()
+    assert n >= 0
+
+
+def test_max_postings_documented_recall_tradeoff(session):
+    # capping posting lists drops pairs that ONLY meet via heavy grams —
+    # the documented trade; pairs sharing any rare gram must survive.
+    rows = [(i, "zzzzzzzzzzzz") for i in range(30)] + [
+        (100, "unique title abc"),
+        (101, "unique title abd"),
+    ]
+    df = _df(session, rows)
+    full = fuzzy.fuzzy_dedup_pairs(df, "a_id", "text", preflight="off")
+    capped = fuzzy.fuzzy_dedup_pairs(
+        df, "a_id", "text", preflight="off", max_postings=5
+    )
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in capped_pairs          # rare-gram pair survives
+    assert capped_pairs <= full_pairs          # cap only DROPS pairs
+    assert len(capped_pairs) < len(full_pairs)  # heavy-gram pairs gone
