@@ -1,7 +1,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: best_of_3_sec}, "rows": {name: out_rows}, "best_of": 3,
+"calibration": {...machine-speed anchor...}, "sf": ...}.
 
 Performance posture: one shared SparkSession (session startup excluded — the
 reference's SQLite has no comparable cost and the 100-TB target amortizes
@@ -747,9 +748,30 @@ def main() -> None:
 
     spark.range(64).repartition(32).mapInPandas(_warm, "id long").count()
 
+    # fixed calibration workload (measured before AND after the suite):
+    # a deterministic CPU-bound aggregate whose plan never changes across
+    # rounds. Cross-round throughput ratios divide by it, so the recorded
+    # file carries its own machine-speed reference — the r05 verdict found
+    # a reproduced uniform-2x VM drift mode encoded as fake regressions.
+    def _calibrate() -> float:
+        from pyspark.sql import functions as F
+
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(20_000_000).agg(
+                F.avg(F.xxhash64("id")).alias("h")
+            ).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 4)
+
+    calib_before = _calibrate()
+
     # best-of-3 per query: the VM's timing noise (CPU steal) is larger than
     # most query runtimes; min-of-runs is the standard noise-robust report
     timings: dict[str, float] = {}
+    row_counts: dict[str, int] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
@@ -761,8 +783,11 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 4)
+        row_counts[name] = int(rows)
         total += best
         print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
+
+    calib_after = _calibrate()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -773,6 +798,18 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                # per-query output row counts: throughput ratios vs
+                # BASELINE.md are computable without archaeology
+                "rows": row_counts,
+                "best_of": 3,
+                # machine-speed anchor (sec for the fixed calibration agg,
+                # best-of-3, before/after): normalize cross-round deltas by
+                # this before calling anything a regression
+                "calibration": {
+                    "workload": "range(2e7).avg(xxhash64)",
+                    "before_sec": calib_before,
+                    "after_sec": calib_after,
+                },
                 "sf": sf,
             }
         )
