@@ -721,7 +721,11 @@ def main() -> None:
         from datachain_spark.ops.similarity import cosine_topk
 
         docs = entrymod._chain(spark, sf, "documents").df
-        emb = hash_embed(docs, "doc_id", dim=128)
+        # materialize the embeddings ONCE (localCheckpoint is eager and
+        # inside the timer): the query collect and the top-k scan would
+        # otherwise each recompute the full two-shuffle embed — production
+        # stores embeddings and scans them per query
+        emb = hash_embed(docs, "doc_id", dim=128).localCheckpoint()
         # deterministic, non-NULL query row (limit(1) alone picks an
         # arbitrary row — and a blank doc's NULL embedding would crash)
         q = (

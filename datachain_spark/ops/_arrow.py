@@ -120,3 +120,36 @@ def make_pair_cosine_dist_udf():
         return pd.Series(out)
 
     return _dist
+
+
+def make_hash_embed_assembler(id_name, out_col, dim, normalize):
+    """mapInPandas factory: scatter each row's (bucket -> count) map into a
+    dense ``dim`` vector and L2-normalize — numpy per batch, replacing the
+    interpreted dim-element ``transform``/``try_element_at`` expression
+    chain that dominated the hash_embed wall at d >= 32.
+
+    Value-identical to the expression twin: bucket counts are integers, so
+    the sum of squares is EXACT in float64 regardless of summation order,
+    and the per-element divide matches bit-for-bit. Blank docs give the
+    zero vector (None when ``normalize`` — no direction), like the twin.
+    Arrow renders MapType cells as dicts or (key, value) tuple lists
+    depending on version — both handled.
+    """
+
+    def assemble(batches):
+        for pdf in batches:
+            vecs = []
+            for m in pdf["__m"]:
+                vec = np.zeros(dim)
+                if m is not None and len(m) > 0:
+                    items = m.items() if isinstance(m, dict) else m
+                    for k, v in items:
+                        vec[int(k)] = v
+                if normalize:
+                    nn = float(np.sqrt((vec * vec).sum()))
+                    vecs.append(vec / nn if nn > 0.0 else None)
+                else:
+                    vecs.append(vec)
+            yield pd.DataFrame({id_name: pdf["__id"], out_col: vecs})
+
+    return assemble

@@ -133,3 +133,25 @@ def test_cosine_arrow_kernel_matches_hof(spark):
                           left_id="id", right_id="id", arrow=False).collect()
     key = lambda r: (r["qid"], r["nid"])
     assert sorted(map(key, ja)) == sorted(map(key, jh))
+
+
+def test_hash_embed_arrow_assembly_bit_identical(spark):
+    # the numpy scatter/normalize must be VALUE-IDENTICAL to the
+    # expression twin (integer bucket counts -> exact square sums in any
+    # summation order), not merely close — both feed the same oracles.
+    from pyspark.sql import functions as F
+    from datachain_spark.ops.embedding import hash_embed
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "jumps over the lazy dog"),
+         (2, ""), (3, None), (4, "fox fox fox")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["embedding"]
+         for r in hash_embed(docs, "doc_id", dim=64).collect()}
+    h = {r["doc_id"]: r["embedding"]
+         for r in hash_embed(docs, "doc_id", dim=64, arrow=False).collect()}
+    assert set(a) == set(h) == {0, 1, 2, 3, 4}
+    for k in a:
+        assert a[k] == h[k], (k, a[k], h[k])
+    assert a[2] is None and a[3] is None  # blank/NULL: no direction
