@@ -7413,6 +7413,53 @@ _PROFILE_COLS = [
 ]
 
 
+_HLL_COLS = ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+
+
+def hll_profile_orders(spark, sf):
+    """HLL distinct profiles earn a driver verdict (VERDICT r05 #8): the
+    sketch BINARY is engine-specific (rightly excluded from cross-engine
+    hashes), but at fixed lg_config_k the estimate is deterministic, so
+    the query emits per column the EXACT distinct count (DuckDB replays
+    it) plus ``within_bound`` = |hll_estimate - exact| <= 5% of exact
+    (3x the lg_k=12 relative standard error, 1.63%). A broken sketch
+    (ops/sketches.hll_profile) flips the boolean and fails the hash."""
+    from datachain_spark.ops.sketches import hll_profile
+
+    orders = _chain(spark, sf, "orders").df
+    hll = hll_profile(orders, cols=_HLL_COLS, lg_config_k=12).select(
+        "column", "approx_distinct"
+    )
+    exact = orders.agg(*[
+        F.count_distinct(F.col(c)).cast("long").alias(c) for c in _HLL_COLS
+    ]).select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"), F.col(c).alias("exact_distinct"))
+        for c in _HLL_COLS
+    ])).alias("p")).select("p.*")
+    return (
+        exact.join(hll, "column")
+        .select(
+            "column",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_bound"),
+        )
+        .orderBy("column")
+    )
+
+
+def _hll_profile_sql() -> str:
+    rows = [
+        f"SELECT '{c}' AS \"column\","
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS exact_distinct,"
+        f" TRUE AS within_bound FROM orders"
+        for c in _HLL_COLS
+    ]
+    return "\nUNION ALL\n".join(rows) + '\nORDER BY "column"'
+
+
 def profile_orders(spark, sf):
     """One-pass table profiling (ops/profile.profile_table): completeness,
     exact cardinality, string-cast bounds and moments for five orders
@@ -7544,7 +7591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_docs": html_extract_docs,
         "normalize_text_docs": normalize_text_docs,
         "stratified_split_docs": stratified_split_docs,
-        "salted_join_orders": salted_join_orders,
+        "hll_profile_orders": hll_profile_orders,
         # ===== stable multi-green anchors (regression canary) =====
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -7558,6 +7605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_expr_pred": merge_expr_pred,
         # ================= overflow (slot 51+) =================
         # -- r07 window candidates: never driver-checked --
+        "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
         "sniff_mime_docs": sniff_mime_docs,
@@ -7775,6 +7823,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report_events": SKEW_REPORT_SQL,
         "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
         "profile_orders": _profile_sql(),
+        "hll_profile_orders": _hll_profile_sql(),
         "simhash_pairs_md5": SIMHASH_MD5_SQL,
         "winnow_fingerprints_md5": WINNOW_MD5_SQL,
         "winnow_pairs_md5": WINNOW_PAIRS_MD5_SQL,

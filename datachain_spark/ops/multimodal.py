@@ -46,11 +46,27 @@ VIDEO_META_STRUCT = T.StructType([
 
 
 def _decode_image_real(data: bytes) -> dict:
-    """Real decode path — requires PIL, which is not installed here."""
-    raise NotImplementedError(
-        "image decoding requires PIL/pillow (not installed in this container); "
-        "use fake=True for plumbing tests or install pillow in production"
-    )
+    """Real decode path (reference lib/image.py): wired to PIL when the
+    optional dependency is present, NotImplementedError otherwise — so the
+    gap closes itself the moment the environment grows pillow
+    (tests/test_integration_optional.py exercises it, skipping cleanly
+    when absent)."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires PIL/pillow (not installed in this "
+            "container); use fake=True for plumbing tests or install "
+            "pillow in production"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(data)) as im:
+        return {
+            "width": int(im.width),
+            "height": int(im.height),
+            "format": (im.format or "").lower(),
+        }
 
 
 def _decode_image_fake(data: bytes) -> dict:
@@ -110,9 +126,26 @@ def resize_images(
                     None if b is None else marker + bytes(b)[:32] for b in pdf[binary_col]
                 ]
             else:
-                raise NotImplementedError(
-                    "image resize requires PIL/pillow (not installed here)"
-                )
+                try:
+                    from PIL import Image  # type: ignore[import-not-found]
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "image resize requires PIL/pillow (not installed "
+                        "here)"
+                    ) from exc
+                import io
+
+                def _resize(b: bytes) -> bytes:
+                    with Image.open(io.BytesIO(b)) as im:
+                        fmt = im.format or "PNG"
+                        out = io.BytesIO()
+                        im.resize((width, height)).save(out, format=fmt)
+                        return out.getvalue()
+
+                pdf[binary_col] = [
+                    None if b is None else _resize(bytes(b))
+                    for b in pdf[binary_col]
+                ]
             yield pdf
 
     return df.mapInPandas(fn, out_schema)

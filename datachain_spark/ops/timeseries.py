@@ -166,6 +166,7 @@ def funnel(
     time_col: str,
     event_col: str,
     steps: Sequence[str],
+    max_events_per_entity: Optional[int] = None,
 ) -> DataFrame:
     """Ordered funnel per entity: for each entity, the FIRST time each
     step fired at-or-after the previous step's first qualifying time
@@ -179,6 +180,18 @@ def funnel(
     subquery per step). Ties: an event at exactly the previous step's
     timestamp qualifies; a single event row can satisfy at most one step.
     ``steps`` must be distinct.
+
+    The per-entity collected array is otherwise UNBOUNDED — one
+    adversarial key (a bot firing millions of step events) concentrates
+    its whole history in a single agg buffer. ``max_events_per_entity``
+    bounds it: each entity keeps only its FIRST N qualifying events in
+    (time, step-index) order (a spill-safe row_number window on the same
+    entity key — the exchange is reused by the groupBy), the output
+    gains a ``truncated`` flag marking entities that lost events, and a
+    truncated entity's funnel is computed over the kept prefix (sound
+    for funnels: steps fire on FIRST qualifying times, so a chain that
+    completed within the prefix is unaffected; one that needed later
+    events reports fewer steps — flagged, not silent).
     """
     steps = list(steps)
     if len(steps) < 2:
@@ -195,12 +208,29 @@ def funnel(
     # equivalent to the k-pass min-with->= formulation the oracle runs,
     # independent of event arrival order
     si = F.array_position(step_arr, F.col(event_col))
-    pairs = df.filter(F.col(event_col).isin(steps)).groupBy(*parts).agg(
+    qualifying = df.filter(F.col(event_col).isin(steps))
+    agg_cols = [
         F.sort_array(
             F.collect_list(F.struct(epoch.alias("ep"), si.alias("si"),
                                     F.col(event_col).alias("ev")))
         ).alias("__evs")
-    )
+    ]
+    if max_events_per_entity is not None:
+        if max_events_per_entity < 1:
+            raise ValueError("funnel: max_events_per_entity must be >= 1")
+        wo = Window.partitionBy(*parts).orderBy(
+            epoch.asc_nulls_last(), si.asc()
+        )
+        wc = Window.partitionBy(*parts)
+        qualifying = (
+            qualifying.withColumn("__rn", F.row_number().over(wo))
+            .withColumn("__tot", F.count(F.lit(1)).over(wc))
+            .filter(F.col("__rn") <= max_events_per_entity)
+        )
+        agg_cols.append(
+            (F.max("__tot") > max_events_per_entity).alias("__trunc")
+        )
+    pairs = qualifying.groupBy(*parts).agg(*agg_cols)
     init = F.array(*[F.lit(None).cast("long") for _ in steps])
 
     def update(state, e):
@@ -216,15 +246,18 @@ def funnel(
             ),
         )
 
-    folded = pairs.select(
-        *parts, F.aggregate("__evs", init, update).alias("__st")
-    )
+    fold_cols = [*parts, F.aggregate("__evs", init, update).alias("__st")]
+    if max_events_per_entity is not None:
+        fold_cols.append(F.col("__trunc"))
+    folded = pairs.select(*fold_cols)
     sel = [*parts]
     for i, s in enumerate(steps):
         sel.append(F.element_at("__st", i + 1).alias(f"step{i + 1}_ts"))
     sel.append(
         F.size(F.filter("__st", lambda x: x.isNotNull())).alias("steps_reached")
     )
+    if max_events_per_entity is not None:
+        sel.append(F.col("__trunc").alias("truncated"))
     return folded.select(*sel)
 
 
