@@ -1834,6 +1834,78 @@ ORDER BY d.doc_id
 """
 
 
+STRIP_BOILER_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         text || chr(10) || 'Subscribe to our newsletter today'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || 'Special promo banner line' ELSE '' END
+           || CASE WHEN doc_id % 37 = 0
+                   THEN chr(10) || 'Rare editorial note' ELSE '' END AS t
+  FROM documents WHERE doc_id < 200
+), d AS (
+  SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM base
+), lines AS (
+  SELECT doc_id, u.i AS pos, ls[u.i] AS line
+  FROM d, LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+), nd AS (
+  SELECT count(*) AS n FROM base WHERE t IS NOT NULL
+), freq AS (
+  SELECT key, count(*) AS df FROM (
+    SELECT DISTINCT trim(line) AS key, doc_id FROM lines
+    WHERE length(trim(line)) >= 4
+  ) GROUP BY key
+), boiler AS (
+  SELECT key FROM freq, nd
+  WHERE df >= greatest(2, CAST(ceil(0.05 * n) AS BIGINT))
+), kept AS (
+  SELECT * FROM lines WHERE trim(line) NOT IN (SELECT key FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+         count(*) AS kept_n
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS total FROM lines GROUP BY doc_id
+)
+SELECT b.doc_id,
+       md5(CASE WHEN b.t IS NOT NULL THEN coalesce(r.clean, '') END)
+         AS clean_md5,
+       CAST(coalesce(t.total - coalesce(r.kept_n, 0), 0) AS INT)
+         AS n_stripped
+FROM base b LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN tot t USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+def strip_boilerplate_docs(spark, sf):
+    """Onion/CCNet boilerplate-line removal (ops/text.strip_boilerplate):
+    every doc gets a universal footer injected (df=100%), a third get a
+    promo banner (df≈33% — over the 5% threshold), a 37th get a rare
+    editorial note (df≈3% — UNDER threshold, must survive). The oracle
+    replays line frequencies, the ceil(5%)-of-corpus threshold, stripping
+    from EVERY doc (not first-occurrence-wins) and ordered reassembly;
+    md5 over the rebuilt text catches any line-order or threshold slip."""
+    from datachain_spark.ops.text import strip_boilerplate
+
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
+    t = F.concat(F.col("text"), F.lit("\nSubscribe to our newsletter today"))
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(t, F.lit("\nSpecial promo banner line")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 37 == 0,
+        F.concat(t, F.lit("\nRare editorial note")),
+    ).otherwise(t)
+    payload = docs.select("doc_id", t.alias("text"))
+    out = strip_boilerplate(
+        payload, "doc_id", "text", min_doc_frac=0.05, min_docs=2
+    )
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_stripped"
+    ).orderBy("doc_id")
+
+
 def segment_dedup_chunks(spark, sf):
     """Corpus-wide segment dedup (CCNet/C4-style), 10-word chunk mode —
     first occurrence wins, docs reassembled. Oracled end-to-end by
@@ -7528,14 +7600,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver checks the FIRST 50 entries.
 
     r06 rotation (VERDICT r05 task 1): the window holds 40 never
-    driver-checked r05 oracles — the documented r05 operator waves (BM25,
+    driver-checked oracles — the documented r05 operator waves (BM25,
     DSIR, C4 gate, exact-substring spans, PQ/IVFPQ, SemDeDup, Z-order,
     leakage-safe split, NB classifier, edit-distance join, PageRank,
     incremental MinHash, token budget, retrieval/drift/privacy/eval
-    families) — plus the 10 stable anchors as a regression canary
-    (subtract_anti / merge_expr_pred sat at slots 51-52 in r05 and missed
-    the cut, so they also earn their first driver verdicts here).
-    Everything green in CORRECTNESS_r05 rotates to overflow.
+    families) plus the r06-new hll_profile_orders (VERDICT task 8) —
+    and the 10 stable anchors as a regression canary (subtract_anti /
+    merge_expr_pred sat at slots 51-52 in r05 and missed the cut, so
+    they also earn their first driver verdicts here). Everything green
+    in CORRECTNESS_r05 rotates to overflow.
 
     r07 window plan: keep the anchors, rotate IN the 32 remaining
     never-driver-checked entries (listed first in overflow below:
@@ -7605,6 +7678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_expr_pred": merge_expr_pred,
         # ================= overflow (slot 51+) =================
         # -- r07 window candidates: never driver-checked --
+        "strip_boilerplate_docs": strip_boilerplate_docs,
         "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
@@ -7832,6 +7906,7 @@ def oracle_sql() -> dict[str, str]:
         "read_storage_listing": READ_STORAGE_SQL,
         "read_database_sql": READ_DATABASE_SQL,
         "segment_dedup_chunks": SEGMENT_DEDUP_SQL,
+        "strip_boilerplate_docs": STRIP_BOILER_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,

@@ -104,6 +104,8 @@ HEADLINE = [
     "link_degrees_full",
     # SFT conversation prep: audit -> alternation gate -> pairs, fused
     "conversation_prep_full",
+    # r06 addition: Onion-style boilerplate-line removal over the corpus
+    "strip_boilerplate_full",
     # model-free hashed retrieval: embed corpus + cosine top-10
     "hash_retrieval_full",
 ]
@@ -147,6 +149,15 @@ def main() -> None:
     def _segment_dedup_full(spark, sf):
         docs = entrymod._chain(spark, sf, "documents").df
         return _text.segment_dedup(docs, "doc_id", chunk_words=10)
+
+    def _strip_boilerplate_full(spark, sf):
+        # whole-corpus Onion-style boilerplate-line removal + summary agg
+        docs = entrymod._chain(spark, sf, "documents").df
+        out = _text.strip_boilerplate(docs, "doc_id")
+        return out.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_stripped").alias("lines_stripped"),
+        )
 
     def _decontaminate_full(spark, sf):
         docs = entrymod._chain(spark, sf, "documents").df
@@ -737,6 +748,7 @@ def main() -> None:
     queries["hash_retrieval_full"] = _hash_retrieval_full
     queries["stratified_split_full"] = _stratified_split_full
     queries["web_signals_full"] = _web_signals_full
+    queries["strip_boilerplate_full"] = _strip_boilerplate_full
     queries["link_degrees_full"] = _link_degrees_full
     queries["conversation_prep_full"] = _conversation_prep_full
 

@@ -990,6 +990,15 @@ class DataChain:
 
         return self._evolve(_op(self._df, id_col, text_col, **kw))
 
+    def strip_boilerplate(
+        self, id_col: str, text_col: str = "text", **kw: Any
+    ) -> "DataChain":
+        """Onion/CCNet boilerplate-line removal — high-document-frequency
+        lines stripped from EVERY doc (ops/text.strip_boilerplate)."""
+        from .ops.text import strip_boilerplate as _op
+
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
     def decontaminate(self, probes: Any, id_col: str, **kw: Any) -> "DataChain":
         """Benchmark decontamination vs a probe set (ops/dedup.decontaminate);
         ``probes`` may be a DataChain or DataFrame."""

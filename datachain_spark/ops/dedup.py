@@ -1524,20 +1524,18 @@ def bloom_semi_join(
         .agg(F.bit_or("__bit").alias("__bits"))
     )
     spark = big.sparkSession
-    # SPARSE collect: only the set words come back (≤ min(n*k, w) rows);
-    # densification is a driver-side numpy scatter, not a w-row Spark job.
+    # SPARSE collect: only the set words come back (≤ min(n*k, w) rows),
+    # via Arrow (toPandas) — millions of set words arrive as two numpy
+    # columns, not Row objects; densification is a driver-side scatter,
+    # not a w-row Spark job.
     import numpy as np
 
-    set_words = word_bits.collect()
+    sparse = word_bits.toPandas()
     bf_np = np.zeros(w, dtype=np.int64)
-    if set_words:
-        idx = np.fromiter(
-            (r["__word"] for r in set_words), dtype=np.int64, count=len(set_words)
+    if len(sparse):
+        bf_np[sparse["__word"].to_numpy(dtype=np.int64)] = (
+            sparse["__bits"].to_numpy(dtype=np.int64)
         )
-        vals = np.fromiter(
-            (r["__bits"] for r in set_words), dtype=np.int64, count=len(set_words)
-        )
-        bf_np[idx] = vals
     h = _hash64(key_str, hash_fn)
     staged = big.withColumn("__h2", h)
 

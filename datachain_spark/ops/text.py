@@ -622,6 +622,106 @@ def segment_dedup(
     )
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    min_line_chars: int = 4,
+) -> DataFrame:
+    """Onion/CCNet-style boilerplate REMOVAL: lines whose document
+    frequency crosses a threshold (cookie banners, nav menus, footers —
+    the per-site template text that survives per-document quality gates)
+    are stripped from EVERY document, unlike :func:`segment_dedup` which
+    keeps the first occurrence. The classic web-corpus cleaning pass
+    (Pomikálek's Onion, CCNet §3.1, both public).
+
+    A line is boilerplate when its TRIMMED form is at least
+    ``min_line_chars`` long and appears in
+    ``>= max(min_docs, ceil(min_doc_frac * n_docs))`` distinct documents.
+    Short trimmed lines are never counted or stripped (blank separators
+    and "---" rules would otherwise dominate the frequency table).
+
+    Output: one row per input doc — ``(id_col, text_col, n_stripped)``
+    with surviving lines rejoined in order (NULL text passes through with
+    ``n_stripped`` 0).
+
+    Scale shape: explode to (id, pos, line); document frequencies come
+    from ONE groupBy over (hash, id)-distinct rows keyed on the 64-bit
+    xxhash64 of the TRIMMED line (exact semantics — no case folding) —
+    8-byte shuffle keys, the full text never shuffles for counting (the
+    exact_dedup convention; collisions merge lines at the negligible
+    n²/2⁶⁴ rate documented there). The
+    corpus-size scalar rides a broadcast 1-row cross join (no driver
+    round-trip), boilerplate membership is a broadcast-sized anti join on
+    the fingerprint (the boiler set is threshold-pruned), one (id)
+    shuffle for reassembly. The DuckDB oracle decides over exact strings
+    — identical results absent a 64-bit collision (oracle
+    ``strip_boilerplate_docs``).
+    """
+    if not 0 < min_doc_frac <= 1:
+        raise ValueError("strip_boilerplate: min_doc_frac must be in (0, 1]")
+    if min_docs < 2:
+        raise ValueError("strip_boilerplate: min_docs must be >= 2")
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    lines = base.select(
+        "__id",
+        F.posexplode(F.split(F.col("__t"), "\n")).alias("__pos", "__line"),
+    )
+    eligible = lines.filter(F.length(F.trim("__line")) >= min_line_chars)
+    n_docs = base.filter(F.col("__t").isNotNull()).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    freq = (
+        eligible.select(F.xxhash64(F.trim("__line")).alias("__key"), "__id")
+        .distinct()
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    boiler = (
+        freq.crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("__df")
+            >= F.greatest(
+                F.lit(int(min_docs)),
+                F.ceil(F.lit(float(min_doc_frac)) * F.col("__n")),
+            )
+        )
+        .select("__key")
+    )
+    kept = lines.join(
+        F.broadcast(boiler),
+        F.xxhash64(F.trim(F.col("__line"))) == F.col("__key"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    n_lines = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        base.join(rebuilt, "__id", "left")
+        .join(n_lines, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(F.col("__t").isNotNull(), F.coalesce("__clean", F.lit("")))
+            .alias(text_col),
+            F.coalesce(
+                F.col("__total") - F.coalesce("__kept", F.lit(0)), F.lit(0)
+            ).cast("int").alias("n_stripped"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:

@@ -574,3 +574,31 @@ def test_funnel_one_entity_exchange(spark, sf_dir):
         "funnel re-shuffled the entity key"
     )
     assert "Join" not in plan, "funnel should fold, not self-join per step"
+
+
+def test_cosine_topk_arrow_stays_take_ordered(spark):
+    # the d>=32 Arrow kernel must not break the top-k physical plan: the
+    # ArrowEvalPython filter feeds TakeOrderedAndProject, never a global
+    # Sort + single-partition Exchange
+    from pyspark.sql import functions as F
+    from datachain_spark.ops.similarity import cosine_topk
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.transform(F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: F.pmod(F.xxhash64("id", i), F.lit(100))
+                    .cast("double")).alias("embedding"),
+    )
+    out = cosine_topk(df, [1.0] * 64, "embedding", k=5, id_cols=["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert shuffle_count(out) == 0
+
+
+def test_strip_boilerplate_plan_broadcasts(spark, sf_dir):
+    # the boiler set and the corpus-size scalar are broadcast (threshold-
+    # pruned, tiny); no cross join beyond the 1-row scalar, no sort-merge
+    df = Q["strip_boilerplate_docs"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins and "SortMergeJoin" not in joins, joins
