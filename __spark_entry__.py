@@ -1328,6 +1328,53 @@ ORDER BY p.user_id, p.purchase_id
 """
 
 
+def asof_nearest_events(spark, sf):
+    """asof_join direction='nearest' (pandas merge_asof parity — the
+    reference has no as-of joins at all): each purchase matches the click
+    CLOSEST in absolute time, either side, ties preferring the backward
+    match. The oracle ranks the per-purchase cross candidates by
+    abs(epoch diff) with the same backward tie-break — a formulation
+    DuckDB computes independently of the two-window carry/look-ahead the
+    Spark plan uses (one key shuffle, two within-partition sorts)."""
+    from datachain_spark.ops.asof import asof_join
+
+    ev = _chain(spark, sf, "events").df
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        direction="nearest",
+    )
+    return joined.select("user_id", "purchase_id", "click_id").orderBy(
+        "user_id", "purchase_id"
+    )
+
+
+ASOF_NEAREST_SQL = """
+WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM events
+           WHERE event_type = 'click'),
+     ranked AS (
+       SELECT p.user_id, p.purchase_id, c.click_id,
+              row_number() OVER (
+                PARTITION BY p.user_id, p.purchase_id
+                ORDER BY abs(epoch(p.ts) - epoch(c.click_ts)), c.click_ts
+              ) AS rn
+       FROM p JOIN c ON p.user_id = c.user_id
+     )
+SELECT pp.user_id, pp.purchase_id, r.click_id
+FROM p pp LEFT JOIN ranked r
+  ON pp.user_id = r.user_id AND pp.purchase_id = r.purchase_id AND r.rn = 1
+ORDER BY pp.user_id, pp.purchase_id
+"""
+
+
 def salted_agg_events(spark, sf):
     """Skew-resistant two-stage aggregation — results identical to plain
     groupBy (the oracle), plan trades one shuffle for skew immunity."""
@@ -7679,6 +7726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= overflow (slot 51+) =================
         # -- r07 window candidates: never driver-checked --
         "strip_boilerplate_docs": strip_boilerplate_docs,
+        "asof_nearest_events": asof_nearest_events,
         "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
@@ -7907,6 +7955,7 @@ def oracle_sql() -> dict[str, str]:
         "read_database_sql": READ_DATABASE_SQL,
         "segment_dedup_chunks": SEGMENT_DEDUP_SQL,
         "strip_boilerplate_docs": STRIP_BOILER_SQL,
+        "asof_nearest_events": ASOF_NEAREST_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,

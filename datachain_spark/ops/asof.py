@@ -40,16 +40,25 @@ def asof_join(
     rsuffix: str = "_r",
 ) -> DataFrame:
     """For each left row, attach the most recent right row at-or-before its
-    timestamp (direction='backward'; 'forward' = earliest at-or-after).
+    timestamp (direction='backward'; 'forward' = earliest at-or-after;
+    'nearest' = whichever of the two is closer in absolute time, ties
+    preferring the backward match — pandas merge_asof parity).
 
     Right columns (except keys) appear with ``rsuffix`` when they collide.
     Unmatched left rows keep NULL right columns; ``tolerance_seconds`` voids
     matches older than the window.
+
+    'nearest' costs the same ONE key shuffle as the single-direction
+    forms: both candidates come from two window passes over the same
+    partitioning (one exchange, two within-partition sorts — ascending
+    ties put right rows before left for the backward carry and after
+    left for the forward look-ahead, so at-or-equal matches count in
+    both directions).
     """
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
 
     rcols = [c for c in right.columns if c not in keys and c != rts]
     out_names = {c: (c + rsuffix if c in set(left.columns) else c) for c in rcols}
@@ -76,24 +85,50 @@ def asof_join(
     )
     unioned = lmark.unionByName(rmark)
 
-    if direction == "backward":
-        w = (
+    if direction == "nearest":
+        wb = (
             Window.partitionBy(*keys)
             .orderBy(F.col("__ts").asc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        carried = F.last("__rrow", ignorenulls=True).over(w)
-        carried_ts = F.last("__rts", ignorenulls=True).over(w)
-    else:
-        w = (
+        wf = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
         )
+        staged = (
+            unioned.withColumn("__bm", F.last("__rrow", ignorenulls=True).over(wb))
+            .withColumn("__bts", F.last("__rts", ignorenulls=True).over(wb))
+            .withColumn("__fm", F.first("__rrow", ignorenulls=True).over(wf))
+            .withColumn("__fts", F.first("__rts", ignorenulls=True).over(wf))
+        )
+        # timestamp -> double keeps sub-second precision (unix_timestamp
+        # truncates to whole seconds, which would mis-pick near-ties)
+        ts_e = F.col("__ts").cast("timestamp").cast("double")
+        bd = ts_e - F.col("__bts").cast("double")
+        fd = F.col("__fts").cast("double") - ts_e
+        pick_b = F.col("__bts").isNotNull() & (F.col("__fts").isNull() | (bd <= fd))
+        matched = staged.withColumn(
+            "__m", F.when(pick_b, F.col("__bm")).otherwise(F.col("__fm"))
+        ).withColumn(
+            "__mts", F.when(pick_b, F.col("__bts")).otherwise(F.col("__fts"))
+        )
+    else:
+        if direction == "backward":
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+        else:
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
         carried = F.last("__rrow", ignorenulls=True).over(w)
         carried_ts = F.last("__rts", ignorenulls=True).over(w)
-
-    matched = unioned.withColumn("__m", carried).withColumn("__mts", carried_ts)
+        matched = unioned.withColumn("__m", carried).withColumn("__mts", carried_ts)
     out = matched.filter(F.col("__side") == 1)
 
     if tolerance_seconds is not None:

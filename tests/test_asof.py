@@ -202,3 +202,38 @@ def test_winnow_fingerprints_invariants(spark):
     for r in fp2.collect():
         sets2.setdefault(r["id"], set()).add(r["fingerprint"])
     assert sets == sets2
+
+
+def test_asof_nearest_semantics(spark):
+    # nearest picks the closer of backward/forward; equidistant ties
+    # prefer the BACKWARD match (pandas merge_asof parity); unmatched
+    # keys stay NULL; tolerance voids far matches in both directions.
+    from pyspark.sql import functions as F
+    from datachain_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 100, 1), ("a", 205, 2), ("b", 50, 3), ("c", 10, 4)],
+        "k string, sec long, lid int",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("a", 90, 10), ("a", 210, 11), ("b", 40, 20), ("b", 60, 21)],
+        "k string, sec long, rid int",
+    ).select("k", F.timestamp_seconds("sec").alias("rts"), "rid")
+
+    out = {r["lid"]: r["rid"] for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        direction="nearest",
+    ).collect()}
+    assert out[1] == 10     # 90 (d=10) beats 210 (d=110)
+    assert out[2] == 11     # 210 (d=5) beats 90 (d=115)
+    assert out[3] == 20     # equidistant 40/60 -> backward wins
+    assert out[4] is None   # key 'c' has no right rows
+
+    tol = {r["lid"]: r["rid"] for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        direction="nearest", tolerance_seconds=6,
+    ).collect()}
+    assert tol[2] == 11 and tol[1] is None  # d=10 > tol=6 voided
+
+    with pytest.raises(ValueError, match="backward"):
+        asof_join(left, right, on="k", left_ts="ts", direction="sideways")
