@@ -1924,6 +1924,55 @@ ORDER BY b.doc_id
 """
 
 
+def corpus_overlap_docs(spark, sf):
+    """Corpus-level n-gram overlap audit (ops/text.corpus_overlap): two
+    overlapping document slices (doc_id < 100 vs 50 <= doc_id < 150) —
+    both engines reduce each side to its distinct word 3-grams, count the
+    intersection, and derive jaccard + containment fractions. Spark
+    counts 64-bit hashes (the scale path), DuckDB counts the exact
+    shingle strings — identical absent a 64-bit collision."""
+    from datachain_spark.ops.text import corpus_overlap
+
+    docs = _chain(spark, sf, "documents").df
+    a = docs.filter(F.col("doc_id") < 100)
+    b = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 150))
+    return corpus_overlap(a, b, ngram=3)
+
+
+CORPUS_OVERLAP_SQL = """
+WITH wa AS (
+  SELECT string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+), sa AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE [concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]
+    END) AS s
+  FROM wa
+), wb AS (
+  SELECT string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id >= 50 AND doc_id < 150 AND text IS NOT NULL
+), sb AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE [concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]
+    END) AS s
+  FROM wb
+), ca AS (SELECT count(*) AS ngrams_a FROM sa WHERE length(s) > 0),
+   cb AS (SELECT count(*) AS ngrams_b FROM sb WHERE length(s) > 0),
+   cs AS (SELECT count(*) AS shared_ngrams
+          FROM sa JOIN sb USING (s) WHERE length(s) > 0)
+SELECT CAST(ngrams_a AS BIGINT) AS ngrams_a,
+       CAST(ngrams_b AS BIGINT) AS ngrams_b,
+       CAST(shared_ngrams AS BIGINT) AS shared_ngrams,
+       CAST(shared_ngrams AS DOUBLE)
+         / (ngrams_a + ngrams_b - shared_ngrams) AS jaccard,
+       CAST(shared_ngrams AS DOUBLE) / ngrams_a AS frac_a_in_b,
+       CAST(shared_ngrams AS DOUBLE) / ngrams_b AS frac_b_in_a
+FROM ca, cb, cs
+"""
+
+
 def strip_boilerplate_docs(spark, sf):
     """Onion/CCNet boilerplate-line removal (ops/text.strip_boilerplate):
     every doc gets a universal footer injected (df=100%), a third get a
@@ -7727,6 +7776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r07 window candidates: never driver-checked --
         "strip_boilerplate_docs": strip_boilerplate_docs,
         "asof_nearest_events": asof_nearest_events,
+        "corpus_overlap_docs": corpus_overlap_docs,
         "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
@@ -7956,6 +8006,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup_chunks": SEGMENT_DEDUP_SQL,
         "strip_boilerplate_docs": STRIP_BOILER_SQL,
         "asof_nearest_events": ASOF_NEAREST_SQL,
+        "corpus_overlap_docs": CORPUS_OVERLAP_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,

@@ -999,6 +999,14 @@ class DataChain:
 
         return self._evolve(_op(self._df, id_col, text_col, **kw))
 
+    def corpus_overlap(self, other: Any, **kw: Any) -> "DataChain":
+        """One-row corpus-level n-gram overlap summary vs another dataset
+        (ops/text.corpus_overlap); ``other`` may be a DataChain or
+        DataFrame."""
+        from .ops.text import corpus_overlap as _op
+
+        return self._evolve(_op(self._df, getattr(other, "df", other), **kw))
+
     def decontaminate(self, probes: Any, id_col: str, **kw: Any) -> "DataChain":
         """Benchmark decontamination vs a probe set (ops/dedup.decontaminate);
         ``probes`` may be a DataChain or DataFrame."""

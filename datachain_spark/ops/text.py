@@ -1167,6 +1167,61 @@ def contamination_report(
     )
 
 
+def corpus_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col_a: str = "text",
+    text_col_b: Optional[str] = None,
+    ngram: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """ONE-ROW corpus-level n-gram overlap summary between two datasets:
+    ``(ngrams_a, ngrams_b, shared_ngrams, jaccard, frac_a_in_b,
+    frac_b_in_a)`` over each side's DISTINCT word n-grams. The
+    dataset-comparison audit ("how much of candidate corpus B already
+    sits in training set A?") that the per-(doc, probe) forms
+    (:func:`contamination_report`, decontaminate) don't answer — those
+    need a small probe side; here BOTH corpora can be 100 TB.
+
+    Scale shape: each side reduces to its distinct 64-bit n-gram hashes
+    (one shuffle per side, the exact_dedup fingerprint convention —
+    collisions merge n-grams at the negligible rate documented there),
+    the intersection is one hash-keyed join of the two distinct sets, and
+    only three counters reach the final 1-row result. ``hash_fn="md5"``
+    selects the portable family; the DuckDB oracle counts exact shingle
+    strings — identical absent a 64-bit collision. Zero denominators
+    yield NULL fractions (empty corpus = no evidence, not 0% overlap).
+    """
+    tb = text_col_b or text_col_a
+
+    def dset(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(F.explode(shingles(F.col(col), ngram)).alias("__s"))
+            .filter(F.length("__s") > 0)
+            .select(_hash64(F.col("__s"), hash_fn).alias("__h"))
+            .distinct()
+        )
+
+    ha, hb = dset(df_a, text_col_a), dset(df_b, tb)
+    na = ha.agg(F.count(F.lit(1)).alias("ngrams_a"))
+    nb = hb.agg(F.count(F.lit(1)).alias("ngrams_b"))
+    ns = ha.join(hb, "__h").agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    a, b, s = F.col("ngrams_a"), F.col("ngrams_b"), F.col("shared_ngrams")
+    return (
+        na.crossJoin(nb)
+        .crossJoin(ns)
+        .select(
+            a, b, s,
+            F.try_divide(s.cast("double"), (a + b - s).cast("double"))
+            .alias("jaccard"),
+            F.try_divide(s.cast("double"), a.cast("double"))
+            .alias("frac_a_in_b"),
+            F.try_divide(s.cast("double"), b.cast("double"))
+            .alias("frac_b_in_a"),
+        )
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     ppl_col: str,

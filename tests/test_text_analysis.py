@@ -22,3 +22,37 @@ def test_strip_boilerplate_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="min_doc_frac"):
         strip_boilerplate(df, "doc_id", min_doc_frac=0.0)
+
+
+def test_corpus_overlap_semantics(spark):
+    from datachain_spark.ops.text import corpus_overlap
+
+    a = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),
+         (2, "pack my box with five dozen jugs")],
+        "id long, text string",
+    )
+    # b shares doc 1's text exactly, plus a disjoint doc
+    b = spark.createDataFrame(
+        [(10, "the quick brown fox jumps high"),
+         (11, "entirely different words here indeed")],
+        "id long, text string",
+    )
+    r = corpus_overlap(a, b, ngram=3).collect()[0]
+    assert r["shared_ngrams"] == 4  # the 4 distinct 3-grams of doc 1
+    assert 0 < r["jaccard"] < 1
+    assert abs(r["frac_a_in_b"] - 4 / r["ngrams_a"]) < 1e-12
+
+    # identical corpora: full overlap
+    full = corpus_overlap(a, a).collect()[0]
+    assert full["jaccard"] == 1.0 and full["frac_a_in_b"] == 1.0
+
+    # empty side: NULL fractions (no evidence), zero shared
+    empty = spark.createDataFrame([], "id long, text string")
+    z = corpus_overlap(a, empty).collect()[0]
+    assert z["shared_ngrams"] == 0 and z["frac_b_in_a"] is None
+
+    # fluent form
+    import datachain_spark as dc
+    ca, cb = dc.DataChain(a), dc.DataChain(b)
+    assert ca.corpus_overlap(cb).count() == 1
