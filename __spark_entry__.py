@@ -7203,6 +7203,54 @@ def funnel_events(spark, sf):
     return out.orderBy("user_id")
 
 
+def funnel_window_events(spark, sf):
+    """Sliding-window funnel (ops/timeseries.funnel_window — ClickHouse
+    windowFunnel semantics): deepest view->click->purchase chain whose
+    purchase lands within 1 h of its OWN view anchor (every view
+    re-anchors). The Spark side is one entity fold keeping the latest
+    chain-start per level; the oracle proves each level by an explicit
+    ordered 2-way/3-way self-join witness chain — a completely
+    independent construction, so a wrong window comparison, anchor
+    update, or tie order breaks the hash."""
+    from datachain_spark.ops.timeseries import funnel_window
+
+    ev = _chain(spark, sf, "events").df.filter(F.col("user_id") < 200)
+    out = funnel_window(ev, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"], 3600)
+    return out.orderBy("user_id")
+
+
+FUNNEL_WINDOW_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type
+  FROM events WHERE user_id < 200
+    AND event_type IN ('view', 'click', 'purchase')
+), base AS (SELECT DISTINCT user_id FROM ev),
+l1 AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'),
+l2 AS (
+  SELECT DISTINCT v.user_id
+  FROM ev v JOIN ev c ON c.user_id = v.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND c.ep >= v.ep AND c.ep - v.ep <= 3600
+),
+l3 AS (
+  SELECT DISTINCT v.user_id
+  FROM ev v
+  JOIN ev c ON c.user_id = v.user_id
+  JOIN ev p ON p.user_id = v.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND p.event_type = 'purchase'
+    AND c.ep >= v.ep AND p.ep >= c.ep AND p.ep - v.ep <= 3600
+)
+SELECT b.user_id,
+       CAST(CASE WHEN b.user_id IN (SELECT user_id FROM l3) THEN 3
+                 WHEN b.user_id IN (SELECT user_id FROM l2) THEN 2
+                 WHEN b.user_id IN (SELECT user_id FROM l1) THEN 1
+                 ELSE 0 END AS INT) AS max_level
+FROM base b ORDER BY b.user_id
+"""
+
+
 FUNNEL_SQL = """
 WITH ev AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type
@@ -7777,6 +7825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate_docs": strip_boilerplate_docs,
         "asof_nearest_events": asof_nearest_events,
         "corpus_overlap_docs": corpus_overlap_docs,
+        "funnel_window_events": funnel_window_events,
         "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
@@ -8007,6 +8056,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate_docs": STRIP_BOILER_SQL,
         "asof_nearest_events": ASOF_NEAREST_SQL,
         "corpus_overlap_docs": CORPUS_OVERLAP_SQL,
+        "funnel_window_events": FUNNEL_WINDOW_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,

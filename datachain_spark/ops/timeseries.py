@@ -261,6 +261,101 @@ def funnel(
     return folded.select(*sel)
 
 
+def funnel_window(
+    df: DataFrame,
+    partition_by: Union[str, Sequence[str]],
+    time_col: str,
+    event_col: str,
+    steps: Sequence[str],
+    window_seconds: float,
+    max_events_per_entity: Optional[int] = None,
+) -> DataFrame:
+    """SLIDING-window funnel (the ClickHouse windowFunnel semantics): per
+    entity, the deepest step level reachable by ANY ordered chain
+    step1 <= step2 <= ... whose last event falls within
+    ``window_seconds`` of its OWN step-1 anchor — unlike :func:`funnel`,
+    which anchors at the first step-1 occurrence, this re-anchors at
+    every step-1 event, so a user who stalls once and converts later
+    still counts. Output: one row per entity, ``(..., max_level)``.
+
+    Shape: the same ONE entity groupBy + time-sorted codegen fold as
+    :func:`funnel`; the fold state is k chain-START times (the classic
+    windowFunnel DP — keep the LATEST anchor per level; a later anchor
+    always leaves at least as much slack for the remaining steps, so the
+    greedy fold is exact). Equal-timestamp ties process earlier steps
+    first (an equal-time view->click->buy chain completes).
+    ``max_events_per_entity`` bounds adversarial keys exactly as in
+    :func:`funnel` (prefix truncation + ``truncated`` flag).
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel_window: need at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_window: steps must be distinct")
+    if window_seconds <= 0:
+        raise ValueError("funnel_window: window_seconds must be positive")
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    k = len(steps)
+    epoch = F.unix_timestamp(F.col(time_col)).cast("long")
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    si = F.array_position(step_arr, F.col(event_col))
+    qualifying = df.filter(F.col(event_col).isin(steps))
+    agg_cols = [
+        F.sort_array(
+            F.collect_list(F.struct(epoch.alias("ep"), si.alias("si"),
+                                    F.col(event_col).alias("ev")))
+        ).alias("__evs")
+    ]
+    if max_events_per_entity is not None:
+        if max_events_per_entity < 1:
+            raise ValueError("funnel_window: max_events_per_entity must be >= 1")
+        wo = Window.partitionBy(*parts).orderBy(epoch.asc_nulls_last(), si.asc())
+        wc = Window.partitionBy(*parts)
+        qualifying = (
+            qualifying.withColumn("__rn", F.row_number().over(wo))
+            .withColumn("__tot", F.count(F.lit(1)).over(wc))
+            .filter(F.col("__rn") <= max_events_per_entity)
+        )
+        agg_cols.append(
+            (F.max("__tot") > max_events_per_entity).alias("__trunc")
+        )
+    pairs = qualifying.groupBy(*parts).agg(*agg_cols)
+    init = F.array(*[F.lit(None).cast("long") for _ in steps])
+    wlit = F.lit(float(window_seconds))
+
+    def update(state, e):
+        # state[i] = LATEST chain-start time of any chain reaching level i
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: F.when(
+                (e["ev"] == F.element_at(step_arr, i)) & (i == 1),
+                F.greatest(F.coalesce(F.element_at(state, i), e["ep"]), e["ep"]),
+            ).when(
+                (e["ev"] == F.element_at(step_arr, i))
+                & (i > 1)
+                & F.element_at(state, i - 1).isNotNull()
+                & ((e["ep"] - F.element_at(state, i - 1)) <= wlit),
+                F.greatest(
+                    F.coalesce(
+                        F.element_at(state, i), F.element_at(state, i - 1)
+                    ),
+                    F.element_at(state, i - 1),
+                ),
+            ).otherwise(F.element_at(state, i)),
+        )
+
+    fold_cols = [*parts, F.aggregate("__evs", init, update).alias("__st")]
+    if max_events_per_entity is not None:
+        fold_cols.append(F.col("__trunc"))
+    folded = pairs.select(*fold_cols)
+    sel = [*parts, F.size(
+        F.filter("__st", lambda x: x.isNotNull())
+    ).cast("int").alias("max_level")]
+    if max_events_per_entity is not None:
+        sel.append(F.col("__trunc").alias("truncated"))
+    return folded.select(*sel)
+
+
 def cohort_retention(
     df: DataFrame,
     partition_by: Union[str, Sequence[str]],

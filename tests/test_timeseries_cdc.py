@@ -165,3 +165,37 @@ def test_funnel_event_cap_bounds_adversarial_entity(spark):
     with pytest.raises(ValueError, match="max_events_per_entity"):
         funnel(human, "user", "ts", "ev", ["view", "cart"],
                max_events_per_entity=0)
+
+
+def test_funnel_window_reanchors(spark):
+    # sliding-window semantics: the first view@0 can't complete within
+    # W=100, but the re-anchor at view@150 can — max_level must be 3
+    # (the simple first-anchor funnel would bind the chain to t=0).
+    from pyspark.sql import functions as F
+    from datachain_spark.ops.timeseries import funnel_window
+
+    rows = [
+        ("u", 0, "view"), ("u", 150, "view"), ("u", 200, "click"),
+        ("u", 240, "purchase"),
+        ("v", 0, "view"), ("v", 500, "click"),        # outside window
+        ("w", 10, "click"), ("w", 20, "purchase"),    # no anchor at all
+        ("x", 5, "view"), ("x", 5, "click"), ("x", 5, "purchase"),  # ties
+    ]
+    df = spark.createDataFrame(rows, "user string, sec long, ev string").select(
+        "user", F.timestamp_seconds("sec").alias("ts"), "ev"
+    )
+    out = {r["user"]: r["max_level"] for r in funnel_window(
+        df, "user", "ts", "ev", ["view", "click", "purchase"], 100
+    ).collect()}
+    assert out == {"u": 3, "v": 1, "w": 0, "x": 3}
+
+    with pytest.raises(ValueError, match="window_seconds"):
+        funnel_window(df, "user", "ts", "ev", ["view", "click"], 0)
+
+    capped = funnel_window(
+        df, "user", "ts", "ev", ["view", "click", "purchase"], 100,
+        max_events_per_entity=2,
+    )
+    rows2 = {r["user"]: r for r in capped.collect()}
+    assert "truncated" in capped.columns
+    assert rows2["u"]["truncated"]  # u had 4 qualifying events
