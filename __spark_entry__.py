@@ -7203,6 +7203,67 @@ def funnel_events(spark, sf):
     return out.orderBy("user_id")
 
 
+def schema_drift_docs(spark, sf):
+    """Snapshot schema diff (ops/drift.schema_drift): the 'current'
+    snapshot drops ``lang``, adds ``quality``, and retypes ``n_chars``
+    bigint->double, so the expected report is fully determined BY
+    CONSTRUCTION — the oracle is the literal truth table. No data is
+    scanned (schema metadata only)."""
+    from datachain_spark.ops.drift import schema_drift
+
+    docs = _chain(spark, sf, "documents").df
+    cur = (
+        docs.drop("lang")
+        .withColumn("quality", F.lit(1.0))
+        .withColumn("n_chars", F.col("n_chars").cast("double"))
+    )
+    return schema_drift(docs, cur).orderBy("column")
+
+
+SCHEMA_DRIFT_SQL = """
+SELECT * FROM (VALUES
+  ('doc_id',  'unchanged',    'bigint', 'bigint'),
+  ('lang',    'removed',      'string', NULL),
+  ('n_chars', 'type_changed', 'bigint', 'double'),
+  ('quality', 'added',        NULL,     'double'),
+  ('source',  'unchanged',    'string', 'string'),
+  ('text',    'unchanged',    'string', 'string')
+) AS t("column", status, ref_type, cur_type)
+ORDER BY "column"
+"""
+
+
+def event_paths_counts(spark, sf):
+    """Event-path analysis (ops/timeseries.event_paths): each user's
+    time-ordered event-type journey truncated to 5 steps, counted across
+    users. DuckDB replays the per-user ordered list slice + join — the
+    (ts, event) tie order and the NULL-ts exclusion must match exactly
+    or paths diverge."""
+    from datachain_spark.ops.timeseries import event_paths
+
+    ev = _chain(spark, sf, "events").df.filter(F.col("user_id") < 300)
+    out = event_paths(ev, "user_id", "ts", "event_type", max_steps=5)
+    return out.select(
+        "path", F.col("n_entities").cast("long").alias("n_entities")
+    ).orderBy("path")
+
+
+EVENT_PATHS_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type
+  FROM events
+  WHERE user_id < 300 AND ts IS NOT NULL AND event_type IS NOT NULL
+), per_user AS (
+  SELECT user_id,
+         array_to_string(
+           (list(event_type ORDER BY ep, event_type))[1:5], '>') AS path
+  FROM ev GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_entities
+FROM per_user GROUP BY path ORDER BY path
+"""
+
+
 def funnel_window_events(spark, sf):
     """Sliding-window funnel (ops/timeseries.funnel_window — ClickHouse
     windowFunnel semantics): deepest view->click->purchase chain whose
@@ -7826,6 +7887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_events": asof_nearest_events,
         "corpus_overlap_docs": corpus_overlap_docs,
         "funnel_window_events": funnel_window_events,
+        "event_paths_counts": event_paths_counts,
+        "schema_drift_docs": schema_drift_docs,
         "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
@@ -8057,6 +8120,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest_events": ASOF_NEAREST_SQL,
         "corpus_overlap_docs": CORPUS_OVERLAP_SQL,
         "funnel_window_events": FUNNEL_WINDOW_SQL,
+        "event_paths_counts": EVENT_PATHS_SQL,
+        "schema_drift_docs": SCHEMA_DRIFT_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,

@@ -208,6 +208,32 @@ def drift_report(
     )
 
 
+def schema_drift(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """Schema diff between two snapshots — the drift the value-based
+    report can't see (a column silently dropped, added, or retyped by an
+    upstream producer breaks consumers before any PSI moves). One row per
+    column present in EITHER snapshot:
+    ``(column, status, ref_type, cur_type)`` with status in
+    {added, removed, type_changed, unchanged}. Pure schema metadata —
+    no data is scanned, so it's free to run before every load."""
+    rt = {f.name: f.dataType.simpleString() for f in ref.schema.fields}
+    ct = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+    rows = []
+    for c in sorted(set(rt) | set(ct)):
+        if c not in ct:
+            st = "removed"
+        elif c not in rt:
+            st = "added"
+        elif rt[c] != ct[c]:
+            st = "type_changed"
+        else:
+            st = "unchanged"
+        rows.append((c, st, rt.get(c), ct.get(c)))
+    return ref.sparkSession.createDataFrame(
+        rows, "column string, status string, ref_type string, cur_type string"
+    )
+
+
 def categorical_drift(
     ref: DataFrame,
     cur: DataFrame,

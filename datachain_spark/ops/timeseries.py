@@ -356,6 +356,60 @@ def funnel_window(
     return folded.select(*sel)
 
 
+def event_paths(
+    df: DataFrame,
+    partition_by: Union[str, Sequence[str]],
+    time_col: str,
+    event_col: str,
+    max_steps: int = 10,
+    sep: str = ">",
+) -> DataFrame:
+    """Corpus-wide event-path analysis: each entity's time-ordered
+    sequence of event types (truncated to its FIRST ``max_steps``),
+    counted across entities — "what journeys do users actually take",
+    the input to drop-off and flow diagrams. Output:
+    ``(path, n_entities)``, e.g. ``("view>click>purchase", 1234)``.
+
+    Shape: ONE entity-keyed groupBy building the sorted (ts, event)
+    array (bounded at ``max_steps`` by an in-expression slice — state per
+    entity never exceeds the collected events; pair with an upstream
+    event cap for adversarial keys), then one path-keyed count agg.
+    Ties at equal timestamps order by event name, so both engines build
+    identical paths (NULL timestamps are excluded — no position).
+    """
+    if max_steps < 1:
+        raise ValueError("event_paths: max_steps must be >= 1")
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    epoch = F.unix_timestamp(F.col(time_col)).cast("long")
+    per_entity = (
+        df.filter(F.col(time_col).isNotNull() & F.col(event_col).isNotNull())
+        .groupBy(*parts)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    epoch.alias("ep"),
+                                    F.col(event_col).alias("ev"),
+                                )
+                            )
+                        ),
+                        1,
+                        max_steps,
+                    ),
+                    lambda s: s["ev"],
+                ),
+            ).alias("path")
+        )
+    )
+    return per_entity.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_entities")
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     partition_by: Union[str, Sequence[str]],

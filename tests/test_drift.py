@@ -222,3 +222,19 @@ def test_quoted_column_name_in_stack(spark):
     rows = drift.drift_report(ref, cur, ["a'b"]).collect()
     assert len(rows) == 1 and rows[0]["col"] == "a'b"
     assert rows[0]["n_ref"] == 2 and rows[0]["n_cur"] == 2
+
+
+def test_schema_drift_statuses(spark):
+    from datachain_spark.ops.drift import schema_drift
+
+    ref = spark.createDataFrame([(1, "a", 2.0)], "id long, name string, v double")
+    cur = spark.createDataFrame([(1, 3, "x")], "id long, v int, extra string")
+    rows = {r["column"]: r for r in schema_drift(ref, cur).collect()}
+    assert rows["name"]["status"] == "removed" and rows["name"]["cur_type"] is None
+    assert rows["extra"]["status"] == "added" and rows["extra"]["ref_type"] is None
+    assert rows["v"]["status"] == "type_changed"
+    assert rows["v"]["ref_type"] == "double" and rows["v"]["cur_type"] == "int"
+    assert rows["id"]["status"] == "unchanged"
+    # identical schemas: all unchanged
+    same = schema_drift(ref, ref).collect()
+    assert all(r["status"] == "unchanged" for r in same)

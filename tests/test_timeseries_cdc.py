@@ -199,3 +199,29 @@ def test_funnel_window_reanchors(spark):
     rows2 = {r["user"]: r for r in capped.collect()}
     assert "truncated" in capped.columns
     assert rows2["u"]["truncated"]  # u had 4 qualifying events
+
+
+def test_event_paths_order_truncation_nulls(spark):
+    from pyspark.sql import functions as F
+    from datachain_spark.ops.timeseries import event_paths
+
+    rows = [
+        ("u", 3, "purchase"), ("u", 1, "view"), ("u", 2, "click"),
+        ("v", 1, "view"), ("v", 1, "click"),   # equal ts -> name order
+        ("w", None, "view"),                   # NULL ts excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "user string, sec long, ev string").select(
+        "user",
+        F.when(F.col("sec").isNotNull(),
+               F.timestamp_seconds("sec")).alias("ts"),
+        "ev",
+    )
+    got = {r["path"]: r["n_entities"] for r in event_paths(
+        df, "user", "ts", "ev").collect()}
+    assert got == {"view>click>purchase": 1, "click>view": 1}
+
+    trunc = {r["path"] for r in event_paths(
+        df, "user", "ts", "ev", max_steps=2).collect()}
+    assert "view>click" in trunc
+    with pytest.raises(ValueError, match="max_steps"):
+        event_paths(df, "user", "ts", "ev", max_steps=0)
