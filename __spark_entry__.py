@@ -7203,6 +7203,36 @@ def funnel_events(spark, sf):
     return out.orderBy("user_id")
 
 
+def event_transitions_counts(spark, sf):
+    """Markov transition edges (ops/timeseries.event_transitions): counts
+    of consecutive within-user event pairs. DuckDB replays the lead()
+    window with the identical (epoch, event) tie order."""
+    from datachain_spark.ops.timeseries import event_transitions
+
+    ev = _chain(spark, sf, "events").df.filter(F.col("user_id") < 300)
+    out = event_transitions(ev, "user_id", "ts", "event_type")
+    return out.select(
+        "from_event", "to_event", F.col("n").cast("long").alias("n")
+    ).orderBy("from_event", "to_event")
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type
+  FROM events
+  WHERE user_id < 300 AND ts IS NOT NULL AND event_type IS NOT NULL
+), pairs AS (
+  SELECT event_type AS from_event,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ep, event_type) AS to_event
+  FROM ev
+)
+SELECT from_event, to_event, CAST(count(*) AS BIGINT) AS n
+FROM pairs WHERE to_event IS NOT NULL
+GROUP BY 1, 2 ORDER BY from_event, to_event
+"""
+
+
 def schema_drift_docs(spark, sf):
     """Snapshot schema diff (ops/drift.schema_drift): the 'current'
     snapshot drops ``lang``, adds ``quality``, and retypes ``n_chars``
@@ -7889,6 +7919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_window_events": funnel_window_events,
         "event_paths_counts": event_paths_counts,
         "schema_drift_docs": schema_drift_docs,
+        "event_transitions_counts": event_transitions_counts,
         "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
@@ -8122,6 +8153,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_window_events": FUNNEL_WINDOW_SQL,
         "event_paths_counts": EVENT_PATHS_SQL,
         "schema_drift_docs": SCHEMA_DRIFT_SQL,
+        "event_transitions_counts": EVENT_TRANSITIONS_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,

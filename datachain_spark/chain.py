@@ -130,6 +130,15 @@ class DataChain:
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
 
+    def lint(self, max_shuffles: int = 10) -> list[dict]:
+        """Static 100-TB plan lint (plans.lint_plan): findings for the
+        shapes that melt at scale — cartesian products, single-partition
+        windows, row-at-a-time Python UDFs, unpushed filters. Empty list
+        = clean."""
+        from .plans import lint_plan
+
+        return lint_plan(self._df, max_shuffles=max_shuffles)
+
     def settings(self, **kwargs: Any) -> "DataChain":
         """Parity: datachain settings(parallel/workers/batch_size/prefetch/
         cache/sys). On Spark, parallel/workers map to a repartition hint

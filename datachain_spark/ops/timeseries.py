@@ -410,6 +410,38 @@ def event_paths(
     )
 
 
+def event_transitions(
+    df: DataFrame,
+    partition_by: Union[str, Sequence[str]],
+    time_col: str,
+    event_col: str,
+) -> DataFrame:
+    """First-order transition counts of the event stream: for every
+    consecutive (within-entity, time-ordered) event pair, one
+    ``(from_event, to_event, n)`` row — the Markov/Sankey edge list that
+    :func:`event_paths` aggregates into whole journeys. Entities with a
+    single event contribute nothing; NULL timestamps are excluded.
+
+    Shape: one lead() window on the entity key (ties order by event
+    name, like event_paths) + one (from, to) count agg — two shuffles,
+    the second over at most |event-types|² rows after map-side combine.
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    epoch = F.unix_timestamp(F.col(time_col)).cast("long")
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("__ep").asc(), F.col("__ev").asc()
+    )
+    pairs = (
+        df.filter(F.col(time_col).isNotNull() & F.col(event_col).isNotNull())
+        .select(*parts, epoch.alias("__ep"), F.col(event_col).alias("__ev"))
+        .withColumn("__next", F.lead("__ev").over(w))
+        .filter(F.col("__next").isNotNull())
+    )
+    return pairs.groupBy(
+        F.col("__ev").alias("from_event"), F.col("__next").alias("to_event")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def cohort_retention(
     df: DataFrame,
     partition_by: Union[str, Sequence[str]],

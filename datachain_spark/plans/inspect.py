@@ -59,6 +59,93 @@ def shuffle_count(df_or_chain) -> int:
     return len(re.findall(r"\(\d+\) Exchange", _formatted(df_or_chain)))
 
 
+def lint_plan(df_or_chain, max_shuffles: int = 10) -> list[dict]:
+    """Static 100-TB plan lint: inspect the physical plan for the shapes
+    that melt at scale and return findings as
+    ``[{"rule", "severity", "message"}, ...]`` (empty = clean).
+
+    Rules:
+
+    - ``cartesian-product`` (error): a CartesianProduct join — |L|x|R|
+      rows; at corpus scale this never finishes.
+    - ``single-partition-window`` (error): a window function with an
+      EMPTY partition spec — the whole dataset sorts through one task
+      (the row_number()-without-partitionBy trap; see assign_row_ids for
+      the distributed two-pass alternative).
+    - ``row-python-udf`` (warning): BatchEvalPython — a row-at-a-time
+      Python UDF in the hot path; Arrow-batched pandas_udfs are 10-100x
+      faster (ArrowEvalPython is NOT flagged).
+    - ``broadcast-nested-loop`` (warning): non-equi join fallback;
+      legitimate for 1-row scalar cross joins, catastrophic when both
+      sides are large.
+    - ``single-partition-exchange`` (warning): Exchange SinglePartition
+      — fine when the upstream result is scalar/tiny, a serialization
+      point otherwise.
+    - ``unpushed-filter`` (info): a file scan with an empty PushedFilters
+      while Filter nodes exist in the plan — the predicate may be
+      evaluated post-scan (expected for derived columns; worth a look
+      for raw ones).
+    - ``many-shuffles`` (info): more than ``max_shuffles`` Exchange
+      nodes — often a missed reuse or an unconsolidated pipeline.
+
+    This is advice, not enforcement — the plan-regression tests
+    (tests/test_plans.py) are the hard guards.
+    """
+    df: DataFrame = getattr(df_or_chain, "df", df_or_chain)
+    text = _formatted(df_or_chain)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    findings: list[dict] = []
+
+    def add(rule: str, severity: str, message: str) -> None:
+        findings.append({"rule": rule, "severity": severity, "message": message})
+
+    n_cart = len(re.findall(r"\bCartesianProduct\b", text))
+    if n_cart:
+        add("cartesian-product", "error",
+            f"{n_cart} CartesianProduct join(s): |L|x|R| output — add an "
+            "equi-key, broadcast the small side, or bucket/bin the range")
+    # a PARTITIONED physical Window prints three top-level bracket groups
+    # (exprs, partition cols, order cols); an unpartitioned one prints
+    # only two — the whole dataset sorts through ONE task
+    for line in physical.splitlines():
+        stripped = line.strip().lstrip("+-: ").strip()
+        if stripped.startswith("Window [") and len(stripped.split("], [")) == 2:
+            add("single-partition-window", "error",
+                "window function with an empty partition spec: the whole "
+                "dataset sorts through ONE task — partition the window or "
+                "use a two-pass prefix aggregate (assign_row_ids pattern)")
+            break
+    n_row_udf = len(re.findall(r"\bBatchEvalPython\b", text))
+    if n_row_udf:
+        add("row-python-udf", "warning",
+            f"{n_row_udf} row-at-a-time Python UDF stage(s) "
+            "(BatchEvalPython): prefer Arrow-batched pandas_udf / "
+            "mapInPandas (10-100x)")
+    n_bnl = len(re.findall(r"\bBroadcastNestedLoopJoin\b", text))
+    if n_bnl:
+        add("broadcast-nested-loop", "warning",
+            f"{n_bnl} BroadcastNestedLoopJoin(s): fine for 1-row scalar "
+            "cross joins, catastrophic when both sides are large")
+    n_single = len(re.findall(r"Exchange SinglePartition", text))
+    if n_single:
+        add("single-partition-exchange", "warning",
+            f"{n_single} Exchange SinglePartition node(s): a global "
+            "serialization point unless the upstream result is scalar")
+    empty_pushed = len(re.findall(r"PushedFilters: \[\]", text))
+    has_filter = bool(re.search(r"\(\d+\) Filter\b", text))
+    if empty_pushed and has_filter:
+        add("unpushed-filter", "info",
+            f"{empty_pushed} file scan(s) with no pushed filters while "
+            "Filter nodes exist: predicates may run post-scan (expected "
+            "for derived columns)")
+    shuffles = len(re.findall(r"\(\d+\) Exchange", text))
+    if shuffles > max_shuffles:
+        add("many-shuffles", "info",
+            f"{shuffles} Exchange nodes (> {max_shuffles}): check for "
+            "missed exchange reuse or an unconsolidated pipeline")
+    return findings
+
+
 def explain_summary(df_or_chain) -> dict:
     """One-call plan audit: filters pushed, schemas pruned, join strategies,
     shuffle count, codegen span count."""

@@ -1,0 +1,73 @@
+"""plans.lint_plan — static detection of the plan shapes that melt at
+100 TB (cartesian joins, single-partition windows, row Python UDFs)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datachain_spark.plans import lint_plan
+
+
+def _rules(findings):
+    return {f["rule"] for f in findings}
+
+
+def test_cartesian_product_flagged(spark):
+    a = spark.range(10).select(F.col("id").alias("x"))
+    b = spark.range(10).select(F.col("id").alias("y"))
+    # force a shuffled cartesian (broadcast would report nested-loop)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = a.crossJoin(b)
+        rules = _rules(lint_plan(out))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "cartesian-product" in rules or "broadcast-nested-loop" in rules
+    sev = {f["rule"]: f["severity"] for f in lint_plan(out)}
+    assert "error" in sev.values() or "warning" in sev.values()
+
+
+def test_single_partition_window_flagged(spark):
+    df = spark.range(100)
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    findings = lint_plan(bad)
+    assert "single-partition-window" in _rules(findings)
+    good = df.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(F.col("id") % 4).orderBy("id")),
+    )
+    assert "single-partition-window" not in _rules(lint_plan(good))
+
+
+def test_row_python_udf_flagged_arrow_not(spark):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf, udf
+
+    df = spark.range(10)
+    slow = df.withColumn("y", udf(lambda x: x + 1, "long")(F.col("id")))
+    assert "row-python-udf" in _rules(lint_plan(slow))
+
+    from datachain_spark.ops._arrow import make_query_cosine_dist_udf  # noqa: F401
+
+    @pandas_udf("long")
+    def fast(s: pd.Series) -> pd.Series:
+        return s + 1
+
+    ok = df.withColumn("y", fast(F.col("id")))
+    assert "row-python-udf" not in _rules(lint_plan(ok))
+
+
+def test_clean_plan_has_no_errors(spark, sf_dir):
+    import __spark_entry__ as e
+
+    df = e.queries()["q1_pricing_summary"](spark, sf_dir)
+    errors = [f for f in lint_plan(df) if f["severity"] == "error"]
+    assert errors == [], errors
+
+
+def test_fluent_lint(session):
+    import datachain_spark as dc
+
+    ch = dc.read_parquet("/root/testdata/sf0.001/region.parquet")
+    findings = ch.lint()
+    assert isinstance(findings, list)
+    assert all({"rule", "severity", "message"} <= set(f) for f in findings)

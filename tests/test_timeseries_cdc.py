@@ -225,3 +225,24 @@ def test_event_paths_order_truncation_nulls(spark):
     assert "view>click" in trunc
     with pytest.raises(ValueError, match="max_steps"):
         event_paths(df, "user", "ts", "ev", max_steps=0)
+
+
+def test_event_transitions_counts(spark):
+    from pyspark.sql import functions as F
+    from datachain_spark.ops.timeseries import event_transitions
+
+    rows = [
+        ("u", 1, "view"), ("u", 2, "click"), ("u", 3, "view"),
+        ("v", 1, "view"), ("v", 2, "click"),
+        ("w", 1, "buy"),                    # single event: no edge
+        ("x", None, "view"), ("x", 5, "click"),  # NULL ts excluded
+    ]
+    df = spark.createDataFrame(rows, "user string, sec long, ev string").select(
+        "user",
+        F.when(F.col("sec").isNotNull(),
+               F.timestamp_seconds("sec")).alias("ts"),
+        "ev",
+    )
+    got = {(r["from_event"], r["to_event"]): r["n"]
+           for r in event_transitions(df, "user", "ts", "ev").collect()}
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
