@@ -20,11 +20,20 @@ from typing import Union
 from pyspark.sql import DataFrame
 
 
+def _df(df_or_chain) -> DataFrame:
+    # isinstance, NOT getattr(x, "df", x): on a DataFrame that carries a
+    # COLUMN literally named "df" (tf-idf outputs a document-frequency
+    # column), getattr returns the Column and everything downstream
+    # explodes with "'Column' object is not callable"
+    if isinstance(df_or_chain, DataFrame):
+        return df_or_chain
+    return df_or_chain.df
+
+
 def _formatted(df_or_chain) -> str:
-    df: DataFrame = getattr(df_or_chain, "df", df_or_chain)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
+        _df(df_or_chain).explain("formatted")
     return buf.getvalue()
 
 
@@ -91,7 +100,7 @@ def lint_plan(df_or_chain, max_shuffles: int = 10) -> list[dict]:
     This is advice, not enforcement — the plan-regression tests
     (tests/test_plans.py) are the hard guards.
     """
-    df: DataFrame = getattr(df_or_chain, "df", df_or_chain)
+    df = _df(df_or_chain)
     text = _formatted(df_or_chain)
     physical = df._jdf.queryExecution().executedPlan().toString()
     findings: list[dict] = []
@@ -104,12 +113,17 @@ def lint_plan(df_or_chain, max_shuffles: int = 10) -> list[dict]:
         add("cartesian-product", "error",
             f"{n_cart} CartesianProduct join(s): |L|x|R| output — add an "
             "equi-key, broadcast the small side, or bucket/bin the range")
-    # a PARTITIONED physical Window prints three top-level bracket groups
-    # (exprs, partition cols, order cols); an unpartitioned one prints
-    # only two — the whole dataset sorts through ONE task
+    # a PARTITIONED physical Window prints [exprs], [partCols], [orderCols]
+    # (three top-level bracket groups) or [exprs], [partCols] when
+    # unordered; an UNPARTITIONED ordered window prints [exprs],
+    # [col ASC ...] — two groups with ordering keywords in the second.
+    # Only the latter sorts the whole dataset through ONE task.
     for line in physical.splitlines():
         stripped = line.strip().lstrip("+-: ").strip()
-        if stripped.startswith("Window [") and len(stripped.split("], [")) == 2:
+        if not stripped.startswith("Window ["):
+            continue
+        groups = stripped.split("], [")
+        if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
             add("single-partition-window", "error",
                 "window function with an empty partition spec: the whole "
                 "dataset sorts through ONE task — partition the window or "

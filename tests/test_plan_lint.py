@@ -71,3 +71,37 @@ def test_fluent_lint(session):
     findings = ch.lint()
     assert isinstance(findings, list)
     assert all({"rule", "severity", "message"} <= set(f) for f in findings)
+
+
+def test_partitioned_unordered_window_not_flagged(spark):
+    # min().over(partitionBy(k)) with no ORDER prints two bracket groups
+    # too — must NOT be mistaken for an unpartitioned window (the
+    # cohort_retention shape; was a false positive in the first linter)
+    df = spark.range(100).withColumn("k", F.col("id") % 4)
+    ok = df.withColumn("m", F.min("id").over(Window.partitionBy("k")))
+    assert "single-partition-window" not in _rules(lint_plan(ok))
+
+
+def test_df_named_column_does_not_break_lint(spark):
+    # a DataFrame carrying a COLUMN named "df" (tf-idf outputs one) used
+    # to shadow the duck-typed .df access and crash every plan helper
+    df = spark.range(5).select(F.col("id"), F.lit(2).alias("df"))
+    assert isinstance(lint_plan(df), list)
+    from datachain_spark.plans import shuffle_count
+    assert shuffle_count(df) == 0
+
+
+def test_driver_window_queries_lint_clean(spark, sf_dir):
+    # every query in the 50-slot driver window must build a plan with
+    # ZERO lint errors (the full 188-query audit ran clean at r06; this
+    # guards the window per-commit without the full cost)
+    import __spark_entry__ as e
+
+    q = e.queries()
+    bad = {}
+    for name in list(q)[:50]:
+        errs = [f for f in lint_plan(q[name](spark, sf_dir))
+                if f["severity"] == "error"]
+        if errs:
+            bad[name] = errs
+    assert bad == {}, bad
