@@ -7767,6 +7767,47 @@ def _hll_profile_sql() -> str:
     return "\nUNION ALL\n".join(rows) + '\nORDER BY "column"'
 
 
+def hll_by_group_orders(spark, sf):
+    """Per-group mergeable HLL distinct profiles (ops/sketches.hll_by_group):
+    distinct customers per order status. Same driver-checkable shape as
+    hll_profile_orders — exact per-group distincts (DuckDB replays them)
+    plus a within-3σ boolean over the lg_k=12 estimates; a broken
+    group-sketch path flips the boolean. The merge path
+    (hll_merge_groups) is unit-tested for merge≡recompute."""
+    from datachain_spark.ops.sketches import hll_by_group
+
+    orders = _chain(spark, sf, "orders").df
+    hll = hll_by_group(orders, "o_orderstatus", "o_custkey").select(
+        "o_orderstatus", "approx_distinct",
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return (
+        exact.join(hll, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "exact_distinct",
+            "n_rows",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_bound"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+HLL_BY_GROUP_SQL = """
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS within_bound
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def profile_orders(spark, sf):
     """One-pass table profiling (ops/profile.profile_table): completeness,
     exact cardinality, string-cast bounds and moments for five orders
@@ -7920,6 +7961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths_counts": event_paths_counts,
         "schema_drift_docs": schema_drift_docs,
         "event_transitions_counts": event_transitions_counts,
+        "hll_by_group_orders": hll_by_group_orders,
         "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
@@ -8154,6 +8196,7 @@ def oracle_sql() -> dict[str, str]:
         "event_paths_counts": EVENT_PATHS_SQL,
         "schema_drift_docs": SCHEMA_DRIFT_SQL,
         "event_transitions_counts": EVENT_TRANSITIONS_SQL,
+        "hll_by_group_orders": HLL_BY_GROUP_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,

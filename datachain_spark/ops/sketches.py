@@ -149,6 +149,78 @@ def topk_estimate(profile: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def hll_by_group(
+    df: DataFrame,
+    group_cols: Union[str, Sequence[str]],
+    value_col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Per-GROUP mergeable distinct sketches: one row per group with
+    ``(group_cols..., approx_distinct, n_rows, sketch)`` — the
+    incremental form of "distinct users per day / distinct n-grams per
+    source" where exact count_distinct would need re-reading history on
+    every refresh. Store the sketch column next to the rollup and fold
+    new shards in with :func:`hll_merge_groups`; estimates never rescan
+    old data. One groupBy, map-side combined; the per-group state is one
+    2^lg_k-register sketch.
+
+    Types outside hll_sketch_agg's input set (int/bigint/string/binary)
+    sketch through their string cast (injective — same convention as
+    :func:`hll_profile`)."""
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    dtypes = dict(df.dtypes)
+    ref = F.col(f"`{value_col}`")
+    src = (
+        ref
+        if dtypes.get(value_col) in {"string", "int", "bigint", "binary"}
+        else ref.cast("string")
+    )
+    return (
+        df.groupBy(*[F.col(f"`{k}`") for k in keys])
+        .agg(
+            F.hll_sketch_agg(src, F.lit(lg_config_k)).alias("sketch"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            *keys,
+            F.hll_sketch_estimate(F.col("sketch")).alias("approx_distinct"),
+            "n_rows",
+            "sketch",
+        )
+    )
+
+
+def hll_merge_groups(
+    profiles: Sequence[DataFrame],
+    group_cols: Union[str, Sequence[str]],
+) -> DataFrame:
+    """Union per-group sketch tables from :func:`hll_by_group` (shards,
+    days, dataset versions) into one profile per group — registers merge
+    losslessly and counts sum; the ESTIMATE can differ by a hair from a
+    direct sketch of the union (the DataSketches union path drops the
+    HIP estimator) while staying inside the configured error bound.
+    History is never rescanned.
+    ``allowDifferentLgConfigK`` permits mixed precisions (result
+    downgrades to the coarsest)."""
+    if not profiles:
+        raise ValueError("hll_merge_groups: profiles must be non-empty")
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    allp = reduce(lambda a, b: a.unionByName(b), list(profiles))
+    return (
+        allp.groupBy(*keys)
+        .agg(
+            F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .select(
+            *keys,
+            F.hll_sketch_estimate(F.col("sketch")).alias("approx_distinct"),
+            "n_rows",
+            "sketch",
+        )
+    )
+
+
 def hll_merge(profiles: Sequence[DataFrame]) -> DataFrame:
     """Combine profiles from :func:`hll_profile` (different shards, days,
     dataset versions) into one: per column, the union sketch and its

@@ -192,3 +192,32 @@ def test_histogram_empty_input_and_validation(session):
     assert [r["count"] for r in rows] == [0, 0, 0]
     with pytest.raises(ValueError):
         sketches.histogram(df, "x", bins=0)
+
+
+def test_hll_by_group_merge_equals_recompute(spark):
+    # fold per-shard group sketches -> identical estimates to sketching
+    # the union directly (merge≡recompute, the incremental contract)
+    from pyspark.sql import functions as F
+    from datachain_spark.ops.sketches import hll_by_group, hll_merge_groups
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 700).alias("v")
+    )
+    s1 = hll_by_group(df.filter(F.col("id") < 1000), "g", "v")
+    s2 = hll_by_group(df.filter(F.col("id") >= 1000), "g", "v")
+    merged = {r["g"]: r for r in hll_merge_groups([s1, s2], "g").collect()}
+    direct = {r["g"]: r for r in hll_by_group(df, "g", "v").collect()}
+    assert set(merged) == set(direct) == {0, 1, 2}
+    # row counts merge exactly; estimates may differ by a HAIR from the
+    # direct sketch (the DataSketches union drops the HIP estimator) but
+    # BOTH must land within the lg_k=12 error bound of exact truth
+    exact = {r["g"]: r["d"] for r in df.groupBy("g").agg(
+        F.count_distinct("v").alias("d")).collect()}
+    for g, d in exact.items():
+        assert merged[g]["n_rows"] == direct[g]["n_rows"]
+        assert abs(direct[g]["approx_distinct"] - d) <= 0.05 * d
+        assert abs(merged[g]["approx_distinct"] - d) <= 0.05 * d
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        hll_merge_groups([], "g")
