@@ -106,6 +106,9 @@ HEADLINE = [
     "conversation_prep_full",
     # r06 addition: Onion-style boilerplate-line removal over the corpus
     "strip_boilerplate_full",
+    # r06 addition: journey analytics — sliding-window funnel + Markov
+    # transition edges over the full events table, one summary row
+    "journey_full",
     # model-free hashed retrieval: embed corpus + cosine top-10
     "hash_retrieval_full",
 ]
@@ -158,6 +161,17 @@ def main() -> None:
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_stripped").alias("lines_stripped"),
         )
+
+    def _journey_full(spark, sf):
+        from datachain_spark.ops.timeseries import event_transitions, funnel_window
+
+        ev = entrymod._chain(spark, sf, "events").df
+        fw = funnel_window(ev, "user_id", "ts", "event_type",
+                           ["view", "click", "purchase"], 3600)
+        tr = event_transitions(ev, "user_id", "ts", "event_type")
+        a = fw.agg(F.sum("max_level").alias("total_levels"))
+        b = tr.agg(F.sum("n").alias("total_edges"))
+        return a.crossJoin(b)
 
     def _decontaminate_full(spark, sf):
         docs = entrymod._chain(spark, sf, "documents").df
@@ -749,6 +763,7 @@ def main() -> None:
     queries["stratified_split_full"] = _stratified_split_full
     queries["web_signals_full"] = _web_signals_full
     queries["strip_boilerplate_full"] = _strip_boilerplate_full
+    queries["journey_full"] = _journey_full
     queries["link_degrees_full"] = _link_degrees_full
     queries["conversation_prep_full"] = _conversation_prep_full
 
