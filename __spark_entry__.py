@@ -7294,6 +7294,78 @@ FROM per_user GROUP BY path ORDER BY path
 """
 
 
+def scd2_customer(spark, sf):
+    """SCD Type-2 historization (ops/cdc.apply_changes_scd2): a change
+    batch closes each touched key's current row (valid_to = change time)
+    and appends a new open-ended version for inserts/updates; deletes
+    close only. Fixture: every 7th customer updates its balance, every
+    11th (not also 7th) deletes, every 13th inserts under a shifted key.
+    DuckDB replays the close/append algebra independently."""
+    from datachain_spark.ops.cdc import apply_changes_scd2
+
+    cust = _chain(spark, sf, "customer").df.filter(F.col("c_custkey") < 500)
+    bal = F.col("c_acctbal").cast("double")
+    hist = cust.select(
+        "c_custkey", "c_name", bal.alias("bal"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_name", (bal + 100.0).alias("bal"),
+        F.lit("U").alias("op"), F.lit(1000).cast("long").alias("ts"),
+    )
+    dele = cust.filter(
+        (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select(
+        "c_custkey", "c_name", bal.alias("bal"),
+        F.lit("D").alias("op"), F.lit(1000).cast("long").alias("ts"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.col("c_name"), bal.alias("bal"),
+        F.lit("I").alias("op"), F.lit(1000).cast("long").alias("ts"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    out = apply_changes_scd2(hist, changes, "c_custkey", "ts")
+    return out.orderBy("c_custkey", "valid_from")
+
+
+SCD2_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey < 500
+), hist AS (
+  SELECT c_custkey, c_name, bal, CAST(0 AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+  FROM cust
+), chg AS (
+  SELECT c_custkey, c_name, bal + 100.0 AS bal, 'U' AS op,
+         CAST(1000 AS BIGINT) AS ts
+  FROM cust WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, bal, 'D', CAST(1000 AS BIGINT)
+  FROM cust WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, bal, 'I', CAST(1000 AS BIGINT)
+  FROM cust WHERE c_custkey % 13 = 0
+), closed AS (
+  SELECT h.c_custkey, h.c_name, h.bal, h.valid_from,
+         CASE WHEN h.is_current AND c.ts IS NOT NULL
+              THEN c.ts ELSE h.valid_to END AS valid_to,
+         CASE WHEN h.is_current AND c.ts IS NOT NULL
+              THEN FALSE ELSE h.is_current END AS is_current
+  FROM hist h LEFT JOIN chg c USING (c_custkey)
+), news AS (
+  SELECT c_custkey, c_name, bal, ts AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+  FROM chg WHERE op <> 'D'
+)
+SELECT * FROM closed UNION ALL SELECT * FROM news
+ORDER BY c_custkey, valid_from
+"""
+
+
 def funnel_window_events(spark, sf):
     """Sliding-window funnel (ops/timeseries.funnel_window — ClickHouse
     windowFunnel semantics): deepest view->click->purchase chain whose
@@ -7962,6 +8034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift_docs": schema_drift_docs,
         "event_transitions_counts": event_transitions_counts,
         "hll_by_group_orders": hll_by_group_orders,
+        "scd2_customer": scd2_customer,
         "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
@@ -8197,6 +8270,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_drift_docs": SCHEMA_DRIFT_SQL,
         "event_transitions_counts": EVENT_TRANSITIONS_SQL,
         "hll_by_group_orders": HLL_BY_GROUP_SQL,
+        "scd2_customer": SCD2_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,

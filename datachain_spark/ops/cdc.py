@@ -111,6 +111,124 @@ def apply_changes(
     return survivors.unionByName(upserts)
 
 
+def apply_changes_scd2(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: Union[str, Sequence[str]],
+    ts_col: str,
+    op_col: str = "op",
+    seq_col: Optional[str] = None,
+    insert_op: str = "I",
+    update_op: str = "U",
+    delete_op: str = "D",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+    validate: bool = True,
+) -> DataFrame:
+    """Fold a changes feed into an SCD TYPE-2 history table: instead of
+    overwriting (the :func:`apply_changes` upsert), every change CLOSES
+    the key's current row (``to_col`` = change time, ``current_col`` =
+    false) and — for inserts/updates — appends a new current version
+    (``from_col`` = change time, open-ended). Old versions are never
+    touched, so the table answers "what did this key look like at time
+    T" with a simple ``from <= T < to`` predicate.
+
+    ``history`` carries the key/attribute columns plus ``from_col`` /
+    ``to_col`` / ``current_col``; ``changes`` carries the key/attribute
+    columns plus ``op_col`` and ``ts_col`` (and ``seq_col`` when used,
+    reduced exactly like apply_changes: highest seq wins, D > U > I on
+    ties; without it duplicate keys are rejected under ``validate``).
+
+    100-TB shape: the change feed reduces to one row per key on the
+    CHANGES frame alone, then ONE broadcast-sized left join against the
+    history closes current rows in place — the history never shuffles —
+    and the new versions union on. Out-of-order batches fail loudly in-plan
+    under ``validate`` (a change timestamped before the current row's
+    ``from_col`` would create a negative validity interval).
+    No reference counterpart; the Kimball SCD2 shape is public
+    methodology.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    meta = {from_col, to_col, current_col}
+    attr_cols = [c for c in history.columns if c not in set(key_list) | meta]
+    missing_h = [c for c in (from_col, to_col, current_col) if c not in history.columns]
+    if missing_h:
+        raise ValueError(f"apply_changes_scd2: history missing {missing_h}")
+    missing_c = [
+        c for c in (*key_list, *attr_cols, op_col, ts_col)
+        if c not in changes.columns
+    ]
+    if missing_c:
+        raise ValueError(f"apply_changes_scd2: changes missing {missing_c}")
+    ops = {insert_op, update_op, delete_op}
+    if validate:
+        n_bad = changes.filter(~F.col(op_col).isin(*ops)).limit(1).count()
+        if n_bad:
+            raise ValueError(
+                f"apply_changes_scd2: {op_col} outside {sorted(ops)}"
+            )
+
+    prec = (
+        F.when(F.col(op_col) == delete_op, 2)
+        .when(F.col(op_col) == update_op, 1)
+        .otherwise(0)
+    )
+    if seq_col is not None:
+        w = Window.partitionBy(*key_list).orderBy(
+            F.col(seq_col).desc(), prec.desc()
+        )
+        final = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", seq_col)
+        )
+    else:
+        if validate:
+            dup = (
+                changes.groupBy(*key_list).count()
+                .filter(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    "apply_changes_scd2: duplicate keys in the change set "
+                    "need seq_col to order them deterministically"
+                )
+        final = changes
+
+    chg_keys = final.select(
+        *key_list, F.col(ts_col).alias("__chg_ts")
+    )
+    joined = history.join(F.broadcast(chg_keys), key_list, "left")
+    hit = F.col(current_col) & F.col("__chg_ts").isNotNull()
+    new_to = F.when(hit, F.col("__chg_ts")).otherwise(F.col(to_col))
+    if validate:
+        new_to = F.when(
+            hit & (F.col("__chg_ts") < F.col(from_col)),
+            F.raise_error(F.concat(
+                F.lit("apply_changes_scd2: out-of-order change — change ts "
+                      "precedes the current row's "),
+                F.lit(from_col),
+            )),
+        ).otherwise(new_to)
+    closed = joined.select(
+        *key_list,
+        *attr_cols,
+        F.col(from_col),
+        new_to.alias(to_col),
+        F.when(hit, F.lit(False)).otherwise(F.col(current_col))
+        .alias(current_col),
+    )
+    news = final.filter(F.col(op_col) != delete_op).select(
+        *key_list,
+        *attr_cols,
+        F.col(ts_col).alias(from_col),
+        F.lit(None).cast(history.schema[to_col].dataType).alias(to_col),
+        F.lit(True).alias(current_col),
+    )
+    return closed.unionByName(news)
+
+
 def changes_between(
     old: DataFrame,
     new: DataFrame,

@@ -246,3 +246,72 @@ def test_event_transitions_counts(spark):
     got = {(r["from_event"], r["to_event"]): r["n"]
            for r in event_transitions(df, "user", "ts", "ev").collect()}
     assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_scd2_close_append_semantics(spark):
+    from pyspark.sql import functions as F
+    from datachain_spark.ops.cdc import apply_changes_scd2
+
+    hist = spark.createDataFrame(
+        [
+            (1, "a-old", 0, 50, False),   # already-closed old version
+            (1, "a",     50, None, True),
+            (2, "b",     0, None, True),
+            (3, "c",     0, None, True),
+        ],
+        "k long, v string, valid_from long, valid_to long, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "a2", "U", 100), (2, None, "D", 100), (9, "new", "I", 100)],
+        "k long, v string, op string, ts long",
+    )
+    out = apply_changes_scd2(hist, changes, "k", "ts")
+    rows = sorted(
+        [(r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in out.collect()]
+    )
+    assert rows == [
+        (1, "a", 50, 100, False),       # current closed at change ts
+        (1, "a-old", 0, 50, False),     # history untouched
+        (1, "a2", 100, None, True),     # new version appended
+        (2, "b", 0, 100, False),        # delete closes, no new row
+        (3, "c", 0, None, True),        # untouched key passes through
+        (9, "new", 100, None, True),    # brand-new key
+    ]
+    # point-in-time query works: at t=75, key 1 was "a"
+    at75 = out.filter(
+        (F.col("k") == 1) & (F.col("valid_from") <= 75)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > 75))
+    ).collect()
+    assert len(at75) == 1 and at75[0]["v"] == "a"
+
+
+def test_scd2_validation(spark):
+    from datachain_spark.ops.cdc import apply_changes_scd2
+
+    hist = spark.createDataFrame(
+        [(1, "a", 500, None, True)],
+        "k long, v string, valid_from long, valid_to long, is_current boolean",
+    )
+    # out-of-order batch: change ts before the current row's valid_from
+    stale = spark.createDataFrame(
+        [(1, "a2", "U", 100)], "k long, v string, op string, ts long"
+    )
+    out = apply_changes_scd2(hist, stale, "k", "ts")
+    with pytest.raises(Exception, match="out-of-order"):
+        out.collect()
+
+    dup = spark.createDataFrame(
+        [(1, "x", "U", 600), (1, "y", "U", 700)],
+        "k long, v string, op string, ts long",
+    )
+    with pytest.raises(ValueError, match="seq_col"):
+        apply_changes_scd2(hist, dup, "k", "ts")
+    # with seq_col, the highest sequence wins
+    seq = spark.createDataFrame(
+        [(1, "x", "U", 600, 1), (1, "y", "U", 700, 2)],
+        "k long, v string, op string, ts long, seq long",
+    )
+    got = apply_changes_scd2(hist, seq, "k", "ts", seq_col="seq")
+    cur = [r for r in got.collect() if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["v"] == "y"
