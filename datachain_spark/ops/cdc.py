@@ -229,6 +229,30 @@ def apply_changes_scd2(
     return closed.unionByName(news)
 
 
+def history_as_of(
+    history: DataFrame,
+    at,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    keep_validity: bool = False,
+) -> DataFrame:
+    """Point-in-time snapshot from an SCD2 history
+    (:func:`apply_changes_scd2` output): the rows whose validity interval
+    covers ``at`` (``from <= at < to``, open-ended current rows
+    included). A pure filter — pushes to the scan when the history is
+    stored partitioned/sorted on validity. ``keep_validity=False``
+    (default) drops the bookkeeping columns so the result looks like a
+    plain snapshot."""
+    cond = (F.col(from_col) <= F.lit(at)) & (
+        F.col(to_col).isNull() | (F.col(to_col) > F.lit(at))
+    )
+    out = history.filter(cond)
+    if not keep_validity:
+        drop = [c for c in (from_col, to_col, "is_current") if c in out.columns]
+        out = out.drop(*drop)
+    return out
+
+
 def changes_between(
     old: DataFrame,
     new: DataFrame,

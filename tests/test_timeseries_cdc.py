@@ -315,3 +315,25 @@ def test_scd2_validation(spark):
     got = apply_changes_scd2(hist, seq, "k", "ts", seq_col="seq")
     cur = [r for r in got.collect() if r["is_current"]]
     assert len(cur) == 1 and cur[0]["v"] == "y"
+
+
+def test_history_as_of_snapshot(spark):
+    from datachain_spark.ops.cdc import apply_changes_scd2, history_as_of
+
+    hist = spark.createDataFrame(
+        [(1, "a", 0, None, True), (2, "b", 0, None, True)],
+        "k long, v string, valid_from long, valid_to long, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "a2", "U", 100)], "k long, v string, op string, ts long"
+    )
+    h2 = apply_changes_scd2(hist, changes, "k", "ts")
+    before = {r["k"]: r["v"] for r in history_as_of(h2, 50).collect()}
+    after = {r["k"]: r["v"] for r in history_as_of(h2, 150).collect()}
+    assert before == {1: "a", 2: "b"}
+    assert after == {1: "a2", 2: "b"}
+    assert "valid_from" not in history_as_of(h2, 50).columns
+    assert "valid_from" in history_as_of(h2, 50, keep_validity=True).columns
+    # boundary: at exactly the change ts the NEW version is live
+    at100 = {r["k"]: r["v"] for r in history_as_of(h2, 100).collect()}
+    assert at100[1] == "a2"
