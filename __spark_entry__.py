@@ -7294,6 +7294,37 @@ FROM per_user GROUP BY path ORDER BY path
 """
 
 
+def rolling_actives_events(spark, sf):
+    """Exact trailing-7-bucket distinct actives (ops/timeseries.
+    rolling_actives — the WAU shape at daily buckets): reduced to
+    distinct (user, day) pairs, exploded into the windows each pair
+    serves, counted once. The oracle computes every window by an
+    explicit per-bucket range join + count(DISTINCT) — a completely
+    different construction, so a wrong window bound or a lost
+    contribution breaks the hash."""
+    from datachain_spark.ops.timeseries import rolling_actives
+
+    ev = _chain(spark, sf, "events").df
+    out = rolling_actives(ev, "user_id", "ts", window_buckets=7)
+    return out.select(
+        "bucket", F.col("n_active").cast("long").alias("n_active")
+    ).orderBy("bucket")
+
+
+ROLLING_ACTIVES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS b
+  FROM events WHERE ts IS NOT NULL
+), buckets AS (SELECT DISTINCT b AS bucket FROM pairs)
+SELECT w.bucket,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_active
+FROM buckets w
+JOIN pairs p ON p.b BETWEEN w.bucket - 6 AND w.bucket
+GROUP BY w.bucket ORDER BY w.bucket
+"""
+
+
 def scd2_customer(spark, sf):
     """SCD Type-2 historization (ops/cdc.apply_changes_scd2): a change
     batch closes each touched key's current row (valid_to = change time)
@@ -8035,6 +8066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions_counts": event_transitions_counts,
         "hll_by_group_orders": hll_by_group_orders,
         "scd2_customer": scd2_customer,
+        "rolling_actives_events": rolling_actives_events,
         "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
@@ -8271,6 +8303,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions_counts": EVENT_TRANSITIONS_SQL,
         "hll_by_group_orders": HLL_BY_GROUP_SQL,
         "scd2_customer": SCD2_SQL,
+        "rolling_actives_events": ROLLING_ACTIVES_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,

@@ -442,6 +442,59 @@ def event_transitions(
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def rolling_actives(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    window_buckets: int = 7,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """EXACT trailing-window distinct actives — the DAU/WAU/MAU family:
+    one row per time bucket with the number of distinct entities active
+    in the ``window_buckets`` buckets ending there (window_buckets=1 =
+    DAU, 7 = WAU, 30 = MAU at daily buckets).
+
+    Distinct-over-a-sliding-window can't ride a plain window frame, and
+    the naive per-window self-join re-scans the corpus once per bucket.
+    The standard exact formulation instead: reduce to DISTINCT
+    (entity, bucket) activity pairs (one shuffle — at most
+    entities x active-days rows regardless of raw volume), explode each
+    pair into the ``window_buckets`` windows it contributes to, and
+    count distinct (entity, window) once. Cost scales with
+    window_buckets x |activity pairs|, never with raw event volume —
+    at 100 TB the pairs frame is millions, not trillions. Buckets with
+    no active entity in range are absent (join a grid if you need
+    zeros); NULL timestamps are excluded.
+    """
+    if window_buckets < 1:
+        raise ValueError("rolling_actives: window_buckets must be >= 1")
+    if bucket_seconds <= 0:
+        raise ValueError("rolling_actives: bucket_seconds must be positive")
+    epoch = F.unix_timestamp(F.col(time_col)).cast("long")
+    bucket = F.floor(epoch / bucket_seconds).cast("long")
+    pairs = (
+        df.filter(F.col(time_col).isNotNull())
+        .select(F.col(entity_col).alias("__e"), bucket.alias("__b"))
+        .distinct()
+    )
+    contrib = pairs.select(
+        "__e",
+        F.explode(
+            F.sequence(
+                F.col("__b"), F.col("__b") + F.lit(window_buckets - 1)
+            )
+        ).alias("bucket"),
+    ).distinct()
+    # report only OBSERVED buckets: the explode also reaches trailing
+    # windows ending after the last event, which aren't real report rows
+    observed = pairs.select(F.col("__b").alias("bucket")).distinct()
+    return (
+        contrib.join(observed, "bucket", "left_semi")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     partition_by: Union[str, Sequence[str]],

@@ -337,3 +337,25 @@ def test_history_as_of_snapshot(spark):
     # boundary: at exactly the change ts the NEW version is live
     at100 = {r["k"]: r["v"] for r in history_as_of(h2, 100).collect()}
     assert at100[1] == "a2"
+
+
+def test_rolling_actives_wau_semantics(spark):
+    from pyspark.sql import functions as F
+    from datachain_spark.ops.timeseries import rolling_actives
+
+    # day 0: u; day 1: u,v; day 9: w  (daily buckets, 7-day window)
+    rows = [("u", 0), ("u", 10), ("v", 86400), ("u", 86400), ("w", 86400 * 9)]
+    df = spark.createDataFrame(rows, "user string, sec long").select(
+        "user", F.timestamp_seconds("sec").alias("ts")
+    )
+    got = {r["bucket"]: r["n_active"] for r in rolling_actives(
+        df, "user", "ts", window_buckets=7).collect()}
+    # only OBSERVED buckets are reported (0, 1, 9)
+    assert got == {0: 1, 1: 2, 9: 1}  # day9 window [3..9] sees only w
+
+    dau = {r["bucket"]: r["n_active"] for r in rolling_actives(
+        df, "user", "ts", window_buckets=1).collect()}
+    assert dau == {0: 1, 1: 2, 9: 1}
+
+    with pytest.raises(ValueError, match="window_buckets"):
+        rolling_actives(df, "user", "ts", window_buckets=0)
