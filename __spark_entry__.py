@@ -7294,6 +7294,44 @@ FROM per_user GROUP BY path ORDER BY path
 """
 
 
+def cohort_rates_events(spark, sf):
+    """Normalized cohort retention (cohort_retention(as_rate=True)):
+    n_entities / cohort_size per (cohort, offset) — exact integer
+    division both engines compute bit-identically."""
+    from datachain_spark.ops.timeseries import cohort_retention
+
+    ev = _chain(spark, sf, "events").df
+    out = cohort_retention(ev, "user_id", "ts", 86400, as_rate=True)
+    return out.select(
+        "cohort", "period_offset", "n_entities",
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        "retention_rate",
+    ).orderBy("cohort", "period_offset")
+
+
+COHORT_RATES_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS p
+  FROM events WHERE ts IS NOT NULL
+), cohorted AS (
+  SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort
+  FROM active
+), tri AS (
+  SELECT cohort, CAST(p - cohort AS INT) AS period_offset,
+         CAST(count(*) AS BIGINT) AS n_entities
+  FROM cohorted GROUP BY cohort, p - cohort
+)
+SELECT cohort, period_offset, n_entities,
+       CAST(max(CASE WHEN period_offset = 0 THEN n_entities END)
+              OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size,
+       CAST(n_entities AS DOUBLE)
+         / max(CASE WHEN period_offset = 0 THEN n_entities END)
+             OVER (PARTITION BY cohort) AS retention_rate
+FROM tri ORDER BY cohort, period_offset
+"""
+
+
 def rolling_actives_events(spark, sf):
     """Exact trailing-7-bucket distinct actives (ops/timeseries.
     rolling_actives — the WAU shape at daily buckets): reduced to
@@ -8067,6 +8105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_group_orders": hll_by_group_orders,
         "scd2_customer": scd2_customer,
         "rolling_actives_events": rolling_actives_events,
+        "cohort_rates_events": cohort_rates_events,
         "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
@@ -8304,6 +8343,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_by_group_orders": HLL_BY_GROUP_SQL,
         "scd2_customer": SCD2_SQL,
         "rolling_actives_events": ROLLING_ACTIVES_SQL,
+        "cohort_rates_events": COHORT_RATES_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,

@@ -501,10 +501,15 @@ def cohort_retention(
     time_col: str,
     period_seconds: int,
     max_offset: Optional[int] = None,
+    as_rate: bool = False,
 ) -> DataFrame:
     """Cohort retention triangle: entities cohorted by their FIRST-event
     period; one row per (cohort, period_offset) with the number of
     entities active that many periods later (offset 0 = cohort size).
+    ``as_rate=True`` adds ``cohort_size`` and ``retention_rate``
+    (n_entities / cohort size — the normalized triangle product teams
+    chart; one cohort-keyed window, offset-0 rows always exist because
+    the cohort is defined by its first event).
 
     Shape: one (entity, period) distinct aggregation, one per-entity min
     (window over the same partitioning — the exchange is reused), one
@@ -531,4 +536,13 @@ def cohort_retention(
     )
     if max_offset is not None:
         out = out.filter(F.col("period_offset") <= max_offset)
+    if as_rate:
+        w0 = Window.partitionBy("cohort")
+        size = F.max(
+            F.when(F.col("period_offset") == 0, F.col("n_entities"))
+        ).over(w0)
+        out = out.withColumn("cohort_size", size).withColumn(
+            "retention_rate",
+            F.col("n_entities") / F.col("cohort_size"),
+        )
     return out

@@ -359,3 +359,23 @@ def test_rolling_actives_wau_semantics(spark):
 
     with pytest.raises(ValueError, match="window_buckets"):
         rolling_actives(df, "user", "ts", window_buckets=0)
+
+
+def test_cohort_retention_rates(spark):
+    from pyspark.sql import functions as F
+    from datachain_spark.ops.timeseries import cohort_retention
+
+    # cohort day0: u,v,w (3 entities); day1 active: u,v; day2: u
+    rows = [("u", 0), ("v", 0), ("w", 0),
+            ("u", 86400), ("v", 86400), ("u", 86400 * 2)]
+    df = spark.createDataFrame(rows, "user string, sec long").select(
+        "user", F.timestamp_seconds("sec").alias("ts")
+    )
+    out = {r["period_offset"]: r for r in cohort_retention(
+        df, "user", "ts", 86400, as_rate=True).collect()}
+    assert out[0]["cohort_size"] == 3 and out[0]["retention_rate"] == 1.0
+    assert out[1]["retention_rate"] == pytest.approx(2 / 3)
+    assert out[2]["retention_rate"] == pytest.approx(1 / 3)
+    # default keeps the original schema
+    plain = cohort_retention(df, "user", "ts", 86400)
+    assert "retention_rate" not in plain.columns
