@@ -1217,6 +1217,69 @@ def dedup_components(spark, sf):
     return dedup.connected_components(pairs).orderBy("id")
 
 
+def cluster_sizes_docs(spark, sf):
+    """Dedup-audit summary (ops/dedup.cluster_size_report): the size
+    distribution of the near-dup clusters dedup_components labels —
+    (cluster_size, n_clusters, n_members). The oracle re-derives the
+    clusters by recursive closure and re-counts independently."""
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 150)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=2, threshold=0.12
+    )
+    comps = dedup.connected_components(pairs)
+    out = dedup.cluster_size_report(comps)
+    return out.select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        "n_members",
+    ).orderBy("cluster_size")
+
+
+CLUSTER_SIZES_SQL = """
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id < 150
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)]
+           END) AS shingles
+  FROM words
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.12
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+), cc AS (
+  SELECT v.id, least(v.id, min(r.dst)) AS component
+  FROM (SELECT DISTINCT src AS id FROM sym) v
+  JOIN reach r ON r.src = v.id
+  GROUP BY v.id
+), sizes AS (
+  SELECT component, count(*) AS sz FROM cc GROUP BY component
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_members
+FROM sizes GROUP BY sz ORDER BY cluster_size
+"""
+
+
 COMPONENTS_SQL = """
 WITH RECURSIVE words AS (
   SELECT doc_id,
@@ -8106,6 +8169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer": scd2_customer,
         "rolling_actives_events": rolling_actives_events,
         "cohort_rates_events": cohort_rates_events,
+        "cluster_sizes_docs": cluster_sizes_docs,
         "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
         "calibrate_scores_docs": calibrate_scores_docs,
@@ -8344,6 +8408,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_customer": SCD2_SQL,
         "rolling_actives_events": ROLLING_ACTIVES_SQL,
         "cohort_rates_events": COHORT_RATES_SQL,
+        "cluster_sizes_docs": CLUSTER_SIZES_SQL,
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "repetition_stats": REPETITION_SQL,

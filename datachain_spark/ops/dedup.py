@@ -1390,6 +1390,35 @@ def leakage_safe_split(
     ).drop("__comp")
 
 
+def cluster_size_report(
+    components: DataFrame,
+    component_col: str = "component",
+) -> DataFrame:
+    """Duplicate-cluster size distribution from a
+    :func:`connected_components` labeling: one row per cluster size with
+    how many clusters have it and how many members they hold in total —
+    the dedup-audit summary that tells you whether near-dup mass sits in
+    a few mega-clusters (template/boilerplate sites — investigate before
+    dropping) or a long tail of pairs. Singletons are absent unless the
+    labeling includes them.
+
+    Two tiny groupBys (components -> (cluster, size) -> (size, counts));
+    the second aggregates a #clusters-sized frame. Output:
+    ``(cluster_size, n_clusters, n_members)`` with n_members =
+    cluster_size * n_clusters (materialized for direct charting).
+    """
+    sizes = components.groupBy(component_col).agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    return (
+        sizes.groupBy(F.col("__sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn(
+            "n_members", (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+        )
+    )
+
+
 def lsh_detection_probability(
     jaccard: float, num_hashes: int, bands: int
 ) -> float:

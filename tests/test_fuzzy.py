@@ -240,3 +240,15 @@ def test_max_postings_documented_recall_tradeoff(session):
     assert (100, 101) in capped_pairs          # rare-gram pair survives
     assert capped_pairs <= full_pairs          # cap only DROPS pairs
     assert len(capped_pairs) < len(full_pairs)  # heavy-gram pairs gone
+
+
+def test_cluster_size_report(spark):
+    from datachain_spark.ops.dedup import cluster_size_report
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (9, 9)],
+        "id long, component long",
+    )
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_members"])
+           for r in cluster_size_report(comps).collect()}
+    assert got == {3: (1, 3), 2: (1, 2), 1: (1, 1)}
