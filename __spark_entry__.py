@@ -4356,11 +4356,16 @@ def group_centroids_emb(spark, sf):
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
     out = _sim.group_centroids(emb, "grp")
+    # Result columns must be scalar (the driver canonicalizer cannot sort
+    # array cells — r06 verdict #1), so the centroid vector is exploded to
+    # one (grp, pos, elem_r) row per dimension; +0.0 normalizes -0.0.
     return out.select(
         "grp",
         "n_vectors",
-        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid_r"),
-    ).orderBy("grp")
+        F.posexplode(
+            F.transform("centroid", lambda x: F.round(x, 6) + F.lit(0.0))
+        ).alias("pos", "elem_r"),
+    ).orderBy("grp", "pos")
 
 
 _CENTROIDS_SQL = """
@@ -4373,9 +4378,9 @@ WITH g AS (
 ), pd AS (
   SELECT grp, pos, avg(x) AS m, count(*) AS n FROM ex GROUP BY grp, pos
 )
-SELECT grp, CAST(max(n) AS BIGINT) AS n_vectors,
-       list(round(m, 6) ORDER BY pos) AS centroid_r
-FROM pd GROUP BY grp ORDER BY grp
+SELECT grp, CAST(n AS BIGINT) AS n_vectors, CAST(pos AS INT) AS pos,
+       round(m, 6) + 0.0 AS elem_r
+FROM pd ORDER BY grp, pos
 """
 
 
@@ -4729,10 +4734,18 @@ def pq_codes_adc(spark, sf):
     scored = _pq.pq_adc_topk(
         enc, codebooks, qv, "pq_codes", k=1000, id_cols=["vec_id"]
     )
+    # Codes are emitted as a comma-joined string: the driver canonicalizer
+    # cannot sort array cells (r06 verdict #1), and int->string is
+    # format-exact on both engines.
     return (
         enc.select("vec_id", "pq_codes")
         .join(scored, "vec_id")
-        .select("vec_id", "pq_codes", F.round("adc_distance", 6).alias("adc_r"))
+        .select(
+            "vec_id",
+            F.concat_ws(",", F.col("pq_codes").cast("array<string>"))
+            .alias("pq_codes_s"),
+            F.round("adc_distance", 6).alias("adc_r"),
+        )
         .orderBy("vec_id")
     )
 
@@ -4781,7 +4794,8 @@ WITH subs AS (
   SELECT vec_id, list_reduce(list(dist ORDER BY sub), (x,y) -> x+y) AS adc
   FROM qd GROUP BY vec_id
 )
-SELECT c.vec_id, c.pq_codes, round(a.adc, 6) AS adc_r
+SELECT c.vec_id, array_to_string(c.pq_codes, ',') AS pq_codes_s,
+       round(a.adc, 6) AS adc_r
 FROM codes c JOIN adc a USING (vec_id) ORDER BY c.vec_id
 """
 
@@ -4812,10 +4826,13 @@ def ivfpq_codes_adc(spark, sf):
     scored = _pq.ivfpq_topk(
         enc, cents, codebooks, qv, n_probe=4, k=100000, id_cols=["vec_id"]
     ).select("vec_id", "adc_distance")
+    # Scalar result columns only (r06 verdict #1): codes comma-joined.
     return (
         enc.join(scored, "vec_id", "left")
         .select(
-            "vec_id", "ivf_cell", "pq_codes",
+            "vec_id", "ivf_cell",
+            F.concat_ws(",", F.col("pq_codes").cast("array<string>"))
+            .alias("pq_codes_s"),
             F.round("adc_distance", 6).alias("adc_r"),
         )
         .orderBy("vec_id")
@@ -4887,7 +4904,8 @@ WITH cents AS (
   SELECT vec_id, list_reduce(list(dist ORDER BY sub), (x,y) -> x+y) AS adc
   FROM qd GROUP BY vec_id
 )
-SELECT a.vec_id, CAST(a.cell AS INT) AS ivf_cell, c2.pq_codes,
+SELECT a.vec_id, CAST(a.cell AS INT) AS ivf_cell,
+       array_to_string(c2.pq_codes, ',') AS pq_codes_s,
        round(x.adc, 6) AS adc_r
 FROM cella a
 JOIN codes c2 ON c2.vec_id = a.vec_id
@@ -7768,11 +7786,15 @@ def hash_embed_md5(spark, sf):
 
     docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 100)
     out = hash_embed(docs, "doc_id", dim=16, hash_fn="md5")
+    # Exploded to scalar (doc_id, pos, elem_r) rows — the driver
+    # canonicalizer cannot sort array cells (r06 verdict #1). Null
+    # embeddings (empty docs) drop on both sides (posexplode / WHERE n>0).
     return out.select(
         "doc_id",
-        F.transform("embedding", lambda x: F.round(x, 9) + F.lit(0.0))
-        .alias("emb_r"),
-    ).orderBy("doc_id")
+        F.posexplode(
+            F.transform("embedding", lambda x: F.round(x, 9) + F.lit(0.0))
+        ).alias("pos", "elem_r"),
+    ).orderBy("doc_id", "pos")
 
 
 HASH_EMBED_SEED = 0x4E48
@@ -7805,12 +7827,11 @@ WITH cleaned AS (
 ), norm AS (
   SELECT doc_id, sqrt(sum(val * val)) AS n FROM dense GROUP BY doc_id
 )
-SELECT d.doc_id,
-       CASE WHEN n > 0
-            THEN list(round(val / n, 9) + 0.0 ORDER BY bucket) END AS emb_r
+SELECT d.doc_id, CAST(bucket AS INT) AS pos,
+       round(val / n, 9) + 0.0 AS elem_r
 FROM dense d JOIN norm USING (doc_id)
-GROUP BY d.doc_id, n
-ORDER BY d.doc_id
+WHERE n > 0
+ORDER BY d.doc_id, pos
 """
 
 
@@ -8079,85 +8100,34 @@ def _profile_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver checks the FIRST 50 entries.
 
-    r06 rotation (VERDICT r05 task 1): the window holds 40 never
-    driver-checked oracles — the documented r05 operator waves (BM25,
-    DSIR, C4 gate, exact-substring spans, PQ/IVFPQ, SemDeDup, Z-order,
-    leakage-safe split, NB classifier, edit-distance join, PageRank,
-    incremental MinHash, token budget, retrieval/drift/privacy/eval
-    families) plus the r06-new hll_profile_orders (VERDICT task 8) —
-    and the 10 stable anchors as a regression canary (subtract_anti /
-    merge_expr_pred sat at slots 51-52 in r05 and missed the cut, so
-    they also earn their first driver verdicts here). Everything green
-    in CORRECTNESS_r05 rotates to overflow.
+    r07 rotation (VERDICT r06 task 1c): the window holds ALL 45 entries
+    that had never received a driver verdict (the r06 session-2/3 wave —
+    strip_boilerplate, funnel_window, journey paths/edges, SCD2, rolling
+    actives, cohort rates, corpus overlap, per-group HLL, schema drift,
+    nearest as-of, cluster sizes — plus the r05 overflow: kfold /
+    calibration, conversations, profile/describe/corr, eval metrics,
+    kwic/vocab, bloom_semi_join_orders, salted_join…), the 3 queries
+    that ERRed at r06 on array-output canonicalization (pq_codes_adc,
+    ivfpq_codes_adc, group_centroids_emb — now re-shaped to scalar
+    columns; hash_embed_md5, the 4th array-output query, is among the
+    45), and the 2 stalest r02 greens (distinct_pairs,
+    order_limit_offset). Everything green in CORRECTNESS_r06 rotates to
+    overflow.
 
-    r07 window plan: keep the anchors, rotate IN the 32 remaining
-    never-driver-checked entries (listed first in overflow below:
-    kfold/calibration/splits, conversations, profile/describe/corr,
-    funnel/cohort/rolling/CDC, eval metrics, kwic/vocab-coverage,
-    bloom_semi_join_orders, plus any r06-added oracles), and fill the
-    remaining ~8 slots with the longest-out-of-window r01-r04 greens
-    (udf_*, sharding_md5, multimodal, function-family suites) so every
-    registry entry has a driver verdict at most 3 rounds old.
+    r08 window plan: rotate IN the new r07 operators (listed first in
+    overflow: curation_report / dataset_diff / sketch-quantile /
+    cross-family sketch invariants) plus the longest-out-of-window
+    r02-r04 greens (merge_left_regions, group_concat_sorted,
+    string_similarity, path_funcs, semi_join_orders, intersect_cross,
+    winnow_pairs_md5, the r03 function families, udf_*, multimodal) so
+    every registry entry keeps a driver verdict at most ~3 rounds old.
 
     EVERY entry — window and overflow — is still verified locally each run
     by tests/test_oracle.py, and scripts/local_oracle.py emits the full
     result table to LOCAL_ORACLE.json so the externally-unchecked subset
     remains visible."""
     return {
-        # ===== r06 window: 40 never-driver-checked r05 oracles =====
-        "bm25_score_docs": bm25_score_docs,
-        "dsir_importance_md5": dsir_importance_md5,
-        "c4_gate": c4_gate,
-        "spans_dedup_md5": spans_dedup_md5,
-        "corpus_stats_by_lang": corpus_stats_by_lang,
-        "pq_codes_adc": pq_codes_adc,
-        "ivfpq_codes_adc": ivfpq_codes_adc,
-        "url_dedup_docs": url_dedup_docs,
-        "contamination_report_docs": contamination_report_docs,
-        "semdedup_docs": semdedup_docs,
-        "zorder_key_orders": zorder_key_orders,
-        "dedup_eval_md5": dedup_eval_md5,
-        "leakage_split_md5": leakage_split_md5,
-        "nb_classifier_md5": nb_classifier_md5,
-        "fuzzy_join_pairs": fuzzy_join_pairs,
-        "pagerank_orders": pagerank_orders,
-        "group_centroids_emb": group_centroids_emb,
-        "histogram_orders": histogram_orders,
-        "minhash_incremental_md5": minhash_incremental_md5,
-        "minhash_dedup_best_md5": minhash_dedup_best_md5,
-        "token_budget_docs": token_budget_docs,
-        "cap_per_group_docs": cap_per_group_docs,
-        "ppl_buckets_docs": ppl_buckets_docs,
-        "tfidf_keywords_docs": tfidf_keywords_docs,
-        "emb_covariance": emb_covariance,
-        "random_projection_md5": random_projection_md5,
-        "expectations_orders": expectations_orders,
-        "incremental_agg_docs": incremental_agg_docs,
-        "resolve_entities_docs": resolve_entities_docs,
-        "drift_report_docs": drift_report_docs,
-        "categorical_drift_docs": categorical_drift_docs,
-        "phrase_search_docs": phrase_search_docs,
-        "proximity_search_docs": proximity_search_docs,
-        "k_anonymity_customer": k_anonymity_customer,
-        "curriculum_docs": curriculum_docs,
-        "contrastive_pairs_md5": contrastive_pairs_md5,
-        "html_extract_docs": html_extract_docs,
-        "normalize_text_docs": normalize_text_docs,
-        "stratified_split_docs": stratified_split_docs,
-        "hll_profile_orders": hll_profile_orders,
-        # ===== stable multi-green anchors (regression canary) =====
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "merge_full_outer": merge_full_outer,
-        "window_rank_lag": window_rank_lag,
-        "events_hourly": events_hourly,
-        "dedup_exact_docs": dedup_exact_docs,
-        "filter_glob_in": filter_glob_in,
-        "subtract_anti": subtract_anti,
-        "merge_expr_pred": merge_expr_pred,
-        # ================= overflow (slot 51+) =================
-        # -- r07 window candidates: never driver-checked --
+        # ===== r07 window: the 45 never-driver-checked oracles =====
         "strip_boilerplate_docs": strip_boilerplate_docs,
         "asof_nearest_events": asof_nearest_events,
         "corpus_overlap_docs": corpus_overlap_docs,
@@ -8203,6 +8173,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_events": skew_report_events,
         "weighted_sample_docs": weighted_sample_docs,
         "profile_orders": profile_orders,
+        # ===== the 3 r06 array-output ERRs, re-shaped to scalar =====
+        "pq_codes_adc": pq_codes_adc,
+        "ivfpq_codes_adc": ivfpq_codes_adc,
+        "group_centroids_emb": group_centroids_emb,
+        # ===== the 2 stalest greens (last driver verdict: r02) =====
+        "distinct_pairs": distinct_pairs,
+        "order_limit_offset": order_limit_offset,
+        # ================= overflow (slot 51+) =================
+        # -- green in CORRECTNESS_r06, rotated out --
+        "bm25_score_docs": bm25_score_docs,
+        "dsir_importance_md5": dsir_importance_md5,
+        "c4_gate": c4_gate,
+        "spans_dedup_md5": spans_dedup_md5,
+        "corpus_stats_by_lang": corpus_stats_by_lang,
+        "url_dedup_docs": url_dedup_docs,
+        "contamination_report_docs": contamination_report_docs,
+        "semdedup_docs": semdedup_docs,
+        "zorder_key_orders": zorder_key_orders,
+        "dedup_eval_md5": dedup_eval_md5,
+        "leakage_split_md5": leakage_split_md5,
+        "nb_classifier_md5": nb_classifier_md5,
+        "fuzzy_join_pairs": fuzzy_join_pairs,
+        "pagerank_orders": pagerank_orders,
+        "histogram_orders": histogram_orders,
+        "minhash_incremental_md5": minhash_incremental_md5,
+        "minhash_dedup_best_md5": minhash_dedup_best_md5,
+        "token_budget_docs": token_budget_docs,
+        "cap_per_group_docs": cap_per_group_docs,
+        "ppl_buckets_docs": ppl_buckets_docs,
+        "tfidf_keywords_docs": tfidf_keywords_docs,
+        "emb_covariance": emb_covariance,
+        "random_projection_md5": random_projection_md5,
+        "expectations_orders": expectations_orders,
+        "incremental_agg_docs": incremental_agg_docs,
+        "resolve_entities_docs": resolve_entities_docs,
+        "drift_report_docs": drift_report_docs,
+        "categorical_drift_docs": categorical_drift_docs,
+        "phrase_search_docs": phrase_search_docs,
+        "proximity_search_docs": proximity_search_docs,
+        "k_anonymity_customer": k_anonymity_customer,
+        "curriculum_docs": curriculum_docs,
+        "contrastive_pairs_md5": contrastive_pairs_md5,
+        "html_extract_docs": html_extract_docs,
+        "normalize_text_docs": normalize_text_docs,
+        "stratified_split_docs": stratified_split_docs,
+        "hll_profile_orders": hll_profile_orders,
+        # -- stable multi-green anchors (green again in r06) --
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "merge_full_outer": merge_full_outer,
+        "window_rank_lag": window_rank_lag,
+        "events_hourly": events_hourly,
+        "dedup_exact_docs": dedup_exact_docs,
+        "filter_glob_in": filter_glob_in,
+        "subtract_anti": subtract_anti,
+        "merge_expr_pred": merge_expr_pred,
         # -- green in CORRECTNESS_r05, rotated out --
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
@@ -8292,8 +8319,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": multimodal_audio,
         "multimodal_video_meta": multimodal_video,
         "winnow_pairs_md5": winnow_pairs_md5,
-        "distinct_pairs": distinct_pairs,
-        "order_limit_offset": order_limit_offset,
         "merge_left_regions": merge_left_regions,
         "group_concat_sorted": group_concat_sorted,
         "path_funcs": path_funcs,

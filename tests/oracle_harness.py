@@ -104,6 +104,36 @@ def frames(spark_df, sql: str, sf_dir: str):
     return spark_pd, duck_pd
 
 
+def reject_complex_result_columns(spark_df) -> str | None:
+    """r06 verdict #1: the driver canonicalizes results with a raw pandas
+    ``sort_values`` which raises ``TypeError: unhashable type`` on
+    array/map/struct cells — such queries never get a verdict.  This
+    harness previously stringified cells BEFORE sorting and therefore
+    passed what the driver cannot check (harness-fidelity gap that burned
+    3 driver slots in r06).  Reject complex top-level result columns
+    outright so the class of error cannot recur: registry queries must
+    serialize (concat_ws / to_json) or explode (posexplode) array output.
+
+    Returns an error string naming the offending fields, or None.
+    """
+    try:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+    except ImportError:  # pragma: no cover
+        return None
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if bad:
+        return (
+            "complex result column(s) the driver cannot canonicalize "
+            "(pandas sort_values raises on array/map/struct cells) — "
+            "serialize or explode them in the query: " + "; ".join(bad)
+        )
+    return None
+
+
 def compare_frames(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> tuple[bool, str]:
     if sorted(spark_pd.columns) != sorted(duck_pd.columns):
         return False, (
@@ -137,5 +167,8 @@ def compare_frames(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> tuple[bool,
 
 
 def compare(spark_df, sql: str, sf_dir: str) -> tuple[bool, str]:
+    complex_err = reject_complex_result_columns(spark_df)
+    if complex_err is not None:
+        return False, complex_err
     spark_pd, duck_pd = frames(spark_df, sql, sf_dir)
     return compare_frames(spark_pd, duck_pd)

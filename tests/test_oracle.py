@@ -37,6 +37,22 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_registry_has_no_complex_result_columns(spark, sf_dir):
+    """r06 verdict #1 regression guard: the driver canonicalizer (raw
+    pandas sort_values) raises on array/map/struct cells, so NO registry
+    query — window or overflow, oracled or rows-only — may emit a complex
+    top-level result column. Schema-only check: builds every plan, runs
+    nothing."""
+    from .oracle_harness import reject_complex_result_columns
+
+    bad = {}
+    for name, fn in QUERIES.items():
+        err = reject_complex_result_columns(fn(spark, sf_dir))
+        if err is not None:
+            bad[name] = err
+    assert bad == {}, bad
+
+
 def test_registry_window_invariants():
     """Rotation guard: the driver checks the FIRST 50 registry entries —
     every one of them must carry an oracle (a rows-only slot in the window
