@@ -7435,12 +7435,17 @@ WITH pairs AS (
   SELECT DISTINCT user_id,
          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS b
   FROM events WHERE ts IS NOT NULL
-), buckets AS (SELECT DISTINCT b AS bucket FROM pairs)
-SELECT w.bucket,
+), grid AS (
+  -- every bucket in [min, max], not just directly-active ones: an
+  -- interior gap day still has a non-zero trailing-window count
+  SELECT unnest(generate_series((SELECT min(b) FROM pairs),
+                                (SELECT max(b) FROM pairs))) AS bucket
+)
+SELECT g.bucket,
        CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_active
-FROM buckets w
-JOIN pairs p ON p.b BETWEEN w.bucket - 6 AND w.bucket
-GROUP BY w.bucket ORDER BY w.bucket
+FROM grid g
+JOIN pairs p ON p.b BETWEEN g.bucket - 6 AND g.bucket
+GROUP BY g.bucket ORDER BY g.bucket
 """
 
 

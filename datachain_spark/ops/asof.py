@@ -103,10 +103,13 @@ def asof_join(
             .withColumn("__fts", F.first("__rts", ignorenulls=True).over(wf))
         )
         # timestamp -> double keeps sub-second precision (unix_timestamp
-        # truncates to whole seconds, which would mis-pick near-ties)
+        # truncates to whole seconds, which would mis-pick near-ties);
+        # __bts/__fts go through the SAME cast chain as __ts so every
+        # input type the ordering accepts (string/date/long ts columns)
+        # yields comparable distances on both sides (r07 advisor)
         ts_e = F.col("__ts").cast("timestamp").cast("double")
-        bd = ts_e - F.col("__bts").cast("double")
-        fd = F.col("__fts").cast("double") - ts_e
+        bd = ts_e - F.col("__bts").cast("timestamp").cast("double")
+        fd = F.col("__fts").cast("timestamp").cast("double") - ts_e
         pick_b = F.col("__bts").isNotNull() & (F.col("__fts").isNull() | (bd <= fd))
         matched = staged.withColumn(
             "__m", F.when(pick_b, F.col("__bm")).otherwise(F.col("__fm"))

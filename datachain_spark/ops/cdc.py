@@ -32,6 +32,11 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Largest reduced change-key set apply_changes_scd2 will auto-broadcast
+# (key + ts rows; 1M keeps the driver copy in the tens of MB — the
+# _BLOOM_MAX_WORDS precedent of an explicit, documented size contract).
+_SCD2_BROADCAST_MAX_KEYS = 1_000_000
+
 
 def apply_changes(
     base: DataFrame,
@@ -125,6 +130,7 @@ def apply_changes_scd2(
     to_col: str = "valid_to",
     current_col: str = "is_current",
     validate: bool = True,
+    broadcast: Optional[bool] = None,
 ) -> DataFrame:
     """Fold a changes feed into an SCD TYPE-2 history table: instead of
     overwriting (the :func:`apply_changes` upsert), every change CLOSES
@@ -141,9 +147,18 @@ def apply_changes_scd2(
     ties; without it duplicate keys are rejected under ``validate``).
 
     100-TB shape: the change feed reduces to one row per key on the
-    CHANGES frame alone, then ONE broadcast-sized left join against the
-    history closes current rows in place — the history never shuffles —
-    and the new versions union on. Out-of-order batches fail loudly in-plan
+    CHANGES frame alone, then ONE left join against the history closes
+    current rows in place — the history never shuffles on the broadcast
+    path — and the new versions union on. The broadcast is no longer
+    unconditional (r06 verdict #4 / advisor: CDC feeds are not inherently
+    broadcast-sized, and a giant backfill would OOM the driver):
+    ``broadcast=None`` (default) counts the reduced change keys with a
+    bounded ``limit(N+1).count()`` preflight and broadcasts only when
+    they fit under ``_SCD2_BROADCAST_MAX_KEYS`` (1M keys), otherwise
+    planning a plain shuffle join; ``broadcast=True`` forces the hint
+    (skips the preflight job — use when the caller knows the batch is a
+    normal CDC tick); ``broadcast=False`` always shuffle-joins.
+    Out-of-order batches fail loudly in-plan
     under ``validate`` (a change timestamped before the current row's
     ``from_col`` would create a negative validity interval).
     No reference counterpart; the Kimball SCD2 shape is public
@@ -199,7 +214,16 @@ def apply_changes_scd2(
     chg_keys = final.select(
         *key_list, F.col(ts_col).alias("__chg_ts")
     )
-    joined = history.join(F.broadcast(chg_keys), key_list, "left")
+    if broadcast is None:
+        # bounded preflight (the edit_distance_join precedent): scan at
+        # most threshold+1 reduced change rows, never the history
+        broadcast = (
+            chg_keys.limit(_SCD2_BROADCAST_MAX_KEYS + 1).count()
+            <= _SCD2_BROADCAST_MAX_KEYS
+        )
+    joined = history.join(
+        F.broadcast(chg_keys) if broadcast else chg_keys, key_list, "left"
+    )
     hit = F.col(current_col) & F.col("__chg_ts").isNotNull()
     new_to = F.when(hit, F.col("__chg_ts")).otherwise(F.col(to_col))
     if validate:

@@ -259,19 +259,28 @@ def cosine_join_topk(
     shuffle hash join on the bucket key — no cross product, no broadcast,
     arbitrary right-side size). Recall is limited to same-bucket neighbors;
     raise num_planes for tighter buckets, lower it for better recall.
+
+    NOTE (eager preflight, the edit_distance_join precedent): with
+    ``arrow=None`` this builder runs one bounded Spark job at plan-build
+    time — a ≤64-row peek at right-side vector widths whose MEDIAN picks
+    the kernel, so one anomalously wide row in a mostly-narrow frame no
+    longer flips the choice (r07 advisor). Pass ``arrow=True/False``
+    explicitly to keep the builder fully lazy.
     """
+    import statistics
+
     from pyspark.sql import Window
 
     a = left.select(F.col(left_id).alias("qid"), F.col(left_vec).alias("qv"))
     b = right.select(F.col(right_id).alias("nid"), F.col(right_vec).alias("nv"))
     if arrow is None:
-        # one 1-row peek decides the kernel (the exact path already pays a
-        # count job on the same side; this is noise next to the join)
         probe = (
             right.select(F.size(F.col(right_vec)).alias("d"))
-            .filter(F.col("d") > 0).limit(1).collect()
+            .filter(F.col("d") > 0).limit(64).collect()
         )
-        arrow = bool(probe) and probe[0]["d"] >= _ARROW_COSINE_MIN_DIM
+        arrow = bool(probe) and statistics.median(
+            r["d"] for r in probe
+        ) >= _ARROW_COSINE_MIN_DIM
     if arrow:
         from ._arrow import make_pair_cosine_dist_udf
 

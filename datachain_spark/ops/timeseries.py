@@ -370,10 +370,13 @@ def event_paths(
     the input to drop-off and flow diagrams. Output:
     ``(path, n_entities)``, e.g. ``("view>click>purchase", 1234)``.
 
-    Shape: ONE entity-keyed groupBy building the sorted (ts, event)
-    array (bounded at ``max_steps`` by an in-expression slice — state per
-    entity never exceeds the collected events; pair with an upstream
-    event cap for adversarial keys), then one path-keyed count agg.
+    Shape: the output depends ONLY on each entity's first ``max_steps``
+    events, so a row_number window (same entity key — Spark reuses the
+    hash partitioning for the following groupBy: one shuffle total)
+    truncates every entity to that prefix BEFORE the collect; the agg
+    buffer holds at most ``max_steps`` structs per entity no matter how
+    adversarial the key (a 10^8-event bot costs one sorted window
+    partition, never an unbounded collect buffer — r06 verdict #2).
     Ties at equal timestamps order by event name, so both engines build
     identical paths (NULL timestamps are excluded — no position).
     """
@@ -381,24 +384,27 @@ def event_paths(
         raise ValueError("event_paths: max_steps must be >= 1")
     parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     epoch = F.unix_timestamp(F.col(time_col)).cast("long")
-    per_entity = (
+    wo = Window.partitionBy(*parts).orderBy(
+        epoch.asc(), F.col(event_col).asc()
+    )
+    bounded = (
         df.filter(F.col(time_col).isNotNull() & F.col(event_col).isNotNull())
-        .groupBy(*parts)
+        .withColumn("__rn", F.row_number().over(wo))
+        .filter(F.col("__rn") <= max_steps)
+    )
+    per_entity = (
+        bounded.groupBy(*parts)
         .agg(
             F.concat_ws(
                 sep,
                 F.transform(
-                    F.slice(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    epoch.alias("ep"),
-                                    F.col(event_col).alias("ev"),
-                                )
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                epoch.alias("ep"),
+                                F.col(event_col).alias("ev"),
                             )
-                        ),
-                        1,
-                        max_steps,
+                        )
                     ),
                     lambda s: s["ev"],
                 ),
@@ -462,9 +468,16 @@ def rolling_actives(
     pair into the ``window_buckets`` windows it contributes to, and
     count distinct (entity, window) once. Cost scales with
     window_buckets x |activity pairs|, never with raw event volume —
-    at 100 TB the pairs frame is millions, not trillions. Buckets with
-    no active entity in range are absent (join a grid if you need
-    zeros); NULL timestamps are excluded.
+    at 100 TB the pairs frame is millions, not trillions.
+
+    Every bucket in ``[min_observed, max_observed]`` whose trailing
+    window contains at least one active entity is reported — including
+    interior gap buckets with no DIRECT activity (a day with zero events
+    still has a non-zero trailing WAU if entities were active in the
+    prior six: semi-joining the directly-active bucket set here would
+    silently drop those rows — r07 advisor finding). A bucket absent
+    from the output therefore truly has ``n_active = 0`` (possible only
+    when a gap spans the whole window). NULL timestamps are excluded.
     """
     if window_buckets < 1:
         raise ValueError("rolling_actives: window_buckets must be >= 1")
@@ -485,11 +498,13 @@ def rolling_actives(
             )
         ).alias("bucket"),
     ).distinct()
-    # report only OBSERVED buckets: the explode also reaches trailing
+    # cap at the LAST observed bucket: the explode also reaches trailing
     # windows ending after the last event, which aren't real report rows
-    observed = pairs.select(F.col("__b").alias("bucket")).distinct()
+    # (1-row in-plan scalar, the q22 / histogram bounds pattern)
+    glob = pairs.agg(F.max("__b").alias("__mx"))
     return (
-        contrib.join(observed, "bucket", "left_semi")
+        contrib.crossJoin(F.broadcast(glob))
+        .filter(F.col("bucket") <= F.col("__mx"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )

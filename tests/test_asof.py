@@ -237,3 +237,36 @@ def test_asof_nearest_semantics(spark):
 
     with pytest.raises(ValueError, match="backward"):
         asof_join(left, right, on="k", left_ts="ts", direction="sideways")
+
+
+def test_asof_nearest_string_and_long_ts(spark):
+    # r07 advisor: nearest must pick correctly when the ts columns are
+    # ISO strings or epoch longs, not TimestampType — the distance casts
+    # go through the same timestamp chain as the ordering.
+    from datachain_spark.ops.asof import asof_join
+
+    left_s = spark.createDataFrame(
+        [("a", "2024-01-01 00:01:40", 1), ("a", "2024-01-01 00:03:25", 2)],
+        "k string, ts string, lid int",
+    )
+    right_s = spark.createDataFrame(
+        [("a", "2024-01-01 00:01:30", 10), ("a", "2024-01-01 00:03:30", 11)],
+        "k string, rts string, rid int",
+    )
+    out = {r["lid"]: r["rid"] for r in asof_join(
+        left_s, right_s, on="k", left_ts="ts", right_ts="rts",
+        direction="nearest",
+    ).collect()}
+    # 100s row: backward 90 (d=10) beats forward 210 (d=110);
+    # 205s row: forward 210 (d=5) beats backward 90 (d=115)
+    assert out == {1: 10, 2: 11}
+
+    left_l = spark.createDataFrame(
+        [("a", 100, 1), ("a", 205, 2)], "k string, ts long, lid int")
+    right_l = spark.createDataFrame(
+        [("a", 90, 10), ("a", 210, 11)], "k string, rts long, rid int")
+    out_l = {r["lid"]: r["rid"] for r in asof_join(
+        left_l, right_l, on="k", left_ts="ts", right_ts="rts",
+        direction="nearest",
+    ).collect()}
+    assert out_l == {1: 10, 2: 11}

@@ -380,6 +380,26 @@ def test_cosine_join_topk(session):
     assert [r["nid"] for r in out] == [10, 11]
 
 
+def test_cosine_join_topk_kernel_median_probe(session):
+    # r07 advisor: kernel choice uses the MEDIAN probed width — a frame of
+    # narrow vectors with one wide outlier must stay on the HOF kernel
+    # (and still return correct neighbors either way).
+    from datachain_spark.ops.similarity import _ARROW_COSINE_MIN_DIM
+
+    wide = [float(i) for i in range(_ARROW_COSINE_MIN_DIM)]
+    left = dc.read_values(session=session, id=[1], v=[[1.0, 0.0]])
+    right = dc.read_values(
+        session=session,
+        id=[10, 11, 12, 13],
+        v=[[1.0, 0.0], [0.5, 0.5], [0.0, 1.0], wide],
+    )
+    out = similarity.cosine_join_topk(left.df, right.df, "v", "v", k=2)
+    # mostly-narrow frame -> interpreted HOF path, no pandas UDF in plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert [r["nid"] for r in out.collect()] == [10, 11]
+
+
 def test_cosine_join_topk_broadcast_guard(session):
     import pytest
 

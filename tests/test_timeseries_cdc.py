@@ -227,6 +227,38 @@ def test_event_paths_order_truncation_nulls(spark):
         event_paths(df, "user", "ts", "ev", max_steps=0)
 
 
+def test_event_paths_bounds_adversarial_entity(spark):
+    # VERDICT r06 #2 (the funnel cap's twin): a 1M-event bot must never
+    # reach the collect_list buffer — the row_number prefix filter keeps
+    # only max_steps events per entity BEFORE the agg (semantics-
+    # preserving: the path depends only on that prefix).
+    from pyspark.sql import functions as F
+    from datachain_spark.ops.timeseries import event_paths
+
+    bot = spark.range(1_000_000).select(
+        F.lit("bot").alias("user"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.when(F.col("id") == 0, "view")
+        .when(F.col("id") == 1, "click")
+        .otherwise("spam").alias("ev"),
+    )
+    human = spark.createDataFrame(
+        [("h", 1_700_000_000, "view"), ("h", 1_700_000_010, "click")],
+        "user string, sec long, ev string",
+    ).select("user", F.timestamp_seconds("sec").alias("ts"), "ev")
+
+    got = {r["path"]: r["n_entities"] for r in event_paths(
+        bot.unionByName(human), "user", "ts", "ev", max_steps=4
+    ).collect()}
+    assert got == {"view>click>spam>spam": 1, "view>click": 1}
+
+    # plan shape: the prefix filter sits BELOW the collect aggregate
+    plan = event_paths(
+        bot, "user", "ts", "ev", max_steps=4
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan
+
+
 def test_event_transitions_counts(spark):
     from pyspark.sql import functions as F
     from datachain_spark.ops.timeseries import event_transitions
@@ -284,6 +316,50 @@ def test_scd2_close_append_semantics(spark):
         & (F.col("valid_to").isNull() | (F.col("valid_to") > 75))
     ).collect()
     assert len(at75) == 1 and at75[0]["v"] == "a"
+
+
+def test_scd2_broadcast_size_contract(spark, monkeypatch):
+    # VERDICT r06 #4 / advisor: the change-key broadcast is no longer
+    # unconditional — an over-threshold feed plans a plain join (no OOM
+    # hint), broadcast=True skips the preflight and keeps the hint,
+    # broadcast=False never hints. Results identical on every path.
+    from pyspark.sql import functions as F
+    from datachain_spark.ops import cdc
+    from datachain_spark.ops.cdc import apply_changes_scd2
+
+    hist = spark.createDataFrame(
+        [(1, "a", 0, None, True), (2, "b", 0, None, True)],
+        "k long, v string, valid_from long, valid_to long, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "a2", "U", 100), (2, None, "D", 100), (9, "new", "I", 100)],
+        "k long, v string, op string, ts long",
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    expected = {(1, "a", 0, 100, False), (2, "b", 0, 100, False),
+                (1, "a2", 100, None, True), (9, "new", 100, None, True)}
+
+    # auto path, tiny feed: broadcast hint present
+    auto = apply_changes_scd2(hist, changes, "k", "ts")
+    assert "broadcast" in plan(auto).lower()
+
+    # auto path with the threshold forced below the feed size: falls
+    # back to a plain join — same rows, no driver-side broadcast
+    monkeypatch.setattr(cdc, "_SCD2_BROADCAST_MAX_KEYS", 2)
+    fallback = apply_changes_scd2(hist, changes, "k", "ts")
+    assert "broadcast" not in plan(fallback).lower()
+    got = {tuple(r) for r in fallback.select(
+        "k", "v", "valid_from", "valid_to", "is_current").collect()}
+    assert got == expected
+
+    # explicit override beats the threshold in both directions
+    forced = apply_changes_scd2(hist, changes, "k", "ts", broadcast=True)
+    assert "broadcast" in plan(forced).lower()
+    plain = apply_changes_scd2(hist, changes, "k", "ts", broadcast=False)
+    assert "broadcast" not in plan(plain).lower()
 
 
 def test_scd2_validation(spark):
@@ -350,8 +426,12 @@ def test_rolling_actives_wau_semantics(spark):
     )
     got = {r["bucket"]: r["n_active"] for r in rolling_actives(
         df, "user", "ts", window_buckets=7).collect()}
-    # only OBSERVED buckets are reported (0, 1, 9)
-    assert got == {0: 1, 1: 2, 9: 1}  # day9 window [3..9] sees only w
+    # r07 advisor fix: INTERIOR gap days (2-8, no direct activity) carry
+    # their true trailing-window counts — days 2-7 still see u/v from
+    # days 0-1; day 8 sees nobody (gap spans the whole window -> absent,
+    # absence == 0); day 9's window [3..9] sees only w. Nothing past the
+    # last observed day is reported.
+    assert got == {0: 1, 1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 2, 9: 1}
 
     dau = {r["bucket"]: r["n_active"] for r in rolling_actives(
         df, "user", "ts", window_buckets=1).collect()}
