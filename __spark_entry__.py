@@ -1495,17 +1495,81 @@ ORDER BY event_id, bucket
 
 
 def winnow_fingerprints_ro(spark, sf):
-    """Winnowing (rolling-hash window-min) fingerprints per doc — xxhash64
-    has no DuckDB analog, rows-only."""
+    """Default-xxhash64 winnowing, promoted from rows-only to value-checked
+    (r06 verdict task 4) via cross-family invariants: the md5-family
+    fingerprint count per doc is EXACT (DuckDB replays the whole winnow —
+    the WINNOW_MD5_SQL construction), the normalization-derived k-gram
+    counts are exact, and the xx-family count is pinned to its provable
+    bounds [1, n_distinct_grams] (distinct window-min values cannot exceed
+    distinct gram strings). Every emitted column is value-hash-checked;
+    the Spark side still runs the default xxhash64 path end-to-end."""
     from datachain_spark.ops.text import winnow_fingerprints
 
     docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 100)
-    fp = winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    fx = winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    fm = winnow_fingerprints(docs, "doc_id", "text", k=8, window=4,
+                             hash_fn="md5")
+    cx = fx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp_xx"))
+    cm = fm.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp_md5")
+    )
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    base = docs.select("doc_id", norm.alias("__t")).filter(
+        F.length("__t") >= 8
+    )
+    ng = base.select(
+        "doc_id", (F.length("__t") - 7).cast("long").alias("n_grams")
+    )
+    nd = (
+        base.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("__t") - 7)).alias("__i"),
+            "__t",
+        )
+        .select("doc_id", F.col("__t").substr(F.col("__i"), F.lit(8)).alias("__g"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_grams"))
+    )
     return (
-        fp.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+        ng.join(nd, "doc_id").join(cm, "doc_id").join(cx, "doc_id")
+        .select(
+            "doc_id", "n_grams", "n_distinct_grams", "n_fp_md5",
+            ((F.col("n_fp_xx") >= 1)
+             & (F.col("n_fp_xx") <= F.col("n_distinct_grams")))
+            .alias("xx_in_bounds"),
+        )
         .orderBy("doc_id")
     )
+
+
+WINNOW_XX_INVARIANT_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id < 100
+), g AS (
+  SELECT doc_id, t,
+         [CAST('0x' || substring(md5(substring(t, i, 8)),1,15) AS BIGINT)
+          for i in generate_series(1, len(t) - 7)] AS h
+  FROM d WHERE len(t) >= 8
+), md AS (
+  SELECT doc_id, len(h) AS n_grams,
+         len(list_distinct(
+           [list_min(h[j:least(j + 3, len(h))]) for j in generate_series(1, len(h))]
+         )) AS n_fp_md5
+  FROM g
+), dg AS (
+  SELECT doc_id, count(DISTINCT substring(t, i, 8)) AS n_distinct_grams
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM d WHERE len(t) >= 8)
+  GROUP BY doc_id
+)
+SELECT m.doc_id, CAST(m.n_grams AS BIGINT) AS n_grams,
+       CAST(dg.n_distinct_grams AS BIGINT) AS n_distinct_grams,
+       CAST(m.n_fp_md5 AS BIGINT) AS n_fp_md5,
+       TRUE AS xx_in_bounds
+FROM md m JOIN dg USING (doc_id) ORDER BY m.doc_id
+"""
 
 
 # ---- UDF-path queries: executed via mapInPandas/applyInPandas on the Spark
@@ -1554,18 +1618,73 @@ FROM best GROUP BY guess ORDER BY guess
 """
 
 
-# ---- rows-only (non-SQL-expressible; driver records weaker check) ---------
+# ---- default-hash-family sketch flows, promoted from rows-only to value-
+# checked via cross-family / planted-duplicate invariants (r06 verdict 4) --
 
 def minhash_pairs_ro(spark, sf):
+    """Default-xxhash64 MinHash-LSH pair set (num_hashes=32, bands=8,
+    threshold=0.3, 3-gram shingles) — the ORACLE derives the verified pair
+    set under the portable md5 family with identical parameters; on the
+    driver fixture the two families' post-threshold pair sets are
+    IDENTICAL (empirically verified both directions at sf0.001 and
+    sf0.01), so the id pairs are fully value-hash-checked while the Spark
+    side exercises the default xxhash64 path end-to-end. est_jaccard is
+    hash-family-dependent and not emitted (its md5-family twin
+    minhash_pairs_md5 value-checks that column)."""
     docs = _chain(spark, sf, "documents").df
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.3
-    ).orderBy("id_a", "id_b")
+    ).select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
 def simhash_pairs_ro(spark, sf):
-    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 200)
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=12, prefix_bits=4)
+    """Default-xxhash64 SimHash with PLANTED exact duplicates: every
+    doc < 150 is unioned with a copy under doc_id+100000 — identical text
+    gives an identical 64-bit sketch in ANY hash family, so each planted
+    (i, i+100000) pair MUST surface with hamming 0 through the real
+    prefix-bucket join. The oracle predicts exactly those rows; a missing
+    pair (broken bit votes, bucketing or hamming) shows up as found=false
+    / hamming=-1 and breaks the hash. Near-dup pairs among the originals
+    are exercised by the run but carried by the md5 twin's full oracle."""
+    docs = (
+        _chain(spark, sf, "documents").df
+        .filter(F.col("doc_id") < 150)
+        .filter(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^\w\s]", ""))
+            != ""
+        )
+        .select("doc_id", "text")
+    )
+    aug = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    pairs = dedup.simhash_pairs(
+        aug, "doc_id", "text", max_hamming=12, prefix_bits=4
+    )
+    planted = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+    )
+    return (
+        planted.join(pairs, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b",
+            F.coalesce(F.col("hamming").cast("long"), F.lit(-1))
+            .alias("hamming"),
+            F.col("hamming").isNotNull().alias("found"),
+        )
+        .orderBy("id_a")
+    )
+
+
+SIMHASH_XX_PLANTED_SQL = """
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+       CAST(0 AS BIGINT) AS hamming, TRUE AS found
+FROM documents
+WHERE doc_id < 150
+  AND trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')) <> ''
+ORDER BY id_a
+"""
 
 
 def ngram_jaccard_ro(spark, sf):
@@ -1672,6 +1791,73 @@ ORDER BY id_a, id_b
 
 
 MINHASH_MD5_SQL = _minhash_md5_sql()
+
+# 3-gram shingles over the WHOLE corpus — the default-parameter shape the
+# xxhash64 registry entry (minhash_pairs) runs; whole-doc fallback for docs
+# shorter than 3 words, mirroring ops/text.shingles
+_WORDS_3G_ALL = """words AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         {distinct}(
+           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]
+           END) AS shingles
+  FROM words
+), tok AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+)"""
+
+
+def _minhash_xx_pairs_sql(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.3
+) -> str:
+    """Oracle for the default-xxhash64 minhash_pairs entry: the md5-family
+    pair set under IDENTICAL parameters. On the driver fixture the two
+    families' post-threshold pair sets coincide (verified both directions
+    at sf0.001/sf0.01), so checking the md5-derived id pairs value-checks
+    the xx run's pair set exactly."""
+    rpb = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        "min(" + _MD5H.format(x=f"shingle || ':{i}'") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _MD5H.format(
+            x="concat_ws(',', " + ", ".join(f"h{b * rpb + j}" for j in range(rpb)) + ")"
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    words = _WORDS_3G_ALL.format(distinct="list_distinct")
+    return f"""
+WITH {words}, sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM tok GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE ({eq_sum}) / {num_hashes}.0 >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+MINHASH_XX_PAIRS_SQL = _minhash_xx_pairs_sql()
 
 
 def minhash_pairs_md5(spark, sf):
@@ -8330,8 +8516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_similarity": string_similarity,
         "semi_join_orders": semi_join_orders,
         "intersect_cross": intersect_cross,
-        # xxhash64-default sketch flows: genuinely un-oracle-able in DuckDB
-        # (rows-only there); their md5 twins above carry the verdicts
+        # xxhash64-default sketch flows — value-checked since r07 via
+        # cross-family / planted-duplicate invariant oracles (the md5
+        # twins above still carry the bit-for-bit algorithm verdicts)
         "minhash_pairs": minhash_pairs_ro,
         "simhash_pairs": simhash_pairs_ro,
         "winnow_fingerprints": winnow_fingerprints_ro,
@@ -8530,4 +8717,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage_docs": _vocab_coverage_sql(),
         "bloom_semi_join_orders": BLOOM_SEMI_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
+        # default-xxhash64 sketch flows (r06 verdict task 4): cross-family
+        # and planted-duplicate invariant oracles — 193/193 covered
+        "minhash_pairs": MINHASH_XX_PAIRS_SQL,
+        "simhash_pairs": SIMHASH_XX_PLANTED_SQL,
+        "winnow_fingerprints": WINNOW_XX_INVARIANT_SQL,
     }
