@@ -8286,6 +8286,267 @@ def _profile_sql() -> str:
     )
 
 
+# ---- r07 new surface: curation audit / dataset diff / quantile sketch ----
+
+def curation_report_docs(spark, sf):
+    """Per-stage curation audit (ops/curation.curation_report): docs < 200
+    through gopher gate -> quality(>0.5) -> exact dedup -> md5 MinHash
+    dedup (greedy) -> 5-gram decontamination vs probe docs 200-205, ONE
+    summary row per stage. The oracle replays every stage's survivor
+    count in DuckDB — gate formulas, dedup winners, LSH banding and the
+    NOT-EXISTS overlap all recomputed independently — plus the
+    rows_in/removed/pct arithmetic."""
+    from datachain_spark.ops.curation import curation_report
+
+    alldocs = _chain(spark, sf, "documents").df
+    docs = alldocs.filter(F.col("doc_id") < 200)
+    probes = alldocs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 206)
+    )
+    rep = curation_report(
+        docs, "doc_id", quality_threshold=0.5,
+        minhash_kw=dict(num_hashes=8, bands=4, shingle_size=2,
+                        jaccard_threshold=0.25, hash_fn="md5"),
+        probes=probes, decontaminate_kw=dict(ngram=5),
+        persist=False,
+    )
+    return rep.select(
+        "stage_idx", "stage", "rows_in", "rows_out", "removed",
+        F.round("pct_removed", 6).alias("pct_removed_r"),
+    ).orderBy("stage_idx")
+
+
+def _curation_report_sql(quality_threshold: float = 0.5) -> str:
+    gopher = _gopher_sql().replace("ORDER BY loc.doc_id", "")
+    quality = _quality_sql().replace("ORDER BY doc_id", "")
+    # md5 MinHash (nh=8, bands=4, 2-gram shingles, th=0.25) over the
+    # exact-dedup survivors — the minhash_pairs_md5 construction scoped
+    # to a survivor id set
+    nh, nb, rpb, th = 8, 4, 2, 0.25
+    sig_cols = ",\n         ".join(
+        "min(" + _MD5H.format(x=f"shingle || ':{i}'") + f") AS h{i}"
+        for i in range(nh)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _MD5H.format(
+            x="concat_ws(',', " + ", ".join(f"h{b * rpb + j}" for j in range(rpb)) + ")"
+        )
+        + " AS bucket FROM msig"
+        for b in range(nb)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(nh)
+    )
+    return f"""
+WITH gop AS (
+  SELECT doc_id FROM ({gopher})
+), qual AS (
+  SELECT q.doc_id FROM ({quality}) q
+  JOIN gop USING (doc_id)
+  WHERE q.quality > {quality_threshold}
+), exa AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+        FROM documents
+        WHERE doc_id < 200 AND doc_id IN (SELECT doc_id FROM qual))
+  GROUP BY nt
+), mwords AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM exa)
+), msh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, len(w)-1)]
+           END) AS shingles
+  FROM mwords
+), mtok AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM msh
+), msig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM mtok GROUP BY doc_id
+), mbands AS (
+  {band_rows}
+), mcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mbands a JOIN mbands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), mlose AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM mcand
+  JOIN msig sa ON sa.doc_id = id_a
+  JOIN msig sb ON sb.doc_id = id_b
+  WHERE ({eq_sum}) / {nh}.0 >= {th}
+), mh AS (
+  SELECT doc_id FROM exa
+  WHERE doc_id NOT IN (SELECT doc_id FROM mlose)
+), cw AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+                      for i in generate_series(1, len(w)-4)]
+           END) AS shingles
+  FROM (SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM mh))
+), pw AS (
+  SELECT DISTINCT unnest(list_distinct(
+           CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+                      for i in generate_series(1, len(w)-4)]
+           END)) AS shingle
+  FROM (SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+        FROM documents WHERE doc_id >= 200 AND doc_id < 206)
+), dec AS (
+  SELECT s.doc_id FROM cw s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pw p, unnest(s.shingles) AS u(us) WHERE u.us = p.shingle
+  )
+), counts AS (
+  SELECT 0 AS stage_idx, 'input' AS stage,
+         (SELECT count(*) FROM documents WHERE doc_id < 200) AS rows_out
+  UNION ALL SELECT 1, 'gopher_gate', (SELECT count(*) FROM gop)
+  UNION ALL SELECT 2, 'quality_gate', (SELECT count(*) FROM qual)
+  UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM exa)
+  UNION ALL SELECT 4, 'minhash_dedup', (SELECT count(*) FROM mh)
+  UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM dec)
+)
+SELECT CAST(c.stage_idx AS INT) AS stage_idx, c.stage,
+       CAST(coalesce(p.rows_out, c.rows_out) AS BIGINT) AS rows_in,
+       CAST(c.rows_out AS BIGINT) AS rows_out,
+       CAST(coalesce(p.rows_out, c.rows_out) - c.rows_out AS BIGINT) AS removed,
+       CASE WHEN coalesce(p.rows_out, c.rows_out) > 0 THEN
+         round((coalesce(p.rows_out, c.rows_out) - c.rows_out)
+               / CAST(coalesce(p.rows_out, c.rows_out) AS DOUBLE), 6)
+       END AS pct_removed_r
+FROM counts c LEFT JOIN counts p ON p.stage_idx = c.stage_idx - 1
+ORDER BY c.stage_idx
+"""
+
+
+def dataset_diff_versions(spark, sf):
+    """Cross-version dataset diff over the metastore (ops/diff.
+    dataset_diff): v1.0.0 = orders under 800 (key + totalprice), v1.0.1
+    extends to 900 and bumps every 10th key's totalprice — the summary
+    must report exactly the added-key count, the per-column modified
+    counts, and the untouched remainder, with the resolved version labels.
+    DuckDB replays the version contents from the same base-table
+    predicates and recomputes every count independently."""
+    import tempfile
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.ops.diff import dataset_diff
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_dsdiff_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    try:
+        orders = _chain(spark, sf, "orders")
+        base = orders.select("o_orderkey", "o_totalprice")
+        base.filter(C.o_orderkey < 800).save("dd_orders")  # v1.0.0
+        base.filter(C.o_orderkey < 900).mutate(
+            o_totalprice=F.when(
+                F.col("o_orderkey") % 10 == 0,
+                F.col("o_totalprice") + 10.0,
+            ).otherwise(F.col("o_totalprice"))
+        ).save("dd_orders")  # v1.0.1
+        out = dataset_diff("dd_orders", on="o_orderkey", session=sess)
+        return out.orderBy("kind", "item")
+    finally:
+        sess.metastore = old_ms
+
+
+DATASET_DIFF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p
+  FROM orders WHERE o_orderkey < 800
+), v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(o_totalprice AS DOUBLE) + 10.0
+              ELSE CAST(o_totalprice AS DOUBLE) END AS p
+  FROM orders WHERE o_orderkey < 900
+), j AS (
+  SELECT v2.o_orderkey AS nk, v1.o_orderkey AS ok,
+         v2.p AS np, v1.p AS op
+  FROM v2 FULL JOIN v1 USING (o_orderkey)
+), counts AS (
+  SELECT 'status' AS kind, 'A' AS item,
+         CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n FROM j
+  UNION ALL SELECT 'status', 'D',
+         CAST(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM j
+  UNION ALL SELECT 'status', 'M',
+         CAST(sum(CASE WHEN nk IS NOT NULL AND ok IS NOT NULL
+                        AND np IS DISTINCT FROM op THEN 1 ELSE 0 END) AS BIGINT) FROM j
+  UNION ALL SELECT 'status', 'S',
+         CAST(sum(CASE WHEN nk IS NOT NULL AND ok IS NOT NULL
+                        AND np IS NOT DISTINCT FROM op THEN 1 ELSE 0 END) AS BIGINT) FROM j
+  UNION ALL SELECT 'column', 'o_totalprice',
+         CAST(sum(CASE WHEN nk IS NOT NULL AND ok IS NOT NULL
+                        AND np IS DISTINCT FROM op THEN 1 ELSE 0 END) AS BIGINT) FROM j
+)
+SELECT kind, item, n, '1.0.0' AS v_old, '1.0.1' AS v_new
+FROM counts ORDER BY kind, item
+"""
+
+
+def sketch_quantiles_orders(spark, sf):
+    """Approximate per-group percentiles at scale (ops/sketches.
+    sketch_quantiles — Spark's native Greenwald-Khanna summary) verified
+    the HLL way: the EXACT interpolated quantiles ride along
+    (group_quantiles, DuckDB quantile_cont replays them bit-for-bit) and
+    the sketch estimate's true rank interval — computed in-plan by
+    quantile_rank_check — must satisfy the GK guarantee
+    |rank - q·n| <= n/accuracy (+1), emitted as an always-true boolean."""
+    from datachain_spark.ops.sketches import (
+        group_quantiles,
+        quantile_rank_check,
+        sketch_quantiles,
+    )
+
+    orders = _chain(spark, sf, "orders").df
+    qs = (0.1, 0.5, 0.9)
+    est = sketch_quantiles(
+        orders, "o_orderstatus", "o_totalprice", qs, accuracy=1000
+    )
+    chk = quantile_rank_check(
+        orders, est, "o_orderstatus", "o_totalprice", accuracy=1000
+    ).select("o_orderstatus", "q", "rank_ok")
+    exact = group_quantiles(
+        orders, "o_orderstatus", "o_totalprice", qs, out_col="exact_v"
+    )
+    return (
+        exact.join(chk, ["o_orderstatus", "q"])
+        .select(
+            "o_orderstatus", "q", "n_values",
+            F.round("exact_v", 4).alias("exact_r"),
+            "rank_ok",
+        )
+        .orderBy("o_orderstatus", "q")
+    )
+
+
+SKETCH_QUANTILES_SQL = """
+WITH q(q) AS (VALUES (0.1), (0.5), (0.9)),
+a AS (
+  SELECT o_orderstatus, CAST(count(o_totalprice) AS BIGINT) AS n_values,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), [0.1, 0.5, 0.9]) AS qv
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, q.q, n_values,
+       round(qv[CASE CAST(q.q * 10 AS INT) WHEN 1 THEN 1 WHEN 5 THEN 2 ELSE 3 END], 4) AS exact_r,
+       TRUE AS rank_ok
+FROM a CROSS JOIN q
+ORDER BY o_orderstatus, q.q
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -8372,6 +8633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_pairs": distinct_pairs,
         "order_limit_offset": order_limit_offset,
         # ================= overflow (slot 51+) =================
+        # -- r08 window candidates: new in r07, never driver-checked --
+        "curation_report_docs": curation_report_docs,
+        "dataset_diff_versions": dataset_diff_versions,
+        "sketch_quantiles_orders": sketch_quantiles_orders,
         # -- green in CORRECTNESS_r06, rotated out --
         "bm25_score_docs": bm25_score_docs,
         "dsir_importance_md5": dsir_importance_md5,
@@ -8717,6 +8982,10 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage_docs": _vocab_coverage_sql(),
         "bloom_semi_join_orders": BLOOM_SEMI_SQL,
         "save_version_pinned": SAVE_VERSION_SQL,
+        # r07 new surface
+        "curation_report_docs": _curation_report_sql(),
+        "dataset_diff_versions": DATASET_DIFF_SQL,
+        "sketch_quantiles_orders": SKETCH_QUANTILES_SQL,
         # default-xxhash64 sketch flows (r06 verdict task 4): cross-family
         # and planted-duplicate invariant oracles — 193/193 covered
         "minhash_pairs": MINHASH_XX_PAIRS_SQL,

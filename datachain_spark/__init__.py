@@ -53,6 +53,7 @@ from .sources import (
     read_warc,
 )
 from .card import dataset_card
+from .ops.diff import dataset_diff
 from .schema import DataModel, DataType, ModelStore, Sys, is_chain_type
 from .sources.files import (
     ArrowRow,
@@ -104,7 +105,7 @@ __all__ = [
     "from_values", "from_records", "from_pandas", "from_parquet", "from_csv",
     "from_json", "from_dataset", "from_hf", "from_storage",
     "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset", "vacuum_dataset", "dataset_card",
-    "export_dataset_table",
+    "export_dataset_table", "dataset_diff",
     "create_project", "delete_namespace",
     "Mapper", "Generator", "Aggregator", "BatchMapper", "AbstractUDF",
     "column", "c", "func",

@@ -1035,6 +1035,17 @@ class DataChain:
 
         return self._evolve(_op(self._df, id_col, text_col, **kw))
 
+    def curation_report(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
+        """Per-stage removal audit of the standard curation gate sequence —
+        quality gates, dedup, decontamination — as ONE tiny summary frame
+        (ops/curation.curation_report). ``probes`` may be a DataChain or
+        DataFrame."""
+        from .ops.curation import curation_report as _op
+
+        if "probes" in kw:
+            kw["probes"] = getattr(kw["probes"], "df", kw["probes"])
+        return self._evolve(_op(self._df, id_col, text_col, **kw))
+
     def chunk_documents(self, id_col: str, text_col: str = "text", **kw: Any) -> "DataChain":
         """Token-window chunking with overlap (ops/text.chunk_documents)."""
         from .ops.text import chunk_documents as _op

@@ -406,6 +406,96 @@ def group_quantiles(
     )
 
 
+def sketch_quantiles(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+    out_col: str = "value",
+) -> DataFrame:
+    """APPROXIMATE per-group percentiles — the 100-TB companion to
+    :func:`group_quantiles`: one row per (group, q) with the sketch
+    estimate. Wraps Spark's native ``approx_percentile`` (the
+    Greenwald-Khanna quantile summary, JVM-side, map-side mergeable — no
+    UDF, no sort, no window): rank error is bounded by ``n / accuracy``,
+    memory by ``O(accuracy · log n)`` per group regardless of group size,
+    which is what makes percentile profiles of a trillion-row column
+    feasible where the exact aggregate's percentile() buffer is not.
+
+    The estimate is an actual element of the group (GK returns data
+    points, not interpolations), so exact estimates are NOT hash-
+    comparable to quantile_cont oracles — verify with
+    :func:`quantile_rank_check` (the HLL within-3-sigma precedent:
+    exact ranks bound the estimate in-plan).
+    """
+    qs = list(quantiles)
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("sketch_quantiles: quantiles must be in [0, 1]")
+    if accuracy < 1:
+        raise ValueError("sketch_quantiles: accuracy must be >= 1")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.col(value_col).cast("double")
+    agg = df.groupBy(*groups).agg(
+        F.approx_percentile(
+            v, F.array(*[F.lit(float(q)) for q in qs]), F.lit(int(accuracy))
+        ).alias("__qv"),
+        F.count(v).alias("n_values"),
+    )
+    pairs = []
+    for i, q in enumerate(qs):
+        pairs += [F.lit(float(q)), F.col("__qv").getItem(i)]
+    return agg.select(
+        *groups, "n_values",
+        F.stack(F.lit(len(qs)), *pairs).alias("q", out_col),
+    )
+
+
+def quantile_rank_check(
+    df: DataFrame,
+    estimates: DataFrame,
+    group_cols,
+    value_col: str,
+    accuracy: int = 10_000,
+    est_col: str = "value",
+) -> DataFrame:
+    """Verify :func:`sketch_quantiles` output against its GK guarantee
+    using EXACT ranks computed in-plan: for every (group, q, estimate),
+    the true rank interval of the estimate — [count(v < est),
+    count(v <= est)], an interval because duplicates make rank ambiguous
+    — must intersect ``q·n ± (n/accuracy + 1)``. Adds ``lo_rank`` /
+    ``hi_rank`` / ``rank_ok``.
+
+    Shape: the estimate frame is #groups × #quantiles rows — broadcast
+    against the data, conditional-count aggregation back to that size.
+    The corpus is scanned once more but never shuffled on anything wider
+    than the group key.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.col(value_col).cast("double")
+    probe = estimates.select(
+        *groups, "q", "n_values", F.col(est_col).alias("__est")
+    )
+    joined = df.select(*groups, v.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).join(F.broadcast(probe), groups)
+    ranked = joined.groupBy(*groups, "q", "n_values", "__est").agg(
+        F.sum(F.when(F.col("__v") < F.col("__est"), 1).otherwise(0))
+        .alias("lo_rank"),
+        F.sum(F.when(F.col("__v") <= F.col("__est"), 1).otherwise(0))
+        .alias("hi_rank"),
+    )
+    tol = F.col("n_values") / F.lit(float(accuracy)) + F.lit(1.0)
+    target = F.col("q") * F.col("n_values")
+    return ranked.select(
+        *groups, "q", "n_values",
+        F.col("__est").alias(est_col),
+        "lo_rank", "hi_rank",
+        ((target <= F.col("hi_rank") + tol)
+         & (target >= F.col("lo_rank") - tol)).alias("rank_ok"),
+    )
+
+
 def flag_outliers(
     df: DataFrame,
     value_col: str,

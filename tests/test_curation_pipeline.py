@@ -108,3 +108,90 @@ def test_pipeline_stays_lazy(session, corpus):
     )
     after = tracker.getJobIdsForGroup(None)
     assert chain is not None and len(after) == len(before)
+
+
+def test_curation_report_stage_semantics(session, corpus):
+    # r07: the productized audit (ops/curation.curation_report) must
+    # report EXACTLY the counts the hand-rolled pipeline produces —
+    # stage k's rows_out equals applying the verified operators 1..k.
+    docs, _ = corpus
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    rep = {
+        r["stage"]: r
+        for r in docs.curation_report(
+            "doc_id", quality_threshold=0.3,
+            minhash_kw=dict(num_hashes=8, bands=4, shingle_size=2,
+                            jaccard_threshold=0.25, hash_fn="md5"),
+            probes=probes, decontaminate_kw=dict(ngram=5),
+        ).df.collect()
+    }
+    assert list(rep) == ["input", "gopher_gate", "quality_gate",
+                         "exact_dedup", "minhash_dedup", "decontaminate"]
+
+    # replay by hand through the same fluent operators
+    from datachain_spark.ops.text import quality_score
+    n0 = docs.count()
+    g = docs.gopher_filter("doc_id")
+    q = g.filter(quality_score(F.col("text")) > 0.3)
+    e = q.exact_dedup("text", id_col="doc_id")
+    m = e.minhash_dedup("doc_id", num_hashes=8, bands=4, shingle_size=2,
+                        jaccard_threshold=0.25, hash_fn="md5")
+    d = m.decontaminate(probes, "doc_id", ngram=5)
+    expected = {
+        "input": n0, "gopher_gate": g.count(), "quality_gate": q.count(),
+        "exact_dedup": e.count(), "minhash_dedup": m.count(),
+        "decontaminate": d.count(),
+    }
+    got = {s: r["rows_out"] for s, r in rep.items()}
+    assert got == expected
+    # arithmetic columns: rows_in chains, removed/pct consistent
+    for i, (s, r) in enumerate(rep.items()):
+        if i:
+            prev = list(rep.values())[i - 1]
+            assert r["rows_in"] == prev["rows_out"]
+        assert r["removed"] == r["rows_in"] - r["rows_out"]
+
+
+def test_curation_report_stage_toggles(session, corpus):
+    docs, _ = corpus
+    rep = docs.curation_report("doc_id", gopher=False, exact=True).df.collect()
+    assert [r["stage"] for r in rep] == ["input", "exact_dedup"]
+    only_in = docs.curation_report("doc_id", gopher=False, exact=False)
+    assert [r["stage"] for r in only_in.df.collect()] == ["input"]
+
+
+def test_dataset_diff_versions_and_specifiers(session, tmp_path):
+    import tempfile
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.ops.diff import dataset_diff
+
+    ms = Metastore(str(tmp_path / "ms"))
+    old_ms, session.metastore = session.metastore, ms
+    try:
+        base = dc.read_values(
+            session=session, k=[1, 2, 3, 4], v=["a", "b", "c", "d"]
+        )
+        base.save("dsd")                                   # 1.0.0
+        changed = dc.read_values(
+            session=session, k=[1, 2, 3, 5], v=["a", "B", "c", "e"]
+        )
+        changed.save("dsd")                                # 1.0.1
+        summary_df = dataset_diff("dsd", on="k", session=session)
+        got = {(r["kind"], r["item"]): r["n"] for r in summary_df.collect()}
+        # k=5 added, k=4 deleted, k=2 modified (v), k=1/3 same
+        assert got == {("status", "A"): 1, ("status", "D"): 1,
+                       ("status", "M"): 1, ("status", "S"): 2,
+                       ("column", "v"): 1}
+        # explicit pins + row-level mode
+        rows = dataset_diff(
+            "dsd", on="k", v_old="==1.0.0", v_new="==1.0.1",
+            session=session, summary=False, status_col="st",
+        )
+        st = {r["k"]: r["st"] for r in rows.df.collect()}
+        assert st == {5: "A", 4: "D", 2: "M"}
+        import pytest as _pt
+        with _pt.raises(ValueError, match="no version before"):
+            dataset_diff("dsd", on="k", v_new="==1.0.0", session=session)
+    finally:
+        session.metastore = old_ms

@@ -221,3 +221,28 @@ def test_hll_by_group_merge_equals_recompute(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="non-empty"):
         hll_merge_groups([], "g")
+
+
+def test_sketch_quantiles_gk_guarantee(session):
+    # r07: approx_percentile wrapper + in-plan rank verification — every
+    # estimate's true rank interval must satisfy the GK bound, and on
+    # small groups (n << accuracy) the sketch is exact: its estimate's
+    # rank interval contains the target rank exactly.
+    from datachain_spark.ops.sketches import (
+        quantile_rank_check,
+        sketch_quantiles,
+    )
+
+    df = session.spark.range(50_000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").cast("double").alias("x")
+    )
+    est = sketch_quantiles(df, "g", "x", (0.25, 0.5, 0.75), accuracy=100)
+    assert est.count() == 9
+    chk = quantile_rank_check(df, est, "g", "x", accuracy=100)
+    bad = chk.filter(~F.col("rank_ok")).collect()
+    assert bad == []
+
+    with pytest.raises(ValueError, match="quantiles"):
+        sketch_quantiles(df, "g", "x", (1.5,))
+    with pytest.raises(ValueError, match="accuracy"):
+        sketch_quantiles(df, "g", "x", (0.5,), accuracy=0)
