@@ -8547,6 +8547,91 @@ ORDER BY o_orderstatus, q.q
 """
 
 
+def ann_eval_emb(spark, sf):
+    """Recall@k of the IVF-probe ANN path vs exact brute force
+    (ops/similarity.ann_eval — the dedup_eval pattern for similarity
+    search): centroids = vectors 0-15, queries = 16-20, corpus = 21+,
+    k=10, n_probe=4. DuckDB independently replays BOTH paths — exact
+    per-query top-k, the argmin cell assignment, the probed-cell
+    selection and the within-cell top-k — and recomputes every recall
+    fraction, so a broken probe order, tie-break or intersection count
+    breaks the hash."""
+    from datachain_spark.ops.similarity import ann_eval
+
+    emb = _chain(spark, sf, "embeddings").df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    queries_df = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") <= 20))
+    corpus = emb.filter(F.col("vec_id") >= 21)
+    out = ann_eval(
+        corpus, queries_df, cents, k=10, n_probe=4,
+        corpus_id="vec_id", query_id="vec_id",
+    )
+    return out.select(
+        "qid", "n_exact", "n_ann", "n_common",
+        F.round("recall", 6).alias("recall_r"),
+    ).orderBy("qid")
+
+
+def _ann_eval_sql() -> str:
+    dot = lambda x, y: (
+        f"list_reduce([{x}[i+1]*{y}[i+1] for i in generate_series(0, len({x})-1)], (a,b) -> a+b)"
+    )
+    dist = lambda x, y: (
+        f"1.0 - {dot(x, y)} / (sqrt({dot(x, x)}) * sqrt({dot(y, y)}))"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < 16
+), q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id BETWEEN 16 AND 20
+), v AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id >= 21
+), exact AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, v.nid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {dist('q.qv', 'v.e')}, v.nid) AS rn
+    FROM q CROSS JOIN v) WHERE rn <= 10
+), assigned AS (
+  SELECT nid, e, cell FROM (
+    SELECT v.nid, v.e, c.cell,
+           row_number() OVER (PARTITION BY v.nid
+                              ORDER BY {dist('v.e', 'c.ce')}, c.cell) AS rn
+    FROM v CROSS JOIN c) WHERE rn = 1
+), probed AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {dist('q.qv', 'c.ce')}, c.cell) AS rn
+    FROM q CROSS JOIN c) WHERE rn <= 4
+), ann AS (
+  SELECT qid, nid FROM (
+    SELECT p.qid, a.nid,
+           row_number() OVER (PARTITION BY p.qid
+                              ORDER BY {dist('q.qv', 'a.e')}, a.nid) AS rn
+    FROM probed p
+    JOIN q ON q.qid = p.qid
+    JOIN assigned a ON a.cell = p.cell) WHERE rn <= 10
+)
+SELECT e.qid,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM ann a2 WHERE a2.qid = e.qid) AS BIGINT) AS n_ann,
+       CAST(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       round(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS recall_r
+FROM exact e LEFT JOIN ann a ON a.qid = e.qid AND a.nid = e.nid
+GROUP BY e.qid ORDER BY e.qid
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -8637,6 +8722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report_docs": curation_report_docs,
         "dataset_diff_versions": dataset_diff_versions,
         "sketch_quantiles_orders": sketch_quantiles_orders,
+        "ann_eval_emb": ann_eval_emb,
         # -- green in CORRECTNESS_r06, rotated out --
         "bm25_score_docs": bm25_score_docs,
         "dsir_importance_md5": dsir_importance_md5,
@@ -8986,6 +9072,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_report_docs": _curation_report_sql(),
         "dataset_diff_versions": DATASET_DIFF_SQL,
         "sketch_quantiles_orders": SKETCH_QUANTILES_SQL,
+        "ann_eval_emb": _ann_eval_sql(),
         # default-xxhash64 sketch flows (r06 verdict task 4): cross-family
         # and planted-duplicate invariant oracles — 193/193 covered
         "minhash_pairs": MINHASH_XX_PAIRS_SQL,

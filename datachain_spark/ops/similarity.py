@@ -318,6 +318,115 @@ def cosine_join_topk(
     )
 
 
+def ann_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    corpus_id: str = "id",
+    query_id: str = "id",
+    vec_col: str = "embedding",
+    query_vec_col: Optional[str] = None,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Recall@k of the IVF-probe ANN path against exact brute force — the
+    calibration op that answers "is n_probe=4 enough for this corpus"
+    before committing to an index layout (the :func:`~datachain_spark.ops.
+    dedup.dedup_eval` pattern applied to similarity search). One row per
+    query: ``(query_id, n_exact, n_ann, n_common, recall)``.
+
+    Both paths run in ONE lazy plan with the same distance expression and
+    the same deterministic tie-break (distance, then neighbor id), so
+    recall measures the INDEX approximation only, never kernel noise:
+    exact = per-query top-k over the whole corpus (broadcast cross,
+    guarded by ``broadcast_threshold`` exactly like :func:`cosine_join_
+    topk` — run the eval on a corpus sample at 100 TB, the estimate is
+    what calibrates); ANN = each query's ``n_probe`` nearest cells by
+    centroid distance (a #queries × #cells literal cross — tiny), then
+    top-k among same-cell corpus rows joined on the cell key.
+    """
+    if k < 1:
+        raise ValueError("ann_eval: k must be >= 1")
+    if not centroids:
+        raise ValueError("ann_eval: centroids must be non-empty")
+    n_probe = min(n_probe, len(centroids))
+    qvc = query_vec_col or vec_col
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id).alias("qid"), F.col(qvc).alias("qv"))
+    c = corpus.select(F.col(corpus_id).alias("nid"), F.col(vec_col).alias("nv"))
+
+    over = c.limit(broadcast_threshold + 1).count() > broadcast_threshold
+    if over:
+        raise ValueError(
+            f"ann_eval: corpus exceeds broadcast_threshold="
+            f"{broadcast_threshold} rows; evaluate recall on a sample — "
+            "the exact baseline is a broadcast cross join by design."
+        )
+
+    dist = cosine_distance(F.col("qv"), F.col("nv")).alias("__d")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("__d").asc_nulls_last(), F.col("nid")
+    )
+    exact = (
+        q.crossJoin(F.broadcast(c))
+        .select("qid", "nid", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", "nid")
+    )
+
+    # per-query probed cells: queries x centroid literals, window top-n_probe
+    cell_structs = [
+        F.struct(
+            cosine_distance(F.col("qv"), list(cv)).alias("d"),
+            F.lit(i).alias("cell"),
+        )
+        for i, cv in enumerate(centroids)
+    ]
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("__cd").asc_nulls_last(), F.col("__cell")
+    )
+    qcells = (
+        q.select("qid", "qv", F.explode(F.array(*cell_structs)).alias("__s"))
+        .select(
+            "qid", "qv",
+            F.col("__s.d").alias("__cd"), F.col("__s.cell").alias("__cell"),
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("qid", "qv", F.col("__cell").alias("ivf_cell"))
+    )
+    c_cells = assign_ivf_cells(c, centroids, "nv", "ivf_cell")
+    ann = (
+        qcells.join(c_cells, "ivf_cell")
+        .select("qid", "nid", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", F.col("nid").alias("ann_nid"))
+    )
+
+    per_q = exact.join(
+        ann,
+        (exact["qid"] == ann["qid"]) & (exact["nid"] == ann["ann_nid"]),
+        "left",
+    ).groupBy(exact["qid"].alias("qid")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.when(F.col("ann_nid").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_common"),
+    )
+    n_ann = ann.groupBy(F.col("qid")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ann")
+    )
+    return per_q.join(n_ann, "qid", "left").select(
+        "qid", "n_exact",
+        F.coalesce(F.col("n_ann"), F.lit(0)).cast("long").alias("n_ann"),
+        "n_common",
+        (F.col("n_common") / F.col("n_exact").cast("double")).alias("recall"),
+    )
+
+
 def group_centroids(
     df: DataFrame,
     group_col: str,

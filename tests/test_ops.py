@@ -1465,3 +1465,37 @@ def test_contrastive_no_single_partition_window(spark, sf_dir):
     import re
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert m.group(1).strip(), "window with empty partition spec"
+
+
+def test_ann_eval_recall_semantics(session):
+    # perfect index (n_probe = all cells) must report recall 1.0 for
+    # every query; fewer probes can only lose neighbors, never add
+    from datachain_spark.ops.similarity import ann_eval
+
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 8).tolist()
+    corpus = dc.read_values(
+        session=session, id=list(range(40)), v=[vecs[i] for i in range(40)]
+    ).df
+    queries = dc.read_values(
+        session=session, id=[100, 101], v=[vecs[40], vecs[41]]
+    ).df
+    cents = [vecs[50], vecs[51], vecs[52], vecs[53]]
+
+    full = ann_eval(corpus, queries, cents, k=5, n_probe=4,
+                    corpus_id="id", query_id="id", vec_col="v")
+    rows = {r["qid"]: r for r in full.collect()}
+    assert set(rows) == {100, 101}
+    assert all(r["recall"] == 1.0 and r["n_exact"] == 5 for r in rows.values())
+
+    part = ann_eval(corpus, queries, cents, k=5, n_probe=1,
+                    corpus_id="id", query_id="id", vec_col="v")
+    for r in part.collect():
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_common"] <= r["n_ann"] <= 5
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="broadcast_threshold"):
+        ann_eval(corpus, queries, cents, k=5, corpus_id="id",
+                 query_id="id", vec_col="v", broadcast_threshold=10)
