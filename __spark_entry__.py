@@ -8632,6 +8632,72 @@ GROUP BY e.qid ORDER BY e.qid
 """
 
 
+def streaming_hourly_events(spark, sf):
+    """The Structured Streaming path's first full value-hash verdict
+    (streaming/stream.read_stream + windowed_agg): the events table
+    replayed THROUGH a real streaming query — file source, event-time
+    watermark, 1-hour tumbling window, memory sink, availableNow trigger,
+    complete output mode — must reproduce the batch hourly aggregate
+    DuckDB computes independently (counts exact; the value sum rides the
+    DECIMAL cast, the events_hourly fold-order trick). Exercises the
+    whole streaming stack end-to-end: schema inference, micro-batch
+    planning, watermark wiring, window-struct output."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.streaming.stream import read_stream, windowed_agg
+
+    # the file source streams a DIRECTORY; expose the single fixture file
+    # through a temp dir symlink (testdata is read-only)
+    src_dir = tempfile.mkdtemp(prefix="dc_strm_src_")
+    os.symlink(
+        os.path.abspath(f"{sf}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    # the fixture stores ts as TIMESTAMP_NTZ; watermarks require TIMESTAMP
+    stream = (
+        read_stream(spark, src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("ts").isNotNull())
+    )
+    agg = windowed_agg(
+        stream, "ts", "1 hour", watermark="2 hours",
+        group_cols=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)).cast("long"),
+            "total_value": F.sum(F.col("value").cast("decimal(20,2)"))
+            .cast("double"),
+            "max_value": F.max("value"),
+        },
+    )
+    name = "strm_hourly_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="dc_strm_cp_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        F.col("window.start").alias("hour"),
+        "event_type", "n", "total_value", "max_value",
+    ).orderBy("hour", "event_type")
+
+
+STREAMING_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value,
+       max(value) AS max_value
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -8723,6 +8789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_diff_versions": dataset_diff_versions,
         "sketch_quantiles_orders": sketch_quantiles_orders,
         "ann_eval_emb": ann_eval_emb,
+        "streaming_hourly_events": streaming_hourly_events,
         # -- green in CORRECTNESS_r06, rotated out --
         "bm25_score_docs": bm25_score_docs,
         "dsir_importance_md5": dsir_importance_md5,
@@ -9073,6 +9140,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_diff_versions": DATASET_DIFF_SQL,
         "sketch_quantiles_orders": SKETCH_QUANTILES_SQL,
         "ann_eval_emb": _ann_eval_sql(),
+        "streaming_hourly_events": STREAMING_HOURLY_SQL,
         # default-xxhash64 sketch flows (r06 verdict task 4): cross-family
         # and planted-duplicate invariant oracles — 193/193 covered
         "minhash_pairs": MINHASH_XX_PAIRS_SQL,

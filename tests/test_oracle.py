@@ -65,6 +65,7 @@ def test_registry_window_invariants():
     assert not missing, f"window entries without an oracle: {missing}"
     orphans = [n for n in ORACLES if n not in QUERIES]
     assert not orphans, f"oracles without a query: {orphans}"
-    # rows-only entries are exactly the three documented xxhash64 twins
+    # r07: zero rows-only entries — every registry query carries a value
+    # oracle (the former xxhash64 twins got cross-family invariant oracles)
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"minhash_pairs", "simhash_pairs", "winnow_fingerprints"}, rows_only
+    assert rows_only == set(), rows_only
