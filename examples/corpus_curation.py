@@ -66,6 +66,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"plan lint: {len(report)} findings, {len(errors)} errors")
     assert n_seq > 0 and not errors
 
+    # 7. the per-stage audit the steps above hand-roll, as ONE frame
+    # (ops/curation.curation_report) — save it next to the dataset and
+    # diff it across corpus versions with dc.dataset_diff
+    audit = docs.curation_report(
+        "doc_id", quality_threshold=0.5, probes=eval_probes,
+        decontaminate_kw={"ngram": 5},
+    )
+    audit.df.show()
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
