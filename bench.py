@@ -904,36 +904,65 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                # wall x (nominal / per-query nearest anchor): what a
-                # nominal-speed idle machine would have recorded — compare
-                # THESE across rounds, not raw walls (r06 verdict task 3)
-                "queries_normalized": normalized,
-                # per-query output row counts: throughput ratios vs
-                # BASELINE.md are computable without archaeology
-                "rows": row_counts,
-                "best_of": 3,
-                # machine-speed anchor (sec for the fixed calibration agg):
-                # suite-level best-of-3 before/after, plus the single-run
-                # anchor interleaved after each query that the normalized
-                # column divides by
-                "calibration": {
-                    "workload": "range(2e7).avg(xxhash64)",
-                    "nominal_sec": CALIB_NOMINAL_SEC,
-                    "before_sec": calib_before,
-                    "after_sec": calib_after,
-                    "per_query_anchor_sec": anchors,
-                },
-                "sf": sf,
-            }
-        )
+    # The per-round recorder keeps only the LAST ~2000 characters of this
+    # output and json-parses the line from it — the r06 line outgrew that
+    # and the round's file recorded parsed=null. So the stdout line stays
+    # COMPACT (metric, per-query normalized walls at 3 dp, calibration
+    # summary) and the full detail — raw walls, row counts, per-query
+    # anchors — goes to BENCH_DETAIL.json next to this script.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        # wall x (nominal / per-query nearest anchor): what a
+        # nominal-speed idle machine would have recorded — compare THESE
+        # across rounds, not raw walls (r06 verdict task 3)
+        "queries_normalized": normalized,
+        # per-query output row counts: throughput ratios vs BASELINE.md
+        # are computable without archaeology
+        "rows": row_counts,
+        "best_of": 3,
+        "calibration": {
+            "workload": "range(2e7).avg(xxhash64)",
+            "nominal_sec": CALIB_NOMINAL_SEC,
+            "before_sec": calib_before,
+            "after_sec": calib_after,
+            "per_query_anchor_sec": anchors,
+        },
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        print(f"# full detail -> {detail_path}", file=sys.stderr)
+    except OSError as exc:  # read-only checkout: stdout still carries it
+        print(f"# could not write {detail_path}: {exc}", file=sys.stderr)
+
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in normalized.items()},
+        "queries_kind": "normalized_sec",
+        "value_kind": "raw_wall_total_sec",
+        "best_of": 3,
+        "calibration": {
+            "nominal_sec": CALIB_NOMINAL_SEC,
+            "before_sec": calib_before,
+            "after_sec": calib_after,
+        },
+        "detail": "BENCH_DETAIL.json",
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt: shed precision before the recorder cuts
+        compact["queries"] = {k: round(v, 2) for k, v in normalized.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
