@@ -8698,6 +8698,99 @@ GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def temporal_split_events(spark, sf):
+    """Leakage-safe temporal split (ops/splits.temporal_split): the
+    cutoff is the in-plan 80% time quantile, rows within the 1-hour
+    embargo before it are purged into their own bucket. The oracle
+    recomputes the interpolated quantile (the shared percentile /
+    quantile_cont definition), replays the three-way labeling and
+    checks per-split counts AND time boundaries."""
+    from datachain_spark.ops.splits import temporal_split
+
+    ev = _chain(spark, sf, "events").df
+    out = temporal_split(ev, "ts", test_frac=0.2, embargo_seconds=3600)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("split")
+    )
+
+
+TEMPORAL_SPLIT_SQL = """
+WITH src AS (
+  SELECT ts, epoch(CAST(ts AS TIMESTAMP)) AS e FROM events
+), cut AS (
+  SELECT quantile_cont(e, 0.8) AS c FROM src
+), labeled AS (
+  SELECT ts,
+         CASE WHEN e IS NULL THEN NULL
+              WHEN e >= (SELECT c FROM cut) THEN 'test'
+              WHEN e < (SELECT c FROM cut) - 3600.0 THEN 'train'
+              ELSE 'embargo' END AS split
+  FROM src
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM labeled GROUP BY split ORDER BY split
+"""
+
+
+def mad_outliers_orders(spark, sf):
+    """Median/MAD outlier fences (ops/sketches.flag_outliers
+    method='mad'): per-order-status median ± k·1.4826·MAD, the most
+    outlier-resistant fence family. The oracle recomputes both medians
+    (value, then absolute deviation) with quantile_cont, rebuilds the
+    fences and recounts the flags — per-group fence values AND outlier
+    counts hash-checked."""
+    from datachain_spark.ops.sketches import flag_outliers
+
+    orders = _chain(spark, sf, "orders").df
+    out = flag_outliers(
+        orders, "o_totalprice", "o_orderstatus", k=1.5, method="mad"
+    )
+    return (
+        out.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+            .cast("long").alias("n_outliers"),
+            F.round(F.max("fence_lo"), 4).alias("lo_r"),
+            F.round(F.max("fence_hi"), 4).alias("hi_r"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_MAD_SCALE = 1.5 * 1.4826  # k * consistency constant, folded identically
+
+
+MAD_OUTLIERS_SQL = f"""
+WITH src AS (
+  SELECT o_orderstatus AS s, CAST(o_totalprice AS DOUBLE) AS x FROM orders
+), med AS (
+  SELECT s, quantile_cont(x, 0.5) AS m FROM src GROUP BY s
+), mad AS (
+  SELECT src.s, max(med.m) AS m,
+         quantile_cont(abs(src.x - med.m), 0.5) AS d
+  FROM src JOIN med USING (s) GROUP BY src.s
+), fences AS (
+  SELECT s, m - {_MAD_SCALE!r} * d AS lo, m + {_MAD_SCALE!r} * d AS hi
+  FROM mad
+)
+SELECT f.s AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN src.x < f.lo OR src.x > f.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(f.lo, 4) AS lo_r, round(f.hi, 4) AS hi_r
+FROM src JOIN fences f USING (s)
+GROUP BY f.s, f.lo, f.hi ORDER BY o_orderstatus
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -8790,6 +8883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles_orders": sketch_quantiles_orders,
         "ann_eval_emb": ann_eval_emb,
         "streaming_hourly_events": streaming_hourly_events,
+        "temporal_split_events": temporal_split_events,
+        "mad_outliers_orders": mad_outliers_orders,
         # -- green in CORRECTNESS_r06, rotated out --
         "bm25_score_docs": bm25_score_docs,
         "dsir_importance_md5": dsir_importance_md5,
@@ -9141,6 +9236,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantiles_orders": SKETCH_QUANTILES_SQL,
         "ann_eval_emb": _ann_eval_sql(),
         "streaming_hourly_events": STREAMING_HOURLY_SQL,
+        "temporal_split_events": TEMPORAL_SPLIT_SQL,
+        "mad_outliers_orders": MAD_OUTLIERS_SQL,
         # default-xxhash64 sketch flows (r06 verdict task 4): cross-family
         # and planted-duplicate invariant oracles — 193/193 covered
         "minhash_pairs": MINHASH_XX_PAIRS_SQL,

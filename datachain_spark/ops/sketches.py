@@ -507,7 +507,11 @@ def flag_outliers(
 ) -> DataFrame:
     """Tag rows whose ``value_col`` falls outside the per-group fence:
     Tukey ``iqr`` (default — [q1 - k·iqr, q3 + k·iqr], robust to the very
-    outliers it hunts) or ``zscore`` (mean ± k·σ). NULL values get NULL
+    outliers it hunts), ``zscore`` (mean ± k·σ), or ``mad`` (median ±
+    k·1.4826·MAD — the scaled median-absolute-deviation fence, the most
+    outlier-resistant of the three; 1.4826 ≈ 1/Φ⁻¹(0.75) makes MAD a
+    consistent σ estimator on normal data, so ``k`` reads in sigmas).
+    NULL values get NULL
     flags. Adds ``out_col`` plus the two fence columns (``fence_lo``/
     ``fence_hi``) so the caller can report or clamp, not just drop;
     ``clamp_col`` additionally emits the winsorized value (outliers
@@ -519,8 +523,10 @@ def flag_outliers(
     hash-verifiable; zscore fences are fold-order floating sums
     (production-fine, but the oracle covers the iqr path).
     """
-    if method not in ("iqr", "zscore"):
-        raise ValueError("flag_outliers: method must be 'iqr' or 'zscore'")
+    if method not in ("iqr", "zscore", "mad"):
+        raise ValueError(
+            "flag_outliers: method must be 'iqr', 'zscore' or 'mad'"
+        )
     if k <= 0:
         raise ValueError("flag_outliers: k must be positive")
     if clamp_col and clamp_col == value_col:
@@ -540,6 +546,26 @@ def flag_outliers(
              ).alias("fence_lo"),
             (F.col("__q")[1] + F.lit(float(k)) * (F.col("__q")[1] - F.col("__q")[0])
              ).alias("fence_hi"),
+        )
+    elif method == "mad":
+        from .common import broadcast_group_join as _bgj
+
+        # two passes: per-group median, then the median absolute
+        # deviation around it — both #groups-row aggregates, the corpus
+        # shuffles on the (tiny) group key only
+        med = df.groupBy(*groups).agg(
+            F.percentile(v, F.lit(0.5)).alias("__med")
+        )
+        dev = _bgj(df, groups, med)
+        scaled = F.lit(float(k)) * F.lit(1.4826)
+        stats = dev.groupBy(*groups).agg(
+            F.max("__med").alias("__med"),  # constant within the group
+            F.percentile(F.abs(v - F.col("__med")), F.lit(0.5))
+            .alias("__mad"),
+        ).select(
+            *groups,
+            (F.col("__med") - scaled * F.col("__mad")).alias("fence_lo"),
+            (F.col("__med") + scaled * F.col("__mad")).alias("fence_hi"),
         )
     else:
         stats = df.groupBy(*groups).agg(

@@ -133,3 +133,54 @@ def kfold_assign(
     strata = [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
     rn = F.row_number().over(_rank_window(strata, h, id_col))
     return df.withColumn(fold_col, ((rn - F.lit(1)) % F.lit(k)).cast("int"))
+
+
+def temporal_split(
+    df: DataFrame,
+    time_col: str,
+    cutoff=None,
+    test_frac: float = 0.2,
+    embargo_seconds: float = 0.0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe TEMPORAL split: train strictly before the cutoff minus
+    an embargo gap, test at/after the cutoff — the time-series evaluation
+    protocol where random splits leak future information into training
+    (and, with overlapping-horizon labels, rows immediately before the
+    boundary leak too: the ``embargo_seconds`` purge drops them into an
+    explicit ``"embargo"`` bucket instead of silently training on them —
+    the purged/embargoed split of the financial-ML literature).
+
+    ``cutoff`` is an explicit timestamp/epoch boundary; with
+    ``cutoff=None`` it is the ``1 - test_frac`` time quantile computed
+    IN-PLAN (one 1-row aggregate broadcast back — the q22 scalar pattern,
+    no driver round-trip). Adds ``out_col`` ∈ {'train', 'embargo',
+    'test'}; NULL timestamps get a NULL split. Zero shuffles beyond the
+    1-row bounds aggregate: the labeling itself is a pure projection, so
+    a 100-TB corpus scans once.
+    """
+    if not 0.0 < test_frac < 1.0:
+        raise ValueError("temporal_split: test_frac must be in (0, 1)")
+    if embargo_seconds < 0:
+        raise ValueError("temporal_split: embargo_seconds must be >= 0")
+    epoch = F.col(time_col).cast("timestamp").cast("double")
+    if cutoff is not None:
+        cut = F.lit(cutoff).cast("timestamp").cast("double")
+        labeled = df.withColumn("__cut", cut)
+    else:
+        glob = df.agg(
+            F.percentile(epoch, F.lit(1.0 - float(test_frac)))
+            .alias("__cut")
+        )
+        labeled = df.crossJoin(F.broadcast(glob))
+    emb = F.lit(float(embargo_seconds))
+    split = (
+        F.when(epoch.isNull(), F.lit(None).cast("string"))
+        .when(epoch >= F.col("__cut"), F.lit("test"))
+        .when(epoch < F.col("__cut") - emb, F.lit("train"))
+        .otherwise(F.lit("embargo"))
+    )
+    return labeled.withColumn(out_col, split).drop("__cut")
+
+
+__all__.append("temporal_split")

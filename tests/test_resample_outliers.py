@@ -63,7 +63,7 @@ def test_flag_outliers_zscore_and_global(spark):
     flags = {r["v"]: r["is_outlier"] for r in out.collect()}
     assert flags[50.0] is True and flags[1.0] is False
     with pytest.raises(ValueError, match="method"):
-        flag_outliers(df, "v", method="mad")
+        flag_outliers(df, "v", method="tukey")
 
 
 def test_unpivot_fillna_dropna(session):
@@ -182,3 +182,21 @@ def test_extract_links_unquoted_href(spark):
     )
     urls = [r["url"] for r in extract_links(df, "id").collect()]
     assert urls == ["http://x.com/1", "http://y.com/2"]
+
+
+def test_flag_outliers_mad(spark):
+    # MAD fences ignore the outlier itself (median-based), unlike zscore
+    from pyspark.sql import functions as F
+
+    from datachain_spark.ops.sketches import flag_outliers
+
+    vals = [10.0, 11.0, 12.0, 11.5, 10.5, 1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["x"]: r["is_outlier"] for r in flag_outliers(
+        df, "x", k=3, method="mad").collect()}
+    assert out[1000.0] is True
+    assert all(not out[v] for v in vals[:-1])
+
+    import pytest
+    with pytest.raises(ValueError, match="method"):
+        flag_outliers(df, "x", method="median")

@@ -125,3 +125,40 @@ def test_calibrate_scores_global_group(spark):
     df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "s double")
     got = sorted(r["score_pct"] for r in calibrate_scores(df, "s").collect())
     assert got == pytest.approx([0.0, 0.5, 1.0])
+
+
+def test_temporal_split_semantics(spark):
+    # explicit cutoff + embargo labeling; in-plan quantile cutoff; NULL ts
+    from pyspark.sql import functions as F
+
+    from datachain_spark.ops.splits import temporal_split
+
+    rows = [(1, 100), (2, 200), (3, 3500), (4, 3700), (5, 4000),
+            (6, None)]
+    df = spark.createDataFrame(rows, "id long, sec long").select(
+        "id",
+        F.when(F.col("sec").isNotNull(),
+               F.timestamp_seconds("sec")).alias("ts"),
+    )
+    out = {r["id"]: r["split"] for r in temporal_split(
+        df, "ts", cutoff="1970-01-01 01:01:40", embargo_seconds=300
+    ).collect()}  # cutoff = epoch 3700
+    assert out == {1: "train", 2: "train", 3: "embargo", 4: "test",
+                   5: "test", 6: None}
+
+    # quantile path: 80/20-ish split, no leakage (max train < min test)
+    big = spark.range(1000).select(
+        F.col("id"), F.timestamp_seconds(F.col("id") * 60).alias("ts")
+    )
+    parts = temporal_split(big, "ts", test_frac=0.2)
+    agg = {r["split"]: r for r in parts.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ts").alias("mx"),
+        F.min("ts").alias("mn")).collect()}
+    assert abs(agg["test"]["n"] - 200) <= 2
+    assert agg["train"]["mx"] < agg["test"]["mn"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="test_frac"):
+        temporal_split(big, "ts", test_frac=1.5)
+    with _pt.raises(ValueError, match="embargo"):
+        temporal_split(big, "ts", embargo_seconds=-1)
