@@ -8927,13 +8927,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order_limit_offset). Everything green in CORRECTNESS_r06 rotates to
     overflow.
 
-    r08 window plan: rotate IN the new r07 operators (listed first in
-    overflow: curation_report / dataset_diff / sketch-quantile /
-    cross-family sketch invariants) plus the longest-out-of-window
-    r02-r04 greens (merge_left_regions, group_concat_sorted,
-    string_similarity, path_funcs, semi_join_orders, intersect_cross,
-    winnow_pairs_md5, the r03 function families, udf_*, multimodal) so
-    every registry entry keeps a driver verdict at most ~3 rounds old.
+    r08 window plan: rotate IN the never-driver-checked r07 additions —
+    the 8 new operators listed first in overflow (curation_report,
+    dataset_diff, sketch_quantiles, ann_eval, streaming_hourly,
+    temporal_split, mad_outliers, webdataset/to_storage roundtrips) and
+    the 3 promoted cross-family sketch oracles (minhash_pairs,
+    simhash_pairs, winnow_fingerprints at the registry tail) — plus the
+    longest-out-of-window r02-r04 greens (merge_left_regions,
+    group_concat_sorted, string_similarity, path_funcs,
+    semi_join_orders, intersect_cross, winnow_pairs_md5, the r03
+    function families, udf_*, multimodal) so every registry entry keeps
+    a driver verdict at most ~3 rounds old.
 
     EVERY entry — window and overflow — is still verified locally each run
     by tests/test_oracle.py, and scripts/local_oracle.py emits the full
