@@ -8908,6 +8908,44 @@ FROM documents WHERE doc_id < 30 ORDER BY doc_id
 """
 
 
+def standardize_orders(spark, sf):
+    """Per-group robust feature scaling (ops/sketches.standardize,
+    method='robust' — (x - median) / IQR, the RobustScaler convention):
+    stats computed over the FULL orders table per status, a keyed subset
+    emitted. DuckDB recomputes both quantiles (shared interpolation
+    definition) and every scaled value."""
+    from datachain_spark.ops.sketches import standardize
+
+    orders = _chain(spark, sf, "orders").df
+    out = standardize(
+        orders, ["o_totalprice"], "o_orderstatus", method="robust"
+    )
+    return (
+        out.filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice_scaled", 6).alias("scaled_r"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+STANDARDIZE_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus AS s,
+         CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders
+), st AS (
+  SELECT s, quantile_cont(x, 0.5) AS med,
+         quantile_cont(x, 0.75) - quantile_cont(x, 0.25) AS iqr
+  FROM src GROUP BY s
+)
+SELECT o_orderkey, round((x - med) / nullif(iqr, 0), 6) AS scaled_r
+FROM src JOIN st USING (s)
+WHERE o_orderkey < 2000 ORDER BY o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -9008,6 +9046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_orders": mad_outliers_orders,
         "webdataset_roundtrip": webdataset_roundtrip,
         "to_storage_roundtrip": to_storage_roundtrip,
+        "standardize_orders": standardize_orders,
         # -- green in CORRECTNESS_r06, rotated out --
         "bm25_score_docs": bm25_score_docs,
         "dsir_importance_md5": dsir_importance_md5,
@@ -9363,6 +9402,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,
         "to_storage_roundtrip": TO_STORAGE_RT_SQL,
+        "standardize_orders": STANDARDIZE_SQL,
         # default-xxhash64 sketch flows (r06 verdict task 4): cross-family
         # and planted-duplicate invariant oracles — 193/193 covered
         "minhash_pairs": MINHASH_XX_PAIRS_SQL,

@@ -593,3 +593,72 @@ def flag_outliers(
             ),
         )
     return out
+
+
+def standardize(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_cols=None,
+    method: str = "zscore",
+    suffix: str = "_scaled",
+) -> DataFrame:
+    """Feature scaling for training-data prep: append ``<col><suffix>``
+    columns scaled per group (or globally) by one of
+
+    - ``zscore``:  (x - mean) / stddev        (unit variance)
+    - ``minmax``:  (x - min) / (max - min)    ([0, 1])
+    - ``robust``:  (x - median) / IQR         (outlier-resistant — the
+      scikit-learn RobustScaler convention)
+
+    Degenerate groups (zero stddev / zero range / zero IQR) yield NULL
+    scaled values rather than infinities (``try_divide``); NULL inputs
+    stay NULL. Column names with dots are handled (backtick refs).
+
+    Shape: ONE #groups-row aggregation computes every column's stats in
+    the same pass and broadcasts back through the null-safe group join —
+    the corpus scans once and never wide-shuffles. zscore uses Welford-
+    based stddev (fold-order floating sums: production-fine; the oracle
+    covers minmax/robust exactly and zscore at rounded precision).
+    """
+    if method not in ("zscore", "minmax", "robust"):
+        raise ValueError(
+            "standardize: method must be 'zscore', 'minmax' or 'robust'"
+        )
+    cols = list(cols)
+    if not cols:
+        raise ValueError("standardize: cols must be non-empty")
+    groups = (
+        [] if group_cols is None
+        else [group_cols] if isinstance(group_cols, str)
+        else list(group_cols)
+    )
+    aggs = []
+    for i, c in enumerate(cols):
+        v = F.col(f"`{c}`").cast("double")
+        if method == "zscore":
+            aggs += [F.avg(v).alias(f"__c{i}"), F.stddev(v).alias(f"__s{i}")]
+        elif method == "minmax":
+            aggs += [
+                F.min(v).alias(f"__c{i}"),
+                (F.max(v) - F.min(v)).alias(f"__s{i}"),
+            ]
+        else:
+            q = F.percentile(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+            aggs += [
+                q.getItem(1).alias(f"__c{i}"),
+                (q.getItem(2) - q.getItem(0)).alias(f"__s{i}"),
+            ]
+    stats = df.groupBy(*groups).agg(*aggs)
+
+    from .common import broadcast_group_join
+
+    joined = broadcast_group_join(df, groups, stats)
+    out = joined
+    for i, c in enumerate(cols):
+        v = F.col(f"`{c}`").cast("double")
+        scale = F.when(F.col(f"__s{i}") != 0, F.col(f"__s{i}"))
+        out = out.withColumn(
+            f"{c}{suffix}", F.try_divide(v - F.col(f"__c{i}"), scale)
+        )
+    return out.drop(*[f"__c{i}" for i in range(len(cols))],
+                    *[f"__s{i}" for i in range(len(cols))])

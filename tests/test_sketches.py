@@ -246,3 +246,30 @@ def test_sketch_quantiles_gk_guarantee(session):
         sketch_quantiles(df, "g", "x", (1.5,))
     with pytest.raises(ValueError, match="accuracy"):
         sketch_quantiles(df, "g", "x", (0.5,), accuracy=0)
+
+
+def test_standardize_methods(spark):
+    from datachain_spark.ops.sketches import standardize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 10.0), ("b", None)],
+        "g string, x double",
+    )
+    mm = {(r["g"], r["x"]): r["x_scaled"] for r in standardize(
+        df, ["x"], "g", method="minmax").collect()}
+    assert mm[("a", 1.0)] == 0.0 and mm[("a", 3.0)] == 1.0
+    # degenerate range and NULL input both give NULL, not inf
+    assert mm[("b", 10.0)] is None and mm[("b", None)] is None
+
+    z = standardize(df, ["x"], method="zscore")
+    vals = [r["x_scaled"] for r in z.collect() if r["x_scaled"] is not None]
+    assert abs(sum(vals)) < 1e-9
+
+    rb = {r["x"]: r["x_scaled"] for r in standardize(
+        df.filter(F.col("g") == "a"), ["x"], method="robust").collect()}
+    assert rb[1.0] == -1.0 and rb[3.0] == 1.0  # (x - 2) / 1-IQR... IQR=1
+
+    with pytest.raises(ValueError, match="method"):
+        standardize(df, ["x"], method="l2")
+    with pytest.raises(ValueError, match="non-empty"):
+        standardize(df, [], method="zscore")
