@@ -8908,6 +8908,49 @@ FROM documents WHERE doc_id < 30 ORDER BY doc_id
 """
 
 
+def exact_dedup_incr_md5(spark, sf):
+    """Incremental exact dedup against a stored fingerprint index
+    (ops/dedup.fingerprint_index + exact_dedup_incremental, md5 family):
+    docs < 100 exist only as their 8-byte fingerprint table; the
+    overlapping 50-199 snapshot reduces to per-fingerprint min-id
+    winners, then anti-joins the index — historical text never rescanned.
+    DuckDB replays normalization, the md5-60-bit fingerprint, the winner
+    rule and the NOT IN probe."""
+    from datachain_spark.ops.dedup import (
+        exact_dedup_incremental,
+        fingerprint_index,
+    )
+
+    docs = _chain(spark, sf, "documents").df
+    index = fingerprint_index(
+        docs.filter(F.col("doc_id") < 100), "text", hash_fn="md5"
+    )
+    snap = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 200))
+    out = exact_dedup_incremental(
+        snap, index, "text", "doc_id", hash_fn="md5"
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+EXACT_DEDUP_INCR_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g')), 1, 15)
+              AS BIGINT) AS fp
+  FROM documents
+), idx AS (
+  SELECT DISTINCT fp FROM norm WHERE doc_id < 100
+), snap AS (
+  SELECT doc_id, fp FROM norm WHERE doc_id >= 50 AND doc_id < 200
+), fresh AS (
+  SELECT min(doc_id) AS doc_id FROM snap GROUP BY fp
+  HAVING min(fp) NOT IN (SELECT fp FROM idx)
+)
+SELECT doc_id FROM fresh ORDER BY doc_id
+"""
+
+
 def standardize_orders(spark, sf):
     """Per-group robust feature scaling (ops/sketches.standardize,
     method='robust' — (x - median) / IQR, the RobustScaler convention):
@@ -9047,6 +9090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_roundtrip": webdataset_roundtrip,
         "to_storage_roundtrip": to_storage_roundtrip,
         "standardize_orders": standardize_orders,
+        "exact_dedup_incr_md5": exact_dedup_incr_md5,
         # -- green in CORRECTNESS_r06, rotated out --
         "bm25_score_docs": bm25_score_docs,
         "dsir_importance_md5": dsir_importance_md5,
@@ -9403,6 +9447,7 @@ def oracle_sql() -> dict[str, str]:
         "webdataset_roundtrip": WEBDATASET_RT_SQL,
         "to_storage_roundtrip": TO_STORAGE_RT_SQL,
         "standardize_orders": STANDARDIZE_SQL,
+        "exact_dedup_incr_md5": EXACT_DEDUP_INCR_SQL,
         # default-xxhash64 sketch flows (r06 verdict task 4): cross-family
         # and planted-duplicate invariant oracles — 193/193 covered
         "minhash_pairs": MINHASH_XX_PAIRS_SQL,

@@ -54,6 +54,53 @@ def exact_dedup(
     )
 
 
+def fingerprint_index(
+    df: DataFrame, text_col: str = "text", hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """Distinct normalized-text fingerprints of a corpus — the stored
+    exact-dedup index (one BIGINT column ``fingerprint``). Save it next
+    to the dataset version and feed later snapshots through
+    :func:`exact_dedup_incremental` without ever rescanning historical
+    text; union + distinct the new snapshot's index in to advance it.
+    The exact-dedup twin of :func:`minhash_signatures`."""
+    return (
+        df.select(fingerprint(F.col(text_col), hash_fn).alias("fingerprint"))
+        .distinct()
+    )
+
+
+def exact_dedup_incremental(
+    df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: Optional[str] = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact-dedup a NEW snapshot against a stored fingerprint index
+    (:func:`fingerprint_index`) — the batch-ingest companion to
+    :func:`minhash_dedup_incremental`: historical text is never
+    rescanned, only its 8-byte fingerprints are. Within-snapshot
+    duplicates reduce to the min-id representative first (the
+    :func:`exact_dedup` rule), then one hash-keyed LEFT ANTI join drops
+    every row whose fingerprint the index already holds.
+
+    Scale: the anti join shuffles 64-bit keys on both sides — no
+    broadcast assumption, the index can be as large as the corpus it
+    summarizes. ``hash_fn="md5"`` selects the portable family (both the
+    index build and the probe must use the same family)."""
+    fp = fingerprint(F.col(text_col), hash_fn).alias("__fp")
+    key = id_col or df.columns[0]
+    w = Window.partitionBy("__fp").orderBy(F.col(key))
+    fresh = (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    probe = index.select(F.col("fingerprint").alias("__fp")).distinct()
+    return fresh.join(probe, "__fp", "left_anti").drop("__fp")
+
+
 def minhash_signature(
     text_col,
     num_hashes: int = 64,

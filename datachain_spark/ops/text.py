@@ -137,12 +137,14 @@ def _seeded_hash64(col, seed: int, hash_fn: str) -> Column:
     return _hash64(F.concat(col, F.lit(f":{seed}")), hash_fn)
 
 
-def fingerprint(col) -> Column:
+def fingerprint(col, hash_fn: str = "xxhash64") -> Column:
     """Deterministic 64-bit fingerprint of whitespace/case-normalized text —
-    the exact-dedup key. xxhash64 on the normalized form."""
+    the exact-dedup key. xxhash64 on the normalized form by default;
+    ``hash_fn="md5"`` selects the portable cross-engine family (the
+    sketch-oracle convention)."""
     c = to_column(col)
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    return F.xxhash64(normalized)
+    return _hash64(normalized, hash_fn)
 
 
 # lowercase Latin-1/Latin-Extended accents -> ASCII base letters; applied

@@ -118,3 +118,38 @@ def test_bad_kind_rejected(parts):
         inc.build_agg_state(a, ["g"], {"x": ("median", "v")})
     with pytest.raises(ValueError, match="needs a column"):
         inc.build_agg_state(a, ["g"], {"x": ("sum", None)})
+
+
+def test_exact_dedup_incremental(spark):
+    # index holds the history; the new snapshot drops rows whose
+    # normalized text the index has seen, keeps min-id winners within
+    # the snapshot, and never touches historical text
+    from pyspark.sql import functions as F
+
+    from datachain_spark.ops.dedup import (
+        exact_dedup_incremental,
+        fingerprint_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "Seen  Before"), (2, "also seen")], "id long, text string")
+    idx = fingerprint_index(hist, "text")
+    assert idx.columns == ["fingerprint"] and idx.count() == 2
+
+    snap = spark.createDataFrame(
+        [
+            (10, "seen before"),     # normalizes into the index -> drop
+            (11, "brand new"),
+            (12, "brand  NEW"),      # within-snapshot dup of 11 -> drop
+            (13, "also new"),
+        ],
+        "id long, text string",
+    )
+    out = exact_dedup_incremental(snap, idx, "text", "id")
+    assert sorted(r["id"] for r in out.collect()) == [11, 13]
+    assert set(out.columns) == {"id", "text"}
+
+    # advancing the index: union + distinct covers the new snapshot
+    idx2 = idx.unionByName(fingerprint_index(snap, "text")).distinct()
+    none_left = exact_dedup_incremental(snap, idx2, "text", "id")
+    assert none_left.count() == 0
