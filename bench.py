@@ -151,6 +151,12 @@ HEADLINE = [
     "journey_full",
     # model-free hashed retrieval: embed corpus + cosine top-10
     "hash_retrieval_full",
+    # r07 additions: GK quantile sketch + rank check, temporal split,
+    # robust scaling, fingerprint-index incremental dedup
+    "sketch_quantiles_orders",
+    "temporal_split_events",
+    "standardize_orders",
+    "exact_dedup_incr_md5",
 ]
 
 
