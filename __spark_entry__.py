@@ -8951,6 +8951,53 @@ SELECT doc_id FROM fresh ORDER BY doc_id
 """
 
 
+def novelty_score_md5(spark, sf):
+    """Per-doc novelty vs a stored n-gram index (ops/text.ngram_index +
+    novelty_score, md5 family): docs < 100 exist only as their distinct
+    3-gram hash set; docs 100-199 score the fraction of their n-grams
+    the index has never seen. DuckDB rebuilds both shingle sets from raw
+    strings and recounts every miss — counts and fractions
+    hash-checked."""
+    from datachain_spark.ops.text import ngram_index, novelty_score
+
+    docs = _chain(spark, sf, "documents").df
+    idx = ngram_index(docs.filter(F.col("doc_id") < 100), hash_fn="md5")
+    snap = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    out = novelty_score(snap, idx, "doc_id", hash_fn="md5")
+    return out.select(
+        "doc_id", "n_ngrams", "n_novel",
+        F.round("novelty", 6).alias("novelty_r"),
+    ).orderBy("doc_id")
+
+
+NOVELTY_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE [concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, len(w)-2)]
+           END) AS shingles
+  FROM words
+), idx AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 100
+), probe AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+  WHERE doc_id >= 100 AND doc_id < 200
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN i.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN i.s IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty_r
+FROM probe p LEFT JOIN idx i ON i.s = p.s
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
 def standardize_orders(spark, sf):
     """Per-group robust feature scaling (ops/sketches.standardize,
     method='robust' — (x - median) / IQR, the RobustScaler convention):
@@ -9091,6 +9138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_storage_roundtrip": to_storage_roundtrip,
         "standardize_orders": standardize_orders,
         "exact_dedup_incr_md5": exact_dedup_incr_md5,
+        "novelty_score_md5": novelty_score_md5,
         # -- green in CORRECTNESS_r06, rotated out --
         "bm25_score_docs": bm25_score_docs,
         "dsir_importance_md5": dsir_importance_md5,
@@ -9448,6 +9496,7 @@ def oracle_sql() -> dict[str, str]:
         "to_storage_roundtrip": TO_STORAGE_RT_SQL,
         "standardize_orders": STANDARDIZE_SQL,
         "exact_dedup_incr_md5": EXACT_DEDUP_INCR_SQL,
+        "novelty_score_md5": NOVELTY_SQL,
         # default-xxhash64 sketch flows (r06 verdict task 4): cross-family
         # and planted-duplicate invariant oracles — 193/193 covered
         "minhash_pairs": MINHASH_XX_PAIRS_SQL,

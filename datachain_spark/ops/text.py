@@ -1373,3 +1373,72 @@ def compression_ratio(
             })
 
     return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def ngram_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: Optional[str] = None,
+    ngram: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Distinct word-n-gram hashes of a corpus — the stored reference set
+    :func:`novelty_score` probes (one BIGINT column ``ngram_hash``).
+    Save it next to a dataset version and score later snapshots without
+    rescanning this corpus; union + distinct new snapshots in to advance
+    it (the :func:`~datachain_spark.ops.dedup.fingerprint_index` shape,
+    one level below whole-document identity)."""
+    _ = id_col  # the index is id-free; accepted for API symmetry
+    rows = shingle_rows(
+        df.select(F.monotonically_increasing_id().alias("__sid"), text_col),
+        "__sid", text_col, n=ngram, distinct=True,
+    )
+    return (
+        rows.select(_hash64(F.col("__shingle"), hash_fn).alias("ngram_hash"))
+        .distinct()
+    )
+
+
+def novelty_score(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngram: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document NOVELTY vs a reference corpus: the fraction of the
+    doc's distinct word n-grams absent from an :func:`ngram_index` —
+    the data-freshness / near-duplication signal curation pipelines rank
+    by when deciding what a new crawl actually adds (novelty ~0 means
+    the doc is re-hashed boilerplate even when no single document
+    duplicates it; the per-doc complement of the corpus-level
+    :func:`corpus_overlap`). Output: ``(id_col, n_ngrams, n_novel,
+    novelty)``; docs with no n-grams (empty text) get novelty NULL.
+
+    Shape: the doc side explodes ONCE to distinct (id, gram-hash) rows;
+    one hash-keyed LEFT join against the index (both sides shuffle on
+    the 64-bit key — no broadcast assumption, the index can be as large
+    as the corpus it summarizes) and one id-keyed count aggregation.
+    Raw text never shuffles.
+    """
+    if ngram < 1:
+        raise ValueError("novelty_score: ngram must be >= 1")
+    rows = shingle_rows(df, id_col, text_col, n=ngram, distinct=True)
+    # shingle_rows emits internal (__id, __shingle) names
+    hashed = rows.select(
+        F.col("__id").alias(id_col),
+        _hash64(F.col("__shingle"), hash_fn).alias("__h"),
+    )
+    probe = index.select(
+        F.col("ngram_hash").alias("__h"), F.lit(True).alias("__seen")
+    ).distinct()
+    joined = hashed.join(probe, "__h", "left")
+    out = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_novel"),
+    )
+    return out.withColumn(
+        "novelty", F.try_divide(F.col("n_novel"), F.col("n_ngrams"))
+    )

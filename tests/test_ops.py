@@ -1499,3 +1499,34 @@ def test_ann_eval_recall_semantics(session):
     with _pt.raises(ValueError, match="broadcast_threshold"):
         ann_eval(corpus, queries, cents, k=5, corpus_id="id",
                  query_id="id", vec_col="v", broadcast_threshold=10)
+
+
+def test_novelty_score_semantics(session):
+    from pyspark.sql import functions as F
+
+    from datachain_spark.ops.text import ngram_index, novelty_score
+
+    hist = dc.read_values(
+        session=session, id=[1],
+        text=["the quick brown fox jumps over the lazy dog"],
+    ).df
+    idx = ngram_index(hist, "text", ngram=3)
+    snap = dc.read_values(
+        session=session, id=[10, 11, 12],
+        text=[
+            "the quick brown fox jumps over the lazy dog",  # all seen
+            "completely different words entirely here now", # all novel
+            "",                                             # no n-grams? whole-doc fallback
+        ],
+    ).df
+    out = {r["id"]: r for r in novelty_score(
+        snap, idx, "id", ngram=3).collect()}
+    assert out[10]["novelty"] == 0.0
+    assert out[11]["novelty"] == 1.0
+    # empty doc: shingles() falls back to the whole (empty) string — one
+    # "shingle" that the index lacks
+    assert out[12]["n_ngrams"] == 1 and out[12]["novelty"] == 1.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="ngram"):
+        novelty_score(snap, idx, "id", ngram=0)
