@@ -8701,14 +8701,20 @@ GROUP BY 1, 2 ORDER BY hour, event_type
 def temporal_split_events(spark, sf):
     """Leakage-safe temporal split (ops/splits.temporal_split): the
     cutoff is the in-plan 80% time quantile, rows within the 1-hour
-    embargo before it are purged into their own bucket. The oracle
-    recomputes the interpolated quantile (the shared percentile /
-    quantile_cont definition), replays the three-way labeling and
-    checks per-split counts AND time boundaries."""
+    embargo before it are purged into their own bucket. ``exact=True``
+    is the oracle-parity opt-in (DuckDB's quantile_cont IS the exact
+    interpolated percentile); the production DEFAULT is
+    approx_percentile (GK — bounded agg state at 100 TB) and is
+    verified by the ``temporal_split_approx_events`` twin's in-plan
+    rank-guarantee check. The oracle recomputes the interpolated
+    quantile, replays the three-way labeling and checks per-split
+    counts AND time boundaries."""
     from datachain_spark.ops.splits import temporal_split
 
     ev = _chain(spark, sf, "events").df
-    out = temporal_split(ev, "ts", test_frac=0.2, embargo_seconds=3600)
+    out = temporal_split(
+        ev, "ts", test_frac=0.2, embargo_seconds=3600, exact=True
+    )
     return (
         out.groupBy("split")
         .agg(
@@ -8736,6 +8742,85 @@ WITH src AS (
 SELECT split, CAST(count(*) AS BIGINT) AS n,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM labeled GROUP BY split ORDER BY split
+"""
+
+
+def temporal_split_approx_events(spark, sf):
+    """The PRODUCTION default path of temporal_split — approx_percentile
+    (GK) cutoff, the r07-verdict fix for the exact-percentile
+    single-buffer OOM — verified by invariants that hold for ANY value
+    GK may legally return, so the oracle is deterministic even though
+    the cutoff itself is approximate (the sketch_quantiles /
+    hll-within-bound precedent): (1) exact n_total / n_null;
+    (2) partition_ok — the three labels cover exactly the non-NULL rows;
+    (3) ordering_ok — zero leakage, max(train) < min(embargo) <
+    max(embargo) < min(test) where present; (4) rank_ok — the exact rank
+    span of the chosen cutoff overlaps the 0.8·n target within the
+    documented n/accuracy GK tolerance. DuckDB replays the exact counts
+    and emits literal TRUEs for the guaranteed invariants."""
+    from datachain_spark.ops.splits import temporal_split
+
+    acc = 10000
+    ev = _chain(spark, sf, "events").df
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    lab = temporal_split(
+        ev, "ts", test_frac=0.2, embargo_seconds=3600, accuracy=acc
+    ).select(epoch.alias("e"), "split")
+    stats = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("e").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_null"),
+        F.sum(
+            F.when(F.col("split").isin("train", "embargo", "test"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_labeled"),
+        F.max(F.when(F.col("split") == "train", F.col("e"))).alias("mx_tr"),
+        F.min(F.when(F.col("split") == "embargo", F.col("e"))).alias("mn_em"),
+        F.max(F.when(F.col("split") == "embargo", F.col("e"))).alias("mx_em"),
+        F.min(F.when(F.col("split") == "test", F.col("e"))).alias("mn_te"),
+    )
+    # independent rank probe: its OWN GK cutoff (GK output may differ
+    # between evaluations; the guarantee holds for each), exact rank span
+    cut = ev.agg(
+        F.approx_percentile(epoch, F.lit(0.8), F.lit(acc))
+        .cast("double").alias("c")
+    )
+    rank = (
+        ev.select(epoch.alias("e"))
+        .crossJoin(F.broadcast(cut))
+        .agg(
+            F.sum(F.when(F.col("e").isNotNull(), 1).otherwise(0))
+            .cast("double").alias("n"),
+            F.sum(F.when(F.col("e") <= F.col("c"), 1).otherwise(0))
+            .cast("double").alias("n_le"),
+            F.sum(F.when(F.col("e") < F.col("c"), 1).otherwise(0))
+            .cast("double").alias("n_lt"),
+        )
+    )
+    tol = F.col("n") / F.lit(float(acc)) + F.lit(1.0)
+    target = F.lit(0.8) * F.col("n")
+    return stats.crossJoin(F.broadcast(rank)).select(
+        "n_total", "n_null",
+        (F.col("n_labeled") == F.col("n_total") - F.col("n_null"))
+        .alias("partition_ok"),
+        F.coalesce(
+            (F.col("mx_tr") < F.coalesce(F.col("mn_em"), F.col("mn_te")))
+            & (F.coalesce(F.col("mx_em"), F.col("mx_tr")) < F.col("mn_te")),
+            F.lit(True),
+        ).alias("ordering_ok"),
+        (
+            (F.col("n_le") + tol >= target)
+            & (F.col("n_lt") + F.lit(1.0) - tol <= target)
+        ).alias("rank_ok"),
+    )
+
+
+TEMPORAL_SPLIT_APPROX_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       TRUE AS partition_ok, TRUE AS ordering_ok, TRUE AS rank_ok
+FROM events
 """
 
 
@@ -9133,6 +9218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_eval_emb": ann_eval_emb,
         "streaming_hourly_events": streaming_hourly_events,
         "temporal_split_events": temporal_split_events,
+        "temporal_split_approx_events": temporal_split_approx_events,
         "mad_outliers_orders": mad_outliers_orders,
         "webdataset_roundtrip": webdataset_roundtrip,
         "to_storage_roundtrip": to_storage_roundtrip,
@@ -9491,6 +9577,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_eval_emb": _ann_eval_sql(),
         "streaming_hourly_events": STREAMING_HOURLY_SQL,
         "temporal_split_events": TEMPORAL_SPLIT_SQL,
+        "temporal_split_approx_events": TEMPORAL_SPLIT_APPROX_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,
         "to_storage_roundtrip": TO_STORAGE_RT_SQL,

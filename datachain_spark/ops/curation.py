@@ -15,9 +15,19 @@ dedup_eval precedent of composing verified templates.
 
 Scale shape: the output is one aggregation branch per stage unioned into a
 #stages-row frame. Branch k re-evaluates stages 1..k, so the INPUT is
-persisted by default (``persist=True``) — at 100 TB pass an already
-checkpointed/stored frame and persist=False. The stage counts themselves
-never touch the driver until the caller collects the (tiny) report.
+persisted when re-evaluating it would be expensive — ``persist=None``
+(default) auto-detects: a bare storage scan (Relation + Project/Filter
+only) is NOT cached because Spark re-reads it per branch at scan cost,
+while any plan containing a join/aggregate/window/generate IS cached
+(MEMORY_AND_DISK) so the gates don't recompute it per stage. The stage
+counts themselves never touch the driver until the caller collects the
+(tiny) report.
+
+Cache lifetime is the CALLER's: the persisted handle is the ``df`` you
+passed in (persistence attaches to the underlying plan), so call
+``df.unpersist()`` once the report is materialized — repeated audit
+calls with ``persist=True`` otherwise accumulate cached blocks for the
+application's lifetime.
 
 No reference counterpart; public methodology (C4/Gopher/CCNet curation
 pipelines).
@@ -29,6 +39,25 @@ from typing import Any, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# logical-plan node names whose presence means re-evaluating the input per
+# stage branch would repeat real work (vs a storage scan Spark re-reads at
+# plain scan cost, which a MEMORY_AND_DISK cache of the full corpus would
+# not beat)
+_EXPENSIVE_NODES = (
+    "Join", "Aggregate", "Window", "Generate", "Sort", "Distinct",
+    "Union", "Deduplicate", "MapInPandas", "FlatMapGroupsInPandas",
+)
+
+
+def _needs_cache(df: DataFrame) -> bool:
+    """True when df's analyzed plan contains a wide/expensive node. On any
+    introspection failure, err toward caching (the previous default)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+    return any(node in plan for node in _EXPENSIVE_NODES)
 
 
 def curation_report(
@@ -42,7 +71,7 @@ def curation_report(
     minhash_kw: Optional[dict[str, Any]] = None,
     probes: Optional[DataFrame] = None,
     decontaminate_kw: Optional[dict[str, Any]] = None,
-    persist: bool = True,
+    persist: Optional[Any] = None,
 ) -> DataFrame:
     """One row per pipeline stage: ``(stage_idx, stage, rows_in, rows_out,
     removed, pct_removed)`` for the gate sequence
@@ -55,14 +84,30 @@ def curation_report(
     skips near-dup removal (pass e.g. ``{"num_hashes": 8, "bands": 4,
     "jaccard_threshold": 0.25}`` to enable), ``probes=None`` skips
     decontamination. ``pct_removed`` is NULL when a stage saw zero rows.
+
+    ``persist``: ``None`` (default) caches the input ONLY when its plan
+    is more than a bare storage scan (see module note); ``True``/
+    ``False`` force it; a ``pyspark.StorageLevel`` both forces it and
+    picks the level (forced True uses MEMORY_AND_DISK). The caller owns
+    the cache lifetime — unpersist the input once the report is
+    materialized.
     """
     from .dedup import decontaminate as _decon
     from .dedup import exact_dedup as _exact
     from .dedup import minhash_dedup as _minhash
     from .text import gopher_quality_filter, quality_score
 
-    if persist:
-        df = df.persist()
+    if persist is None:
+        persist = _needs_cache(df)
+    if persist is not False and persist is not None:
+        from pyspark import StorageLevel
+
+        level = (
+            persist
+            if isinstance(persist, StorageLevel)
+            else StorageLevel.MEMORY_AND_DISK
+        )
+        df = df.persist(level)
 
     stages: list[tuple[str, DataFrame]] = [("input", df)]
     cur = df

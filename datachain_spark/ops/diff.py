@@ -194,8 +194,12 @@ def dataset_diff(
     any_ne = F.lit(False)
     for ne in col_ne.values():
         any_ne = any_ne | ne
+    # EXCLUSIVE classification mirroring diff()'s when-chain precedence
+    # (added wins over deleted): a row whose join keys are NULL on BOTH
+    # sides would otherwise count as added AND deleted, making the status
+    # counts sum past the row count and diverge from summary=False
     is_added = ~r_present
-    is_deleted = ~l_present
+    is_deleted = r_present & ~l_present
     is_modified = l_present & r_present & any_ne
     is_same = l_present & r_present & ~any_ne
 

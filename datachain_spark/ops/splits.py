@@ -142,6 +142,8 @@ def temporal_split(
     test_frac: float = 0.2,
     embargo_seconds: float = 0.0,
     out_col: str = "split",
+    exact: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Leakage-safe TEMPORAL split: train strictly before the cutoff minus
     an embargo gap, test at/after the cutoff — the time-series evaluation
@@ -154,7 +156,14 @@ def temporal_split(
     ``cutoff`` is an explicit timestamp/epoch boundary; with
     ``cutoff=None`` it is the ``1 - test_frac`` time quantile computed
     IN-PLAN (one 1-row aggregate broadcast back — the q22 scalar pattern,
-    no driver round-trip). Adds ``out_col`` ∈ {'train', 'embargo',
+    no driver round-trip). By default the quantile is
+    ``approx_percentile`` (Greenwald-Khanna: mergeable,
+    O(accuracy·log n) aggregation state — the :func:`sketch_quantiles`
+    machinery), because an 80/20 split boundary tolerates the ≤
+    n/``accuracy`` rank error while EXACT ``percentile`` buffers the
+    whole value multiset in one aggregation buffer — an executor OOM at
+    100 TB. ``exact=True`` opts into the exact quantile for small-data /
+    oracle-parity runs. Adds ``out_col`` ∈ {'train', 'embargo',
     'test'}; NULL timestamps get a NULL split. Zero shuffles beyond the
     1-row bounds aggregate: the labeling itself is a pure projection, so
     a 100-TB corpus scans once.
@@ -163,15 +172,20 @@ def temporal_split(
         raise ValueError("temporal_split: test_frac must be in (0, 1)")
     if embargo_seconds < 0:
         raise ValueError("temporal_split: embargo_seconds must be >= 0")
+    if accuracy < 1:
+        raise ValueError("temporal_split: accuracy must be >= 1")
     epoch = F.col(time_col).cast("timestamp").cast("double")
     if cutoff is not None:
         cut = F.lit(cutoff).cast("timestamp").cast("double")
         labeled = df.withColumn("__cut", cut)
     else:
-        glob = df.agg(
-            F.percentile(epoch, F.lit(1.0 - float(test_frac)))
-            .alias("__cut")
+        q = F.lit(1.0 - float(test_frac))
+        cut_agg = (
+            F.percentile(epoch, q)
+            if exact
+            else F.approx_percentile(epoch, q, F.lit(int(accuracy)))
         )
+        glob = df.agg(cut_agg.cast("double").alias("__cut"))
         labeled = df.crossJoin(F.broadcast(glob))
     emb = F.lit(float(embargo_seconds))
     split = (

@@ -1414,7 +1414,12 @@ def novelty_score(
     the doc is re-hashed boilerplate even when no single document
     duplicates it; the per-doc complement of the corpus-level
     :func:`corpus_overlap`). Output: ``(id_col, n_ngrams, n_novel,
-    novelty)``; docs with no n-grams (empty text) get novelty NULL.
+    novelty)``. Shingling uses :func:`shingle_rows`'s whole-doc fallback:
+    a doc with fewer than ``ngram`` words (including the empty doc)
+    contributes its single whole-text shingle, so an empty doc gets
+    ``n_ngrams=1`` and novelty 1.0 unless the index itself was built
+    over a corpus containing an empty doc — filter empty/whitespace-only
+    texts upstream if they should not be scored.
 
     Shape: the doc side explodes ONCE to distinct (id, gram-hash) rows;
     one hash-keyed LEFT join against the index (both sides shuffle on
