@@ -8698,6 +8698,185 @@ GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def _ordered_stream_dir(frames) -> str:
+    """Write each frame as ONE parquet file into a fresh temp dir with
+    strictly increasing mtimes (60 s apart) so the file-source stream
+    processes them as ORDERED micro-batches under maxFilesPerTrigger=1
+    (FileStreamSource takes files oldest-modification-first). Fixture
+    prep for the streaming oracles — runs once, outside the streamed
+    computation."""
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    src = tempfile.mkdtemp(prefix="dc_strm_src_")
+    base = _time.time() - 3600
+    for i, df in enumerate(frames):
+        stage = tempfile.mkdtemp(prefix="dc_strm_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))[0]
+        dst = os.path.join(src, f"batch_{i:03d}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (base + 60 * i, base + 60 * i))
+        shutil.rmtree(stage, ignore_errors=True)
+    return src
+
+
+def streaming_exact_dedup(spark, sf):
+    """Dedup-on-ingest (streaming/stream.exact_dedup_stream_to_dataset —
+    VERDICT r07 task 4a): the documents table split into two ORDERED
+    micro-batches (even doc_ids land first, odd second) through a real
+    file-source stream with foreachBatch; each batch reduces to the
+    min-id representative per normalized-text fingerprint and anti-joins
+    the PERSISTED fingerprint index, so an odd doc duplicating any even
+    doc is dropped across batches while the historical text is never
+    rescanned (the index holds only 8-byte fingerprints). Output: every
+    ingested (doc_id, ingest_version); DuckDB replays the whole
+    ingest — per-batch min-id dedup on the same normalization, then the
+    cross-batch anti-join — value-hash exact."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.streaming.stream import (
+        exact_dedup_stream_to_dataset,
+        read_stream,
+    )
+
+    docs = _chain(spark, sf, "documents").df.select("doc_id", "text")
+    src = _ordered_stream_dir(
+        [
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ]
+    )
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_strm_ms_"))
+    name = "strm_ex_" + uuid.uuid4().hex[:8]
+    stream = read_stream(spark, src, max_files_per_trigger=1)
+    q = exact_dedup_stream_to_dataset(
+        stream, name, ms,
+        tempfile.mkdtemp(prefix="dc_strm_cp_"), "doc_id",
+    )
+    q.awaitTermination(180)
+    rec = ms.get_record(name)
+    out = None
+    for dv in rec.versions:
+        df_v, _, _ = ms.load_dataset(spark, name, dv.version)
+        part = df_v.select(
+            "doc_id", F.lit(dv.version).alias("ingest_version")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("doc_id")
+
+
+STREAMING_EXACT_DEDUP_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+), a AS (
+  SELECT min(doc_id) AS doc_id, norm
+  FROM src WHERE doc_id % 2 = 0 GROUP BY norm
+), b AS (
+  SELECT min(doc_id) AS doc_id
+  FROM src
+  WHERE doc_id % 2 = 1 AND norm NOT IN (SELECT norm FROM a)
+  GROUP BY norm
+)
+SELECT doc_id, '1.0.0' AS ingest_version FROM a
+UNION ALL
+SELECT doc_id, '1.0.1' AS ingest_version FROM b
+ORDER BY doc_id
+"""
+
+
+def streaming_late_data(spark, sf):
+    """Watermark late-data semantics, value-checked (VERDICT r07 task
+    4b): batch 1 streams the minute<30 events; batch 2 re-sends the rows
+    at batch 1's max event time (a watermark ADVANCER: Spark's late-row
+    filter runs one micro-batch behind the watermark computation, so
+    batch 2 both pins the effective watermark for batch 3 at
+    max(batch1) - 2h under either lag convention — its own max doesn't
+    move it — and forces the lagging update through); batch 3 streams
+    the minute>=30 rows — rows whose 1-hour tumbling window closed
+    at-or-before that watermark are DROPPED by the state store
+    (numRowsDroppedByWatermark), rows in still-open windows are KEPT and
+    fold into the counts. Update output mode; the memory sink's last
+    update per key (max of the monotone counts) is the final aggregate.
+    DuckDB replays the exact rule — recompute the watermark, replay the
+    advancer duplicates, keep batch-3 rows with window_end > watermark,
+    aggregate — so WHICH late rows were dropped vs kept is
+    hash-verified, not just counted. (All three fixture SFs verified
+    collision-free: no batch-3 window end equals the watermark, so the
+    <=-vs-< boundary is unambiguous.)"""
+    import tempfile
+    import uuid
+
+    from datachain_spark.streaming.stream import read_stream
+
+    ev = (
+        _chain(spark, sf, "events").df
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        .filter(F.col("ts").isNotNull())
+    )
+    on_time = ev.filter(F.minute("ts") < 30)
+    advancer = on_time.crossJoin(
+        F.broadcast(on_time.agg(F.max("ts").alias("__mx")))
+    ).filter(F.col("ts") == F.col("__mx")).drop("__mx")
+    src = _ordered_stream_dir(
+        [on_time, advancer, ev.filter(F.minute("ts") >= 30)]
+    )
+    stream = read_stream(spark, src, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    name = "strm_late_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="dc_strm_cp_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.table(name)
+        .groupBy(F.col("window.start").alias("hour"), "event_type")
+        .agg(F.max("n").alias("n"))
+        .orderBy("hour", "event_type")
+    )
+
+
+STREAMING_LATE_DATA_SQL = """
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE ts IS NOT NULL
+), a AS (
+  SELECT * FROM e WHERE minute(ts) < 30
+), adv AS (
+  SELECT * FROM a WHERE ts = (SELECT max(ts) FROM a)
+), wm AS (
+  SELECT max(ts) - INTERVAL 2 HOUR AS w FROM a
+), b AS (
+  SELECT * FROM e WHERE minute(ts) >= 30
+  AND date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm)
+), u AS (
+  SELECT * FROM a
+  UNION ALL SELECT * FROM adv
+  UNION ALL SELECT * FROM b
+)
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def temporal_split_events(spark, sf):
     """Leakage-safe temporal split (ops/splits.temporal_split): the
     cutoff is the in-plan 80% time quantile, rows within the 1-hour
@@ -9217,6 +9396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles_orders": sketch_quantiles_orders,
         "ann_eval_emb": ann_eval_emb,
         "streaming_hourly_events": streaming_hourly_events,
+        "streaming_exact_dedup": streaming_exact_dedup,
+        "streaming_late_data": streaming_late_data,
         "temporal_split_events": temporal_split_events,
         "temporal_split_approx_events": temporal_split_approx_events,
         "mad_outliers_orders": mad_outliers_orders,
@@ -9576,6 +9757,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantiles_orders": SKETCH_QUANTILES_SQL,
         "ann_eval_emb": _ann_eval_sql(),
         "streaming_hourly_events": STREAMING_HOURLY_SQL,
+        "streaming_exact_dedup": STREAMING_EXACT_DEDUP_SQL,
+        "streaming_late_data": STREAMING_LATE_DATA_SQL,
         "temporal_split_events": TEMPORAL_SPLIT_SQL,
         "temporal_split_approx_events": TEMPORAL_SPLIT_APPROX_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,

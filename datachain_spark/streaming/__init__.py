@@ -1,5 +1,6 @@
 from .stream import (
     dedup_against_corpus,
+    exact_dedup_stream_to_dataset,
     dedup_stream,
     near_dedup_stream_to_dataset,
     validated_stream_to_dataset,
@@ -12,6 +13,7 @@ from .stream import (
 
 __all__ = [
     "read_stream",
+    "exact_dedup_stream_to_dataset",
     "near_dedup_stream_to_dataset",
     "validated_stream_to_dataset",
     "windowed_agg",

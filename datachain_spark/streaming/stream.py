@@ -311,6 +311,98 @@ def near_dedup_stream_to_dataset(
     return writer.start()
 
 
+def exact_dedup_stream_to_dataset(
+    stream_df: DataFrame,
+    name: str,
+    metastore,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str = "text",
+    index_name: Optional[str] = None,
+    hash_fn: str = "xxhash64",
+    trigger_once: bool = True,
+):
+    """EXACT-dedup ingest — the reference's delta-ingest story,
+    streaming-shaped (r07 verdict task 4a): a stream of documents lands
+    in a versioned corpus dataset with exact duplicates removed across
+    the WHOLE ingest history. Each micro-batch (1) reduces to one min-id
+    representative per normalized-text fingerprint and anti-joins the
+    persisted fingerprint index (BOTH steps are
+    ops.dedup.exact_dedup_incremental — within-batch + cross-batch in
+    one hash-keyed plan), (2) appends survivors to ``name``, and (3)
+    folds the survivors' fingerprints into ``index_name`` (default
+    ``{name}_fp_index``) via :func:`~datachain_spark.ops.dedup.fingerprint_index`.
+
+    Cross-batch state is ONLY the 8-byte-fingerprint index — a versioned
+    dataset, not a state store, so historical text is never rescanned,
+    restarts resume from the streaming checkpoint, and (unlike
+    :func:`dedup_stream`) identity has no watermark horizon: a duplicate
+    of the very first ingested document still drops a year later. The
+    anti join shuffles 64-bit keys on both sides — no broadcast
+    assumption; the exact-dedup twin of
+    :func:`near_dedup_stream_to_dataset`. Batch replays after a
+    mid-batch crash are idempotent via the stream_batch_id stamp."""
+    from ..ops.dedup import exact_dedup_incremental, fingerprint_index
+
+    idx_name = index_name or f"{name}_fp_index"
+
+    def _already_saved(ds_name: str, batch_id: int) -> bool:
+        rec = metastore.get_record(ds_name)
+        dv = rec.latest_version() if rec is not None else None
+        return bool(dv and dv.attrs.get("stream_batch_id") == batch_id)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..catalog.metastore import DatasetNotFoundError
+
+        if batch_df.isEmpty():
+            return
+        try:
+            idx, _, _ = metastore.load_dataset(
+                batch_df.sparkSession, idx_name
+            )
+        except DatasetNotFoundError:
+            idx = None
+        probe = (
+            idx
+            if idx is not None
+            else batch_df.sparkSession.createDataFrame(
+                [], "fingerprint long"
+            )
+        )
+        survivors = exact_dedup_incremental(
+            batch_df, probe, text_col=text_col, id_col=id_col,
+            hash_fn=hash_fn,
+        ).persist()
+        try:
+            if survivors.isEmpty():
+                return
+            if not _already_saved(name, batch_id):
+                metastore.save_dataset(
+                    survivors, name, attrs={"stream_batch_id": batch_id}
+                )
+            if _already_saved(idx_name, batch_id):
+                return
+            new_fp = fingerprint_index(
+                survivors, text_col=text_col, hash_fn=hash_fn
+            )
+            if idx is not None:
+                new_fp = idx.unionByName(new_fp).distinct()
+            metastore.save_dataset(
+                new_fp, idx_name, attrs={"stream_batch_id": batch_id}
+            )
+        finally:
+            survivors.unpersist()
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_to_dataset(
     stream_df: DataFrame,
     name: str,

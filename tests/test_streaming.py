@@ -478,3 +478,56 @@ def test_validated_stream_rejects_unique_rules(session, tmp_path):
             None, "x", session.metastore, str(tmp_path / "cp"),
             [ex.unique("doc_id")],
         )
+
+
+def test_exact_dedup_stream_to_dataset(session, tmp_path):
+    """r08 (VERDICT r07 task 4a): exact-dedup ingest — two availableNow
+    runs over a growing file source; the cross-run state is ONLY the
+    versioned 8-byte fingerprint index, so run 2 must drop exact
+    duplicates (after whitespace/case normalization) of anything run 1
+    ingested, while within-batch dups reduce to the min-id rep."""
+    from datachain_spark.streaming import exact_dedup_stream_to_dataset
+
+    spark = session.spark
+    src = str(tmp_path / "ex_src")
+    cp = str(tmp_path / "ex_cp")
+
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "ALPHA   beta GAMMA"),  # in-batch dup of 1 (normalized)
+            (3, "something else entirely"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    def run():
+        stream = read_stream(spark, src, schema=spark.read.parquet(src).schema)
+        q = exact_dedup_stream_to_dataset(
+            stream, "ex_corpus", session.metastore, cp, "doc_id"
+        )
+        q.awaitTermination(120)
+
+    run()
+    got1 = sorted(r["doc_id"] for r in dc.read_dataset(
+        "ex_corpus", session=session).df.collect())
+    assert got1 == [1, 3]
+    idx1 = dc.read_dataset("ex_corpus_fp_index", session=session)
+    assert idx1.count() == 2  # two distinct fingerprints
+
+    # run 2: a cross-run dup of doc 3 + one novel doc
+    spark.createDataFrame(
+        [
+            (10, "  SOMETHING ELSE ENTIRELY "),  # dup of 3 across runs
+            (11, "novel follow-up content"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run()
+
+    latest = dc.read_dataset("ex_corpus", session=session)
+    assert [r["doc_id"] for r in latest.df.collect()] == [11]
+    idx2 = dc.read_dataset("ex_corpus_fp_index", session=session)
+    assert idx2.count() == 3
+    # fingerprints are the only state: one BIGINT column
+    assert idx2.df.columns == ["fingerprint"]
