@@ -9003,6 +9003,124 @@ FROM events
 """
 
 
+def sketch_merge_orders(spark, sf):
+    """Persistable mergeable sketch state (VERDICT r07 task 5 —
+    ops/sketches.profile_sketch / merge_profile_sketches /
+    histogram_quantiles): the orders table split into two snapshots
+    (orderkey parity), each profiled per order status into HLL registers
+    + fixed-bin histogram counts + moments, SAVED as two dataset
+    versions (binary sketch and array hist ride parquet), reloaded, and
+    MERGED — profiling 100 TB incrementally instead of rescanning.
+    DuckDB independently recomputes the union's exact bin counts and
+    moments (bin vectors merge EXACTLY), replays the histogram-quantile
+    interpolation bit-for-bit from those counts, and the merged HLL
+    estimate must sit within the 5% bound of the exact distinct (the
+    hll_by_group precedent — a broken register merge flips the flag)."""
+    import tempfile
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.ops.sketches import (
+        histogram_quantiles,
+        merge_profile_sketches,
+        profile_sketch,
+    )
+
+    lo, hi, bins = 0.0, 600000.0, 64
+    orders = _chain(spark, sf, "orders").df
+    kw = dict(
+        value_col="o_totalprice", distinct_col="o_custkey",
+        lo=lo, hi=hi, bins=bins,
+    )
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_sketch_ms_"))
+    ms.save_dataset(
+        profile_sketch(
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            "o_orderstatus", **kw,
+        ),
+        "prof_orders",
+    )
+    ms.save_dataset(
+        profile_sketch(
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+            "o_orderstatus", **kw,
+        ),
+        "prof_orders",
+    )
+    rec = ms.get_record("prof_orders")
+    snaps = [
+        ms.load_dataset(spark, "prof_orders", dv.version)[0]
+        for dv in rec.versions
+    ]
+    merged = merge_profile_sketches(snaps, "o_orderstatus")
+    p50 = histogram_quantiles(
+        merged, "o_orderstatus", [0.5], lo, hi
+    ).select(
+        "o_orderstatus", F.round("estimate", 6).alias("p50_r")
+    )
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").cast("long").alias("__exact")
+    )
+    return (
+        merged.join(exact, "o_orderstatus").join(p50, "o_orderstatus")
+        .select(
+            "o_orderstatus", "n_rows", "n_value",
+            F.round("sum_x", 2).alias("sum_r"), "min_x", "max_x",
+            F.concat_ws(
+                ",", F.transform(F.col("hist"), lambda c: c.cast("string"))
+            ).alias("hist_csv"),
+            "p50_r",
+            (
+                F.abs(F.col("approx_distinct") - F.col("__exact"))
+                <= 0.05 * F.col("__exact")
+            ).alias("hll_ok"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SKETCH_MERGE_SQL = """
+WITH src AS (
+  SELECT o_orderstatus AS s, CAST(o_totalprice AS DOUBLE) AS x, o_custkey
+  FROM orders
+), hist0 AS (
+  SELECT s, LEAST(63, GREATEST(0, CAST(floor(x / 9375.0) AS INT))) AS b,
+         count(*) AS c
+  FROM src WHERE x IS NOT NULL GROUP BY 1, 2
+), hist AS (
+  SELECT g.s, gs.b, coalesce(h.c, 0) AS c
+  FROM (SELECT DISTINCT s FROM src) g
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs
+  LEFT JOIN hist0 h ON h.s = g.s AND h.b = gs.b
+), csv AS (
+  SELECT s, string_agg(CAST(c AS VARCHAR), ',' ORDER BY b) AS hist_csv
+  FROM hist GROUP BY s
+), mom AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(x) AS BIGINT) AS n_value,
+         round(sum(x), 2) AS sum_r, min(x) AS min_x, max(x) AS max_x
+  FROM src GROUP BY s
+), cum AS (
+  SELECT s, b, c,
+         sum(c) OVER (PARTITION BY s ORDER BY b) AS cu,
+         sum(c) OVER (PARTITION BY s) AS n
+  FROM hist
+), pick AS (
+  SELECT s, b, c, cu, n,
+         row_number() OVER (PARTITION BY s ORDER BY b) AS rn
+  FROM cum WHERE cu >= 0.5 * n
+)
+SELECT m.s AS o_orderstatus, m.n_rows, m.n_value, m.sum_r, m.min_x, m.max_x,
+       csv.hist_csv,
+       round(0.0 + 9375.0 * (p.b + (0.5 * p.n - (p.cu - p.c)) / p.c), 6)
+         AS p50_r,
+       TRUE AS hll_ok
+FROM mom m
+JOIN csv ON csv.s = m.s
+JOIN (SELECT * FROM pick WHERE rn = 1) p ON p.s = m.s
+ORDER BY o_orderstatus
+"""
+
+
 def mad_outliers_orders(spark, sf):
     """Median/MAD outlier fences (ops/sketches.flag_outliers
     method='mad'): per-order-status median ± k·1.4826·MAD, the most
@@ -9400,6 +9518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_data": streaming_late_data,
         "temporal_split_events": temporal_split_events,
         "temporal_split_approx_events": temporal_split_approx_events,
+        "sketch_merge_orders": sketch_merge_orders,
         "mad_outliers_orders": mad_outliers_orders,
         "webdataset_roundtrip": webdataset_roundtrip,
         "to_storage_roundtrip": to_storage_roundtrip,
@@ -9761,6 +9880,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_late_data": STREAMING_LATE_DATA_SQL,
         "temporal_split_events": TEMPORAL_SPLIT_SQL,
         "temporal_split_approx_events": TEMPORAL_SPLIT_APPROX_SQL,
+        "sketch_merge_orders": SKETCH_MERGE_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,
         "to_storage_roundtrip": TO_STORAGE_RT_SQL,

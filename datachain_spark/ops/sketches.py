@@ -662,3 +662,199 @@ def standardize(
         )
     return out.drop(*[f"__c{i}" for i in range(len(cols))],
                     *[f"__s{i}" for i in range(len(cols))])
+
+
+# ---------------------------------------------------------------------------
+# Persistable mergeable snapshot profiles (r08 — VERDICT r07 task 5):
+# per-group sketch STATE saved as ordinary columns of a dataset version —
+# HLL registers (binary), fixed-bin histogram counts (array<long>), and the
+# linear moments — merged across versions/snapshots without rescanning.
+# Spark exposes no partial-state export for approx_percentile's GK summary,
+# so the mergeable QUANTILE state is the fixed-bin histogram: bin counts
+# merge EXACTLY (vector add), and a quantile read off the merged histogram
+# carries a deterministic <= bin-width error — the trade the GK sketch makes
+# with rank error, made storable. approx_percentile/sketch_quantiles stays
+# the in-plan single-pass path.
+# ---------------------------------------------------------------------------
+
+
+def profile_sketch(
+    df: DataFrame,
+    group_cols: Union[str, Sequence[str]],
+    value_col: Optional[str] = None,
+    distinct_col: Optional[str] = None,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    bins: int = 64,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Per-group MERGEABLE profile state, ONE aggregation (map-side
+    combined; the per-group state is one HLL sketch + ``bins`` longs):
+
+    ``(group_cols..., n_rows[, n_value, sum_x, min_x, max_x, hist]
+    [, sketch, approx_distinct])``
+
+    - ``value_col`` adds exact linear moments plus a FIXED-EDGE histogram
+      over ``[lo, hi)`` (required with value_col, and they must be the
+      same for every snapshot that will merge — fixed edges are what
+      make bin counts add exactly). Out-of-range values clamp into the
+      edge bins; NULLs count in ``n_rows`` but not ``n_value``/``hist``.
+    - ``distinct_col`` adds the lossless-merge HLL register blob
+      (:func:`hll_by_group` convention — non-(int/bigint/string/binary)
+      types sketch through their string cast).
+
+    Save the output as a dataset version per snapshot/shard/day; fold
+    with :func:`merge_profile_sketches`; read quantiles off the merged
+    histogram with :func:`histogram_quantiles`. 100-TB shape: profiling
+    a new 1-day increment scans ONLY that increment — the historical
+    profile is a few KB per group."""
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if value_col is None and distinct_col is None:
+        raise ValueError(
+            "profile_sketch: need value_col and/or distinct_col"
+        )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    if value_col is not None:
+        if lo is None or hi is None or not (float(lo) < float(hi)):
+            raise ValueError(
+                "profile_sketch: value_col requires explicit lo < hi "
+                "(fixed histogram edges are the merge contract)"
+            )
+        if not 1 <= int(bins) <= 4096:
+            raise ValueError("profile_sketch: bins must be in [1, 4096]")
+        lo_f, hi_f, nb = float(lo), float(hi), int(bins)
+        width = (hi_f - lo_f) / nb
+        x = F.col(value_col).cast("double")
+        b = F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((x - F.lit(lo_f)) / F.lit(width)).cast("int"),
+            ),
+        )
+        aggs += [
+            F.sum(F.when(x.isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_value"),
+            F.sum(x).alias("sum_x"),
+            F.min(x).alias("min_x"),
+            F.max(x).alias("max_x"),
+            F.array(
+                *[
+                    F.sum(
+                        F.when(x.isNotNull() & (b == i), 1).otherwise(0)
+                    ).cast("long")
+                    for i in range(nb)
+                ]
+            ).alias("hist"),
+        ]
+    if distinct_col is not None:
+        dtypes = dict(df.dtypes)
+        ref = F.col(f"`{distinct_col}`")
+        src = (
+            ref
+            if dtypes.get(distinct_col)
+            in {"string", "int", "bigint", "binary"}
+            else ref.cast("string")
+        )
+        aggs.append(
+            F.hll_sketch_agg(src, F.lit(int(lg_config_k))).alias("sketch")
+        )
+    out = df.groupBy(*[F.col(f"`{k}`") for k in keys]).agg(*aggs)
+    if distinct_col is not None:
+        out = out.withColumn(
+            "approx_distinct", F.hll_sketch_estimate(F.col("sketch"))
+        )
+    return out
+
+
+def merge_profile_sketches(
+    profiles: Sequence[DataFrame],
+    group_cols: Union[str, Sequence[str]],
+) -> DataFrame:
+    """Fold :func:`profile_sketch` snapshots into one profile per group —
+    counts/sums/moments add, histogram bin vectors add element-wise
+    (EXACT — same result as profiling the union), HLL registers union
+    losslessly (estimate within the configured bound; the
+    :func:`hll_merge_groups` caveat on the dropped HIP estimator
+    applies). History is never rescanned; the merge input is a few KB
+    per (group, snapshot)."""
+    if not profiles:
+        raise ValueError("merge_profile_sketches: profiles must be non-empty")
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    allp = reduce(lambda a, b: a.unionByName(b), list(profiles))
+    cols = set(allp.columns)
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    if "hist" in cols:
+        aggs += [
+            F.sum("n_value").cast("long").alias("n_value"),
+            F.sum("sum_x").alias("sum_x"),
+            F.min("min_x").alias("min_x"),
+            F.max("max_x").alias("max_x"),
+            # element-wise vector add over the (few) snapshot rows of the
+            # group: collect the hist arrays, fold with zip_with — the
+            # collect_list is bounded by #snapshots, not data size
+            F.expr(
+                "aggregate(collect_list(hist), "
+                "array_repeat(CAST(0 AS BIGINT), size(first(hist))), "
+                "(acc, h) -> zip_with(acc, h, (a, b) -> a + b))"
+            ).alias("hist"),
+        ]
+    if "sketch" in cols:
+        aggs.append(
+            F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch")
+        )
+    out = allp.groupBy(*keys).agg(*aggs)
+    if "sketch" in cols:
+        out = out.withColumn(
+            "approx_distinct", F.hll_sketch_estimate(F.col("sketch"))
+        )
+    return out
+
+
+def histogram_quantiles(
+    profile: DataFrame,
+    group_cols: Union[str, Sequence[str]],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Quantile estimates off a (merged) :func:`profile_sketch` histogram:
+    for each group and each q, the first bin whose cumulative count
+    reaches q·n, linearly interpolated within the bin — deterministic
+    error <= one bin width ((hi-lo)/bins). Output
+    ``(group_cols..., q, estimate)``. Shape: posexplode to
+    #groups x bins rows (bins is a constant — trivial at any scale),
+    one cumulative window per group."""
+    from pyspark.sql import Window
+
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    qs = [float(q) for q in qs]
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("histogram_quantiles: each q must be in (0, 1]")
+    lo_f, hi_f = float(lo), float(hi)
+    rows = profile.select(
+        *keys, F.posexplode("hist").alias("bin", "cnt"),
+        F.size("hist").alias("__nb"),
+    )
+    w = Window.partitionBy(*keys).orderBy("bin")
+    wt = Window.partitionBy(*keys)
+    rows = rows.select(
+        *keys, "bin", "cnt", "__nb",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(wt).alias("__n"),
+    ).select(
+        "*", F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    )
+    target = F.col("q") * F.col("__n")
+    width = (F.lit(hi_f) - F.lit(lo_f)) / F.col("__nb")
+    hit = rows.filter(F.col("__cum") >= target).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(*keys, "q").orderBy("bin")
+        ),
+    ).filter(F.col("__rn") == 1)
+    est = F.lit(lo_f) + width * (
+        F.col("bin")
+        + (target - (F.col("__cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    return hit.select(*keys, "q", est.alias("estimate"))

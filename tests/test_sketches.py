@@ -273,3 +273,128 @@ def test_standardize_methods(spark):
         standardize(df, ["x"], method="l2")
     with pytest.raises(ValueError, match="non-empty"):
         standardize(df, [], method="zscore")
+
+
+# --------------------- r08: persistable snapshot profiles -----------------
+
+
+def _orders_halves(spark):
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return (
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        orders,
+    )
+
+
+def test_profile_sketch_merge_equals_recompute(spark):
+    # bin counts + moments of merged snapshots must EQUAL profiling the
+    # union directly; the HLL union estimate stays within the 5% bound
+    from datachain_spark.ops.sketches import (
+        merge_profile_sketches,
+        profile_sketch,
+    )
+
+    a, b, full = _orders_halves(spark)
+    kw = dict(
+        value_col="o_totalprice", distinct_col="o_custkey",
+        lo=0.0, hi=600000.0, bins=32,
+    )
+    merged = merge_profile_sketches(
+        [profile_sketch(a, "o_orderstatus", **kw),
+         profile_sketch(b, "o_orderstatus", **kw)],
+        "o_orderstatus",
+    )
+    direct = profile_sketch(full, "o_orderstatus", **kw)
+    m = {r["o_orderstatus"]: r for r in merged.collect()}
+    d = {r["o_orderstatus"]: r for r in direct.collect()}
+    assert set(m) == set(d)
+    for k in d:
+        assert m[k]["n_rows"] == d[k]["n_rows"]
+        assert m[k]["n_value"] == d[k]["n_value"]
+        assert m[k]["hist"] == d[k]["hist"]          # EXACT vector add
+        assert m[k]["min_x"] == d[k]["min_x"]
+        assert m[k]["max_x"] == d[k]["max_x"]
+        assert abs(m[k]["sum_x"] - d[k]["sum_x"]) < 1e-6 * abs(d[k]["sum_x"])
+        # merged HLL vs the direct estimate of the union
+        assert abs(m[k]["approx_distinct"] - d[k]["approx_distinct"]) \
+            <= 0.05 * max(1, d[k]["approx_distinct"])
+
+
+def test_profile_sketch_survives_dataset_version_roundtrip(session, tmp_path):
+    # the POINT of the op: sketch state (binary HLL + array hist) stored
+    # as ordinary columns of saved dataset versions, merged AFTER reload
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.ops.sketches import (
+        merge_profile_sketches,
+        profile_sketch,
+    )
+
+    spark = session.spark
+    a, b, full = _orders_halves(spark)
+    kw = dict(
+        value_col="o_totalprice", distinct_col="o_custkey",
+        lo=0.0, hi=600000.0, bins=16,
+    )
+    ms = Metastore(str(tmp_path / "ms_ps"))
+    ms.save_dataset(profile_sketch(a, "o_orderstatus", **kw), "prof")
+    ms.save_dataset(profile_sketch(b, "o_orderstatus", **kw), "prof")
+    rec = ms.get_record("prof")
+    snaps = [
+        ms.load_dataset(spark, "prof", dv.version)[0]
+        for dv in rec.versions
+    ]
+    merged = merge_profile_sketches(snaps, "o_orderstatus")
+    direct = profile_sketch(full, "o_orderstatus", **kw)
+    m = {r["o_orderstatus"]: r for r in merged.collect()}
+    d = {r["o_orderstatus"]: r for r in direct.collect()}
+    for k in d:
+        assert m[k]["hist"] == d[k]["hist"]
+        assert m[k]["n_rows"] == d[k]["n_rows"]
+        assert abs(m[k]["approx_distinct"] - d[k]["approx_distinct"]) \
+            <= 0.05 * max(1, d[k]["approx_distinct"])
+
+
+def test_histogram_quantiles_bound_and_validation(spark):
+    import pytest as _pt
+
+    from datachain_spark.ops.sketches import (
+        histogram_quantiles,
+        profile_sketch,
+    )
+
+    _, _, full = _orders_halves(spark)
+    lo, hi, bins = 0.0, 600000.0, 64
+    prof = profile_sketch(
+        full, "o_orderstatus", value_col="o_totalprice",
+        lo=lo, hi=hi, bins=bins,
+    )
+    est = {
+        (r["o_orderstatus"], r["q"]): r["estimate"]
+        for r in histogram_quantiles(
+            prof, "o_orderstatus", [0.25, 0.5, 0.9], lo, hi
+        ).collect()
+    }
+    exact = {
+        (r["o_orderstatus"], q): r[f"p{int(q*100)}"]
+        for r in full.groupBy("o_orderstatus").agg(
+            *[
+                F.percentile(F.col("o_totalprice").cast("double"), F.lit(q))
+                .alias(f"p{int(q*100)}")
+                for q in (0.25, 0.5, 0.9)
+            ]
+        ).collect()
+        for q in (0.25, 0.5, 0.9)
+    }
+    width = (hi - lo) / bins
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= width + 1e-9
+
+    with _pt.raises(ValueError, match="lo < hi"):
+        profile_sketch(full, "o_orderstatus", value_col="o_totalprice")
+    with _pt.raises(ValueError, match="need value_col"):
+        profile_sketch(full, "o_orderstatus")
+    with _pt.raises(ValueError, match="q must be"):
+        histogram_quantiles(prof, "o_orderstatus", [0.0], lo, hi)
