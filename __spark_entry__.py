@@ -9003,6 +9003,157 @@ FROM events
 """
 
 
+def contamination_matrix_docs(spark, sf):
+    """Cross-corpus contamination matrix (ops/text.contamination_matrix
+    — VERDICT r07 task 8a): every source-labeled corpus x every
+    lang-labeled benchmark suite (docs with doc_id % 7 == 0) in ONE
+    plan — per-pair distinct-trigram counts, shared counts and the
+    contaminated fraction of the suite, zero-overlap pairs kept. The
+    oracle rebuilds both distinct gram sets per label with the shared
+    shingle template (incl. the whole-doc fallback) and recounts every
+    cell."""
+    from datachain_spark.ops.text import contamination_matrix
+
+    docs = _chain(spark, sf, "documents").df
+    corpora = docs.select(F.col("source").alias("corpus"), "text")
+    benches = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("lang").alias("suite"), "text"
+    )
+    out = contamination_matrix(corpora, benches, ngram=3)
+    return out.select(
+        "corpus", "suite", "ngrams_corpus", "ngrams_suite",
+        "shared_ngrams",
+        F.round("frac_suite_in_corpus", 6).alias("frac_suite_r"),
+    ).orderBy("corpus", "suite")
+
+
+CONTAMINATION_MATRIX_SQL = """
+WITH wc AS (
+  SELECT source AS corpus,
+         string_split_regex(trim(regexp_replace(lower(text),
+           '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), sc AS (
+  SELECT DISTINCT corpus, unnest(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE [concat_ws(' ', w[i], w[i+1], w[i+2])
+               for i in generate_series(1, len(w)-2)]
+    END) AS s
+  FROM wc
+), scf AS (SELECT corpus, s FROM sc WHERE length(s) > 0),
+wb AS (
+  SELECT lang AS suite,
+         string_split_regex(trim(regexp_replace(lower(text),
+           '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+), sb AS (
+  SELECT DISTINCT suite, unnest(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE [concat_ws(' ', w[i], w[i+1], w[i+2])
+               for i in generate_series(1, len(w)-2)]
+    END) AS s
+  FROM wb
+), sbf AS (SELECT suite, s FROM sb WHERE length(s) > 0),
+nc AS (SELECT corpus, CAST(count(*) AS BIGINT) AS ngrams_corpus
+       FROM scf GROUP BY corpus),
+nb AS (SELECT suite, CAST(count(*) AS BIGINT) AS ngrams_suite
+       FROM sbf GROUP BY suite),
+sh AS (SELECT corpus, suite, CAST(count(*) AS BIGINT) AS shared
+       FROM scf JOIN sbf USING (s) GROUP BY 1, 2),
+grid AS (
+  SELECT c.corpus, b.suite
+  FROM (SELECT DISTINCT source AS corpus FROM documents) c
+  CROSS JOIN (SELECT DISTINCT lang AS suite FROM documents
+              WHERE doc_id % 7 = 0) b
+)
+SELECT g.corpus, g.suite,
+       coalesce(nc.ngrams_corpus, 0) AS ngrams_corpus,
+       coalesce(nb.ngrams_suite, 0) AS ngrams_suite,
+       coalesce(sh.shared, 0) AS shared_ngrams,
+       round(CAST(coalesce(sh.shared, 0) AS DOUBLE)
+             / nullif(coalesce(nb.ngrams_suite, 0), 0), 6) AS frac_suite_r
+FROM grid g
+LEFT JOIN nc ON nc.corpus = g.corpus
+LEFT JOIN nb ON nb.suite = g.suite
+LEFT JOIN sh ON sh.corpus = g.corpus AND sh.suite = g.suite
+ORDER BY 1, 2
+"""
+
+
+def embedding_drift_emb(spark, sf):
+    """Embedding drift between dataset VERSIONS (ops/embedding.
+    embedding_drift_versions — VERDICT r07 task 8b): two overlapping
+    snapshots of the embeddings table saved as versions 1.0.0/1.0.1 of
+    one dataset, the report resolving latest-vs-previous — centroid
+    shift (L2 + cosine), per-dim variance-vector delta, and E[||x||²]
+    per side, all from one posexplode + d-row join per side. DuckDB
+    recomputes every moment from the same subsets independently."""
+    import tempfile
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.ops.embedding import embedding_drift_versions
+    from datachain_spark.session import Session
+
+    emb = _chain(spark, sf, "embeddings").df
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_drift_ms_"))
+    ms.save_dataset(emb.filter(F.col("vec_id") % 3 != 0), "emb_drift")
+    ms.save_dataset(emb.filter(F.col("vec_id") % 2 == 0), "emb_drift")
+    sess = Session.get()
+    old_ms, sess.metastore = sess.metastore, ms
+    try:
+        out = embedding_drift_versions("emb_drift", "embedding", session=sess)
+    finally:
+        sess.metastore = old_ms
+    return out.select(
+        "v_old", "v_new", "n_old", "n_new",
+        F.round("centroid_l2", 6).alias("centroid_l2_r"),
+        F.round("centroid_cos", 6).alias("centroid_cos_r"),
+        F.round("var_delta_l2", 6).alias("var_delta_l2_r"),
+        F.round("mean_sq_norm_old", 6).alias("msn_old_r"),
+        F.round("mean_sq_norm_new", 6).alias("msn_new_r"),
+    )
+
+
+EMBEDDING_DRIFT_SQL = """
+WITH o AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % 3 <> 0
+), n AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % 2 = 0
+), oe AS (
+  SELECT t.pos, e[t.pos] AS val
+  FROM o, unnest(generate_series(1, len(e))) AS t(pos)
+), ne AS (
+  SELECT t.pos, e[t.pos] AS val
+  FROM n, unnest(generate_series(1, len(e))) AS t(pos)
+), om AS (
+  SELECT pos, count(*) AS n, avg(val) AS m,
+         sum(val * val) / count(*) - avg(val) * avg(val) AS v,
+         sum(val * val) / count(*) AS ex2
+  FROM oe GROUP BY 1
+), nm AS (
+  SELECT pos, count(*) AS n, avg(val) AS m,
+         sum(val * val) / count(*) - avg(val) * avg(val) AS v,
+         sum(val * val) / count(*) AS ex2
+  FROM ne GROUP BY 1
+)
+SELECT '1.0.0' AS v_old, '1.0.1' AS v_new,
+       CAST(any_value(om.n) AS BIGINT) AS n_old,
+       CAST(any_value(nm.n) AS BIGINT) AS n_new,
+       round(sqrt(sum((nm.m - om.m) * (nm.m - om.m))), 6)
+         AS centroid_l2_r,
+       round(sum(om.m * nm.m)
+             / (sqrt(sum(om.m * om.m)) * sqrt(sum(nm.m * nm.m))), 6)
+         AS centroid_cos_r,
+       round(sqrt(sum((nm.v - om.v) * (nm.v - om.v))), 6)
+         AS var_delta_l2_r,
+       round(sum(om.ex2), 6) AS msn_old_r,
+       round(sum(nm.ex2), 6) AS msn_new_r
+FROM om JOIN nm ON om.pos = nm.pos
+"""
+
+
 def sketch_merge_orders(spark, sf):
     """Persistable mergeable sketch state (VERDICT r07 task 5 —
     ops/sketches.profile_sketch / merge_profile_sketches /
@@ -9519,6 +9670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split_events": temporal_split_events,
         "temporal_split_approx_events": temporal_split_approx_events,
         "sketch_merge_orders": sketch_merge_orders,
+        "contamination_matrix_docs": contamination_matrix_docs,
+        "embedding_drift_emb": embedding_drift_emb,
         "mad_outliers_orders": mad_outliers_orders,
         "webdataset_roundtrip": webdataset_roundtrip,
         "to_storage_roundtrip": to_storage_roundtrip,
@@ -9881,6 +10034,8 @@ def oracle_sql() -> dict[str, str]:
         "temporal_split_events": TEMPORAL_SPLIT_SQL,
         "temporal_split_approx_events": TEMPORAL_SPLIT_APPROX_SQL,
         "sketch_merge_orders": SKETCH_MERGE_SQL,
+        "contamination_matrix_docs": CONTAMINATION_MATRIX_SQL,
+        "embedding_drift_emb": EMBEDDING_DRIFT_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,
         "to_storage_roundtrip": TO_STORAGE_RT_SQL,

@@ -420,3 +420,138 @@ def hash_embed(
     else:
         vec = F.col("__dense")
     return staged.select(F.col("__id").alias(id_col), vec.alias(out_col))
+
+
+def embedding_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    vec_col: str,
+) -> DataFrame:
+    """ONE-ROW embedding drift report between two corpus snapshots — the
+    release-review gate for "did the new crawl/encoder shift the
+    embedding distribution": ``(n_old, n_new, centroid_l2,
+    centroid_cos, var_delta_l2, mean_sq_norm_old, mean_sq_norm_new)``.
+
+    centroid_l2/cos compare the per-dimension mean vectors; var_delta_l2
+    is the L2 distance between the per-dimension variance vectors (the
+    diagonal of the covariance delta — the full matrix lives in
+    :func:`embedding_covariance`, which this composes with for the
+    Frobenius story); mean_sq_norm is E[||x||²] = Σ_d E[x_d²], read off
+    the same moments with no extra pass.
+
+    Scale shape: each side posexplodes ONCE to (dim, value) rows — the
+    shuffle carries d * n_partitions partial moments after the map-side
+    combine, never raw vectors — then one d-row join and one 1-row fold;
+    both snapshots can be 100 TB. Rows whose vector length differs from
+    the side's modal dimension are excluded (the
+    :func:`embedding_covariance` convention); the two sides must share
+    that dimension or this raises."""
+    stats = []
+    for side, df in (("old", old_df), ("new", new_df)):
+        mode = (
+            df.select(F.size(F.col(vec_col)).alias("d"))
+            .filter(F.col("d").isNotNull() & (F.col("d") > 0))
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("d"))
+            .first()
+        )
+        if mode is None:
+            raise ValueError(
+                f"embedding_drift: no non-null vectors in the {side} side"
+            )
+        stats.append(mode["d"])
+    if stats[0] != stats[1]:
+        raise ValueError(
+            f"embedding_drift: dimension mismatch old={stats[0]} "
+            f"new={stats[1]}"
+        )
+    d = stats[0]
+
+    def moments(df: DataFrame) -> DataFrame:
+        src = df.select(F.col(vec_col).alias("__v")).filter(
+            _valid_vec(F.col("__v"), dim=d)
+        )
+        return (
+            src.select(F.posexplode("__v").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("x").cast("double")).alias("s"),
+                F.sum(
+                    F.col("x").cast("double") * F.col("x").cast("double")
+                ).alias("ss"),
+            )
+            .select(
+                "pos", "n",
+                (F.col("s") / F.col("n")).alias("m"),
+                (F.col("ss") / F.col("n")
+                 - (F.col("s") / F.col("n")) ** 2).alias("v"),
+                (F.col("ss") / F.col("n")).alias("ex2"),
+            )
+        )
+
+    mo = moments(old_df).alias("o")
+    mn = moments(new_df).alias("n")
+    j = mo.join(mn, F.col("o.pos") == F.col("n.pos"))
+    om, nm = F.col("o.m"), F.col("n.m")
+    return j.agg(
+        F.first(F.col("o.n")).cast("long").alias("n_old"),
+        F.first(F.col("n.n")).cast("long").alias("n_new"),
+        F.sqrt(F.sum((nm - om) * (nm - om))).alias("centroid_l2"),
+        (
+            F.sum(om * nm)
+            / (F.sqrt(F.sum(om * om)) * F.sqrt(F.sum(nm * nm)))
+        ).alias("centroid_cos"),
+        F.sqrt(
+            F.sum((F.col("n.v") - F.col("o.v"))
+                  * (F.col("n.v") - F.col("o.v")))
+        ).alias("var_delta_l2"),
+        F.sum(F.col("o.ex2")).alias("mean_sq_norm_old"),
+        F.sum(F.col("n.ex2")).alias("mean_sq_norm_new"),
+    )
+
+
+def embedding_drift_versions(
+    name: str,
+    vec_col: str,
+    v_old=None,
+    v_new=None,
+    session=None,
+) -> DataFrame:
+    """:func:`embedding_drift` between two saved VERSIONS of dataset
+    ``name`` — the :func:`~datachain_spark.ops.diff.dataset_diff`
+    resolution rules (``v_new`` defaults to latest, ``v_old`` to the one
+    before it; pins/specifiers accepted), the drift report as the
+    comparison. Pair with ``dataset_diff`` for the full release review:
+    which rows changed, and whether the embedding distribution moved."""
+    from ..catalog.metastore import parse_version
+    from ..session import Session
+    from ..sources.readers import read_dataset
+
+    sess = Session.get() if session is None else session
+    rec = sess.metastore.get_record(name)
+    if rec is None or not rec.versions:
+        raise ValueError(
+            f"embedding_drift_versions: no versions of dataset {name!r}"
+        )
+    ordered = sorted(rec.versions, key=lambda v: parse_version(v.version))
+    new_ver = rec.get_version(v_new).version
+    if v_old is None:
+        older = [
+            v for v in ordered
+            if parse_version(v.version) < parse_version(new_ver)
+        ]
+        if not older:
+            raise ValueError(
+                f"embedding_drift_versions: {name!r} has no version "
+                f"before {new_ver}"
+            )
+        old_ver = older[-1].version
+    else:
+        old_ver = rec.get_version(v_old).version
+    old_ch = read_dataset(name, f"=={old_ver}", session=sess)
+    new_ch = read_dataset(name, f"=={new_ver}", session=sess)
+    return embedding_drift(old_ch.df, new_ch.df, vec_col).select(
+        F.lit(old_ver).alias("v_old"), F.lit(new_ver).alias("v_new"), "*"
+    )

@@ -1447,3 +1447,100 @@ def novelty_score(
     return out.withColumn(
         "novelty", F.try_divide(F.col("n_novel"), F.col("n_ngrams"))
     )
+
+
+def contamination_matrix(
+    corpora: DataFrame,
+    benchmarks: DataFrame,
+    corpus_col: str = "corpus",
+    suite_col: str = "suite",
+    text_col: str = "text",
+    bench_text_col: Optional[str] = None,
+    ngram: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus CONTAMINATION MATRIX: N training corpora x M
+    benchmark suites -> one row per (corpus, suite) with the n-gram
+    overlap — the release-review artifact answering "which of our
+    corpora leak which eval suites" in ONE plan instead of N·M
+    :func:`corpus_overlap` calls. Output: ``(corpus, suite,
+    ngrams_corpus, ngrams_suite, shared_ngrams,
+    frac_suite_in_corpus)``; pairs with zero overlap keep their row
+    (counts 0, fraction 0), suites/corpora with no n-grams at all get
+    NULL fractions via try_divide.
+
+    Scale shape: each side reduces ONCE to its distinct (label,
+    gram-hash) rows — the 100-TB corpus text is scanned once no matter
+    how many suites — then one hash-keyed join between the two distinct
+    sets (no broadcast assumption; AQE broadcasts the suite side when
+    it is small, the usual case) and one (corpus, suite) count. Labels
+    must not contain the unit-separator character ``\\x1f`` (used to
+    ride the per-row shingle id).
+    """
+    if ngram < 1:
+        raise ValueError("contamination_matrix: ngram must be >= 1")
+    sep = "\x1f"
+    btc = bench_text_col or text_col
+
+    def labeled_grams(df: DataFrame, label: str, tcol: str, out: str):
+        tagged = df.select(
+            F.concat_ws(
+                sep,
+                F.col(label).cast("string"),
+                F.monotonically_increasing_id().cast("string"),
+            ).alias("__rid"),
+            F.col(tcol).alias("__t"),
+        )
+        rows = shingle_rows(tagged, "__rid", "__t", n=ngram, distinct=False)
+        return (
+            rows.filter(
+                F.col("__shingle").isNotNull()
+                & (F.length("__shingle") > 0)
+            )
+            .select(
+                F.substring_index(F.col("__id"), sep, 1).alias(out),
+                _hash64(F.col("__shingle"), hash_fn).alias("__h"),
+            )
+            .distinct()
+        )
+
+    gc = labeled_grams(corpora, corpus_col, text_col, "corpus")
+    gb = labeled_grams(benchmarks, suite_col, btc, "suite")
+    grid = (
+        corpora.select(F.col(corpus_col).cast("string").alias("corpus"))
+        .distinct()
+        .crossJoin(
+            benchmarks.select(
+                F.col(suite_col).cast("string").alias("suite")
+            ).distinct()
+        )
+    )
+    nc = gc.groupBy("corpus").agg(
+        F.count(F.lit(1)).cast("long").alias("ngrams_corpus")
+    )
+    nb = gb.groupBy("suite").agg(
+        F.count(F.lit(1)).cast("long").alias("ngrams_suite")
+    )
+    shared = (
+        gc.join(gb, "__h")
+        .groupBy("corpus", "suite")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
+    )
+    return (
+        grid.join(nc, "corpus", "left")
+        .join(nb, "suite", "left")
+        .join(shared, ["corpus", "suite"], "left")
+        .select(
+            "corpus", "suite",
+            F.coalesce("ngrams_corpus", F.lit(0)).alias("ngrams_corpus"),
+            F.coalesce("ngrams_suite", F.lit(0)).alias("ngrams_suite"),
+            F.coalesce("shared_ngrams", F.lit(0)).alias("shared_ngrams"),
+            F.try_divide(
+                F.coalesce("shared_ngrams", F.lit(0)).cast("double"),
+                F.coalesce("ngrams_suite", F.lit(0)).cast("double"),
+            ).alias("frac_suite_in_corpus"),
+        )
+    )
+
+
+

@@ -216,3 +216,72 @@ def test_random_projection_empty_vector_nulls(spark):
     out = embedding.random_projection(df, "v", 3, seed=2).orderBy("id").collect()
     assert out[0]["rp"] is None
     assert out[1]["rp"] is not None and None not in out[1]["rp"]
+
+
+# ----------------------- r08: embedding drift -----------------------------
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    from datachain_spark.ops.embedding import embedding_drift
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, -2.0]) for i in range(30)],
+        "id long, v array<double>",
+    )
+    same = embedding_drift(base, base, "v").collect()[0]
+    assert same["n_old"] == same["n_new"] == 30
+    assert abs(same["centroid_l2"]) < 1e-12
+    assert abs(same["centroid_cos"] - 1.0) < 1e-12
+    assert abs(same["var_delta_l2"]) < 1e-12
+    assert abs(same["mean_sq_norm_old"] - same["mean_sq_norm_new"]) < 1e-12
+
+    # shift every vector by +1 on dim 0: centroid moves exactly 1,
+    # variances unchanged
+    from pyspark.sql import functions as F
+    shifted = base.select(
+        "id",
+        F.array(
+            F.col("v")[0] + F.lit(1.0), F.col("v")[1], F.col("v")[2]
+        ).alias("v"),
+    )
+    d = embedding_drift(base, shifted, "v").collect()[0]
+    assert abs(d["centroid_l2"] - 1.0) < 1e-9
+    assert abs(d["var_delta_l2"]) < 1e-9
+
+    # ragged minority rows are excluded by the modal-dimension rule
+    ragged = base.union(spark.createDataFrame(
+        [(99, [1.0])], "id long, v array<double>"
+    ))
+    r = embedding_drift(base, ragged, "v").collect()[0]
+    assert r["n_new"] == 30
+
+    import pytest as _pt
+    short = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
+    with _pt.raises(ValueError, match="dimension mismatch"):
+        embedding_drift(base, short, "v")
+
+
+def test_embedding_drift_versions_resolution(session, tmp_path):
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.ops.embedding import embedding_drift_versions
+
+    ms = Metastore(str(tmp_path / "ms_ed"))
+    old_ms, session.metastore = session.metastore, ms
+    try:
+        spark = session.spark
+        v1 = spark.createDataFrame(
+            [(i, [0.0, 1.0]) for i in range(10)], "id long, v array<double>"
+        )
+        v2 = spark.createDataFrame(
+            [(i, [3.0, 5.0]) for i in range(10)], "id long, v array<double>"
+        )
+        ms.save_dataset(v1, "emb_ds")   # 1.0.0
+        ms.save_dataset(v2, "emb_ds")   # 1.0.1
+        got = embedding_drift_versions("emb_ds", "v", session=session).collect()[0]
+        assert (got["v_old"], got["v_new"]) == ("1.0.0", "1.0.1")
+        assert abs(got["centroid_l2"] - 5.0) < 1e-9  # (3,4) shift
+        import pytest as _pt
+        with _pt.raises(ValueError, match="no version before"):
+            embedding_drift_versions("emb_ds", "v", v_new="==1.0.0", session=session)
+    finally:
+        session.metastore = old_ms

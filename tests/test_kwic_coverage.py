@@ -104,3 +104,44 @@ def test_union_by_name_reconciles(session):
     # strict union still refuses
     with pytest.raises(Exception, match="mismatch"):
         a.union(b)
+
+
+# ------------------- r08: contamination matrix ----------------------------
+
+
+def test_contamination_matrix_grid_semantics(spark):
+    from datachain_spark.ops.text import contamination_matrix
+
+    corpora = spark.createDataFrame(
+        [
+            ("c1", "the quick brown fox jumps high"),
+            ("c1", "entirely unrelated corpus text here"),
+            ("c2", "no overlap at all in this one"),
+        ],
+        "corpus string, text string",
+    )
+    benches = spark.createDataFrame(
+        [
+            ("s1", "the quick brown fox"),          # 2 trigrams, both in c1
+            ("s2", "completely novel benchmark line"),
+        ],
+        "suite string, text string",
+    )
+    got = {
+        (r["corpus"], r["suite"]): r
+        for r in contamination_matrix(corpora, benches).collect()
+    }
+    assert set(got) == {("c1", "s1"), ("c1", "s2"), ("c2", "s1"), ("c2", "s2")}
+    # s1 = {the quick brown, quick brown fox}; both inside c1's doc 1
+    assert got[("c1", "s1")]["ngrams_suite"] == 2
+    assert got[("c1", "s1")]["shared_ngrams"] == 2
+    assert got[("c1", "s1")]["frac_suite_in_corpus"] == 1.0
+    # zero-overlap pairs keep their row with 0 counts
+    assert got[("c2", "s1")]["shared_ngrams"] == 0
+    assert got[("c2", "s1")]["frac_suite_in_corpus"] == 0.0
+    assert got[("c1", "s2")]["shared_ngrams"] == 0
+    # corpus gram counts are per-corpus distinct unions
+    assert got[("c1", "s1")]["ngrams_corpus"] == 4 + 3  # 4 + 3 trigrams
+    import pytest as _pt
+    with _pt.raises(ValueError, match="ngram"):
+        contamination_matrix(corpora, benches, ngram=0)
