@@ -9574,38 +9574,93 @@ WHERE o_orderkey < 2000 ORDER BY o_orderkey
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver checks the FIRST 50 entries.
 
-    r07 rotation (VERDICT r06 task 1c): the window holds ALL 45 entries
-    that had never received a driver verdict (the r06 session-2/3 wave —
-    strip_boilerplate, funnel_window, journey paths/edges, SCD2, rolling
-    actives, cohort rates, corpus overlap, per-group HLL, schema drift,
-    nearest as-of, cluster sizes — plus the r05 overflow: kfold /
-    calibration, conversations, profile/describe/corr, eval metrics,
-    kwic/vocab, bloom_semi_join_orders, salted_join…), the 3 queries
-    that ERRed at r06 on array-output canonicalization (pq_codes_adc,
-    ivfpq_codes_adc, group_centroids_emb — now re-shaped to scalar
-    columns; hash_embed_md5, the 4th array-output query, is among the
-    45), and the 2 stalest r02 greens (distinct_pairs,
-    order_limit_offset). Everything green in CORRECTNESS_r06 rotates to
-    overflow.
-
-    r08 window plan: rotate IN the never-driver-checked r07 additions —
-    the 8 new operators listed first in overflow (curation_report,
-    dataset_diff, sketch_quantiles, ann_eval, streaming_hourly,
-    temporal_split, mad_outliers, webdataset/to_storage roundtrips) and
-    the 3 promoted cross-family sketch oracles (minhash_pairs,
-    simhash_pairs, winnow_fingerprints at the registry tail) — plus the
+    r08 rotation (VERDICT r07 task 1, plan executed verbatim): the
+    window holds the ONLY entries without an external verdict — the 12
+    r07 additions (curation_report, dataset_diff, sketch_quantiles,
+    ann_eval, streaming_hourly, temporal_split, mad_outliers,
+    webdataset/to_storage roundtrips, standardize, incremental exact
+    dedup, novelty) and the 3 xxhash64 sketch flows whose cross-family
+    value oracles were first shipped in r07 (minhash_pairs,
+    simhash_pairs, winnow_fingerprints) — plus the 6 r08-new queries
+    (temporal_split_approx — the approx-default twin clearing the r07
+    weak flag, the two streaming semantics oracles, mergeable sketch
+    persistence, the contamination matrix, embedding drift) so nothing
+    new accrues verification debt, padded to 50 with the 29
     longest-out-of-window r02-r04 greens (merge_left_regions,
-    group_concat_sorted, string_similarity, path_funcs,
-    semi_join_orders, intersect_cross, winnow_pairs_md5, the r03
-    function families, udf_*, multimodal) so every registry entry keeps
-    a driver verdict at most ~3 rounds old.
+    group_concat_sorted, string_similarity, path_funcs, semi_join,
+    intersect_cross, winnow_pairs, the r03 function families, udf_*,
+    multimodal, q6, sessionize…). The whole r07 window (50/50 green in
+    CORRECTNESS_r07) rotates to overflow.
+
+    r09 window plan: nothing will be unverified if this window lands
+    green, so rotate purely by staleness — the r05 roundtrip/IO wave
+    (csv/jsonl/parquet-partition/database/orc/text roundtrips,
+    save_version_pinned, delta_incremental, sample_shuffle_chunk,
+    sharding, sample_per_group), the r05 TPC-H overflow (q2, q4,
+    q7-q22), and any r08-new entries again if their verdict missed.
 
     EVERY entry — window and overflow — is still verified locally each run
     by tests/test_oracle.py, and scripts/local_oracle.py emits the full
     result table to LOCAL_ORACLE.json so the externally-unchecked subset
     remains visible."""
     return {
-        # ===== r07 window: the 45 never-driver-checked oracles =====
+        # ===== r08 window (slots 1-50) =====
+        # -- the 12 r07 additions, never driver-checked --
+        "curation_report_docs": curation_report_docs,
+        "dataset_diff_versions": dataset_diff_versions,
+        "sketch_quantiles_orders": sketch_quantiles_orders,
+        "ann_eval_emb": ann_eval_emb,
+        "streaming_hourly_events": streaming_hourly_events,
+        "temporal_split_events": temporal_split_events,
+        "mad_outliers_orders": mad_outliers_orders,
+        "webdataset_roundtrip": webdataset_roundtrip,
+        "to_storage_roundtrip": to_storage_roundtrip,
+        "standardize_orders": standardize_orders,
+        "exact_dedup_incr_md5": exact_dedup_incr_md5,
+        "novelty_score_md5": novelty_score_md5,
+        # -- the 3 xxhash64 sketch flows promoted to value oracles in r07 --
+        "minhash_pairs": minhash_pairs_ro,
+        "simhash_pairs": simhash_pairs_ro,
+        "winnow_fingerprints": winnow_fingerprints_ro,
+        # -- the 6 r08 additions (first external verdict) --
+        "temporal_split_approx_events": temporal_split_approx_events,
+        "streaming_exact_dedup": streaming_exact_dedup,
+        "streaming_late_data": streaming_late_data,
+        "sketch_merge_orders": sketch_merge_orders,
+        "contamination_matrix_docs": contamination_matrix_docs,
+        "embedding_drift_emb": embedding_drift_emb,
+        # -- the 29 longest-out-of-window r02-r04 greens --
+        "merge_left_regions": merge_left_regions,
+        "group_concat_sorted": group_concat_sorted,
+        "string_similarity": string_similarity,
+        "path_funcs": path_funcs,
+        "semi_join_orders": semi_join_orders,
+        "intersect_cross": intersect_cross,
+        "winnow_pairs_md5": winnow_pairs_md5,
+        "string_funcs": string_funcs,
+        "array_funcs": array_funcs,
+        "numeric_hash_funcs": numeric_hash_funcs,
+        "conditional_funcs": conditional_funcs,
+        "udf_map": udf_map_ro,
+        "udf_gen": udf_gen_ro,
+        "udf_agg": udf_agg_ro,
+        "multimodal_image_meta": multimodal_ro,
+        "multimodal_audio_meta": multimodal_audio,
+        "multimodal_video_meta": multimodal_video,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "mutate_case_buckets": mutate_case_buckets,
+        "union_all_groups": union_all_groups,
+        "diff_statuses": diff_statuses,
+        "ngram_jaccard_pairs": ngram_jaccard_ro,
+        "minhash_pairs_md5": minhash_pairs_md5,
+        "simhash_pairs_md5": simhash_pairs_md5,
+        "winnow_fingerprints_md5": winnow_md5,
+        "read_database_sql": read_database_sql,
+        "events_sessionize": events_sessionize,
+        "explode_json_props": explode_json_props,
+        "text_quality_stats": text_quality_stats,
+        # ================= overflow (slot 51+) =================
+        # -- green in CORRECTNESS_r07 (the full r07 window), rotated out --
         "strip_boilerplate_docs": strip_boilerplate_docs,
         "asof_nearest_events": asof_nearest_events,
         "corpus_overlap_docs": corpus_overlap_docs,
@@ -9651,34 +9706,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_events": skew_report_events,
         "weighted_sample_docs": weighted_sample_docs,
         "profile_orders": profile_orders,
-        # ===== the 3 r06 array-output ERRs, re-shaped to scalar =====
         "pq_codes_adc": pq_codes_adc,
         "ivfpq_codes_adc": ivfpq_codes_adc,
         "group_centroids_emb": group_centroids_emb,
-        # ===== the 2 stalest greens (last driver verdict: r02) =====
         "distinct_pairs": distinct_pairs,
         "order_limit_offset": order_limit_offset,
-        # ================= overflow (slot 51+) =================
-        # -- r08 window candidates: new in r07, never driver-checked --
-        "curation_report_docs": curation_report_docs,
-        "dataset_diff_versions": dataset_diff_versions,
-        "sketch_quantiles_orders": sketch_quantiles_orders,
-        "ann_eval_emb": ann_eval_emb,
-        "streaming_hourly_events": streaming_hourly_events,
-        "streaming_exact_dedup": streaming_exact_dedup,
-        "streaming_late_data": streaming_late_data,
-        "temporal_split_events": temporal_split_events,
-        "temporal_split_approx_events": temporal_split_approx_events,
-        "sketch_merge_orders": sketch_merge_orders,
-        "contamination_matrix_docs": contamination_matrix_docs,
-        "embedding_drift_emb": embedding_drift_emb,
-        "mad_outliers_orders": mad_outliers_orders,
-        "webdataset_roundtrip": webdataset_roundtrip,
-        "to_storage_roundtrip": to_storage_roundtrip,
-        "standardize_orders": standardize_orders,
-        "exact_dedup_incr_md5": exact_dedup_incr_md5,
-        "novelty_score_md5": novelty_score_md5,
-        # -- green in CORRECTNESS_r06, rotated out --
         "bm25_score_docs": bm25_score_docs,
         "dsir_importance_md5": dsir_importance_md5,
         "c4_gate": c4_gate,
@@ -9716,7 +9748,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text_docs": normalize_text_docs,
         "stratified_split_docs": stratified_split_docs,
         "hll_profile_orders": hll_profile_orders,
-        # -- stable multi-green anchors (green again in r06) --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
@@ -9727,7 +9758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_glob_in": filter_glob_in,
         "subtract_anti": subtract_anti,
         "merge_expr_pred": merge_expr_pred,
-        # -- green in CORRECTNESS_r05, rotated out --
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
         "q7_nation_volume": q7_nation_volume,
@@ -9770,12 +9800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "save_read_roundtrip": save_read_roundtrip_ro,
         "delta_incremental": delta_incremental_ro,
         "sample_shuffle_chunk": sample_shuffle_chunk_ro,
-        # -- green in r01-r04, still locally DuckDB-verified every run --
-        "read_database_sql": read_database_sql,
-        "conditional_funcs": conditional_funcs,
-        "events_sessionize": events_sessionize,
-        "explode_json_props": explode_json_props,
-        "text_quality_stats": text_quality_stats,
         "group_by_expr_keys": group_by_expr_keys,
         "rollup_orders": rollup_orders,
         "pivot_status_qty": pivot_status_qty,
@@ -9788,7 +9812,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharding_md5": sharding_md5,
         "url_normalize": url_normalize,
         "repetition_stats": repetition_stats_query,
-        "multimodal_image_meta": multimodal_ro,  # oracled (sha256 fake decode)
         "read_storage_listing": read_storage_ro,
         "window_top3_per_cust": window_top3_per_cust,
         "merge_multi_key": merge_multi_key,
@@ -9799,35 +9822,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": similarity_topk,
         "embedding_near_pairs": embedding_near_pairs,
         "lang_id_counts": lang_id_ro,
-        "udf_map": udf_map_ro,
-        "udf_gen": udf_gen_ro,
-        "udf_agg": udf_agg_ro,
-        "minhash_pairs_md5": minhash_pairs_md5,
-        "simhash_pairs_md5": simhash_pairs_md5,
-        "winnow_fingerprints_md5": winnow_md5,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "mutate_case_buckets": mutate_case_buckets,
-        "union_all_groups": union_all_groups,
-        "diff_statuses": diff_statuses,
-        "string_funcs": string_funcs,
-        "array_funcs": array_funcs,
-        "numeric_hash_funcs": numeric_hash_funcs,
-        "ngram_jaccard_pairs": ngram_jaccard_ro,  # oracled (3-gram template)
-        "multimodal_audio_meta": multimodal_audio,
-        "multimodal_video_meta": multimodal_video,
-        "winnow_pairs_md5": winnow_pairs_md5,
-        "merge_left_regions": merge_left_regions,
-        "group_concat_sorted": group_concat_sorted,
-        "path_funcs": path_funcs,
-        "string_similarity": string_similarity,
-        "semi_join_orders": semi_join_orders,
-        "intersect_cross": intersect_cross,
-        # xxhash64-default sketch flows — value-checked since r07 via
-        # cross-family / planted-duplicate invariant oracles (the md5
-        # twins above still carry the bit-for-bit algorithm verdicts)
-        "minhash_pairs": minhash_pairs_ro,
-        "simhash_pairs": simhash_pairs_ro,
-        "winnow_fingerprints": winnow_fingerprints_ro,
     }
 
 
