@@ -9080,6 +9080,113 @@ ORDER BY 1, 2
 """
 
 
+def overlap_matrix_docs(spark, sf):
+    """Pairwise corpus near-duplication grid (ops/text.overlap_matrix):
+    every unordered pair of the 20 source-labeled corpora with distinct
+    trigram counts, shared counts and jaccard — 190 cells from ONE
+    distinct-gram build + ONE hash self-join. The oracle rebuilds the
+    gram sets per source and recounts every pair."""
+    from datachain_spark.ops.text import overlap_matrix
+
+    docs = _chain(spark, sf, "documents").df
+    out = overlap_matrix(
+        docs.select(F.col("source").alias("corpus"), "text")
+    )
+    return out.select(
+        "corpus_a", "corpus_b", "ngrams_a", "ngrams_b", "shared_ngrams",
+        F.round("jaccard", 6).alias("jaccard_r"),
+    ).orderBy("corpus_a", "corpus_b")
+
+
+OVERLAP_MATRIX_SQL = """
+WITH wc AS (
+  SELECT source AS corpus,
+         string_split_regex(trim(regexp_replace(lower(text),
+           '[^\\w\\s]', '', 'g')), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), sc AS (
+  SELECT DISTINCT corpus, unnest(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE [concat_ws(' ', w[i], w[i+1], w[i+2])
+               for i in generate_series(1, len(w)-2)]
+    END) AS s
+  FROM wc
+), scf AS (SELECT corpus, s FROM sc WHERE length(s) > 0),
+nc AS (SELECT corpus, CAST(count(*) AS BIGINT) AS n FROM scf GROUP BY corpus),
+sh AS (
+  SELECT x.corpus AS ca, y.corpus AS cb, CAST(count(*) AS BIGINT) AS shared
+  FROM scf x JOIN scf y ON x.s = y.s AND x.corpus < y.corpus
+  GROUP BY 1, 2
+), grid AS (
+  SELECT a.corpus AS ca, b.corpus AS cb
+  FROM (SELECT DISTINCT source AS corpus FROM documents) a
+  JOIN (SELECT DISTINCT source AS corpus FROM documents) b
+    ON a.corpus < b.corpus
+)
+SELECT g.ca AS corpus_a, g.cb AS corpus_b,
+       coalesce(na.n, 0) AS ngrams_a,
+       coalesce(nb.n, 0) AS ngrams_b,
+       coalesce(sh.shared, 0) AS shared_ngrams,
+       round(CAST(coalesce(sh.shared, 0) AS DOUBLE)
+             / nullif(coalesce(na.n, 0) + coalesce(nb.n, 0)
+                      - coalesce(sh.shared, 0), 0), 6) AS jaccard_r
+FROM grid g
+LEFT JOIN nc na ON na.corpus = g.ca
+LEFT JOIN nc nb ON nb.corpus = g.cb
+LEFT JOIN sh ON sh.ca = g.ca AND sh.cb = g.cb
+ORDER BY 1, 2
+"""
+
+
+def zipf_profile_docs(spark, sf):
+    """Corpus rank-frequency health profile (ops/text.zipf_profile):
+    token totals, type count, and the OLS fit of ln(freq) on ln(rank)
+    over the 500 most frequent tokens (deterministic ties by token
+    text). The oracle recomputes the token counts, the top-k order and
+    the regression sums independently."""
+    from datachain_spark.ops.text import zipf_profile
+
+    docs = _chain(spark, sf, "documents").df
+    out = zipf_profile(docs, top_k=500)
+    return out.select(
+        "n_tokens", "n_types", "top_freq",
+        F.round("zipf_slope", 6).alias("zipf_slope_r"),
+        F.round("r2", 6).alias("r2_r"),
+    )
+
+
+ZIPF_PROFILE_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+           '[^\\w\\s]', '', 'g')), '\\s+')) AS t
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT t, count(*) AS f FROM toks WHERE length(t) > 0 GROUP BY t
+), top AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, t ASC) AS r
+  FROM tf ORDER BY f DESC, t ASC LIMIT 500
+), fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k,
+         sum(ln(CAST(r AS DOUBLE))) AS sx, sum(ln(CAST(f AS DOUBLE))) AS sy,
+         sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
+         sum(ln(CAST(f AS DOUBLE)) * ln(CAST(f AS DOUBLE))) AS syy,
+         sum(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE))) AS sxy,
+         max(CASE WHEN r = 1 THEN f END) AS top_freq
+  FROM top
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT t) AS BIGINT) AS n_types
+  FROM toks WHERE length(t) > 0
+)
+SELECT n_tokens, n_types, CAST(top_freq AS BIGINT) AS top_freq,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+         AS zipf_slope_r,
+       round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+             / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2_r
+FROM tot, fit
+"""
+
+
 def embedding_drift_emb(spark, sf):
     """Embedding drift between dataset VERSIONS (ops/embedding.
     embedding_drift_versions — VERDICT r07 task 8b): two overlapping
@@ -9581,16 +9688,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     webdataset/to_storage roundtrips, standardize, incremental exact
     dedup, novelty) and the 3 xxhash64 sketch flows whose cross-family
     value oracles were first shipped in r07 (minhash_pairs,
-    simhash_pairs, winnow_fingerprints) — plus the 6 r08-new queries
+    simhash_pairs, winnow_fingerprints) — plus the 8 r08-new queries
     (temporal_split_approx — the approx-default twin clearing the r07
     weak flag, the two streaming semantics oracles, mergeable sketch
-    persistence, the contamination matrix, embedding drift) so nothing
-    new accrues verification debt, padded to 50 with the 29
-    longest-out-of-window r02-r04 greens (merge_left_regions,
-    group_concat_sorted, string_similarity, path_funcs, semi_join,
-    intersect_cross, winnow_pairs, the r03 function families, udf_*,
-    multimodal, q6, sessionize…). The whole r07 window (50/50 green in
-    CORRECTNESS_r07) rotates to overflow.
+    persistence, the contamination matrix, embedding drift, the
+    pairwise overlap matrix, the Zipf profile) so nothing new accrues
+    verification debt, padded to 50 with the 27 longest-out-of-window
+    r02-r04 greens (merge_left_regions, group_concat_sorted,
+    string_similarity, path_funcs, semi_join, intersect_cross,
+    winnow_pairs, the r03 function families, udf_*, multimodal, q6,
+    sessionize…). The whole r07 window (50/50 green in CORRECTNESS_r07)
+    rotates to overflow.
 
     r09 window plan: nothing will be unverified if this window lands
     green, so rotate purely by staleness — the r05 roundtrip/IO wave
@@ -9629,6 +9737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_merge_orders": sketch_merge_orders,
         "contamination_matrix_docs": contamination_matrix_docs,
         "embedding_drift_emb": embedding_drift_emb,
+        "overlap_matrix_docs": overlap_matrix_docs,
+        "zipf_profile_docs": zipf_profile_docs,
         # -- the 29 longest-out-of-window r02-r04 greens --
         "merge_left_regions": merge_left_regions,
         "group_concat_sorted": group_concat_sorted,
@@ -9657,9 +9767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_md5": winnow_md5,
         "read_database_sql": read_database_sql,
         "events_sessionize": events_sessionize,
+        # ================= overflow (slot 51+) =================
+        # -- r02-r04 greens displaced by the two late r08 additions --
         "explode_json_props": explode_json_props,
         "text_quality_stats": text_quality_stats,
-        # ================= overflow (slot 51+) =================
         # -- green in CORRECTNESS_r07 (the full r07 window), rotated out --
         "strip_boilerplate_docs": strip_boilerplate_docs,
         "asof_nearest_events": asof_nearest_events,
@@ -10030,6 +10141,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_merge_orders": SKETCH_MERGE_SQL,
         "contamination_matrix_docs": CONTAMINATION_MATRIX_SQL,
         "embedding_drift_emb": EMBEDDING_DRIFT_SQL,
+        "overlap_matrix_docs": OVERLAP_MATRIX_SQL,
+        "zipf_profile_docs": ZIPF_PROFILE_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,
         "to_storage_roundtrip": TO_STORAGE_RT_SQL,

@@ -1544,3 +1544,159 @@ def contamination_matrix(
 
 
 
+
+
+def overlap_matrix(
+    corpora: DataFrame,
+    corpus_col: str = "corpus",
+    text_col: str = "text",
+    ngram: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Pairwise N x N corpus n-gram overlap — the near-duplication grid
+    across EVERY pair of labeled corpora in one plan (which crawls
+    re-collect which, which mixture components are redundant): one row
+    per unordered pair (a < b by label) with ``(corpus_a, corpus_b,
+    ngrams_a, ngrams_b, shared_ngrams, jaccard)``. The self-pair is
+    omitted (jaccard 1 by definition); zero-overlap pairs keep their
+    row; empty corpora yield NULL jaccard via try_divide.
+
+    Scale shape: the corpus text reduces ONCE to distinct (label,
+    gram-hash) rows, then ONE hash-keyed self-join restricted to
+    label_a < label_b produces every pair's intersection counts — cost
+    is the gram-collision fan-out, never |corpus|² text comparisons.
+    Same machinery as :func:`contamination_matrix` (labels must not
+    contain ``\\x1f``)."""
+    if ngram < 1:
+        raise ValueError("overlap_matrix: ngram must be >= 1")
+    sep = "\x1f"
+    tagged = corpora.select(
+        F.concat_ws(
+            sep,
+            F.col(corpus_col).cast("string"),
+            F.monotonically_increasing_id().cast("string"),
+        ).alias("__rid"),
+        F.col(text_col).alias("__t"),
+    )
+    rows = shingle_rows(tagged, "__rid", "__t", n=ngram, distinct=False)
+    grams = (
+        rows.filter(
+            F.col("__shingle").isNotNull() & (F.length("__shingle") > 0)
+        )
+        .select(
+            F.substring_index(F.col("__id"), sep, 1).alias("corpus"),
+            _hash64(F.col("__shingle"), hash_fn).alias("__h"),
+        )
+        .distinct()
+    )
+    labels = corpora.select(
+        F.col(corpus_col).cast("string").alias("corpus")
+    ).distinct()
+    grid = (
+        labels.select(F.col("corpus").alias("corpus_a"))
+        .crossJoin(labels.select(F.col("corpus").alias("corpus_b")))
+        .filter(F.col("corpus_a") < F.col("corpus_b"))
+    )
+    counts = grams.groupBy("corpus").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    ga = grams.select(F.col("corpus").alias("corpus_a"), "__h")
+    gb = grams.select(F.col("corpus").alias("corpus_b"), "__h")
+    shared = (
+        ga.join(gb, "__h")
+        .filter(F.col("corpus_a") < F.col("corpus_b"))
+        .groupBy("corpus_a", "corpus_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
+    )
+    na = counts.select(
+        F.col("corpus").alias("corpus_a"), F.col("__n").alias("ngrams_a")
+    )
+    nb = counts.select(
+        F.col("corpus").alias("corpus_b"), F.col("__n").alias("ngrams_b")
+    )
+    a, b, s = F.col("ngrams_a"), F.col("ngrams_b"), F.col("shared_ngrams")
+    return (
+        grid.join(na, "corpus_a", "left")
+        .join(nb, "corpus_b", "left")
+        .join(shared, ["corpus_a", "corpus_b"], "left")
+        .select(
+            "corpus_a", "corpus_b",
+            F.coalesce(a, F.lit(0)).alias("ngrams_a"),
+            F.coalesce(b, F.lit(0)).alias("ngrams_b"),
+            F.coalesce(s, F.lit(0)).alias("shared_ngrams"),
+            F.try_divide(
+                F.coalesce(s, F.lit(0)).cast("double"),
+                (
+                    F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+                    - F.coalesce(s, F.lit(0))
+                ).cast("double"),
+            ).alias("jaccard"),
+        )
+    )
+
+
+def zipf_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+) -> DataFrame:
+    """ONE-ROW Zipf rank-frequency profile of a corpus — the
+    distributional-health gate (natural language fits log(freq) ~
+    -1·log(rank); template-generated, looped, or synthetic corpora bend
+    the slope and the fit): ``(n_tokens, n_types, top_freq, zipf_slope,
+    r2)`` from an ordinary-least-squares fit of ln(freq) on ln(rank)
+    over the ``top_k`` most frequent tokens (ties broken by token text
+    so the rank order is deterministic).
+
+    Scale shape: one token count aggregation (map-side combined — the
+    shuffle carries distinct tokens, not the corpus), a TakeOrdered
+    top-k truncation (orderBy().limit(k) — Spark keeps k rows per
+    partition and merges, never a global sort), then the rank window
+    runs over only those k rows (the tfidf_keywords top-k pattern) and
+    a 5-counter fold closes the regression. The raw corpus is scanned
+    once."""
+    from pyspark.sql import Window
+
+    if top_k < 2:
+        raise ValueError("zipf_profile: top_k must be >= 2")
+    tok = F.explode(
+        F.split(
+            F.trim(
+                F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", "")
+            ),
+            r"\s+",
+        )
+    ).alias("__tok")
+    toks = df.select(tok).filter(F.length("__tok") > 0)
+    counts = toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__f")
+    )
+    top = counts.orderBy(F.desc("__f"), F.asc("__tok")).limit(int(top_k))
+    w = Window.orderBy(F.desc("__f"), F.asc("__tok"))
+    ranked = top.withColumn("__r", F.row_number().over(w)).select(
+        F.log(F.col("__r").cast("double")).alias("__lr"),
+        F.log(F.col("__f").cast("double")).alias("__lf"),
+        "__f", "__r",
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct("__tok").cast("long").alias("n_types"),
+    )
+    lr, lf = F.col("__lr"), F.col("__lf")
+    fit = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("__k"),
+        F.sum(lr).alias("__sx"), F.sum(lf).alias("__sy"),
+        F.sum(lr * lr).alias("__sxx"), F.sum(lf * lf).alias("__syy"),
+        F.sum(lr * lf).alias("__sxy"),
+        F.max(F.when(F.col("__r") == 1, F.col("__f")))
+        .cast("long").alias("top_freq"),
+    )
+    k = F.col("__k")
+    cov = k * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varx = k * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = k * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return totals.crossJoin(F.broadcast(fit)).select(
+        "n_tokens", "n_types", "top_freq",
+        F.try_divide(cov, varx).alias("zipf_slope"),
+        F.try_divide(cov * cov, varx * vary).alias("r2"),
+    )

@@ -145,3 +145,49 @@ def test_contamination_matrix_grid_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="ngram"):
         contamination_matrix(corpora, benches, ngram=0)
+
+
+def test_overlap_matrix_pairs(spark):
+    from datachain_spark.ops.text import overlap_matrix
+
+    corpora = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps high"),
+            ("b", "the quick brown fox sleeps"),
+            ("c", "nothing shared with anyone else"),
+        ],
+        "corpus string, text string",
+    )
+    got = {
+        (r["corpus_a"], r["corpus_b"]): r
+        for r in overlap_matrix(corpora).collect()
+    }
+    # unordered pairs only, a < b, no self-pairs
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # a: 4 trigrams, b: 3; shared = {the quick brown, quick brown fox}
+    ab = got[("a", "b")]
+    assert (ab["ngrams_a"], ab["ngrams_b"], ab["shared_ngrams"]) == (4, 3, 2)
+    assert abs(ab["jaccard"] - 2 / 5) < 1e-12
+    assert got[("a", "c")]["shared_ngrams"] == 0
+    assert got[("a", "c")]["jaccard"] == 0.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="ngram"):
+        overlap_matrix(corpora, ngram=0)
+
+
+def test_zipf_profile_exact_power_law(spark):
+    from datachain_spark.ops.text import zipf_profile
+
+    # frequencies 12/r at ranks 1..4: a perfect f = C*r^-1 law
+    words = ["alpha"] * 12 + ["beta"] * 6 + ["gamma"] * 4 + ["delta"] * 3
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    row = zipf_profile(df, top_k=10).collect()[0]
+    assert row["n_tokens"] == 25
+    assert row["n_types"] == 4
+    assert row["top_freq"] == 12
+    assert abs(row["zipf_slope"] + 1.0) < 1e-9
+    assert abs(row["r2"] - 1.0) < 1e-9
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="top_k"):
+        zipf_profile(df, top_k=1)
