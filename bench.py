@@ -181,6 +181,15 @@ HEADLINE = [
     "temporal_split_events",
     "standardize_orders",
     "exact_dedup_incr_md5",
+    # r08 additions: cross-corpus contamination/overlap grids, Zipf
+    # rank-frequency fit, version-to-version embedding drift, and the
+    # persistable sketch profile (save 2 versions -> reload -> merge ->
+    # histogram quantile — the metastore round-trip is the operator)
+    "contamination_matrix_docs",
+    "overlap_matrix_docs",
+    "zipf_profile_docs",
+    "embedding_drift_emb",
+    "sketch_merge_orders",
 ]
 
 

@@ -1458,6 +1458,7 @@ def contamination_matrix(
     bench_text_col: Optional[str] = None,
     ngram: int = 3,
     hash_fn: str = "xxhash64",
+    corpora_grams: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Cross-corpus CONTAMINATION MATRIX: N training corpora x M
     benchmark suites -> one row per (corpus, suite) with the n-gram
@@ -1476,6 +1477,15 @@ def contamination_matrix(
     it is small, the usual case) and one (corpus, suite) count. Labels
     must not contain the unit-separator character ``\\x1f`` (used to
     ride the per-row shingle id).
+
+    INCREMENTAL path: pass ``corpora_grams`` — a (``corpus_col``,
+    ``ngram_hash``) frame, i.e. per-corpus :func:`ngram_index` outputs
+    stacked with their labels — and the corpus text is NEVER rescanned:
+    audit a new benchmark release against stored 8-byte gram indexes of
+    every historical corpus (build them with the same ``ngram`` and
+    ``hash_fn``). ``corpora`` is then only consulted for the grid's
+    corpus labels (pass the gram frame itself if its labels cover all
+    corpora).
     """
     if ngram < 1:
         raise ValueError("contamination_matrix: ngram must be >= 1")
@@ -1504,7 +1514,13 @@ def contamination_matrix(
             .distinct()
         )
 
-    gc = labeled_grams(corpora, corpus_col, text_col, "corpus")
+    if corpora_grams is not None:
+        gc = corpora_grams.select(
+            F.col(corpus_col).cast("string").alias("corpus"),
+            F.col("ngram_hash").alias("__h"),
+        ).distinct()
+    else:
+        gc = labeled_grams(corpora, corpus_col, text_col, "corpus")
     gb = labeled_grams(benchmarks, suite_col, btc, "suite")
     grid = (
         corpora.select(F.col(corpus_col).cast("string").alias("corpus"))

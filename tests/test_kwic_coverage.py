@@ -191,3 +191,39 @@ def test_zipf_profile_exact_power_law(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="top_k"):
         zipf_profile(df, top_k=1)
+
+
+def test_contamination_matrix_from_stored_grams(spark):
+    # incremental path: stored per-corpus ngram_index frames replace the
+    # text rescan and must give IDENTICAL cells to the text path
+    from pyspark.sql import functions as F
+
+    from datachain_spark.ops.text import contamination_matrix, ngram_index
+
+    corpora = spark.createDataFrame(
+        [
+            ("c1", "the quick brown fox jumps high"),
+            ("c2", "no overlap at all in this one"),
+        ],
+        "corpus string, text string",
+    )
+    benches = spark.createDataFrame(
+        [("s1", "the quick brown fox")], "suite string, text string",
+    )
+    grams = None
+    for label in ("c1", "c2"):
+        idx = ngram_index(
+            corpora.filter(F.col("corpus") == label), "text", ngram=3
+        ).withColumn("corpus", F.lit(label))
+        grams = idx if grams is None else grams.unionByName(idx)
+    via_text = {
+        (r["corpus"], r["suite"]): (r["ngrams_corpus"], r["shared_ngrams"])
+        for r in contamination_matrix(corpora, benches).collect()
+    }
+    via_grams = {
+        (r["corpus"], r["suite"]): (r["ngrams_corpus"], r["shared_ngrams"])
+        for r in contamination_matrix(
+            corpora, benches, corpora_grams=grams
+        ).collect()
+    }
+    assert via_text == via_grams
