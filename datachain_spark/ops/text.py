@@ -1667,12 +1667,11 @@ def zipf_profile(
     Scale shape: one token count aggregation (map-side combined — the
     shuffle carries distinct tokens, not the corpus), a TakeOrdered
     top-k truncation (orderBy().limit(k) — Spark keeps k rows per
-    partition and merges, never a global sort), then the rank window
-    runs over only those k rows (the tfidf_keywords top-k pattern) and
-    a 5-counter fold closes the regression. The raw corpus is scanned
-    once."""
-    from pyspark.sql import Window
-
+    partition and merges, never a global sort), then the rank comes
+    from sort_array over ONE collected k-row array (bounded by top_k by
+    construction) + posexplode — no window with an empty partition spec
+    anywhere in the plan — and a 5-counter fold closes the regression.
+    The raw corpus is scanned once."""
     if top_k < 2:
         raise ValueError("zipf_profile: top_k must be >= 2")
     tok = F.explode(
@@ -1688,8 +1687,25 @@ def zipf_profile(
         F.count(F.lit(1)).cast("long").alias("__f")
     )
     top = counts.orderBy(F.desc("__f"), F.asc("__tok")).limit(int(top_k))
-    w = Window.orderBy(F.desc("__f"), F.asc("__tok"))
-    ranked = top.withColumn("__r", F.row_number().over(w)).select(
+    # rank = position in the (freq desc, token asc) order, computed by
+    # sorting ONE <=top_k-element array (struct sorts lexicographically;
+    # negated freq makes ascending sort_array give the desired order)
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("__f")).alias("__nf"),
+                    F.col("__tok").alias("__t"),
+                )
+            )
+        ).alias("__arr")
+    )
+    ranked = packed.select(
+        F.posexplode("__arr").alias("__p", "__s")
+    ).select(
+        (F.col("__p") + 1).alias("__r"),
+        (-F.col("__s.__nf")).cast("long").alias("__f"),
+    ).select(
         F.log(F.col("__r").cast("double")).alias("__lr"),
         F.log(F.col("__f").cast("double")).alias("__lf"),
         "__f", "__r",
