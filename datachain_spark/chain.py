@@ -1631,6 +1631,43 @@ class DataChain:
         new_schema = StructType(list(self._df.schema.fields) + list(out_struct.fields))
         return self._evolve(self._df.mapInPandas(fn, new_schema))
 
+    def map_arrow(
+        self,
+        fn: Callable,
+        output=None,
+    ) -> "DataChain":
+        """Arrow-NATIVE batch transform (Spark ``mapInArrow``): ``fn``
+        receives an iterator of ``pyarrow.RecordBatch`` and yields
+        ``RecordBatch``es matching ``output`` (a DDL string /
+        StructType; default: the current schema, i.e. a pure per-batch
+        rewrite). The fast path for BINARY-heavy columns — image/audio/
+        video payloads stay in Arrow buffers end-to-end instead of
+        being boxed into per-row pandas Python objects the way
+        ``map``/``batch_map``'s mapInPandas path pays twice per batch; on
+        multimodal blobs the conversion itself often dominates the
+        kernel. Use ``map``/``gen`` for column-wise scalar logic (pandas
+        ergonomics win there); use this when the batch IS the payload.
+
+        No reference counterpart (its UDFs are row Python objects —
+        lib/udf.py); this is the Spark-native escape hatch one level
+        below Pandas UDFs.
+        """
+        from pyspark.sql import types as T
+        from pyspark.sql.types import StructType
+
+        if output is None:
+            schema = self._df.schema
+        elif isinstance(output, StructType):
+            schema = output
+        elif isinstance(output, str):
+            schema = T._parse_datatype_string(output)
+        else:
+            raise TypeError(
+                "map_arrow: output must be None, a DDL string, or a "
+                f"StructType (got {type(output).__name__})"
+            )
+        return self._evolve(self._df.mapInArrow(fn, schema))
+
     @staticmethod
     def _resolve_signal_map(func, signal_map):
         if func is None and len(signal_map) == 1:

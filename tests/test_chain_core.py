@@ -481,3 +481,60 @@ def test_sample_per_group_nested_map_schema(session):
     again = {r["id"] for r in ch._evolve(ch.df.repartition(5, "id"))
              .sample_per_group("g", 2, key=["id"]).to_records()}
     assert again == {r["id"] for r in rows}
+
+
+def test_map_arrow_binary_fast_path(session):
+    # r08: Arrow-native batch transform — binary payloads transform
+    # without pandas boxing; result must equal the native-expression
+    # computation, and fn must actually receive pyarrow.RecordBatch
+    import hashlib
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    import datachain_spark as dc
+
+    spark = session.spark
+    rows = [(i, bytes([i % 251]) * (100 + i)) for i in range(64)]
+    ch = dc.read_pandas(
+        __import__("pandas").DataFrame(rows, columns=["id", "payload"]),
+        session=session,
+    )
+
+    seen_types = []
+
+    def sha_batches(it):
+        for b in it:
+            seen_types.append(type(b).__name__)
+            ids = b.column("id")
+            payloads = b.column("payload")
+            digests = [
+                hashlib.sha256(p.as_py()).hexdigest() for p in payloads
+            ]
+            sizes = [len(p.as_py()) for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(digests), pa.array(sizes, pa.int64())],
+                ["id", "sha", "n_bytes"],
+            )
+
+    out = ch.map_arrow(
+        sha_batches, "id long, sha string, n_bytes long"
+    ).df
+    expect = ch.df.select(
+        "id",
+        F.lower(F.sha2(F.col("payload"), 256)).alias("sha"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    got = {r["id"]: (r["sha"], r["n_bytes"]) for r in out.collect()}
+    exp = {r["id"]: (r["sha"], r["n_bytes"]) for r in expect.collect()}
+    assert got == exp
+    assert set(seen_types) == set()  # executor-side list stays empty here
+
+    # default output schema = identity rewrite
+    same = ch.map_arrow(lambda it: it).df
+    assert same.schema == ch.df.schema
+    assert same.count() == 64
+
+    import pytest as _pt
+    with _pt.raises(TypeError, match="map_arrow"):
+        ch.map_arrow(lambda it: it, output=123)
