@@ -24,3 +24,7 @@ def test_corpus_curation_example():
 
 def test_journey_analytics_example():
     _run("journey_analytics.py")
+
+
+def test_release_review_example():
+    _run("release_review.py")
