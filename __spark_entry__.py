@@ -9676,6 +9676,170 @@ WHERE o_orderkey < 2000 ORDER BY o_orderkey
 """
 
 
+def hybrid_topk_docs(spark, sf):
+    """Hybrid lexical+dense retrieval (ops/retrieval.hybrid_topk): BM25
+    over documents and cosine distance over the aligned embeddings
+    (vec_id = doc_id), fused by reciprocal-rank fusion
+    rrf = 1/(60+bm25_rank) + 1/(60+cos_rank). Branch scores are rounded
+    to 6 dp BEFORE ranking on both engines so float ulps can't flip
+    adjacent ranks; the oracle replays BM25 term-for-term (the
+    bm25_score_docs template), ranks both lists with the same
+    (score, id) tiebreak, and recomputes the fusion arithmetic."""
+    from datachain_spark.ops.retrieval import hybrid_topk
+
+    docs = _chain(spark, sf, "documents").df
+    emb = _chain(spark, sf, "embeddings").df.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(v) for v in qrow["embedding"]]
+    out = hybrid_topk(
+        docs, emb, _BM25_QUERY, qv,
+        k=10, n_per_branch=50,
+    )
+    return out.select(
+        "doc_id", "bm25_rank", "cos_rank",
+        F.round("rrf_score", 6).alias("rrf_r"),
+    ).orderBy(F.col("rrf_r").desc(), "doc_id")
+
+
+def _hybrid_sql(n_per_branch: int = 50, k: int = 10,
+                rank_const: float = 60.0) -> str:
+    from datachain_spark.ops.retrieval import tokenize_query
+
+    terms = tokenize_query(_BM25_QUERY)
+    k1, b = 1.2, 0.75
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    score_terms = " + ".join(
+        f"(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) * {k1 + 1.0}"
+        f" / (CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        f"    + {k1} * ({1.0 - b} + {b} * CAST(dl AS DOUBLE) / avgdl)))"
+        for i, t in enumerate(terms)
+    )
+    rc = repr(float(rank_const))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')), '\\s+')
+         END AS toks
+  FROM documents
+), b2 AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM base
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         {df_cols}
+  FROM b2
+), bm AS (
+  SELECT doc_id, 0.0 + {score_terms} AS score
+  FROM b2 CROSS JOIN stats
+), lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INTEGER) AS bm25_rank
+  FROM bm WHERE score > 0.0
+  QUALIFY bm25_rank <= {n_per_branch}
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), dpool AS (
+  SELECT vec_id AS doc_id,
+         1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS dist
+  FROM embeddings, q
+  QUALIFY row_number() OVER (ORDER BY dist ASC, vec_id) <= {n_per_branch}
+), dense AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY round(dist, 6) ASC, doc_id) AS INTEGER) AS cos_rank
+  FROM dpool
+), fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         l.bm25_rank, d.cos_rank,
+         (CASE WHEN l.bm25_rank IS NOT NULL
+               THEN 1.0 / ({rc} + l.bm25_rank) ELSE 0.0 END)
+         + (CASE WHEN d.cos_rank IS NOT NULL
+                 THEN 1.0 / ({rc} + d.cos_rank) ELSE 0.0 END) AS rrf
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, bm25_rank, cos_rank, round(rrf, 6) AS rrf_r
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {k}
+"""
+
+
+def mmr_rerank_emb(spark, sf):
+    """Maximal-Marginal-Relevance diversification
+    (ops/similarity.mmr_rerank): top-32 pool by query similarity, then 8
+    greedy picks maximizing lambda*rel - (1-lambda)*max-sim-to-selected.
+    The selection is inherently sequential, so the op collects the
+    bounded pool (32 rows) to the driver — the centroid/codebook
+    precedent; the ORACLE unrolls the same loop as 8 nested CTEs over
+    similarities rounded to 9 dp on BOTH engines, so every pick is
+    deterministic and the whole selection path (pool cut, redundancy
+    maxima, tie-breaks) is value-verified, not just row counts."""
+    from datachain_spark.ops.similarity import mmr_rerank
+
+    emb = _chain(spark, sf, "embeddings").df.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(v) for v in qrow["embedding"]]
+    out = mmr_rerank(emb, qv, "vec_id", k=8, lambda_=0.7, pool=32)
+    return out.select(
+        "mmr_rank", "vec_id",
+        F.round("relevance", 6).alias("rel_r"),
+        F.round("mmr_score", 6).alias("mmr_r"),
+    ).orderBy("mmr_rank")
+
+
+def _mmr_sql(k: int = 8, pool: int = 32, lambda_: float = 0.7) -> str:
+    lam = repr(float(lambda_))
+    mu = repr(1.0 - float(lambda_))  # exact repr: the Spark side computes
+    # (1.0 - lambda_) in Python floats; the SQL literal must be the SAME
+    # double, not the decimal it approximates
+    steps, prev = [], []
+    for t in range(1, k + 1):
+        if not prev:
+            steps.append(
+                f"s1 AS (SELECT vec_id, e, rel, {lam}*rel - {mu}*0.0 AS score\n"
+                f"  FROM cand ORDER BY score DESC, vec_id LIMIT 1)"
+            )
+        else:
+            sims = ", ".join(
+                f"round(list_cosine_similarity(c.e, {s}.e), 9)" for s in prev
+            )
+            excl = ", ".join(f"{s}.vec_id" for s in prev)
+            srcs = ", ".join(["cand c"] + prev)
+            steps.append(
+                f"s{t} AS (SELECT c.vec_id AS vec_id, c.e AS e, c.rel AS rel,\n"
+                f"  {lam}*c.rel - {mu}*GREATEST({sims}) AS score\n"
+                f"  FROM {srcs} WHERE c.vec_id NOT IN ({excl})\n"
+                f"  ORDER BY score DESC, c.vec_id LIMIT 1)"
+            )
+        prev.append(f"s{t}")
+    union = "\nUNION ALL ".join(
+        f"SELECT {t} AS mmr_rank, vec_id, round(rel, 6) AS rel_r, "
+        f"round(score, 6) AS mmr_r FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    step_ctes = ",\n".join(steps)
+    return f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), cand AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 9) AS rel
+  FROM embeddings, q
+  QUALIFY row_number() OVER (
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC,
+             vec_id) <= {pool}
+), {step_ctes}
+SELECT * FROM ({union}) ORDER BY mmr_rank
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -9693,7 +9857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     weak flag, the two streaming semantics oracles, mergeable sketch
     persistence, the contamination matrix, embedding drift, the
     pairwise overlap matrix, the Zipf profile) so nothing new accrues
-    verification debt, padded to 50 with the 27 longest-out-of-window
+    verification debt, the 2 r08 retrieval-wave additions (hybrid RRF
+    search, MMR rerank), padded to 50 with the longest-out-of-window
     r02-r04 greens (merge_left_regions, group_concat_sorted,
     string_similarity, path_funcs, semi_join, intersect_cross,
     winnow_pairs, the r03 function families, udf_*, multimodal, q6,
@@ -9730,7 +9895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": minhash_pairs_ro,
         "simhash_pairs": simhash_pairs_ro,
         "winnow_fingerprints": winnow_fingerprints_ro,
-        # -- the 6 r08 additions (first external verdict) --
+        # -- the r08 additions (first external verdict) --
         "temporal_split_approx_events": temporal_split_approx_events,
         "streaming_exact_dedup": streaming_exact_dedup,
         "streaming_late_data": streaming_late_data,
@@ -9739,6 +9904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift_emb": embedding_drift_emb,
         "overlap_matrix_docs": overlap_matrix_docs,
         "zipf_profile_docs": zipf_profile_docs,
+        "hybrid_topk_docs": hybrid_topk_docs,
+        "mmr_rerank_emb": mmr_rerank_emb,
         # -- the 29 longest-out-of-window r02-r04 greens --
         "merge_left_regions": merge_left_regions,
         "group_concat_sorted": group_concat_sorted,
@@ -10143,6 +10310,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift_emb": EMBEDDING_DRIFT_SQL,
         "overlap_matrix_docs": OVERLAP_MATRIX_SQL,
         "zipf_profile_docs": ZIPF_PROFILE_SQL,
+        "hybrid_topk_docs": _hybrid_sql(),
+        "mmr_rerank_emb": _mmr_sql(),
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,
         "to_storage_roundtrip": TO_STORAGE_RT_SQL,

@@ -190,6 +190,10 @@ HEADLINE = [
     "zipf_profile_docs",
     "embedding_drift_emb",
     "sketch_merge_orders",
+    # r08 retrieval wave: BM25+vector RRF hybrid search and the MMR
+    # diversification pass over a dense top-k pool
+    "hybrid_topk_docs",
+    "mmr_rerank_emb",
 ]
 
 

@@ -1058,6 +1058,25 @@ class DataChain:
 
         return self._evolve(_op(self._df, query, id_col, **kw))
 
+    def hybrid_topk(self, vectors: Any, query: str, query_vec: Any,
+                    **kw: Any) -> "DataChain":
+        """Hybrid lexical+dense top-k: BM25 over THIS chain's text fused
+        with cosine distance over ``vectors`` (DataChain or DataFrame)
+        by reciprocal-rank fusion (ops/retrieval.hybrid_topk)."""
+        from .ops.retrieval import hybrid_topk as _op
+
+        return self._evolve(
+            _op(self._df, getattr(vectors, "df", vectors), query,
+                query_vec, **kw)
+        )
+
+    def mmr_rerank(self, query_vec: Any, id_col: str, **kw: Any) -> "DataChain":
+        """Maximal-Marginal-Relevance diversification of a dense top-k
+        (ops/similarity.mmr_rerank)."""
+        from .ops.similarity import mmr_rerank as _op
+
+        return self._evolve(_op(self._df, query_vec, id_col, **kw))
+
     def tfidf_keywords(self, id_col: str, **kw: Any) -> "DataChain":
         """Top-k characteristic terms per group by TF-IDF
         (ops/retrieval.tfidf_keywords)."""

@@ -414,3 +414,188 @@ def kwic(
         (F.col("__i") - 1).cast("int").alias("pos"),
         F.array_join(F.slice("__w", lo, length), " ").alias(snippet_col),
     )
+
+
+def ranked_list(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n: int,
+    ascending: bool = False,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-``n`` rows by ``score_col`` with an explicit 1-based ``rank_col``
+    — the retrieval-list shape rank-fusion consumes.
+
+    Rank is deterministic: (score, then ``id_col`` ascending) so equal
+    scores order by id identically in Spark and any SQL oracle. NULL
+    scores are dropped (an unscorable row has no rank).
+
+    Scale shape: the cut is ``orderBy().limit(n)`` — Catalyst's
+    TakeOrderedAndProject (per-partition heaps, driver merge of n·P rows,
+    never a global sort). The rank itself comes from ``sort_array`` over
+    ONE collected ≤n-element array + ``posexplode`` (the ``zipf_profile``
+    idiom) — bounded by ``n`` BY CONSTRUCTION, so no window with an empty
+    partition spec ever appears in the plan and the cost after the cut is
+    independent of corpus size.
+    """
+    if n < 1:
+        raise ValueError("ranked_list: n must be >= 1")
+    s = F.col(score_col)
+    order = s.asc() if ascending else s.desc()
+    cut = (
+        df.filter(s.isNotNull())
+        .select(F.col(id_col), s.alias("__score"))
+        .orderBy(order, F.col(id_col).asc())
+        .limit(int(n))
+    )
+    key = F.col("__score") if ascending else -F.col("__score")
+    packed = cut.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    key.alias("__k"),
+                    F.col(id_col).alias("__id"),
+                    F.col("__score").alias("__s"),
+                )
+            )
+        ).alias("__arr")
+    )
+    return packed.select(
+        F.posexplode("__arr").alias("__p", "__e")
+    ).select(
+        F.col(f"__e.__id").alias(id_col),
+        F.col(f"__e.__s").alias(score_col),
+        (F.col("__p") + 1).cast("int").alias(rank_col),
+    )
+
+
+def rrf_fuse(
+    branches: Sequence[tuple],
+    id_col: str,
+    k: int = 10,
+    rank_const: float = 60.0,
+    weights: Optional[Sequence[float]] = None,
+    n_per_branch: int = 100,
+    rank_cols: Optional[Sequence[str]] = None,
+    fused_col: str = "rrf_score",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval branches:
+    ``rrf(d) = Σ_i w_i / (rank_const + rank_i(d))`` (Cormack et al. 2009,
+    the standard hybrid-search combiner), rows absent from a branch's
+    top-``n_per_branch`` contribute 0 for that branch.
+
+    ``branches``: sequence of ``(df, score_col, ascending)`` — ascending
+    True for distance-like scores (smaller is better), False for
+    relevance-like. Output: ``(id_col, <rank_col per branch — NULL when
+    the row missed that branch's list>, fused_col)``, top-``k`` by fused
+    score (ties by id).
+
+    Scale shape: each branch reduces to ≤``n_per_branch`` rows via
+    ``ranked_list`` BEFORE any cross-branch work; the full-outer joins
+    that align the lists therefore cost O(N·n) regardless of corpus size
+    — rank fusion is corpus-scale only in its per-branch top-k cuts,
+    which are TakeOrdered. No window functions, no broadcast assumptions.
+    """
+    if not branches:
+        raise ValueError("rrf_fuse: need at least one branch")
+    if k < 1:
+        raise ValueError("rrf_fuse: k must be >= 1")
+    w = list(weights) if weights is not None else [1.0] * len(branches)
+    if len(w) != len(branches):
+        raise ValueError("rrf_fuse: weights length must match branches")
+    names = (
+        list(rank_cols)
+        if rank_cols is not None
+        else [f"rank_{i}" for i in range(len(branches))]
+    )
+    if len(names) != len(branches):
+        raise ValueError("rrf_fuse: rank_cols length must match branches")
+    ranked = [
+        ranked_list(bdf, score, id_col, n_per_branch, ascending=asc,
+                    rank_col=names[i]).select(id_col, names[i])
+        for i, (bdf, score, asc) in enumerate(branches)
+    ]
+    joined = ranked[0]
+    for r in ranked[1:]:
+        joined = joined.join(r, on=id_col, how="full_outer")
+    contrib = [
+        F.when(
+            F.col(names[i]).isNotNull(),
+            F.lit(float(w[i])) / (F.lit(float(rank_const)) + F.col(names[i])),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(branches))
+    ]
+    fused = contrib[0]
+    for c in contrib[1:]:
+        fused = fused + c
+    return (
+        joined.select(id_col, *names, fused.alias(fused_col))
+        .orderBy(F.col(fused_col).desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query: str,
+    query_vec: Sequence[float],
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_per_branch: int = 100,
+    rank_const: float = 60.0,
+    weights: Sequence[float] = (1.0, 1.0),
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_scores: Optional[int] = 6,
+    arrow: Optional[bool] = None,
+) -> DataFrame:
+    """Hybrid (lexical + dense) retrieval: BM25 over ``docs`` and cosine
+    distance over ``vectors`` (joined by document id), fused with
+    reciprocal-rank fusion — the standard two-tower search stack
+    (sparse keyword recall + dense semantic recall) as ONE Catalyst plan.
+
+    The lexical branch keeps only matching documents (BM25 > 0 — a
+    document sharing no query term is not retrieved); the dense branch
+    keeps only rows with a defined distance. ``round_scores`` rounds both
+    branch scores BEFORE ranking (default 6 dp) so cross-engine float
+    ulps can never flip adjacent ranks — rank, not raw score, is what
+    fusion consumes, and a 1e-6 score quantum is far below any meaningful
+    relevance difference.
+
+    Output: ``(id_col, bm25_rank, cos_rank, rrf_score)`` top-``k``
+    (``*_rank`` NULL when the document missed that branch's list).
+
+    Scale shape: two corpus-scale TakeOrdered cuts (one per branch — the
+    BM25 scan never explodes tokens, the cosine scan is one Arrow-batched
+    matmul pass at d≥32), then O(n_per_branch) fusion. No shuffle carries
+    more than n_per_branch rows past the cuts.
+    """
+    from .similarity import cosine_topk
+
+    lex = bm25_score(docs, query, id_col, text_col, k1=k1, b=b)
+    lex = lex.filter(F.col("score") > 0.0)
+    dense = cosine_topk(
+        vectors, query_vec, vec_col, k=n_per_branch,
+        id_cols=[vec_id_col], arrow=arrow,
+    )
+    if vec_id_col != id_col:
+        dense = dense.withColumnRenamed(vec_id_col, id_col)
+    if round_scores is not None:
+        lex = lex.withColumn("score", F.round("score", round_scores))
+        dense = dense.withColumn(
+            "distance", F.round("distance", round_scores)
+        )
+    return rrf_fuse(
+        [(lex, "score", False), (dense, "distance", True)],
+        id_col=id_col,
+        k=k,
+        rank_const=rank_const,
+        weights=weights,
+        n_per_branch=n_per_branch,
+        rank_cols=["bm25_rank", "cos_rank"],
+    )

@@ -558,3 +558,99 @@ def mine_contrastive_pairs(
         .withColumn("label", F.lit(0))
     )
     return pos.unionByName(neg)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    lambda_: float = 0.7,
+    pool: int = 50,
+    sim_round: int = 9,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick ``k`` results maximizing
+    ``λ·sim(d, query) − (1−λ)·max_{s∈selected} sim(d, s)`` — relevance
+    traded against redundancy, the standard diversification pass after a
+    dense top-k (dedup of near-identical hits, facet spread in RAG
+    context assembly).
+
+    Scale shape: the corpus-scale part is ONE exact top-``pool`` cut by
+    query similarity (TakeOrderedAndProject — per-partition heaps, no
+    global sort). MMR itself is inherently sequential in ``k``, so the
+    ≤``pool`` candidate rows (ids + d-dim vectors + similarities) are
+    collected to the driver — the bounded-driver-artifact pattern
+    (centroids / codebooks / BPE vocab): pool·d doubles, independent of
+    corpus size. The selection loop is O(pool·k) driver work.
+
+    Determinism: all cosine similarities are rounded to ``sim_round``
+    decimals BEFORE the selection arithmetic (so an engine replaying the
+    loop from the same rounded inputs — the DuckDB oracle unrolls it as
+    k nested CTEs — reproduces every pick bit-for-bit); argmax ties break
+    toward the smallest id; the step-1 redundancy term (empty selected
+    set) is 0.0, so the first pick is the most query-similar candidate.
+
+    Output: ``(mmr_rank, id_col, relevance, mmr_score)`` — one row per
+    selected result in pick order. NULL/zero-norm embeddings never enter
+    the pool (undefined similarity = not a candidate).
+    """
+    if k < 1:
+        raise ValueError("mmr_rerank: k must be >= 1")
+    if pool < k:
+        raise ValueError("mmr_rerank: pool must be >= k")
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError("mmr_rerank: lambda_ must be in [0, 1]")
+    qv = [float(v) for v in query_vec]
+    # the corpus-scale pass: exact top-pool by query distance through
+    # cosine_topk, which picks the Arrow matmul kernel at d>=32 (the
+    # interpreted HOF fold is the documented slow path there) and
+    # excludes NULL/zero-norm rows from the heap
+    cand = cosine_topk(
+        df, qv, vec_col, k=int(pool), id_cols=[id_col, vec_col],
+        dist_col="__dist",
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        (F.lit(1.0) - F.col("__dist")).alias("__rel"),
+    ).filter(F.col("__rel").isNotNull())
+    rows = cand.collect()  # bounded: <= pool rows by construction
+    spark = df.sparkSession
+    out_schema = (
+        f"mmr_rank int, {id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "relevance double, mmr_score double"
+    )
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+
+    import numpy as np
+
+    ids = [r["__id"] for r in rows]
+    rel = np.round(np.array([float(r["__rel"]) for r in rows]), sim_round)
+    mat = np.array([[float(x) for x in r["__v"]] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0  # zero-norm rows were filtered via NULL rel
+    unit = mat / norms[:, None]
+    pair = np.round(unit @ unit.T, sim_round)
+
+    n = len(ids)
+    selected: list[int] = []
+    # iterate candidates in id order: strict '>' then keeps the
+    # smallest-id argmax, the documented tie contract
+    id_order = sorted(range(n), key=lambda i: ids[i])
+    picks: list[tuple] = []
+    for step in range(min(k, n)):
+        best_i, best_score = None, None
+        for i in id_order:
+            if i in selected:
+                continue
+            red = max((float(pair[i, j]) for j in selected), default=0.0)
+            score = lambda_ * float(rel[i]) - (1.0 - lambda_) * red
+            if best_score is None or score > best_score:
+                best_i, best_score = i, score
+        selected.append(best_i)
+        picks.append(
+            (step + 1, ids[best_i], float(rel[best_i]), float(best_score))
+        )
+    return spark.createDataFrame(picks, out_schema)
