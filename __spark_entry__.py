@@ -8877,6 +8877,154 @@ FROM u GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def streaming_sessions(spark, sf):
+    """Native session-window sessionization through a real stream
+    (streaming/stream.sessionize_stream): the events table as batch 1,
+    then two far-future single-row watermark advancers (the
+    streaming_late_data precedent — emission lags the watermark
+    computation by one micro-batch, so advancer 1 pins the watermark
+    past every real session and advancer 2 forces the append-mode
+    emission through). Every REAL gap-based session (30-minute gap)
+    must emerge from the state store with exact (start, end, count);
+    DuckDB replays the gap-island rule — a new session when
+    ts - prev_ts >= gap, Spark's strict interval-overlap semantics
+    (all three fixture SFs verified collision-free: no consecutive
+    per-user gap equals exactly 30 minutes, so the >=-vs-> boundary is
+    unambiguous). Sentinel users are negative ids, filtered out."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from datachain_spark.streaming.stream import read_stream, sessionize_stream
+
+    ev = (
+        _chain(spark, sf, "events").df
+        .select(F.col("ts").cast("timestamp").alias("ts"),
+                F.col("user_id").cast("long").alias("user_id"))
+        .filter(F.col("ts").isNotNull())
+    )
+    mx = ev.agg(F.max("ts")).first()[0]
+    adv = [
+        spark.createDataFrame(
+            [(mx + datetime.timedelta(days=10 * (i + 1)), -1 - i)],
+            "ts timestamp, user_id long",
+        )
+        for i in range(2)
+    ]
+    src = _ordered_stream_dir([ev, adv[0], adv[1]])
+    stream = read_stream(spark, src, max_files_per_trigger=1)
+    sessions = sessionize_stream(
+        stream, "ts", "user_id", gap="30 minutes", watermark="2 hours"
+    )
+    name = "strm_sess_" + uuid.uuid4().hex[:8]
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="dc_strm_cp_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end",
+                F.col("n_events").cast("long").alias("n_events"))
+        .orderBy("user_id", "session_start")
+    )
+
+
+STREAMING_SESSIONS_SQL = """
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id
+  FROM events WHERE ts IS NOT NULL
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def streaming_running_counts(spark, sf):
+    """The custom stateful operator, value-verified
+    (streaming/stream.running_counts_stateful — applyInPandasWithState,
+    the arbitrary-per-key-state escape hatch the reference cannot
+    express at all): events split into two ORDERED micro-batches (even
+    event_ids first), per-user running (count, sum) maintained in the
+    state store ACROSS the batch boundary, update-mode memory sink.
+    The final emission per user — the max of the monotone running
+    counts — must equal the plain batch aggregate DuckDB computes. The
+    summed value is event_id cast to double (integer-valued doubles sum
+    exactly in both engines, so cross-batch state accumulation is
+    checked bit-for-bit with no float-order caveat)."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.streaming.stream import (
+        read_stream,
+        running_counts_stateful,
+    )
+
+    ev = _chain(spark, sf, "events").df.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("double").alias("value"),
+    )
+    src = _ordered_stream_dir(
+        [
+            ev.filter(F.col("event_id") % 2 == 0).drop("event_id"),
+            ev.filter(F.col("event_id") % 2 == 1).drop("event_id"),
+        ]
+    )
+    stream = read_stream(spark, src, max_files_per_trigger=1)
+    counts = running_counts_stateful(stream, "user_id", "value")
+    name = "strm_rc_" + uuid.uuid4().hex[:8]
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="dc_strm_cp_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAMING_RUNNING_COUNTS_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(event_id AS DOUBLE)) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def temporal_split_events(spark, sf):
     """Leakage-safe temporal split (ops/splits.temporal_split): the
     cutoff is the in-plan 80% time quantile, rows within the 1-hour
@@ -9840,6 +9988,59 @@ SELECT * FROM ({union}) ORDER BY mmr_rank
 """
 
 
+def prune_zones_orders(spark, sf):
+    """File-level zone-map pruning (ops/pruning.file_stats_index +
+    prune_zones): orders written as 8 deterministic o_orderkey range
+    buckets (one file each), indexed in ONE column-pruned scan
+    (#files-row shuffle), then the [step, 3*step-1] range predicate is
+    answered from the INDEX alone — buckets 1-2 kept, the rest provably
+    skippable without touching data. Output keyed by zone bounds (temp
+    file paths are run-random); the oracle rebuilds the same zones with
+    a floor-division group-by and replays the overlap rule."""
+    import tempfile
+
+    from datachain_spark.ops.pruning import file_stats_index, prune_zones
+
+    orders = _chain(spark, sf, "orders").df
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    step = mx // 8 + 1
+    tmp = tempfile.mkdtemp(prefix="dc_zones_")
+    (
+        orders
+        .withColumn("bucket", F.floor(F.col("o_orderkey") / step).cast("int"))
+        .repartition("bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    )
+    idx = file_stats_index(
+        spark.read.parquet(tmp), ["o_orderkey", "o_totalprice"]
+    )
+    zones = prune_zones(idx, {"o_orderkey": (step, 3 * step - 1)})
+    return zones.select(
+        "o_orderkey_min", "o_orderkey_max", "n_rows",
+        "o_totalprice_min", "o_totalprice_max", "kept",
+    ).orderBy("o_orderkey_min")
+
+
+PRUNE_ZONES_SQL = """
+WITH s AS (
+  SELECT max(o_orderkey) // 8 + 1 AS step FROM orders
+), z AS (
+  SELECT o_orderkey // (SELECT step FROM s) AS bucket,
+         min(o_orderkey) AS o_orderkey_min,
+         max(o_orderkey) AS o_orderkey_max,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(o_totalprice) AS o_totalprice_min,
+         max(o_totalprice) AS o_totalprice_max
+  FROM orders GROUP BY 1
+)
+SELECT o_orderkey_min, o_orderkey_max, n_rows,
+       o_totalprice_min, o_totalprice_max,
+       (o_orderkey_min <= 3 * (SELECT step FROM s) - 1
+        AND o_orderkey_max >= (SELECT step FROM s)) AS kept
+FROM z ORDER BY o_orderkey_min
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -9857,9 +10058,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     weak flag, the two streaming semantics oracles, mergeable sketch
     persistence, the contamination matrix, embedding drift, the
     pairwise overlap matrix, the Zipf profile) so nothing new accrues
-    verification debt, the 2 r08 retrieval-wave additions (hybrid RRF
-    search, MMR rerank), padded to 50 with the longest-out-of-window
-    r02-r04 greens (merge_left_regions, group_concat_sorted,
+    verification debt, the 5 r08 continuation additions (hybrid RRF
+    search, MMR rerank, the session-window and applyInPandasWithState
+    streaming oracles, zone-map pruning), padded to 50 with the
+    longest-out-of-window r02-r04 greens (merge_left_regions,
+    group_concat_sorted,
     string_similarity, path_funcs, semi_join, intersect_cross,
     winnow_pairs, the r03 function families, udf_*, multimodal, q6,
     sessionize…). The whole r07 window (50/50 green in CORRECTNESS_r07)
@@ -9906,7 +10109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_profile_docs": zipf_profile_docs,
         "hybrid_topk_docs": hybrid_topk_docs,
         "mmr_rerank_emb": mmr_rerank_emb,
-        # -- the 29 longest-out-of-window r02-r04 greens --
+        "streaming_sessions": streaming_sessions,
+        "streaming_running_counts": streaming_running_counts,
+        "prune_zones_orders": prune_zones_orders,
+        # -- the longest-out-of-window r02-r04 greens (padding) --
         "merge_left_regions": merge_left_regions,
         "group_concat_sorted": group_concat_sorted,
         "string_similarity": string_similarity,
@@ -10312,6 +10518,9 @@ def oracle_sql() -> dict[str, str]:
         "zipf_profile_docs": ZIPF_PROFILE_SQL,
         "hybrid_topk_docs": _hybrid_sql(),
         "mmr_rerank_emb": _mmr_sql(),
+        "streaming_sessions": STREAMING_SESSIONS_SQL,
+        "streaming_running_counts": STREAMING_RUNNING_COUNTS_SQL,
+        "prune_zones_orders": PRUNE_ZONES_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,
         "to_storage_roundtrip": TO_STORAGE_RT_SQL,

@@ -30,7 +30,7 @@ import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Any, Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -470,6 +470,90 @@ class Metastore:
             self._write_record(rec)
         else:
             shutil.rmtree(self._ds_dir(ns, proj, base), ignore_errors=True)
+
+    def zone_index_dataset(
+        self,
+        spark: SparkSession,
+        name: str,
+        cols: Sequence[str],
+        version: Optional[str] = None,
+    ) -> DatasetVersion:
+        """Build the file-level zone map of a saved version (ops/pruning.
+        file_stats_index — one column-pruned scan, #files rows) and
+        persist it as ``{name}__zones``, versioned like any dataset and
+        linked by lineage + attrs to the exact source version. The
+        manifest-list pattern: build once per snapshot, answer every
+        later range-predicate cost question from the index alone. Pair
+        with ``save(zorder_by=...)`` — Z-ordering exists to make these
+        zones tight."""
+        from ..ops.pruning import file_stats_index
+
+        df, _rec, dv = self.load_dataset(spark, name, version)
+        idx = file_stats_index(df, list(cols))
+        return self.save_dataset(
+            idx,
+            f"{name}__zones",
+            attrs={
+                "zones_of": name,
+                "zones_of_version": dv.version,
+                "zones_cols": ",".join(cols),
+            },
+            dependencies=[{"dataset": name, "version": dv.version}],
+        )
+
+    def _load_zone_index(
+        self, spark: SparkSession, name: str, version: Optional[str]
+    ) -> DataFrame:
+        ns, proj, base = split_name(name)
+        rec = self._read_record(ns, proj, base)
+        if rec is None:
+            raise DatasetNotFoundError(f"dataset not found: {name}")
+        dv = rec.get_version(version)
+        zname = f"{name}__zones"
+        zns, zproj, zbase = split_name(zname)
+        zrec = self._read_record(zns, zproj, zbase)
+        matches = [
+            zv for zv in (zrec.versions if zrec else [])
+            if zv.attrs.get("zones_of_version") == dv.version
+        ]
+        if not matches:
+            raise DatasetNotFoundError(
+                f"no zone index for {name}@{dv.version} — build one with "
+                "zone_index_dataset(name, cols)"
+            )
+        newest = max(matches, key=lambda v: parse_version(v.version))
+        df, _, _ = self.load_dataset(spark, zname, newest.version)
+        return df
+
+    def prune_stats(
+        self,
+        spark: SparkSession,
+        name: str,
+        intervals: Mapping[str, tuple],
+        version: Optional[str] = None,
+    ) -> DataFrame:
+        """ONE-row skip report for range predicates against a saved
+        version, answered from its persisted zone index without touching
+        the data (ops/pruning.prune_report)."""
+        from ..ops.pruning import prune_report
+
+        return prune_report(self._load_zone_index(spark, name, version),
+                            dict(intervals))
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        name: str,
+        intervals: Mapping[str, tuple],
+        version: Optional[str] = None,
+    ) -> DataFrame:
+        """Scan ONLY the files of a saved version whose zones overlap the
+        range predicates (ops/pruning.pruned_read). Zone overlap is
+        necessary, not sufficient — callers re-apply the row filter."""
+        from ..ops.pruning import pruned_read
+
+        return pruned_read(spark, self._load_zone_index(spark, name, version),
+                           dict(intervals))
 
     def vacuum_dataset(
         self,

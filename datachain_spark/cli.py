@@ -75,6 +75,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_card.add_argument("name")
 
+    p_zones = sub.add_parser(
+        "zones", help="build a file-level zone-map index for a dataset version"
+    )
+    p_zones.add_argument("name")
+    p_zones.add_argument("--cols", required=True,
+                         help="comma-separated columns to index")
+    p_zones.add_argument("--version", default=None)
+
+    p_prune = sub.add_parser(
+        "prune", help="range-predicate skip report from a stored zone index"
+    )
+    p_prune.add_argument("name")
+    p_prune.add_argument("--col", required=True)
+    p_prune.add_argument("--lo", required=True, type=float)
+    p_prune.add_argument("--hi", required=True, type=float)
+    p_prune.add_argument("--version", default=None)
+
     p_vacuum = sub.add_parser(
         "vacuum", help="delete all but the newest N versions of a dataset"
     )
@@ -140,6 +157,30 @@ def main(argv: list[str] | None = None) -> int:
             target_file_bytes=args.target_mb << 20,
         )
         print(f"compacted {args.name} -> v{dv.version}")
+        return 0
+
+    if args.cmd == "zones":
+        sess = Session(metastore_dir=args.metastore or DEFAULT_METASTORE)
+        dv = sess.metastore.zone_index_dataset(
+            sess.spark, args.name,
+            [c.strip() for c in args.cols.split(",") if c.strip()],
+            version=args.version,
+        )
+        print(f"indexed {args.name} -> {args.name}__zones v{dv.version}")
+        return 0
+
+    if args.cmd == "prune":
+        sess = Session(metastore_dir=args.metastore or DEFAULT_METASTORE)
+        rep = sess.metastore.prune_stats(
+            sess.spark, args.name, {args.col: (args.lo, args.hi)},
+            version=args.version,
+        ).first()
+        print(
+            f"files {rep['kept_files']}/{rep['total_files']} kept, "
+            f"rows {rep['kept_rows']}/{rep['total_rows']} "
+            f"(skip {rep['file_skip_frac']:.1%} files / "
+            f"{rep['row_skip_frac']:.1%} rows)"
+        )
         return 0
 
     if args.cmd == "card":

@@ -33,6 +33,7 @@ SECTIONS = [
     ("ops.asof / ops.interval", "datachain_spark.ops.asof", None),
     ("ops.diff", "datachain_spark.ops.diff", None),
     ("ops.multimodal", "datachain_spark.ops.multimodal", None),
+    ("ops.pruning", "datachain_spark.ops.pruning", None),
     ("streaming", "datachain_spark.streaming.stream", None),
     ("delta / incremental", "datachain_spark.delta", None),
 ]

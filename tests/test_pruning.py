@@ -1,0 +1,142 @@
+"""File-level zone maps (ops/pruning): index correctness, the overlap
+rule (incl. NULL-zone conservatism), the one-row skip report, and that a
+pruned read returns exactly what the full filtered scan returns."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datachain_spark.ops.pruning import (
+    file_stats_index,
+    prune_report,
+    prune_zones,
+    pruned_read,
+)
+
+
+@pytest.fixture()
+def two_file_dir(session, tmp_path):
+    # two deterministic files: keys 0-49 and 50-99 (value NULL in file 0)
+    d = str(tmp_path / "zones")
+    df = session.spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") >= 50, F.col("id") * 2.0).alias("v"),
+        (F.col("id") >= 50).cast("int").alias("half"),
+    )
+    df.repartition("half").write.partitionBy("half").parquet(d)
+    return d
+
+
+def test_index_and_zones(session, two_file_dir):
+    idx = file_stats_index(
+        session.spark.read.parquet(two_file_dir), ["k", "v"]
+    )
+    rows = {(r["k_min"], r["k_max"]): r for r in idx.collect()}
+    assert set(rows) == {(0, 49), (50, 99)}
+    assert all(r["n_rows"] == 50 for r in rows.values())
+    lo = rows[(0, 49)]
+    assert lo["v_min"] is None and lo["v_max"] is None
+    hi = rows[(50, 99)]
+    assert hi["v_min"] == 100.0 and hi["v_max"] == 198.0
+
+    z = prune_zones(idx, {"k": (10, 20)}).collect()
+    kept = {r["k_min"]: r["kept"] for r in z}
+    assert kept == {0: True, 50: False}
+
+    # NULL zone is conservatively kept even though no v matches
+    z2 = prune_zones(idx, {"v": (0.0, 1.0)}).collect()
+    kept2 = {r["k_min"]: r["kept"] for r in z2}
+    assert kept2 == {0: True, 50: False}
+
+    # conjunction across columns
+    z3 = prune_zones(idx, {"k": (60, 70), "v": (0.0, 1.0)}).collect()
+    assert {r["k_min"]: r["kept"] for r in z3} == {0: False, 50: False}
+
+
+def test_prune_report_and_read(session, two_file_dir):
+    df = session.spark.read.parquet(two_file_dir)
+    idx = file_stats_index(df, ["k"])
+    rep = prune_report(idx, {"k": (0, 10)}).first()
+    assert rep["total_files"] == 2 and rep["kept_files"] == 1
+    assert rep["total_rows"] == 100 and rep["kept_rows"] == 50
+    assert rep["file_skip_frac"] == 0.5 and rep["row_skip_frac"] == 0.5
+
+    pr = pruned_read(session.spark, idx, {"k": (0, 10)})
+    got = sorted(r["k"] for r in pr.filter(F.col("k") <= 10).collect())
+    want = sorted(
+        r["k"] for r in df.filter(F.col("k") <= 10).collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError):
+        pruned_read(session.spark, idx, {"k": (1000, 2000)})
+
+
+def test_validation(session, two_file_dir):
+    idx = file_stats_index(
+        session.spark.read.parquet(two_file_dir), ["k"]
+    )
+    with pytest.raises(ValueError):
+        file_stats_index(session.spark.read.parquet(two_file_dir), [])
+    with pytest.raises(ValueError):
+        prune_zones(idx, {})
+    with pytest.raises(ValueError):
+        prune_zones(idx, {"v": (0, 1)})  # no v zones in this index
+
+
+def test_metastore_zone_workflow(session, sf_dir):
+    # save a Z-ordered version (range-clustered files -> tight zones),
+    # index it, answer a range predicate from the index, scan pruned
+    import datachain_spark as dc
+
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    orders.save("zmap_orders", zorder_by=["o_orderkey"], zorder_files=4)
+    ms = session.metastore
+    dv = ms.zone_index_dataset(
+        session.spark, "zmap_orders", ["o_orderkey"]
+    )
+    assert dv.attrs["zones_of"] == "zmap_orders"
+    idx, _, _ = ms.load_dataset(session.spark, "zmap_orders__zones")
+    assert idx.count() >= 2  # multiple files, each with its own zone
+
+    lo_key = 5
+    rep = ms.prune_stats(
+        session.spark, "zmap_orders", {"o_orderkey": (0, lo_key)}
+    ).first()
+    assert rep["total_files"] >= 2
+    assert rep["kept_files"] < rep["total_files"]  # zorder made zones tight
+
+    pr = ms.read_pruned(
+        session.spark, "zmap_orders", {"o_orderkey": (0, lo_key)}
+    ).filter(F.col("o_orderkey") <= lo_key)
+    full = orders.df.filter(F.col("o_orderkey") <= lo_key)
+    assert sorted(r["o_orderkey"] for r in pr.collect()) == sorted(
+        r["o_orderkey"] for r in full.collect()
+    )
+
+    # versions without an index refuse loudly
+    from datachain_spark.error import DatasetNotFoundError
+
+    orders.save("zmap_orders")  # new version, not indexed
+    with pytest.raises(DatasetNotFoundError):
+        ms.prune_stats(session.spark, "zmap_orders", {"o_orderkey": (0, 1)})
+    # the OLD version's index still resolves by pinning the version
+    assert ms.prune_stats(
+        session.spark, "zmap_orders", {"o_orderkey": (0, 1)},
+        version="1.0.0",
+    ).first()["total_files"] >= 2
+
+
+def test_cli_zones_and_prune(session, sf_dir, capsys):
+    import datachain_spark as dc
+    from datachain_spark.cli import main
+
+    dc.read_parquet(f"{sf_dir}/orders.parquet", session=session).save(
+        "cli_zmap", zorder_by=["o_orderkey"], zorder_files=4
+    )
+    ms = session.metastore_dir
+    assert main(["--metastore", ms, "zones", "cli_zmap",
+                 "--cols", "o_orderkey"]) == 0
+    assert "cli_zmap__zones" in capsys.readouterr().out
+    assert main(["--metastore", ms, "prune", "cli_zmap",
+                 "--col", "o_orderkey", "--lo", "0", "--hi", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "kept" in out and "skip" in out
