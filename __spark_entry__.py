@@ -10041,6 +10041,59 @@ FROM z ORDER BY o_orderkey_min
 """
 
 
+def collocations_docs(spark, sf):
+    """PMI collocations (ops/text.collocations): top-40 adjacent word
+    pairs seen >=3 times, ranked by pointwise mutual information rounded
+    to 6 dp BEFORE the cut (ties on the pair) so cross-engine ulps can't
+    flip ranks. The oracle rebuilds unigram/bigram counts with the same
+    tokenization (bigrams via a recursive struct unnest) and replays the
+    PMI arithmetic term-for-term."""
+    from datachain_spark.ops.text import collocations
+
+    docs = _chain(spark, sf, "documents").df
+    return collocations(docs, k=40, min_count=3).orderBy(
+        F.col("pmi").desc(), "word_a", "word_b"
+    )
+
+
+COLLOCATIONS_SQL = r"""
+WITH wl AS (
+  SELECT list_filter(
+           string_split_regex(trim(regexp_replace(lower(text),
+             '[^\w\s]', '', 'g')), '\s+'),
+           x -> length(x) > 0) AS w
+  FROM documents WHERE text IS NOT NULL
+), wl2 AS (
+  SELECT w FROM wl WHERE len(w) > 0
+), uni AS (
+  SELECT unnest(w) AS word FROM wl2
+), uc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY word
+), bi AS (
+  SELECT unnest([{'word_a': w[i], 'word_b': w[i+1]}
+                 for i in generate_series(1, len(w)-1)],
+                recursive := true)
+  FROM wl2 WHERE len(w) >= 2
+), bc AS (
+  SELECT word_a, word_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM bi GROUP BY word_a, word_b
+  HAVING count(*) >= 3
+), tot AS (
+  SELECT CAST(sum(len(w)) AS DOUBLE) AS nu,
+         CAST(sum(greatest(len(w) - 1, 0)) AS DOUBLE) AS nb
+  FROM wl2
+)
+SELECT word_a, word_b, c_ab, ua.c AS c_a, ub.c AS c_b,
+       round(ln((c_ab / nb) / ((ua.c / nu) * (ub.c / nu))), 6) AS pmi
+FROM bc
+JOIN uc ua ON ua.word = bc.word_a
+JOIN uc ub ON ub.word = bc.word_b
+CROSS JOIN tot
+ORDER BY pmi DESC, word_a, word_b
+LIMIT 40
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -10112,6 +10165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": streaming_sessions,
         "streaming_running_counts": streaming_running_counts,
         "prune_zones_orders": prune_zones_orders,
+        "collocations_docs": collocations_docs,
         # -- the longest-out-of-window r02-r04 greens (padding) --
         "merge_left_regions": merge_left_regions,
         "group_concat_sorted": group_concat_sorted,
@@ -10521,6 +10575,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions": STREAMING_SESSIONS_SQL,
         "streaming_running_counts": STREAMING_RUNNING_COUNTS_SQL,
         "prune_zones_orders": PRUNE_ZONES_SQL,
+        "collocations_docs": COLLOCATIONS_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,
         "to_storage_roundtrip": TO_STORAGE_RT_SQL,

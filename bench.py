@@ -194,6 +194,8 @@ HEADLINE = [
     # diversification pass over a dense top-k pool
     "hybrid_topk_docs",
     "mmr_rerank_emb",
+    # r08 corpus-health: PMI collocations (distinct-gram shuffles only)
+    "collocations_docs",
 ]
 
 

@@ -241,6 +241,7 @@ class Metastore:
         num_buckets: int = 16,
         bucket_sort: Optional[list[str]] = None,
         signal_schema: Optional[dict] = None,
+        schema_policy: str = "any",
     ) -> DatasetVersion:
         """Materialize df as a new dataset version.
 
@@ -248,11 +249,20 @@ class Metastore:
         (/root/reference/src/datachain/lib/dc/datachain.py:602-673,
         /root/reference/src/datachain/catalog/catalog.py:780-961): records
         schema, row count, preview (first ``preview_rows`` rows), lineage.
+
+        ``schema_policy`` gates the write against the dataset's LATEST
+        version (a pipeline guard for scheduled re-saves — beyond the
+        reference): ``"any"`` (default) records whatever arrives;
+        ``"additive"`` requires every existing column to keep its name
+        and type (new columns allowed); ``"strict"`` requires the exact
+        same (name, type) list. Violations raise BEFORE any data is
+        written.
         """
         ns, proj, base = split_name(name)
         rec = self._read_record(ns, proj, base) or DatasetRecord(
             name=base, namespace=ns, project=proj, description=description
         )
+        self._check_schema_policy(df, rec, schema_policy, name)
         if version is None:
             latest = rec.latest_version()
             version = bump_version(latest.version, update_version) if latest else "1.0.0"
@@ -312,6 +322,43 @@ class Metastore:
             rec.description = description
         self._write_record(rec)
         return dv
+
+    @staticmethod
+    def _check_schema_policy(
+        df: DataFrame, rec: DatasetRecord, policy: str, name: str
+    ) -> None:
+        if policy not in ("any", "additive", "strict"):
+            raise ValueError(
+                f"schema_policy must be any|additive|strict, got {policy!r}"
+            )
+        latest = rec.latest_version()
+        if policy == "any" or latest is None or not latest.schema_json:
+            return
+        from pyspark.sql import types as T
+
+        prev = T.StructType.fromJson(json.loads(latest.schema_json))
+        prev_cols = [(f.name, f.dataType.simpleString()) for f in prev.fields]
+        new_cols = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        if policy == "strict" and new_cols != prev_cols:
+            raise ValueError(
+                f"schema_policy='strict': {name} v{latest.version} has "
+                f"{prev_cols}, incoming frame has {new_cols}"
+            )
+        if policy == "additive":
+            new_map = dict(new_cols)
+            broken = [
+                (c, t, new_map.get(c))
+                for c, t in prev_cols
+                if new_map.get(c) != t
+            ]
+            if broken:
+                raise ValueError(
+                    f"schema_policy='additive': {name} v{latest.version} "
+                    "columns dropped or retyped: "
+                    + ", ".join(
+                        f"{c} was {t}, now {nt}" for c, t, nt in broken
+                    )
+                )
 
     def load_dataset(
         self, spark: SparkSession, name: str, version: Optional[str] = None

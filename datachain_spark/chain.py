@@ -1711,9 +1711,15 @@ class DataChain:
         zorder_bits: int = 8,
         zorder_files: Optional[int] = None,
         zorder_strategy: str = "minmax",
+        schema_policy: str = "any",
     ) -> "DataChain":
         """Materialize as a new dataset version; returns a chain reading the
         saved data. Parity: datachain.py:602-673.
+
+        ``schema_policy`` guards scheduled re-saves against accidental
+        breaking changes vs the dataset's latest version: ``"additive"``
+        (existing columns keep name+type, new ones allowed) or
+        ``"strict"`` (exact schema); violations raise before any write.
 
         Scale extras beyond the reference: ``bucket_by`` stores the version
         bucketed (hash-clustered files + catalog CLUSTERED BY registration)
@@ -1749,6 +1755,7 @@ class DataChain:
             num_buckets=num_buckets,
             bucket_sort=list(bucket_sort) if bucket_sort else None,
             signal_schema=serialize_signals(live_models) if live_models else None,
+            schema_policy=schema_policy,
         )
         df, _, _ = self.session.metastore.load_dataset(self.session.spark, name, dv.version)
         out = DataChain(

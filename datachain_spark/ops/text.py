@@ -1732,3 +1732,86 @@ def zipf_profile(
         F.try_divide(cov, varx).alias("zipf_slope"),
         F.try_divide(cov * cov, varx * vary).alias("r2"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+    pmi_round: int = 6,
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information: ``pmi = ln((c_ab / N_bi) / ((c_a / N_uni) · (c_b /
+    N_uni)))`` over pairs seen at least ``min_count`` times — the
+    corpus-health sibling of :func:`zipf_profile` (template/boilerplate
+    corpora surface as implausibly strong collocations; natural text
+    yields the expected named-entity/idiom pairs).
+
+    Tokenization matches every other text operator. Scale shape: the
+    bigram extraction is pure per-row array algebra (``zip_with`` over
+    two shifted slices — no window, no posexplode-with-lead), so the
+    only shuffles carry DISTINCT unigrams and bigrams (map-side
+    combined), never the corpus; the two unigram joins key on the token;
+    the final cut is TakeOrdered. PMI is rounded to ``pmi_round``
+    decimals BEFORE the ranking so cross-engine float ulps cannot flip
+    adjacent ranks (ties break on the word pair).
+    """
+    if k < 1:
+        raise ValueError("collocations: k must be >= 1")
+    if min_count < 1:
+        raise ValueError("collocations: min_count must be >= 1")
+    w = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", "")),
+        r"\s+",
+    )
+    words = F.filter(w, lambda x: F.length(x) > 0)
+    toks = df.select(words.alias("__w")).filter(F.size("__w") > 0)
+    uni = (
+        toks.select(F.explode("__w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pair_arr = F.zip_with(
+        F.slice(F.col("__w"), 1, F.greatest(F.size("__w") - 1, F.lit(0))),
+        F.slice(F.col("__w"), 2, F.greatest(F.size("__w") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bi = (
+        toks.filter(F.size("__w") >= 2)
+        .select(F.explode(pair_arr).alias("__p"))
+        .select(F.col("__p.a").alias("word_a"), F.col("__p.b").alias("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_uni = toks.agg(F.sum(F.size("__w")).cast("double").alias("__nu"))
+    n_bi = toks.agg(
+        F.sum(F.greatest(F.size("__w") - 1, F.lit(0)))
+        .cast("double").alias("__nb")
+    )
+    joined = (
+        bi.join(uni.withColumnRenamed("word", "word_a")
+                   .withColumnRenamed("c", "c_a"), "word_a")
+        .join(uni.withColumnRenamed("word", "word_b")
+                 .withColumnRenamed("c", "c_b"), "word_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("__nb"))
+            / ((F.col("c_a") / F.col("__nu")) * (F.col("c_b") / F.col("__nu")))
+        ),
+        pmi_round,
+    )
+    return (
+        joined.select(
+            "word_a", "word_b", "c_ab",
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "word_a", "word_b")
+        .limit(int(k))
+    )

@@ -317,3 +317,30 @@ def test_compact_preserves_metadata_and_source_version(session):
     assert old.count() == 500
     with pytest.raises(ValueError):
         dc.compact_dataset("compact_meta", target_file_bytes=0, session=session)
+
+
+def test_save_schema_policy(session):
+    import datachain_spark as dc
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    ch = dc.read_values(session=session, k=[1, 2], s=["a", "b"])
+    ch.save("sp_ds")
+
+    # additive: new column fine, retype/drop refused
+    ch.mutate(extra=F.col("k") * 2).save("sp_ds", schema_policy="additive")
+    with _pytest.raises(ValueError, match="retyped"):
+        ch.mutate(k=F.col("k").cast("string")).save(
+            "sp_ds", schema_policy="additive")
+    with _pytest.raises(ValueError, match="dropped or retyped"):
+        ch.select("k").save("sp_ds", schema_policy="additive")
+
+    # strict: must match the LATEST version (which now has `extra`)
+    with _pytest.raises(ValueError, match="strict"):
+        ch.save("sp_ds", schema_policy="strict")
+    ch.mutate(extra=F.col("k") * 9).save("sp_ds", schema_policy="strict")
+
+    # unknown policy refused; first save ignores policy (nothing to check)
+    with _pytest.raises(ValueError, match="any|additive|strict"):
+        ch.save("sp_ds2", schema_policy="nope")
+    ch.save("sp_ds3", schema_policy="strict")

@@ -822,3 +822,62 @@ def test_cap_per_group_matches_python_reference(session, data, max_rows, budget)
         ).collect()
     }
     assert got == expected
+
+
+@given(left=rows, right=rows)
+@SETTINGS
+def test_rrf_fuse_matches_sql(session, left, right):
+    # two retrieval branches from nasty random data: branch scores are the
+    # per-id max(v) (relevance, desc) and min(v) (distance-like, asc);
+    # rrf_fuse's ranks, missing-branch NULLs and fusion arithmetic must
+    # match a full SQL replay with the same (score, id) tiebreaks
+    from datachain_spark.ops.retrieval import rrf_fuse
+
+    lf, rf = _pdf(left), _pdf(right)
+    spark = session.spark
+    l_br = (
+        dc.read_pandas(lf, session=session).df
+        .filter(C("k").isNotNull()).groupBy("k")
+        .agg(func.max(C("v")).alias("s"))
+        .withColumnRenamed("k", "id")
+    )
+    r_br = (
+        dc.read_pandas(rf, session=session).df
+        .filter(C("k").isNotNull()).groupBy("k")
+        .agg(func.min(C("v")).alias("s"))
+        .withColumnRenamed("k", "id")
+    )
+    out = rrf_fuse(
+        [(l_br, "s", False), (r_br, "s", True)],
+        id_col="id", k=6, n_per_branch=4,
+    )
+    sql = """
+    WITH l0 AS (SELECT k AS id, max(v) AS s FROM lf
+                WHERE k IS NOT NULL GROUP BY k),
+    r0 AS (SELECT k AS id, min(v) AS s FROM rf
+           WHERE k IS NOT NULL GROUP BY k),
+    l AS (SELECT id,
+                 CAST(row_number() OVER (ORDER BY s DESC, id) AS INTEGER)
+                   AS rank_0
+          FROM l0 WHERE s IS NOT NULL QUALIFY rank_0 <= 4),
+    r AS (SELECT id,
+                 CAST(row_number() OVER (ORDER BY s ASC, id) AS INTEGER)
+                   AS rank_1
+          FROM r0 WHERE s IS NOT NULL QUALIFY rank_1 <= 4),
+    f AS (SELECT coalesce(l.id, r.id) AS id, l.rank_0, r.rank_1,
+                 (CASE WHEN l.rank_0 IS NOT NULL
+                       THEN 1.0 / (60.0 + l.rank_0) ELSE 0.0 END)
+                 + (CASE WHEN r.rank_1 IS NOT NULL
+                         THEN 1.0 / (60.0 + r.rank_1) ELSE 0.0 END)
+                   AS rrf_score
+          FROM l FULL OUTER JOIN r ON l.id = r.id)
+    SELECT * FROM f ORDER BY rrf_score DESC, id LIMIT 6
+    """
+    _check_df(out, sql, lf=lf, rf=rf)
+
+
+def _check_df(df, sql, **frames):
+    spark_pd = df.toPandas()
+    duck_pd = _duck(sql, **frames)
+    ok, detail = compare_frames(spark_pd, duck_pd)
+    assert ok, detail

@@ -28,3 +28,7 @@ def test_journey_analytics_example():
 
 def test_release_review_example():
     _run("release_review.py")
+
+
+def test_warehouse_layout_example():
+    _run("warehouse_layout.py")

@@ -56,3 +56,39 @@ def test_corpus_overlap_semantics(spark):
     import datachain_spark as dc
     ca, cb = dc.DataChain(a), dc.DataChain(b)
     assert ca.corpus_overlap(cb).count() == 1
+
+
+def test_collocations_semantics(spark):
+    import math
+
+    from datachain_spark.ops.text import collocations
+
+    # "san francisco" always adjacent (strong collocation); "the" is
+    # frequent everywhere (weak PMI with anything)
+    docs = spark.createDataFrame(
+        [(i, "the city of san francisco by the bay") for i in range(5)]
+        + [(99, "the bay near the city")],
+        "id long, text string",
+    )
+    out = collocations(docs, k=5, min_count=2).collect()
+    # three pairs tie at the maximal PMI (all counts 5/5/5); ties order
+    # by word_a, so the perfect collocations lead and (san, francisco)
+    # is among them with hand-checkable arithmetic
+    sf = next(r for r in out
+              if (r["word_a"], r["word_b"]) == ("san", "francisco"))
+    assert sf["c_ab"] == 5 and sf["c_a"] == 5 and sf["c_b"] == 5
+    assert out[0]["pmi"] == sf["pmi"]  # top shares the maximal PMI
+    n_uni = 5 * 8 + 5
+    n_bi = 5 * 7 + 4
+    want = math.log((5 / n_bi) / ((5 / n_uni) * (5 / n_uni)))
+    assert abs(sf["pmi"] - round(want, 6)) < 1e-9
+    # min_count filters singletons entirely
+    pairs = {(r["word_a"], r["word_b"]) for r in out}
+    assert ("bay", "near") not in pairs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        collocations(docs, k=0)
+    with _pytest.raises(ValueError):
+        collocations(docs, min_count=0)
