@@ -10111,11 +10111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     weak flag, the two streaming semantics oracles, mergeable sketch
     persistence, the contamination matrix, embedding drift, the
     pairwise overlap matrix, the Zipf profile) so nothing new accrues
-    verification debt, the 5 r08 continuation additions (hybrid RRF
+    verification debt, the 6 r08 continuation additions (hybrid RRF
     search, MMR rerank, the session-window and applyInPandasWithState
-    streaming oracles, zone-map pruning), padded to 50 with the
-    longest-out-of-window r02-r04 greens (merge_left_regions,
-    group_concat_sorted,
+    streaming oracles, zone-map pruning, PMI collocations), padded to
+    50 with the longest-out-of-window r02-r04 greens
+    (merge_left_regions, group_concat_sorted,
     string_similarity, path_funcs, semi_join, intersect_cross,
     winnow_pairs, the r03 function families, udf_*, multimodal, q6,
     sessionize…). The whole r07 window (50/50 green in CORRECTNESS_r07)

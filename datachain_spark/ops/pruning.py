@@ -61,7 +61,7 @@ def file_stats_index(
     return base.groupBy(file_col).agg(*aggs)
 
 
-def _keep_expr(intervals: Mapping[str, Tuple], file_col: str):
+def _keep_expr(intervals: Mapping[str, Tuple]):
     """Zone-overlap predicate: a file MAY contain rows matching every
     ``col BETWEEN lo AND hi`` iff each zone [min, max] overlaps its
     [lo, hi]. NULL bounds (an all-NULL zone for that column) keep the
@@ -93,7 +93,7 @@ def prune_zones(
     ]
     if missing:
         raise ValueError(f"prune_zones: index lacks zones for {missing}")
-    return index.withColumn(keep_col, _keep_expr(intervals, file_col))
+    return index.withColumn(keep_col, _keep_expr(intervals))
 
 
 def prune_report(
