@@ -10094,6 +10094,102 @@ LIMIT 40
 """
 
 
+def ann_index_search(spark, sf):
+    """Persisted IVF index end-to-end (metastore.ann_index_dataset +
+    ann_search): save the embeddings as a dataset version, build the
+    cell-BUCKETED vector copy + centroid table, then search with
+    n_probe == num_cells — the full probe must degrade EXACTLY to the
+    brute-force cosine top-k DuckDB computes independently, which
+    value-verifies the whole index path (sampled+refined centroids, cell
+    assignment, bucketed save/load round-trip, probe union)."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+
+    emb = _chain(spark, sf, "embeddings").df.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(v) for v in qrow["embedding"]]
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_ann_ms_"))
+    name = "ann_idx_" + uuid.uuid4().hex[:8]
+    ms.save_dataset(emb, name)
+    ms.ann_index_dataset(spark, name, "vec_id", num_cells=8)
+    out = ms.ann_search(
+        spark, name, qv, k=10, n_probe=8, id_cols=["vec_id"]
+    )
+    return out.select(
+        "vec_id", F.round(F.col("distance"), 4).alias("dist_r")
+    ).orderBy("dist_r", "vec_id")
+
+
+ANN_INDEX_SEARCH_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(CAST(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS DOUBLE), 4) AS dist_r
+FROM embeddings, q
+ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), vec_id
+LIMIT 10
+"""
+
+
+def ann_stream_search(spark, sf):
+    """IVF index maintenance on INGEST (streaming/stream.ann_ingest_stream):
+    the embeddings arrive as two ORDERED micro-batches (even vec_ids
+    first) through a real file-source stream; each batch is assigned to
+    the FIXED coarse quantizer and appended as a version of the ivf
+    dataset — no rebuild, no history rescan. The searcher unions the
+    ingested versions and probes EVERY cell, which must degrade exactly
+    to the brute-force cosine top-k DuckDB computes — value-verifying
+    the streamed assignment, per-batch versioning, and probe union."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.ops.similarity import (
+        ann_ivf_topk,
+        kmeans_refine,
+        train_centroids_sample,
+    )
+    from datachain_spark.streaming.stream import ann_ingest_stream, read_stream
+
+    emb = _chain(spark, sf, "embeddings").df.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(v) for v in qrow["embedding"]]
+    cents = kmeans_refine(
+        emb, train_centroids_sample(emb, num_cells=8), iters=1
+    )
+    src = _ordered_stream_dir(
+        [
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+        ]
+    )
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_annstrm_ms_"))
+    name = "ann_strm_" + uuid.uuid4().hex[:8]
+    stream = read_stream(spark, src, max_files_per_trigger=1)
+    q = ann_ingest_stream(
+        stream, name, ms, tempfile.mkdtemp(prefix="dc_strm_cp_"),
+        cents, "vec_id",
+    )
+    q.awaitTermination(180)
+    rec = ms.get_record(f"{name}__ivf")
+    idx = None
+    for dv in rec.versions:
+        part, _, _ = ms.load_dataset(spark, f"{name}__ivf", dv.version)
+        idx = part if idx is None else idx.unionByName(part)
+    out = ann_ivf_topk(
+        idx, cents, qv, cell_col="cell", k=10, n_probe=8,
+        id_cols=["vec_id"],
+    )
+    return out.select(
+        "vec_id", F.round(F.col("distance"), 4).alias("dist_r")
+    ).orderBy("dist_r", "vec_id")
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -10111,10 +10207,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     weak flag, the two streaming semantics oracles, mergeable sketch
     persistence, the contamination matrix, embedding drift, the
     pairwise overlap matrix, the Zipf profile) so nothing new accrues
-    verification debt, the 6 r08 continuation additions (hybrid RRF
+    verification debt, the 8 r08 continuation additions (hybrid RRF
     search, MMR rerank, the session-window and applyInPandasWithState
-    streaming oracles, zone-map pruning, PMI collocations), padded to
-    50 with the longest-out-of-window r02-r04 greens
+    streaming oracles, zone-map pruning, PMI collocations, the
+    persisted-IVF search round-trip and its streaming-ingest sibling),
+    padded to 50 with the longest-out-of-window r02-r04 greens
     (merge_left_regions, group_concat_sorted,
     string_similarity, path_funcs, semi_join, intersect_cross,
     winnow_pairs, the r03 function families, udf_*, multimodal, q6,
@@ -10166,6 +10263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_running_counts": streaming_running_counts,
         "prune_zones_orders": prune_zones_orders,
         "collocations_docs": collocations_docs,
+        "ann_index_search": ann_index_search,
+        "ann_stream_search": ann_stream_search,
         # -- the longest-out-of-window r02-r04 greens (padding) --
         "merge_left_regions": merge_left_regions,
         "group_concat_sorted": group_concat_sorted,
@@ -10576,6 +10675,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_running_counts": STREAMING_RUNNING_COUNTS_SQL,
         "prune_zones_orders": PRUNE_ZONES_SQL,
         "collocations_docs": COLLOCATIONS_SQL,
+        "ann_index_search": ANN_INDEX_SEARCH_SQL,
+        "ann_stream_search": ANN_INDEX_SEARCH_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,
         "to_storage_roundtrip": TO_STORAGE_RT_SQL,

@@ -602,6 +602,113 @@ class Metastore:
         return pruned_read(spark, self._load_zone_index(spark, name, version),
                            dict(intervals))
 
+    def ann_index_dataset(
+        self,
+        spark: SparkSession,
+        name: str,
+        id_col: str,
+        vec_col: str = "embedding",
+        num_cells: int = 16,
+        kmeans_iters: int = 2,
+        seed: int = 42,
+        version: Optional[str] = None,
+    ) -> DatasetVersion:
+        """Build and persist an IVF similarity index for a saved version —
+        the materialize-the-assignments step ops/similarity documents:
+
+        - ``{name}__ivf``: the (id, vector, cell) rows BUCKETED by cell,
+          so a probe's ``cell IN (...)`` filter prunes buckets instead of
+          scanning the corpus;
+        - ``{name}__ivf_centroids``: the num_cells coarse-quantizer rows
+          (the only driver-sized state).
+
+        Both are ordinary dataset versions linked by lineage/attrs to the
+        exact source version — search indexes version beside the data
+        they index, like the zone maps. Rebuild per snapshot; at 100 TB
+        the build is ``kmeans_iters + 1`` scans and one bucket shuffle.
+        """
+        from ..ops.similarity import (
+            assign_ivf_cells,
+            kmeans_refine,
+            train_centroids_sample,
+        )
+
+        df, _rec, dv = self.load_dataset(spark, name, version)
+        cents = train_centroids_sample(df, vec_col, num_cells, seed=seed)
+        if kmeans_iters > 0:
+            cents = kmeans_refine(df, cents, vec_col, iters=kmeans_iters)
+        assigned = assign_ivf_cells(df, cents, vec_col, "cell").select(
+            id_col, vec_col, "cell"
+        )
+        link = {"ivf_of": name, "ivf_of_version": dv.version,
+                "ivf_cells": str(len(cents))}
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        )
+        self.save_dataset(
+            cent_df, f"{name}__ivf_centroids", attrs=dict(link),
+            dependencies=[{"dataset": name, "version": dv.version}],
+        )
+        return self.save_dataset(
+            assigned, f"{name}__ivf", attrs=dict(link),
+            dependencies=[{"dataset": name, "version": dv.version}],
+            bucket_by=["cell"], num_buckets=max(2, len(cents)),
+        )
+
+    def _load_ann_index(
+        self, spark: SparkSession, name: str, version: Optional[str]
+    ) -> tuple[DataFrame, list[list[float]]]:
+        ns, proj, base = split_name(name)
+        rec = self._read_record(ns, proj, base)
+        if rec is None:
+            raise DatasetNotFoundError(f"dataset not found: {name}")
+        dv = rec.get_version(version)
+
+        def _newest(suffix: str):
+            sns, sproj, sbase = split_name(f"{name}{suffix}")
+            srec = self._read_record(sns, sproj, sbase)
+            matches = [
+                v for v in (srec.versions if srec else [])
+                if v.attrs.get("ivf_of_version") == dv.version
+            ]
+            if not matches:
+                raise DatasetNotFoundError(
+                    f"no IVF index for {name}@{dv.version} — build one "
+                    "with ann_index_dataset(name, id_col)"
+                )
+            best = max(matches, key=lambda v: parse_version(v.version))
+            out, _, _ = self.load_dataset(spark, f"{name}{suffix}", best.version)
+            return out
+
+        idx = _newest("__ivf")
+        cent_rows = _newest("__ivf_centroids").orderBy("cell").collect()
+        cents = [list(r["centroid"]) for r in cent_rows]
+        return idx, cents
+
+    def ann_search(
+        self,
+        spark: SparkSession,
+        name: str,
+        query_vec: Sequence[float],
+        k: int = 10,
+        n_probe: int = 4,
+        vec_col: str = "embedding",
+        id_cols: Optional[Sequence[str]] = None,
+        version: Optional[str] = None,
+    ) -> DataFrame:
+        """Approximate top-k over a saved version through its persisted
+        IVF index: probe the ``n_probe`` nearest cells (bucket-pruned
+        scan), exact cosine top-k inside them. ``n_probe == num_cells``
+        degrades gracefully to the exact answer."""
+        idx, cents = self._load_ann_index(spark, name, version)
+        from ..ops.similarity import ann_ivf_topk
+
+        return ann_ivf_topk(
+            idx, cents, list(query_vec), vec_col=vec_col, cell_col="cell",
+            k=k, n_probe=n_probe, id_cols=id_cols,
+        )
+
     def vacuum_dataset(
         self,
         name: str,

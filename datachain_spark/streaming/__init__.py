@@ -1,4 +1,5 @@
 from .stream import (
+    ann_ingest_stream,
     dedup_against_corpus,
     exact_dedup_stream_to_dataset,
     dedup_stream,
@@ -13,6 +14,7 @@ from .stream import (
 
 __all__ = [
     "read_stream",
+    "ann_ingest_stream",
     "exact_dedup_stream_to_dataset",
     "near_dedup_stream_to_dataset",
     "validated_stream_to_dataset",

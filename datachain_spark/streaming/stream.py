@@ -501,3 +501,77 @@ def validated_stream_to_dataset(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ann_ingest_stream(
+    stream_df: DataFrame,
+    name: str,
+    metastore,
+    checkpoint_dir: str,
+    centroids,
+    id_col: str,
+    vec_col: str = "embedding",
+    trigger_once: bool = True,
+):
+    """IVF index maintenance on ingest — the streaming sibling of
+    ``Metastore.ann_index_dataset``: continuously-arriving vectors are
+    assigned to the FIXED coarse quantizer (``centroids``, trained once
+    on a representative snapshot) and appended to ``{name}__ivf`` as
+    versioned (id, vector, cell) batches, so the search index tracks the
+    stream without ever rebuilding or rescanning history. Also persists
+    the centroid table as ``{name}__ivf_centroids`` on the first batch,
+    making a searcher self-contained: union the ``__ivf`` versions and
+    probe with ``ops.similarity.ann_ivf_topk``.
+
+    Scale shape: assignment is the codegen'd nearest-centroid expression
+    (no UDF, no shuffle — a projection over each micro-batch); the
+    per-batch state written is the batch's own rows. Re-training the
+    quantizer on drifted data is an explicit batch decision
+    (``ann_index_dataset`` on a new snapshot), not something a stream
+    should do implicitly. Batch replays are idempotent via the
+    stream_batch_id stamp (the exact_dedup_stream_to_dataset contract).
+    """
+    from ..ops.similarity import assign_ivf_cells
+
+    cents = [list(c) for c in centroids]
+    if not cents:
+        raise ValueError("ann_ingest_stream: centroids must be non-empty")
+    ivf_name = f"{name}__ivf"
+    cent_name = f"{name}__ivf_centroids"
+
+    def _already_saved(ds_name: str, batch_id: int) -> bool:
+        rec = metastore.get_record(ds_name)
+        dv = rec.latest_version() if rec is not None else None
+        return bool(dv and dv.attrs.get("stream_batch_id") == batch_id)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if metastore.get_record(cent_name) is None:
+            cent_df = spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                "cell int, centroid array<double>",
+            )
+            metastore.save_dataset(
+                cent_df, cent_name, attrs={"ivf_of": name, "stream": "true"}
+            )
+        if _already_saved(ivf_name, batch_id):
+            return
+        assigned = assign_ivf_cells(batch_df, cents, vec_col, "cell").select(
+            id_col, vec_col, "cell"
+        )
+        metastore.save_dataset(
+            assigned, ivf_name,
+            attrs={"ivf_of": name, "stream_batch_id": batch_id,
+                   "ivf_cells": str(len(cents))},
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -344,3 +344,42 @@ def test_save_schema_policy(session):
     with _pytest.raises(ValueError, match="any|additive|strict"):
         ch.save("sp_ds2", schema_policy="nope")
     ch.save("sp_ds3", schema_policy="strict")
+
+
+def test_ann_index_dataset_workflow(session, sf_dir):
+    import datachain_spark as dc
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datachain_spark.error import DatasetNotFoundError
+    from datachain_spark.ops.similarity import cosine_topk
+
+    emb = dc.read_parquet(f"{sf_dir}/embeddings.parquet", session=session).mutate(
+        embedding=F.col("embedding").cast("array<double>"))
+    emb.save("ann_ds")
+    ms = session.metastore
+    dv = ms.ann_index_dataset(session.spark, "ann_ds", "vec_id", num_cells=8)
+    assert dv.attrs["ivf_of_version"] == "1.0.0"
+    # the cell-clustered copy is bucketed so probes prune buckets
+    idx, _, iv = ms.load_dataset(session.spark, "ann_ds__ivf")
+    assert iv.bucket and iv.bucket["by"] == ["cell"]
+
+    qv = [float(v) for v in emb.df.filter(F.col("vec_id") == 0)
+          .select("embedding").first()["embedding"]]
+    exact = [r["vec_id"] for r in
+             cosine_topk(emb.df, qv, k=10, id_cols=["vec_id"]).collect()]
+    full = [r["vec_id"] for r in
+            ms.ann_search(session.spark, "ann_ds", qv, k=10, n_probe=8,
+                          id_cols=["vec_id"]).collect()]
+    assert full == exact  # probing every cell degrades to the exact answer
+    part = ms.ann_search(session.spark, "ann_ds", qv, k=10, n_probe=2,
+                         id_cols=["vec_id"]).collect()
+    assert len(part) == 10 and part[0]["vec_id"] == 0
+
+    # a NEW unindexed version refuses loudly; the old one stays pinned
+    emb.save("ann_ds")
+    with _pytest.raises(DatasetNotFoundError):
+        ms.ann_search(session.spark, "ann_ds", qv, k=5)
+    assert len(ms.ann_search(session.spark, "ann_ds", qv, k=5,
+                             n_probe=8, id_cols=["vec_id"],
+                             version="1.0.0").collect()) == 5

@@ -531,3 +531,48 @@ def test_exact_dedup_stream_to_dataset(session, tmp_path):
     assert idx2.count() == 3
     # fingerprints are the only state: one BIGINT column
     assert idx2.df.columns == ["fingerprint"]
+
+
+def test_ann_ingest_stream(session, tmp_path):
+    from datachain_spark.ops.similarity import ann_ivf_topk, cosine_topk
+    from datachain_spark.streaming import ann_ingest_stream
+
+    spark = session.spark
+    vecs = [
+        (i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(24)
+    ]
+    df = spark.createDataFrame(vecs, "vid long, embedding array<double>")
+    d = str(tmp_path / "ann_src")
+    df.write.parquet(d)
+    cents = [[1.0, 0.0, 1.0], [0.0, 1.0, 1.0], [3.0, 4.0, 1.0]]
+
+    from datachain_spark.streaming import read_stream as _rs
+
+    q = ann_ingest_stream(
+        _rs(spark, d), "ann_s", session.metastore,
+        str(tmp_path / "cp_ann"), cents, "vid",
+    )
+    q.awaitTermination(120)
+
+    # centroid table persisted once; ivf rows cover the whole input
+    ms = session.metastore
+    cent, _, _ = ms.load_dataset(spark, "ann_s__ivf_centroids")
+    assert cent.count() == 3
+    rec = ms.get_record("ann_s__ivf")
+    idx = None
+    for dv in rec.versions:
+        part, _, _ = ms.load_dataset(spark, "ann_s__ivf", dv.version)
+        idx = part if idx is None else idx.unionByName(part)
+    assert idx.count() == 24
+
+    # full probe == exact brute force on the same frame
+    qv = [1.0, 1.0, 1.0]
+    exact = [r["vid"] for r in cosine_topk(df, qv, k=5, id_cols=["vid"]).collect()]
+    got = [r["vid"] for r in ann_ivf_topk(
+        idx, cents, qv, cell_col="cell", k=5, n_probe=3, id_cols=["vid"]
+    ).collect()]
+    assert got == exact
+
+    with pytest.raises(ValueError):
+        ann_ingest_stream(_rs(spark, d), "x", ms, str(tmp_path / "cp2"),
+                          [], "vid")
