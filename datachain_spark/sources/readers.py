@@ -337,6 +337,7 @@ def read_dataset(
     delta_compare: Union[str, Sequence[str], None] = None,
     delta_retry: Union[bool, str, None] = None,
     delta_unsafe: bool = False,
+    prune: Optional[dict] = None,
 ):
     """Saved dataset version (semver or specifier like '>=1.2').
     Parity: lib/dc/datasets.py:27-220.
@@ -344,8 +345,16 @@ def read_dataset(
     ``delta=True`` returns a pending incremental chain (parity
     lib/dc/datasets.py:36-43): transformations are recorded and replayed
     over only the new/changed/retried rows when ``save(name=...)`` runs —
-    see datachain_spark.delta.DeltaChain."""
+    see datachain_spark.delta.DeltaChain.
+
+    ``prune={col: (lo, hi), ...}`` scans ONLY the files whose persisted
+    zone maps overlap the closed ranges (requires a prior
+    ``Metastore.zone_index_dataset`` on this version) and re-applies the
+    row-level range filter — the manifest-style skip path for point/range
+    lookups on a Z-ordered save. Incompatible with ``delta``."""
     if delta:
+        if prune:
+            raise ValueError("prune= is incompatible with delta=True")
         if not delta_on:
             raise ValueError("delta=True requires delta_on")
         if delta_result_on is not None:
@@ -365,6 +374,11 @@ def read_dataset(
         )
     sess = Session.get(session)
     df, rec, dv = sess.metastore.load_dataset(sess.spark, name, version)
+    if prune:
+        pruned = sess.metastore.read_pruned(sess.spark, name, prune, version)
+        for c, (lo, hi) in prune.items():
+            pruned = pruned.filter(F.col(c).between(lo, hi))
+        df = pruned
     out = DataChain(df, sess, dependencies=[{"dataset": name, "version": dv.version}])
     out._dataset_info = {
         "name": name, "version": dv.version,

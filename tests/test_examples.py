@@ -32,3 +32,7 @@ def test_release_review_example():
 
 def test_warehouse_layout_example():
     _run("warehouse_layout.py")
+
+
+def test_hybrid_search_example():
+    _run("hybrid_search.py")

@@ -140,3 +140,24 @@ def test_cli_zones_and_prune(session, sf_dir, capsys):
                  "--col", "o_orderkey", "--lo", "0", "--hi", "5"]) == 0
     out = capsys.readouterr().out
     assert "kept" in out and "skip" in out
+
+
+def test_read_dataset_prune_param(session, sf_dir):
+    import datachain_spark as dc
+    import pytest as _pytest
+
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    orders.save("rd_zmap", zorder_by=["o_orderkey"], zorder_files=4)
+    session.metastore.zone_index_dataset(
+        session.spark, "rd_zmap", ["o_orderkey"]
+    )
+    got = dc.read_dataset(
+        "rd_zmap", session=session, prune={"o_orderkey": (0, 9)}
+    ).to_records()
+    want = orders.filter(F.col("o_orderkey").between(0, 9)).to_records()
+    assert sorted(r["o_orderkey"] for r in got) == sorted(
+        r["o_orderkey"] for r in want
+    )
+    with _pytest.raises(ValueError, match="incompatible"):
+        dc.read_dataset("rd_zmap", session=session, delta=True,
+                        delta_on="o_orderkey", prune={"o_orderkey": (0, 1)})
