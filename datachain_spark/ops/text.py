@@ -1777,18 +1777,21 @@ def collocations(
         F.slice(F.col("__w"), 2, F.greatest(F.size("__w") - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
-    bi = (
+    bi_full = (
         toks.filter(F.size("__w") >= 2)
         .select(F.explode(pair_arr).alias("__p"))
         .select(F.col("__p.a").alias("word_a"), F.col("__p.b").alias("word_b"))
         .groupBy("word_a", "word_b")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
-        .filter(F.col("c_ab") >= min_count)
     )
-    n_uni = toks.agg(F.sum(F.size("__w")).cast("double").alias("__nu"))
-    n_bi = toks.agg(
-        F.sum(F.greatest(F.size("__w") - 1, F.lit(0)))
-        .cast("double").alias("__nb")
+    bi = bi_full.filter(F.col("c_ab") >= min_count)
+    # totals fold the already-shuffled count tables (sum of unigram counts
+    # == total tokens; sum of pair counts == total adjacent pairs), so
+    # Catalyst reuses each branch's exchange instead of rescanning the
+    # corpus two more times — 2 corpus scans total, not 4
+    n_uni = uni.agg(F.sum("c").cast("double").alias("__nu"))
+    n_bi = bi_full.agg(
+        F.coalesce(F.sum("c_ab"), F.lit(0)).cast("double").alias("__nb")
     )
     joined = (
         bi.join(uni.withColumnRenamed("word", "word_a")
