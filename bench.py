@@ -892,6 +892,14 @@ def main() -> None:
         swing = runs[2] / runs[0] if runs[0] > 0 else 1.0
         return runs[1], swing
 
+    # the calibration plan itself JIT-warms over its first several runs
+    # (r08: before/after anchors differed 1.6x purely from early-run
+    # compilation, inflating anchor_spread with fake "drift") — burn the
+    # warm-up OUTSIDE the recorded anchors so the spread measures the
+    # machine, not HotSpot
+    for _ in range(6):
+        _calibrate_once()
+
     calib_before = _calibrate()
 
     # best-of-3 per query: the VM's timing noise (CPU steal) is larger than
