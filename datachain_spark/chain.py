@@ -1712,6 +1712,7 @@ class DataChain:
         zorder_files: Optional[int] = None,
         zorder_strategy: str = "minmax",
         schema_policy: str = "any",
+        zone_index: Optional[Sequence[str]] = None,
     ) -> "DataChain":
         """Materialize as a new dataset version; returns a chain reading the
         saved data. Parity: datachain.py:602-673.
@@ -1720,6 +1721,11 @@ class DataChain:
         breaking changes vs the dataset's latest version: ``"additive"``
         (existing columns keep name+type, new ones allowed) or
         ``"strict"`` (exact schema); violations raise before any write.
+
+        ``zone_index=[cols]`` builds the file-level zone map of the new
+        version right after the write (Metastore.zone_index_dataset) so
+        ``read_dataset(prune=...)`` works immediately — pair with
+        ``zorder_by`` on the same columns for tight zones.
 
         Scale extras beyond the reference: ``bucket_by`` stores the version
         bucketed (hash-clustered files + catalog CLUSTERED BY registration)
@@ -1757,6 +1763,11 @@ class DataChain:
             signal_schema=serialize_signals(live_models) if live_models else None,
             schema_policy=schema_policy,
         )
+        if zone_index:
+            self.session.metastore.zone_index_dataset(
+                self.session.spark, name, list(zone_index),
+                version=dv.version,
+            )
         df, _, _ = self.session.metastore.load_dataset(self.session.spark, name, dv.version)
         out = DataChain(
             df, self.session, self._settings,

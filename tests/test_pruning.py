@@ -161,3 +161,20 @@ def test_read_dataset_prune_param(session, sf_dir):
     with _pytest.raises(ValueError, match="incompatible"):
         dc.read_dataset("rd_zmap", session=session, delta=True,
                         delta_on="o_orderkey", prune={"o_orderkey": (0, 1)})
+
+
+def test_save_zone_index_param(session, sf_dir):
+    import datachain_spark as dc
+
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    orders.save("svz", zorder_by=["o_orderkey"], zorder_files=4,
+                zone_index=["o_orderkey"])
+    # prune works immediately, no separate index step
+    got = dc.read_dataset(
+        "svz", session=session, prune={"o_orderkey": (0, 5)}
+    ).to_records()
+    want = orders.filter(F.col("o_orderkey") <= 5).to_records()
+    assert len(got) == len(want)
+    rep = session.metastore.prune_stats(
+        session.spark, "svz", {"o_orderkey": (0, 5)}).first()
+    assert rep["kept_files"] < rep["total_files"]
