@@ -10190,6 +10190,69 @@ def ann_stream_search(spark, sf):
     ).orderBy("dist_r", "vec_id")
 
 
+def prune_zones_2col_orders(spark, sf):
+    """Multi-column zone-map pruning — the conjunction rule under
+    external verification (ops/pruning.prune_zones with two intervals):
+    orders laid out as a deterministic 4x4 (o_orderkey, o_custkey)
+    bucket grid (one file per cell), indexed on BOTH columns; a
+    predicate constraining both keys must keep exactly the cells whose
+    zones overlap BOTH ranges (1 of 16 here). The oracle rebuilds the
+    grid with floor-division group-bys and replays the AND of the two
+    overlap tests."""
+    import tempfile
+
+    from datachain_spark.ops.pruning import file_stats_index, prune_zones
+
+    orders = _chain(spark, sf, "orders").df
+    mk, mc = orders.agg(
+        F.max("o_orderkey"), F.max("o_custkey")
+    ).first()
+    sk, sc = mk // 4 + 1, mc // 4 + 1
+    tmp = tempfile.mkdtemp(prefix="dc_zones2_")
+    (
+        orders
+        .withColumn("kb", F.floor(F.col("o_orderkey") / sk).cast("int"))
+        .withColumn("cb", F.floor(F.col("o_custkey") / sc).cast("int"))
+        .repartition("kb", "cb")
+        .write.mode("overwrite").partitionBy("kb", "cb").parquet(tmp)
+    )
+    idx = file_stats_index(
+        spark.read.parquet(tmp), ["o_orderkey", "o_custkey"]
+    )
+    zones = prune_zones(
+        idx,
+        {"o_orderkey": (sk, 2 * sk - 1), "o_custkey": (0, sc - 1)},
+    )
+    return zones.select(
+        "o_orderkey_min", "o_orderkey_max",
+        "o_custkey_min", "o_custkey_max", "n_rows", "kept",
+    ).orderBy("o_orderkey_min", "o_custkey_min")
+
+
+PRUNE_ZONES_2COL_SQL = """
+WITH s AS (
+  SELECT max(o_orderkey) // 4 + 1 AS sk, max(o_custkey) // 4 + 1 AS sc
+  FROM orders
+), z AS (
+  SELECT o_orderkey // (SELECT sk FROM s) AS kb,
+         o_custkey // (SELECT sc FROM s) AS cb,
+         min(o_orderkey) AS o_orderkey_min,
+         max(o_orderkey) AS o_orderkey_max,
+         min(o_custkey) AS o_custkey_min,
+         max(o_custkey) AS o_custkey_max,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderkey_min, o_orderkey_max, o_custkey_min, o_custkey_max,
+       n_rows,
+       (o_orderkey_min <= 2 * (SELECT sk FROM s) - 1
+        AND o_orderkey_max >= (SELECT sk FROM s)
+        AND o_custkey_min <= (SELECT sc FROM s) - 1
+        AND o_custkey_max >= 0) AS kept
+FROM z ORDER BY o_orderkey_min, o_custkey_min
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -10207,11 +10270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     weak flag, the two streaming semantics oracles, mergeable sketch
     persistence, the contamination matrix, embedding drift, the
     pairwise overlap matrix, the Zipf profile) so nothing new accrues
-    verification debt, the 8 r08 continuation additions (hybrid RRF
+    verification debt, the 9 r08 continuation additions (hybrid RRF
     search, MMR rerank, the session-window and applyInPandasWithState
-    streaming oracles, zone-map pruning, PMI collocations, the
-    persisted-IVF search round-trip and its streaming-ingest sibling),
-    padded to 50 with the longest-out-of-window r02-r04 greens
+    streaming oracles, single- and two-column zone-map pruning, PMI
+    collocations, the persisted-IVF search round-trip and its
+    streaming-ingest sibling), padded to 50 with the
+    longest-out-of-window r02-r04 greens
     (merge_left_regions, group_concat_sorted,
     string_similarity, path_funcs, semi_join, intersect_cross,
     winnow_pairs, the r03 function families, udf_*, multimodal, q6,
@@ -10265,6 +10329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_docs": collocations_docs,
         "ann_index_search": ann_index_search,
         "ann_stream_search": ann_stream_search,
+        "prune_zones_2col_orders": prune_zones_2col_orders,
         # -- the longest-out-of-window r02-r04 greens (padding) --
         "merge_left_regions": merge_left_regions,
         "group_concat_sorted": group_concat_sorted,
@@ -10677,6 +10742,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations_docs": COLLOCATIONS_SQL,
         "ann_index_search": ANN_INDEX_SEARCH_SQL,
         "ann_stream_search": ANN_INDEX_SEARCH_SQL,
+        "prune_zones_2col_orders": PRUNE_ZONES_2COL_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,
         "to_storage_roundtrip": TO_STORAGE_RT_SQL,
