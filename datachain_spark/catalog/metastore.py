@@ -596,11 +596,31 @@ class Metastore:
     ) -> DataFrame:
         """Scan ONLY the files of a saved version whose zones overlap the
         range predicates (ops/pruning.pruned_read). Zone overlap is
-        necessary, not sufficient — callers re-apply the row filter."""
+        necessary, not sufficient — callers re-apply the row filter.
+        A predicate no zone overlaps returns an EMPTY frame with the
+        version's schema (0 matching rows is a valid answer, not an
+        error); the version's data path is passed as basePath so
+        hive-partition columns survive the leaf-file read."""
+        from pyspark.sql import types as T
+
         from ..ops.pruning import pruned_read
 
-        return pruned_read(spark, self._load_zone_index(spark, name, version),
-                           dict(intervals))
+        ns, proj, base = split_name(name)
+        rec = self._read_record(ns, proj, base)
+        if rec is None:
+            raise DatasetNotFoundError(f"dataset not found: {name}")
+        dv = rec.get_version(version)
+        data_path = self.version_data_path(f"{ns}.{proj}.{base}", dv.version)
+        try:
+            return pruned_read(
+                spark, self._load_zone_index(spark, name, version),
+                dict(intervals), base_path=data_path,
+            )
+        except ValueError as e:
+            if "no files survive" not in str(e):
+                raise  # interval/zone validation errors are caller bugs
+            schema = T.StructType.fromJson(json.loads(dv.schema_json))
+            return spark.createDataFrame([], schema)
 
     def ann_index_dataset(
         self,

@@ -175,6 +175,9 @@ def main(argv: list[str] | None = None) -> int:
             sess.spark, args.name, {args.col: (args.lo, args.hi)},
             version=args.version,
         ).first()
+        if not rep["total_files"]:
+            print("0 files indexed — nothing to prune")
+            return 0
         print(
             f"files {rep['kept_files']}/{rep['total_files']} kept, "
             f"rows {rep['kept_rows']}/{rep['total_rows']} "

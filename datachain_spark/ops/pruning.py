@@ -40,8 +40,11 @@ def file_stats_index(
     instead of the data.
 
     Falls back to ``input_file_name()`` when the plan carries no
-    ``_metadata`` (non-file sources raise there too — a zone map of a
-    shuffle result is meaningless).
+    ``_metadata``. Downstream of a shuffle that function returns the
+    EMPTY string — such rows are dropped rather than indexed (a zone map
+    of a shuffle result is meaningless), so a non-file plan yields an
+    EMPTY index instead of one bogus global zone; prune/scan consumers
+    surface that as zero files.
     """
     if not cols:
         raise ValueError("file_stats_index: cols must be non-empty")
@@ -53,7 +56,7 @@ def file_stats_index(
     except Exception:
         base = df.select(
             F.input_file_name().alias(file_col), *[F.col(c) for c in cols]
-        )
+        ).filter(F.col(file_col) != "")
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"{c}_min"))
@@ -79,7 +82,6 @@ def _keep_expr(intervals: Mapping[str, Tuple]):
 def prune_zones(
     index: DataFrame,
     intervals: Mapping[str, Tuple],
-    file_col: str = "file",
     keep_col: str = "kept",
 ) -> DataFrame:
     """The per-zone prune decision: the index plus a boolean ``keep_col``
@@ -99,13 +101,13 @@ def prune_zones(
 def prune_report(
     index: DataFrame,
     intervals: Mapping[str, Tuple],
-    file_col: str = "file",
 ) -> DataFrame:
     """ONE-row skip report for a conjunction of range predicates:
     (total_files, kept_files, total_rows, kept_rows, file_skip_frac,
     row_skip_frac). The answer to "what does this predicate cost" at
-    planning time — from the index alone."""
-    zones = prune_zones(index, intervals, file_col)
+    planning time — from the index alone. An EMPTY index (nothing
+    indexable) reports 0 files and NULL skip fractions."""
+    zones = prune_zones(index, intervals)
     kept = F.col("kept")
     return zones.agg(
         F.count(F.lit(1)).cast("long").alias("total_files"),
@@ -129,16 +131,25 @@ def pruned_read(
     index: DataFrame,
     intervals: Mapping[str, Tuple],
     file_col: str = "file",
+    base_path: Optional[str] = None,
 ) -> DataFrame:
     """Construct the pruned scan itself: read ONLY the files whose zones
     survive ``prune_zones`` (collect is bounded by #files — the zone map
     is driver-sized state by design, like Iceberg's manifest list).
     Callers re-apply the row-level filter; zone overlap is necessary,
     not sufficient. Raises on an empty survivor set (Spark cannot scan
-    zero paths) — callers should treat that as an empty result."""
-    zones = prune_zones(index, intervals, file_col)
+    zero paths) — callers should treat that as an empty result.
+
+    Pass ``base_path`` (the table's root directory) when the layout is
+    hive-partitioned: reading survivor LEAF files without it would drop
+    the partition columns from the schema (Spark only reconstructs them
+    relative to a basePath)."""
+    zones = prune_zones(index, intervals)
     files = [r[file_col] for r in
              zones.filter(F.col("kept")).select(file_col).collect()]
     if not files:
         raise ValueError("pruned_read: no files survive the predicate")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    return reader.parquet(*files)

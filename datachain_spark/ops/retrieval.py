@@ -428,8 +428,10 @@ def ranked_list(
     — the retrieval-list shape rank-fusion consumes.
 
     Rank is deterministic: (score, then ``id_col`` ascending) so equal
-    scores order by id identically in Spark and any SQL oracle. NULL
-    scores are dropped (an unscorable row has no rank).
+    scores order by id identically in Spark and any SQL oracle. NULL and
+    NaN scores are dropped (an unscorable row has no rank — and Spark
+    sorts NaN ABOVE every double, so a NaN would otherwise win a
+    descending cut while ranking last).
 
     Scale shape: the cut is ``orderBy().limit(n)`` — Catalyst's
     TakeOrderedAndProject (per-partition heaps, driver merge of n·P rows,
@@ -444,7 +446,7 @@ def ranked_list(
     s = F.col(score_col)
     order = s.asc() if ascending else s.desc()
     cut = (
-        df.filter(s.isNotNull())
+        df.filter(s.isNotNull() & ~F.isnan(s.cast("double")))
         .select(F.col(id_col), s.alias("__score"))
         .orderBy(order, F.col(id_col).asc())
         .limit(int(n))

@@ -73,9 +73,21 @@ def cosine_topk(
     else:
         dist = cosine_distance(F.col(vec_col), qv).alias(dist_col)
     cols = [F.col(c) for c in out_cols]
+    # tie-break on the scalar output columns so the cut is deterministic
+    # when distances tie exactly (duplicate vectors straddling the k
+    # boundary would otherwise enter partition-order-dependently —
+    # hybrid_topk/mmr_rerank build their determinism contracts on this)
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    ties = [
+        F.col(c).asc()
+        for c in out_cols
+        if not isinstance(df.schema[c].dataType,
+                          (ArrayType, MapType, StructType))
+    ]
     return (
         df.select(*cols, dist)
-        .orderBy(F.col(dist_col).asc_nulls_last())
+        .orderBy(F.col(dist_col).asc_nulls_last(), *ties)
         .limit(k)
     )
 

@@ -512,6 +512,7 @@ def ann_ingest_stream(
     id_col: str,
     vec_col: str = "embedding",
     trigger_once: bool = True,
+    source_version: Optional[str] = None,
 ):
     """IVF index maintenance on ingest — the streaming sibling of
     ``Metastore.ann_index_dataset``: continuously-arriving vectors are
@@ -530,6 +531,14 @@ def ann_ingest_stream(
     (``ann_index_dataset`` on a new snapshot), not something a stream
     should do implicitly. Batch replays are idempotent via the
     stream_batch_id stamp (the exact_dedup_stream_to_dataset contract).
+
+    Pass ``source_version`` when the stream extends a KNOWN saved
+    snapshot of ``name``: every index version is then stamped with
+    ``ivf_of_version`` so ``Metastore.ann_search(name, version=...)``
+    resolves the streamed index exactly like a batch-built one. Without
+    it the index is stream-only state — search it by unioning the
+    ``{name}__ivf`` versions directly (the ann_stream_search oracle
+    path).
     """
     from ..ops.similarity import assign_ivf_cells
 
@@ -538,6 +547,9 @@ def ann_ingest_stream(
         raise ValueError("ann_ingest_stream: centroids must be non-empty")
     ivf_name = f"{name}__ivf"
     cent_name = f"{name}__ivf_centroids"
+    link = {"ivf_of": name, "ivf_cells": str(len(cents))}
+    if source_version is not None:
+        link["ivf_of_version"] = source_version
 
     def _already_saved(ds_name: str, batch_id: int) -> bool:
         rec = metastore.get_record(ds_name)
@@ -554,7 +566,7 @@ def ann_ingest_stream(
                 "cell int, centroid array<double>",
             )
             metastore.save_dataset(
-                cent_df, cent_name, attrs={"ivf_of": name, "stream": "true"}
+                cent_df, cent_name, attrs={**link, "stream": "true"}
             )
         if _already_saved(ivf_name, batch_id):
             return
@@ -563,8 +575,7 @@ def ann_ingest_stream(
         )
         metastore.save_dataset(
             assigned, ivf_name,
-            attrs={"ivf_of": name, "stream_batch_id": batch_id,
-                   "ivf_cells": str(len(cents))},
+            attrs={**link, "stream_batch_id": batch_id},
         )
 
     writer = (

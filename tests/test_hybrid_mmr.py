@@ -137,3 +137,27 @@ def test_mmr_empty_input(session):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "mmr_rank", "vec_id", "relevance", "mmr_score"]
+
+
+def test_ranked_list_drops_nan(session):
+    df = _scored(session, [
+        (1, 5.0), (2, float("nan")), (3, 3.0),
+    ])
+    out = ranked_list(df, "score", "id", n=2).collect()
+    # the NaN row neither wins the descending cut nor appears at all
+    assert [(r["id"], r["rank"]) for r in out] == [(1, 1), (3, 2)]
+
+
+def test_cosine_topk_boundary_ties_deterministic(session):
+    from datachain_spark.ops.similarity import cosine_topk
+
+    # four identical vectors tie exactly; k=2 must pick the smallest ids
+    # every run (the hybrid/MMR pool-cut determinism contract)
+    vecs = session.spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in (9, 3, 7, 1)] + [(5, [0.0, 1.0])],
+        "vid long, embedding array<double>",
+    ).repartition(4)
+    for _ in range(3):
+        got = [r["vid"] for r in cosine_topk(
+            vecs, [1.0, 0.0], k=2, id_cols=["vid"]).collect()]
+        assert got == [1, 3]

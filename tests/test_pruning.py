@@ -178,3 +178,47 @@ def test_save_zone_index_param(session, sf_dir):
     rep = session.metastore.prune_stats(
         session.spark, "svz", {"o_orderkey": (0, 5)}).first()
     assert rep["kept_files"] < rep["total_files"]
+
+
+def test_pruned_read_base_path_keeps_partition_cols(session, two_file_dir):
+    df = session.spark.read.parquet(two_file_dir)
+    idx = file_stats_index(df, ["k"])
+    pr = pruned_read(session.spark, idx, {"k": (60, 70)},
+                     base_path=two_file_dir)
+    assert "half" in pr.columns  # hive partition column survives
+    assert {r["half"] for r in pr.select("half").distinct().collect()} == {1}
+    # without base_path the leaf read loses it (the documented caveat)
+    bare = pruned_read(session.spark, idx, {"k": (60, 70)})
+    assert "half" not in bare.columns
+
+
+def test_read_pruned_empty_survivors_returns_empty(session, sf_dir):
+    import datachain_spark as dc
+
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    orders.save("zmap_empty", zorder_by=["o_orderkey"], zorder_files=4,
+                zone_index=["o_orderkey"])
+    out = session.metastore.read_pruned(
+        session.spark, "zmap_empty", {"o_orderkey": (10**9, 2 * 10**9)}
+    )
+    assert out.count() == 0
+    assert "o_orderkey" in out.columns  # version schema preserved
+    # via the reader flag too
+    assert dc.read_dataset(
+        "zmap_empty", session=session,
+        prune={"o_orderkey": (10**9, 2 * 10**9)},
+    ).count() == 0
+    # interval validation errors still raise (not swallowed as empty)
+    with pytest.raises(ValueError, match="lacks zones"):
+        session.metastore.read_pruned(
+            session.spark, "zmap_empty", {"o_totalprice": (0, 1)})
+
+
+def test_file_stats_index_non_file_plan_empty(session):
+    # an aggregated (shuffled) frame has no file identity: the fallback
+    # must yield an EMPTY index, not one bogus global zone
+    agg = session.spark.range(100).groupBy((F.col("id") % 3).alias("g")).count()
+    idx = file_stats_index(agg, ["count"])
+    assert idx.count() == 0
+    rep = prune_report(idx, {"count": (0, 10)}).first()
+    assert rep["total_files"] == 0 and rep["file_skip_frac"] is None
