@@ -88,8 +88,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_prune.add_argument("name")
     p_prune.add_argument("--col", required=True)
-    p_prune.add_argument("--lo", required=True, type=float)
-    p_prune.add_argument("--hi", required=True, type=float)
+    p_prune.add_argument("--lo", required=True,
+                         help="lower bound (typed against the indexed column)")
+    p_prune.add_argument("--hi", required=True,
+                         help="upper bound (typed against the indexed column)")
     p_prune.add_argument("--version", default=None)
 
     p_vacuum = sub.add_parser(
@@ -170,11 +172,27 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "prune":
+        from pyspark.sql import types as T
+
+        from .ops.pruning import prune_report
+
         sess = Session(metastore_dir=args.metastore or DEFAULT_METASTORE)
-        rep = sess.metastore.prune_stats(
-            sess.spark, args.name, {args.col: (args.lo, args.hi)},
-            version=args.version,
-        ).first()
+        idx = sess.metastore._load_zone_index(
+            sess.spark, args.name, args.version
+        )
+        mcol = f"{args.col}_min"
+        if mcol not in idx.columns:
+            print(f"zone index has no zones for column {args.col!r}",
+                  file=sys.stderr)
+            return 1
+        # Bounds arrive as strings; numeric zone columns get numeric
+        # bounds, string/date/timestamp zones keep the string (Spark
+        # casts the literal against the column side, not vice versa).
+        if isinstance(idx.schema[mcol].dataType, T.NumericType):
+            lo, hi = float(args.lo), float(args.hi)
+        else:
+            lo, hi = args.lo, args.hi
+        rep = prune_report(idx, {args.col: (lo, hi)}).first()
         if not rep["total_files"]:
             print("0 files indexed — nothing to prune")
             return 0

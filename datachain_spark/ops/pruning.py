@@ -17,10 +17,11 @@ No reference counterpart (spec addition for warehouse-scale layouts).
 from __future__ import annotations
 
 from functools import reduce
-from typing import Mapping, Sequence, Tuple
+from typing import Mapping, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def file_stats_index(
@@ -74,8 +75,11 @@ def _keep_expr(intervals: Mapping[str, Tuple]):
     for c, (lo, hi) in intervals.items():
         mn, mx = F.col(f"{c}_min"), F.col(f"{c}_max")
         overlap = (mn <= F.lit(hi)) & (mx >= F.lit(lo))
+        # A comparison that NULLs out for any other reason (e.g. an
+        # implicit cast failing on one bound) must also KEEP the file:
+        # pruning may only ever skip files proven non-overlapping.
         conds.append(F.when(mn.isNull() | mx.isNull(), F.lit(True))
-                     .otherwise(overlap))
+                     .otherwise(F.coalesce(overlap, F.lit(True))))
     return reduce(lambda a, b: a & b, conds)
 
 
@@ -95,6 +99,19 @@ def prune_zones(
     ]
     if missing:
         raise ValueError(f"prune_zones: index lacks zones for {missing}")
+    for c, (lo, hi) in intervals.items():
+        dt = index.schema[f"{c}_min"].dataType
+        if not isinstance(dt, T.NumericType):
+            bad = [b for b in (lo, hi)
+                   if b is not None and isinstance(b, (int, float))
+                   and not isinstance(b, bool)]
+            if bad:
+                raise ValueError(
+                    f"prune_zones: numeric bounds {bad} against "
+                    f"{dt.simpleString()} zone column {c!r} — the "
+                    "comparison would NULL out; pass bounds of the "
+                    "column's type"
+                )
     return index.withColumn(keep_col, _keep_expr(intervals))
 
 

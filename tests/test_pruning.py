@@ -214,6 +214,49 @@ def test_read_pruned_empty_survivors_returns_empty(session, sf_dir):
             session.spark, "zmap_empty", {"o_totalprice": (0, 1)})
 
 
+def test_prune_zones_string_column_typed_bounds(session, tmp_path):
+    # string zone columns: string bounds prune correctly; numeric bounds
+    # raise instead of silently NULLing the overlap into a file drop
+    d = str(tmp_path / "szones")
+    df = session.spark.range(100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("key_"), F.lpad(F.col("id").cast("string"), 3, "0"))
+        .alias("s"),
+        (F.col("id") >= 50).cast("int").alias("half"),
+    )
+    df.repartition("half").write.partitionBy("half").parquet(d)
+    idx = file_stats_index(session.spark.read.parquet(d), ["s"])
+    z = {r["s_min"]: r["kept"]
+         for r in prune_zones(idx, {"s": ("key_000", "key_010")}).collect()}
+    assert z == {"key_000": True, "key_050": False}
+    with pytest.raises(ValueError, match="numeric bounds"):
+        prune_zones(idx, {"s": (0, 10)})
+    # report path inherits the same guard
+    with pytest.raises(ValueError, match="numeric bounds"):
+        prune_report(idx, {"s": (0.0, 10.0)})
+
+
+def test_cli_prune_string_zone_column(session, sf_dir, capsys):
+    import datachain_spark as dc
+    from datachain_spark.cli import main
+
+    dc.read_parquet(f"{sf_dir}/orders.parquet", session=session).save(
+        "cli_zmap_str", zorder_by=["o_orderkey"], zorder_files=4,
+        zone_index=["o_orderpriority"],
+    )
+    ms = session.metastore_dir
+    # string bounds reach the string-typed zones untouched (pre-fix the
+    # CLI float-coerced these and crashed / NULLed the comparison)
+    assert main(["--metastore", ms, "prune", "cli_zmap_str",
+                 "--col", "o_orderpriority",
+                 "--lo", "1-URGENT", "--hi", "1-URGENT"]) == 0
+    out = capsys.readouterr().out
+    assert "kept" in out and "0 files indexed" not in out
+    # unknown column errors cleanly instead of raising
+    assert main(["--metastore", ms, "prune", "cli_zmap_str",
+                 "--col", "nope", "--lo", "0", "--hi", "1"]) == 1
+
+
 def test_file_stats_index_non_file_plan_empty(session):
     # an aggregated (shuffled) frame has no file identity: the fallback
     # must yield an EMPTY index, not one bogus global zone
