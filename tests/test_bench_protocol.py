@@ -20,7 +20,10 @@ sys.path.insert(0, ROOT)
 from bench import (  # noqa: E402
     CALIB_NOMINAL_SEC,
     _load_prev_bench,
+    _load_prev_raw,
     _normalized_from_bench_dict,
+    _prev_anchor_from_bench_dict,
+    _raw_from_bench_dict,
 )
 
 
@@ -76,3 +79,56 @@ def test_garbage_is_empty():
     assert _normalized_from_bench_dict({}) == {}
     assert _normalized_from_bench_dict({"parsed": None}) == {}
     assert _normalized_from_bench_dict({"queries": "oops"}) == {}
+    assert _raw_from_bench_dict({}) == {}
+    assert _raw_from_bench_dict({"queries": "oops"}) == {}
+    assert _prev_anchor_from_bench_dict({}) is None
+
+
+# --- r09 raw-primary format (r08 verdict what's-wrong #1) ---
+
+
+def test_raw_sec_compact_line_roundtrips():
+    payload = {
+        "queries": {"q": 2.0},
+        "queries_kind": "raw_sec",
+        "cal": {"nom": 0.12, "b": 0.24, "a": 0.30},
+    }
+    assert _raw_from_bench_dict(payload) == {"q": 2.0}
+    assert _raw_from_bench_dict({"parsed": payload}) == {"q": 2.0}
+    # normalized derivation anchor-scales like the pre-r07 raw format
+    assert _normalized_from_bench_dict(payload) == {
+        "q": 2.0 * CALIB_NOMINAL_SEC / 0.24
+    }
+    # anchor context = median of the recorded calibration runs
+    assert _prev_anchor_from_bench_dict(payload) == 0.27
+
+
+def test_raw_loader_rejects_normalized_only_lines():
+    # the r07/r08 compact lines must NOT be mistaken for raw walls
+    payload = {"queries": {"q": 2.0}, "queries_kind": "normalized_sec"}
+    assert _raw_from_bench_dict(payload) == {}
+
+
+def test_raw_loader_accepts_detail_shape():
+    payload = {
+        "queries": {"q": 9.9},
+        "queries_normalized": {"q": 1.5},
+        "calibration": {"before_sec": 0.2, "after_sec": 0.3},
+    }
+    assert _raw_from_bench_dict(payload) == {"q": 9.9}
+    assert _prev_anchor_from_bench_dict(payload) == 0.25
+
+
+def test_load_prev_raw_recovers_from_committed_detail():
+    # the newest recorded round file (r08) is normalized-only: raw must
+    # come back via the BENCH_DETAIL.json committed at that round's
+    # commit, not the (possibly locally overwritten) working-tree file
+    raw, anchor = _load_prev_raw()
+    assert raw, "previous-round raw walls must be recoverable"
+    assert all(isinstance(v, float) and v >= 0 for v in raw.values())
+    assert anchor is None or anchor > 0
+    # raw walls differ from the normalized series of the same round
+    norm = _load_prev_bench()
+    common = set(raw) & set(norm)
+    assert common
+    assert any(abs(raw[k] - norm[k]) > 1e-9 for k in common)
