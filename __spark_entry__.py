@@ -10229,6 +10229,102 @@ def prune_zones_2col_orders(spark, sf):
     ).orderBy("o_orderkey_min", "o_custkey_min")
 
 
+def delta_zone_refresh_orders(spark, sf):
+    """Zone-map refresh through the delta path (delta.delta_save
+    save_kwargs + chain.save(zone_index=...), r08 verdict task 4): v1 is
+    2/3 of orders processed and saved Z-ordered with a zone index; the
+    incremental run adds the remaining third, reprocesses ONLY those
+    rows, and rebuilds the zone map for the new version inside the same
+    save. The result is a PRUNED read (only files whose zones overlap
+    the bottom-quarter key range are scanned, row filter re-applied) —
+    the oracle recomputes the processed full table and filters, so a
+    zone index that lagged the incremental save (stale files, silently
+    skipped rows) fails the hash. Pruning reality (kept < total files)
+    is plan-guarded in tests/test_delta_index.py."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.delta import delta_save
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_dzr_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    try:
+        orders = _chain(spark, sf, "orders")
+        name = "dzr_" + uuid.uuid4().hex[:8]
+
+        def proc(ch):
+            return ch.mutate(price2x=F.col("o_totalprice") * 2)
+
+        kw = dict(zorder_by=["o_orderkey"], zorder_files=4,
+                  zone_index=["o_orderkey"])
+        delta_save(orders.filter(C.o_orderkey % 3 != 0), proc, name,
+                   "o_orderkey", save_kwargs=kw)
+        delta_save(orders, proc, name, "o_orderkey", save_kwargs=kw)
+        hi = orders.df.agg(F.max("o_orderkey")).first()[0] // 4
+        out = ms.read_pruned(spark, name, {"o_orderkey": (0, hi)})
+        return (
+            out.filter(F.col("o_orderkey") <= hi)
+            .select("o_orderkey", "o_totalprice", "price2x")
+            .orderBy("o_orderkey")
+        )
+    finally:
+        sess.metastore = old_ms
+
+
+DELTA_ZONE_REFRESH_SQL = """
+WITH b AS (SELECT max(o_orderkey) // 4 AS hi FROM orders)
+SELECT o_orderkey, o_totalprice,
+       CAST(o_totalprice * 2 AS DOUBLE) AS price2x
+FROM orders, b WHERE o_orderkey <= hi ORDER BY o_orderkey
+"""
+
+
+def delta_ivf_refresh_emb(spark, sf):
+    """IVF index refresh through the delta path (delta.delta_save
+    ann_index= -> metastore.ann_index_refresh, r08 verdict task 4): v1
+    indexes 3/4 of the embeddings (centroids trained once); the
+    incremental run adds the remaining quarter and REFRESHES the index —
+    centroids reused verbatim, stored assignments kept, only the new
+    keys assigned (passed as changed_keys from the delta diff). The
+    full-probe search against the refreshed index must equal the
+    brute-force cosine top-k DuckDB computes over the UPDATED corpus —
+    a refresh that dropped, duplicated, or mis-assigned any vector
+    fails the hash. Incremental == from-scratch-reassignment equality
+    is additionally pinned in tests/test_delta_index.py."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.delta import delta_save
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_divf_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    try:
+        emb = _chain(spark, sf, "embeddings").mutate(
+            embedding=F.col("embedding").cast("array<double>")
+        )
+        name = "divf_" + uuid.uuid4().hex[:8]
+        ann = dict(id_col="vec_id", vec_col="embedding",
+                   num_cells=8, kmeans_iters=1)
+        delta_save(emb.filter(C.vec_id % 4 != 0), lambda ch: ch, name,
+                   "vec_id", delta_compare="vec_id", ann_index=ann)
+        delta_save(emb, lambda ch: ch, name,
+                   "vec_id", delta_compare="vec_id", ann_index=ann)
+        qv = [float(v) for v in
+              emb.df.filter(F.col("vec_id") == 0).first()["embedding"]]
+        out = ms.ann_search(
+            spark, name, qv, k=10, n_probe=8, id_cols=["vec_id"]
+        )
+        return out.select(
+            "vec_id", F.round(F.col("distance"), 4).alias("dist_r")
+        ).orderBy("dist_r", "vec_id")
+    finally:
+        sess.metastore = old_ms
+
+
 PRUNE_ZONES_2COL_SQL = """
 WITH s AS (
   SELECT max(o_orderkey) // 4 + 1 AS sk, max(o_custkey) // 4 + 1 AS sc
@@ -10330,6 +10426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_search": ann_index_search,
         "ann_stream_search": ann_stream_search,
         "prune_zones_2col_orders": prune_zones_2col_orders,
+        "delta_zone_refresh_orders": delta_zone_refresh_orders,
+        "delta_ivf_refresh_emb": delta_ivf_refresh_emb,
         # -- the longest-out-of-window r02-r04 greens (padding) --
         "merge_left_regions": merge_left_regions,
         "group_concat_sorted": group_concat_sorted,
@@ -10742,6 +10840,8 @@ def oracle_sql() -> dict[str, str]:
         "collocations_docs": COLLOCATIONS_SQL,
         "ann_index_search": ANN_INDEX_SEARCH_SQL,
         "ann_stream_search": ANN_INDEX_SEARCH_SQL,
+        "delta_zone_refresh_orders": DELTA_ZONE_REFRESH_SQL,
+        "delta_ivf_refresh_emb": ANN_INDEX_SEARCH_SQL,
         "prune_zones_2col_orders": PRUNE_ZONES_2COL_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,

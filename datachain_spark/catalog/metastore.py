@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from typing import Any, Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..error import (
     DatasetNotFoundError,
@@ -675,6 +676,128 @@ class Metastore:
             dependencies=[{"dataset": name, "version": dv.version}],
             bucket_by=["cell"], num_buckets=max(2, len(cents)),
         )
+
+    def ann_index_refresh(
+        self,
+        spark: SparkSession,
+        name: str,
+        id_col: str,
+        vec_col: str = "embedding",
+        num_cells: int = 16,
+        kmeans_iters: int = 2,
+        seed: int = 42,
+        version: Optional[str] = None,
+        changed_keys: Optional[DataFrame] = None,
+    ) -> DatasetVersion:
+        """Incrementally refresh the IVF index for a NEW version of
+        ``name`` from the newest existing index generation — the
+        incremental story applied to the index itself (r08 verdict task
+        4): the coarse quantizer (centroid table) is REUSED verbatim,
+        vectors already assigned keep their stored cells, and only rows
+        that are new or changed run through cell assignment. Deleted ids
+        drop (the refreshed index starts from the new version's rows).
+        Falls back to a full :meth:`ann_index_dataset` build when no
+        earlier index generation exists.
+
+        Assignment is deterministic given centroids, so the refreshed
+        index is row-identical to re-assigning the WHOLE new version
+        against the same centroids (pinned by tests + the
+        ``delta_ivf_refresh_emb`` oracle's full-probe == brute-force
+        check).
+
+        ``changed_keys``: optional single-column frame of ids known to
+        need reassignment (delta_save passes its reprocessed key set);
+        a superset is safe — reassigning an unchanged vector lands in
+        the same cell. Without it, changed rows are detected in-plan by
+        comparing stored vs current vectors (array equality on one
+        id-equi-join; no driver state).
+
+        100-TB shape: ONE id-shuffle join of the new version against the
+        previous index, codegen assignment only on the changed slice —
+        no k-means retraining scans, no full-corpus distance pass.
+        """
+        from ..ops.similarity import assign_ivf_cells
+
+        prev = self._newest_ann_generation(spark, name)
+        if prev is None:
+            return self.ann_index_dataset(
+                spark, name, id_col, vec_col=vec_col, num_cells=num_cells,
+                kmeans_iters=kmeans_iters, seed=seed, version=version,
+            )
+        prev_idx, cents, prev_gen = prev
+
+        df, _rec, dv = self.load_dataset(spark, name, version)
+        new = df.select(id_col, vec_col)
+        prev_sel = prev_idx.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__prev_vec"),
+            F.col("cell").alias("__prev_cell"),
+        )
+        joined = new.join(prev_sel, on=id_col, how="left")
+        if changed_keys is not None:
+            ck = changed_keys.toDF(id_col).dropDuplicates().withColumn(
+                "__chg", F.lit(True)
+            )
+            joined = joined.join(ck, on=id_col, how="left")
+            changed = F.col("__prev_cell").isNull() | F.col("__chg")
+        else:
+            changed = F.col("__prev_vec").isNull() | (
+                F.col(vec_col) != F.col("__prev_vec")
+            )
+        changed = F.coalesce(changed, F.lit(True))
+        unchanged_part = joined.filter(~changed).select(
+            id_col, vec_col, F.col("__prev_cell").alias("cell")
+        )
+        assigned_part = assign_ivf_cells(
+            joined.filter(changed).select(id_col, vec_col),
+            cents, vec_col, "cell",
+        ).select(id_col, vec_col, "cell")
+        refreshed = unchanged_part.unionByName(assigned_part)
+
+        link = {"ivf_of": name, "ivf_of_version": dv.version,
+                "ivf_cells": str(len(cents)),
+                "ivf_refreshed_from": prev_gen}
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        )
+        self.save_dataset(
+            cent_df, f"{name}__ivf_centroids", attrs=dict(link),
+            dependencies=[{"dataset": name, "version": dv.version}],
+        )
+        return self.save_dataset(
+            refreshed, f"{name}__ivf", attrs=dict(link),
+            dependencies=[{"dataset": name, "version": dv.version}],
+            bucket_by=["cell"], num_buckets=max(2, len(cents)),
+        )
+
+    def _newest_ann_generation(
+        self, spark: SparkSession, name: str
+    ) -> Optional[tuple[DataFrame, list[list[float]], str]]:
+        """Newest (index rows, centroids, source-version string) across
+        ALL index generations of ``name`` — the refresh base. None when
+        the dataset has never been indexed."""
+        ins, iproj, ibase = split_name(f"{name}__ivf")
+        irec = self._read_record(ins, iproj, ibase)
+        if irec is None or not irec.versions:
+            return None
+        best = max(irec.versions, key=lambda v: parse_version(v.version))
+        gen = best.attrs.get("ivf_of_version", "")
+        idx, _, _ = self.load_dataset(spark, f"{name}__ivf", best.version)
+        cns, cproj, cbase = split_name(f"{name}__ivf_centroids")
+        crec = self._read_record(cns, cproj, cbase)
+        matches = [
+            v for v in (crec.versions if crec else [])
+            if v.attrs.get("ivf_of_version") == gen
+        ]
+        if not matches:
+            return None
+        cbest = max(matches, key=lambda v: parse_version(v.version))
+        cdf, _, _ = self.load_dataset(
+            spark, f"{name}__ivf_centroids", cbest.version
+        )
+        cents = [list(r["centroid"]) for r in cdf.orderBy("cell").collect()]
+        return idx, cents, gen
 
     def _load_ann_index(
         self, spark: SparkSession, name: str, version: Optional[str]

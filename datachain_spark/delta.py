@@ -59,6 +59,8 @@ def delta_save(
     delta_compare: Union[str, Sequence[str], None] = None,
     delta_retry: Union[bool, str, None] = None,
     session: Optional[Session] = None,
+    save_kwargs: Optional[dict] = None,
+    ann_index: Optional[dict] = None,
     _job_extra: str = "",
 ) -> DataChain:
     """Incrementally (re)compute ``name`` from ``source``.
@@ -73,6 +75,24 @@ def delta_save(
       reprocess source rows missing from the result (anti-join), parity
       delta.py:126-186.
 
+    Index refresh through the delta path (r08 verdict task 4):
+
+    - ``save_kwargs`` forwards to every ``.save(name, ...)`` this run
+      performs — ``zone_index=[cols]`` (+ ``zorder_by``) keeps the
+      file-level zone map current on each incremental save, so
+      ``read_dataset(prune=...)`` always answers against the newest
+      version (the new version's files are freshly written, so its
+      per-file zones are ONE column-pruned metadata-sized scan — there
+      is no stale-file state to reuse).
+    - ``ann_index={"id_col": ..., "vec_col": ..., "num_cells": ...,
+      "kmeans_iters": ...}`` maintains the persisted IVF index: a full
+      ``ann_index_dataset`` build on the first run, then
+      ``ann_index_refresh`` on every later run — centroids reused,
+      stored assignments kept, only this run's reprocessed keys
+      re-assigned (passed as ``changed_keys`` when the delta key IS the
+      index id; otherwise the refresh detects changes by in-plan vector
+      comparison).
+
     The source snapshot is persisted as an internal dataset
     ``<name>__delta_source`` so the next run has the exact previous version
     (the reference reads the previous *dataset version* of the source;
@@ -81,6 +101,18 @@ def delta_save(
     sess = session or source.session
     keys = [delta_on] if isinstance(delta_on, str) else list(delta_on)
     snap_name = f"{name}__delta_source"
+    save_kw = dict(save_kwargs or {})
+
+    def _refresh_ann(changed_keys_df=None) -> None:
+        if not ann_index:
+            return
+        opts = dict(ann_index)
+        id_col = opts.pop("id_col")
+        if changed_keys_df is not None and keys == [id_col]:
+            opts["changed_keys"] = changed_keys_df
+        sess.metastore.ann_index_refresh(
+            sess.spark, name, id_col, **opts
+        )
 
     prev_result_rec = sess.metastore.get_record(name)
     prev_snap_rec = sess.metastore.get_record(snap_name)
@@ -89,7 +121,8 @@ def delta_save(
 
     if prev_result_rec is None or prev_snap_rec is None:
         # first run: full compute
-        result = process(source).save(name)
+        result = process(source).save(name, **save_kw)
+        _refresh_ann()
         source.save(snap_name)
         _stamp_job_hash(sess, name, job_hash)
         return result
@@ -155,6 +188,12 @@ def delta_save(
 
     n_changed = to_process.count()
     if n_changed == 0 and deleted.count() == 0 and prev_version.job_hash == job_hash:
+        if ann_index and sess.metastore._newest_ann_generation(
+            sess.spark, name
+        ) is None:
+            # index requested for the first time on an unchanged run:
+            # build it for the existing version (full build, once)
+            _refresh_ann()
         return DataChain(prev_df, sess)
 
     processed = process(to_process)
@@ -172,7 +211,10 @@ def delta_save(
     kept = prev_result.subtract(stale_keys, on=keys, right_on=flat_keys)
     merged = DataChain(kept.df.unionByName(processed.df, allowMissingColumns=False), sess)
 
-    result = merged.save(name)
+    result = merged.save(name, **save_kw)
+    _refresh_ann(
+        changed_keys_df=_key_sel(to_process.df) if len(keys) == 1 else None
+    )
     source.save(snap_name)
     _stamp_job_hash(sess, name, job_hash)
     return result
@@ -332,5 +374,7 @@ class DeltaChain:
             delta_compare=self._delta_compare,
             delta_retry=self._delta_retry,
             session=self._session,
+            ann_index=kwargs.pop("ann_index", None),
+            save_kwargs=kwargs or None,
             _job_extra=extra,
         )

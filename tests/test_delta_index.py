@@ -1,0 +1,173 @@
+"""Index refresh through the delta path (r08 verdict task 4): an
+incremental save keeps the zone map and the persisted IVF index current,
+and the incremental IVF refresh is row-identical to a from-scratch
+reassignment against the same centroids."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import datachain_spark as dc
+from datachain_spark.delta import delta_save
+
+
+@pytest.fixture()
+def fresh_ms(session, tmp_path):
+    """Swap in an isolated metastore for one test."""
+    from datachain_spark.catalog.metastore import Metastore
+
+    old = session.metastore
+    session.metastore = Metastore(str(tmp_path / "ms"))
+    yield session.metastore
+    session.metastore = old
+
+
+def _emb(session, sf_dir):
+    return dc.read_parquet(
+        f"{sf_dir}/embeddings.parquet", session=session
+    ).mutate(embedding=F.col("embedding").cast("array<double>"))
+
+
+def test_delta_save_refreshes_zone_index(session, sf_dir, fresh_ms):
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    v1 = orders.filter(dc.C("o_orderkey") % 3 != 0)
+
+    def proc(ch):
+        return ch.mutate(price2x=F.col("o_totalprice") * 2)
+
+    kw = dict(zorder_by=["o_orderkey"], zorder_files=4,
+              zone_index=["o_orderkey"])
+    delta_save(v1, proc, "dz", "o_orderkey", save_kwargs=kw)
+    rep1 = fresh_ms.prune_stats(
+        session.spark, "dz", {"o_orderkey": (0, 5)}
+    ).first()
+    assert rep1["kept_files"] < rep1["total_files"]  # pruning is real
+
+    # incremental run: the zone index follows the NEW version
+    delta_save(orders, proc, "dz", "o_orderkey", save_kwargs=kw)
+    hi = orders.df.agg(F.max("o_orderkey")).first()[0] // 4
+    pruned = fresh_ms.read_pruned(
+        session.spark, "dz", {"o_orderkey": (0, hi)}
+    ).filter(F.col("o_orderkey") <= hi)
+    want = orders.df.filter(F.col("o_orderkey") <= hi).count()
+    assert pruned.count() == want  # no silently-skipped files
+    rep2 = fresh_ms.prune_stats(
+        session.spark, "dz", {"o_orderkey": (0, hi)}
+    ).first()
+    assert rep2["total_rows"] == orders.count()  # index covers v2
+    assert rep2["kept_files"] < rep2["total_files"]
+
+
+def test_ann_refresh_matches_from_scratch_reassignment(
+    session, sf_dir, fresh_ms
+):
+    from datachain_spark.ops.similarity import assign_ivf_cells
+
+    emb = _emb(session, sf_dir)
+    v1 = emb.filter(dc.C("vec_id") % 4 != 0)
+    v1.save("aidx")
+    fresh_ms.ann_index_dataset(
+        session.spark, "aidx", "vec_id", num_cells=4, kmeans_iters=1
+    )
+    _, cents_before, _ = fresh_ms._newest_ann_generation(
+        session.spark, "aidx"
+    )
+
+    # new version: adds the vec_id % 4 == 0 rows
+    emb.save("aidx")
+    fresh_ms.ann_index_refresh(session.spark, "aidx", "vec_id")
+
+    idx, cents_after = fresh_ms._load_ann_index(session.spark, "aidx", None)
+    assert cents_after == cents_before  # quantizer reused verbatim
+
+    # incremental refresh == full reassignment with the same centroids
+    full = assign_ivf_cells(
+        emb.df.select("vec_id", "embedding"), cents_before,
+        "embedding", "cell",
+    )
+    got = {(r["vec_id"], r["cell"]) for r in
+           idx.select("vec_id", "cell").collect()}
+    want = {(r["vec_id"], r["cell"]) for r in
+            full.select("vec_id", "cell").collect()}
+    assert got == want
+
+
+def test_ann_refresh_handles_modify_and_delete(session, sf_dir, fresh_ms):
+    emb = _emb(session, sf_dir)
+    base = emb.filter(dc.C("vec_id") < 40)
+    base.save("amod")
+    fresh_ms.ann_index_dataset(
+        session.spark, "amod", "vec_id", num_cells=4, kmeans_iters=1
+    )
+    # v2: vec_id 0-4 get NEGATED vectors (modified), 35-39 disappear
+    changed = base.df.filter(F.col("vec_id") < 35).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") < 5,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    dc.DataChain(changed, session).save("amod")
+    fresh_ms.ann_index_refresh(session.spark, "amod", "vec_id")
+    idx, cents = fresh_ms._load_ann_index(session.spark, "amod", None)
+    rows = idx.select("vec_id", "embedding", "cell").collect()
+    ids = {r["vec_id"] for r in rows}
+    assert ids == set(range(35))  # deletions dropped
+    # modified vectors were re-assigned against the stored vectors
+    from datachain_spark.ops.similarity import assign_ivf_cells
+
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in assign_ivf_cells(
+            changed.select("vec_id", "embedding"), cents,
+            "embedding", "cell",
+        ).collect()
+    }
+    assert {(r["vec_id"], r["cell"]) for r in rows} == want
+
+
+def test_ann_refresh_falls_back_to_full_build(session, sf_dir, fresh_ms):
+    emb = _emb(session, sf_dir)
+    emb.save("afresh")
+    dv = fresh_ms.ann_index_refresh(
+        session.spark, "afresh", "vec_id", num_cells=4, kmeans_iters=1
+    )
+    assert dv.attrs["ivf_of"] == "afresh"
+    idx, cents = fresh_ms._load_ann_index(session.spark, "afresh", None)
+    assert len(cents) == 4
+    assert idx.count() == emb.count()
+
+
+def test_delta_save_ann_index_end_to_end(session, sf_dir, fresh_ms):
+    """delta_save(ann_index=...) keeps the searchable index current:
+    full-probe search after the incremental run equals brute force over
+    the updated corpus."""
+    from datachain_spark.ops.similarity import cosine_topk
+
+    emb = _emb(session, sf_dir)
+    v1 = emb.filter(dc.C("vec_id") % 4 != 0)
+
+    def proc(ch):
+        return ch
+
+    ann = dict(id_col="vec_id", num_cells=4, kmeans_iters=1)
+    delta_save(v1, proc, "de2e", "vec_id", delta_compare="vec_id",
+               ann_index=ann)
+    gen1 = fresh_ms._newest_ann_generation(session.spark, "de2e")
+    assert gen1 is not None
+    delta_save(emb, proc, "de2e", "vec_id", delta_compare="vec_id",
+               ann_index=ann)
+    gen2 = fresh_ms._newest_ann_generation(session.spark, "de2e")
+    assert gen2[2] != gen1[2]  # index follows the new version
+    assert gen2[1] == gen1[1]  # centroids reused
+
+    qv = [float(x) for x in
+          emb.df.filter(F.col("vec_id") == 1).first()["embedding"]]
+    got = fresh_ms.ann_search(
+        session.spark, "de2e", qv, k=5, n_probe=4, id_cols=["vec_id"]
+    ).select("vec_id").collect()
+    want = cosine_topk(emb.df, qv, k=5, id_cols=["vec_id"]).select(
+        "vec_id"
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
