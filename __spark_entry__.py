@@ -8994,19 +8994,34 @@ def streaming_running_counts(spark, sf):
         ]
     )
     stream = read_stream(spark, src, max_files_per_trigger=1)
-    counts = running_counts_stateful(stream, "user_id", "value")
-    name = "strm_rc_" + uuid.uuid4().hex[:8]
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="dc_strm_cp_")
-        )
-        .trigger(availableNow=True)
-        .start()
+    # timeout_minutes=None: a finite two-batch replay — with a
+    # processing-time timeout registered, availableNow keeps the query in
+    # state-cleanup trigger loops until the timeout fires, which is what
+    # cost this oracle 181 s (170 s of idle loop) in the r08 sweep
+    counts = running_counts_stateful(
+        stream, "user_id", "value", timeout_minutes=None
     )
-    q.awaitTermination(180)
+    name = "strm_rc_" + uuid.uuid4().hex[:8]
+    # state-store instances = shuffle partitions at query START; 150
+    # users need 4, not the session's 16-32 (each extra partition costs
+    # a python worker + store init PER BATCH — the other big slice of
+    # the r08 sweep cost). Scoped to this start() and restored.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="dc_strm_cp_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .groupBy("user_id")

@@ -146,7 +146,7 @@ def running_counts_stateful(
     df: DataFrame,
     key_col: str = "user_id",
     value_col: str = "value",
-    timeout_minutes: int = 60,
+    timeout_minutes: Optional[int] = 60,
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-key running
     event count + value sum maintained in the state store across
@@ -156,7 +156,15 @@ def running_counts_stateful(
     operators anywhere in datachain — SURVEY.md §2.10) and the canonical
     Spark escape hatch when windowed aggs don't fit: arbitrary per-key state,
     bounded by timeouts.
-    """
+
+    ``timeout_minutes=None`` disables eviction (GroupStateTimeout.NoTimeout).
+    Use it for FINITE replays under ``trigger(availableNow=True)``: with a
+    processing-time timeout registered, Spark keeps the terminated-input
+    query alive in "no new data but cleaning up state" trigger loops until
+    the timeouts fire — a 60-minute timeout turns a 10-second replay into an
+    hour-long (or awaitTermination-bounded) hang. Measured in the r08 sweep:
+    181 s of which ~170 s was this cleanup loop (r08 verdict what's-wrong
+    #2). Long-running production streams keep the default eviction."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
@@ -177,7 +185,8 @@ def running_counts_stateful(
             n += len(pdf)
             total += float(pdf[value_col].fillna(0.0).sum())
         state.update((n, total))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             {key_col: [key[0]], "n_events": [n], "total_value": [total]}
         )
@@ -187,7 +196,11 @@ def running_counts_stateful(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_minutes is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

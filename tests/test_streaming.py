@@ -92,7 +92,12 @@ def test_stateful_running_counts(session, stream_dir, tmp_path):
 
     spark = session.spark
     stream = read_stream(spark, stream_dir)
-    counts = running_counts_stateful(stream, "user_id", "value")
+    # timeout_minutes=None: finite replay must SELF-TERMINATE under
+    # availableNow instead of looping in timeout-cleanup triggers until
+    # awaitTermination gives up (the r08 181 s sweep cost)
+    counts = running_counts_stateful(
+        stream, "user_id", "value", timeout_minutes=None
+    )
     q = (
         counts.writeStream.format("memory")
         .queryName("state_counts")
@@ -101,7 +106,8 @@ def test_stateful_running_counts(session, stream_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120) is True  # terminated, not timed out
+    assert not q.isActive
     rows = {r["user_id"]: (r["n_events"], r["total_value"])
             for r in spark.sql("SELECT * FROM state_counts").collect()}
     assert rows[1] == (3, 37.0)
