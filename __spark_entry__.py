@@ -10340,6 +10340,148 @@ def delta_ivf_refresh_emb(spark, sf):
         sess.metastore = old_ms
 
 
+def release_report_orders(spark, sf):
+    """Release review entirely from persisted sketch state (ops/release,
+    r08 verdict task 5): v1 (2/3 of orders) is saved and profiled; the
+    incremental release saves full orders and builds its profile by
+    MERGING v1's stored profile with a sketch of ONLY the increment
+    (profile_version(increment=) -> merge_profile_sketches — bin
+    vectors add exactly); release_report then compares the two versions
+    reading NOTHING but the two stored profiles (plan-guarded in
+    tests/test_release.py: inputFiles contains no data-version path).
+    The oracle recomputes per-priority counts, means, min/max, the
+    64-bin fixed-edge histogram, the Laplace-smoothed PSI, and the
+    interpolated p50 of BOTH versions from raw rows — so a profile
+    build, merge, persistence round-trip, or report formula that
+    deviates anywhere fails the hash."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.ops.release import profile_version, release_report
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_rel_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    try:
+        orders = _chain(spark, sf, "orders")
+        name = "rel_" + uuid.uuid4().hex[:8]
+        cfg = dict(group_cols="o_orderpriority", value_col="o_totalprice",
+                   lo=0.0, hi=600000.0, bins=64, session=sess)
+        orders.filter(C.o_orderkey % 3 != 0).save(name)
+        profile_version(name, **cfg)
+        orders.save(name)
+        profile_version(
+            name, increment=orders.filter(C.o_orderkey % 3 == 0).df, **cfg
+        )
+        return release_report(name, session=sess).orderBy("o_orderpriority")
+    finally:
+        sess.metastore = old_ms
+
+
+RELEASE_REPORT_SQL = """
+WITH p AS (SELECT 0.0 AS lo, 600000.0 AS hi, 64 AS nb, 0.5 AS eps),
+v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+v2 AS (SELECT * FROM orders),
+so AS (
+  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(o_totalprice) AS BIGINT) AS n_value,
+         sum(o_totalprice) AS sum_x,
+         min(o_totalprice) AS min_x, max(o_totalprice) AS max_x
+  FROM v1 GROUP BY 1
+),
+sn AS (
+  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(o_totalprice) AS BIGINT) AS n_value,
+         sum(o_totalprice) AS sum_x,
+         min(o_totalprice) AS min_x, max(o_totalprice) AS max_x
+  FROM v2 GROUP BY 1
+),
+ho AS (
+  SELECT o_orderpriority AS g,
+         LEAST(nb - 1, GREATEST(0, CAST(FLOOR(
+           (o_totalprice - lo) / ((hi - lo) / nb)) AS INT))) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM v1, p WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+hn AS (
+  SELECT o_orderpriority AS g,
+         LEAST(nb - 1, GREATEST(0, CAST(FLOOR(
+           (o_totalprice - lo) / ((hi - lo) / nb)) AS INT))) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM v2, p WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+grid AS (
+  SELECT g, CAST(r.range AS INT) AS b
+  FROM (SELECT DISTINCT o_orderpriority AS g FROM orders)
+  CROSS JOIN range(0, 64) r
+),
+fo AS (
+  SELECT grid.g, grid.b, COALESCE(ho.c, 0) AS c
+  FROM grid LEFT JOIN ho ON ho.g = grid.g AND ho.b = grid.b
+),
+fn AS (
+  SELECT grid.g, grid.b, COALESCE(hn.c, 0) AS c
+  FROM grid LEFT JOIN hn ON hn.g = grid.g AND hn.b = grid.b
+),
+psi AS (
+  SELECT fo.g,
+         sum(((fn.c + eps) / (sn.n_value + eps * nb)
+              - (fo.c + eps) / (so.n_value + eps * nb))
+             * LN(((fn.c + eps) / (sn.n_value + eps * nb))
+                  / ((fo.c + eps) / (so.n_value + eps * nb)))) AS psi
+  FROM fo
+  JOIN fn ON fn.g = fo.g AND fn.b = fo.b
+  JOIN so ON so.g = fo.g JOIN sn ON sn.g = fo.g, p
+  GROUP BY fo.g
+),
+qo AS (
+  SELECT g, b, c,
+         sum(c) OVER (PARTITION BY g ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM fo
+),
+po AS (
+  SELECT g, lo + ((hi - lo) / nb) * (b + (0.5 * n - (cum - c)) / c) AS p50
+  FROM (
+    SELECT qo.*, lo, hi, nb,
+           row_number() OVER (PARTITION BY g ORDER BY b) AS rn
+    FROM qo, p WHERE cum >= 0.5 * n
+  ) WHERE rn = 1
+),
+qn AS (
+  SELECT g, b, c,
+         sum(c) OVER (PARTITION BY g ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM fn
+),
+pn AS (
+  SELECT g, lo + ((hi - lo) / nb) * (b + (0.5 * n - (cum - c)) / c) AS p50
+  FROM (
+    SELECT qn.*, lo, hi, nb,
+           row_number() OVER (PARTITION BY g ORDER BY b) AS rn
+    FROM qn, p WHERE cum >= 0.5 * n
+  ) WHERE rn = 1
+)
+SELECT so.g AS o_orderpriority,
+       so.n_rows AS n_rows_old, sn.n_rows AS n_rows_new,
+       CAST(sn.n_rows - so.n_rows AS BIGINT) AS n_rows_delta,
+       so.n_value AS n_value_old, sn.n_value AS n_value_new,
+       ROUND(so.sum_x / so.n_value, 6) AS mean_old,
+       ROUND(sn.sum_x / sn.n_value, 6) AS mean_new,
+       so.min_x AS min_old, sn.min_x AS min_new,
+       so.max_x AS max_old, sn.max_x AS max_new,
+       ROUND(psi.psi, 6) AS psi,
+       ROUND(po.p50, 6) AS p50_old, ROUND(pn.p50, 6) AS p50_new
+FROM so
+JOIN sn ON sn.g = so.g
+JOIN psi ON psi.g = so.g
+JOIN po ON po.g = so.g
+JOIN pn ON pn.g = so.g
+ORDER BY o_orderpriority
+"""
+
+
 PRUNE_ZONES_2COL_SQL = """
 WITH s AS (
   SELECT max(o_orderkey) // 4 + 1 AS sk, max(o_custkey) // 4 + 1 AS sc
@@ -10443,6 +10585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_zones_2col_orders": prune_zones_2col_orders,
         "delta_zone_refresh_orders": delta_zone_refresh_orders,
         "delta_ivf_refresh_emb": delta_ivf_refresh_emb,
+        "release_report_orders": release_report_orders,
         # -- the longest-out-of-window r02-r04 greens (padding) --
         "merge_left_regions": merge_left_regions,
         "group_concat_sorted": group_concat_sorted,
@@ -10857,6 +11000,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_stream_search": ANN_INDEX_SEARCH_SQL,
         "delta_zone_refresh_orders": DELTA_ZONE_REFRESH_SQL,
         "delta_ivf_refresh_emb": ANN_INDEX_SEARCH_SQL,
+        "release_report_orders": RELEASE_REPORT_SQL,
         "prune_zones_2col_orders": PRUNE_ZONES_2COL_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,

@@ -1,0 +1,439 @@
+"""Release review from persisted sketch state (r08 verdict task 5).
+
+Composes the mergeable profile sketches (ops/sketches.profile_sketch /
+merge_profile_sketches / histogram_quantiles) with the version catalog
+into a ``release_report`` that compares dataset version N against N-1
+WITHOUT scanning either version's data: every number is read off the
+few-KB-per-group ``{name}__profile`` datasets persisted at save time.
+At 100 TB this is the difference between a release gate that costs two
+full scans and one that costs a metadata read — the historical version
+may not even be retained anymore (vacuumed), and its profile still
+answers.
+
+- :func:`profile_version` — build and persist the profile of a version;
+  with ``increment=`` it sketches ONLY the new rows and folds them into
+  the previous version's stored profile (append-only contract), so even
+  the new version is never fully rescanned.
+- :func:`release_report` — per-group metric deltas + fixed-edge
+  histogram PSI + interpolated quantile shifts, computed entirely from
+  two stored profiles.
+- :func:`schema_changes` — column add/remove/retype between two
+  versions from the metastore's stored schemas; zero data touched.
+
+No reference counterpart (the reference has no statistics store beyond
+per-version row counts — spec addition for warehouse-scale release
+gates).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: attrs keys stamped on every saved profile — the merge contract
+_CFG_KEYS = ("profile_group_cols", "profile_value_col", "profile_lo",
+             "profile_hi", "profile_bins", "profile_distinct_col")
+
+
+def profile_version(
+    name: str,
+    group_cols: Union[str, Sequence[str], None] = None,
+    value_col: Optional[str] = None,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    bins: int = 64,
+    distinct_col: Optional[str] = None,
+    version: Optional[str] = None,
+    increment: Optional[DataFrame] = None,
+    session=None,
+):
+    """Build the mergeable profile of a saved version of ``name`` and
+    persist it as ``{name}__profile`` (versioned, lineage-linked by
+    ``profile_of_version``, config stamped in attrs so later merges and
+    reports can verify compatibility).
+
+    ``group_cols=None`` profiles the whole version as one group (a
+    constant ``__scope`` key).
+
+    ``increment=<DataFrame>``: the APPEND-ONLY fast path — sketch only
+    the given new rows and fold them into the PREVIOUS version's stored
+    profile with :func:`~.sketches.merge_profile_sketches` (bin vectors
+    add exactly, HLL registers union losslessly, so the merged profile
+    is row-identical to profiling the whole new version). The caller
+    owns the append-only contract (delta pipelines know their increment;
+    a modified-in-place row would be double-counted).
+    """
+    from ..session import Session
+    from .sketches import merge_profile_sketches, profile_sketch
+
+    sess = Session.get() if session is None else session
+    keys = (
+        ["__scope"] if group_cols is None
+        else [group_cols] if isinstance(group_cols, str)
+        else list(group_cols)
+    )
+    rec = sess.metastore.get_record(name)
+    if rec is None or not rec.versions:
+        raise ValueError(f"profile_version: no versions of dataset {name!r}")
+    dv = rec.get_version(version)
+
+    def _sketch(df: DataFrame) -> DataFrame:
+        if group_cols is None:
+            df = df.withColumn("__scope", F.lit("all"))
+        return profile_sketch(
+            df, keys, value_col=value_col, distinct_col=distinct_col,
+            lo=lo, hi=hi, bins=bins,
+        )
+
+    if increment is not None:
+        prev = _newest_profile(sess, name, exclude_version=dv.version)
+        if prev is None:
+            raise ValueError(
+                f"profile_version: increment= needs a previous profile of "
+                f"{name!r} to merge into — build one full profile first"
+            )
+        prev_df, prev_attrs = prev
+        cfg = _cfg_attrs(keys, value_col, lo, hi, bins, distinct_col)
+        stale = {
+            k for k in _CFG_KEYS if prev_attrs.get(k, "") != cfg.get(k, "")
+        }
+        if stale:
+            raise ValueError(
+                "profile_version: increment profile config differs from the "
+                f"stored base profile on {sorted(stale)} — fixed edges and "
+                "columns are the merge contract"
+            )
+        prof = merge_profile_sketches([prev_df, _sketch(increment)], keys)
+    else:
+        df, _, _ = sess.metastore.load_dataset(sess.spark, name, dv.version)
+        prof = _sketch(df)
+
+    attrs = {"profile_of": name, "profile_of_version": dv.version}
+    attrs.update(_cfg_attrs(keys, value_col, lo, hi, bins, distinct_col))
+    return sess.metastore.save_dataset(
+        prof, f"{name}__profile", attrs=attrs,
+        dependencies=[{"dataset": name, "version": dv.version}],
+    )
+
+
+def _cfg_attrs(keys, value_col, lo, hi, bins, distinct_col) -> dict:
+    return {
+        "profile_group_cols": ",".join(keys),
+        "profile_value_col": value_col or "",
+        "profile_lo": "" if lo is None else repr(float(lo)),
+        "profile_hi": "" if hi is None else repr(float(hi)),
+        "profile_bins": str(int(bins)),
+        "profile_distinct_col": distinct_col or "",
+    }
+
+
+def _newest_profile(sess, name: str, exclude_version: Optional[str] = None):
+    """(profile DataFrame, attrs) of the newest stored profile of ``name``
+    whose source version is not ``exclude_version``; None when absent."""
+    from ..catalog.metastore import parse_version, split_name
+
+    pns, pproj, pbase = split_name(f"{name}__profile")
+    prec = sess.metastore._read_record(pns, pproj, pbase)
+    cands = [
+        v for v in (prec.versions if prec else [])
+        if v.attrs.get("profile_of_version") != exclude_version
+    ]
+    if not cands:
+        return None
+    best = max(cands, key=lambda v: parse_version(v.version))
+    df, _, _ = sess.metastore.load_dataset(
+        sess.spark, f"{name}__profile", best.version
+    )
+    return df, best.attrs
+
+
+def _profile_for(sess, name: str, data_version: str):
+    from ..catalog.metastore import parse_version, split_name
+
+    pns, pproj, pbase = split_name(f"{name}__profile")
+    prec = sess.metastore._read_record(pns, pproj, pbase)
+    matches = [
+        v for v in (prec.versions if prec else [])
+        if v.attrs.get("profile_of_version") == data_version
+    ]
+    if not matches:
+        raise ValueError(
+            f"release_report: no stored profile for {name}@{data_version} — "
+            "run profile_version at save time"
+        )
+    best = max(matches, key=lambda v: parse_version(v.version))
+    df, _, _ = sess.metastore.load_dataset(
+        sess.spark, f"{name}__profile", best.version
+    )
+    return df, best.attrs
+
+
+def release_report(
+    name: str,
+    v_old: Optional[str] = None,
+    v_new: Optional[str] = None,
+    qs: Sequence[float] = (0.5,),
+    psi_eps: float = 0.5,
+    round_dp: int = 6,
+    session=None,
+) -> DataFrame:
+    """Version-over-version release review computed ENTIRELY from the two
+    stored profiles — neither data version is scanned (plan-guarded in
+    tests: no version data path appears in this DataFrame's plan).
+
+    One row per group:
+    ``(group..., n_rows_old, n_rows_new, n_rows_delta, n_value_old,
+    n_value_new, mean_old, mean_new, min_old, min_new, max_old, max_new,
+    psi[, p{q}_old, p{q}_new per q][, distinct_old, distinct_new])``
+
+    - counts/min/max are EXACT (profile moments); means round to
+      ``round_dp``.
+    - ``psi`` is the population-stability index between the two
+      fixed-edge histograms with Laplace smoothing ``psi_eps`` per bin
+      (rounded) — the standard 0.1 watch / 0.2 alert thresholds apply.
+    - quantiles interpolate within histogram bins (error <= one bin
+      width, the histogram_quantiles bound).
+    - HLL distinct estimates are reported when the profiles carry
+      sketches; they are ESTIMATES (~2% at the default lg_k) — gate on
+      ratios, not equality.
+
+    Groups present in only one version report the other side's counts
+    as 0 and value stats as NULL (an appeared/vanished group IS release
+    news, not a join dropout).
+    """
+    from ..catalog.metastore import parse_version
+    from ..session import Session
+
+    sess = Session.get() if session is None else session
+    rec = sess.metastore.get_record(name)
+    if rec is None or not rec.versions:
+        raise ValueError(f"release_report: no versions of dataset {name!r}")
+    ordered = sorted(rec.versions, key=lambda v: parse_version(v.version))
+    new_ver = rec.get_version(v_new).version
+    if v_old is None:
+        older = [
+            v for v in ordered
+            if parse_version(v.version) < parse_version(new_ver)
+        ]
+        if not older:
+            raise ValueError(
+                f"release_report: {name!r} has no version before {new_ver}"
+            )
+        old_ver = older[-1].version
+    else:
+        old_ver = rec.get_version(v_old).version
+
+    old_prof, old_attrs = _profile_for(sess, name, old_ver)
+    new_prof, new_attrs = _profile_for(sess, name, new_ver)
+    stale = {
+        k for k in _CFG_KEYS if old_attrs.get(k, "") != new_attrs.get(k, "")
+    }
+    if stale:
+        raise ValueError(
+            f"release_report: profile configs differ on {sorted(stale)} — "
+            "profiles are only comparable with identical edges/columns"
+        )
+    keys = [k for k in new_attrs["profile_group_cols"].split(",") if k]
+    has_hist = "hist" in new_prof.columns
+    has_sketch = "approx_distinct" in new_prof.columns
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        cols = [F.col("n_rows").alias(f"n_rows_{tag}")]
+        if has_hist:
+            cols += [
+                F.col("n_value").alias(f"n_value_{tag}"),
+                F.col("sum_x").alias(f"sum_x_{tag}"),
+                F.col("min_x").alias(f"min_{tag}"),
+                F.col("max_x").alias(f"max_{tag}"),
+                F.col("hist").alias(f"hist_{tag}"),
+            ]
+        if has_sketch:
+            cols.append(
+                F.round(F.col("approx_distinct"), 0)
+                .cast("long").alias(f"distinct_{tag}")
+            )
+        return df.select(*keys, *cols)
+
+    joined = _side(old_prof, "old").join(
+        _side(new_prof, "new"), on=keys, how="full"
+    )
+    n_old = F.coalesce(F.col("n_rows_old"), F.lit(0).cast("long"))
+    n_new = F.coalesce(F.col("n_rows_new"), F.lit(0).cast("long"))
+    out_cols = [
+        *keys,
+        n_old.alias("n_rows_old"),
+        n_new.alias("n_rows_new"),
+        (n_new - n_old).cast("long").alias("n_rows_delta"),
+    ]
+    if has_hist:
+        lo = float(new_attrs["profile_lo"])
+        hi = float(new_attrs["profile_hi"])
+        bins = int(new_attrs["profile_bins"])
+        width = (hi - lo) / bins
+
+        def _mean(tag: str):
+            return F.round(
+                F.col(f"sum_x_{tag}")
+                / F.nullif(F.col(f"n_value_{tag}"), F.lit(0)),
+                round_dp,
+            )
+
+        # PSI over smoothed bin fractions; the fold over the bin arrays
+        # is an ORDERED left fold — deterministic summation, replayable
+        # bit-for-bit by an ordered oracle
+        def _frac(tag: str):
+            denom = (
+                F.col(f"n_value_{tag}").cast("double")
+                + F.lit(float(psi_eps) * bins)
+            )
+            return F.transform(
+                F.col(f"hist_{tag}"),
+                lambda c: (c.cast("double") + F.lit(float(psi_eps)))
+                / denom,
+            )
+
+        psi = F.aggregate(
+            F.zip_with(
+                _frac("old"), _frac("new"),
+                lambda a, b: (b - a) * F.log(b / a),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        both = (
+            F.col("n_value_old").isNotNull()
+            & (F.col("n_value_old") > 0)
+            & F.col("n_value_new").isNotNull()
+            & (F.col("n_value_new") > 0)
+        )
+        out_cols += [
+            F.col("n_value_old"), F.col("n_value_new"),
+            _mean("old").alias("mean_old"), _mean("new").alias("mean_new"),
+            F.col("min_old"), F.col("min_new"),
+            F.col("max_old"), F.col("max_new"),
+            F.when(both, F.round(psi, round_dp)).alias("psi"),
+        ]
+
+        def _pq(tag: str, q: float):
+            # first bin whose cumulative count reaches q*n, linearly
+            # interpolated — the histogram_quantiles formula inlined over
+            # the bin array (cum before the hit bin, then within-bin)
+            h = F.col(f"hist_{tag}")
+            n = F.col(f"n_value_{tag}").cast("double")
+            target = F.lit(float(q)) * n
+            # index of the first bin where running sum >= target:
+            # fold carrying (cum, hit_bin, cum_before, cnt_at_hit)
+            folded = F.aggregate(
+                h,
+                F.struct(
+                    F.lit(0.0).alias("cum"),
+                    F.lit(-1).alias("bin"),
+                    F.lit(0.0).alias("before"),
+                    F.lit(0.0).alias("cnt"),
+                    F.lit(0).alias("i"),
+                ),
+                lambda acc, c: F.struct(
+                    (acc["cum"] + c.cast("double")).alias("cum"),
+                    F.when(
+                        (acc["bin"] < 0)
+                        & (acc["cum"] + c.cast("double") >= target),
+                        acc["i"],
+                    ).otherwise(acc["bin"]).alias("bin"),
+                    F.when(
+                        (acc["bin"] < 0)
+                        & (acc["cum"] + c.cast("double") >= target),
+                        acc["cum"],
+                    ).otherwise(acc["before"]).alias("before"),
+                    F.when(
+                        (acc["bin"] < 0)
+                        & (acc["cum"] + c.cast("double") >= target),
+                        c.cast("double"),
+                    ).otherwise(acc["cnt"]).alias("cnt"),
+                    (acc["i"] + 1).alias("i"),
+                ),
+            )
+            est = (
+                F.lit(lo)
+                + F.lit(width)
+                * (
+                    folded["bin"].cast("double")
+                    + (target - folded["before"]) / folded["cnt"]
+                )
+            )
+            return F.when(
+                F.col(f"n_value_{tag}") > 0, F.round(est, round_dp)
+            )
+
+        for q in qs:
+            label = f"p{int(round(float(q) * 100)):02d}"
+            out_cols += [
+                _pq("old", q).alias(f"{label}_old"),
+                _pq("new", q).alias(f"{label}_new"),
+            ]
+    if has_sketch:
+        out_cols += [F.col("distinct_old"), F.col("distinct_new")]
+    return joined.select(*out_cols)
+
+
+def schema_changes(
+    name: str,
+    v_old: Optional[str] = None,
+    v_new: Optional[str] = None,
+    session=None,
+) -> DataFrame:
+    """Column add/remove/retype between two saved versions, read from the
+    metastore's STORED schemas — no data is touched, so it is free to
+    run before any load (the drift.schema_drift semantics applied to
+    version metadata instead of live DataFrames). One row per column
+    present in either version:
+    ``(column, status, old_type, new_type)``."""
+    import json as _json
+
+    from ..catalog.metastore import parse_version
+    from ..session import Session
+
+    sess = Session.get() if session is None else session
+    rec = sess.metastore.get_record(name)
+    if rec is None or not rec.versions:
+        raise ValueError(f"schema_changes: no versions of dataset {name!r}")
+    ordered = sorted(rec.versions, key=lambda v: parse_version(v.version))
+    new_dv = rec.get_version(v_new)
+    if v_old is None:
+        older = [
+            v for v in ordered
+            if parse_version(v.version) < parse_version(new_dv.version)
+        ]
+        if not older:
+            raise ValueError(
+                f"schema_changes: {name!r} has no version before "
+                f"{new_dv.version}"
+            )
+        old_dv = older[-1]
+    else:
+        old_dv = rec.get_version(v_old)
+
+    def _types(dv) -> dict:
+        fields = _json.loads(dv.schema_json).get("fields", [])
+        out = {}
+        for f in fields:
+            t = f.get("type")
+            out[f["name"]] = t if isinstance(t, str) else _json.dumps(t)
+        return out
+
+    ot, nt = _types(old_dv), _types(new_dv)
+    rows = []
+    for c in sorted(set(ot) | set(nt)):
+        if c not in nt:
+            st = "removed"
+        elif c not in ot:
+            st = "added"
+        elif ot[c] != nt[c]:
+            st = "type_changed"
+        else:
+            st = "unchanged"
+        rows.append((c, st, ot.get(c), nt.get(c)))
+    return sess.spark.createDataFrame(
+        rows, "column string, status string, old_type string, new_type string"
+    )

@@ -1,0 +1,174 @@
+"""Release review from persisted sketch state (ops/release): profile
+persistence, increment-merge == full-profile equality, the sketch-only
+report (with the no-data-scan plan guard), and schema_changes from
+stored metadata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import datachain_spark as dc
+from datachain_spark.ops.release import (
+    profile_version,
+    release_report,
+    schema_changes,
+)
+
+
+@pytest.fixture()
+def fresh_ms(session, tmp_path):
+    from datachain_spark.catalog.metastore import Metastore
+
+    old = session.metastore
+    session.metastore = Metastore(str(tmp_path / "ms"))
+    yield session.metastore
+    session.metastore = old
+
+
+CFG = dict(group_cols="o_orderpriority", value_col="o_totalprice",
+           lo=0.0, hi=600000.0, bins=64, distinct_col="o_custkey")
+
+
+def _orders(session, sf_dir):
+    return dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+
+
+def test_profile_increment_merge_equals_full(session, sf_dir, fresh_ms):
+    orders = _orders(session, sf_dir)
+    v1 = orders.filter(dc.C("o_orderkey") % 3 != 0)
+    inc = orders.filter(dc.C("o_orderkey") % 3 == 0)
+    v1.save("relp")
+    profile_version("relp", **CFG)
+    orders.save("relp")
+    profile_version("relp", increment=inc.df, **CFG)
+
+    # the merged profile must be row-identical to profiling v2 whole
+    from datachain_spark.ops.release import _profile_for
+
+    rec = fresh_ms.get_record("relp")
+    merged, _ = _profile_for(session, "relp", rec.latest_version().version)
+    from datachain_spark.ops.sketches import profile_sketch
+
+    full = profile_sketch(orders.df, ["o_orderpriority"], **{
+        k: v for k, v in CFG.items() if k != "group_cols"})
+    m = {r["o_orderpriority"]: r for r in merged.collect()}
+    f = {r["o_orderpriority"]: r for r in full.collect()}
+    assert set(m) == set(f)
+    for k in f:
+        assert m[k]["n_rows"] == f[k]["n_rows"]
+        assert m[k]["n_value"] == f[k]["n_value"]
+        assert list(m[k]["hist"]) == list(f[k]["hist"])
+        assert m[k]["min_x"] == f[k]["min_x"]
+        assert m[k]["max_x"] == f[k]["max_x"]
+        # HLL register union of disjoint shards == direct sketch estimate
+        assert m[k]["approx_distinct"] == pytest.approx(
+            f[k]["approx_distinct"], rel=1e-9
+        )
+
+
+def test_release_report_values_and_plan_guard(session, sf_dir, fresh_ms):
+    orders = _orders(session, sf_dir)
+    v1 = orders.filter(dc.C("o_orderkey") % 3 != 0)
+    v1.save("relr")
+    profile_version("relr", **CFG)
+    orders.save("relr")
+    profile_version("relr", **CFG)
+
+    rep = release_report("relr")
+    # --- plan guard: NEITHER data version is scanned ---
+    rec = fresh_ms.get_record("relr")
+    files = rep.inputFiles()
+    assert files, "report must read the stored profiles"
+    for v in rec.versions:
+        data_path = fresh_ms.version_data_path("relr", v.version)
+        assert not any(data_path in f for f in files), (
+            f"report scans {data_path}"
+        )
+    assert all("relr__profile" in f for f in files)
+
+    rows = {r["o_orderpriority"]: r for r in rep.collect()}
+    want_old = {r["o_orderpriority"]: r["n"] for r in
+                v1.df.groupBy("o_orderpriority").agg(
+                    F.count("*").alias("n")).collect()}
+    want_new = {r["o_orderpriority"]: r["n"] for r in
+                orders.df.groupBy("o_orderpriority").agg(
+                    F.count("*").alias("n")).collect()}
+    for g, r in rows.items():
+        assert r["n_rows_old"] == want_old[g]
+        assert r["n_rows_new"] == want_new[g]
+        assert r["n_rows_delta"] == want_new[g] - want_old[g]
+        assert r["min_new"] <= r["p50_new"] <= r["max_new"]
+        assert r["psi"] is not None and r["psi"] >= 0.0
+        # same distribution family (v1 is a ~uniform 2/3 sample): tiny psi
+        assert r["psi"] < 0.1
+        # HLL estimates near the exact distinct counts
+        exact_new = orders.df.filter(
+            F.col("o_orderpriority") == g
+        ).select("o_custkey").distinct().count()
+        assert abs(r["distinct_new"] - exact_new) / exact_new < 0.05
+        # p50 within one bin width of the exact median
+        med = orders.df.filter(F.col("o_orderpriority") == g).agg(
+            F.expr("percentile(o_totalprice, 0.5)")
+        ).first()[0]
+        assert abs(r["p50_new"] - med) <= (600000.0 / 64)
+    # mean check (exact moments, rounded)
+    g0 = next(iter(rows))
+    exact_mean = orders.df.filter(F.col("o_orderpriority") == g0).agg(
+        F.avg("o_totalprice")).first()[0]
+    assert rows[g0]["mean_new"] == pytest.approx(exact_mean, abs=1e-4)
+
+
+def test_release_report_detects_drift_and_new_groups(session, fresh_ms):
+    spark = session.spark
+    base = spark.range(4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 100).cast("double").alias("x"),
+    )
+    dc.DataChain(base, session).save("reld")
+    profile_version("reld", group_cols="g", value_col="x",
+                    lo=0.0, hi=400.0, bins=40)
+    # v2: group 0 shifts up by 200; a brand-new group appears
+    shifted = spark.range(4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 100) + 200.0)
+        .otherwise((F.col("id") % 100).cast("double")).alias("x"),
+    ).union(
+        spark.range(10).select(
+            F.lit("9").alias("g"), F.lit(42.0).alias("x")
+        )
+    )
+    dc.DataChain(shifted, session).save("reld")
+    profile_version("reld", group_cols="g", value_col="x",
+                    lo=0.0, hi=400.0, bins=40)
+    rows = {r["g"]: r for r in release_report("reld").collect()}
+    assert rows["0"]["psi"] > 1.0      # hard shift
+    assert rows["1"]["psi"] < 0.01     # unchanged
+    assert rows["9"]["n_rows_old"] == 0 and rows["9"]["n_rows_new"] == 10
+    assert rows["9"]["psi"] is None    # nothing to compare against
+
+
+def test_release_report_config_mismatch_raises(session, sf_dir, fresh_ms):
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("relc")
+    profile_version("relc", **CFG)
+    orders.save("relc")
+    bad = dict(CFG, bins=32)
+    profile_version("relc", **bad)
+    with pytest.raises(ValueError, match="configs differ"):
+        release_report("relc")
+    with pytest.raises(ValueError, match="merge contract"):
+        profile_version("relc", increment=orders.df.limit(1),
+                        **dict(CFG, bins=16))
+
+
+def test_schema_changes_no_scan(session, sf_dir, fresh_ms):
+    orders = _orders(session, sf_dir)
+    orders.select("o_orderkey", "o_totalprice").save("rels")
+    orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        F.lit(1).alias("flag"),
+    ).save("rels")
+    rows = {r["column"]: r for r in schema_changes("rels").collect()}
+    assert rows["flag"]["status"] == "added"
+    assert rows["o_totalprice"]["status"] == "type_changed"
+    assert rows["o_orderkey"]["status"] == "unchanged"
