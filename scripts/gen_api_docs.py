@@ -34,6 +34,7 @@ SECTIONS = [
     ("ops.diff", "datachain_spark.ops.diff", None),
     ("ops.multimodal", "datachain_spark.ops.multimodal", None),
     ("ops.pruning", "datachain_spark.ops.pruning", None),
+    ("ops.release", "datachain_spark.ops.release", None),
     ("streaming", "datachain_spark.streaming.stream", None),
     ("delta / incremental", "datachain_spark.delta", None),
 ]
