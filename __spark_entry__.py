@@ -10482,6 +10482,66 @@ ORDER BY o_orderpriority
 """
 
 
+def find_substring_docs(spark, sf):
+    """Query-time exact phrase search over the stored gram index
+    (ops/text.substring_index + find_substring, r08 verdict task 7):
+    the needle — four words lifted from doc 0's normalized text —
+    probes the persisted (doc_id, ngram_hash) posting frame with a
+    pushed-down IN filter (plan-guarded in tests/test_find_substring),
+    then only candidate docs are confirmed for the contiguous phrase.
+    The oracle recomputes the same normalization in DuckDB and takes
+    position() truth over EVERY document — so a candidate phase that
+    misses a containing doc, or a confirm that admits a scattered-gram
+    doc, fails the hash. Output: (doc_id, pos) — 1-based char position
+    of the first word-boundary occurrence in the normalized text."""
+    from datachain_spark.ops.text import find_substring, substring_index
+
+    docs = _chain(spark, sf, "documents").df.select("doc_id", "text")
+    words = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), r"[^\w\s]", ""
+                    )
+                ),
+                r"\s+",
+            ).alias("w")
+        )
+        .first()["w"]
+    )
+    needle = " ".join(words[3:7])
+    idx = substring_index(docs, "doc_id", ngram=3)
+    return find_substring(docs, idx, needle, "doc_id", ngram=3).orderBy(
+        "doc_id"
+    )
+
+
+FIND_SUBSTRING_SQL = """
+WITH needle AS (
+  SELECT array_to_string(
+    string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')),
+                       '\\s+')[4:7], ' ') AS s
+  FROM documents WHERE doc_id = 0
+),
+docs AS (
+  SELECT doc_id,
+         array_to_string(
+           string_split_regex(
+             trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')),
+             '\\s+'), ' ') AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(position(' ' || needle.s || ' ' IN ' ' || norm || ' ')
+            AS BIGINT) AS pos
+FROM docs, needle
+WHERE position(' ' || needle.s || ' ' IN ' ' || norm || ' ') > 0
+ORDER BY doc_id
+"""
+
+
 PRUNE_ZONES_2COL_SQL = """
 WITH s AS (
   SELECT max(o_orderkey) // 4 + 1 AS sk, max(o_custkey) // 4 + 1 AS sc
@@ -10586,6 +10646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_zone_refresh_orders": delta_zone_refresh_orders,
         "delta_ivf_refresh_emb": delta_ivf_refresh_emb,
         "release_report_orders": release_report_orders,
+        "find_substring_docs": find_substring_docs,
         # -- the longest-out-of-window r02-r04 greens (padding) --
         "merge_left_regions": merge_left_regions,
         "group_concat_sorted": group_concat_sorted,
@@ -11001,6 +11062,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_zone_refresh_orders": DELTA_ZONE_REFRESH_SQL,
         "delta_ivf_refresh_emb": ANN_INDEX_SEARCH_SQL,
         "release_report_orders": RELEASE_REPORT_SQL,
+        "find_substring_docs": FIND_SUBSTRING_SQL,
         "prune_zones_2col_orders": PRUNE_ZONES_2COL_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,

@@ -1399,6 +1399,110 @@ def ngram_index(
     )
 
 
+def substring_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngram: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document word-n-gram posting frame ``(id_col, ngram_hash)`` —
+    the stored index :func:`find_substring` probes at query time (the
+    doc-addressed sibling of the corpus-level :func:`ngram_index`).
+    Save it as a dataset version beside the corpus; a phrase query then
+    touches only the index rows whose hashes match the needle's grams
+    (a literal IN predicate the parquet scan prunes on) plus the
+    candidate documents — never the corpus text. One distinct row per
+    (doc, gram); size is bounded by total words, like the span-dedup
+    gram table (ops/dedup.remove_duplicate_spans)."""
+    rows = shingle_rows(df, id_col, text_col, n=ngram, distinct=True)
+    return rows.select(
+        F.col("__id").alias(id_col),
+        _hash64(F.col("__shingle"), hash_fn).alias("ngram_hash"),
+    ).distinct()
+
+
+def find_substring(
+    corpus: DataFrame,
+    index: DataFrame,
+    needle: str,
+    id_col: str,
+    text_col: str = "text",
+    ngram: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact phrase search at query time WITHOUT a corpus text scan
+    (r08 verdict task 7 — the suffix-automaton-free substring probe):
+    find every document whose shingle-normalized text (lowercased,
+    punctuation stripped, single-spaced — the :func:`shingle_rows`
+    normalization) contains ``needle`` at word boundaries.
+
+    Two-phase, both index-pruned:
+
+    1. CANDIDATES: the needle's own word ``ngram``-grams are hashed with
+       the index's hash family (one tiny local frame — never a Python
+       re-implementation of the hash) and pushed into the stored index
+       as a literal ``ngram_hash IN (...)`` predicate, which Catalyst
+       pushes to the parquet scan (plan-guarded in tests). A document
+       qualifies only when it carries ALL the needle's distinct grams —
+       necessary for containment, so candidates are a superset.
+    2. CONFIRM: only candidate documents are (semi-)joined back to the
+       corpus and checked for the contiguous phrase; gram hits that are
+       scattered or reordered die here. Output: ``(id_col, pos)`` with
+       ``pos`` the 1-based character position of the first occurrence
+       in the normalized text.
+
+    The needle must have at least ``ngram`` words after normalization —
+    the index resolution (same bound as the span-dedup gram table).
+    100-TB shape: the corpus text is read only for the candidate set;
+    the index scan reads one 8-byte column under a pushed IN filter.
+    """
+    import re as _re
+
+    words = [
+        w for w in _re.split(
+            r"\s+", _re.sub(r"[^\w\s]", "", needle.lower()).strip()
+        ) if w
+    ]
+    if len(words) < ngram:
+        raise ValueError(
+            f"find_substring: needle has {len(words)} normalized words; "
+            f"the stored index resolves phrases of >= {ngram} words"
+        )
+    grams = [" ".join(words[i:i + ngram])
+             for i in range(len(words) - ngram + 1)]
+    spark = corpus.sparkSession
+    keys = [
+        r[0]
+        for r in spark.createDataFrame([(g,) for g in grams], "g string")
+        .select(_hash64(F.col("g"), hash_fn)).collect()
+    ]
+    k = len(set(keys))
+    cands = (
+        index.filter(F.col("ngram_hash").isin(keys))
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("ngram_hash")).alias("__k"))
+        .filter(F.col("__k") == k)
+        .select(id_col)
+    )
+    norm = F.array_join(
+        F.split(
+            F.trim(
+                F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", "")
+            ),
+            r"\s+",
+        ),
+        " ",
+    )
+    phrase = " ".join(words)
+    pos = F.locate(f" {phrase} ", F.concat(F.lit(" "), norm, F.lit(" ")))
+    return (
+        corpus.join(cands, id_col, "left_semi")
+        .select(F.col(id_col), pos.cast("long").alias("pos"))
+        .filter(F.col("pos") > 0)
+    )
+
+
 def novelty_score(
     df: DataFrame,
     index: DataFrame,
