@@ -10595,20 +10595,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sessionize…). The whole r07 window (50/50 green in CORRECTNESS_r07)
     rotates to overflow.
 
-    r09 window plan: nothing will be unverified if this window lands
-    green, so rotate purely by staleness — the r05 roundtrip/IO wave
-    (csv/jsonl/parquet-partition/database/orc/text roundtrips,
-    save_version_pinned, delta_incremental, sample_shuffle_chunk,
-    sharding, sample_per_group), the r05 TPC-H overflow (q2, q4,
-    q7-q22), and any r08-new entries again if their verdict missed.
+    r09 rotation (r08 verdict task 1, executed): verification debt is
+    zero, so the window rotates purely by staleness. It holds the 4
+    r09-new entries (delta-path zone/IVF index refresh, sketch-state
+    release report, gram-index phrase search — nothing new accrues
+    debt), the 4 entries whose last external verdict is r03, all 29
+    whose last verdict is r04, the r05 roundtrip/IO wave the verdict
+    named (csv/jsonl/parquet-partition/database/orc/text roundtrips,
+    save_version_pinned, save_read_roundtrip, delta_incremental,
+    sample_shuffle_chunk, sample_per_group), and the first two r05
+    TPC-H shapes (q2, q4). The whole r08 window (50/50 green in
+    CORRECTNESS_r08) rotates to overflow.
+
+    r10 window plan: continue the staleness rotation — the remaining
+    r05 TPC-H overflow (q5_asia, q7-q22, queued first in the overflow
+    section below), the rest of the r05 wave (gopher_gate,
+    quality_score_docs, decontaminate_bloom, url_blocklist, ann_ivf_*,
+    chunk_documents, lm_perplexity, pii_redact, pack/interleave,
+    knn_join_topk), then the r06 greens, plus any r09-new entries
+    whose verdict missed.
 
     EVERY entry — window and overflow — is still verified locally each run
     by tests/test_oracle.py, and scripts/local_oracle.py emits the full
     result table to LOCAL_ORACLE.json so the externally-unchecked subset
-    remains visible."""
+    remains visible (tiered runs record per-entry sweep provenance)."""
     return {
-        # ===== r08 window (slots 1-50) =====
-        # -- the 12 r07 additions, never driver-checked --
+        # ===== r09 window (slots 1-50): pure staleness rotation =====
+        # -- the 4 r09 additions (index-refresh-through-delta, release
+        #    review from sketch state, gram-index phrase search) --
+        "delta_zone_refresh_orders": delta_zone_refresh_orders,
+        "delta_ivf_refresh_emb": delta_ivf_refresh_emb,
+        "release_report_orders": release_report_orders,
+        "find_substring_docs": find_substring_docs,
+        # -- stalest greens: last external verdict r03 --
+        "mutate_case_buckets": mutate_case_buckets,
+        "union_all_groups": union_all_groups,
+        "diff_statuses": diff_statuses,
+        "ngram_jaccard_pairs": ngram_jaccard_ro,
+        # -- last external verdict r04 --
+        "minhash_pairs_md5": minhash_pairs_md5,
+        "simhash_pairs_md5": simhash_pairs_md5,
+        "winnow_fingerprints_md5": winnow_md5,
+        "read_database_sql": read_database_sql,
+        "events_sessionize": events_sessionize,
+        "explode_json_props": explode_json_props,
+        "text_quality_stats": text_quality_stats,
+        "group_by_expr_keys": group_by_expr_keys,
+        "rollup_orders": rollup_orders,
+        "pivot_status_qty": pivot_status_qty,
+        "stopword_lang_hits": stopword_lang_hits,
+        "salted_agg_events": salted_agg_events,
+        "segment_dedup_chunks": segment_dedup_chunks,
+        "decontaminate": decontaminate_query,
+        "vocabulary_top100": vocabulary_query,
+        "embedding_lsh_md5": embedding_lsh_md5,
+        "sharding_md5": sharding_md5,
+        "url_normalize": url_normalize,
+        "repetition_stats": repetition_stats_query,
+        "read_storage_listing": read_storage_ro,
+        "window_top3_per_cust": window_top3_per_cust,
+        "merge_multi_key": merge_multi_key,
+        "ngram_jaccard_oracle": ngram_jaccard_oracle,
+        "dedup_components": dedup_components,
+        "asof_join_events": asof_join_events,
+        "interval_join_buckets": interval_join_buckets,
+        "similarity_topk": similarity_topk,
+        "embedding_near_pairs": embedding_near_pairs,
+        "lang_id_counts": lang_id_ro,
+        # -- the r05 roundtrip/IO wave (r08 verdict task 1) --
+        "csv_roundtrip": csv_roundtrip,
+        "jsonl_roundtrip": jsonl_roundtrip,
+        "parquet_partition_roundtrip": parquet_partition_roundtrip,
+        "database_roundtrip": database_roundtrip,
+        "orc_roundtrip": orc_roundtrip,
+        "text_roundtrip": text_roundtrip,
+        "save_version_pinned": save_version_pinned,
+        "save_read_roundtrip": save_read_roundtrip_ro,
+        "delta_incremental": delta_incremental_ro,
+        "sample_shuffle_chunk": sample_shuffle_chunk_ro,
+        "sample_per_group_md5": sample_per_group_md5,
+        # -- first two of the r05 TPC-H overflow (rest in r10) --
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        # ================= overflow (slot 51+) =================
+        # -- TPC-H shapes: q5_asia + q7-q22 (last verdict r05) queued
+        #    first for the r10 window; q1/q3/q5_region/q6 are r08-green --
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q11_important_stock": q11_important_stock,
+        "q12_priority_mix": q12_priority_mix,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive": q19_disjunctive,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_idle_balances": q22_idle_balances,
+        "q5_asia_revenue": q5_asia_revenue,
+        # -- greens with verdicts r05-r08, stalest first next rounds --
         "curation_report_docs": curation_report_docs,
         "dataset_diff_versions": dataset_diff_versions,
         "sketch_quantiles_orders": sketch_quantiles_orders,
@@ -10621,11 +10714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize_orders": standardize_orders,
         "exact_dedup_incr_md5": exact_dedup_incr_md5,
         "novelty_score_md5": novelty_score_md5,
-        # -- the 3 xxhash64 sketch flows promoted to value oracles in r07 --
         "minhash_pairs": minhash_pairs_ro,
         "simhash_pairs": simhash_pairs_ro,
         "winnow_fingerprints": winnow_fingerprints_ro,
-        # -- the r08 additions (first external verdict) --
         "temporal_split_approx_events": temporal_split_approx_events,
         "streaming_exact_dedup": streaming_exact_dedup,
         "streaming_late_data": streaming_late_data,
@@ -10643,11 +10734,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_search": ann_index_search,
         "ann_stream_search": ann_stream_search,
         "prune_zones_2col_orders": prune_zones_2col_orders,
-        "delta_zone_refresh_orders": delta_zone_refresh_orders,
-        "delta_ivf_refresh_emb": delta_ivf_refresh_emb,
-        "release_report_orders": release_report_orders,
-        "find_substring_docs": find_substring_docs,
-        # -- the longest-out-of-window r02-r04 greens (padding) --
         "merge_left_regions": merge_left_regions,
         "group_concat_sorted": group_concat_sorted,
         "string_similarity": string_similarity,
@@ -10665,21 +10751,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": multimodal_ro,
         "multimodal_audio_meta": multimodal_audio,
         "multimodal_video_meta": multimodal_video,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "mutate_case_buckets": mutate_case_buckets,
-        "union_all_groups": union_all_groups,
-        "diff_statuses": diff_statuses,
-        "ngram_jaccard_pairs": ngram_jaccard_ro,
-        "minhash_pairs_md5": minhash_pairs_md5,
-        "simhash_pairs_md5": simhash_pairs_md5,
-        "winnow_fingerprints_md5": winnow_md5,
-        "read_database_sql": read_database_sql,
-        "events_sessionize": events_sessionize,
-        # ================= overflow (slot 51+) =================
-        # -- r02-r04 greens displaced by the two late r08 additions --
-        "explode_json_props": explode_json_props,
-        "text_quality_stats": text_quality_stats,
-        # -- green in CORRECTNESS_r07 (the full r07 window), rotated out --
         "strip_boilerplate_docs": strip_boilerplate_docs,
         "asof_nearest_events": asof_nearest_events,
         "corpus_overlap_docs": corpus_overlap_docs,
@@ -10767,9 +10838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text_docs": normalize_text_docs,
         "stratified_split_docs": stratified_split_docs,
         "hll_profile_orders": hll_profile_orders,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
         "merge_full_outer": merge_full_outer,
         "window_rank_lag": window_rank_lag,
         "events_hourly": events_hourly,
@@ -10777,25 +10845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_glob_in": filter_glob_in,
         "subtract_anti": subtract_anti,
         "merge_expr_pred": merge_expr_pred,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q11_important_stock": q11_important_stock,
-        "q12_priority_mix": q12_priority_mix,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_variety": q16_supplier_variety,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive": q19_disjunctive,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_idle_balances": q22_idle_balances,
-        "q5_asia_revenue": q5_asia_revenue,
         "gopher_gate": gopher_gate,
         "quality_score_docs": quality_score_docs,
         "decontaminate_bloom_md5": decontaminate_bloom_md5,
@@ -10808,39 +10857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_md5": pack_sequences_md5,
         "interleave_md5": interleave_md5,
         "knn_join_topk": knn_join_topk,
-        "sample_per_group_md5": sample_per_group_md5,
-        "csv_roundtrip": csv_roundtrip,
-        "jsonl_roundtrip": jsonl_roundtrip,
-        "parquet_partition_roundtrip": parquet_partition_roundtrip,
-        "database_roundtrip": database_roundtrip,
-        "orc_roundtrip": orc_roundtrip,
-        "text_roundtrip": text_roundtrip,
-        "save_version_pinned": save_version_pinned,
-        "save_read_roundtrip": save_read_roundtrip_ro,
-        "delta_incremental": delta_incremental_ro,
-        "sample_shuffle_chunk": sample_shuffle_chunk_ro,
-        "group_by_expr_keys": group_by_expr_keys,
-        "rollup_orders": rollup_orders,
-        "pivot_status_qty": pivot_status_qty,
-        "stopword_lang_hits": stopword_lang_hits,
-        "salted_agg_events": salted_agg_events,
-        "segment_dedup_chunks": segment_dedup_chunks,
-        "decontaminate": decontaminate_query,
-        "vocabulary_top100": vocabulary_query,
-        "embedding_lsh_md5": embedding_lsh_md5,
-        "sharding_md5": sharding_md5,
-        "url_normalize": url_normalize,
-        "repetition_stats": repetition_stats_query,
-        "read_storage_listing": read_storage_ro,
-        "window_top3_per_cust": window_top3_per_cust,
-        "merge_multi_key": merge_multi_key,
-        "ngram_jaccard_oracle": ngram_jaccard_oracle,
-        "dedup_components": dedup_components,
-        "asof_join_events": asof_join_events,
-        "interval_join_buckets": interval_join_buckets,
-        "similarity_topk": similarity_topk,
-        "embedding_near_pairs": embedding_near_pairs,
-        "lang_id_counts": lang_id_ro,
     }
 
 

@@ -411,6 +411,7 @@ class Metastore:
         name: str,
         version: Optional[str] = None,
         target_file_bytes: int = 128 << 20,
+        refresh_indexes: bool = True,
     ) -> DatasetVersion:
         """Small-file compaction (the OPTIMIZE-style table-maintenance pass):
         rewrite a version's data as a NEW patch version with files sized to
@@ -431,7 +432,17 @@ class Metastore:
         latest), so compacting an old snapshot can never silently replace
         newer data at the dataset head; the source's signal schema and
         attrs carry over, and the record-level description is untouched
-        (the compaction note lives in the version's attrs)."""
+        (the compaction note lives in the version's attrs).
+
+        ``refresh_indexes`` (default True) keeps per-version indexes
+        consistent with the rewritten layout: a zone map is FILE-level
+        state, so the source version's index is rebuilt over the new
+        files (same indexed columns); an IVF index is ROW-level and
+        stays valid — it is re-linked to the new version via
+        :meth:`ann_index_refresh`, which reassigns zero rows (the data
+        is unchanged). Without this, the compacted version would
+        silently lose ``read_dataset(prune=...)`` / ``ann_search``
+        support its source had."""
         import math as _math
 
         if target_file_bytes <= 0:
@@ -462,7 +473,7 @@ class Metastore:
         taken = {v.version for v in rec.versions}
         while new_version in taken:
             new_version = bump_version(new_version, "patch")
-        return self.save_dataset(
+        new_dv = self.save_dataset(
             out,
             name,
             version=new_version,
@@ -476,6 +487,56 @@ class Metastore:
             if dv.signal_schema
             else None,
         )
+        if refresh_indexes:
+            self._refresh_linked_indexes(spark, name, dv, new_dv)
+        return new_dv
+
+    def _refresh_linked_indexes(
+        self,
+        spark: SparkSession,
+        name: str,
+        src_dv: DatasetVersion,
+        new_dv: DatasetVersion,
+    ) -> None:
+        """Carry the source version's zone/IVF indexes over to a rewritten
+        copy of the same rows (compaction): rebuild the file-level zone
+        map on the new files; refresh the row-level IVF index (zero rows
+        reassigned — same data, new version link)."""
+        zns, zproj, zbase = split_name(f"{name}__zones")
+        zrec = self._read_record(zns, zproj, zbase)
+        zmatches = [
+            v for v in (zrec.versions if zrec else [])
+            if v.attrs.get("zones_of_version") == src_dv.version
+        ]
+        if zmatches:
+            newest = max(zmatches, key=lambda v: parse_version(v.version))
+            cols = [
+                c for c in newest.attrs.get("zones_cols", "").split(",") if c
+            ]
+            if cols:
+                self.zone_index_dataset(
+                    spark, name, cols, version=new_dv.version
+                )
+        ins, iproj, ibase = split_name(f"{name}__ivf")
+        irec = self._read_record(ins, iproj, ibase)
+        imatches = [
+            v for v in (irec.versions if irec else [])
+            if v.attrs.get("ivf_of_version") == src_dv.version
+        ]
+        if imatches:
+            newest = max(imatches, key=lambda v: parse_version(v.version))
+            idx, _, _ = self.load_dataset(spark, f"{name}__ivf", newest.version)
+            others = [c for c in idx.columns if c != "cell"]
+            vec_col = next(
+                (c for c in others
+                 if dict(idx.dtypes)[c].startswith("array")), None
+            )
+            id_cols = [c for c in others if c != vec_col]
+            if vec_col and len(id_cols) == 1:
+                self.ann_index_refresh(
+                    spark, name, id_cols[0], vec_col=vec_col,
+                    version=new_dv.version,
+                )
 
     def list_datasets(self) -> list[DatasetRecord]:
         out = []

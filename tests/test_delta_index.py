@@ -139,6 +139,46 @@ def test_ann_refresh_falls_back_to_full_build(session, sf_dir, fresh_ms):
     assert idx.count() == emb.count()
 
 
+def test_compact_refreshes_linked_indexes(session, sf_dir, fresh_ms):
+    """Compaction rewrites files: the zone map must be rebuilt on the new
+    layout and the IVF index re-linked — the compacted version keeps the
+    prune/search support its source had."""
+    emb = _emb(session, sf_dir).mutate(vid=F.col("vec_id"))
+    emb.save("cidx", zone_index=["vec_id"])
+    fresh_ms.ann_index_dataset(
+        session.spark, "cidx", "vec_id", num_cells=4, kmeans_iters=1
+    )
+    new_dv = fresh_ms.compact_dataset(
+        session.spark, "cidx", target_file_bytes=1 << 30
+    )
+    # zone map answers against the compacted version
+    rep = fresh_ms.prune_stats(
+        session.spark, "cidx", {"vec_id": (0, 5)}, version=new_dv.version
+    ).first()
+    assert rep["total_files"] >= 1 and rep["total_rows"] == emb.count()
+    # IVF re-link: search the compacted version, assignments unchanged
+    idx_new, cents_new = fresh_ms._load_ann_index(
+        session.spark, "cidx", new_dv.version
+    )
+    idx_old, cents_old = fresh_ms._load_ann_index(session.spark, "cidx", "1.0.0")
+    assert cents_new == cents_old
+    assert (
+        {(r["vec_id"], r["cell"]) for r in idx_new.collect()}
+        == {(r["vec_id"], r["cell"]) for r in idx_old.collect()}
+    )
+    # opt-out keeps the old behavior: no index for the new version
+    from datachain_spark.error import DatasetNotFoundError
+
+    dv2 = fresh_ms.compact_dataset(
+        session.spark, "cidx", version=new_dv.version,
+        target_file_bytes=1 << 30, refresh_indexes=False,
+    )
+    with pytest.raises(DatasetNotFoundError):
+        fresh_ms.prune_stats(
+            session.spark, "cidx", {"vec_id": (0, 5)}, version=dv2.version
+        )
+
+
 def test_delta_save_ann_index_end_to_end(session, sf_dir, fresh_ms):
     """delta_save(ann_index=...) keeps the searchable index current:
     full-probe search after the incremental run equals brute force over
