@@ -298,6 +298,11 @@ HEADLINE = [
     "mmr_rerank_emb",
     # r08 corpus-health: PMI collocations (distinct-gram shuffles only)
     "collocations_docs",
+    # r09 additions: the sketch-state release gate (two profile aggs +
+    # metastore round-trips; the report reads KB-sized profiles) and
+    # gram-index phrase search (index build + one pushed-IN probe)
+    "release_report_full",
+    "find_substring_full",
 ]
 
 
@@ -946,6 +951,74 @@ def main() -> None:
         )
         return cosine_topk(emb, q, "embedding", k=10, id_cols=["doc_id"])
 
+    def _release_report_full(spark, sf):
+        # the r09 release gate at corpus scale: profile 2/3 of the
+        # documents table (one map-side-combined agg), fold the remaining
+        # third in via the increment-merge path, then compare the two
+        # versions from sketch state alone (ops/release) — the wall is
+        # two profile aggs + metastore round-trips; the report itself
+        # reads KB-sized profiles
+        import tempfile
+        import uuid
+
+        from datachain_spark.catalog.metastore import Metastore
+        from datachain_spark.ops.release import (
+            profile_version,
+            release_report,
+        )
+        from datachain_spark.session import Session
+
+        sess = Session.get(spark=spark)
+        ms = Metastore(tempfile.mkdtemp(prefix="dc_bench_rel_"))
+        old_ms, sess.metastore = sess.metastore, ms
+        try:
+            docs = entrymod._chain(spark, sf, "documents").mutate(
+                n_chars=F.length("text").cast("double"),
+                bucket=(F.col("doc_id") % 10).cast("string"),
+            )
+            name = "brel_" + uuid.uuid4().hex[:8]
+            cfg = dict(group_cols="bucket", value_col="n_chars",
+                       lo=0.0, hi=4096.0, bins=64, session=sess)
+            docs.filter(F.col("doc_id") % 3 != 0).save(name)
+            profile_version(name, **cfg)
+            docs.save(name)
+            profile_version(
+                name,
+                increment=docs.filter(F.col("doc_id") % 3 == 0).df,
+                **cfg,
+            )
+            return release_report(name, session=sess)
+        finally:
+            sess.metastore = old_ms
+
+    def _find_substring_full(spark, sf):
+        # gram-index phrase search at corpus scale: build the
+        # (doc_id, gram-hash) posting frame over ALL documents (the
+        # one-time index cost), then probe one needle — candidates via a
+        # pushed IN filter, confirm only on the candidate docs
+        from datachain_spark.ops.text import find_substring, substring_index
+
+        docs = entrymod._chain(spark, sf, "documents").df.select(
+            "doc_id", "text"
+        )
+        words = (
+            docs.filter(F.col("doc_id") == 0)
+            .select(
+                F.split(
+                    F.trim(F.regexp_replace(
+                        F.lower(F.col("text")), r"[^\w\s]", "")),
+                    r"\s+",
+                ).alias("w")
+            )
+            .first()["w"]
+        )
+        idx = substring_index(docs, "doc_id", ngram=3).localCheckpoint()
+        return find_substring(
+            docs, idx, " ".join(words[3:7]), "doc_id", ngram=3
+        )
+
+    queries["release_report_full"] = _release_report_full
+    queries["find_substring_full"] = _find_substring_full
     queries["hash_retrieval_full"] = _hash_retrieval_full
     queries["stratified_split_full"] = _stratified_split_full
     queries["web_signals_full"] = _web_signals_full
