@@ -10542,6 +10542,40 @@ ORDER BY doc_id
 """
 
 
+def bm25_index_refresh_docs(spark, sf):
+    """Persisted BM25 index with incremental refresh (metastore.
+    bm25_index_dataset/refresh/search — the lexical sibling of the IVF
+    story): v1 indexes 2/3 of the capped documents table; the release
+    adds the remaining third and REFRESHES the index — documents whose
+    raw-text fingerprint is unchanged keep their stored postings and
+    are never re-tokenized, only the churn pays the tokenize+explode
+    cost. The search over the refreshed index must equal the
+    brute-force BM25 scan DuckDB replays term-for-term over the UPDATED
+    corpus (the bm25_score_docs oracle formula) — a refresh that
+    dropped, duplicated, or stale-kept any posting fails the hash."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_bm25i_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    try:
+        docs = _chain(spark, sf, "documents").filter(C.doc_id < 300)
+        name = "bmi_" + uuid.uuid4().hex[:8]
+        docs.filter(C.doc_id % 3 != 0).save(name)
+        ms.bm25_index_dataset(spark, name, "doc_id")
+        docs.save(name)
+        ms.bm25_index_refresh(spark, name)
+        out = ms.bm25_search(spark, name, _BM25_QUERY)
+        return out.select(
+            "doc_id", "dl", F.round("score", 6).alias("score_r")
+        ).orderBy("doc_id")
+    finally:
+        sess.metastore = old_ms
+
+
 PRUNE_ZONES_2COL_SQL = """
 WITH s AS (
   SELECT max(o_orderkey) // 4 + 1 AS sk, max(o_custkey) // 4 + 1 AS sc
@@ -10596,15 +10630,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotates to overflow.
 
     r09 rotation (r08 verdict task 1, executed): verification debt is
-    zero, so the window rotates purely by staleness. It holds the 4
+    zero, so the window rotates purely by staleness. It holds the 5
     r09-new entries (delta-path zone/IVF index refresh, sketch-state
-    release report, gram-index phrase search — nothing new accrues
-    debt), the 4 entries whose last external verdict is r03, all 29
+    release report, gram-index phrase search, incremental BM25 index —
+    nothing new accrues debt), the 4 entries whose last external verdict is r03, all 29
     whose last verdict is r04, the r05 roundtrip/IO wave the verdict
     named (csv/jsonl/parquet-partition/database/orc/text roundtrips,
     save_version_pinned, save_read_roundtrip, delta_incremental,
-    sample_shuffle_chunk, sample_per_group), and the first two r05
-    TPC-H shapes (q2, q4). The whole r08 window (50/50 green in
+    sample_shuffle_chunk, sample_per_group), and the first r05 TPC-H
+    shape (q2; q4 and the rest queue for r10). The whole r08 window (50/50 green in
     CORRECTNESS_r08) rotates to overflow.
 
     r10 window plan: continue the staleness rotation — the remaining
@@ -10621,12 +10655,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     remains visible (tiered runs record per-entry sweep provenance)."""
     return {
         # ===== r09 window (slots 1-50): pure staleness rotation =====
-        # -- the 4 r09 additions (index-refresh-through-delta, release
-        #    review from sketch state, gram-index phrase search) --
+        # -- the 5 r09 additions (index-refresh-through-delta, release
+        #    review from sketch state, gram-index phrase search,
+        #    incremental BM25 index) --
         "delta_zone_refresh_orders": delta_zone_refresh_orders,
         "delta_ivf_refresh_emb": delta_ivf_refresh_emb,
         "release_report_orders": release_report_orders,
         "find_substring_docs": find_substring_docs,
+        "bm25_index_refresh_docs": bm25_index_refresh_docs,
         # -- stalest greens: last external verdict r03 --
         "mutate_case_buckets": mutate_case_buckets,
         "union_all_groups": union_all_groups,
@@ -10674,7 +10710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_incremental": delta_incremental_ro,
         "sample_shuffle_chunk": sample_shuffle_chunk_ro,
         "sample_per_group_md5": sample_per_group_md5,
-        # -- first two of the r05 TPC-H overflow (rest in r10) --
+        # -- r05 TPC-H overflow: q2 in-window, q4+ queue for r10 --
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
         # ================= overflow (slot 51+) =================
@@ -11079,6 +11115,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_ivf_refresh_emb": ANN_INDEX_SEARCH_SQL,
         "release_report_orders": RELEASE_REPORT_SQL,
         "find_substring_docs": FIND_SUBSTRING_SQL,
+        "bm25_index_refresh_docs": _bm25_sql(),
         "prune_zones_2col_orders": PRUNE_ZONES_2COL_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,

@@ -860,6 +860,187 @@ class Metastore:
         cents = [list(r["centroid"]) for r in cdf.orderBy("cell").collect()]
         return idx, cents, gen
 
+    def bm25_index_dataset(
+        self,
+        spark: SparkSession,
+        name: str,
+        id_col: str,
+        text_col: str = "text",
+        version: Optional[str] = None,
+    ) -> DatasetVersion:
+        """Build and persist the BM25 lexical index of a saved version —
+        ``{name}__bm25`` (the (term, doc, tf) postings, BUCKETED by term
+        so a query's ``term IN (...)`` filter prunes buckets) and
+        ``{name}__bm25_docs`` (doc lengths + raw-text fingerprints, the
+        change detector for the incremental refresh). Both are ordinary
+        dataset versions linked by ``bm25_of_version`` — the lexical
+        sibling of :meth:`ann_index_dataset`."""
+        from ..ops.retrieval import bm25_index_frames
+
+        df, _rec, dv = self.load_dataset(spark, name, version)
+        postings, doclens = bm25_index_frames(df, id_col, text_col)
+        link = {"bm25_of": name, "bm25_of_version": dv.version,
+                "bm25_id_col": id_col, "bm25_text_col": text_col}
+        self.save_dataset(
+            doclens, f"{name}__bm25_docs", attrs=dict(link),
+            dependencies=[{"dataset": name, "version": dv.version}],
+        )
+        return self.save_dataset(
+            postings, f"{name}__bm25", attrs=dict(link),
+            dependencies=[{"dataset": name, "version": dv.version}],
+            bucket_by=["term"], num_buckets=16,
+        )
+
+    def bm25_index_refresh(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: Optional[str] = None,
+    ) -> DatasetVersion:
+        """Incrementally refresh the BM25 index for a NEW version of
+        ``name`` from the newest existing index generation: documents
+        whose raw-text FINGERPRINT is unchanged keep their stored
+        postings and length rows — they are never re-tokenized — and
+        only new/changed documents pay the tokenize + explode cost.
+        Deleted ids drop (the doc table starts from the new version's
+        rows). Raises when no earlier generation exists — the id/text
+        columns live in the generation's attrs, so the first build must
+        go through :meth:`bm25_index_dataset`.
+
+        100-TB shape: one cheap fingerprint projection over the new
+        version, one id-join against the stored doc table, one
+        doc-semi-join to carry unchanged postings, tokenization only on
+        the churn — the :meth:`ann_index_refresh` philosophy applied to
+        lexical retrieval."""
+        from ..ops.retrieval import bm25_index_frames
+
+        prev = self._newest_bm25_generation(spark, name)
+        if prev is None:
+            raise DatasetNotFoundError(
+                f"no BM25 index for {name!r} — build one with "
+                "bm25_index_dataset(name, id_col)"
+            )
+        prev_post, prev_docs, attrs = prev
+        id_col = attrs["bm25_id_col"]
+        text_col = attrs["bm25_text_col"]
+
+        df, _rec, dv = self.load_dataset(spark, name, version)
+        fp_new = df.select(
+            F.col(id_col).alias("doc"),
+            F.xxhash64(
+                F.coalesce(F.col(text_col), F.lit(""))
+            ).alias("__fp_new"),
+        )
+        match = fp_new.join(
+            prev_docs.select("doc", F.col("fp").alias("__fp_old")),
+            "doc", "left",
+        )
+        unchanged_ids = match.filter(
+            F.col("__fp_old").isNotNull()
+            & (F.col("__fp_new") == F.col("__fp_old"))
+        ).select("doc")
+        changed_rows = df.join(
+            unchanged_ids.withColumnRenamed("doc", id_col),
+            id_col, "left_anti",
+        )
+        new_post, new_docs = bm25_index_frames(
+            changed_rows, id_col, text_col
+        )
+        postings = prev_post.join(unchanged_ids, "doc", "left_semi") \
+            .unionByName(new_post)
+        doclens = prev_docs.join(unchanged_ids, "doc", "left_semi") \
+            .unionByName(new_docs)
+
+        link = {"bm25_of": name, "bm25_of_version": dv.version,
+                "bm25_id_col": id_col, "bm25_text_col": text_col,
+                "bm25_refreshed_from": attrs.get("bm25_of_version", "")}
+        self.save_dataset(
+            doclens, f"{name}__bm25_docs", attrs=dict(link),
+            dependencies=[{"dataset": name, "version": dv.version}],
+        )
+        return self.save_dataset(
+            postings, f"{name}__bm25", attrs=dict(link),
+            dependencies=[{"dataset": name, "version": dv.version}],
+            bucket_by=["term"], num_buckets=16,
+        )
+
+    def _newest_bm25_generation(
+        self, spark: SparkSession, name: str
+    ) -> Optional[tuple[DataFrame, DataFrame, dict]]:
+        ins, iproj, ibase = split_name(f"{name}__bm25")
+        irec = self._read_record(ins, iproj, ibase)
+        if irec is None or not irec.versions:
+            return None
+        best = max(irec.versions, key=lambda v: parse_version(v.version))
+        gen = best.attrs.get("bm25_of_version", "")
+        post, _, _ = self.load_dataset(spark, f"{name}__bm25", best.version)
+        dns, dproj, dbase = split_name(f"{name}__bm25_docs")
+        drec = self._read_record(dns, dproj, dbase)
+        matches = [
+            v for v in (drec.versions if drec else [])
+            if v.attrs.get("bm25_of_version") == gen
+        ]
+        if not matches:
+            return None
+        dbest = max(matches, key=lambda v: parse_version(v.version))
+        docs, _, _ = self.load_dataset(
+            spark, f"{name}__bm25_docs", dbest.version
+        )
+        return post, docs, dict(best.attrs)
+
+    def bm25_search(
+        self,
+        spark: SparkSession,
+        name: str,
+        query: str,
+        k: Optional[int] = None,
+        k1: float = 1.2,
+        b: float = 0.75,
+        version: Optional[str] = None,
+    ) -> DataFrame:
+        """BM25 relevance over a saved version through its persisted index
+        (the corpus text is never read): ``(id_col, dl, score)`` for
+        every document, optionally cut to the top ``k`` (ties broken on
+        the id). Requires an index generation for the resolved version —
+        build with :meth:`bm25_index_dataset`, keep current with
+        :meth:`bm25_index_refresh`."""
+        ns, proj, base = split_name(name)
+        rec = self._read_record(ns, proj, base)
+        if rec is None:
+            raise DatasetNotFoundError(f"dataset not found: {name}")
+        dv = rec.get_version(version)
+
+        def _for_version(suffix: str) -> DataFrame:
+            sns, sproj, sbase = split_name(f"{name}{suffix}")
+            srec = self._read_record(sns, sproj, sbase)
+            matches = [
+                v for v in (srec.versions if srec else [])
+                if v.attrs.get("bm25_of_version") == dv.version
+            ]
+            if not matches:
+                raise DatasetNotFoundError(
+                    f"no BM25 index for {name}@{dv.version} — build one "
+                    "with bm25_index_dataset / bm25_index_refresh"
+                )
+            best = max(matches, key=lambda v: parse_version(v.version))
+            out, _, _ = self.load_dataset(
+                spark, f"{name}{suffix}", best.version
+            )
+            return out, best.attrs
+
+        post, attrs = _for_version("__bm25")
+        docs, _ = _for_version("__bm25_docs")
+        from ..ops.retrieval import bm25_index_score
+
+        out = bm25_index_score(
+            post, docs, query, attrs["bm25_id_col"], k1=k1, b=b
+        )
+        if k is not None:
+            out = out.orderBy(
+                F.desc("score"), F.col(attrs["bm25_id_col"])
+            ).limit(int(k))
+        return out
+
     def _load_ann_index(
         self, spark: SparkSession, name: str, version: Optional[str]
     ) -> tuple[DataFrame, list[list[float]]]:

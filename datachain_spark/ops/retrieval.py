@@ -250,6 +250,108 @@ def build_inverted_index(
     )
 
 
+def bm25_index_frames(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable BM25 state of a corpus snapshot, as two frames:
+
+    - postings ``(term, doc, tf)`` — one row per (term, document);
+    - doclens ``(doc, dl, fp)`` — token count + a 64-bit fingerprint of
+      the RAW text (the change detector an incremental refresh joins
+      on, so unchanged documents are never re-tokenized).
+
+    Appends merge by union; a changed document swaps its rows. All
+    corpus statistics BM25 needs (N, avgdl, df per term) derive from
+    these frames at query time — nothing else is stored, so the index
+    is exactly as mergeable as the rows themselves. ONE posexplode +
+    one (term, doc) map-side-combined aggregation, the classic
+    index-build shuffle (build_inverted_index without positions)."""
+    blank = F.coalesce(F.trim(F.col(text_col)), F.lit("")) == ""
+    toks = F.when(blank, F.array().cast("array<string>")).otherwise(
+        _tokens(F.col(text_col))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        toks.alias("__toks"),
+        F.size(toks).alias("dl"),
+        F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+    )
+    doclens = base.select("doc", "dl", "fp")
+    postings = (
+        base.select("doc", F.explode("__toks").alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return postings, doclens
+
+
+def bm25_index_score(
+    postings: DataFrame,
+    doclens: DataFrame,
+    query: str,
+    id_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 over a PERSISTED index (:func:`bm25_index_frames`) —
+    same formula and output shape as :func:`bm25_score` ``(id_col, dl,
+    score)`` for every document, but the corpus text is never read: the
+    postings scan carries a pushed ``term IN (query terms)`` literal
+    filter (bucket-prunable when the index is saved bucketed by term),
+    and N/avgdl/df come from the two stored frames. Non-matching
+    documents score 0.0, mirroring bm25_score."""
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError(
+            "bm25_index_score: query has no tokens after normalization"
+        )
+    hits = postings.filter(F.col("term").isin(list(dict.fromkeys(terms))))
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doclens.select("doc", "dl"), "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n").cast("double") - F.col("__df").cast("double")
+           + F.lit(0.5))
+        / (F.col("__df").cast("double") + F.lit(0.5))
+    )
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl").cast("double") / F.col("__avgdl")
+    )
+    # bm25_score sums one contribution per QUERY OCCURRENCE of a term
+    # (its Python loop includes duplicates) — weight by query tf to match
+    from collections import Counter
+
+    qcounts = Counter(terms)
+    qtf = F.create_map(
+        *[x for t, c in qcounts.items()
+          for x in (F.lit(t), F.lit(float(c)))]
+    )
+    contrib = (
+        idf * F.col("tf").cast("double") * F.lit(k1 + 1.0) / denom
+        * qtf[F.col("term")]
+    )
+    per_doc = scored.groupBy("doc").agg(F.sum(contrib).alias("__s"))
+    return (
+        doclens.select("doc", "dl")
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "dl",
+            F.coalesce(F.col("__s"), F.lit(0.0)).alias("score"),
+        )
+    )
+
+
 def phrase_search(
     index: DataFrame, phrase: str, proximity: int = 0
 ) -> DataFrame:
