@@ -61,6 +61,7 @@ def delta_save(
     session: Optional[Session] = None,
     save_kwargs: Optional[dict] = None,
     ann_index: Optional[dict] = None,
+    bm25_index: Optional[dict] = None,
     _job_extra: str = "",
 ) -> DataChain:
     """Incrementally (re)compute ``name`` from ``source``.
@@ -92,6 +93,11 @@ def delta_save(
       re-assigned (passed as ``changed_keys`` when the delta key IS the
       index id; otherwise the refresh detects changes by in-plan vector
       comparison).
+    - ``bm25_index={"id_col": ..., "text_col": ...}`` maintains the
+      persisted lexical index the same way: full
+      ``bm25_index_dataset`` build on the first run, then
+      ``bm25_index_refresh`` — unchanged documents (by raw-text
+      fingerprint) are never re-tokenized.
 
     The source snapshot is persisted as an internal dataset
     ``<name>__delta_source`` so the next run has the exact previous version
@@ -104,15 +110,23 @@ def delta_save(
     save_kw = dict(save_kwargs or {})
 
     def _refresh_ann(changed_keys_df=None) -> None:
-        if not ann_index:
-            return
-        opts = dict(ann_index)
-        id_col = opts.pop("id_col")
-        if changed_keys_df is not None and keys == [id_col]:
-            opts["changed_keys"] = changed_keys_df
-        sess.metastore.ann_index_refresh(
-            sess.spark, name, id_col, **opts
-        )
+        if ann_index:
+            opts = dict(ann_index)
+            id_col = opts.pop("id_col")
+            if changed_keys_df is not None and keys == [id_col]:
+                opts["changed_keys"] = changed_keys_df
+            sess.metastore.ann_index_refresh(
+                sess.spark, name, id_col, **opts
+            )
+        if bm25_index:
+            if sess.metastore._newest_bm25_generation(
+                sess.spark, name
+            ) is None:
+                sess.metastore.bm25_index_dataset(
+                    sess.spark, name, **bm25_index
+                )
+            else:
+                sess.metastore.bm25_index_refresh(sess.spark, name)
 
     prev_result_rec = sess.metastore.get_record(name)
     prev_snap_rec = sess.metastore.get_record(snap_name)
@@ -188,12 +202,19 @@ def delta_save(
 
     n_changed = to_process.count()
     if n_changed == 0 and deleted.count() == 0 and prev_version.job_hash == job_hash:
+        # indexes requested for the first time on an unchanged run:
+        # build them for the existing version (full build, once)
         if ann_index and sess.metastore._newest_ann_generation(
             sess.spark, name
         ) is None:
-            # index requested for the first time on an unchanged run:
-            # build it for the existing version (full build, once)
-            _refresh_ann()
+            opts = dict(ann_index)
+            sess.metastore.ann_index_refresh(
+                sess.spark, name, opts.pop("id_col"), **opts
+            )
+        if bm25_index and sess.metastore._newest_bm25_generation(
+            sess.spark, name
+        ) is None:
+            sess.metastore.bm25_index_dataset(sess.spark, name, **bm25_index)
         return DataChain(prev_df, sess)
 
     processed = process(to_process)
@@ -375,6 +396,7 @@ class DeltaChain:
             delta_retry=self._delta_retry,
             session=self._session,
             ann_index=kwargs.pop("ann_index", None),
+            bm25_index=kwargs.pop("bm25_index", None),
             save_kwargs=kwargs or None,
             _job_extra=extra,
         )

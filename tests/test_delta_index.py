@@ -139,6 +139,52 @@ def test_ann_refresh_falls_back_to_full_build(session, sf_dir, fresh_ms):
     assert idx.count() == emb.count()
 
 
+def test_delta_save_bm25_index_end_to_end(session, sf_dir, fresh_ms):
+    """delta_save(bm25_index=...) keeps the lexical index current: the
+    refreshed-index search equals a direct bm25_score scan of the
+    updated corpus."""
+    from datachain_spark.ops.retrieval import bm25_score
+
+    docs = dc.read_parquet(
+        f"{sf_dir}/documents.parquet", session=session
+    ).filter(dc.C("doc_id") < 150)
+    v1 = docs.filter(dc.C("doc_id") % 3 != 0)
+    bm = dict(id_col="doc_id")
+    delta_save(v1, lambda ch: ch, "dbm", "doc_id",
+               delta_compare="doc_id", bm25_index=bm)
+    delta_save(docs, lambda ch: ch, "dbm", "doc_id",
+               delta_compare="doc_id", bm25_index=bm)
+    got = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in fresh_ms.bm25_search(
+            session.spark, "dbm", "spark window merge"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_score(docs.df, "spark window merge", "doc_id").collect()
+    }
+    assert got == want
+
+
+def test_flag_api_delta_with_indexes(session, sf_dir, fresh_ms):
+    """The reference-style flag API (read_parquet(delta=True).save) carries
+    zone/ann/bm25 index kwargs through to delta_save."""
+    orders = dc.read_parquet(
+        f"{sf_dir}/orders.parquet", session=session, delta=True,
+        delta_on="o_orderkey",
+    )
+    out = orders.mutate(k2=dc.C("o_orderkey") * 2).save(
+        "flagidx", zorder_by=["o_orderkey"], zorder_files=4,
+        zone_index=["o_orderkey"],
+    )
+    assert out.count() > 0
+    rep = fresh_ms.prune_stats(
+        session.spark, "flagidx", {"o_orderkey": (0, 5)}
+    ).first()
+    assert rep["kept_files"] < rep["total_files"]
+
+
 def test_compact_refreshes_linked_indexes(session, sf_dir, fresh_ms):
     """Compaction rewrites files: the zone map must be rebuilt on the new
     layout and the IVF index re-linked — the compacted version keeps the
