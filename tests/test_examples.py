@@ -36,3 +36,7 @@ def test_warehouse_layout_example():
 
 def test_hybrid_search_example():
     _run("hybrid_search.py")
+
+
+def test_incremental_indexes_example():
+    _run("incremental_indexes.py")
