@@ -1100,6 +1100,7 @@ class Metastore:
         keep_last: int = 3,
         older_than: Optional[float] = None,
         dry_run: bool = False,
+        gc_indexes: bool = True,
     ) -> list[str]:
         """Retention GC: delete all but the newest ``keep_last`` versions
         of a dataset (by semver), returning the removed version strings.
@@ -1114,6 +1115,13 @@ class Metastore:
         descriptive (the reference's convention) and not a retention lock.
         No reference counterpart (its SQLite warehouse has no file GC);
         the write-side complement of ``compact_dataset``.
+
+        ``gc_indexes`` (default True) also removes zone/IVF/BM25 index
+        versions whose SOURCE data version was just vacuumed — a zone map
+        indexes files and postings/cells index rows, so they are useless
+        once the data is gone. PROFILE versions are deliberately KEPT:
+        answering release questions about vacuumed history from sketch
+        state is exactly what ops/release exists for.
         """
         if keep_last < 1:
             raise ValueError("vacuum_dataset: keep_last must be >= 1")
@@ -1133,7 +1141,30 @@ class Metastore:
         if not dry_run:
             for version in doomed:
                 self.delete_dataset(name, version=version)
+            if gc_indexes and doomed:
+                self._gc_index_versions(name, set(doomed))
         return doomed
+
+    #: per-version index datasets and the attr linking them to their
+    #: source data version — profiles are EXCLUDED on purpose (see
+    #: vacuum_dataset: sketch state outlives the data it profiles)
+    _INDEX_SUFFIXES = (
+        ("__zones", "zones_of_version"),
+        ("__ivf", "ivf_of_version"),
+        ("__ivf_centroids", "ivf_of_version"),
+        ("__bm25", "bm25_of_version"),
+        ("__bm25_docs", "bm25_of_version"),
+    )
+
+    def _gc_index_versions(self, name: str, removed: set) -> None:
+        for suffix, key in self._INDEX_SUFFIXES:
+            sns, sproj, sbase = split_name(f"{name}{suffix}")
+            rec = self._read_record(sns, sproj, sbase)
+            if rec is None:
+                continue
+            for v in list(rec.versions):
+                if v.attrs.get(key) in removed:
+                    self.delete_dataset(f"{name}{suffix}", version=v.version)
 
     def _drop_bucket_tables(self, versions: list[DatasetVersion]) -> None:
         """Best-effort catalog cleanup for bucketed versions (the files go

@@ -223,7 +223,13 @@ def release_report(
             )
         old_ver = older[-1].version
     else:
-        old_ver = rec.get_version(v_old).version
+        try:
+            old_ver = rec.get_version(v_old).version
+        except Exception:
+            # the whole point of sketch-state comparison: the old DATA
+            # version may already be vacuumed — an exact version string
+            # still resolves through its surviving profile
+            old_ver = str(v_old)
 
     old_prof, old_attrs = _profile_for(sess, name, old_ver)
     new_prof, new_attrs = _profile_for(sess, name, new_ver)

@@ -225,6 +225,35 @@ def test_compact_refreshes_linked_indexes(session, sf_dir, fresh_ms):
         )
 
 
+def test_vacuum_gcs_indexes_keeps_profiles(session, sf_dir, fresh_ms):
+    """Vacuuming a data version removes its (now useless) zone/IVF/BM25
+    index versions but KEEPS its profile — the release gate answers
+    about vacuumed history from sketch state."""
+    from datachain_spark.ops.release import profile_version, release_report
+
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    cfg = dict(group_cols="o_orderpriority", value_col="o_totalprice",
+               lo=0.0, hi=600000.0, bins=64, session=session)
+    for flt in (dc.C("o_orderkey") % 3 != 0, dc.C("o_orderkey") >= 0):
+        orders.filter(flt).save("vgc", zone_index=["o_orderkey"])
+        profile_version("vgc", **cfg)
+    removed = fresh_ms.vacuum_dataset("vgc", keep_last=1)
+    assert removed == ["1.0.0"]
+    # the vacuumed version's zone index is gone...
+    zrec = fresh_ms.get_record("vgc__zones")
+    assert all(
+        v.attrs.get("zones_of_version") != "1.0.0" for v in zrec.versions
+    )
+    # ...the surviving version's index still answers...
+    rep = fresh_ms.prune_stats(
+        session.spark, "vgc", {"o_orderkey": (0, 5)}
+    ).first()
+    assert rep["total_files"] >= 1
+    # ...and the release report still compares v2 against VACUUMED v1
+    rows = release_report("vgc", v_old="1.0.0").collect()
+    assert rows and all(r["n_rows_new"] >= r["n_rows_old"] for r in rows)
+
+
 def test_delta_save_ann_index_end_to_end(session, sf_dir, fresh_ms):
     """delta_save(ann_index=...) keeps the searchable index current:
     full-probe search after the incremental run equals brute force over
