@@ -964,6 +964,71 @@ class Metastore:
             bucket_by=["term"], num_buckets=16,
         )
 
+    def gram_index_dataset(
+        self,
+        spark: SparkSession,
+        name: str,
+        id_col: str,
+        text_col: str = "text",
+        ngram: int = 3,
+        version: Optional[str] = None,
+    ) -> DatasetVersion:
+        """Build and persist the word-n-gram posting frame of a saved
+        version (ops/text.substring_index) as ``{name}__grams``,
+        BUCKETED by ``ngram_hash`` so a :meth:`find_substring` probe's
+        ``IN`` filter prunes buckets — the phrase-search sibling of the
+        zone/IVF/BM25 per-version indexes."""
+        from ..ops.text import substring_index
+
+        df, _rec, dv = self.load_dataset(spark, name, version)
+        idx = substring_index(df, id_col, text_col, ngram=ngram)
+        return self.save_dataset(
+            idx, f"{name}__grams",
+            attrs={"grams_of": name, "grams_of_version": dv.version,
+                   "grams_id_col": id_col, "grams_text_col": text_col,
+                   "grams_ngram": str(int(ngram))},
+            dependencies=[{"dataset": name, "version": dv.version}],
+            bucket_by=["ngram_hash"], num_buckets=16,
+        )
+
+    def find_substring(
+        self,
+        spark: SparkSession,
+        name: str,
+        needle: str,
+        version: Optional[str] = None,
+    ) -> DataFrame:
+        """Exact word-boundary phrase search over a saved version through
+        its persisted gram index (ops/text.find_substring): candidates
+        from the index under a pushed IN filter, phrase confirmation
+        only on candidate documents. Returns ``(id_col, pos)``."""
+        from ..ops.text import find_substring as _fs
+
+        ns, proj, base = split_name(name)
+        rec = self._read_record(ns, proj, base)
+        if rec is None:
+            raise DatasetNotFoundError(f"dataset not found: {name}")
+        dv = rec.get_version(version)
+        gns, gproj, gbase = split_name(f"{name}__grams")
+        grec = self._read_record(gns, gproj, gbase)
+        matches = [
+            v for v in (grec.versions if grec else [])
+            if v.attrs.get("grams_of_version") == dv.version
+        ]
+        if not matches:
+            raise DatasetNotFoundError(
+                f"no gram index for {name}@{dv.version} — build one with "
+                "gram_index_dataset(name, id_col)"
+            )
+        best = max(matches, key=lambda v: parse_version(v.version))
+        idx, _, _ = self.load_dataset(spark, f"{name}__grams", best.version)
+        corpus, _, _ = self.load_dataset(spark, name, dv.version)
+        return _fs(
+            corpus, idx, needle,
+            best.attrs["grams_id_col"], best.attrs["grams_text_col"],
+            ngram=int(best.attrs.get("grams_ngram", "3")),
+        )
+
     def _newest_bm25_generation(
         self, spark: SparkSession, name: str
     ) -> Optional[tuple[DataFrame, DataFrame, dict]]:
@@ -1154,6 +1219,7 @@ class Metastore:
         ("__ivf_centroids", "ivf_of_version"),
         ("__bm25", "bm25_of_version"),
         ("__bm25_docs", "bm25_of_version"),
+        ("__grams", "grams_of_version"),
     )
 
     def _gc_index_versions(self, name: str, removed: set) -> None:

@@ -97,6 +97,33 @@ def test_md5_family_parity(session, corpus):
     assert got == {1, 6}
 
 
+def test_metastore_gram_index_workflow(session, corpus, tmp_path):
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.error import DatasetNotFoundError
+
+    old = session.metastore
+    ms = session.metastore = Metastore(str(tmp_path / "ms"))
+    try:
+        import datachain_spark as dc
+
+        dc.DataChain(corpus, session).save("gidx")
+        with pytest.raises(DatasetNotFoundError, match="no gram index"):
+            ms.find_substring(session.spark, "gidx", "quick brown fox jumps")
+        ms.gram_index_dataset(session.spark, "gidx", "doc_id")
+        got = {r["doc_id"] for r in ms.find_substring(
+            session.spark, "gidx", "quick brown fox jumps"
+        ).collect()}
+        assert got == {1, 6}
+        # vacuum GC also covers the gram index
+        dc.DataChain(corpus, session).save("gidx")
+        ms.gram_index_dataset(session.spark, "gidx", "doc_id")
+        ms.vacuum_dataset("gidx", keep_last=1)
+        grec = ms.get_record("gidx__grams")
+        assert len(grec.versions) == 1  # v1's index was GC'd with v1
+    finally:
+        session.metastore = old
+
+
 def test_index_scan_pushes_the_in_filter(session, corpus, tmp_path):
     # the stored-index probe must reach the parquet scan as a pushed
     # IN(ngram_hash, ...) predicate — the whole point of persisting it
