@@ -800,7 +800,14 @@ class Metastore:
                 "__chg", F.lit(True)
             )
             joined = joined.join(ck, on=id_col, how="left")
-            changed = F.col("__prev_cell").isNull() | F.col("__chg")
+            # __chg is NULL (not False) for keys absent from changed_keys
+            # — coalesce it BEFORE the OR, or three-valued logic turns
+            # every unchanged row into NULL and the conservative outer
+            # coalesce reassigns the whole corpus (correct but no longer
+            # incremental)
+            changed = F.col("__prev_cell").isNull() | F.coalesce(
+                F.col("__chg"), F.lit(False)
+            )
         else:
             changed = F.col("__prev_vec").isNull() | (
                 F.col(vec_col) != F.col("__prev_vec")

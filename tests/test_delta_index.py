@@ -127,6 +127,44 @@ def test_ann_refresh_handles_modify_and_delete(session, sf_dir, fresh_ms):
     assert {(r["vec_id"], r["cell"]) for r in rows} == want
 
 
+def test_ann_refresh_changed_keys_reuses_stored_assignments(
+    session, sf_dir, fresh_ms
+):
+    """With changed_keys, rows NOT in the set must keep their STORED
+    cells (no recomputation): tamper one stored assignment for an
+    unchanged id and assert the tampered value survives the refresh —
+    a refresh that silently reassigned everything would 'fix' it."""
+    emb = _emb(session, sf_dir)
+    base = emb.filter(dc.C("vec_id") < 20)
+    base.save("akeys")
+    fresh_ms.ann_index_dataset(
+        session.spark, "akeys", "vec_id", num_cells=4, kmeans_iters=1
+    )
+    # tamper: force vec_id 7's stored cell to an impossible value
+    idx, cents = fresh_ms._load_ann_index(session.spark, "akeys", None)
+    tampered = idx.withColumn(
+        "cell",
+        F.when(F.col("vec_id") == 7, F.lit(99)).otherwise(F.col("cell")),
+    )
+    rec = fresh_ms.get_record("akeys__ivf")
+    v = rec.latest_version()
+    fresh_ms.save_dataset(
+        tampered, "akeys__ivf", attrs=dict(v.attrs),
+        bucket_by=["cell"], num_buckets=4,
+    )
+    base.save("akeys")  # new (identical) version
+    ck = session.spark.createDataFrame([(1,)], "vec_id long")
+    fresh_ms.ann_index_refresh(
+        session.spark, "akeys", "vec_id", changed_keys=ck
+    )
+    idx2, _ = fresh_ms._load_ann_index(session.spark, "akeys", None)
+    got7 = idx2.filter(F.col("vec_id") == 7).first()["cell"]
+    assert got7 == 99  # stored assignment reused, not recomputed
+    # the changed key WAS recomputed (a real cell, not tampered state)
+    got1 = idx2.filter(F.col("vec_id") == 1).first()["cell"]
+    assert 0 <= got1 < 4
+
+
 def test_ann_refresh_falls_back_to_full_build(session, sf_dir, fresh_ms):
     emb = _emb(session, sf_dir)
     emb.save("afresh")
