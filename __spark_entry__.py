@@ -10712,8 +10712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group_md5": sample_per_group_md5,
         # -- r05 TPC-H overflow: q2 in-window, q4+ queue for r10 --
         "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
         # ================= overflow (slot 51+) =================
+        "q4_order_priority": q4_order_priority,
         # -- TPC-H shapes: q5_asia + q7-q22 (last verdict r05) queued
         #    first for the r10 window; q1/q3/q5_region/q6 are r08-green --
         "q6_forecast_revenue": q6_forecast_revenue,

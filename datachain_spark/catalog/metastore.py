@@ -749,6 +749,7 @@ class Metastore:
         seed: int = 42,
         version: Optional[str] = None,
         changed_keys: Optional[DataFrame] = None,
+        changed_since: Optional[str] = None,
     ) -> DatasetVersion:
         """Incrementally refresh the IVF index for a NEW version of
         ``name`` from the newest existing index generation — the
@@ -773,6 +774,14 @@ class Metastore:
         comparing stored vs current vectors (array equality on one
         id-equi-join; no driver state).
 
+        ``changed_since``: the version string ``changed_keys`` was
+        diffed against. The key set is only sound when the refresh base
+        IS that version — if the newest index generation belongs to a
+        different version (e.g. an intermediate save ran without index
+        maintenance), the keys are silently ignored and the refresh
+        falls back to the vector comparison, which is correct against
+        ANY base.
+
         100-TB shape: ONE id-shuffle join of the new version against the
         previous index, codegen assignment only on the changed slice —
         no k-means retraining scans, no full-corpus distance pass.
@@ -786,6 +795,15 @@ class Metastore:
                 kmeans_iters=kmeans_iters, seed=seed, version=version,
             )
         prev_idx, cents, prev_gen = prev
+        if (
+            changed_keys is not None
+            and changed_since is not None
+            and changed_since != prev_gen
+        ):
+            # the key set was diffed against a version that is NOT the
+            # refresh base — rows changed in between would keep stale
+            # cells; the in-plan vector comparison is correct vs any base
+            changed_keys = None
 
         df, _rec, dv = self.load_dataset(spark, name, version)
         new = df.select(id_col, vec_col)

@@ -189,7 +189,15 @@ def main(argv: list[str] | None = None) -> int:
         # bounds, string/date/timestamp zones keep the string (Spark
         # casts the literal against the column side, not vice versa).
         if isinstance(idx.schema[mcol].dataType, T.NumericType):
-            lo, hi = float(args.lo), float(args.hi)
+            try:
+                lo, hi = float(args.lo), float(args.hi)
+            except ValueError:
+                print(
+                    f"--lo/--hi must be numeric for zone column "
+                    f"{args.col!r} (got {args.lo!r}, {args.hi!r})",
+                    file=sys.stderr,
+                )
+                return 1
         else:
             lo, hi = args.lo, args.hi
         rep = prune_report(idx, {args.col: (lo, hi)}).first()

@@ -109,12 +109,16 @@ def delta_save(
     snap_name = f"{name}__delta_source"
     save_kw = dict(save_kwargs or {})
 
-    def _refresh_ann(changed_keys_df=None) -> None:
+    def _refresh_ann(changed_keys_df=None, diffed_against=None) -> None:
         if ann_index:
             opts = dict(ann_index)
             id_col = opts.pop("id_col")
             if changed_keys_df is not None and keys == [id_col]:
                 opts["changed_keys"] = changed_keys_df
+                # the key set is only sound against the version this run
+                # diffed from — the refresh drops it (vector-compare
+                # fallback) when its base generation is a different one
+                opts["changed_since"] = diffed_against
             sess.metastore.ann_index_refresh(
                 sess.spark, name, id_col, **opts
             )
@@ -202,19 +206,27 @@ def delta_save(
 
     n_changed = to_process.count()
     if n_changed == 0 and deleted.count() == 0 and prev_version.job_hash == job_hash:
-        # indexes requested for the first time on an unchanged run:
-        # build them for the existing version (full build, once)
-        if ann_index and sess.metastore._newest_ann_generation(
-            sess.spark, name
-        ) is None:
-            opts = dict(ann_index)
-            sess.metastore.ann_index_refresh(
-                sess.spark, name, opts.pop("id_col"), **opts
-            )
-        if bm25_index and sess.metastore._newest_bm25_generation(
-            sess.spark, name
-        ) is None:
-            sess.metastore.bm25_index_dataset(sess.spark, name, **bm25_index)
+        # indexes requested but missing OR linked to an OLDER version
+        # (e.g. an intermediate run saved without index maintenance):
+        # bring them up to the current latest version now
+        if ann_index:
+            gen = sess.metastore._newest_ann_generation(sess.spark, name)
+            if gen is None or gen[2] != prev_version.version:
+                opts = dict(ann_index)
+                sess.metastore.ann_index_refresh(
+                    sess.spark, name, opts.pop("id_col"), **opts
+                )
+        if bm25_index:
+            bgen = sess.metastore._newest_bm25_generation(sess.spark, name)
+            if bgen is None or bgen[2].get(
+                "bm25_of_version"
+            ) != prev_version.version:
+                if bgen is None:
+                    sess.metastore.bm25_index_dataset(
+                        sess.spark, name, **bm25_index
+                    )
+                else:
+                    sess.metastore.bm25_index_refresh(sess.spark, name)
         return DataChain(prev_df, sess)
 
     processed = process(to_process)
@@ -234,7 +246,8 @@ def delta_save(
 
     result = merged.save(name, **save_kw)
     _refresh_ann(
-        changed_keys_df=_key_sel(to_process.df) if len(keys) == 1 else None
+        changed_keys_df=_key_sel(to_process.df) if len(keys) == 1 else None,
+        diffed_against=prev_version.version,
     )
     source.save(snap_name)
     _stamp_job_hash(sess, name, job_hash)

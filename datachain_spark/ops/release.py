@@ -262,13 +262,23 @@ def release_report(
             )
         return df.select(*keys, *cols)
 
-    joined = _side(old_prof, "old").join(
-        _side(new_prof, "new"), on=keys, how="full"
-    )
+    # null-SAFE key equality: profile_sketch keeps a NULL group key as a
+    # real group; a plain on=keys join would split it into one vanished
+    # + one appeared row instead of comparing it
+    lhs = _side(old_prof, "old").alias("l")
+    rhs = _side(new_prof, "new").alias("r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+        cond = c if cond is None else cond & c
+    joined = lhs.join(rhs, cond, "full")
     n_old = F.coalesce(F.col("n_rows_old"), F.lit(0).cast("long"))
     n_new = F.coalesce(F.col("n_rows_new"), F.lit(0).cast("long"))
     out_cols = [
-        *keys,
+        *[
+            F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k)
+            for k in keys
+        ],
         n_old.alias("n_rows_old"),
         n_new.alias("n_rows_new"),
         (n_new - n_old).cast("long").alias("n_rows_delta"),

@@ -1415,7 +1415,10 @@ def substring_index(
     candidate documents — never the corpus text. One distinct row per
     (doc, gram); size is bounded by total words, like the span-dedup
     gram table (ops/dedup.remove_duplicate_spans)."""
-    rows = shingle_rows(df, id_col, text_col, n=ngram, distinct=True)
+    # distinct=False + one distinct over the HASH projection: the hash
+    # collapses duplicate shingles anyway, so deduping shingle_rows first
+    # would just add a second (wider) shuffle to every index build
+    rows = shingle_rows(df, id_col, text_col, n=ngram, distinct=False)
     return rows.select(
         F.col("__id").alias(id_col),
         _hash64(F.col("__shingle"), hash_fn).alias("ngram_hash"),
@@ -1459,9 +1462,15 @@ def find_substring(
     """
     import re as _re
 
+    # re.ASCII: Spark's Java regex \w/\s are ASCII-only, Python's are
+    # Unicode — without the flag a needle with accented word chars
+    # normalizes differently from the index/confirm side and silently
+    # matches nothing (the tokenize_query precedent, ops/retrieval.py)
     words = [
         w for w in _re.split(
-            r"\s+", _re.sub(r"[^\w\s]", "", needle.lower()).strip()
+            r"\s+",
+            _re.sub(r"[^\w\s]", "", needle.lower(), flags=_re.ASCII).strip(),
+            flags=_re.ASCII,
         ) if w
     ]
     if len(words) < ngram:

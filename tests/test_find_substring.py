@@ -82,6 +82,21 @@ def test_word_boundary_semantics(session):
     assert got == [2]  # 'concat dog food' is not a word-boundary hit
 
 
+def test_non_ascii_needle_normalizes_like_the_index(session):
+    # Spark's Java \w is ASCII-only; the needle normalization must use
+    # re.ASCII too, or an accented needle hashes different grams and
+    # silently matches nothing (review finding)
+    df = session.spark.createDataFrame(
+        [(1, "le café est ouvert ce matin"), (2, "nothing here at all")],
+        "doc_id int, text string",
+    )
+    idx = substring_index(df, "doc_id", ngram=3)
+    got = [r["doc_id"] for r in
+           find_substring(df, idx, "le café est ouvert", "doc_id", ngram=3)
+           .collect()]
+    assert got == [1]
+
+
 def test_needle_below_index_resolution_raises(session, corpus):
     idx = substring_index(corpus, "doc_id", ngram=3)
     with pytest.raises(ValueError, match="resolves phrases"):
