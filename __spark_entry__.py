@@ -10379,6 +10379,41 @@ def release_report_orders(spark, sf):
         sess.metastore = old_ms
 
 
+def release_vacuumed_orders(spark, sf):
+    """The sketch-state report answering about VACUUMED history
+    (vacuum_dataset keeps profiles while GC'ing the data and its
+    zone/IVF/BM25/gram indexes): v1 is profiled then its DATA version is
+    vacuumed away; release_report(v_old='1.0.0') must still produce the
+    identical comparison from v1's surviving profile — the oracle (the
+    same raw-row replay as release_report_orders) recomputes v1's side
+    from the rows the engine no longer has."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.ops.release import profile_version, release_report
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_relv_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    try:
+        orders = _chain(spark, sf, "orders")
+        name = "relv_" + uuid.uuid4().hex[:8]
+        cfg = dict(group_cols="o_orderpriority", value_col="o_totalprice",
+                   lo=0.0, hi=600000.0, bins=64, session=sess)
+        orders.filter(C.o_orderkey % 3 != 0).save(name)
+        profile_version(name, **cfg)
+        orders.save(name)
+        profile_version(name, **cfg)
+        removed = ms.vacuum_dataset(name, keep_last=1)
+        assert removed == ["1.0.0"], removed
+        return release_report(name, v_old="1.0.0", session=sess).orderBy(
+            "o_orderpriority"
+        )
+    finally:
+        sess.metastore = old_ms
+
+
 RELEASE_REPORT_SQL = """
 WITH p AS (SELECT 0.0 AS lo, 600000.0 AS hi, 64 AS nb, 0.5 AS eps),
 v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
@@ -10630,15 +10665,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotates to overflow.
 
     r09 rotation (r08 verdict task 1, executed): verification debt is
-    zero, so the window rotates purely by staleness. It holds the 5
+    zero, so the window rotates purely by staleness. It holds the 6
     r09-new entries (delta-path zone/IVF index refresh, sketch-state
-    release report, gram-index phrase search, incremental BM25 index —
-    nothing new accrues debt), the 4 entries whose last external verdict is r03, all 29
+    release report incl. the vacuumed-history path, gram-index phrase
+    search, incremental BM25 index — nothing new accrues debt), the 4 entries whose last external verdict is r03, all 29
     whose last verdict is r04, the r05 roundtrip/IO wave the verdict
     named (csv/jsonl/parquet-partition/database/orc/text roundtrips,
     save_version_pinned, save_read_roundtrip, delta_incremental,
-    sample_shuffle_chunk, sample_per_group), and the first r05 TPC-H
-    shape (q2; q4 and the rest queue for r10). The whole r08 window (50/50 green in
+    sample_shuffle_chunk, sample_per_group); the r05 TPC-H overflow
+    (q2, q4, q5_asia, q7-q22) queues first for r10. The whole r08 window (50/50 green in
     CORRECTNESS_r08) rotates to overflow.
 
     r10 window plan: continue the staleness rotation — the remaining
@@ -10655,14 +10690,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     remains visible (tiered runs record per-entry sweep provenance)."""
     return {
         # ===== r09 window (slots 1-50): pure staleness rotation =====
-        # -- the 5 r09 additions (index-refresh-through-delta, release
-        #    review from sketch state, gram-index phrase search,
-        #    incremental BM25 index) --
+        # -- the 6 r09 additions (index-refresh-through-delta, release
+        #    review from sketch state incl. vacuumed history, gram-index
+        #    phrase search, incremental BM25 index) --
         "delta_zone_refresh_orders": delta_zone_refresh_orders,
         "delta_ivf_refresh_emb": delta_ivf_refresh_emb,
         "release_report_orders": release_report_orders,
         "find_substring_docs": find_substring_docs,
         "bm25_index_refresh_docs": bm25_index_refresh_docs,
+        "release_vacuumed_orders": release_vacuumed_orders,
         # -- stalest greens: last external verdict r03 --
         "mutate_case_buckets": mutate_case_buckets,
         "union_all_groups": union_all_groups,
@@ -10710,9 +10746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_incremental": delta_incremental_ro,
         "sample_shuffle_chunk": sample_shuffle_chunk_ro,
         "sample_per_group_md5": sample_per_group_md5,
-        # -- r05 TPC-H overflow: q2 in-window, q4+ queue for r10 --
-        "q2_min_cost_supplier": q2_min_cost_supplier,
         # ================= overflow (slot 51+) =================
+        "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
         # -- TPC-H shapes: q5_asia + q7-q22 (last verdict r05) queued
         #    first for the r10 window; q1/q3/q5_region/q6 are r08-green --
@@ -11116,6 +11151,7 @@ def oracle_sql() -> dict[str, str]:
         "release_report_orders": RELEASE_REPORT_SQL,
         "find_substring_docs": FIND_SUBSTRING_SQL,
         "bm25_index_refresh_docs": _bm25_sql(),
+        "release_vacuumed_orders": RELEASE_REPORT_SQL,
         "prune_zones_2col_orders": PRUNE_ZONES_2COL_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,
