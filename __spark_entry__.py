@@ -10379,6 +10379,35 @@ def release_report_orders(spark, sf):
         sess.metastore = old_ms
 
 
+def dedup_components_incr(spark, sf):
+    """Incremental cluster-label maintenance
+    (ops/dedup.connected_components_incremental): components of docs
+    0-99 are computed once and STORED as labels; docs 100-149 arrive and
+    only the pairs INVOLVING them are fed in together with the label
+    edges (the star-contracted old graph). The result — including old
+    members relabeled when a new doc bridges two old clusters — must
+    hash-match the from-scratch transitive closure DuckDB computes over
+    the FULL pair graph (the dedup_components oracle), so a maintenance
+    path that missed a bridge, kept a stale label, or dropped a
+    singleton fails the hash."""
+    docs = _chain(spark, sf, "documents").df.filter(F.col("doc_id") < 150)
+    old = docs.filter(F.col("doc_id") < 100)
+    labels = dedup.connected_components(
+        dedup.ngram_jaccard_pairs(
+            old, "doc_id", "text", shingle_size=2, threshold=0.12
+        )
+    )
+    pairs_all = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=2, threshold=0.12
+    )
+    new_pairs = pairs_all.filter(
+        (F.col("id_a") >= 100) | (F.col("id_b") >= 100)
+    )
+    return dedup.connected_components_incremental(
+        labels, new_pairs
+    ).orderBy("id")
+
+
 def release_vacuumed_orders(spark, sf):
     """The sketch-state report answering about VACUUMED history
     (vacuum_dataset keeps profiles while GC'ing the data and its
@@ -10665,15 +10694,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotates to overflow.
 
     r09 rotation (r08 verdict task 1, executed): verification debt is
-    zero, so the window rotates purely by staleness. It holds the 6
+    zero, so the window rotates purely by staleness. It holds the 7
     r09-new entries (delta-path zone/IVF index refresh, sketch-state
     release report incl. the vacuumed-history path, gram-index phrase
-    search, incremental BM25 index — nothing new accrues debt), the 4 entries whose last external verdict is r03, all 29
+    search, incremental BM25 index, incremental connected components —
+    nothing new accrues debt), the 4 entries whose last external verdict is r03, all 29
     whose last verdict is r04, the r05 roundtrip/IO wave the verdict
     named (csv/jsonl/parquet-partition/database/orc/text roundtrips,
     save_version_pinned, save_read_roundtrip, delta_incremental,
-    sample_shuffle_chunk, sample_per_group); the r05 TPC-H overflow
-    (q2, q4, q5_asia, q7-q22) queues first for r10. The whole r08 window (50/50 green in
+    sample_shuffle_chunk; sample_per_group slid to overflow with the
+    last addition); the r05 TPC-H overflow (q2, q4, q5_asia, q7-q22)
+    and sample_per_group queue first for r10. The whole r08 window (50/50 green in
     CORRECTNESS_r08) rotates to overflow.
 
     r10 window plan: continue the staleness rotation — the remaining
@@ -10690,15 +10721,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     remains visible (tiered runs record per-entry sweep provenance)."""
     return {
         # ===== r09 window (slots 1-50): pure staleness rotation =====
-        # -- the 6 r09 additions (index-refresh-through-delta, release
+        # -- the 7 r09 additions (index-refresh-through-delta, release
         #    review from sketch state incl. vacuumed history, gram-index
-        #    phrase search, incremental BM25 index) --
+        #    phrase search, incremental BM25 index, incremental
+        #    connected components) --
         "delta_zone_refresh_orders": delta_zone_refresh_orders,
         "delta_ivf_refresh_emb": delta_ivf_refresh_emb,
         "release_report_orders": release_report_orders,
         "find_substring_docs": find_substring_docs,
         "bm25_index_refresh_docs": bm25_index_refresh_docs,
         "release_vacuumed_orders": release_vacuumed_orders,
+        "dedup_components_incr": dedup_components_incr,
         # -- stalest greens: last external verdict r03 --
         "mutate_case_buckets": mutate_case_buckets,
         "union_all_groups": union_all_groups,
@@ -10745,8 +10778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "save_read_roundtrip": save_read_roundtrip_ro,
         "delta_incremental": delta_incremental_ro,
         "sample_shuffle_chunk": sample_shuffle_chunk_ro,
-        "sample_per_group_md5": sample_per_group_md5,
         # ================= overflow (slot 51+) =================
+        "sample_per_group_md5": sample_per_group_md5,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
         # -- TPC-H shapes: q5_asia + q7-q22 (last verdict r05) queued
@@ -11152,6 +11185,7 @@ def oracle_sql() -> dict[str, str]:
         "find_substring_docs": FIND_SUBSTRING_SQL,
         "bm25_index_refresh_docs": _bm25_sql(),
         "release_vacuumed_orders": RELEASE_REPORT_SQL,
+        "dedup_components_incr": COMPONENTS_SQL,
         "prune_zones_2col_orders": PRUNE_ZONES_2COL_SQL,
         "mad_outliers_orders": MAD_OUTLIERS_SQL,
         "webdataset_roundtrip": WEBDATASET_RT_SQL,

@@ -1357,6 +1357,49 @@ def dedup_eval(
     )
 
 
+def connected_components_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Maintain dedup cluster labels as the corpus grows WITHOUT
+    recomputing components over the historical pair graph (the
+    incremental story applied to the cluster state itself; sibling of
+    :func:`minhash_dedup_incremental`, which already avoids re-pairing
+    history via the stored signature index).
+
+    The stored ``(id, component)`` labels are exactly the star-contracted
+    form of the old graph — every member holds an edge to its min-id
+    representative — so the union of those label edges with the NEW
+    pairs (new-new and new-vs-old, e.g. from the signature-index match)
+    has the SAME components as the full pair graph. Running
+    :func:`connected_components` on that union costs |V_old| label edges
+    (already star-shaped, converging in about one round) plus the new
+    pairs, instead of the corpus-wide similarity join.
+
+    Semantics are those of the full graph: a new document that touches
+    two old clusters BRIDGES them, relabeling historical members — the
+    component is min-reachable-id over everything, which is why the
+    incremental result hash-matches a from-scratch rebuild (oracled).
+    Old singleton labels untouched by any new pair pass through
+    unchanged; new documents appear exactly when they appear in
+    ``new_pairs`` (same contract as the base operator).
+    """
+    lbl_edges = labels.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_a), F.col("component").alias(id_b)
+    )
+    edges = lbl_edges.unionByName(
+        new_pairs.select(F.col(id_a), F.col(id_b))
+    )
+    comp = connected_components(edges, id_a, id_b, **cc_kwargs)
+    passthrough = labels.join(comp, "id", "left_anti").select(
+        "id", "component"
+    )
+    return comp.unionByName(passthrough)
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,

@@ -209,6 +209,62 @@ def test_connected_components_chains(session):
     assert comp2 == comp
 
 
+def test_connected_components_incremental(session):
+    """Incremental label maintenance == from-scratch components, across
+    the interesting shapes: a new doc bridging two old clusters, a new
+    doc attaching to one cluster, a purely-new cluster, and untouched
+    old singleton labels passing through."""
+    import random
+
+    old_pairs = dc.read_values(
+        session=session, id_a=[1, 2, 10, 20], id_b=[2, 3, 11, 21]
+    )
+    labels = dedup.connected_components(old_pairs.df)
+    # new doc 100 BRIDGES clusters {1,2,3} and {10,11}; 101 attaches to
+    # {20,21}; 200-201 form a brand-new cluster
+    new_pairs = dc.read_values(
+        session=session,
+        id_a=[100, 100, 101, 200],
+        id_b=[3, 10, 21, 201],
+    )
+    inc = {(r["id"], r["component"]) for r in
+           dedup.connected_components_incremental(
+               labels, new_pairs.df).collect()}
+    full = dc.read_values(
+        session=session,
+        id_a=[1, 2, 10, 20, 100, 100, 101, 200],
+        id_b=[2, 3, 11, 21, 3, 10, 21, 201],
+    )
+    want = {(r["id"], r["component"]) for r in
+            dedup.connected_components(full.df).collect()}
+    assert inc == want
+    assert dict(inc)[11] == 1  # old member relabeled across the bridge
+
+    # randomized equivalence: split a random edge set at a vertex cutoff
+    rnd = random.Random(7)
+    edges = sorted({(rnd.randint(1, 60), rnd.randint(1, 60))
+                    for _ in range(80) if True})
+    edges = [(a, b) for a, b in edges if a != b]
+    cut = 40
+    old_e = [(a, b) for a, b in edges if a <= cut and b <= cut]
+    new_e = [(a, b) for a, b in edges if a > cut or b > cut]
+    labels = dedup.connected_components(dc.read_values(
+        session=session,
+        id_a=[a for a, _ in old_e], id_b=[b for _, b in old_e]).df)
+    inc = {(r["id"], r["component"]) for r in
+           dedup.connected_components_incremental(
+               labels,
+               dc.read_values(session=session,
+                              id_a=[a for a, _ in new_e],
+                              id_b=[b for _, b in new_e]).df).collect()}
+    want = {(r["id"], r["component"]) for r in
+            dedup.connected_components(dc.read_values(
+                session=session,
+                id_a=[a for a, _ in edges],
+                id_b=[b for _, b in edges]).df).collect()}
+    assert inc == want
+
+
 def test_connected_components_star_algorithm(session):
     """Large-star/small-star must produce identical components to label
     propagation — on chains (worst case for propagation), stars, and a
