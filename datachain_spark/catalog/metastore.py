@@ -525,17 +525,36 @@ class Metastore:
         ]
         if imatches:
             newest = max(imatches, key=lambda v: parse_version(v.version))
-            idx, _, _ = self.load_dataset(spark, f"{name}__ivf", newest.version)
-            others = [c for c in idx.columns if c != "cell"]
-            vec_col = next(
-                (c for c in others
-                 if dict(idx.dtypes)[c].startswith("array")), None
-            )
-            id_cols = [c for c in others if c != vec_col]
-            if vec_col and len(id_cols) == 1:
+            # id/vec column names are stamped in the index attrs at build
+            # time; fall back to schema inference only for indexes built
+            # before the attrs existed
+            id_col = newest.attrs.get("ivf_id_col")
+            vec_col = newest.attrs.get("ivf_vec_col")
+            if not (id_col and vec_col):
+                idx, _, _ = self.load_dataset(
+                    spark, f"{name}__ivf", newest.version
+                )
+                others = [c for c in idx.columns if c != "cell"]
+                vec_col = next(
+                    (c for c in others
+                     if dict(idx.dtypes)[c].startswith("array")), None
+                )
+                id_cols = [c for c in others if c != vec_col]
+                id_col = id_cols[0] if len(id_cols) == 1 else None
+            if id_col and vec_col:
                 self.ann_index_refresh(
-                    spark, name, id_cols[0], vec_col=vec_col,
+                    spark, name, id_col, vec_col=vec_col,
                     version=new_dv.version,
+                )
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"compact_dataset: could not infer the id/vector "
+                    f"columns of {name}__ivf@{newest.version} — the "
+                    "compacted version is NOT ann_search-able; rebuild "
+                    "with ann_index_dataset",
+                    stacklevel=2,
                 )
 
     def list_datasets(self) -> list[DatasetRecord]:
@@ -723,7 +742,8 @@ class Metastore:
             id_col, vec_col, "cell"
         )
         link = {"ivf_of": name, "ivf_of_version": dv.version,
-                "ivf_cells": str(len(cents))}
+                "ivf_cells": str(len(cents)),
+                "ivf_id_col": id_col, "ivf_vec_col": vec_col}
         cent_df = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "cell int, centroid array<double>",
@@ -788,6 +808,16 @@ class Metastore:
         """
         from ..ops.similarity import assign_ivf_cells
 
+        if changed_keys is not None and changed_since is None:
+            # an incomplete key set with no base version would silently
+            # keep stale cell assignments for rows whose vectors changed
+            # outside the set — force callers to state what the keys were
+            # diffed against (delta_save always does)
+            raise ValueError(
+                "ann_index_refresh: changed_keys requires changed_since="
+                "<the version the keys were diffed against>; omit both to "
+                "detect changes by in-plan vector comparison"
+            )
         prev = self._newest_ann_generation(spark, name)
         if prev is None:
             return self.ann_index_dataset(
@@ -842,6 +872,7 @@ class Metastore:
 
         link = {"ivf_of": name, "ivf_of_version": dv.version,
                 "ivf_cells": str(len(cents)),
+                "ivf_id_col": id_col, "ivf_vec_col": vec_col,
                 "ivf_refreshed_from": prev_gen}
         cent_df = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -1002,16 +1033,133 @@ class Metastore:
         version (ops/text.substring_index) as ``{name}__grams``,
         BUCKETED by ``ngram_hash`` so a :meth:`find_substring` probe's
         ``IN`` filter prunes buckets — the phrase-search sibling of the
-        zone/IVF/BM25 per-version indexes."""
+        zone/IVF/BM25 per-version indexes. Also persists
+        ``{name}__grams_docs`` — per-document raw-text fingerprints, the
+        change detector :meth:`gram_index_refresh` joins on so unchanged
+        documents are never re-shingled."""
         from ..ops.text import substring_index
 
         df, _rec, dv = self.load_dataset(spark, name, version)
         idx = substring_index(df, id_col, text_col, ngram=ngram)
+        link = {"grams_of": name, "grams_of_version": dv.version,
+                "grams_id_col": id_col, "grams_text_col": text_col,
+                "grams_ngram": str(int(ngram))}
+        self.save_dataset(
+            self._gram_fingerprints(df, id_col, text_col),
+            f"{name}__grams_docs", attrs=dict(link),
+            dependencies=[{"dataset": name, "version": dv.version}],
+        )
         return self.save_dataset(
-            idx, f"{name}__grams",
-            attrs={"grams_of": name, "grams_of_version": dv.version,
-                   "grams_id_col": id_col, "grams_text_col": text_col,
-                   "grams_ngram": str(int(ngram))},
+            idx, f"{name}__grams", attrs=dict(link),
+            dependencies=[{"dataset": name, "version": dv.version}],
+            bucket_by=["ngram_hash"], num_buckets=16,
+        )
+
+    @staticmethod
+    def _gram_fingerprints(
+        df: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+        )
+
+    def _newest_grams_generation(
+        self, spark: SparkSession, name: str
+    ) -> Optional[tuple[DataFrame, Optional[DataFrame], dict]]:
+        """(postings, fingerprint docs or None, attrs) of the newest gram
+        index generation of ``name``; None when never indexed. The docs
+        frame is None for indexes built before the fingerprint table
+        existed — refresh falls back to a full rebuild there."""
+        gns, gproj, gbase = split_name(f"{name}__grams")
+        grec = self._read_record(gns, gproj, gbase)
+        if grec is None or not grec.versions:
+            return None
+        best = max(grec.versions, key=lambda v: parse_version(v.version))
+        gen = best.attrs.get("grams_of_version", "")
+        idx, _, _ = self.load_dataset(spark, f"{name}__grams", best.version)
+        dns, dproj, dbase = split_name(f"{name}__grams_docs")
+        drec = self._read_record(dns, dproj, dbase)
+        matches = [
+            v for v in (drec.versions if drec else [])
+            if v.attrs.get("grams_of_version") == gen
+        ]
+        docs = None
+        if matches:
+            dbest = max(matches, key=lambda v: parse_version(v.version))
+            docs, _, _ = self.load_dataset(
+                spark, f"{name}__grams_docs", dbest.version
+            )
+        return idx, docs, dict(best.attrs)
+
+    def gram_index_refresh(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: Optional[str] = None,
+    ) -> DatasetVersion:
+        """Incrementally refresh the gram index for a NEW version of
+        ``name`` from the newest existing generation: documents whose
+        raw-text FINGERPRINT is unchanged keep their stored posting rows
+        — they are never re-shingled — and only new/changed documents
+        pay the shingle + hash cost. Deleted ids drop (the fingerprint
+        table starts from the new version's rows). Raises when no
+        earlier generation exists; rebuilds from scratch when the stored
+        generation predates the fingerprint table (legacy index).
+
+        100-TB shape: one cheap fingerprint projection over the new
+        version, one id-join against the stored fingerprint table, one
+        doc-semi-join to carry unchanged postings, shingling only on the
+        churn — the :meth:`bm25_index_refresh` pattern applied to the
+        phrase-search index (r09 verdict task 7)."""
+        from ..ops.text import substring_index
+
+        prev = self._newest_grams_generation(spark, name)
+        if prev is None:
+            raise DatasetNotFoundError(
+                f"no gram index for {name!r} — build one with "
+                "gram_index_dataset(name, id_col)"
+            )
+        prev_idx, prev_docs, attrs = prev
+        id_col = attrs["grams_id_col"]
+        text_col = attrs["grams_text_col"]
+        ngram = int(attrs.get("grams_ngram", "3"))
+        if prev_docs is None:
+            return self.gram_index_dataset(
+                spark, name, id_col, text_col, ngram=ngram, version=version
+            )
+
+        df, _rec, dv = self.load_dataset(spark, name, version)
+        fp_new = self._gram_fingerprints(df, id_col, text_col).withColumnRenamed(
+            "fp", "__fp_new"
+        )
+        match = fp_new.join(
+            prev_docs.select("doc", F.col("fp").alias("__fp_old")),
+            "doc", "left",
+        )
+        unchanged_ids = match.filter(
+            F.col("__fp_old").isNotNull()
+            & (F.col("__fp_new") == F.col("__fp_old"))
+        ).select("doc")
+        changed_rows = df.join(
+            unchanged_ids.withColumnRenamed("doc", id_col),
+            id_col, "left_anti",
+        )
+        new_idx = substring_index(changed_rows, id_col, text_col, ngram=ngram)
+        postings = prev_idx.join(
+            unchanged_ids.withColumnRenamed("doc", id_col), id_col, "left_semi"
+        ).unionByName(new_idx)
+        link = {"grams_of": name, "grams_of_version": dv.version,
+                "grams_id_col": id_col, "grams_text_col": text_col,
+                "grams_ngram": str(ngram),
+                "grams_refreshed_from": attrs.get("grams_of_version", "")}
+        self.save_dataset(
+            self._gram_fingerprints(df, id_col, text_col),
+            f"{name}__grams_docs", attrs=dict(link),
+            dependencies=[{"dataset": name, "version": dv.version}],
+        )
+        return self.save_dataset(
+            postings, f"{name}__grams", attrs=dict(link),
             dependencies=[{"dataset": name, "version": dv.version}],
             bucket_by=["ngram_hash"], num_buckets=16,
         )
@@ -1245,6 +1393,7 @@ class Metastore:
         ("__bm25", "bm25_of_version"),
         ("__bm25_docs", "bm25_of_version"),
         ("__grams", "grams_of_version"),
+        ("__grams_docs", "grams_of_version"),
     )
 
     def _gc_index_versions(self, name: str, removed: set) -> None:

@@ -62,6 +62,8 @@ def delta_save(
     save_kwargs: Optional[dict] = None,
     ann_index: Optional[dict] = None,
     bm25_index: Optional[dict] = None,
+    gram_index: Optional[dict] = None,
+    profile: Optional[dict] = None,
     _job_extra: str = "",
 ) -> DataChain:
     """Incrementally (re)compute ``name`` from ``source``.
@@ -98,6 +100,22 @@ def delta_save(
       ``bm25_index_dataset`` build on the first run, then
       ``bm25_index_refresh`` — unchanged documents (by raw-text
       fingerprint) are never re-tokenized.
+    - ``gram_index={"id_col": ..., "text_col": ..., "ngram": ...}``
+      maintains the persisted phrase-search gram index
+      (``gram_index_dataset`` / ``gram_index_refresh``) with the same
+      fingerprint-join churn-only cost, so ``find_substring`` always
+      probes an index of the newest version (r09 verdict task 7).
+    - ``profile={"group_cols": ..., "value_col": ..., "lo": ...,
+      "hi": ..., "bins": ..., "distinct_col": ...}`` keeps the release
+      gate's per-version PROFILE current (ops/release.profile_version,
+      r09 verdict task 2): a full profile on the first run; on
+      incremental runs the APPEND-ONLY fast path — sketch only this
+      run's processed rows and merge into the previous version's stored
+      profile — is taken exactly when the run reprocessed no existing
+      key and deleted none (merge == profile-the-union only then);
+      any modify/delete/retry churn forces a full re-profile of the new
+      version, honoring the contract at ops/release.py
+      (``profile_version`` increment docstring).
 
     The source snapshot is persisted as an internal dataset
     ``<name>__delta_source`` so the next run has the exact previous version
@@ -131,6 +149,22 @@ def delta_save(
                 )
             else:
                 sess.metastore.bm25_index_refresh(sess.spark, name)
+        if gram_index:
+            if sess.metastore._newest_grams_generation(
+                sess.spark, name
+            ) is None:
+                sess.metastore.gram_index_dataset(
+                    sess.spark, name, **gram_index
+                )
+            else:
+                sess.metastore.gram_index_refresh(sess.spark, name)
+
+    def _refresh_profile(increment_df=None) -> None:
+        if not profile:
+            return
+        from .ops.release import profile_version
+
+        profile_version(name, session=sess, increment=increment_df, **profile)
 
     prev_result_rec = sess.metastore.get_record(name)
     prev_snap_rec = sess.metastore.get_record(snap_name)
@@ -141,6 +175,7 @@ def delta_save(
         # first run: full compute
         result = process(source).save(name, **save_kw)
         _refresh_ann()
+        _refresh_profile()
         source.save(snap_name)
         _stamp_job_hash(sess, name, job_hash)
         return result
@@ -205,7 +240,8 @@ def delta_save(
         to_process = DataChain(unioned, sess)
 
     n_changed = to_process.count()
-    if n_changed == 0 and deleted.count() == 0 and prev_version.job_hash == job_hash:
+    n_deleted = deleted.count() if (n_changed == 0 or profile) else None
+    if n_changed == 0 and n_deleted == 0 and prev_version.job_hash == job_hash:
         # indexes requested but missing OR linked to an OLDER version
         # (e.g. an intermediate run saved without index maintenance):
         # bring them up to the current latest version now
@@ -227,6 +263,32 @@ def delta_save(
                     )
                 else:
                     sess.metastore.bm25_index_refresh(sess.spark, name)
+        if gram_index:
+            ggen = sess.metastore._newest_grams_generation(sess.spark, name)
+            if ggen is None:
+                sess.metastore.gram_index_dataset(
+                    sess.spark, name, **gram_index
+                )
+            elif ggen[2].get("grams_of_version") != prev_version.version:
+                sess.metastore.gram_index_refresh(sess.spark, name)
+        if save_kw.get("zone_index"):
+            # zone maps rebuild inside .save(); a converged pipeline that
+            # just TURNED ON zone_index never reaches a save, so
+            # read_dataset(prune=...) would raise until the next real
+            # change — build the missing map for the current version here
+            from .error import DatasetNotFoundError
+
+            try:
+                sess.metastore._load_zone_index(
+                    sess.spark, name, prev_version.version
+                )
+            except DatasetNotFoundError:
+                sess.metastore.zone_index_dataset(
+                    sess.spark, name, list(save_kw["zone_index"]),
+                    version=prev_version.version,
+                )
+        if profile and not _has_profile(sess, name, prev_version.version):
+            _refresh_profile()
         return DataChain(prev_df, sess)
 
     processed = process(to_process)
@@ -249,9 +311,32 @@ def delta_save(
         changed_keys_df=_key_sel(to_process.df) if len(keys) == 1 else None,
         diffed_against=prev_version.version,
     )
+    if profile:
+        # the increment-merge fast path is sound only when this run was
+        # PURE APPEND: nothing deleted and no reprocessed key displaced a
+        # previous-result row (kept == the whole previous version, by its
+        # stored row count) — any churn double-counts in a merged sketch,
+        # so it re-profiles the new version from scratch instead
+        append_only = (
+            n_deleted == 0
+            and kept.count() == prev_version.num_rows
+            and _has_profile(sess, name, prev_version.version)
+        )
+        _refresh_profile(increment_df=processed.df if append_only else None)
     source.save(snap_name)
     _stamp_job_hash(sess, name, job_hash)
     return result
+
+
+def _has_profile(sess: Session, name: str, data_version: str) -> bool:
+    from .catalog.metastore import split_name
+
+    pns, pproj, pbase = split_name(f"{name}__profile")
+    prec = sess.metastore._read_record(pns, pproj, pbase)
+    return any(
+        v.attrs.get("profile_of_version") == data_version
+        for v in (prec.versions if prec else [])
+    )
 
 
 def _stamp_job_hash(sess: Session, name: str, job_hash: str) -> None:
@@ -410,6 +495,8 @@ class DeltaChain:
             session=self._session,
             ann_index=kwargs.pop("ann_index", None),
             bm25_index=kwargs.pop("bm25_index", None),
+            gram_index=kwargs.pop("gram_index", None),
+            profile=kwargs.pop("profile", None),
             save_kwargs=kwargs or None,
             _job_extra=extra,
         )

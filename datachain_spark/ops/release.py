@@ -223,12 +223,20 @@ def release_report(
             )
         old_ver = older[-1].version
     else:
+        from ..catalog.metastore import _VERSION_RE
+        from ..error import DatasetVersionNotFoundError
+
         try:
             old_ver = rec.get_version(v_old).version
-        except Exception:
+        except DatasetVersionNotFoundError:
             # the whole point of sketch-state comparison: the old DATA
-            # version may already be vacuumed — an exact version string
-            # still resolves through its surviving profile
+            # version may already be vacuumed — an EXACT version string
+            # still resolves through its surviving profile. A specifier
+            # (">=2.0") that matches nothing is a caller error, not
+            # vacuumed history — re-raise rather than probe profiles
+            # with a pattern they can never carry.
+            if not _VERSION_RE.match(str(v_old)):
+                raise
             old_ver = str(v_old)
 
     old_prof, old_attrs = _profile_for(sess, name, old_ver)

@@ -98,6 +98,9 @@ def main() -> int:
         if name not in targets:
             if name in prev:
                 out[name] = dict(prev[name])
+                # window membership is a property of the CURRENT registry
+                # order, not of the sweep that produced the carried result
+                out[name]["window"] = i < 50
                 if not out[name].get("ok", False):
                     n_fail += 1
             continue

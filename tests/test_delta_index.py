@@ -155,7 +155,8 @@ def test_ann_refresh_changed_keys_reuses_stored_assignments(
     base.save("akeys")  # new (identical) version
     ck = session.spark.createDataFrame([(1,)], "vec_id long")
     fresh_ms.ann_index_refresh(
-        session.spark, "akeys", "vec_id", changed_keys=ck
+        session.spark, "akeys", "vec_id", changed_keys=ck,
+        changed_since="1.0.0",
     )
     idx2, _ = fresh_ms._load_ann_index(session.spark, "akeys", None)
     got7 = idx2.filter(F.col("vec_id") == 7).first()["cell"]
@@ -324,3 +325,279 @@ def test_delta_save_ann_index_end_to_end(session, sf_dir, fresh_ms):
         "vec_id"
     ).collect()
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+
+def test_ann_refresh_changed_keys_requires_changed_since(
+    session, sf_dir, fresh_ms
+):
+    """changed_keys without changed_since is unsound (an incomplete key
+    set would silently keep stale assignments) — the API refuses it."""
+    emb = _emb(session, sf_dir)
+    emb.filter(dc.C("vec_id") < 20).save("areq")
+    fresh_ms.ann_index_dataset(
+        session.spark, "areq", "vec_id", num_cells=4, kmeans_iters=1
+    )
+    emb.filter(dc.C("vec_id") < 25).save("areq")
+    ck = session.spark.createDataFrame([(21,)], "vec_id long")
+    with pytest.raises(ValueError, match="changed_since"):
+        fresh_ms.ann_index_refresh(
+            session.spark, "areq", "vec_id", changed_keys=ck
+        )
+
+
+def test_ivf_attrs_carry_id_and_vec_cols(session, sf_dir, fresh_ms):
+    """id/vec column names are stamped in the index attrs at build time —
+    compaction's carry-over reads them instead of guessing from the
+    schema (which fails with composite ids)."""
+    emb = _emb(session, sf_dir).mutate(extra_id=F.col("vec_id") + 1)
+    emb.save("attrd")
+    fresh_ms.ann_index_dataset(
+        session.spark, "attrd", "vec_id", num_cells=4, kmeans_iters=1
+    )
+    rec = fresh_ms.get_record("attrd__ivf")
+    v = rec.latest_version()
+    assert v.attrs["ivf_id_col"] == "vec_id"
+    assert v.attrs["ivf_vec_col"] == "embedding"
+
+
+def test_compact_warns_when_ivf_cols_uninferrable(session, sf_dir, fresh_ms):
+    """A legacy index (no stamped attrs) whose schema has two candidate id
+    columns can't be carried over — the compaction must WARN, not
+    silently drop ann_search support."""
+    import warnings
+
+    emb = _emb(session, sf_dir).filter(dc.C("vec_id") < 20)
+    emb.save("legacy")
+    dv = fresh_ms.ann_index_dataset(
+        session.spark, "legacy", "vec_id", num_cells=4, kmeans_iters=1
+    )
+    # strip the stamped column attrs and add a second id-like column,
+    # simulating an index built before the attrs existed
+    idx, _, _ = fresh_ms.load_dataset(session.spark, "legacy__ivf")
+    rec = fresh_ms.get_record("legacy__ivf")
+    v = rec.latest_version()
+    attrs = {k: val for k, val in v.attrs.items()
+             if k not in ("ivf_id_col", "ivf_vec_col")}
+    fresh_ms.save_dataset(
+        idx.withColumn("vec_id2", F.col("vec_id")), "legacy__ivf",
+        attrs=attrs, bucket_by=["cell"], num_buckets=4,
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        fresh_ms.compact_dataset(
+            session.spark, "legacy", target_file_bytes=1 << 30
+        )
+    assert any("ann_search" in str(w.message) for w in caught)
+    _ = dv
+
+
+def test_gram_index_refresh_carries_unchanged_postings(
+    session, sf_dir, fresh_ms
+):
+    """Unchanged documents keep their STORED posting rows (never
+    re-shingled): tamper one stored posting of an unchanged doc and the
+    tampered row must survive the refresh."""
+    docs = dc.read_parquet(
+        f"{sf_dir}/documents.parquet", session=session
+    ).filter(dc.C("doc_id") < 100).select("doc_id", "text")
+    docs.save("gcarry")
+    fresh_ms.gram_index_dataset(session.spark, "gcarry", "doc_id")
+    idx, _, _ = fresh_ms.load_dataset(session.spark, "gcarry__grams")
+    rec = fresh_ms.get_record("gcarry__grams")
+    v = rec.latest_version()
+    bogus = session.spark.createDataFrame(
+        [(7, -12345)], "doc_id long, ngram_hash long"
+    )
+    fresh_ms.save_dataset(
+        idx.unionByName(bogus), "gcarry__grams", attrs=dict(v.attrs),
+        bucket_by=["ngram_hash"], num_buckets=16,
+    )
+    # v2 appends docs 100-119; doc 7 is untouched
+    dc.read_parquet(
+        f"{sf_dir}/documents.parquet", session=session
+    ).filter(dc.C("doc_id") < 120).select("doc_id", "text").save("gcarry")
+    fresh_ms.gram_index_refresh(session.spark, "gcarry")
+    idx2, _, _ = fresh_ms.load_dataset(session.spark, "gcarry__grams")
+    assert idx2.filter(
+        (F.col("doc_id") == 7) & (F.col("ngram_hash") == -12345)
+    ).count() == 1  # carried, not recomputed
+
+
+def test_gram_index_refresh_handles_modify_and_delete(
+    session, sf_dir, fresh_ms
+):
+    """Refreshed index == from-scratch rebuild after modify+delete churn."""
+    from datachain_spark.ops.text import substring_index
+
+    docs = dc.read_parquet(
+        f"{sf_dir}/documents.parquet", session=session
+    ).filter(dc.C("doc_id") < 60).select("doc_id", "text")
+    docs.save("gmod")
+    fresh_ms.gram_index_dataset(session.spark, "gmod", "doc_id")
+    v2 = docs.df.filter(F.col("doc_id") < 50).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") < 5,
+            F.concat(F.lit("totally new words here now "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    dc.DataChain(v2, session).save("gmod")
+    fresh_ms.gram_index_refresh(session.spark, "gmod")
+    idx, _, _ = fresh_ms.load_dataset(session.spark, "gmod__grams")
+    got = {(r["doc_id"], r["ngram_hash"]) for r in idx.collect()}
+    want = {
+        (r["doc_id"], r["ngram_hash"])
+        for r in substring_index(v2, "doc_id").collect()
+    }
+    assert got == want
+
+
+def test_delta_save_gram_index_end_to_end(session, sf_dir, fresh_ms):
+    """delta_save(gram_index=...) keeps the phrase-search index current:
+    find_substring through the metastore equals a direct probe of a
+    fresh index over the updated corpus."""
+    from datachain_spark.ops.text import find_substring, substring_index
+
+    docs = dc.read_parquet(
+        f"{sf_dir}/documents.parquet", session=session
+    ).filter(dc.C("doc_id") < 150).select("doc_id", "text")
+    v1 = docs.filter(dc.C("doc_id") % 3 != 0)
+    gi = dict(id_col="doc_id")
+    delta_save(v1, lambda ch: ch, "dgr", "doc_id",
+               delta_compare="doc_id", gram_index=gi)
+    delta_save(docs, lambda ch: ch, "dgr", "doc_id",
+               delta_compare="doc_id", gram_index=gi)
+    words = (
+        docs.df.filter(F.col("doc_id") == 3)
+        .select(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), r"[^\w\s]", "")), r"\s+").alias("w"))
+        .first()["w"]
+    )
+    needle = " ".join(words[0:4])
+    got = {
+        (r["doc_id"], r["pos"])
+        for r in fresh_ms.find_substring(session.spark, "dgr", needle).collect()
+    }
+    want = {
+        (r["doc_id"], r["pos"])
+        for r in find_substring(
+            docs.df, substring_index(docs.df, "doc_id"), needle, "doc_id"
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_delta_save_profile_increment_and_churn(session, sf_dir, fresh_ms):
+    """profile= through delta_save: a pure-append run takes the
+    increment-merge path; churn (modified keys) forces a full
+    re-profile; either way the stored profile is row-identical to
+    profiling the whole version from scratch."""
+    from datachain_spark.ops import release as release_mod
+    from datachain_spark.ops.release import release_report
+    from datachain_spark.ops.sketches import profile_sketch
+
+    calls = []
+    real = release_mod.profile_version
+
+    def spy(name, *a, **kw):
+        calls.append(kw.get("increment") is not None)
+        return real(name, *a, **kw)
+
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    cfg = dict(group_cols="o_orderpriority", value_col="o_totalprice",
+               lo=0.0, hi=600000.0, bins=32)
+
+    import unittest.mock as mock
+    with mock.patch.object(release_mod, "profile_version", side_effect=spy):
+        # run 1: full profile; run 2: pure append -> increment path
+        delta_save(orders.filter(dc.C("o_orderkey") % 3 == 1),
+                   lambda ch: ch, "dprof", "o_orderkey",
+                   delta_compare="o_orderkey", profile=cfg)
+        delta_save(orders.filter(dc.C("o_orderkey") % 3 != 0),
+                   lambda ch: ch, "dprof", "o_orderkey",
+                   delta_compare="o_orderkey", profile=cfg)
+    assert calls == [False, True]
+
+    def _stored_profile():
+        df, _, _ = fresh_ms.load_dataset(session.spark, "dprof__profile")
+        return {
+            r["o_orderpriority"]:
+            (r["n_rows"], r["n_value"], round(r["sum_x"], 6),
+             r["min_x"], r["max_x"], tuple(r["hist"]))
+            for r in df.collect()
+        }
+
+    def _truth(chain):
+        return {
+            r["o_orderpriority"]:
+            (r["n_rows"], r["n_value"], round(r["sum_x"], 6),
+             r["min_x"], r["max_x"], tuple(r["hist"]))
+            for r in profile_sketch(
+                chain.df, ["o_orderpriority"], value_col="o_totalprice",
+                lo=0.0, hi=600000.0, bins=32,
+            ).collect()
+        }
+
+    assert _stored_profile() == _truth(
+        orders.filter(dc.C("o_orderkey") % 3 != 0)
+    )
+
+    # run 3: MODIFY existing keys (totalprice doubled on %3==1 rows) ->
+    # the increment path would double-count; the wiring must re-profile
+    churned = orders.mutate(
+        o_totalprice=F.when(
+            dc.C("o_orderkey") % 3 == 1, F.col("o_totalprice") * 0.5
+        ).otherwise(F.col("o_totalprice"))
+    ).filter(dc.C("o_orderkey") % 3 != 0)
+    calls.clear()
+    with mock.patch.object(release_mod, "profile_version", side_effect=spy):
+        delta_save(churned, lambda ch: ch, "dprof", "o_orderkey",
+                   delta_compare="o_totalprice", profile=cfg)
+    assert calls == [False]  # full re-profile, not increment
+    assert _stored_profile() == _truth(churned)
+
+    # the release gate reads the delta-maintained profiles directly
+    rep = release_report("dprof", session=session)
+    assert rep.count() > 0
+
+
+def test_delta_zero_change_builds_missing_zone_index(
+    session, sf_dir, fresh_ms
+):
+    """Adding zone_index= to an ALREADY-CONVERGED delta pipeline must
+    build the missing zone map on the no-op run (not leave
+    read_dataset(prune=...) raising until the next real change)."""
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+
+    def proc(ch):
+        return ch.mutate(k2=F.col("o_orderkey") * 2)
+
+    delta_save(orders, proc, "dzc", "o_orderkey")
+    # converged run, zone_index newly requested
+    kw = dict(zone_index=["o_orderkey"])
+    delta_save(orders, proc, "dzc", "o_orderkey", save_kwargs=kw)
+    rep = fresh_ms.prune_stats(
+        session.spark, "dzc", {"o_orderkey": (0, 5)}
+    ).first()
+    assert rep["total_rows"] == orders.count()
+
+
+def test_delta_zero_change_catches_up_profile_and_grams(
+    session, sf_dir, fresh_ms
+):
+    """profile=/gram_index= newly requested on a converged pipeline are
+    built on the no-op run."""
+    docs = dc.read_parquet(
+        f"{sf_dir}/documents.parquet", session=session
+    ).filter(dc.C("doc_id") < 80).select("doc_id", "text")
+    delta_save(docs, lambda ch: ch, "dcz", "doc_id",
+               delta_compare="doc_id")
+    cfg = dict(group_cols=None, value_col="doc_id",
+               lo=0.0, hi=100.0, bins=8)
+    delta_save(docs, lambda ch: ch, "dcz", "doc_id",
+               delta_compare="doc_id", profile=cfg,
+               gram_index=dict(id_col="doc_id"))
+    pdf, _, _ = fresh_ms.load_dataset(session.spark, "dcz__profile")
+    assert pdf.count() == 1
+    gen = fresh_ms._newest_grams_generation(session.spark, "dcz")
+    assert gen is not None and gen[1] is not None

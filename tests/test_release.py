@@ -172,3 +172,22 @@ def test_schema_changes_no_scan(session, sf_dir, fresh_ms):
     assert rows["flag"]["status"] == "added"
     assert rows["o_totalprice"]["status"] == "type_changed"
     assert rows["o_orderkey"]["status"] == "unchanged"
+
+
+def test_release_report_unknown_specifier_raises(session, sf_dir, fresh_ms):
+    """A version SPECIFIER that matches nothing is a caller error — only
+    an exact (possibly vacuumed) version string falls through to the
+    profile lookup."""
+    from datachain_spark.error import DatasetVersionNotFoundError
+
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("relx")
+    profile_version("relx", **CFG)
+    orders.save("relx")
+    profile_version("relx", **CFG)
+    with pytest.raises(DatasetVersionNotFoundError):
+        release_report("relx", v_old=">=9.0")
+    # exact-but-absent version string still probes the profiles (and a
+    # version that never had one reports the profile, not the record)
+    with pytest.raises(ValueError, match="no stored profile"):
+        release_report("relx", v_old="0.9.9")
