@@ -10247,15 +10247,18 @@ def prune_zones_2col_orders(spark, sf):
 def delta_zone_refresh_orders(spark, sf):
     """Zone-map refresh through the delta path (delta.delta_save
     save_kwargs + chain.save(zone_index=...), r08 verdict task 4): v1 is
-    2/3 of orders processed and saved Z-ordered with a zone index; the
-    incremental run adds the remaining third, reprocesses ONLY those
-    rows, and rebuilds the zone map for the new version inside the same
-    save. The result is a PRUNED read (only files whose zones overlap
-    the bottom-quarter key range are scanned, row filter re-applied) —
-    the oracle recomputes the processed full table and filters, so a
-    zone index that lagged the incremental save (stale files, silently
-    skipped rows) fails the hash. Pruning reality (kept < total files)
-    is plan-guarded in tests/test_delta_index.py."""
+    2/3 of a 1-in-5 orders slice processed and saved Z-ordered with a
+    zone index; the incremental run adds the remaining third,
+    reprocesses ONLY those rows, and rebuilds the zone map for the new
+    version inside the same save. The result is a PRUNED read (only
+    files whose zones overlap the bottom-quarter key range are scanned,
+    row filter re-applied) — the oracle recomputes the processed slice
+    and filters, so a zone index that lagged the incremental save
+    (stale files, silently skipped rows) fails the hash. Pruning
+    reality (kept < total files) is plan-guarded in
+    tests/test_delta_index.py. The 1-in-5 slice + scoped shuffle
+    partitions are the r09 verdict's sweep-hygiene trim (task 3) — the
+    refresh-vs-rebuild discrimination is unchanged."""
     import tempfile
     import uuid
 
@@ -10265,8 +10268,10 @@ def delta_zone_refresh_orders(spark, sf):
     sess = Session.get(spark=spark)
     ms = Metastore(tempfile.mkdtemp(prefix="dc_dzr_"))
     old_ms, sess.metastore = sess.metastore, ms
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        orders = _chain(spark, sf, "orders")
+        orders = _chain(spark, sf, "orders").filter(C.o_orderkey % 5 == 1)
         name = "dzr_" + uuid.uuid4().hex[:8]
 
         def proc(ch):
@@ -10286,13 +10291,15 @@ def delta_zone_refresh_orders(spark, sf):
         )
     finally:
         sess.metastore = old_ms
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 DELTA_ZONE_REFRESH_SQL = """
-WITH b AS (SELECT max(o_orderkey) // 4 AS hi FROM orders)
+WITH o AS (SELECT * FROM orders WHERE o_orderkey % 5 = 1),
+b AS (SELECT max(o_orderkey) // 4 AS hi FROM o)
 SELECT o_orderkey, o_totalprice,
        CAST(o_totalprice * 2 AS DOUBLE) AS price2x
-FROM orders, b WHERE o_orderkey <= hi ORDER BY o_orderkey
+FROM o, b WHERE o_orderkey <= hi ORDER BY o_orderkey
 """
 
 
@@ -10317,6 +10324,8 @@ def delta_ivf_refresh_emb(spark, sf):
     sess = Session.get(spark=spark)
     ms = Metastore(tempfile.mkdtemp(prefix="dc_divf_"))
     old_ms, sess.metastore = sess.metastore, ms
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         emb = _chain(spark, sf, "embeddings").mutate(
             embedding=F.col("embedding").cast("array<double>")
@@ -10338,6 +10347,7 @@ def delta_ivf_refresh_emb(spark, sf):
         ).orderBy("dist_r", "vec_id")
     finally:
         sess.metastore = old_ms
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 def release_report_orders(spark, sf):
@@ -10640,6 +10650,381 @@ def bm25_index_refresh_docs(spark, sf):
         sess.metastore = old_ms
 
 
+def delta_profile_release(spark, sf):
+    """Version profiles maintained THROUGH the delta path (delta.
+    delta_save(profile=...), r09 verdict task 2): run 1 processes the
+    o_orderkey%3==1 slice and profiles it in full; run 2 appends the
+    %3==2 slice — a PURE APPEND, so the wiring takes the
+    increment-merge fast path (profile_version(increment=<the delta's
+    processed rows>) — sketches ONLY the new rows, folds them into v1's
+    stored profile); release_report then compares the two versions from
+    nothing but the two stored profiles. The oracle replays the whole
+    report (counts, means, min/max, 64-bin histogram, Laplace-smoothed
+    PSI, interpolated p50) from raw rows — so a delta wiring that
+    profiled the wrong slice, took the increment path on churn, or
+    merged incorrectly fails the hash."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.delta import delta_save
+    from datachain_spark.ops.release import release_report
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_dpr_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        orders = _chain(spark, sf, "orders")
+        name = "dpr_" + uuid.uuid4().hex[:8]
+        cfg = dict(group_cols="o_orderpriority", value_col="o_totalprice",
+                   lo=0.0, hi=600000.0, bins=64)
+        delta_save(orders.filter(C.o_orderkey % 3 == 1), lambda ch: ch,
+                   name, "o_orderkey", delta_compare="o_orderkey",
+                   profile=cfg)
+        delta_save(orders.filter(C.o_orderkey % 3 != 0), lambda ch: ch,
+                   name, "o_orderkey", delta_compare="o_orderkey",
+                   profile=cfg)
+        return release_report(name, session=sess).orderBy(
+            "o_orderpriority"
+        )
+    finally:
+        sess.metastore = old_ms
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+DELTA_PROFILE_RELEASE_SQL = """
+WITH p AS (SELECT 0.0 AS lo, 600000.0 AS hi, 64 AS nb, 0.5 AS eps),
+v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+v2 AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+so AS (
+  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(o_totalprice) AS BIGINT) AS n_value,
+         sum(o_totalprice) AS sum_x,
+         min(o_totalprice) AS min_x, max(o_totalprice) AS max_x
+  FROM v1 GROUP BY 1
+),
+sn AS (
+  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(o_totalprice) AS BIGINT) AS n_value,
+         sum(o_totalprice) AS sum_x,
+         min(o_totalprice) AS min_x, max(o_totalprice) AS max_x
+  FROM v2 GROUP BY 1
+),
+ho AS (
+  SELECT o_orderpriority AS g,
+         LEAST(nb - 1, GREATEST(0, CAST(FLOOR(
+           (o_totalprice - lo) / ((hi - lo) / nb)) AS INT))) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM v1, p WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+hn AS (
+  SELECT o_orderpriority AS g,
+         LEAST(nb - 1, GREATEST(0, CAST(FLOOR(
+           (o_totalprice - lo) / ((hi - lo) / nb)) AS INT))) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM v2, p WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+grid AS (
+  SELECT g, CAST(r.range AS INT) AS b
+  FROM (SELECT DISTINCT o_orderpriority AS g FROM v2)
+  CROSS JOIN range(0, 64) r
+),
+fo AS (
+  SELECT grid.g, grid.b, COALESCE(ho.c, 0) AS c
+  FROM grid LEFT JOIN ho ON ho.g = grid.g AND ho.b = grid.b
+),
+fn AS (
+  SELECT grid.g, grid.b, COALESCE(hn.c, 0) AS c
+  FROM grid LEFT JOIN hn ON hn.g = grid.g AND hn.b = grid.b
+),
+psi AS (
+  SELECT fo.g,
+         sum(((fn.c + eps) / (sn.n_value + eps * nb)
+              - (fo.c + eps) / (so.n_value + eps * nb))
+             * LN(((fn.c + eps) / (sn.n_value + eps * nb))
+                  / ((fo.c + eps) / (so.n_value + eps * nb)))) AS psi
+  FROM fo
+  JOIN fn ON fn.g = fo.g AND fn.b = fo.b
+  JOIN so ON so.g = fo.g JOIN sn ON sn.g = fo.g, p
+  GROUP BY fo.g
+),
+qo AS (
+  SELECT g, b, c,
+         sum(c) OVER (PARTITION BY g ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM fo
+),
+po AS (
+  SELECT g, lo + ((hi - lo) / nb) * (b + (0.5 * n - (cum - c)) / c) AS p50
+  FROM (
+    SELECT qo.*, lo, hi, nb,
+           row_number() OVER (PARTITION BY g ORDER BY b) AS rn
+    FROM qo, p WHERE cum >= 0.5 * n
+  ) WHERE rn = 1
+),
+qn AS (
+  SELECT g, b, c,
+         sum(c) OVER (PARTITION BY g ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM fn
+),
+pn AS (
+  SELECT g, lo + ((hi - lo) / nb) * (b + (0.5 * n - (cum - c)) / c) AS p50
+  FROM (
+    SELECT qn.*, lo, hi, nb,
+           row_number() OVER (PARTITION BY g ORDER BY b) AS rn
+    FROM qn, p WHERE cum >= 0.5 * n
+  ) WHERE rn = 1
+)
+SELECT so.g AS o_orderpriority,
+       so.n_rows AS n_rows_old, sn.n_rows AS n_rows_new,
+       CAST(sn.n_rows - so.n_rows AS BIGINT) AS n_rows_delta,
+       so.n_value AS n_value_old, sn.n_value AS n_value_new,
+       ROUND(so.sum_x / so.n_value, 6) AS mean_old,
+       ROUND(sn.sum_x / sn.n_value, 6) AS mean_new,
+       so.min_x AS min_old, sn.min_x AS min_new,
+       so.max_x AS max_old, sn.max_x AS max_new,
+       ROUND(psi.psi, 6) AS psi,
+       ROUND(po.p50, 6) AS p50_old, ROUND(pn.p50, 6) AS p50_new
+FROM so
+JOIN sn ON sn.g = so.g
+JOIN psi ON psi.g = so.g
+JOIN po ON po.g = so.g
+JOIN pn ON pn.g = so.g
+ORDER BY o_orderpriority
+"""
+
+
+def promote_gate_orders(spark, sf):
+    """The composed publish gate (ops/release.promote_report, r09
+    verdict task 9): drift thresholds read off the two stored profiles
+    (psi <= 0.2 passes — same distribution family; row growth of ~50%
+    per group FAILS the 0.3 delta budget — the gate catching a
+    suspicious volume jump), per-group row floors, and three expectation
+    rules folded into ONE aggregation over the candidate version
+    (not_null and in_range pass; the keys_mod3 rule fails with exactly
+    the count of %3==0 rows). The oracle replays every check — the PSI
+    fold, the delta fractions, the rule violation counts — from raw
+    rows, so a gate that mis-joined a check, mis-thresholded, or
+    silently dropped a failing row fails the hash. The raise-on-block
+    policy gate (promote / PromotionBlockedError) and the schema-change
+    checks are unit-pinned in tests/test_release.py."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.ops import expectations as ex
+    from datachain_spark.ops.release import profile_version, promote_report
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_pgo_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        orders = _chain(spark, sf, "orders")
+        name = "pgo_" + uuid.uuid4().hex[:8]
+        cfg = dict(group_cols="o_orderpriority", value_col="o_totalprice",
+                   lo=0.0, hi=600000.0, bins=64, session=sess)
+        orders.filter(C.o_orderkey % 3 != 0).save(name)
+        profile_version(name, **cfg)
+        orders.save(name)
+        profile_version(name, **cfg)
+        rep = promote_report(
+            name,
+            policy=dict(max_psi=0.2, max_abs_row_delta_frac=0.3,
+                        min_rows=10),
+            rules=[
+                ex.not_null("o_totalprice"),
+                ex.in_range("o_totalprice", 0.0, 600000.0),
+                ex.expression("keys_mod3", "o_orderkey % 3 != 0"),
+            ],
+            session=sess,
+        )
+        return rep.orderBy("check", "target")
+    finally:
+        sess.metastore = old_ms
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+PROMOTE_GATE_SQL = """
+WITH p AS (SELECT 0.0 AS lo, 600000.0 AS hi, 64 AS nb, 0.5 AS eps),
+v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+v2 AS (SELECT * FROM orders),
+so AS (
+  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(o_totalprice) AS BIGINT) AS n_value
+  FROM v1 GROUP BY 1
+),
+sn AS (
+  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(o_totalprice) AS BIGINT) AS n_value
+  FROM v2 GROUP BY 1
+),
+ho AS (
+  SELECT o_orderpriority AS g,
+         LEAST(nb - 1, GREATEST(0, CAST(FLOOR(
+           (o_totalprice - lo) / ((hi - lo) / nb)) AS INT))) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM v1, p WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+hn AS (
+  SELECT o_orderpriority AS g,
+         LEAST(nb - 1, GREATEST(0, CAST(FLOOR(
+           (o_totalprice - lo) / ((hi - lo) / nb)) AS INT))) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM v2, p WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+grid AS (
+  SELECT g, CAST(r.range AS INT) AS b
+  FROM (SELECT DISTINCT o_orderpriority AS g FROM v2)
+  CROSS JOIN range(0, 64) r
+),
+fo AS (
+  SELECT grid.g, grid.b, COALESCE(ho.c, 0) AS c
+  FROM grid LEFT JOIN ho ON ho.g = grid.g AND ho.b = grid.b
+),
+fn AS (
+  SELECT grid.g, grid.b, COALESCE(hn.c, 0) AS c
+  FROM grid LEFT JOIN hn ON hn.g = grid.g AND hn.b = grid.b
+),
+psi AS (
+  SELECT fo.g,
+         sum(((fn.c + eps) / (sn.n_value + eps * nb)
+              - (fo.c + eps) / (so.n_value + eps * nb))
+             * LN(((fn.c + eps) / (sn.n_value + eps * nb))
+                  / ((fo.c + eps) / (so.n_value + eps * nb)))) AS psi
+  FROM fo
+  JOIN fn ON fn.g = fo.g AND fn.b = fo.b
+  JOIN so ON so.g = fo.g JOIN sn ON sn.g = fo.g, p
+  GROUP BY fo.g
+),
+checks AS (
+  SELECT 'psi' AS "check", psi.g AS target,
+         ROUND(psi.psi, 6) AS value, 0.2 AS threshold,
+         ROUND(psi.psi, 6) <= 0.2 AS passed
+  FROM psi
+  UNION ALL
+  SELECT 'row_delta', so.g,
+         ROUND(ABS(CAST(sn.n_rows - so.n_rows AS DOUBLE)) / so.n_rows, 6),
+         0.3,
+         ROUND(ABS(CAST(sn.n_rows - so.n_rows AS DOUBLE)) / so.n_rows, 6)
+           <= 0.3
+  FROM so JOIN sn ON sn.g = so.g
+  UNION ALL
+  SELECT 'min_rows', sn.g, CAST(sn.n_rows AS DOUBLE), 10.0,
+         sn.n_rows >= 10
+  FROM sn
+  UNION ALL
+  SELECT 'expectation', 'not_null:o_totalprice',
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+              AS DOUBLE),
+         0.0,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) = 0
+  FROM v2
+  UNION ALL
+  SELECT 'expectation', 'in_range:o_totalprice',
+         CAST(sum(CASE WHEN o_totalprice IS NULL
+                        OR o_totalprice < 0.0
+                        OR o_totalprice > 600000.0
+                       THEN 1 ELSE 0 END) AS DOUBLE),
+         0.0,
+         sum(CASE WHEN o_totalprice IS NULL
+                   OR o_totalprice < 0.0
+                   OR o_totalprice > 600000.0
+                  THEN 1 ELSE 0 END) = 0
+  FROM v2
+  UNION ALL
+  SELECT 'expectation', 'keys_mod3',
+         CAST(sum(CASE WHEN NOT (o_orderkey % 3 <> 0)
+                       THEN 1 ELSE 0 END) AS DOUBLE),
+         0.0,
+         sum(CASE WHEN NOT (o_orderkey % 3 <> 0) THEN 1 ELSE 0 END) = 0
+  FROM v2
+)
+SELECT * FROM checks ORDER BY "check", target
+"""
+
+
+def gram_index_refresh_docs(spark, sf):
+    """Persisted gram index with incremental refresh (metastore.
+    gram_index_dataset/refresh + find_substring — the phrase-search
+    sibling of the BM25 fingerprint story, r09 verdict task 7): v1
+    indexes 2/3 of the capped documents table; the release adds the
+    remaining third (including doc 0, the needle's source) and
+    REFRESHES the index — documents whose raw-text fingerprint is
+    unchanged keep their stored posting rows and are never re-shingled,
+    only the churn pays the shingle+hash cost. The phrase probe over
+    the refreshed index must equal the position() truth DuckDB computes
+    over EVERY document of the updated corpus — a refresh that dropped,
+    duplicated, or stale-kept any posting row fails the hash.
+    Refreshed == rebuilt equality after modify+delete churn is
+    additionally pinned in tests/test_delta_index.py."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_gri_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        docs = _chain(spark, sf, "documents").filter(C.doc_id < 300)
+        name = "gri_" + uuid.uuid4().hex[:8]
+        docs.filter(C.doc_id % 3 != 0).save(name)
+        ms.gram_index_dataset(spark, name, "doc_id")
+        docs.save(name)
+        ms.gram_index_refresh(spark, name)
+        words = (
+            docs.df.filter(F.col("doc_id") == 0)
+            .select(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower(F.col("text")), r"[^\w\s]", ""
+                        )
+                    ),
+                    r"\s+",
+                ).alias("w")
+            )
+            .first()["w"]
+        )
+        needle = " ".join(words[3:7])
+        return ms.find_substring(spark, name, needle).orderBy("doc_id")
+    finally:
+        sess.metastore = old_ms
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+GRAM_INDEX_REFRESH_SQL = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id < 300),
+needle AS (
+  SELECT array_to_string(
+    string_split_regex(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')),
+                       '\\s+')[4:7], ' ') AS s
+  FROM corpus WHERE doc_id = 0
+),
+docs AS (
+  SELECT doc_id,
+         array_to_string(
+           string_split_regex(
+             trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')),
+             '\\s+'), ' ') AS norm
+  FROM corpus
+)
+SELECT doc_id,
+       CAST(position(' ' || needle.s || ' ' IN ' ' || norm || ' ')
+            AS BIGINT) AS pos
+FROM docs, needle
+WHERE position(' ' || needle.s || ' ' IN ' ' || norm || ' ') > 0
+ORDER BY doc_id
+"""
+
+
 PRUNE_ZONES_2COL_SQL = """
 WITH s AS (
   SELECT max(o_orderkey) // 4 + 1 AS sk, max(o_custkey) // 4 + 1 AS sc
@@ -10707,87 +11092,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and sample_per_group queue first for r10. The whole r08 window (50/50 green in
     CORRECTNESS_r08) rotates to overflow.
 
-    r10 window plan: continue the staleness rotation — the remaining
-    r05 TPC-H overflow (q5_asia, q7-q22, queued first in the overflow
-    section below), the rest of the r05 wave (gopher_gate,
-    quality_score_docs, decontaminate_bloom, url_blocklist, ann_ivf_*,
-    chunk_documents, lm_perplexity, pii_redact, pack/interleave,
-    knn_join_topk), then the r06 greens, plus any r09-new entries
-    whose verdict missed.
+    r10 rotation (r09 verdict task 1, executed verbatim): the window
+    holds the 3 r10-new entries (release gate maintained through
+    delta_save(profile=...), incremental gram-index refresh, the
+    composed promote publish gate — nothing new accrues debt), ALL 32
+    entries whose last external verdict is
+    r05 (the TPC-H overflow q2/q4/q5_asia/q7-q22, sample_per_group, and
+    the rest of the r05 wave: gopher_gate, quality_score_docs,
+    decontaminate_bloom, url_blocklist, ann_ivf_*, chunk_documents,
+    lm_perplexity, pii_redact, pack/interleave, knn_join_topk), padded
+    to 50 with the 15 stalest r06 greens (q1/q3/q5_region, bm25_score,
+    dsir, c4_gate, spans_dedup, corpus_stats, url_dedup,
+    contamination_report, semdedup, zorder_key, dedup_eval,
+    leakage_split, nb_classifier). The whole r09 window
+    (50/50 green in CORRECTNESS_r09) rotates to overflow.
+
+    r11 window plan: continue the staleness rotation — the remaining 31
+    r06 greens (pagerank_orders ... merge_expr_pred, queued first in
+    the overflow section below), then the r07 greens
+    (order_limit_offset, udf_*, semi_join, the sketch/eval wave), plus
+    any r10-new entries whose verdict missed.
 
     EVERY entry — window and overflow — is still verified locally each run
     by tests/test_oracle.py, and scripts/local_oracle.py emits the full
     result table to LOCAL_ORACLE.json so the externally-unchecked subset
     remains visible (tiered runs record per-entry sweep provenance)."""
     return {
-        # ===== r09 window (slots 1-50): pure staleness rotation =====
-        # -- the 7 r09 additions (index-refresh-through-delta, release
-        #    review from sketch state incl. vacuumed history, gram-index
-        #    phrase search, incremental BM25 index, incremental
-        #    connected components) --
-        "delta_zone_refresh_orders": delta_zone_refresh_orders,
-        "delta_ivf_refresh_emb": delta_ivf_refresh_emb,
-        "release_report_orders": release_report_orders,
-        "find_substring_docs": find_substring_docs,
-        "bm25_index_refresh_docs": bm25_index_refresh_docs,
-        "release_vacuumed_orders": release_vacuumed_orders,
-        "dedup_components_incr": dedup_components_incr,
-        # -- stalest greens: last external verdict r03 --
-        "mutate_case_buckets": mutate_case_buckets,
-        "union_all_groups": union_all_groups,
-        "diff_statuses": diff_statuses,
-        "ngram_jaccard_pairs": ngram_jaccard_ro,
-        # -- last external verdict r04 --
-        "minhash_pairs_md5": minhash_pairs_md5,
-        "simhash_pairs_md5": simhash_pairs_md5,
-        "winnow_fingerprints_md5": winnow_md5,
-        "read_database_sql": read_database_sql,
-        "events_sessionize": events_sessionize,
-        "explode_json_props": explode_json_props,
-        "text_quality_stats": text_quality_stats,
-        "group_by_expr_keys": group_by_expr_keys,
-        "rollup_orders": rollup_orders,
-        "pivot_status_qty": pivot_status_qty,
-        "stopword_lang_hits": stopword_lang_hits,
-        "salted_agg_events": salted_agg_events,
-        "segment_dedup_chunks": segment_dedup_chunks,
-        "decontaminate": decontaminate_query,
-        "vocabulary_top100": vocabulary_query,
-        "embedding_lsh_md5": embedding_lsh_md5,
-        "sharding_md5": sharding_md5,
-        "url_normalize": url_normalize,
-        "repetition_stats": repetition_stats_query,
-        "read_storage_listing": read_storage_ro,
-        "window_top3_per_cust": window_top3_per_cust,
-        "merge_multi_key": merge_multi_key,
-        "ngram_jaccard_oracle": ngram_jaccard_oracle,
-        "dedup_components": dedup_components,
-        "asof_join_events": asof_join_events,
-        "interval_join_buckets": interval_join_buckets,
-        "similarity_topk": similarity_topk,
-        "embedding_near_pairs": embedding_near_pairs,
-        "lang_id_counts": lang_id_ro,
-        # -- the r05 roundtrip/IO wave (r08 verdict task 1) --
-        "csv_roundtrip": csv_roundtrip,
-        "jsonl_roundtrip": jsonl_roundtrip,
-        "parquet_partition_roundtrip": parquet_partition_roundtrip,
-        "database_roundtrip": database_roundtrip,
-        "orc_roundtrip": orc_roundtrip,
-        "text_roundtrip": text_roundtrip,
-        "save_version_pinned": save_version_pinned,
-        "save_read_roundtrip": save_read_roundtrip_ro,
-        "delta_incremental": delta_incremental_ro,
-        "sample_shuffle_chunk": sample_shuffle_chunk_ro,
-        # ================= overflow (slot 51+) =================
+        # ===== r10 window (slots 1-50): staleness rotation =====
+        # -- the 2 r10 additions (profile-through-delta release gate,
+        #    incremental gram-index refresh) --
+        "delta_profile_release": delta_profile_release,
+        "gram_index_refresh_docs": gram_index_refresh_docs,
+        "promote_gate_orders": promote_gate_orders,
+        # -- stalest greens: last external verdict r05 (the TPC-H
+        #    overflow q2/q4/q5_asia/q7-q22 + the rest of the r05 wave,
+        #    queued verbatim from the r09 plan) --
         "sample_per_group_md5": sample_per_group_md5,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
-        # -- TPC-H shapes: q5_asia + q7-q22 (last verdict r05) queued
-        #    first for the r10 window; q1/q3/q5_region/q6 are r08-green --
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -10805,56 +11147,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_idle_balances": q22_idle_balances,
         "q5_asia_revenue": q5_asia_revenue,
-        # -- greens with verdicts r05-r08, stalest first next rounds --
-        "curation_report_docs": curation_report_docs,
-        "dataset_diff_versions": dataset_diff_versions,
-        "sketch_quantiles_orders": sketch_quantiles_orders,
-        "ann_eval_emb": ann_eval_emb,
-        "streaming_hourly_events": streaming_hourly_events,
-        "temporal_split_events": temporal_split_events,
-        "mad_outliers_orders": mad_outliers_orders,
-        "webdataset_roundtrip": webdataset_roundtrip,
-        "to_storage_roundtrip": to_storage_roundtrip,
-        "standardize_orders": standardize_orders,
-        "exact_dedup_incr_md5": exact_dedup_incr_md5,
-        "novelty_score_md5": novelty_score_md5,
-        "minhash_pairs": minhash_pairs_ro,
-        "simhash_pairs": simhash_pairs_ro,
-        "winnow_fingerprints": winnow_fingerprints_ro,
-        "temporal_split_approx_events": temporal_split_approx_events,
-        "streaming_exact_dedup": streaming_exact_dedup,
-        "streaming_late_data": streaming_late_data,
-        "sketch_merge_orders": sketch_merge_orders,
-        "contamination_matrix_docs": contamination_matrix_docs,
-        "embedding_drift_emb": embedding_drift_emb,
-        "overlap_matrix_docs": overlap_matrix_docs,
-        "zipf_profile_docs": zipf_profile_docs,
-        "hybrid_topk_docs": hybrid_topk_docs,
-        "mmr_rerank_emb": mmr_rerank_emb,
-        "streaming_sessions": streaming_sessions,
-        "streaming_running_counts": streaming_running_counts,
-        "prune_zones_orders": prune_zones_orders,
-        "collocations_docs": collocations_docs,
-        "ann_index_search": ann_index_search,
-        "ann_stream_search": ann_stream_search,
-        "prune_zones_2col_orders": prune_zones_2col_orders,
-        "merge_left_regions": merge_left_regions,
-        "group_concat_sorted": group_concat_sorted,
-        "string_similarity": string_similarity,
-        "path_funcs": path_funcs,
-        "semi_join_orders": semi_join_orders,
-        "intersect_cross": intersect_cross,
-        "winnow_pairs_md5": winnow_pairs_md5,
-        "string_funcs": string_funcs,
-        "array_funcs": array_funcs,
-        "numeric_hash_funcs": numeric_hash_funcs,
-        "conditional_funcs": conditional_funcs,
-        "udf_map": udf_map_ro,
-        "udf_gen": udf_gen_ro,
-        "udf_agg": udf_agg_ro,
-        "multimodal_image_meta": multimodal_ro,
-        "multimodal_audio_meta": multimodal_audio,
-        "multimodal_video_meta": multimodal_video,
+        "gopher_gate": gopher_gate,
+        "quality_score_docs": quality_score_docs,
+        "decontaminate_bloom_md5": decontaminate_bloom_md5,
+        "url_blocklist": url_blocklist,
+        "ann_ivf_cells": ann_ivf_cells,
+        "ann_ivf_probe": ann_ivf_probe,
+        "chunk_documents": chunk_documents_query,
+        "lm_perplexity": lm_perplexity,
+        "pii_redact": pii_redact,
+        "pack_sequences_md5": pack_sequences_md5,
+        "interleave_md5": interleave_md5,
+        "knn_join_topk": knn_join_topk,
+        # -- r06 greens, stalest-first padding to 50 --
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "bm25_score_docs": bm25_score_docs,
+        "dsir_importance_md5": dsir_importance_md5,
+        "c4_gate": c4_gate,
+        "spans_dedup_md5": spans_dedup_md5,
+        "corpus_stats_by_lang": corpus_stats_by_lang,
+        "url_dedup_docs": url_dedup_docs,
+        "contamination_report_docs": contamination_report_docs,
+        "semdedup_docs": semdedup_docs,
+        "zorder_key_orders": zorder_key_orders,
+        "dedup_eval_md5": dedup_eval_md5,
+        "leakage_split_md5": leakage_split_md5,
+        "nb_classifier_md5": nb_classifier_md5,
+        # ================= overflow (slot 51+) =================
+        "fuzzy_join_pairs": fuzzy_join_pairs,
+        # -- remaining r06 greens: queued FIRST for the r11 window --
+        # (fuzzy_join_pairs slid to overflow with the promote addition)
+        "pagerank_orders": pagerank_orders,
+        "histogram_orders": histogram_orders,
+        "minhash_incremental_md5": minhash_incremental_md5,
+        "minhash_dedup_best_md5": minhash_dedup_best_md5,
+        "token_budget_docs": token_budget_docs,
+        "cap_per_group_docs": cap_per_group_docs,
+        "ppl_buckets_docs": ppl_buckets_docs,
+        "tfidf_keywords_docs": tfidf_keywords_docs,
+        "emb_covariance": emb_covariance,
+        "random_projection_md5": random_projection_md5,
+        "expectations_orders": expectations_orders,
+        "incremental_agg_docs": incremental_agg_docs,
+        "resolve_entities_docs": resolve_entities_docs,
+        "drift_report_docs": drift_report_docs,
+        "categorical_drift_docs": categorical_drift_docs,
+        "phrase_search_docs": phrase_search_docs,
+        "proximity_search_docs": proximity_search_docs,
+        "k_anonymity_customer": k_anonymity_customer,
+        "curriculum_docs": curriculum_docs,
+        "contrastive_pairs_md5": contrastive_pairs_md5,
+        "html_extract_docs": html_extract_docs,
+        "normalize_text_docs": normalize_text_docs,
+        "stratified_split_docs": stratified_split_docs,
+        "hll_profile_orders": hll_profile_orders,
+        "merge_full_outer": merge_full_outer,
+        "window_rank_lag": window_rank_lag,
+        "events_hourly": events_hourly,
+        "dedup_exact_docs": dedup_exact_docs,
+        "filter_glob_in": filter_glob_in,
+        "subtract_anti": subtract_anti,
+        "merge_expr_pred": merge_expr_pred,
+        # -- r07 greens (next after the r06 block) --
         "strip_boilerplate_docs": strip_boilerplate_docs,
         "asof_nearest_events": asof_nearest_events,
         "corpus_overlap_docs": corpus_overlap_docs,
@@ -10905,62 +11261,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_centroids_emb": group_centroids_emb,
         "distinct_pairs": distinct_pairs,
         "order_limit_offset": order_limit_offset,
-        "bm25_score_docs": bm25_score_docs,
-        "dsir_importance_md5": dsir_importance_md5,
-        "c4_gate": c4_gate,
-        "spans_dedup_md5": spans_dedup_md5,
-        "corpus_stats_by_lang": corpus_stats_by_lang,
-        "url_dedup_docs": url_dedup_docs,
-        "contamination_report_docs": contamination_report_docs,
-        "semdedup_docs": semdedup_docs,
-        "zorder_key_orders": zorder_key_orders,
-        "dedup_eval_md5": dedup_eval_md5,
-        "leakage_split_md5": leakage_split_md5,
-        "nb_classifier_md5": nb_classifier_md5,
-        "fuzzy_join_pairs": fuzzy_join_pairs,
-        "pagerank_orders": pagerank_orders,
-        "histogram_orders": histogram_orders,
-        "minhash_incremental_md5": minhash_incremental_md5,
-        "minhash_dedup_best_md5": minhash_dedup_best_md5,
-        "token_budget_docs": token_budget_docs,
-        "cap_per_group_docs": cap_per_group_docs,
-        "ppl_buckets_docs": ppl_buckets_docs,
-        "tfidf_keywords_docs": tfidf_keywords_docs,
-        "emb_covariance": emb_covariance,
-        "random_projection_md5": random_projection_md5,
-        "expectations_orders": expectations_orders,
-        "incremental_agg_docs": incremental_agg_docs,
-        "resolve_entities_docs": resolve_entities_docs,
-        "drift_report_docs": drift_report_docs,
-        "categorical_drift_docs": categorical_drift_docs,
-        "phrase_search_docs": phrase_search_docs,
-        "proximity_search_docs": proximity_search_docs,
-        "k_anonymity_customer": k_anonymity_customer,
-        "curriculum_docs": curriculum_docs,
-        "contrastive_pairs_md5": contrastive_pairs_md5,
-        "html_extract_docs": html_extract_docs,
-        "normalize_text_docs": normalize_text_docs,
-        "stratified_split_docs": stratified_split_docs,
-        "hll_profile_orders": hll_profile_orders,
-        "merge_full_outer": merge_full_outer,
-        "window_rank_lag": window_rank_lag,
-        "events_hourly": events_hourly,
-        "dedup_exact_docs": dedup_exact_docs,
-        "filter_glob_in": filter_glob_in,
-        "subtract_anti": subtract_anti,
-        "merge_expr_pred": merge_expr_pred,
-        "gopher_gate": gopher_gate,
-        "quality_score_docs": quality_score_docs,
-        "decontaminate_bloom_md5": decontaminate_bloom_md5,
-        "url_blocklist": url_blocklist,
-        "ann_ivf_cells": ann_ivf_cells,
-        "ann_ivf_probe": ann_ivf_probe,
-        "chunk_documents": chunk_documents_query,
-        "lm_perplexity": lm_perplexity,
-        "pii_redact": pii_redact,
-        "pack_sequences_md5": pack_sequences_md5,
-        "interleave_md5": interleave_md5,
-        "knn_join_topk": knn_join_topk,
+        # -- r08 greens --
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "curation_report_docs": curation_report_docs,
+        "dataset_diff_versions": dataset_diff_versions,
+        "sketch_quantiles_orders": sketch_quantiles_orders,
+        "ann_eval_emb": ann_eval_emb,
+        "streaming_hourly_events": streaming_hourly_events,
+        "temporal_split_events": temporal_split_events,
+        "mad_outliers_orders": mad_outliers_orders,
+        "webdataset_roundtrip": webdataset_roundtrip,
+        "to_storage_roundtrip": to_storage_roundtrip,
+        "standardize_orders": standardize_orders,
+        "exact_dedup_incr_md5": exact_dedup_incr_md5,
+        "novelty_score_md5": novelty_score_md5,
+        "minhash_pairs": minhash_pairs_ro,
+        "simhash_pairs": simhash_pairs_ro,
+        "winnow_fingerprints": winnow_fingerprints_ro,
+        "temporal_split_approx_events": temporal_split_approx_events,
+        "streaming_exact_dedup": streaming_exact_dedup,
+        "streaming_late_data": streaming_late_data,
+        "sketch_merge_orders": sketch_merge_orders,
+        "contamination_matrix_docs": contamination_matrix_docs,
+        "embedding_drift_emb": embedding_drift_emb,
+        "overlap_matrix_docs": overlap_matrix_docs,
+        "zipf_profile_docs": zipf_profile_docs,
+        "hybrid_topk_docs": hybrid_topk_docs,
+        "mmr_rerank_emb": mmr_rerank_emb,
+        "streaming_sessions": streaming_sessions,
+        "streaming_running_counts": streaming_running_counts,
+        "prune_zones_orders": prune_zones_orders,
+        "collocations_docs": collocations_docs,
+        "ann_index_search": ann_index_search,
+        "ann_stream_search": ann_stream_search,
+        "prune_zones_2col_orders": prune_zones_2col_orders,
+        "merge_left_regions": merge_left_regions,
+        "group_concat_sorted": group_concat_sorted,
+        "string_similarity": string_similarity,
+        "path_funcs": path_funcs,
+        "semi_join_orders": semi_join_orders,
+        "intersect_cross": intersect_cross,
+        "winnow_pairs_md5": winnow_pairs_md5,
+        "string_funcs": string_funcs,
+        "array_funcs": array_funcs,
+        "numeric_hash_funcs": numeric_hash_funcs,
+        "conditional_funcs": conditional_funcs,
+        "udf_map": udf_map_ro,
+        "udf_gen": udf_gen_ro,
+        "udf_agg": udf_agg_ro,
+        "multimodal_image_meta": multimodal_ro,
+        "multimodal_audio_meta": multimodal_audio,
+        "multimodal_video_meta": multimodal_video,
+        # -- r09 greens (last round's window) --
+        "delta_zone_refresh_orders": delta_zone_refresh_orders,
+        "delta_ivf_refresh_emb": delta_ivf_refresh_emb,
+        "release_report_orders": release_report_orders,
+        "find_substring_docs": find_substring_docs,
+        "bm25_index_refresh_docs": bm25_index_refresh_docs,
+        "release_vacuumed_orders": release_vacuumed_orders,
+        "dedup_components_incr": dedup_components_incr,
+        "mutate_case_buckets": mutate_case_buckets,
+        "union_all_groups": union_all_groups,
+        "diff_statuses": diff_statuses,
+        "ngram_jaccard_pairs": ngram_jaccard_ro,
+        "minhash_pairs_md5": minhash_pairs_md5,
+        "simhash_pairs_md5": simhash_pairs_md5,
+        "winnow_fingerprints_md5": winnow_md5,
+        "read_database_sql": read_database_sql,
+        "events_sessionize": events_sessionize,
+        "explode_json_props": explode_json_props,
+        "text_quality_stats": text_quality_stats,
+        "group_by_expr_keys": group_by_expr_keys,
+        "rollup_orders": rollup_orders,
+        "pivot_status_qty": pivot_status_qty,
+        "stopword_lang_hits": stopword_lang_hits,
+        "salted_agg_events": salted_agg_events,
+        "segment_dedup_chunks": segment_dedup_chunks,
+        "decontaminate": decontaminate_query,
+        "vocabulary_top100": vocabulary_query,
+        "embedding_lsh_md5": embedding_lsh_md5,
+        "sharding_md5": sharding_md5,
+        "url_normalize": url_normalize,
+        "repetition_stats": repetition_stats_query,
+        "read_storage_listing": read_storage_ro,
+        "window_top3_per_cust": window_top3_per_cust,
+        "merge_multi_key": merge_multi_key,
+        "ngram_jaccard_oracle": ngram_jaccard_oracle,
+        "dedup_components": dedup_components,
+        "asof_join_events": asof_join_events,
+        "interval_join_buckets": interval_join_buckets,
+        "similarity_topk": similarity_topk,
+        "embedding_near_pairs": embedding_near_pairs,
+        "lang_id_counts": lang_id_ro,
+        "csv_roundtrip": csv_roundtrip,
+        "jsonl_roundtrip": jsonl_roundtrip,
+        "parquet_partition_roundtrip": parquet_partition_roundtrip,
+        "database_roundtrip": database_roundtrip,
+        "orc_roundtrip": orc_roundtrip,
+        "text_roundtrip": text_roundtrip,
+        "save_version_pinned": save_version_pinned,
+        "save_read_roundtrip": save_read_roundtrip_ro,
+        "delta_incremental": delta_incremental_ro,
+        "sample_shuffle_chunk": sample_shuffle_chunk_ro,
     }
 
 
@@ -11180,6 +11582,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_index_search": ANN_INDEX_SEARCH_SQL,
         "ann_stream_search": ANN_INDEX_SEARCH_SQL,
         "delta_zone_refresh_orders": DELTA_ZONE_REFRESH_SQL,
+        "delta_profile_release": DELTA_PROFILE_RELEASE_SQL,
+        "promote_gate_orders": PROMOTE_GATE_SQL,
+        "gram_index_refresh_docs": GRAM_INDEX_REFRESH_SQL,
         "delta_ivf_refresh_emb": ANN_INDEX_SEARCH_SQL,
         "release_report_orders": RELEASE_REPORT_SQL,
         "find_substring_docs": FIND_SUBSTRING_SQL,

@@ -303,6 +303,8 @@ HEADLINE = [
     # gram-index phrase search (index build + one pushed-IN probe)
     "release_report_full",
     "find_substring_full",
+    "gram_refresh_full",
+    "delta_profile_full",
 ]
 
 
@@ -1017,8 +1019,71 @@ def main() -> None:
             docs, idx, " ".join(words[3:7]), "doc_id", ngram=3
         )
 
+    def _gram_refresh_full(spark, sf):
+        # r10 incremental gram-index refresh at corpus scale: index 2/3
+        # of the documents, append the rest, refresh — the wall is one
+        # fingerprint join + shingling of ONLY the churn (unchanged
+        # postings are carried by a doc-semi-join, never re-shingled)
+        import tempfile
+        import uuid
+
+        from datachain_spark.catalog.metastore import Metastore
+        from datachain_spark.session import Session
+
+        sess = Session.get(spark=spark)
+        ms = Metastore(tempfile.mkdtemp(prefix="dc_bench_gri_"))
+        old_ms, sess.metastore = sess.metastore, ms
+        try:
+            docs = entrymod._chain(spark, sf, "documents")
+            name = "bgri_" + uuid.uuid4().hex[:8]
+            docs.filter(F.col("doc_id") % 3 != 0).save(name)
+            ms.gram_index_dataset(spark, name, "doc_id")
+            docs.save(name)
+            ms.gram_index_refresh(spark, name)
+            idx, _, _ = ms.load_dataset(spark, f"{name}__grams")
+            return idx
+        finally:
+            sess.metastore = old_ms
+
+    def _delta_profile_full(spark, sf):
+        # r10 profile-through-delta at corpus scale: two delta_save runs
+        # (full compute, then a pure-append increment) with profile=
+        # maintaining the release gate's sketch state — the append run's
+        # profile cost is one sketch agg over ONLY the new rows plus the
+        # KB-sized merge
+        import tempfile
+        import uuid
+
+        from datachain_spark.catalog.metastore import Metastore
+        from datachain_spark.delta import delta_save
+        from datachain_spark.ops.release import release_report
+        from datachain_spark.session import Session
+
+        sess = Session.get(spark=spark)
+        ms = Metastore(tempfile.mkdtemp(prefix="dc_bench_dpr_"))
+        old_ms, sess.metastore = sess.metastore, ms
+        try:
+            docs = entrymod._chain(spark, sf, "documents").mutate(
+                n_chars=F.length("text").cast("double"),
+                bucket=(F.col("doc_id") % 10).cast("string"),
+            )
+            name = "bdpr_" + uuid.uuid4().hex[:8]
+            cfg = dict(group_cols="bucket", value_col="n_chars",
+                       lo=0.0, hi=4096.0, bins=64)
+            delta_save(docs.filter(F.col("doc_id") % 3 == 1),
+                       lambda ch: ch, name, "doc_id",
+                       delta_compare="doc_id", profile=cfg)
+            delta_save(docs.filter(F.col("doc_id") % 3 != 0),
+                       lambda ch: ch, name, "doc_id",
+                       delta_compare="doc_id", profile=cfg)
+            return release_report(name, session=sess)
+        finally:
+            sess.metastore = old_ms
+
     queries["release_report_full"] = _release_report_full
     queries["find_substring_full"] = _find_substring_full
+    queries["gram_refresh_full"] = _gram_refresh_full
+    queries["delta_profile_full"] = _delta_profile_full
     queries["hash_retrieval_full"] = _hash_retrieval_full
     queries["stratified_split_full"] = _stratified_split_full
     queries["web_signals_full"] = _web_signals_full
@@ -1140,6 +1205,10 @@ def main() -> None:
     # gets ONE fresh re-run; the minimum wins. Machine-drift regressions
     # die here; real regressions survive re-measurement.
     prev_raw, prev_anchor = _load_prev_raw()
+    # the recheck EVIDENCE goes to BENCH_DETAIL.json (r09 verdict task 4:
+    # the recorder's ~2000-char stdout tail kept exactly one truncated
+    # recheck line; the detail file is where which-and-why must live)
+    recheck_log: dict = {"drift": None, "rechecked": {}}
     if prev_raw:
         cur_anchor = sorted(smoothed.values())[len(smoothed) // 2] \
             if smoothed else None
@@ -1147,12 +1216,14 @@ def main() -> None:
             cur_anchor / prev_anchor
             if cur_anchor and prev_anchor and prev_anchor > 0 else 1.0
         )
+        recheck_log["drift"] = round(drift, 4)
         for name in HEADLINE:
             p = prev_raw.get(name)
             if p is None or p <= 0:
                 continue
             budget = 1.25 * p * max(1.0, drift)
             if timings.get(name, 0.0) > budget:
+                first = timings[name]
                 t0 = time.perf_counter()
                 rows = queries[name](spark, SF_DIR).count()
                 dt = time.perf_counter() - t0
@@ -1170,6 +1241,13 @@ def main() -> None:
                     normalized[name] = round(
                         dt * CALIB_NOMINAL_SEC / near, 4
                     )
+                recheck_log["rechecked"][name] = {
+                    "raw": round(first, 4),
+                    "prev_raw": round(p, 4),
+                    "budget": round(budget, 4),
+                    "recheck_raw": round(dt, 4),
+                    "final": timings[name],
+                }
         total = sum(timings.values())
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -1225,6 +1303,10 @@ def main() -> None:
             "per_query_anchor_raw_sec": anchors,
             "per_query_anchor_swing": anchor_swings,
         },
+        # raw-vs-raw ghost-recheck evidence: which queries were over
+        # budget, what the re-measure read, what won (stdout only carries
+        # the compact line — this is the full table)
+        "ghost_recheck": recheck_log,
         "sf": sf,
     }
     detail_path = os.path.join(

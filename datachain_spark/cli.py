@@ -94,6 +94,21 @@ def main(argv: list[str] | None = None) -> int:
                          help="upper bound (typed against the indexed column)")
     p_prune.add_argument("--version", default=None)
 
+    p_promote = sub.add_parser(
+        "promote",
+        help="publish gate: drift/schema/row checks vs the previous "
+             "version from sketch state (exit 1 on block)",
+    )
+    p_promote.add_argument("name")
+    p_promote.add_argument("--max-psi", type=float, default=None)
+    p_promote.add_argument("--max-row-delta", type=float, default=None,
+                           help="max |n_new - n_old| / n_old per group")
+    p_promote.add_argument("--min-rows", type=int, default=None)
+    p_promote.add_argument("--allow-removed-columns", action="store_true")
+    p_promote.add_argument("--allow-type-changes", action="store_true")
+    p_promote.add_argument("--v-old", default=None)
+    p_promote.add_argument("--v-new", default=None)
+
     p_vacuum = sub.add_parser(
         "vacuum", help="delete all but the newest N versions of a dataset"
     )
@@ -220,6 +235,34 @@ def main(argv: list[str] | None = None) -> int:
         sess = Session(metastore_dir=args.metastore or DEFAULT_METASTORE)
         print(dataset_card(args.name, session=sess), end="")
         return 0
+
+    if args.cmd == "promote":
+        from .ops.release import promote
+
+        policy = {
+            "allow_removed_columns": bool(args.allow_removed_columns),
+            "allow_type_changes": bool(args.allow_type_changes),
+        }
+        if args.max_psi is not None:
+            policy["max_psi"] = args.max_psi
+        if args.max_row_delta is not None:
+            policy["max_abs_row_delta_frac"] = args.max_row_delta
+        if args.min_rows is not None:
+            policy["min_rows"] = args.min_rows
+        sess = Session(metastore_dir=args.metastore or DEFAULT_METASTORE)
+        ok, rows = promote(
+            args.name, policy=policy, v_old=args.v_old, v_new=args.v_new,
+            raise_on_block=False, session=sess,
+        )
+        for r in rows:
+            val = "-" if r["value"] is None else f"{r['value']:g}"
+            print(
+                f"{'PASS' if r['passed'] else 'FAIL'} "
+                f"{r['check']}[{r['target']}] value={val} "
+                f"threshold={r['threshold']:g}"
+            )
+        print(f"promotion: {'PASS' if ok else 'BLOCKED'}")
+        return 0 if ok else 1
 
     if args.cmd == "vacuum":
         from .catalog.metastore import Metastore

@@ -19,6 +19,10 @@ answers.
   two stored profiles.
 - :func:`schema_changes` — column add/remove/retype between two
   versions from the metastore's stored schemas; zero data touched.
+- :func:`promote_report` / :func:`promote` — the composed publish gate
+  (r09 verdict task 9): drift thresholds + schema policy + expectation
+  rules in one decision frame; ``promote`` raises
+  :class:`PromotionBlockedError` on any failed check.
 
 No reference counterpart (the reference has no statistics store beyond
 per-version row counts — spec addition for warehouse-scale release
@@ -461,3 +465,182 @@ def schema_changes(
     return sess.spark.createDataFrame(
         rows, "column string, status string, old_type string, new_type string"
     )
+
+
+def promote_report(
+    name: str,
+    policy: Optional[dict] = None,
+    rules: Optional[Sequence] = None,
+    v_old: Optional[str] = None,
+    v_new: Optional[str] = None,
+    qs: Sequence[float] = (),
+    round_dp: int = 6,
+    session=None,
+) -> DataFrame:
+    """The dbt-style PUBLISH GATE over the sketch state (r09 verdict task
+    9): compose :func:`release_report` (drift vs the previous version,
+    profiles only), :func:`schema_changes` (stored schemas only), and
+    ``expectations.check`` row-level rules (one scan of the CANDIDATE
+    version — the only data this gate touches) into one decision frame:
+
+    ``(check, target, value, threshold, passed)`` — one row per
+    (policy check x group), per disallowed schema change, and per
+    expectation rule, ordered by (check, target).
+
+    Policy keys (every one optional; omitted checks emit no rows):
+
+    - ``max_psi``: per-group PSI vs the previous version must not exceed
+      this (the standard 0.2 alert threshold).
+    - ``max_abs_row_delta_frac``: |n_new - n_old| / n_old per group.
+      Groups present in only one version FAIL this check by definition
+      (value = inf is published as NULL with passed=false — an
+      appeared/vanished group is release news).
+    - ``min_rows``: per-group floor on the new version's row count.
+    - ``allow_added_columns`` / ``allow_removed_columns`` /
+      ``allow_type_changes`` (default True/False/False): disallowed
+      schema changes emit a failed row each; allowed ones emit nothing.
+
+    100-TB shape: drift and schema checks read KB-sized persisted state;
+    the expectation rules fold into ONE map-side-combined aggregation
+    over the candidate version. Use :func:`promote` for the boolean
+    verdict + raise-on-block behavior."""
+    from ..session import Session
+
+    sess = Session.get() if session is None else session
+    spark = sess.spark
+    pol = dict(policy or {})
+    parts: list[DataFrame] = []
+
+    schema_pol = {
+        "added": bool(pol.get("allow_added_columns", True)),
+        "removed": bool(pol.get("allow_removed_columns", False)),
+        "type_changed": bool(pol.get("allow_type_changes", False)),
+    }
+    drift_keys = [k for k in ("max_psi", "max_abs_row_delta_frac",
+                              "min_rows") if k in pol]
+    if drift_keys:
+        rep = release_report(
+            name, v_old=v_old, v_new=v_new, qs=qs, round_dp=round_dp,
+            session=sess,
+        )
+        import re as _re
+
+        # group keys = everything release_report did not construct
+        # (metric columns have fixed names; quantiles are p\d\d_old/new)
+        _metric = _re.compile(
+            r"^(n_rows|n_value|mean|min|max|distinct)_(old|new)$"
+            r"|^n_rows_delta$|^psi$|^p\d{2}_(old|new)$"
+        )
+        keys = [c for c in rep.columns if not _metric.match(c)]
+        target = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+        if "max_psi" in pol:
+            thr = float(pol["max_psi"])
+            parts.append(rep.select(
+                F.lit("psi").alias("check"),
+                target.alias("target"),
+                F.col("psi").cast("double").alias("value"),
+                F.lit(thr).alias("threshold"),
+                # a group with no comparable histogram (one-sided) fails
+                F.coalesce(F.col("psi") <= thr, F.lit(False)).alias("passed"),
+            ))
+        if "max_abs_row_delta_frac" in pol:
+            thr = float(pol["max_abs_row_delta_frac"])
+            frac = F.when(
+                F.col("n_rows_old") > 0,
+                F.round(
+                    F.abs(F.col("n_rows_delta").cast("double"))
+                    / F.col("n_rows_old").cast("double"),
+                    round_dp,
+                ),
+            )
+            parts.append(rep.select(
+                F.lit("row_delta").alias("check"),
+                target.alias("target"),
+                frac.alias("value"),
+                F.lit(thr).alias("threshold"),
+                F.coalesce(frac <= thr, F.lit(False)).alias("passed"),
+            ))
+        if "min_rows" in pol:
+            thr = float(pol["min_rows"])
+            parts.append(rep.select(
+                F.lit("min_rows").alias("check"),
+                target.alias("target"),
+                F.col("n_rows_new").cast("double").alias("value"),
+                F.lit(thr).alias("threshold"),
+                (F.col("n_rows_new") >= thr).alias("passed"),
+            ))
+
+    sch = schema_changes(name, v_old=v_old, v_new=v_new, session=sess)
+    disallowed = [st for st, ok in schema_pol.items() if not ok]
+    if disallowed:
+        parts.append(
+            sch.filter(F.col("status").isin(disallowed)).select(
+                F.concat(F.lit("schema_"), F.col("status")).alias("check"),
+                F.col("column").alias("target"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(0.0).alias("threshold"),
+                F.lit(False).alias("passed"),
+            )
+        )
+
+    if rules:
+        from .expectations import check as _check
+
+        rec = sess.metastore.get_record(name)
+        if rec is None or not rec.versions:
+            raise ValueError(f"promote_report: no versions of {name!r}")
+        new_ver = rec.get_version(v_new).version
+        df, _, _ = sess.metastore.load_dataset(spark, name, new_ver)
+        parts.append(_check(df, list(rules)).select(
+            F.lit("expectation").alias("check"),
+            F.col("rule").alias("target"),
+            F.col("n_violations").cast("double").alias("value"),
+            F.lit(0.0).alias("threshold"),
+            F.col("passed"),
+        ))
+
+    if not parts:
+        raise ValueError(
+            "promote_report: empty policy — set at least one of max_psi/"
+            "max_abs_row_delta_frac/min_rows/schema allow_*/rules"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("check", "target")
+
+
+class PromotionBlockedError(RuntimeError):
+    """Raised by :func:`promote` when any gate check fails."""
+
+
+def promote(
+    name: str,
+    policy: Optional[dict] = None,
+    rules: Optional[Sequence] = None,
+    v_old: Optional[str] = None,
+    v_new: Optional[str] = None,
+    raise_on_block: bool = True,
+    session=None,
+):
+    """Run the publish gate and return ``(passed, report_rows)`` — or
+    raise :class:`PromotionBlockedError` listing every failed check when
+    ``raise_on_block`` (the default). The report is tiny (one row per
+    check x group/rule); collecting it here is driver-sized by
+    construction."""
+    rep = promote_report(
+        name, policy=policy, rules=rules, v_old=v_old, v_new=v_new,
+        session=session,
+    ).collect()
+    failed = [r for r in rep if not r["passed"]]
+    if failed and raise_on_block:
+        lines = ", ".join(
+            f"{r['check']}[{r['target']}]"
+            + (f"={r['value']}" if r["value"] is not None else "")
+            for r in failed[:20]
+        )
+        raise PromotionBlockedError(
+            f"promotion of {name!r} blocked by {len(failed)} failed "
+            f"check(s): {lines}"
+        )
+    return (not failed), rep

@@ -191,3 +191,114 @@ def test_release_report_unknown_specifier_raises(session, sf_dir, fresh_ms):
     # version that never had one reports the profile, not the record)
     with pytest.raises(ValueError, match="no stored profile"):
         release_report("relx", v_old="0.9.9")
+
+
+def test_promote_report_composition_and_plan_guard(session, sf_dir, fresh_ms):
+    """The publish gate composes drift + schema + expectation checks into
+    one (check, target, value, threshold, passed) frame; with no rules,
+    the gate reads ONLY sketch state (no data version in the plan)."""
+    from datachain_spark.ops import expectations as ex
+    from datachain_spark.ops.release import promote_report
+
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("prom")
+    profile_version("prom", **CFG)
+    orders.save("prom")
+    profile_version("prom", **CFG)
+
+    rep = promote_report(
+        "prom",
+        policy=dict(max_psi=0.2, max_abs_row_delta_frac=0.3, min_rows=10),
+    )
+    files = rep.inputFiles()
+    assert files and all("__profile" in f for f in files), files[:3]
+    rows = rep.collect()
+    by_check = {}
+    for r in rows:
+        by_check.setdefault(r["check"], []).append(r)
+    assert set(by_check) == {"psi", "row_delta", "min_rows"}
+    assert all(r["passed"] for r in by_check["psi"])  # same distribution
+    # v2 adds ~50% rows per group -> row_delta fails at 0.3
+    assert all(not r["passed"] for r in by_check["row_delta"])
+    assert all(r["passed"] for r in by_check["min_rows"])
+
+    # expectation rules scan the CANDIDATE version only
+    rep2 = promote_report(
+        "prom",
+        policy=dict(min_rows=1),
+        rules=[ex.not_null("o_totalprice"),
+               ex.expression("no_div3", "o_orderkey % 3 != 0")],
+    )
+    got = {r["target"]: r for r in rep2.collect() if r["check"] == "expectation"}
+    assert got["not_null:o_totalprice"]["passed"]
+    assert not got["no_div3"]["passed"]  # v2 contains %3==0 rows
+    assert got["no_div3"]["value"] == orders.df.filter(
+        F.col("o_orderkey") % 3 == 0
+    ).count()
+
+
+def test_promote_blocks_and_passes(session, sf_dir, fresh_ms):
+    from datachain_spark.ops.release import PromotionBlockedError, promote
+
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("promg")
+    profile_version("promg", **CFG)
+    orders.save("promg")
+    profile_version("promg", **CFG)
+
+    ok, rows = promote("promg", policy=dict(max_psi=0.2, min_rows=10))
+    assert ok and rows
+    with pytest.raises(PromotionBlockedError, match="row_delta"):
+        promote("promg", policy=dict(max_abs_row_delta_frac=0.1))
+    ok2, rows2 = promote(
+        "promg", policy=dict(max_abs_row_delta_frac=0.1),
+        raise_on_block=False,
+    )
+    assert not ok2 and any(not r["passed"] for r in rows2)
+
+
+def test_promote_schema_policy(session, sf_dir, fresh_ms):
+    from datachain_spark.ops.release import promote
+
+    orders = _orders(session, sf_dir)
+    cfg = dict(CFG, value_col="o_orderkey", distinct_col=None)
+    orders.select("o_orderkey", "o_totalprice", "o_orderpriority").save("proms")
+    profile_version("proms", **cfg)
+    orders.select("o_orderkey", "o_orderpriority").save("proms")
+    profile_version("proms", **cfg)
+    ok, rows = promote("proms", policy=dict(min_rows=1),
+                       raise_on_block=False)
+    failed = [r for r in rows if not r["passed"]]
+    assert [(r["check"], r["target"]) for r in failed] == [
+        ("schema_removed", "o_totalprice")
+    ]
+    ok2, _ = promote(
+        "proms", policy=dict(min_rows=1, allow_removed_columns=True),
+        raise_on_block=False,
+    )
+    assert ok2
+
+    with pytest.raises(ValueError, match="empty policy"):
+        promote("proms", policy=dict(allow_removed_columns=True,
+                                     allow_type_changes=True))
+
+
+def test_cli_promote(session, sf_dir, capsys):
+    from datachain_spark.cli import main
+
+    orders = _orders(session, sf_dir)
+    # the CLI builds its own Session on --metastore; use the session's
+    # real metastore dir (not the fresh_ms swap) so both sides agree
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("cli_prom")
+    profile_version("cli_prom", **CFG)
+    orders.save("cli_prom")
+    profile_version("cli_prom", **CFG)
+    ms = session.metastore_dir
+    assert main(["--metastore", ms, "promote", "cli_prom",
+                 "--max-psi", "0.2", "--min-rows", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "promotion: PASS" in out
+    assert main(["--metastore", ms, "promote", "cli_prom",
+                 "--max-row-delta", "0.1"]) == 1
+    out = capsys.readouterr().out
+    assert "promotion: BLOCKED" in out and "FAIL row_delta" in out
