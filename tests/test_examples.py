@@ -40,3 +40,7 @@ def test_hybrid_search_example():
 
 def test_incremental_indexes_example():
     _run("incremental_indexes.py")
+
+
+def test_publish_gate_example():
+    _run("publish_gate.py")
