@@ -107,13 +107,52 @@ def read_pandas(df, session: Optional[Session] = None) -> DataChain:
     return DataChain(sess.spark.createDataFrame(df), sess)
 
 
+def _pop_delta_kwargs(options: dict) -> Optional[dict]:
+    """Extract the flag-style delta kwargs from a file reader's
+    ``**options``. Returns DeltaChain constructor kwargs when
+    ``delta=True``; None otherwise. Raises when ``delta_*`` kwargs are
+    passed WITHOUT ``delta=True`` — they would otherwise fall through to
+    the Spark reader as unknown options and silently no-op (the flag API
+    must either work or fail loudly)."""
+    delta = bool(options.pop("delta", False))
+    dkw = {
+        k: options.pop(k)
+        for k in ("delta_on", "delta_compare", "delta_retry", "delta_unsafe")
+        if k in options
+    }
+    if not delta:
+        if dkw:
+            raise ValueError(
+                f"{sorted(dkw)} require delta=True (the flag API, "
+                "datachain_spark.delta.DeltaChain)"
+            )
+        return None
+    if not dkw.get("delta_on"):
+        raise ValueError("delta=True requires delta_on")
+    return dkw
+
+
 def read_parquet(
     path: Union[str, Sequence[str]],
     session: Optional[Session] = None,
     **options: Any,
 ) -> DataChain:
-    """Parity: lib/dc/parquet.py:15. Filters/pruning push into the scan."""
+    """Parity: lib/dc/parquet.py:15. Filters/pruning push into the scan.
+
+    ``delta=True, delta_on=...`` returns a pending incremental chain
+    (the flag API, parity lib/dc/storage.py:33-41 applied to direct file
+    reads): recorded transformations replay over only the new/changed
+    rows at ``save(name=...)`` time — see datachain_spark.delta.DeltaChain.
+    """
     sess = Session.get(session)
+    dkw = _pop_delta_kwargs(options)
+    if dkw is not None:
+        from ..delta import DeltaChain
+
+        return DeltaChain(
+            lambda: read_parquet(path, session=sess, **options),
+            session=sess, **dkw,
+        )
     paths = [path] if isinstance(path, str) else list(path)
     df = sess.spark.read.options(**options).parquet(*paths)
     return DataChain(df, sess, dependencies=[{"storage": p} for p in paths])
@@ -208,9 +247,23 @@ def read_csv(
     struct column; ``nrows`` limits rows; ``parse_options`` keys
     delimiter/quote_char/escape_char/ignore_empty_lines map onto the Spark
     CSV reader. ``model_name``/``source`` accepted for signature
-    compatibility (file provenance comes from :func:`parse_tabular`)."""
+    compatibility (file provenance comes from :func:`parse_tabular`).
+    ``delta=True, delta_on=...`` returns the flag-style incremental
+    chain (see :func:`read_parquet`)."""
     del model_name
     sess = Session.get(session)
+    dkw = _pop_delta_kwargs(options)
+    if dkw is not None:
+        from ..delta import DeltaChain
+
+        return DeltaChain(
+            lambda: read_csv(
+                path, delimiter=delimiter, header=header, output=output,
+                column=column, nrows=nrows, column_types=column_types,
+                parse_options=parse_options, session=sess, **options,
+            ),
+            session=sess, **dkw,
+        )
     po = dict(parse_options or {})
     sep = delimiter or po.pop("delimiter", None) or ","
     reader = sess.spark.read.option("header", header).option("sep", sep)
@@ -286,6 +339,18 @@ def read_json(
     """
     del model_name  # signature compatibility; no model codegen needed
     sess = Session.get(session)
+    dkw = _pop_delta_kwargs(options)
+    if dkw is not None:
+        from ..delta import DeltaChain
+
+        return DeltaChain(
+            lambda: read_json(
+                path, format=format, jmespath=jmespath, spec=spec,
+                schema_from=schema_from, column=column, nrows=nrows,
+                session=sess, **options,
+            ),
+            session=sess, **dkw,
+        )
     reader = sess.spark.read
     if format == "json":
         reader = reader.option("multiLine", True)

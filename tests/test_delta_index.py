@@ -601,3 +601,42 @@ def test_delta_zero_change_catches_up_profile_and_grams(
     assert pdf.count() == 1
     gen = fresh_ms._newest_grams_generation(session.spark, "dcz")
     assert gen is not None and gen[1] is not None
+
+
+def test_flag_api_delta_gram_and_profile(session, sf_dir, fresh_ms, tmp_path):
+    """The reference-style flag API (read_parquet(delta=True)) carries
+    gram_index= and profile= through to delta_save: the SAME recorded
+    chain re-runs as the source file grows, and both the gram index and
+    the release-gate profile follow each incremental save."""
+    from datachain_spark.ops.release import release_report
+
+    src = str(tmp_path / "docs_src")
+    full = dc.read_parquet(
+        f"{sf_dir}/documents.parquet", session=session
+    ).df.select("doc_id", "text")
+
+    def _read():
+        return dc.read_parquet(
+            src, session=session, delta=True,
+            delta_on="doc_id", delta_compare="doc_id",
+        )
+
+    cfg = dict(group_cols=None, value_col="doc_id", lo=0.0, hi=600.0,
+               bins=8)
+    gi = dict(id_col="doc_id")
+    full.filter(F.col("doc_id") < 300).write.mode("overwrite").parquet(src)
+    _read().save("flaggp", gram_index=gi, profile=cfg)
+    full.write.mode("overwrite").parquet(src)
+    _read().save("flaggp", gram_index=gi, profile=cfg)
+    gen = fresh_ms._newest_grams_generation(session.spark, "flaggp")
+    rec = fresh_ms.get_record("flaggp")
+    assert gen[2]["grams_of_version"] == rec.latest_version().version
+    rows = release_report("flaggp", session=session).collect()
+    assert len(rows) == 1 and rows[0]["n_rows_new"] > rows[0]["n_rows_old"]
+
+    # stray delta kwargs without delta=True fail loudly instead of
+    # falling through to the Spark reader as unknown options
+    with pytest.raises(ValueError, match="delta=True"):
+        dc.read_parquet(src, session=session, delta_on="doc_id")
+    with pytest.raises(ValueError, match="requires delta_on"):
+        dc.read_parquet(src, session=session, delta=True)

@@ -80,3 +80,36 @@ def test_io_registry_oracles(session):
             "/root/testdata/sf0.001",
         )
         assert ok, (name, detail)
+
+
+def test_csv_json_flag_delta(session, tmp_path):
+    """read_csv/read_json accept the flag-style delta kwargs: the same
+    recorded chain re-runs incrementally as the source files grow."""
+    import datachain_spark as dc
+    from pyspark.sql import functions as F
+
+    base = session.spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    for fmt, reader in (("csv", dc.read_csv), ("json", dc.read_json)):
+        src = str(tmp_path / f"src_{fmt}")
+        name = f"flag_{fmt}"
+        w1 = base.filter(F.col("k") < 12).coalesce(1).write.mode("overwrite")
+        w2 = base.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            w1.option("header", True).csv(src)
+        else:
+            w1.json(src)
+        kw = dict(delta=True, delta_on="k", delta_compare="v", session=session)
+        if fmt == "json":
+            kw["format"] = "jsonl"
+        out1 = reader(src, **kw).mutate(v3=dc.C("v") * 3).save(name)
+        assert out1.count() == 12
+        if fmt == "csv":
+            w2.option("header", True).csv(src)
+        else:
+            w2.json(src)
+        out2 = reader(src, **kw).mutate(v3=dc.C("v") * 3).save(name)
+        assert out2.count() == 20
+        got = {(r["k"], r["v3"]) for r in out2.df.collect()}
+        assert got == {(i, i * 6) for i in range(20)}
