@@ -11119,8 +11119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     remains visible (tiered runs record per-entry sweep provenance)."""
     return {
         # ===== r10 window (slots 1-50): staleness rotation =====
-        # -- the 2 r10 additions (profile-through-delta release gate,
-        #    incremental gram-index refresh) --
+        # -- the 3 r10 additions (profile-through-delta release gate,
+        #    incremental gram-index refresh, composed promote gate) --
         "delta_profile_release": delta_profile_release,
         "gram_index_refresh_docs": gram_index_refresh_docs,
         "promote_gate_orders": promote_gate_orders,

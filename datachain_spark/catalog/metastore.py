@@ -1130,9 +1130,8 @@ class Metastore:
             )
 
         df, _rec, dv = self.load_dataset(spark, name, version)
-        fp_new = self._gram_fingerprints(df, id_col, text_col).withColumnRenamed(
-            "fp", "__fp_new"
-        )
+        fp_frame = self._gram_fingerprints(df, id_col, text_col)
+        fp_new = fp_frame.withColumnRenamed("fp", "__fp_new")
         match = fp_new.join(
             prev_docs.select("doc", F.col("fp").alias("__fp_old")),
             "doc", "left",
@@ -1153,9 +1152,11 @@ class Metastore:
                 "grams_id_col": id_col, "grams_text_col": text_col,
                 "grams_ngram": str(ngram),
                 "grams_refreshed_from": attrs.get("grams_of_version", "")}
+        # reuse the fingerprint frame computed for the diff — a second
+        # _gram_fingerprints(df) here would re-scan and re-hash the whole
+        # text column (the "one cheap fingerprint projection" contract)
         self.save_dataset(
-            self._gram_fingerprints(df, id_col, text_col),
-            f"{name}__grams_docs", attrs=dict(link),
+            fp_frame, f"{name}__grams_docs", attrs=dict(link),
             dependencies=[{"dataset": name, "version": dv.version}],
         )
         return self.save_dataset(

@@ -250,10 +250,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.min_rows is not None:
             policy["min_rows"] = args.min_rows
         sess = Session(metastore_dir=args.metastore or DEFAULT_METASTORE)
-        ok, rows = promote(
-            args.name, policy=policy, v_old=args.v_old, v_new=args.v_new,
-            raise_on_block=False, session=sess,
-        )
+        try:
+            ok, rows = promote(
+                args.name, policy=policy, v_old=args.v_old,
+                v_new=args.v_new, raise_on_block=False, session=sess,
+            )
+        except ValueError as exc:
+            # empty policy / missing profiles: a CLI error, not a traceback
+            print(f"promote: {exc}", file=sys.stderr)
+            return 2
         for r in rows:
             val = "-" if r["value"] is None else f"{r['value']:g}"
             print(

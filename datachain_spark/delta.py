@@ -287,7 +287,9 @@ def delta_save(
                     sess.spark, name, list(save_kw["zone_index"]),
                     version=prev_version.version,
                 )
-        if profile and not _has_profile(sess, name, prev_version.version):
+        if profile and not _has_matching_profile(
+            sess, name, prev_version.version, profile
+        ):
             _refresh_profile()
         return DataChain(prev_df, sess)
 
@@ -320,7 +322,9 @@ def delta_save(
         append_only = (
             n_deleted == 0
             and kept.count() == prev_version.num_rows
-            and _has_profile(sess, name, prev_version.version)
+            and _has_matching_profile(
+                sess, name, prev_version.version, profile
+            )
         )
         _refresh_profile(increment_df=processed.df if append_only else None)
     source.save(snap_name)
@@ -328,13 +332,32 @@ def delta_save(
     return result
 
 
-def _has_profile(sess: Session, name: str, data_version: str) -> bool:
+def _has_matching_profile(
+    sess: Session, name: str, data_version: str, cfg: dict
+) -> bool:
+    """True when a stored profile of ``data_version`` exists AND was built
+    with exactly this config — the increment-merge precondition. A
+    mere-existence check would let a config change (new bins/edges) reach
+    profile_version's cfg-mismatch ValueError mid-save, after the data
+    version was written but before the snapshot advanced."""
     from .catalog.metastore import split_name
+    from .ops.release import _CFG_KEYS, _cfg_attrs
 
+    gc = cfg.get("group_cols")
+    keys = (
+        ["__scope"] if gc is None
+        else [gc] if isinstance(gc, str)
+        else list(gc)
+    )
+    want = _cfg_attrs(
+        keys, cfg.get("value_col"), cfg.get("lo"), cfg.get("hi"),
+        cfg.get("bins", 64), cfg.get("distinct_col"),
+    )
     pns, pproj, pbase = split_name(f"{name}__profile")
     prec = sess.metastore._read_record(pns, pproj, pbase)
     return any(
         v.attrs.get("profile_of_version") == data_version
+        and all(v.attrs.get(k, "") == want.get(k, "") for k in _CFG_KEYS)
         for v in (prec.versions if prec else [])
     )
 

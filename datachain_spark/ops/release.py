@@ -492,9 +492,10 @@ def promote_report(
     - ``max_psi``: per-group PSI vs the previous version must not exceed
       this (the standard 0.2 alert threshold).
     - ``max_abs_row_delta_frac``: |n_new - n_old| / n_old per group.
-      Groups present in only one version FAIL this check by definition
-      (value = inf is published as NULL with passed=false — an
-      appeared/vanished group is release news).
+      Groups present in only one version FAIL this check by definition —
+      an appeared group (n_old = 0) publishes value NULL, a vanished
+      group (n_new = 0) publishes 1.0; both get passed=false (a group
+      appearing or disappearing is release news, never inside budget).
     - ``min_rows``: per-group floor on the new version's row count.
     - ``allow_added_columns`` / ``allow_removed_columns`` /
       ``allow_type_changes`` (default True/False/False): disallowed
@@ -510,6 +511,10 @@ def promote_report(
     spark = sess.spark
     pol = dict(policy or {})
     parts: list[DataFrame] = []
+    rec = sess.metastore.get_record(name)
+    if rec is None or not rec.versions:
+        raise ValueError(f"promote_report: no versions of {name!r}")
+    new_ver = rec.get_version(v_new).version
 
     schema_pol = {
         "added": bool(pol.get("allow_added_columns", True)),
@@ -523,17 +528,19 @@ def promote_report(
             name, v_old=v_old, v_new=v_new, qs=qs, round_dp=round_dp,
             session=sess,
         )
-        import re as _re
-
-        # group keys = everything release_report did not construct
-        # (metric columns have fixed names; quantiles are p\d\d_old/new)
-        _metric = _re.compile(
-            r"^(n_rows|n_value|mean|min|max|distinct)_(old|new)$"
-            r"|^n_rows_delta$|^psi$|^p\d{2}_(old|new)$"
-        )
-        keys = [c for c in rep.columns if not _metric.match(c)]
+        # group keys come from the profile attrs — the same authority
+        # release_report reads — never from pattern-matching output
+        # column names (a group column NAMED like a metric would corrupt
+        # every check's target otherwise)
+        _, new_attrs = _profile_for(sess, name, new_ver)
+        keys = [k for k in new_attrs["profile_group_cols"].split(",") if k]
         target = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
         if "max_psi" in pol:
+            if "psi" not in rep.columns:
+                raise ValueError(
+                    "promote_report: max_psi needs histogram profiles — "
+                    "build them with profile_version(value_col=, lo=, hi=)"
+                )
             thr = float(pol["max_psi"])
             parts.append(rep.select(
                 F.lit("psi").alias("check"),
@@ -558,7 +565,11 @@ def promote_report(
                 target.alias("target"),
                 frac.alias("value"),
                 F.lit(thr).alias("threshold"),
-                F.coalesce(frac <= thr, F.lit(False)).alias("passed"),
+                # vanished groups (n_new = 0) fail regardless of budget;
+                # appeared groups fail via the NULL-frac coalesce
+                F.when(F.col("n_rows_new") == 0, F.lit(False))
+                .otherwise(F.coalesce(frac <= thr, F.lit(False)))
+                .alias("passed"),
             ))
         if "min_rows" in pol:
             thr = float(pol["min_rows"])
@@ -570,26 +581,41 @@ def promote_report(
                 (F.col("n_rows_new") >= thr).alias("passed"),
             ))
 
-    sch = schema_changes(name, v_old=v_old, v_new=v_new, session=sess)
     disallowed = [st for st, ok in schema_pol.items() if not ok]
     if disallowed:
-        parts.append(
-            sch.filter(F.col("status").isin(disallowed)).select(
-                F.concat(F.lit("schema_"), F.col("status")).alias("check"),
-                F.col("column").alias("target"),
-                F.lit(None).cast("double").alias("value"),
-                F.lit(0.0).alias("threshold"),
-                F.lit(False).alias("passed"),
+        from ..catalog.metastore import _VERSION_RE
+        from ..error import DatasetVersionNotFoundError
+
+        try:
+            sch = schema_changes(name, v_old=v_old, v_new=v_new,
+                                 session=sess)
+        except DatasetVersionNotFoundError:
+            if v_old is None or not _VERSION_RE.match(str(v_old)):
+                raise
+            # the old version was vacuumed: its profile survives (the
+            # drift checks above still work) but its SCHEMA record is
+            # gone — a gate that cannot verify a disallowed change must
+            # fail closed, visibly, not guess
+            sch = None
+            parts.append(sess.spark.createDataFrame(
+                [("schema_unverifiable", str(v_old), None, 0.0, False)],
+                "check string, target string, value double, "
+                "threshold double, passed boolean",
+            ))
+        if sch is not None:
+            parts.append(
+                sch.filter(F.col("status").isin(disallowed)).select(
+                    F.concat(F.lit("schema_"), F.col("status")).alias("check"),
+                    F.col("column").alias("target"),
+                    F.lit(None).cast("double").alias("value"),
+                    F.lit(0.0).alias("threshold"),
+                    F.lit(False).alias("passed"),
+                )
             )
-        )
 
     if rules:
         from .expectations import check as _check
 
-        rec = sess.metastore.get_record(name)
-        if rec is None or not rec.versions:
-            raise ValueError(f"promote_report: no versions of {name!r}")
-        new_ver = rec.get_version(v_new).version
         df, _, _ = sess.metastore.load_dataset(spark, name, new_ver)
         parts.append(_check(df, list(rules)).select(
             F.lit("expectation").alias("check"),

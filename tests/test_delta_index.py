@@ -640,3 +640,29 @@ def test_flag_api_delta_gram_and_profile(session, sf_dir, fresh_ms, tmp_path):
         dc.read_parquet(src, session=session, delta_on="doc_id")
     with pytest.raises(ValueError, match="requires delta_on"):
         dc.read_parquet(src, session=session, delta=True)
+
+
+def test_delta_profile_config_change_falls_back_to_full(
+    session, sf_dir, fresh_ms
+):
+    """Changing the profile config between delta runs must NOT take the
+    increment-merge path (the stored base has different edges) — the
+    wiring re-profiles in full instead of crashing mid-save."""
+    from datachain_spark.ops.release import _profile_for
+
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    cfg32 = dict(group_cols="o_orderpriority", value_col="o_totalprice",
+                 lo=0.0, hi=600000.0, bins=32)
+    delta_save(orders.filter(dc.C("o_orderkey") % 3 == 1), lambda ch: ch,
+               "dcfg", "o_orderkey", delta_compare="o_orderkey",
+               profile=cfg32)
+    # pure append + NEW config: must fall back to a full re-profile
+    delta_save(orders.filter(dc.C("o_orderkey") % 3 != 0), lambda ch: ch,
+               "dcfg", "o_orderkey", delta_compare="o_orderkey",
+               profile=dict(cfg32, bins=64))
+    rec = fresh_ms.get_record("dcfg")
+    prof, attrs = _profile_for(session, "dcfg",
+                               rec.latest_version().version)
+    assert attrs["profile_bins"] == "64"
+    n = prof.agg(F.sum("n_rows")).first()[0]
+    assert n == orders.filter(dc.C("o_orderkey") % 3 != 0).count()

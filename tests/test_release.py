@@ -302,3 +302,89 @@ def test_cli_promote(session, sf_dir, capsys):
                  "--max-row-delta", "0.1"]) == 1
     out = capsys.readouterr().out
     assert "promotion: BLOCKED" in out and "FAIL row_delta" in out
+
+
+def test_promote_vanished_group_fails_row_delta(session, fresh_ms):
+    """A group that disappears in the new version must FAIL row_delta
+    even when its 1.0 fraction is inside the budget — a vanished group
+    is never 'within budget'."""
+    from datachain_spark.ops.release import promote
+
+    spark = session.spark
+    v1 = spark.range(200).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("double").alias("x"),
+    )
+    dc.DataChain(v1, session).save("vang")
+    profile_version("vang", group_cols="g", value_col="x",
+                    lo=0.0, hi=200.0, bins=8)
+    dc.DataChain(v1.filter(F.col("g") == "0"), session).save("vang")
+    profile_version("vang", group_cols="g", value_col="x",
+                    lo=0.0, hi=200.0, bins=8)
+    ok, rows = promote("vang", policy=dict(max_abs_row_delta_frac=2.0),
+                       raise_on_block=False)
+    deltas = {r["target"]: r for r in rows if r["check"] == "row_delta"}
+    assert deltas["0"]["passed"]          # unchanged group inside budget
+    assert not deltas["1"]["passed"]      # vanished group fails closed
+    assert deltas["1"]["value"] == 1.0
+    assert not ok
+
+
+def test_promote_max_psi_without_histogram_raises(session, sf_dir, fresh_ms):
+    from datachain_spark.ops.release import promote
+
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("nohist")
+    profile_version("nohist", group_cols="o_orderpriority",
+                    distinct_col="o_custkey")
+    orders.save("nohist")
+    profile_version("nohist", group_cols="o_orderpriority",
+                    distinct_col="o_custkey")
+    with pytest.raises(ValueError, match="histogram"):
+        promote("nohist", policy=dict(max_psi=0.2))
+    # moments-free checks still work on the same profiles
+    ok, _ = promote("nohist", policy=dict(min_rows=1),
+                    raise_on_block=False)
+    assert ok
+
+
+def test_promote_vacuumed_old_version(session, sf_dir, fresh_ms):
+    """Drift checks answer about a vacuumed old version from its
+    surviving profile; a disallowed-schema check that can no longer be
+    verified (the schema record is gone) fails CLOSED with a visible
+    schema_unverifiable row instead of raising or silently passing."""
+    from datachain_spark.ops.release import promote
+
+    orders = _orders(session, sf_dir)
+    for flt in (dc.C("o_orderkey") % 3 != 0, dc.C("o_orderkey") >= 0):
+        orders.filter(flt).save("pvac")
+        profile_version("pvac", **CFG)
+    removed = fresh_ms.vacuum_dataset("pvac", keep_last=1)
+    assert removed == ["1.0.0"]
+    # schema checks all allowed: the gate runs purely from sketch state
+    ok, rows = promote(
+        "pvac", v_old="1.0.0",
+        policy=dict(max_psi=0.2, allow_removed_columns=True,
+                    allow_type_changes=True),
+        raise_on_block=False,
+    )
+    assert ok and all(r["check"] == "psi" for r in rows)
+    # schema checks disallowed (default): fail closed, visibly
+    ok2, rows2 = promote("pvac", v_old="1.0.0",
+                         policy=dict(max_psi=0.2), raise_on_block=False)
+    assert not ok2
+    assert [(r["check"], r["passed"]) for r in rows2
+            if r["check"] == "schema_unverifiable"] == [
+        ("schema_unverifiable", False)
+    ]
+
+
+def test_cli_promote_empty_policy_is_cli_error(session, sf_dir, capsys):
+    from datachain_spark.cli import main
+
+    orders = _orders(session, sf_dir)
+    orders.save("cli_empty")
+    assert main(["--metastore", session.metastore_dir, "promote",
+                 "cli_empty", "--allow-removed-columns",
+                 "--allow-type-changes"]) == 2
+    assert "empty policy" in capsys.readouterr().err
