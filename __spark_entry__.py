@@ -10948,6 +10948,52 @@ SELECT * FROM checks ORDER BY "check", target
 """
 
 
+def catalog_crud_orders(spark, sf):
+    """Catalog CRUD through the public surface with a VALUE oracle (the
+    r09 verdict counted catalog CRUD among the unit-only rows): two
+    saves of the same name auto-bump the patch version and record exact
+    row counts; a third dataset is created then DELETED; datasets()
+    (the meta-chain, reference lib/dc/datasets.py:221-302) must list
+    exactly the two surviving versions with the counts DuckDB recomputes
+    from the same slices — a bump that overwrote, a delete that leaked,
+    or a num_rows recorded off-by-anything fails the hash."""
+    import tempfile
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.sources.readers import datasets as _datasets
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_crud_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        orders = _chain(spark, sf, "orders")
+        orders.filter(C.o_orderkey % 2 == 0).save("crud_a")
+        orders.save("crud_a")  # auto patch bump -> 1.0.1
+        orders.filter(C.o_orderkey % 5 == 0).save("crud_b")
+        ms.delete_dataset("crud_b")
+        return (
+            _datasets(session=sess)
+            .select("name", "version", "num_rows")
+            .order_by("name", "version")
+            .df
+        )
+    finally:
+        sess.metastore = old_ms
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+CATALOG_CRUD_SQL = """
+SELECT 'crud_a' AS name, '1.0.0' AS version,
+       CAST(count(*) AS BIGINT) AS num_rows
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'crud_a', '1.0.1', CAST(count(*) AS BIGINT) FROM orders
+ORDER BY name, version
+"""
+
+
 def gram_index_refresh_docs(spark, sf):
     """Persisted gram index with incremental refresh (metastore.
     gram_index_dataset/refresh + find_substring — the phrase-search
@@ -11093,18 +11139,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r08) rotates to overflow.
 
     r10 rotation (r09 verdict task 1, executed verbatim): the window
-    holds the 3 r10-new entries (release gate maintained through
+    holds the 4 r10-new entries (release gate maintained through
     delta_save(profile=...), incremental gram-index refresh, the
-    composed promote publish gate — nothing new accrues debt), ALL 32
+    composed promote publish gate, the value-oracled catalog-CRUD
+    roundtrip — nothing new accrues debt), ALL 32
     entries whose last external verdict is
     r05 (the TPC-H overflow q2/q4/q5_asia/q7-q22, sample_per_group, and
     the rest of the r05 wave: gopher_gate, quality_score_docs,
     decontaminate_bloom, url_blocklist, ann_ivf_*, chunk_documents,
     lm_perplexity, pii_redact, pack/interleave, knn_join_topk), padded
-    to 50 with the 15 stalest r06 greens (q1/q3/q5_region, bm25_score,
+    to 50 with the 14 stalest r06 greens (q1/q3/q5_region, bm25_score,
     dsir, c4_gate, spans_dedup, corpus_stats, url_dedup,
     contamination_report, semdedup, zorder_key, dedup_eval,
-    leakage_split, nb_classifier). The whole r09 window
+    leakage_split). The whole r09 window
     (50/50 green in CORRECTNESS_r09) rotates to overflow.
 
     r11 window plan: continue the staleness rotation — the remaining 31
@@ -11119,11 +11166,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     remains visible (tiered runs record per-entry sweep provenance)."""
     return {
         # ===== r10 window (slots 1-50): staleness rotation =====
-        # -- the 3 r10 additions (profile-through-delta release gate,
-        #    incremental gram-index refresh, composed promote gate) --
+        # -- the 4 r10 additions (profile-through-delta release gate,
+        #    incremental gram-index refresh, composed promote gate,
+        #    catalog-CRUD roundtrip) --
         "delta_profile_release": delta_profile_release,
         "gram_index_refresh_docs": gram_index_refresh_docs,
         "promote_gate_orders": promote_gate_orders,
+        "catalog_crud_orders": catalog_crud_orders,
         # -- stalest greens: last external verdict r05 (the TPC-H
         #    overflow q2/q4/q5_asia/q7-q22 + the rest of the r05 wave,
         #    queued verbatim from the r09 plan) --
@@ -11174,11 +11223,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_orders": zorder_key_orders,
         "dedup_eval_md5": dedup_eval_md5,
         "leakage_split_md5": leakage_split_md5,
-        "nb_classifier_md5": nb_classifier_md5,
         # ================= overflow (slot 51+) =================
+        "nb_classifier_md5": nb_classifier_md5,
         "fuzzy_join_pairs": fuzzy_join_pairs,
         # -- remaining r06 greens: queued FIRST for the r11 window --
-        # (fuzzy_join_pairs slid to overflow with the promote addition)
+        # (nb_classifier/fuzzy_join slid to overflow with the promote
+        #  and catalog-CRUD additions)
         "pagerank_orders": pagerank_orders,
         "histogram_orders": histogram_orders,
         "minhash_incremental_md5": minhash_incremental_md5,
@@ -11584,6 +11634,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_zone_refresh_orders": DELTA_ZONE_REFRESH_SQL,
         "delta_profile_release": DELTA_PROFILE_RELEASE_SQL,
         "promote_gate_orders": PROMOTE_GATE_SQL,
+        "catalog_crud_orders": CATALOG_CRUD_SQL,
         "gram_index_refresh_docs": GRAM_INDEX_REFRESH_SQL,
         "delta_ivf_refresh_emb": ANN_INDEX_SEARCH_SQL,
         "release_report_orders": RELEASE_REPORT_SQL,
