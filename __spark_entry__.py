@@ -10994,6 +10994,163 @@ ORDER BY name, version
 """
 
 
+def compact_roundtrip_orders(spark, sf):
+    """Small-file compaction with a VALUE oracle (the r09 verdict counted
+    compact_dataset among the unit-only rows): a 1-in-3 orders slice is
+    saved Z-order-spread across 8 files, compacted to the 1 GiB target
+    (-> ONE file), and the compacted version is read back with its
+    physical file count attached (count of distinct input_file_name over
+    the new version). A rewrite that dropped, duplicated, or mutated any
+    row fails the row hash; one that didn't actually compact fails the
+    n_files column."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_cro_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        name = "cro_" + uuid.uuid4().hex[:8]
+        _chain(spark, sf, "orders").filter(C.o_orderkey % 3 == 0).save(
+            name, zorder_by=["o_orderkey"], zorder_files=8
+        )
+        dv = ms.compact_dataset(spark, name, target_file_bytes=1 << 30)
+        out, _, _ = ms.load_dataset(spark, name, dv.version)
+        n_files = out.select(F.input_file_name()).distinct().count()
+        return (
+            out.select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .withColumn("n_files", F.lit(int(n_files)).cast("long"))
+            .orderBy("o_orderkey")
+        )
+    finally:
+        sess.metastore = old_ms
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+COMPACT_ROUNDTRIP_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority,
+       CAST(1 AS BIGINT) AS n_files
+FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey
+"""
+
+
+def read_inmemory_nation(spark, sf):
+    """The three in-memory constructors under ONE value oracle (r09
+    verdict: read_pandas/read_values/read_records were unit-only):
+    nation arrives as a pandas frame (read_pandas), region as row dicts
+    (read_records), and a (regionkey -> name-length) lookup as plain
+    columns (read_values); the three chains merge and aggregate to
+    per-region nation counts. A constructor that reordered, retyped, or
+    dropped anything fails the hash against DuckDB's replay over the
+    same parquet tables."""
+    import pandas as pd
+
+    sess = Session.get(spark=spark)
+    _ensure_session_conf(spark)
+    nat = pd.read_parquet(f"{sf}/nation.parquet").sort_values("n_nationkey")
+    reg = pd.read_parquet(f"{sf}/region.parquet").sort_values("r_regionkey")
+
+    from datachain_spark.sources.readers import (
+        read_pandas,
+        read_records,
+        read_values,
+    )
+
+    nations = read_pandas(nat, session=sess)
+    regions = read_records(
+        [
+            {"r_regionkey": int(r.r_regionkey), "r_name": str(r.r_name)}
+            for r in reg.itertuples()
+        ],
+        session=sess,
+    )
+    name_len = read_values(
+        r_regionkey=[int(k) for k in reg["r_regionkey"]],
+        r_name_len=[len(str(n)) for n in reg["r_name"]],
+        session=sess,
+    )
+    return (
+        nations.merge(regions, on="n_regionkey", right_on="r_regionkey",
+                      inner=True)
+        .merge(name_len, on="r_regionkey", inner=True)
+        .group_by(
+            partition_by=["r_name", "r_name_len"],
+            n_nations=func.count(),
+            sum_kearney=func.sum(F.col("n_nationkey").cast("long")),
+        )
+        .order_by("r_name")
+        .df
+    )
+
+
+READ_INMEMORY_SQL = """
+SELECT r.r_name, CAST(length(r.r_name) AS BIGINT) AS r_name_len,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(n.n_nationkey) AS BIGINT) AS sum_kearney
+FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2 ORDER BY r.r_name
+"""
+
+
+def parse_tabular_provenance(spark, sf):
+    """read_storage listing -> parse_tabular(format='csv') with FILE
+    PROVENANCE under a value oracle (r09 verdict: parse_tabular was
+    plan-guard-only): two csv files with deterministic names are written
+    from disjoint orders slices; the parsed rows must carry each row's
+    source file (input_file_name provenance, basename-extracted) and the
+    exact cents-integer values DuckDB recomputes from the parquet truth.
+    The single-URI '*.csv' glob takes the executor-side native-reader
+    fast path (pathGlobFilter — nothing lists on the driver)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    sess = Session.get(spark=spark)
+    _ensure_session_conf(spark)
+    tmpd = tempfile.mkdtemp(prefix="dc_ptab_")
+    odf = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    odf = odf.assign(
+        o_total_cents=(odf["o_totalprice"] * 100).round().astype("int64")
+    )[["o_orderkey", "o_total_cents"]]
+    odf[odf.o_orderkey % 7 == 1].to_csv(
+        os.path.join(tmpd, "orders_a.csv"), index=False
+    )
+    odf[odf.o_orderkey % 7 == 2].to_csv(
+        os.path.join(tmpd, "orders_b.csv"), index=False
+    )
+
+    from datachain_spark.sources.storage import read_storage
+
+    listing = read_storage(f"{tmpd}/*.csv", session=sess)
+    parsed = listing.parse_tabular(format="csv")
+    return (
+        parsed.df.select(
+            F.regexp_extract(F.col("source_path"), r"([^/]+)$", 1)
+            .alias("src_file"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_total_cents").cast("long").alias("o_total_cents"),
+        )
+        .orderBy("src_file", "o_orderkey")
+    )
+
+
+PARSE_TABULAR_SQL = """
+SELECT CASE WHEN o_orderkey % 7 = 1 THEN 'orders_a.csv'
+            ELSE 'orders_b.csv' END AS src_file,
+       o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS o_total_cents
+FROM orders WHERE o_orderkey % 7 IN (1, 2)
+ORDER BY src_file, o_orderkey
+"""
+
+
 def gram_index_refresh_docs(spark, sf):
     """Persisted gram index with incremental refresh (metastore.
     gram_index_dataset/refresh + find_substring — the phrase-search
@@ -11139,19 +11296,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r08) rotates to overflow.
 
     r10 rotation (r09 verdict task 1, executed verbatim): the window
-    holds the 4 r10-new entries (release gate maintained through
+    holds the 7 r10-new entries (release gate maintained through
     delta_save(profile=...), incremental gram-index refresh, the
-    composed promote publish gate, the value-oracled catalog-CRUD
-    roundtrip — nothing new accrues debt), ALL 32
-    entries whose last external verdict is
+    composed promote publish gate, and value oracles for four
+    previously unit-only surfaces: catalog CRUD, compaction,
+    the in-memory constructors, parse_tabular provenance — nothing new
+    accrues debt), ALL 32 entries whose last external verdict is
     r05 (the TPC-H overflow q2/q4/q5_asia/q7-q22, sample_per_group, and
     the rest of the r05 wave: gopher_gate, quality_score_docs,
     decontaminate_bloom, url_blocklist, ann_ivf_*, chunk_documents,
     lm_perplexity, pii_redact, pack/interleave, knn_join_topk), padded
-    to 50 with the 14 stalest r06 greens (q1/q3/q5_region, bm25_score,
+    to 50 with the 11 stalest r06 greens (q1/q3/q5_region, bm25_score,
     dsir, c4_gate, spans_dedup, corpus_stats, url_dedup,
-    contamination_report, semdedup, zorder_key, dedup_eval,
-    leakage_split). The whole r09 window
+    contamination_report, semdedup). The whole r09 window
     (50/50 green in CORRECTNESS_r09) rotates to overflow.
 
     r11 window plan: continue the staleness rotation — the remaining 31
@@ -11166,13 +11323,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     remains visible (tiered runs record per-entry sweep provenance)."""
     return {
         # ===== r10 window (slots 1-50): staleness rotation =====
-        # -- the 4 r10 additions (profile-through-delta release gate,
-        #    incremental gram-index refresh, composed promote gate,
-        #    catalog-CRUD roundtrip) --
+        # -- the 7 r10 additions (profile-through-delta release gate,
+        #    incremental gram-index refresh, composed promote gate, and
+        #    value oracles for previously unit-only surfaces: catalog
+        #    CRUD, compaction, in-memory constructors, parse_tabular
+        #    provenance) --
         "delta_profile_release": delta_profile_release,
         "gram_index_refresh_docs": gram_index_refresh_docs,
         "promote_gate_orders": promote_gate_orders,
         "catalog_crud_orders": catalog_crud_orders,
+        "compact_roundtrip_orders": compact_roundtrip_orders,
+        "read_inmemory_nation": read_inmemory_nation,
+        "parse_tabular_provenance": parse_tabular_provenance,
         # -- stalest greens: last external verdict r05 (the TPC-H
         #    overflow q2/q4/q5_asia/q7-q22 + the rest of the r05 wave,
         #    queued verbatim from the r09 plan) --
@@ -11220,15 +11382,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_docs": url_dedup_docs,
         "contamination_report_docs": contamination_report_docs,
         "semdedup_docs": semdedup_docs,
+        # ================= overflow (slot 51+) =================
         "zorder_key_orders": zorder_key_orders,
         "dedup_eval_md5": dedup_eval_md5,
         "leakage_split_md5": leakage_split_md5,
-        # ================= overflow (slot 51+) =================
         "nb_classifier_md5": nb_classifier_md5,
         "fuzzy_join_pairs": fuzzy_join_pairs,
         # -- remaining r06 greens: queued FIRST for the r11 window --
-        # (nb_classifier/fuzzy_join slid to overflow with the promote
-        #  and catalog-CRUD additions)
+        # (zorder_key/dedup_eval/leakage_split/nb_classifier/fuzzy_join
+        #  slid to overflow with the 7 r10 additions)
         "pagerank_orders": pagerank_orders,
         "histogram_orders": histogram_orders,
         "minhash_incremental_md5": minhash_incremental_md5,
@@ -11635,6 +11797,9 @@ def oracle_sql() -> dict[str, str]:
         "delta_profile_release": DELTA_PROFILE_RELEASE_SQL,
         "promote_gate_orders": PROMOTE_GATE_SQL,
         "catalog_crud_orders": CATALOG_CRUD_SQL,
+        "compact_roundtrip_orders": COMPACT_ROUNDTRIP_SQL,
+        "read_inmemory_nation": READ_INMEMORY_SQL,
+        "parse_tabular_provenance": PARSE_TABULAR_SQL,
         "gram_index_refresh_docs": GRAM_INDEX_REFRESH_SQL,
         "delta_ivf_refresh_emb": ANN_INDEX_SEARCH_SQL,
         "release_report_orders": RELEASE_REPORT_SQL,
