@@ -11038,6 +11038,67 @@ FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey
 """
 
 
+def delta_compact_orders(spark, sf):
+    """OPTIMIZE through the delta path (delta_save(compact_target_bytes=)
+    — r10 continuation of the everything-maintains-through-delta story):
+    v1 is 2/3 of a 1-in-4 orders slice saved Z-order-spread across 6
+    files; the incremental run adds the rest and the same pass compacts
+    the fragmented head to the 1 GiB target (ONE file), carrying the
+    zone index over and landing the checkpoint stamp on the compacted
+    version. The result reads the latest version with its physical file
+    count attached — a maintenance pass that dropped/duplicated rows
+    fails the row hash, one that didn't compact fails n_files, and a
+    stale zone map would have failed the carry-over's plan-guarded
+    tests (tests/test_delta_index.py)."""
+    import os as _os
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.delta import delta_save
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_dcp_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        orders = _chain(spark, sf, "orders").filter(C.o_orderkey % 4 == 1)
+        name = "dcp_" + uuid.uuid4().hex[:8]
+
+        def proc(ch):
+            return ch.mutate(x2=F.col("o_orderkey") * 2)
+
+        kw = dict(zorder_by=["o_orderkey"], zorder_files=6)
+        delta_save(orders.filter(C.o_orderkey % 3 != 0), proc, name,
+                   "o_orderkey", save_kwargs=kw,
+                   compact_target_bytes=1 << 30)
+        delta_save(orders, proc, name, "o_orderkey", save_kwargs=kw,
+                   compact_target_bytes=1 << 30)
+        head = ms.get_record(name).latest_version()
+        data_path = ms.version_data_path(name, head.version)
+        n_files = len(
+            [f for f in _os.listdir(data_path) if f.endswith(".parquet")]
+        )
+        out, _, _ = ms.load_dataset(spark, name)
+        return (
+            out.select("o_orderkey", "o_totalprice", "x2")
+            .withColumn("n_files", F.lit(int(n_files)).cast("long"))
+            .orderBy("o_orderkey")
+        )
+    finally:
+        sess.metastore = old_ms
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+DELTA_COMPACT_SQL = """
+SELECT o_orderkey, o_totalprice,
+       CAST(o_orderkey * 2 AS BIGINT) AS x2,
+       CAST(1 AS BIGINT) AS n_files
+FROM orders WHERE o_orderkey % 4 = 1 ORDER BY o_orderkey
+"""
+
+
 def read_inmemory_nation(spark, sf):
     """The three in-memory constructors under ONE value oracle (r09
     verdict: read_pandas/read_values/read_records were unit-only):
@@ -11296,19 +11357,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r08) rotates to overflow.
 
     r10 rotation (r09 verdict task 1, executed verbatim): the window
-    holds the 7 r10-new entries (release gate maintained through
+    holds the 8 r10-new entries (release gate maintained through
     delta_save(profile=...), incremental gram-index refresh, the
-    composed promote publish gate, and value oracles for four
-    previously unit-only surfaces: catalog CRUD, compaction,
-    the in-memory constructors, parse_tabular provenance — nothing new
-    accrues debt), ALL 32 entries whose last external verdict is
+    composed promote publish gate, OPTIMIZE-through-delta compaction,
+    and value oracles for four previously unit-only surfaces: catalog
+    CRUD, compaction, the in-memory constructors, parse_tabular
+    provenance — nothing new accrues debt), ALL 32 entries whose last
+    external verdict is
     r05 (the TPC-H overflow q2/q4/q5_asia/q7-q22, sample_per_group, and
     the rest of the r05 wave: gopher_gate, quality_score_docs,
     decontaminate_bloom, url_blocklist, ann_ivf_*, chunk_documents,
     lm_perplexity, pii_redact, pack/interleave, knn_join_topk), padded
-    to 50 with the 11 stalest r06 greens (q1/q3/q5_region, bm25_score,
+    to 50 with the 10 stalest r06 greens (q1/q3/q5_region, bm25_score,
     dsir, c4_gate, spans_dedup, corpus_stats, url_dedup,
-    contamination_report, semdedup). The whole r09 window
+    contamination_report). The whole r09 window
     (50/50 green in CORRECTNESS_r09) rotates to overflow.
 
     r11 window plan: continue the staleness rotation — the remaining 31
@@ -11323,11 +11385,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     remains visible (tiered runs record per-entry sweep provenance)."""
     return {
         # ===== r10 window (slots 1-50): staleness rotation =====
-        # -- the 7 r10 additions (profile-through-delta release gate,
-        #    incremental gram-index refresh, composed promote gate, and
-        #    value oracles for previously unit-only surfaces: catalog
-        #    CRUD, compaction, in-memory constructors, parse_tabular
-        #    provenance) --
+        # -- the 8 r10 additions (profile-through-delta release gate,
+        #    incremental gram-index refresh, composed promote gate,
+        #    OPTIMIZE-through-delta compaction, and value oracles for
+        #    previously unit-only surfaces: catalog CRUD, compaction,
+        #    in-memory constructors, parse_tabular provenance) --
         "delta_profile_release": delta_profile_release,
         "gram_index_refresh_docs": gram_index_refresh_docs,
         "promote_gate_orders": promote_gate_orders,
@@ -11335,6 +11397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip_orders": compact_roundtrip_orders,
         "read_inmemory_nation": read_inmemory_nation,
         "parse_tabular_provenance": parse_tabular_provenance,
+        "delta_compact_orders": delta_compact_orders,
         # -- stalest greens: last external verdict r05 (the TPC-H
         #    overflow q2/q4/q5_asia/q7-q22 + the rest of the r05 wave,
         #    queued verbatim from the r09 plan) --
@@ -11381,16 +11444,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_by_lang": corpus_stats_by_lang,
         "url_dedup_docs": url_dedup_docs,
         "contamination_report_docs": contamination_report_docs,
-        "semdedup_docs": semdedup_docs,
         # ================= overflow (slot 51+) =================
+        "semdedup_docs": semdedup_docs,
         "zorder_key_orders": zorder_key_orders,
         "dedup_eval_md5": dedup_eval_md5,
         "leakage_split_md5": leakage_split_md5,
         "nb_classifier_md5": nb_classifier_md5,
         "fuzzy_join_pairs": fuzzy_join_pairs,
         # -- remaining r06 greens: queued FIRST for the r11 window --
-        # (zorder_key/dedup_eval/leakage_split/nb_classifier/fuzzy_join
-        #  slid to overflow with the 7 r10 additions)
+        # (zorder_key/dedup_eval/leakage_split/nb_classifier/fuzzy_join/
+        #  semdedup slid to overflow with the 8 r10 additions)
         "pagerank_orders": pagerank_orders,
         "histogram_orders": histogram_orders,
         "minhash_incremental_md5": minhash_incremental_md5,
@@ -11800,6 +11863,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_roundtrip_orders": COMPACT_ROUNDTRIP_SQL,
         "read_inmemory_nation": READ_INMEMORY_SQL,
         "parse_tabular_provenance": PARSE_TABULAR_SQL,
+        "delta_compact_orders": DELTA_COMPACT_SQL,
         "gram_index_refresh_docs": GRAM_INDEX_REFRESH_SQL,
         "delta_ivf_refresh_emb": ANN_INDEX_SEARCH_SQL,
         "release_report_orders": RELEASE_REPORT_SQL,

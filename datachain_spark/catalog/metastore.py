@@ -434,14 +434,16 @@ class Metastore:
         attrs carry over, and the record-level description is untouched
         (the compaction note lives in the version's attrs).
 
-        ``refresh_indexes`` (default True) keeps per-version indexes
+        ``refresh_indexes`` (default True) keeps per-version state
         consistent with the rewritten layout: a zone map is FILE-level
         state, so the source version's index is rebuilt over the new
-        files (same indexed columns); an IVF index is ROW-level and
-        stays valid — it is re-linked to the new version via
-        :meth:`ann_index_refresh`, which reassigns zero rows (the data
-        is unchanged). Without this, the compacted version would
-        silently lose ``read_dataset(prune=...)`` / ``ann_search``
+        files (same indexed columns); IVF/BM25/gram indexes are
+        ROW-level and stay valid — they re-link to the new version via
+        their refresh paths, which find zero churn (the data is
+        unchanged); a stored PROFILE is re-linked as-is (sketches are of
+        rows, not files). Without this, the compacted version would
+        silently lose the ``read_dataset(prune=...)`` / ``ann_search`` /
+        ``bm25_search`` / ``find_substring`` / ``release_report``
         support its source had."""
         import math as _math
 
@@ -498,10 +500,11 @@ class Metastore:
         src_dv: DatasetVersion,
         new_dv: DatasetVersion,
     ) -> None:
-        """Carry the source version's zone/IVF indexes over to a rewritten
-        copy of the same rows (compaction): rebuild the file-level zone
-        map on the new files; refresh the row-level IVF index (zero rows
-        reassigned — same data, new version link)."""
+        """Carry the source version's per-version state over to a
+        rewritten copy of the same rows (compaction): rebuild the
+        file-level zone map on the new files; refresh the row-level
+        IVF/BM25/gram indexes (zero churn — same data, new version
+        link); re-link the stored profile sketch as-is."""
         zns, zproj, zbase = split_name(f"{name}__zones")
         zrec = self._read_record(zns, zproj, zbase)
         zmatches = [
@@ -556,6 +559,32 @@ class Metastore:
                     "with ann_index_dataset",
                     stacklevel=2,
                 )
+        bgen = self._newest_bm25_generation(spark, name)
+        if bgen is not None and bgen[2].get("bm25_of_version") == src_dv.version:
+            # zero-churn refresh: every fingerprint matches, postings carry
+            self.bm25_index_refresh(spark, name, version=new_dv.version)
+        ggen = self._newest_grams_generation(spark, name)
+        if ggen is not None and ggen[2].get("grams_of_version") == src_dv.version:
+            self.gram_index_refresh(spark, name, version=new_dv.version)
+        pns, pproj, pbase = split_name(f"{name}__profile")
+        prec = self._read_record(pns, pproj, pbase)
+        pmatches = [
+            v for v in (prec.versions if prec else [])
+            if v.attrs.get("profile_of_version") == src_dv.version
+        ]
+        if pmatches:
+            # sketches are row-level state — re-link the stored frame
+            pbest = max(pmatches, key=lambda v: parse_version(v.version))
+            pdf, _, _ = self.load_dataset(
+                spark, f"{name}__profile", pbest.version
+            )
+            self.save_dataset(
+                pdf, f"{name}__profile",
+                attrs={**pbest.attrs,
+                       "profile_of_version": new_dv.version,
+                       "profile_relinked_from": src_dv.version},
+                dependencies=[{"dataset": name, "version": new_dv.version}],
+            )
 
     def list_datasets(self) -> list[DatasetRecord]:
         out = []

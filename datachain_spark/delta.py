@@ -64,6 +64,7 @@ def delta_save(
     bm25_index: Optional[dict] = None,
     gram_index: Optional[dict] = None,
     profile: Optional[dict] = None,
+    compact_target_bytes: Optional[int] = None,
     _job_extra: str = "",
 ) -> DataChain:
     """Incrementally (re)compute ``name`` from ``source``.
@@ -116,6 +117,15 @@ def delta_save(
       any modify/delete/retry churn forces a full re-profile of the new
       version, honoring the contract at ops/release.py
       (``profile_version`` increment docstring).
+    - ``compact_target_bytes=<bytes>`` runs OPTIMIZE-style maintenance
+      inside the pipeline: when a save leaves the new version fragmented
+      beyond the target layout (more files than ``ceil(total/target)``),
+      it is compacted via ``compact_dataset`` — which carries every
+      per-version index and the profile over to the rewritten copy — and
+      the checkpoint stamp lands on the compacted head, so the next run
+      no-ops as usual. At 100 TB incremental appends are how small files
+      happen; this keeps maintenance in the same pass instead of a
+      separate janitor job.
 
     The source snapshot is persisted as an internal dataset
     ``<name>__delta_source`` so the next run has the exact previous version
@@ -166,6 +176,38 @@ def delta_save(
 
         profile_version(name, session=sess, increment=increment_df, **profile)
 
+    def _maybe_compact() -> None:
+        """Compact the just-saved head when it is fragmented beyond the
+        target layout. Runs BEFORE the job-hash stamp so the stamp lands
+        on the compacted version (the next run's checkpoint base)."""
+        if not compact_target_bytes:
+            return
+        import math
+        import os as _os
+
+        rec = sess.metastore.get_record(name)
+        dv = rec.latest_version()
+        if dv.bucket:
+            return  # bucketed layout: the file count IS the bucket spec
+        from .catalog.metastore import split_name
+
+        ns, proj, base = split_name(name)
+        data_path = sess.metastore.version_data_path(
+            f"{ns}.{proj}.{base}", dv.version
+        )
+        files = [
+            _os.path.join(data_path, f)
+            for f in _os.listdir(data_path)
+            if f.endswith(".parquet")
+        ]
+        total = sum(_os.path.getsize(f) for f in files)
+        n_target = max(1, math.ceil(total / compact_target_bytes))
+        if len(files) > n_target:
+            sess.metastore.compact_dataset(
+                sess.spark, name, version=dv.version,
+                target_file_bytes=compact_target_bytes,
+            )
+
     prev_result_rec = sess.metastore.get_record(name)
     prev_snap_rec = sess.metastore.get_record(snap_name)
 
@@ -176,6 +218,7 @@ def delta_save(
         result = process(source).save(name, **save_kw)
         _refresh_ann()
         _refresh_profile()
+        _maybe_compact()
         source.save(snap_name)
         _stamp_job_hash(sess, name, job_hash)
         return result
@@ -327,6 +370,7 @@ def delta_save(
             )
         )
         _refresh_profile(increment_df=processed.df if append_only else None)
+    _maybe_compact()
     source.save(snap_name)
     _stamp_job_hash(sess, name, job_hash)
     return result
@@ -520,6 +564,7 @@ class DeltaChain:
             bm25_index=kwargs.pop("bm25_index", None),
             gram_index=kwargs.pop("gram_index", None),
             profile=kwargs.pop("profile", None),
+            compact_target_bytes=kwargs.pop("compact_target_bytes", None),
             save_kwargs=kwargs or None,
             _job_extra=extra,
         )

@@ -666,3 +666,97 @@ def test_delta_profile_config_change_falls_back_to_full(
     assert attrs["profile_bins"] == "64"
     n = prof.agg(F.sum("n_rows")).first()[0]
     assert n == orders.filter(dc.C("o_orderkey") % 3 != 0).count()
+
+
+def test_compact_carries_bm25_gram_profile(session, sf_dir, fresh_ms):
+    """Compaction re-links ALL per-version state: BM25 and gram indexes
+    (zero-churn refresh) and the stored profile (sketches are row-level
+    state) — search and release_report keep answering for the compacted
+    head."""
+    from datachain_spark.ops.release import profile_version, release_report
+
+    docs = dc.read_parquet(
+        f"{sf_dir}/documents.parquet", session=session
+    ).filter(dc.C("doc_id") < 120).select("doc_id", "text")
+    docs.filter(dc.C("doc_id") < 80).save("callst")
+    profile_version("callst", group_cols=None, value_col="doc_id",
+                    lo=0.0, hi=200.0, bins=8)
+    docs.save("callst")
+    fresh_ms.bm25_index_dataset(session.spark, "callst", "doc_id")
+    fresh_ms.gram_index_dataset(session.spark, "callst", "doc_id")
+    profile_version("callst", group_cols=None, value_col="doc_id",
+                    lo=0.0, hi=200.0, bins=8)
+    before_bm25 = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in fresh_ms.bm25_search(
+            session.spark, "callst", "spark window merge"
+        ).collect()
+    }
+    new_dv = fresh_ms.compact_dataset(
+        session.spark, "callst", target_file_bytes=1 << 30
+    )
+    after_bm25 = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in fresh_ms.bm25_search(
+            session.spark, "callst", "spark window merge",
+            version=new_dv.version,
+        ).collect()
+    }
+    assert after_bm25 == before_bm25 and after_bm25
+    words = (
+        docs.df.filter(F.col("doc_id") == 1)
+        .select(F.split(F.trim(F.regexp_replace(
+            F.lower("text"), r"[^\w\s]", "")), r"\s+").alias("w"))
+        .first()["w"]
+    )
+    hits = fresh_ms.find_substring(
+        session.spark, "callst", " ".join(words[:3]),
+        version=new_dv.version,
+    ).count()
+    assert hits >= 1
+    # profile re-linked: the report compares the compacted head against
+    # the previous profiled version
+    rows = release_report("callst", v_new=new_dv.version,
+                          session=session).collect()
+    assert rows and rows[0]["n_rows_new"] == docs.count()
+
+
+def test_delta_save_compact_target_bytes(session, sf_dir, fresh_ms):
+    """OPTIMIZE through the delta path: a fragmented incremental save is
+    compacted in the same pass, the checkpoint stamp lands on the
+    compacted head (next run no-ops), and the zone index answers for
+    the compacted version."""
+    import os
+
+    orders = dc.read_parquet(
+        f"{sf_dir}/orders.parquet", session=session
+    ).filter(dc.C("o_orderkey") % 4 == 1)
+
+    def proc(ch):
+        return ch.mutate(x2=F.col("o_orderkey") * 2)
+
+    kw = dict(zorder_by=["o_orderkey"], zorder_files=8,
+              zone_index=["o_orderkey"])
+    delta_save(orders.filter(dc.C("o_orderkey") < 3000), proc, "dcpt",
+               "o_orderkey", save_kwargs=kw,
+               compact_target_bytes=1 << 30)
+    delta_save(orders, proc, "dcpt", "o_orderkey", save_kwargs=kw,
+               compact_target_bytes=1 << 30)
+    rec = fresh_ms.get_record("dcpt")
+    head = rec.latest_version()
+    assert head.attrs.get("compacted_from")  # maintenance ran
+    data_path = fresh_ms.version_data_path("dcpt", head.version)
+    files = [f for f in os.listdir(data_path) if f.endswith(".parquet")]
+    assert len(files) == 1  # 8 zorder files -> 1 at the 1 GiB target
+    df, _, _ = fresh_ms.load_dataset(session.spark, "dcpt")
+    assert df.count() == orders.count()
+    # zone index follows the compacted head
+    rep = fresh_ms.prune_stats(
+        session.spark, "dcpt", {"o_orderkey": (0, 5)}
+    ).first()
+    assert rep["total_rows"] == orders.count()
+    # checkpoint honored: a third identical run creates NO new version
+    n_before = len(rec.versions)
+    delta_save(orders, proc, "dcpt", "o_orderkey", save_kwargs=kw,
+               compact_target_bytes=1 << 30)
+    assert len(fresh_ms.get_record("dcpt").versions) == n_before
