@@ -174,6 +174,28 @@ def _profile_for(sess, name: str, data_version: str):
     return df, best.attrs
 
 
+
+def _compaction_chain(rec, version: str) -> set:
+    """The set of versions that are the SAME logical release as
+    ``version``: itself plus everything reachable through
+    ``compacted_from`` links (a compacted copy rewrites files, not
+    rows). Default old-version selection skips these — comparing a
+    release against its own rewrite is vacuously drift-free."""
+    chain = {version}
+    cur = version
+    while True:
+        try:
+            dv = rec.get_version(cur)
+        except Exception:  # noqa: BLE001 - vacuumed ancestor: chain ends
+            break
+        src = dv.attrs.get("compacted_from")
+        if not src or src in chain:
+            break
+        chain.add(src)
+        cur = src
+    return chain
+
+
 def release_report(
     name: str,
     v_old: Optional[str] = None,
@@ -217,9 +239,11 @@ def release_report(
     ordered = sorted(rec.versions, key=lambda v: parse_version(v.version))
     new_ver = rec.get_version(v_new).version
     if v_old is None:
+        same_release = _compaction_chain(rec, new_ver)
         older = [
             v for v in ordered
             if parse_version(v.version) < parse_version(new_ver)
+            and v.version not in same_release
         ]
         if not older:
             raise ValueError(
@@ -429,9 +453,11 @@ def schema_changes(
     ordered = sorted(rec.versions, key=lambda v: parse_version(v.version))
     new_dv = rec.get_version(v_new)
     if v_old is None:
+        same_release = _compaction_chain(rec, new_dv.version)
         older = [
             v for v in ordered
             if parse_version(v.version) < parse_version(new_dv.version)
+            and v.version not in same_release
         ]
         if not older:
             raise ValueError(

@@ -60,6 +60,7 @@ def main(sf_dir: str) -> None:
         save_kwargs=dict(zone_index=["doc_id"]),
         gram_index=dict(id_col="doc_id"),
         profile=cfg,
+        compact_target_bytes=1 << 30,  # OPTIMIZE in the same pass
     )
 
     # ---- three releases: v1 (%3==0) -> v2 (%2==0) churns keys (some
@@ -73,7 +74,7 @@ def main(sf_dir: str) -> None:
         )
     rec = sess.metastore.get_record("corpus")
     versions = [v.version for v in rec.versions]
-    print(f"3 delta releases -> versions {versions}")
+    print(f"3 delta releases (+ compacted copies) -> versions {versions}")
 
     # every piece of per-version state followed the saves
     rep = sess.metastore.prune_stats(

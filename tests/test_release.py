@@ -388,3 +388,22 @@ def test_cli_promote_empty_policy_is_cli_error(session, sf_dir, capsys):
                  "cli_empty", "--allow-removed-columns",
                  "--allow-type-changes"]) == 2
     assert "empty policy" in capsys.readouterr().err
+
+
+def test_release_default_old_skips_compaction_chain(session, sf_dir, fresh_ms):
+    """A compacted copy is the SAME logical release as its source: the
+    default old-version pick must skip v_new's compaction ancestry, so
+    the report compares releases — not a release against its own
+    rewrite (which is vacuously drift-free)."""
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("relcc")
+    profile_version("relcc", **CFG)            # v 1.0.0 (release A)
+    orders.save("relcc")                        # v 1.0.1 (release B)
+    profile_version("relcc", **CFG)
+    fresh_ms.compact_dataset(session.spark, "relcc",
+                             target_file_bytes=1 << 30)  # v 1.0.2 = B'
+    rows = release_report("relcc").collect()    # B' vs ?? -> must be A
+    assert rows and all(r["n_rows_new"] > r["n_rows_old"] for r in rows)
+    # schema default pick follows the same rule
+    st = {r["status"] for r in schema_changes("relcc").collect()}
+    assert st == {"unchanged"}
