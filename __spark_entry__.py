@@ -10676,7 +10676,10 @@ def delta_profile_release(spark, sf):
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        orders = _chain(spark, sf, "orders")
+        # 1-in-2 slice: the oracle replays the whole report from raw
+        # rows — discrimination is per-formula, not per-volume (the
+        # delta_zone trim precedent, r09 verdict task 3)
+        orders = _chain(spark, sf, "orders").filter(C.o_orderkey % 2 == 1)
         name = "dpr_" + uuid.uuid4().hex[:8]
         cfg = dict(group_cols="o_orderpriority", value_col="o_totalprice",
                    lo=0.0, hi=600000.0, bins=64)
@@ -10696,8 +10699,9 @@ def delta_profile_release(spark, sf):
 
 DELTA_PROFILE_RELEASE_SQL = """
 WITH p AS (SELECT 0.0 AS lo, 600000.0 AS hi, 64 AS nb, 0.5 AS eps),
-v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
-v2 AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+o AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+v1 AS (SELECT * FROM o WHERE o_orderkey % 3 = 1),
+v2 AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0),
 so AS (
   SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_rows,
          CAST(count(o_totalprice) AS BIGINT) AS n_value,

@@ -66,6 +66,9 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # absorb JVM/codegen/first-job warmup BEFORE timing anything — the
+    # slot-1 entry was being billed 3-4x its warm wall for it (r10)
+    spark.range(2_000_000).selectExpr("avg(xxhash64(id))").collect()
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()

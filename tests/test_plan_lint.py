@@ -94,7 +94,7 @@ def test_df_named_column_does_not_break_lint(spark):
 def test_driver_window_queries_lint_clean(spark, sf_dir):
     # every query in the 50-slot driver window must build a plan with
     # ZERO lint errors (the full-registry audit re-runs per round via
-    # scripts/plan_lint_audit.py -> LINT.json — r10: 232/232 clean; this
+    # scripts/plan_lint_audit.py -> LINT.json — r10: 237/237 clean; this
     # guards the window per-commit without the full cost)
     import __spark_entry__ as e
 
