@@ -445,8 +445,6 @@ class Metastore:
         silently lose the ``read_dataset(prune=...)`` / ``ann_search`` /
         ``bm25_search`` / ``find_substring`` / ``release_report``
         support its source had."""
-        import math as _math
-
         if target_file_bytes <= 0:
             raise ValueError(
                 f"target_file_bytes must be > 0, got {target_file_bytes}"
@@ -462,19 +460,31 @@ class Metastore:
                 "bucket spec; re-save with bucket_by to change layout"
             )
         data_path = self.version_data_path(f"{ns}.{proj}.{base}", dv.version)
-        files = [
-            os.path.join(data_path, f)
-            for f in os.listdir(data_path)
-            if f.endswith(".parquet")
-        ]
-        total = sum(os.path.getsize(f) for f in files)
-        n_target = max(1, _math.ceil(total / target_file_bytes))
+        n_files, n_target, _total = self._fragmentation(
+            f"{ns}.{proj}.{base}", dv.version, target_file_bytes
+        )
         df = spark.read.parquet(data_path)
-        out = df.coalesce(n_target) if n_target <= len(files) else df.repartition(n_target)
+        out = df.coalesce(n_target) if n_target <= n_files else df.repartition(n_target)
         new_version = bump_version(dv.version, "patch")
         taken = {v.version for v in rec.versions}
         while new_version in taken:
             new_version = bump_version(new_version, "patch")
+        newer = [
+            v.version for v in rec.versions
+            if parse_version(v.version) > parse_version(dv.version)
+        ]
+        if newer and parse_version(new_version) > min(
+            parse_version(v) for v in newer
+        ):
+            # a compacted copy that sorts PAST a newer release would
+            # become the dataset head and silently shadow newer data on
+            # every default read — refuse loudly instead
+            raise ValueError(
+                f"compact_dataset: no free patch slot between "
+                f"{dv.version} and the next release — compacting this "
+                "old snapshot would shadow newer data at the head; "
+                "compact the latest version instead"
+            )
         new_dv = self.save_dataset(
             out,
             name,
@@ -482,7 +492,7 @@ class Metastore:
             attrs={
                 **dv.attrs,
                 "compacted_from": dv.version,
-                "compacted_files": f"{len(files)}->{n_target}",
+                "compacted_files": f"{n_files}->{n_target}",
             },
             dependencies=[{"dataset": name, "version": dv.version}],
             signal_schema=json.loads(json.dumps(dv.signal_schema))
@@ -492,6 +502,42 @@ class Metastore:
         if refresh_indexes:
             self._refresh_linked_indexes(spark, name, dv, new_dv)
         return new_dv
+
+    def _fragmentation(
+        self, full_name: str, version: str, target_file_bytes: int
+    ) -> tuple[int, int, int]:
+        """(current parquet file count, target file count, total bytes) of
+        a version's layout — the single source of the fragmentation
+        predicate shared by compact_dataset and delta_save's
+        should_compact precheck."""
+        import math as _math
+
+        data_path = self.version_data_path(full_name, version)
+        files = [
+            os.path.join(data_path, f)
+            for f in os.listdir(data_path)
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        return len(files), max(1, _math.ceil(total / target_file_bytes)), total
+
+    def should_compact(
+        self, name: str, version: Optional[str], target_file_bytes: int
+    ) -> bool:
+        """True when the version's layout has more files than the target
+        layout would (bucketed versions are never compacted — their file
+        count IS the bucket spec)."""
+        ns, proj, base = split_name(name)
+        rec = self._read_record(ns, proj, base)
+        if rec is None:
+            raise DatasetNotFoundError(f"dataset not found: {name}")
+        dv = rec.get_version(version)
+        if dv.bucket:
+            return False
+        n_files, n_target, _ = self._fragmentation(
+            f"{ns}.{proj}.{base}", dv.version, target_file_bytes
+        )
+        return n_files > n_target
 
     def _refresh_linked_indexes(
         self,
@@ -559,12 +605,22 @@ class Metastore:
                     "with ann_index_dataset",
                     stacklevel=2,
                 )
-        bgen = self._newest_bm25_generation(spark, name)
-        if bgen is not None and bgen[2].get("bm25_of_version") == src_dv.version:
-            # zero-churn refresh: every fingerprint matches, postings carry
+        def _any_generation_links(suffix: str, key: str) -> bool:
+            # per-version match like the zone carry above — the NEWEST
+            # generation may belong to a different version, but the
+            # fingerprint-join refresh is correct against ANY base
+            gns, gproj, gbase = split_name(f"{name}{suffix}")
+            grec2 = self._read_record(gns, gproj, gbase)
+            return any(
+                v.attrs.get(key) == src_dv.version
+                for v in (grec2.versions if grec2 else [])
+            )
+
+        if _any_generation_links("__bm25", "bm25_of_version"):
+            # zero-churn refresh vs the compacted copy: every fingerprint
+            # matches its base, postings carry
             self.bm25_index_refresh(spark, name, version=new_dv.version)
-        ggen = self._newest_grams_generation(spark, name)
-        if ggen is not None and ggen[2].get("grams_of_version") == src_dv.version:
+        if _any_generation_links("__grams", "grams_of_version"):
             self.gram_index_refresh(spark, name, version=new_dv.version)
         pns, pproj, pbase = split_name(f"{name}__profile")
         prec = self._read_record(pns, pproj, pbase)

@@ -178,34 +178,16 @@ def delta_save(
 
     def _maybe_compact() -> None:
         """Compact the just-saved head when it is fragmented beyond the
-        target layout. Runs BEFORE the job-hash stamp so the stamp lands
-        on the compacted version (the next run's checkpoint base)."""
+        target layout. Runs BEFORE the index/profile maintenance (so
+        each runs exactly once, against the final head) and before the
+        job-hash stamp (so the stamp lands on the compacted version —
+        the next run's checkpoint base). The fragmentation predicate is
+        the metastore's own (should_compact), never a local copy."""
         if not compact_target_bytes:
             return
-        import math
-        import os as _os
-
-        rec = sess.metastore.get_record(name)
-        dv = rec.latest_version()
-        if dv.bucket:
-            return  # bucketed layout: the file count IS the bucket spec
-        from .catalog.metastore import split_name
-
-        ns, proj, base = split_name(name)
-        data_path = sess.metastore.version_data_path(
-            f"{ns}.{proj}.{base}", dv.version
-        )
-        files = [
-            _os.path.join(data_path, f)
-            for f in _os.listdir(data_path)
-            if f.endswith(".parquet")
-        ]
-        total = sum(_os.path.getsize(f) for f in files)
-        n_target = max(1, math.ceil(total / compact_target_bytes))
-        if len(files) > n_target:
+        if sess.metastore.should_compact(name, None, compact_target_bytes):
             sess.metastore.compact_dataset(
-                sess.spark, name, version=dv.version,
-                target_file_bytes=compact_target_bytes,
+                sess.spark, name, target_file_bytes=compact_target_bytes,
             )
 
     prev_result_rec = sess.metastore.get_record(name)
@@ -216,9 +198,9 @@ def delta_save(
     if prev_result_rec is None or prev_snap_rec is None:
         # first run: full compute
         result = process(source).save(name, **save_kw)
+        _maybe_compact()
         _refresh_ann()
         _refresh_profile()
-        _maybe_compact()
         source.save(snap_name)
         _stamp_job_hash(sess, name, job_hash)
         return result
@@ -334,6 +316,17 @@ def delta_save(
             sess, name, prev_version.version, profile
         ):
             _refresh_profile()
+        if compact_target_bytes and sess.metastore.should_compact(
+            name, None, compact_target_bytes
+        ):
+            # compaction newly enabled on a converged pipeline: the head
+            # is fragmented from earlier rounds — compact it now and
+            # re-stamp the (unchanged) job hash on the compacted head so
+            # the next run still no-ops
+            sess.metastore.compact_dataset(
+                sess.spark, name, target_file_bytes=compact_target_bytes,
+            )
+            _stamp_job_hash(sess, name, job_hash)
         return DataChain(prev_df, sess)
 
     processed = process(to_process)
@@ -352,6 +345,7 @@ def delta_save(
     merged = DataChain(kept.df.unionByName(processed.df, allowMissingColumns=False), sess)
 
     result = merged.save(name, **save_kw)
+    _maybe_compact()
     _refresh_ann(
         changed_keys_df=_key_sel(to_process.df) if len(keys) == 1 else None,
         diffed_against=prev_version.version,
@@ -370,7 +364,6 @@ def delta_save(
             )
         )
         _refresh_profile(increment_df=processed.df if append_only else None)
-    _maybe_compact()
     source.save(snap_name)
     _stamp_job_hash(sess, name, job_hash)
     return result

@@ -196,6 +196,25 @@ def _compaction_chain(rec, version: str) -> set:
     return chain
 
 
+
+def _profile_for_release(sess, name: str, rec, version: str):
+    """Profile lookup that falls back through the version's compaction
+    chain: a compacted copy made before profiles were re-linked (or with
+    refresh_indexes=False) has no profile of its own, but its chain
+    source's profile describes the exact same rows."""
+    chain = sorted(
+        _compaction_chain(rec, version),
+        key=lambda v: (v != version, v),  # the version itself first
+    )
+    last_err = None
+    for v in chain:
+        try:
+            return _profile_for(sess, name, v)
+        except ValueError as exc:
+            last_err = exc
+    raise last_err
+
+
 def release_report(
     name: str,
     v_old: Optional[str] = None,
@@ -246,8 +265,11 @@ def release_report(
             and v.version not in same_release
         ]
         if not older:
+            skipped = sorted(same_release - {new_ver})
             raise ValueError(
-                f"release_report: {name!r} has no version before {new_ver}"
+                f"release_report: {name!r} has no RELEASE before {new_ver}"
+                + (f" (versions {skipped} are rewrites of the same "
+                   "release)" if skipped else "")
             )
         old_ver = older[-1].version
     else:
@@ -267,8 +289,8 @@ def release_report(
                 raise
             old_ver = str(v_old)
 
-    old_prof, old_attrs = _profile_for(sess, name, old_ver)
-    new_prof, new_attrs = _profile_for(sess, name, new_ver)
+    old_prof, old_attrs = _profile_for_release(sess, name, rec, old_ver)
+    new_prof, new_attrs = _profile_for_release(sess, name, rec, new_ver)
     stale = {
         k for k in _CFG_KEYS if old_attrs.get(k, "") != new_attrs.get(k, "")
     }
@@ -460,9 +482,12 @@ def schema_changes(
             and v.version not in same_release
         ]
         if not older:
+            skipped = sorted(same_release - {new_dv.version})
             raise ValueError(
-                f"schema_changes: {name!r} has no version before "
+                f"schema_changes: {name!r} has no RELEASE before "
                 f"{new_dv.version}"
+                + (f" (versions {skipped} are rewrites of the same "
+                   "release)" if skipped else "")
             )
         old_dv = older[-1]
     else:

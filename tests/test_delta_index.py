@@ -760,3 +760,83 @@ def test_delta_save_compact_target_bytes(session, sf_dir, fresh_ms):
     delta_save(orders, proc, "dcpt", "o_orderkey", save_kwargs=kw,
                compact_target_bytes=1 << 30)
     assert len(fresh_ms.get_record("dcpt").versions) == n_before
+
+
+def test_compact_old_version_refuses_to_shadow_head(session, sf_dir, fresh_ms):
+    """Compacting an old snapshot whose patch-bumped copy would sort PAST
+    a newer release must refuse loudly — a silent head-shadowing copy
+    would invert every default read and release comparison."""
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    orders.filter(dc.C("o_orderkey") % 3 == 0).save("shad")   # 1.0.0
+    orders.save("shad")                                        # 1.0.1
+    with pytest.raises(ValueError, match="shadow"):
+        fresh_ms.compact_dataset(
+            session.spark, "shad", version="1.0.0",
+            target_file_bytes=1 << 30,
+        )
+    # the head itself still compacts fine
+    dv = fresh_ms.compact_dataset(
+        session.spark, "shad", target_file_bytes=1 << 30
+    )
+    assert dv.attrs["compacted_from"] == "1.0.1"
+    assert fresh_ms.get_record("shad").latest_version().version == dv.version
+
+
+def test_compact_carries_superseded_bm25_generation(session, sf_dir, fresh_ms):
+    """Carrying BM25/gram state matches generations PER VERSION: an older
+    version with its own (superseded) generation keeps search support on
+    its compacted copy even when the NEWEST generation belongs to a
+    later version."""
+    docs = dc.read_parquet(
+        f"{sf_dir}/documents.parquet", session=session
+    ).filter(dc.C("doc_id") < 90).select("doc_id", "text")
+    docs.filter(dc.C("doc_id") < 60).save("super")            # 1.0.0
+    fresh_ms.bm25_index_dataset(session.spark, "super", "doc_id")
+    docs.save("super")                                         # 1.0.1
+    fresh_ms.bm25_index_refresh(session.spark, "super")  # newest gen -> 1.0.1
+    # compact 1.0.0: patch slot 1.0.2 would shadow -> must raise; so
+    # exercise the per-version carry by compacting a THIRD version whose
+    # own generation is then superseded
+    docs.filter(dc.C("doc_id") < 80).save("super")            # 1.0.2
+    fresh_ms.bm25_index_refresh(session.spark, "super")  # gen -> 1.0.2
+    docs.save("super")                                         # 1.0.3
+    fresh_ms.bm25_index_refresh(session.spark, "super")  # gen -> 1.0.3 (newest)
+    # 1.0.2's generation is superseded by 1.0.3's; compacting the HEAD
+    # first requires no slot... compact 1.0.3 (the head) — newest gen is
+    # its own; for the superseded case, drop back to 1.0.2 via a fresh
+    # name: simpler — delete 1.0.3 so 1.0.2 is head with a superseded gen
+    fresh_ms.delete_dataset("super", version="1.0.3")
+    new_dv = fresh_ms.compact_dataset(
+        session.spark, "super", version="1.0.2", target_file_bytes=1 << 30
+    )
+    got = fresh_ms.bm25_search(
+        session.spark, "super", "spark window merge",
+        version=new_dv.version,
+    ).count()
+    assert got >= 1  # carried despite the newest generation mismatch
+
+
+def test_delta_zero_change_compaction_catch_up(session, sf_dir, fresh_ms):
+    """Enabling compact_target_bytes on an ALREADY-CONVERGED pipeline
+    compacts the fragmented head on the no-op run and re-stamps the job
+    hash so the following run still no-ops."""
+    orders = dc.read_parquet(
+        f"{sf_dir}/orders.parquet", session=session
+    ).filter(dc.C("o_orderkey") % 4 == 1)
+
+    def proc(ch):
+        return ch.mutate(x2=F.col("o_orderkey") * 2)
+
+    kw = dict(zorder_by=["o_orderkey"], zorder_files=8)
+    delta_save(orders, proc, "dzcc", "o_orderkey", save_kwargs=kw)
+    # converged run, compaction newly requested
+    delta_save(orders, proc, "dzcc", "o_orderkey", save_kwargs=kw,
+               compact_target_bytes=1 << 30)
+    rec = fresh_ms.get_record("dzcc")
+    head = rec.latest_version()
+    assert head.attrs.get("compacted_from") == "1.0.0"
+    n_before = len(rec.versions)
+    # next converged run: checkpoint honored on the compacted head
+    delta_save(orders, proc, "dzcc", "o_orderkey", save_kwargs=kw,
+               compact_target_bytes=1 << 30)
+    assert len(fresh_ms.get_record("dzcc").versions) == n_before

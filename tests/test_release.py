@@ -407,3 +407,33 @@ def test_release_default_old_skips_compaction_chain(session, sf_dir, fresh_ms):
     # schema default pick follows the same rule
     st = {r["status"] for r in schema_changes("relcc").collect()}
     assert st == {"unchanged"}
+
+
+def test_release_profile_falls_back_through_compaction_chain(
+    session, sf_dir, fresh_ms
+):
+    """A compacted copy without its own profile (refresh_indexes=False,
+    or a pre-relink era copy) answers release_report through its chain
+    source's profile — identical rows, identical sketch."""
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("relfb")
+    profile_version("relfb", **CFG)
+    orders.save("relfb")
+    profile_version("relfb", **CFG)
+    fresh_ms.compact_dataset(session.spark, "relfb",
+                             target_file_bytes=1 << 30,
+                             refresh_indexes=False)  # B' has NO profile
+    rows = release_report("relfb").collect()  # B' vs A via B's profile
+    assert rows and all(r["n_rows_new"] > r["n_rows_old"] for r in rows)
+
+
+def test_release_only_same_release_older_raises_clearly(
+    session, sf_dir, fresh_ms
+):
+    orders = _orders(session, sf_dir)
+    orders.save("relone")
+    profile_version("relone", **CFG)
+    fresh_ms.compact_dataset(session.spark, "relone",
+                             target_file_bytes=1 << 30)
+    with pytest.raises(ValueError, match="rewrites of the same release"):
+        release_report("relone")
