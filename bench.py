@@ -13,6 +13,14 @@ carry two full series). Queries whose RAW wall reads >1.25x the previous
 round's raw wall x the anchor drift ratio are automatically re-run once
 (ghost-regression check, raw-vs-raw).
 
+Machine-state label (r10 verdict task 6): the recorded line carries
+"anchor_start_ratio" (start calibration anchor / nominal) and "drifted"
+(true when that ratio exceeds 1.3 — both r10 runs of identical code
+started 1.3-1.7x over nominal and their raw totals differed 6%). Re-run
+guidance: when a run records drifted=true, its raw walls overstate cost
+by roughly the ratio; re-run the bench when the start ratio reads <=1.3
+before attributing cross-round raw deltas to code changes.
+
 Performance posture: one shared SparkSession (session startup excluded — the
 reference's SQLite has no comparable cost and the 100-TB target amortizes
 it), AQE on, shuffle partitions sized for the SF.
@@ -1208,7 +1216,22 @@ def main() -> None:
     # the recheck EVIDENCE goes to BENCH_DETAIL.json (r09 verdict task 4:
     # the recorder's ~2000-char stdout tail kept exactly one truncated
     # recheck line; the detail file is where which-and-why must live)
-    recheck_log: dict = {"drift": None, "rechecked": {}}
+    # the round's machine-state self-label (r10 verdict task 6): both r10
+    # runs of identical code started with anchors 1.3-1.7x nominal and
+    # differed 6% in total — when anchor_start_ratio exceeds ~1.3 the
+    # whole run is flagged "drifted" so cross-round readers separate
+    # machine from code without re-deriving it. Re-run guidance: a
+    # drifted run's raw walls overstate cost roughly by the ratio; prefer
+    # re-running the bench when the machine calms (start ratio <= ~1.3)
+    # before attributing any cross-round regression to code.
+    anchor_start_ratio = round(calib_before / CALIB_NOMINAL_SEC, 3)
+    machine_drifted = anchor_start_ratio > 1.3
+    recheck_log: dict = {
+        "drift": None,
+        "anchor_start_ratio": anchor_start_ratio,
+        "machine_drifted": machine_drifted,
+        "rechecked": {},
+    }
     if prev_raw:
         cur_anchor = sorted(smoothed.values())[len(smoothed) // 2] \
             if smoothed else None
@@ -1333,6 +1356,11 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "queries_kind": "raw_sec",
         "norm_total": round(sum(normalized.values()), 2),
+        # first-class machine-state label (r10 verdict task 6): start
+        # anchor / nominal, and the >1.3x "drifted" verdict — raw deltas
+        # from a drifted run are machine evidence, not code evidence
+        "anchor_start_ratio": anchor_start_ratio,
+        "drifted": machine_drifted,
         "cal": {
             "nom": CALIB_NOMINAL_SEC,
             "b": calib_before,

@@ -169,12 +169,15 @@ def delta_save(
             else:
                 sess.metastore.gram_index_refresh(sess.spark, name)
 
-    def _refresh_profile(increment_df=None) -> None:
+    def _refresh_profile(increment_df=None, base_version=None) -> None:
         if not profile:
             return
         from .ops.release import profile_version
 
-        profile_version(name, session=sess, increment=increment_df, **profile)
+        profile_version(
+            name, session=sess, increment=increment_df,
+            base_version=base_version, **profile,
+        )
 
     def _maybe_compact() -> None:
         """Compact the just-saved head when it is fragmented beyond the
@@ -264,8 +267,42 @@ def delta_save(
         )
         to_process = DataChain(unioned, sess)
 
-    n_changed = to_process.count()
-    n_deleted = deleted.count() if (n_changed == 0 or profile) else None
+    # keys-only projections, computed ONCE and cached: they feed the row
+    # count, the stale-key union, the ANN changed-key set, and the
+    # post-save profile-increment semi-join — without the cache each
+    # reuse re-runs the corpus-sized diff/subtract plan (one redundant
+    # full job per profiled save at 100 TB)
+    proc_keys = _key_sel(to_process.df).persist()
+    del_keys = _key_sel(deleted.df)
+    n_changed = proc_keys.count()
+    need_n_deleted = n_changed == 0 or bool(profile)
+    if need_n_deleted:
+        del_keys = del_keys.persist()
+    n_deleted = del_keys.count() if need_n_deleted else None
+    try:
+        return _delta_apply(
+            sess, source, process, name, keys, flat_keys, prev_version,
+            prev_df, prev_result, to_process, proc_keys, del_keys,
+            n_changed, n_deleted, job_hash, snap_name, save_kw, ann_index,
+            bm25_index, gram_index, profile, compact_target_bytes,
+            _refresh_ann, _refresh_profile, _maybe_compact,
+        )
+    finally:
+        proc_keys.unpersist()
+        del_keys.unpersist()
+
+
+def _delta_apply(
+    sess, source, process, name, keys, flat_keys, prev_version, prev_df,
+    prev_result, to_process, proc_keys, del_keys, n_changed, n_deleted,
+    job_hash, snap_name, save_kw, ann_index, bm25_index, gram_index,
+    profile, compact_target_bytes, _refresh_ann, _refresh_profile,
+    _maybe_compact,
+):
+    """The diff-apply-merge tail of :func:`delta_save`, split out so the
+    cached key projections (``proc_keys``/``del_keys``) un-persist on
+    every exit path. Closures (`_refresh_*`, `_maybe_compact`) carry the
+    index/profile/compaction config."""
     if n_changed == 0 and n_deleted == 0 and prev_version.job_hash == job_hash:
         # indexes requested but missing OR linked to an OLDER version
         # (e.g. an intermediate run saved without index maintenance):
@@ -338,32 +375,67 @@ def delta_save(
 
     # previous results still valid: key not reprocessed and not deleted
     stale_keys = DataChain(
-        _key_sel(to_process.df).unionByName(_key_sel(deleted.df)).dropDuplicates(),
-        sess,
+        proc_keys.unionByName(del_keys).dropDuplicates(), sess,
     )
     kept = prev_result.subtract(stale_keys, on=keys, right_on=flat_keys)
-    merged = DataChain(kept.df.unionByName(processed.df, allowMissingColumns=False), sess)
+    # the incremental save must keep recording the chain's lineage: the
+    # processed branch carries the source's dataset/storage pins (plus
+    # anything process() merged in) — without them the saved version's
+    # dependency record goes empty after run 1 and the cascade-refresh
+    # staleness walk (lineage.refresh_downstream) loses the edge
+    merged = DataChain(
+        kept.df.unionByName(processed.df, allowMissingColumns=False), sess,
+        dependencies=processed._dependencies,
+    )
 
     result = merged.save(name, **save_kw)
     _maybe_compact()
     _refresh_ann(
-        changed_keys_df=_key_sel(to_process.df) if len(keys) == 1 else None,
+        changed_keys_df=proc_keys if len(keys) == 1 else None,
         diffed_against=prev_version.version,
     )
     if profile:
         # the increment-merge fast path is sound only when this run was
         # PURE APPEND: nothing deleted and no reprocessed key displaced a
-        # previous-result row (kept == the whole previous version, by its
-        # stored row count) — any churn double-counts in a merged sketch,
-        # so it re-profiles the new version from scratch instead
-        append_only = (
-            n_deleted == 0
-            and kept.count() == prev_version.num_rows
-            and _has_matching_profile(
-                sess, name, prev_version.version, profile
+        # previous-result row — any churn double-counts in a merged
+        # sketch, so churn re-profiles the new version from scratch.
+        # Both the displacement check and the increment itself read the
+        # SAVED head, never the lazy `processed` plan: re-evaluating a
+        # nondeterministic process() after the save could profile rows
+        # that differ from the ones actually persisted, and the old
+        # `kept.count()` re-ran the corpus-sized subtract a second time —
+        # the head's recorded num_rows minus the increment's count gives
+        # the same number from one churn-key semi-join instead. (The
+        # delta contract keeps delta_on key VALUES unchanged through
+        # process(), so every persisted increment row carries a proc_key;
+        # a pipeline that mutated keys would already misalign the next
+        # run's diff.)
+        if n_deleted == 0 and _has_matching_profile(
+            sess, name, prev_version.version, profile
+        ):
+            head_df, _, head_v = sess.metastore.load_dataset(
+                sess.spark, name
             )
-        )
-        _refresh_profile(increment_df=processed.df if append_only else None)
+            h = head_df.alias("h")
+            p = proc_keys.alias("p")
+            cond = None
+            for k, f in zip(keys, flat_keys):
+                c = F.col(f"h.{k}").eqNullSafe(F.col(f"p.{f}"))
+                cond = c if cond is None else cond & c
+            inc_df = h.join(p, cond, "left_semi").persist()
+            try:
+                kept_rows = head_v.num_rows - inc_df.count()
+                if kept_rows == prev_version.num_rows:
+                    _refresh_profile(
+                        increment_df=inc_df,
+                        base_version=prev_version.version,
+                    )
+                else:
+                    _refresh_profile()
+            finally:
+                inc_df.unpersist()
+        else:
+            _refresh_profile()
     source.save(snap_name)
     _stamp_job_hash(sess, name, job_hash)
     return result

@@ -51,6 +51,7 @@ def profile_version(
     distinct_col: Optional[str] = None,
     version: Optional[str] = None,
     increment: Optional[DataFrame] = None,
+    base_version: Optional[str] = None,
     session=None,
 ):
     """Build the mergeable profile of a saved version of ``name`` and
@@ -68,6 +69,14 @@ def profile_version(
     is row-identical to profiling the whole new version). The caller
     owns the append-only contract (delta pipelines know their increment;
     a modified-in-place row would be double-counted).
+
+    ``base_version=<data version>`` pins WHICH stored profile the
+    increment folds into: the one whose ``profile_of_version`` matches,
+    raising when absent. Without it the newest stored profile (of any
+    version other than the target) is used — fine for a linear history,
+    but a manual ``profile_version`` backfill of an OLDER version in
+    between would silently become the merge base and double-count; delta
+    pipelines always pass their snapshot's previous version.
     """
     from ..session import Session
     from .sketches import merge_profile_sketches, profile_sketch
@@ -92,13 +101,25 @@ def profile_version(
         )
 
     if increment is not None:
-        prev = _newest_profile(sess, name, exclude_version=dv.version)
-        if prev is None:
-            raise ValueError(
-                f"profile_version: increment= needs a previous profile of "
-                f"{name!r} to merge into — build one full profile first"
-            )
-        prev_df, prev_attrs = prev
+        if base_version is not None:
+            try:
+                prev_df, prev_attrs = _profile_for(sess, name, base_version)
+            except ValueError as exc:
+                raise ValueError(
+                    f"profile_version: increment= with base_version="
+                    f"{base_version!r} but no stored profile of that "
+                    f"version of {name!r} exists — build one full profile "
+                    "of the base first"
+                ) from exc
+        else:
+            prev = _newest_profile(sess, name, exclude_version=dv.version)
+            if prev is None:
+                raise ValueError(
+                    f"profile_version: increment= needs a previous profile "
+                    f"of {name!r} to merge into — build one full profile "
+                    "first"
+                )
+            prev_df, prev_attrs = prev
         cfg = _cfg_attrs(keys, value_col, lo, hi, bins, distinct_col)
         stale = {
             k for k in _CFG_KEYS if prev_attrs.get(k, "") != cfg.get(k, "")
@@ -153,11 +174,21 @@ def _newest_profile(sess, name: str, exclude_version: Optional[str] = None):
     return df, best.attrs
 
 
-def _profile_for(sess, name: str, data_version: str):
-    from ..catalog.metastore import parse_version, split_name
+def _profile_record(sess, name: str):
+    """The ``{name}__profile`` DatasetRecord (or None) — read ONCE per
+    report/promote call and passed through every lookup below; each
+    lookup used to re-read the same JSON manifest."""
+    from ..catalog.metastore import split_name
 
     pns, pproj, pbase = split_name(f"{name}__profile")
-    prec = sess.metastore._read_record(pns, pproj, pbase)
+    return sess.metastore._read_record(pns, pproj, pbase)
+
+
+def _profile_for(sess, name: str, data_version: str, prec=None):
+    from ..catalog.metastore import parse_version
+
+    if prec is None:
+        prec = _profile_record(sess, name)
     matches = [
         v for v in (prec.versions if prec else [])
         if v.attrs.get("profile_of_version") == data_version
@@ -168,8 +199,8 @@ def _profile_for(sess, name: str, data_version: str):
             "run profile_version at save time"
         )
     best = max(matches, key=lambda v: parse_version(v.version))
-    df, _, _ = sess.metastore.load_dataset(
-        sess.spark, f"{name}__profile", best.version
+    df = sess.spark.read.parquet(
+        sess.metastore.version_data_path(f"{name}__profile", best.version)
     )
     return df, best.attrs
 
@@ -197,11 +228,13 @@ def _compaction_chain(rec, version: str) -> set:
 
 
 
-def _profile_for_release(sess, name: str, rec, version: str):
+def _profile_for_release(sess, name: str, rec, version: str, prec=None):
     """Profile lookup that falls back through the version's compaction
     chain: a compacted copy made before profiles were re-linked (or with
     refresh_indexes=False) has no profile of its own, but its chain
     source's profile describes the exact same rows."""
+    if prec is None:
+        prec = _profile_record(sess, name)
     chain = sorted(
         _compaction_chain(rec, version),
         key=lambda v: (v != version, v),  # the version itself first
@@ -209,7 +242,7 @@ def _profile_for_release(sess, name: str, rec, version: str):
     last_err = None
     for v in chain:
         try:
-            return _profile_for(sess, name, v)
+            return _profile_for(sess, name, v, prec=prec)
         except ValueError as exc:
             last_err = exc
     raise last_err
@@ -223,6 +256,8 @@ def release_report(
     psi_eps: float = 0.5,
     round_dp: int = 6,
     session=None,
+    _rec=None,
+    _prec=None,
 ) -> DataFrame:
     """Version-over-version release review computed ENTIRELY from the two
     stored profiles — neither data version is scanned (plan-guarded in
@@ -252,9 +287,10 @@ def release_report(
     from ..session import Session
 
     sess = Session.get() if session is None else session
-    rec = sess.metastore.get_record(name)
+    rec = _rec if _rec is not None else sess.metastore.get_record(name)
     if rec is None or not rec.versions:
         raise ValueError(f"release_report: no versions of dataset {name!r}")
+    prec = _prec if _prec is not None else _profile_record(sess, name)
     ordered = sorted(rec.versions, key=lambda v: parse_version(v.version))
     new_ver = rec.get_version(v_new).version
     if v_old is None:
@@ -289,8 +325,10 @@ def release_report(
                 raise
             old_ver = str(v_old)
 
-    old_prof, old_attrs = _profile_for_release(sess, name, rec, old_ver)
-    new_prof, new_attrs = _profile_for_release(sess, name, rec, new_ver)
+    old_prof, old_attrs = _profile_for_release(sess, name, rec, old_ver,
+                                               prec=prec)
+    new_prof, new_attrs = _profile_for_release(sess, name, rec, new_ver,
+                                               prec=prec)
     stale = {
         k for k in _CFG_KEYS if old_attrs.get(k, "") != new_attrs.get(k, "")
     }
@@ -456,6 +494,7 @@ def schema_changes(
     v_old: Optional[str] = None,
     v_new: Optional[str] = None,
     session=None,
+    _rec=None,
 ) -> DataFrame:
     """Column add/remove/retype between two saved versions, read from the
     metastore's STORED schemas — no data is touched, so it is free to
@@ -469,7 +508,7 @@ def schema_changes(
     from ..session import Session
 
     sess = Session.get() if session is None else session
-    rec = sess.metastore.get_record(name)
+    rec = _rec if _rec is not None else sess.metastore.get_record(name)
     if rec is None or not rec.versions:
         raise ValueError(f"schema_changes: no versions of dataset {name!r}")
     ordered = sorted(rec.versions, key=lambda v: parse_version(v.version))
@@ -562,9 +601,13 @@ def promote_report(
     spark = sess.spark
     pol = dict(policy or {})
     parts: list[DataFrame] = []
+    # one read of each manifest per gate call — release_report,
+    # schema_changes, and the group-key lookup below all reuse these
+    # instead of re-reading the same JSON record per lookup
     rec = sess.metastore.get_record(name)
     if rec is None or not rec.versions:
         raise ValueError(f"promote_report: no versions of {name!r}")
+    prec = _profile_record(sess, name)
     new_ver = rec.get_version(v_new).version
 
     schema_pol = {
@@ -577,13 +620,17 @@ def promote_report(
     if drift_keys:
         rep = release_report(
             name, v_old=v_old, v_new=v_new, qs=qs, round_dp=round_dp,
-            session=sess,
+            session=sess, _rec=rec, _prec=prec,
         )
         # group keys come from the profile attrs — the same authority
-        # release_report reads — never from pattern-matching output
-        # column names (a group column NAMED like a metric would corrupt
-        # every check's target otherwise)
-        _, new_attrs = _profile_for(sess, name, new_ver)
+        # release_report reads (incl. its compaction-chain fallback: a
+        # head compacted with refresh_indexes=False has no profile of
+        # its own, and the gate must not crash where release_report
+        # succeeds) — never from pattern-matching output column names (a
+        # group column NAMED like a metric would corrupt every check's
+        # target otherwise)
+        _, new_attrs = _profile_for_release(sess, name, rec, new_ver,
+                                            prec=prec)
         keys = [k for k in new_attrs["profile_group_cols"].split(",") if k]
         target = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
         if "max_psi" in pol:
@@ -639,7 +686,7 @@ def promote_report(
 
         try:
             sch = schema_changes(name, v_old=v_old, v_new=v_new,
-                                 session=sess)
+                                 session=sess, _rec=rec)
         except DatasetVersionNotFoundError:
             if v_old is None or not _VERSION_RE.match(str(v_old)):
                 raise

@@ -114,6 +114,14 @@ def _pop_delta_kwargs(options: dict) -> Optional[dict]:
     passed WITHOUT ``delta=True`` — they would otherwise fall through to
     the Spark reader as unknown options and silently no-op (the flag API
     must either work or fail loudly)."""
+    if "delta_result_on" in options:
+        # same explicit rejection as read_storage/read_dataset — the
+        # reference's renamed-result-key kwarg (storage.py:38) must not
+        # fall through to spark.read.options() as a silent no-op
+        raise NotImplementedError(
+            "delta_result_on (renamed result keys) is not supported; "
+            "keep the delta_on columns unrenamed through the chain"
+        )
     delta = bool(options.pop("delta", False))
     dkw = {
         k: options.pop(k)

@@ -840,3 +840,120 @@ def test_delta_zero_change_compaction_catch_up(session, sf_dir, fresh_ms):
     delta_save(orders, proc, "dzcc", "o_orderkey", save_kwargs=kw,
                compact_target_bytes=1 << 30)
     assert len(fresh_ms.get_record("dzcc").versions) == n_before
+
+
+def test_delta_profile_increment_pins_base_version(session, sf_dir, fresh_ms):
+    """A manual profile_version BACKFILL of an older version between delta
+    runs must not become the increment's merge base: the increment folds
+    into the profile of the version the run actually diffed from
+    (base_version pin), so the stored head profile stays row-identical to
+    a from-scratch profile."""
+    from datachain_spark.ops.release import _profile_for, profile_version
+    from datachain_spark.ops.sketches import profile_sketch
+
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    cfg = dict(group_cols="o_orderpriority", value_col="o_totalprice",
+               lo=0.0, hi=600000.0, bins=32)
+    delta_save(orders.filter(dc.C("o_orderkey") % 4 == 1),
+               lambda ch: ch, "dbase", "o_orderkey",
+               delta_compare="o_orderkey", profile=cfg)           # 1.0.0
+    delta_save(orders.filter(dc.C("o_orderkey") % 4 <= 1),
+               lambda ch: ch, "dbase", "o_orderkey",
+               delta_compare="o_orderkey", profile=cfg)           # 1.0.1
+    # backfill: re-profile the OLD version — it becomes the NEWEST stored
+    # profile, which an unpinned increment would silently merge into
+    profile_version("dbase", version="1.0.0", **cfg)
+    delta_save(orders.filter(dc.C("o_orderkey") % 4 <= 2),
+               lambda ch: ch, "dbase", "o_orderkey",
+               delta_compare="o_orderkey", profile=cfg)           # 1.0.2
+
+    head = fresh_ms.get_record("dbase").latest_version()
+    stored, _ = _profile_for(session, "dbase", head.version)
+    truth = profile_sketch(
+        orders.filter(dc.C("o_orderkey") % 4 <= 2).df,
+        ["o_orderpriority"], value_col="o_totalprice",
+        lo=0.0, hi=600000.0, bins=32,
+    )
+    s = {r["o_orderpriority"]: (r["n_rows"], r["n_value"], tuple(r["hist"]))
+         for r in stored.collect()}
+    t = {r["o_orderpriority"]: (r["n_rows"], r["n_value"], tuple(r["hist"]))
+         for r in truth.collect()}
+    assert s == t
+
+
+def test_profile_version_base_version_requires_stored_profile(
+    session, sf_dir, fresh_ms
+):
+    from datachain_spark.ops.release import profile_version
+
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    orders.filter(dc.C("o_orderkey") % 3 == 1).save("dbv")
+    profile_version("dbv", group_cols="o_orderpriority",
+                    distinct_col="o_custkey")
+    orders.save("dbv")
+    with pytest.raises(ValueError, match="base_version"):
+        profile_version(
+            "dbv", group_cols="o_orderpriority", distinct_col="o_custkey",
+            increment=orders.df.limit(1), base_version="9.9.9",
+        )
+
+
+def test_delta_profile_increment_reads_saved_rows(session, sf_dir, fresh_ms):
+    """A NONDETERMINISTIC process() (rand column) must not corrupt the
+    incremental profile: the increment is sketched from the SAVED head's
+    rows, never from a re-evaluation of the lazy processed plan — the
+    stored profile always describes the rows actually persisted."""
+    from datachain_spark.ops.release import _profile_for
+
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    cfg = dict(group_cols=None, value_col="val", lo=0.0, hi=1.0, bins=16)
+
+    def proc(ch):
+        return ch.select("o_orderkey").mutate(val=F.rand())
+
+    delta_save(orders.filter(dc.C("o_orderkey") % 3 == 1), proc,
+               "dnd", "o_orderkey", delta_compare="o_orderkey", profile=cfg)
+    delta_save(orders.filter(dc.C("o_orderkey") % 3 != 0), proc,
+               "dnd", "o_orderkey", delta_compare="o_orderkey", profile=cfg)
+
+    head_df, _, head_v = fresh_ms.load_dataset(session.spark, "dnd")
+    stored, _ = _profile_for(session, "dnd", head_v.version)
+    row = stored.collect()[0]
+    truth = head_df.agg(
+        F.count("*").alias("n"), F.sum("val").alias("s")
+    ).first()
+    assert row["n_rows"] == truth["n"]
+    assert row["sum_x"] == pytest.approx(truth["s"], rel=1e-9)
+
+
+def test_delta_profile_append_run_job_budget(session, sf_dir, fresh_ms):
+    """The profiled append run must not re-run the corpus-sized subtract
+    for its append-only check (r10 verdict task 3): the cached key
+    projections + the saved-head increment keep the run inside a fixed
+    Spark-job budget — measured 41 jobs after the fix vs 50 before it
+    (the kept.count()/n_deleted subtract re-runs and the re-evaluated
+    processed-plan profile each burned extra corpus-sized jobs)."""
+    sc = session.spark.sparkContext
+    orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
+    cfg = dict(group_cols="o_orderpriority", value_col="o_totalprice",
+               lo=0.0, hi=600000.0, bins=16)
+    delta_save(orders.filter(dc.C("o_orderkey") % 3 == 1),
+               lambda ch: ch, "djob", "o_orderkey",
+               delta_compare="o_orderkey", profile=cfg)
+    sc.setJobGroup("djob_append", "profiled append run")
+    try:
+        delta_save(orders.filter(dc.C("o_orderkey") % 3 != 0),
+                   lambda ch: ch, "djob", "o_orderkey",
+                   delta_compare="o_orderkey", profile=cfg)
+        jobs = sc.statusTracker().getJobIdsForGroup("djob_append")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert 0 < len(jobs) <= 45, f"append run used {len(jobs)} jobs"
+
+
+def test_flag_api_rejects_delta_result_on(session, sf_dir, fresh_ms):
+    with pytest.raises(NotImplementedError, match="delta_result_on"):
+        dc.read_parquet(
+            f"{sf_dir}/documents.parquet", session=session,
+            delta=True, delta_on="doc_id", delta_result_on="doc_id",
+        )

@@ -437,3 +437,29 @@ def test_release_only_same_release_older_raises_clearly(
                              target_file_bytes=1 << 30)
     with pytest.raises(ValueError, match="rewrites of the same release"):
         release_report("relone")
+
+
+def test_promote_report_on_unprofiled_compacted_head(
+    session, sf_dir, fresh_ms
+):
+    """promote_report's group-key lookup must resolve through the same
+    compaction-chain fallback release_report uses: a head compacted with
+    refresh_indexes=False (no re-linked profile) gates successfully via
+    its chain source's profile instead of crashing on 'no stored
+    profile'."""
+    from datachain_spark.ops.release import promote_report
+
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("promc")
+    profile_version("promc", **CFG)
+    orders.save("promc")
+    profile_version("promc", **CFG)
+    fresh_ms.compact_dataset(session.spark, "promc",
+                             target_file_bytes=1 << 30,
+                             refresh_indexes=False)
+    rows = promote_report(
+        "promc", policy={"max_psi": 0.2, "min_rows": 1},
+    ).collect()
+    checks = {r["check"] for r in rows}
+    assert {"psi", "min_rows"} <= checks
+    assert all(r["passed"] for r in rows if r["check"] == "min_rows")
