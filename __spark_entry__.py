@@ -11317,6 +11317,195 @@ FROM z ORDER BY o_orderkey_min, o_custkey_min
 """
 
 
+def cascade_refresh_orders(spark, sf):
+    """Lineage-driven cascade refresh (datachain_spark/lineage.py — r10
+    verdict task 2, the capstone the incremental publish pipeline
+    lacked): a 2-stage chain src -> derived (delta pipeline with
+    profile maintenance) -> released (delta pipeline with zone-index
+    maintenance) is built on a 2/3 slice, then the source is appended
+    to the full 1-in-4 orders slice and ONE refresh_downstream(src)
+    call re-runs both registered pipelines in dependency order — each
+    incrementally, via its own delta path. The result is the released
+    head's rows plus the count of 'refreshed' cascade actions; DuckDB
+    replays the whole 2-stage transform from raw orders, so a cascade
+    that missed a stage, ran out of order, or reprocessed rows fails
+    the hash (and n_refreshed pins that BOTH stages actually re-ran,
+    not just converged)."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.delta import delta_save
+    from datachain_spark.lineage import refresh_downstream, register_pipeline
+    from datachain_spark.sources.readers import read_dataset
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_casc_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    old_reg = getattr(sess, "_lineage_pipelines", None)
+    sess._lineage_pipelines = {}
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        tag = uuid.uuid4().hex[:8]
+        src, drv, rel = f"csrc_{tag}", f"cdrv_{tag}", f"crel_{tag}"
+        orders = _chain(spark, sf, "orders").filter(C.o_orderkey % 4 == 1)
+
+        def derived_fn():
+            return delta_save(
+                read_dataset(src, session=sess),
+                lambda ch: ch.mutate(
+                    price_band=F.floor(F.col("o_totalprice") / 1000.0)
+                    .cast("long")
+                ),
+                drv, "o_orderkey", delta_compare="o_totalprice",
+                session=sess,
+                profile=dict(group_cols="o_orderpriority",
+                             value_col="o_totalprice",
+                             lo=0.0, hi=600000.0, bins=32),
+            )
+
+        def released_fn():
+            return delta_save(
+                read_dataset(drv, session=sess),
+                lambda ch: ch.filter(C.price_band >= 100)
+                .select("o_orderkey", "o_orderpriority", "price_band"),
+                rel, "o_orderkey", delta_compare="price_band",
+                session=sess,
+                save_kwargs=dict(zone_index=["o_orderkey"]),
+            )
+
+        register_pipeline(drv, derived_fn, session=sess)
+        register_pipeline(rel, released_fn, session=sess)
+        orders.filter(C.o_orderkey % 3 != 0).save(src)
+        derived_fn()
+        released_fn()
+
+        # upstream append -> one call heals the whole chain, in order
+        orders.save(src)
+        report = refresh_downstream(src, session=sess).collect()
+        n_refreshed = sum(1 for r in report if r["action"] == "refreshed")
+
+        out, _, _ = ms.load_dataset(spark, rel)
+        return (
+            out.withColumn(
+                "n_refreshed", F.lit(int(n_refreshed)).cast("long")
+            ).orderBy("o_orderkey")
+        )
+    finally:
+        sess.metastore = old_ms
+        if old_reg is None:
+            del sess._lineage_pipelines
+        else:
+            sess._lineage_pipelines = old_reg
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+CASCADE_REFRESH_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_band,
+       CAST(2 AS BIGINT) AS n_refreshed
+FROM orders
+WHERE o_orderkey % 4 = 1 AND floor(o_totalprice / 1000.0) >= 100
+ORDER BY o_orderkey
+"""
+
+
+def promotion_audit_orders(spark, sf):
+    """Promotion audit history (ops/release.promote(audit=True) +
+    promotions() — r10 verdict task 8): two gate runs against the same
+    2-version orders dataset — a passing row-delta/min-rows policy,
+    then a deliberately blocked 1% row-delta budget
+    (raise_on_block=False) — each persisting its full decision frame as
+    a version of {name}__promotions. The result is promotions()'s
+    replay of BOTH audits: every stored check row widened with the
+    audit id, the resolved version pair, the canonical policy JSON, and
+    the gate verdict. DuckDB recomputes all of it from raw orders, so
+    an audit that lost rows, mis-resolved versions, recorded the wrong
+    verdict, or reordered policies fails the hash."""
+    import tempfile
+    import uuid
+
+    from datachain_spark.catalog.metastore import Metastore
+    from datachain_spark.ops.release import (
+        profile_version,
+        promote,
+        promotions,
+    )
+
+    sess = Session.get(spark=spark)
+    ms = Metastore(tempfile.mkdtemp(prefix="dc_paud_"))
+    old_ms, sess.metastore = sess.metastore, ms
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        orders = _chain(spark, sf, "orders")
+        name = "paud_" + uuid.uuid4().hex[:8]
+        cfg = dict(group_cols="o_orderpriority", session=sess,
+                   distinct_col="o_custkey")
+        orders.filter(C.o_orderkey % 3 != 0).save(name)
+        profile_version(name, **cfg)
+        orders.save(name)
+        profile_version(name, **cfg)
+        promote(name, policy=dict(max_abs_row_delta_frac=2.0, min_rows=10),
+                session=sess)
+        promote(name, policy=dict(max_abs_row_delta_frac=0.01),
+                raise_on_block=False, session=sess)
+        return (
+            promotions(name, session=sess)
+            .orderBy("audit_id", "check", "target")
+        )
+    finally:
+        sess.metastore = old_ms
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+PROMOTION_AUDIT_SQL = """
+WITH so AS (
+  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1
+),
+sn AS (
+  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1
+),
+frac AS (
+  SELECT so.g,
+         ROUND(ABS(CAST(sn.n_rows - so.n_rows AS DOUBLE)) / so.n_rows, 6)
+           AS f,
+         sn.n_rows AS n_new
+  FROM so JOIN sn ON sn.g = so.g
+),
+audit1 AS (
+  SELECT 'min_rows' AS "check", g AS target,
+         CAST(n_new AS DOUBLE) AS value, 10.0 AS threshold,
+         n_new >= 10 AS passed
+  FROM frac
+  UNION ALL
+  SELECT 'row_delta', g, f, 2.0, f <= 2.0 FROM frac
+),
+audit2 AS (
+  SELECT 'row_delta' AS "check", g AS target, f AS value,
+         0.01 AS threshold, f <= 0.01 AS passed
+  FROM frac
+),
+labeled AS (
+  SELECT *, '1.0.0' AS v_old, '1.0.1' AS v_new,
+         bool_and(passed) OVER () AS gate_passed,
+         '{"max_abs_row_delta_frac":2.0,"min_rows":10}' AS policy,
+         '1.0.0' AS audit_id
+  FROM audit1
+  UNION ALL
+  SELECT *, '1.0.0', '1.0.1',
+         bool_and(passed) OVER (),
+         '{"max_abs_row_delta_frac":0.01}',
+         '1.0.1'
+  FROM audit2
+)
+SELECT * FROM labeled ORDER BY audit_id, "check", target
+"""
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -11377,87 +11566,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     contamination_report). The whole r09 window
     (50/50 green in CORRECTNESS_r09) rotates to overflow.
 
-    r11 window plan: continue the staleness rotation — the remaining 31
-    r06 greens (pagerank_orders ... merge_expr_pred, queued first in
-    the overflow section below), then the r07 greens
-    (order_limit_offset, udf_*, semi_join, the sketch/eval wave), plus
-    any r10-new entries whose verdict missed.
+    r11 rotation (r10 verdict task 1, executed verbatim): the window
+    holds the 2 r11-new entries (lineage-driven cascade refresh —
+    refresh_downstream over the recorded dependency graph — and the
+    persisted promotion audit history; nothing new accrues debt), ALL
+    37 remaining entries whose last external verdict is r06
+    (semdedup/zorder_key/dedup_eval/leakage_split/nb_classifier/
+    fuzzy_join, then pagerank_orders ... merge_expr_pred exactly as the
+    r10 plan queued them), padded to 50 with the 11 stalest r07 greens
+    (strip_boilerplate, asof_nearest, corpus_overlap, funnel_window,
+    event_paths, schema_drift, event_transitions, hll_by_group,
+    scd2_customer, rolling_actives, cohort_rates). The whole r10 window
+    (50/50 green in CORRECTNESS_r10) rotates to overflow.
+
+    r12 window plan: continue the staleness rotation — the remaining
+    r07 greens (cluster_sizes_docs ... order_limit_offset, queued first
+    in the overflow section below), then the r08 greens
+    (q6_forecast_revenue, curation_report, the sketch/streaming wave),
+    plus any r11-new entries whose verdict missed.
 
     EVERY entry — window and overflow — is still verified locally each run
     by tests/test_oracle.py, and scripts/local_oracle.py emits the full
     result table to LOCAL_ORACLE.json so the externally-unchecked subset
     remains visible (tiered runs record per-entry sweep provenance)."""
     return {
-        # ===== r10 window (slots 1-50): staleness rotation =====
-        # -- the 8 r10 additions (profile-through-delta release gate,
-        #    incremental gram-index refresh, composed promote gate,
-        #    OPTIMIZE-through-delta compaction, and value oracles for
-        #    previously unit-only surfaces: catalog CRUD, compaction,
-        #    in-memory constructors, parse_tabular provenance) --
-        "delta_profile_release": delta_profile_release,
-        "gram_index_refresh_docs": gram_index_refresh_docs,
-        "promote_gate_orders": promote_gate_orders,
-        "catalog_crud_orders": catalog_crud_orders,
-        "compact_roundtrip_orders": compact_roundtrip_orders,
-        "read_inmemory_nation": read_inmemory_nation,
-        "parse_tabular_provenance": parse_tabular_provenance,
-        "delta_compact_orders": delta_compact_orders,
-        # -- stalest greens: last external verdict r05 (the TPC-H
-        #    overflow q2/q4/q5_asia/q7-q22 + the rest of the r05 wave,
-        #    queued verbatim from the r09 plan) --
-        "sample_per_group_md5": sample_per_group_md5,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q11_important_stock": q11_important_stock,
-        "q12_priority_mix": q12_priority_mix,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_variety": q16_supplier_variety,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive": q19_disjunctive,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_idle_balances": q22_idle_balances,
-        "q5_asia_revenue": q5_asia_revenue,
-        "gopher_gate": gopher_gate,
-        "quality_score_docs": quality_score_docs,
-        "decontaminate_bloom_md5": decontaminate_bloom_md5,
-        "url_blocklist": url_blocklist,
-        "ann_ivf_cells": ann_ivf_cells,
-        "ann_ivf_probe": ann_ivf_probe,
-        "chunk_documents": chunk_documents_query,
-        "lm_perplexity": lm_perplexity,
-        "pii_redact": pii_redact,
-        "pack_sequences_md5": pack_sequences_md5,
-        "interleave_md5": interleave_md5,
-        "knn_join_topk": knn_join_topk,
-        # -- r06 greens, stalest-first padding to 50 --
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "bm25_score_docs": bm25_score_docs,
-        "dsir_importance_md5": dsir_importance_md5,
-        "c4_gate": c4_gate,
-        "spans_dedup_md5": spans_dedup_md5,
-        "corpus_stats_by_lang": corpus_stats_by_lang,
-        "url_dedup_docs": url_dedup_docs,
-        "contamination_report_docs": contamination_report_docs,
-        # ================= overflow (slot 51+) =================
+        # ===== r11 window (slots 1-50): staleness rotation =====
+        # -- the 2 r11 additions (lineage-driven cascade refresh,
+        #    promotion audit history) --
+        "cascade_refresh_orders": cascade_refresh_orders,
+        "promotion_audit_orders": promotion_audit_orders,
+        # -- stalest greens: last external verdict r06 (the whole
+        #    remaining r06 wave, queued verbatim from the r10 plan) --
         "semdedup_docs": semdedup_docs,
         "zorder_key_orders": zorder_key_orders,
         "dedup_eval_md5": dedup_eval_md5,
         "leakage_split_md5": leakage_split_md5,
         "nb_classifier_md5": nb_classifier_md5,
         "fuzzy_join_pairs": fuzzy_join_pairs,
-        # -- remaining r06 greens: queued FIRST for the r11 window --
-        # (zorder_key/dedup_eval/leakage_split/nb_classifier/fuzzy_join/
-        #  semdedup slid to overflow with the 8 r10 additions)
         "pagerank_orders": pagerank_orders,
         "histogram_orders": histogram_orders,
         "minhash_incremental_md5": minhash_incremental_md5,
@@ -11489,7 +11634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_glob_in": filter_glob_in,
         "subtract_anti": subtract_anti,
         "merge_expr_pred": merge_expr_pred,
-        # -- r07 greens (next after the r06 block) --
+        # -- r07 greens, stalest-first padding to 50 --
         "strip_boilerplate_docs": strip_boilerplate_docs,
         "asof_nearest_events": asof_nearest_events,
         "corpus_overlap_docs": corpus_overlap_docs,
@@ -11501,6 +11646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer": scd2_customer,
         "rolling_actives_events": rolling_actives_events,
         "cohort_rates_events": cohort_rates_events,
+        # ================= overflow (slot 51+) =================
+        # -- remaining r07 greens: queued FIRST for the r12 window --
         "cluster_sizes_docs": cluster_sizes_docs,
         "salted_join_orders": salted_join_orders,
         "kfold_docs": kfold_docs,
@@ -11642,6 +11789,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "save_read_roundtrip": save_read_roundtrip_ro,
         "delta_incremental": delta_incremental_ro,
         "sample_shuffle_chunk": sample_shuffle_chunk_ro,
+        # -- r10 greens (last round's window, 50/50 green in
+        #    CORRECTNESS_r10) --
+        "delta_profile_release": delta_profile_release,
+        "gram_index_refresh_docs": gram_index_refresh_docs,
+        "promote_gate_orders": promote_gate_orders,
+        "catalog_crud_orders": catalog_crud_orders,
+        "compact_roundtrip_orders": compact_roundtrip_orders,
+        "read_inmemory_nation": read_inmemory_nation,
+        "parse_tabular_provenance": parse_tabular_provenance,
+        "delta_compact_orders": delta_compact_orders,
+        "sample_per_group_md5": sample_per_group_md5,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q11_important_stock": q11_important_stock,
+        "q12_priority_mix": q12_priority_mix,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive": q19_disjunctive,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_idle_balances": q22_idle_balances,
+        "q5_asia_revenue": q5_asia_revenue,
+        "gopher_gate": gopher_gate,
+        "quality_score_docs": quality_score_docs,
+        "decontaminate_bloom_md5": decontaminate_bloom_md5,
+        "url_blocklist": url_blocklist,
+        "ann_ivf_cells": ann_ivf_cells,
+        "ann_ivf_probe": ann_ivf_probe,
+        "chunk_documents": chunk_documents_query,
+        "lm_perplexity": lm_perplexity,
+        "pii_redact": pii_redact,
+        "pack_sequences_md5": pack_sequences_md5,
+        "interleave_md5": interleave_md5,
+        "knn_join_topk": knn_join_topk,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "bm25_score_docs": bm25_score_docs,
+        "dsir_importance_md5": dsir_importance_md5,
+        "c4_gate": c4_gate,
+        "spans_dedup_md5": spans_dedup_md5,
+        "corpus_stats_by_lang": corpus_stats_by_lang,
+        "url_dedup_docs": url_dedup_docs,
+        "contamination_report_docs": contamination_report_docs,
     }
 
 
@@ -11887,4 +12086,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": MINHASH_XX_PAIRS_SQL,
         "simhash_pairs": SIMHASH_XX_PLANTED_SQL,
         "winnow_fingerprints": WINNOW_XX_INVARIANT_SQL,
+        # r11: lineage cascade refresh + promotion audit history
+        "cascade_refresh_orders": CASCADE_REFRESH_SQL,
+        "promotion_audit_orders": PROMOTION_AUDIT_SQL,
     }

@@ -313,6 +313,10 @@ HEADLINE = [
     "find_substring_full",
     "gram_refresh_full",
     "delta_profile_full",
+    # r11 addition: the lineage cascade (2-stage delta chain healed by
+    # one refresh_downstream call after an upstream append — manifest
+    # walk + two incremental delta re-runs with profile maintenance)
+    "cascade_refresh_full",
 ]
 
 
@@ -1088,10 +1092,77 @@ def main() -> None:
         finally:
             sess.metastore = old_ms
 
+    def _cascade_refresh_full(spark, sf):
+        # r11 lineage cascade at corpus scale: a 2-stage delta chain
+        # (src -> derived with profile maintenance -> released) built on
+        # 2/3 of orders, then an upstream append healed by ONE
+        # refresh_downstream call — both stages re-run incrementally
+        # through their own delta paths; the graph walk itself reads
+        # only manifest JSON
+        import tempfile
+        import uuid
+
+        from datachain_spark.catalog.metastore import Metastore
+        from datachain_spark.delta import delta_save
+        from datachain_spark.lineage import (
+            refresh_downstream,
+            register_pipeline,
+        )
+        from datachain_spark.session import Session
+        from datachain_spark.sources.readers import read_dataset
+
+        sess = Session.get(spark=spark)
+        ms = Metastore(tempfile.mkdtemp(prefix="dc_bench_casc_"))
+        old_ms, sess.metastore = sess.metastore, ms
+        old_reg = getattr(sess, "_lineage_pipelines", None)
+        sess._lineage_pipelines = {}
+        try:
+            tag = uuid.uuid4().hex[:8]
+            src, drv, rel = f"bsrc_{tag}", f"bdrv_{tag}", f"brel_{tag}"
+            orders = entrymod._chain(spark, sf, "orders")
+
+            def derived_fn():
+                return delta_save(
+                    read_dataset(src, session=sess),
+                    lambda ch: ch.mutate(
+                        price_band=F.floor(F.col("o_totalprice") / 1000.0)
+                        .cast("long")
+                    ),
+                    drv, "o_orderkey", delta_compare="o_totalprice",
+                    session=sess,
+                    profile=dict(group_cols="o_orderpriority",
+                                 value_col="o_totalprice",
+                                 lo=0.0, hi=600000.0, bins=64),
+                )
+
+            def released_fn():
+                return delta_save(
+                    read_dataset(drv, session=sess),
+                    lambda ch: ch.filter(F.col("price_band") >= 100)
+                    .select("o_orderkey", "o_orderpriority", "price_band"),
+                    rel, "o_orderkey", delta_compare="price_band",
+                    session=sess,
+                )
+
+            register_pipeline(drv, derived_fn, session=sess)
+            register_pipeline(rel, released_fn, session=sess)
+            orders.filter(F.col("o_orderkey") % 3 != 0).save(src)
+            derived_fn()
+            released_fn()
+            orders.save(src)
+            return refresh_downstream(src, session=sess)
+        finally:
+            sess.metastore = old_ms
+            if old_reg is None:
+                del sess._lineage_pipelines
+            else:
+                sess._lineage_pipelines = old_reg
+
     queries["release_report_full"] = _release_report_full
     queries["find_substring_full"] = _find_substring_full
     queries["gram_refresh_full"] = _gram_refresh_full
     queries["delta_profile_full"] = _delta_profile_full
+    queries["cascade_refresh_full"] = _cascade_refresh_full
     queries["hash_retrieval_full"] = _hash_retrieval_full
     queries["stratified_split_full"] = _stratified_split_full
     queries["web_signals_full"] = _web_signals_full

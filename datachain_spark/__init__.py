@@ -53,6 +53,7 @@ from .sources import (
     read_warc,
 )
 from .card import dataset_card
+from .lineage import refresh_downstream, register_pipeline, stale_datasets
 from .ops.diff import dataset_diff
 from .schema import DataModel, DataType, ModelStore, Sys, is_chain_type
 from .sources.files import (
@@ -106,6 +107,7 @@ __all__ = [
     "from_json", "from_dataset", "from_hf", "from_storage",
     "datasets", "listings", "delete_dataset", "move_dataset", "compact_dataset", "vacuum_dataset", "dataset_card",
     "export_dataset_table", "dataset_diff",
+    "register_pipeline", "refresh_downstream", "stale_datasets",
     "create_project", "delete_namespace",
     "Mapper", "Generator", "Aggregator", "BatchMapper", "AbstractUDF",
     "column", "c", "func",

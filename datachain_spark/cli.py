@@ -108,6 +108,17 @@ def main(argv: list[str] | None = None) -> int:
     p_promote.add_argument("--allow-type-changes", action="store_true")
     p_promote.add_argument("--v-old", default=None)
     p_promote.add_argument("--v-new", default=None)
+    p_promote.add_argument("--no-audit", action="store_true",
+                           help="skip persisting the outcome to "
+                                "<name>__promotions")
+
+    p_promotions = sub.add_parser(
+        "promotions",
+        help="list recorded promote outcomes of a dataset (the "
+             "persisted gate evidence)",
+    )
+    p_promotions.add_argument("name")
+    p_promotions.add_argument("--failed-only", action="store_true")
 
     p_vacuum = sub.add_parser(
         "vacuum", help="delete all but the newest N versions of a dataset"
@@ -253,7 +264,8 @@ def main(argv: list[str] | None = None) -> int:
         try:
             ok, rows = promote(
                 args.name, policy=policy, v_old=args.v_old,
-                v_new=args.v_new, raise_on_block=False, session=sess,
+                v_new=args.v_new, raise_on_block=False,
+                audit=not args.no_audit, session=sess,
             )
         except ValueError as exc:
             # empty policy / missing profiles: a CLI error, not a traceback
@@ -268,6 +280,28 @@ def main(argv: list[str] | None = None) -> int:
             )
         print(f"promotion: {'PASS' if ok else 'BLOCKED'}")
         return 0 if ok else 1
+
+    if args.cmd == "promotions":
+        from .ops.release import promotions
+
+        sess = Session(metastore_dir=args.metastore or DEFAULT_METASTORE)
+        try:
+            rows = promotions(args.name, session=sess).collect()
+        except ValueError as exc:
+            print(f"promotions: {exc}", file=sys.stderr)
+            return 2
+        for r in rows:
+            if args.failed_only and r["passed"]:
+                continue
+            val = "-" if r["value"] is None else f"{r['value']:g}"
+            print(
+                f"{r['audit_id']} [{'PASS' if r['gate_passed'] else 'BLOCKED'}"
+                f" {r['v_old'] or '-'}->{r['v_new']}] "
+                f"{'pass' if r['passed'] else 'FAIL'} "
+                f"{r['check']}[{r['target']}] value={val} "
+                f"threshold={r['threshold']:g}"
+            )
+        return 0
 
     if args.cmd == "vacuum":
         from .catalog.metastore import Metastore

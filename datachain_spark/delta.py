@@ -353,6 +353,35 @@ def _delta_apply(
             sess, name, prev_version.version, profile
         ):
             _refresh_profile()
+        # the converged head IS the current source version's result (the
+        # diff just proved contents identical) — re-pin its recorded
+        # dataset dependencies to the source's current versions so
+        # lineage staleness converges; otherwise a no-change upstream
+        # re-save leaves every downstream flagged stale forever and
+        # refresh_downstream re-runs no-op pipelines on every cascade
+        src_by_name = {
+            d.get("dataset"): d
+            for d in source._dependencies
+            if d.get("dataset")
+        }
+        if src_by_name:
+            rec2 = sess.metastore.get_record(name)
+            v2 = rec2.get_version(prev_version.version)
+            changed_pin = False
+            seen = set()
+            for d in v2.dependencies:
+                nd = src_by_name.get(d.get("dataset"))
+                if nd is not None:
+                    seen.add(d.get("dataset"))
+                    if nd.get("version") != d.get("version"):
+                        d["version"] = nd.get("version")
+                        changed_pin = True
+            for nm, nd in src_by_name.items():
+                if nm not in seen:
+                    v2.dependencies.append(dict(nd))
+                    changed_pin = True
+            if changed_pin:
+                sess.metastore._write_record(rec2)
         if compact_target_bytes and sess.metastore.should_compact(
             name, None, compact_target_bytes
         ):

@@ -1,0 +1,284 @@
+"""Lineage-driven cascade refresh (r10 verdict task 2).
+
+Every save records which datasets and storage paths the saved chain
+read (``DatasetVersion.dependencies`` — catalog/metastore.py
+save_dataset; reference parity query/dataset.py:1882-1916 records the
+same dataset+storage dependency rows). This module is the CONSUMER of
+that graph: it finds saved datasets whose recorded upstream pin is
+behind the upstream's current head and re-runs their REGISTERED
+pipelines in dependency order, so a multi-stage publish chain
+(source -> derived -> released, each stage a ``delta_save`` with its
+index/profile maintenance) heals end-to-end from one call after an
+upstream append — instead of each downstream being re-run by hand in
+the right order.
+
+- :func:`register_pipeline` — bind a dataset name to the zero-arg
+  callable that (re)builds it; delta pipelines are just
+  ``lambda: delta_save(...)`` / ``DeltaChain.save`` closures, so a
+  re-run is incremental by construction (the checkpointed job hash
+  no-ops untouched stages).
+- :func:`stale_datasets` — one row per (dataset, upstream) edge whose
+  pinned version is behind the upstream head. ``dc.datasets(
+  stale=True)`` is the chain-level face of the same walk.
+- :func:`refresh_downstream` — topological cascade: walk the reverse
+  dependency graph from an upstream, re-run every registered stale
+  pipeline in dependency order, return the action report.
+
+100-TB shape: the walk itself reads only manifest JSON (KB-sized, no
+data is touched until a pipeline actually re-runs), and each re-run is
+the pipeline's own incremental path — cost tracks churn, never the
+corpus. Internal per-version state datasets (profiles, IVF/BM25/gram
+index shards, delta snapshots, storage listings) are maintained BY
+their pipelines, so the graph excludes them.
+
+No direct reference counterpart: the reference records the same
+dependency rows but exposes them read-only (DatasetVersion.dependencies
+property) — cascade refresh is a spec addition for warehouse-scale
+scheduled pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from .catalog.metastore import parse_version, split_name
+from .session import Session
+
+#: internal datasets maintained by their OWNING pipeline (index shards,
+#: profiles, delta snapshots) — never independent nodes in the lineage
+#: graph. Storage-listing caches carry the lst__ prefix instead.
+AUX_SUFFIXES = (
+    "__delta_source", "__profile", "__zones", "__ivf", "__ivf_centroids",
+    "__bm25", "__bm25_docs", "__grams", "__grams_docs", "__promotions",
+)
+LISTING_PREFIX = "lst__"
+
+
+def _is_aux(base: str) -> bool:
+    return base.startswith(LISTING_PREFIX) or base.endswith(AUX_SUFFIXES)
+
+
+def _full(name: str) -> str:
+    ns, proj, base = split_name(name)
+    return f"{ns}.{proj}.{base}"
+
+
+def _registry(sess: Session) -> dict:
+    reg = getattr(sess, "_lineage_pipelines", None)
+    if reg is None:
+        reg = {}
+        sess._lineage_pipelines = reg
+    return reg
+
+
+def register_pipeline(
+    name: str, fn: Callable[[], object], session: Optional[Session] = None
+) -> None:
+    """Register ``fn`` as the pipeline that (re)builds dataset ``name``.
+
+    ``fn`` takes no arguments and performs the full save — typically a
+    closure over ``delta_save(source_fn(), process, name, ...)`` so the
+    re-run is incremental. Registrations are session-scoped (pipelines
+    are live Python callables; persisting code is out of scope — the
+    scheduler that owns the session re-registers on startup, exactly
+    like it owns the pipeline definitions today).
+    """
+    sess = Session.get() if session is None else session
+    _registry(sess)[_full(name)] = fn
+
+
+def _dataset_edges(sess: Session):
+    """(records_by_full_name, edges) where ``edges[upstream_full]`` is
+    the sorted list of downstream full names whose LATEST version
+    recorded a dependency on that upstream. Aux/listing datasets are
+    excluded as nodes on both sides."""
+    recs = {}
+    for rec in sess.metastore.list_datasets():
+        if not _is_aux(rec.name):
+            recs[rec.full_name] = rec
+    edges: dict[str, list[str]] = {}
+    for full, rec in recs.items():
+        head = rec.latest_version()
+        if head is None:
+            continue
+        for dep in head.dependencies:
+            up = dep.get("dataset")
+            if not up:
+                continue  # storage deps are TTL/delta territory, not versions
+            up_full = _full(up)
+            if up_full == full or up_full not in recs:
+                continue
+            edges.setdefault(up_full, [])
+            if full not in edges[up_full]:
+                edges[up_full].append(full)
+    for k in edges:
+        edges[k].sort()
+    return recs, edges
+
+
+def _stale_edges(rec, recs_by_full) -> list[tuple[str, str, str]]:
+    """(upstream_full, pinned_version, upstream_head) for every dataset
+    dependency of ``rec``'s head whose pin is behind the upstream head."""
+    head = rec.latest_version()
+    if head is None:
+        return []
+    out = []
+    for dep in head.dependencies:
+        up = dep.get("dataset")
+        if not up:
+            continue
+        up_full = _full(up)
+        up_rec = recs_by_full.get(up_full)
+        if up_rec is None:
+            continue  # upstream deleted: nothing to refresh against
+        up_head = up_rec.latest_version()
+        if up_head is None:
+            continue
+        pinned = dep.get("version")
+        if pinned is None or parse_version(up_head.version) > parse_version(pinned):
+            out.append((up_full, pinned or "", up_head.version))
+    return out
+
+
+def stale_datasets(session: Optional[Session] = None) -> list[dict]:
+    """One dict per (dataset, upstream) edge where the dataset's head was
+    built from an upstream version that is no longer that upstream's
+    head: ``{dataset, version, upstream, pinned_version, upstream_head}``.
+    Driver-sized by construction (one row per recorded dependency edge —
+    manifest metadata, no data scanned)."""
+    sess = Session.get() if session is None else session
+    recs, _ = _dataset_edges(sess)
+    rows = []
+    for full in sorted(recs):
+        rec = recs[full]
+        for up_full, pinned, up_head in _stale_edges(rec, recs):
+            rows.append({
+                "dataset": full,
+                "version": rec.latest_version().version,
+                "upstream": up_full,
+                "pinned_version": pinned,
+                "upstream_head": up_head,
+            })
+    return rows
+
+
+#: report schema shared by refresh_downstream and its chain/CLI faces
+REPORT_SCHEMA = (
+    "dataset string, action string, old_version string, "
+    "new_version string, stale_upstreams string"
+)
+
+
+def refresh_downstream(
+    name: str,
+    session: Optional[Session] = None,
+    dry_run: bool = False,
+    strict: bool = True,
+):
+    """Re-run every downstream pipeline of ``name`` whose recorded
+    upstream pin is behind the upstream head, in dependency order.
+
+    Walks the reverse dependency graph from ``name`` (breadth across
+    every recorded edge, Kahn topological order so a diamond's join
+    stage runs after BOTH parents refreshed), re-reads each node's
+    staleness against CURRENT heads as the cascade advances, and runs
+    the pipeline registered via :func:`register_pipeline` for each stale
+    node. Returns a ``DataFrame`` report, one row per downstream:
+    ``(dataset, action, old_version, new_version, stale_upstreams)``
+    with action in ``refreshed | converged | up_to_date |
+    would_refresh | no_pipeline`` (``converged`` = the pipeline ran but
+    produced no new version — the upstream bump carried no effective
+    change, and the delta path re-pinned the head's dependencies).
+
+    - ``dry_run=True`` reports ``would_refresh`` without running
+      anything (later stages are judged against pre-refresh heads —
+      a dry run cannot know what a parent refresh would produce).
+    - ``strict=True`` (default) raises on a STALE downstream with no
+      registered pipeline: silently leaving one stage behind while
+      refreshing the rest is how a cascade quietly forks; pass
+      ``strict=False`` to record ``no_pipeline`` rows instead.
+    """
+    sess = Session.get() if session is None else session
+    start = _full(name)
+    recs, edges = _dataset_edges(sess)
+    if start not in recs:
+        from .error import DatasetNotFoundError
+
+        raise DatasetNotFoundError(f"refresh_downstream: no dataset {name!r}")
+
+    # downstream closure of `start`
+    reach: set[str] = set()
+    frontier = [start]
+    while frontier:
+        nxt = []
+        for up in frontier:
+            for d in edges.get(up, []):
+                if d not in reach and d != start:
+                    reach.add(d)
+                    nxt.append(d)
+        frontier = nxt
+
+    # Kahn order over the reachable subgraph: in-edges counted only from
+    # within the closure — the start node is the (already-current) root,
+    # and unrelated parents outside the cascade must not deadlock it
+    indeg = {d: 0 for d in reach}
+    for up in reach:
+        for d in edges.get(up, []):
+            if d in indeg:
+                indeg[d] += 1
+    ready = sorted(d for d, n in indeg.items() if n == 0)
+    order: list[str] = []
+    while ready:
+        node = ready.pop(0)
+        order.append(node)
+        added = False
+        for d in edges.get(node, []):
+            if d in indeg:
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    ready.append(d)
+                    added = True
+        if added:
+            ready.sort()
+    if len(order) != len(reach):
+        cyc = sorted(d for d, n in indeg.items() if n > 0)
+        raise ValueError(
+            f"refresh_downstream: dependency cycle among {cyc} — a saved "
+            "dataset cannot (transitively) read its own downstream"
+        )
+
+    registry = _registry(sess)
+    rows = []
+    for node in order:
+        # `recs` is kept current as the cascade advances (each refresh
+        # below re-reads exactly the record it changed), so staleness
+        # here already sees upstream heads produced by earlier stages
+        rec = recs[node]
+        stale = _stale_edges(rec, recs)
+        old_head = rec.latest_version().version
+        ups = ",".join(f"{u}@{p}<{h}" for u, p, h in stale)
+        if not stale:
+            rows.append((node, "up_to_date", old_head, old_head, ""))
+            continue
+        fn = registry.get(node)
+        if fn is None:
+            if strict and not dry_run:
+                raise ValueError(
+                    f"refresh_downstream: {node} is stale ({ups}) but has "
+                    "no registered pipeline — register_pipeline(name, fn) "
+                    "or pass strict=False to skip it"
+                )
+            rows.append((node, "no_pipeline", old_head, old_head, ups))
+            continue
+        if dry_run:
+            rows.append((node, "would_refresh", old_head, old_head, ups))
+            continue
+        fn()
+        recs[node] = sess.metastore.get_record(node)
+        new_head = recs[node].latest_version().version
+        # a pipeline may converge without a new version (the upstream
+        # bump carried no effective change — delta re-pins the head's
+        # dependencies instead of re-saving); report it distinctly
+        action = "refreshed" if new_head != old_head else "converged"
+        rows.append((node, action, old_head, new_head, ups))
+    return sess.spark.createDataFrame(rows, REPORT_SCHEMA)

@@ -228,6 +228,30 @@ def _compaction_chain(rec, version: str) -> set:
 
 
 
+def _default_old_release(rec, new_ver: str, label: str) -> str:
+    """The newest version older than ``new_ver`` that is NOT part of its
+    compaction chain — the default comparison base shared by
+    release_report / schema_changes / the promotion audit. Raises when
+    ``new_ver`` has no earlier RELEASE (only rewrites of itself)."""
+    from ..catalog.metastore import parse_version
+
+    ordered = sorted(rec.versions, key=lambda v: parse_version(v.version))
+    same_release = _compaction_chain(rec, new_ver)
+    older = [
+        v for v in ordered
+        if parse_version(v.version) < parse_version(new_ver)
+        and v.version not in same_release
+    ]
+    if not older:
+        skipped = sorted(same_release - {new_ver})
+        raise ValueError(
+            f"{label}: {rec.name!r} has no RELEASE before {new_ver}"
+            + (f" (versions {skipped} are rewrites of the same "
+               "release)" if skipped else "")
+        )
+    return older[-1].version
+
+
 def _profile_for_release(sess, name: str, rec, version: str, prec=None):
     """Profile lookup that falls back through the version's compaction
     chain: a compacted copy made before profiles were re-linked (or with
@@ -291,23 +315,9 @@ def release_report(
     if rec is None or not rec.versions:
         raise ValueError(f"release_report: no versions of dataset {name!r}")
     prec = _prec if _prec is not None else _profile_record(sess, name)
-    ordered = sorted(rec.versions, key=lambda v: parse_version(v.version))
     new_ver = rec.get_version(v_new).version
     if v_old is None:
-        same_release = _compaction_chain(rec, new_ver)
-        older = [
-            v for v in ordered
-            if parse_version(v.version) < parse_version(new_ver)
-            and v.version not in same_release
-        ]
-        if not older:
-            skipped = sorted(same_release - {new_ver})
-            raise ValueError(
-                f"release_report: {name!r} has no RELEASE before {new_ver}"
-                + (f" (versions {skipped} are rewrites of the same "
-                   "release)" if skipped else "")
-            )
-        old_ver = older[-1].version
+        old_ver = _default_old_release(rec, new_ver, "release_report")
     else:
         from ..catalog.metastore import _VERSION_RE
         from ..error import DatasetVersionNotFoundError
@@ -511,24 +521,11 @@ def schema_changes(
     rec = _rec if _rec is not None else sess.metastore.get_record(name)
     if rec is None or not rec.versions:
         raise ValueError(f"schema_changes: no versions of dataset {name!r}")
-    ordered = sorted(rec.versions, key=lambda v: parse_version(v.version))
     new_dv = rec.get_version(v_new)
     if v_old is None:
-        same_release = _compaction_chain(rec, new_dv.version)
-        older = [
-            v for v in ordered
-            if parse_version(v.version) < parse_version(new_dv.version)
-            and v.version not in same_release
-        ]
-        if not older:
-            skipped = sorted(same_release - {new_dv.version})
-            raise ValueError(
-                f"schema_changes: {name!r} has no RELEASE before "
-                f"{new_dv.version}"
-                + (f" (versions {skipped} are rewrites of the same "
-                   "release)" if skipped else "")
-            )
-        old_dv = older[-1]
+        old_dv = rec.get_version(
+            _default_old_release(rec, new_dv.version, "schema_changes")
+        )
     else:
         old_dv = rec.get_version(v_old)
 
@@ -745,18 +742,34 @@ def promote(
     v_old: Optional[str] = None,
     v_new: Optional[str] = None,
     raise_on_block: bool = True,
+    audit: bool = True,
     session=None,
 ):
     """Run the publish gate and return ``(passed, report_rows)`` — or
     raise :class:`PromotionBlockedError` listing every failed check when
     ``raise_on_block`` (the default). The report is tiny (one row per
     check x group/rule); collecting it here is driver-sized by
-    construction."""
+    construction.
+
+    ``audit=True`` (default) persists the outcome — every check row plus
+    the resolved versions, the policy, and the verdict — as a new
+    version of ``{name}__promotions`` BEFORE any raise, so a blocked
+    gate leaves the same evidence a passing one does. Read it back with
+    :func:`promotions` or the ``promotions`` CLI command. (r10 verdict
+    task 8: a release should carry its gate evidence.)"""
+    from ..session import Session
+
+    sess = Session.get() if session is None else session
     rep = promote_report(
         name, policy=policy, rules=rules, v_old=v_old, v_new=v_new,
-        session=session,
+        session=sess,
     ).collect()
     failed = [r for r in rep if not r["passed"]]
+    if audit:
+        _audit_promotion(
+            sess, name, policy, rules, v_old, v_new, rep,
+            gate_passed=not failed,
+        )
     if failed and raise_on_block:
         lines = ", ".join(
             f"{r['check']}[{r['target']}]"
@@ -768,3 +781,76 @@ def promote(
             f"check(s): {lines}"
         )
     return (not failed), rep
+
+
+def _audit_promotion(
+    sess, name, policy, rules, v_old, v_new, rep_rows, gate_passed: bool
+) -> None:
+    """Persist one promote outcome as a new ``{name}__promotions``
+    version: the collected check rows, widened with the resolved version
+    pair, the canonical policy JSON, and the gate verdict. Driver-sized
+    (the report was already collected); the version metadata carries the
+    same facts in attrs for listing without reading rows."""
+    import json as _json
+
+    rec = sess.metastore.get_record(name)
+    new_ver = rec.get_version(v_new).version
+    if v_old is not None:
+        old_ver = str(v_old)
+    else:
+        try:
+            old_ver = _default_old_release(rec, new_ver, "promote")
+        except ValueError:
+            old_ver = ""  # single-release gate (rules/min_rows only)
+    pol_json = _json.dumps(dict(policy or {}), sort_keys=True,
+                           separators=(",", ":"))
+    rows = [
+        (r["check"], r["target"], r["value"], r["threshold"],
+         bool(r["passed"]), old_ver, new_ver, bool(gate_passed), pol_json)
+        for r in rep_rows
+    ]
+    df = sess.spark.createDataFrame(
+        rows,
+        "check string, target string, value double, threshold double, "
+        "passed boolean, v_old string, v_new string, gate_passed boolean, "
+        "policy string",
+    )
+    sess.metastore.save_dataset(
+        df, f"{name}__promotions",
+        attrs={
+            "promotions_of": name,
+            "gate_v_old": old_ver,
+            "gate_v_new": new_ver,
+            "gate_passed": "true" if gate_passed else "false",
+            "gate_policy": pol_json,
+            "gate_n_rules": str(len(list(rules or []))),
+            "gate_n_failed": str(sum(1 for r in rep_rows if not r["passed"])),
+        },
+        dependencies=[{"dataset": name, "version": new_ver}],
+    )
+
+
+def promotions(name: str, session=None) -> DataFrame:
+    """Every persisted promotion outcome of ``name`` (see
+    :func:`promote` ``audit=``): the stored check rows of ALL
+    ``{name}__promotions`` versions, widened with ``audit_id`` (the
+    audit version that recorded them). KB-sized by construction — one
+    row per check x group per gate run; no data version is touched."""
+    from ..catalog.metastore import parse_version, split_name
+    from ..session import Session
+
+    sess = Session.get() if session is None else session
+    ns, proj, base = split_name(f"{name}__promotions")
+    rec = sess.metastore._read_record(ns, proj, base)
+    if rec is None or not rec.versions:
+        raise ValueError(
+            f"promotions: no recorded promotions of {name!r} — run "
+            "promote(name, ..., audit=True) first"
+        )
+    out = None
+    for v in sorted(rec.versions, key=lambda v: parse_version(v.version)):
+        df = sess.spark.read.parquet(
+            sess.metastore.version_data_path(f"{name}__promotions", v.version)
+        ).withColumn("audit_id", F.lit(v.version))
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -702,9 +702,35 @@ def read_hf(
     return DataChain(df, sess)
 
 
-def datasets(session: Optional[Session] = None) -> DataChain:
-    """Meta-chain of saved datasets. Parity: lib/dc/datasets.py:221-302."""
+def datasets(
+    session: Optional[Session] = None, stale: bool = False
+) -> DataChain:
+    """Meta-chain of saved datasets. Parity: lib/dc/datasets.py:221-302.
+
+    ``stale=True`` (beyond the reference — the lineage-consumer face of
+    the recorded dependency graph): one row per (dataset, upstream)
+    edge whose head was built from an upstream version that is behind
+    that upstream's current head — the work list
+    ``lineage.refresh_downstream`` executes. Manifest metadata only; no
+    data is scanned.
+    """
     sess = Session.get(session)
+    if stale:
+        from ..lineage import stale_datasets
+
+        rows = [
+            (r["dataset"], r["version"], r["upstream"],
+             r["pinned_version"], r["upstream_head"])
+            for r in stale_datasets(session=sess)
+        ]
+        struct = T.StructType([
+            T.StructField("dataset", T.StringType()),
+            T.StructField("version", T.StringType()),
+            T.StructField("upstream", T.StringType()),
+            T.StructField("pinned_version", T.StringType()),
+            T.StructField("upstream_head", T.StringType()),
+        ])
+        return DataChain(sess.spark.createDataFrame(rows, struct), sess)
     rows = []
     for rec in sess.metastore.list_datasets():
         for v in rec.versions:

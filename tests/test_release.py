@@ -463,3 +463,83 @@ def test_promote_report_on_unprofiled_compacted_head(
     checks = {r["check"] for r in rows}
     assert {"psi", "min_rows"} <= checks
     assert all(r["passed"] for r in rows if r["check"] == "min_rows")
+
+
+def test_promote_audit_history(session, sf_dir, fresh_ms):
+    """promote(audit=True) persists every gate outcome — check rows,
+    resolved versions, policy, verdict — as versions of
+    {name}__promotions; a BLOCKED gate (raise path included) leaves the
+    same evidence a passing one does, and promotions() replays all of
+    it with audit ids."""
+    from datachain_spark.ops.release import (
+        PromotionBlockedError,
+        promote,
+        promotions,
+    )
+
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("paud")
+    profile_version("paud", **CFG)
+    orders.save("paud")
+    profile_version("paud", **CFG)
+
+    ok, rep = promote("paud", policy=dict(min_rows=1,
+                                          max_abs_row_delta_frac=2.0))
+    assert ok
+    with pytest.raises(PromotionBlockedError):
+        promote("paud", policy=dict(max_abs_row_delta_frac=0.01))
+
+    rows = promotions("paud").collect()
+    by_audit = {}
+    for r in rows:
+        by_audit.setdefault(r["audit_id"], []).append(r)
+    assert set(by_audit) == {"1.0.0", "1.0.1"}
+    first = by_audit["1.0.0"]
+    assert all(r["gate_passed"] for r in first)
+    assert len(first) == len(rep)
+    assert {r["check"] for r in first} == {"min_rows", "row_delta"}
+    assert all(r["v_old"] == "1.0.0" and r["v_new"] == "1.0.1"
+               for r in first)
+    assert '"min_rows":1' in first[0]["policy"]
+    blocked = by_audit["1.0.1"]
+    assert all(not r["gate_passed"] for r in blocked)
+    assert any(not r["passed"] for r in blocked)
+
+    # the version metadata alone carries the verdict (list without rows)
+    rec = fresh_ms.get_record("paud__promotions")
+    verdicts = {v.version: v.attrs["gate_passed"] for v in rec.versions}
+    assert verdicts == {"1.0.0": "true", "1.0.1": "false"}
+
+    # audit=False leaves no trace
+    promote("paud", policy=dict(min_rows=1), audit=False)
+    assert len(fresh_ms.get_record("paud__promotions").versions) == 2
+
+
+def test_promotions_empty_raises(session, fresh_ms):
+    from datachain_spark.ops.release import promotions
+
+    with pytest.raises(ValueError, match="no recorded promotions"):
+        promotions("nosuch_gate")
+
+
+def test_cli_promotions(session, sf_dir, capsys):
+    from datachain_spark.cli import main
+
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("cli_paud")
+    profile_version("cli_paud", **CFG)
+    orders.save("cli_paud")
+    profile_version("cli_paud", **CFG)
+    ms = session.metastore_dir
+    assert main(["--metastore", ms, "promote", "cli_paud",
+                 "--min-rows", "1"]) == 0
+    assert main(["--metastore", ms, "promote", "cli_paud",
+                 "--max-row-delta", "0.01"]) == 1
+    capsys.readouterr()
+    assert main(["--metastore", ms, "promotions", "cli_paud"]) == 0
+    out = capsys.readouterr().out
+    assert "1.0.0 [PASS" in out and "1.0.1 [BLOCKED" in out
+    assert main(["--metastore", ms, "promotions", "cli_paud",
+                 "--failed-only"]) == 0
+    out = capsys.readouterr().out
+    assert "FAIL row_delta" in out and "min_rows" not in out
