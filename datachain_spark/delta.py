@@ -634,6 +634,7 @@ class DeltaChain:
     def save(self, name: Optional[str] = None, **kwargs) -> DataChain:
         if not name:
             raise ValueError("delta processing requires save(name=...)")
+        orig_kwargs = dict(kwargs)
         calls = self._calls
 
         def process(ch: DataChain) -> DataChain:
@@ -646,7 +647,7 @@ class DeltaChain:
             f"{','.join(f'{k}={_stable_repr(v)}' for k, v in sorted(kw.items()))})"
             for m, a, kw in calls
         )
-        return delta_save(
+        result = delta_save(
             self._source_fn(),
             process,
             name,
@@ -662,3 +663,14 @@ class DeltaChain:
             save_kwargs=kwargs or None,
             _job_extra=extra,
         )
+        # a flag-style chain IS a re-runnable pipeline (source_fn reads
+        # fresh each call, the recorded calls are the steps) — register
+        # it so lineage.refresh_downstream can heal this dataset after
+        # an upstream bump without a manual register_pipeline
+        from .lineage import register_pipeline
+
+        register_pipeline(
+            name, lambda: self.save(name, **orig_kwargs),
+            session=result.session,
+        )
+        return result

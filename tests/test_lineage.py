@@ -210,3 +210,26 @@ def test_datasets_stale_flag_and_aux_exclusion(session, sf_dir, fresh_ms):
             for r in rows] == [("local.default.derived", "1.0.0", "1.0.1")]
     # the plain listing still includes everything, stale or not
     assert dc.datasets(session=session).count() >= 3
+
+
+def test_flag_api_auto_registers_pipeline(session, sf_dir, fresh_ms):
+    """Flag-style delta chains (read_dataset(delta=True...).save) are
+    re-runnable by construction, so .save auto-registers the pipeline:
+    refresh_downstream heals them after an upstream bump without a
+    manual register_pipeline call."""
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 == 1).save("fsrc")
+    dc.read_dataset(
+        "fsrc", session=session, delta=True, delta_on="o_orderkey",
+        delta_compare="o_totalprice",
+    ).mutate(dbl=F.col("o_totalprice") * 2).save("fder")
+    assert "local.default.fder" in session._lineage_pipelines
+
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("fsrc")
+    rows = refresh_downstream("fsrc", session=session).collect()
+    assert [(r["dataset"], r["action"]) for r in rows] == [
+        ("local.default.fder", "refreshed")
+    ]
+    assert dc.read_dataset("fder", session=session).count() == (
+        orders.filter(dc.C("o_orderkey") % 3 != 0).count()
+    )
