@@ -494,7 +494,22 @@ class Metastore:
                 "compacted_from": dv.version,
                 "compacted_files": f"{n_files}->{n_target}",
             },
-            dependencies=[{"dataset": name, "version": dv.version}],
+            # the copy has IDENTICAL rows, so it inherits the source
+            # version's upstream lineage (minus any self-pins from an
+            # earlier compaction) on top of its own rewrite provenance —
+            # otherwise compaction severs the dependency edge and the
+            # lineage cascade (lineage.refresh_downstream) silently
+            # drops this dataset from the graph
+            dependencies=[
+                {"dataset": name, "version": dv.version},
+                *[
+                    dict(d) for d in dv.dependencies
+                    if not (
+                        d.get("dataset")
+                        and split_name(d["dataset"]) == (ns, proj, base)
+                    )
+                ],
+            ],
             signal_schema=json.loads(json.dumps(dv.signal_schema))
             if dv.signal_schema
             else None,

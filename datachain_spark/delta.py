@@ -265,7 +265,12 @@ def delta_save(
         unioned = unioned.dropDuplicates(flat_keys).drop(
             *[f for k, f in zip(keys, flat_keys) if "." in k]
         )
-        to_process = DataChain(unioned, sess)
+        # keep the source's dataset/storage pins through the retry
+        # union — a raw DataChain would save the version with an empty
+        # dependency record and sever the lineage edge until the next
+        # retry-free run
+        to_process = DataChain(unioned, sess,
+                               dependencies=changed._dependencies)
 
     # keys-only projections, computed ONCE and cached: they feed the row
     # count, the stale-key union, the ANN changed-key set, and the

@@ -87,6 +87,37 @@ def register_pipeline(
     _registry(sess)[_full(name)] = fn
 
 
+def _upstream_deps(rec) -> list[dict]:
+    """The head version's UPSTREAM dataset dependencies — self-pins
+    (compaction rewrite provenance) are never upstream edges. A head
+    whose own record carries no upstream deps (a copy compacted before
+    deps were carried forward) resolves through its ``compacted_from``
+    ancestry: the rewrite has identical rows, so the source version's
+    lineage IS its lineage."""
+    head = rec.latest_version()
+    if head is None:
+        return []
+    full = rec.full_name
+    seen_versions = set()
+    dv = head
+    while dv is not None:
+        ups = [
+            d for d in dv.dependencies
+            if d.get("dataset") and _full(d["dataset"]) != full
+        ]
+        if ups:
+            return ups
+        src = dv.attrs.get("compacted_from")
+        if not src or src in seen_versions:
+            return []
+        seen_versions.add(src)
+        try:
+            dv = rec.get_version(src)
+        except Exception:  # noqa: BLE001 - vacuumed ancestor
+            return []
+    return []
+
+
 def _dataset_edges(sess: Session):
     """(records_by_full_name, edges) where ``edges[upstream_full]`` is
     the sorted list of downstream full names whose LATEST version
@@ -98,15 +129,9 @@ def _dataset_edges(sess: Session):
             recs[rec.full_name] = rec
     edges: dict[str, list[str]] = {}
     for full, rec in recs.items():
-        head = rec.latest_version()
-        if head is None:
-            continue
-        for dep in head.dependencies:
-            up = dep.get("dataset")
-            if not up:
-                continue  # storage deps are TTL/delta territory, not versions
-            up_full = _full(up)
-            if up_full == full or up_full not in recs:
+        for dep in _upstream_deps(rec):
+            up_full = _full(dep["dataset"])
+            if up_full not in recs:
                 continue
             edges.setdefault(up_full, [])
             if full not in edges[up_full]:
@@ -117,17 +142,11 @@ def _dataset_edges(sess: Session):
 
 
 def _stale_edges(rec, recs_by_full) -> list[tuple[str, str, str]]:
-    """(upstream_full, pinned_version, upstream_head) for every dataset
+    """(upstream_full, pinned_version, upstream_head) for every upstream
     dependency of ``rec``'s head whose pin is behind the upstream head."""
-    head = rec.latest_version()
-    if head is None:
-        return []
     out = []
-    for dep in head.dependencies:
-        up = dep.get("dataset")
-        if not up:
-            continue
-        up_full = _full(up)
+    for dep in _upstream_deps(rec):
+        up_full = _full(dep["dataset"])
         up_rec = recs_by_full.get(up_full)
         if up_rec is None:
             continue  # upstream deleted: nothing to refresh against

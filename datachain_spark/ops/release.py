@@ -102,15 +102,34 @@ def profile_version(
 
     if increment is not None:
         if base_version is not None:
-            try:
-                prev_df, prev_attrs = _profile_for(sess, name, base_version)
-            except ValueError as exc:
+            # among (possibly several) stored profiles of the base
+            # version, merge into the newest one built with THIS config —
+            # a different-config backfill of the same version must not
+            # become the base and raise the cfg-mismatch error mid-save
+            from ..catalog.metastore import parse_version
+
+            want = _cfg_attrs(keys, value_col, lo, hi, bins, distinct_col)
+            prec = _profile_record(sess, name)
+            matches = [
+                v for v in (prec.versions if prec else [])
+                if v.attrs.get("profile_of_version") == base_version
+                and all(v.attrs.get(k, "") == want.get(k, "")
+                        for k in _CFG_KEYS)
+            ]
+            if not matches:
                 raise ValueError(
                     f"profile_version: increment= with base_version="
                     f"{base_version!r} but no stored profile of that "
-                    f"version of {name!r} exists — build one full profile "
-                    "of the base first"
-                ) from exc
+                    f"version of {name!r} with this config exists — build "
+                    "one full profile of the base first"
+                )
+            best = max(matches, key=lambda v: parse_version(v.version))
+            prev_df = sess.spark.read.parquet(
+                sess.metastore.version_data_path(
+                    f"{name}__profile", best.version
+                )
+            )
+            prev_attrs = best.attrs
         else:
             prev = _newest_profile(sess, name, exclude_version=dv.version)
             if prev is None:
@@ -796,7 +815,19 @@ def _audit_promotion(
     rec = sess.metastore.get_record(name)
     new_ver = rec.get_version(v_new).version
     if v_old is not None:
-        old_ver = str(v_old)
+        # persist the RESOLVED comparison base (a specifier like
+        # '<1.0.2' resolves differently as releases accrue — the audit
+        # must pin the version actually compared), with the same
+        # vacuumed-exact-version fallback release_report uses
+        from ..catalog.metastore import _VERSION_RE
+        from ..error import DatasetVersionNotFoundError
+
+        try:
+            old_ver = rec.get_version(str(v_old)).version
+        except DatasetVersionNotFoundError:
+            if not _VERSION_RE.match(str(v_old)):
+                raise
+            old_ver = str(v_old)
     else:
         try:
             old_ver = _default_old_release(rec, new_ver, "promote")

@@ -114,10 +114,11 @@ def _pop_delta_kwargs(options: dict) -> Optional[dict]:
     passed WITHOUT ``delta=True`` — they would otherwise fall through to
     the Spark reader as unknown options and silently no-op (the flag API
     must either work or fail loudly)."""
-    if "delta_result_on" in options:
-        # same explicit rejection as read_storage/read_dataset — the
-        # reference's renamed-result-key kwarg (storage.py:38) must not
-        # fall through to spark.read.options() as a silent no-op
+    if options.pop("delta_result_on", None) is not None:
+        # same explicit rejection as read_storage/read_dataset (which
+        # also accept an explicit None) — the reference's
+        # renamed-result-key kwarg (storage.py:38) must not fall
+        # through to spark.read.options() as a silent no-op
         raise NotImplementedError(
             "delta_result_on (renamed result keys) is not supported; "
             "keep the delta_on columns unrenamed through the chain"

@@ -957,3 +957,16 @@ def test_flag_api_rejects_delta_result_on(session, sf_dir, fresh_ms):
             f"{sf_dir}/documents.parquet", session=session,
             delta=True, delta_on="doc_id", delta_result_on="doc_id",
         )
+
+
+def test_flag_api_accepts_explicit_none_delta_result_on(
+    session, sf_dir, fresh_ms
+):
+    """Parity with read_storage/read_dataset: an explicit
+    delta_result_on=None is accepted (callers forwarding defaulted
+    kwargs dicts); only a real value raises."""
+    ch = dc.read_parquet(
+        f"{sf_dir}/documents.parquet", session=session,
+        delta=True, delta_on="doc_id", delta_result_on=None,
+    )
+    assert ch.delta

@@ -233,3 +233,79 @@ def test_flag_api_auto_registers_pipeline(session, sf_dir, fresh_ms):
     assert dc.read_dataset("fder", session=session).count() == (
         orders.filter(dc.C("o_orderkey") % 3 != 0).count()
     )
+
+
+def test_compaction_preserves_lineage_edge(session, sf_dir, fresh_ms):
+    """A compacted copy has identical rows, so it inherits its source
+    version's upstream lineage: the cascade keeps healing a compacted
+    downstream, and the self-pin (rewrite provenance) never shows up as
+    a bogus stale edge."""
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 == 1).save("src")
+    derived_fn, _ = _register_two_stage(session)
+    derived_fn()
+    fresh_ms.compact_dataset(session.spark, "derived",
+                             target_file_bytes=1 << 30)
+    assert stale_datasets(session=session) == []  # no self-stale row
+
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("src")
+    rows = refresh_downstream("src", session=session).collect()
+    assert [(r["dataset"], r["action"]) for r in rows] == [
+        ("local.default.derived", "refreshed")
+    ]
+    assert dc.read_dataset("derived", session=session).count() == (
+        orders.filter(dc.C("o_orderkey") % 3 != 0).count()
+    )
+
+
+def test_pre_fix_compacted_head_resolves_through_ancestry(
+    session, sf_dir, fresh_ms
+):
+    """A head compacted BEFORE deps were carried forward (self-pin only)
+    still resolves its upstream lineage through the compacted_from
+    ancestry — the severed-edge era heals instead of silently dropping
+    out of the graph."""
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 == 1).save("src")
+    derived_fn, _ = _register_two_stage(session)
+    derived_fn()
+    fresh_ms.compact_dataset(session.spark, "derived",
+                             target_file_bytes=1 << 30)
+    # simulate the pre-fix record: strip the carried upstream deps
+    rec = fresh_ms.get_record("derived")
+    head = rec.latest_version()
+    head.dependencies = [d for d in head.dependencies
+                         if d.get("dataset") == "derived"]
+    fresh_ms._write_record(rec)
+
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("src")
+    rows = refresh_downstream("src", session=session).collect()
+    assert [(r["dataset"], r["action"]) for r in rows] == [
+        ("local.default.derived", "refreshed")
+    ]
+
+
+def test_delta_retry_run_keeps_lineage(session, sf_dir, fresh_ms):
+    """A retry-triggering delta run must keep recording the source pin
+    (the retry union used to rebuild to_process without dependencies)."""
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 == 1).save("rsrc")
+
+    def proc(ch):
+        return ch.mutate(err=F.when(F.col("o_orderkey") % 5 == 0, "boom")
+                         .otherwise(""))
+
+    def fn():
+        return delta_save(
+            dc.read_dataset("rsrc", session=session), proc, "rder",
+            "o_orderkey", delta_compare="o_totalprice",
+            delta_retry="err", session=session,
+        )
+
+    fn()
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("rsrc")
+    fn()  # retry path runs (err rows exist) — deps must survive
+    head = fresh_ms.get_record("rder").latest_version()
+    pins = [d for d in head.dependencies if d.get("dataset")]
+    assert any(d["dataset"] == "rsrc" and d["version"] == "1.0.1"
+               for d in pins)

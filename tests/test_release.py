@@ -543,3 +543,67 @@ def test_cli_promotions(session, sf_dir, capsys):
                  "--failed-only"]) == 0
     out = capsys.readouterr().out
     assert "FAIL row_delta" in out and "min_rows" not in out
+
+
+def test_promote_audit_resolves_specifier_v_old(session, sf_dir, fresh_ms):
+    """The audit must pin the RESOLVED comparison base: a specifier like
+    '<1.0.2' resolves differently as releases accrue, so the stored
+    evidence records the version actually compared."""
+    from datachain_spark.ops.release import promote, promotions
+
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("pspec")
+    profile_version("pspec", **CFG)
+    orders.save("pspec")
+    profile_version("pspec", **CFG)
+    promote("pspec", policy=dict(min_rows=1), v_old="<1.0.1",
+            raise_on_block=False)
+    rows = promotions("pspec").collect()
+    assert all(r["v_old"] == "1.0.0" for r in rows)
+
+
+def test_delta_profile_base_cfg_backfill_no_midsave_crash(
+    session, sf_dir, fresh_ms
+):
+    """A different-config backfill of the PREVIOUS version's profile must
+    not hijack the increment merge base: the fast path merges into the
+    newest profile of the base version built with THIS config, and the
+    run completes with a correct profile."""
+    from datachain_spark.delta import delta_save
+    from datachain_spark.ops.release import _profile_for, profile_version
+    from datachain_spark.ops.sketches import profile_sketch
+
+    orders = _orders(session, sf_dir)
+    cfg = dict(group_cols="o_orderpriority", value_col="o_totalprice",
+               lo=0.0, hi=600000.0, bins=32)
+    delta_save(orders.filter(dc.C("o_orderkey") % 3 == 1),
+               lambda ch: ch, "dcfb", "o_orderkey",
+               delta_compare="o_orderkey", profile=cfg)
+    # backfill the SAME version with a DIFFERENT config — it is newer,
+    # but must not become the merge base for the cfg-A increment
+    profile_version("dcfb", version="1.0.0", **dict(cfg, bins=16))
+    delta_save(orders.filter(dc.C("o_orderkey") % 3 != 0),
+               lambda ch: ch, "dcfb", "o_orderkey",
+               delta_compare="o_orderkey", profile=cfg)
+
+    head = fresh_ms.get_record("dcfb").latest_version()
+    prec = fresh_ms.get_record("dcfb__profile")
+    stored = [v for v in prec.versions
+              if v.attrs.get("profile_of_version") == head.version
+              and v.attrs.get("profile_bins") == "32"]
+    assert stored, "head profile with the pipeline's config missing"
+    got = {
+        r["o_orderpriority"]: (r["n_rows"], tuple(r["hist"]))
+        for r in session.spark.read.parquet(
+            fresh_ms.version_data_path("dcfb__profile", stored[-1].version)
+        ).collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n_rows"], tuple(r["hist"]))
+        for r in profile_sketch(
+            orders.filter(dc.C("o_orderkey") % 3 != 0).df,
+            ["o_orderpriority"], value_col="o_totalprice",
+            lo=0.0, hi=600000.0, bins=32,
+        ).collect()
+    }
+    assert got == want
