@@ -1233,7 +1233,17 @@ def main() -> None:
     anchor_swings: dict[str, float] = {}
     row_counts: dict[str, int] = {}
     total = 0.0
-    for name in HEADLINE:
+    # dev-only iteration knob (r11 optimization round): SPARK_GRAFT_ONLY
+    # subsets HEADLINE for quick before/after probes of the entries being
+    # optimized. The driver never sets it, so recorded runs are always
+    # the full suite with the unchanged protocol; subset runs are for
+    # stderr numbers only and never overwrite the round's BENCH files.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in {s.strip() for s in only.split(",")}]
+        if only else HEADLINE
+    )
+    for name in headline:
         fn = queries[name]
         best, rows = None, 0
         for _ in range(3):
@@ -1261,7 +1271,7 @@ def main() -> None:
     # high-frequency wobble — machine drift worth normalizing for is
     # low-frequency (minutes, not single queries), so per-query anchor
     # resolution sharper than a 3-query window is noise by construction
-    order = [n for n in HEADLINE if n in anchors]
+    order = [n for n in headline if n in anchors]
     smoothed: dict[str, float] = {}
     for i, name in enumerate(order):
         window = [
@@ -1311,7 +1321,7 @@ def main() -> None:
             if cur_anchor and prev_anchor and prev_anchor > 0 else 1.0
         )
         recheck_log["drift"] = round(drift, 4)
-        for name in HEADLINE:
+        for name in headline:
             p = prev_raw.get(name)
             if p is None or p <= 0:
                 continue
@@ -1403,8 +1413,12 @@ def main() -> None:
         "ghost_recheck": recheck_log,
         "sf": sf,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    detail_path = (
+        "/tmp/BENCH_DETAIL_subset.json"
+        if only
+        else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
     )
     try:
         with open(detail_path, "w") as f:

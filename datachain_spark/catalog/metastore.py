@@ -372,6 +372,16 @@ class Metastore:
         data_path = self.version_data_path(f"{ns}.{proj}.{base}", dv.version)
         if dv.bucket:
             df = self._load_bucketed(spark, dv, data_path)
+        elif dv.schema_json:
+            # apply the schema recorded at save time instead of
+            # re-inferring it from footers: every load_dataset otherwise
+            # launches one schema-inference job (r11 — a converged delta
+            # re-run must stay at zero Spark jobs, and warehouse readers
+            # open versions constantly)
+            from pyspark.sql import types as T
+
+            st = T.StructType.fromJson(json.loads(dv.schema_json))
+            df = spark.read.schema(st).parquet(data_path)
         else:
             df = spark.read.parquet(data_path)
         return df, rec, dv

@@ -1780,6 +1780,9 @@ class DataChain:
         out._dataset_info = {
             "name": name, "version": dv.version, "namespace": ns, "project": proj,
         }
+        # the returned chain reads the stored version verbatim — same
+        # pin-not-copy marker read_dataset sets (see delta_save)
+        out._pristine_version_read = True
         return out
 
     def persist(self) -> "DataChain":

@@ -127,10 +127,24 @@ def delta_save(
       happen; this keeps maintenance in the same pass instead of a
       separate janitor job.
 
-    The source snapshot is persisted as an internal dataset
-    ``<name>__delta_source`` so the next run has the exact previous version
-    (the reference reads the previous *dataset version* of the source;
-    sources here may be raw storage, so we snapshot).
+    What the next run diffs against (cheapest sound form, r11):
+
+    - source is a stored dataset version read verbatim (``read_dataset``
+      or a ``.save()`` return): NOTHING is copied — the immutable
+      version is pinned in the result head's attrs
+      (``delta_source_dataset``/``delta_source_version``), exactly the
+      reference's "previous dataset version of the source". A re-run
+      from the same pinned version with unchanged code converges with
+      zero Spark jobs.
+    - raw-storage source with explicit ``delta_compare``: an internal
+      ``<name>__delta_source`` snapshot of ONLY the key+compare columns
+      (the diff never reads the old side's payload).
+    - raw-storage source, ``delta_compare=None``: full-width snapshot
+      (the diff compares every common column).
+
+    A vacuumed pin or a narrow snapshot that cannot answer this run's
+    compare falls back to one full reprocess — a sound superset, never a
+    wrong answer.
     """
     sess = session or source.session
     keys = [delta_on] if isinstance(delta_on, str) else list(delta_on)
@@ -198,21 +212,130 @@ def delta_save(
 
     job_hash = fingerprint_fn(process, extra=",".join(keys) + _job_extra)
 
-    if prev_result_rec is None or prev_snap_rec is None:
-        # first run: full compute
+    cmp_list = (
+        None if delta_compare is None
+        else [delta_compare] if isinstance(delta_compare, str)
+        else list(delta_compare)
+    )
+
+    # pin-not-copy (guide §2.3/§8 — store keys and metadata, not
+    # payloads): when the source IS a stored dataset version read
+    # verbatim, that immutable version is the snapshot — nothing needs
+    # writing; the next run diffs against the pinned version directly
+    # (reference parity: delta reads the previous *dataset version* of
+    # the source). Any transformation drops the marker via _evolve.
+    info = getattr(source, "_dataset_info", None) or {}
+    src_pin = None
+    if (
+        getattr(source, "_pristine_version_read", False)
+        and info.get("name") and info.get("version")
+    ):
+        src_pin = (info["name"], info["version"])
+
+    def _snapshot_source() -> dict:
+        """Persist what the next run's diff needs, the cheapest sound
+        way; returns the pin attrs to stamp on the result head.
+
+        - dataset-version source: write nothing (the pin identifies it);
+        - raw source with explicit delta_compare: keys+compare columns
+          only — diff(added/modified) takes left-side values and the
+          deleted probe is keys-only, so the old side's payload columns
+          are never read (a full-width copy of a 100-TB source per run
+          otherwise);
+        - raw source, compare=None: full snapshot (the diff compares
+          every common column).
+        """
+        if src_pin is not None:
+            return {
+                "delta_source_dataset": src_pin[0],
+                "delta_source_version": src_pin[1],
+            }
+        narrow = None
+        if cmp_list is not None:
+            want = list(dict.fromkeys([*keys, *cmp_list]))
+            cols = set(source.df.columns)
+            if all(("." not in c) and c in cols for c in want):
+                narrow = want
+        if narrow is not None:
+            source.select(*narrow).save(
+                snap_name, attrs={"delta_snap_cols": ",".join(narrow)}
+            )
+        else:
+            source.save(snap_name)
+        return {}
+
+    prev_version = (
+        prev_result_rec.latest_version() if prev_result_rec else None
+    )
+    pin_name = prev_version.attrs.get("delta_source_dataset") if prev_version else None
+    pin_ver = prev_version.attrs.get("delta_source_version") if prev_version else None
+
+    def _full_run() -> DataChain:
         result = process(source).save(name, **save_kw)
         _maybe_compact()
         _refresh_ann()
         _refresh_profile()
-        source.save(snap_name)
-        _stamp_job_hash(sess, name, job_hash)
+        _stamp_meta(sess, name, job_hash, _snapshot_source())
         return result
 
-    # checkpoint: same code + same source contents -> reuse
-    prev_version = prev_result_rec.latest_version()
+    if prev_result_rec is None or (prev_snap_rec is None and not pin_name):
+        # first run: full compute
+        return _full_run()
 
-    prev_snap_df, _, _ = sess.metastore.load_dataset(sess.spark, snap_name)
-    prev_snap = DataChain(prev_snap_df, sess)
+    # zero-job convergence: the source is the exact dataset version the
+    # previous run processed and the code is unchanged — contents are
+    # guaranteed identical, so skip the diff entirely (a cascade refresh
+    # over a diamond graph re-runs sibling pipelines; the untouched ones
+    # converge without a single Spark job). delta_retry still forces the
+    # diff path: error rows must reprocess even from an unchanged source.
+    if (
+        src_pin is not None and not delta_retry
+        and (pin_name, pin_ver) == src_pin
+        and prev_version.job_hash == job_hash
+    ):
+        prev_df, _, _ = sess.metastore.load_dataset(
+            sess.spark, name, prev_version.version
+        )
+        return _delta_apply(
+            sess, source, process, name, keys,
+            [k.replace(".", "__") for k in keys],
+            prev_version, prev_df, None, None, None, None,
+            0, 0, job_hash, snap_name, save_kw, ann_index,
+            bm25_index, gram_index, profile, compact_target_bytes,
+            _refresh_ann, _refresh_profile, _maybe_compact,
+            _snapshot_source, src_pin,
+        )
+
+    # resolve the previous source contents: pinned dataset version first,
+    # stored snapshot otherwise
+    prev_snap = None
+    if pin_name:
+        try:
+            psdf, _, _ = sess.metastore.load_dataset(
+                sess.spark, pin_name, pin_ver
+            )
+            prev_snap = DataChain(psdf, sess)
+        except Exception:  # noqa: BLE001 — pinned version vacuumed
+            prev_snap = None
+    elif prev_snap_rec is not None:
+        psdf, _, psdv = sess.metastore.load_dataset(sess.spark, snap_name)
+        snap_cols = psdv.attrs.get("delta_snap_cols")
+        if snap_cols:
+            stored = set(snap_cols.split(","))
+            want = set(keys) | set(cmp_list or [])
+            # a narrow snapshot only answers the diff it was written
+            # for: this run must use explicit compare columns the
+            # snapshot carries; anything else can't see modifications
+            if cmp_list is not None and want <= stored:
+                prev_snap = DataChain(psdf, sess)
+        else:
+            prev_snap = DataChain(psdf, sess)
+    if prev_snap is None:
+        # previous source contents unavailable (vacuumed pin / narrow
+        # snapshot that can't answer this run's compare): reprocess
+        # everything — one full pass, never wrong (vanished keys drop
+        # because the fresh save IS the whole result)
+        return _full_run()
 
     changed = source.diff(
         prev_snap, on=keys, compare=delta_compare,
@@ -291,6 +414,7 @@ def delta_save(
             n_changed, n_deleted, job_hash, snap_name, save_kw, ann_index,
             bm25_index, gram_index, profile, compact_target_bytes,
             _refresh_ann, _refresh_profile, _maybe_compact,
+            _snapshot_source, src_pin,
         )
     finally:
         proc_keys.unpersist()
@@ -302,7 +426,7 @@ def _delta_apply(
     prev_result, to_process, proc_keys, del_keys, n_changed, n_deleted,
     job_hash, snap_name, save_kw, ann_index, bm25_index, gram_index,
     profile, compact_target_bytes, _refresh_ann, _refresh_profile,
-    _maybe_compact,
+    _maybe_compact, _snapshot_source, src_pin,
 ):
     """The diff-apply-merge tail of :func:`delta_save`, split out so the
     cached key projections (``proc_keys``/``del_keys``) un-persist on
@@ -387,6 +511,20 @@ def _delta_apply(
                     changed_pin = True
             if changed_pin:
                 sess.metastore._write_record(rec2)
+        if src_pin is not None:
+            # advance the stored source pin to the version this run
+            # diffed (contents identical): the next unchanged run then
+            # converges with ZERO Spark jobs instead of re-proving an
+            # empty diff (manifest-only write)
+            rec3 = sess.metastore.get_record(name)
+            v3 = rec3.get_version(prev_version.version)
+            if (
+                v3.attrs.get("delta_source_dataset"),
+                v3.attrs.get("delta_source_version"),
+            ) != src_pin:
+                v3.attrs["delta_source_dataset"] = src_pin[0]
+                v3.attrs["delta_source_version"] = src_pin[1]
+                sess.metastore._write_record(rec3)
         if compact_target_bytes and sess.metastore.should_compact(
             name, None, compact_target_bytes
         ):
@@ -470,8 +608,7 @@ def _delta_apply(
                 inc_df.unpersist()
         else:
             _refresh_profile()
-    source.save(snap_name)
-    _stamp_job_hash(sess, name, job_hash)
+    _stamp_meta(sess, name, job_hash, _snapshot_source())
     return result
 
 
@@ -509,6 +646,25 @@ def _stamp_job_hash(sess: Session, name: str, job_hash: str) -> None:
     rec = sess.metastore.get_record(name)
     v = rec.latest_version()
     v.job_hash = job_hash
+    sess.metastore._write_record(rec)
+
+
+def _stamp_meta(
+    sess: Session, name: str, job_hash: str, pin_attrs: dict
+) -> None:
+    """Stamp the checkpoint job hash plus the source-pin attrs on the
+    head version. ``pin_attrs`` is authoritative for the run's snapshot
+    mode: empty means a ``__delta_source`` snapshot was written, so any
+    stale pin from an earlier dataset-sourced run must come OFF (the
+    next run reads the pin first)."""
+    rec = sess.metastore.get_record(name)
+    v = rec.latest_version()
+    v.job_hash = job_hash
+    if pin_attrs:
+        v.attrs.update(pin_attrs)
+    else:
+        v.attrs.pop("delta_source_dataset", None)
+        v.attrs.pop("delta_source_version", None)
     sess.metastore._write_record(rec)
 
 

@@ -458,6 +458,12 @@ def read_dataset(
         "name": name, "version": dv.version,
         "namespace": rec.namespace, "project": rec.project,
     }
+    # a prune-less read IS the stored version, row for row — delta_save
+    # uses this to pin the immutable source version instead of copying
+    # the source into a __delta_source snapshot (a full corpus write per
+    # run at 100 TB); any transformation goes through _evolve and drops
+    # the marker
+    out._pristine_version_read = prune is None
     if dv.signal_schema:
         from ..schema import deserialize_signals
 

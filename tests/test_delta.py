@@ -82,3 +82,133 @@ def test_checkpoint_save_reuses(session):
     # different plan -> new version
     checkpoint_save(ch.filter(C.x > 2), "cp1")
     assert len(session.metastore.get_record("cp1").versions) == 2
+
+
+# ---------------------------------------------------------------------------
+# r11 optimization: snapshot cost — pin-not-copy for dataset sources,
+# keys+compare-only snapshots for raw sources (guide §2.3/§8: store keys
+# and metadata, never the payload, when deciding what changed)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def fresh_ms(session, tmp_path):
+    from datachain_spark.catalog.metastore import Metastore
+
+    old = session.metastore
+    session.metastore = Metastore(str(tmp_path / "ms"))
+    yield session.metastore
+    session.metastore = old
+
+
+def test_delta_dataset_source_pins_no_snapshot(session, fresh_ms):
+    """A read_dataset source must not be copied into __delta_source: the
+    immutable version is pinned in the head's attrs instead."""
+    dc.read_values(session=session, id=[1, 2], x=[10, 20]).save("dpin_src")
+    out = delta_save(
+        dc.read_dataset("dpin_src", session=session), _double,
+        "dpin_out", delta_on="id",
+    )
+    assert sorted(out.to_list("id", "doubled")) == [(1, 20), (2, 40)]
+    assert session.metastore.get_record("dpin_out__delta_source") is None
+    head = session.metastore.get_record("dpin_out").latest_version()
+    assert head.attrs["delta_source_dataset"] == "dpin_src"
+    assert head.attrs["delta_source_version"] == "1.0.0"
+
+    # upstream append -> incremental run diffs against the PINNED version
+    dc.read_values(session=session, id=[1, 2, 3], x=[10, 99, 30]).save("dpin_src")
+    out2 = delta_save(
+        dc.read_dataset("dpin_src", session=session), _double,
+        "dpin_out", delta_on="id",
+    )
+    assert sorted(out2.to_list("id", "doubled")) == [(1, 20), (2, 198), (3, 60)]
+    assert session.metastore.get_record("dpin_out__delta_source") is None
+    head2 = session.metastore.get_record("dpin_out").latest_version()
+    assert head2.attrs["delta_source_version"] == "1.0.1"
+
+
+def test_delta_pinned_source_deleted_rows_drop(session, fresh_ms):
+    dc.read_values(session=session, id=[1, 2, 3], x=[1, 2, 3]).save("dpd_src")
+    delta_save(dc.read_dataset("dpd_src", session=session), _double,
+               "dpd_out", delta_on="id")
+    dc.read_values(session=session, id=[1, 3], x=[1, 3]).save("dpd_src")
+    out = delta_save(dc.read_dataset("dpd_src", session=session), _double,
+                     "dpd_out", delta_on="id")
+    assert sorted(out.to_values("id")) == [1, 3]
+
+
+def test_delta_unchanged_pin_converges_with_zero_jobs(session, fresh_ms):
+    """Same source version + same code -> the run must not launch a
+    single Spark job (manifest reads only)."""
+    dc.read_values(session=session, id=[1, 2], x=[5, 6]).save("dzj_src")
+    delta_save(dc.read_dataset("dzj_src", session=session), _double,
+               "dzj_out", delta_on="id")
+    sc = session.spark.sparkContext
+    sc.setJobGroup("dzj_converge", "unchanged pinned re-run")
+    try:
+        out = delta_save(dc.read_dataset("dzj_src", session=session),
+                         _double, "dzj_out", delta_on="id")
+        jobs = sc.statusTracker().getJobIdsForGroup("dzj_converge")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(jobs) == 0, f"converged pinned re-run launched {len(jobs)} jobs"
+    assert len(session.metastore.get_record("dzj_out").versions) == 1
+    assert sorted(out.to_list("id", "doubled")) == [(1, 10), (2, 12)]
+
+
+def test_delta_vacuumed_pin_falls_back_to_full_run(session, fresh_ms):
+    dc.read_values(session=session, id=[1, 2], x=[1, 2]).save("dvac_src")
+    delta_save(dc.read_dataset("dvac_src", session=session), _double,
+               "dvac_out", delta_on="id")
+    dc.read_values(session=session, id=[2, 3], x=[9, 3]).save("dvac_src")
+    # vacuum the pinned v1.0.0 away
+    session.metastore.vacuum_dataset("dvac_src", keep_last=1)
+    out = delta_save(dc.read_dataset("dvac_src", session=session), _double,
+                     "dvac_out", delta_on="id")
+    assert sorted(out.to_list("id", "doubled")) == [(2, 18), (3, 6)]
+
+
+def test_delta_raw_source_snapshot_is_narrow(session, fresh_ms):
+    """Raw-storage source + explicit delta_compare: the __delta_source
+    snapshot must hold ONLY the key+compare columns (never the payload),
+    and add/modify/delete must still resolve correctly against it."""
+    src1 = dc.read_values(
+        session=session, id=[1, 2, 3], v=[1, 2, 3],
+        payload=["a" * 50, "b" * 50, "c" * 50],
+    )
+    delta_save(src1, lambda ch: ch.mutate(y=C.v * 10), "dnar_out",
+               delta_on="id", delta_compare="v")
+    snap = session.metastore.get_record("dnar_out__delta_source")
+    assert snap is not None
+    sv = snap.latest_version()
+    assert sv.attrs["delta_snap_cols"] == "id,v"
+    snap_df, _, _ = session.metastore.load_dataset(
+        session.spark, "dnar_out__delta_source"
+    )
+    assert set(snap_df.columns) == {"id", "v"}
+
+    # modify 2, delete 3, add 4
+    src2 = dc.read_values(
+        session=session, id=[1, 2, 4], v=[1, 99, 4],
+        payload=["a" * 50, "B" * 50, "d" * 50],
+    )
+    out = delta_save(src2, lambda ch: ch.mutate(y=C.v * 10), "dnar_out",
+                     delta_on="id", delta_compare="v")
+    assert sorted(out.to_list("id", "y")) == [(1, 10), (2, 990), (4, 40)]
+
+
+def test_delta_narrow_snapshot_compare_change_full_rerun(session, fresh_ms):
+    """A narrow snapshot can only answer the compare it was written for:
+    switching delta_compare to a column it lacks must fall back to one
+    full (correct) reprocess, then record the new narrow snapshot."""
+    src1 = dc.read_values(session=session, id=[1, 2], v=[1, 2], w=[7, 8])
+    delta_save(src1, lambda ch: ch.mutate(y=C.v + C.w), "dsw_out",
+               delta_on="id", delta_compare="v")
+    src2 = dc.read_values(session=session, id=[1, 2], v=[1, 2], w=[7, 100])
+    out = delta_save(src2, lambda ch: ch.mutate(y=C.v + C.w), "dsw_out",
+                     delta_on="id", delta_compare="w")
+    assert sorted(out.to_list("id", "y")) == [(1, 8), (2, 102)]
+    sv = session.metastore.get_record(
+        "dsw_out__delta_source"
+    ).latest_version()
+    assert sv.attrs["delta_snap_cols"] == "id,w"
