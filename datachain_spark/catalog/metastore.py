@@ -324,6 +324,73 @@ class Metastore:
         self._write_record(rec)
         return dv
 
+    def append_dataset_version(
+        self,
+        df_new: DataFrame,
+        name: str,
+        base: DatasetVersion,
+        attrs: Optional[dict[str, Any]] = None,
+        dependencies: Optional[list[dict[str, str]]] = None,
+        job_hash: str = "",
+    ) -> DatasetVersion:
+        """Record a new version whose rows are ``base``'s rows plus
+        ``df_new`` — WITHOUT rewriting the base (the delta append fast
+        path): only the new rows are written; the manifest's
+        ``extends_version`` attr makes readers union the base version's
+        files in. At 100 TB this turns a pure-append incremental save
+        from a full corpus rewrite into an O(churn) write; fragmentation
+        accounting spans the whole chain, so ``compact_dataset`` (or
+        ``delta_save(compact_target_bytes=)``) heals long chains into a
+        self-contained copy.
+
+        Callers own the soundness contract: ``df_new``'s keys must be
+        disjoint from the base's (no displaced rows, nothing deleted)
+        and its schema must match the base's column-for-column —
+        ``delta_save`` proves both from its diff before calling. Base
+        must be the record's latest version and not bucketed."""
+        ns, proj, base_name = split_name(name)
+        rec = self._read_record(ns, proj, base_name)
+        if rec is None:
+            raise DatasetNotFoundError(f"dataset not found: {name}")
+        head = rec.latest_version()
+        if head is None or head.version != base.version:
+            raise ValueError(
+                f"append_dataset_version: base {base.version} is not the "
+                f"latest version of {name}"
+            )
+        if base.bucket:
+            raise ValueError(
+                "append_dataset_version: bucketed versions have a global "
+                "layout — use a full save"
+            )
+        version = bump_version(base.version, "patch")
+        full = f"{ns}.{proj}.{base_name}"
+        data_path = self.version_data_path(full, version)
+        df_new.write.mode("overwrite").parquet(data_path)
+
+        spark = df_new.sparkSession
+        appended = spark.read.parquet(data_path)
+        n_new = appended.count()  # footer count of the CHURN files only
+        dv = DatasetVersion(
+            version=version,
+            uuid=uuid.uuid4().hex,
+            created_at=time.time(),
+            num_rows=base.num_rows + n_new,
+            schema_json=base.schema_json,
+            attrs={**(attrs or {}), "extends_version": base.version},
+            dependencies=dependencies or [],
+            # the base's preview stays valid: chain reads are base-first,
+            # so these are still the head's first rows — re-collecting
+            # would re-open the base data this fast path exists to avoid
+            preview=json.loads(json.dumps(base.preview, default=str)),
+            job_hash=job_hash,
+            signal_schema=json.loads(json.dumps(base.signal_schema))
+            if base.signal_schema else {},
+        )
+        rec.versions.append(dv)
+        self._write_record(rec)
+        return dv
+
     @staticmethod
     def _check_schema_policy(
         df: DataFrame, rec: DatasetRecord, policy: str, name: str
@@ -361,6 +428,43 @@ class Metastore:
                     )
                 )
 
+    @staticmethod
+    def _extends_closure(rec: DatasetRecord, dv: DatasetVersion) -> set:
+        """Version strings in ``dv``'s append chain, itself included."""
+        out: set[str] = set()
+        v: Optional[DatasetVersion] = dv
+        while v is not None and v.version not in out:
+            out.add(v.version)
+            ext = v.attrs.get("extends_version")
+            try:
+                v = rec.get_version(ext) if ext else None
+            except Exception:  # noqa: BLE001 — dangling reference
+                v = None
+        return out
+
+    def _chain_data_paths(
+        self, rec: DatasetRecord, dv: DatasetVersion
+    ) -> list[str]:
+        """Data directories of a version, base-first: an append-fast-path
+        version (``extends_version`` attr) holds only its churn files and
+        references its base version's data by version string — the
+        manifest-reuse layout that makes a pure-append ``delta_save``
+        O(churn) instead of a full corpus rewrite. Base paths come first
+        so the logical row order matches the rewrite the fast path
+        replaced (kept rows, then appended rows)."""
+        full = f"{rec.namespace}.{rec.project}.{rec.name}"
+        chain: list[DatasetVersion] = []
+        seen: set[str] = set()
+        v: Optional[DatasetVersion] = dv
+        while v is not None and v.version not in seen:
+            seen.add(v.version)
+            chain.append(v)
+            ext = v.attrs.get("extends_version")
+            v = rec.get_version(ext) if ext else None
+        return [
+            self.version_data_path(full, c.version) for c in reversed(chain)
+        ]
+
     def load_dataset(
         self, spark: SparkSession, name: str, version: Optional[str] = None
     ) -> tuple[DataFrame, DatasetRecord, DatasetVersion]:
@@ -372,6 +476,13 @@ class Metastore:
         data_path = self.version_data_path(f"{ns}.{proj}.{base}", dv.version)
         if dv.bucket:
             df = self._load_bucketed(spark, dv, data_path)
+        elif dv.attrs.get("extends_version") and dv.schema_json:
+            from pyspark.sql import types as T
+
+            st = T.StructType.fromJson(json.loads(dv.schema_json))
+            df = spark.read.schema(st).parquet(
+                *self._chain_data_paths(rec, dv)
+            )
         elif dv.schema_json:
             # apply the schema recorded at save time instead of
             # re-inferring it from footers: every load_dataset otherwise
@@ -469,11 +580,12 @@ class Metastore:
                 f"{name}@{dv.version} is bucketed — its file count is the "
                 "bucket spec; re-save with bucket_by to change layout"
             )
-        data_path = self.version_data_path(f"{ns}.{proj}.{base}", dv.version)
         n_files, n_target, _total = self._fragmentation(
             f"{ns}.{proj}.{base}", dv.version, target_file_bytes
         )
-        df = spark.read.parquet(data_path)
+        # chain-aware read: compacting an append-fast-path chain folds
+        # every referenced dir into one self-contained copy
+        df, _, _ = self.load_dataset(spark, name, dv.version)
         out = df.coalesce(n_target) if n_target <= n_files else df.repartition(n_target)
         new_version = bump_version(dv.version, "patch")
         taken = {v.version for v in rec.versions}
@@ -500,7 +612,10 @@ class Metastore:
             name,
             version=new_version,
             attrs={
-                **dv.attrs,
+                # the copy is self-contained: it must not inherit the
+                # source's extends_version chain reference
+                **{k: v for k, v in dv.attrs.items()
+                   if k != "extends_version"},
                 "compacted_from": dv.version,
                 "compacted_files": f"{n_files}->{n_target}",
             },
@@ -537,10 +652,19 @@ class Metastore:
         should_compact precheck."""
         import math as _math
 
-        data_path = self.version_data_path(full_name, version)
+        ns, proj, base = split_name(full_name)
+        rec = self._read_record(ns, proj, base)
+        dv = rec.get_version(version) if rec else None
+        paths = (
+            self._chain_data_paths(rec, dv)
+            if dv is not None and dv.attrs.get("extends_version")
+            else [self.version_data_path(full_name, version)]
+        )
         files = [
-            os.path.join(data_path, f)
-            for f in os.listdir(data_path)
+            os.path.join(p, f)
+            for p in paths
+            if os.path.isdir(p)
+            for f in os.listdir(p)
             if f.endswith(".parquet")
         ]
         total = sum(os.path.getsize(f) for f in files)
@@ -698,6 +822,21 @@ class Metastore:
             self._drop_bucket_tables(rec.versions)
             shutil.rmtree(self._ds_dir(ns, proj, base), ignore_errors=True)
             return
+        referrers = [
+            v.version for v in rec.versions
+            if v.version != version
+            and version in self._extends_closure(rec, v)
+        ]
+        if referrers and not force:
+            # an append-fast-path version references this version's
+            # files — deleting them would silently corrupt the newer
+            # version; fail closed (compact the head first to make it
+            # self-contained, or force=True to accept the loss)
+            raise ValueError(
+                f"delete_dataset: {name}@{version} is the append base of "
+                f"live version(s) {referrers} — compact the head into a "
+                "self-contained copy first, or pass force=True"
+            )
         self._drop_bucket_tables([v for v in rec.versions if v.version == version])
         rec.versions = [v for v in rec.versions if v.version != version]
         shutil.rmtree(
@@ -801,7 +940,13 @@ class Metastore:
         if rec is None:
             raise DatasetNotFoundError(f"dataset not found: {name}")
         dv = rec.get_version(version)
-        data_path = self.version_data_path(f"{ns}.{proj}.{base}", dv.version)
+        # an append-chain version's surviving files span several version
+        # dirs — the dataset dir is the common basePath there
+        data_path = (
+            self._ds_dir(ns, proj, base)
+            if dv.attrs.get("extends_version")
+            else self.version_data_path(f"{ns}.{proj}.{base}", dv.version)
+        )
         try:
             return pruned_read(
                 spark, self._load_zone_index(spark, name, version),
@@ -1487,6 +1632,15 @@ class Metastore:
             for v in ordered[keep_last:]
             if older_than is None or (now - v.created_at) >= older_than
         ]
+        # never GC a version whose files a SURVIVING append-chain version
+        # still references (vacuum of a non-self-contained head must not
+        # destroy its base data); the survivors' extends closures pin them
+        doomed_set = set(doomed)
+        needed: set[str] = set()
+        for v in rec.versions:
+            if v.version not in doomed_set:
+                needed |= self._extends_closure(rec, v) - {v.version}
+        doomed = [d for d in doomed if d not in needed]
         if not dry_run:
             for version in doomed:
                 self.delete_dataset(name, version=version)

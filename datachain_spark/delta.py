@@ -337,10 +337,15 @@ def delta_save(
         # because the fresh save IS the whole result)
         return _full_run()
 
-    changed = source.diff(
+    # the A/M status rides along so the append fast path can prove "no
+    # reprocessed key displaced a previous row" from the SAME diff scan
+    # (an extra join against prev keys would re-read the old side)
+    changed_st = source.diff(
         prev_snap, on=keys, compare=delta_compare,
         added=True, modified=True, deleted=False, same=False,
+        status_col="__delta_st",
     )
+    changed = changed_st._evolve(changed_st.df.drop("__delta_st"))
     # rows that disappeared from the source (their results must drop)
     deleted = prev_snap.subtract(source, on=keys)
 
@@ -395,18 +400,40 @@ def delta_save(
         to_process = DataChain(unioned, sess,
                                dependencies=changed._dependencies)
 
-    # keys-only projections, computed ONCE and cached: they feed the row
-    # count, the stale-key union, the ANN changed-key set, and the
-    # post-save profile-increment semi-join — without the cache each
-    # reuse re-runs the corpus-sized diff/subtract plan (one redundant
-    # full job per profiled save at 100 TB)
-    proc_keys = _key_sel(to_process.df).persist()
+    # keys(+status)-only projections, computed ONCE and cached: they feed
+    # the row counts, the stale-key union, the ANN changed-key set, the
+    # append-mode displacement proof, and the post-save
+    # profile-increment semi-join — without the cache each reuse re-runs
+    # the corpus-sized diff/subtract plan (one redundant full job per
+    # profiled save at 100 TB)
+    n_modified = None
+    if to_process is changed:
+        # no retry union: count adds and modifications in ONE job over
+        # the cached key+status projection
+        proc_keys_st = changed_st.df.select(
+            *[F.col(k).alias(f) for k, f in zip(keys, flat_keys)],
+            "__delta_st",
+        ).persist()
+        proc_keys = proc_keys_st.drop("__delta_st")
+        row = proc_keys_st.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("__delta_st") == "M", 1).otherwise(0)
+            ).alias("m"),
+        ).collect()[0]
+        n_changed = int(row["n"])
+        n_modified = int(row["m"] or 0)
+        cached = proc_keys_st
+    else:
+        proc_keys = _key_sel(to_process.df).persist()
+        n_changed = proc_keys.count()
+        cached = proc_keys
     del_keys = _key_sel(deleted.df)
-    n_changed = proc_keys.count()
-    need_n_deleted = n_changed == 0 or bool(profile)
-    if need_n_deleted:
-        del_keys = del_keys.persist()
-    n_deleted = del_keys.count() if need_n_deleted else None
+    # n_deleted is needed by the convergence check, the profile
+    # fast-path gate AND the append-mode proof — always one keys-only
+    # subtract over the (narrow/pinned) old side
+    del_keys = del_keys.persist()
+    n_deleted = del_keys.count()
     try:
         return _delta_apply(
             sess, source, process, name, keys, flat_keys, prev_version,
@@ -414,10 +441,10 @@ def delta_save(
             n_changed, n_deleted, job_hash, snap_name, save_kw, ann_index,
             bm25_index, gram_index, profile, compact_target_bytes,
             _refresh_ann, _refresh_profile, _maybe_compact,
-            _snapshot_source, src_pin,
+            _snapshot_source, src_pin, n_modified,
         )
     finally:
-        proc_keys.unpersist()
+        cached.unpersist()
         del_keys.unpersist()
 
 
@@ -426,7 +453,7 @@ def _delta_apply(
     prev_result, to_process, proc_keys, del_keys, n_changed, n_deleted,
     job_hash, snap_name, save_kw, ann_index, bm25_index, gram_index,
     profile, compact_target_bytes, _refresh_ann, _refresh_profile,
-    _maybe_compact, _snapshot_source, src_pin,
+    _maybe_compact, _snapshot_source, src_pin, n_modified=None,
 ):
     """The diff-apply-merge tail of :func:`delta_save`, split out so the
     cached key projections (``proc_keys``/``del_keys``) un-persist on
@@ -545,22 +572,79 @@ def _delta_apply(
             f"result schema {sorted(prev_result.columns)}"
         )
 
-    # previous results still valid: key not reprocessed and not deleted
-    stale_keys = DataChain(
-        proc_keys.unionByName(del_keys).dropDuplicates(), sess,
+    # APPEND FAST PATH (r11): when the diff proved this run added rows
+    # and displaced/deleted none, the new version is the previous
+    # version's files BY REFERENCE plus only the processed rows — an
+    # O(churn) write instead of the full kept∪processed corpus rewrite.
+    # Everything downstream (reads, indexes, profile, compaction,
+    # fragmentation accounting) resolves the chain through the manifest;
+    # compact_target_bytes heals long chains into self-contained copies.
+    prev_types = {f.name: f.dataType for f in prev_result.df.schema.fields}
+    proc_types = {f.name: f.dataType for f in processed.df.schema.fields}
+    append_mode = (
+        n_modified == 0
+        and n_deleted == 0
+        and n_changed > 0
+        and not prev_version.bucket
+        and prev_types == proc_types
+        and not (
+            set(save_kw)
+            - {"zone_index", "zorder_by", "zorder_bits", "zorder_files",
+               "zorder_strategy", "schema_policy"}
+        )
     )
-    kept = prev_result.subtract(stale_keys, on=keys, right_on=flat_keys)
-    # the incremental save must keep recording the chain's lineage: the
-    # processed branch carries the source's dataset/storage pins (plus
-    # anything process() merged in) — without them the saved version's
-    # dependency record goes empty after run 1 and the cascade-refresh
-    # staleness walk (lineage.refresh_downstream) loses the edge
-    merged = DataChain(
-        kept.df.unionByName(processed.df, allowMissingColumns=False), sess,
-        dependencies=processed._dependencies,
-    )
+    if append_mode:
+        new_rows = processed.df.select(*prev_result.df.columns)
+        if save_kw.get("zorder_by"):
+            from .ops.zorder import zorder_layout
 
-    result = merged.save(name, **save_kw)
+            new_rows = zorder_layout(
+                new_rows, save_kw["zorder_by"],
+                bits=save_kw.get("zorder_bits", 8),
+                num_partitions=save_kw.get("zorder_files"),
+                strategy=save_kw.get("zorder_strategy", "minmax"),
+            )
+        new_dv = sess.metastore.append_dataset_version(
+            new_rows, name, prev_version,
+            dependencies=processed._dependencies,
+        )
+        if save_kw.get("zone_index"):
+            sess.metastore.zone_index_dataset(
+                sess.spark, name, list(save_kw["zone_index"]),
+                version=new_dv.version,
+            )
+        from .catalog.metastore import split_name
+
+        rdf, _, _ = sess.metastore.load_dataset(
+            sess.spark, name, new_dv.version
+        )
+        result = DataChain(
+            rdf, sess, source._settings,
+            [{"dataset": name, "version": new_dv.version}],
+        )
+        ns, proj, base = split_name(name)
+        result._dataset_info = {
+            "name": name, "version": new_dv.version,
+            "namespace": ns, "project": proj,
+        }
+        result._pristine_version_read = True
+    else:
+        # previous results still valid: key not reprocessed, not deleted
+        stale_keys = DataChain(
+            proc_keys.unionByName(del_keys).dropDuplicates(), sess,
+        )
+        kept = prev_result.subtract(stale_keys, on=keys, right_on=flat_keys)
+        # the incremental save must keep recording the chain's lineage:
+        # the processed branch carries the source's dataset/storage pins
+        # (plus anything process() merged in) — without them the saved
+        # version's dependency record goes empty after run 1 and the
+        # cascade-refresh staleness walk (lineage.refresh_downstream)
+        # loses the edge
+        merged = DataChain(
+            kept.df.unionByName(processed.df, allowMissingColumns=False),
+            sess, dependencies=processed._dependencies,
+        )
+        result = merged.save(name, **save_kw)
     _maybe_compact()
     _refresh_ann(
         changed_keys_df=proc_keys if len(keys) == 1 else None,
@@ -582,7 +666,28 @@ def _delta_apply(
         # process(), so every persisted increment row carries a proc_key;
         # a pipeline that mutated keys would already misalign the next
         # run's diff.)
-        if n_deleted == 0 and _has_matching_profile(
+        if append_mode and _has_matching_profile(
+            sess, name, prev_version.version, profile
+        ):
+            # the churn files ARE the persisted increment: read them
+            # back directly — no head scan, no displacement arithmetic
+            # (the diff already proved pure append), O(churn) total
+            # (even if _maybe_compact just rewrote the head into a
+            # self-contained copy, the pre-compact churn dir still holds
+            # exactly the appended rows)
+            import json as _json
+
+            from pyspark.sql import types as T
+
+            st = T.StructType.fromJson(_json.loads(new_dv.schema_json))
+            inc_df = sess.spark.read.schema(st).parquet(
+                sess.metastore.version_data_path(name, new_dv.version)
+            )
+            _refresh_profile(
+                increment_df=inc_df,
+                base_version=prev_version.version,
+            )
+        elif n_deleted == 0 and _has_matching_profile(
             sess, name, prev_version.version, profile
         ):
             head_df, _, head_v = sess.metastore.load_dataset(

@@ -212,3 +212,92 @@ def test_delta_narrow_snapshot_compare_change_full_rerun(session, fresh_ms):
         "dsw_out__delta_source"
     ).latest_version()
     assert sv.attrs["delta_snap_cols"] == "id,w"
+
+
+def test_delta_pure_append_reuses_base_files(session, fresh_ms):
+    """A pure-append incremental run must write ONLY the churn: the new
+    head extends the base version (manifest reference), the base dir is
+    untouched, and reads of head/base resolve to the right row sets."""
+    import os
+
+    src1 = dc.read_values(session=session, id=[1, 2], x=[10, 20])
+    delta_save(src1, _double, "dap_out", delta_on="id")
+    base = session.metastore.get_record("dap_out").latest_version()
+    base_dir = session.metastore.version_data_path("dap_out", base.version)
+    base_files = sorted(os.listdir(base_dir))
+    base_mtime = os.path.getmtime(base_dir)
+
+    src2 = dc.read_values(session=session, id=[1, 2, 3, 4], x=[10, 20, 30, 40])
+    out = delta_save(src2, _double, "dap_out", delta_on="id")
+    assert sorted(out.to_list("id", "doubled")) == [
+        (1, 20), (2, 40), (3, 60), (4, 80)
+    ]
+    head = session.metastore.get_record("dap_out").latest_version()
+    assert head.attrs["extends_version"] == base.version
+    assert head.num_rows == 4
+    # base dir untouched, churn dir holds only the appended rows
+    assert sorted(os.listdir(base_dir)) == base_files
+    assert os.path.getmtime(base_dir) == base_mtime
+    churn_dir = session.metastore.version_data_path("dap_out", head.version)
+    churn = session.spark.read.parquet(churn_dir)
+    assert sorted(r["id"] for r in churn.select("id").collect()) == [3, 4]
+    # the base version still reads as exactly its own rows
+    old_df, _, _ = session.metastore.load_dataset(
+        session.spark, "dap_out", base.version
+    )
+    assert old_df.count() == 2
+
+
+def test_delta_append_chain_vacuum_protects_base(session, fresh_ms):
+    import pytest as _pytest
+
+    src1 = dc.read_values(session=session, id=[1], x=[1])
+    delta_save(src1, _double, "dvp_out", delta_on="id")
+    src2 = dc.read_values(session=session, id=[1, 2], x=[1, 2])
+    delta_save(src2, _double, "dvp_out", delta_on="id")
+    rec = session.metastore.get_record("dvp_out")
+    assert len(rec.versions) == 2
+    # vacuum keep_last=1 must NOT destroy the base the head references
+    removed = session.metastore.vacuum_dataset("dvp_out", keep_last=1)
+    assert removed == []
+    out, _, _ = session.metastore.load_dataset(session.spark, "dvp_out")
+    assert out.count() == 2
+    # direct delete of the referenced base fails closed
+    with _pytest.raises(ValueError, match="append base"):
+        session.metastore.delete_dataset(
+            "dvp_out", version=rec.versions[0].version
+        )
+
+
+def test_delta_append_chain_compacts_self_contained(session, fresh_ms):
+    """compact_dataset folds an append chain into one self-contained
+    copy; the old base then becomes vacuumable."""
+    src1 = dc.read_values(session=session, id=[1, 2], x=[1, 2])
+    delta_save(src1, _double, "dcc_out", delta_on="id")
+    src2 = dc.read_values(session=session, id=[1, 2, 3], x=[1, 2, 3])
+    delta_save(src2, _double, "dcc_out", delta_on="id")
+    new_dv = session.metastore.compact_dataset(
+        session.spark, "dcc_out", target_file_bytes=1 << 30
+    )
+    assert "extends_version" not in new_dv.attrs
+    df, _, _ = session.metastore.load_dataset(
+        session.spark, "dcc_out", new_dv.version
+    )
+    assert sorted(r["id"] for r in df.select("id").collect()) == [1, 2, 3]
+    removed = session.metastore.vacuum_dataset("dcc_out", keep_last=1)
+    assert len(removed) == 2
+    out, _, _ = session.metastore.load_dataset(session.spark, "dcc_out")
+    assert out.count() == 3
+
+
+def test_delta_modified_rows_disable_append_mode(session, fresh_ms):
+    """Any displaced key must fall back to the full rewrite (no
+    extends_version) — a modified row in an append chain would be
+    double-read otherwise."""
+    src1 = dc.read_values(session=session, id=[1, 2], x=[1, 2])
+    delta_save(src1, _double, "dmm_out", delta_on="id")
+    src2 = dc.read_values(session=session, id=[1, 2, 3], x=[1, 99, 3])
+    out = delta_save(src2, _double, "dmm_out", delta_on="id")
+    head = session.metastore.get_record("dmm_out").latest_version()
+    assert "extends_version" not in head.attrs
+    assert sorted(out.to_list("id", "doubled")) == [(1, 2), (2, 198), (3, 6)]
