@@ -1602,7 +1602,26 @@ class DataChain:
                           file_params=_file_struct_params(self._df.schema, param_names),
                           param_models=infer_param_models(
                               func, param_names, exclude=set(self._setup_values)))
-        return self._evolve(self._df.mapInPandas(fn, out_struct))
+        # gen's output REPLACES the input schema, so Spark must otherwise
+        # ship EVERY input column through the Python boundary even though
+        # the function reads only its params — an opaque map defeats
+        # Catalyst's column pruning (guide §4.1). Project the param root
+        # columns explicitly before the boundary.
+        src = self._project_udf_params(param_names)
+        return self._evolve(src.mapInPandas(fn, out_struct))
+
+    def _project_udf_params(self, param_names: Sequence[str]):
+        """The narrowest frame that still answers ``param_names`` (top-
+        level roots of plain and dotted params). Falls back to the full
+        frame when a root is missing (the UDF raises its own KeyError)
+        or when there are no params."""
+        roots = {p.split(".", 1)[0] for p in param_names}
+        cols = [c for c in self._df.columns if c in roots]
+        if not cols or len(roots - set(self._df.columns)) > 0:
+            return self._df
+        if len(cols) == len(self._df.columns):
+            return self._df
+        return self._df.select(*cols)
 
     def agg(
         self,
@@ -1625,10 +1644,24 @@ class DataChain:
                               func, param_names, exclude=set(self._setup_values)))
         if partition_by is None:
             # global single group: constant grouping column (groupBy on a
-            # bare literal is not a valid grouping attribute)
-            df = self._df.withColumn("__grp__", F.lit(1))
+            # bare literal is not a valid grouping attribute). agg's
+            # output replaces the schema, so only the param roots need to
+            # cross the shuffle + Python boundary (guide §2.3/§4.1)
+            df = self._project_udf_params(param_names).withColumn(
+                "__grp__", F.lit(1)
+            )
             return self._evolve(df.groupBy("__grp__").applyInPandas(fn, out_struct))
         keys = _cols(partition_by)
+        # expression keys must stay resolvable; prune only when every key
+        # is a plain existing column name
+        key_names = [k for k in (partition_by if isinstance(partition_by, (list, tuple)) else [partition_by]) if isinstance(k, str)]
+        if len(key_names) == len(keys) and all(
+            k in self._df.columns for k in key_names
+        ):
+            src = self._project_udf_params(list(param_names) + key_names)
+            return self._evolve(
+                src.groupBy(*keys).applyInPandas(fn, out_struct)
+            )
         return self._evolve(self._df.groupBy(*keys).applyInPandas(fn, out_struct))
 
     def batch_map(
