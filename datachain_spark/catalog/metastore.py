@@ -32,7 +32,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any, Mapping, Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..error import (
@@ -280,6 +280,11 @@ class Metastore:
                 raise ValueError(f"dataset {name} version {version} already exists")
 
         data_path = self.version_data_path(f"{ns}.{proj}.{base}", version)
+        # Row count rides the write job itself (CollectMetrics): one
+        # Spark job fewer per save than a post-write footer count, and at
+        # scale no footer-listing pass over the written files at all.
+        obs = Observation()
+        counted = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         bucket_meta: dict = {}
         if bucket_by:
             # Bucketed layout: hash-partitioned files + session-catalog table
@@ -290,7 +295,7 @@ class Metastore:
             # doesn't have it (external location, CLUSTERED BY declaration).
             tbl = self._bucket_table_name(ns, proj, base, version)
             w = (
-                df.write.mode("overwrite")
+                counted.write.mode("overwrite")
                 .option("compression", self.PARQUET_CODEC)
                 .option("path", data_path)
                 .bucketBy(num_buckets, *bucket_by)
@@ -305,14 +310,13 @@ class Metastore:
                 "sort": list(bucket_sort or []),
             }
         else:
-            df.write.mode("overwrite").option(
+            counted.write.mode("overwrite").option(
                 "compression", self.PARQUET_CODEC
             ).parquet(data_path)
 
-        # row count from parquet footers (no second full scan of the plan)
+        num_rows = int(obs.get["rows"])
         spark = df.sparkSession
-        saved = spark.read.parquet(data_path)
-        num_rows = saved.count()
+        saved = spark.read.schema(df.schema).parquet(data_path)
         preview = [r.asDict(recursive=True) for r in saved.limit(preview_rows).collect()]
 
         dv = DatasetVersion(
@@ -376,13 +380,13 @@ class Metastore:
         version = bump_version(base.version, "patch")
         full = f"{ns}.{proj}.{base_name}"
         data_path = self.version_data_path(full, version)
-        df_new.write.mode("overwrite").option(
-            "compression", self.PARQUET_CODEC
-        ).parquet(data_path)
-
-        spark = df_new.sparkSession
-        appended = spark.read.parquet(data_path)
-        n_new = appended.count()  # footer count of the CHURN files only
+        # churn count rides the write job (CollectMetrics) — no
+        # post-write footer count job
+        obs = Observation()
+        df_new.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).option("compression", self.PARQUET_CODEC).parquet(data_path)
+        n_new = int(obs.get["rows"])
         dv = DatasetVersion(
             version=version,
             uuid=uuid.uuid4().hex,

@@ -382,7 +382,9 @@ def delta_save(
             )
 
     to_process = changed
-    if retry_keys is not None and retry_keys.count() > 0:
+    # emptiness probe, not a count: isEmpty stops at the first row
+    # instead of scanning the corpus-sized retry frame
+    if retry_keys is not None and not retry_keys.df.isEmpty():
         retry_rows = source.merge(
             retry_keys.distinct(*flat_keys), on=keys, right_on=flat_keys, inner=True
         ).select(*source.columns)

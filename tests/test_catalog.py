@@ -55,6 +55,28 @@ def test_save_records_stats_and_schema(session):
     assert len(v.preview) == 2
 
 
+def test_save_job_budget(session):
+    """save_dataset must not run a post-write count job: the row count
+    rides the write itself (CollectMetrics via df.observe), so a plain
+    save is write + preview — the preview's incremental limit-collect
+    may take up to two passes when the first file holds fewer than 20
+    rows, so the ceiling is 3 jobs (the pre-r11 path was 4+ here:
+    write + footer count + preview)."""
+    sc = session.spark.sparkContext
+    ch = dc.read_values(session=session, x=list(range(200)),
+                        s=[str(i) for i in range(200)])
+    ch.df.count()  # materialize the input plan outside the probe
+    sc.setJobGroup("save_budget", "plain save")
+    try:
+        ch.save("jobbudget1")
+        jobs = sc.statusTracker().getJobIdsForGroup("save_budget")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert 0 < len(jobs) <= 3, f"plain save used {len(jobs)} jobs"
+    v = session.metastore.get_record("jobbudget1").latest_version()
+    assert v.num_rows == 200 and len(v.preview) == 20
+
+
 def test_lineage_dependencies(session):
     src = dc.read_values(session=session, x=[1, 2])
     src.save("dep_src")

@@ -932,7 +932,11 @@ def test_delta_profile_append_run_job_budget(session, sf_dir, fresh_ms):
     projections + the saved-head increment keep the run inside a fixed
     Spark-job budget — measured 41 jobs after the fix vs 50 before it
     (the kept.count()/n_deleted subtract re-runs and the re-evaluated
-    processed-plan profile each burned extra corpus-sized jobs)."""
+    processed-plan profile each burned extra corpus-sized jobs). r11
+    trims: the append fast path (write churn only) took it to 29, and
+    riding every save's row count on the write job itself
+    (CollectMetrics via df.observe instead of a post-write footer
+    count) to 20."""
     sc = session.spark.sparkContext
     orders = dc.read_parquet(f"{sf_dir}/orders.parquet", session=session)
     cfg = dict(group_cols="o_orderpriority", value_col="o_totalprice",
@@ -948,7 +952,7 @@ def test_delta_profile_append_run_job_budget(session, sf_dir, fresh_ms):
         jobs = sc.statusTracker().getJobIdsForGroup("djob_append")
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
-    assert 0 < len(jobs) <= 45, f"append run used {len(jobs)} jobs"
+    assert 0 < len(jobs) <= 24, f"append run used {len(jobs)} jobs"
 
 
 def test_flag_api_rejects_delta_result_on(session, sf_dir, fresh_ms):
