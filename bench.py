@@ -1232,7 +1232,44 @@ def main() -> None:
     anchors: dict[str, float] = {}
     anchor_swings: dict[str, float] = {}
     row_counts: dict[str, int] = {}
+    job_counts: dict[str, int] = {}
+    stage_bytes: dict[str, dict[str, int]] = {}
     total = 0.0
+
+    # Deterministic per-entry metrics (r11 verdict task 5): Spark job count
+    # and stage byte totals per query, recorded alongside the raw walls so
+    # cross-round comparison no longer depends on this machine's anchors.
+    # Each timed run executes inside its own job group; the job count comes
+    # from statusTracker and the byte sums from the JVM AppStatusStore
+    # (populated even with the UI disabled). These are properties of the
+    # PLAN + DATA, not the machine — identical code reads identical values
+    # on a drifted run.
+    tracker = spark.sparkContext.statusTracker()
+
+    def _group_metrics(group: str) -> tuple[int, dict[str, int]]:
+        job_ids = tracker.getJobIdsForGroup(group)
+        agg = {"shuffle_write": 0, "shuffle_read": 0, "input": 0}
+        try:
+            store = spark.sparkContext._jsc.sc().statusStore()
+            seen: set = set()
+            for jid in job_ids:
+                info = tracker.getJobInfo(jid)
+                if info is None:
+                    continue
+                for sid in info.stageIds:
+                    if sid in seen:
+                        continue
+                    seen.add(sid)
+                    try:
+                        sd = store.lastStageAttempt(sid)
+                    except Exception:  # noqa: BLE001 — skipped stage (reused
+                        continue       # exchange): no attempt, no execution
+                    agg["shuffle_write"] += sd.shuffleWriteBytes()
+                    agg["shuffle_read"] += sd.shuffleReadBytes()
+                    agg["input"] += sd.inputBytes()
+        except Exception:  # noqa: BLE001 — metrics are best-effort extras;
+            pass           # the job count alone is still recorded
+        return len(job_ids), agg
     # dev-only iteration knob (r11 optimization round): SPARK_GRAFT_ONLY
     # subsets HEADLINE for quick before/after probes of the entries being
     # optimized. The driver never sets it, so recorded runs are always
@@ -1246,12 +1283,22 @@ def main() -> None:
     for name in headline:
         fn = queries[name]
         best, rows = None, 0
-        for _ in range(3):
+        for i in range(3):
+            group = f"bench:{name}:{i}"
+            spark.sparkContext.setJobGroup(group, f"bench {name} run {i}")
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             rows = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
+        # the job-group property is thread-local and sticky — clear it so
+        # the calibration anchors below don't count into this query
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        # metrics from the LAST (fully warmed) run; deterministic across
+        # runs because each run re-executes the full fresh plan
+        n_jobs, byte_agg = _group_metrics(f"bench:{name}:2")
+        job_counts[name] = n_jobs
+        stage_bytes[name] = byte_agg
         near, swing = _anchor()
         timings[name] = round(best, 4)
         anchors[name] = round(near, 4)
@@ -1259,7 +1306,8 @@ def main() -> None:
         row_counts[name] = int(rows)
         total += best
         print(
-            f"# {name}: {best:.3f}s ({rows} rows, anchor {near:.3f}s)",
+            f"# {name}: {best:.3f}s ({rows} rows, {n_jobs} jobs, "
+            f"anchor {near:.3f}s)",
             file=sys.stderr,
         )
 
@@ -1394,6 +1442,14 @@ def main() -> None:
         # per-query output row counts: throughput ratios vs BASELINE.md
         # are computable without archaeology
         "rows": row_counts,
+        # deterministic per-entry metrics (r11 verdict task 5): Spark job
+        # count and stage byte sums per query — plan+data properties that
+        # cross-round comparisons can use when the machine's anchors drift.
+        # They live here (not on the stdout line) because the recorder's
+        # ~2000-char cap cannot hold a second full per-query series
+        # (measured: +1509 chars).
+        "jobs": job_counts,
+        "stage_bytes": stage_bytes,
         "best_of": 3,
         "calibration": {
             "workload": "range(2e7).avg(xxhash64)",
@@ -1446,6 +1502,9 @@ def main() -> None:
         # from a drifted run are machine evidence, not code evidence
         "anchor_start_ratio": anchor_start_ratio,
         "drifted": machine_drifted,
+        # machine-independent totals: Spark job count across all entries
+        # (full per-query series in BENCH_DETAIL.json "jobs"/"stage_bytes")
+        "jobs_total": sum(job_counts.values()),
         "cal": {
             "nom": CALIB_NOMINAL_SEC,
             "b": calib_before,
@@ -1460,6 +1519,9 @@ def main() -> None:
     if len(line) > 1900:  # belt: shed precision before the recorder cuts
         compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
         compact.pop("detail", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1980:  # second belt: the jobs total is duplicated in
+        compact.pop("jobs_total", None)  # BENCH_DETAIL.json — shed it
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
