@@ -33,6 +33,7 @@ from .udf import (
     infer_param_models,
     infer_params,
     normalize_output,
+    struct_boundary_fn,
 )
 
 ColumnLike = Union[str, Column, Col]
@@ -52,6 +53,37 @@ def _names(items: Union[str, Sequence[str], None]) -> list[str]:
     if isinstance(items, str):
         return [items]
     return list(items)
+
+
+def _quoted(name: str) -> str:
+    """Backtick-quote a literal column name (dots stay literal)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _resolve_param_expr(schema, name: str):
+    """(terminal DataType, Column) for a UDF param the JVM can evaluate:
+    a literal top-level column, or a dotted path walked through struct
+    fields — mirroring udf._extract_param's runtime traversal (literal
+    column first, then dict-walk). (None, None) when unresolvable, in
+    which case callers keep the wide mapInPandas path and _extract_param
+    raises its own KeyError at runtime."""
+    from pyspark.sql import types as T
+
+    names = set(schema.fieldNames())
+    if name in names:
+        return schema[name].dataType, F.col(_quoted(name))
+    if "." in name:
+        head, rest = name.split(".", 1)
+        if head in names and isinstance(schema[head].dataType, T.StructType):
+            dt = schema[head].dataType
+            expr = F.col(_quoted(head))
+            for part in rest.split("."):
+                if not isinstance(dt, T.StructType) or part not in dt.fieldNames():
+                    return None, None
+                expr = expr.getField(part)
+                dt = dt[part].dataType
+            return dt, expr
+    return None, None
 
 
 class DatasetMergeError(ValueError):
@@ -1574,6 +1606,16 @@ class DataChain:
                           file_params=_file_struct_params(self._df.schema, param_names),
                           param_models=infer_param_models(
                               func, param_names, exclude=set(self._setup_values)))
+        # narrow boundary (guide §4.1): when every param is a JVM-resolvable
+        # non-struct value, ship ONLY the params to Python and return the
+        # outputs as one struct; pass-through columns stay in the JVM, so the
+        # scan prunes to what the query actually reads
+        args = self._narrow_boundary_args(param_names)
+        if args is not None:
+            out_names = [f.name for f in out_struct.fields]
+            return self._evolve(self._attach_struct_outputs(
+                struct_boundary_fn(fn, param_names, out_names),
+                args, out_struct, override=True))
         from pyspark.sql.types import StructType
 
         # output pdf keeps input column order; an output that overrides an
@@ -1582,6 +1624,60 @@ class DataChain:
         fields = [out_by_name.pop(f.name, f) for f in self._df.schema.fields]
         new_schema = StructType(fields + [f for f in out_struct.fields if f.name in out_by_name])
         return self._evolve(self._df.mapInPandas(fn, new_schema))
+
+    def _narrow_boundary_args(self, param_names: Sequence[str]):
+        """Column expressions handing each param to the narrow (pandas_udf)
+        Python boundary, or None when the wide mapInPandas path must stay:
+        no params, a struct/map-typed param (File hydration and model
+        params see struct cells as dicts — a representation only the wide
+        path provides), an unresolvable name, or an explicit opt-out via
+        DATACHAIN_SPARK_MAP_BOUNDARY=wide (the A/B and regression-test
+        escape hatch)."""
+        if os.environ.get("DATACHAIN_SPARK_MAP_BOUNDARY", "").lower() in (
+            "wide", "mapinpandas",
+        ):
+            return None
+        if not param_names:
+            return None
+        from pyspark.sql import types as T
+
+        args = []
+        for p in param_names:
+            dt, expr = _resolve_param_expr(self._df.schema, p)
+            if dt is None or isinstance(dt, (T.StructType, T.MapType)):
+                return None
+            args.append(expr)
+        return args
+
+    def _attach_struct_outputs(self, fn, args, out_struct, override: bool):
+        """Apply the narrow-boundary UDF and splice its struct fields back
+        into the row: overridden input columns keep their position (with the
+        declared output type), new outputs append in declaration order —
+        byte-identical layout to the wide path's output schema."""
+        from pyspark.sql.functions import pandas_udf
+
+        # nondeterministic = evaluate at most once and never reorder across
+        # filters (guide §4.4) — the same barrier semantics the wide
+        # mapInPandas path has today
+        udf_col = pandas_udf(fn, returnType=out_struct).asNondeterministic()
+        tmp = "__udf_struct__"
+        existing = set(self._df.columns)
+        while tmp in existing:
+            tmp += "_"
+        df = self._df.withColumn(tmp, udf_col(*args))
+        out_names = {f.name for f in out_struct.fields}
+        cols = []
+        for f in self._df.schema.fields:
+            if override and f.name in out_names:
+                cols.append(df[tmp].getField(f.name).alias(f.name))
+            else:
+                cols.append(F.col(_quoted(f.name)))
+        cols.extend(
+            df[tmp].getField(f.name).alias(f.name)
+            for f in out_struct.fields
+            if not override or f.name not in existing
+        )
+        return df.select(*cols)
 
     def gen(
         self,
@@ -1611,16 +1707,39 @@ class DataChain:
         return self._evolve(src.mapInPandas(fn, out_struct))
 
     def _project_udf_params(self, param_names: Sequence[str]):
-        """The narrowest frame that still answers ``param_names`` (top-
-        level roots of plain and dotted params). Falls back to the full
-        frame when a root is missing (the UDF raises its own KeyError)
-        or when there are no params."""
-        roots = {p.split(".", 1)[0] for p in param_names}
-        cols = [c for c in self._df.columns if c in roots]
-        if not cols or len(roots - set(self._df.columns)) > 0:
+        """The narrowest frame that still answers ``param_names``: plain
+        params keep their column; a dotted param whose terminal field is a
+        plain (non-struct/map) value selects JUST that nested field, aliased
+        to the literal dotted name _extract_param matches first — the rest
+        of the struct stays out of the Python boundary. Dotted params with
+        struct terminals keep their whole root (hydration consumes the dict
+        rendering). Falls back to the full frame when a param is
+        unresolvable (the UDF raises its own KeyError) or nothing narrows."""
+        if not param_names:
             return self._df
-        if len(cols) == len(self._df.columns):
+        from pyspark.sql import types as T
+
+        whole: list[str] = []
+        narrow: dict[str, Column] = {}
+        for p in param_names:
+            if p in self._df.columns:
+                if p not in whole:
+                    whole.append(p)
+                continue
+            dt, expr = _resolve_param_expr(self._df.schema, p)
+            if dt is not None and not isinstance(dt, (T.StructType, T.MapType)):
+                narrow[p] = expr
+                continue
+            root = p.split(".", 1)[0]
+            if root in self._df.columns:
+                if root not in whole:
+                    whole.append(root)
+            else:
+                return self._df
+        if not narrow and len(whole) == len(self._df.columns):
             return self._df
+        cols = [F.col(_quoted(c)) for c in self._df.columns if c in set(whole)]
+        cols.extend(expr.alias(p) for p, expr in narrow.items())
         return self._df.select(*cols)
 
     def agg(
@@ -1678,6 +1797,14 @@ class DataChain:
         param_names = infer_params(func, _names(params) or None)
         out_struct = normalize_output(func, output, default_name)
         fn = build_batch_map_fn(func, param_names, out_struct)
+        # narrow boundary, same as map() (guide §4.1); batch_map only ever
+        # appends outputs, so existing columns are never overridden
+        args = self._narrow_boundary_args(param_names)
+        if args is not None:
+            out_names = [f.name for f in out_struct.fields]
+            return self._evolve(self._attach_struct_outputs(
+                struct_boundary_fn(fn, param_names, out_names),
+                args, out_struct, override=False))
         from pyspark.sql.types import StructType
 
         new_schema = StructType(list(self._df.schema.fields) + list(out_struct.fields))

@@ -21,7 +21,7 @@ once per task before the first batch, teardown() after the last.
 from __future__ import annotations
 
 import inspect
-from typing import Any, Callable, Iterable, Iterator, Optional, Union
+from typing import Any, Callable, Iterable, Iterator, Optional, Tuple, Union
 
 import pandas as pd
 from pyspark.sql import types as T
@@ -551,6 +551,38 @@ def build_agg_fn(
         finally:
             if inst is not None:
                 inst.teardown()
+
+    return fn
+
+
+def struct_boundary_fn(
+    inner: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]],
+    params: list[str],
+    out_names: list[str],
+) -> Callable:
+    """Adapt a mapInPandas-style UDF body to the NARROW Python boundary: a
+    scalar-iterator ``pandas_udf`` that receives ONLY the param columns and
+    returns the output columns as one struct, so pass-through columns never
+    cross JVM<->Python (guide §4.1 — an opaque map defeats Catalyst's column
+    pruning; this boundary restores it). The caller re-attaches the struct's
+    fields around the untouched JVM columns.
+
+    ``inner`` is a build_map_fn/build_batch_map_fn product: it expects a
+    pandas frame holding the param columns (dotted names arrive as literal
+    columns, which _extract_param matches first) and yields frames that
+    contain at least the output columns. Row cardinality is 1:1 by the map
+    contract, which is exactly what the scalar pandas_udf boundary enforces.
+    """
+
+    def fn(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.DataFrame]:
+        def pdfs() -> Iterator[pd.DataFrame]:
+            for tup in it:
+                if not isinstance(tup, tuple):
+                    tup = (tup,)
+                yield pd.DataFrame(dict(zip(params, tup)))
+
+        for out in inner(pdfs()):
+            yield out.loc[:, out_names]
 
     return fn
 

@@ -1,7 +1,8 @@
 """Capture .explain("formatted") output for named registry queries (and
-the bench-only *_full entries) into plans/r11/<name>_<tag>.txt — the
+the bench-only *_full entries) into plans/<round>/<name>_<tag>.txt — the
 optimization round's before/after plan evidence (guide §1: measure first;
-the judge checks plan claims against these files).
+the judge checks plan claims against these files). The round directory
+comes from $SPARK_GRAFT_PLANS_ROUND (default r12).
 
 Usage: python scripts/capture_plans.py <tag> name1,name2,...
        python scripts/capture_plans.py <tag> --window     (first 50)
@@ -27,7 +28,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-OUT_DIR = os.path.join(ROOT, "plans", "r11")
+OUT_DIR = os.path.join(
+    ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+)
 
 
 def main() -> int:
