@@ -159,6 +159,16 @@ class DatasetRecord:
         return max(matching, key=lambda v: parse_version(v.version))
 
 
+def _nested_col(df: DataFrame, name: str):
+    """Column for a possibly-dotted key against ``df``: a literal column
+    name wins (backtick-quoted so its dots stay literal), otherwise the
+    dotted path traverses struct fields — the same resolution order the
+    delta flat-key convention uses."""
+    if name in df.columns:
+        return F.col("`" + name.replace("`", "``") + "`")
+    return F.col(name)
+
+
 def split_name(name: str) -> tuple[str, str, str]:
     """'ns.proj.name' | 'proj.name' | 'name' -> (ns, proj, name)."""
     parts = name.split(".")
@@ -174,12 +184,28 @@ def split_name(name: str) -> tuple[str, str, str]:
 class Metastore:
     """JSON-manifest metastore over a directory tree."""
 
-    #: parquet codec for stored dataset versions (guide §6: zstd is
-    #: smaller than snappy at similar read speed — measured −33 % bytes
-    #: on the documents table with equal wall). Overridable per
-    #: deployment; affects only data written by the metastore, readers
-    #: are codec-agnostic.
-    PARQUET_CODEC = os.environ.get("DATACHAIN_SPARK_PARQUET_CODEC", "zstd")
+    #: codecs Spark's parquet writer accepts for the per-save override
+    _PARQUET_CODECS = frozenset(
+        {"zstd", "snappy", "gzip", "lz4", "lz4raw", "lz4_raw", "brotli",
+         "uncompressed", "none"}
+    )
+
+    @property
+    def PARQUET_CODEC(self) -> str:
+        """Parquet codec for stored dataset versions (guide §6: zstd is
+        smaller than snappy at similar read speed — measured −33 % bytes
+        on the documents table with equal wall). Resolved from
+        $DATACHAIN_SPARK_PARQUET_CODEC PER SAVE (not at import), and
+        validated here so a typo fails at the save call, not deep inside
+        the first write. Affects only data written by the metastore;
+        readers are codec-agnostic."""
+        codec = os.environ.get("DATACHAIN_SPARK_PARQUET_CODEC", "zstd").lower()
+        if codec not in self._PARQUET_CODECS:
+            raise ValueError(
+                f"DATACHAIN_SPARK_PARQUET_CODEC={codec!r} is not a parquet "
+                f"codec Spark supports ({sorted(self._PARQUET_CODECS)})"
+            )
+        return codec
 
     def __init__(self, root: str):
         self.root = root
@@ -387,6 +413,25 @@ class Metastore:
             "overwrite"
         ).option("compression", self.PARQUET_CODEC).parquet(data_path)
         n_new = int(obs.get["rows"])
+        # the base's preview stays valid: chain reads are base-first, so
+        # these are still the head's first rows — re-collecting would
+        # re-open the base data this fast path exists to avoid. A base
+        # SHORTER than the preview window tops up from the churn dir only
+        # (still O(churn)), so the head's preview shows appended rows too.
+        preview = json.loads(json.dumps(base.preview, default=str))
+        preview_rows = 20
+        if len(preview) < preview_rows and base.num_rows < preview_rows:
+            from pyspark.sql import types as T
+
+            st = T.StructType.fromJson(json.loads(base.schema_json))
+            spark = df_new.sparkSession
+            extra = (
+                spark.read.schema(st).parquet(data_path)
+                .limit(preview_rows - len(preview)).collect()
+            )
+            preview = preview + json.loads(json.dumps(
+                [r.asDict(recursive=True) for r in extra], default=str
+            ))
         dv = DatasetVersion(
             version=version,
             uuid=uuid.uuid4().hex,
@@ -395,15 +440,124 @@ class Metastore:
             schema_json=base.schema_json,
             attrs={**(attrs or {}), "extends_version": base.version},
             dependencies=dependencies or [],
-            # the base's preview stays valid: chain reads are base-first,
-            # so these are still the head's first rows — re-collecting
-            # would re-open the base data this fast path exists to avoid
-            preview=json.loads(json.dumps(base.preview, default=str)),
+            preview=preview,
             job_hash=job_hash,
             signal_schema=json.loads(json.dumps(base.signal_schema))
             if base.signal_schema else {},
         )
         rec.versions.append(dv)
+        self._write_record(rec)
+        return dv
+
+    def version_tombstone_path(self, name: str, version: str) -> str:
+        ns, proj, base = split_name(name)
+        return os.path.join(
+            self._ds_dir(ns, proj, base), f"v{version}", "tombstones"
+        )
+
+    def extend_dataset_version(
+        self,
+        spark: SparkSession,
+        df_new: DataFrame,
+        name: str,
+        base: DatasetVersion,
+        tombstone_keys: DataFrame,
+        tombstone_on: list[str],
+        attrs: Optional[dict[str, Any]] = None,
+        dependencies: Optional[list[dict[str, str]]] = None,
+        job_hash: str = "",
+        preview_rows: int = 20,
+    ) -> DatasetVersion:
+        """Record a new version whose rows are ``base``'s rows MINUS the
+        keys in ``tombstone_keys`` plus ``df_new`` — without rewriting the
+        base (the delete-vector extension of the append fast path): only
+        the churn rows and a churn-sized key set are written; readers
+        resolve visibility through the manifest chain (a row is visible
+        unless a LATER chain link tombstones its key). At 100 TB this
+        turns a modified/deleted-heavy incremental save from a full
+        corpus rewrite into an O(churn) write plus one narrow key-column
+        scan for the row count.
+
+        ``tombstone_keys`` carries one flattened column per entry of
+        ``tombstone_on`` (dots replaced by ``__`` — the delta flat-key
+        convention); comparison is null-safe, matching DataChain.subtract
+        on the rewrite path this replaces. Callers own the soundness
+        contract (delta_save proves it from its diff): every df_new key
+        is in tombstone_keys or absent from the base, and df_new's schema
+        matches the base's column-for-column. Base must be the record's
+        latest version and not bucketed; ``compact_dataset`` heals the
+        chain into a self-contained copy."""
+        ns, proj, base_name = split_name(name)
+        rec = self._read_record(ns, proj, base_name)
+        if rec is None:
+            raise DatasetNotFoundError(f"dataset not found: {name}")
+        head = rec.latest_version()
+        if head is None or head.version != base.version:
+            raise ValueError(
+                f"extend_dataset_version: base {base.version} is not the "
+                f"latest version of {name}"
+            )
+        if base.bucket:
+            raise ValueError(
+                "extend_dataset_version: bucketed versions have a global "
+                "layout — use a full save"
+            )
+        version = bump_version(base.version, "patch")
+        full = f"{ns}.{proj}.{base_name}"
+        data_path = self.version_data_path(full, version)
+        tomb_path = self.version_tombstone_path(full, version)
+        flat_keys = [k.replace(".", "__") for k in tombstone_on]
+        obs = Observation()
+        df_new.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).option("compression", self.PARQUET_CODEC).parquet(data_path)
+        n_new = int(obs.get["rows"])
+        tombstone_keys.select(*flat_keys).dropDuplicates().write.mode(
+            "overwrite"
+        ).option("compression", self.PARQUET_CODEC).parquet(tomb_path)
+        # displaced-row count: base-VISIBLE rows whose key is tombstoned —
+        # a key-column-only scan of the chain against the broadcast churn
+        # keys (process() may emit any number of rows per key, so the
+        # source-side churn counts cannot stand in for it)
+        base_df, _, _ = self.load_dataset(spark, name, base.version)
+        tomb_df = spark.read.parquet(tomb_path).select(
+            *[F.col(fk).alias(f"__dcs_tk{j}")
+              for j, fk in enumerate(flat_keys)]
+        )
+        cond = None
+        for j, k in enumerate(tombstone_on):
+            c = _nested_col(base_df, k).eqNullSafe(F.col(f"__dcs_tk{j}"))
+            cond = c if cond is None else cond & c
+        n_displaced = base_df.join(
+            F.broadcast(tomb_df), cond, "left_semi"
+        ).count()
+        dv = DatasetVersion(
+            version=version,
+            uuid=uuid.uuid4().hex,
+            created_at=time.time(),
+            num_rows=base.num_rows - n_displaced + n_new,
+            schema_json=base.schema_json,
+            attrs={
+                **(attrs or {}),
+                "extends_version": base.version,
+                "tombstone_on": json.dumps(list(tombstone_on)),
+            },
+            dependencies=dependencies or [],
+            job_hash=job_hash,
+            signal_schema=json.loads(json.dumps(base.signal_schema))
+            if base.signal_schema else {},
+        )
+        rec.versions.append(dv)
+        self._write_record(rec)
+        # the base's preview may show rows this version tombstones —
+        # recollect from the assembled head (limit-bounded, churn-sized
+        # broadcast; nothing near a corpus scan)
+        head_df, _, _ = self.load_dataset(spark, name, version)
+        dv.preview = json.loads(json.dumps(
+            [r.asDict(recursive=True)
+             for r in head_df.limit(preview_rows).collect()],
+            default=str,
+        ))
         self._write_record(rec)
         return dv
 
@@ -458,6 +612,33 @@ class Metastore:
                 v = None
         return out
 
+    @staticmethod
+    def _chain_versions(
+        rec: DatasetRecord, dv: DatasetVersion
+    ) -> list[DatasetVersion]:
+        """``dv``'s append/extend chain, base-first. A dangling
+        ``extends_version`` (base removed via force=True) raises an error
+        naming the broken chain instead of a bare version-not-found."""
+        chain: list[DatasetVersion] = []
+        seen: set[str] = set()
+        v: Optional[DatasetVersion] = dv
+        while v is not None and v.version not in seen:
+            seen.add(v.version)
+            chain.append(v)
+            ext = v.attrs.get("extends_version")
+            if not ext:
+                break
+            try:
+                v = rec.get_version(ext)
+            except DatasetVersionNotFoundError:
+                raise DatasetVersionNotFoundError(
+                    f"dataset {rec.name} version {dv.version} extends "
+                    f"version {ext}, which no longer exists (removed with "
+                    "force=True?) — the chain is broken; restore the base "
+                    "or delete the dangling head"
+                ) from None
+        return list(reversed(chain))
+
     def _chain_data_paths(
         self, rec: DatasetRecord, dv: DatasetVersion
     ) -> list[str]:
@@ -469,16 +650,9 @@ class Metastore:
         so the logical row order matches the rewrite the fast path
         replaced (kept rows, then appended rows)."""
         full = f"{rec.namespace}.{rec.project}.{rec.name}"
-        chain: list[DatasetVersion] = []
-        seen: set[str] = set()
-        v: Optional[DatasetVersion] = dv
-        while v is not None and v.version not in seen:
-            seen.add(v.version)
-            chain.append(v)
-            ext = v.attrs.get("extends_version")
-            v = rec.get_version(ext) if ext else None
         return [
-            self.version_data_path(full, c.version) for c in reversed(chain)
+            self.version_data_path(full, c.version)
+            for c in self._chain_versions(rec, dv)
         ]
 
     def load_dataset(
@@ -493,12 +667,7 @@ class Metastore:
         if dv.bucket:
             df = self._load_bucketed(spark, dv, data_path)
         elif dv.attrs.get("extends_version") and dv.schema_json:
-            from pyspark.sql import types as T
-
-            st = T.StructType.fromJson(json.loads(dv.schema_json))
-            df = spark.read.schema(st).parquet(
-                *self._chain_data_paths(rec, dv)
-            )
+            df = self._load_chain(spark, f"{ns}.{proj}.{base}", rec, dv)
         elif dv.schema_json:
             # apply the schema recorded at save time instead of
             # re-inferring it from footers: every load_dataset otherwise
@@ -512,6 +681,104 @@ class Metastore:
         else:
             df = spark.read.parquet(data_path)
         return df, rec, dv
+
+    def _load_chain(
+        self, spark: SparkSession, full: str, rec: DatasetRecord,
+        dv: DatasetVersion, file_col: Optional[str] = None,
+    ) -> DataFrame:
+        """Assemble an append/extend chain: the plain union read when no
+        link tombstones anything; otherwise each link's rows are tagged
+        with their chain ordinal and a row is visible unless a LATER link
+        tombstones its key (null-safe, matching the subtract on the
+        rewrite path the extend fast path replaces). The tombstone set is
+        churn-sized and broadcast — the corpus never shuffles.
+
+        ``file_col`` additionally materializes each row's source file
+        path (``_metadata.file_path``, captured ON the scan — it does not
+        survive the visibility join) as an extra output column, for
+        file-level consumers like the zone-map build."""
+        from functools import reduce
+
+        from pyspark.sql import types as T
+
+        st = T.StructType.fromJson(json.loads(dv.schema_json))
+        links = self._chain_versions(rec, dv)
+        paths = [self.version_data_path(full, v.version) for v in links]
+        tombs = [
+            (i, json.loads(v.attrs["tombstone_on"]))
+            for i, v in enumerate(links)
+            if v.attrs.get("tombstone_on")
+        ]
+        if not tombs and not file_col:
+            return spark.read.schema(st).parquet(*paths)
+        link_col = "__dcs_link"
+        while link_col in st.fieldNames():
+            link_col += "_"
+
+        def _part(p: str, i: int) -> DataFrame:
+            r = spark.read.schema(st).parquet(p)
+            if file_col:
+                r = r.withColumn(file_col, F.col("_metadata.file_path"))
+            return r.withColumn(link_col, F.lit(i))
+
+        rows = reduce(
+            DataFrame.unionByName,
+            [_part(p, i) for i, p in enumerate(paths)],
+        )
+        out_cols = [
+            F.col("`" + f.name.replace("`", "``") + "`") for f in st.fields
+        ]
+        if file_col:
+            out_cols.append(F.col(file_col))
+        if not tombs:
+            return rows.select(*out_cols)
+        keys, tomb = self._chain_tombstones(spark, full, links, tombs)
+        visible = self._visible_rows(rows, F.col(link_col), keys, tomb)
+        return visible.select(*out_cols)
+
+    def _chain_tombstones(
+        self, spark: SparkSession, full: str,
+        links: list[DatasetVersion], tombs: list[tuple[int, list[str]]],
+    ) -> tuple[list[str], DataFrame]:
+        """(key names, broadcastable frame [__dcs_tk*..., __dcs_tmax]) —
+        each tombstoned key with the LAST chain ordinal that tombstoned
+        it. The whole chain must share one key set (delta_on is fixed per
+        dataset pipeline)."""
+        from functools import reduce
+
+        keys = tombs[0][1]
+        flat = [k.replace(".", "__") for k in keys]
+        tparts = []
+        for i, t_on in tombs:
+            if t_on != keys:
+                raise ValueError(
+                    f"{full} v{links[i].version}: tombstone keys {t_on} "
+                    f"differ from the chain's {keys} — chains must keep "
+                    "one delta key set; compact before changing keys"
+                )
+            tparts.append(
+                spark.read.parquet(
+                    self.version_tombstone_path(full, links[i].version)
+                ).select(*flat).withColumn("__dcs_tlink", F.lit(i))
+            )
+        union = reduce(DataFrame.unionByName, tparts)
+        tomb = union.groupBy(*flat).agg(F.max("__dcs_tlink").alias("__dcs_tmax"))
+        return keys, tomb.select(
+            *[F.col(f).alias(f"__dcs_tk{j}") for j, f in enumerate(flat)],
+            "__dcs_tmax",
+        )
+
+    @staticmethod
+    def _visible_rows(rows: DataFrame, link_of, keys: list[str],
+                      tomb: DataFrame) -> DataFrame:
+        cond = None
+        for j, k in enumerate(keys):
+            c = _nested_col(rows, k).eqNullSafe(F.col(f"__dcs_tk{j}"))
+            cond = c if cond is None else cond & c
+        joined = rows.join(F.broadcast(tomb), cond, "left")
+        return joined.filter(
+            F.col("__dcs_tmax").isNull() | (F.col("__dcs_tmax") <= link_of)
+        )
 
     def _bucket_table_name(self, ns: str, proj: str, base: str, version: str) -> str:
         raw = f"dcs__{ns}_{proj}_{base}_{version}"
@@ -629,9 +896,9 @@ class Metastore:
             version=new_version,
             attrs={
                 # the copy is self-contained: it must not inherit the
-                # source's extends_version chain reference
+                # source's chain reference or its tombstone marker
                 **{k: v for k, v in dv.attrs.items()
-                   if k != "extends_version"},
+                   if k not in ("extends_version", "tombstone_on")},
                 "compacted_from": dv.version,
                 "compacted_files": f"{n_files}->{n_target}",
             },
@@ -882,6 +1149,31 @@ class Metastore:
         from ..ops.pruning import file_stats_index
 
         df, _rec, dv = self.load_dataset(spark, name, version)
+        if dv.attrs.get("extends_version"):
+            links = self._chain_versions(_rec, dv)
+            if any(v.attrs.get("tombstone_on") for v in links):
+                # file identity does not survive the tombstone visibility
+                # join — re-assemble the chain with the file path
+                # materialized on each scan, under a name the data cannot
+                # collide with, and index that column
+                fcol = "file"
+                while fcol in df.columns:
+                    fcol = "_" + fcol
+                full = f"{_rec.namespace}.{_rec.project}.{_rec.name}"
+                cdf = self._load_chain(spark, full, _rec, dv, file_col=fcol)
+                idx = file_stats_index(cdf, list(cols), file_col=fcol)
+                if fcol != "file":
+                    idx = idx.withColumnRenamed(fcol, "file")
+                return self.save_dataset(
+                    idx,
+                    f"{name}__zones",
+                    attrs={
+                        "zones_of": name,
+                        "zones_of_version": dv.version,
+                        "zones_cols": ",".join(cols),
+                    },
+                    dependencies=[{"dataset": name, "version": dv.version}],
+                )
         idx = file_stats_index(df, list(cols))
         return self.save_dataset(
             idx,
@@ -964,7 +1256,7 @@ class Metastore:
             else self.version_data_path(f"{ns}.{proj}.{base}", dv.version)
         )
         try:
-            return pruned_read(
+            out = pruned_read(
                 spark, self._load_zone_index(spark, name, version),
                 dict(intervals), base_path=data_path,
             )
@@ -973,6 +1265,40 @@ class Metastore:
                 raise  # interval/zone validation errors are caller bugs
             schema = T.StructType.fromJson(json.loads(dv.schema_json))
             return spark.createDataFrame([], schema)
+        if dv.attrs.get("extends_version"):
+            # a chain with tombstoned links must hide displaced rows in
+            # pruned reads too: derive each row's chain ordinal from the
+            # version dir in its file path, then apply the same
+            # later-link-tombstones-kill visibility rule as load_dataset
+            full = f"{ns}.{proj}.{base}"
+            links = self._chain_versions(rec, dv)
+            tombs = [
+                (i, json.loads(v.attrs["tombstone_on"]))
+                for i, v in enumerate(links)
+                if v.attrs.get("tombstone_on")
+            ]
+            if tombs:
+                # materialize the chain ordinal ON the scan (file-path
+                # functions cannot be evaluated after the visibility join)
+                link_col = "__dcs_link"
+                while link_col in out.columns:
+                    link_col += "_"
+                fname = F.col("_metadata.file_path")
+                link_of = F.lit(-1)
+                for i, v in enumerate(links):
+                    link_of = F.when(
+                        fname.contains(f"/v{v.version}/data/"), F.lit(i)
+                    ).otherwise(link_of)
+                data_cols = list(out.columns)
+                out = out.withColumn(link_col, link_of)
+                keys, tomb = self._chain_tombstones(spark, full, links, tombs)
+                out = self._visible_rows(
+                    out, F.col(link_col), keys, tomb
+                ).select(
+                    *[F.col("`" + c.replace("`", "``") + "`")
+                      for c in data_cols]
+                )
+        return out
 
     def ann_index_dataset(
         self,

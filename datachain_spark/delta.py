@@ -23,6 +23,7 @@ whole run (parity with step-hash checkpoint reuse, hash_utils.py:32-120).
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Callable, Optional, Sequence, Union
 
 from pyspark.sql import functions as F
@@ -226,11 +227,23 @@ def delta_save(
     # the source). Any transformation drops the marker via _evolve.
     info = getattr(source, "_dataset_info", None) or {}
     src_pin = None
+    src_pin_uuid = None
     if (
         getattr(source, "_pristine_version_read", False)
         and info.get("name") and info.get("version")
     ):
         src_pin = (info["name"], info["version"])
+        # pin the version's UUID too: a delete_dataset(force=True) + re-save
+        # can reuse the same version STRING for different contents — the
+        # uuid makes such a recreated version force the diff/full path
+        # instead of silently converging against stale results
+        try:
+            src_pin_uuid = (
+                sess.metastore.get_record(src_pin[0])
+                .get_version(src_pin[1]).uuid
+            )
+        except Exception:  # noqa: BLE001 — unreadable pin: treat as unpinned
+            src_pin = None
 
     def _snapshot_source() -> dict:
         """Persist what the next run's diff needs, the cheapest sound
@@ -249,6 +262,7 @@ def delta_save(
             return {
                 "delta_source_dataset": src_pin[0],
                 "delta_source_version": src_pin[1],
+                "delta_source_uuid": src_pin_uuid,
             }
         narrow = None
         if cmp_list is not None:
@@ -291,6 +305,10 @@ def delta_save(
     if (
         src_pin is not None and not delta_retry
         and (pin_name, pin_ver) == src_pin
+        # a recreated version (same string, new uuid) must NOT converge;
+        # a legacy pin without a stored uuid keeps its old behavior
+        and prev_version.attrs.get("delta_source_uuid")
+        in (None, src_pin_uuid)
         and prev_version.job_hash == job_hash
     ):
         prev_df, _, _ = sess.metastore.load_dataset(
@@ -311,10 +329,18 @@ def delta_save(
     prev_snap = None
     if pin_name:
         try:
-            psdf, _, _ = sess.metastore.load_dataset(
+            psdf, _, psdv_pin = sess.metastore.load_dataset(
                 sess.spark, pin_name, pin_ver
             )
-            prev_snap = DataChain(psdf, sess)
+            pin_uuid = prev_version.attrs.get("delta_source_uuid")
+            if pin_uuid is not None and psdv_pin.uuid != pin_uuid:
+                # same version string, different contents (deleted with
+                # force=True and re-saved): the contents the previous run
+                # processed are gone — diffing against the recreated
+                # version would mislabel its rows as "unchanged"
+                prev_snap = None
+            else:
+                prev_snap = DataChain(psdf, sess)
         except Exception:  # noqa: BLE001 — pinned version vacuumed
             prev_snap = None
     elif prev_snap_rec is not None:
@@ -547,12 +573,22 @@ def _delta_apply(
             # empty diff (manifest-only write)
             rec3 = sess.metastore.get_record(name)
             v3 = rec3.get_version(prev_version.version)
+            new_uuid = None
+            try:
+                new_uuid = (
+                    sess.metastore.get_record(src_pin[0])
+                    .get_version(src_pin[1]).uuid
+                )
+            except Exception:  # noqa: BLE001
+                pass
             if (
                 v3.attrs.get("delta_source_dataset"),
                 v3.attrs.get("delta_source_version"),
-            ) != src_pin:
+                v3.attrs.get("delta_source_uuid"),
+            ) != (*src_pin, new_uuid):
                 v3.attrs["delta_source_dataset"] = src_pin[0]
                 v3.attrs["delta_source_version"] = src_pin[1]
+                v3.attrs["delta_source_uuid"] = new_uuid
                 sess.metastore._write_record(rec3)
         if compact_target_bytes and sess.metastore.should_compact(
             name, None, compact_target_bytes
@@ -578,24 +614,47 @@ def _delta_apply(
     # and displaced/deleted none, the new version is the previous
     # version's files BY REFERENCE plus only the processed rows — an
     # O(churn) write instead of the full kept∪processed corpus rewrite.
+    # EXTEND FAST PATH (r12): modified/deleted churn takes the same
+    # by-reference layout plus a churn-sized TOMBSTONE key set — readers
+    # hide base rows whose key a later chain link tombstones, so an
+    # update-heavy increment also stops rewriting the corpus.
     # Everything downstream (reads, indexes, profile, compaction,
     # fragmentation accounting) resolves the chain through the manifest;
-    # compact_target_bytes heals long chains into self-contained copies.
+    # compact_target_bytes heals long chains into self-contained copies,
+    # and both paths refuse chains deeper than
+    # $DATACHAIN_SPARK_MAX_CHAIN_DEPTH (default 16) — the next run then
+    # does one full save, bounding per-read file listing and the
+    # tombstone anti-join state.
     prev_types = {f.name: f.dataType for f in prev_result.df.schema.fields}
     proc_types = {f.name: f.dataType for f in processed.df.schema.fields}
-    append_mode = (
-        n_modified == 0
-        and n_deleted == 0
-        and n_changed > 0
-        and not prev_version.bucket
+    max_depth = int(os.environ.get("DATACHAIN_SPARK_MAX_CHAIN_DEPTH", "16"))
+    rec_now = sess.metastore.get_record(name)
+    chain_depth = len(sess.metastore._extends_closure(
+        rec_now, rec_now.get_version(prev_version.version)
+    ))
+    extend_ok = (
+        not prev_version.bucket
         and prev_types == proc_types
+        and chain_depth < max_depth
         and not (
             set(save_kw)
             - {"zone_index", "zorder_by", "zorder_bits", "zorder_files",
                "zorder_strategy", "schema_policy"}
         )
     )
-    if append_mode:
+    append_mode = (
+        extend_ok and n_modified == 0 and n_deleted == 0 and n_changed > 0
+    )
+    # the extend path only pays off while churn is the minority: past
+    # half the corpus, the rewrite reads less than chain+tombstone reads
+    # would cost every downstream scan
+    extend_mode = (
+        extend_ok and not append_mode
+        and (n_changed + n_deleted) > 0
+        and prev_version.num_rows > 0
+        and 2 * (n_changed + n_deleted) <= prev_version.num_rows
+    )
+    if append_mode or extend_mode:
         new_rows = processed.df.select(*prev_result.df.columns)
         if save_kw.get("zorder_by"):
             from .ops.zorder import zorder_layout
@@ -606,10 +665,21 @@ def _delta_apply(
                 num_partitions=save_kw.get("zorder_files"),
                 strategy=save_kw.get("zorder_strategy", "minmax"),
             )
-        new_dv = sess.metastore.append_dataset_version(
-            new_rows, name, prev_version,
-            dependencies=processed._dependencies,
-        )
+        if append_mode:
+            new_dv = sess.metastore.append_dataset_version(
+                new_rows, name, prev_version,
+                dependencies=processed._dependencies,
+            )
+        else:
+            # the tombstones are exactly the keys the rewrite path's
+            # subtract would remove: every reprocessed key plus every
+            # deleted key (an added key hits nothing in the base)
+            stale = proc_keys.unionByName(del_keys).dropDuplicates()
+            new_dv = sess.metastore.extend_dataset_version(
+                sess.spark, new_rows, name, prev_version,
+                stale, keys,
+                dependencies=processed._dependencies,
+            )
         if save_kw.get("zone_index"):
             sess.metastore.zone_index_dataset(
                 sess.spark, name, list(save_kw["zone_index"]),
@@ -772,6 +842,7 @@ def _stamp_meta(
     else:
         v.attrs.pop("delta_source_dataset", None)
         v.attrs.pop("delta_source_version", None)
+        v.attrs.pop("delta_source_uuid", None)
     sess.metastore._write_record(rec)
 
 

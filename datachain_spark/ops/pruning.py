@@ -49,6 +49,16 @@ def file_stats_index(
     """
     if not cols:
         raise ValueError("file_stats_index: cols must be non-empty")
+    if file_col in df.columns:
+        # the caller pre-materialized file identity (e.g. a tombstoned
+        # append/extend chain, where _metadata does not survive the
+        # visibility join) — index that column as-is
+        base = df.select(F.col(file_col), *[F.col(c) for c in cols])
+        aggs0 = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for c in cols:
+            aggs0.append(F.min(c).alias(f"{c}_min"))
+            aggs0.append(F.max(c).alias(f"{c}_max"))
+        return base.groupBy(file_col).agg(*aggs0)
     try:
         base = df.select(
             F.col("_metadata.file_path").alias(file_col),
