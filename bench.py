@@ -317,6 +317,10 @@ HEADLINE = [
     # one refresh_downstream call after an upstream append — manifest
     # walk + two incremental delta re-runs with profile maintenance)
     "cascade_refresh_full",
+    # r12 addition (r11 verdict task 8): a DIAMOND cascade — src feeds
+    # two independent sibling pipelines whose refreshes overlap in a
+    # small thread pool (guide §2.6), then a join stage heals after both
+    "cascade_diamond_full",
 ]
 
 
@@ -1162,7 +1166,82 @@ def main() -> None:
     queries["find_substring_full"] = _find_substring_full
     queries["gram_refresh_full"] = _gram_refresh_full
     queries["delta_profile_full"] = _delta_profile_full
+    def _cascade_diamond_full(spark, sf):
+        # r12 diamond cascade (r11 verdict task 8): src -> {band, prio}
+        # (independent siblings, refreshed CONCURRENTLY by
+        # refresh_downstream's level pool) -> joined (runs after both).
+        # Measures the overlap win on sibling pipelines whose sf0.1 cost
+        # is mostly driver-synced job latency.
+        import tempfile
+        import uuid
+
+        from datachain_spark.catalog.metastore import Metastore
+        from datachain_spark.delta import delta_save
+        from datachain_spark.lineage import (
+            refresh_downstream,
+            register_pipeline,
+        )
+        from datachain_spark.session import Session
+        from datachain_spark.sources.readers import read_dataset
+
+        sess = Session.get(spark=spark)
+        ms = Metastore(tempfile.mkdtemp(prefix="dc_bench_diam_"))
+        old_ms, sess.metastore = sess.metastore, ms
+        old_reg = getattr(sess, "_lineage_pipelines", None)
+        sess._lineage_pipelines = {}
+        try:
+            tag = uuid.uuid4().hex[:8]
+            src = f"dsrc_{tag}"
+            band, prio = f"dband_{tag}", f"dprio_{tag}"
+            joined = f"djoin_{tag}"
+            orders = entrymod._chain(spark, sf, "orders")
+
+            def band_fn():
+                return delta_save(
+                    read_dataset(src, session=sess),
+                    lambda ch: ch.mutate(
+                        price_band=F.floor(F.col("o_totalprice") / 1000.0)
+                        .cast("long")
+                    ).select("o_orderkey", "price_band"),
+                    band, "o_orderkey", delta_compare="o_totalprice",
+                    session=sess,
+                )
+
+            def prio_fn():
+                return delta_save(
+                    read_dataset(src, session=sess),
+                    lambda ch: ch.mutate(
+                        urgent=(F.col("o_orderpriority") < "3").cast("int")
+                    ).select("o_orderkey", "urgent"),
+                    prio, "o_orderkey", delta_compare="o_orderpriority",
+                    session=sess,
+                )
+
+            def joined_fn():
+                merged = read_dataset(band, session=sess).merge(
+                    read_dataset(prio, session=sess), on="o_orderkey",
+                    inner=True,
+                )
+                return merged.save(joined)
+
+            register_pipeline(band, band_fn, session=sess)
+            register_pipeline(prio, prio_fn, session=sess)
+            register_pipeline(joined, joined_fn, session=sess)
+            orders.filter(F.col("o_orderkey") % 3 != 0).save(src)
+            band_fn()
+            prio_fn()
+            joined_fn()
+            orders.save(src)
+            return refresh_downstream(src, session=sess)
+        finally:
+            sess.metastore = old_ms
+            if old_reg is None:
+                del sess._lineage_pipelines
+            else:
+                sess._lineage_pipelines = old_reg
+
     queries["cascade_refresh_full"] = _cascade_refresh_full
+    queries["cascade_diamond_full"] = _cascade_diamond_full
     queries["hash_retrieval_full"] = _hash_retrieval_full
     queries["stratified_split_full"] = _stratified_split_full
     queries["web_signals_full"] = _web_signals_full

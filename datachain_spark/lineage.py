@@ -39,6 +39,7 @@ scheduled pipelines.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 from .catalog.metastore import parse_version, split_name
@@ -266,19 +267,33 @@ def refresh_downstream(
             "dataset cannot (transitively) read its own downstream"
         )
 
+    # Topological LEVELS over the same order (longest path from the
+    # root): a node's in-closure parents all sit in strictly earlier
+    # levels, so nodes sharing a level share no edges — refreshing them
+    # concurrently is semantics-preserving (each sees exactly the
+    # upstream heads the sequential walk would have shown it). Sibling
+    # pipelines of a diamond then overlap their Spark jobs instead of
+    # serializing driver-synced tails (guide §2.6: the scheduler happily
+    # back-fills executors freed by one job's tail with the next job's
+    # tasks; actions are only sequential when the driver calls them
+    # sequentially).
+    level = {d: 0 for d in order}
+    for up in order:
+        for d in edges.get(up, []):
+            if d in level:
+                level[d] = max(level[d], level[up] + 1)
+
     registry = _registry(sess)
-    rows = []
-    for node in order:
-        # `recs` is kept current as the cascade advances (each refresh
-        # below re-reads exactly the record it changed), so staleness
-        # here already sees upstream heads produced by earlier stages
+    results: dict[str, tuple] = {}
+
+    def _classify(node):
+        """Staleness + action decision for one node (manifest-only)."""
         rec = recs[node]
         stale = _stale_edges(rec, recs)
         old_head = rec.latest_version().version
         ups = ",".join(f"{u}@{p}<{h}" for u, p, h in stale)
         if not stale:
-            rows.append((node, "up_to_date", old_head, old_head, ""))
-            continue
+            return None, (node, "up_to_date", old_head, old_head, "")
         fn = registry.get(node)
         if fn is None:
             if strict and not dry_run:
@@ -287,17 +302,63 @@ def refresh_downstream(
                     "no registered pipeline — register_pipeline(name, fn) "
                     "or pass strict=False to skip it"
                 )
-            rows.append((node, "no_pipeline", old_head, old_head, ups))
-            continue
+            return None, (node, "no_pipeline", old_head, old_head, ups)
         if dry_run:
-            rows.append((node, "would_refresh", old_head, old_head, ups))
-            continue
+            return None, (node, "would_refresh", old_head, old_head, ups)
+        return (fn, old_head, ups), None
+
+    def _run(node, fn, old_head, ups):
         fn()
-        recs[node] = sess.metastore.get_record(node)
-        new_head = recs[node].latest_version().version
+        fresh = sess.metastore.get_record(node)
+        new_head = fresh.latest_version().version
         # a pipeline may converge without a new version (the upstream
         # bump carried no effective change — delta re-pins the head's
         # dependencies instead of re-saving); report it distinctly
         action = "refreshed" if new_head != old_head else "converged"
-        rows.append((node, action, old_head, new_head, ups))
+        return fresh, (node, action, old_head, new_head, ups)
+
+    max_workers = int(
+        os.environ.get("DATACHAIN_SPARK_REFRESH_PARALLELISM", "3")
+    )
+    for lvl in range(max(level.values(), default=-1) + 1):
+        batch = [d for d in order if level[d] == lvl]
+        runnable: list[tuple[str, Callable, str, str]] = []
+        for node in batch:
+            run, row = _classify(node)
+            if row is not None:
+                results[node] = row
+            else:
+                runnable.append((node, *run))
+        if not runnable:
+            continue
+        if len(runnable) == 1 or max_workers <= 1:
+            for node, fn, old_head, ups in runnable:
+                fresh, row = _run(node, fn, old_head, ups)
+                recs[node] = fresh
+                results[node] = row
+        else:
+            # job groups/descriptions are JVM-thread-local: wrap each
+            # worker so the caller's local properties (e.g. a bench job
+            # group) are inherited and its jobs stay attributed
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            # passing the session makes tags inherit too (Spark 4 warns
+            # otherwise); it returns a decorator rather than the wrapped fn
+            wrap = inheritable_thread_target(sess.spark)
+            with ThreadPoolExecutor(
+                max_workers=min(max_workers, len(runnable))
+            ) as pool:
+                futs = [
+                    (node, pool.submit(
+                        wrap(_run), node, fn, old_head, ups,
+                    ))
+                    for node, fn, old_head, ups in runnable
+                ]
+                for node, fut in futs:
+                    fresh, row = fut.result()
+                    recs[node] = fresh
+                    results[node] = row
+    rows = [results[node] for node in order]
     return sess.spark.createDataFrame(rows, REPORT_SCHEMA)

@@ -309,3 +309,68 @@ def test_delta_retry_run_keeps_lineage(session, sf_dir, fresh_ms):
     pins = [d for d in head.dependencies if d.get("dataset")]
     assert any(d["dataset"] == "rsrc" and d["version"] == "1.0.1"
                for d in pins)
+
+
+def test_cascade_siblings_run_concurrently(session, sf_dir, fresh_ms,
+                                           monkeypatch):
+    """Independent Kahn siblings of a diamond refresh CONCURRENTLY
+    (r11 verdict task 8): both sibling pipelines must be in flight at
+    once — each waits at a shared barrier that only a parallel cascade
+    can satisfy — and the report is identical to a sequential
+    (parallelism=1) cascade."""
+    import threading
+
+    orders = _orders(session, sf_dir)
+    orders.filter(dc.C("o_orderkey") % 3 == 1).save("src")
+
+    barrier = threading.Barrier(2, timeout=60)
+    gate_on = {"v": False}
+
+    def _sib(name, cols, cmp_col):
+        def fn():
+            if gate_on["v"]:
+                # only passable when BOTH siblings are in flight
+                barrier.wait()
+            return delta_save(
+                dc.read_dataset("src", session=session),
+                lambda ch: ch.select(*cols),
+                name, "o_orderkey", delta_compare=cmp_col,
+                session=session,
+            )
+        return fn
+
+    a_fn = _sib("a", ["o_orderkey", "o_totalprice"], "o_totalprice")
+    b_fn = _sib("b", ["o_orderkey", "o_orderpriority"], "o_orderpriority")
+
+    def joined_fn():
+        merged = dc.read_dataset("a", session=session).merge(
+            dc.read_dataset("b", session=session), on="o_orderkey",
+            inner=True,
+        ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+        return merged.save("joined")
+
+    register_pipeline("a", a_fn, session=session)
+    register_pipeline("b", b_fn, session=session)
+    register_pipeline("joined", joined_fn, session=session)
+    a_fn(); b_fn(); joined_fn()
+
+    orders.filter(dc.C("o_orderkey") % 3 != 0).save("src")
+    gate_on["v"] = True
+    rows = refresh_downstream("src", session=session).collect()
+    gate_on["v"] = False
+    assert not barrier.broken  # both siblings reached the barrier
+    rep = {r["dataset"]: r["action"] for r in rows}
+    assert rep == {
+        "local.default.a": "refreshed",
+        "local.default.b": "refreshed",
+        "local.default.joined": "refreshed",
+    }
+    n_joined = dc.read_dataset("joined", session=session).count()
+    assert n_joined == orders.filter(dc.C("o_orderkey") % 3 != 0).count()
+
+    # sequential mode (parallelism=1) produces the identical report on
+    # the same (now up-to-date) graph
+    monkeypatch.setenv("DATACHAIN_SPARK_REFRESH_PARALLELISM", "1")
+    rows_seq = refresh_downstream("src", session=session).collect()
+    assert [r["dataset"] for r in rows_seq] == [r["dataset"] for r in rows]
+    assert all(r["action"] == "up_to_date" for r in rows_seq)
