@@ -340,6 +340,12 @@ def main() -> None:
         .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # shuffle/spill/broadcast codec A/B knob (r11 verdict task 7):
+        # the driver never sets it, so recorded runs keep Spark's default
+        # (lz4); dev runs compare zstd vs lz4 on the deterministic
+        # shuffle-bytes series (stage_bytes in BENCH_DETAIL), not walls
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,4 +1,5 @@
 import os
+import subprocess
 import sys
 
 import pytest
@@ -10,11 +11,37 @@ from datachain_spark.session import Session, default_spark_builder
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
 
 
+def pytest_collection_finish(session):
+    """Kick off the examples/ subprocess scripts the moment collection
+    ends (only when test_examples.py is actually selected): each boots
+    its own JVM and runs minutes of latency-bound jobs, which overlap the
+    rest of the suite's equally latency-bound waiting instead of
+    serializing after it (guide §2.6 — fill idle capacity with
+    independent work; r11 verdict task 1: the driver's pytest run must
+    finish inside its window)."""
+    from . import test_examples
+
+    if any(
+        item.fspath and item.fspath.basename == "test_examples.py"
+        for item in session.items
+    ):
+        test_examples.start_example_procs()
+
+
 @pytest.fixture(scope="session")
 def session(tmp_path_factory):
     ms_dir = str(tmp_path_factory.mktemp("metastore"))
+    # Tests run on KB-scale fixtures, so every Spark action is pure
+    # scheduling latency — and task-launch overhead grows with the number
+    # of local task slots (guide §2.2: many tiny tasks cost more than few).
+    # Measured on this box: a 1000-row groupBy->count round-trip is ~1.6x
+    # faster on local[8] than local[*]=local[32]. Job counts, plan shapes
+    # and AQE behavior (what the suite asserts) do not depend on the slot
+    # count; SPARK_GRAFT_TEST_CPUS overrides for A/B.
+    test_cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
     spark = (
         default_spark_builder("datachain-spark-tests")
+        .master(f"local[{test_cpus}]")
         .config("spark.sql.shuffle.partitions", "8")
         .getOrCreate()
     )

@@ -17,16 +17,30 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
+# Built frames are cached so the schema-only registry guards below reuse
+# the plan instead of re-executing every entry's flow a second time (the
+# metastore-flow entries run real saves just to RETURN a frame — executing
+# all 239 twice per suite run cost ~4 minutes of pure duplication; r11
+# verdict task 1: the driver's pytest run must finish inside its window).
+_BUILT: dict = {}
+
+
+def _built(name, spark, sf_dir):
+    if name not in _BUILT:
+        _BUILT[name] = QUERIES[name](spark, sf_dir)
+    return _BUILT[name]
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
+    df = _built(name, spark, sf_dir)
     ok, detail = compare(df, ORACLES[name], sf_dir)
     assert ok, f"{name}: {detail}"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
+    df = _built(name, spark, sf_dir)
     n = df.count()
     assert n >= 0
     assert df.schema is not None
@@ -42,12 +56,13 @@ def test_registry_has_no_complex_result_columns(spark, sf_dir):
     pandas sort_values) raises on array/map/struct cells, so NO registry
     query — window or overflow, oracled or rows-only — may emit a complex
     top-level result column. Schema-only check: builds every plan, runs
-    nothing."""
+    nothing (and reuses the frames test_oracle_match already built when
+    the full file runs — standalone invocation still builds fresh)."""
     from .oracle_harness import reject_complex_result_columns
 
     bad = {}
-    for name, fn in QUERIES.items():
-        err = reject_complex_result_columns(fn(spark, sf_dir))
+    for name in QUERIES:
+        err = reject_complex_result_columns(_built(name, spark, sf_dir))
         if err is not None:
             bad[name] = err
     assert bad == {}, bad
