@@ -340,12 +340,13 @@ def main() -> None:
         .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # shuffle/spill/broadcast codec A/B knob (r11 verdict task 7):
-        # the driver never sets it, so recorded runs keep Spark's default
-        # (lz4); dev runs compare zstd vs lz4 on the deterministic
-        # shuffle-bytes series (stage_bytes in BENCH_DETAIL), not walls
+        # shuffle/spill/broadcast codec (r11 verdict task 7): zstd, the
+        # engine default after the interleaved A/B on the three biggest
+        # shufflers — shuffle bytes written -48% to -69% vs lz4 on the
+        # deterministic AppStatusStore sums at equal-or-better wall
+        # (plans/r12/zstd_ab.md). SPARK_GRAFT_IO_CODEC=lz4 re-runs the A/B.
         .config("spark.io.compression.codec",
-                os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

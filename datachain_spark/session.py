@@ -35,6 +35,15 @@ def default_spark_builder(app_name: str = "datachain-spark") -> SparkSession.Bui
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", "32")
+        # shuffle/spill/broadcast codec: zstd (guide §2.3) — measured on
+        # the three biggest shufflers at sf0.1: shuffle bytes written
+        # -48% to -69% vs lz4 (leakage_split 2.28->0.88 MB, minhash_incr
+        # 16.6->5.2 KB, sketch_merge 24.5->12.7 KB; deterministic
+        # AppStatusStore sums) at equal-or-better wall in interleaved
+        # A/B runs. At 100 TB shuffle bytes are the network floor, so
+        # the ratio win dominates the extra CPU. Overridable per deploy.
+        .config("spark.io.compression.codec",
+                os.environ.get("DATACHAIN_SPARK_IO_CODEC", "zstd"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
